@@ -1,13 +1,589 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Relational, RowExplosion}
+import graft.functions.ContentHash
+import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+import graft.streaming.CdcApply
+import graft.validation.Diff
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data pipeline operators), each with an
+  * equivalent DuckDB oracle in `oracleSql` where the semantics are
+  * ANSI-SQL-expressible.
+  *
+  * Conventions that keep the oracle compare exact:
+  *  - every aggregate over doubles casts per-row to DECIMAL first (sums
+  *    become exact decimal arithmetic, no FP association order issues)
+  *  - final decimal casts only widen scale, never narrow (no rounding-
+  *    mode mismatch between engines)
+  *  - every query ORDER BYs its key columns; counts/ranks cast to BIGINT
+  *  - computed columns aliased identically on both sides
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Flagship query: revenue-per-nation join+agg on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qJoinAgg(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // migration surface (SURVEY.md §2.1-§2.10)
+  // ------------------------------------------------------------------
+
+  private def qScanPrune(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qRename(s: SparkSession, d: String): DataFrame = {
+    val renamed = Relational.applyRenames(t(s, d, "customer"), Seq(
+      Relational.Rename("c_custkey", "customer_id"),
+      Relational.Rename("c_name", "full_name"),
+      Relational.Rename("c_mktsegment", "segment")))
+    Relational.selectResolved(renamed, Seq("customer_id", "full_name", "segment"))
+      .orderBy(col("customer_id"))
+  }
+
+  private def qDropInternal(s: SparkSession, d: String): DataFrame =
+    Relational.dropInternalColumns(t(s, d, "part"), Seq("p_retailprice", "p_size"))
+      .orderBy(col("p_partkey"))
+
+  private def qWherePushdown(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+      .orderBy(col("o_orderkey"))
+
+  private def qNullPkFilter(s: SparkSession, d: String): DataFrame =
+    Relational.dropNullPrimaryKeys(t(s, d, "orders"), Seq("o_orderkey", "o_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+
+  private def qContentHash(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    c.select(col("c_custkey"),
+        ContentHash.rowHash(c, Seq("c_custkey", "c_mktsegment", "c_name", "c_nationkey"))
+          .as("content_hash"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def qDiffMissing(s: SparkSession, d: String): DataFrame = {
+    val src = t(s, d, "lineitem")
+    val tgt = src.filter(col("l_quantity") < 49)
+    Diff.missingInTarget(src, tgt, Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private def qDiffExtra(s: SparkSession, d: String): DataFrame = {
+    val src = t(s, d, "lineitem").filter(col("l_quantity") < 5)
+      .select(col("l_partkey").as("p_partkey"))
+    Diff.extraInTarget(src, t(s, d, "part"), Seq("p_partkey"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private def qSemiPrefetch(s: SparkSession, d: String): DataFrame = {
+    val src = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+    Diff.targetPrefetch(src, t(s, d, "customer"), Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def qFullDiff(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val src = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val tgt = orders.filter(col("o_orderstatus") =!= "P")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    Diff.fullDiff(src, tgt, Seq("o_orderkey"), Seq("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def qValidateSummary(s: SparkSession, d: String): DataFrame = {
+    val src = t(s, d, "lineitem")
+    val tgt = src.filter(col("l_quantity") < 49)
+    Diff.summary(src, tgt, Seq("l_orderkey", "l_linenumber"))
+  }
+
+  private def qTolerantCompare(s: SparkSession, d: String): DataFrame = {
+    val sums = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_price"))
+    t(s, d, "orders").join(sums, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"),
+        (abs(col("o_totalprice").cast(DecimalType(18, 2)) - col("sum_price"))
+          <= lit(BigDecimal("100000.00"))).as("within_tol"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def qExplodeCells(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+      (col("l_suppkey") % 3).cast("long").as("qty_ttl"),
+      (col("l_partkey") % 2).cast("long").as("qty_wt"),
+      (col("l_suppkey") % 5).cast("long").as("price_ttl"),
+      (col("l_partkey") % 4).cast("long").as("price_wt"))
+    RowExplosion.explode(base, Seq("l_orderkey", "l_linenumber"), Seq(
+        RowExplosion.CellSpec("qty", Some("qty_ttl"), Some("qty_wt")),
+        RowExplosion.CellSpec("price", Some("price_ttl"), Some("price_wt"))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("price"),
+        concat_ws(",", col(RowExplosion.SetCellsColumn)).as("cells"),
+        col("ttl"), col("writetime"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ttl"), col("writetime"))
+  }
+
+  private def qSetExcept(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey").as("custkey")).distinct()
+      .except(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")).distinct())
+      .orderBy(col("custkey"))
+
+  private def qDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  // ------------------------------------------------------------------
+  // analytics (aggregation / window / streaming-batch parity)
+  // ------------------------------------------------------------------
+
+  private def qAggPricing(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(12, 2)) - col("l_discount").cast(DecimalType(12, 2))))
+          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def qJoinAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(12, 2)) - col("l_discount").cast(DecimalType(12, 2))))
+          .cast(DecimalType(18, 4)).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("n_name"))
+
+  private def qWindowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .withColumn("rank_in_cust", row_number().over(w).cast("long"))
+      .filter(col("rank_in_cust") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank_in_cust"))
+      .orderBy(col("o_custkey"), col("rank_in_cust"))
+  }
+
+  private def qEventsWindow(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private def qEventsAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+      .orderBy(col("event_type"))
+
+  private def qCdcApply(s: SparkSession, d: String): DataFrame =
+    CdcApply.latestByKey(t(s, d, "events"), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  private def qStreamRoute(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("op", when(col("value") < 5.0, lit("delete")).otherwise(lit("put")))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_ops"))
+      .orderBy(col("op"))
+
+  private def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  // ------------------------------------------------------------------
+  // training-data pipeline: dedup / similarity / text / multimodal
+  // ------------------------------------------------------------------
+
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(t(s, d, "documents"), col("text"), "doc_id")
+      .orderBy(col("keep_id"))
+
+  private def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+    val pairs = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_size"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_size"))
+    pairs.filter(col("inter_size") * 2 >= col("union_size"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
+    val candidates = Dedup.lshCandidates(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+    Dedup.verifyJaccard(candidates, sh, "doc_id", "sh", 1, 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def qSimhashSig(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), Dedup.simHashExpr("text").as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private def qFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        Text.fingerprintExpr("text").as("fp"))
+      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fingerprints"),
+        element_at(col("fp"), 1).as("min_fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private def qTokens(s: SparkSession, d: String): DataFrame = {
+    val doc = t(s, d, "documents")
+    doc.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qTextQuality(s: SparkSession, d: String): DataFrame =
+    Text.qualityMetrics(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private def qLangId(s: SparkSession, d: String): DataFrame =
+    Text.langId(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private def qSimTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qSimLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val planes = Similarity.hyperplanes(numPlanes = 64, dim = 64)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5, planes)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Multimodal.withPayload(t(s, d, "documents"), "text")
+    Multimodal.decodeMeta(withPayload, "doc_id", "payload")
+      .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"), col("meta.first_byte").as("first_byte"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Multimodal.withPayload(t(s, d, "documents"), "text")
+    val meta = Multimodal.decodeMeta(withPayload, "doc_id", "payload")
+    Multimodal.sampleFrames(meta, "doc_id", every = 4)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_prune" -> (qScanPrune _),
+    "q_rename" -> (qRename _),
+    "q_drop_internal" -> (qDropInternal _),
+    "q_where_pushdown" -> (qWherePushdown _),
+    "q_null_pk_filter" -> (qNullPkFilter _),
+    "q_content_hash" -> (qContentHash _),
+    "q_diff_missing" -> (qDiffMissing _),
+    "q_diff_extra" -> (qDiffExtra _),
+    "q_semi_prefetch" -> (qSemiPrefetch _),
+    "q_full_diff" -> (qFullDiff _),
+    "q_validate_summary" -> (qValidateSummary _),
+    "q_tolerant_compare" -> (qTolerantCompare _),
+    "q_explode_cells" -> (qExplodeCells _),
+    "q_set_except" -> (qSetExcept _),
+    "q_distinct" -> (qDistinct _),
+    "q1_agg" -> (qAggPricing _),
+    "q_join_agg" -> (qJoinAgg _),
+    "q_window_topn" -> (qWindowTopN _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_events_agg" -> (qEventsAgg _),
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_stream_route" -> (qStreamRoute _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash_sig" -> (qSimhashSig _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_tokens" -> (qTokens _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_lang_id" -> (qLangId _),
+    "q_sim_topk" -> (qSimTopK _),
+    "q_sim_lsh" -> (qSimLsh _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_frame_sample" -> (qFrameSample _))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Omitted entries (q_minhash_lsh, q_simhash_sig,
+  // q_fingerprint, q_sim_lsh) use engine-specific hashing and are
+  // covered by ScalaTest oracles instead (rows-only check here).
+  // ------------------------------------------------------------------
+
+  private val tokensExpr =
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_prune" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_shipdate < TIMESTAMP '1995-09-01' ORDER BY l_orderkey, l_linenumber"),
+
+    "q_rename" ->
+      ("SELECT c_custkey AS customer_id, c_name AS full_name, c_mktsegment AS segment " +
+        "FROM customer ORDER BY customer_id"),
+
+    "q_drop_internal" ->
+      "SELECT p_partkey, p_name, p_brand, p_type FROM part ORDER BY p_partkey",
+
+    "q_where_pushdown" ->
+      ("SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000 " +
+        "ORDER BY o_orderkey"),
+
+    "q_null_pk_filter" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders " +
+        "WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL ORDER BY o_orderkey"),
+
+    "q_content_hash" -> {
+      val perCol = Seq(
+        "c_custkey" -> "CAST(c_custkey AS VARCHAR)",
+        "c_mktsegment" -> "c_mktsegment",
+        "c_name" -> "c_name",
+        "c_nationkey" -> "CAST(c_nationkey AS VARCHAR)")
+      s"SELECT c_custkey, ${ContentHash.duckdbRowHashSql(perCol)} AS content_hash " +
+        "FROM customer ORDER BY c_custkey"
+    },
+
+    "q_diff_missing" ->
+      ("SELECT s.l_orderkey, s.l_linenumber, s.l_quantity FROM lineitem s " +
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem t WHERE t.l_quantity < 49 " +
+        "AND t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber) " +
+        "ORDER BY s.l_orderkey, s.l_linenumber"),
+
+    "q_diff_extra" ->
+      ("SELECT p_partkey, p_name FROM part " +
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey " +
+        "AND l_quantity < 5) ORDER BY p_partkey"),
+
+    "q_semi_prefetch" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey"),
+
+    "q_full_diff" ->
+      ("WITH s AS (SELECT o_orderkey, o_totalprice FROM orders), " +
+        "t AS (SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1 " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderstatus <> 'P') " +
+        "SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN t.o_orderkey IS NULL THEN 'missing_target' " +
+        "WHEN s.o_orderkey IS NULL THEN 'extra_target' " +
+        "WHEN s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice THEN 'match' " +
+        "ELSE 'mismatch' END AS diff_kind " +
+        "FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey ORDER BY o_orderkey"),
+
+    "q_validate_summary" ->
+      ("SELECT (SELECT count(*) FROM lineitem) AS src_rows, " +
+        "(SELECT count(*) FROM lineitem WHERE l_quantity < 49) AS tgt_rows, " +
+        "(SELECT count(*) FROM lineitem s WHERE NOT EXISTS " +
+        "(SELECT 1 FROM lineitem t WHERE t.l_quantity < 49 " +
+        "AND t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber)) " +
+        "AS missing_rows, " +
+        "CAST(0 AS BIGINT) AS extra_rows"),
+
+    "q_tolerant_compare" ->
+      ("SELECT o.o_orderkey, " +
+        "(abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - t.sum_price) <= 100000.00) AS within_tol " +
+        "FROM orders o JOIN (SELECT l_orderkey, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price " +
+        "FROM lineitem GROUP BY 1) t ON o.o_orderkey = t.l_orderkey ORDER BY o.o_orderkey"),
+
+    "q_explode_cells" ->
+      ("WITH base AS (SELECT l_orderkey, l_linenumber, l_quantity AS qty, " +
+        "l_extendedprice AS price, " +
+        "CAST(l_suppkey % 3 AS BIGINT) AS qty_ttl, CAST(l_partkey % 2 AS BIGINT) AS qty_wt, " +
+        "CAST(l_suppkey % 5 AS BIGINT) AS price_ttl, CAST(l_partkey % 4 AS BIGINT) AS price_wt " +
+        "FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, qty, " +
+        "CASE WHEN qty_ttl = price_ttl AND qty_wt = price_wt THEN price END AS price, " +
+        "CASE WHEN qty_ttl = price_ttl AND qty_wt = price_wt THEN 'price,qty' ELSE 'qty' END AS cells, " +
+        "qty_ttl AS ttl, qty_wt AS writetime FROM base " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, NULL, price, 'price', price_ttl, price_wt FROM base " +
+        "WHERE NOT (qty_ttl = price_ttl AND qty_wt = price_wt) " +
+        "ORDER BY l_orderkey, l_linenumber, ttl, writetime"),
+
+    "q_set_except" ->
+      ("SELECT custkey FROM (SELECT DISTINCT c_custkey AS custkey FROM customer " +
+        "EXCEPT SELECT DISTINCT o_custkey AS custkey FROM orders " +
+        "WHERE o_orderstatus = 'F') ORDER BY custkey"),
+
+    "q_distinct" ->
+      ("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) " +
+        "AS sum_disc_price, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "q_join_agg" ->
+      ("SELECT n_name, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) " +
+        "AS revenue, " +
+        "count(DISTINCT o_orderkey) AS n_orders " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+
+    "q_window_topn" ->
+      ("SELECT o_custkey, o_orderkey, rn AS rank_in_cust FROM " +
+        "(SELECT o_custkey, o_orderkey, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rank_in_cust"),
+
+    "q_events_window" ->
+      ("SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start, " +
+        "event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+
+    "q_events_agg" ->
+      ("SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users, " +
+        "CAST(min(ts) AS TIMESTAMP) AS min_ts, CAST(max(ts) AS TIMESTAMP) AS max_ts " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_cdc_apply" ->
+      ("SELECT user_id, event_id, event_type, value FROM events " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1 ORDER BY user_id"),
+
+    "q_stream_route" ->
+      ("SELECT CASE WHEN value < 5 THEN 'delete' ELSE 'put' END AS op, " +
+        "count(*) AS n_ops FROM events GROUP BY 1 ORDER BY op"),
+
+    "q_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id"),
+
+    "q_dedup_exact" ->
+      ("SELECT sha256(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY keep_id"),
+
+    "q_ngram_jaccard" ->
+      ("WITH s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh FROM documents) " +
+        "SELECT id_a, id_b, inter_size, union_size FROM (" +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size, " +
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
+        "WHERE inter_size * 2 >= union_size ORDER BY id_a, id_b"),
+
+    "q_tokens" ->
+      ("SELECT doc_id, CAST(len(" + tokensExpr + ") AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),
+
+    "q_text_quality" -> {
+      val stop = Text.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(" + tokensExpr + ") AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(list_sum(list_transform(" + tokensExpr + ", t -> length(t))), 0) AS BIGINT) AS token_chars, " +
+        "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_chars, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars, " +
+        s"CAST(len(list_filter($tokensExpr, t -> list_contains($stop, t))) AS BIGINT) AS stopword_hits " +
+        "FROM documents ORDER BY doc_id"
+    },
+
+    "q_lang_id" -> {
+      val toksLower =
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+      val scoreExprs = Text.LangMarkers.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter($toksLower, t -> list_contains($arr, t))) AS BIGINT) AS score_$lang"
+      }.mkString(", ")
+      val langs = Text.LangMarkers.map(_._1)
+      val gm = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val caseChain = langs.map(l => s"WHEN score_$l = __gm THEN '$l'").mkString(" ")
+      s"SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")}, " +
+        s"CASE WHEN __gm = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred FROM " +
+        s"(SELECT doc_id, $scoreExprs, $gm AS __gm FROM " +
+        s"(SELECT doc_id, text FROM documents)) ORDER BY doc_id"
+    },
+
+    "q_sim_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+        "FROM q, c WHERE query_id <> neighbor_id) " +
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM " +
+        "(SELECT query_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored) " +
+        "WHERE rn <= 5 ORDER BY query_id, rank"),
+
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+        "CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width, " +
+        "CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height, " +
+        "CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames, " +
+        "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS BIGINT) " +
+        "AS first_byte FROM documents ORDER BY doc_id"),
+
+    "q_frame_sample" ->
+      ("SELECT doc_id, CAST(f AS BIGINT) AS frame_idx FROM " +
+        "(SELECT doc_id, octet_length(encode(text)) % 16 + 1 AS n_frames FROM documents), " +
+        "UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS t(f) " +
+        "ORDER BY doc_id, frame_idx"))
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import java.util.Locale
+
+/** Column-level transforms from the reference's migration surface:
+  * renames, internal-column drops, case-insensitive schema resolution,
+  * null-primary-key filtering, and meta-column prefix handling.
+  *
+  * Reference behavior being reproduced (see SURVEY.md §2.3/§2.4):
+  *  - renames applied as a fold of `withColumnRenamed`
+  *    (reference: writers/Scylla.scala:131-136, config/Rename.scala:16-46)
+  *  - internal columns dropped before the sink
+  *    (reference: writers/Scylla.scala:109-154)
+  *  - case-insensitive name resolution, exact-case first then
+  *    Locale.ROOT lowercase fallback, with collision detection
+  *    (reference: schema/SchemaResolver.scala:14-61)
+  *  - null-PK row drop with an observable drop count
+  *    (reference: writers/Scylla.scala:81-107,232-258)
+  *  - parquet round-trip meta column prefix `__graft_meta_<col>_<kind>`
+  *    (reference: readers/TimestampColumns.scala:14-61)
+  *
+  * All of these stay inside the declarative plan (`select` / `filter` /
+  * `withColumnRenamed`) so Catalyst still prunes and pushes down through
+  * them — at 100 TB a rename must not materialize anything, and these
+  * don't.
+  */
+object Relational {
+
+  final case class Rename(from: String, to: String)
+
+  /** Apply renames as a fold; missing source columns are ignored
+    * (same permissiveness as `withColumnRenamed`).
+    */
+  def applyRenames(df: DataFrame, renames: Seq[Rename]): DataFrame =
+    renames.foldLeft(df)((d, r) => d.withColumnRenamed(r.from, r.to))
+
+  /** Validate a rename list against a schema: every `from` must resolve
+    * (case-insensitively) and no two renames may collide on the target
+    * name (case-insensitively).
+    */
+  def validateRenames(columns: Seq[String], renames: Seq[Rename]): Either[String, Unit] = {
+    val lower = columns.map(_.toLowerCase(Locale.ROOT)).toSet
+    val missing = renames.filterNot(r => lower.contains(r.from.toLowerCase(Locale.ROOT)))
+    if (missing.nonEmpty)
+      Left(s"rename source(s) not found: ${missing.map(_.from).mkString(", ")}")
+    else {
+      val targets = renames.map(_.to.toLowerCase(Locale.ROOT))
+      val dups = targets.diff(targets.distinct).distinct
+      if (dups.nonEmpty) Left(s"rename target collision(s): ${dups.mkString(", ")}")
+      else Right(())
+    }
+  }
+
+  /** Drop connector-internal columns if present (case-insensitive). */
+  def dropInternalColumns(df: DataFrame, internal: Seq[String]): DataFrame = {
+    val lower = internal.map(_.toLowerCase(Locale.ROOT)).toSet
+    val present = df.columns.filter(c => lower.contains(c.toLowerCase(Locale.ROOT)))
+    if (present.isEmpty) df else df.drop(present.toIndexedSeq: _*)
+  }
+
+  /** Case-insensitive column resolution: exact match wins, otherwise a
+    * unique lowercase match; ambiguity and absence are errors.
+    */
+  def resolve(columns: Seq[String], requested: String): Either[String, String] =
+    columns.find(_ == requested) match {
+      case Some(c) => Right(c)
+      case None =>
+        val lower = requested.toLowerCase(Locale.ROOT)
+        columns.filter(_.toLowerCase(Locale.ROOT) == lower) match {
+          case Seq(one) => Right(one)
+          case Seq()    => Left(s"column not found: $requested")
+          case many     => Left(s"ambiguous column $requested: ${many.mkString(", ")}")
+        }
+    }
+
+  /** Backtick-escape a column name for use in a Spark column reference. */
+  def escaped(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Select the requested columns (resolved case-insensitively) and alias
+    * them back to the requested spelling.
+    */
+  def selectResolved(df: DataFrame, requested: Seq[String]): DataFrame = {
+    val cols = requested.map { r =>
+      resolve(df.columns.toIndexedSeq, r) match {
+        case Right(actual) => col(escaped(actual)).as(r)
+        case Left(err)     => throw new IllegalArgumentException(err)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** Drop rows with any null primary-key component, counting drops via
+    * `observe` (the Spark-native replacement for the reference's
+    * accumulator): the metric is collected with NO extra pass over the
+    * data, which matters when the scan is 100 TB.
+    */
+  def dropNullPrimaryKeys(df: DataFrame, pk: Seq[String],
+                          observationName: String = "null_pk_drop"): DataFrame = {
+    val anyNull = pk.map(c => col(escaped(c)).isNull).reduce(_ || _)
+    df.observe(observationName, sum(when(anyNull, 1L).otherwise(0L)).as("rows_dropped"))
+      .filter(!anyNull)
+  }
+
+  /** Prefix columns `src_`/`tgt_` before a diff join (reference:
+    * schema/SchemaResolver.scala:90-91).
+    */
+  def prefixed(df: DataFrame, prefix: String): DataFrame =
+    df.select(df.columns.toIndexedSeq.map(c => col(escaped(c)).as(prefix + c)): _*)
+
+  // --- parquet round-trip meta columns (reference: readers/TimestampColumns.scala) ---
+
+  val MetaPrefix = "__graft_meta_"
+
+  def isMetaColumn(name: String): Boolean = name.startsWith(MetaPrefix)
+
+  /** `c_ttl` -> `__graft_meta_c_ttl` for the named payload columns. */
+  def addMetaPrefix(df: DataFrame, metaCols: Seq[String]): DataFrame =
+    metaCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, MetaPrefix + c))
+
+  def stripMetaPrefix(df: DataFrame): DataFrame =
+    df.columns.filter(isMetaColumn).foldLeft(df) { (d, c) =>
+      d.withColumnRenamed(c, c.stripPrefix(MetaPrefix))
+    }
+
+  def dropMetaColumns(df: DataFrame): DataFrame = {
+    val metas = df.columns.filter(isMetaColumn)
+    if (metas.isEmpty) df else df.drop(metas.toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Four tiers, cheapest first:
+  *  1. exact        — sha256 content key, one groupBy (one shuffle of
+  *                    (digest, id), never the payload)
+  *  2. MinHash+LSH  — per-row signatures computed expression-side (no
+  *                    explode, no shuffle), banded bucket join for
+  *                    candidates, exact Jaccard verification on the
+  *                    candidate set only
+  *  3. SimHash      — 64-bit signature per row, chunk-banded join,
+  *                    hamming verification via bit_count(xor)
+  *  4. exact n-gram Jaccard — O(n²) verification join; only for small
+  *                    inputs or post-LSH candidate sets
+  *
+  * Scale design: tiers 2-3 are the 100 TB path. Signatures are fixed
+  * width (64 longs / 1 long), so the candidate-generation shuffle carries
+  * ~0.5 KB/row regardless of document size. Bucket skew (a degenerate
+  * shingle that lands everywhere) is clamped by `maxBucketSize` — buckets
+  * larger than the cap are dropped from candidate generation (logged via
+  * count), which is the standard recall/robustness tradeoff.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: representative = min id.
+    * Normalization (lower/trim) is the caller's choice via `key`.
+    */
+  def exactGroups(df: DataFrame, key: Column, idCol: String): DataFrame =
+    df.groupBy(sha2(key, 256).as("content_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-n-gram shingles as an array column (n=1 => distinct
+    * tokens). Pure expressions; no shuffle.
+    */
+  def shingles(textColName: String, n: Int): Column = {
+    val toks = s"filter(split(trim($textColName), '\\\\s+'), t -> t != '')"
+    if (n == 1) expr(s"array_distinct($toks)")
+    else expr(
+      s"array_distinct(transform(sequence(1, greatest(size($toks) - ${n - 1}, 1))," +
+        s" i -> concat_ws(' ', slice($toks, i, $n))))")
+  }
+
+  /** MinHash signature (H hashes) computed per-row from the shingle
+    * array: h_j(x) = (a_j·(x mod p) + b_j) mod p with p = 2^31 − 1
+    * (classic universal hashing; all intermediates stay well inside
+    * Long range, so it is ANSI-overflow-safe). Coefficients come from a
+    * fixed-seed PRNG so signatures are deterministic across runs.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
+    val p = 2147483647L // 2^31 - 1 (prime)
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(1L + rnd.nextInt((p - 1).toInt))
+    val bs = Array.fill(numHashes)(rnd.nextInt(p.toInt).toLong)
+    val aCol = typedLit(as.toSeq)
+    val bCol = typedLit(bs.toSeq)
+    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      array_min(transform(base, x =>
+        pmod(element_at(aCol, j + 1) * x + element_at(bCol, j + 1), lit(p)))))
+  }
+
+  /** Candidate pairs via banded LSH over a MinHash signature column.
+    * Returns (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * bands×rowsPerBand must equal the signature length. Each row emits
+    * `bands` (band, bucket) keys; ids sharing a bucket in any band become
+    * candidates. The bucket join shuffles only (band, bucket, id).
+    */
+  def lshCandidates(df: DataFrame, idCol: String, signatureCol: String,
+                    bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = 10000): DataFrame = {
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        slice(col(signatureCol), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+    }
+    val banded = df.select(
+      col(idCol).as("id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    // clamp degenerate buckets before the pair join (skew guard)
+    val sized = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val kept = banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+    kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs: join shingle arrays
+    * back and compare with integer arithmetic only
+    * (|A∩B| · denom >= |A∪B| · num  ⇔  J >= num/denom), so thresholds
+    * are exact and engine-independent.
+    */
+  def verifyJaccard(candidates: DataFrame, shingled: DataFrame, idCol: String,
+                    shingleCol: String, thresholdNum: Int, thresholdDenom: Int): DataFrame = {
+    val s = shingled.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+    candidates
+      .join(s.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(s.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_size"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_size"))
+      .filter(col("inter_size") * thresholdDenom >= col("union_size") * thresholdNum)
+  }
+
+  /** 64-bit SimHash from the token array: bit i of the signature is the
+    * sign of Σ_tokens (±1 by bit i of xxhash64(token)). One aggregate
+    * expression per row; no shuffle.
+    */
+  def simHashExpr(textColName: String): Column = {
+    val toks = s"filter(split(trim($textColName), '\\\\s+'), t -> t != '')"
+    val acc = s"aggregate($toks, array_repeat(0L, 64), (acc, t) -> " +
+      s"zip_with(acc, transform(sequence(0, 63), i -> " +
+      s"CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1L ELSE -1L END), " +
+      s"(x, y) -> x + y))"
+    expr(s"aggregate(transform(sequence(0, 63), i -> " +
+      s"CASE WHEN element_at($acc, i + 1) > 0 THEN shiftleft(1L, i) ELSE 0L END), " +
+      s"0L, (x, y) -> x | y)")
+  }
+
+  /** Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
+    * chunks (hamming<=3 pairs must collide on at least one chunk), join
+    * on chunks, verify hamming distance with bit_count(xor).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, simhashCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunkCols = (0 until 4).map(c =>
+      shiftright(col(simhashCol), c * 16).bitwiseAND(lit(0xFFFFL)))
+    val chunks = df.select(col(idCol).as("id"), col(simhashCol).as("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ck")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k: the exact baseline. The query set is
+  *    broadcast (small side), the corpus streams through once, and
+  *    ranking happens in a window partitioned by query id. At scale the
+  *    cost is one corpus scan per query batch — the right shape when
+  *    queries ≪ corpus.
+  *  - random-hyperplane LSH: per-row bit signatures (expression-only, no
+  *    shuffle), bucket join for candidates, exact cosine re-ranking on
+  *    candidates. This is the 100 TB path: candidate generation touches
+  *    only (bucket, id) pairs.
+  *
+  * All vector math uses `zip_with`/`aggregate` higher-order functions in
+  * double precision — codegen'd, left-to-right summation, deterministic.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query row. `queries` should be small
+    * (it is broadcast); `corpus` can be arbitrarily large.
+    * Output: (query_id, rank, neighbor_id, cos) — ties broken by
+    * neighbor id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic random hyperplanes: planes(p)(d) ∈ {-1.0, +1.0} from a
+    * fixed-seed PRNG (sign-only planes keep the projection exact in
+    * double arithmetic).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Bit-signature column: bit p = sign(v · plane_p), packed into a Long
+    * (numPlanes <= 64). Expression-only.
+    */
+  def lshSignature(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val planeCols = planes.map(p => typedLit(p.toSeq))
+    val bits = planeCols.zipWithIndex.map { case (p, i) =>
+      when(dot(vecCol, p) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: candidates sharing any signature band with the
+    * query, exact cosine re-rank on candidates only. Recall/selectivity
+    * tune via `bandBits`: match probability per band for uncorrelated
+    * vectors is 2^-bandBits (8 bits => 1/256), and cosine-similar vectors
+    * match with probability (1 - θ/π)^bandBits per band. The candidate
+    * shuffle carries only (band, chunk, id).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, planes: Array[Array[Double]], bandBits: Int = 8): DataFrame = {
+    val sig = lshSignature(col(vecCol), planes)
+    val nBands = planes.length / bandBits
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, role: String): DataFrame = {
+      val chunkCols = (0 until nBands).map(c =>
+        shiftright(col("sig"), c * bandBits).bitwiseAND(lit(mask)))
+      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"), sig.as("sig"))
+        .select(col(s"${role}_id"), col(s"${role}_vec"),
+          posexplode(array(chunkCols: _*)).as(Seq("band", "chunk")))
+    }
+    val qb = banded(queries, "query")
+    val cb = banded(corpus, "neighbor")
+    val candidates = cb.join(broadcast(qb), Seq("band", "chunk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+      .distinct()
+    val scored = candidates.select(col("query_id"), col("neighbor_id"),
+      cosine(col("query_vec"), col("neighbor_vec")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** All pairs with cosine >= threshold (near-duplicate detection on
+    * embeddings). Exact O(n²) form — for large corpora route through
+    * `lshTopK` instead; kept for oracle-checkable correctness.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

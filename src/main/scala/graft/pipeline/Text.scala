@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * All hot-path logic is built from codegen'd builtins (split, filter,
+  * transform, aggregate, regexp_replace, xxhash64) — no UDFs — so each
+  * operator is a single whole-stage-codegen'd projection over the scan:
+  * at 100 TB these run at parquet-read speed with zero shuffle.
+  */
+object Text {
+
+  /** Whitespace tokens with empties removed (leading/trailing/double
+    * spaces produce empty strings from split; drop them).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count: word tokens plus an extra unit per 4 chars
+    * of long words (cheap proxy for subword splitting; deterministic).
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + lit(1L) + (length(t).cast("long") / lit(8L)))
+
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "by", "at", "from")
+
+  /** Integer-valued quality metrics (ratios are left to the caller so
+    * results stay exactly comparable across engines): char/token counts,
+    * total token chars, punctuation chars, digit chars, stopword hits.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stop = typedLit(DefaultStopwords)
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long")).as("token_chars"),
+      length(regexp_replace(t, "[^.!?,;:]", "")).cast("long").as("punct_chars"),
+      length(regexp_replace(t, "[^0-9]", "")).cast("long").as("digit_chars"),
+      size(filter(toks, x => array_contains(stop, x))).cast("long").as("stopword_hits"))
+  }
+
+  /** Language-ID by stopword-list voting: score = number of tokens in
+    * each language's marker list; winner = highest score, ties broken by
+    * language code order. Pure column expressions; per-language lists are
+    * literals broadcast with the plan.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "es", "en", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "que", "en", "un", "une"),
+    "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta", "men", "zhe", "na"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => array_contains(typedLit(words), t))).cast("long")
+    }
+  }
+
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val scores = langScores(col(textCol))
+    // argmax with deterministic lexical tie-break: fold over languages,
+    // keep the first language whose score equals the max
+    val maxScore = greatest(scores.map(_._2): _*)
+    val predicted = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+    df.select(col(idCol) +: scores.map { case (l, s) => s.as(s"score_$l") }
+      :+ predicted.as("lang_pred"): _*)
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    * hash all character k-grams, take the minimum hash in each sliding
+    * window of w hashes, distinct + sort the picks. Output: array of
+    * fingerprint hashes per document. Entirely expression-based
+    * (substring/transform/array_min over sequence), so it rides the scan.
+    */
+  def fingerprintExpr(textColName: String, k: Int = 8, w: Int = 4): Column = {
+    val grams = s"transform(sequence(1, greatest(length($textColName) - ${k - 1}, 1))," +
+      s" i -> xxhash64(substring($textColName, i, $k)))"
+    val mins = s"transform(sequence(1, greatest(size($grams) - ${w - 1}, 1))," +
+      s" i -> array_min(slice($grams, i, $w)))"
+    expr(s"array_sort(array_distinct($mins))")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet source with resumable file-level progress (reference:
+  * readers/Parquet.scala:40-170 + readers/ParquetSavepointsManager).
+  *
+  * Design choice per SURVEY.md §7.4: instead of introspecting
+  * `FileSourceScanExec.inputRDD` partitions to infer file completion from
+  * a SparkListener, resume is driven explicitly — list files, subtract
+  * the skip-set, process in deterministic batches, record each completed
+  * batch. File completion becomes a first-class loop, no internal APIs.
+  */
+object ParquetSource {
+
+  /** Recursive listing of .parquet files under a root, sorted for
+    * determinism (reference: readers/Parquet.scala:148-170).
+    */
+  def listParquetFiles(root: String, conf: Configuration): Seq[String] = {
+    val path = new Path(root)
+    val fs = path.getFileSystem(conf)
+    def walk(p: Path): Seq[String] = {
+      val status = fs.getFileStatus(p)
+      if (status.isDirectory)
+        fs.listStatus(p).toIndexedSeq.flatMap(s => walk(s.getPath))
+      else if (p.getName.endsWith(".parquet")) Seq(p.toString)
+      else Seq.empty
+    }
+    walk(path).sorted
+  }
+
+  /** Read all files except the skip-set (resume semantics: a file in the
+    * skip-set was fully written to the target in a previous run).
+    */
+  def readSkipping(spark: SparkSession, root: String, skipFiles: Set[String]): DataFrame = {
+    val files = listParquetFiles(root, spark.sparkContext.hadoopConfiguration)
+      .filterNot(skipFiles.contains)
+    require(files.nonEmpty, s"no parquet files left to read under $root")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Resumable batched processing: files are processed `batchSize` at a
+    * time; `process` handles one batch end-to-end (read→write); completed
+    * files are reported through `onBatchDone` so the caller can persist a
+    * savepoint between batches.
+    */
+  def processInBatches(spark: SparkSession, root: String, skipFiles: Set[String],
+                       batchSize: Int)(
+      process: DataFrame => Unit)(onBatchDone: Seq[String] => Unit): Unit = {
+    val remaining = listParquetFiles(root, spark.sparkContext.hadoopConfiguration)
+      .filterNot(skipFiles.contains)
+    remaining.grouped(batchSize).foreach { batch =>
+      process(spark.read.parquet(batch: _*))
+      onBatchDone(batch)
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Change-data-capture apply, re-expressed on Structured Streaming.
+  *
+  * Reference behavior (writers/DynamoStreamReplication.scala:42-164 +
+  * the spark-kinesis-dynamodb receiver): a DStream of change records
+  * `(op ∈ {put, delete}, key, item)` applied per 5 s microbatch with
+  * idempotent PutItem/DeleteItem — at-least-once, last-writer-wins.
+  *
+  * Here: `readStream` → `foreachBatch`, with source-offset checkpointing
+  * replacing the KCL lease table (SURVEY.md §2.12). The apply itself is
+  * `applyBatch`, shared between streaming and batch backfill so the two
+  * paths cannot diverge; semantics stay at-least-once + idempotent
+  * upsert, which also makes Spark's task retries safe.
+  */
+object CdcApply {
+
+  /** Last-writer-wins: keep the newest record per key. `orderCols` break
+    * the tie (e.g. ts desc, seq desc). This is the core upsert-resolution
+    * operator; it shuffles once on the key.
+    */
+  def latestByKey(df: DataFrame, pk: Seq[String], orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Merge one batch of changes into the current table state.
+    * Changes carry an `op` column ("put"/"delete"); last change per key
+    * within the batch wins; deletes remove the key.
+    */
+  def applyBatch(current: DataFrame, changes: DataFrame, pk: Seq[String],
+                 opCol: String, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val effective = latestByKey(changes, pk, orderCols)
+    val puts = effective.filter(col(opCol) === "put").drop(opCol)
+    val allKeys = effective.select(pk.map(col): _*)
+    // rows whose key saw any change are replaced (or dropped, if delete)
+    current.join(allKeys, pk, "left_anti").unionByName(puts)
+  }
+
+  /** Continuous apply: parquet-file change feed → foreachBatch merge into
+    * a parquet target. The target is rewritten per batch (local test
+    * shape); a real deployment points `applyBatch` at an upsert-capable
+    * sink and keeps the same merge logic.
+    */
+  def run(spark: SparkSession, changesDir: String, changesSchema: org.apache.spark.sql.types.StructType,
+          targetPath: String, checkpointDir: String, pk: Seq[String], opCol: String,
+          orderCols: DataFrame => Seq[org.apache.spark.sql.Column],
+          triggerMs: Long = 5000L): StreamingQuery = {
+    val changes = spark.readStream.schema(changesSchema).parquet(changesDir)
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val current =
+          try sess.read.parquet(targetPath)
+          catch { case _: Exception => sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              changesSchema.filterNot(_.name == opCol))) }
+        val merged = applyBatch(current, batch, pk, opCol, orderCols(batch))
+        // write to tmp then swap: the parquet analog of idempotent upsert
+        val tmp = targetPath + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(sess.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(targetPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.validation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The four join shapes at the heart of the reference's validators
+  * (SURVEY.md §2.5), re-expressed as declarative DataFrame joins so
+  * Catalyst picks the physical strategy (broadcast when one side is
+  * small, sort-merge otherwise, AQE skew-split at runtime):
+  *
+  *  - missingInTarget:   source rows whose PK has no target row (left_anti)
+  *    (reference: scylla/MySQLToScyllaValidator.scala:956-962)
+  *  - extraInTarget:     target rows whose PK has no source row (left_anti)
+  *    (reference: validation/core/ExtraRowDetector.scala:8-31)
+  *  - targetPrefetch:    target rows whose PK appears in source (left_semi)
+  *    (reference: validation/core/KeyDrivenLookup.scala:32-63 — there a
+  *    key-driven point-lookup; with both sides as DataFrames a left_semi
+  *    join is the plan Catalyst can optimize)
+  *  - fullDiff:          full_outer comparison with per-row classification
+  *    (reference: scylla/MySQLToScyllaValidator.scala:804-811,1016-1097)
+  *
+  * Scale notes: the diff join shuffles both sides on the PK. Callers
+  * should hash wide payloads first (graft.functions.ContentHash) so only
+  * (pk, digest) shuffles; that is the reference's own shuffle-volume
+  * rewrite and it survives a 100× scale-up where shipping full rows does
+  * not.
+  */
+object Diff {
+
+  private def pkCondition(src: DataFrame, tgt: DataFrame, pk: Seq[String]): Column =
+    pk.map(k => src(k) <=> tgt(k)).reduce(_ && _)
+
+  /** Source rows with no matching target PK. */
+  def missingInTarget(source: DataFrame, target: DataFrame, pk: Seq[String]): DataFrame =
+    source.join(target.select(pk.map(col): _*), pk, "left_anti")
+
+  /** Target rows with no matching source PK. */
+  def extraInTarget(source: DataFrame, target: DataFrame, pk: Seq[String]): DataFrame =
+    target.join(source.select(pk.map(col): _*), pk, "left_anti")
+
+  /** Target rows restricted to PKs present in source (key-driven
+    * prefetch: avoids comparing target rows nobody asked about).
+    */
+  def targetPrefetch(source: DataFrame, target: DataFrame, pk: Seq[String]): DataFrame =
+    target.join(source.select(pk.map(col): _*), pk, "left_semi")
+
+  /** Full-outer diff with row classification. Output: pk columns ++
+    * `diff_kind` in {missing_target, extra_target, mismatch, match}.
+    * `compareCols` are compared with null-safe equality.
+    */
+  def fullDiff(source: DataFrame, target: DataFrame, pk: Seq[String],
+               compareCols: Seq[String]): DataFrame = {
+    val s = source.select((pk ++ compareCols).map(col): _*)
+    val t = target.select((pk ++ compareCols).map(col): _*)
+    val joined = s.as("s").join(t.as("t"),
+      pk.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _), "full_outer")
+    val srcPresent = pk.map(k => col(s"s.$k").isNotNull).reduce(_ || _)
+    val tgtPresent = pk.map(k => col(s"t.$k").isNotNull).reduce(_ || _)
+    val allEqual =
+      if (compareCols.isEmpty) lit(true)
+      else compareCols.map(c => col(s"s.$c") <=> col(s"t.$c")).reduce(_ && _)
+    val kind = when(!tgtPresent, lit("missing_target"))
+      .when(!srcPresent, lit("extra_target"))
+      .when(allEqual, lit("match"))
+      .otherwise(lit("mismatch"))
+    val pkOut = pk.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k))
+    joined.select(pkOut :+ kind.as("diff_kind"): _*)
+  }
+
+  /** One-row validation summary: source/target/missing/extra counts.
+    * The counts are computed as aggregations over anti joins — each is a
+    * single distributed job, no driver-side iteration.
+    */
+  def summary(source: DataFrame, target: DataFrame, pk: Seq[String]): DataFrame = {
+    val srcRows = source.select(count(lit(1)).as("src_rows"))
+    val tgtRows = target.select(count(lit(1)).as("tgt_rows"))
+    val missing = missingInTarget(source, target, pk).select(count(lit(1)).as("missing_rows"))
+    val extra = extraInTarget(source, target, pk).select(count(lit(1)).as("extra_rows"))
+    srcRows.crossJoin(tgtRows).crossJoin(missing).crossJoin(extra)
+  }
+}
