@@ -297,8 +297,9 @@ object SparkEntry {
 
   private def qSimLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val planes = Similarity.hyperplanes(numPlanes = 64, dim = 64)
-    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5, planes)
+    val planes = Similarity.hyperplanes(numPlanes = 120, dim = 64)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
+        planes, bandBits = 6)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -60,35 +60,36 @@ object Similarity {
     Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Bit-signature column: bit p = sign(v · plane_p), packed into a Long
-    * (numPlanes <= 64). Expression-only.
+  /** Per-band LSH codes: band b covers planes [b·bandBits, (b+1)·bandBits);
+    * its code packs the projection signs into an integer. Any number of
+    * planes (bands × bandBits ≤ planes.length); expression-only.
+    *
+    * Tuning (random hyperplane LSH, Charikar'02): a pair at angle θ
+    * matches one band with p = (1 − θ/π)^bandBits, any of B bands with
+    * 1 − (1 − p)^B. Fewer bits per band = more candidates + higher
+    * recall; more bands = higher recall at linear candidate cost.
     */
-  def lshSignature(vecCol: Column, planes: Array[Array[Double]]): Column = {
-    val planeCols = planes.map(p => typedLit(p.toSeq))
-    val bits = planeCols.zipWithIndex.map { case (p, i) =>
-      when(dot(vecCol, p) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+  def bandCodes(vecCol: Column, planes: Array[Array[Double]], bandBits: Int): Seq[Column] = {
+    val nBands = planes.length / bandBits
+    (0 until nBands).map { b =>
+      val bits = (0 until bandBits).map { i =>
+        val plane = typedLit(planes(b * bandBits + i).toSeq)
+        when(dot(vecCol, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
     }
-    bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Approximate top-k: candidates sharing any signature band with the
-    * query, exact cosine re-rank on candidates only. Recall/selectivity
-    * tune via `bandBits`: match probability per band for uncorrelated
-    * vectors is 2^-bandBits (8 bits => 1/256), and cosine-similar vectors
-    * match with probability (1 - θ/π)^bandBits per band. The candidate
-    * shuffle carries only (band, chunk, id).
+  /** Approximate top-k: candidates sharing any band code with the query,
+    * exact cosine re-rank on candidates only. The candidate shuffle
+    * carries only (band, code, id).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Array[Array[Double]], bandBits: Int = 8): DataFrame = {
-    val sig = lshSignature(col(vecCol), planes)
-    val nBands = planes.length / bandBits
-    val mask = (1L << bandBits) - 1
+              k: Int, planes: Array[Array[Double]], bandBits: Int = 6): DataFrame = {
     def banded(df: DataFrame, role: String): DataFrame = {
-      val chunkCols = (0 until nBands).map(c =>
-        shiftright(col("sig"), c * bandBits).bitwiseAND(lit(mask)))
-      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"), sig.as("sig"))
-        .select(col(s"${role}_id"), col(s"${role}_vec"),
-          posexplode(array(chunkCols: _*)).as(Seq("band", "chunk")))
+      val codes = bandCodes(col(vecCol), planes, bandBits)
+      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+          posexplode(array(codes: _*)).as(Seq("band", "chunk")))
     }
     val qb = banded(queries, "query")
     val cb = banded(corpus, "neighbor")

@@ -26,7 +26,7 @@ object Text {
     */
   def subwordCount(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => acc + lit(1L) + (length(t).cast("long") / lit(8L)))
+      (acc, t) => acc + lit(1L) + floor(length(t) / lit(8)).cast("long"))
 
   val DefaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

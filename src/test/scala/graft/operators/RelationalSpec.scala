@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("applyRenames + validateRenames") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val out = Relational.applyRenames(df, Seq(Relational.Rename("name", "label")))
+    assert(out.columns.toSeq == Seq("id", "label"))
+    assert(Relational.validateRenames(Seq("id", "name"), Seq(Relational.Rename("ID", "x"))).isRight)
+    assert(Relational.validateRenames(Seq("id"), Seq(Relational.Rename("nope", "x"))).isLeft)
+    assert(Relational.validateRenames(Seq("a", "b"),
+      Seq(Relational.Rename("a", "X"), Relational.Rename("b", "x"))).isLeft)
+  }
+
+  test("resolve is case-insensitive with ambiguity detection") {
+    assert(Relational.resolve(Seq("Foo", "bar"), "foo") == Right("Foo"))
+    assert(Relational.resolve(Seq("Foo", "foo"), "Foo") == Right("Foo")) // exact wins
+    assert(Relational.resolve(Seq("Foo", "fOO"), "foo").isLeft)          // ambiguous
+    assert(Relational.resolve(Seq("a"), "z").isLeft)
+  }
+
+  test("dropNullPrimaryKeys filters and counts via observe") {
+    val df = Seq((Some(1), "a"), (None, "b"), (Some(3), null)).toDF("id", "v")
+    val observed = Relational.dropNullPrimaryKeys(df, Seq("id"), "drops")
+    assert(observed.count() == 2)
+  }
+
+  test("meta prefix add/strip round-trips") {
+    val df = Seq((1, 10L)).toDF("c", "c_ttl")
+    val prefixed = Relational.addMetaPrefix(df, Seq("c_ttl"))
+    assert(prefixed.columns.contains("__graft_meta_c_ttl"))
+    assert(Relational.stripMetaPrefix(prefixed).columns.toSeq == Seq("c", "c_ttl"))
+    assert(Relational.dropMetaColumns(prefixed).columns.toSeq == Seq("c"))
+  }
+
+  test("prefixed adds src_/tgt_ prefixes") {
+    val df = Seq((1, "x")).toDF("id", "v")
+    assert(Relational.prefixed(df, "src_").columns.toSeq == Seq("src_id", "src_v"))
+  }
+}

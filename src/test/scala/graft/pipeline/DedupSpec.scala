@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Oracle coverage for the hash-based dedup operators the DuckDB gate
+  * can't check (engine-specific hashing): brute-force Jaccard is the
+  * ground truth on the sf0.001 documents table.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+  private lazy val shingled = docs
+    .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+    .cache()
+
+  /** Ground truth: exact unigram Jaccard >= 1/2 via local computation. */
+  private lazy val truePairs: Set[(Long, Long)] = {
+    val sets = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSet)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size; union = (sa | sb).size
+      if union > 0 && inter * 2 >= union
+    } yield (ia, ib)).toSet
+  }
+
+  test("minhash LSH finds high-Jaccard pairs with good recall and exact verification") {
+    val sig = shingled.withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
+    val candidates = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+    val verified = Dedup.verifyJaccard(candidates, shingled, "doc_id", "sh", 1, 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification is exact => no false positives
+    assert(verified.subsetOf(truePairs))
+    // banded 16x4 at J=0.5: P(candidate) = 1-(1-0.5^4)^16 ≈ 0.65 per pair,
+    // and most matching pairs here have J well above the threshold
+    assert(truePairs.nonEmpty)
+    val recall = verified.size.toDouble / truePairs.size
+    assert(recall >= 0.6, s"recall $recall (${verified.size}/${truePairs.size})")
+  }
+
+  test("exact groups: one representative per distinct text") {
+    val groups = Dedup.exactGroups(docs, col("text"), "doc_id").collect()
+    assert(groups.length == docs.select("text").distinct().count())
+    assert(groups.forall(_.getLong(2) >= 1))
+  }
+
+  test("simhash is deterministic and close texts have small hamming distance") {
+    val sigs = docs.limit(50).select(col("doc_id"), Dedup.simHashExpr("text").as("s"))
+    val a = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // identical text => identical simhash => hamming 0 pair detection works
+    val dup = spark.createDataFrame(Seq((1L, "spark row table scan"), (2L, "spark row table scan"),
+      (3L, "completely different words entirely"))).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simHashExpr("text").as("simhash"))
+    val pairs = Dedup.simHashPairs(dup, "doc_id", "simhash", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("lsh bucket clamp drops degenerate buckets") {
+    // every doc identical => one giant bucket per band; cap of 3 kills them all
+    val same = spark.createDataFrame((1L to 10L).map(i => (i, "same text here")))
+      .toDF("doc_id", "text")
+    val sig = same.select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), 16))
+    val capped = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 4,
+      maxBucketSize = 3)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 4)
+    assert(uncapped.count() == 45) // all 10-choose-2 pairs
+  }
+
+  test("word shingles: n=2 produces bigrams") {
+    val df = spark.createDataFrame(Seq((1L, "a b c"))).toDF("doc_id", "text")
+    val sh = df.select(Dedup.shingles("text", 2).as("sh"))
+      .collect().head.getSeq[String](0).toSet
+    assert(sh == Set("a b", "b c"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decodeMeta produces the deterministic fake metadata per row") {
+    val df = Multimodal.withPayload(
+      Seq((1L, "abc"), (2L, ""), (3L, "a longer sample payload")).toDF("doc_id", "text"),
+      "text")
+    val got = Multimodal.decodeMeta(df, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val m1 = got(1L)
+    assert(m1.getLong(0) == 3 && m1.getLong(1) == 3 % 640)
+    assert(m1.getLong(4) == 'a'.toLong)
+    val m2 = got(2L)
+    assert(m2.getLong(0) == 0 && m2.getLong(4) == 0 && m2.getLong(3) == 1)
+  }
+
+  test("null payloads yield null metadata") {
+    val df = Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val got = Multimodal.decodeMeta(df, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(got(1L) != null && got(2L) == null)
+  }
+
+  test("frame sampling strides through decoded frame counts") {
+    // 20-byte payload => n_frames = 20 % 16 + 1 = 5 => frames 0 and 4
+    val df = Multimodal.withPayload(Seq((7L, "x" * 20)).toDF("doc_id", "text"), "text")
+    val meta = Multimodal.decodeMeta(df, "doc_id", "payload")
+    val frames = Multimodal.sampleFrames(meta, "doc_id", every = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(frames == Seq((7L, 0L), (7L, 4L)))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val emb = Tables.load(spark, TestSpark.sf, "embeddings").cache()
+
+  /** Local ground truth: cosine in plain Scala doubles. */
+  private lazy val vectors: Map[Long, Array[Double]] =
+    emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def trueTopK(q: Long, k: Int): Seq[Long] =
+    vectors.toSeq.filter(_._1 != q)
+      .map { case (id, v) => (id, cos(vectors(q), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+
+  test("bruteForceTopK matches local ground truth exactly") {
+    val got = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    (0L until 5L).foreach { q =>
+      assert(got(q) == trueTopK(q, 5), s"query $q")
+    }
+  }
+
+  test("lshTopK achieves reasonable recall@5 against brute force") {
+    val planes = Similarity.hyperplanes(120, 64)
+    val got = Similarity.lshTopK(
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5, planes, bandBits = 6)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = (0L until 20L).map { q =>
+      val truth = trueTopK(q, 5).toSet
+      val found = got.getOrElse(q, Set.empty)
+      (truth & found).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 20 bands x 6 bits: a cos≈0.5 neighbor matches some band with
+    // P ≈ 1-(1-(2/3)^6)^20 ≈ 0.85; uncorrelated vectors at ~1/64 per band
+    assert(mean >= 0.5, s"mean recall@5 = $mean")
+  }
+
+  test("cosinePairs finds same-cluster near-duplicates only above threshold") {
+    val pairs = Similarity.cosinePairs(emb.limit(100), "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pairs.foreach { case (a, b, c) =>
+      val expected = cos(vectors(a), vectors(b))
+      assert(math.abs(c - expected) < 1e-9)
+      assert(c >= 0.95)
+    }
+  }
+
+  test("dot/norm expressions agree with Scala math") {
+    val row = emb.filter(col("vec_id") === 0)
+      .select(Similarity.dot(col("embedding"), col("embedding")).as("d"),
+        Similarity.norm(col("embedding")).as("n"))
+      .collect().head
+    val v = vectors(0L)
+    val dd = v.map(x => x * x).sum
+    assert(math.abs(row.getDouble(0) - dd) < 1e-9)
+    assert(math.abs(row.getDouble(1) - math.sqrt(dd)) < 1e-9)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens handles empties, padding and repeated whitespace") {
+    val df = Seq("", "  ", "one", " a  b\t c ").toDF("text")
+    val got = df.select(Text.tokenCount(col("text")).as("n")).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 1, 3))
+  }
+
+  test("quality metrics are exact integers") {
+    val df = Seq((1L, "Hello, world! 123 the end.")).toDF("doc_id", "text")
+    val r = Text.qualityMetrics(df, "text", "doc_id").collect().head
+    assert(r.getLong(1) == 26)  // n_chars
+    assert(r.getLong(2) == 5)   // [Hello,][world!][123][the][end.]
+    assert(r.getLong(3) == 22)  // token chars: 6+6+3+3+4
+    assert(r.getLong(4) == 3)   // , ! .
+    assert(r.getLong(5) == 3)   // 1 2 3
+    assert(r.getLong(6) == 1)   // "the"
+  }
+
+  test("language id votes deterministically with lexical tie-break") {
+    val df = Seq(
+      (1L, "der hund und die katze ist nicht hier"),
+      (2L, "el perro es un animal en la casa"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val got = Text.langId(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(got(1L) == "de")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("winnowing fingerprints: identical texts share all, disjoint texts none") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), Text.fingerprintExpr("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    assert((fps(1L) & fps(3L)).isEmpty)
+    assert(fps(1L).nonEmpty)
+  }
+
+  test("subword count grows with word length") {
+    val df = Seq(("short words here", "anextraordinarilylongcompoundword here")).toDF("a", "b")
+    val r = df.select(Text.subwordCount(col("a")).as("x"), Text.subwordCount(col("b")).as("y"))
+      .collect().head
+    assert(r.getLong(0) == 3)
+    assert(r.getLong(1) > 2) // long word contributes extra subword units
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class JdbcSupportSpec extends AnyFunSuite {
+  import JdbcSupport._
+
+  test("lexer strips quoted text and comments") {
+    assert(stripQuotedAndComments("a = 'it''s -- not a comment'").trim == "a =")
+    assert(!stripQuotedAndComments("x = 'DROP TABLE'").toLowerCase.contains("drop"))
+    assert(stripQuotedAndComments("a -- trailing\nb").contains("b"))
+    assert(!stripQuotedAndComments("a /* DELETE */ b").toLowerCase.contains("delete"))
+    assert(!stripQuotedAndComments("`union` = 1").toLowerCase.contains("union"))
+  }
+
+  test("where-clause validation catches smuggled DML but allows quoted text") {
+    assert(validateWhereClause("status = 'active' AND id > 100").isRight)
+    assert(validateWhereClause("name = 'DROP TABLE users'").isRight) // quoted: fine
+    assert(validateWhereClause("1=1; DROP TABLE users").isLeft)
+    assert(validateWhereClause("id IN (SELECT id FROM t UNION SELECT 1)").isLeft)
+    assert(validateWhereClause("0 < (SELECT sleep(10))").isLeft)
+  }
+
+  test("dbtableSubquery wraps validated filters") {
+    assert(dbtableSubquery("t", None) == Right("t"))
+    assert(dbtableSubquery("t", Some("id > 5")) ==
+      Right("(SELECT * FROM t WHERE id > 5) AS graft_filtered"))
+    assert(dbtableSubquery("t", Some("x; DELETE FROM t")).isLeft)
+  }
+
+  test("dangerous connection properties rejected, case-insensitively") {
+    assert(classifyProperty("useSSL").isRight)
+    assert(classifyProperty("allowLoadLocalInfile").isLeft)
+    assert(classifyProperty("SOCKETFACTORY").isLeft)
+    assert(safeProperties(Map("useSSL" -> "true")).isRight)
+    assert(safeProperties(Map("allowMultiQueries" -> "true")).isLeft)
+  }
+
+  test("partition bounds validated per type") {
+    assert(validateBounds(NumericBound, "1", "100", 4).isRight)
+    assert(validateBounds(NumericBound, "100", "1", 4).isLeft)
+    assert(validateBounds(NumericBound, "abc", "100", 4).isLeft)
+    assert(validateBounds(NumericBound, "1", "100", 0).isLeft)
+    assert(validateBounds(DateBound, "2020-01-01", "2021-01-01", 2).isRight)
+    assert(validateBounds(DateBound, "2020-13-01", "2021-01-01", 2).isLeft)
+    assert(validateBounds(TimestampBound, "2020-01-01 00:00:00", "2020-06-01 00:00:00", 2).isRight)
+    assert(validateBounds(TimestampBound, "2020-06-01 00:00:00", "2020-01-01 00:00:00", 2).isLeft)
+  }
+}
