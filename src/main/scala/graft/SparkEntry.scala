@@ -238,7 +238,10 @@ object SparkEntry {
       .orderBy(col("keep_id"))
 
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = t(s, d, "documents")
+    // exact all-pairs verification is bounded to a deterministic subset:
+    // pairwise-exact Jaccard is the *verification* tier (O(n²)); the
+    // scalable candidate tier is q_minhash_lsh / q_dedup_clusters
+    val sh = t(s, d, "documents").filter(col("doc_id") < 600)
       .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
     val pairs = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
@@ -251,12 +254,32 @@ object SparkEntry {
   }
 
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = t(s, d, "documents")
+    // scalable near-dup tier: LSH candidates -> signature-estimate
+    // prefilter (cheap fixed-width compare) -> exact verify at J >= 0.9.
+    // On this corpus most pairs sit at J 0.4-0.8, so the prefilter is
+    // what keeps the exact verify proportional to true output size.
+    val sh = t(s, d, "documents").filter(col("doc_id") < 1000)
       .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
       .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
     val candidates = Dedup.lshCandidates(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
-    Dedup.verifyJaccard(candidates, sh, "doc_id", "sh", 1, 2)
+    val estimated = Dedup.estimateJaccard(candidates, sh, "doc_id", "sig")
+      .filter(col("matching_hashes") >= 52) // est J >= ~0.81, 2σ below τ=0.9
+      .select("id_a", "id_b")
+    Dedup.verifyJaccard(estimated, sh, "doc_id", "sh", 9, 10)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+    val sh = docs.select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
+    val candidates = Dedup.lshCandidates(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+    val estimated = Dedup.estimateJaccard(candidates, sh, "doc_id", "sig")
+      .filter(col("matching_hashes") >= 52)
+      .select("id_a", "id_b")
+    val pairs = Dedup.verifyJaccard(estimated, sh, "doc_id", "sh", 9, 10)
+    Dedup.clusterRepresentatives(docs, pairs, "doc_id")
+      .orderBy(col("id"))
   }
 
   private def qSimhashSig(s: SparkSession, d: String): DataFrame =
@@ -349,6 +372,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash_sig" -> (qSimhashSig _),
     "q_fingerprint" -> (qFingerprint _),
     "q_tokens" -> (qTokens _),
@@ -522,7 +546,8 @@ object SparkEntry {
         "FROM documents GROUP BY 1 ORDER BY keep_id"),
 
     "q_ngram_jaccard" ->
-      ("WITH s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh FROM documents) " +
+      ("WITH s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
+        "FROM documents WHERE doc_id < 600) " +
         "SELECT id_a, id_b, inter_size, union_size FROM (" +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size, " +

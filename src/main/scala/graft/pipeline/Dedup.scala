@@ -92,6 +92,62 @@ object Dedup {
       .distinct()
   }
 
+  /** Cheap Jaccard estimate for candidate pairs from the MinHash
+    * signatures themselves: fraction of agreeing minhashes (unbiased
+    * estimator, σ = √(J(1−J)/H)). Joining two fixed-width 64-long arrays
+    * is far cheaper than joining variable-width shingle sets, so use this
+    * to prefilter before exact verification — on near-duplicate-saturated
+    * corpora the candidate set is O(n²) and the estimate keeps the exact
+    * verify join proportional to the true output size.
+    */
+  def estimateJaccard(candidates: DataFrame, signed: DataFrame, idCol: String,
+                      signatureCol: String): DataFrame = {
+    val s = signed.select(col(idCol).as("id"), col(signatureCol).as("sig"))
+    candidates
+      .join(s.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+      .join(s.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("matching_hashes"))
+  }
+
+  /** Duplicate-cluster representatives by min-label propagation over the
+    * verified-pair graph: every document ends up labelled with the
+    * smallest doc id reachable from it. This is the piece that makes
+    * dedup *actionable* at scale — pair lists on crawl-like corpora are
+    * O(n²), but "keep one representative per cluster" is O(n).
+    *
+    * Iterative joins, converging in graph-diameter rounds (dup clusters
+    * are dense, so diameter is small); each round localCheckpoints to
+    * truncate lineage. maxIters bounds the cost; convergence is checked
+    * by counting label changes.
+    */
+  def clusterRepresentatives(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                             maxIters: Int = 10): DataFrame = {
+    // materialize the edge list once — every iteration references it
+    // twice, and recomputing an upstream LSH pipeline per round would
+    // dominate the whole job
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("rep")).as("nbr_rep"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      converged = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.rep") =!= col("l.rep")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact Jaccard verification of candidate pairs: join shingle arrays
     * back and compare with integer arithmetic only
     * (|A∩B| · denom >= |A∪B| · num  ⇔  J >= num/denom), so thresholds

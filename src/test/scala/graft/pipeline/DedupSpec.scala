@@ -75,6 +75,32 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 45) // all 10-choose-2 pairs
   }
 
+  test("signature estimate tracks exact Jaccard within sampling error") {
+    val sig = shingled.withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
+    val candidates = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+    val est = Dedup.estimateJaccard(candidates.limit(200), sig, "doc_id", "sig")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2) / 64.0)).toMap
+    val exact = Dedup.verifyJaccard(
+      spark.createDataFrame(est.keys.toSeq).toDF("id_a", "id_b"),
+      shingled, "doc_id", "sh", 0, 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getLong(2).toDouble / r.getLong(3))).toMap
+    est.foreach { case (pair, e) =>
+      assert(math.abs(e - exact(pair)) < 0.35, s"$pair est $e vs ${exact(pair)}")
+    }
+  }
+
+  test("cluster representatives: every doc labelled with min reachable id") {
+    // tiny graph with two components: {1,2,3} (chain) and {10, 11}
+    val nodes = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L),
+      Tuple1(10L), Tuple1(11L), Tuple1(99L))).toDF("doc_id")
+    val pairs = spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterRepresentatives(nodes, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("word shingles: n=2 produces bigrams") {
     val df = spark.createDataFrame(Seq((1L, "a b c"))).toDF("doc_id", "text")
     val sh = df.select(Dedup.shingles("text", 2).as("sh"))
