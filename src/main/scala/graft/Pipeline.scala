@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config._
+import graft.operators.Relational
+import graft.savepoints.{SavepointsManager, StringSetAccumulator}
+import graft.sources.{DdbTables, JdbcSupport, ParquetSource}
+import graft.validation.Diff
+
+/** The migrate/validate runner: dispatch on (source, target) exactly like
+  * the reference's Migrator.migrate (Migrator.scala:64-98), with the
+  * resumable-progress loop and the post-copy validation join.
+  *
+  * Execution model: everything between read and write is a declarative
+  * DataFrame plan (renames/filters/projections fold into the scan;
+  * Catalyst pushes the `where` and prunes columns), so the copy is one
+  * scan -> one write with no intermediate materialization. Savepoints
+  * ride the explicit per-file-batch loop from ParquetSource — file
+  * completion is engine state, not a Catalyst concern (SURVEY.md §4).
+  */
+object Pipeline {
+
+  final case class Result(rowsCopied: Long, filesCompleted: Set[String],
+                          validation: Option[DataFrame])
+
+  def read(spark: SparkSession, cfg: PipelineConfig): DataFrame = cfg.source match {
+    case SourceConfig.Parquet(path, where, columns) =>
+      var df = ParquetSource.readSkipping(spark, path, cfg.skipFiles)
+      df = where.fold(df)(w => df.filter(expr(w)))
+      df = columns.fold(df)(cs => Relational.selectResolved(df, cs))
+      df
+    case SourceConfig.Jdbc(url, table, where, partCol, numParts, lo, hi) =>
+      // built-in JDBC source; user pieces validated before they reach it
+      val dbtable = JdbcSupport.dbtableSubquery(table, where)
+        .fold(err => throw new IllegalArgumentException(err), identity)
+      val r = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", dbtable)
+      val partitioned = (partCol, lo, hi) match {
+        case (Some(c), Some(l), Some(h)) =>
+          JdbcSupport.validateBounds(JdbcSupport.NumericBound, l, h, numParts)
+            .fold(err => throw new IllegalArgumentException(err), identity)
+          r.option("partitionColumn", c).option("lowerBound", l)
+            .option("upperBound", h).option("numPartitions", numParts.toString)
+        case _ => r
+      }
+      partitioned.load()
+    case SourceConfig.DynamoS3Export(manifestPath) =>
+      DdbTables.readS3Export(spark, manifestPath)
+  }
+
+  def transform(df: DataFrame, cfg: PipelineConfig): DataFrame =
+    Relational.applyRenames(df, cfg.renames)
+
+  def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
+    case TargetConfig.Parquet(path, mode, compression) =>
+      df.write.mode(mode).option("compression", compression).parquet(path)
+    case TargetConfig.DynamoS3Export(path) =>
+      DdbTables.writeS3Export(df, path)
+  }
+
+  /** Copy with optional file-level resume (parquet sources) and a final
+    * validation diff. Batch writes append so each completed batch is
+    * durable before its savepoint is recorded.
+    */
+  def run(spark: SparkSession, cfg: PipelineConfig, fileBatchSize: Int = 64): Result = {
+    val completed = new StringSetAccumulator
+    spark.sparkContext.register(completed, "completedFiles")
+    val manager = cfg.savepointsDir.map(dir => new SavepointsManager(
+      dir, () => (cfg.skipFiles ++ completed.value).toSeq.sorted.mkString("\n")).start())
+    var rows = 0L
+    try {
+      cfg.source match {
+        case SourceConfig.Parquet(path, where, columns) if cfg.savepointsDir.isDefined =>
+          // resumable path: deterministic file batches, append per batch
+          ParquetSource.processInBatches(spark, path, cfg.skipFiles, fileBatchSize) { batch =>
+            var df = where.fold(batch)(w => batch.filter(expr(w)))
+            df = columns.fold(df)(cs => Relational.selectResolved(df, cs))
+            df = transform(df, cfg)
+            val appendCfg = cfg.copy(target = cfg.target match {
+              case p: TargetConfig.Parquet => p.copy(mode = "append")
+              case t => t
+            })
+            rows += df.count()
+            write(df, appendCfg)
+          } { files => files.foreach(completed.add); manager.foreach(_.dump()) }
+        case _ =>
+          val df = transform(read(spark, cfg), cfg)
+          rows = df.count()
+          write(df, cfg)
+      }
+    } finally manager.foreach(_.close())
+
+    val validation = (cfg.validation, cfg.target) match {
+      case (Some(v), TargetConfig.Parquet(path, _, _)) =>
+        val src = transform(read(spark, cfg), cfg)
+        val tgt = spark.read.parquet(path)
+        Some(Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)
+          .filter(col("diff_kind") =!= "match")
+          .limit(v.failuresToFetch))
+      case _ => None
+    }
+    Result(rows, completed.value, validation)
+  }
+}

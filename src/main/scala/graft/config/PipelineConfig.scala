@@ -1,0 +1,153 @@
+package graft.config
+
+import graft.operators.Relational.Rename
+
+/** Pipeline description, mirroring the reference's YAML config model
+  * (config/MigratorConfig.scala:14-38: source, target, renames,
+  * savepoints, skip-sets, validation) minus the service-backed arms that
+  * cannot run in this environment (CQL/DynamoDB endpoints become the
+  * Parquet/JDBC/S3-export arms; the dispatch shape is identical).
+  *
+  * Decoding: a dependency-free line-based `key: value` format (the
+  * environment has no YAML library; the *validation* semantics —
+  * eager cross-checks at load time, reference MigratorConfig.scala:59-107
+  * — are what matters and are preserved).
+  */
+final case class PipelineConfig(
+    source: SourceConfig,
+    target: TargetConfig,
+    renames: List[Rename],
+    savepointsDir: Option[String],
+    skipFiles: Set[String],
+    validation: Option[ValidationConfig]) {
+
+  /** Eager cross-validation (fail at load, not mid-run). */
+  def validate: Either[String, PipelineConfig] = {
+    val renameTargets = renames.map(_.to.toLowerCase)
+    if (renameTargets.distinct.size != renameTargets.size)
+      Left("rename target collision")
+    else if (validation.exists(_.primaryKey.isEmpty))
+      Left("validation.primaryKey must be non-empty")
+    else if (validation.exists(_.tolerance < 0))
+      Left("validation.tolerance must be >= 0")
+    else Right(this)
+  }
+}
+
+sealed trait SourceConfig
+object SourceConfig {
+  final case class Parquet(path: String, where: Option[String], columns: Option[List[String]]) extends SourceConfig
+  final case class Jdbc(url: String, table: String, where: Option[String],
+                        partitionColumn: Option[String], numPartitions: Int,
+                        lowerBound: Option[String], upperBound: Option[String]) extends SourceConfig
+  final case class DynamoS3Export(manifestPath: String) extends SourceConfig
+}
+
+sealed trait TargetConfig
+object TargetConfig {
+  final case class Parquet(path: String, mode: String, compression: String) extends TargetConfig {
+    def validate: Either[String, Parquet] = {
+      val modes = Set("overwrite", "append", "errorifexists", "ignore")
+      val codecs = Set("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
+      if (!modes.contains(mode.toLowerCase)) Left(s"invalid parquet write mode: $mode")
+      else if (!codecs.contains(compression.toLowerCase)) Left(s"invalid compression: $compression")
+      else Right(this)
+    }
+  }
+  final case class DynamoS3Export(path: String) extends TargetConfig
+}
+
+final case class ValidationConfig(
+    primaryKey: List[String],
+    compareColumns: List[String],
+    tolerance: Double,
+    failuresToFetch: Int)
+
+object PipelineConfig {
+
+  /** Parse the flat `section.key: value` line format. Unknown keys are
+    * errors (config typos must not silently change behavior).
+    */
+  def parse(text: String): Either[String, PipelineConfig] = {
+    val entries = text.linesIterator
+      .map(_.takeWhile(_ != '#').trim)
+      .filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf(':')
+        if (i < 0) return Left(s"malformed line: $line")
+        line.take(i).trim -> line.drop(i + 1).trim
+      }
+      .toList
+    val map = entries.toMap
+    if (map.size != entries.size) return Left("duplicate config key")
+
+    val known = Set(
+      "source.type", "source.path", "source.where", "source.columns",
+      "source.url", "source.table", "source.partitionColumn",
+      "source.numPartitions", "source.lowerBound", "source.upperBound",
+      "target.type", "target.path", "target.mode", "target.compression",
+      "renames", "savepoints.dir", "skipFiles",
+      "validation.primaryKey", "validation.compareColumns",
+      "validation.tolerance", "validation.failuresToFetch")
+    map.keys.find(!known.contains(_)) match {
+      case Some(k) => return Left(s"unknown config key: $k")
+      case None    => ()
+    }
+
+    def list(key: String): List[String] =
+      map.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toList).getOrElse(Nil)
+
+    val source: Either[String, SourceConfig] = map.get("source.type") match {
+      case Some("parquet") =>
+        map.get("source.path").toRight("source.path required")
+          .map(p => SourceConfig.Parquet(p, map.get("source.where"),
+            map.get("source.columns").map(_ => list("source.columns"))))
+      case Some("jdbc") =>
+        for {
+          url <- map.get("source.url").toRight("source.url required")
+          table <- map.get("source.table").toRight("source.table required")
+        } yield SourceConfig.Jdbc(url, table, map.get("source.where"),
+          map.get("source.partitionColumn"),
+          map.getOrElse("source.numPartitions", "1").toInt,
+          map.get("source.lowerBound"), map.get("source.upperBound"))
+      case Some("dynamo-s3-export") =>
+        map.get("source.path").toRight("source.path required")
+          .map(SourceConfig.DynamoS3Export(_))
+      case other => Left(s"unsupported source.type: ${other.getOrElse("<missing>")}")
+    }
+
+    val target: Either[String, TargetConfig] = map.get("target.type") match {
+      case Some("parquet") =>
+        map.get("target.path").toRight("target.path required")
+          .flatMap(p => TargetConfig.Parquet(p,
+            map.getOrElse("target.mode", "errorifexists"),
+            map.getOrElse("target.compression", "snappy")).validate)
+      case Some("dynamo-s3-export") =>
+        map.get("target.path").toRight("target.path required")
+          .map(TargetConfig.DynamoS3Export(_))
+      case other => Left(s"unsupported target.type: ${other.getOrElse("<missing>")}")
+    }
+
+    val renames = list("renames").map { r =>
+      r.split("->") match {
+        case Array(from, to) => Rename(from.trim, to.trim)
+        case _ => return Left(s"malformed rename (want from->to): $r")
+      }
+    }
+
+    val validation =
+      if (map.contains("validation.primaryKey"))
+        Some(ValidationConfig(
+          list("validation.primaryKey"), list("validation.compareColumns"),
+          map.getOrElse("validation.tolerance", "0").toDouble,
+          map.getOrElse("validation.failuresToFetch", "100").toInt))
+      else None
+
+    for {
+      s <- source
+      tg <- target
+      cfg <- PipelineConfig(s, tg, renames, map.get("savepoints.dir"),
+        list("skipFiles").toSet, validation).validate
+    } yield cfg
+  }
+}

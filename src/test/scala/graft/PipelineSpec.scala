@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.PipelineConfig
+import graft.sources.ParquetSource
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def cfgText(in: String, out: String, extra: String = "") =
+    s"""source.type: parquet
+       |source.path: $in
+       |target.type: parquet
+       |target.path: $out
+       |target.mode: overwrite
+       |$extra""".stripMargin
+
+  test("copy with where + column selection + renames, then validation is clean") {
+    val tmp = Files.createTempDirectory("graft-pipe")
+    val out = tmp.resolve("out").toString
+    val cfg = PipelineConfig.parse(cfgText(s"${TestSpark.sf}/customer.parquet", out,
+      """source.where: c_custkey < 100
+        |source.columns: c_custkey, c_name
+        |renames: c_name->full_name
+        |validation.primaryKey: c_custkey
+        |validation.compareColumns: full_name
+        |""".stripMargin)).toOption.get
+    val result = Pipeline.run(spark, cfg)
+    assert(result.rowsCopied == 100)
+    val tgt = spark.read.parquet(out)
+    assert(tgt.columns.toSet == Set("c_custkey", "full_name"))
+    assert(tgt.count() == 100)
+    assert(result.validation.get.count() == 0) // copy is faithful
+  }
+
+  test("resume: second run with recorded savepoint skips completed files") {
+    val tmp = Files.createTempDirectory("graft-resume")
+    val in = tmp.resolve("in").toString
+    val out = tmp.resolve("out").toString
+    val sp = tmp.resolve("sp").toString
+    import spark.implicits._
+    (1 to 4).foreach(i => Seq((i, s"v$i")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$in/f$i"))
+    val files = ParquetSource.listParquetFiles(in, spark.sparkContext.hadoopConfiguration)
+
+    val cfg1 = PipelineConfig.parse(cfgText(in, out,
+      s"savepoints.dir: $sp\n")).toOption.get
+    val r1 = Pipeline.run(spark, cfg1, fileBatchSize = 2)
+    assert(r1.rowsCopied == 4)
+    assert(r1.filesCompleted == files.toSet)
+    assert(spark.read.parquet(out).count() == 4)
+
+    // the latest (highest-numbered) savepoint records all completed files
+    val spFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(java.nio.file.Paths.get(sp)).iterator()).asScala.toSeq
+    val latestContent = Files.readString(spFiles.maxBy(_.getFileName.toString))
+    assert(files.forall(latestContent.contains))
+
+    // resume: skip 3 of 4 files; only the remaining one is copied
+    val cfg2 = PipelineConfig.parse(cfgText(in, tmp.resolve("out2").toString,
+      s"skipFiles: ${files.take(3).mkString(", ")}\n")).toOption.get
+    val r2 = Pipeline.run(spark, cfg2)
+    assert(r2.rowsCopied == 1)
+  }
+
+  test("validation detects a corrupted target") {
+    val tmp = Files.createTempDirectory("graft-corrupt")
+    val out = tmp.resolve("out").toString
+    val cfg = PipelineConfig.parse(cfgText(s"${TestSpark.sf}/nation.parquet", out,
+      """validation.primaryKey: n_nationkey
+        |validation.compareColumns: n_name
+        |""".stripMargin)).toOption.get
+    Pipeline.run(spark, cfg)
+    // corrupt one row in the target
+    val corrupted = spark.read.parquet(out)
+      .withColumn("n_name", when(col("n_nationkey") === 0, lit("WRONG"))
+        .otherwise(col("n_name")))
+    corrupted.write.mode("overwrite").parquet(tmp.resolve("out_bad").toString)
+    val cfg2 = cfg.copy(target = cfg.target.asInstanceOf[graft.config.TargetConfig.Parquet]
+      .copy(path = tmp.resolve("out_bad").toString))
+    // re-validate against the corrupted copy without re-writing: run the
+    // validation joins directly
+    val src = Pipeline.transform(Pipeline.read(spark, cfg2), cfg2)
+    val tgt = spark.read.parquet(tmp.resolve("out_bad").toString)
+    val diff = graft.validation.Diff.fullDiff(src, tgt, Seq("n_nationkey"), Seq("n_name"))
+      .filter(col("diff_kind") =!= "match").collect()
+    assert(diff.length == 1 && diff.head.getString(1) == "mismatch")
+  }
+}
