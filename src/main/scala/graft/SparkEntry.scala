@@ -343,9 +343,24 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  private def qTsWiden(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimestampWidening.widen(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")))
+      .withColumnRenamed("l_shipdate", "ship_millis")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_millis"))
+
+  private def qDecimalCanon(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        graft.operators.Decimals.canonicalString(
+          col("o_totalprice").cast(DecimalType(18, 4))).as("price_canon"))
+      .orderBy(col("o_orderkey"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_widen" -> (qTsWiden _),
+    "q_decimal_canon" -> (qDecimalCanon _),
     "q_scan_prune" -> (qScanPrune _),
     "q_rename" -> (qRename _),
     "q_drop_internal" -> (qDropInternal _),
@@ -393,6 +408,16 @@ object SparkEntry {
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
 
   def oracleSql: Map[String, String] = Map(
+    "q_ts_widen" ->
+      ("SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_millis " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, ship_millis"),
+
+    "q_decimal_canon" ->
+      ("SELECT o_orderkey, CASE WHEN c = '-0' THEN '0' ELSE c END AS price_canon FROM " +
+        "(SELECT o_orderkey, CASE WHEN s LIKE '%.%' THEN " +
+        "regexp_replace(regexp_replace(s, '0+$', ''), '\\.$', '') ELSE s END AS c FROM " +
+        "(SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS s " +
+        "FROM orders)) ORDER BY o_orderkey"),
     "q_scan_prune" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "WHERE l_shipdate < TIMESTAMP '1995-09-01' ORDER BY l_orderkey, l_linenumber"),
