@@ -1,0 +1,21 @@
+package graft
+
+/** Plan-inspection tool: dump formatted physical plans for the headline
+  * queries so pushdown/broadcast/codegen can be reviewed (not part of
+  * the driver contract). Usage: runMain graft.Explain [sfDir] [query...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_scan_prune", "q1_agg", "q_join_agg", "q_semi_prefetch",
+        "q_diff_missing", "q_window_topn", "q_minhash_lsh")
+    val spark = Tables.session("graft-explain", cores = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
