@@ -29,7 +29,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass native expression (graft.functions.CosineSimilarity,
+    * whole-stage-codegen'd); bitwise-equal to the zip_with/aggregate
+    * composition but with no intermediate array per row.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
+
+  /** Higher-order-function composition kept as the portable reference
+    * form (used by tests to cross-check the native kernel).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for each query row. `queries` should be small
     * (it is broadcast); `corpus` can be arbitrarily large.
