@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark main: runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout (the driver
+  * contract). Additionally reports reference-style throughput lines
+  * (`BENCHMARK_RESULT | scenario=… rows=… durationMs=… rowsPerSec=…`,
+  * BASELINE.md "Reporting format") on stderr for the e2e copy scenario,
+  * mirroring tests/.../ThroughputReporter.scala:5-13.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +16,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // reference-style e2e throughput scenario: full-table copy through
+    // the pipeline runner (scan -> transform -> write), verified by count
+    benchCopy(spark, sfDir)
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -20,5 +36,29 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def benchCopy(spark: SparkSession, sfDir: String): Unit = {
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft-bench-copy").toString
+      val cfg = config.PipelineConfig.parse(
+        s"""source.type: parquet
+           |source.path: $sfDir/lineitem.parquet
+           |target.type: parquet
+           |target.path: $out/lineitem
+           |target.mode: overwrite
+           |""".stripMargin).toOption.get
+      val t0 = System.nanoTime()
+      val result = Pipeline.run(spark, cfg)
+      val written = spark.read.parquet(s"$out/lineitem").count()
+      val ms = (System.nanoTime() - t0) / 1e6
+      require(written == result.rowsCopied, s"copy verification failed: $written")
+      val rps = (result.rowsCopied * 1000 / ms).toLong
+      System.err.println(
+        s"BENCHMARK_RESULT | scenario=parquet_copy rows=${result.rowsCopied} " +
+          s"durationMs=${ms.toLong} rowsPerSec=$rps")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] copy scenario failed: ${e.getMessage}")
+    }
   }
 }

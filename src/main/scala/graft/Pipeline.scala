@@ -53,6 +53,16 @@ object Pipeline {
   def transform(df: DataFrame, cfg: PipelineConfig): DataFrame =
     Relational.applyRenames(df, cfg.renames)
 
+  /** Write and return the row count from an `observe` metric riding the
+    * write job — one scan total, never a separate count() action (two
+    * full passes is the difference between one day and two at 100 TB).
+    */
+  private def writeCounted(df: DataFrame, cfg: PipelineConfig): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")), cfg)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
     case TargetConfig.Parquet(path, mode, compression) =>
       df.write.mode(mode).option("compression", compression).parquet(path)
@@ -82,13 +92,10 @@ object Pipeline {
               case p: TargetConfig.Parquet => p.copy(mode = "append")
               case t => t
             })
-            rows += df.count()
-            write(df, appendCfg)
+            rows += writeCounted(df, appendCfg)
           } { files => files.foreach(completed.add); manager.foreach(_.dump()) }
         case _ =>
-          val df = transform(read(spark, cfg), cfg)
-          rows = df.count()
-          write(df, cfg)
+          rows = writeCounted(transform(read(spark, cfg), cfg), cfg)
       }
     } finally manager.foreach(_.close())
 

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys at scale.
+  *
+  * AQE (spark.sql.adaptive.skewJoin) handles *partition*-level skew at
+  * runtime; these operators handle the harder case AQE can't split — a
+  * single key too hot for one task:
+  *
+  *  - saltedAggregate: two-phase aggregation. Phase 1 aggregates on
+  *    (key, salt) — spreading one hot key over `saltBuckets` tasks —
+  *    phase 2 merges the partials. Correct for any algebraic aggregate
+  *    expressed as (partial, merge) column pairs.
+  *  - saltedJoin: replicate-broadcast pattern for a skewed fact side
+  *    against a dimension: fact rows get a random-but-deterministic salt,
+  *    the dimension is exploded `saltBuckets` times, and the join key
+  *    becomes (key, salt). Use when the dimension is small enough to
+  *    replicate but the fact's hot keys overwhelm single tasks.
+  *
+  * Salt is `pmod(hash(cols...), buckets)` over the *row's other columns*
+  * (or monotonically_increasing_id when nothing else exists) so it is
+  * deterministic per row — reruns and retries produce identical
+  * assignments, keeping the operators safe under task retry.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) derived from the given columns. */
+  def salt(buckets: Int, over: Seq[Column]): Column =
+    if (over.nonEmpty) pmod(hash(over: _*), lit(buckets))
+    else pmod(hash(monotonically_increasing_id()), lit(buckets))
+
+  /** One aggregate in (partial, merge) form, e.g.
+    * Agg(sum(col("x")).as("s"), sum(col("s")).as("s")).
+    */
+  final case class Agg(partial: Column, merge: Column)
+
+  /** sum / count / min / max helpers in two-phase form. */
+  def sumOf(c: Column, as: String): Agg = Agg(sum(c).as(as), sum(col(as)).as(as))
+  def countOf(as: String): Agg = Agg(count(lit(1)).as(as), sum(col(as)).as(as))
+  def minOf(c: Column, as: String): Agg = Agg(min(c).as(as), min(col(as)).as(as))
+  def maxOf(c: Column, as: String): Agg = Agg(max(c).as(as), max(col(as)).as(as))
+
+  /** Two-phase salted groupBy: groupBy(key, salt).agg(partials) then
+    * groupBy(key).agg(merges). The extra shuffle is the price for
+    * spreading a hot key across `saltBuckets` tasks; phase-1 output is
+    * |keys|·buckets rows, so phase 2 is cheap.
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                      saltOver: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    require(aggs.nonEmpty, "at least one aggregate required")
+    val salted = df.withColumn("__salt", salt(saltBuckets, saltOver.map(col)))
+    val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head.partial, aggs.tail.map(_.partial): _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
+  }
+
+  /** Salted fact-dimension equi-join: fact gets salt from its own row,
+    * dimension rows are replicated once per bucket, join on key+salt.
+    * Output equals the plain inner join.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltBuckets: Int,
+                 factSaltOver: Seq[String]): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt(saltBuckets, factSaltOver.map(col)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("salted aggregate equals plain aggregate (sum/count/min/max)") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"),
+        min(col("l_partkey")).as("mn"), max(col("l_partkey")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val salted = Skew.saltedAggregate(li, Seq("l_returnflag"), saltBuckets = 8,
+        saltOver = Seq("l_orderkey", "l_linenumber"),
+        aggs = Seq(Skew.sumOf(col("l_quantity"), "s"), Skew.countOf("n"),
+          Skew.minOf(col("l_partkey"), "mn"), Skew.maxOf(col("l_partkey"), "mx")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (k, (s, n, mn, mx)) =>
+      val (s2, n2, mn2, mx2) = salted(k)
+      assert(n2 == n && mn2 == mn && mx2 == mx)
+      assert(math.abs(s2 - s) < 1e-6 * math.abs(s).max(1))
+    }
+  }
+
+  test("salted aggregate actually spreads a hot key across buckets") {
+    import spark.implicits._
+    val hot = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
+    val salted = hot.withColumn("__salt", Skew.salt(8, Seq(col("v"))))
+    val buckets = salted.groupBy("__salt").count().count()
+    assert(buckets >= 6) // hot key spread over (almost) all 8 buckets
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val part = Tables.load(spark, TestSpark.sf, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_name"))
+    val plain = li.join(part, "l_partkey").count()
+    val salted = Skew.saltedJoin(li, part, "l_partkey", saltBuckets = 4,
+      factSaltOver = Seq("l_orderkey", "l_linenumber")).count()
+    assert(salted == plain)
+  }
+}
