@@ -343,6 +343,21 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  private def qHashRefine(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val src = orders.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderpriority"), col("o_orderstatus"))
+    val tgt = orders.select(col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") % 5 === 0, lit("X-CORRUPT"))
+        .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+      col("o_orderstatus"))
+    graft.validation.HashRefinement.refine(src, tgt, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderpriority", "o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
   private def qTsWiden(s: SparkSession, d: String): DataFrame =
     graft.operators.TimestampWidening.widen(
         t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")))
@@ -359,6 +374,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_refine" -> (qHashRefine _),
     "q_ts_widen" -> (qTsWiden _),
     "q_decimal_canon" -> (qDecimalCanon _),
     "q_scan_prune" -> (qScanPrune _),
@@ -408,6 +424,20 @@ object SparkEntry {
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
 
   def oracleSql: Map[String, String] = Map(
+    "q_hash_refine" ->
+      ("WITH t AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'X-CORRUPT' ELSE o_orderpriority END AS o_orderpriority, " +
+        "o_orderstatus FROM orders) " +
+        "SELECT o_orderkey, differing_columns FROM (" +
+        "SELECT s.o_orderkey, array_to_string(list_sort(list_filter([" +
+        "CASE WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice THEN 'o_totalprice' END, " +
+        "CASE WHEN s.o_orderpriority IS DISTINCT FROM t.o_orderpriority THEN 'o_orderpriority' END, " +
+        "CASE WHEN s.o_orderstatus IS DISTINCT FROM t.o_orderstatus THEN 'o_orderstatus' END], " +
+        "x -> x IS NOT NULL)), ',') AS differing_columns " +
+        "FROM orders s JOIN t ON s.o_orderkey = t.o_orderkey) " +
+        "WHERE differing_columns <> '' ORDER BY o_orderkey"),
+
     "q_ts_widen" ->
       ("SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_millis " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, ship_millis"),

@@ -67,6 +67,21 @@ object Diff {
     joined.select(pkOut :+ kind.as("diff_kind"): _*)
   }
 
+  /** Bounded failure drain (reference:
+    * scylla/MySQLToScyllaValidator.scala:150-212): `toLocalIterator`
+    * pulls partitions incrementally, so collecting the first N failures
+    * never materializes the full failure set on the driver — a
+    * validation of a badly-diverged 100 TB table produces billions of
+    * failures, and the driver only ever sees N of them.
+    */
+  def sampleFailures(failures: DataFrame, n: Int): Seq[org.apache.spark.sql.Row] = {
+    val it = failures.toLocalIterator()
+    val buf = Vector.newBuilder[org.apache.spark.sql.Row]
+    var taken = 0
+    while (it.hasNext && taken < n) { buf += it.next(); taken += 1 }
+    buf.result()
+  }
+
   /** One-row validation summary: source/target/missing/extra counts.
     * The counts are computed as aggregations over anti joins — each is a
     * single distributed job, no driver-side iteration.
