@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{Relational, RowExplosion}
 import graft.functions.ContentHash
-import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+import graft.pipeline.{Dedup, Ivf, Multimodal, Similarity, Text}
 import graft.streaming.CdcApply
 import graft.validation.Diff
 
@@ -327,6 +327,16 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private def qSimIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 10, iters = 3)
+    val indexed = Ivf.index(emb, "vec_id", "embedding", model)
+    Ivf.topK(emb.filter(col("vec_id") < 10), indexed, "vec_id", "embedding",
+        model, k = 5, nProbe = 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
     val withPayload = Multimodal.withPayload(t(s, d, "documents"), "text")
     Multimodal.decodeMeta(withPayload, "doc_id", "payload")
@@ -411,6 +421,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_frame_sample" -> (qFrameSample _))
 
