@@ -64,8 +64,9 @@ object Pipeline {
   }
 
   def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
-    case TargetConfig.Parquet(path, mode, compression) =>
-      df.write.mode(mode).option("compression", compression).parquet(path)
+    case TargetConfig.Parquet(path, mode, compression, partitionBy) =>
+      val w = df.write.mode(mode).option("compression", compression)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     case TargetConfig.DynamoS3Export(path) =>
       DdbTables.writeS3Export(df, path)
   }
@@ -100,7 +101,7 @@ object Pipeline {
     } finally manager.foreach(_.close())
 
     val validation = (cfg.validation, cfg.target) match {
-      case (Some(v), TargetConfig.Parquet(path, _, _)) =>
+      case (Some(v), TargetConfig.Parquet(path, _, _, _)) =>
         val src = transform(read(spark, cfg), cfg)
         val tgt = spark.read.parquet(path)
         Some(Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)

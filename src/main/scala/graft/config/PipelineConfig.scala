@@ -45,7 +45,8 @@ object SourceConfig {
 
 sealed trait TargetConfig
 object TargetConfig {
-  final case class Parquet(path: String, mode: String, compression: String) extends TargetConfig {
+  final case class Parquet(path: String, mode: String, compression: String,
+                           partitionBy: List[String] = Nil) extends TargetConfig {
     def validate: Either[String, Parquet] = {
       val modes = Set("overwrite", "append", "errorifexists", "ignore")
       val codecs = Set("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
@@ -86,6 +87,7 @@ object PipelineConfig {
       "source.url", "source.table", "source.partitionColumn",
       "source.numPartitions", "source.lowerBound", "source.upperBound",
       "target.type", "target.path", "target.mode", "target.compression",
+      "target.partitionBy",
       "renames", "savepoints.dir", "skipFiles",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch")
@@ -121,7 +123,8 @@ object PipelineConfig {
         map.get("target.path").toRight("target.path required")
           .flatMap(p => TargetConfig.Parquet(p,
             map.getOrElse("target.mode", "errorifexists"),
-            map.getOrElse("target.compression", "snappy")).validate)
+            map.getOrElse("target.compression", "snappy"),
+            list("target.partitionBy")).validate)
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))

@@ -65,6 +65,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.rowsCopied == 1)
   }
 
+  test("partitioned write lays out directories by column and prunes on read") {
+    val tmp = Files.createTempDirectory("graft-part")
+    val out = tmp.resolve("out").toString
+    val cfg = PipelineConfig.parse(cfgText(s"${TestSpark.sf}/orders.parquet", out,
+      "target.partitionBy: o_orderstatus\n")).toOption.get
+    Pipeline.run(spark, cfg)
+    val dirs = new java.io.File(out).list().filter(_.startsWith("o_orderstatus="))
+    assert(dirs.length >= 2)
+    // partition pruning: the filter on the partition column becomes a
+    // PartitionFilters entry, not a data filter
+    val pruned = spark.read.parquet(out).filter(col("o_orderstatus") === "O")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(o_orderstatus"))
+    assert(pruned.count() > 0)
+  }
+
   test("validation detects a corrupted target") {
     val tmp = Files.createTempDirectory("graft-corrupt")
     val out = tmp.resolve("out").toString
