@@ -270,15 +270,16 @@ object SparkEntry {
   }
 
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    // clustering tier: star edges per bucket (O(n) candidate volume)
+    // + fixed-width signature estimate — no O(n²) pair expansion
     val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
     val sh = docs.select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
       .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
-    val candidates = Dedup.lshCandidates(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
-    val estimated = Dedup.estimateJaccard(candidates, sh, "doc_id", "sig")
+    val edges = Dedup.lshStarEdges(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+    val kept = Dedup.estimateJaccard(edges, sh, "doc_id", "sig")
       .filter(col("matching_hashes") >= 52)
       .select("id_a", "id_b")
-    val pairs = Dedup.verifyJaccard(estimated, sh, "doc_id", "sh", 9, 10)
-    Dedup.clusterRepresentatives(docs, pairs, "doc_id")
+    Dedup.clusterRepresentatives(docs, kept, "doc_id")
       .orderBy(col("id"))
   }
 

@@ -92,6 +92,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Star edges per LSH bucket: (bucket_min_id, member_id) instead of
+    * all member pairs. For *clustering* (connected components), star
+    * edges preserve bucket connectivity with O(|bucket|) edges instead
+    * of O(|bucket|²) pairs — the difference between linear and quadratic
+    * candidate volume on near-duplicate-saturated corpora. Pair-level
+    * *detection* still needs `lshCandidates`; this is the clustering
+    * tier.
+    */
+  def lshStarEdges(df: DataFrame, idCol: String, signatureCol: String,
+                   bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        slice(col(signatureCol), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+    }
+    val banded = df.select(
+      col(idCol).as("id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    val bucketMin = banded.groupBy("band", "bucket").agg(min(col("id")).as("id_a"))
+    banded.join(bucketMin, Seq("band", "bucket"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .distinct()
+  }
+
   /** Cheap Jaccard estimate for candidate pairs from the MinHash
     * signatures themselves: fraction of agreeing minhashes (unbiased
     * estimator, σ = √(J(1−J)/H)). Joining two fixed-width 64-long arrays

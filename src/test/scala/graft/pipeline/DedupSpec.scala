@@ -101,6 +101,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("star edges connect every bucket member to its bucket minimum") {
+    val sig = shingled.withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
+    val stars = Dedup.lshStarEdges(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stars.nonEmpty)
+    assert(stars.forall { case (a, b) => a < b }) // center is the bucket min
+    // star-edge count is linear-ish: bounded by docs x bands
+    assert(stars.length <= 500 * 16)
+    // connectivity sanity: full pair candidates and star edges produce the
+    // same connected components over the same buckets
+    val pairCands = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val cStar = components(stars.toSeq)
+    val cPair = components(pairCands.toSeq)
+    val starGroups = cStar.groupBy(_._2).values.map(_.keys.toSet).toSet
+    val pairGroups = cPair.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(starGroups == pairGroups)
+  }
+
   test("word shingles: n=2 produces bigrams") {
     val df = spark.createDataFrame(Seq((1L, "a b c"))).toDF("doc_id", "text")
     val sh = df.select(Dedup.shingles("text", 2).as("sh"))
