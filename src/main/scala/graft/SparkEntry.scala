@@ -261,7 +261,10 @@ object SparkEntry {
     val sh = t(s, d, "documents").filter(col("doc_id") < 1000)
       .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
       .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
-    val candidates = Dedup.lshCandidates(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+    val candidates = Dedup
+      .lshCandidatesWeighted(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .filter(col("matching_bands") >= 6) // free coarse estimate: J≈0.9 -> ~10.5 bands
+      .select("id_a", "id_b")
     val estimated = Dedup.estimateJaccard(candidates, sh, "doc_id", "sig")
       .filter(col("matching_hashes") >= 52) // est J >= ~0.81, 2σ below τ=0.9
       .select("id_a", "id_b")

@@ -92,6 +92,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs with their band-agreement count — the dedup that
+    * `lshCandidates` does with `distinct()`, done as an aggregation so
+    * the count comes free. A pair at Jaccard J matches each r-row band
+    * with probability J^r, so `matching_bands` is itself a coarse
+    * similarity estimate: filtering on it BEFORE touching signatures or
+    * shingle sets cuts the candidate set at zero extra passes. (E.g.
+    * bands=16, r=4: a J=0.9 pair matches ~10.5 bands in expectation, a
+    * J=0.6 pair ~2.1 — minBands=6 separates them cleanly.)
+    */
+  def lshCandidatesWeighted(df: DataFrame, idCol: String, signatureCol: String,
+                            bands: Int, rowsPerBand: Int,
+                            maxBucketSize: Int = 10000): DataFrame = {
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        slice(col(signatureCol), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+    }
+    val banded = df.select(
+      col(idCol).as("id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    val sized = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val kept = banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+    kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("matching_bands"))
+  }
+
   /** Star edges per LSH bucket: (bucket_min_id, member_id) instead of
     * all member pairs. For *clustering* (connected components), star
     * edges preserve bucket connectivity with O(|bucket|) edges instead

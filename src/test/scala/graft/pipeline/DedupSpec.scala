@@ -101,6 +101,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("weighted candidates: matching_bands is a usable coarse estimate") {
+    val sig = shingled.withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
+    val weighted = Dedup.lshCandidatesWeighted(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // same pair set as the distinct() form
+    val plain = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(weighted.keySet == plain)
+    // high-J pairs (J >= 0.9 exact) almost all pass matching_bands >= 6
+    val exact09 = {
+      val sets = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSet)
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size; union = (sa | sb).size
+        if union > 0 && inter * 10 >= union * 9
+      } yield (ia, ib)).toSet
+    }
+    if (exact09.nonEmpty) {
+      val recalled = exact09.count(p => weighted.get(p).exists(_ >= 6))
+      assert(recalled.toDouble / exact09.size >= 0.9,
+        s"band-count prefilter recall $recalled/${exact09.size}")
+    }
+  }
+
   test("star edges connect every bucket member to its bucket minimum") {
     val sig = shingled.withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
     val stars = Dedup.lshStarEdges(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
