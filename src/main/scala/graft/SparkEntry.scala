@@ -331,6 +331,28 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Composed training-corpus cleaning: quality gate + language ID +
+    * exact-dedup representative selection in one declarative pipeline —
+    * the operators compose as plain DataFrame transforms, and Catalyst
+    * collapses the whole thing into a scan + two joins.
+    */
+  private def qCorpusClean(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val quality = Text.qualityMetrics(docs, "text", "doc_id")
+    val lang = Text.langId(docs, "text", "doc_id").select("doc_id", "lang_pred")
+    val representatives = Dedup.exactGroups(docs, col("text"), "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    docs.select("doc_id", "source")
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .join(representatives, Seq("doc_id"), "left_semi")
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 500 &&
+        col("stopword_hits") >= 1)
+      .select(col("doc_id"), col("source"), col("lang_pred"),
+        col("n_tokens"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val model = Ivf.train(emb, "vec_id", "embedding", k = 10, iters = 3)
@@ -426,6 +448,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_corpus_clean" -> (qCorpusClean _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_frame_sample" -> (qFrameSample _))
 
@@ -654,6 +677,31 @@ object SparkEntry {
         s"CASE WHEN __gm = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred FROM " +
         s"(SELECT doc_id, $scoreExprs, $gm AS __gm FROM " +
         s"(SELECT doc_id, text FROM documents)) ORDER BY doc_id"
+    },
+
+    "q_corpus_clean" -> {
+      val toksLower =
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+      val scoreExprs = Text.LangMarkers.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter($toksLower, t -> list_contains($arr, t))) AS BIGINT) AS score_$lang"
+      }.mkString(", ")
+      val langs = Text.LangMarkers.map(_._1)
+      val gm = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val caseChain = langs.map(l => s"WHEN score_$l = __gm THEN '$l'").mkString(" ")
+      val stop = Text.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      "WITH scored AS (SELECT doc_id, source, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(" + tokensExpr + ") AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter($tokensExpr, t -> list_contains($stop, t))) AS BIGINT) AS stopword_hits, " +
+        s"$scoreExprs, $gm AS __gm FROM documents), " +
+        "reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)) " +
+        "SELECT s.doc_id, s.source, " +
+        s"CASE WHEN __gm = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred, " +
+        "s.n_tokens, s.n_chars " +
+        "FROM scored s JOIN reps r ON s.doc_id = r.doc_id " +
+        "WHERE s.n_tokens >= 20 AND s.n_tokens <= 500 AND s.stopword_hits >= 1 " +
+        "ORDER BY s.doc_id"
     },
 
     "q_sim_topk" ->

@@ -21,6 +21,29 @@ final case class PipelineConfig(
     skipFiles: Set[String],
     validation: Option[ValidationConfig]) {
 
+  /** Loggable rendering with sensitive material redacted (reference:
+    * config/MigratorConfig.scala:134-153 + SparkSecretRedaction — the
+    * `where` clause may embed literals from user data, JDBC URLs may
+    * embed credentials; neither belongs in logs).
+    */
+  def renderRedacted: String = {
+    def src = source match {
+      case SourceConfig.Parquet(path, where, cols) =>
+        s"parquet(path=$path, where=${where.map(_ => "<redacted>")}, columns=$cols)"
+      case j: SourceConfig.Jdbc =>
+        val url = j.url.replaceAll("(?i)(password|user)=[^&;]*", "$1=<redacted>")
+        s"jdbc(url=$url, table=${j.table}, where=${j.where.map(_ => "<redacted>")}, " +
+          s"partitions=${j.numPartitions})"
+      case SourceConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
+    }
+    def tgt = target match {
+      case TargetConfig.Parquet(p, m, c, pb) => s"parquet(path=$p, mode=$m, compression=$c, partitionBy=$pb)"
+      case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
+    }
+    s"PipelineConfig(source=$src, target=$tgt, renames=${renames.size}, " +
+      s"skipFiles=${skipFiles.size}, validation=${validation.isDefined})"
+  }
+
   /** Eager cross-validation (fail at load, not mid-run). */
   def validate: Either[String, PipelineConfig] = {
     val renameTargets = renames.map(_.to.toLowerCase)
