@@ -84,9 +84,75 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass random-hyperplane band codes: projects the input vector on
+  * every plane and packs the sign bits into per-band integer codes.
+  *
+  * The composed form (`bands × bandBits` separate dot-product columns)
+  * walks the vector once per plane through lambda indirection; this
+  * expression walks it once TOTAL, with the plane matrix as a flat
+  * primitive array baked into the expression. Interpreted eval with a
+  * tight loop (CodegenFallback): the win is the fused pass, not codegen.
+  */
+case class HyperplaneBandCodes(child: Expression, planes: Array[Array[Double]], bandBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val numPlanes = planes.length
+  private val nBands = numPlanes / bandBits
+  @transient private lazy val flat: Array[Double] = {
+    val dim = planes.head.length
+    val a = new Array[Double](numPlanes * dim)
+    var p = 0
+    while (p < numPlanes) {
+      System.arraycopy(planes(p), 0, a, p * planes(p).length, planes(p).length)
+      p += 1
+    }
+    a
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"band_codes expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val vec = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      vec(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    val codes = new Array[Long](nBands)
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      val base = p * dim
+      var d = 0
+      while (d < dim) { dot += vec(d) * flat(base + d); d += 1 }
+      if (dot > 0) codes(p / bandBits) |= 1L << (p % bandBits)
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry point: `cosine(colA, colB)`. */
   def cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** array<long> of per-band sign codes for the given hyperplanes. */
+  def bandCodes(v: Column, planes: Array[Array[Double]], bandBits: Int): Column =
+    GraftColumnBridge.column(HyperplaneBandCodes(
+      GraftColumnBridge.expression(v), planes, bandBits))
 }

@@ -79,7 +79,13 @@ object Similarity {
     * 1 − (1 − p)^B. Fewer bits per band = more candidates + higher
     * recall; more bands = higher recall at linear candidate cost.
     */
-  def bandCodes(vecCol: Column, planes: Array[Array[Double]], bandBits: Int): Seq[Column] = {
+  def bandCodes(vecCol: Column, planes: Array[Array[Double]], bandBits: Int): Column =
+    graft.functions.VectorExpressions.bandCodes(vecCol, planes, bandBits)
+
+  /** Composed-builtin form of `bandCodes` (one dot-product column per
+    * plane); kept for cross-checking the fused native kernel.
+    */
+  def bandCodesHof(vecCol: Column, planes: Array[Array[Double]], bandBits: Int): Seq[Column] = {
     val nBands = planes.length / bandBits
     (0 until nBands).map { b =>
       val bits = (0 until bandBits).map { i =>
@@ -96,11 +102,9 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Array[Array[Double]], bandBits: Int = 6): DataFrame = {
-    def banded(df: DataFrame, role: String): DataFrame = {
-      val codes = bandCodes(col(vecCol), planes, bandBits)
+    def banded(df: DataFrame, role: String): DataFrame =
       df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
-          posexplode(array(codes: _*)).as(Seq("band", "chunk")))
-    }
+        posexplode(bandCodes(col(vecCol), planes, bandBits)).as(Seq("band", "chunk")))
     val qb = banded(queries, "query")
     val cb = banded(corpus, "neighbor")
     val candidates = cb.join(broadcast(qb), Seq("band", "chunk"))

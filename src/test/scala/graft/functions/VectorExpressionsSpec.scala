@@ -35,6 +35,19 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused band codes equal the composed-builtin form") {
+    val planes = Similarity.hyperplanes(120, 64)
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings").limit(100)
+    val fused = emb.select(col("vec_id"),
+        VectorExpressions.bandCodes(col("embedding"), planes, 6).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val composed = emb.select(col("vec_id") +:
+        Similarity.bandCodesHof(col("embedding"), planes, 6)
+          .zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq).toMap
+    assert(fused == composed)
+  }
+
   test("double-typed arrays work through the same expression") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val got = df.select(VectorExpressions.cosine(col("a"), col("b"))).as[Double].collect().head
