@@ -201,6 +201,13 @@ object SparkEntry {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  private def qEventsSliding(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+
   private def qEventsAgg(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(col("event_type"))
@@ -432,6 +439,7 @@ object SparkEntry {
     "q_join_agg" -> (qJoinAgg _),
     "q_window_topn" -> (qWindowTopN _),
     "q_events_window" -> (qEventsWindow _),
+    "q_events_sliding" -> (qEventsSliding _),
     "q_events_agg" -> (qEventsAgg _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_stream_route" -> (qStreamRoute _),
@@ -615,6 +623,16 @@ object SparkEntry {
         "event_type, count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+
+    "q_events_sliding" ->
+      ("WITH starts AS (" +
+        "SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start, " +
+        "event_type FROM events " +
+        "UNION ALL " +
+        "SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) - INTERVAL '1 hour' " +
+        "AS window_start, event_type FROM events) " +
+        "SELECT window_start, event_type, count(*) AS n_events FROM starts " +
+        "GROUP BY 1, 2 ORDER BY window_start, event_type"),
 
     "q_events_agg" ->
       ("SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users, " +

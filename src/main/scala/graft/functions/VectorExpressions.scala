@@ -155,4 +155,17 @@ object VectorExpressions {
   def bandCodes(v: Column, planes: Array[Array[Double]], bandBits: Int): Column =
     GraftColumnBridge.column(HyperplaneBandCodes(
       GraftColumnBridge.expression(v), planes, bandBits))
+
+  /** Register `graft_cosine(a, b)` as a SQL-callable function on the
+    * session, so `spark.sql("... graft_cosine(x, y) ...")` reaches the
+    * native kernel too.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine",
+      exprs => {
+        require(exprs.length == 2, "graft_cosine takes exactly 2 arguments")
+        CosineSimilarity(exprs.head, exprs(1))
+      },
+      "built-in")
 }

@@ -48,6 +48,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(fused == composed)
   }
 
+  test("graft_cosine is callable from SQL after registration") {
+    VectorExpressions.register(spark)
+    Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val got = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs").as[Double].collect().head
+    assert(math.abs(got) < 1e-12)
+  }
+
   test("double-typed arrays work through the same expression") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val got = df.select(VectorExpressions.cosine(col("a"), col("b"))).as[Double].collect().head
