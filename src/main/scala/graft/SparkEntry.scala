@@ -338,6 +338,11 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private def qProfile(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Profile.profile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy(col("col_name"))
+
   /** Composed training-corpus cleaning: quality gate + language ID +
     * exact-dedup representative selection in one declarative pipeline —
     * the operators compose as plain DataFrame transforms, and Catalyst
@@ -457,6 +462,7 @@ object SparkEntry {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_corpus_clean" -> (qCorpusClean _),
+    "q_profile" -> (qProfile _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_frame_sample" -> (qFrameSample _))
 
@@ -720,6 +726,17 @@ object SparkEntry {
         "FROM scored s JOIN reps r ON s.doc_id = r.doc_id " +
         "WHERE s.n_tokens >= 20 AND s.n_tokens <= 500 AND s.stopword_hits >= 1 " +
         "ORDER BY s.doc_id"
+    },
+
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      cols.map { c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value " +
+          "FROM orders"
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
     },
 
     "q_sim_topk" ->
