@@ -338,6 +338,29 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedAggregate(
+        t(s, d, "lineitem").withColumn("qty_dec", col("l_quantity").cast(DecimalType(12, 2))),
+        keys = Seq("l_returnflag"), saltBuckets = 8,
+        saltOver = Seq("l_orderkey", "l_linenumber"),
+        aggs = Seq(
+          graft.operators.Skew.sumOf(col("qty_dec"), "sum_qty"),
+          graft.operators.Skew.countOf("n_rows"),
+          graft.operators.Skew.maxOf(col("l_partkey"), "max_part")))
+      .select(col("l_returnflag"), col("sum_qty").cast(DecimalType(18, 2)).as("sum_qty"),
+        col("n_rows"), col("max_part"))
+      .orderBy(col("l_returnflag"))
+
+  private def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    val part = t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.operators.Skew.saltedJoin(li, part, "l_partkey", saltBuckets = 4,
+        factSaltOver = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   private def qProfile(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Profile.profile(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
@@ -463,6 +486,8 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_corpus_clean" -> (qCorpusClean _),
     "q_profile" -> (qProfile _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_frame_sample" -> (qFrameSample _))
 
@@ -727,6 +752,16 @@ object SparkEntry {
         "WHERE s.n_tokens >= 20 AND s.n_tokens <= 500 AND s.stopword_hits >= 1 " +
         "ORDER BY s.doc_id"
     },
+
+    "q_salted_agg" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty, " +
+        "count(*) AS n_rows, max(l_partkey) AS max_part " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_salted_join" ->
+      ("SELECT p_brand, count(*) AS n_items FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand"),
 
     "q_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
