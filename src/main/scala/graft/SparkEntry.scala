@@ -314,6 +314,11 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def qBpeTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), Text.bpeTokenCount(col("text")).as("n_bpe_units"))
+      .orderBy(col("doc_id"))
+
   private def qTextQuality(s: SparkSession, d: String): DataFrame =
     Text.qualityMetrics(t(s, d, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -479,6 +484,7 @@ object SparkEntry {
     "q_simhash_sig" -> (qSimhashSig _),
     "q_fingerprint" -> (qFingerprint _),
     "q_tokens" -> (qTokens _),
+    "q_bpe_tokens" -> (qBpeTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_lang_id" -> (qLangId _),
     "q_sim_topk" -> (qSimTopK _),
@@ -700,6 +706,10 @@ object SparkEntry {
     "q_tokens" ->
       ("SELECT doc_id, CAST(len(" + tokensExpr + ") AS BIGINT) AS n_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),
+
+    "q_bpe_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) " +
+        "AS BIGINT) AS n_bpe_units FROM documents ORDER BY doc_id"),
 
     "q_text_quality" -> {
       val stop = Text.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -28,6 +28,16 @@ object Text {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + lit(1L) + floor(length(t) / lit(8)).cast("long"))
 
+  /** GPT-2-style pre-tokenizer pattern (ASCII simplification): a token
+    * is an optionally-space-prefixed letter run, digit run, or
+    * punctuation run. This is the unit count a BPE tokenizer would start
+    * from; `regexp_extract_all` keeps it codegen'd.
+    */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
   val DefaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "on", "for", "with", "as", "by", "at", "from")
