@@ -22,9 +22,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // reference-style e2e throughput scenario: full-table copy through
-    // the pipeline runner (scan -> transform -> write), verified by count
+    // reference-style e2e throughput scenarios (stderr lines)
     benchCopy(spark, sfDir)
+    benchScenario("dedup_cluster", spark, sfDir, "documents") { (s, dir) =>
+      SparkEntry.queries("q_dedup_clusters")(s, dir).count()
+    }
+    benchScenario("similarity_topk", spark, sfDir, "embeddings") { (s, dir) =>
+      SparkEntry.queries("q_sim_topk")(s, dir).count()
+    }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -36,6 +41,24 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Time one scenario and report reference-style rows/sec over the
+    * scenario's input table size.
+    */
+  private def benchScenario(name: String, spark: SparkSession, sfDir: String,
+                            inputTable: String)(run: (SparkSession, String) => Long): Unit = {
+    try {
+      val inputRows = Tables.load(spark, sfDir, inputTable).count()
+      val t0 = System.nanoTime()
+      run(spark, sfDir)
+      val ms = (System.nanoTime() - t0) / 1e6
+      val rps = (inputRows * 1000 / ms).toLong
+      System.err.println(
+        s"BENCHMARK_RESULT | scenario=$name rows=$inputRows durationMs=${ms.toLong} rowsPerSec=$rps")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    }
   }
 
   private def benchCopy(spark: SparkSession, sfDir: String): Unit = {

@@ -434,6 +434,21 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Parquet TTL round trip (reference: readers/TimestampColumns.scala +
+    * CqlToParquetToScyllaTimestampRoundTripTest): per-cell meta columns
+    * get the parquet-safe `__graft_meta_` prefix on the way out and lose
+    * it on the way back; payload columns are untouched.
+    */
+  private def qMetaRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      (col("l_suppkey") % 100).cast("long").as("l_quantity_ttl"))
+    val prefixed = Relational.addMetaPrefix(base, Seq("l_quantity_ttl"))
+    require(prefixed.columns.contains("__graft_meta_l_quantity_ttl"))
+    Relational.stripMetaPrefix(prefixed)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity_ttl"))
+  }
+
   private def qTsWiden(s: SparkSession, d: String): DataFrame =
     graft.operators.TimestampWidening.widen(
         t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")))
@@ -451,6 +466,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_refine" -> (qHashRefine _),
+    "q_meta_roundtrip" -> (qMetaRoundtrip _),
     "q_ts_widen" -> (qTsWiden _),
     "q_decimal_canon" -> (qDecimalCanon _),
     "q_scan_prune" -> (qScanPrune _),
@@ -520,6 +536,11 @@ object SparkEntry {
         "x -> x IS NOT NULL)), ',') AS differing_columns " +
         "FROM orders s JOIN t ON s.o_orderkey = t.o_orderkey) " +
         "WHERE differing_columns <> '' ORDER BY o_orderkey"),
+
+    "q_meta_roundtrip" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "CAST(l_suppkey % 100 AS BIGINT) AS l_quantity_ttl FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity_ttl"),
 
     "q_ts_widen" ->
       ("SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_millis " +

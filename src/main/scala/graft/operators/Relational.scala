@@ -97,9 +97,13 @@ object Relational {
     * data, which matters when the scan is 100 TB.
     */
   def dropNullPrimaryKeys(df: DataFrame, pk: Seq[String],
-                          observationName: String = "null_pk_drop"): DataFrame = {
+                          observationName: String = ""): DataFrame = {
     val anyNull = pk.map(c => col(escaped(c)).isNull).reduce(_ || _)
-    df.observe(observationName, sum(when(anyNull, 1L).otherwise(0L)).as("rows_dropped"))
+    // default name derives from the key set so two drops in one plan
+    // don't collide on the observation name
+    val name = if (observationName.nonEmpty) observationName
+      else s"null_pk_drop_${pk.mkString("_")}"
+    df.observe(name, sum(when(anyNull, 1L).otherwise(0L)).as("rows_dropped"))
       .filter(!anyNull)
   }
 
