@@ -265,9 +265,12 @@ object SparkEntry {
     // prefilter (cheap fixed-width compare) -> exact verify at J >= 0.9.
     // On this corpus most pairs sit at J 0.4-0.8, so the prefilter is
     // what keeps the exact verify proportional to true output size.
+    // shingle+signature projection is referenced three times below
+    // (banding, estimate, exact verify) — materialize it once
     val sh = t(s, d, "documents").filter(col("doc_id") < 1000)
       .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
       .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
+      .localCheckpoint()
     val candidates = Dedup
       .lshCandidatesWeighted(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
       .filter(col("matching_bands") >= 6) // free coarse estimate: J≈0.9 -> ~10.5 bands
@@ -285,6 +288,7 @@ object SparkEntry {
     val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
     val sh = docs.select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
       .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
+      .localCheckpoint()
     val edges = Dedup.lshStarEdges(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
     val kept = Dedup.estimateJaccard(edges, sh, "doc_id", "sig")
       .filter(col("matching_hashes") >= 52)
