@@ -1,0 +1,34 @@
+package graft
+
+import graft.config.PipelineConfig
+
+/** Migration executable (reference: com.scylladb.migrator.Migrator main,
+  * Migrator.scala:14-44): load + validate config, run the copy pipeline,
+  * log redacted config and outcome.
+  *
+  * Usage: runMain graft.Migrate <config-file>
+  */
+object Migrate {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: graft.Migrate <config-file>")
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(args(0)))
+    val cfg = PipelineConfig.parse(text) match {
+      case Right(c) => c
+      case Left(err) => System.err.println(s"[migrate] invalid config: $err"); sys.exit(2)
+    }
+    val spark = Tables.session("graft-migrate",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"[migrate] ${cfg.renderRedacted}")
+    try {
+      val result = Pipeline.run(spark, cfg)
+      println(s"[migrate] rows copied: ${result.rowsCopied}; " +
+        s"files completed: ${result.filesCompleted.size}")
+      result.validation.foreach { v =>
+        val failures = v.count()
+        println(s"[migrate] post-copy validation failures: $failures")
+        if (failures > 0) sys.exit(1)
+      }
+    } finally spark.stop()
+  }
+}

@@ -44,8 +44,13 @@ final class SavepointsManager(
   }
 
   private var scheduler: Option[ScheduledExecutorService] = None
+  private var shutdownHook: Option[Thread] = None
 
-  /** Start periodic dumps on a daemon thread. */
+  /** Start periodic dumps on a daemon thread, and register a JVM
+    * shutdown hook so an interrupted run (SIGINT/SIGTERM) still records
+    * its final progress — the portable equivalent of the reference's
+    * signal handlers (SavepointsManager.scala:248-322).
+    */
   def start(): this.type = {
     val s = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-savepoints")
@@ -54,6 +59,9 @@ final class SavepointsManager(
     }
     s.scheduleAtFixedRate(() => dump(), intervalSeconds, intervalSeconds, TimeUnit.SECONDS)
     scheduler = Some(s)
+    val hook = new Thread(() => if (!closed) dump(), "graft-savepoints-shutdown")
+    Runtime.getRuntime.addShutdownHook(hook)
+    shutdownHook = Some(hook)
     this
   }
 
@@ -82,6 +90,10 @@ final class SavepointsManager(
       scheduler.foreach { s =>
         s.shutdown()
         s.awaitTermination(10, TimeUnit.SECONDS)
+      }
+      shutdownHook.foreach { h =>
+        try Runtime.getRuntime.removeShutdownHook(h)
+        catch { case _: IllegalStateException => () } // already shutting down
       }
       dump() // final savepoint
       ()
