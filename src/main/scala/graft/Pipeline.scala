@@ -53,6 +53,28 @@ object Pipeline {
   def transform(df: DataFrame, cfg: PipelineConfig): DataFrame =
     Relational.applyRenames(df, cfg.renames)
 
+  /** Repair: append source rows whose PK is absent from the target
+    * (reference copyMissingRows, scylla/MySQLToScyllaValidator.scala:953-983
+    * — left_anti then write; idempotent because only missing keys ship).
+    * Returns the number of repaired rows.
+    */
+  def repairMissingRows(spark: SparkSession, cfg: PipelineConfig): Long = {
+    val v = cfg.validation.getOrElse(
+      throw new IllegalArgumentException("repair requires a validation block"))
+    val targetPath = cfg.target match {
+      case TargetConfig.Parquet(p, _, _, _) => p
+      case other => throw new IllegalArgumentException(s"unsupported repair target: $other")
+    }
+    val src = transform(read(spark, cfg), cfg)
+    val tgt = spark.read.parquet(targetPath)
+    val missing = graft.validation.Diff.missingInTarget(src, tgt, v.primaryKey)
+    val appendCfg = cfg.copy(target = cfg.target match {
+      case p: TargetConfig.Parquet => p.copy(mode = "append")
+      case t => t
+    })
+    writeCounted(missing.select(tgt.columns.map(col).toIndexedSeq: _*), appendCfg)
+  }
+
   /** Write and return the row count from an `observe` metric riding the
     * write job — one scan total, never a separate count() action (two
     * full passes is the difference between one day and two at 100 TB).

@@ -10,12 +10,15 @@ import graft.validation.{Diff, HashRefinement}
   * report a failure breakdown (missing / extra / mismatched with column
   * attribution), exit non-zero when differences exist.
   *
-  * Usage: runMain graft.Validate <config-file>
-  * (config must carry a parquet target and a validation block)
+  * Usage: runMain graft.Validate <config-file> [--repair]
+  * (config must carry a parquet target and a validation block;
+  * --repair appends source rows missing from the target before the
+  * final breakdown, mirroring the reference's copyMissingRows)
   */
 object Validate {
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: graft.Validate <config-file>")
+    require(args.nonEmpty && args.length <= 2, "usage: graft.Validate <config-file> [--repair]")
+    val repair = args.contains("--repair")
     val text = java.nio.file.Files.readString(java.nio.file.Paths.get(args(0)))
     val cfg = PipelineConfig.parse(text) match {
       case Right(c) => c
@@ -33,6 +36,10 @@ object Validate {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     spark.sparkContext.setLogLevel("WARN")
     try {
+      if (repair) {
+        val repaired = Pipeline.repairMissingRows(spark, cfg)
+        println(s"[validate] repaired missing rows: $repaired")
+      }
       val src = Pipeline.transform(Pipeline.read(spark, cfg), cfg)
       val tgt = spark.read.parquet(targetPath)
 

@@ -80,6 +80,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("repair appends exactly the missing rows, idempotently") {
+    val tmp = Files.createTempDirectory("graft-repair")
+    val out = tmp.resolve("out").toString
+    val cfg = PipelineConfig.parse(cfgText(s"${TestSpark.sf}/nation.parquet", out,
+      """validation.primaryKey: n_nationkey
+        |validation.compareColumns: n_name
+        |""".stripMargin)).toOption.get
+    Pipeline.run(spark, cfg)
+    // drop two rows from the target
+    spark.read.parquet(out).filter(col("n_nationkey") >= 2)
+      .write.mode("overwrite").parquet(tmp.resolve("out2").toString)
+    val cfg2 = cfg.copy(target = cfg.target.asInstanceOf[graft.config.TargetConfig.Parquet]
+      .copy(path = tmp.resolve("out2").toString))
+    assert(Pipeline.repairMissingRows(spark, cfg2) == 2)
+    assert(spark.read.parquet(tmp.resolve("out2").toString).count() ==
+      spark.read.parquet(out).count())
+    // second repair is a no-op (idempotent)
+    assert(Pipeline.repairMissingRows(spark, cfg2) == 0)
+  }
+
   test("validation detects a corrupted target") {
     val tmp = Files.createTempDirectory("graft-corrupt")
     val out = tmp.resolve("out").toString
