@@ -11,13 +11,13 @@ import graft.config.PipelineConfig
 object Migrate {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: graft.Migrate <config-file>")
-    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(args(0)))
-    val cfg = PipelineConfig.parse(text) match {
+    val spark = Tables.session("graft-migrate",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    val cfg = PipelineConfig.loadFrom(args(0),
+        spark.sparkContext.hadoopConfiguration) match {
       case Right(c) => c
       case Left(err) => System.err.println(s"[migrate] invalid config: $err"); sys.exit(2)
     }
-    val spark = Tables.session("graft-migrate",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     spark.sparkContext.setLogLevel("WARN")
     println(s"[migrate] ${cfg.renderRedacted}")
     try {

@@ -19,8 +19,11 @@ object Validate {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty && args.length <= 2, "usage: graft.Validate <config-file> [--repair]")
     val repair = args.contains("--repair")
-    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(args(0)))
-    val cfg = PipelineConfig.parse(text) match {
+    val spark = Tables.session("graft-validate",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = PipelineConfig.loadFrom(args(0),
+        spark.sparkContext.hadoopConfiguration) match {
       case Right(c) => c
       case Left(err) => System.err.println(s"[validate] invalid config: $err"); sys.exit(2)
     }
@@ -32,9 +35,6 @@ object Validate {
       case other =>
         System.err.println(s"[validate] unsupported validation target: $other"); sys.exit(2)
     }
-    val spark = Tables.session("graft-validate",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
-    spark.sparkContext.setLogLevel("WARN")
     try {
       if (repair) {
         val repaired = Pipeline.repairMissingRows(spark, cfg)

@@ -89,6 +89,21 @@ final case class ValidationConfig(
 
 object PipelineConfig {
 
+  /** Load from any Hadoop-visible path (local, s3a://, gs:// — whatever
+    * filesystems the runtime has configured; reference:
+    * config/MigratorConfig.loadFrom, MigratorConfig.scala:155-172).
+    */
+  def loadFrom(path: String,
+               conf: org.apache.hadoop.conf.Configuration): Either[String, PipelineConfig] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    parse(text)
+  }
+
   /** Parse the flat `section.key: value` line format. Unknown keys are
     * errors (config typos must not silently change behavior).
     */

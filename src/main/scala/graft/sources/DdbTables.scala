@@ -112,6 +112,21 @@ object DdbTables {
       s"""{"manifestFilesPath":"manifest-files.json","itemCount":${perFile.map(_._3).sum}}""")
   }
 
+  /** Attribute renames on DynamoDB-JSON items (reference:
+    * writers/DynamoDB.scala:121-129 / DynamoStreamReplication.scala:74-89
+    * — `renamesMap.getOrElse(key, key)` over item maps). Re-encodes
+    * canonically, so a rename is also a canonicalization pass.
+    */
+  def renameKeys(df: DataFrame, renames: Map[String, String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val col0 = df.columns.head
+    df.select(col(col0).as("item_json")).as[String].map { line =>
+      val item = DdbJson.decodeItemLine(line)
+      DdbJson.encodeItemLine(item.map { case (k, v) => renames.getOrElse(k, k) -> v })
+    }.toDF("item_json")
+  }
+
   // ------------------------------------------------------- validation
 
   /** Canonical key projection: (key_json, item_json) where key_json is

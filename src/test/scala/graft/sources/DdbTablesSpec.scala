@@ -43,6 +43,14 @@ class DdbTablesSpec extends AnyFunSuite {
     assert(got.find(_._2 == "extra_target").get._1.contains("id4"))
   }
 
+  test("renameKeys rewrites attribute names and canonicalizes") {
+    val df = Seq("""{"Item":{"old_pk":{"S":"x"},"keep":{"N":"1"}}}""").toDF("item_json")
+    val out = DdbTables.renameKeys(df, Map("old_pk" -> "pk")).as[String].collect().head
+    val item = DdbJson.decodeItemLine(out)
+    assert(item.keySet == Set("pk", "keep"))
+    assert(item("pk") == DdbValue.S("x"))
+  }
+
   test("keyed projects canonical composite keys") {
     val df = Seq(itemLine(7, "x")).toDF("item_json")
     val k = DdbTables.keyed(df, Seq("pk", "absent")).collect().head
