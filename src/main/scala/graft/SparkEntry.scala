@@ -338,6 +338,12 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private def qCosNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosinePairs(t(s, d, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.35)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+
   private def qSimLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val planes = Similarity.hyperplanes(numPlanes = 120, dim = 64)
@@ -510,6 +516,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_cos_neardup" -> (qCosNearDup _),
     "q_corpus_clean" -> (qCorpusClean _),
     "q_profile" -> (qProfile _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -821,6 +828,16 @@ object SparkEntry {
         "(SELECT query_id, neighbor_id, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored) " +
         "WHERE rn <= 5 ORDER BY query_id, rank"),
+
+    "q_cos_neardup" ->
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b " +
+        "WHERE a.vec_id < b.vec_id AND " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35 " +
+        "ORDER BY id_a, id_b"),
 
     "q_multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
