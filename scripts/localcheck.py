@@ -48,6 +48,16 @@ def main(sf_dir, out_dir):
     for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        # DECIMAL output columns are a driver-compare hazard: the driver
+        # materializes duckdb results and spark parquet through different
+        # paths (float64 vs decimal.Decimal) and hash-mismatches even when
+        # values are equal (round-1: q1_agg/q_join_agg/q_events_window/
+        # q_salted_agg). Keep decimal math internal, emit DOUBLE/BIGINT.
+        dec_cols = [c for c, t in zip(gcols, [str(x) for x in got.types])
+                    if "DECIMAL" in str(t).upper()]
+        if dec_cols:
+            failures.append((name, f"DECIMAL output columns {dec_cols} — cast to DOUBLE/BIGINT"))
+            continue
         if name not in oracle:
             skips.append((name, len(grows)))
             continue

@@ -124,7 +124,11 @@ object Pipeline {
 
     val validation = (cfg.validation, cfg.target) match {
       case (Some(v), TargetConfig.Parquet(path, _, _, _)) =>
-        val src = transform(read(spark, cfg), cfg)
+        // validate against the FULL source: skipFiles marks files already
+        // copied by a previous run — their rows ARE in the target, so a
+        // skipping read would misreport them as extra_target on a correct
+        // resumed copy (and throw if every file was already copied)
+        val src = transform(read(spark, cfg.copy(skipFiles = Set.empty)), cfg)
         val tgt = spark.read.parquet(path)
         Some(Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)
           .filter(col("diff_kind") =!= "match")

@@ -129,8 +129,12 @@ case class HyperplaneBandCodes(child: Expression, planes: Array[Array[Double]], 
       i += 1
     }
     val codes = new Array[Long](nBands)
+    // only full bands participate: planes beyond nBands*bandBits are
+    // ignored (same contract as the HOF cross-check form); looping to
+    // numPlanes would index codes(p/bandBits) past the array end
+    val used = nBands * bandBits
     var p = 0
-    while (p < numPlanes) {
+    while (p < used) {
       var dot = 0.0
       val base = p * dim
       var d = 0

@@ -20,16 +20,21 @@ import org.apache.spark.sql.functions._
   *    replicate but the fact's hot keys overwhelm single tasks.
   *
   * Salt is `pmod(hash(cols...), buckets)` over the *row's other columns*
-  * (or monotonically_increasing_id when nothing else exists) so it is
-  * deterministic per row — reruns and retries produce identical
-  * assignments, keeping the operators safe under task retry.
+  * so it is deterministic per row — reruns and retries produce identical
+  * assignments, keeping the operators safe under task retry. Callers must
+  * name at least one salt column: a positional fallback (e.g.
+  * monotonically_increasing_id) is partition-layout dependent and can
+  * reassign rows when a map stage is recomputed — the classic
+  * nondeterministic-shuffle correctness hazard for two-phase aggregation.
   */
 object Skew {
 
   /** Deterministic salt in [0, buckets) derived from the given columns. */
-  def salt(buckets: Int, over: Seq[Column]): Column =
-    if (over.nonEmpty) pmod(hash(over: _*), lit(buckets))
-    else pmod(hash(monotonically_increasing_id()), lit(buckets))
+  def salt(buckets: Int, over: Seq[Column]): Column = {
+    require(over.nonEmpty,
+      "salt requires at least one column: row-position fallbacks are not stable under task retry")
+    pmod(hash(over: _*), lit(buckets))
+  }
 
   /** One aggregate in (partial, merge) form, e.g.
     * Agg(sum(col("x")).as("s"), sum(col("s")).as("s")).

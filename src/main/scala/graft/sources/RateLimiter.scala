@@ -21,6 +21,14 @@ final class RateLimiter(unitsPerSecond: Double, burstSeconds: Double = 1.0)
 
   private def refill(): Unit = {
     val now = System.nanoTime()
+    if (lastRefillNanos == 0L) {
+      // @transient fields deserialize to 0 when the limiter ships in a
+      // task closure: re-initialize to a full bucket anchored at first
+      // use instead of computing elapsed from nanoTime's arbitrary origin
+      tokens = capacity
+      lastRefillNanos = now
+      return
+    }
     val elapsed = (now - lastRefillNanos) / 1e9
     tokens = math.min(capacity, tokens + elapsed * unitsPerSecond)
     lastRefillNanos = now

@@ -57,20 +57,28 @@ object CdcApply {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sess = batch.sparkSession
+        val dst = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = dst.getFileSystem(sess.sparkContext.hadoopConfiguration)
+        // only a genuinely-absent target starts from empty state; any
+        // other read failure (corrupt footer, transient IO) fails the
+        // batch loudly instead of silently resetting accumulated state
         val current =
-          try sess.read.parquet(targetPath)
-          catch { case _: Exception => sess.createDataFrame(
+          if (fs.exists(dst)) sess.read.parquet(targetPath)
+          else sess.createDataFrame(
             sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(
-              changesSchema.filterNot(_.name == opCol))) }
+              changesSchema.filterNot(_.name == opCol)))
         val merged = applyBatch(current, batch, pk, opCol, orderCols(batch))
-        // write to tmp then swap: the parquet analog of idempotent upsert
-        val tmp = targetPath + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(sess.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(targetPath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        // write to tmp, rename old target aside, then swap: a crash at
+        // any point leaves either dst or dst__old intact (recoverable),
+        // never a window where the accumulated state is simply gone
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
+        fs.delete(old, true)
+        if (fs.exists(dst)) fs.rename(dst, old)
+        fs.rename(tmp, dst)
+        fs.delete(old, true)
         ()
       }
       .start()

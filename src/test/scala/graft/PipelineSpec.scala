@@ -65,6 +65,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.rowsCopied == 1)
   }
 
+  test("resumed run validates against the full source, not the skip-filtered one") {
+    val tmp = Files.createTempDirectory("graft-resume-val")
+    val in = tmp.resolve("in").toString
+    val out = tmp.resolve("out").toString
+    import spark.implicits._
+    (1 to 3).foreach(i => Seq((i, s"v$i")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$in/f$i"))
+    val files = ParquetSource.listParquetFiles(in, spark.sparkContext.hadoopConfiguration)
+
+    // run 1: full copy
+    val cfg1 = PipelineConfig.parse(cfgText(in, out,
+      s"savepoints.dir: ${tmp.resolve("sp")}\n")).toOption.get
+    assert(Pipeline.run(spark, cfg1).rowsCopied == 3)
+
+    // run 2: everything already copied (skipFiles = all), append mode.
+    // Copy phase is a no-op; validation must still see the full source —
+    // previously it re-applied skipFiles and either threw (all skipped)
+    // or reported the skipped files' rows as extra_target
+    val cfg2 = PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $in
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: append
+         |savepoints.dir: ${tmp.resolve("sp2")}
+         |skipFiles: ${files.mkString(", ")}
+         |validation.primaryKey: id
+         |validation.compareColumns: v
+         |""".stripMargin).toOption.get
+    val r2 = Pipeline.run(spark, cfg2)
+    assert(r2.rowsCopied == 0)
+    assert(r2.validation.get.count() == 0) // resumed copy validates clean
+  }
+
   test("partitioned write lays out directories by column and prunes on read") {
     val tmp = Files.createTempDirectory("graft-part")
     val out = tmp.resolve("out").toString

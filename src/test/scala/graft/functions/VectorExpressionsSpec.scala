@@ -48,6 +48,23 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(fused == composed)
   }
 
+  test("band codes ignore trailing planes when planes.length is not a bandBits multiple") {
+    // 120 planes / 7 bits = 17 bands using 119 planes; the 120th plane
+    // must be ignored (not write past the codes array) — matching the
+    // HOF form's behavior
+    val planes = Similarity.hyperplanes(120, 64)
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings").limit(50)
+    val fused = emb.select(col("vec_id"),
+        VectorExpressions.bandCodes(col("embedding"), planes, 7).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val composed = emb.select(col("vec_id") +:
+        Similarity.bandCodesHof(col("embedding"), planes, 7)
+          .zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq).toMap
+    assert(fused.values.head.size == 17)
+    assert(fused == composed)
+  }
+
   test("graft_cosine is callable from SQL after registration") {
     VectorExpressions.register(spark)
     Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b").createOrReplaceTempView("vecs")

@@ -34,6 +34,10 @@ class SkewSpec extends AnyFunSuite {
     assert(buckets >= 6) // hot key spread over (almost) all 8 buckets
   }
 
+  test("salt refuses empty column list (retry-unsafe positional fallback)") {
+    assertThrows[IllegalArgumentException](Skew.salt(8, Seq.empty))
+  }
+
   test("salted join equals plain join") {
     val li = Tables.load(spark, TestSpark.sf, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
