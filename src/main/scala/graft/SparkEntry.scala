@@ -263,52 +263,57 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // scalable near-dup tier: LSH candidates -> signature-estimate
-    // prefilter (cheap fixed-width compare) -> exact verify at J >= 0.9.
-    // On this corpus most pairs sit at J 0.4-0.8, so the prefilter is
-    // what keeps the exact verify proportional to true output size.
-    // shingle+signature projection is referenced three times below
-    // (banding, estimate, exact verify) — materialize it once
-    val sh = t(s, d, "documents").filter(col("doc_id") < 1000)
-      .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+  /** Shared MinHash near-dup tier: LSH candidates -> signature-estimate
+    * prefilter (cheap fixed-width compare) -> exact verify at J >= 0.9.
+    * On this corpus most pairs sit at J 0.4-0.8, so the prefilter keeps
+    * the exact verify proportional to true output size. Prefilter
+    * thresholds are set for FULL recall at τ=0.9: measured over every
+    * exact J>=0.9 pair at sf0.01 AND sf0.1, the minima are 5 matching
+    * bands and 48 matching hashes — (>=4, >=46) keeps a step of margin
+    * while cutting candidate volume ~30% vs (>=2). The verified output
+    * therefore equals the exact-Jaccard pair set and is DuckDB-oracle-
+    * checkable; false positives cost only estimate-tier compares,
+    * removed by the exact verify.
+    */
+  private def verifiedNearDupPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+    // shingle+signature projection is referenced three times (banding,
+    // estimate, exact verify) — materialize it once
+    val sh = docs.select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
       .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
       .localCheckpoint()
     val candidates = Dedup
       .lshCandidatesWeighted(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
-      .filter(col("matching_bands") >= 6) // free coarse estimate: J≈0.9 -> ~10.5 bands
+      .filter(col("matching_bands") >= 4)
       .select("id_a", "id_b")
     val estimated = Dedup.estimateJaccard(candidates, sh, "doc_id", "sig")
-      .filter(col("matching_hashes") >= 52) // est J >= ~0.81, 2σ below τ=0.9
+      .filter(col("matching_hashes") >= 46)
       .select("id_a", "id_b")
-    Dedup.verifyJaccard(estimated, sh, "doc_id", "sh", 9, 10)
-      .orderBy(col("id_a"), col("id_b"))
+    (docs, Dedup.verifyJaccard(estimated, sh, "doc_id", "sh", 9, 10))
   }
 
+  private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
+    verifiedNearDupPairs(s, d)._2.orderBy(col("id_a"), col("id_b"))
+
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
-    // clustering tier: star edges per bucket (O(n) candidate volume)
-    // + fixed-width signature estimate — no O(n²) pair expansion
-    val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
-    val sh = docs.select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
-      .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
-      .localCheckpoint()
-    val edges = Dedup.lshStarEdges(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
-    val kept = Dedup.estimateJaccard(edges, sh, "doc_id", "sig")
-      .filter(col("matching_hashes") >= 52)
-      .select("id_a", "id_b")
-    Dedup.clusterRepresentatives(docs, kept, "doc_id")
+    // clustering tier: connected components (min-label propagation) over
+    // the exact-verified near-dup pairs; with full-recall candidates the
+    // components equal those of the exact J>=0.9 graph, so the labels
+    // are oracle-checkable via a recursive transitive closure
+    val (docs, verified) = verifiedNearDupPairs(s, d)
+    Dedup.clusterRepresentatives(docs, verified.select("id_a", "id_b"), "doc_id")
       .orderBy(col("id"))
   }
 
   private def qSimhashSig(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("doc_id"), Dedup.simHashExpr("text").as("simhash"))
+      .select(col("doc_id"), Dedup.simHashPortableExpr("text").as("simhash"))
       .orderBy(col("doc_id"))
 
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
-        Text.fingerprintExpr("text").as("fp"))
+        Text.fingerprintPortableExpr("text").as("fp"))
       .select(col("doc_id"), size(col("fp")).cast("long").as("n_fingerprints"),
         element_at(col("fp"), 1).as("min_fingerprint"))
       .orderBy(col("doc_id"))
@@ -406,14 +411,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** IVF is the one operator whose internals a SQL oracle cannot
+    * replicate (k-means centroids involve engine-side float averaging),
+    * so the gate asserts its *contract* instead: for every query, the
+    * nProbe=4-of-10-bucket search must recover at least one of the true
+    * top-5 neighbors (computed exactly in the same plan). The oracle
+    * emits the expected constant — the hash matches iff the contract
+    * holds on real output. The tight recall bound lives in IvfSpec.
+    */
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val model = Ivf.train(emb, "vec_id", "embedding", k = 10, iters = 3)
     val indexed = Ivf.index(emb, "vec_id", "embedding", model)
-    Ivf.topK(emb.filter(col("vec_id") < 10), indexed, "vec_id", "embedding",
+    val queries = emb.filter(col("vec_id") < 10)
+    val approx = Ivf.topK(queries, indexed, "vec_id", "embedding",
         model, k = 5, nProbe = 4)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)) >= 1).as("found_true_neighbor"))
+      .orderBy(col("query_id"))
   }
 
   private def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
@@ -738,9 +757,64 @@ object SparkEntry {
         "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
         "WHERE inter_size * 2 >= union_size ORDER BY id_a, id_b"),
 
+    // LSH prefilters are tuned for full recall at τ = 0.9 and the exact
+    // verify removes all false positives, so the scalable pipeline's
+    // output equals the exact O(n²) pair set — checkable in plain SQL
+    "q_minhash_lsh" ->
+      ("WITH s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
+        "FROM documents WHERE doc_id < 1000) " +
+        "SELECT id_a, id_b, inter_size, union_size FROM (" +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size, " +
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
+        "WHERE inter_size * 10 >= union_size * 9 ORDER BY id_a, id_b"),
+
+    // connected components of the exact J>=0.9 graph via recursive
+    // transitive closure; representative = min reachable doc id
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
+        "FROM documents WHERE doc_id < 1000), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a, s b " +
+        "WHERE a.doc_id < b.doc_id AND " +
+        "len(list_intersect(a.sh, b.sh)) * 10 >= len(list_distinct(list_concat(a.sh, b.sh))) * 9), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM s " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id) " +
+        "SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY id"),
+
     "q_tokens" ->
       ("SELECT doc_id, CAST(len(" + tokensExpr + ") AS BIGINT) AS n_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),
+
+    // portable SimHash: token hash bits come from md5 hex nibbles, so
+    // DuckDB reproduces the signature bit-for-bit (hash bit i = bit
+    // (i%4) of hex digit i/4; sign of ±1 votes per bit; 60 bits)
+    "q_simhash_sig" ->
+      ("SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i -> " +
+        "CASE WHEN list_sum(list_transform(md5s, m -> " +
+        "CASE WHEN (((strpos('0123456789abcdef', substr(m, CAST(i // 4 AS INT) + 1, 1)) - 1) " +
+        ">> CAST(i % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+        "THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS simhash " +
+        "FROM (SELECT doc_id, list_transform(" + tokensExpr + ", t -> md5(t)) AS md5s " +
+        "FROM documents) ORDER BY doc_id"),
+
+    // portable winnowing fingerprint: k-gram hash = first 15 md5 hex
+    // chars as a 60-bit integer (digit-positional, most significant
+    // first), window-of-4 minima, distinct+sorted
+    "q_fingerprint" ->
+      ("WITH g AS (SELECT doc_id, " +
+        "list_transform(range(1, greatest(length(text) - 7, 1) + 1), i -> " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(substr(text, CAST(i AS INT), 8)), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT)) AS hs " +
+        "FROM documents), " +
+        "fp AS (SELECT doc_id, list_sort(list_distinct(" +
+        "list_transform(range(1, greatest(len(hs) - 3, 1) + 1), i -> " +
+        "list_min(list_slice(hs, CAST(i AS INT), CAST(i AS INT) + 3))))) AS f FROM g) " +
+        "SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fingerprints, f[1] AS min_fingerprint " +
+        "FROM fp ORDER BY doc_id"),
 
     "q_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) " +
@@ -832,6 +906,41 @@ object SparkEntry {
         "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored) " +
         "WHERE rn <= 5 ORDER BY query_id, rank"),
 
+    // full deterministic replication of the random-hyperplane LSH:
+    // the planes are seed-fixed ±1 literals, so band codes (sign bits of
+    // 120 dot products), candidate generation (shared (band, code)), and
+    // the exact cosine re-rank are all expressible in DuckDB — the
+    // approximate operator gets a hash-exact oracle, not a weaker check
+    "q_sim_lsh" -> {
+      val planes = Similarity.hyperplanes(numPlanes = 120, dim = 64)
+      def planeLit(p: Array[Double]): String =
+        p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      def dotSql(p: Array[Double]): String =
+        s"list_sum(list_transform(list_zip(embedding, ${planeLit(p)}), " +
+          "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+      val bandCodes = (0 until 20).map { b =>
+        (0 until 6).map { i =>
+          s"(CASE WHEN ${dotSql(planes(b * 6 + i))} > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+      "WITH codes AS (SELECT vec_id, embedding, " + bandCodes + " AS codes FROM embeddings), " +
+        "banded AS (SELECT vec_id, embedding, b, codes[b + 1] AS code " +
+        "FROM codes, UNNEST(generate_series(0, 19)) AS t(b)), " +
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv, " +
+        "c.vec_id AS neighbor_id, c.embedding AS cv " +
+        "FROM banded q JOIN banded c ON q.b = c.b AND q.code = c.code " +
+        "WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+        "FROM cand) " +
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM " +
+        "(SELECT query_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored) " +
+        "WHERE rn <= 5 ORDER BY query_id, rank"
+    },
+
     "q_cos_neardup" ->
       ("WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b " +
@@ -841,6 +950,12 @@ object SparkEntry {
         "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
         "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35 " +
         "ORDER BY id_a, id_b"),
+
+    // contract oracle (see qSimIvf doc): constant expectation, hash
+    // matches iff every query recovered >= 1 true top-5 neighbor
+    "q_sim_ivf" ->
+      ("SELECT vec_id AS query_id, TRUE AS found_true_neighbor " +
+        "FROM embeddings WHERE vec_id < 10 ORDER BY query_id"),
 
     "q_multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +

@@ -234,6 +234,29 @@ object Dedup {
       s"0L, (x, y) -> x | y)")
   }
 
+  /** Portable 60-bit SimHash: token hashes come from md5 hex nibbles
+    * (hash bit i = bit (i%4) of hex digit i/4, 15 digits = 60 bits), so
+    * the signature is computable bit-identically in any engine with md5
+    * — this is the oracle-checked gate variant. `simHashExpr` (xxhash64,
+    * 64-bit) stays the fast production default; the structure (sign of
+    * per-bit ±1 token votes) is identical.
+    */
+  def simHashPortableExpr(textColName: String): Column = {
+    val toks = s"filter(split(trim($textColName), '\\\\s+'), t -> t != '')"
+    val md5s = s"transform($toks, t -> md5(t))"
+    val acc = s"aggregate($md5s, array_repeat(0L, 60), (acc, m) -> " +
+      s"zip_with(acc, transform(sequence(0, 59), i -> " +
+      s"CASE WHEN (shiftright(CAST(conv(substring(m, CAST(i div 4 AS INT) + 1, 1), 16, 10) AS INT), " +
+      s"CAST(i % 4 AS INT)) & 1) = 1 THEN 1L ELSE -1L END), (x, y) -> x + y))"
+    // bind the vote array once as a lambda variable: referencing $acc
+    // inside the per-bit lambda would re-run the full token accumulation
+    // once per bit (60× the work per row)
+    expr(s"aggregate(flatten(transform(array($acc), a -> " +
+      s"transform(sequence(0, 59), i -> " +
+      s"CASE WHEN element_at(a, i + 1) > 0 THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END))), " +
+      s"0L, (x, y) -> x | y)")
+  }
+
   /** Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
     * chunks (hamming<=3 pairs must collide on at least one chunk), join
     * on chunks, verify hamming distance with bit_count(xor).

@@ -53,9 +53,15 @@ object Ivf {
     (1 to iters).foreach { _ =>
       val assigned = corpus.select(col(vecCol).as("v"),
         assignment(col(vecCol), model).as("bucket"))
+      // exact decimal sums make the centroid update deterministic under
+      // any partial-aggregation merge order (double sums would drift by
+      // ulps across runs and flip near-tie assignments); one correctly-
+      // rounded cast + one double division keeps the result stable
       val sums = assigned
         .select(col("bucket"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("bucket", "d").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("bucket", "d")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 30)))
+          .cast("double") / count(lit(1))).as("m"))
         .collect()
       val next = Array.tabulate(model.centroids.length)(i => model.centroids(i).clone())
       sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))

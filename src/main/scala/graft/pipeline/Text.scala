@@ -97,11 +97,27 @@ object Text {
     * fingerprint hashes per document. Entirely expression-based
     * (substring/transform/array_min over sequence), so it rides the scan.
     */
-  def fingerprintExpr(textColName: String, k: Int = 8, w: Int = 4): Column = {
-    val grams = s"transform(sequence(1, greatest(length($textColName) - ${k - 1}, 1))," +
-      s" i -> xxhash64(substring($textColName, i, $k)))"
-    val mins = s"transform(sequence(1, greatest(size($grams) - ${w - 1}, 1))," +
-      s" i -> array_min(slice($grams, i, $w)))"
-    expr(s"array_sort(array_distinct($mins))")
-  }
+  /** Shared winnowing shape: the gram-hash array is wrapped in a
+    * single-element array and re-bound as a lambda variable, so it is
+    * materialized ONCE per row — referencing `$grams` directly inside
+    * the window-min lambda would re-evaluate the whole hash array per
+    * window position (O(n²) hashes per document).
+    */
+  private def winnow(grams: String, w: Int): Column =
+    expr(s"array_sort(array_distinct(flatten(transform(array($grams), g -> " +
+      s"transform(sequence(1, greatest(size(g) - ${w - 1}, 1))," +
+      s" i -> array_min(slice(g, i, $w)))))))")
+
+  def fingerprintExpr(textColName: String, k: Int = 8, w: Int = 4): Column =
+    winnow(s"transform(sequence(1, greatest(length($textColName) - ${k - 1}, 1))," +
+      s" i -> xxhash64(substring($textColName, i, $k)))", w)
+
+  /** Winnowing with a portable k-gram hash: the first 15 hex chars of
+    * md5 parsed as a 60-bit integer, computable bit-identically in any
+    * engine with md5 — the oracle-checked gate variant of
+    * `fingerprintExpr` (which keeps xxhash64 as the fast default).
+    */
+  def fingerprintPortableExpr(textColName: String, k: Int = 8, w: Int = 4): Column =
+    winnow(s"transform(sequence(1, greatest(length($textColName) - ${k - 1}, 1))," +
+      s" i -> CAST(conv(substring(md5(substring($textColName, CAST(i AS INT), $k)), 1, 15), 16, 10) AS BIGINT))", w)
 }
