@@ -495,8 +495,87 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
 
   // ------------------------------------------------------------------
+  // analytics beyond the reference surface: as-of join, sessionization,
+  // rollup, pivot, sketches, percentiles, corpus term stats
+  // ------------------------------------------------------------------
+
+  /** Point-in-time lookup: each click sees the latest purchase (same
+    * user, ts <= click ts). Union+window — one key shuffle, no range
+    * explosion (see AsOfJoin scaladoc).
+    */
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts",
+        Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private def qSessionize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.sessionSummary(
+        t(s, d, "events").select("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", gap = "6 hours", tieBreak = Seq(col("event_id")))
+      .orderBy(col("user_id"))
+
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P")) // explicit values: no discovery pass
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Sketch contract: HyperLogLog++ distinct-count must land within 5%
+    * of exact (computed in the same plan). The oracle emits the exact
+    * count and the expected constant — hash matches iff the sketch
+    * meets its error bound on real data.
+    */
+  private def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id")).as("__approx"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("__approx") - col("n_users_exact")) <=
+          col("n_users_exact") * 0.05).as("within_5pct"))
+      .orderBy(col("event_type"))
+
+  private def qPercentile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  private def qTermStats(s: SparkSession, d: String): DataFrame =
+    Text.termStats(t(s, d, "documents"), "text", "doc_id")
+      .filter(col("doc_freq") >= 50)
+      .orderBy(col("term"))
+
+  // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_sessionize" -> (qSessionize _),
+    "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_percentile" -> (qPercentile _),
+    "q_term_stats" -> (qTermStats _),
     "q_hash_refine" -> (qHashRefine _),
     "q_meta_roundtrip" -> (qMetaRoundtrip _),
     "q_ts_widen" -> (qTsWiden _),
@@ -556,6 +635,56 @@ object SparkEntry {
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
 
   def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      ("SELECT l.event_id, l.user_id, r.value AS asof_purchase_value " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts " +
+        "ORDER BY l.event_id"),
+
+    "q_sessionize" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '6 hours' " +
+        "THEN 1 ELSE 0 END AS is_new FROM events), " +
+        "s AS (SELECT user_id, sum(is_new) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g), " +
+        "per AS (SELECT user_id, session_seq, count(*) AS n FROM s GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, " +
+        "max(n) AS longest_session FROM per GROUP BY user_id ORDER BY user_id"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n_rows FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag, l_linestatus"),
+
+    "q_pivot" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // sketch contract: the constant TRUE matches only if the HLL++
+    // estimate is within 5% of exact on the real data
+    "q_approx_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users_exact, " +
+        "TRUE AS within_5pct FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_percentile" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25, " +
+        "quantile_cont(l_quantity, 0.5) AS p50, " +
+        "quantile_cont(l_quantity, 0.75) AS p75 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_term_stats" ->
+      ("SELECT term, count(DISTINCT doc_id) AS doc_freq, " +
+        "count(*) AS term_freq_total FROM " +
+        "(SELECT doc_id, unnest(" + tokensExpr + ") AS term FROM documents) " +
+        "GROUP BY term HAVING count(DISTINCT doc_id) >= 50 ORDER BY term"),
+
     "q_hash_refine" ->
       ("WITH t AS (SELECT o_orderkey, " +
         "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice, " +

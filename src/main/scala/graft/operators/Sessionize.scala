@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization: consecutive events of the same key belong
+  * to one session while the inter-event gap stays within `gap`; a larger
+  * gap starts a new session. The classic clickstream/session-window
+  * operator (batch analog of Structured Streaming's session windows).
+  *
+  * One window shuffle on the key: `lag` marks session starts, a running
+  * sum numbers them. Interval arithmetic (`ts - lag(ts) > INTERVAL gap`)
+  * keeps the comparison exact and engine-neutral (no float seconds).
+  */
+object Sessionize {
+
+  /** Adds `session_seq` (1-based session index per key). `tieBreak`
+    * disambiguates equal timestamps (pass a unique column for
+    * deterministic output).
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gap: String,
+                 tieBreak: Seq[Column] = Nil): DataFrame = {
+    val order = col(tsCol).asc +: tieBreak.map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull ||
+      col(tsCol) - prev > expr(s"INTERVAL $gap"), 1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-key session summary: number of sessions and the largest session
+    * (event count). Two aggregations, both flowing from the single
+    * sessionize window shuffle.
+    */
+  def sessionSummary(df: DataFrame, keys: Seq[String], tsCol: String, gap: String,
+                     tieBreak: Seq[Column] = Nil): DataFrame = {
+    val s = sessionize(df, keys, tsCol, gap, tieBreak)
+    s.groupBy((keys :+ "session_seq").map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("session_seq")).cast("long").as("n_sessions"),
+        max(col("__n")).as("longest_session"))
+  }
+}

@@ -97,6 +97,32 @@ object Text {
     * fingerprint hashes per document. Entirely expression-based
     * (substring/transform/array_min over sequence), so it rides the scan.
     */
+  /** Corpus term statistics — the TF-IDF base table: per term, document
+    * frequency and total term frequency. One explode + one aggregation;
+    * partial aggregation (map-side combine) keeps the shuffle at
+    * |vocabulary| keys, not |tokens| rows.
+    */
+  def termStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("__doc")).as("doc_freq"),
+        count(lit(1)).as("term_freq_total"))
+
+  /** TF-IDF scores per (doc, term): tf · ln(N/df). The doc-frequency
+    * side is a broadcast-sized aggregate (|vocabulary| rows), so the
+    * join adds no shuffle on the corpus side beyond the tf groupBy.
+    * Scores are doubles — for engine-exact comparisons use `termStats`
+    * (integer counts) and derive scores downstream.
+    */
+  def tfIdf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nDocs = df.select(countDistinct(col(idCol))).first().getLong(0)
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val stats = termStats(df, textCol, idCol).select(col("term"), col("doc_freq"))
+    tf.join(broadcast(stats), "term")
+      .withColumn("tf_idf", col("tf") * log(lit(nDocs.toDouble) / col("doc_freq")))
+  }
+
   /** Shared winnowing shape: the gram-hash array is wrapped in a
     * single-element array and re-bound as a lambda variable, so it is
     * materialized ONCE per row — referencing `$grams` directly inside

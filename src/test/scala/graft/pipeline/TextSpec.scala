@@ -48,6 +48,27 @@ class TextSpec extends AnyFunSuite {
     assert(fps(1L).nonEmpty)
   }
 
+  test("portable fingerprint matches the xxhash variant's set structure") {
+    val df = Seq((1L, "aa bb cc dd ee ff gg hh"), (2L, "aa bb cc dd ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), Text.fingerprintPortableExpr("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    assert(fps(1L) == fps(1L).distinct.sorted) // distinct + sorted contract
+  }
+
+  test("tf-idf: corpus-wide terms score zero, rare terms score higher") {
+    val df = Seq((1L, "common rare1"), (2L, "common rare2"), (3L, "common rare3"))
+      .toDF("doc_id", "text")
+    val scores = Text.tfIdf(df, "text", "doc_id").select("term", "tf_idf")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("common") == 0.0) // df == N -> ln(1) = 0
+    assert(scores("rare1") > 0.0)
+    val stats = Text.termStats(df, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.find(_._1 == "common").contains(("common", 3L, 3L)))
+  }
+
   test("subword count grows with word length") {
     val df = Seq(("short words here", "anextraordinarilylongcompoundword here")).toDF("a", "b")
     val r = df.select(Text.subwordCount(col("a")).as("x"), Text.subwordCount(col("b")).as("y"))
