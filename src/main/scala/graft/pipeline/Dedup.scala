@@ -39,9 +39,12 @@ object Dedup {
   def shingles(textColName: String, n: Int): Column = {
     val toks = s"filter(split(trim($textColName), '\\\\s+'), t -> t != '')"
     if (n == 1) expr(s"array_distinct($toks)")
+    // bind the token array once (single-element-array trick): inlining
+    // $toks in the per-gram lambda would re-split the text per position
     else expr(
-      s"array_distinct(transform(sequence(1, greatest(size($toks) - ${n - 1}, 1))," +
-        s" i -> concat_ws(' ', slice($toks, i, $n))))")
+      s"array_distinct(flatten(transform(array($toks), ts -> " +
+        s"transform(sequence(1, greatest(size(ts) - ${n - 1}, 1))," +
+        s" i -> concat_ws(' ', slice(ts, i, $n))))))")
   }
 
   /** MinHash signature (H hashes) computed per-row from the shingle
@@ -58,9 +61,13 @@ object Dedup {
     val aCol = typedLit(as.toSeq)
     val bCol = typedLit(bs.toSeq)
     val base = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      array_min(transform(base, x =>
-        pmod(element_at(aCol, j + 1) * x + element_at(bCol, j + 1), lit(p)))))
+    // bind the hashed-shingle array once: inlining `base` in the per-j
+    // lambda would recompute xxhash64 of every shingle numHashes times
+    // per row (64× the hash work)
+    flatten(transform(array(base), bs0 =>
+      transform(sequence(lit(0), lit(numHashes - 1)), j =>
+        array_min(transform(bs0, x =>
+          pmod(element_at(aCol, j + 1) * x + element_at(bCol, j + 1), lit(p)))))))
   }
 
   /** Candidate pairs via banded LSH over a MinHash signature column.
@@ -229,8 +236,11 @@ object Dedup {
       s"zip_with(acc, transform(sequence(0, 63), i -> " +
       s"CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1L ELSE -1L END), " +
       s"(x, y) -> x + y))"
-    expr(s"aggregate(transform(sequence(0, 63), i -> " +
-      s"CASE WHEN element_at($acc, i + 1) > 0 THEN shiftleft(1L, i) ELSE 0L END), " +
+    // bind the vote array once (see simHashPortableExpr): inlining $acc
+    // per bit would re-run the full token accumulation 64× per row
+    expr(s"aggregate(flatten(transform(array($acc), a -> " +
+      s"transform(sequence(0, 63), i -> " +
+      s"CASE WHEN element_at(a, i + 1) > 0 THEN shiftleft(1L, i) ELSE 0L END))), " +
       s"0L, (x, y) -> x | y)")
   }
 
