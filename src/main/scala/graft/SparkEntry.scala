@@ -566,6 +566,14 @@ object SparkEntry {
       .filter(col("doc_freq") >= 50)
       .orderBy(col("term"))
 
+  /** Typed-Dataset tier through the gate: case-class rows + a custom
+    * Aggregator[IN, BUF, OUT] with an exact-decimal buffer (see
+    * TypedEvents scaladoc) — result matches the SQL form bit-for-bit.
+    */
+  private def qTypedAgg(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TypedEvents.userSummaries(s, d)
+      .orderBy(col("user_id"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -576,6 +584,7 @@ object SparkEntry {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_percentile" -> (qPercentile _),
     "q_term_stats" -> (qTermStats _),
+    "q_typed_agg" -> (qTypedAgg _),
     "q_hash_refine" -> (qHashRefine _),
     "q_meta_roundtrip" -> (qMetaRoundtrip _),
     "q_ts_widen" -> (qTsWiden _),
@@ -684,6 +693,11 @@ object SparkEntry {
         "count(*) AS term_freq_total FROM " +
         "(SELECT doc_id, unnest(" + tokensExpr + ") AS term FROM documents) " +
         "GROUP BY term HAVING count(DISTINCT doc_id) >= 50 ORDER BY term"),
+
+    "q_typed_agg" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
 
     "q_hash_refine" ->
       ("WITH t AS (SELECT o_orderkey, " +

@@ -19,7 +19,8 @@ final case class PipelineConfig(
     renames: List[Rename],
     savepointsDir: Option[String],
     skipFiles: Set[String],
-    validation: Option[ValidationConfig]) {
+    validation: Option[ValidationConfig],
+    stream: Option[StreamConfig] = None) {
 
   /** Loggable rendering with sensitive material redacted (reference:
     * config/MigratorConfig.scala:134-153 + SparkSecretRedaction — the
@@ -41,7 +42,8 @@ final case class PipelineConfig(
       case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
     }
     s"PipelineConfig(source=$src, target=$tgt, renames=${renames.size}, " +
-      s"skipFiles=${skipFiles.size}, validation=${validation.isDefined})"
+      s"skipFiles=${skipFiles.size}, validation=${validation.isDefined}, " +
+      s"stream=${stream.isDefined})"
   }
 
   /** Eager cross-validation (fail at load, not mid-run). */
@@ -53,6 +55,12 @@ final case class PipelineConfig(
       Left("validation.primaryKey must be non-empty")
     else if (validation.exists(_.tolerance < 0))
       Left("validation.tolerance must be >= 0")
+    else if (stream.isDefined && !target.isInstanceOf[TargetConfig.Parquet])
+      Left("stream replication requires a parquet target")
+    else if (stream.exists(_.primaryKey.isEmpty))
+      Left("stream.primaryKey must be non-empty")
+    else if (stream.exists(_.orderBy.isEmpty))
+      Left("stream.orderBy must be non-empty (last-writer-wins needs an order)")
     else Right(this)
   }
 }
@@ -86,6 +94,20 @@ final case class ValidationConfig(
     compareColumns: List[String],
     tolerance: Double,
     failuresToFetch: Int)
+
+/** Continuous-replication arm (reference: `streamChanges: true` in the
+  * YAML config triggers snapshot-then-stream,
+  * alternator/AlternatorMigrator.scala:134-192). The change feed is a
+  * parquet directory of `(payload..., opColumn, orderBy...)` rows; the
+  * apply is idempotent last-writer-wins ordered by `orderBy` descending.
+  */
+final case class StreamConfig(
+    changesDir: String,
+    checkpointDir: String,
+    primaryKey: List[String],
+    opColumn: String,
+    orderBy: List[String],
+    triggerMs: Long)
 
 object PipelineConfig {
 
@@ -128,7 +150,9 @@ object PipelineConfig {
       "target.partitionBy",
       "renames", "savepoints.dir", "skipFiles",
       "validation.primaryKey", "validation.compareColumns",
-      "validation.tolerance", "validation.failuresToFetch")
+      "validation.tolerance", "validation.failuresToFetch",
+      "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
+      "stream.opColumn", "stream.orderBy", "stream.triggerMs")
     map.keys.find(!known.contains(_)) match {
       case Some(k) => return Left(s"unknown config key: $k")
       case None    => ()
@@ -184,11 +208,23 @@ object PipelineConfig {
           map.getOrElse("validation.failuresToFetch", "100").toInt))
       else None
 
+    val stream: Either[String, Option[StreamConfig]] =
+      if (!map.contains("stream.changesDir")) Right(None)
+      else map.get("stream.checkpointDir")
+        .toRight("stream.checkpointDir required when stream.changesDir is set")
+        .map(ckpt => Some(StreamConfig(
+          map("stream.changesDir"), ckpt,
+          list("stream.primaryKey"),
+          map.getOrElse("stream.opColumn", "op"),
+          list("stream.orderBy"),
+          map.getOrElse("stream.triggerMs", "5000").toLong)))
+
     for {
       s <- source
       tg <- target
+      st <- stream
       cfg <- PipelineConfig(s, tg, renames, map.get("savepoints.dir"),
-        list("skipFiles").toSet, validation).validate
+        list("skipFiles").toSet, validation, st).validate
     } yield cfg
   }
 }

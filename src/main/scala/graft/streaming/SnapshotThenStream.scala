@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
 import graft.Pipeline
-import graft.config.PipelineConfig
+import graft.config.{PipelineConfig, TargetConfig}
 
 /** Snapshot-then-stream orchestration (reference:
   * alternator/AlternatorMigrator.scala:134-192 — enable stream, copy the
@@ -38,5 +38,26 @@ object SnapshotThenStream {
     val query = CdcApply.run(spark, changesDir, changesSchema, targetPath,
       checkpointDir, pk, opCol, orderCols, triggerMs)
     Handle(snapshot.rowsCopied, query)
+  }
+
+  /** Config-driven arm: a pipeline config with a `stream.*` block runs
+    * the snapshot copy and then replicates the change feed continuously
+    * — the rebuild of the reference's `streamChanges: true` dispatch.
+    * The change schema is inferred from the feed directory's existing
+    * files (the feed and target share the engine's schema discovery,
+    * SURVEY.md §1.2 "schemas are always discovered").
+    */
+  def runFromConfig(spark: SparkSession, cfg: PipelineConfig): Handle = {
+    val sc = cfg.stream.getOrElse(
+      throw new IllegalArgumentException("config has no stream block"))
+    val targetPath = cfg.target match {
+      case TargetConfig.Parquet(p, _, _, _) => p
+      case other => throw new IllegalArgumentException(s"unsupported stream target: $other")
+    }
+    val changesSchema = spark.read.parquet(sc.changesDir).schema
+    run(spark, cfg, targetPath, sc.changesDir, changesSchema, sc.checkpointDir,
+      sc.primaryKey, sc.opColumn,
+      _ => sc.orderBy.map(c => org.apache.spark.sql.functions.col(c).desc),
+      sc.triggerMs)
   }
 }
