@@ -566,6 +566,31 @@ object SparkEntry {
       .filter(col("doc_freq") >= 50)
       .orderBy(col("term"))
 
+  /** Heavy-hitters contract: the space-saving guarantee says every item
+    * with true frequency > n/capacity survives the sketch under any
+    * merge order. The query computes the exact top-10 tokens in-plan
+    * and checks each against sketch membership; the oracle emits the
+    * exact top-10 with the expected constant. (Estimated counts are
+    * merge-order-dependent, so membership — the guaranteed property —
+    * is what the gate pins.)
+    */
+  private def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(explode(Text.tokens(col("text"))).as("term"))
+    val sketch = toks.agg(
+      graft.functions.TopKSketch.topK(col("term"), k = 50, capacity = 256).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_exact").desc, col("term").asc)
+    val exactTop = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 10)
+    exactTop.crossJoin(sketch)
+      .select(col("term"), col("n_exact"),
+        exists(col("sk"), x => x.getField("item") === col("term")).as("in_sketch"))
+      .orderBy(col("term"))
+  }
+
   /** Typed-Dataset tier through the gate: case-class rows + a custom
     * Aggregator[IN, BUF, OUT] with an exact-decimal buffer (see
     * TypedEvents scaladoc) — result matches the SQL form bit-for-bit.
@@ -585,6 +610,7 @@ object SparkEntry {
     "q_percentile" -> (qPercentile _),
     "q_term_stats" -> (qTermStats _),
     "q_typed_agg" -> (qTypedAgg _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_hash_refine" -> (qHashRefine _),
     "q_meta_roundtrip" -> (qMetaRoundtrip _),
     "q_ts_widen" -> (qTsWiden _),
@@ -698,6 +724,15 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // heavy-hitters contract oracle: exact top-10 terms + the expected
+    // constant; hash matches iff the space-saving guarantee held
+    "q_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(" + tokensExpr + ") AS term FROM documents), " +
+        "ex AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY term) " +
+        "SELECT term, n_exact, TRUE AS in_sketch FROM " +
+        "(SELECT term, n_exact, row_number() OVER (ORDER BY n_exact DESC, term) AS rn FROM ex) " +
+        "WHERE rn <= 10 ORDER BY term"),
 
     "q_hash_refine" ->
       ("WITH t AS (SELECT o_orderkey, " +
