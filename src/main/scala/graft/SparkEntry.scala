@@ -131,7 +131,10 @@ object SparkEntry {
       (col("l_partkey") % 2).cast("long").as("qty_wt"),
       (col("l_suppkey") % 5).cast("long").as("price_ttl"),
       (col("l_partkey") % 4).cast("long").as("price_wt"))
-    RowExplosion.explode(base, Seq("l_orderkey", "l_linenumber"), Seq(
+    // expression form: whole transform stays in codegen (inline
+    // generator), no object-encoder round trip — RowExplosionSpec
+    // proves it row-equal to the flatMap reference form
+    RowExplosion.explodeExpr(base, Seq("l_orderkey", "l_linenumber"), Seq(
         RowExplosion.CellSpec("qty", Some("qty_ttl"), Some("qty_wt")),
         RowExplosion.CellSpec("price", Some("price_ttl"), Some("price_wt"))))
       .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("price"),

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The reference's signature transform (readers/Cassandra.scala:113-169):
@@ -83,5 +84,45 @@ object RowExplosion {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Expression-only form of `explode` — same output set, but built from
+    * `transform`/`array_distinct`/`filter` + the `inline` generator, so
+    * the whole transform stays inside whole-stage codegen with no
+    * object-encoder round trip (the flatMap form pays
+    * DeserializeToObject/SerializeFromObject per row). The cell-spec
+    * list is static, so per-group membership unrolls into null-safe
+    * equality predicates at plan time.
+    *
+    * Kept alongside the flatMap form (the readable reference
+    * implementation); RowExplosionSpec proves them row-equal.
+    */
+  def explodeExpr(df: DataFrame, pk: Seq[String], cells: Seq[CellSpec]): DataFrame = {
+    val keepCol = "__keep"
+    def metaCol(o: Option[String]): Column =
+      o.map(c => col(c).cast("long")).getOrElse(lit(null).cast("long"))
+    // distinct (ttl, writetime) groups, first-occurrence order
+    val gs = array_distinct(array(cells.map(c =>
+      struct(metaCol(c.ttlCol).as("ttl"), metaCol(c.writetimeCol).as("wt"))): _*))
+    def member(c: CellSpec, g: Column): Column =
+      metaCol(c.ttlCol) <=> g.getField("ttl") &&
+        metaCol(c.writetimeCol) <=> g.getField("wt")
+    val sortedNames = cells.sortBy(_.name)
+    val rows = transform(gs, g => {
+      // tombstone-avoidance: the metadata-less all-NULL group is dropped
+      // unless it is the row's only group
+      val allNull = cells.map(c => !member(c, g) || col(c.name).isNull).reduce(_ && _)
+      val keep = !(g.getField("ttl").isNull && g.getField("wt").isNull &&
+        allNull && size(gs) > 1)
+      struct(
+        cells.map(c => when(member(c, g), col(c.name)).as(c.name)) ++ Seq(
+          filter(array(sortedNames.map(c => when(member(c, g), lit(c.name))): _*),
+            x => x.isNotNull).as(SetCellsColumn),
+          g.getField("ttl").as(TtlColumn),
+          g.getField("wt").as(WritetimeColumn),
+          keep.as(keepCol)): _*)
+    })
+    df.select(pk.map(col) :+ inline(filter(rows, s => s.getField(keepCol))): _*)
+      .drop(keepCol)
   }
 }

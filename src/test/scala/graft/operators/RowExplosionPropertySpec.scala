@@ -41,6 +41,13 @@ class RowExplosionPropertySpec extends AnyFunSuite {
     val out = RowExplosion.explode(df, Seq("id"), cells).collect()
     val byId = out.groupBy(_.getInt(0))
 
+    // the expression form satisfies the same invariants by equality
+    val exprOut = RowExplosion.explodeExpr(df, Seq("id"), cells).collect()
+    def canon(rs: Array[Row]) = rs.map(r =>
+      (r.getInt(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getSeq[String](4).toList, Option(r.get(5)), Option(r.get(6)))).toSet
+    assert(canon(exprOut) == canon(out), "expression form diverges from flatMap form")
+
     rows.foreach { in =>
       val id = in.getInt(0)
       val outRows = byId.getOrElse(id, Array.empty)

@@ -56,4 +56,55 @@ class RowExplosionSpec extends AnyFunSuite {
     assert(out.size == 1)
     assert(out.head.get(4) == null && out.head.get(5) == null)
   }
+
+  private def canon(rows: Array[Row]): Set[Seq[Any]] =
+    rows.map(r => Seq(r.get(0), r.get(1), r.get(2),
+      r.getSeq[String](3).toList, r.get(4), r.get(5))).toSet
+
+  test("expression form equals the flatMap form (crafted rows + real data)") {
+    val crafted = Seq(
+      Row(1, "x", "y", 10L, 100L, 10L, 100L),
+      Row(2, "x", "y", 10L, 100L, 20L, 200L),
+      Row(3, null, "y", null, null, 20L, 200L),
+      Row(4, null, null, null, null, null, null),
+      Row(5, "x", null, 10L, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(crafted.toIndexedSeq), schema)
+    val specs = Seq(
+      RowExplosion.CellSpec("a", Some("a_ttl"), Some("a_wt")),
+      RowExplosion.CellSpec("b", Some("b_ttl"), Some("b_wt")))
+    val viaFlatMap = canon(RowExplosion.explode(df, Seq("id"), specs).collect())
+    val viaExpr = canon(RowExplosion.explodeExpr(df, Seq("id"), specs).collect())
+    assert(viaExpr == viaFlatMap)
+
+    // real data: the q_explode_cells input shape at the smallest SF
+    val li = graft.Tables.load(spark, TestSpark.sf, "lineitem").selectExpr(
+      "l_orderkey", "l_linenumber", "l_quantity as qty", "l_extendedprice as price",
+      "cast(l_suppkey % 3 as long) as qty_ttl", "cast(l_partkey % 2 as long) as qty_wt",
+      "cast(l_suppkey % 5 as long) as price_ttl", "cast(l_partkey % 4 as long) as price_wt")
+    val realSpecs = Seq(
+      RowExplosion.CellSpec("qty", Some("qty_ttl"), Some("qty_wt")),
+      RowExplosion.CellSpec("price", Some("price_ttl"), Some("price_wt")))
+    val a = RowExplosion.explode(li, Seq("l_orderkey", "l_linenumber"), realSpecs)
+    val b = RowExplosion.explodeExpr(li, Seq("l_orderkey", "l_linenumber"), realSpecs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("expression form stays in codegen: no object-encoder round trip") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, "x", "y", 10L, 100L, 10L, 100L))), schema)
+    val specs = Seq(
+      RowExplosion.CellSpec("a", Some("a_ttl"), Some("a_wt")),
+      RowExplosion.CellSpec("b", Some("b_ttl"), Some("b_wt")))
+    val exprPlan = RowExplosion.explodeExpr(df, Seq("id"), specs)
+      .queryExecution.executedPlan.toString
+    assert(!exprPlan.contains("DeserializeToObject") && !exprPlan.contains("MapPartitions"),
+      s"object round trip in expression form:\n$exprPlan")
+    assert(exprPlan.contains("Generate")) // inline generator
+    // the flatMap reference form does pay the round trip — that's the
+    // cost the expression form removes
+    val fmPlan = RowExplosion.explode(df, Seq("id"), specs)
+      .queryExecution.executedPlan.toString
+    assert(fmPlan.contains("DeserializeToObject"))
+  }
 }
