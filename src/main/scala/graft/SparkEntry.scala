@@ -454,6 +454,22 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Multimodal feature extraction through the gate: batched
+    * mapPartitions "inference" with a deterministic stub extractor, so
+    * the per-element outputs are engine-reproducible (see
+    * Multimodal.fakeFeatures).
+    */
+  private def qMmFeatures(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Multimodal.withPayload(t(s, d, "documents"), "text")
+    Multimodal.featurize(withPayload, "doc_id", "payload")
+      .select(col("doc_id"),
+        size(col("features")).cast("long").as("feat_dim"),
+        element_at(col("features"), 1).as("f_first"),
+        element_at(col("features"), 8).as("f_mid"),
+        element_at(col("features"), 16).as("f_last"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qHashRefine(s: SparkSession, d: String): DataFrame = {
     val orders = t(s, d, "orders")
     val src = orders.select(col("o_orderkey"), col("o_totalprice"),
@@ -614,6 +630,7 @@ object SparkEntry {
     "q_term_stats" -> (qTermStats _),
     "q_typed_agg" -> (qTypedAgg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_mm_features" -> (qMmFeatures _),
     "q_hash_refine" -> (qHashRefine _),
     "q_meta_roundtrip" -> (qMetaRoundtrip _),
     "q_ts_widen" -> (qTsWiden _),
@@ -1145,6 +1162,19 @@ object SparkEntry {
         "CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames, " +
         "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS BIGINT) " +
         "AS first_byte FROM documents ORDER BY doc_id"),
+
+    // feature elements: ((len * k + first_byte) % 1000) / 1000.0 with
+    // k the 1-based element index — integer modulus then one double
+    // division, identical in any engine
+    "q_mm_features" ->
+      ("WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len, " +
+        "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS BIGINT) AS fb " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(16 AS BIGINT) AS feat_dim, " +
+        "CAST((len * 1 + fb) % 1000 AS DOUBLE) / 1000.0 AS f_first, " +
+        "CAST((len * 8 + fb) % 1000 AS DOUBLE) / 1000.0 AS f_mid, " +
+        "CAST((len * 16 + fb) % 1000 AS DOUBLE) / 1000.0 AS f_last " +
+        "FROM b ORDER BY doc_id"),
 
     "q_frame_sample" ->
       ("SELECT doc_id, CAST(f AS BIGINT) AS frame_idx FROM " +

@@ -65,6 +65,65 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  val FeatureDim = 16
+
+  /** Deterministic stand-in for a feature extractor (e.g. an image
+    * embedding model): element j derives from the byte length and first
+    * byte only, so any engine can reproduce it exactly. Replace with a
+    * real model runtime per partition when available.
+    */
+  def fakeFeatures(bytes: Array[Byte]): Array[Double] = {
+    val len = bytes.length.toLong
+    val first = if (bytes.isEmpty) 0L else (bytes(0) & 0xFF).toLong
+    Array.tabulate(FeatureDim)(j => ((len * (j + 1) + first) % 1000L).toDouble / 1000.0)
+  }
+
+  /** Feature extraction over payloads: batched mapPartitions emitting a
+    * fixed-dim `array<double>` per row — the Scala analog of a
+    * `mapInPandas` model-inference stage (per-partition model load,
+    * per-batch tensor shape, columnar output).
+    */
+  def featurize(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val schema = df.schema
+    val idOrd = schema.fieldIndex(idCol)
+    val payloadOrd = schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(schema(idCol),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = true)))
+    df.mapPartitions { rows =>
+      // per-partition model/runtime setup would go here
+      rows.map { row =>
+        val feats =
+          if (row.isNullAt(payloadOrd)) null
+          else fakeFeatures(row.getAs[Array[Byte]](payloadOrd)).toSeq
+        Row(row.get(idOrd), feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Resize stub: deterministic byte truncation standing in for a real
+    * image/audio resample; emits the resized payload plus before/after
+    * lengths (the schema contract a real resizer would keep).
+    */
+  def resizeStub(df: DataFrame, idCol: String, payloadCol: String, maxBytes: Int): DataFrame = {
+    val schema = df.schema
+    val idOrd = schema.fieldIndex(idCol)
+    val payloadOrd = schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(schema(idCol),
+      StructField("resized", BinaryType, nullable = true),
+      StructField("orig_len", LongType, nullable = true),
+      StructField("resized_len", LongType, nullable = true)))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        if (row.isNullAt(payloadOrd)) Row(row.get(idOrd), null, null, null)
+        else {
+          val b = row.getAs[Array[Byte]](payloadOrd)
+          val out = if (b.length <= maxBytes) b else b.take(maxBytes)
+          Row(row.get(idOrd), out, b.length.toLong, out.length.toLong)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling: one output row per sampled frame index, stride
     * `every`. Declarative explode over the decoded frame count — the
     * canonical "video → frames" fan-out.

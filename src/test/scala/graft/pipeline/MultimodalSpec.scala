@@ -29,6 +29,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L) != null && got(2L) == null)
   }
 
+  test("featurize emits a fixed-dim deterministic vector; nulls stay null") {
+    val df = Seq((1L, Option("abcd")), (2L, Option.empty[String])).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val got = Multimodal.featurize(df, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    val f = got(1L).get
+    assert(f.size == Multimodal.FeatureDim)
+    // len=4, first='a'=97: f(j) = ((4*(j+1) + 97) % 1000) / 1000.0
+    assert(f.head == 0.101 && f(1) == 0.105)
+    assert(got(2L).isEmpty)
+  }
+
+  test("resize stub truncates deterministically and reports both lengths") {
+    val df = Seq((1L, "x" * 100), (2L, "y")).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val got = Multimodal.resizeStub(df, "doc_id", "payload", maxBytes = 10).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1).length, r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((10, 100L, 10L)))
+    assert(got(2L) == ((1, 1L, 1L)))
+  }
+
   test("frame sampling strides through decoded frame counts") {
     // 20-byte payload => n_frames = 20 % 16 + 1 = 5 => frames 0 and 4
     val df = Multimodal.withPayload(Seq((7L, "x" * 20)).toDF("doc_id", "text"), "text")
