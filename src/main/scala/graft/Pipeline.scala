@@ -47,7 +47,12 @@ object Pipeline {
       }
       partitioned.load()
     case SourceConfig.DynamoS3Export(manifestPath) =>
-      DdbTables.readS3Export(spark, manifestPath)
+      // DataSourceV2 path: the skip-set prunes data files at planning
+      // time (planInputPartitions) and manifest stats feed the optimizer
+      val r = spark.read.format(graft.sources.v2.DdbExportSource.Name)
+        .option("path", manifestPath)
+      (if (cfg.skipFiles.nonEmpty) r.option("skipFiles", cfg.skipFiles.mkString(","))
+       else r).load()
   }
 
   def transform(df: DataFrame, cfg: PipelineConfig): DataFrame =

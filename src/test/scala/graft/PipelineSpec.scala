@@ -134,6 +134,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.repairMissingRows(spark, cfg2) == 0)
   }
 
+  test("dynamo-s3-export arm reads through the connector; skipFiles prunes files") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ddb-arm")
+    val root = tmp.resolve("export").toString
+    val items = (1 to 60).map(i => s"""{"pk":{"S":"id-$i"}}""")
+    graft.sources.DdbTables.writeS3Export(items.toDF("item_json").repartition(3), root)
+    val files = graft.sources.v2.DdbExportSource.listDataFiles(root)
+    assert(files.size == 3)
+
+    val cfg = PipelineConfig.parse(
+      s"""source.type: dynamo-s3-export
+         |source.path: $root
+         |target.type: parquet
+         |target.path: ${tmp.resolve("out")}
+         |target.mode: overwrite
+         |""".stripMargin).toOption.get
+    assert(Pipeline.run(spark, cfg).rowsCopied == 60)
+
+    val resumed = PipelineConfig.parse(
+      s"""source.type: dynamo-s3-export
+         |source.path: $root
+         |target.type: parquet
+         |target.path: ${tmp.resolve("out2")}
+         |target.mode: overwrite
+         |skipFiles: ${files.head._1}
+         |""".stripMargin).toOption.get
+    assert(Pipeline.run(spark, resumed).rowsCopied == 60 - files.head._2)
+  }
+
   test("validation detects a corrupted target") {
     val tmp = Files.createTempDirectory("graft-corrupt")
     val out = tmp.resolve("out").toString
