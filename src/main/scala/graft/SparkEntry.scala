@@ -454,6 +454,37 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Banded range join: events scored against nation-derived value
+    * intervals — an equi-join on band keys + exact filter instead of
+    * the BroadcastNestedLoopJoin a raw range condition would plan.
+    */
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val intervals = t(s, d, "nation").select(col("n_name"),
+      (col("n_nationkey") * 20.0).as("lo"),
+      (col("n_nationkey") * 20.0 + 25.0).as("hi"))
+    graft.operators.RangeJoin.pointsInIntervals(
+        t(s, d, "events").select(col("event_id"), col("value")),
+        intervals, "value", "lo", "hi", bandWidth = 25.0)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy(col("n_name"))
+  }
+
+  /** PII scrub: fixture docs carry no PII, so the query appends a
+    * synthetic email + long id per document and verifies the redaction
+    * (counts + md5 of the cleaned text) — transform semantics are fully
+    * oracle-checked, patterns are RE2-compatible in both engines.
+    */
+  private def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val augmented = t(s, d, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com ref 9934567210")).as("text2"))
+    val (nEmails, nNumbers) = Text.piiCounts(col("text2"))
+    augmented.select(col("doc_id"), nEmails.as("n_emails"), nNumbers.as("n_numbers"),
+        md5(Text.redactPii(col("text2"))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal feature extraction through the gate: batched
     * mapPartitions "inference" with a deterministic stub extractor, so
     * the per-element outputs are engine-reproducible (see
@@ -631,6 +662,8 @@ object SparkEntry {
     "q_typed_agg" -> (qTypedAgg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_mm_features" -> (qMmFeatures _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_pii_scrub" -> (qPiiScrub _),
     "q_hash_refine" -> (qHashRefine _),
     "q_meta_roundtrip" -> (qMetaRoundtrip _),
     "q_ts_widen" -> (qTsWiden _),
@@ -1162,6 +1195,23 @@ object SparkEntry {
         "CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames, " +
         "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS BIGINT) " +
         "AS first_byte FROM documents ORDER BY doc_id"),
+
+    "q_range_join" ->
+      ("SELECT n_name, count(*) AS n_points FROM events, nation " +
+        "WHERE value >= n_nationkey * 20.0 AND value < n_nationkey * 20.0 + 25.0 " +
+        "GROUP BY n_name ORDER BY n_name"),
+
+    "q_pii_scrub" ->
+      ("WITH a AS (SELECT doc_id, " +
+        "text || ' contact user' || doc_id || '@example.com ref 9934567210' AS text2 " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text2, '[0-9]{9,}')) AS BIGINT) AS n_numbers, " +
+        "md5(regexp_replace(regexp_replace(text2, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'[0-9]{9,}', '<NUMBER>', 'g')) AS clean_md5 " +
+        "FROM a ORDER BY doc_id"),
 
     // feature elements: ((len * k + first_byte) % 1000) / 1000.0 with
     // k the 1-based element index — integer modulus then one double

@@ -97,6 +97,24 @@ object Text {
     * fingerprint hashes per document. Entirely expression-based
     * (substring/transform/array_min over sequence), so it rides the scan.
     */
+  /** PII scrubbing for training corpora: emails and long digit runs
+    * (ids/phone/card numbers) replaced with typed placeholder tokens.
+    * RE2-compatible patterns (no lookaround), so the same regexes run
+    * in any engine; emails redact FIRST so their digit runs don't also
+    * match the number pattern.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{9,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUMBER>")
+
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(LongNumberPattern), lit(0))).cast("long"))
+
   /** Corpus term statistics — the TF-IDF base table: per term, document
     * frequency and total term frequency. One explode + one aggregation;
     * partial aggregation (map-side combine) keeps the shuffle at
