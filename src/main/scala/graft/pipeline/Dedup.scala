@@ -198,12 +198,14 @@ object Dedup {
     while (iter < maxIters && !converged) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("rep")).as("nbr_rep"))
+      // carry the previous label through the update so convergence reads
+      // off the same materialized frame — no extra join per iteration
       val updated = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"),
+          col("rep").as("__prev"))
         .localCheckpoint()
-      converged = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.rep") =!= col("l.rep")).isEmpty
-      labels = updated
+      converged = updated.filter(col("rep") =!= col("__prev")).isEmpty
+      labels = updated.drop("__prev")
       iter += 1
     }
     labels
