@@ -30,6 +30,18 @@ object Bench {
     benchScenario("similarity_topk", spark, sfDir, "embeddings") { (s, dir) =>
       SparkEntry.queries("q_sim_topk")(s, dir).count()
     }
+    // reference scenarios dynamodb→s3export / s3export→… : encode items,
+    // write the export layout, read it back through the DSv2 connector
+    benchScenario("s3export_roundtrip", spark, sfDir, "documents") { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-export").toString
+      val items = Tables.load(s, dir, "documents").selectExpr(
+        """format_string('{"pk":{"N":"%s"},"src":{"S":"%s"}}', doc_id, source) as item_json""")
+      sources.DdbTables.writeS3Export(items, tmp)
+      s.read.format(sources.v2.DdbExportSource.Name).option("path", tmp).load().count()
+    }
+    benchScenario("asof_join", spark, sfDir, "events") { (s, dir) =>
+      SparkEntry.queries("q_asof_join")(s, dir).count()
+    }
 
     // min of two runs per query: single-shot timings carry whichever
     // codegen-compile / co-tenant noise lands on them (observed 2-16s

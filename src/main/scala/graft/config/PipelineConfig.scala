@@ -38,7 +38,8 @@ final case class PipelineConfig(
       case SourceConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
     }
     def tgt = target match {
-      case TargetConfig.Parquet(p, m, c, pb) => s"parquet(path=$p, mode=$m, compression=$c, partitionBy=$pb)"
+      case TargetConfig.Parquet(p, m, c, pb, sb) =>
+        s"parquet(path=$p, mode=$m, compression=$c, partitionBy=$pb, sortBy=$sb)"
       case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
     }
     s"PipelineConfig(source=$src, target=$tgt, renames=${renames.size}, " +
@@ -77,7 +78,8 @@ object SourceConfig {
 sealed trait TargetConfig
 object TargetConfig {
   final case class Parquet(path: String, mode: String, compression: String,
-                           partitionBy: List[String] = Nil) extends TargetConfig {
+                           partitionBy: List[String] = Nil,
+                           sortBy: List[String] = Nil) extends TargetConfig {
     def validate: Either[String, Parquet] = {
       val modes = Set("overwrite", "append", "errorifexists", "ignore")
       val codecs = Set("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
@@ -147,7 +149,7 @@ object PipelineConfig {
       "source.url", "source.table", "source.partitionColumn",
       "source.numPartitions", "source.lowerBound", "source.upperBound",
       "target.type", "target.path", "target.mode", "target.compression",
-      "target.partitionBy",
+      "target.partitionBy", "target.sortBy",
       "renames", "savepoints.dir", "skipFiles",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
@@ -186,7 +188,8 @@ object PipelineConfig {
           .flatMap(p => TargetConfig.Parquet(p,
             map.getOrElse("target.mode", "errorifexists"),
             map.getOrElse("target.compression", "snappy"),
-            list("target.partitionBy")).validate)
+            list("target.partitionBy"),
+            list("target.sortBy")).validate)
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))

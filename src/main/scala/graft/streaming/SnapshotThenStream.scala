@@ -51,7 +51,7 @@ object SnapshotThenStream {
     val sc = cfg.stream.getOrElse(
       throw new IllegalArgumentException("config has no stream block"))
     val targetPath = cfg.target match {
-      case TargetConfig.Parquet(p, _, _, _) => p
+      case TargetConfig.Parquet(p, _, _, _, _) => p
       case other => throw new IllegalArgumentException(s"unsupported stream target: $other")
     }
     val changesSchema = spark.read.parquet(sc.changesDir).schema

@@ -134,6 +134,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.repairMissingRows(spark, cfg2) == 0)
   }
 
+  test("target.sortBy clusters rows within each output file") {
+    val tmp = Files.createTempDirectory("graft-sortby")
+    val out = tmp.resolve("out").toString
+    val cfg = PipelineConfig.parse(cfgText(s"${TestSpark.sf}/orders.parquet", out,
+      "target.sortBy: o_totalprice\n")).toOption.get
+    Pipeline.run(spark, cfg)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val vals = spark.read.parquet(f.toString)
+        .select(col("o_totalprice")).collect().map(_.getDouble(0))
+      assert(vals.sameElements(vals.sorted), s"${f.getName} not clustered on sort key")
+    }
+  }
+
   test("dynamo-s3-export arm reads through the connector; skipFiles prunes files") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-ddb-arm")
