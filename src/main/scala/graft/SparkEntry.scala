@@ -454,6 +454,19 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Deterministic train/val/test split: membership is a pure function
+    * of the key (md5 bucket), so the cut reproduces on any engine,
+    * partitioning, or retry — unlike `df.sample`, whose Bernoulli draw
+    * is partition-layout dependent (see Sampling scaladoc).
+    */
+  private def qCorpusSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.split(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 16, "val" -> 2, "test" -> 2), denom = 20)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+
   /** Banded range join: events scored against nation-derived value
     * intervals — an equi-join on band keys + exact filter instead of
     * the BroadcastNestedLoopJoin a raw range condition would plan.
@@ -663,6 +676,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_mm_features" -> (qMmFeatures _),
     "q_range_join" -> (qRangeJoin _),
+    "q_corpus_split" -> (qCorpusSplit _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_hash_refine" -> (qHashRefine _),
     "q_meta_roundtrip" -> (qMetaRoundtrip _),
@@ -1195,6 +1209,19 @@ object SparkEntry {
         "CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames, " +
         "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS BIGINT) " +
         "AS first_byte FROM documents ORDER BY doc_id"),
+
+    // md5 bucket replicated positionally (same hex arithmetic as the
+    // portable fingerprint): bucket = 60-bit md5 prefix mod 20
+    "q_corpus_split" ->
+      ("WITH b AS (SELECT doc_id, " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT) % 20 AS bucket " +
+        "FROM documents) " +
+        "SELECT CASE WHEN bucket < 16 THEN 'train' WHEN bucket < 18 THEN 'val' " +
+        "ELSE 'test' END AS split, count(*) AS n_docs, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM b GROUP BY 1 ORDER BY split"),
 
     "q_range_join" ->
       ("SELECT n_name, count(*) AS n_points FROM events, nation " +

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("sample is deterministic under repartitioning (unlike df.sample)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id")
+    val a = Sampling.deterministicSample(docs, "doc_id", 1, 10)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), "doc_id", 1, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // rate lands near 10% (md5 buckets are uniform-ish)
+    val n = docs.count()
+    assert(a.size > n / 20 && a.size < n / 5, s"${a.size} of $n")
+  }
+
+  test("splits are disjoint, exhaustive, and nested rates compose") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id")
+    val split = Sampling.split(docs, "doc_id", Seq("train" -> 16, "val" -> 2, "test" -> 2), 20)
+    assert(split.count() == docs.count()) // exhaustive
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    // a 16/20 sample is exactly the train split (prefix ranges compose)
+    val sampled = Sampling.deterministicSample(docs, "doc_id", 16, 20)
+      .collect().map(_.getLong(0)).toSet
+    val train = split.filter(col("split") === "train")
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled == train)
+  }
+
+  test("fraction validation") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id")
+    assertThrows[IllegalArgumentException](
+      Sampling.split(docs, "doc_id", Seq("a" -> 15, "b" -> 10), 20))
+    assertThrows[IllegalArgumentException](
+      Sampling.deterministicSample(docs, "doc_id", 11, 10))
+  }
+}
