@@ -648,7 +648,12 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_exact"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= 10)
-    exactTop.crossJoin(sketch)
+    // scope the assertion to the guarantee's premise: only items with
+    // true frequency > n/capacity are promised to survive — a flatter
+    // corpus could legitimately evict a sub-threshold top-10 term
+    val total = toks.agg(count(lit(1)).as("__n_total"))
+    exactTop.crossJoin(total).filter(col("n_exact") * 256 > col("__n_total"))
+      .crossJoin(sketch)
       .select(col("term"), col("n_exact"),
         exists(col("sk"), x => x.getField("item") === col("term")).as("in_sketch"))
       .orderBy(col("term"))
@@ -799,7 +804,7 @@ object SparkEntry {
         "ex AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY term) " +
         "SELECT term, n_exact, TRUE AS in_sketch FROM " +
         "(SELECT term, n_exact, row_number() OVER (ORDER BY n_exact DESC, term) AS rn FROM ex) " +
-        "WHERE rn <= 10 ORDER BY term"),
+        "WHERE rn <= 10 AND n_exact * 256 > (SELECT count(*) FROM tok) ORDER BY term"),
 
     "q_hash_refine" ->
       ("WITH t AS (SELECT o_orderkey, " +

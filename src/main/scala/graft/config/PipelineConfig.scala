@@ -109,7 +109,8 @@ final case class StreamConfig(
     primaryKey: List[String],
     opColumn: String,
     orderBy: List[String],
-    triggerMs: Long)
+    triggerMs: Long,
+    changesSchema: Option[String] = None) // DDL string, e.g. "id LONG, v STRING, op STRING, seq LONG"
 
 object PipelineConfig {
 
@@ -154,7 +155,8 @@ object PipelineConfig {
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
-      "stream.opColumn", "stream.orderBy", "stream.triggerMs")
+      "stream.opColumn", "stream.orderBy", "stream.triggerMs",
+      "stream.changesSchema")
     map.keys.find(!known.contains(_)) match {
       case Some(k) => return Left(s"unknown config key: $k")
       case None    => ()
@@ -220,7 +222,8 @@ object PipelineConfig {
           list("stream.primaryKey"),
           map.getOrElse("stream.opColumn", "op"),
           list("stream.orderBy"),
-          map.getOrElse("stream.triggerMs", "5000").toLong)))
+          map.getOrElse("stream.triggerMs", "5000").toLong,
+          map.get("stream.changesSchema"))))
 
     for {
       s <- source

@@ -86,7 +86,11 @@ case class SpaceSavingTopK(
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
     buf.foreach { case (i, (c, e)) =>
-      out.writeUTF(i); out.writeLong(c); out.writeLong(e)
+      // length-prefixed UTF-8, not writeUTF: items are arbitrary values
+      // (urls, whole documents) and writeUTF throws past 64 KB
+      val b = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(c); out.writeLong(e)
     }
     out.close()
     bytes.toByteArray
@@ -96,7 +100,13 @@ case class SpaceSavingTopK(
     val in = new DataInputStream(new ByteArrayInputStream(storageFormat))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, (Long, Long)]
-    (1 to n).foreach(_ => buf(in.readUTF()) = (in.readLong(), in.readLong()))
+    (1 to n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf(new String(b, java.nio.charset.StandardCharsets.UTF_8)) =
+        (in.readLong(), in.readLong())
+    }
     buf
   }
 

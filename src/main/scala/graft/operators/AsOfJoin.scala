@@ -28,26 +28,33 @@ object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
            rightPayload: Seq[String]): DataFrame = {
-    val payloadTypes = rightPayload.map(c => c -> right.schema(c).dataType)
+    // the whole payload rides in ONE struct: a right row's struct is
+    // non-null even when every payload field inside it is null, so
+    // last(_, ignoreNulls) skips only left-row placeholders — a right
+    // row with a genuinely-NULL payload value still supersedes older
+    // rows (carrying payload columns individually would skip it and
+    // resurrect a stale value)
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(nullable = true)))
     val leftTagged = left.select(
-      left.columns.map(col) ++
-        payloadTypes.map { case (c, t) => lit(null).cast(t).as(s"__r_$c") } :+
+      left.columns.map(col) :+
+        lit(null).cast(payloadStructType).as("__r") :+
         lit(1).as("__side"): _*)
     val leftOnlyCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
     val rightTagged = right.select(
       (keys :+ tsCol).map(col) ++
-        leftOnlyCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"__r_$c")) :+
+        leftOnlyCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__r") :+
         lit(0).as("__side"): _*)
     val unioned = leftTagged.unionByName(rightTagged)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .drop("__side")
-      .drop(rightPayload.map(c => s"__r_$c"): _*)
+    val carried = unioned.withColumn("__latest", last(col("__r"), ignoreNulls = true).over(w))
+    rightPayload.foldLeft(carried) { (df, c) =>
+        df.withColumn(s"asof_$c", col("__latest").getField(c))
+      }
+      .filter(col("__side") === 1)
+      .drop("__side", "__r", "__latest")
   }
 }

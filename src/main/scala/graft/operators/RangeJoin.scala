@@ -28,6 +28,12 @@ object RangeJoin {
                         pointCol: String, loCol: String, hiCol: String,
                         bandWidth: Double): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
+    require(!points.columns.contains("__band") && !intervals.columns.contains("__band"),
+      "__band is reserved by the banded range join")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points and intervals share columns $overlap — alias one side first " +
+        "(the join output would carry ambiguous duplicates)")
     val w = lit(bandWidth)
     val p = points.withColumn("__band", floor(col(pointCol) / w).cast("long"))
     val i = intervals.withColumn("__band",

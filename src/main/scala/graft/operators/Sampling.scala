@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from the key column. */
+  /** Stable bucket in [0, buckets) from the key column. NULL keys map
+    * to the empty string's bucket, so `deterministicSample` and `split`
+    * treat them identically (dropping them in one and labelling them in
+    * the other would break rate composition).
+    */
   def bucketOf(key: Column, buckets: Int): Column = {
     require(buckets > 0, "buckets must be positive")
     // 15 hex chars = 60 bits, fits a positive long exactly
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+    pmod(conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
   }
 

@@ -36,16 +36,25 @@ object NativeCosineRewrite extends Rule[LogicalPlan] {
       case Cast(c, DoubleType, _, _) => stripCast(c)
       case other => other
     }
+    private def isVar(e: Expression, v: NamedExpression): Boolean = e match {
+      case n: NamedLambdaVariable => n.exprId == v.exprId
+      case _ => false
+    }
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-            ZipWith(a, b, LambdaFunction(mul: Multiply, _, _)),
+            ZipWith(a, b, LambdaFunction(mul: Multiply, zipArgs, _)),
             Literal(zero, DoubleType),
-            LambdaFunction(_: Add, _, _),
-            LambdaFunction(fin: NamedLambdaVariable, _, _))
-          if zero == 0.0 &&
-            stripCast(mul.left).isInstanceOf[NamedLambdaVariable] &&
-            stripCast(mul.right).isInstanceOf[NamedLambdaVariable] &&
-            fin != null =>
+            LambdaFunction(add: Add, mergeArgs, _),
+            LambdaFunction(fin: NamedLambdaVariable, finArgs, _))
+          if zero == 0.0 && zipArgs.length == 2 && mergeArgs.length == 2 &&
+            // the product must be exactly x*y over the two DISTINCT zip
+            // variables (x*x — a sum of squares — must NOT match)
+            isVar(stripCast(mul.left), zipArgs.head) &&
+            isVar(stripCast(mul.right), zipArgs(1)) &&
+            // the merge must be exactly acc + v over the merge variables
+            isVar(add.left, mergeArgs.head) && isVar(add.right, mergeArgs(1)) &&
+            // and the finish lambda must be the identity
+            finArgs.length == 1 && isVar(fin, finArgs.head) =>
         Some((a, b))
       case _ => None
     }

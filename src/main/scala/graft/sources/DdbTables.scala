@@ -33,24 +33,29 @@ object DdbTables {
 
   // ------------------------------------------------------------- read
 
-  def readS3Export(spark: SparkSession, root: String): DataFrame = {
-    import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** Manifest listing — (dataFileKey, itemCount) in manifest order —
+    * shared by this reader and the DSv2 connector so the format has ONE
+    * parser (jackson-based; handles escaped quotes etc.).
+    */
+  def listDataFiles(root: String,
+                    conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
-
     val summary = readJsonMap(fs, new Path(rootPath, "manifest-summary.json"))
     val manifestFiles = new Path(rootPath,
       summary.getOrElse("manifestFilesPath", "manifest-files.json"))
+    val in = new BufferedReader(new InputStreamReader(fs.open(manifestFiles), StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty)
+      .map { line => val (count, key) = parseManifestLine(line); (key, count) }
+      .toList
+    finally in.close()
+  }
 
-    val dataFiles: Seq[String] = {
-      val in = new BufferedReader(new InputStreamReader(fs.open(manifestFiles), StandardCharsets.UTF_8))
-      try Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty)
-        .map(line => parseManifestLine(line)._2)
-        .toList
-      finally in.close()
-    }
+  def readS3Export(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataFiles: Seq[String] = listDataFiles(root, conf).map(_._1)
 
     val serializableConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val rootStr = root

@@ -34,10 +34,11 @@ import org.apache.spark.util.SerializableConfiguration
   *    in `planInputPartitions` (SURVEY §4: resume-driven pruning
   *    belongs at source construction), so skipped files never become
   *    tasks;
-  *  - **statistics from the manifests**: `estimateStatistics` reports
-  *    the export's item count and compressed byte size without touching
-  *    data files, letting Catalyst make broadcast decisions for joins
-  *    against small exports;
+  *  - **statistics at planning time**: `estimateStatistics` reports the
+  *    export's item count straight from the manifests and its
+  *    compressed byte size from one directory listing (computed once,
+  *    conservative fallback on listing failure), letting Catalyst make
+  *    broadcast decisions for joins against small exports;
   *  - one input partition per data file — the reference's
   *    segment-per-task shape — with the gzip decode inside a
   *    `PartitionReader`, per-task filesystem client and all.
@@ -59,30 +60,13 @@ object DdbExportSource {
   val Schema: StructType = StructType(Seq(StructField("item_json", StringType, nullable = true)))
   val Name = "graft.sources.v2.DdbExportSource"
 
-  /** Manifest listing: (dataFileKey, itemCount) in manifest order. */
-  def listDataFiles(root: String): Seq[(String, Long)] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(conf)
-    // manifest-summary names the manifest-files path (default layout)
-    val summaryIn = new BufferedReader(new InputStreamReader(
-      fs.open(new Path(rootPath, "manifest-summary.json")), StandardCharsets.UTF_8))
-    val summary = try summaryIn.readLine() finally summaryIn.close()
-    val manifestRel = "\"manifestFilesPath\"\\s*:\\s*\"([^\"]+)\"".r
-      .findFirstMatchIn(Option(summary).getOrElse(""))
-      .map(_.group(1)).getOrElse("manifest-files.json")
-    val in = new BufferedReader(new InputStreamReader(
-      fs.open(new Path(rootPath, manifestRel)), StandardCharsets.UTF_8))
-    try Iterator.continually(in.readLine()).takeWhile(_ != null).filter(_.nonEmpty).map { line =>
-      val key = "\"dataFileKey\"\\s*:\\s*\"([^\"]+)\"".r
-        .findFirstMatchIn(line).map(_.group(1))
-        .getOrElse(throw new IllegalArgumentException(s"bad manifest line: $line"))
-      val count = "\"itemCount\"\\s*:\\s*(\\d+)".r
-        .findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
-      (key, count)
-    }.toList
-    finally in.close()
-  }
+  /** Manifest listing: (dataFileKey, itemCount) in manifest order —
+    * delegates to the single jackson-based parser in DdbTables so the
+    * format cannot drift between the functional and connector readers.
+    */
+  def listDataFiles(root: String): Seq[(String, Long)] =
+    graft.sources.DdbTables.listDataFiles(root,
+      SparkSession.active.sparkContext.hadoopConfiguration)
 }
 
 private[v2] class DdbExportTable(root: String) extends Table with SupportsRead {
@@ -126,17 +110,30 @@ private[v2] class DdbExportScan(root: String, skipFiles: Set[String])
     new DdbExportReaderFactory(conf)
   }
 
+  // computed at most once per scan (Catalyst may ask for stats several
+  // times during planning); a listing failure falls back to a
+  // conservative rows-based estimate rather than 0 bytes, which would
+  // wrongly flip a large table into a broadcast build side
+  private lazy val stats: (Long, Long) = {
+    val rows = files.map(_._2).sum
+    val bytes =
+      try {
+        val conf = SparkSession.active.sparkContext.hadoopConfiguration
+        val fs = new Path(root).getFileSystem(conf)
+        // one listing RPC per directory that holds data files, not one
+        // getFileStatus per file
+        val byDir = files.map(_._1).groupBy(k => new Path(root, k).getParent)
+        val wanted = files.map { case (k, _) => new Path(root, k).toUri.getPath }.toSet
+        byDir.keys.toSeq.flatMap(dir => fs.listStatus(dir).toSeq)
+          .filter(st => wanted.contains(st.getPath.toUri.getPath))
+          .map(_.getLen).sum
+      } catch { case _: Exception => rows * 1024L }
+    (rows, bytes)
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = {
-      val conf = SparkSession.active.sparkContext.hadoopConfiguration
-      val fs = new Path(root).getFileSystem(conf)
-      val total = files.map { case (k, _) =>
-        try fs.getFileStatus(new Path(root, k)).getLen catch { case _: Exception => 0L }
-      }.sum
-      OptionalLong.of(total)
-    }
-    override def numRows(): OptionalLong =
-      OptionalLong.of(files.map(_._2).sum)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(stats._2)
+    override def numRows(): OptionalLong = OptionalLong.of(stats._1)
   }
 }
 

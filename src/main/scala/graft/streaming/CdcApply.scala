@@ -59,6 +59,12 @@ object CdcApply {
         val sess = batch.sparkSession
         val dst = new org.apache.hadoop.fs.Path(targetPath)
         val fs = dst.getFileSystem(sess.sparkContext.hadoopConfiguration)
+        val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
+        // crash recovery FIRST: a death between the rename-aside and the
+        // swap below leaves dst missing but dst__old intact — restore it
+        // before reading state, or the batch replay would start from
+        // empty and the cleanup would delete the only surviving copy
+        if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
         // only a genuinely-absent target starts from empty state; any
         // other read failure (corrupt footer, transient IO) fails the
         // batch loudly instead of silently resetting accumulated state
@@ -74,7 +80,6 @@ object CdcApply {
         // never a window where the accumulated state is simply gone
         val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
         fs.delete(old, true)
         if (fs.exists(dst)) fs.rename(dst, old)
         fs.rename(tmp, dst)

@@ -43,9 +43,11 @@ object SnapshotThenStream {
   /** Config-driven arm: a pipeline config with a `stream.*` block runs
     * the snapshot copy and then replicates the change feed continuously
     * — the rebuild of the reference's `streamChanges: true` dispatch.
-    * The change schema is inferred from the feed directory's existing
-    * files (the feed and target share the engine's schema discovery,
-    * SURVEY.md §1.2 "schemas are always discovered").
+    * The change schema comes from `stream.changesSchema` (a DDL string)
+    * when configured — the normal case, since the feed directory is
+    * typically EMPTY at snapshot-then-stream startup — and is otherwise
+    * inferred from the feed's existing files (SURVEY.md §1.2 "schemas
+    * are always discovered"; inference requires at least one file).
     */
   def runFromConfig(spark: SparkSession, cfg: PipelineConfig): Handle = {
     val sc = cfg.stream.getOrElse(
@@ -54,7 +56,9 @@ object SnapshotThenStream {
       case TargetConfig.Parquet(p, _, _, _, _) => p
       case other => throw new IllegalArgumentException(s"unsupported stream target: $other")
     }
-    val changesSchema = spark.read.parquet(sc.changesDir).schema
+    val changesSchema = sc.changesSchema
+      .map(StructType.fromDDL)
+      .getOrElse(spark.read.parquet(sc.changesDir).schema)
     run(spark, cfg, targetPath, sc.changesDir, changesSchema, sc.checkpointDir,
       sc.primaryKey, sc.opColumn,
       _ => sc.orderBy.map(c => org.apache.spark.sql.functions.col(c).desc),

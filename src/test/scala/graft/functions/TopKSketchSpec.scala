@@ -40,6 +40,13 @@ class TopKSketchSpec extends AnyFunSuite {
     assert(n / 16 < 150) // the guarantee premise actually holds in this fixture
   }
 
+  test("items beyond 64 KB survive partial-aggregate serialization") {
+    val big = "x" * 100000 // writeUTF would throw UTFDataFormatException here
+    val df = (Seq.fill(5)(big) ++ Seq("small")).toDF("v").repartition(4)
+    val got = sketchItems(df, k = 2, cap = 8)
+    assert(got.head == (big, 5L, 0L))
+  }
+
   test("nulls are ignored") {
     val df = Seq(Some("a"), None, Some("a"), None).toDF("v")
     val got = sketchItems(df, k = 1, cap = 4)

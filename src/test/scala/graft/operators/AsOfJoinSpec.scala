@@ -34,6 +34,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.getDouble(0) == 7.0)
   }
 
+  test("a right row with a NULL payload still supersedes older rows") {
+    val left = Seq((1L, "k", ts("2024-01-01 12:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("k", ts("2024-01-01 10:00:00"), Option(5.0)),
+      ("k", ts("2024-01-01 11:00:00"), Option.empty[Double])).toDF("k", "ts", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", Seq("v")).select("asof_v").head()
+    // the most recent right row (11:00) carries NULL — that NULL must
+    // win, not the stale 5.0 from 10:00
+    assert(got.isNullAt(0))
+  }
+
   test("plan shape: one shuffle on the key, no join node") {
     val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq(("k", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")

@@ -34,6 +34,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(sampled == train)
   }
 
+  test("null keys are treated consistently by sample and split") {
+    import spark.implicits._
+    val df = Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("k")
+    // full-rate sample keeps everything, including the null-key row
+    assert(Sampling.deterministicSample(df, "k", 20, 20).count() == 3)
+    // split labels every row, null keys deterministically
+    val s = Sampling.split(df, "k", Seq("a" -> 10, "b" -> 10), 20)
+    assert(s.count() == 3 && s.filter(col("split").isNull).count() == 0)
+  }
+
   test("fraction validation") {
     val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id")
     assertThrows[IllegalArgumentException](

@@ -29,6 +29,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
   }
 
+  test("rule does not match a sum-of-squares over norms (x*x, not x*y)") {
+    GraftExtensions.install(spark)
+    // same Divide(agg(zip_with), sqrt*sqrt) shell, but the product lambda
+    // squares ONE variable — a rewrite here would silently change results
+    val df = Tables.load(spark, TestSpark.sf, "embeddings").limit(5)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+      .selectExpr("""aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(x as double)),
+        cast(0.0 as double), (acc, v) -> acc + v) /
+        (sqrt(aggregate(zip_with(a, a, (x, y) -> cast(x as double) * cast(y as double)),
+          cast(0.0 as double), (acc, v) -> acc + v)) *
+         sqrt(aggregate(zip_with(b, b, (x, y) -> cast(x as double) * cast(y as double)),
+          cast(0.0 as double), (acc, v) -> acc + v))) as r""")
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("cosinesimilarity"))
+    assert(df.collect().length == 5)
+  }
+
   test("rule leaves non-cosine aggregates alone") {
     GraftExtensions.install(spark)
     val df = Tables.load(spark, TestSpark.sf, "embeddings").limit(10)

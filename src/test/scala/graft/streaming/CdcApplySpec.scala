@@ -61,6 +61,19 @@ class CdcApplySpec extends AnyFunSuite {
       val after2 = spark.read.parquet(targetPath).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(after2 == Map(1L -> "a2", 3L -> "c"))
+
+      // crash simulation: death between the rename-aside and the swap
+      // leaves dst missing and dst__old holding the state — the next
+      // batch must restore it, not reset to empty and delete the backup
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(targetPath),
+        new org.apache.hadoop.fs.Path(targetPath + "__old"))
+      Seq((4L, "d", "put", 6L)).toDF("id", "v", "op", "seq")
+        .write.parquet(changesDir + "/batch2")
+      query.processAllAvailable()
+      val after3 = spark.read.parquet(targetPath).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after3 == Map(1L -> "a2", 3L -> "c", 4L -> "d")) // pre-crash rows survive
     } finally query.stop()
   }
 }
