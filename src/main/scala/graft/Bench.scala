@@ -35,7 +35,7 @@ object Bench {
     benchScenario("s3export_roundtrip", spark, sfDir, "documents") { (s, dir) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-export").toString
       val items = Tables.load(s, dir, "documents").selectExpr(
-        """format_string('{"pk":{"N":"%s"},"src":{"S":"%s"}}', doc_id, source) as item_json""")
+        """format_string('{"Item":{"pk":{"N":"%s"},"src":{"S":"%s"}}}', doc_id, source) as item_json""")
       sources.DdbTables.writeS3Export(items, tmp)
       s.read.format(sources.v2.DdbExportSource.Name).option("path", tmp).load().count()
     }

@@ -39,7 +39,10 @@ object Pipeline {
         .option("url", url).option("dbtable", dbtable)
       val partitioned = (partCol, lo, hi) match {
         case (Some(c), Some(l), Some(h)) =>
-          JdbcSupport.validateBounds(JdbcSupport.NumericBound, l, h, numParts)
+          // bound type inferred from the literal: numeric, date, and
+          // timestamp partition columns are all valid for Spark's JDBC
+          // source (hardwiring NumericBound rejected date-partitioned reads)
+          JdbcSupport.validateBounds(JdbcSupport.inferBoundType(l), l, h, numParts)
             .fold(err => throw new IllegalArgumentException(err), identity)
           r.option("partitionColumn", c).option("lowerBound", l)
             .option("upperBound", h).option("numPartitions", numParts.toString)

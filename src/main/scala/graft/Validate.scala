@@ -17,12 +17,16 @@ import graft.validation.{Diff, HashRefinement}
   */
 object Validate {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty && args.length <= 2, "usage: graft.Validate <config-file> [--repair]")
-    val repair = args.contains("--repair")
+    // strict parsing: a typo'd flag must not silently run without repair,
+    // and a forgotten config path must not be mistaken for one
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    require(positional.length == 1 && flags.forall(_ == "--repair"),
+      s"usage: graft.Validate <config-file> [--repair] (got: ${args.mkString(" ")})")
+    val repair = flags.contains("--repair")
     val spark = Tables.session("graft-validate",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     spark.sparkContext.setLogLevel("WARN")
-    val cfg = PipelineConfig.loadFrom(args(0),
+    val cfg = PipelineConfig.loadFrom(positional(0),
         spark.sparkContext.hadoopConfiguration) match {
       case Right(c) => c
       case Left(err) => System.err.println(s"[validate] invalid config: $err"); sys.exit(2)

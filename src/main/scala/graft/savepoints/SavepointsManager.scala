@@ -33,8 +33,17 @@ final class SavepointsManager(
   private val lock = new Object
   @volatile private var closed = false
 
-  private def initialCounter(): Long = {
-    val existing = Files.list(dirPath).iterator().asScala
+  /** Directory listing with the stream closed (Files.list holds a
+    * directory handle until closed — leaking one per call would
+    * exhaust fds on a long-lived driver).
+    */
+  private def listDir[T](f: Iterator[Path] => T): T = {
+    val stream = Files.list(dirPath)
+    try f(stream.iterator().asScala) finally stream.close()
+  }
+
+  private def initialCounter(): Long = listDir { it =>
+    val existing = it
       .map(_.getFileName.toString)
       .filter(n => n.startsWith(prefix) && n.endsWith(".txt"))
       .map(_.stripPrefix(prefix).stripSuffix(".txt"))
@@ -57,7 +66,14 @@ final class SavepointsManager(
       t.setDaemon(true)
       t
     }
-    s.scheduleAtFixedRate(() => dump(), intervalSeconds, intervalSeconds, TimeUnit.SECONDS)
+    // a throwing task silently cancels ALL future scheduled executions
+    // (ScheduledExecutorService contract) — one transient IO failure
+    // must not end savepointing for the rest of a 10-hour run
+    s.scheduleAtFixedRate(() =>
+      try { dump(); () }
+      catch { case e: Exception =>
+        System.err.println(s"[savepoints] periodic dump failed (will retry): $e")
+      }, intervalSeconds, intervalSeconds, TimeUnit.SECONDS)
     scheduler = Some(s)
     val hook = new Thread(() => if (!closed) dump(), "graft-savepoints-shutdown")
     Runtime.getRuntime.addShutdownHook(hook)
@@ -76,8 +92,8 @@ final class SavepointsManager(
     dst
   }
 
-  def latest(): Option[Path] = {
-    val files = Files.list(dirPath).iterator().asScala
+  def latest(): Option[Path] = listDir { it =>
+    val files = it
       .filter(p => p.getFileName.toString.startsWith(prefix)
         && p.getFileName.toString.endsWith(".txt"))
       .toSeq

@@ -28,12 +28,17 @@ object DdbJson {
     try {
       require(p.nextToken() == JsonToken.START_OBJECT, "expected object")
       var item: DdbValue.Item = Map.empty
+      var sawItem = false
       while (p.nextToken() == JsonToken.FIELD_NAME) {
         val name = p.currentName()
         p.nextToken()
-        if (name == "Item") item = decodeAttrMap(p)
+        if (name == "Item") { item = decodeAttrMap(p); sawItem = true }
         else p.skipChildren()
       }
+      // a line without an Item field is a malformed/truncated record or
+      // stray metadata — surfacing it beats silently emitting an empty
+      // item that would count in manifests and compare as equal
+      require(sawItem, s"export line has no Item field: ${line.take(120)}")
       item
     } finally p.close()
   }

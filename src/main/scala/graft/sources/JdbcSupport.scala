@@ -61,8 +61,16 @@ object JdbcSupport {
 
   /** Validate a user-supplied WHERE clause: no statement separators, no
     * comments that survive stripping, no DML/DDL keywords outside quotes.
+    *
+    * Lexer scope: MySQL dialect (backslash escapes in strings), matching
+    * the reference's MySQL source. MySQL *versioned* comments
+    * (slash-star-bang) are rejected outright — the server EXECUTES
+    * their content, so stripping them like ordinary comments would hide
+    * forbidden keywords from the scan.
     */
   def validateWhereClause(where: String): Either[String, Unit] = {
+    if (where.contains("/*!"))
+      return Left("where clause must not contain versioned comments (/*!)")
     val stripped = stripQuotedAndComments(where).toLowerCase(Locale.ROOT)
     if (stripped.contains(";")) Left("where clause must not contain ';'")
     else {
@@ -109,6 +117,15 @@ object JdbcSupport {
   case object NumericBound extends BoundType
   case object DateBound extends BoundType
   case object TimestampBound extends BoundType
+
+  /** Infer the bound type from the literal's shape, so date/timestamp
+    * partition columns validate without explicit type config (Spark's
+    * JDBC source accepts all three).
+    */
+  def inferBoundType(bound: String): BoundType =
+    if (scala.util.Try(BigDecimal(bound)).isSuccess) NumericBound
+    else if (scala.util.Try(java.time.LocalDate.parse(bound)).isSuccess) DateBound
+    else TimestampBound
 
   /** Validate partition bounds against the partition column's type
     * (reference: readers/jdbc/JdbcPartitionBounds.scala:57-165): bounds

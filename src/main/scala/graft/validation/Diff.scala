@@ -50,12 +50,15 @@ object Diff {
     */
   def fullDiff(source: DataFrame, target: DataFrame, pk: Seq[String],
                compareCols: Seq[String]): DataFrame = {
-    val s = source.select((pk ++ compareCols).map(col): _*)
-    val t = target.select((pk ++ compareCols).map(col): _*)
+    // explicit presence markers: deriving presence from PK nullness
+    // would misclassify rows that legitimately matched on a NULL key
+    // component (the whole reason the join is null-safe)
+    val s = source.select((pk ++ compareCols).map(col) :+ lit(true).as("__s_present"): _*)
+    val t = target.select((pk ++ compareCols).map(col) :+ lit(true).as("__t_present"): _*)
     val joined = s.as("s").join(t.as("t"),
       pk.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _), "full_outer")
-    val srcPresent = pk.map(k => col(s"s.$k").isNotNull).reduce(_ || _)
-    val tgtPresent = pk.map(k => col(s"t.$k").isNotNull).reduce(_ || _)
+    val srcPresent = col("s.__s_present").isNotNull
+    val tgtPresent = col("t.__t_present").isNotNull
     val allEqual =
       if (compareCols.isEmpty) lit(true)
       else compareCols.map(c => col(s"s.$c") <=> col(s"t.$c")).reduce(_ && _)

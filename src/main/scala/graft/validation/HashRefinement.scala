@@ -29,16 +29,26 @@ object HashRefinement {
       ContentHash.rowHash(source, compareCols).as("__src_hash"): _*)
     val tgtHashed = target.select(pk.map(col) :+
       ContentHash.rowHash(target, compareCols).as("__tgt_hash"): _*)
-    val mismatchedKeys = srcHashed.join(tgtHashed, pk)
+    // null-safe PK joins throughout, matching fullDiff: a plain equi-join
+    // would drop NULL key components, so a mismatch fullDiff counts
+    // could never be attributed here
+    val mismatchedKeys = srcHashed.as("sh").join(tgtHashed.as("th"),
+        pk.map(k => col(s"sh.$k") <=> col(s"th.$k")).reduce(_ && _))
       .filter(col("__src_hash") =!= col("__tgt_hash"))
-      .select(pk.map(col): _*)
+      .select(pk.map(k => col(s"sh.$k").as(k)): _*)
+      // small by design (only diverged keys); materialize once so the two
+      // stage-2 semi joins and repeated caller actions don't re-run the
+      // full stage-1 hash scan per use
+      .localCheckpoint()
 
     // stage 2: pull real columns for mismatched keys only (left_semi
     // prunes both sides before the compare join)
-    val srcSlim = source.select((pk ++ compareCols).map(col): _*)
-      .join(mismatchedKeys, pk, "left_semi")
-    val tgtSlim = target.select((pk ++ compareCols).map(col): _*)
-      .join(mismatchedKeys, pk, "left_semi")
+    def slim(df: DataFrame): DataFrame =
+      df.select((pk ++ compareCols).map(col): _*).as("x")
+        .join(mismatchedKeys.as("mk"),
+          pk.map(k => col(s"x.$k") <=> col(s"mk.$k")).reduce(_ && _), "left_semi")
+    val srcSlim = slim(source)
+    val tgtSlim = slim(target)
     val joined = srcSlim.as("s").join(tgtSlim.as("t"),
       pk.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _))
 

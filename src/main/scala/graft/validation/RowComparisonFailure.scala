@@ -38,11 +38,22 @@ object RowComparisonFailure {
   /** Compare two aligned value sequences with tolerant numeric semantics;
     * None means "row absent on that side".
     */
+  /** Epoch millis of any temporal value this engine compares. */
+  private def temporalMillis(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime)
+    case d: java.util.Date => Some(d.getTime) // covers java.sql.Date too
+    case i: java.time.Instant => Some(i.toEpochMilli)
+    case l: java.time.LocalDateTime =>
+      Some(l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    case _ => None
+  }
+
   def compare(
       fieldNames: Seq[String],
       source: Option[Seq[Any]],
       target: Option[Seq[Any]],
-      tolerance: java.math.BigDecimal = java.math.BigDecimal.ZERO): Option[RowComparisonFailure] =
+      tolerance: java.math.BigDecimal = java.math.BigDecimal.ZERO,
+      timestampToleranceMs: Long = 0L): Option[RowComparisonFailure] =
     (source, target) match {
       case (Some(s), None) =>
         Some(RowComparisonFailure(s.mkString("[", ",", "]"), None, Seq(MissingTargetRow)))
@@ -62,6 +73,14 @@ object RowComparisonFailure {
                 NumericComparison.compareBinary(x, y) == NumericComparison.Equal
               case (x: String, y: String) => x == y
               case (x: Boolean, y: Boolean) => x == y
+              // reference semantics (RowComparisonFailure.scala:283-290):
+              // with a configured ms tolerance, timestamps compare on
+              // epoch millis; without one, exact equality (incl. nanos)
+              case (x, y) if timestampToleranceMs > 0 &&
+                  temporalMillis(x).isDefined && temporalMillis(y).isDefined =>
+                NumericComparison.compareTimestampMillis(
+                  temporalMillis(x).get, temporalMillis(y).get, timestampToleranceMs) ==
+                  NumericComparison.Equal
               case (x, y) =>
                 NumericComparison.compareNumeric(x, y, tolerance) match {
                   case NumericComparison.Equal => true

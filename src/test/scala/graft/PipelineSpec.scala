@@ -153,7 +153,7 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-ddb-arm")
     val root = tmp.resolve("export").toString
-    val items = (1 to 60).map(i => s"""{"pk":{"S":"id-$i"}}""")
+    val items = (1 to 60).map(i => s"""{"Item":{"pk":{"S":"id-$i"}}}""")
     graft.sources.DdbTables.writeS3Export(items.toDF("item_json").repartition(3), root)
     val files = graft.sources.v2.DdbExportSource.listDataFiles(root)
     assert(files.size == 3)

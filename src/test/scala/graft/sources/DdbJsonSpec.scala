@@ -48,6 +48,13 @@ class DdbJsonSpec extends AnyFunSuite {
     assert(got("m") == M(Map("x" -> Bool(false))))
   }
 
+  test("a line without an Item field is rejected, not decoded as empty") {
+    assertThrows[IllegalArgumentException](
+      DdbJson.decodeItemLine("""{"Metadata":{"x":{"S":"y"}}}"""))
+    // empty Item map is still legal (explicitly present)
+    assert(DdbJson.decodeItemLine("""{"Item":{}}""").isEmpty)
+  }
+
   test("deepEquals: numeric tolerance, set order-insensitivity") {
     assert(deepEquals(N("2.50"), N("2.5")))
     assert(deepEquals(N("2.50"), N("2.51"), new java.math.BigDecimal("0.01")))

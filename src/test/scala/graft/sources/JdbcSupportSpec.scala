@@ -28,6 +28,22 @@ class JdbcSupportSpec extends AnyFunSuite {
     assert(dbtableSubquery("t", Some("x; DELETE FROM t")).isLeft)
   }
 
+  test("versioned comments are rejected (MySQL executes their content)") {
+    assert(JdbcSupport.validateWhereClause(
+      "1=1 /*!UNION SELECT password FROM mysql.user*/").isLeft)
+    // ordinary block comments still strip harmlessly
+    assert(JdbcSupport.validateWhereClause("a > 1 /* note */ AND b < 2").isRight)
+  }
+
+  test("bound type inference: numeric, date, timestamp literals") {
+    assert(JdbcSupport.inferBoundType("42.5") == JdbcSupport.NumericBound)
+    assert(JdbcSupport.inferBoundType("2020-01-01") == JdbcSupport.DateBound)
+    assert(JdbcSupport.inferBoundType("2020-01-01 10:30:00") == JdbcSupport.TimestampBound)
+    // a date-partitioned config validates end to end
+    assert(JdbcSupport.validateBounds(
+      JdbcSupport.inferBoundType("2020-01-01"), "2020-01-01", "2021-01-01", 4).isRight)
+  }
+
   test("dangerous connection properties rejected, case-insensitively") {
     assert(classifyProperty("useSSL").isRight)
     assert(classifyProperty("allowLoadLocalInfile").isLeft)
