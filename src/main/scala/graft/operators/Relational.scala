@@ -30,11 +30,24 @@ object Relational {
 
   final case class Rename(from: String, to: String)
 
-  /** Apply renames as a fold; missing source columns are ignored
-    * (same permissiveness as `withColumnRenamed`).
+  /** Apply renames in ONE pass (each original column maps at most once);
+    * missing source columns are ignored. A fold of `withColumnRenamed`
+    * would let a later rename capture an earlier one's output —
+    * columns [a, b] with renames [a->b, b->c] yields duplicate [c, c].
+    * Source matching is case-insensitive, like the reference's rename map.
     */
-  def applyRenames(df: DataFrame, renames: Seq[Rename]): DataFrame =
-    renames.foldLeft(df)((d, r) => d.withColumnRenamed(r.from, r.to))
+  def applyRenames(df: DataFrame, renames: Seq[Rename]): DataFrame = {
+    if (renames.isEmpty) df
+    else {
+      val byLower = renames.map(r => r.from.toLowerCase(Locale.ROOT) -> r.to).toMap
+      df.select(df.columns.toIndexedSeq.map { c =>
+        byLower.get(c.toLowerCase(Locale.ROOT)) match {
+          case Some(to) => col(escaped(c)).as(to)
+          case None     => col(escaped(c))
+        }
+      }: _*)
+    }
+  }
 
   /** Validate a rename list against a schema: every `from` must resolve
     * (case-insensitively) and no two renames may collide on the target
@@ -48,7 +61,13 @@ object Relational {
     else {
       val targets = renames.map(_.to.toLowerCase(Locale.ROOT))
       val dups = targets.diff(targets.distinct).distinct
+      // a target may also collide with a column that survives un-renamed
+      val renamedSources = renames.map(_.from.toLowerCase(Locale.ROOT)).toSet
+      val surviving = columns.map(_.toLowerCase(Locale.ROOT)).filterNot(renamedSources.contains)
+      val clashes = targets.toSet.intersect(surviving.toSet)
       if (dups.nonEmpty) Left(s"rename target collision(s): ${dups.mkString(", ")}")
+      else if (clashes.nonEmpty)
+        Left(s"rename target(s) collide with existing column(s): ${clashes.mkString(", ")}")
       else Right(())
     }
   }
@@ -96,13 +115,18 @@ object Relational {
     * accumulator): the metric is collected with NO extra pass over the
     * data, which matters when the scan is 100 TB.
     */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
+
   def dropNullPrimaryKeys(df: DataFrame, pk: Seq[String],
                           observationName: String = ""): DataFrame = {
+    require(pk.nonEmpty, "dropNullPrimaryKeys needs at least one key column")
     val anyNull = pk.map(c => col(escaped(c)).isNull).reduce(_ || _)
-    // default name derives from the key set so two drops in one plan
-    // don't collide on the observation name
+    // default name carries a process-unique suffix: observation names
+    // must be unique per query, and two drops over different tables
+    // with the same key names (e.g. a union of sources keyed `id`)
+    // would otherwise collide
     val name = if (observationName.nonEmpty) observationName
-      else s"null_pk_drop_${pk.mkString("_")}"
+      else s"null_pk_drop_${pk.mkString("_")}_${obsCounter.incrementAndGet()}"
     df.observe(name, sum(when(anyNull, 1L).otherwise(0L)).as("rows_dropped"))
       .filter(!anyNull)
   }

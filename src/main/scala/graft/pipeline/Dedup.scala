@@ -77,21 +77,35 @@ object Dedup {
     * `bands` (band, bucket) keys; ids sharing a bucket in any band become
     * candidates. The bucket join shuffles only (band, bucket, id).
     */
-  def lshCandidates(df: DataFrame, idCol: String, signatureCol: String,
-                    bands: Int, rowsPerBand: Int,
-                    maxBucketSize: Int = 10000): DataFrame = {
+  /** (id, band, bucket) frame shared by every LSH candidate generator:
+    * band b's bucket is the hash of signature rows [b·r, (b+1)·r).
+    */
+  private def bandedFrame(df: DataFrame, idCol: String, signatureCol: String,
+                          bands: Int, rowsPerBand: Int): DataFrame = {
     val bandHashes = (0 until bands).map { b =>
       xxhash64(concat_ws(",",
         slice(col(signatureCol), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
     }
-    val banded = df.select(
-      col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
-    // clamp degenerate buckets before the pair join (skew guard)
+  }
+
+  /** Banded frame with degenerate buckets clamped (skew guard): buckets
+    * larger than `maxBucketSize` are dropped from candidate generation.
+    */
+  private def keptFrame(df: DataFrame, idCol: String, signatureCol: String,
+                        bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
+    val banded = bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
     val sized = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
-    val kept = banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+    banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+  }
+
+  def lshCandidates(df: DataFrame, idCol: String, signatureCol: String,
+                    bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = 10000): DataFrame = {
+    val kept = keptFrame(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
     kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -111,17 +125,7 @@ object Dedup {
   def lshCandidatesWeighted(df: DataFrame, idCol: String, signatureCol: String,
                             bands: Int, rowsPerBand: Int,
                             maxBucketSize: Int = 10000): DataFrame = {
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        slice(col(signatureCol), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
-    }
-    val banded = df.select(
-      col(idCol).as("id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
-    val sized = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val kept = banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+    val kept = keptFrame(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
     kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -139,13 +143,7 @@ object Dedup {
     */
   def lshStarEdges(df: DataFrame, idCol: String, signatureCol: String,
                    bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        slice(col(signatureCol), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
-    }
-    val banded = df.select(
-      col(idCol).as("id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    val banded = bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
     val bucketMin = banded.groupBy("band", "bucket").agg(min(col("id")).as("id_a"))
     banded.join(bucketMin, Seq("band", "bucket"))
       .filter(col("id") =!= col("id_a"))
@@ -208,6 +206,13 @@ object Dedup {
       labels = updated.drop("__prev")
       iter += 1
     }
+    if (!converged)
+      // truncated labels are WRONG for any component wider than maxIters
+      // hops — make it loud; callers with long-chain clusters should
+      // raise maxIters (cost is linear in rounds)
+      System.err.println(
+        s"[dedup] label propagation did NOT converge after $maxIters rounds — " +
+          "components wider than the round count carry intermediate representatives")
     labels
   }
 
@@ -284,7 +289,10 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a function of the pair, so
+      // the order is semantics-free, and the dedup shuffle then carries
+      // only true near-dups instead of every chunk collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -57,10 +57,14 @@ object Ivf {
       // any partial-aggregation merge order (double sums would drift by
       // ulps across runs and flip near-tie assignments); one correctly-
       // rounded cast + one double division keeps the result stable
+      // scale 18 leaves 20 integer digits of sum headroom (38,30 kept
+      // only 8 — a bucket of 1e8 unit-scale components overflowed and,
+      // under ANSI mode, crashed training); 18 fractional digits still
+      // fix the rounding deterministically under any merge order
       val sums = assigned
         .select(col("bucket"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("bucket", "d")
-        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 30)))
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
           .cast("double") / count(lit(1))).as("m"))
         .collect()
       val next = Array.tabulate(model.centroids.length)(i => model.centroids(i).clone())
@@ -94,6 +98,7 @@ object Ivf {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorExpressions.cosine(col("qv"), col("cv")).as("cos"))
+      .filter(!isnan(col("cos"))) // zero-norm guard (NaN orders largest)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")

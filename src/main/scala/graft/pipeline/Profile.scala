@@ -19,23 +19,26 @@ object Profile {
     */
   def profile(df: DataFrame, columns: Seq[String],
               approxDistinct: Boolean = false): DataFrame = {
-    val aggs = columns.flatMap { c =>
+    // generated aliases are index-based, not name-based: a profiled
+    // column named "a.b" would otherwise produce an alias whose later
+    // col() reference parses the dot as a field access and fails
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
       val cc = col("`" + c.replace("`", "``") + "`")
       Seq(
-        F.count(F.lit(1)).as(s"__rows_$c"),
-        F.sum(F.when(cc.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        (if (approxDistinct) approx_count_distinct(cc) else countDistinct(cc)).as(s"__distinct_$c"),
-        F.min(cc).cast("string").as(s"__min_$c"),
-        F.max(cc).cast("string").as(s"__max_$c"))
+        F.count(F.lit(1)).as(s"__rows_$i"),
+        F.sum(F.when(cc.isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        (if (approxDistinct) approx_count_distinct(cc) else countDistinct(cc)).as(s"__distinct_$i"),
+        F.min(cc).cast("string").as(s"__min_$i"),
+        F.max(cc).cast("string").as(s"__max_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val perColumn = columns.map { c =>
+    val perColumn = columns.zipWithIndex.map { case (c, i) =>
       struct(lit(c).as("col_name"),
-        col(s"__rows_$c").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"),
-        col(s"__distinct_$c").cast("long").as("n_distinct"),
-        col(s"__min_$c").as("min_value"),
-        col(s"__max_$c").as("max_value"))
+        col(s"__rows_$i").as("n_rows"),
+        col(s"__nulls_$i").as("n_nulls"),
+        col(s"__distinct_$i").cast("long").as("n_distinct"),
+        col(s"__min_$i").as("min_value"),
+        col(s"__max_$i").as("max_value"))
     }
     wide.select(explode(array(perColumn: _*)).as("p")).select("p.*")
   }

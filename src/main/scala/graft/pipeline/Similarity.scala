@@ -55,6 +55,9 @@ object Similarity {
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
+      // zero-norm vectors score NaN, and Spark orders NaN LARGEST — an
+      // all-zero embedding would become everyone's rank-1 neighbor
+      .filter(!isnan(col("cos")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -102,17 +105,25 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Array[Array[Double]], bandBits: Int = 6): DataFrame = {
+    // banded frames and the candidate distinct carry IDs ONLY: exploding
+    // the embedding per band and deduplicating (vec, vec) pairs would
+    // put vector payloads through the shuffle once per matching band —
+    // at corpus scale the payload dominates. Vectors re-join after the
+    // dedup: neighbor side from the corpus, query side broadcast.
     def banded(df: DataFrame, role: String): DataFrame =
-      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+      df.select(col(idCol).as(s"${role}_id"),
         posexplode(bandCodes(col(vecCol), planes, bandBits)).as(Seq("band", "chunk")))
     val qb = banded(queries, "query")
     val cb = banded(corpus, "neighbor")
-    val candidates = cb.join(broadcast(qb), Seq("band", "chunk"))
+    val candidateIds = cb.join(broadcast(qb), Seq("band", "chunk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+      .select("query_id", "neighbor_id")
       .distinct()
-    val scored = candidates.select(col("query_id"), col("neighbor_id"),
-      cosine(col("query_vec"), col("neighbor_vec")).as("cos"))
+    val scored = candidateIds
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .filter(!isnan(col("cos"))) // zero-norm guard (see bruteForceTopK)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -129,6 +140,8 @@ object Similarity {
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= threshold)
+      // NaN compares as LARGEST in Spark, so a zero-norm vector would
+      // pass any threshold without this guard
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
   }
 }

@@ -32,9 +32,21 @@ object Bucketing {
     spark.table(tableA).join(spark.table(tableB), key)
 
   /** True if the physical plan for `df` contains a shuffle exchange —
-    * the thing bucketing exists to eliminate.
+    * the thing bucketing exists to eliminate. Under AQE the root is an
+    * AdaptiveSparkPlanExec LEAF whose real plan hangs off `inputPlan`,
+    * so a plain tree scan reports false for every query; recurse through
+    * the adaptive wrapper (and any materialized query stages) explicitly.
     */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+  def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def scan(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeLike  => true
+      case a: AdaptiveSparkPlanExec => scan(a.inputPlan)
+      case q: QueryStageExec        => scan(q.plan)
+      case other                    => other.children.exists(scan)
+    }
+    scan(df.queryExecution.executedPlan)
+  }
 }

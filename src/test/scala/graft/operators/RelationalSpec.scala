@@ -18,6 +18,23 @@ class RelationalSpec extends AnyFunSuite {
       Seq(Relational.Rename("a", "X"), Relational.Rename("b", "x"))).isLeft)
   }
 
+  test("renames apply simultaneously: a chain does not capture its own output") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    // a fold of withColumnRenamed turned this into duplicate [c, c]
+    val out = Relational.applyRenames(df,
+      Seq(Relational.Rename("a", "b"), Relational.Rename("b", "c")))
+    assert(out.columns.toSeq == Seq("b", "c"))
+    assert(out.select("b").head().getInt(0) == 1) // original a
+    assert(out.select("c").head().getInt(0) == 2) // original b
+    // swap works too
+    val swapped = Relational.applyRenames(df,
+      Seq(Relational.Rename("a", "b"), Relational.Rename("b", "a")))
+    assert(swapped.columns.toSeq == Seq("b", "a"))
+    // validation rejects a target clashing with a surviving column
+    assert(Relational.validateRenames(Seq("a", "b"),
+      Seq(Relational.Rename("a", "b"))).isLeft)
+  }
+
   test("resolve is case-insensitive with ambiguity detection") {
     assert(Relational.resolve(Seq("Foo", "bar"), "foo") == Right("Foo"))
     assert(Relational.resolve(Seq("Foo", "foo"), "Foo") == Right("Foo")) // exact wins

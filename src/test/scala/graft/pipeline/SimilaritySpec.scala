@@ -37,6 +37,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("a zero-norm vector never appears as a neighbor (NaN orders largest in Spark)") {
+    import spark.implicits._
+    val withZero = emb.select("vec_id", "embedding").limit(50)
+      .union(Seq((9999L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(
+      withZero.filter(col("vec_id") < 3), withZero, "vec_id", "embedding", k = 5)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(!top.contains(9999L))
+    val pairs = Similarity.cosinePairs(withZero, "vec_id", "embedding", threshold = 0.0)
+      .filter(col("id_a") === 9999L || col("id_b") === 9999L)
+    assert(pairs.isEmpty) // NaN must not pass any threshold
+  }
+
   test("lshTopK achieves reasonable recall@5 against brute force") {
     val planes = Similarity.hyperplanes(120, 64)
     val got = Similarity.lshTopK(
