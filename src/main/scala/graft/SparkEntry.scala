@@ -578,6 +578,22 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Same as-of semantics, executed by the whole-operator physical plan
+    * (graft.plans.AsOfJoinExec: co-partition + sort + one merge pass —
+    * the LogicalPlan/SparkStrategy/SparkPlan extension tier).
+    */
+  private def qAsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    graft.operators.AsOfJoin.asOfNative(clicks, purchases, Seq("user_id"), "ts",
+        Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     graft.operators.Sessionize.sessionSummary(
         t(s, d, "events").select("user_id", "ts", "event_id"),
@@ -671,6 +687,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_native" -> (qAsofNative _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -743,6 +760,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_asof_join" ->
+      ("SELECT l.event_id, l.user_id, r.value AS asof_purchase_value " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts " +
+        "ORDER BY l.event_id"),
+
+    "q_asof_native" ->
       ("SELECT l.event_id, l.user_id, r.value AS asof_purchase_value " +
         "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r " +

@@ -57,4 +57,33 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__side", "__r", "__latest")
   }
+
+  /** Same contract and output shape as [[asOf]], executed by the native
+    * whole-operator plan (`graft.plans.AsOfJoinExec`): both sides
+    * hash-partition on the key, sort by (key, time), then one linear
+    * merge pass per partition — no unioned timeline, no window buffer.
+    * Same single-shuffle cost shape, strictly less per-partition work.
+    * Self-registers the planner strategy on `df.sparkSession`.
+    */
+  def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 tsCol: String, rightPayload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.install(spark)
+    import org.apache.spark.sql.GraftColumnBridge
+    // prune + prefix the right side so the joined output has unique names
+    // (the node is opaque to ColumnPruning — project BEFORE the join)
+    val rPruned = right.select((keys ++ Seq(tsCol) ++ rightPayload).distinct.map(col): _*)
+    val rRenamed = rPruned.toDF(rPruned.columns.map(c => s"__r_$c"): _*)
+    val lPlan = GraftColumnBridge.analyzed(left)
+    val rPlan = GraftColumnBridge.analyzed(rRenamed)
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute], n: String) =
+      out.find(_.name == n).getOrElse(sys.error(s"as-of: no column $n"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      keys.map(attr(lPlan.output, _)),
+      keys.map(k => attr(rPlan.output, s"__r_$k")),
+      attr(lPlan.output, tsCol), attr(rPlan.output, s"__r_$tsCol"))
+    GraftColumnBridge.ofRows(spark, node)
+      .select(left.columns.map(col) ++
+        rightPayload.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+  }
 }

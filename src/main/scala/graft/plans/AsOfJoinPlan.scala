@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator as-of join: the logical-plan + strategy + physical-plan
+  * extension tier (SURVEY.md §2.13 "custom vs built-in" ladder, step (c)).
+  *
+  * `AsOfJoin.asOf` expresses point-in-time lookup as union + window
+  * (one shuffle, no pair expansion) — the best PLAN Catalyst's built-in
+  * operators can reach. This node goes one step further and owns the
+  * PHYSICAL execution: both sides hash-partition on the key and sort by
+  * (key, time) — declared via `requiredChildDistribution` /
+  * `requiredChildOrdering`, so `EnsureRequirements` plans the exchanges
+  * and sorts exactly as it would for a sort-merge join — then a single
+  * forward merge pass per partition emits each left row joined to the
+  * latest right row with `r.time <= l.time`. Compared to the union+window
+  * form it never materializes the unioned timeline, runs no window
+  * buffering, and streams both sorted sides once: strictly less work per
+  * partition at any scale, with the identical shuffle shape.
+  *
+  * Semantics match `AsOfJoin.asOf` exactly (ties at equal time: right row
+  * visible; right side must be unique per (key, time); null keys group
+  * together as in window partitioning; null times sort first = "before
+  * everything"). Left-outer: unmatched left rows get null right columns.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length, "as-of join key arity mismatch")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: AsOfJoinNode → AsOfJoinExec. Injected via
+  * `GraftExtensions` (session builder) or self-registered by
+  * `AsOfJoin.asOfNative` (existing sessions, experimental.extraStrategies).
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join. Requirements (distribution + ordering) make
+  * EnsureRequirements co-partition both children on the join key and
+  * sort them by (key, time) — the same machinery sort-merge join uses,
+  * so AQE partition coalescing stays consistent across the two sides.
+  * Execution is then a zip of co-numbered partitions with a linear merge.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  // keeps the key clustering + (key, time) ordering visible downstream so
+  // a following same-key window/agg plans no re-exchange or re-sort
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTupExprs = leftKeys :+ leftTime
+    val rTupExprs = rightKeys :+ rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val tupTypes = lTupExprs.map(_.dataType)
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
+      val lTupProj = UnsafeProjection.create(lTupExprs, leftOut)
+      val rTupProj = UnsafeProjection.create(rTupExprs, rightOut)
+      // natural ascending = nulls-first ascending, matching the
+      // requiredChildOrdering above — comparisons agree with the sort
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val tupOrd = RowOrdering.createNaturalAscendingOrdering(tupTypes)
+      val joined = new JoinedRow
+      // bind against nullability-WIDENED right attributes: unmatched left
+      // rows carry an all-null right side even when the right child's
+      // schema says non-nullable, and a non-nullable binding would skip
+      // the null check and read garbage zeros
+      val outProj =
+        UnsafeProjection.create(outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val rBuf = rIter.buffered
+      // latest right row consumed so far and its key (copies: child
+      // iterators reuse row buffers)
+      var lastRight: InternalRow = null
+      var lastRightKey: UnsafeRow = null
+      lIter.map { l =>
+        val lTup = lTupProj(l)
+        // consume every right row at-or-before (lKey, lTime) in the
+        // lexicographic (key, time) order; rows of earlier keys pass
+        // through harmlessly (key-equality is re-checked at emit)
+        while (rBuf.hasNext && tupOrd.compare(rTupProj(rBuf.head), lTup) <= 0) {
+          lastRight = rBuf.next().copy()
+          lastRightKey = rKeyProj(lastRight).copy()
+        }
+        val matched =
+          lastRightKey != null && keyOrd.compare(lastRightKey, lKeyProj(l)) == 0
+        outProj(joined(l, if (matched) lastRight else nullRight))
+      }
+    }
+  }
+}

@@ -81,6 +81,7 @@ object NativeCosineRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NativeCosineRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -89,6 +90,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(NativeCosineRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ NativeCosineRewrite
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     graft.functions.VectorExpressions.register(spark)
   }
 }
