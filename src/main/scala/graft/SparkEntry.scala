@@ -187,6 +187,43 @@ object SparkEntry {
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy(col("n_name"))
 
+  /** Bucket-layout join (graft.sources.Bucketing): both sides written
+    * bucketed on the join key, then joined with NO exchange on either
+    * side — the one-time-layout answer to a repeated 100 TB join. The
+    * `merge` hint keeps the plan on the bucket-aware sort-merge path
+    * (broadcast would bypass the layout at this toy scale);
+    * BucketingSpec asserts the no-shuffle plan shape.
+    */
+  private def qBucketJoin(s: SparkSession, d: String): DataFrame = {
+    val wh = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bkt_warehouse")
+    if (!s.catalog.databaseExists("graft_bkt")) {
+      // fresh JVM + leftover files from a previous run: the in-memory
+      // catalog forgot the tables but managed-table creation refuses an
+      // existing location — wipe it and start clean
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(wh)
+    }
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '${wh.getAbsolutePath}'")
+    def bucketed(df: DataFrame, table: String, key: String): DataFrame = {
+      df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+        .format("parquet").saveAsTable(s"graft_bkt.$table")
+      s.table(s"graft_bkt.$table")
+    }
+    val o = bucketed(t(s, d, "orders").select("o_custkey", "o_totalprice"),
+      "orders_b", "o_custkey")
+    val c = bucketed(t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+      "customer_b", "c_custkey")
+    o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double")
+          .as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   private def qWindowTopN(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_custkey"))
@@ -688,6 +725,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
+    "q_bucket_join" -> (qBucketJoin _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -765,6 +803,12 @@ object SparkEntry {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts " +
         "ORDER BY l.event_id"),
+
+    "q_bucket_join" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
     "q_asof_native" ->
       ("SELECT l.event_id, l.user_id, r.value AS asof_purchase_value " +
