@@ -42,6 +42,26 @@ object Bench {
     benchScenario("asof_join", spark, sfDir, "events") { (s, dir) =>
       SparkEntry.queries("q_asof_join")(s, dir).count()
     }
+    benchScenario("asof_native", spark, sfDir, "events") { (s, dir) =>
+      SparkEntry.queries("q_asof_native")(s, dir).count()
+    }
+    // data-layout scenario: z-cluster lineitem on (partkey, suppkey),
+    // write, then run a second-dimension point-predicate read over the
+    // clustered files (the scan the layout exists to accelerate)
+    benchScenario("zorder_layout", spark, sfDir, "lineitem") { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-zorder")
+        .resolve("out").toString
+      val li = Tables.load(s, dir, "lineitem")
+      val Array(pkMax, skMax) = li
+        .selectExpr("max(l_partkey)", "max(l_suppkey)")
+        .head().toSeq.map(v => v.toString.toLong).toArray
+      val z = operators.ZOrder.zValue(Seq(
+        operators.ZOrder.scaleTo(col("l_partkey"), 1L, pkMax, 16),
+        operators.ZOrder.scaleTo(col("l_suppkey"), 1L, skMax, 16)), 16)
+      operators.ZOrder.clusterBy(li, z, 16).write.parquet(tmp)
+      s.read.parquet(tmp).filter(col("l_suppkey") === skMax).count()
+    }
 
     // min of two runs per query: single-shot timings carry whichever
     // codegen-compile / co-tenant noise lands on them (observed 2-16s

@@ -224,6 +224,16 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Z-order (Morton) key over two lineitem dimensions — the clustering
+    * key graft.operators.ZOrder.cluster sorts files by; bit-exact in any
+    * engine (integer shift/mask only), so the oracle replicates it.
+    */
+  private def qZorderKey(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.zValue(Seq(col("l_partkey"), col("l_suppkey")), 16).as("z"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("z"))
+
   private def qWindowTopN(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_custkey"))
@@ -726,6 +736,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_bucket_join" -> (qBucketJoin _),
+    "q_zorder_key" -> (qZorderKey _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -803,6 +814,11 @@ object SparkEntry {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts " +
         "ORDER BY l.event_id"),
+
+    "q_zorder_key" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        graft.operators.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16) +
+        " AS z FROM lineitem ORDER BY l_orderkey, l_linenumber, z"),
 
     "q_bucket_join" ->
       ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
