@@ -654,6 +654,19 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** General grouping sets (the form rollup/cube specialize): one
+    * aggregate pass emitting independent groupings — here per-returnflag,
+    * per-linestatus, and grand total in a single shuffle.
+    */
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   private def qPivot(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(col("o_orderpriority"))
@@ -737,6 +750,7 @@ object SparkEntry {
     "q_asof_native" -> (qAsofNative _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_zorder_key" -> (qZorderKey _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -814,6 +828,13 @@ object SparkEntry {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts " +
         "ORDER BY l.event_id"),
+
+    "q_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n_rows FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY l_returnflag, l_linestatus"),
 
     "q_zorder_key" ->
       ("SELECT l_orderkey, l_linenumber, " +
