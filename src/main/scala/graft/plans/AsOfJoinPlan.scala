@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution, Partitioning}
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Whole-operator as-of join: the logical-plan + strategy + physical-plan
@@ -46,14 +47,25 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: AsOfJoinNode → AsOfJoinExec. Injected via
-  * `GraftExtensions` (session builder) or self-registered by
-  * `AsOfJoin.asOfNative` (existing sessions, experimental.extraStrategies).
+/** Planner strategy: AsOfJoinNode → physical as-of join. Picks the
+  * physical form by statistics, the same way Catalyst picks
+  * BroadcastHashJoin: a right side under the session's
+  * autoBroadcastJoinThreshold plans as [[BroadcastAsOfJoinExec]] (the
+  * 100 TB-left × small-right case — NO shuffle or sort of the left side
+  * at all), anything larger as the co-partitioned merge
+  * [[AsOfJoinExec]]. Injected via `GraftExtensions` (session builder)
+  * or self-registered by `AsOfJoin.asOfNative`.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val rightSize = r.stats.sizeInBytes
+      if (threshold > 0 && rightSize >= 0 && rightSize <= threshold)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
 }
@@ -64,6 +76,96 @@ object AsOfJoinStrategy extends SparkStrategy {
   * so AQE partition coalescing stays consistent across the two sides.
   * Execution is then a zip of co-numbered partitions with a linear merge.
   */
+/** Broadcast as-of join: the right side ships to every task as a
+  * broadcast (EnsureRequirements plans the BroadcastExchange for the
+  * declared BroadcastDistribution); each task builds a key → time-sorted
+  * rows index once, then streams its left partition through hash lookup
+  * + binary search. The left side keeps its partitioning, ordering, and
+  * file layout — zero exchange, zero sort — which is the only as-of plan
+  * that survives a 100 TB left input with a dimension-sized right.
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // the left side passes through untouched — downstream operators keep
+  // whatever clustering/ordering it already had
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val timeTypes = Seq(leftTime.dataType)
+    val outAttrs = output
+    val broadcastRight = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(timeTypes)
+      // per-task index: key → rows sorted by time ascending (nulls
+      // first, matching the shuffled exec's sort order)
+      val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
+      val grouped = new java.util.HashMap[UnsafeRow, java.util.ArrayList[(UnsafeRow, InternalRow)]]()
+      broadcastRight.value.foreach { r =>
+        val k = rKeyProj(r).copy()
+        val entry = (rTimeProj(r).copy(), r.copy(): InternalRow)
+        val lst = grouped.get(k)
+        if (lst != null) lst.add(entry)
+        else { val l = new java.util.ArrayList[(UnsafeRow, InternalRow)](); l.add(entry); grouped.put(k, l) }
+      }
+      grouped.forEach { (k, lst) =>
+        val arr = new Array[(UnsafeRow, InternalRow)](lst.size())
+        lst.toArray(arr)
+        java.util.Arrays.sort(arr,
+          (a: (UnsafeRow, InternalRow), b: (UnsafeRow, InternalRow)) => timeOrd.compare(a._1, b._1))
+        index.put(k, arr)
+      }
+      val joined = new JoinedRow
+      val outProj =
+        UnsafeProjection.create(outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rightOut.length)
+      lIter.map { l =>
+        val rows = index.get(lKeyProj(l))
+        var best: InternalRow = null
+        if (rows != null) {
+          val lTime = lTimeProj(l)
+          // binary search: greatest right time <= lTime
+          var lo = 0; var hi = rows.length - 1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (timeOrd.compare(rows(mid)._1, lTime) <= 0) { best = rows(mid)._2; lo = mid + 1 }
+            else hi = mid - 1
+          }
+        }
+        outProj(joined(l, if (best != null) best else nullRight))
+      }
+    }
+  }
+}
+
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,

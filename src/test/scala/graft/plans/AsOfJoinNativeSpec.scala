@@ -63,15 +63,47 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
   }
 
-  test("plan shape: AsOfJoinExec node, no window, no union, no join") {
+  test("plan shape: as-of exec node, no window, no union, no join") {
     val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq(("k", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")
     val df = AsOfJoin.asOfNative(left, right, Seq("k"), "ts", Seq("v"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    assert(plan.contains("AsOfJoin"), s"expected an as-of exec in:\n$plan")
     val lower = plan.toLowerCase
     assert(!lower.contains("window") && !lower.contains("union"))
     assert(!lower.contains("sortmergejoin") && !lower.contains("hashjoin"))
+  }
+
+  test("strategy picks broadcast for a small right side: left keeps its layout") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(("k", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")
+    val plan = AsOfJoin.asOfNative(left, right, Seq("k"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), s"expected broadcast form in:\n$plan")
+    // the ONLY exchange is the right-side broadcast — the left side is
+    // neither shuffled nor sorted
+    assert(!plan.contains("Exchange hashpartitioning"), s"left side was shuffled:\n$plan")
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("threshold off forces the co-partitioned merge form; both agree") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = graft.Tables.load(spark, TestSpark.sf, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("pv"))
+      val merged = AsOfJoin.asOfNative(clicks, purchases, Seq("user_id"), "ts", Seq("pv"))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin") && !plan.contains("BroadcastAsOfJoin"),
+        s"expected the shuffled merge form in:\n$plan")
+      val window = AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", Seq("pv"))
+        .select("event_id", "asof_pv")
+      val native = merged.select("event_id", "asof_pv")
+      assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("multiple keys and interleaved partitions stay aligned") {
