@@ -195,12 +195,16 @@ object SparkEntry {
     * BucketingSpec asserts the no-shuffle plan shape.
     */
   private def qBucketJoin(s: SparkSession, d: String): DataFrame = {
+    // per-JVM warehouse path: a fixed shared location would let one
+    // process wipe files another process's scan is mid-reading (Verify
+    // and a forked test run both resolve the same tmpdir)
     val wh = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bkt_warehouse")
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_bkt_warehouse_${ProcessHandle.current().pid()}")
     if (!s.catalog.databaseExists("graft_bkt")) {
-      // fresh JVM + leftover files from a previous run: the in-memory
-      // catalog forgot the tables but managed-table creation refuses an
-      // existing location — wipe it and start clean
+      // fresh catalog + leftover files from a previous same-pid run: the
+      // in-memory catalog forgot the tables but managed-table creation
+      // refuses an existing location — wipe and start clean
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }

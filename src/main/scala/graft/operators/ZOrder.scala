@@ -50,6 +50,13 @@ object ZOrder {
     */
   def scaleTo(c: Column, minV: Long, maxV: Long, bits: Int = 16): Column = {
     require(maxV > minV, "scaleTo needs a non-degenerate range")
+    // enforce the exactness bound the arithmetic below depends on: the
+    // numerator (maxV-minV)·(2^bits−1) must stay under 2^53 or the
+    // double division silently rounds (and the Long multiply can throw
+    // under ANSI) — loud error beats silent mis-clustering
+    require(maxV - minV <= (1L << 53) / ((1L << bits) - 1),
+      s"scaleTo range ${maxV - minV} x $bits bits exceeds the exact-arithmetic " +
+        "bound (2^53); pre-bucket the column or use fewer bits")
     val clamped = least(greatest(c.cast("long"), lit(minV)), lit(maxV))
     val num = (clamped - lit(minV)) * lit((1L << bits) - 1)
     val den = lit(maxV - minV)
@@ -84,11 +91,16 @@ object ZOrder {
     */
   def zValueSql(cols: Seq[String], bits: Int = 16): String = {
     val n = cols.length
+    require(n >= 2, "z-ordering needs at least two dimensions")
+    require(bits >= 1 && n * bits <= 63, s"$n dims x $bits bits must fit a Long")
     val mask = 1L << bits
     val terms = for {
       i <- 0 until bits
       (c, j) <- cols.zipWithIndex
-    } yield s"((((CAST($c AS BIGINT) % $mask) >> $i) & 1) << ${i * n + j})"
+      // double-% = pmod: SQL % keeps the sign of the dividend, Spark's
+      // pmod is non-negative — without the second %, negative inputs
+      // would silently diverge between the twins
+    } yield s"(((((CAST($c AS BIGINT) % $mask + $mask) % $mask) >> $i) & 1) << ${i * n + j})"
     terms.mkString("(", " | ", ")")
   }
 }

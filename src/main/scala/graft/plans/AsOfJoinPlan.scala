@@ -40,6 +40,14 @@ case class AsOfJoinNode(
     leftTime: Expression,
     rightTime: Expression) extends BinaryNode {
   require(leftKeys.length == rightKeys.length, "as-of join key arity mismatch")
+  // this node bypasses the analyzer's implicit-cast coercion, so enforce
+  // type equality here — mismatched key/time types would otherwise
+  // compare raw UnsafeRow bytes and return garbage instead of erroring
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key type mismatch: ${leftKeys.map(_.dataType)} vs " +
+      s"${rightKeys.map(_.dataType)} — cast the sides to matching types first")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time type mismatch: ${leftTime.dataType} vs ${rightTime.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -120,29 +128,38 @@ case class BroadcastAsOfJoinExec(
     val broadcastRight = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
+      // key → rows sorted by time ascending (nulls first, matching the
+      // shuffled exec's sort order)
+      def buildIndex(): BroadcastAsOfJoinExec.Index = {
+        val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
+        val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
+        val timeOrd = RowOrdering.createNaturalAscendingOrdering(timeTypes)
+        val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
+        val grouped = new java.util.HashMap[UnsafeRow, java.util.ArrayList[(UnsafeRow, InternalRow)]]()
+        broadcastRight.value.foreach { r =>
+          val k = rKeyProj(r).copy()
+          val entry = (rTimeProj(r).copy(), r.copy(): InternalRow)
+          val lst = grouped.get(k)
+          if (lst != null) lst.add(entry)
+          else { val l = new java.util.ArrayList[(UnsafeRow, InternalRow)](); l.add(entry); grouped.put(k, l) }
+        }
+        grouped.forEach { (k, lst) =>
+          val arr = new Array[(UnsafeRow, InternalRow)](lst.size())
+          lst.toArray(arr)
+          java.util.Arrays.sort(arr,
+            (a: (UnsafeRow, InternalRow), b: (UnsafeRow, InternalRow)) => timeOrd.compare(a._1, b._1))
+          index.put(k, arr)
+        }
+        index
+      }
+      // tasks on the same executor share one built index per broadcast
+      // instead of each re-grouping/sorting the broadcast rows — with a
+      // huge left side that is thousands of tasks saved per executor
+      val index =
+        BroadcastAsOfJoinExec.cachedIndex(broadcastRight.id, () => buildIndex())
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(timeTypes)
-      // per-task index: key → rows sorted by time ascending (nulls
-      // first, matching the shuffled exec's sort order)
-      val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
-      val grouped = new java.util.HashMap[UnsafeRow, java.util.ArrayList[(UnsafeRow, InternalRow)]]()
-      broadcastRight.value.foreach { r =>
-        val k = rKeyProj(r).copy()
-        val entry = (rTimeProj(r).copy(), r.copy(): InternalRow)
-        val lst = grouped.get(k)
-        if (lst != null) lst.add(entry)
-        else { val l = new java.util.ArrayList[(UnsafeRow, InternalRow)](); l.add(entry); grouped.put(k, l) }
-      }
-      grouped.forEach { (k, lst) =>
-        val arr = new Array[(UnsafeRow, InternalRow)](lst.size())
-        lst.toArray(arr)
-        java.util.Arrays.sort(arr,
-          (a: (UnsafeRow, InternalRow), b: (UnsafeRow, InternalRow)) => timeOrd.compare(a._1, b._1))
-        index.put(k, arr)
-      }
       val joined = new JoinedRow
       val outProj =
         UnsafeProjection.create(outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
@@ -163,6 +180,21 @@ case class BroadcastAsOfJoinExec(
         outProj(joined(l, if (best != null) best else nullRight))
       }
     }
+  }
+}
+
+object BroadcastAsOfJoinExec {
+  type Index = java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]
+  // per-executor (per-JVM) cache of built indexes, keyed by broadcast id.
+  // Read-only after construction, so sharing across tasks is safe.
+  // Bounded crudely: a stage's tasks all use the same broadcast, so a
+  // handful of live entries suffices; wholesale clear on overflow keeps
+  // the worst case at "rebuild once", never a leak.
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Index]()
+  private[plans] def cachedIndex(id: Long, build: () => Index): Index = {
+    if (indexCache.size > 16) indexCache.clear()
+    indexCache.computeIfAbsent(id, _ => build())
   }
 }
 
@@ -223,10 +255,11 @@ case class AsOfJoinExec(
         UnsafeProjection.create(outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightOut.length)
       val rBuf = rIter.buffered
-      // latest right row consumed so far and its key (copies: child
-      // iterators reuse row buffers)
+      // latest right row consumed so far (copied: child iterators reuse
+      // row buffers). Its key is projected fresh at emit time — one
+      // reused-buffer projection per left row instead of a second copy
+      // per consumed right row in the hot advance loop.
       var lastRight: InternalRow = null
-      var lastRightKey: UnsafeRow = null
       lIter.map { l =>
         val lTup = lTupProj(l)
         // consume every right row at-or-before (lKey, lTime) in the
@@ -234,10 +267,9 @@ case class AsOfJoinExec(
         // through harmlessly (key-equality is re-checked at emit)
         while (rBuf.hasNext && tupOrd.compare(rTupProj(rBuf.head), lTup) <= 0) {
           lastRight = rBuf.next().copy()
-          lastRightKey = rKeyProj(lastRight).copy()
         }
         val matched =
-          lastRightKey != null && keyOrd.compare(lastRightKey, lKeyProj(l)) == 0
+          lastRight != null && keyOrd.compare(rKeyProj(lastRight), lKeyProj(l)) == 0
         outProj(joined(l, if (matched) lastRight else nullRight))
       }
     }
