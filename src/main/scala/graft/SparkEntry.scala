@@ -238,6 +238,29 @@ object SparkEntry {
         graft.operators.ZOrder.zValue(Seq(col("l_partkey"), col("l_suppkey")), 16).as("z"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("z"))
 
+  /** Context-window chunking: every document split into 64-token chunks
+    * with 16-token overlap, one row per chunk (scan-speed, no shuffle).
+    */
+  private def qDocChunks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(Text.chunks("text", 64, 16)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Benchmark decontamination: training docs (doc_id < 250) that share
+    * any 5-gram with the held-out reference slice (doc_id >= 250), with
+    * the count of distinct leaked grams.
+    */
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", 5)
+      .orderBy(col("doc_id"))
+  }
+
   private def qWindowTopN(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_custkey"))
@@ -755,6 +778,8 @@ object SparkEntry {
     "q_bucket_join" -> (qBucketJoin _),
     "q_zorder_key" -> (qZorderKey _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_doc_chunks" -> (qDocChunks _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -832,6 +857,25 @@ object SparkEntry {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts " +
         "ORDER BY l.event_id"),
+
+    "q_doc_chunks" ->
+      ("WITH s AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents) " +
+        "SELECT doc_id, i AS chunk_idx, " +
+        "array_to_string(toks[(i*48+1):(i*48+64)], ' ') AS chunk " +
+        "FROM s, unnest(generate_series(0, " +
+        "CAST(greatest(1, (len(toks) - 16 + 47) // 48) AS INT) - 1)) AS g(i) " +
+        "ORDER BY doc_id, chunk_idx"),
+
+    "q_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "c AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(toks) - 4, 1)), " +
+        "i -> array_to_string(toks[i:(i+4)], ' ')))) AS g FROM t WHERE doc_id < 250), " +
+        "r AS (SELECT DISTINCT unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(toks) - 4, 1)), " +
+        "i -> array_to_string(toks[i:(i+4)], ' ')))) AS g FROM t WHERE doc_id >= 250) " +
+        "SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared " +
+        "FROM c JOIN r ON c.g = r.g GROUP BY c.doc_id ORDER BY c.doc_id"),
 
     "q_grouping_sets" ->
       ("SELECT l_returnflag, l_linestatus, " +

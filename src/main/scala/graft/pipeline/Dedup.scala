@@ -233,6 +233,30 @@ object Dedup {
       .filter(col("inter_size") * thresholdDenom >= col("union_size") * thresholdNum)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a reference set (the standard "did eval data leak into
+    * training data" check; n=8..13 in published pipelines). Returns
+    * (id, n_shared) for flagged documents — anti-join the result to keep
+    * the clean remainder.
+    *
+    * Plan shape: both sides explode to distinct per-doc n-grams, the
+    * reference side deduplicates globally, one equi-join on the gram.
+    * The reference (a benchmark suite) is orders of magnitude smaller
+    * than the corpus, so Catalyst broadcasts it and the corpus side
+    * streams — no corpus shuffle. For corpora where raw gram strings
+    * make the broadcast too fat, pre-hash both sides with the same
+    * expression (e.g. xxhash64(gram)); the join logic is unchanged.
+    */
+  def decontaminate(corpus: DataFrame, reference: DataFrame, idCol: String,
+                    textColName: String, n: Int): DataFrame = {
+    val cg = corpus.select(col(idCol),
+      explode(shingles(textColName, n)).as("g"))
+    val rg = reference.select(explode(shingles(textColName, n)).as("g")).distinct()
+    cg.join(rg, "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared"))
+  }
+
   /** 64-bit SimHash from the token array: bit i of the signature is the
     * sign of Σ_tokens (±1 by bit i of xxhash64(token)). One aggregate
     * expression per row; no shuffle.

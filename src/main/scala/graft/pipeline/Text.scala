@@ -21,6 +21,29 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Token-bounded overlapping chunks: chunk i covers tokens
+    * [i·(size−overlap), i·(size−overlap)+size). The context-window
+    * splitter every training pipeline needs — a document longer than the
+    * model context becomes ⌈(n−overlap)/(size−overlap)⌉ chunks sharing
+    * `overlap` boundary tokens, one per array element (posexplode for
+    * (chunk_idx, chunk) rows). Pure HOF expressions: chunking runs at
+    * scan speed with zero shuffle, and the token array binds once via
+    * the single-element-array trick (Catalyst does not CSE across
+    * lambda boundaries). Engine-portable: integer div only touches
+    * non-negative numerators (greatest(1, ·) clamps before trunc-vs-
+    * floor semantics could diverge).
+    */
+  def chunks(textColName: String, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val toks = s"filter(split(trim($textColName), '\\\\s+'), t -> t != '')"
+    expr(
+      s"flatten(transform(array($toks), ts -> " +
+        s"transform(sequence(0, CAST(greatest(1, (size(ts) - $overlap + ${step - 1}) div $step) AS INT) - 1), " +
+        s"i -> concat_ws(' ', slice(ts, i * $step + 1, $size)))))")
+  }
+
   /** A BPE-ish subword count: word tokens plus an extra unit per 4 chars
     * of long words (cheap proxy for subword splitting; deterministic).
     */

@@ -154,6 +154,20 @@ class DedupSpec extends AnyFunSuite {
     assert(starGroups == pairGroups)
   }
 
+  test("decontaminate flags only corpus docs sharing an n-gram with the reference") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox" trigram
+      (2L, "totally unrelated text here"),
+      (3L, "a quick brown fox appears"))). // shares the same trigram
+      toDF("doc_id", "text")
+    val reference = spark.createDataFrame(Seq(
+      (100L, "benchmark says quick brown fox answer"))).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, reference, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == 1L && got(3L) == 1L) // exactly the one shared trigram
+  }
+
   test("word shingles: n=2 produces bigrams") {
     val df = spark.createDataFrame(Seq((1L, "a b c"))).toDF("doc_id", "text")
     val sh = df.select(Dedup.shingles("text", 2).as("sh"))

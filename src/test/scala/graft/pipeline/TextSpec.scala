@@ -8,6 +8,24 @@ class TextSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("chunks: overlap, short-doc single chunk, and empty text") {
+    val df = Seq(
+      ((1 to 10).map(i => s"t$i").mkString(" "), "ten"),
+      ("a b", "short"),
+      ("", "empty")).toDF("text", "tag")
+    val got = df.select(col("tag"), Text.chunks("text", 4, 2).as("ch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // size=4, overlap=2, step=2: 10 tokens -> ceil((10-2)/2)=4 chunks,
+    // consecutive chunks share 2 tokens
+    assert(got("ten") == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(got("short") == Seq("a b")) // shorter than one chunk
+    assert(got("empty") == Seq(""))    // empty doc keeps one (empty) row
+  }
+
+  test("chunks rejects overlap >= size") {
+    intercept[IllegalArgumentException](Text.chunks("text", 4, 4))
+  }
+
   test("tokens handles empties, padding and repeated whitespace") {
     val df = Seq("", "  ", "one", " a  b\t c ").toDF("text")
     val got = df.select(Text.tokenCount(col("text")).as("n")).as[Int].collect().toSeq
