@@ -49,6 +49,21 @@ object Relational {
     }
   }
 
+  /** Key rename over a MapType column — the reference's DynamoDB item
+    * rename (`renamesMap.getOrElse(key, key)` per item entry,
+    * writers/DynamoStreamReplication.scala:74-76,87-89), expressed as a
+    * codegen'd `transform_keys` when-chain: no UDF, no per-row Scala.
+    * Targets must not collide with each other or with unrenamed keys
+    * (map keys are unique) — same contract as [[validateRenames]].
+    */
+  def renameMapKeys(m: Column, renames: Seq[Rename]): Column = {
+    val dup = renames.groupBy(_.to.toLowerCase(Locale.ROOT)).filter(_._2.size > 1)
+    require(dup.isEmpty, s"rename targets collide: ${dup.keys.mkString(", ")}")
+    if (renames.isEmpty) m
+    else transform_keys(m, (k, _) =>
+      renames.foldLeft(k)((cur, r) => when(k === lit(r.from), lit(r.to)).otherwise(cur)))
+  }
+
   /** Validate a rename list against a schema: every `from` must resolve
     * (case-insensitively) and no two renames may collide on the target
     * name (case-insensitively).

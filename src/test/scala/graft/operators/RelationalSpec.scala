@@ -60,4 +60,14 @@ class RelationalSpec extends AnyFunSuite {
     val df = Seq((1, "x")).toDF("id", "v")
     assert(Relational.prefixed(df, "src_").columns.toSeq == Seq("src_id", "src_v"))
   }
+
+  test("renameMapKeys rewrites item keys via transform_keys, values untouched") {
+    val df = Seq(Map("pk" -> "1", "old" -> "a", "keep" -> "b")).toDF("item")
+    val got = df.select(Relational.renameMapKeys(col("item"),
+        Seq(Relational.Rename("old", "new_name"), Relational.Rename("pk", "id"))))
+      .collect().head.getMap[String, String](0)
+    assert(got == Map("id" -> "1", "new_name" -> "a", "keep" -> "b"))
+    intercept[IllegalArgumentException](Relational.renameMapKeys(col("item"),
+      Seq(Relational.Rename("a", "x"), Relational.Rename("b", "X"))))
+  }
 }
