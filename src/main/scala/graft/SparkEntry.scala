@@ -719,6 +719,27 @@ object SparkEntry {
           col("n_users_exact") * 0.05).as("within_5pct"))
       .orderBy(col("event_type"))
 
+  /** Sketch contract for approximate percentiles: the KLL/GK-style
+    * approx_percentile(., 0.5, accuracy=1000) median must land within
+    * ±5% RANK of the true median (the sketch's guarantee is ±0.1% —
+    * generous slack keeps the gate data-independent). The true rank of
+    * the approximate value is computed in the same plan; the oracle
+    * pins the boolean. Integer cross-multiplication only.
+    */
+  private def qApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+    val ap = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("__ap"))
+    li.join(ap, "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= col("__ap"), 1L).otherwise(0L)).as("__rank"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("__rank") * 100 >= col("n_rows") * 45 &&
+          col("__rank") * 100 <= col("n_rows") * 55).as("within_5pct_rank"))
+      .orderBy(col("l_returnflag"))
+  }
+
   private def qPercentile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -779,6 +800,7 @@ object SparkEntry {
     "q_zorder_key" -> (qZorderKey _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_doc_chunks" -> (qDocChunks _),
+    "q_approx_quantile" -> (qApproxQuantile _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
@@ -857,6 +879,10 @@ object SparkEntry {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts " +
         "ORDER BY l.event_id"),
+
+    "q_approx_quantile" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, true AS within_5pct_rank " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_doc_chunks" ->
       ("WITH s AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents) " +
