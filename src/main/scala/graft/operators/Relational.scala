@@ -53,11 +53,16 @@ object Relational {
     * rename (`renamesMap.getOrElse(key, key)` per item entry,
     * writers/DynamoStreamReplication.scala:74-76,87-89), expressed as a
     * codegen'd `transform_keys` when-chain: no UDF, no per-row Scala.
-    * Targets must not collide with each other or with unrenamed keys
-    * (map keys are unique) — same contract as [[validateRenames]].
+    *
+    * Matching is case-SENSITIVE throughout (DynamoDB attribute names
+    * are), so the target-collision guard is too — unlike the
+    * case-insensitive DataFrame-column [[validateRenames]]. A target
+    * equal to an UNRENAMED key that happens to exist in some row cannot
+    * be checked statically (map contents are per-row); such a clash
+    * surfaces at runtime as Spark's DUPLICATE_MAP_KEY error.
     */
   def renameMapKeys(m: Column, renames: Seq[Rename]): Column = {
-    val dup = renames.groupBy(_.to.toLowerCase(Locale.ROOT)).filter(_._2.size > 1)
+    val dup = renames.groupBy(_.to).filter(_._2.size > 1)
     require(dup.isEmpty, s"rename targets collide: ${dup.keys.mkString(", ")}")
     if (renames.isEmpty) m
     else transform_keys(m, (k, _) =>

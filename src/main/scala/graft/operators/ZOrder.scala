@@ -53,9 +53,17 @@ object ZOrder {
     // enforce the exactness bound the arithmetic below depends on: the
     // numerator (maxV-minV)·(2^bits−1) must stay under 2^53 or the
     // double division silently rounds (and the Long multiply can throw
-    // under ANSI) — loud error beats silent mis-clustering
-    require(maxV - minV <= (1L << 53) / ((1L << bits) - 1),
-      s"scaleTo range ${maxV - minV} x $bits bits exceeds the exact-arithmetic " +
+    // under ANSI) — loud error beats silent mis-clustering. subtractExact
+    // because maxV-minV itself can wrap for full-Long-range dimensions
+    // (e.g. a hash column), which would slip past a plain comparison.
+    val range =
+      try Math.subtractExact(maxV, minV)
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"scaleTo range [$minV, $maxV] overflows Long; pre-bucket the column")
+      }
+    require(range <= (1L << 53) / ((1L << bits) - 1),
+      s"scaleTo range $range x $bits bits exceeds the exact-arithmetic " +
         "bound (2^53); pre-bucket the column or use fewer bits")
     val clamped = least(greatest(c.cast("long"), lit(minV)), lit(maxV))
     val num = (clamped - lit(minV)) * lit((1L << bits) - 1)

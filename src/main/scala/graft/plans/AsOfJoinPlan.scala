@@ -156,7 +156,7 @@ case class BroadcastAsOfJoinExec(
       // instead of each re-grouping/sorting the broadcast rows — with a
       // huge left side that is thousands of tasks saved per executor
       val index =
-        BroadcastAsOfJoinExec.cachedIndex(broadcastRight.id, () => buildIndex())
+        BroadcastAsOfJoinExec.cachedIndex(broadcastRight, () => buildIndex())
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(timeTypes)
@@ -185,16 +185,21 @@ case class BroadcastAsOfJoinExec(
 
 object BroadcastAsOfJoinExec {
   type Index = java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]
-  // per-executor (per-JVM) cache of built indexes, keyed by broadcast id.
-  // Read-only after construction, so sharing across tasks is safe.
-  // Bounded crudely: a stage's tasks all use the same broadcast, so a
-  // handful of live entries suffices; wholesale clear on overflow keeps
-  // the worst case at "rebuild once", never a leak.
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Index]()
-  private[plans] def cachedIndex(id: Long, build: () => Index): Index = {
-    if (indexCache.size > 16) indexCache.clear()
-    indexCache.computeIfAbsent(id, _ => build())
+  // per-executor (per-JVM) cache of built indexes, WEAKLY keyed by the
+  // Broadcast instance itself (identity — Broadcast has no equals).
+  // Keying by broadcast *id* would collide across SparkContexts in one
+  // JVM (ids restart at 0) and silently join against a stale index;
+  // weak keys also let each entry die with its broadcast, so the cache
+  // never outlives Spark's own broadcast cleanup (no retention cap
+  // needed). Read-only after construction, so sharing across tasks is
+  // safe; two tasks racing on a miss may build twice — idempotent.
+  private val indexCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.broadcast.Broadcast[_], Index]())
+  private[plans] def cachedIndex(
+      key: org.apache.spark.broadcast.Broadcast[_], build: () => Index): Index = {
+    val hit = indexCache.get(key)
+    if (hit != null) hit
+    else { val built = build(); indexCache.put(key, built); built }
   }
 }
 
