@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The external driver parses the LAST stdout line of `runMain graft.Bench`
+// as JSON from a 2000-char tail buffer. Forked-process stdout must pass
+// through un-prefixed (no "[info] ") and sbt's "[success] Total time"
+// epilogue must not displace it.
+outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -74,11 +74,23 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    // The driver reads this line from a 2000-char stdout tail and parses
+    // it as JSON: keep it short (3-decimal secs) and, if the per-query map
+    // would overflow the buffer, keep only the slowest entries — "value"
+    // always covers every query.
+    def fmt(v: Double) = f"$v%.3f"
+    val ranked = results.toSeq.sortBy(-_._2)
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = (ranked.size to 1 by -1).iterator
+      .map(k => line(ranked.take(k))).find(_.length <= 1800)
+      .getOrElse(line(Seq.empty))
+    try spark.stop() catch { case _: Throwable => () }
+    println(out)
   }
 
   /** Time one scenario and report reference-style rows/sec over the
