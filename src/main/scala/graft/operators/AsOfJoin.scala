@@ -23,11 +23,39 @@ import org.apache.spark.sql.functions._
   * duplicates with CdcApply.latestByKey (same last-writer-wins shape).
   * At equal timestamps the right row is visible to the left row (<=, not
   * <): right rows order before left rows within a timestamp.
+  *
+  * NULL join keys follow SQL equality-join semantics (NULL = NULL is
+  * false, matching DuckDB's ASOF JOIN): right rows with a NULL key are
+  * discarded, left rows with a NULL key come back unmatched (null
+  * payload). Columns named `__r`/`__side`/`__latest` or `asof_<payload>`
+  * are reserved and rejected.
   */
 object AsOfJoin {
 
+  private def requireNoReserved(left: DataFrame, right: DataFrame,
+                                rightPayload: Seq[String]): Unit = {
+    val reserved = Set("__r", "__side", "__latest")
+    for (df <- Seq(left, right); c <- df.columns if reserved(c))
+      throw new IllegalArgumentException(
+        s"as-of: column $c collides with a reserved internal name")
+    val outNames = rightPayload.map(c => s"asof_$c").toSet
+    for (c <- left.columns if outNames(c))
+      throw new IllegalArgumentException(
+        s"as-of: left column $c collides with an output payload name")
+  }
+
+  private def nonNullKeys(df: DataFrame, keys: Seq[String]): Column =
+    keys.map(col(_).isNotNull).reduce(_ && _)
+
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
            rightPayload: Seq[String]): DataFrame = {
+    requireNoReserved(left, right, rightPayload)
+    // SQL equality semantics for NULL keys: a NULL-key right row can match
+    // nothing, so drop it BEFORE the union — NULL-key left rows then land
+    // in timeline partitions with no right rows and emit unmatched. (The
+    // window's partitionBy would otherwise group NULLs together and hand a
+    // NULL-key left row the latest NULL-key payload.)
+    val rightKeyed = right.filter(nonNullKeys(right, keys))
     // the whole payload rides in ONE struct: a right row's struct is
     // non-null even when every payload field inside it is null, so
     // last(_, ignoreNulls) skips only left-row placeholders — a right
@@ -41,7 +69,7 @@ object AsOfJoin {
         lit(null).cast(payloadStructType).as("__r") :+
         lit(1).as("__side"): _*)
     val leftOnlyCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
-    val rightTagged = right.select(
+    val rightTagged = rightKeyed.select(
       (keys :+ tsCol).map(col) ++
         leftOnlyCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightPayload.map(col): _*).as("__r") :+
@@ -67,12 +95,20 @@ object AsOfJoin {
     */
   def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
                  tsCol: String, rightPayload: Seq[String]): DataFrame = {
+    requireNoReserved(left, right, rightPayload)
+    for (c <- left.columns if c.startsWith("__r_"))
+      throw new IllegalArgumentException(
+        s"as-of: left column $c collides with the right-side rename prefix")
     val spark = left.sparkSession
     graft.plans.GraftExtensions.install(spark)
     import org.apache.spark.sql.GraftColumnBridge
+    // SQL NULL-key semantics, same as [[asOf]]: the node itself compares
+    // keys with a natural ordering (NULL groups with NULL), so drop
+    // NULL-key right rows here — NULL-key left rows then emit unmatched
     // prune + prefix the right side so the joined output has unique names
     // (the node is opaque to ColumnPruning — project BEFORE the join)
-    val rPruned = right.select((keys ++ Seq(tsCol) ++ rightPayload).distinct.map(col): _*)
+    val rPruned = right.filter(nonNullKeys(right, keys))
+      .select((keys ++ Seq(tsCol) ++ rightPayload).distinct.map(col): _*)
     val rRenamed = rPruned.toDF(rPruned.columns.map(c => s"__r_$c"): _*)
     val lPlan = GraftColumnBridge.analyzed(left)
     val rPlan = GraftColumnBridge.analyzed(rRenamed)

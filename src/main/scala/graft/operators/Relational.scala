@@ -35,11 +35,28 @@ object Relational {
     * would let a later rename capture an earlier one's output —
     * columns [a, b] with renames [a->b, b->c] yields duplicate [c, c].
     * Source matching is case-insensitive, like the reference's rename map.
+    *
+    * Collision validation runs here, not just in the opt-in
+    * [[validateRenames]]: two distinct columns mapping to one target
+    * (e.g. `A` and `a` both matching a lowercase source), duplicate
+    * targets, or a target equal to a surviving column would otherwise
+    * silently produce duplicate output columns. Missing sources stay
+    * non-fatal (reference semantics: a rename for an absent column is
+    * ignored).
     */
   def applyRenames(df: DataFrame, renames: Seq[Rename]): DataFrame = {
     if (renames.isEmpty) df
     else {
       val byLower = renames.map(r => r.from.toLowerCase(Locale.ROOT) -> r.to).toMap
+      // duplicate output names, from any source: two columns hitting the
+      // same rename entry, two entries sharing a target, or a target
+      // shadowing a column that survives un-renamed
+      val outNames = df.columns.map { c =>
+        byLower.getOrElse(c.toLowerCase(Locale.ROOT), c).toLowerCase(Locale.ROOT)
+      }
+      val dups = outNames.diff(outNames.distinct).distinct
+      require(dups.isEmpty,
+        s"renames would produce duplicate column(s): ${dups.mkString(", ")}")
       df.select(df.columns.toIndexedSeq.map { c =>
         byLower.get(c.toLowerCase(Locale.ROOT)) match {
           case Some(to) => col(escaped(c)).as(to)

@@ -185,21 +185,32 @@ case class BroadcastAsOfJoinExec(
 
 object BroadcastAsOfJoinExec {
   type Index = java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]
-  // per-executor (per-JVM) cache of built indexes, WEAKLY keyed by the
-  // Broadcast instance itself (identity — Broadcast has no equals).
-  // Keying by broadcast *id* would collide across SparkContexts in one
-  // JVM (ids restart at 0) and silently join against a stale index;
-  // weak keys also let each entry die with its broadcast, so the cache
-  // never outlives Spark's own broadcast cleanup (no retention cap
-  // needed). Read-only after construction, so sharing across tasks is
-  // safe; two tasks racing on a miss may build twice — idempotent.
-  private val indexCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.broadcast.Broadcast[_], Index]())
+  // Per-executor (per-JVM) cache of built indexes. Each task deserializes
+  // its OWN Broadcast wrapper object from the task closure, so identity
+  // keying (a WeakHashMap on the wrapper) never hits across tasks — the
+  // key must be the stable (application, broadcast id) pair. The app id
+  // disambiguates broadcast ids across SparkContexts in one JVM (ids
+  // restart at 0). Bounded LRU eviction (a broadcast index can be large
+  // and entries outlive the broadcast's lifecycle otherwise). Read-only
+  // after construction, so sharing across tasks is safe; two tasks racing
+  // on a miss may build twice — idempotent.
+  private val MaxCached = 8
+  private val indexCache =
+    new java.util.LinkedHashMap[(String, Long), Index](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Index]): Boolean =
+        size() > MaxCached
+    }
   private[plans] def cachedIndex(
-      key: org.apache.spark.broadcast.Broadcast[_], build: () => Index): Index = {
-    val hit = indexCache.get(key)
+      bc: org.apache.spark.broadcast.Broadcast[_], build: () => Index): Index = {
+    val key = (org.apache.spark.SparkEnv.get.conf.getAppId, bc.id)
+    val hit = indexCache.synchronized(indexCache.get(key))
     if (hit != null) hit
-    else { val built = build(); indexCache.put(key, built); built }
+    else {
+      val built = build()
+      indexCache.synchronized(indexCache.put(key, built))
+      built
+    }
   }
 }
 

@@ -45,6 +45,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.isNullAt(0))
   }
 
+  test("NULL join keys never match (SQL equality semantics, both forms)") {
+    val left = Seq(
+      (1L, Option("k"), ts("2024-01-01 12:00:00")),
+      (2L, Option.empty[String], ts("2024-01-01 12:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (Option("k"), ts("2024-01-01 10:00:00"), 5.0),
+      (Option.empty[String], ts("2024-01-01 11:00:00"), 99.0)).toDF("k", "ts", "v")
+    for (form <- Seq(AsOfJoin.asOf _, AsOfJoin.asOfNative _)) {
+      val got = form(left, right, Seq("k"), "ts", Seq("v"))
+        .select("id", "asof_v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got(1L).contains(5.0))
+      // the NULL-key left row must NOT pick up the NULL-key right payload
+      assert(got(2L).isEmpty, s"NULL-key left row matched in $form")
+    }
+  }
+
+  test("reserved internal / output column names are rejected") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(("k", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left.withColumn("__side", lit(1)), right, Seq("k"), "ts", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right.withColumn("__r", lit(1)), Seq("k"), "ts", Seq("v"))
+    }
+    intercept[IllegalArgumentException] { // left column shadowing the output name
+      AsOfJoin.asOf(left.withColumn("asof_v", lit(0.0)), right, Seq("k"), "ts", Seq("v"))
+    }
+    intercept[IllegalArgumentException] { // native form: rename-prefix clash
+      AsOfJoin.asOfNative(left.withColumn("__r_k", lit(1)), right, Seq("k"), "ts", Seq("v"))
+    }
+  }
+
   test("plan shape: one shuffle on the key, no join node") {
     val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq(("k", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")

@@ -35,6 +35,24 @@ class RelationalSpec extends AnyFunSuite {
       Seq(Relational.Rename("a", "b"))).isLeft)
   }
 
+  test("applyRenames rejects duplicate output columns without opt-in validation") {
+    // two distinct columns (A, a) both case-insensitively match one rename
+    val twoToOne = Seq((1, 2)).toDF("A", "a")
+    intercept[IllegalArgumentException] {
+      Relational.applyRenames(twoToOne, Seq(Relational.Rename("a", "x")))
+    }
+    // target collides with a column that survives un-renamed
+    val surviving = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Relational.applyRenames(surviving, Seq(Relational.Rename("a", "b")))
+    }
+    // two rename entries share a target
+    intercept[IllegalArgumentException] {
+      Relational.applyRenames(surviving,
+        Seq(Relational.Rename("a", "x"), Relational.Rename("b", "X")))
+    }
+  }
+
   test("resolve is case-insensitive with ambiguity detection") {
     assert(Relational.resolve(Seq("Foo", "bar"), "foo") == Right("Foo"))
     assert(Relational.resolve(Seq("Foo", "foo"), "Foo") == Right("Foo")) // exact wins
@@ -67,7 +85,11 @@ class RelationalSpec extends AnyFunSuite {
         Seq(Relational.Rename("old", "new_name"), Relational.Rename("pk", "id"))))
       .collect().head.getMap[String, String](0)
     assert(got == Map("id" -> "1", "new_name" -> "a", "keep" -> "b"))
+    // duplicate targets collide case-SENSITIVELY (DynamoDB attribute
+    // names are case-sensitive, so "x" and "X" are distinct and legal)
     intercept[IllegalArgumentException](Relational.renameMapKeys(col("item"),
-      Seq(Relational.Rename("a", "x"), Relational.Rename("b", "X"))))
+      Seq(Relational.Rename("a", "x"), Relational.Rename("b", "x"))))
+    assert(Relational.renameMapKeys(col("item"),
+      Seq(Relational.Rename("a", "x"), Relational.Rename("b", "X"))) != null)
   }
 }
