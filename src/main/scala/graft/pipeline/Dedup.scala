@@ -190,19 +190,29 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep")).localCheckpoint()
+    // only nodes that touch an edge can ever change label — iterate over
+    // that (typically much smaller) subgraph and re-attach the isolated
+    // nodes at the end with their own id. On a crawl-scale corpus most
+    // documents are NOT near-duplicates, so this shrinks every per-round
+    // join by the non-duplicate fraction.
+    val allNodes = nodes.select(col(idCol).as("id")).localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("rep")).as("nbr_rep"))
-      // carry the previous label through the update so convergence reads
-      // off the same materialized frame — no extra join per iteration
+      // fold the convergence test into the materialization pass: observe()
+      // counts label changes during the checkpoint job itself, so each
+      // round runs ONE job instead of a checkpoint plus a changed-rows scan
+      val obs = new org.apache.spark.sql.Observation()
       val updated = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
         .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"),
           col("rep").as("__prev"))
+        .observe(obs, sum(when(col("rep") =!= col("__prev"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-      converged = updated.filter(col("rep") =!= col("__prev")).isEmpty
+      converged = obs.get("changed") == 0L
       labels = updated.drop("__prev")
       iter += 1
     }
@@ -213,7 +223,8 @@ object Dedup {
       System.err.println(
         s"[dedup] label propagation did NOT converge after $maxIters rounds — " +
           "components wider than the round count carry intermediate representatives")
-    labels
+    allNodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
 
   /** Exact Jaccard verification of candidate pairs: join shingle arrays
