@@ -316,6 +316,109 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy(col("event_id"))
 
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def qIntersect(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+  }
+
+  /** lag/lead over each user's event timeline: milliseconds since the
+    * previous event and the type of the next one — the per-key sequence
+    * features a behavioural pipeline derives (integer-exact millis, no
+    * float time arithmetic).
+    */
+  private def qLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        // ts is TIMESTAMP_NTZ; unix_millis needs TIMESTAMP — the session
+        // runs UTC, so the cast is instant-preserving on both rows of
+        // the subtraction
+        (unix_millis(col("ts").cast("timestamp")) -
+          unix_millis(lag(col("ts"), 1).over(w).cast("timestamp")))
+          .as("ms_since_prev"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  private def qNtile(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** max_by/min_by with a deterministic struct tiebreak: 872 value ties
+    * exist in the synthetic events, so the ordering key must be unique —
+    * (value, event_id) lexicographic, mirrored exactly by the oracle's
+    * row_number windows.
+    */
+  private def qMinmaxBy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"), struct(col("value"), col("event_id")))
+          .as("max_value_event"),
+        min_by(col("event_id"), struct(col("value"), col("event_id")))
+          .as("min_value_event"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private def qSeqGaps(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.islands(
+        t(s, d, "orders").filter(col("o_orderstatus") =!= "F"), "o_orderkey")
+      .orderBy(col("island_start"))
+
+  private def qRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // running DECIMAL sum, cast to double per emitted row: every prefix
+    // sum is exact, so the conversion is one correctly-rounded step in
+    // both engines (the float-association hazard never arises)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(14, 2))).over(w)
+          .cast("double").as("cum_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private def qHistogram(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(floor(col("value") / 2.5).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** Intra-document repetition stats: total vs distinct token counts —
+    * the cheap signal repetition-filtering pipelines threshold on
+    * (high n_tokens/n_distinct ratio = boilerplate/spam).
+    */
+  private def qRepetition(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))
+      .orderBy(col("doc_id"))
+
+  private def qEmbedNorm(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), Similarity.norm(col("embedding")).as("l2_norm"))
+      .orderBy(col("vec_id"))
+
   // ------------------------------------------------------------------
   // training-data pipeline: dedup / similarity / text / multimodal
   // ------------------------------------------------------------------
@@ -861,7 +964,17 @@ object SparkEntry {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_frame_sample" -> (qFrameSample _))
+    "q_frame_sample" -> (qFrameSample _),
+    "q_cube" -> (qCube _),
+    "q_intersect" -> (qIntersect _),
+    "q_lag_lead" -> (qLagLead _),
+    "q_ntile" -> (qNtile _),
+    "q_minmax_by" -> (qMinmaxBy _),
+    "q_seq_gaps" -> (qSeqGaps _),
+    "q_running_sum" -> (qRunningSum _),
+    "q_histogram" -> (qHistogram _),
+    "q_repetition" -> (qRepetition _),
+    "q_embed_norm" -> (qEmbedNorm _))
 
   // ------------------------------------------------------------------
   // DuckDB oracles. Omitted entries (q_minhash_lsh, q_simhash_sig,
@@ -1441,5 +1554,82 @@ object SparkEntry {
       ("SELECT doc_id, CAST(f AS BIGINT) AS frame_idx FROM " +
         "(SELECT doc_id, octet_length(encode(text)) % 16 + 1 AS n_frames FROM documents), " +
         "UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS t(f) " +
-        "ORDER BY doc_id, frame_idx"))
+        "ORDER BY doc_id, frame_idx"),
+
+    "q_cube" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n_rows FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag, l_linestatus"),
+
+    "q_intersect" ->
+      ("SELECT custkey FROM " +
+        "(SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') " +
+        "ORDER BY custkey"),
+
+    "q_lag_lead" ->
+      ("SELECT event_id, user_id, " +
+        "epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev, " +
+        "lead(event_type) OVER w AS next_type FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY event_id"),
+
+    "q_ntile" ->
+      ("SELECT o_orderkey, o_orderpriority, " +
+        "CAST(ntile(4) OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    // max_by/min_by with the (value, event_id) struct tiebreak — DuckDB's
+    // arg_max/min take no composite ordering, so the oracle pins the same
+    // semantics with deterministic row_number windows
+    "q_minmax_by" ->
+      ("WITH mx AS (SELECT event_type, event_id AS max_value_event, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY value DESC, event_id DESC) AS rn FROM events), " +
+        "mn AS (SELECT event_type, event_id AS min_value_event, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY value ASC, event_id ASC) AS rn FROM events), " +
+        "n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT n.event_type, mx.max_value_event, mn.min_value_event, n.n " +
+        "FROM n JOIN mx ON n.event_type = mx.event_type AND mx.rn = 1 " +
+        "JOIN mn ON n.event_type = mn.event_type AND mn.rn = 1 " +
+        "ORDER BY n.event_type"),
+
+    "q_seq_gaps" ->
+      ("WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders " +
+        "WHERE o_orderstatus <> 'F'), " +
+        "s AS (SELECT k AS island_start, row_number() OVER (ORDER BY k) AS rn " +
+        "FROM k a WHERE NOT EXISTS (SELECT 1 FROM k b WHERE b.k = a.k - 1)), " +
+        "e AS (SELECT k AS island_end, row_number() OVER (ORDER BY k) AS rn " +
+        "FROM k a WHERE NOT EXISTS (SELECT 1 FROM k b WHERE b.k = a.k + 1)) " +
+        "SELECT island_start, island_end, " +
+        "island_end - island_start + 1 AS island_len " +
+        "FROM s JOIN e USING (rn) ORDER BY island_start"),
+
+    "q_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+
+    "q_histogram" ->
+      ("SELECT CAST(floor(value / 2.5) AS BIGINT) AS bucket, count(*) AS n " +
+        "FROM events GROUP BY bucket ORDER BY bucket"),
+
+    "q_repetition" ->
+      ("WITH s AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct " +
+        "FROM s ORDER BY doc_id"),
+
+    "q_embed_norm" ->
+      ("SELECT vec_id, sqrt(list_sum(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm " +
+        "FROM embeddings ORDER BY vec_id"))
 }
