@@ -52,12 +52,27 @@ object Dedup {
     * (classic universal hashing; all intermediates stay well inside
     * Long range, so it is ANSI-overflow-safe). Coefficients come from a
     * fixed-seed PRNG so signatures are deterministic across runs.
+    *
+    * Shingle hashing stays a Spark-builtin `transform` (one pass); the
+    * H minima come from the fused `graft.functions.MinHashMins` kernel —
+    * one codegen'd pass with primitive accumulators instead of H
+    * `array_min(transform(…))` walks and H array allocations per row.
+    * Bit-identical to [[minHashSignatureHof]] (spec-cross-checked).
     */
   def minHashSignature(shingleCol: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
     val p = 2147483647L // 2^31 - 1 (prime)
-    val rnd = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(1L + rnd.nextInt((p - 1).toInt))
-    val bs = Array.fill(numHashes)(rnd.nextInt(p.toInt).toLong)
+    val (as, bs) = minHashCoefficients(numHashes, seed, p)
+    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
+    graft.functions.MinHash.mins(base, as, bs, p)
+  }
+
+  /** Higher-order-function reference form of [[minHashSignature]] —
+    * kept as the portable cross-check the spec compares the native
+    * kernel against.
+    */
+  def minHashSignatureHof(shingleCol: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
+    val p = 2147483647L
+    val (as, bs) = minHashCoefficients(numHashes, seed, p)
     val aCol = typedLit(as.toSeq)
     val bCol = typedLit(bs.toSeq)
     val base = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
@@ -68,6 +83,14 @@ object Dedup {
       transform(sequence(lit(0), lit(numHashes - 1)), j =>
         array_min(transform(bs0, x =>
           pmod(element_at(aCol, j + 1) * x + element_at(bCol, j + 1), lit(p)))))))
+  }
+
+  private def minHashCoefficients(numHashes: Int, seed: Long,
+                                  p: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(1L + rnd.nextInt((p - 1).toInt))
+    val bs = Array.fill(numHashes)(rnd.nextInt(p.toInt).toLong)
+    (as, bs)
   }
 
   /** Candidate pairs via banded LSH over a MinHash signature column.
