@@ -10,7 +10,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_scan_prune", "q1_agg", "q_join_agg", "q_semi_prefetch",
         "q_diff_missing", "q_window_topn", "q_minhash_lsh",
-        "q_asof_native", "q_bucket_join", "q_zorder_key")
+        "q_asof_native", "q_bucket_join", "q_zorder_key",
+        "q_dedup_clusters", "q_hash_refine", "q_sim_ivf",
+        "q_seq_gaps", "q_running_sum", "q_cube")
     val spark = Tables.session("graft-explain", cores = 8)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

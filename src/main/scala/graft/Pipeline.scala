@@ -56,6 +56,22 @@ object Pipeline {
         .option("path", manifestPath)
       (if (cfg.skipFiles.nonEmpty) r.option("skipFiles", cfg.skipFiles.mkString(","))
        else r).load()
+    case SourceConfig.Csv(path, schema, header, delimiter, infer, where, columns) =>
+      // explicit schema is the scale path (config.parse enforces the
+      // opt-in for inference); filters/projections still push into the
+      // csv scan like parquet's
+      var r = spark.read.option("header", header.toString)
+        .option("delimiter", delimiter)
+      r = schema.fold(r.option("inferSchema", infer.toString))(r.schema)
+      var df = r.csv(path)
+      df = where.fold(df)(w => df.filter(expr(w)))
+      columns.fold(df)(cs => Relational.selectResolved(df, cs))
+    case SourceConfig.Json(path, schema, infer, where, columns) =>
+      var r = spark.read
+      r = schema.fold(r)(r.schema)
+      var df = r.json(path)
+      df = where.fold(df)(w => df.filter(expr(w)))
+      columns.fold(df)(cs => Relational.selectResolved(df, cs))
   }
 
   def transform(df: DataFrame, cfg: PipelineConfig): DataFrame =
@@ -103,6 +119,12 @@ object Pipeline {
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     case TargetConfig.DynamoS3Export(path) =>
       DdbTables.writeS3Export(df, path)
+    case TargetConfig.Csv(path, mode, header, delimiter, compression) =>
+      df.write.mode(mode).option("header", header.toString)
+        .option("delimiter", delimiter).option("compression", compression)
+        .csv(path)
+    case TargetConfig.Json(path, mode, compression) =>
+      df.write.mode(mode).option("compression", compression).json(path)
   }
 
   /** Copy with optional file-level resume (parquet sources) and a final

@@ -36,11 +36,21 @@ final case class PipelineConfig(
         s"jdbc(url=$url, table=${j.table}, where=${j.where.map(_ => "<redacted>")}, " +
           s"partitions=${j.numPartitions})"
       case SourceConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
+      case c: SourceConfig.Csv =>
+        s"csv(path=${c.path}, header=${c.header}, delimiter=${c.delimiter}, " +
+          s"schema=${c.schema.isDefined}, where=${c.where.map(_ => "<redacted>")}, " +
+          s"columns=${c.columns})"
+      case j: SourceConfig.Json =>
+        s"json(path=${j.path}, schema=${j.schema.isDefined}, " +
+          s"where=${j.where.map(_ => "<redacted>")}, columns=${j.columns})"
     }
     def tgt = target match {
       case TargetConfig.Parquet(p, m, c, pb, sb) =>
         s"parquet(path=$p, mode=$m, compression=$c, partitionBy=$pb, sortBy=$sb)"
       case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
+      case c: TargetConfig.Csv =>
+        s"csv(path=${c.path}, mode=${c.mode}, header=${c.header}, delimiter=${c.delimiter})"
+      case j: TargetConfig.Json => s"json(path=${j.path}, mode=${j.mode})"
     }
     s"PipelineConfig(source=$src, target=$tgt, renames=${renames.size}, " +
       s"skipFiles=${skipFiles.size}, validation=${validation.isDefined}, " +
@@ -73,6 +83,15 @@ object SourceConfig {
                         partitionColumn: Option[String], numPartitions: Int,
                         lowerBound: Option[String], upperBound: Option[String]) extends SourceConfig
   final case class DynamoS3Export(manifestPath: String) extends SourceConfig
+  /** Text sources. `schema` is a DDL string; REQUIRED at scale — schema
+    * inference reads the data once before the real scan (two passes over
+    * 100 TB), so inference is only allowed as an explicit opt-in.
+    */
+  final case class Csv(path: String, schema: Option[String], header: Boolean,
+                       delimiter: String, inferSchema: Boolean,
+                       where: Option[String], columns: Option[List[String]]) extends SourceConfig
+  final case class Json(path: String, schema: Option[String], inferSchema: Boolean,
+                        where: Option[String], columns: Option[List[String]]) extends SourceConfig
 }
 
 sealed trait TargetConfig
@@ -89,6 +108,9 @@ object TargetConfig {
     }
   }
   final case class DynamoS3Export(path: String) extends TargetConfig
+  final case class Csv(path: String, mode: String, header: Boolean,
+                       delimiter: String, compression: String) extends TargetConfig
+  final case class Json(path: String, mode: String, compression: String) extends TargetConfig
 }
 
 final case class ValidationConfig(
@@ -149,8 +171,9 @@ object PipelineConfig {
       "source.type", "source.path", "source.where", "source.columns",
       "source.url", "source.table", "source.partitionColumn",
       "source.numPartitions", "source.lowerBound", "source.upperBound",
+      "source.schema", "source.header", "source.delimiter", "source.inferSchema",
       "target.type", "target.path", "target.mode", "target.compression",
-      "target.partitionBy", "target.sortBy",
+      "target.partitionBy", "target.sortBy", "target.header", "target.delimiter",
       "renames", "savepoints.dir", "skipFiles",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
@@ -181,6 +204,32 @@ object PipelineConfig {
       case Some("dynamo-s3-export") =>
         map.get("source.path").toRight("source.path required")
           .map(SourceConfig.DynamoS3Export(_))
+      case Some("csv") =>
+        for {
+          p <- map.get("source.path").toRight("source.path required")
+          schema = map.get("source.schema")
+          infer = map.getOrElse("source.inferSchema", "false").toBoolean
+          _ <- if (schema.isEmpty && !infer)
+            Left("csv source requires source.schema (or source.inferSchema: true " +
+              "— inference scans the data twice, opt in explicitly)")
+          else Right(())
+        } yield SourceConfig.Csv(p, schema,
+          map.getOrElse("source.header", "true").toBoolean,
+          map.getOrElse("source.delimiter", ","), infer,
+          map.get("source.where"),
+          map.get("source.columns").map(_ => list("source.columns")))
+      case Some("json") =>
+        for {
+          p <- map.get("source.path").toRight("source.path required")
+          schema = map.get("source.schema")
+          infer = map.getOrElse("source.inferSchema", "false").toBoolean
+          _ <- if (schema.isEmpty && !infer)
+            Left("json source requires source.schema (or source.inferSchema: true " +
+              "— inference scans the data twice, opt in explicitly)")
+          else Right(())
+        } yield SourceConfig.Json(p, schema, infer,
+          map.get("source.where"),
+          map.get("source.columns").map(_ => list("source.columns")))
       case other => Left(s"unsupported source.type: ${other.getOrElse("<missing>")}")
     }
 
@@ -195,6 +244,18 @@ object PipelineConfig {
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))
+      case Some("csv") =>
+        map.get("target.path").toRight("target.path required")
+          .map(p => TargetConfig.Csv(p,
+            map.getOrElse("target.mode", "errorifexists"),
+            map.getOrElse("target.header", "true").toBoolean,
+            map.getOrElse("target.delimiter", ","),
+            map.getOrElse("target.compression", "none")))
+      case Some("json") =>
+        map.get("target.path").toRight("target.path required")
+          .map(p => TargetConfig.Json(p,
+            map.getOrElse("target.mode", "errorifexists"),
+            map.getOrElse("target.compression", "none")))
       case other => Left(s"unsupported target.type: ${other.getOrElse("<missing>")}")
     }
 

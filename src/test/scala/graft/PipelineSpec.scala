@@ -178,6 +178,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.run(spark, resumed).rowsCopied == 60 - files.head._2)
   }
 
+  test("csv and json source/target arms round-trip with pushdown semantics") {
+    val tmp = Files.createTempDirectory("graft-textfmt")
+    val csvDir = tmp.resolve("csv").toString
+    val jsonDir = tmp.resolve("json").toString
+    val backDir = tmp.resolve("back").toString
+    // parquet -> csv
+    val toCsv = PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/nation.parquet
+         |target.type: csv
+         |target.path: $csvDir
+         |target.mode: overwrite
+         |""".stripMargin).toOption.get
+    Pipeline.run(spark, toCsv)
+    // csv -> json with explicit schema + filter + projection
+    val csvToJson = PipelineConfig.parse(
+      s"""source.type: csv
+         |source.path: $csvDir
+         |source.schema: n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT
+         |source.where: n_regionkey = 1
+         |source.columns: n_nationkey, n_name
+         |target.type: json
+         |target.path: $jsonDir
+         |target.mode: overwrite
+         |""".stripMargin).toOption.get
+    val r = Pipeline.run(spark, csvToJson)
+    assert(r.rowsCopied == 5)
+    // json -> parquet, schema'd
+    val jsonBack = PipelineConfig.parse(
+      s"""source.type: json
+         |source.path: $jsonDir
+         |source.schema: n_nationkey BIGINT, n_name STRING
+         |target.type: parquet
+         |target.path: $backDir
+         |target.mode: overwrite
+         |""".stripMargin).toOption.get
+    Pipeline.run(spark, jsonBack)
+    val back = spark.read.parquet(backDir)
+    assert(back.count() == 5 && back.columns.toSet == Set("n_nationkey", "n_name"))
+    // schema-less text sources must demand the explicit inference opt-in
+    val noSchema = PipelineConfig.parse(
+      s"""source.type: csv
+         |source.path: $csvDir
+         |target.type: parquet
+         |target.path: $backDir
+         |""".stripMargin)
+    assert(noSchema.isLeft && noSchema.swap.toOption.get.contains("inferSchema"))
+  }
+
   test("validation detects a corrupted target") {
     val tmp = Files.createTempDirectory("graft-corrupt")
     val out = tmp.resolve("out").toString
