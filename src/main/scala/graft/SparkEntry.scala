@@ -419,6 +419,61 @@ object SparkEntry {
       .select(col("vec_id"), Similarity.norm(col("embedding")).as("l2_norm"))
       .orderBy(col("vec_id"))
 
+  /** Star-edge clustering on the PORTABLE minhash signature: buckets are
+    * the literal band slices (no engine hash), so the full LSH structure
+    * — not just its downstream effects — is oracle-replicated.
+    */
+  private def qStarEdges(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val signed = sh.select(col("doc_id"),
+      Dedup.minHashSignaturePortable(col("sh"), numHashes = 16).as("sig"))
+    Dedup.starEdgesBySlice(signed, "doc_id", "sig", bands = 4, rowsPerBand = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Quality-filter funnel: surviving counts after each pipeline stage
+    * (length → language → token floor) in ONE scan — conditional sums,
+    * not one pass per stage.
+    */
+  private def qFilterFunnel(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("n_chars") >= 200, 1L).otherwise(0L)).as("n_len"),
+      sum(when(col("n_chars") >= 200 && col("lang") === "en", 1L).otherwise(0L))
+        .as("n_lang"),
+      sum(when(col("n_chars") >= 200 && col("lang") === "en" &&
+          Text.tokenCount(col("text")) >= 50, 1L).otherwise(0L))
+        .as("n_tokens"))
+
+  private def qSkewProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.keyProfile(t(s, d, "orders"), Seq("o_custkey"))
+
+  /** Interval-frame window: events in the trailing hour per user —
+    * RANGE frame over integer epoch millis (peers included identically
+    * in both engines).
+    */
+  private def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(unix_millis(col("ts").cast("timestamp")))
+      .rangeBetween(-3600000L, 0L)
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  private def qStratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        t(s, d, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 2), defaultNum = 5, denom = 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+
   // ------------------------------------------------------------------
   // training-data pipeline: dedup / similarity / text / multimodal
   // ------------------------------------------------------------------
@@ -974,7 +1029,12 @@ object SparkEntry {
     "q_running_sum" -> (qRunningSum _),
     "q_histogram" -> (qHistogram _),
     "q_repetition" -> (qRepetition _),
-    "q_embed_norm" -> (qEmbedNorm _))
+    "q_embed_norm" -> (qEmbedNorm _),
+    "q_star_edges" -> (qStarEdges _),
+    "q_filter_funnel" -> (qFilterFunnel _),
+    "q_skew_profile" -> (qSkewProfile _),
+    "q_window_range" -> (qWindowRange _),
+    "q_stratified_sample" -> (qStratifiedSample _))
 
   // ------------------------------------------------------------------
   // DuckDB oracles. Omitted entries (q_minhash_lsh, q_simhash_sig,
@@ -1631,5 +1691,64 @@ object SparkEntry {
     "q_embed_norm" ->
       ("SELECT vec_id, sqrt(list_sum(list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm " +
-        "FROM embeddings ORDER BY vec_id"))
+        "FROM embeddings ORDER BY vec_id"),
+
+    // the full portable-LSH replication: md5-60bit base hash mod p, the
+    // kernel's exact (a_j, b_j) stream inlined as literals, band buckets
+    // = literal 4-slice equality — the oracle rebuilds the signature and
+    // the star edges end to end
+    "q_star_edges" -> {
+      val p = 2147483647L
+      val (as, bs) = Dedup.minHashCoefficients(16, 42L, p)
+      val md560 = "CAST(list_sum(list_transform(range(1, 16), q -> " +
+        "(strpos('0123456789abcdef', substr(md5(s), CAST(q AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - q) AS INT)))) AS BIGINT)"
+      val mins = (0 until 16).map(j =>
+        s"list_min(list_transform(hs, x -> (${as(j)}*x + ${bs(j)}) % $p))")
+        .mkString(", ")
+      "WITH t AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents " +
+        "WHERE doc_id < 300), " +
+        s"xs AS (SELECT doc_id, list_transform(toks, s -> $md560 % $p) AS hs " +
+        "FROM t WHERE len(toks) > 0), " +
+        s"sig AS (SELECT doc_id, [$mins] AS sig FROM xs), " +
+        "band AS (SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bkey FROM sig, " +
+        "unnest([0,1,2,3]) AS g(b)), " +
+        "mn AS (SELECT b, bkey, min(doc_id) AS id_a FROM band GROUP BY b, bkey) " +
+        "SELECT DISTINCT id_a, band.doc_id AS id_b FROM band " +
+        "JOIN mn ON band.b = mn.b AND band.bkey = mn.bkey " +
+        "WHERE band.doc_id <> mn.id_a ORDER BY id_a, id_b"
+    },
+
+    "q_filter_funnel" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_len, " +
+        "CAST(sum(CASE WHEN n_chars >= 200 AND lang = 'en' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_lang, " +
+        "CAST(sum(CASE WHEN n_chars >= 200 AND lang = 'en' AND " +
+        "len(" + tokensExpr + ") >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens " +
+        "FROM documents"),
+
+    "q_skew_profile" ->
+      ("WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(max(n) AS BIGINT) AS max_n, " +
+        "CAST(sum(n) AS BIGINT) AS total_rows, " +
+        "quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.9) AS p90, " +
+        "quantile_cont(n, 0.99) AS p99 FROM c"),
+
+    "q_window_range" ->
+      ("SELECT event_id, user_id, CAST(count(*) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ms(ts) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS n_last_hour FROM events ORDER BY event_id"),
+
+    "q_stratified_sample" ->
+      ("WITH b AS (SELECT doc_id, lang, " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT) % 10 AS bucket " +
+        "FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM b WHERE bucket < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END) " +
+        "GROUP BY lang ORDER BY lang"))
 }

@@ -39,6 +39,25 @@ object Sampling {
     df.filter(bucketOf(col(keyCol), rateDenom) < rateNum)
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates over the
+    * same bucket space (e.g. downsample a dominant language while keeping
+    * the rest — the standard corpus-rebalancing move). `rates` maps a
+    * stratum value to its numerator over `denom` buckets; unlisted strata
+    * use `defaultNum`. Membership stays a pure function of the key, so
+    * rebalanced cuts are reproducible and compose with [[split]].
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Int], defaultNum: Int,
+                       denom: Int): DataFrame = {
+    require((defaultNum +: rates.values.toSeq).forall(n => n >= 0 && n <= denom),
+      "need 0 <= rate numerator <= denom for every stratum")
+    val b = bucketOf(col(keyCol), denom)
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultNum)) {
+      case ((value, num), acc) => when(col(strataCol) === value, lit(num)).otherwise(acc)
+    }
+    df.filter(b < rate)
+  }
+
   /** Label every row with a named split; fractions are (name, numerator)
     * over `denom` buckets and must sum to at most denom (rows beyond the
     * last range get the final split). Splits are disjoint and exhaustive

@@ -62,6 +62,25 @@ object Skew {
       .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
   }
 
+  /** Key-skew profile: per-key row counts reduced to the distribution
+    * stats that drive partitioning decisions (salt bucket counts, AQE
+    * skew thresholds, broadcast viability). Two-level aggregation — the
+    * heavy first shuffle carries only (key, count) partials, the second
+    * reduces |keys| rows to one. Run this BEFORE sizing a 100 TB join:
+    * max_n vs p50 is the skew ratio that decides between a plain shuffle
+    * join, salting, or AQE skew-split.
+    */
+  def keyProfile(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_n"),
+      sum(col("n")).as("total_rows"),
+      percentile(col("n"), lit(0.5)).as("p50"),
+      percentile(col("n"), lit(0.9)).as("p90"),
+      percentile(col("n"), lit(0.99)).as("p99"))
+  }
+
   /** Salted fact-dimension equi-join: fact gets salt from its own row,
     * dimension rows are replicated once per bucket, join on key+salt.
     * Output equals the plain inner join.

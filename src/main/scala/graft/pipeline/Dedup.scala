@@ -85,12 +85,54 @@ object Dedup {
           pmod(element_at(aCol, j + 1) * x + element_at(bCol, j + 1), lit(p)))))))
   }
 
-  private def minHashCoefficients(numHashes: Int, seed: Long,
-                                  p: Long): (Array[Long], Array[Long]) = {
+  /** Exposed for oracle construction: the exact (a_j, b_j) coefficient
+    * streams the signature kernels use.
+    */
+  private[graft] def minHashCoefficients(numHashes: Int, seed: Long,
+                                         p: Long): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
     val as = Array.fill(numHashes)(1L + rnd.nextInt((p - 1).toInt))
     val bs = Array.fill(numHashes)(rnd.nextInt(p.toInt).toLong)
     (as, bs)
+  }
+
+  /** Engine-portable MinHash signature: base hash = first 15 md5 hex
+    * chars as a 60-bit integer (the same digit-positional recipe as
+    * [[simHashPortableExpr]]/fingerprints) mod p, minima via the fused
+    * kernel. Slower than the xxhash64 form (md5 per shingle) but
+    * REPLICABLE in any engine with md5 — which makes LSH structures
+    * built from it cross-engine-verifiable end to end.
+    */
+  def minHashSignaturePortable(shingleCol: Column, numHashes: Int = 16,
+                               seed: Long = 42L): Column = {
+    val p = 2147483647L
+    val (as, bs) = minHashCoefficients(numHashes, seed, p)
+    val base = transform(shingleCol, s =>
+      pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(p)))
+    graft.functions.MinHash.mins(base, as, bs, p)
+  }
+
+  /** Star edges by literal band-slice equality: ids sharing a band's
+    * signature slice connect to the smallest id in that group — the
+    * O(n)-edge alternative to all-pairs candidate generation
+    * ([[lshStarEdges]]), with the bucket defined by the slice VALUES
+    * rather than a hash of them: no collision risk, and semantics an
+    * independent engine can replicate exactly (the oracle groups on the
+    * same slices). Shuffle carries (id, band, rowsPerBand longs) per
+    * row-band — fixed width, document-size-independent.
+    */
+  def starEdgesBySlice(signed: DataFrame, idCol: String, sigCol: String,
+                       bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signed
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col(sigCol).as("sig"))
+      .select(col("id"), col("band"),
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)).as("bkey"))
+    val bucketMin = banded.groupBy("band", "bkey").agg(min(col("id")).as("id_a"))
+    banded.join(bucketMin, Seq("band", "bkey"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .distinct()
   }
 
   /** Candidate pairs via banded LSH over a MinHash signature column.

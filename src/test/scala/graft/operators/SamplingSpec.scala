@@ -51,4 +51,21 @@ class SamplingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Sampling.deterministicSample(docs, "doc_id", 11, 10))
   }
+
+  test("stratified sample applies per-stratum rates over one bucket space") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 2), defaultNum = 5, denom = 10)
+    // each stratum's kept set equals filtering that stratum at its rate
+    for ((lang, num) <- Seq(("en", 2), ("fr", 5))) {
+      val expect = Sampling.deterministicSample(
+        docs.filter(col("lang") === lang), "doc_id", num, 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val kept = got.filter(col("lang") === lang)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == expect, s"stratum $lang")
+    }
+    assertThrows[IllegalArgumentException](
+      Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 11), 5, 10))
+  }
 }

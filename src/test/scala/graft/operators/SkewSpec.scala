@@ -48,4 +48,16 @@ class SkewSpec extends AnyFunSuite {
       factSaltOver = Seq("l_orderkey", "l_linenumber")).count()
     assert(salted == plain)
   }
+
+  test("keyProfile reports the distribution stats that size a join") {
+    import spark.implicits._
+    // 1 hot key (100 rows) + 9 uniform keys (10 rows each)
+    val rows = (1 to 100).map(i => ("hot", i)) ++
+      (for (k <- 1 to 9; i <- 1 to 10) yield (s"k$k", i))
+    val got = Skew.keyProfile(rows.toDF("k", "v"), Seq("k")).collect().head
+    assert(got.getAs[Long]("n_keys") == 10)
+    assert(got.getAs[Long]("max_n") == 100)
+    assert(got.getAs[Long]("total_rows") == 190)
+    assert(got.getAs[Double]("p50") == 10.0)
+  }
 }

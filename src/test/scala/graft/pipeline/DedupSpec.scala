@@ -174,4 +174,33 @@ class DedupSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0).toSet
     assert(sh == Set("a b", "b c"))
   }
+
+  test("star edges by slice: identical docs connect to the min id, one edge each") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (5L, "alpha beta gamma delta epsilon"),   // dup of 1
+      (9L, "alpha beta gamma delta epsilon"),   // dup of 1
+      (3L, "totally different words entirely here"))).toDF("doc_id", "text")
+    val signed = df.select(col("doc_id"),
+      Dedup.minHashSignaturePortable(Dedup.shingles("text", 1), 16).as("sig"))
+    val edges = Dedup.starEdgesBySlice(signed, "doc_id", "sig", 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical signatures share every band slice: 5 and 9 each edge to 1
+    assert(edges.contains((1L, 5L)) && edges.contains((1L, 9L)))
+    assert(!edges.exists { case (a, b) => a == 3L || b == 3L })
+    // O(n) shape: per bucket it is (member -> min), never all pairs
+    assert(!edges.contains((5L, 9L)))
+  }
+
+  test("portable minhash signature is a deterministic length-H array") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq((1L, "x y z"))).toDF("doc_id", "text")
+    val sig1 = df.select(Dedup.minHashSignaturePortable(
+      Dedup.shingles("text", 1), 16).as("s")).collect().head.getSeq[Long](0)
+    val sig2 = df.select(Dedup.minHashSignaturePortable(
+      Dedup.shingles("text", 1), 16).as("s")).collect().head.getSeq[Long](0)
+    assert(sig1 == sig2 && sig1.length == 16)
+    assert(sig1.forall(v => v >= 0 && v < 2147483647L))
+  }
 }
