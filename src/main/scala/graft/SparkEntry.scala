@@ -465,6 +465,33 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Rank-statistics windows: percent_rank/cume_dist/rank are exact
+    * integer ratios evaluated in double — identical in any engine given
+    * a deterministic (unique-tiebreak) ordering.
+    */
+  private def qRankStats(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        rank().over(w).cast("long").as("rnk"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Ordered list aggregation emitted as a canonical string (sorted,
+    * comma-joined) — set-valued results compared exactly across engines.
+    */
+  private def qStringAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+      .groupBy(col("c_nationkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segs"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+
   private def qStratifiedSample(s: SparkSession, d: String): DataFrame =
     graft.operators.Sampling.stratifiedSample(
         t(s, d, "documents"), "doc_id", "lang",
@@ -1034,7 +1061,9 @@ object SparkEntry {
     "q_filter_funnel" -> (qFilterFunnel _),
     "q_skew_profile" -> (qSkewProfile _),
     "q_window_range" -> (qWindowRange _),
-    "q_stratified_sample" -> (qStratifiedSample _))
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_rank_stats" -> (qRankStats _),
+    "q_string_agg" -> (qStringAgg _))
 
   // ------------------------------------------------------------------
   // DuckDB oracles. Omitted entries (q_minhash_lsh, q_simhash_sig,
@@ -1750,5 +1779,18 @@ object SparkEntry {
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM b WHERE bucket < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END) " +
-        "GROUP BY lang ORDER BY lang"))
+        "GROUP BY lang ORDER BY lang"),
+
+    "q_rank_stats" ->
+      ("SELECT o_orderkey, o_orderpriority, " +
+        "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume, " +
+        "CAST(rank() OVER w AS BIGINT) AS rnk FROM orders " +
+        "WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
+
+    "q_string_agg" ->
+      ("SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs, " +
+        "CAST(count(*) AS BIGINT) AS n FROM " +
+        "(SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"))
 }
