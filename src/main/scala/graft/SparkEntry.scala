@@ -515,12 +515,17 @@ object SparkEntry {
     // scalable candidate tier is q_minhash_lsh / q_dedup_clusters
     val sh = t(s, d, "documents").filter(col("doc_id") < 600)
       .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+    // fused overlap kernel + arithmetic union (shingles are distinct):
+    // no intersect/union arrays materialized in the O(n²) pair loop
     val pairs = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_size"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_size"))
+        graft.functions.SetExpressions.intersectionSize(col("sh_a"), col("sh_b"))
+          .as("inter_size"),
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")).as("__sz"))
+      .select(col("id_a"), col("id_b"), col("inter_size"),
+        (col("__sz") - col("inter_size")).as("union_size"))
     pairs.filter(col("inter_size") * 2 >= col("union_size"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -296,6 +296,12 @@ object Dedup {
     * back and compare with integer arithmetic only
     * (|A∩B| · denom >= |A∪B| · num  ⇔  J >= num/denom), so thresholds
     * are exact and engine-independent.
+    *
+    * The shingle arrays are SETS (distinct — [[shingles]] guarantees it),
+    * so the overlap runs through the fused `IntersectionSize` kernel
+    * (one hash set, no materialized intersect/union arrays per pair) and
+    * |A∪B| = |A| + |B| − |A∩B| arithmetically. The pair join is the hot
+    * dimension of the whole dedup pipeline; per-pair constants dominate.
     */
   def verifyJaccard(candidates: DataFrame, shingled: DataFrame, idCol: String,
                     shingleCol: String, thresholdNum: Int, thresholdDenom: Int): DataFrame = {
@@ -304,8 +310,11 @@ object Dedup {
       .join(s.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(s.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_size"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_size"))
+        graft.functions.SetExpressions.intersectionSize(col("sh_a"), col("sh_b"))
+          .as("inter_size"),
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")).as("__sz"))
+      .select(col("id_a"), col("id_b"), col("inter_size"),
+        (col("__sz") - col("inter_size")).as("union_size"))
       .filter(col("inter_size") * thresholdDenom >= col("union_size") * thresholdNum)
   }
 
