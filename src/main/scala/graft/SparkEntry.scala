@@ -492,6 +492,41 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("c_nationkey"))
 
+  /** Median absolute deviation per group: two percentile passes (group
+    * median, then median of |x − m|) — the robust spread statistic
+    * quality pipelines threshold on. Exact-arithmetic path end to end.
+    */
+  private def qMad(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("m"))
+    li.join(med, "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("m")).as("med_qty"),
+        percentile(abs(col("l_quantity") - col("m")), lit(0.5)).as("mad"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Covariance from DECIMAL-exact moment sums: covar_pop/corr aggregate
+    * doubles in partition order (non-deterministic, engine-specific), so
+    * the moments Σv, Σk, Σvk accumulate exactly in decimal and the final
+    * covariance is a fixed-shape double expression — identical in any
+    * engine.
+    */
+  private def qCovar(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val moments = t(s, d, "events").groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(18, 4))).as("sv"),
+      sum(k.cast(DecimalType(18, 0))).as("sk"),
+      sum(col("value").cast(DecimalType(18, 4)) * k.cast(DecimalType(18, 0))).as("svk"))
+    moments.select(col("event_type"), col("n"),
+        ((col("svk").cast("double") -
+          col("sv").cast("double") * col("sk").cast("double") / col("n").cast("double"))
+          / col("n").cast("double")).as("covar"))
+      .orderBy(col("event_type"))
+  }
+
   private def qStratifiedSample(s: SparkSession, d: String): DataFrame =
     graft.operators.Sampling.stratifiedSample(
         t(s, d, "documents"), "doc_id", "lang",
@@ -1068,7 +1103,9 @@ object SparkEntry {
     "q_window_range" -> (qWindowRange _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_rank_stats" -> (qRankStats _),
-    "q_string_agg" -> (qStringAgg _))
+    "q_string_agg" -> (qStringAgg _),
+    "q_mad" -> (qMad _),
+    "q_covar" -> (qCovar _))
 
   // ------------------------------------------------------------------
   // DuckDB oracles. Omitted entries (q_minhash_lsh, q_simhash_sig,
@@ -1797,5 +1834,27 @@ object SparkEntry {
       ("SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs, " +
         "CAST(count(*) AS BIGINT) AS n FROM " +
         "(SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) " +
-        "GROUP BY c_nationkey ORDER BY c_nationkey"))
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "q_mad" ->
+      ("WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l.l_returnflag, any_value(m) AS med_qty, " +
+        "quantile_cont(abs(l_quantity - m), 0.5) AS mad " +
+        "FROM lineitem l JOIN med USING (l_returnflag) " +
+        "GROUP BY l.l_returnflag ORDER BY l.l_returnflag"),
+
+    // decimal-exact moments, double-exact final expression — the shape
+    // (svk − sv·sk/n)/n must match the Spark side parenthesis-for-
+    // parenthesis so the IEEE op sequence is identical
+    "q_covar" ->
+      ("WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,4))) AS sv, " +
+        "sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS sk, " +
+        "sum(CAST(value AS DECIMAL(18,4)) * " +
+        "CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS svk " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_type, n, (CAST(svk AS DOUBLE) - CAST(sv AS DOUBLE) * " +
+        "CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS covar " +
+        "FROM s ORDER BY event_type"))
 }
