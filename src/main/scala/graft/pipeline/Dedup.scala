@@ -128,6 +128,9 @@ object Dedup {
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col(sigCol).as("sig"))
       .select(col("id"), col("band"),
         slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)).as("bkey"))
+      // materialized once: the bucket-min aggregate and the join below
+      // would otherwise each re-run the banding explode
+      .localCheckpoint()
     val bucketMin = banded.groupBy("band", "bkey").agg(min(col("id")).as("id_a"))
     banded.join(bucketMin, Seq("band", "bkey"))
       .filter(col("id") =!= col("id_a"))
@@ -157,14 +160,25 @@ object Dedup {
 
   /** Banded frame with degenerate buckets clamped (skew guard): buckets
     * larger than `maxBucketSize` are dropped from candidate generation.
+    *
+    * The banded frame is materialized (localCheckpoint — an eager job)
+    * before anything else touches it: the bucket-size aggregate, and
+    * both sides of the downstream candidate self-join, all read the same
+    * materialized (id, band, bucket) rows. Without this the banding
+    * Generate runs once per reference — 4× in the candidate pipeline —
+    * and the recompute, not the join, dominates the hot dedup path. The
+    * materialized rows are fixed width (id + two longs per band), so the
+    * checkpoint is bands×|df| small rows regardless of document size.
     */
   private def keptFrame(df: DataFrame, idCol: String, signatureCol: String,
                         bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
     val banded = bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
+      .localCheckpoint()
     val sized = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
     banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+      .localCheckpoint()
   }
 
   def lshCandidates(df: DataFrame, idCol: String, signatureCol: String,
@@ -208,7 +222,10 @@ object Dedup {
     */
   def lshStarEdges(df: DataFrame, idCol: String, signatureCol: String,
                    bands: Int, rowsPerBand: Int): DataFrame = {
+    // materialized once: the bucket-min aggregate and the join below
+    // would otherwise each re-run the banding Generate
     val banded = bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
+      .localCheckpoint()
     val bucketMin = banded.groupBy("band", "bucket").agg(min(col("id")).as("id_a"))
     banded.join(bucketMin, Seq("band", "bucket"))
       .filter(col("id") =!= col("id_a"))
@@ -236,22 +253,36 @@ object Dedup {
           lit(0), (acc, v) => acc + v).as("matching_hashes"))
   }
 
-  /** Duplicate-cluster representatives by min-label propagation over the
-    * verified-pair graph: every document ends up labelled with the
-    * smallest doc id reachable from it. This is the piece that makes
-    * dedup *actionable* at scale — pair lists on crawl-like corpora are
-    * O(n²), but "keep one representative per cluster" is O(n).
+  /** Duplicate-cluster representatives by shortcut-augmented min-label
+    * propagation over the verified-pair graph: every document ends up
+    * labelled with the smallest doc id reachable from it. This is the
+    * piece that makes dedup *actionable* at scale — pair lists on
+    * crawl-like corpora are O(n²), but "keep one representative per
+    * cluster" is O(n).
     *
-    * Iterative joins, converging in graph-diameter rounds (dup clusters
-    * are dense, so diameter is small); each round localCheckpoints to
-    * truncate lineage. maxIters bounds the cost; convergence is checked
-    * by counting label changes.
+    * Each round joins the labels against the graph edges AUGMENTED with
+    * the current pointer edges (rep(v) → v), so one join computes
+    *   rep'(v) = min(rep(v), min_{u∈N(v)} rep(u), rep(rep(v)))
+    * — neighbour propagation plus pointer jumping in a single pass. All
+    * three terms are non-increasing (rep(u) ≤ u always holds), so the
+    * labels decrease monotonically and reach doubles per round:
+    * convergence in O(log diameter) rounds instead of O(diameter), which
+    * is what keeps path-like components (crawl chains, version histories)
+    * from blowing the round budget at corpus scale. Each round is ONE
+    * job: the convergence count rides the localCheckpoint pass via
+    * observe().
+    *
+    * Non-convergence within `maxIters` THROWS (truncated labels are
+    * wrong answers for any component wider than the reached radius —
+    * 2^maxIters hops — and silently returning them corrupts downstream
+    * keep/drop decisions). Cost per extra round is one join over the
+    * edge-touching subgraph; raise maxIters rather than catching.
     */
   def clusterRepresentatives(nodes: DataFrame, pairs: DataFrame, idCol: String,
                              maxIters: Int = 10): DataFrame = {
-    // materialize the edge list once — every iteration references it
-    // twice, and recomputing an upstream LSH pipeline per round would
-    // dominate the whole job
+    // materialize the edge list once — every iteration references it,
+    // and recomputing an upstream LSH pipeline per round would dominate
+    // the whole job
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -264,9 +295,14 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep")).localCheckpoint()
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty // no candidate pairs => nothing to propagate
     while (iter < maxIters && !converged) {
-      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+      // pointer edges (src = rep(v), dst = v) give v access to rep(rep(v))
+      // through the same neighbour-min aggregation as the graph edges;
+      // rep values are always ids of edge-touching nodes, so the label
+      // join below resolves every pointer edge
+      val augmented = edges.union(labels.select(col("rep").as("src"), col("id").as("dst")))
+      val neighborMin = augmented.join(labels, augmented("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("rep")).as("nbr_rep"))
       // fold the convergence test into the materialization pass: observe()
       // counts label changes during the checkpoint job itself, so each
@@ -277,17 +313,17 @@ object Dedup {
           col("rep").as("__prev"))
         .observe(obs, sum(when(col("rep") =!= col("__prev"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-      converged = obs.get("changed") == 0L
+      // sum() over zero rows observes NULL — an empty label frame is
+      // trivially converged, not a change
+      converged = Option(obs.get("changed")).forall(v => v == null || v == 0L)
       labels = updated.drop("__prev")
       iter += 1
     }
     if (!converged)
-      // truncated labels are WRONG for any component wider than maxIters
-      // hops — make it loud; callers with long-chain clusters should
-      // raise maxIters (cost is linear in rounds)
-      System.err.println(
+      throw new IllegalStateException(
         s"[dedup] label propagation did NOT converge after $maxIters rounds — " +
-          "components wider than the round count carry intermediate representatives")
+          s"a component is wider than ~${math.pow(2, maxIters).toLong} hops; " +
+          "raise maxIters (cost is one join per extra round, reach doubles)")
     allNodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }

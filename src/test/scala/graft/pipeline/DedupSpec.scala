@@ -101,6 +101,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("cluster representatives: chain far wider than the round budget converges (pointer jumping)") {
+    // a 60-hop path needs 59 rounds of plain propagation; shortcutting
+    // doubles reach per round, so 10 rounds (2^10 hops) must suffice
+    val n = 60L
+    val nodes = spark.createDataFrame((1L to n).map(Tuple1(_))).toDF("doc_id")
+    val pairs = spark.createDataFrame((1L until n).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val got = Dedup.clusterRepresentatives(nodes, pairs, "doc_id", maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 1L))
+  }
+
+  test("cluster representatives: non-convergence throws instead of returning wrong labels") {
+    // reach after 2 rounds is ~4 hops; a 40-hop chain cannot converge
+    val nodes = spark.createDataFrame((1L to 40L).map(Tuple1(_))).toDF("doc_id")
+    val pairs = spark.createDataFrame((1L until 40L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterRepresentatives(nodes, pairs, "doc_id", maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did NOT converge"))
+  }
+
+  test("cluster representatives: empty pair set short-circuits to identity labels") {
+    val nodes = spark.createDataFrame(Seq(Tuple1(7L), Tuple1(8L))).toDF("doc_id")
+    val pairs = spark.emptyDataFrame
+      .select(lit(0L).as("id_a"), lit(0L).as("id_b")).filter(lit(false))
+    val got = Dedup.clusterRepresentatives(nodes, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 8L -> 8L))
+  }
+
   test("weighted candidates: matching_bands is a usable coarse estimate") {
     val sig = shingled.withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
     val weighted = Dedup.lshCandidatesWeighted(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
