@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Driver benchmark main: runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout (the driver
@@ -45,6 +46,40 @@ object Bench {
     benchScenario("asof_native", spark, sfDir, "events") { (s, dir) =>
       SparkEntry.queries("q_asof_native")(s, dir).count()
     }
+    // FULL-corpus near-dup tier (no doc_id bound): the oracle-gated
+    // variants cap the corpus so DuckDB can compute exact Jaccard; this
+    // scenario pushes LSH -> estimate -> exact verify -> clustering
+    // through every document and asserts the two self-consistency
+    // invariants an oracle can't reach at this size: (a) both endpoints
+    // of every verified pair land in the same cluster, (b) the labels
+    // are idempotent (rep(rep(v)) = rep(v)).
+    benchScenario("full_neardup", spark, sfDir, "documents") { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), pipeline.Dedup.shingles("text", 1).as("sh"))
+        .withColumn("sig", pipeline.Dedup.minHashSignature(col("sh"), numHashes = 64))
+        .localCheckpoint()
+      val candidates = pipeline.Dedup
+        .lshCandidatesWeighted(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+        .filter(col("matching_bands") >= 4).select("id_a", "id_b")
+      val estimated = pipeline.Dedup.estimateJaccard(candidates, sh, "doc_id", "sig")
+        .filter(col("matching_hashes") >= 46).select("id_a", "id_b")
+      val verified = pipeline.Dedup.verifyJaccard(estimated, sh, "doc_id", "sh", 9, 10)
+        .select("id_a", "id_b").localCheckpoint()
+      val labels = pipeline.Dedup
+        .clusterRepresentatives(docs, verified, "doc_id").localCheckpoint()
+      val la = labels.withColumnRenamed("id", "id_a").withColumnRenamed("rep", "rep_a")
+      val lb = labels.withColumnRenamed("id", "id_b").withColumnRenamed("rep", "rep_b")
+      val crossCluster = verified.join(la, "id_a").join(lb, "id_b")
+        .filter(col("rep_a") =!= col("rep_b")).count()
+      require(crossCluster == 0,
+        s"$crossCluster verified pairs span two clusters — labels are not a closure")
+      val nonRoot = labels.as("a")
+        .join(labels.as("b"), col("a.rep") === col("b.id"))
+        .filter(col("b.rep") =!= col("b.id")).count()
+      require(nonRoot == 0, s"$nonRoot labels point at a non-root — not idempotent")
+      labels.count()
+    }
     // data-layout scenario: z-cluster lineitem on (partkey, suppkey),
     // write, then run a second-dimension point-predicate read over the
     // clustered files (the scan the layout exists to accelerate)
@@ -65,11 +100,19 @@ object Bench {
 
     // min of two runs per query: single-shot timings carry whichever
     // codegen-compile / co-tenant noise lands on them (observed 2-16s
-    // swings on identical plans); the min reflects the plan's real cost
+    // swings on identical plans); the min reflects the plan's real cost.
+    // Only NonFatal failures are recorded per-query (OOM/VM errors must
+    // crash the run, not print a plausible JSON line); a failed query is
+    // listed under "errors" so its timing is never mistaken for a result.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case NonFatal(e) =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).replaceAll("[\"\\\\\n\r\t]", " ").take(80)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
@@ -81,15 +124,21 @@ object Bench {
     // always covers every query.
     def fmt(v: Double) = f"$v%.3f"
     val ranked = results.toSeq.sortBy(-_._2)
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     }
     val out = (ranked.size to 1 by -1).iterator
       .map(k => line(ranked.take(k))).find(_.length <= 1800)
       .getOrElse(line(Seq.empty))
-    try spark.stop() catch { case _: Throwable => () }
+    try spark.stop() catch { case NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed: $e")
+    }
     println(out)
   }
 
@@ -107,7 +156,7 @@ object Bench {
       System.err.println(
         s"BENCHMARK_RESULT | scenario=$name rows=$inputRows durationMs=${ms.toLong} rowsPerSec=$rps")
     } catch {
-      case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      case NonFatal(e) => System.err.println(s"[bench] $name failed: ${e.getMessage}")
     }
   }
 
@@ -131,7 +180,7 @@ object Bench {
         s"BENCHMARK_RESULT | scenario=parquet_copy rows=${result.rowsCopied} " +
           s"durationMs=${ms.toLong} rowsPerSec=$rps")
     } catch {
-      case e: Throwable => System.err.println(s"[bench] copy scenario failed: ${e.getMessage}")
+      case NonFatal(e) => System.err.println(s"[bench] copy scenario failed: ${e.getMessage}")
     }
   }
 }

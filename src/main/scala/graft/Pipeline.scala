@@ -135,7 +135,8 @@ object Pipeline {
     val completed = new StringSetAccumulator
     spark.sparkContext.register(completed, "completedFiles")
     val manager = cfg.savepointsDir.map(dir => new SavepointsManager(
-      dir, () => (cfg.skipFiles ++ completed.value).toSeq.sorted.mkString("\n")).start())
+      dir, () => (cfg.skipFiles ++ completed.value).toSeq.sorted.mkString("\n"),
+      hadoopConf = spark.sparkContext.hadoopConfiguration).start())
     var rows = 0L
     try {
       cfg.source match {

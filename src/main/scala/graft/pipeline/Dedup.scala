@@ -123,16 +123,18 @@ object Dedup {
     */
   def starEdgesBySlice(signed: DataFrame, idCol: String, sigCol: String,
                        bands: Int, rowsPerBand: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val banded = signed
       .select(col(idCol).as("id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col(sigCol).as("sig"))
       .select(col("id"), col("band"),
         slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)).as("bkey"))
-      // materialized once: the bucket-min aggregate and the join below
-      // would otherwise each re-run the banding explode
-      .localCheckpoint()
-    val bucketMin = banded.groupBy("band", "bkey").agg(min(col("id")).as("id_a"))
-    banded.join(bucketMin, Seq("band", "bkey"))
+    // bucket-min via a partitioned window, not agg+self-join: one shuffle
+    // on (band, bkey), the banding explode runs exactly once, and the
+    // result stays a lazy plan (no checkpoint needed — nothing reads the
+    // banded frame twice)
+    banded
+      .withColumn("id_a", min(col("id")).over(Window.partitionBy("band", "bkey")))
       .filter(col("id") =!= col("id_a"))
       .select(col("id_a"), col("id").as("id_b"))
       .distinct()
@@ -161,26 +163,37 @@ object Dedup {
   /** Banded frame with degenerate buckets clamped (skew guard): buckets
     * larger than `maxBucketSize` are dropped from candidate generation.
     *
-    * The banded frame is materialized (localCheckpoint — an eager job)
-    * before anything else touches it: the bucket-size aggregate, and
-    * both sides of the downstream candidate self-join, all read the same
-    * materialized (id, band, bucket) rows. Without this the banding
-    * Generate runs once per reference — 4× in the candidate pipeline —
-    * and the recompute, not the join, dominates the hot dedup path. The
-    * materialized rows are fixed width (id + two longs per band), so the
-    * checkpoint is bands×|df| small rows regardless of document size.
+    * The bucket-size clamp is a COUNT over a (band, bucket)-partitioned
+    * window — one shuffle, no agg+join — so the banding Generate runs
+    * exactly once, inside the single job that materializes the result.
+    *
+    * The kept frame is materialized (ONE localCheckpoint — an eager job)
+    * because both sides of the downstream candidate self-join read it;
+    * without the checkpoint the banding+window pipeline runs once per
+    * join side and the recompute, not the join, dominates the hot dedup
+    * path. The materialized rows are fixed width (id + two longs per
+    * band), so the checkpoint is ≤ bands×|df| small rows regardless of
+    * document size. The blocks live until the session ends (or the
+    * caller releases them via GraftColumnBridge.unpersistLocalCheckpoint
+    * on the returned candidate frame's inputs); localCheckpoint blocks
+    * are executor-local, so an executor loss mid-pipeline fails the job
+    * instead of recomputing — acceptable for a bounded dedup pass,
+    * documented here for long-running deployments.
     */
   private def keptFrame(df: DataFrame, idCol: String, signatureCol: String,
                         bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
-    val banded = bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
-      .localCheckpoint()
-    val sized = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucketSize)
-    banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+    import org.apache.spark.sql.expressions.Window
+    bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
+      .withColumn("__bucket_n",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
       .localCheckpoint()
   }
 
+  /** NOTE: eager — candidate generation materializes the banded frame
+    * (one Spark job) at call time; see [[keptFrame]].
+    */
   def lshCandidates(df: DataFrame, idCol: String, signatureCol: String,
                     bands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = 10000): DataFrame = {
@@ -200,6 +213,9 @@ object Dedup {
     * shingle sets cuts the candidate set at zero extra passes. (E.g.
     * bands=16, r=4: a J=0.9 pair matches ~10.5 bands in expectation, a
     * J=0.6 pair ~2.1 — minBands=6 separates them cleanly.)
+    *
+    * NOTE: eager — materializes the banded frame at call time, see
+    * [[keptFrame]].
     */
   def lshCandidatesWeighted(df: DataFrame, idCol: String, signatureCol: String,
                             bands: Int, rowsPerBand: Int,
@@ -222,12 +238,12 @@ object Dedup {
     */
   def lshStarEdges(df: DataFrame, idCol: String, signatureCol: String,
                    bands: Int, rowsPerBand: Int): DataFrame = {
-    // materialized once: the bucket-min aggregate and the join below
-    // would otherwise each re-run the banding Generate
-    val banded = bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
-      .localCheckpoint()
-    val bucketMin = banded.groupBy("band", "bucket").agg(min(col("id")).as("id_a"))
-    banded.join(bucketMin, Seq("band", "bucket"))
+    import org.apache.spark.sql.expressions.Window
+    // bucket-min via a partitioned window, not agg+self-join: the banding
+    // Generate runs exactly once and the result is a lazy plan again (no
+    // materialization at call time)
+    bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
+      .withColumn("id_a", min(col("id")).over(Window.partitionBy("band", "bucket")))
       .filter(col("id") =!= col("id_a"))
       .select(col("id_a"), col("id").as("id_b"))
       .distinct()
@@ -272,14 +288,23 @@ object Dedup {
     * job: the convergence count rides the localCheckpoint pass via
     * observe().
     *
-    * Non-convergence within `maxIters` THROWS (truncated labels are
-    * wrong answers for any component wider than the reached radius —
-    * 2^maxIters hops — and silently returning them corrupts downstream
+    * Convergence is detected by a round that changes nothing, so one
+    * round of the budget is the confirmation pass: the effective
+    * change budget is `maxIters - 1` rounds, reaching components up to
+    * ~2^(maxIters-1) hops wide. Non-convergence within `maxIters` THROWS
+    * (truncated labels are wrong answers for any component wider than
+    * the reached radius, and silently returning them corrupts downstream
     * keep/drop decisions). Cost per extra round is one join over the
     * edge-touching subgraph; raise maxIters rather than catching.
+    *
+    * Storage hygiene: each round checkpoints one label frame; the
+    * superseded round's blocks are released as soon as the new round
+    * materializes, and the edge frame is released once the loop exits —
+    * only the final labels (+ the node list) stay pinned for the result.
     */
   def clusterRepresentatives(nodes: DataFrame, pairs: DataFrame, idCol: String,
                              maxIters: Int = 10): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
     // materialize the edge list once — every iteration references it,
     // and recomputing an upstream LSH pipeline per round would dominate
     // the whole job
@@ -315,14 +340,20 @@ object Dedup {
         .localCheckpoint()
       // sum() over zero rows observes NULL — an empty label frame is
       // trivially converged, not a change
-      converged = Option(obs.get("changed")).forall(v => v == null || v == 0L)
+      converged = Option(obs.get("changed")).forall(_ == 0L)
+      // the new round is materialized; the previous round's checkpoint
+      // blocks are dead weight from here on — release them
+      GraftColumnBridge.unpersistLocalCheckpoint(labels)
       labels = updated.drop("__prev")
       iter += 1
     }
+    GraftColumnBridge.unpersistLocalCheckpoint(edges)
     if (!converged)
       throw new IllegalStateException(
-        s"[dedup] label propagation did NOT converge after $maxIters rounds — " +
-          s"a component is wider than ~${math.pow(2, maxIters).toLong} hops; " +
+        s"[dedup] label propagation did NOT converge after $maxIters rounds " +
+          s"(last round still changed labels — the confirmation pass consumes one " +
+          s"round, so the change budget was ${maxIters - 1}) — a component is " +
+          s"wider than ~${math.pow(2, (maxIters - 1).max(0)).toLong} hops; " +
           "raise maxIters (cost is one join per extra round, reach doubles)")
     allNodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))

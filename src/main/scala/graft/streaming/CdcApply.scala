@@ -42,10 +42,48 @@ object CdcApply {
     current.join(allKeys, pk, "left_anti").unionByName(puts)
   }
 
+  /** The per-batch merge into a parquet target, shared by both feed
+    * shapes below. The target is rewritten per batch (local test shape);
+    * a real deployment points `applyBatch` at an upsert-capable sink and
+    * keeps the same merge logic.
+    */
+  private def mergeBatchIntoParquet(batch: DataFrame, targetPath: String,
+                                    changesSchema: org.apache.spark.sql.types.StructType,
+                                    pk: Seq[String], opCol: String,
+                                    orderCols: DataFrame => Seq[org.apache.spark.sql.Column]): Unit = {
+    val sess = batch.sparkSession
+    val dst = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = dst.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
+    // crash recovery FIRST: a death between the rename-aside and the
+    // swap below leaves dst missing but dst__old intact — restore it
+    // before reading state, or the batch replay would start from
+    // empty and the cleanup would delete the only surviving copy
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    // only a genuinely-absent target starts from empty state; any
+    // other read failure (corrupt footer, transient IO) fails the
+    // batch loudly instead of silently resetting accumulated state
+    val current =
+      if (fs.exists(dst)) sess.read.parquet(targetPath)
+      else sess.createDataFrame(
+        sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          changesSchema.filterNot(_.name == opCol)))
+    val merged = applyBatch(current, batch, pk, opCol, orderCols(batch))
+    // write to tmp, rename old target aside, then swap: a crash at
+    // any point leaves either dst or dst__old intact (recoverable),
+    // never a window where the accumulated state is simply gone
+    val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
+    ()
+  }
+
   /** Continuous apply: parquet-file change feed → foreachBatch merge into
-    * a parquet target. The target is rewritten per batch (local test
-    * shape); a real deployment points `applyBatch` at an upsert-capable
-    * sink and keeps the same merge logic.
+    * a parquet target.
     */
   def run(spark: SparkSession, changesDir: String, changesSchema: org.apache.spark.sql.types.StructType,
           targetPath: String, checkpointDir: String, pk: Seq[String], opCol: String,
@@ -56,35 +94,42 @@ object CdcApply {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sess = batch.sparkSession
-        val dst = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = dst.getFileSystem(sess.sparkContext.hadoopConfiguration)
-        val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
-        // crash recovery FIRST: a death between the rename-aside and the
-        // swap below leaves dst missing but dst__old intact — restore it
-        // before reading state, or the batch replay would start from
-        // empty and the cleanup would delete the only surviving copy
-        if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
-        // only a genuinely-absent target starts from empty state; any
-        // other read failure (corrupt footer, transient IO) fails the
-        // batch loudly instead of silently resetting accumulated state
-        val current =
-          if (fs.exists(dst)) sess.read.parquet(targetPath)
-          else sess.createDataFrame(
-            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(
-              changesSchema.filterNot(_.name == opCol)))
-        val merged = applyBatch(current, batch, pk, opCol, orderCols(batch))
-        // write to tmp, rename old target aside, then swap: a crash at
-        // any point leaves either dst or dst__old intact (recoverable),
-        // never a window where the accumulated state is simply gone
-        val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(old, true)
-        if (fs.exists(dst)) fs.rename(dst, old)
-        fs.rename(tmp, dst)
-        fs.delete(old, true)
-        ()
+        mergeBatchIntoParquet(batch, targetPath, changesSchema, pk, opCol, orderCols)
+      }
+      .start()
+  }
+
+  /** Continuous apply fed by the custom change-log MicroBatchStream
+    * (graft.sources.v2.ChangeLogSource) — the full portable analog of
+    * the reference's Kinesis→DynamoDB replication loop: sequence-named
+    * JSON-lines files in, offset-checkpointed micro-batches, idempotent
+    * last-writer-wins merge out. `changesSchema` describes the JSON
+    * payload (must include `opCol` and the pk columns); records that
+    * fail to parse fail the batch (PERMISSIVE would silently drop
+    * changes — corrupt feed data must stop replication, as in the
+    * reference's fail-fast record processor).
+    */
+  def runFromChangeLog(spark: SparkSession, changesDir: String,
+                       changesSchema: org.apache.spark.sql.types.StructType,
+                       targetPath: String, checkpointDir: String, pk: Seq[String], opCol: String,
+                       orderCols: DataFrame => Seq[org.apache.spark.sql.Column],
+                       triggerMs: Long = 5000L,
+                       initialPosition: String = "trim_horizon",
+                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
+      .format(graft.sources.v2.ChangeLogSource.Name)
+      .option("path", changesDir)
+      .option("initialPosition", initialPosition)
+    val changes = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .load()
+      .select(from_json(col("value"), changesSchema).as("r"))
+      .select(col("r.*"))
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatchIntoParquet(batch, targetPath, changesSchema, pk, opCol, orderCols)
       }
       .start()
   }

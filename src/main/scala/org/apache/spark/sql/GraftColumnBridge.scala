@@ -26,4 +26,17 @@ object GraftColumnBridge {
     */
   def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Release the executor storage blocks behind a `localCheckpoint()`ed
+    * frame (Dataset.unpersist only touches the cache manager, not the
+    * checkpoint RDD). Iterative algorithms that checkpoint per round
+    * would otherwise pin every superseded round's blocks until session
+    * end. Safe on non-checkpointed frames (no LogicalRDD leaf → no-op).
+    */
+  def unpersistLocalCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }

@@ -11,17 +11,39 @@ class SavepointsSpec extends AnyFunSuite {
     var state = Set("seg1")
     val mgr = new SavepointsManager(dir, () => state.toSeq.sorted.mkString("\n"))
     val p1 = mgr.dump()
-    assert(p1.getFileName.toString == "savepoint_000000000.txt")
+    assert(p1.getName == "savepoint_000000000.txt")
     state += "seg2"
     val p2 = mgr.dump()
-    assert(p2.getFileName.toString == "savepoint_000000001.txt")
-    assert(Files.readString(p2) == "seg1\nseg2")
+    assert(p2.getName == "savepoint_000000001.txt")
+    assert(mgr.readUtf8(p2) == "seg1\nseg2")
     assert(mgr.latest().contains(p2))
     mgr.close() // writes a final savepoint
     // a new manager in the same dir continues the numbering
     val mgr2 = new SavepointsManager(dir, () => "resumed")
     val p4 = mgr2.dump()
-    assert(p4.getFileName.toString == "savepoint_000000003.txt")
+    assert(p4.getName == "savepoint_000000003.txt")
+    mgr2.close()
+    // the files really landed on local disk (Hadoop local FS backs bare paths)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "savepoint_000000003.txt")))
+  }
+
+  test("savepoints write through Hadoop FileSystem for scheme'd URIs (file:/)") {
+    // the sandbox's S3A-readiness proof: a file:// URI exercises the same
+    // scheme-resolved Hadoop FileSystem code path an s3a:// dir would take
+    val local = Files.createTempDirectory("graft-sp-uri")
+    val uri = local.toUri.toString // file:///tmp/...
+    val mgr = new SavepointsManager(uri, () => "via-hadoop",
+      hadoopConf = TestSpark.spark.sparkContext.hadoopConfiguration)
+    val p = mgr.dump()
+    assert(p.getName == "savepoint_000000000.txt")
+    assert(mgr.readUtf8(p) == "via-hadoop")
+    // no torn tmp file left behind under the final name's sibling
+    assert(!Files.exists(local.resolve("savepoint_000000000.txt.tmp")))
+    // resume numbering also works through the URI path
+    mgr.close()
+    val mgr2 = new SavepointsManager(uri, () => "resumed",
+      hadoopConf = TestSpark.spark.sparkContext.hadoopConfiguration)
+    assert(mgr2.dump().getName == "savepoint_000000002.txt")
     mgr2.close()
   }
 
