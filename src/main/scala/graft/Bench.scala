@@ -105,17 +105,22 @@ object Bench {
     // crash the run, not print a plausible JSON line); a failed query is
     // listed under "errors" so its timing is never mistaken for a result.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
+    // A run that threw contributes no timing (its fast-fail duration is
+    // not the plan's cost): failed runs are excluded from the min, and a
+    // query whose every run failed is omitted from the timed map/total —
+    // it exists only under "errors".
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case NonFatal(e) =>
           errors(name) = (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("")).replaceAll("[\"\\\\\n\r\t]", " ").take(80)
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val timings = Seq(once(), once()).flatten
+      if (timings.isEmpty) None else Some(name -> timings.min)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver reads this line from a 2000-char stdout tail and parses

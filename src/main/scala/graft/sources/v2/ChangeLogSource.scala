@@ -53,20 +53,24 @@ import org.apache.spark.util.SerializableConfiguration
   * key and line ordinal ride along so downstream operators can order
   * and deduplicate replayed records without re-parsing payloads.
   *
-  * Scale: one planning-time directory listing per trigger (one RPC),
-  * one input partition per admitted file, payload decode inside the
-  * per-task PartitionReader. Files whose names sort at or below the
-  * committed offset are never listed into a task, so a long-retained
-  * log costs the listing, not a scan.
+  * Scale: one directory listing per trigger (at admission), one small
+  * manifest write/read per batch, one input partition per admitted
+  * file, payload decode inside the per-task PartitionReader. Files
+  * whose names sort at or below the committed offset are never listed
+  * into a task, so a long-retained log costs the listing, not a scan.
   */
 class ChangeLogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChangeLogSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new ChangeLogTable(properties.get("path"),
-      Option(properties.get("initialPosition")).getOrElse("trim_horizon"),
-      Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
+                        properties: util.Map[String, String]): Table = {
+    // Spark option names are conventionally case-insensitive; reading the
+    // raw map would silently ignore e.g. .option("maxfilespertrigger", …)
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ChangeLogTable(opts.get("path"),
+      Option(opts.get("initialPosition")).getOrElse("trim_horizon"),
+      Option(opts.get("maxFilesPerTrigger")).map(_.toInt))
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -136,15 +140,58 @@ private[v2] class ChangeLogScan(root: String, initialPosition: String,
   override def description(): String =
     s"ChangeLogScan(root=$root, initialPosition=$initialPosition)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeLogMicroBatchStream(root, initialPosition, maxFilesPerTrigger)
+    new ChangeLogMicroBatchStream(root, initialPosition, maxFilesPerTrigger,
+      checkpointLocation)
 }
 
 private[v2] class ChangeLogMicroBatchStream(root: String, initialPosition: String,
-                                            maxFilesPerTrigger: Option[Int])
+                                            maxFilesPerTrigger: Option[Int],
+                                            checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
   private def list(): Seq[String] = ChangeLogSource.listLog(root, hadoopConf)
+
+  /** Per-batch admitted-file manifests (a FileStreamSource-style metadata
+    * log): `latestOffset` records exactly which files it admitted into
+    * the batch ending at `hi`, and `planInputPartitions` plans from that
+    * record instead of re-listing the directory. Without it, a file in
+    * (lo, hi] that vanished between admission and a crash-replay
+    * (retention cleanup racing recovery) would silently fall out of the
+    * re-listing — data loss the WAL claims was delivered. With it, the
+    * missing file is still planned and its reader fails loudly on open.
+    * Durability order is safe: the manifest is written (atomic
+    * tmp+rename) inside `latestOffset`, which Spark calls BEFORE it
+    * commits the offset to the WAL, so any batch the WAL can replay has
+    * its manifest on disk.
+    */
+  private def manifestDir = new Path(checkpointLocation, "graft-file-manifests")
+  private def manifestPath(hi: String): Path =
+    new Path(manifestDir, java.net.URLEncoder.encode(hi, "UTF-8"))
+
+  private def writeManifest(hi: String, admitted: Seq[String]): Unit = {
+    val fs = manifestDir.getFileSystem(hadoopConf)
+    val tmp = new Path(manifestDir, s".${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(admitted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = manifestPath(hi)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to commit change-log manifest $dst")
+  }
+
+  private def readManifest(hi: String): Option[Seq[String]] = {
+    val fs = manifestDir.getFileSystem(hadoopConf)
+    val p = manifestPath(hi)
+    if (!fs.exists(p)) None
+    else {
+      val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+      try Some(Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toList)
+      finally in.close()
+    }
+  }
 
   /** TrimHorizon = start before every file; Latest = start after
     * whatever exists when the stream first asks (only called on a fresh
@@ -169,6 +216,7 @@ private[v2] class ChangeLogMicroBatchStream(root: String, initialPosition: Strin
         pending.take(m.maxFiles())
       case _ => pending
     }
+    if (admitted.nonEmpty) writeManifest(admitted.max, admitted)
     ChangeLogOffset(if (admitted.isEmpty) last else admitted.max)
   }
 
@@ -185,10 +233,17 @@ private[v2] class ChangeLogMicroBatchStream(root: String, initialPosition: Strin
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ChangeLogOffset].last
     val hi = end.asInstanceOf[ChangeLogOffset].last
-    // a file in (lo, hi] that vanished between admission and planning is
-    // data loss — the reader will fail loudly on open rather than skip
-    list().filter(n => n > lo && n <= hi)
-      .map(n => ChangeLogPartition(root, n): InputPartition).toArray
+    if (hi == lo) return Array.empty
+    // Plan from the admitted-file manifest, never from a fresh listing:
+    // a file in (lo, hi] that vanished since admission must still be
+    // planned so its reader fails loudly on open instead of the batch
+    // silently shrinking. A missing manifest means the checkpoint was
+    // tampered with or truncated — also data loss, also loud.
+    val names = readManifest(hi).getOrElse(throw new IllegalStateException(
+      s"change-log manifest for batch end offset '$hi' missing under " +
+        s"$manifestDir — cannot replay the batch without its admitted file " +
+        "list (checkpoint corrupted or manually pruned)"))
+    names.map(n => ChangeLogPartition(root, n): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -198,9 +253,20 @@ private[v2] class ChangeLogMicroBatchStream(root: String, initialPosition: Strin
 
   /** The WAL already made the offset durable; the log is the producers'
     * to retain/expire (the reference likewise leaves shard retention to
-    * Kinesis).
+    * Kinesis). Committed batches can never replay, so their manifests
+    * are pruned here — the manifest dir holds only in-flight batches.
     */
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    val hi = end.asInstanceOf[ChangeLogOffset].last
+    val fs = manifestDir.getFileSystem(hadoopConf)
+    if (fs.exists(manifestDir)) fs.listStatus(manifestDir).foreach { st =>
+      val name = st.getPath.getName
+      // URL-encoding does not preserve lexicographic order — compare decoded
+      if (st.isFile && !name.endsWith(".tmp") &&
+          java.net.URLDecoder.decode(name, "UTF-8") <= hi)
+        fs.delete(st.getPath, false)
+    }
+  }
   override def stop(): Unit = ()
 }
 

@@ -120,10 +120,19 @@ object CdcApply {
       .format(graft.sources.v2.ChangeLogSource.Name)
       .option("path", changesDir)
       .option("initialPosition", initialPosition)
+    // FAILFAST throws on malformed JSON; the null-struct guard catches
+    // what FAILFAST cannot (a well-formed non-object like `null` or
+    // `123`, which parses to a null struct under every mode). Without
+    // both, a corrupt record yields an all-null row whose op matches
+    // neither arm and whose null pk never joins — silently swallowed.
     val changes = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .load()
-      .select(from_json(col("value"), changesSchema).as("r"))
+      .select(col("value"),
+        from_json(col("value"), changesSchema, Map("mode" -> "FAILFAST")).as("r"))
+      .select(when(col("r").isNull, raise_error(concat(
+          lit("corrupt change-log record: "), coalesce(col("value"), lit("<null>")))))
+        .otherwise(col("r")).as("r"))
       .select(col("r.*"))
     changes.writeStream
       .option("checkpointLocation", checkpointDir)

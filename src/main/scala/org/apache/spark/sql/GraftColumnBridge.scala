@@ -32,6 +32,16 @@ object GraftColumnBridge {
     * checkpoint RDD). Iterative algorithms that checkpoint per round
     * would otherwise pin every superseded round's blocks until session
     * end. Safe on non-checkpointed frames (no LogicalRDD leaf → no-op).
+    *
+    * DANGER — ONLY call this when no other live Dataset shares the same
+    * checkpoint RDDs. A local checkpoint truncates lineage, so the
+    * storage blocks are the ONLY copy of the data: unpersisting a
+    * LogicalRDD leaf that another still-live frame (e.g. one derived
+    * from the same checkpointed parent before this call) also reads
+    * makes that frame unreadable — later jobs FAIL rather than
+    * recompute. Callers must own every frame rooted at the released
+    * RDDs (the per-round superseded-label pattern in
+    * pipeline/Dedup.scala is the intended shape).
     */
   def unpersistLocalCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {

@@ -120,6 +120,92 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("option names are case-insensitive (Spark convention)") {
+    val tmp = Files.createTempDirectory("graft-cl-ci")
+    (1 to 4).foreach(i => writeLog(tmp, f"f$i%03d", s"line$i"))
+    val sink = mutable.Buffer.empty[(Long, String, Long, String)]
+    // all-lowercase keys must still engage admission control
+    val q = startCollecting(tmp.toString, tmp.resolve("ckpt").toString, sink,
+      Map("maxfilespertrigger" -> "1", "initialposition" -> "trim_horizon"))
+    try {
+      q.processAllAvailable()
+      assert(sink.map(_._2).toSet == (1 to 4).map(i => f"f$i%03d").toSet)
+      val filesPerBatch = sink.groupBy(_._1).values.map(_.map(_._2).distinct.size)
+      assert(filesPerBatch.forall(_ == 1),
+        s"lowercased maxfilespertrigger was ignored: $filesPerBatch")
+    } finally q.stop()
+  }
+
+  test("replay of an admitted batch plans vanished files from the manifest and fails loudly") {
+    val tmp = Files.createTempDirectory("graft-cl-replay")
+    writeLog(tmp, "s-001", "r1")
+    writeLog(tmp, "s-002", "r2")
+    val ckpt = tmp.resolve("ckpt").toString
+    val stream = new ChangeLogMicroBatchStream(
+      tmp.toString, "trim_horizon", None, ckpt)
+    val start = stream.initialOffset()
+    // admission: both files enter the batch, manifest written before any
+    // WAL commit could have happened
+    val end = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    // retention cleanup races crash-recovery: one admitted file vanishes
+    Files.delete(tmp.resolve("s-001"))
+    val parts = stream.planInputPartitions(start, end)
+    assert(parts.map(_.asInstanceOf[ChangeLogPartition].name).toSet ==
+      Set("s-001", "s-002"),
+      "replay must plan from the admitted-file manifest, not a re-listing")
+    // the vanished file's reader fails at open — the task dies loudly
+    intercept[java.io.FileNotFoundException] {
+      val r = stream.createReaderFactory()
+        .createReader(parts.find(_.asInstanceOf[ChangeLogPartition].name == "s-001").get)
+      r.next()
+    }
+    // a pruned/corrupted manifest is equally loud
+    val bogusEnd = ChangeLogOffset("zzz-never-admitted")
+    intercept[IllegalStateException] { stream.planInputPartitions(start, bogusEnd) }
+    // commit prunes manifests at or below the committed offset
+    stream.commit(end)
+    intercept[IllegalStateException] { stream.planInputPartitions(start, end) }
+  }
+
+  test("corrupt change-log records fail the batch, not vanish") {
+    val tmp = Files.createTempDirectory("graft-cl-corrupt")
+    val logDir = tmp.resolve("log")
+    Files.createDirectories(logDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+    def runOnce(sub: String): Unit = {
+      val q = graft.streaming.CdcApply.runFromChangeLog(spark,
+        logDir.toString, schema,
+        tmp.resolve(s"target-$sub").toString, tmp.resolve(s"ckpt-$sub").toString,
+        Seq("id"), "op", _ => Seq(col("seq").desc), triggerMs = 250L)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // malformed JSON → FAILFAST kills the batch
+    writeLog(logDir, "000001.jsonl", """{"id":1,"op":"put","seq":1}""", """{"id":2,oops""")
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce("a")
+    }
+    assert(!Files.exists(tmp.resolve("target-a")),
+      "a batch containing a corrupt record must not apply")
+    // well-formed non-object JSON parses to a null struct under every
+    // mode — the explicit guard must catch it
+    Files.delete(logDir.resolve("000001.jsonl"))
+    writeLog(logDir, "000002.jsonl", """{"id":1,"op":"put","seq":1}""", """123""")
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce("b")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e2).exists(_.contains("corrupt change-log record")),
+      s"expected the null-struct guard to fire; got: ${chain(e2)}")
+    (e1, e2)
+    ()
+  }
+
   test("offset json round-trips names that need escaping") {
     val o = ChangeLogOffset("""we"ird\name""")
     assert(ChangeLogOffset.fromJson(o.json()) == o)
