@@ -120,12 +120,83 @@ object JdbcSupport {
 
   /** Infer the bound type from the literal's shape, so date/timestamp
     * partition columns validate without explicit type config (Spark's
-    * JDBC source accepts all three).
+    * JDBC source accepts all three). When column metadata IS available,
+    * prefer `classifyColumnType` + `validateBoundsForColumn` — shape
+    * inference cannot catch a literal of the wrong type for the column.
     */
   def inferBoundType(bound: String): BoundType =
     if (scala.util.Try(BigDecimal(bound)).isSuccess) NumericBound
     else if (scala.util.Try(java.time.LocalDate.parse(bound)).isSuccess) DateBound
     else TimestampBound
+
+  /** Classify a `java.sql.Types` code (from `DatabaseMetaData.getColumns`)
+    * into the coarse category Spark JDBC supports for partitioned reads
+    * (reference: readers/jdbc/JdbcPartitionBounds.scala:57-76). Columns
+    * outside numeric/DATE/TIMESTAMP cannot drive a partitioned read at
+    * all — rejected here, eagerly, instead of deep inside Spark.
+    */
+  def classifyColumnType(jdbcType: Int, jdbcTypeName: String,
+                         column: String): Either[String, BoundType] = {
+    import java.sql.Types
+    jdbcType match {
+      case Types.TINYINT | Types.SMALLINT | Types.INTEGER | Types.BIGINT |
+           Types.FLOAT | Types.REAL | Types.DOUBLE | Types.NUMERIC | Types.DECIMAL =>
+        Right(NumericBound)
+      case Types.DATE => Right(DateBound)
+      case Types.TIMESTAMP | Types.TIMESTAMP_WITH_TIMEZONE => Right(TimestampBound)
+      case _ => Left(
+        s"partition column '$column' has JDBC type '$jdbcTypeName', which Spark JDBC " +
+          "does not support for partitioned reads; use a numeric, DATE, or TIMESTAMP column")
+    }
+  }
+
+  /** Validate partition bounds against the column's DECLARED type (the
+    * metadata-derived hint from `classifyColumnType`), not the literal's
+    * shape (reference: readers/jdbc/JdbcPartitionBounds.scala:78-165).
+    * This is what makes a DATE literal against a numeric column — or an
+    * epoch-millis bound against a TIMESTAMP column — fail eagerly at
+    * config time with a typed message, instead of late inside Spark's
+    * JDBC partitioning math.
+    *
+    * Contract per declared type (what Spark's JDBC source actually
+    * accepts): numeric columns take integer literals; DATE columns take
+    * `yyyy-MM-dd`; TIMESTAMP columns take `yyyy-MM-dd HH:mm:ss[.S…]`
+    * (space or 'T'). Callers must pass the column name as reported by
+    * the driver metadata — identifier-folding databases report a
+    * different case than the user configured, and Spark's quoting needs
+    * the reported one.
+    */
+  def validateBoundsForColumn(column: String, jdbcTypeName: String,
+                              declared: BoundType, lower: String, upper: String,
+                              numPartitions: Int): Either[String, Unit] = {
+    if (numPartitions < 1) return Left(s"numPartitions must be >= 1, got $numPartitions")
+    def bad(boundName: String, v: String, expected: String): String =
+      s"partition column '$column' has JDBC type '$jdbcTypeName', so $boundName " +
+        s"must be $expected; got '$v'" + (declared match {
+          case NumericBound => ""
+          case _ => " (epoch-millisecond bounds are not supported for temporal columns)"
+        })
+    def parse(boundName: String, v: String): Either[String, Long] = declared match {
+      case NumericBound =>
+        scala.util.Try(v.trim.toLong).toOption
+          .toRight(bad(boundName, v, "an integer literal"))
+      case DateBound =>
+        scala.util.Try(java.time.LocalDate.parse(v.trim).toEpochDay).toOption
+          .toRight(bad(boundName, v, "a DATE literal (yyyy-MM-dd)"))
+      case TimestampBound =>
+        scala.util.Try(java.time.LocalDateTime.parse(v.trim.replace(' ', 'T')))
+          .map(t => t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
+          .toOption
+          .toRight(bad(boundName, v, "a TIMESTAMP literal (yyyy-MM-dd HH:mm:ss)"))
+    }
+    for {
+      lo <- parse("lowerBound", lower)
+      hi <- parse("upperBound", upper)
+      _ <- if (lo < hi) Right(())
+           else Left(s"lowerBound ('$lower') must be less than upperBound ('$upper') " +
+             s"for partition column '$column' ($jdbcTypeName)")
+    } yield ()
+  }
 
   /** Validate partition bounds against the partition column's type
     * (reference: readers/jdbc/JdbcPartitionBounds.scala:57-165): bounds

@@ -62,4 +62,46 @@ class JdbcSupportSpec extends AnyFunSuite {
     assert(validateBounds(TimestampBound, "2020-01-01 00:00:00", "2020-06-01 00:00:00", 2).isRight)
     assert(validateBounds(TimestampBound, "2020-06-01 00:00:00", "2020-01-01 00:00:00", 2).isLeft)
   }
+
+  test("jdbc type codes classify into Spark-partitionable categories") {
+    import java.sql.Types
+    assert(classifyColumnType(Types.BIGINT, "BIGINT", "id") == Right(NumericBound))
+    assert(classifyColumnType(Types.DECIMAL, "DECIMAL", "id") == Right(NumericBound))
+    assert(classifyColumnType(Types.DATE, "DATE", "d") == Right(DateBound))
+    assert(classifyColumnType(Types.TIMESTAMP, "DATETIME", "ts") == Right(TimestampBound))
+    assert(classifyColumnType(Types.TIMESTAMP_WITH_TIMEZONE, "TIMESTAMPTZ", "ts")
+      == Right(TimestampBound))
+    // VARCHAR/CHAR/BLOB columns cannot drive a partitioned read at all
+    val bad = classifyColumnType(Types.VARCHAR, "VARCHAR", "name")
+    assert(bad.isLeft && bad.left.exists(_.contains("'name'")))
+  }
+
+  test("bounds validated against the DECLARED column type, eagerly") {
+    // right literal for the declared type
+    assert(validateBoundsForColumn("id", "BIGINT", NumericBound, "1", "100", 4).isRight)
+    assert(validateBoundsForColumn("d", "DATE", DateBound,
+      "2020-01-01", "2021-01-01", 4).isRight)
+    assert(validateBoundsForColumn("ts", "DATETIME", TimestampBound,
+      "2020-01-01 00:00:00", "2020-06-01 12:30:45.5", 4).isRight)
+    // a DATE literal against a numeric column fails NOW, not inside Spark
+    val dn = validateBoundsForColumn("id", "BIGINT", NumericBound,
+      "2020-01-01", "2021-01-01", 4)
+    assert(dn.isLeft && dn.left.exists(m => m.contains("'id'") && m.contains("BIGINT")))
+    // numeric columns take integer literals only (Spark JDBC contract)
+    assert(validateBoundsForColumn("id", "DECIMAL", NumericBound, "1.5", "9.5", 4).isLeft)
+    // epoch-millis against a temporal column is rejected with the hint
+    val em = validateBoundsForColumn("ts", "DATETIME", TimestampBound,
+      "1577836800000", "1590969600000", 4)
+    assert(em.isLeft && em.left.exists(_.contains("epoch-millisecond")))
+    assert(validateBoundsForColumn("d", "DATE", DateBound,
+      "1577836800000", "1590969600000", 4).isLeft)
+    // a timestamp literal against a DATE column is a mismatch too
+    assert(validateBoundsForColumn("d", "DATE", DateBound,
+      "2020-01-01 00:00:00", "2021-01-01 00:00:00", 4).isLeft)
+    // ordering still enforced under the declared type
+    assert(validateBoundsForColumn("id", "BIGINT", NumericBound, "100", "1", 4).isLeft)
+    assert(validateBoundsForColumn("ts", "DATETIME", TimestampBound,
+      "2020-06-01 00:00:00", "2020-01-01 00:00:00", 4).isLeft)
+    assert(validateBoundsForColumn("id", "BIGINT", NumericBound, "1", "100", 0).isLeft)
+  }
 }
