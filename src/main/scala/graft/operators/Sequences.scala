@@ -15,7 +15,9 @@ object Sequences {
 
   /** Collapse the distinct values of an integer key column into maximal
     * runs of consecutive values: one row per island with
-    * (island_start, island_end, island_len).
+    * (island_start, island_end, island_len). NULL keys carry no
+    * sequence position and are dropped (SQL semantics: NULL±1 is NULL,
+    * so a NULL can neither start, end, nor extend a run).
     *
     * Plan shape: run STARTS are keys where k−1 is absent, run ENDS are
     * keys where k+1 is absent — two self-anti-joins, fully distributed,
@@ -24,22 +26,62 @@ object Sequences {
     * needs one global total order over ALL keys (single-task sort at
     * scale); this form only ranks the island ENDPOINTS — two rows per
     * island, orders of magnitude fewer than the keys whenever islands
-    * are wide. The endpoint rank is still a global window: fine up to
-    * millions of islands; shard it by key range and merge boundary
-    * islands if a corpus ever produces more.
+    * are wide.
+    *
+    * The endpoint rank itself is RANGE-SHARDED, never global: endpoints
+    * are bucketed into `rankShards` contiguous key ranges, ranked inside
+    * each shard by a PARTITIONED window, and offset by the endpoint
+    * count of all lower shards. Shard offsets are a bounded driver
+    * artifact (≤ 2·rankShards rows collected); because shards are
+    * contiguous ranges, (shard, v) order equals global v order, so the
+    * composed rank is exactly the global rank — with no single-task
+    * sort anywhere in the plan. Keys may span the full Long range; ANSI
+    * mode turns the (pathological) `v − lo` overflow into a loud error
+    * rather than a silent mis-shard.
     */
-  def islands(keys: DataFrame, keyCol: String): DataFrame = {
-    val k = keys.select(col(keyCol).cast("long").as("k")).distinct()
+  def islands(keys: DataFrame, keyCol: String, rankShards: Int = 64): DataFrame = {
+    require(rankShards >= 1, s"rankShards must be >= 1, got $rankShards")
+    val spark = keys.sparkSession
+    val k = keys.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull).distinct()
     val starts = k.as("a")
       .join(k.as("b"), col("a.k") - 1 === col("b.k"), "left_anti")
-      .select(col("k").as("island_start"))
+      .select(col("k").as("v"))
     val ends = k.as("a")
       .join(k.as("b"), col("a.k") + 1 === col("b.k"), "left_anti")
-      .select(col("k").as("island_end"))
-    val byStart = Window.orderBy(col("island_start"))
-    val byEnd = Window.orderBy(col("island_end"))
-    starts.withColumn("rn", row_number().over(byStart))
-      .join(ends.withColumn("rn", row_number().over(byEnd)), "rn")
+      .select(col("k").as("v"))
+    val bounds = k.agg(min(col("k")), max(col("k"))).head()
+    if (bounds.isNullAt(0))
+      return k.select(col("k").as("island_start"), col("k").as("island_end"),
+        col("k").as("island_len"))
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    val width = ((BigInt(hi) - BigInt(lo)) / rankShards + 1)
+      .min(BigInt(Long.MaxValue)).toLong
+    // one tagged endpoint frame so shard counting is a single job;
+    // `__t` 0 = start, 1 = end (a start sorts before its own end, and
+    // ranks are computed per tag, so the tag never perturbs the order)
+    val endpoints = starts.withColumn("__t", lit(0))
+      .unionByName(ends.withColumn("__t", lit(1)))
+      .withColumn("__shard", expr(s"(v - ${lo}L) div ${width}L"))
+    // bounded driver artifact: one row per (tag, non-empty shard)
+    val counts = endpoints.groupBy(col("__t"), col("__shard"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = counts.groupBy(_._1._1).toSeq.flatMap { case (_, perTag) =>
+      var acc = 0L
+      perTag.sortBy(_._1._2).map { case ((t, s), c) =>
+        val row = (t, s, acc); acc += c; row
+      }
+    }
+    val offsetsDf = spark.createDataFrame(offsets).toDF("__t", "__shard", "__offset")
+    val w = Window.partitionBy(col("__t"), col("__shard")).orderBy(col("v"))
+    val ranked = endpoints.join(broadcast(offsetsDf), Seq("__t", "__shard"))
+      .select(col("__t"), col("v"),
+        (row_number().over(w) + col("__offset")).as("rn"))
+    ranked.filter(col("__t") === 0).select(col("v").as("island_start"), col("rn"))
+      .join(ranked.filter(col("__t") === 1).select(col("v").as("island_end"), col("rn")), "rn")
       .select(col("island_start"), col("island_end"),
         (col("island_end") - col("island_start") + 1).as("island_len"))
   }
