@@ -47,20 +47,36 @@ object Validate {
       val src = Pipeline.transform(Pipeline.read(spark, cfg), cfg)
       val tgt = spark.read.parquet(targetPath)
 
-      val breakdown = Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)
-        .groupBy("diff_kind").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val failures = breakdown.view.filterKeys(_ != "match").values.sum
-      println(s"[validate] breakdown: " + breakdown.toSeq.sorted
-        .map { case (k, n) => s"$k=$n" }.mkString(", "))
+      val diff = Diff.categorizedDiff(src, tgt, v.primaryKey, v.compareColumns)
+      val breakdown = Diff.categoryBreakdown(diff)
+      println(s"[validate] breakdown: " + renderBreakdown(breakdown))
 
-      if (breakdown.getOrElse("mismatch", 0L) > 0) {
+      val valueDiffs = Seq("differing_field_values", "differing_ttls",
+        "differing_writetimes", "numeric_type_mismatch")
+        .map(breakdown.getOrElse(_, 0L)).sum
+      if (valueDiffs > 0) {
         val attributed = HashRefinement.refine(src, tgt, v.primaryKey, v.compareColumns)
         Diff.sampleFailures(attributed, v.failuresToFetch).foreach { row =>
           println(s"[validate] mismatch sample: $row")
         }
       }
-      if (failures > 0) sys.exit(1)
+      if (exitCodeFor(breakdown) != 0) sys.exit(exitCodeFor(breakdown))
     } finally spark.stop()
   }
+
+  /** The reference's category order (Validator.scala:85-100), zeros
+    * elided except `match` so a fully-green run still prints evidence.
+    */
+  private[graft] def renderBreakdown(b: Map[String, Long]): String = {
+    val order = Seq("missing_target", "extra_target", "differing_field_values",
+      "numeric_type_mismatch", "differing_ttls", "differing_writetimes", "match")
+    order.filter(k => b.getOrElse(k, 0L) > 0 || k == "match")
+      .map(k => s"$k=${b.getOrElse(k, 0L)}").mkString(", ")
+  }
+
+  /** Non-zero exactly when any failure category is non-empty — the
+    * reference's System.exit(1) contract (Validator.scala:103).
+    */
+  private[graft] def exitCodeFor(b: Map[String, Long]): Int =
+    if ((b - "match").valuesIterator.sum > 0) 1 else 0
 }

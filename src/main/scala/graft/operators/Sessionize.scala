@@ -18,9 +18,17 @@ object Sessionize {
   /** Adds `session_seq` (1-based session index per key). `tieBreak`
     * disambiguates equal timestamps (pass a unique column for
     * deterministic output).
+    *
+    * NULL semantics (pinned by SessionizeSpec): NULL keys form one
+    * window partition (SQL window-partition grouping); NULL timestamps
+    * sort first within a key and each opens its own session — the gap
+    * to a NULL timestamp is unknowable, so it conservatively never
+    * extends a session.
     */
   def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gap: String,
                  tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(!df.columns.contains("session_seq"),
+      "session_seq is the sessionize output column — rename the input's first")
     val order = col(tsCol).asc +: tieBreak.map(_.asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(w)
@@ -36,6 +44,8 @@ object Sessionize {
     */
   def sessionSummary(df: DataFrame, keys: Seq[String], tsCol: String, gap: String,
                      tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(!keys.contains("__n"),
+      "__n is reserved by sessionSummary's intermediate aggregation")
     val s = sessionize(df, keys, tsCol, gap, tieBreak)
     s.groupBy((keys :+ "session_seq").map(col): _*)
       .agg(count(lit(1)).as("__n"))

@@ -55,6 +55,8 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                       saltOver: Seq[String], aggs: Seq[Agg]): DataFrame = {
     require(aggs.nonEmpty, "at least one aggregate required")
+    require(!df.columns.contains("__salt"),
+      "__salt is reserved by the salting operators — rename the input's first")
     val salted = df.withColumn("__salt", salt(saltBuckets, saltOver.map(col)))
     val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(aggs.head.partial, aggs.tail.map(_.partial): _*)
@@ -87,6 +89,8 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltBuckets: Int,
                  factSaltOver: Seq[String]): DataFrame = {
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "__salt is reserved by the salting operators — rename the input's first")
     val saltedFact = fact.withColumn("__salt", salt(saltBuckets, factSaltOver.map(col)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

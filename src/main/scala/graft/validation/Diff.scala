@@ -70,6 +70,80 @@ object Diff {
     joined.select(pkOut :+ kind.as("diff_kind"): _*)
   }
 
+  /** Full-outer diff with the reference's per-category failure taxonomy
+    * (Validator.scala:69-104), computed in one distributed pass. Output:
+    * pk ++ diff_kind ++ four boolean category flags per matched row —
+    *
+    *  - `field_diff`:     a plain compare column differs
+    *  - `ttl_diff`:       a `*_ttl` sidecar differs (explosion contract)
+    *  - `writetime_diff`: a `*_writetime` sidecar differs
+    *  - `type_diff`:      a column whose source/target SCHEMA types sit
+    *    in different numeric-vs-non-numeric families differs on value
+    *
+    * In a columnar engine runtime types cannot vary per row, so the
+    * reference's per-value NumericTypeMismatch becomes a schema-level
+    * classification: such columns are compared through `try_cast` to
+    * double (never raising under ANSI), and any value difference counts
+    * in the `type_diff` category. A row can flag several categories at
+    * once, exactly like a reference failure carrying several Items.
+    */
+  def categorizedDiff(source: DataFrame, target: DataFrame, pk: Seq[String],
+                      compareCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val srcTypes = source.schema.map(f => f.name -> f.dataType).toMap
+    val tgtTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    def numeric(c: String, m: Map[String, org.apache.spark.sql.types.DataType]) =
+      m.get(c).exists(_.isInstanceOf[NumericType])
+    val (typeMismatch, sameFamily) = compareCols.partition(c =>
+      numeric(c, srcTypes) != numeric(c, tgtTypes))
+    val (ttls, rest) = sameFamily.partition(_.toLowerCase.endsWith("_ttl"))
+    val (writetimes, plain) = rest.partition(_.toLowerCase.endsWith("_writetime"))
+
+    val s = source.select((pk ++ compareCols).map(col) :+ lit(true).as("__s_present"): _*)
+    val t = target.select((pk ++ compareCols).map(col) :+ lit(true).as("__t_present"): _*)
+    val joined = s.as("s").join(t.as("t"),
+      pk.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _), "full_outer")
+    val srcPresent = col("s.__s_present").isNotNull
+    val tgtPresent = col("t.__t_present").isNotNull
+    def anyDiff(cols: Seq[String], cast: Boolean): Column =
+      if (cols.isEmpty) lit(false)
+      else cols.map { c =>
+        if (cast) !(expr(s"try_cast(s.$c AS double)") <=> expr(s"try_cast(t.$c AS double)"))
+        else !(col(s"s.$c") <=> col(s"t.$c"))
+      }.reduce(_ || _)
+    val matched = srcPresent && tgtPresent
+    val fieldDiff = matched && anyDiff(plain, cast = false)
+    val ttlDiff = matched && anyDiff(ttls, cast = false)
+    val wtDiff = matched && anyDiff(writetimes, cast = false)
+    val typeDiff = matched && anyDiff(typeMismatch, cast = true)
+    val kind = when(!tgtPresent, lit("missing_target"))
+      .when(!srcPresent, lit("extra_target"))
+      .when(fieldDiff || ttlDiff || wtDiff || typeDiff, lit("mismatch"))
+      .otherwise(lit("match"))
+    val pkOut = pk.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k))
+    joined.select(pkOut ++ Seq(kind.as("diff_kind"), fieldDiff.as("field_diff"),
+      ttlDiff.as("ttl_diff"), wtDiff.as("writetime_diff"), typeDiff.as("type_diff")): _*)
+  }
+
+  /** One-row category breakdown over a `categorizedDiff` frame — the
+    * counts behind the reference's "N missing target row(s), M differing
+    * ttl(s), …" log line, as a single aggregation job.
+    */
+  def categoryBreakdown(diff: DataFrame): Map[String, Long] = {
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val r = diff.agg(
+      n(col("diff_kind") === "missing_target").as("missing_target"),
+      n(col("diff_kind") === "extra_target").as("extra_target"),
+      n(col("field_diff")).as("differing_field_values"),
+      n(col("ttl_diff")).as("differing_ttls"),
+      n(col("writetime_diff")).as("differing_writetimes"),
+      n(col("type_diff")).as("numeric_type_mismatch"),
+      n(col("diff_kind") === "match").as("match")).head()
+    r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+      f -> (if (r.isNullAt(i)) 0L else r.getLong(i))
+    }.toMap
+  }
+
   /** Bounded failure drain (reference:
     * scylla/MySQLToScyllaValidator.scala:150-212): `toLocalIterator`
     * pulls partitions incrementally, so collecting the first N failures

@@ -52,6 +52,14 @@ object NumericComparison {
     case _ => None
   }
 
+  /** Whether the value belongs to any numeric family this comparator
+    * understands (integral, decimal/floating, or special float). Used to
+    * tell "two numbers disagree" apart from "these aren't even both
+    * numbers" — the reference's NumericTypeMismatch category.
+    */
+  def isNumericValue(v: Any): Boolean =
+    specialFloat(v).isDefined || toBigDecimal(v).isDefined
+
   /** Compare two numeric values with an absolute tolerance. */
   def compareNumeric(a: Any, b: Any, tolerance: JBigDecimal): Verdict =
     (specialFloat(a), specialFloat(b)) match {

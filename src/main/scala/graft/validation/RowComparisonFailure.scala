@@ -87,11 +87,29 @@ object RowComparisonFailure {
                   case _ => x == y
                 }
             }
-            if (equal) None else Some(name)
+            if (equal) None else Some((name, a, b))
           }
           if (differing.isEmpty) None
-          else Some(RowComparisonFailure(s.mkString("[", ",", "]"),
-            Some(t.mkString("[", ",", "]")), Seq(DifferingFieldValues(differing))))
+          else {
+            // per-category attribution (reference Validator.scala:69-104):
+            // numeric-vs-non-numeric is the sharpest diagnosis and wins;
+            // then the cell's role (TTL / WRITETIME sidecar by the
+            // explosion contract's naming), else a plain value diff
+            val (typeMismatch, rest) = differing.partition { case (_, a, b) =>
+              a != null && b != null &&
+                NumericComparison.isNumericValue(a) != NumericComparison.isNumericValue(b)
+            }
+            val (ttls, rest2) = rest.partition(_._1.toLowerCase.endsWith("_ttl"))
+            val (writetimes, plain) = rest2.partition(_._1.toLowerCase.endsWith("_writetime"))
+            val items = Seq(
+              if (plain.nonEmpty) Some(DifferingFieldValues(plain.map(_._1))) else None,
+              if (ttls.nonEmpty) Some(DifferingTtls(ttls.map(_._1))) else None,
+              if (writetimes.nonEmpty) Some(DifferingWritetimes(writetimes.map(_._1))) else None,
+              if (typeMismatch.nonEmpty) Some(NumericTypeMismatch(typeMismatch.map(_._1))) else None
+            ).flatten
+            Some(RowComparisonFailure(s.mkString("[", ",", "]"),
+              Some(t.mkString("[", ",", "]")), items))
+          }
         }
     }
 }

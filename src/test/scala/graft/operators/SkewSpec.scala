@@ -49,6 +49,50 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("property sweep: salted ops equal plain ops with NULL keys, across bucket counts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    val fact = (1 to 500).map { i =>
+      (i.toLong, if (rng.nextInt(8) == 0) None else Some(rng.nextInt(6).toLong),
+        rng.nextInt(100).toLong)
+    }.toDF("id", "k", "v")
+    // the dimension carries a NULL key too: inner-join semantics must drop it
+    val dim = ((0 to 5).map(j => (Option(j.toLong), s"d$j")) :+
+      (Option.empty[Long], "d-null")).toDF("k", "name")
+    val plainJoin = fact.join(dim, Seq("k")).select("id", "name")
+    val plainAgg = fact.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => Option(r.get(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (buckets <- Seq(1, 4, 16)) {
+      val sj = Skew.saltedJoin(fact, dim, "k", buckets, Seq("id")).select("id", "name")
+      assert(sj.exceptAll(plainJoin).isEmpty && plainJoin.exceptAll(sj).isEmpty,
+        s"saltedJoin diverged at buckets=$buckets")
+      val sa = Skew.saltedAggregate(fact, Seq("k"), buckets, Seq("id"),
+          Seq(Skew.sumOf(col("v"), "s"), Skew.countOf("n"),
+            Skew.minOf(col("v"), "mn"), Skew.maxOf(col("v"), "mx")))
+        .collect().map(r => Option(r.get(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(sa == plainAgg, s"saltedAggregate diverged at buckets=$buckets")
+      // the NULL key must aggregate as ONE group (SQL GROUP BY semantics)
+      assert(sa.contains(None) && sa(None)._2 > 1)
+    }
+  }
+
+  test("reserved __salt column is rejected on every input") {
+    import spark.implicits._
+    val df = Seq((1L, "k", 2L)).toDF("id", "k", "v").withColumn("__salt", lit(1))
+    val clean = Seq((1L, "k", 2L)).toDF("id", "k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(df, Seq("k"), 4, Seq("id"), Seq(Skew.countOf("n")))
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, clean.select(col("k"), col("v")), "k", 4, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(clean, df.select(col("k"), col("__salt")), "k", 4, Seq("id"))
+    }
+  }
+
   test("keyProfile reports the distribution stats that size a join") {
     import spark.implicits._
     // 1 hot key (100 rows) + 9 uniform keys (10 rows each)
