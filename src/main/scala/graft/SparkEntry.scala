@@ -143,6 +143,50 @@ object SparkEntry {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("ttl"), col("writetime"))
   }
 
+  /** Sink-side replay of an exploded cell log: four write generations
+    * over `orders` (base insert, later status update, `total` tombstone,
+    * TTL'd rewrite — half expired by the as-of time) reconciled back to
+    * table state under CQL rules (latest writetime per cell, tombstone
+    * deletes, TTL expiry). Exercises CellMerge end-to-end against an
+    * oracle that replays the identical log with window functions.
+    */
+  private def qCellMerge(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").filter(col("o_orderkey") < 5000)
+    val base = o.select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"),
+      array(lit("status"), lit("total")).as(RowExplosion.SetCellsColumn),
+      lit(null).cast("long").as(RowExplosion.TtlColumn),
+      lit(1000000L).as(RowExplosion.WritetimeColumn))
+    val upd = o.filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey"),
+      lit("X").as("status"),
+      lit(null).cast("double").as("total"),
+      array(lit("status")).as(RowExplosion.SetCellsColumn),
+      lit(null).cast("long").as(RowExplosion.TtlColumn),
+      lit(2000000L).as(RowExplosion.WritetimeColumn))
+    val del = o.filter(col("o_orderkey") % 5 === 0).select(
+      col("o_orderkey"),
+      lit(null).cast("string").as("status"),
+      lit(null).cast("double").as("total"),
+      array(lit("total")).as(RowExplosion.SetCellsColumn),
+      lit(null).cast("long").as(RowExplosion.TtlColumn),
+      lit(1500000L).as(RowExplosion.WritetimeColumn))
+    val ttld = o.filter(col("o_orderkey") % 7 === 0).select(
+      col("o_orderkey"),
+      lit(null).cast("string").as("status"),
+      (col("o_totalprice") + 1.0).as("total"),
+      array(lit("total")).as(RowExplosion.SetCellsColumn),
+      when(col("o_orderkey") % 2 === 0, 100L).otherwise(1L)
+        .as(RowExplosion.TtlColumn),
+      lit(3000000L).as(RowExplosion.WritetimeColumn))
+    val log = base.unionByName(upd).unionByName(del).unionByName(ttld)
+    graft.operators.CellMerge
+      .merge(log, Seq("o_orderkey"), Seq("status", "total"), asOfMicros = 10000000L)
+      .orderBy(col("o_orderkey"))
+  }
+
   private def qSetExcept(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer").select(col("c_custkey").as("custkey")).distinct()
       .except(t(s, d, "orders").filter(col("o_orderstatus") === "F")
@@ -413,6 +457,21 @@ object SparkEntry {
         Text.tokenCount(col("text")).cast("long").as("n_tokens"),
         size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))
       .orderBy(col("doc_id"))
+
+  /** Per-source document cap (domain balancing): keep at most 50 docs
+    * per source (k=10), ranked by (md5(text), doc_id) — a deterministic,
+    * engine-portable order. Runs through the two-stage salted ranking
+    * in Sampling.capPerGroup (no whole-group single-task window), which
+    * is row-identical to the plain window the oracle uses.
+    */
+  private def qSourceCap(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(
+        t(s, d, "documents"),
+        groupCols = Seq("source"),
+        rankBy = Seq(md5(col("text").cast("binary")), col("doc_id")),
+        k = 10, rankName = "rank_in_source")
+      .select(col("doc_id"), col("source"), col("rank_in_source"))
+      .orderBy(col("source"), col("rank_in_source"))
 
   private def qEmbedNorm(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
@@ -1056,6 +1115,8 @@ object SparkEntry {
     "q_validate_summary" -> (qValidateSummary _),
     "q_tolerant_compare" -> (qTolerantCompare _),
     "q_explode_cells" -> (qExplodeCells _),
+    "q_cell_merge" -> (qCellMerge _),
+    "q_source_cap" -> (qSourceCap _),
     "q_set_except" -> (qSetExcept _),
     "q_distinct" -> (qDistinct _),
     "q1_agg" -> (qAggPricing _),
@@ -1344,6 +1405,43 @@ object SparkEntry {
         "SELECT l_orderkey, l_linenumber, NULL, price, 'price', price_ttl, price_wt FROM base " +
         "WHERE NOT (qty_ttl = price_ttl AND qty_wt = price_wt) " +
         "ORDER BY l_orderkey, l_linenumber, ttl, writetime"),
+
+    // replay the identical four-generation write log and reconcile with
+    // window functions: per cell, rn=1 by (writetime DESC, tombstone
+    // first, value DESC); TTL expiry against asOf = 10_000_000 micros
+    "q_cell_merge" ->
+      ("WITH o AS (SELECT * FROM orders WHERE o_orderkey < 5000), " +
+        "log AS (" +
+        "SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS total, " +
+        "['status','total'] AS sc, CAST(NULL AS BIGINT) AS ttl, 1000000 AS wt FROM o " +
+        "UNION ALL SELECT o_orderkey, 'X', NULL, ['status'], NULL, 2000000 " +
+        "FROM o WHERE o_orderkey % 3 = 0 " +
+        "UNION ALL SELECT o_orderkey, NULL, NULL, ['total'], NULL, 1500000 " +
+        "FROM o WHERE o_orderkey % 5 = 0 " +
+        "UNION ALL SELECT o_orderkey, NULL, o_totalprice + 1.0, ['total'], " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 100 ELSE 1 END, 3000000 " +
+        "FROM o WHERE o_orderkey % 7 = 0), " +
+        "sw AS (SELECT k, status AS v, wt, ttl, ROW_NUMBER() OVER (PARTITION BY k " +
+        "ORDER BY wt DESC, (status IS NULL) DESC, status DESC) AS rn " +
+        "FROM log WHERE list_contains(sc, 'status')), " +
+        "tw AS (SELECT k, total AS v, wt, ttl, ROW_NUMBER() OVER (PARTITION BY k " +
+        "ORDER BY wt DESC, (total IS NULL) DESC, total DESC) AS rn " +
+        "FROM log WHERE list_contains(sc, 'total')), " +
+        "m AS (SELECT COALESCE(s.k, t.k) AS o_orderkey, " +
+        "CASE WHEN s.ttl IS NOT NULL AND s.wt + s.ttl * 1000000 <= 10000000 " +
+        "THEN NULL ELSE s.v END AS status, " +
+        "CASE WHEN t.ttl IS NOT NULL AND t.wt + t.ttl * 1000000 <= 10000000 " +
+        "THEN NULL ELSE t.v END AS total " +
+        "FROM (SELECT * FROM sw WHERE rn = 1) s " +
+        "FULL JOIN (SELECT * FROM tw WHERE rn = 1) t ON s.k = t.k) " +
+        "SELECT o_orderkey, status, total FROM m " +
+        "WHERE status IS NOT NULL OR total IS NOT NULL ORDER BY o_orderkey"),
+
+    "q_source_cap" ->
+      ("SELECT doc_id, source, rank_in_source FROM (" +
+        "SELECT doc_id, source, CAST(ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY md5(text), doc_id) AS BIGINT) AS rank_in_source FROM documents) " +
+        "WHERE rank_in_source <= 10 ORDER BY source, rank_in_source"),
 
     "q_set_except" ->
       ("SELECT custkey FROM (SELECT DISTINCT c_custkey AS custkey FROM customer " +

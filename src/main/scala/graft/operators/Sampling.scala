@@ -58,6 +58,41 @@ object Sampling {
     df.filter(b < rate)
   }
 
+  /** Keep at most `k` rows per group, ranked by `rankBy` (which must be
+    * a total order — include a unique tiebreak column — or the kept set
+    * is nondeterministic). The standard per-domain/per-source cap of
+    * corpus curation: no single origin may dominate the training mix.
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY group)` puts
+    * every row of the hottest group through one task — exactly the skew
+    * that kills domain caps at 100 TB (the web corpus always has one
+    * giant domain). Instead rank in two stages: (1) within
+    * (group, salt) shards — each shard keeps its own top-k, bounding any
+    * task at |group|/shards rows and the survivor set at k·shards per
+    * group; (2) re-rank the survivors within the group — at most
+    * k·shards rows per group, driver-bounded constants. Survivors of
+    * stage 1 are a superset of the true top-k (each shard keeps its
+    * local top-k, and the global top-k land in *some* shard), so stage 2
+    * ranks are exactly the global ranks: the result is row-identical to
+    * the single-window form, only the physical plan differs.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], rankBy: Seq[Column],
+                  k: Int, shards: Int = 16,
+                  rankName: String = "rank_in_group"): DataFrame = {
+    require(k > 0 && shards > 0, "need positive k and shards")
+    import org.apache.spark.sql.expressions.Window
+    val salt = pmod(xxhash64(rankBy: _*), lit(shards.toLong))
+    val w1 = Window.partitionBy((groupCols.map(col) :+ salt): _*)
+      .orderBy(rankBy.map(_.asc): _*)
+    val w2 = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(rankBy.map(_.asc): _*)
+    df.withColumn("__shard_rank", row_number().over(w1))
+      .filter(col("__shard_rank") <= k)
+      .drop("__shard_rank")
+      .withColumn(rankName, row_number().over(w2).cast("long"))
+      .filter(col(rankName) <= k)
+  }
+
   /** Label every row with a named split; fractions are (name, numerator)
     * over `denom` buckets and must sum to at most denom (rows beyond the
     * last range get the final split). Splits are disjoint and exhaustive

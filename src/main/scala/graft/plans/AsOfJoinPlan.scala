@@ -195,20 +195,32 @@ object BroadcastAsOfJoinExec {
   // after construction, so sharing across tasks is safe; two tasks racing
   // on a miss may build twice — idempotent.
   private val MaxCached = 8
+  // Values are SoftReferences so the cache never *pins* index memory:
+  // up to MaxCached indexes stay reachable for reuse across tasks, but
+  // under executor memory pressure the GC reclaims them (a cleared entry
+  // is just a rebuild on next access). Without this, 8 concurrently-live
+  // large broadcast as-of joins could strand gigabytes past the
+  // broadcasts' own lifecycle.
   private val indexCache =
-    new java.util.LinkedHashMap[(String, Long), Index](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long), java.lang.ref.SoftReference[Index]](
+        16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Index]): Boolean =
+          e: java.util.Map.Entry[(String, Long), java.lang.ref.SoftReference[Index]])
+          : Boolean =
         size() > MaxCached
     }
   private[plans] def cachedIndex(
       bc: org.apache.spark.broadcast.Broadcast[_], build: () => Index): Index = {
     val key = (org.apache.spark.SparkEnv.get.conf.getAppId, bc.id)
-    val hit = indexCache.synchronized(indexCache.get(key))
+    val hit = indexCache.synchronized {
+      val ref = indexCache.get(key)
+      if (ref == null) null else ref.get() // null also when GC-cleared
+    }
     if (hit != null) hit
     else {
       val built = build()
-      indexCache.synchronized(indexCache.put(key, built))
+      indexCache.synchronized(
+        indexCache.put(key, new java.lang.ref.SoftReference(built)))
       built
     }
   }

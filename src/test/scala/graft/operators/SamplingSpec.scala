@@ -68,4 +68,36 @@ class SamplingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 11), 5, 10))
   }
+
+  test("capPerGroup is row-identical to the single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val rankBy = Seq(md5(col("text").cast("binary")), col("doc_id"))
+    for (shards <- Seq(1, 3, 16)) {
+      val got = Sampling.capPerGroup(docs, Seq("source"), rankBy, k = 7,
+          shards = shards, rankName = "r")
+        .select(col("doc_id"), col("r"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val w = Window.partitionBy(col("source")).orderBy(rankBy.map(_.asc): _*)
+      val expect = docs.withColumn("r", row_number().over(w).cast("long"))
+        .filter(col("r") <= 7).select(col("doc_id"), col("r"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == expect, s"shards=$shards")
+    }
+  }
+
+  test("capPerGroup caps and ranks within every group") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val got = Sampling.capPerGroup(docs, Seq("source"),
+      Seq(md5(col("text").cast("binary")), col("doc_id")), k = 10)
+    val perGroup = got.groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("rank_in_group")).as("mx"))
+      .collect()
+    assert(perGroup.nonEmpty)
+    perGroup.foreach { r =>
+      assert(r.getLong(1) <= 10 && r.getLong(2) == r.getLong(1))
+    }
+    assertThrows[IllegalArgumentException](
+      Sampling.capPerGroup(docs, Seq("source"), Seq(col("doc_id")), k = 0))
+  }
 }
