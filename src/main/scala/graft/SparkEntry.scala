@@ -305,6 +305,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Same contamination check as q_decontaminate, routed through the
+    * Bloom-prefiltered scale path — the two share one oracle because the
+    * exact verify join makes the bloom's false positives invisible in
+    * the result. expectedGrams is deliberately oversized for the test
+    * SFs (oversizing only lowers the false-positive rate).
+    */
+  private def qBloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", 5, expectedGrams = 1000000L, fpp = 0.01)
+      .orderBy(col("doc_id"))
+  }
+
   private def qWindowTopN(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_custkey"))
@@ -1086,6 +1100,7 @@ object SparkEntry {
     "q_doc_chunks" -> (qDocChunks _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_bloom_decontaminate" -> (qBloomDecontaminate _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -1198,6 +1213,19 @@ object SparkEntry {
         "ORDER BY doc_id, chunk_idx"),
 
     "q_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "c AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(toks) - 4, 1)), " +
+        "i -> array_to_string(toks[i:(i+4)], ' ')))) AS g FROM t WHERE doc_id < 250), " +
+        "r AS (SELECT DISTINCT unnest(list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(toks) - 4, 1)), " +
+        "i -> array_to_string(toks[i:(i+4)], ' ')))) AS g FROM t WHERE doc_id >= 250) " +
+        "SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared " +
+        "FROM c JOIN r ON c.g = r.g GROUP BY c.doc_id ORDER BY c.doc_id"),
+
+    // the bloom path is exact (verify join absorbs false positives), so
+    // it shares q_decontaminate's oracle verbatim
+    "q_bloom_decontaminate" ->
       ("WITH t AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
         "c AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
         "generate_series(1, greatest(len(toks) - 4, 1)), " +

@@ -409,6 +409,38 @@ object Dedup {
       .agg(countDistinct(col("g")).as("n_shared"))
   }
 
+  /** Bloom-prefiltered decontamination — same RESULT as [[decontaminate]]
+    * (bit-for-bit: the oracle is shared), different scale path. The
+    * plain form ships the deduped reference gram set to every probe
+    * (broadcast for small suites, shuffle join otherwise); this form
+    * builds a fixed-size Bloom filter over the reference grams
+    * distributedly, embeds it in the corpus-side scan as a codegen'd
+    * bit-test, and only the bloom SURVIVORS (true matches + fpp noise)
+    * reach the exact verify join. At 1e9 reference grams the filter is
+    * ~1.2 GB at 1% fpp where the raw gram set is tens of GB, and the
+    * join input shrinks from every-corpus-gram to matching-grams —
+    * false positives cost join input, never correctness, so an
+    * undersized filter degrades throughput, not results.
+    */
+  def decontaminateBloom(corpus: DataFrame, reference: DataFrame, idCol: String,
+                         textColName: String, n: Int,
+                         expectedGrams: Long, fpp: Double = 0.01): DataFrame = {
+    val rg = reference.select(explode(shingles(textColName, n)).as("g")).distinct()
+    val cg = corpus.select(col(idCol), explode(shingles(textColName, n)).as("g"))
+    val bits = graft.functions.BloomSet.suggestNumBits(expectedGrams, fpp)
+    // the built filter is sketch-sized (bits/8 bytes), not data-sized —
+    // a bounded driver artifact, like IVF's k×dim centroid collect
+    val bloomRow = rg.agg(
+      graft.functions.BloomSet.bloomAgg(col("g"), expectedGrams, bits).as("bf")).head()
+    val candidates =
+      if (bloomRow.isNullAt(0)) cg // empty reference: join below yields empty
+      else cg.filter(graft.functions.BloomSet.mightContain(
+        lit(bloomRow.getAs[Array[Byte]](0)), col("g")))
+    candidates.join(rg, "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared"))
+  }
+
   /** 64-bit SimHash from the token array: bit i of the signature is the
     * sign of Σ_tokens (±1 by bit i of xxhash64(token)). One aggregate
     * expression per row; no shuffle.

@@ -223,6 +223,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!edges.contains((5L, 9L)))
   }
 
+  test("bloom-prefiltered decontamination equals the exact form") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+    val (corpus, ref) =
+      (docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Dedup.decontaminate(corpus, ref, "doc_id", "text", 5))
+    // generously sized filter
+    assert(asMap(Dedup.decontaminateBloom(
+      corpus, ref, "doc_id", "text", 5, expectedGrams = 1000000L)) == exact)
+    // pathologically undersized filter (high fpp): MORE candidates reach
+    // the verify join, result must be unchanged — fpp costs throughput,
+    // never correctness
+    assert(asMap(Dedup.decontaminateBloom(
+      corpus, ref, "doc_id", "text", 5, expectedGrams = 10L, fpp = 0.5)) == exact)
+  }
+
+  test("bloom decontamination with an empty reference flags nothing") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+    val out = Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") < 0),
+      "doc_id", "text", 5, expectedGrams = 100L)
+    assert(out.count() == 0)
+  }
+
   test("portable minhash signature is a deterministic length-H array") {
     import org.apache.spark.sql.functions._
     val df = spark.createDataFrame(Seq((1L, "x y z"))).toDF("doc_id", "text")
