@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{Relational, RowExplosion}
 import graft.functions.ContentHash
-import graft.pipeline.{Dedup, Ivf, Multimodal, Similarity, Text}
+import graft.pipeline.{Dedup, Ivf, Multimodal, Packing, Similarity, Text}
 import graft.streaming.CdcApply
 import graft.validation.Diff
 
@@ -486,6 +486,18 @@ object SparkEntry {
         k = 10, rankName = "rank_in_source")
       .select(col("doc_id"), col("source"), col("rank_in_source"))
       .orderBy(col("source"), col("rank_in_source"))
+
+  /** Context-window packing: greedy 128-token sequences inside 100-doc
+    * id shards (parallel across shards, sequential scan within — see
+    * Packing.packGreedy). The oracle replays the same greedy recurrence
+    * with a recursive CTE stepping one within-shard rank per iteration.
+    */
+  private def qSeqPack(s: SparkSession, d: String): DataFrame =
+    Packing.packGreedy(
+        t(s, d, "documents").select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", budget = 128, shardWidth = 100)
+      .orderBy(col("doc_id"))
 
   private def qEmbedNorm(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
@@ -1172,6 +1184,7 @@ object SparkEntry {
     "q_running_sum" -> (qRunningSum _),
     "q_histogram" -> (qHistogram _),
     "q_repetition" -> (qRepetition _),
+    "q_seq_pack" -> (qSeqPack _),
     "q_embed_norm" -> (qEmbedNorm _),
     "q_star_edges" -> (qStarEdges _),
     "q_filter_funnel" -> (qFilterFunnel _),
@@ -1586,6 +1599,24 @@ object SparkEntry {
     "q_tokens" ->
       ("SELECT doc_id, CAST(len(" + tokensExpr + ") AS BIGINT) AS n_tokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),
+
+    // greedy packing replayed as a recursive CTE: each iteration advances
+    // every shard by one within-shard rank, carrying (fill, seq, pos)
+    "q_seq_pack" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, doc_id // 100 AS shard, " +
+        "LEAST(CAST(len(" + tokensExpr + ") AS BIGINT), 128) AS t, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn " +
+        "FROM documents), " +
+        "pack AS (SELECT doc_id, shard, rn, t, t AS fill, 0 AS seq, 0 AS pos " +
+        "FROM toks WHERE rn = 1 " +
+        "UNION ALL SELECT x.doc_id, x.shard, x.rn, x.t, " +
+        "CASE WHEN p.fill + x.t > 128 THEN x.t ELSE p.fill + x.t END, " +
+        "CASE WHEN p.fill + x.t > 128 THEN p.seq + 1 ELSE p.seq END, " +
+        "CASE WHEN p.fill + x.t > 128 THEN 0 ELSE p.pos + 1 END " +
+        "FROM toks x JOIN pack p ON x.shard = p.shard AND x.rn = p.rn + 1) " +
+        "SELECT doc_id, CAST(shard * 100 + seq AS BIGINT) AS seq_id, " +
+        "CAST(pos AS BIGINT) AS seq_pos, CAST(t AS BIGINT) AS tok_used " +
+        "FROM pack ORDER BY doc_id"),
 
     // portable SimHash: token hash bits come from md5 hex nibbles, so
     // DuckDB reproduces the signature bit-for-bit (hash bit i = bit
