@@ -1076,12 +1076,13 @@ object SparkEntry {
       .select(explode(Text.tokens(col("text"))).as("term"))
     val sketch = toks.agg(
       graft.functions.TopKSketch.topK(col("term"), k = 50, capacity = 256).as("sk"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_exact").desc, col("term").asc)
+    // exact top-10 via sort+limit: plans TakeOrderedAndProject (per-
+    // partition top-k merged on the driver), not the single-partition
+    // global window a row_number() would force over the whole vocabulary
     val exactTop = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n_exact"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= 10)
+      .orderBy(col("n_exact").desc, col("term").asc)
+      .limit(10)
     // scope the assertion to the guarantee's premise: only items with
     // true frequency > n/capacity are promised to survive — a flatter
     // corpus could legitimately evict a sub-threshold top-10 term
