@@ -150,8 +150,10 @@ object Dedup {
   /** (id, band, bucket) frame shared by every LSH candidate generator:
     * band b's bucket is the hash of signature rows [b·r, (b+1)·r).
     */
-  private def bandedFrame(df: DataFrame, idCol: String, signatureCol: String,
-                          bands: Int, rowsPerBand: Int): DataFrame = {
+  // private[graft]: streaming/StreamingDedup keys its bucket state with
+  // THIS banding so online and batch tiers agree on what collides
+  private[graft] def bandedFrame(df: DataFrame, idCol: String, signatureCol: String,
+                                 bands: Int, rowsPerBand: Int): DataFrame = {
     val bandHashes = (0 until bands).map { b =>
       xxhash64(concat_ws(",",
         slice(col(signatureCol), b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))

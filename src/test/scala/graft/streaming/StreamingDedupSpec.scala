@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("exact dedup drops duplicate content across microbatches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    val in = tmp.resolve("in").toString
+    Seq((1L, "the same text", ts(100)), (2L, "other text", ts(101)))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$in/b0")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(s"$in/*")
+    val query = StreamingDedup
+      .exactWithinWatermark(stream, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", tmp.resolve("ck").toString).start()
+    try {
+      query.processAllAvailable()
+      // a later batch re-delivers doc 1's content under a new id
+      Seq((3L, "the same text", ts(200)), (4L, "fresh text", ts(201)))
+        .toDF("doc_id", "text", "ts").write.parquet(s"$in/b1")
+      query.processAllAvailable()
+    } finally query.stop()
+    val ids = spark.table("sdedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L)) // doc 3's content already admitted
+    assert(spark.table("sdedup_out").columns.toSet ==
+      Set("doc_id", "text", "ts")) // digest helper column dropped
+  }
+
+  test("near-dup candidates: identical docs collide, bucket state spans batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snear")
+    val in = tmp.resolve("in").toString
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+    Seq((10L, textA), (20L, textB)).toDF("doc_id", "text")
+      .write.parquet(s"$in/b0")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$in/*")
+    val hits = StreamingDedup.nearDupCandidates(stream, "doc_id", "text")
+    val query = hits.writeStream.format("memory").queryName("snear_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", tmp.resolve("ck").toString).start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("snear_out").count() == 0) // distinct docs: no hits
+
+      // batch 2: an exact copy of A (new id) and a fresh doc
+      Seq((30L, textA), (40L, "completely different words here entirely"))
+        .toDF("doc_id", "text").write.parquet(s"$in/b1")
+      query.processAllAvailable()
+      val out = spark.table("snear_out").as[StreamingDedup.NearDupHit].collect()
+      // the copy collides with the FIRST batch's occupant in every band
+      assert(out.nonEmpty && out.forall(h => h.doc_id == 30L && h.dup_of == 10L))
+      assert(out.map(_.band).distinct.length == 16) // identical sig: all bands
+      assert(!out.exists(h => h.doc_id == 40L || h.dup_of == 40L))
+    } finally query.stop()
+  }
+
+  test("run in batch mode, candidates equal the batch LSH star edges") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 200)
+    // mapGroupsWithState on a static Dataset: state spans the one batch,
+    // so "first occupant" is each bucket's min id — the star-edge shape
+    val streamingPairs = StreamingDedup
+      .nearDupCandidates(docs, "doc_id", "text")
+      .collect().map(h => (h.dup_of, h.doc_id)).toSet
+    val signed = docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.pipeline.Dedup.minHashSignature(
+          graft.pipeline.Dedup.shingles("text", 3), 64).as("sig"))
+      .filter(size(col("sig")) === 64)
+    val batchPairs = graft.pipeline.Dedup
+      .lshStarEdges(signed, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamingPairs == batchPairs)
+  }
+}
