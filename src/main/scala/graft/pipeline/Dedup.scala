@@ -291,9 +291,10 @@ object Dedup {
     * observe().
     *
     * Convergence is detected by a round that changes nothing, so one
-    * round of the budget is the confirmation pass: the effective
-    * change budget is `maxIters - 1` rounds, reaching components up to
-    * ~2^(maxIters-1) hops wide. Non-convergence within `maxIters` THROWS
+    * round of the budget is the confirmation pass: with the neighbour-min
+    * fused into initialization (round 0 is free), the effective change
+    * budget is `maxIters - 1` rounds, reaching components up to
+    * ~2^maxIters hops wide. Non-convergence within `maxIters` THROWS
     * (truncated labels are wrong answers for any component wider than
     * the reached radius, and silently returning them corrupts downstream
     * keep/drop decisions). Cost per extra round is one join over the
@@ -309,9 +310,15 @@ object Dedup {
     import org.apache.spark.sql.GraftColumnBridge
     // materialize the edge list once — every iteration references it,
     // and recomputing an upstream LSH pipeline per round would dominate
-    // the whole job
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // the whole job. Symmetrization explodes each pair into both
+    // directions in ONE pass over `pairs` (a union of two selects would
+    // evaluate the upstream pair pipeline — here the whole LSH verify
+    // tier — twice inside this checkpoint job).
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // only nodes that touch an edge can ever change label — iterate over
     // that (typically much smaller) subgraph and re-attach the isolated
@@ -319,8 +326,14 @@ object Dedup {
     // documents are NOT near-duplicates, so this shrinks every per-round
     // join by the non-duplicate fraction.
     val allNodes = nodes.select(col(idCol).as("id")).localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep")).localCheckpoint()
+    // round 0 fused into initialization: rep0(v) = min(v, min N(v)) is
+    // one aggregation over the symmetrized edges — the same cost as the
+    // DISTINCT that a plain identity init needs, but one whole
+    // propagation round cheaper
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("__nbr"))
+      .select(col("id"), least(col("id"), col("__nbr")).as("rep"))
+      .localCheckpoint()
     var iter = 0
     var converged = labels.isEmpty // no candidate pairs => nothing to propagate
     while (iter < maxIters && !converged) {
