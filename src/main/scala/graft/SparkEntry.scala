@@ -504,6 +504,26 @@ object SparkEntry {
       .select(col("vec_id"), Similarity.norm(col("embedding")).as("l2_norm"))
       .orderBy(col("vec_id"))
 
+  /** int8 quantization of the embedding column: codes plus a proof that
+    * every vector dequantizes within half a quantization step. The
+    * codes string is compared verbatim against DuckDB (same doubles,
+    * same op order, same half-up rounding on non-negative operands).
+    */
+  private def qEmbedQuant(s: SparkSession, d: String): DataFrame = {
+    val qv = Similarity.quantizeInt8(col("embedding"))
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), qv.as("qv"))
+      .select(col("vec_id"),
+        concat_ws(",", col("qv.q").cast("array<string>")).as("codes"),
+        (aggregate(
+          zip_with(col("embedding"), Similarity.dequantizeInt8(col("qv")),
+            (x, y) => abs(x.cast("double") - y)),
+          lit(0.0), (a, b) => greatest(a, b))
+          <= (col("qv.mx") - col("qv.mn")) / 255.0 / 2.0 + lit(1e-12))
+          .as("within_half_step"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Star-edge clustering on the PORTABLE minhash signature: buckets are
     * the literal band slices (no engine hash), so the full LSH structure
     * — not just its downstream effects — is oracle-replicated.
@@ -1187,6 +1207,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_seq_pack" -> (qSeqPack _),
     "q_embed_norm" -> (qEmbedNorm _),
+    "q_embed_quant" -> (qEmbedQuant _),
     "q_star_edges" -> (qStarEdges _),
     "q_filter_funnel" -> (qFilterFunnel _),
     "q_skew_profile" -> (qSkewProfile _),
@@ -1484,6 +1505,21 @@ object SparkEntry {
         "SELECT doc_id, source, CAST(ROW_NUMBER() OVER (PARTITION BY source " +
         "ORDER BY md5(text), doc_id) AS BIGINT) AS rank_in_source FROM documents) " +
         "WHERE rank_in_source <= 10 ORDER BY source, rank_in_source"),
+
+    "q_embed_quant" ->
+      ("WITH q AS (SELECT vec_id, embedding, " +
+        "CAST(list_min(embedding) AS DOUBLE) AS mn, " +
+        "CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings), " +
+        "c AS (SELECT vec_id, mn, mx, embedding, " +
+        "list_transform(embedding, x -> CASE WHEN mx = mn THEN 0 " +
+        "ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS INT) END) " +
+        "AS codes FROM q) " +
+        "SELECT vec_id, array_to_string(codes, ',') AS codes, " +
+        "list_max(list_transform(range(1, len(embedding) + 1), " +
+        "i -> abs(CAST(embedding[i] AS DOUBLE) - " +
+        "(mn + CAST(codes[i] AS DOUBLE) * (mx - mn) / 255.0)))) " +
+        "<= (mx - mn) / 255.0 / 2.0 + 1e-12 AS within_half_step " +
+        "FROM c ORDER BY vec_id"),
 
     "q_set_except" ->
       ("SELECT custkey FROM (SELECT DISTINCT c_custkey AS custkey FROM customer " +

@@ -41,6 +41,34 @@ object Similarity {
     */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-vector linear int8 quantization: (min, max, codes in 0..255).
+    * The storage/bandwidth tier of the ANN stack — a float32 corpus
+    * shrinks 4× before it ever hits a shuffle or a broadcast, and the
+    * codes dequantize to within half a step (
+    * (max−min)/255/2 ) of the original. All arithmetic is double
+    * precision with a fixed operation order, so codes are engine-
+    * portable (round-half-up on non-negative operands everywhere).
+    * Constant vectors (max == min) code to all zeros and dequantize to
+    * the constant.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    struct(mn.as("mn"), mx.as("mx"),
+      transform(v, x =>
+        when(mx === mn, lit(0))
+          .otherwise(round((x.cast("double") - mn) * 255.0 / (mx - mn))
+            .cast("int"))).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes back to doubles. */
+  def dequantizeInt8(qv: Column): Column = {
+    val mn = qv.getField("mn")
+    val mx = qv.getField("mx")
+    transform(qv.getField("q"),
+      q => mn + q.cast("double") * (mx - mn) / 255.0)
+  }
+
   /** Exact top-k neighbors for each query row. `queries` should be small
     * (it is broadcast); `corpus` can be arbitrarily large.
     * Output: (query_id, rank, neighbor_id, cos) — ties broken by

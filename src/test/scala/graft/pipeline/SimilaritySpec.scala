@@ -78,6 +78,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: half-step round trip, constants, cosine preserved") {
+    val qv = Similarity.quantizeInt8(col("embedding"))
+    val rows = emb.select(col("vec_id"), col("embedding"), qv.as("qv"))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), Similarity.dequantizeInt8(col("qv")),
+          (x, y) => abs(x.cast("double") - y)), lit(0.0), (a, b) => greatest(a, b))
+          .as("max_err"),
+        ((col("qv.mx") - col("qv.mn")) / 255.0 / 2.0).as("half_step"),
+        Similarity.cosineHof(col("embedding"),
+          Similarity.dequantizeInt8(col("qv"))).as("self_cos"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) + 1e-12, s"vec ${r.getLong(0)}")
+      assert(r.getDouble(3) > 0.999, s"vec ${r.getLong(0)}: cosine degraded")
+    }
+    // constant vector: codes all zero, dequantizes to the constant
+    val const = spark.range(1).select(
+      Similarity.quantizeInt8(array(lit(2.5f), lit(2.5f), lit(2.5f))).as("qv"))
+      .select(col("qv.q").as("q"),
+        Similarity.dequantizeInt8(col("qv")).as("back"))
+      .collect().head
+    assert(const.getSeq[Int](0).forall(_ == 0))
+    assert(const.getSeq[Double](1).forall(_ == 2.5))
+  }
+
   test("dot/norm expressions agree with Scala math") {
     val row = emb.filter(col("vec_id") === 0)
       .select(Similarity.dot(col("embedding"), col("embedding")).as("d"),
