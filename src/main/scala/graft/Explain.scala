@@ -12,7 +12,9 @@ object Explain {
         "q_diff_missing", "q_window_topn", "q_minhash_lsh",
         "q_asof_native", "q_bucket_join", "q_zorder_key",
         "q_dedup_clusters", "q_hash_refine", "q_sim_ivf",
-        "q_seq_gaps", "q_running_sum", "q_cube")
+        "q_seq_gaps", "q_running_sum", "q_cube",
+        "q_cell_merge", "q_source_cap", "q_seq_pack",
+        "q_embed_quant", "q_bloom_decontaminate", "q_heavy_hitters")
     val spark = Tables.session("graft-explain", cores = 8)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
