@@ -1485,10 +1485,12 @@ object SparkEntry {
         "CASE WHEN o_orderkey % 2 = 0 THEN 100 ELSE 1 END, 3000000 " +
         "FROM o WHERE o_orderkey % 7 = 0), " +
         "sw AS (SELECT k, status AS v, wt, ttl, ROW_NUMBER() OVER (PARTITION BY k " +
-        "ORDER BY wt DESC, (status IS NULL) DESC, status DESC) AS rn " +
+        "ORDER BY wt DESC, (status IS NULL) DESC, status DESC, " +
+        "COALESCE(wt + ttl * 1000000, 9223372036854775807) DESC) AS rn " +
         "FROM log WHERE list_contains(sc, 'status')), " +
         "tw AS (SELECT k, total AS v, wt, ttl, ROW_NUMBER() OVER (PARTITION BY k " +
-        "ORDER BY wt DESC, (total IS NULL) DESC, total DESC) AS rn " +
+        "ORDER BY wt DESC, (total IS NULL) DESC, total DESC, " +
+        "COALESCE(wt + ttl * 1000000, 9223372036854775807) DESC) AS rn " +
         "FROM log WHERE list_contains(sc, 'total')), " +
         "m AS (SELECT COALESCE(s.k, t.k) AS o_orderkey, " +
         "CASE WHEN s.ttl IS NOT NULL AND s.wt + s.ttl * 1000000 <= 10000000 " +

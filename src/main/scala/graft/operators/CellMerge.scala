@@ -52,13 +52,24 @@ object CellMerge {
             asOfMicros: Long): DataFrame = {
     require(pk.nonEmpty && cells.nonEmpty, "need primary key and cell columns")
     val wt = coalesce(col(RowExplosion.WritetimeColumn), lit(asOfMicros))
+    // final tie-break: longer-lived cell wins (no TTL = immortal) — two
+    // writes agreeing on (writetime, value) but differing in TTL must
+    // reconcile deterministically, and Cassandra keeps the one that
+    // expires later. writetime + ttl·10⁶ must fit a long (micros-epoch
+    // writetimes and sane TTLs are ~10¹⁵; ANSI mode throws on overflow
+    // rather than wrapping).
+    val expiry = coalesce(
+      wt + col(RowExplosion.TtlColumn).cast("long") * lit(1000000L),
+      lit(Long.MaxValue))
     val winners = cells.map { c =>
       val listed = array_contains(col(RowExplosion.SetCellsColumn), c)
-      // ordering: writetime, then tombstone-beats-value, then greater value
+      // ordering: writetime, then tombstone-beats-value, then greater
+      // value, then later expiry
       val ord = when(listed, struct(
         wt.as("wt"),
         col(c).isNull.cast("int").as("tomb"),
-        col(c).as("v")))
+        col(c).as("v"),
+        expiry.as("exp")))
       max_by(
         struct(col(c).as("v"), wt.as("wt"),
           col(RowExplosion.TtlColumn).cast("long").as("ttl")),
