@@ -80,6 +80,30 @@ object Bench {
       require(nonRoot == 0, s"$nonRoot labels point at a non-root — not idempotent")
       labels.count()
     }
+    // full curation pipeline as ONE chained plan: quality filter ->
+    // language filter -> exact dedup -> per-source cap -> token packing
+    // -> split labelling. The shape a training-data run actually
+    // executes: each stage consumes the previous DataFrame lazily, so
+    // Catalyst fuses the scan+filter stages and the only shuffles are
+    // the dedup groupBy, the cap windows, and the packing repartition.
+    benchScenario("corpus_pipeline", spark, sfDir, "documents") { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(s, dir, "documents")
+      val kept = docs
+        .filter(col("n_chars") >= 200 && col("lang").isin("en", "fr", "de"))
+      val deduped = pipeline.Dedup.exactGroups(kept, col("text"), "doc_id")
+        .select(col("keep_id").as("doc_id")).join(kept, "doc_id")
+      val capped = operators.Sampling.capPerGroup(
+        deduped, Seq("source"),
+        Seq(md5(col("text").cast("binary")), col("doc_id")), k = 1000)
+      val packed = pipeline.Packing.packGreedy(
+        capped.select(col("doc_id"),
+          pipeline.Text.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", budget = 2048, shardWidth = 1000)
+      val split = operators.Sampling.split(
+        packed, "seq_id", Seq("train" -> 98, "val" -> 1, "test" -> 1), 100)
+      split.count()
+    }
     // data-layout scenario: z-cluster lineitem on (partkey, suppkey),
     // write, then run a second-dimension point-predicate read over the
     // clustered files (the scan the layout exists to accelerate)

@@ -325,7 +325,9 @@ object Dedup {
     // nodes at the end with their own id. On a crawl-scale corpus most
     // documents are NOT near-duplicates, so this shrinks every per-round
     // join by the non-duplicate fraction.
-    val allNodes = nodes.select(col(idCol).as("id")).localCheckpoint()
+    // read exactly once (the final re-attach join) — checkpointing it
+    // would cost a whole job to save nothing
+    val allNodes = nodes.select(col(idCol).as("id"))
     // round 0 fused into initialization: rep0(v) = min(v, min N(v)) is
     // one aggregation over the symmetrized edges — the same cost as the
     // DISTINCT that a plain identity init needs, but one whole
