@@ -47,6 +47,40 @@ object Dedup {
         s" i -> concat_ws(' ', slice(ts, i, $n))))))")
   }
 
+  /** Column-argument form of [[shingles]] for the SQL-function surface
+    * (the string form splices a column NAME into parsed SQL; this builds
+    * the same tree from any input expression). Value-equal by spec.
+    */
+  def shinglesOf(text: Column, n: Int): Column = {
+    require(n > 0, s"shingle size must be positive, got $n")
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    if (n == 1) array_distinct(toks)
+    else array_distinct(flatten(transform(array(toks), ts =>
+      transform(sequence(lit(1), greatest(size(ts) - lit(n - 1), lit(1))),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))))
+  }
+
+  /** Column-argument form of [[simHashExpr]] (same 64-bit xxhash64
+    * SimHash, built from an arbitrary expression). Value-equal by spec.
+    */
+  def simHashOf(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    val votes = aggregate(toks, array_repeat(lit(0L), 64), (acc, t) =>
+      zip_with(acc,
+        transform(sequence(lit(0), lit(63)), i =>
+          when(call_function("shiftright", xxhash64(t), i)
+            .bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L))),
+        (x, y) => x + y))
+    // bind the vote array once — same single-element-array trick as the
+    // string form
+    aggregate(
+      flatten(transform(array(votes), a =>
+        transform(sequence(lit(0), lit(63)), i =>
+          when(element_at(a, i + lit(1)) > 0,
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))),
+      lit(0L), (x, y) => x.bitwiseOR(y))
+  }
+
   /** MinHash signature (H hashes) computed per-row from the shingle
     * array: h_j(x) = (a_j·(x mod p) + b_j) mod p with p = 2^31 − 1
     * (classic universal hashing; all intermediates stay well inside

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * the step data-parallel. Same discipline as the range-sharded islands
   * rank in operators/Sequences.scala.
   *
-  * Determinism: the assignment is a pure function of ((id div
+  * Determinism: the assignment is a pure function of ((id floor-div
   * shardWidth), id, capped token count) — independent of partitioning,
   * retries, and executor count (the shard's rows are sorted within the
   * partition before the scan). A document longer than the budget is
@@ -38,7 +38,8 @@ import org.apache.spark.sql.types._
   */
 object Packing {
 
-  /** @param idCol    non-negative integral id defining the pack order
+  /** @param idCol    integral id defining the pack order (shard =
+    *                 floor(id / shardWidth), exact for negatives too)
     * @param tokenCol per-document token count (null → 0, capped at budget)
     * @return (idCol, seq_id, seq_pos, tok_used): the sequence each doc
     *         joined, its 0-based position in it, and its capped token
@@ -49,9 +50,12 @@ object Packing {
     require(budget > 0 && shardWidth > 0, "need positive budget and shardWidth")
     val prepared = df.select(
         col(idCol).cast("long").as("id"),
-        // integral div (not `/`, which is double division in Spark SQL);
-        // ids are non-negative so trunc-vs-floor semantics never diverge
-        expr(s"CAST(`$idCol` AS BIGINT) div ${shardWidth}L").as("shard"),
+        // exact FLOOR division in integer ops: pmod is non-negative, so
+        // (id - pmod(id, W)) is the largest multiple of W ≤ id and the
+        // `div` is exact — agrees with floor semantics (DuckDB `//`) for
+        // negative ids too, with no double-precision detour
+        expr(s"(CAST(`$idCol` AS BIGINT) - pmod(CAST(`$idCol` AS BIGINT), ${shardWidth}L)) div ${shardWidth}L")
+          .as("shard"),
         least(greatest(coalesce(col(tokenCol).cast("long"), lit(0L)), lit(0L)),
           lit(budget)).as("t"))
       .repartition(col("shard"))

@@ -94,5 +94,6 @@ object GraftExtensions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     graft.functions.VectorExpressions.register(spark)
+    graft.functions.SqlFunctions.register(spark)
   }
 }

@@ -13,6 +13,17 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** FULLY convert a composed Column into a plain catalyst Expression
+    * tree. `expression` defers conversion behind ColumnNode adapter
+    * nodes, which Dataset.select resolves later — but a
+    * FunctionRegistry builder's output goes straight to the analyzer,
+    * which type-checks the adapters as NullType. Use this (the same
+    * converter Dataset compilation applies) whenever the Expression
+    * leaves the Column world, e.g. SQL function registration.
+    */
+  def toExpressionTree(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a (possibly custom) LogicalPlan as a DataFrame — the sql-private
     * `Dataset.ofRows`. Needed to hand an `AsOfJoinNode` (or any graft
     * logical operator) to the analyzer/planner from library code.

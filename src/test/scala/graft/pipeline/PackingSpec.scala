@@ -40,6 +40,14 @@ class PackingSpec extends AnyFunSuite {
       (2L, 2L, 0L, 10L), (3L, 2L, 1L, 10L)))  // shard 1 starts fresh at seq 2·1
   }
 
+  test("negative ids shard by floor division and pack fine") {
+    // width 10: id -5 -> shard -1 (floor), id 3 -> shard 0
+    val out = pack(Seq((-5L, 40L), (-2L, 40L), (3L, 40L)), budget = 128, width = 10)
+    assert(out.toSeq == Seq(
+      (-5L, -10L, 0L, 40L), (-2L, -10L, 1L, 40L), // shard -1: seq_id -1·10+0
+      (3L, 0L, 0L, 40L)))
+  }
+
   test("assignment is partitioning-invariant") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
       .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tok"))

@@ -45,6 +45,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(df.collect().length == 5)
   }
 
+  test("SQL surface: graft_ functions run the same kernels as the API") {
+    GraftExtensions.install(spark)
+    Tables.load(spark, TestSpark.sf, "documents").limit(50)
+      .createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_minhash(graft_shingles(text, 3), 16) AS sig,
+        |  graft_simhash(text) AS sh,
+        |  graft_intersection_size(graft_shingles(text, 1),
+        |                          graft_shingles(text, 1)) AS self_isect
+        |FROM sqlfn_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+    val viaApi = Tables.load(spark, TestSpark.sf, "documents").limit(50)
+      .select(col("doc_id"),
+        graft.pipeline.Dedup.minHashSignature(
+          graft.pipeline.Dedup.shingles("text", 3), 16).as("sig"),
+        graft.pipeline.Dedup.simHashExpr("text").as("sh"),
+        size(graft.pipeline.Dedup.shingles("text", 1)).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+    assert(viaSql == viaApi) // self-intersection == shingle count
+    // non-literal numHashes is rejected at resolution
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_minhash(graft_shingles(text, 2), doc_id) FROM sqlfn_docs")
+        .collect())
+    assert(e.getMessage.contains("numHashes") || e.getMessage.contains("literal"))
+  }
+
   test("rule leaves non-cosine aggregates alone") {
     GraftExtensions.install(spark)
     val df = Tables.load(spark, TestSpark.sf, "embeddings").limit(10)
