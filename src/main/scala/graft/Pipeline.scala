@@ -75,7 +75,23 @@ object Pipeline {
   }
 
   def transform(df: DataFrame, cfg: PipelineConfig): DataFrame =
-    Relational.applyRenames(df, cfg.renames)
+    cfg.transforms.foldLeft(Relational.applyRenames(df, cfg.renames))(applyStage)
+
+  /** One config-driven curation stage (post-rename column names). */
+  private def applyStage(df: DataFrame,
+                         t: graft.config.TransformConfig): DataFrame = t match {
+    case graft.config.TransformConfig.DedupExact(id, text) =>
+      // representative ids, then a self-join to re-attach full rows
+      graft.pipeline.Dedup.exactGroups(df, col(text), id)
+        .select(col("keep_id").as(id))
+        .join(df, Seq(id))
+    case graft.config.TransformConfig.SourceCap(groups, id, text, k) =>
+      graft.operators.Sampling.capPerGroup(df, groups,
+          Seq(md5(col(text).cast("binary")), col(id)), k)
+        .drop("rank_in_group")
+    case graft.config.TransformConfig.Split(key, fractions, denom) =>
+      graft.operators.Sampling.split(df, key, fractions, denom)
+  }
 
   /** Repair: append source rows whose PK is absent from the target
     * (reference copyMissingRows, scylla/MySQLToScyllaValidator.scala:953-983

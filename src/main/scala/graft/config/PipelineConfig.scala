@@ -20,7 +20,8 @@ final case class PipelineConfig(
     savepointsDir: Option[String],
     skipFiles: Set[String],
     validation: Option[ValidationConfig],
-    stream: Option[StreamConfig] = None) {
+    stream: Option[StreamConfig] = None,
+    transforms: List[TransformConfig] = Nil) {
 
   /** Loggable rendering with sensitive material redacted (reference:
     * config/MigratorConfig.scala:134-153 + SparkSecretRedaction — the
@@ -54,7 +55,7 @@ final case class PipelineConfig(
     }
     s"PipelineConfig(source=$src, target=$tgt, renames=${renames.size}, " +
       s"skipFiles=${skipFiles.size}, validation=${validation.isDefined}, " +
-      s"stream=${stream.isDefined})"
+      s"stream=${stream.isDefined}, transforms=${transforms.map(_.name).mkString("[", ",", "]")})"
   }
 
   /** Eager cross-validation (fail at load, not mid-run). */
@@ -72,7 +73,59 @@ final case class PipelineConfig(
       Left("stream.primaryKey must be non-empty")
     else if (stream.exists(_.orderBy.isEmpty))
       Left("stream.orderBy must be non-empty (last-writer-wins needs an order)")
-    else Right(this)
+    else if (stream.isDefined && transforms.nonEmpty)
+      Left("transforms apply to batch copies; the stream path replays " +
+        "changes verbatim (curate the snapshot, then stream into it)")
+    else
+      transforms.flatMap(_.check).headOption.toLeft(this)
+  }
+}
+
+/** Config-driven curation stages, applied in listed order between the
+  * source read (+renames) and the target write — the training-data
+  * operators (pipeline/Dedup, operators/Sampling) exposed through the
+  * same declarative surface as the rest of the pipeline. Each stage is
+  * a pure DataFrame -> DataFrame transform; resume and validation wrap
+  * the transformed frame exactly as they do a plain copy.
+  */
+sealed trait TransformConfig {
+  def name: String
+  /** Eager validation error, if any (fail at load, not mid-run). */
+  def check: Option[String]
+}
+object TransformConfig {
+  /** Keep one row per distinct value of `textColumn` (min `idColumn`
+    * wins) — Dedup.exactGroups + a self-join to re-attach the row.
+    */
+  final case class DedupExact(idColumn: String, textColumn: String)
+      extends TransformConfig {
+    val name = "dedupExact"
+    def check: Option[String] = None
+  }
+  /** Keep at most `k` rows per group, ranked by (md5(textColumn),
+    * idColumn) — Sampling.capPerGroup (two-stage salted ranking).
+    */
+  final case class SourceCap(groupColumns: List[String], idColumn: String,
+                             textColumn: String, k: Int)
+      extends TransformConfig {
+    val name = "sourceCap"
+    def check: Option[String] =
+      if (k <= 0) Some("transform.sourceCap.k must be positive")
+      else if (groupColumns.isEmpty) Some("transform.sourceCap.groupColumns required")
+      else None
+  }
+  /** Label rows with a named split — Sampling.split (md5-bucket
+    * membership; deterministic on any engine/partitioning/retry).
+    */
+  final case class Split(keyColumn: String, fractions: List[(String, Int)],
+                         denom: Int)
+      extends TransformConfig {
+    val name = "split"
+    def check: Option[String] =
+      if (fractions.isEmpty) Some("transform.split.fractions required")
+      else if (fractions.exists(_._2 < 0) || fractions.map(_._2).sum > denom)
+        Some("transform.split.fractions must be non-negative and fit in denom")
+      else None
   }
 }
 
@@ -175,6 +228,12 @@ object PipelineConfig {
       "target.type", "target.path", "target.mode", "target.compression",
       "target.partitionBy", "target.sortBy", "target.header", "target.delimiter",
       "renames", "savepoints.dir", "skipFiles",
+      "transforms",
+      "transform.dedupExact.idColumn", "transform.dedupExact.textColumn",
+      "transform.sourceCap.groupColumns", "transform.sourceCap.idColumn",
+      "transform.sourceCap.textColumn", "transform.sourceCap.k",
+      "transform.split.keyColumn", "transform.split.fractions",
+      "transform.split.denom",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
@@ -286,12 +345,55 @@ object PipelineConfig {
           map.getOrElse("stream.triggerMs", "5000").toLong,
           map.get("stream.changesSchema"))))
 
+    val transforms: Either[String, List[TransformConfig]] = {
+      def stage(n: String): Either[String, TransformConfig] = n match {
+        case "dedupExact" =>
+          for {
+            id <- map.get("transform.dedupExact.idColumn")
+              .toRight("transform.dedupExact.idColumn required")
+            text <- map.get("transform.dedupExact.textColumn")
+              .toRight("transform.dedupExact.textColumn required")
+          } yield TransformConfig.DedupExact(id, text)
+        case "sourceCap" =>
+          for {
+            id <- map.get("transform.sourceCap.idColumn")
+              .toRight("transform.sourceCap.idColumn required")
+            text <- map.get("transform.sourceCap.textColumn")
+              .toRight("transform.sourceCap.textColumn required")
+            k <- map.get("transform.sourceCap.k")
+              .toRight("transform.sourceCap.k required")
+              .flatMap(v => v.toIntOption.toRight(s"transform.sourceCap.k not an int: $v"))
+          } yield TransformConfig.SourceCap(
+            list("transform.sourceCap.groupColumns"), id, text, k)
+        case "split" =>
+          for {
+            key <- map.get("transform.split.keyColumn")
+              .toRight("transform.split.keyColumn required")
+            fracs <- list("transform.split.fractions").foldRight(
+              Right(Nil): Either[String, List[(String, Int)]]) { (f, acc) =>
+              acc.flatMap(rest => f.split("=") match {
+                case Array(nm, num) if num.trim.toIntOption.isDefined =>
+                  Right((nm.trim, num.trim.toInt) :: rest)
+                case _ => Left(s"malformed split fraction (want name=int): $f")
+              })
+            }
+          } yield TransformConfig.Split(key, fracs,
+            map.getOrElse("transform.split.denom", "100").toInt)
+        case other => Left(s"unknown transform stage: $other")
+      }
+      list("transforms").foldRight(
+        Right(Nil): Either[String, List[TransformConfig]]) { (n, acc) =>
+        acc.flatMap(rest => stage(n).map(_ :: rest))
+      }
+    }
+
     for {
       s <- source
       tg <- target
       st <- stream
+      ts <- transforms
       cfg <- PipelineConfig(s, tg, renames, map.get("savepoints.dir"),
-        list("skipFiles").toSet, validation, st).validate
+        list("skipFiles").toSet, validation, st, ts).validate
     } yield cfg
   }
 }
