@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression net over EVERY gate query: an unbounded
+  * nested-loop join sneaking into a previously-hash-joined plan is the
+  * classic silent 100×-at-scale regression — correctness gates never
+  * see it. Queries on the allowlist are the documented bounded cases
+  * (scalar-row cross joins, or verify tiers whose quadratic side is a
+  * broadcast query set / explicitly capped candidate set).
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Reviewed bounded nested-loop joins (verdict-audited):
+    *  - q_validate_summary, q_heavy_hitters: scalar-row cross joins
+    *    (summary counts / sketch row / total count)
+    *  - q_sim_topk, q_cos_neardup: brute-force similarity tiers — the
+    *    quadratic side is the broadcast query set, by design
+    *  - q_ngram_jaccard: the documented O(n²) exact-verify tier,
+    *    explicitly bounded upstream
+    *  - q_sim_ivf: recall contract computes the in-plan exact top-k
+    *    against the (bounded, broadcast) query rows
+    */
+  private val boundedNestedLoop = Set(
+    "q_validate_summary", "q_heavy_hitters", "q_sim_topk",
+    "q_cos_neardup", "q_ngram_jaccard", "q_sim_ivf")
+
+  test("no gate query plans an unlisted cartesian/nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, TestSpark.sf)
+          .queryExecution.executedPlan.toString
+        val hits = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains)
+        if (hits.nonEmpty && !boundedNestedLoop(name)) Some(name -> hits)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unreviewed nested-loop joins: $offenders — either fix the plan or " +
+        "review + allowlist with a boundedness argument")
+  }
+
+  test("allowlisted queries still contain what they were reviewed for") {
+    // if a listed query LOSES its nested-loop (e.g. rewritten to a hash
+    // join), the allowlist entry is stale — prune it so the net stays tight
+    val stale = boundedNestedLoop.toSeq.sorted.filterNot { name =>
+      val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty, s"stale allowlist entries (no nested-loop left): $stale")
+  }
+}
