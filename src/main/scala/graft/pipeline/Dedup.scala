@@ -480,9 +480,15 @@ object Dedup {
     val cg = corpus.select(col(idCol), explode(shingles(textColName, n)).as("g"))
     val bits = graft.functions.BloomSet.suggestNumBits(expectedGrams, fpp)
     // the built filter is sketch-sized (bits/8 bytes), not data-sized —
-    // a bounded driver artifact, like IVF's k×dim centroid collect
-    val bloomRow = rg.agg(
-      graft.functions.BloomSet.bloomAgg(col("g"), expectedGrams, bits).as("bf")).head()
+    // a bounded driver artifact, like IVF's k×dim centroid collect.
+    // Built from the RAW gram stream, not `rg`: a bloom is duplicate-
+    // insensitive (re-inserting sets the same bits), so the build is a
+    // shuffle-free scan with partial aggregation — the distinct's full
+    // gram shuffle happens once, lazily, for the verify join only
+    val bloomRow = reference
+      .select(explode(shingles(textColName, n)).as("g"))
+      .agg(graft.functions.BloomSet.bloomAgg(col("g"), expectedGrams, bits).as("bf"))
+      .head()
     val candidates =
       if (bloomRow.isNullAt(0)) cg // empty reference: join below yields empty
       else cg.filter(graft.functions.BloomSet.mightContain(
