@@ -53,6 +53,14 @@ object Bench {
     // invariants an oracle can't reach at this size: (a) both endpoints
     // of every verified pair land in the same cluster, (b) the labels
     // are idempotent (rep(rep(v)) = rep(v)).
+    //
+    // Wall-clock note: the synthetic corpus is near-dup SATURATED — at
+    // sf0.1, 5k docs produce ~5.4M LSH candidates of which ~965k are
+    // TRUE pairs at J>=0.9, so the pair tier's output (and its cost) is
+    // inherently ~10⁶ rows; this scenario's seconds measure that real
+    // workload, not plan overhead. Real crawl corpora are far sparser;
+    // on saturation like this, switch the pipeline to lshStarEdges
+    // (O(members) edges per bucket) when all-pairs output isn't needed.
     benchScenario("full_neardup", spark, sfDir, "documents") { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val docs = Tables.load(s, dir, "documents")
