@@ -670,6 +670,27 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Asymmetric containment: |A∩B| / |B| ≥ 90% flags doc B as
+    * essentially CONTAINED in doc A — the quote/subset signal symmetric
+    * Jaccard misses (a long doc quoting a short one wholesale has low
+    * Jaccard but containment ≈ 1). Integer-exact threshold
+    * (10·|A∩B| ≥ 9·|B|), same bounded verification tier and fused
+    * overlap kernel as q_ngram_jaccard; emitted per direction.
+    */
+  private def qContainment(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents").filter(col("doc_id") < 600)
+      .select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+    sh.select(col("doc_id").as("id_outer"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_inner"), col("sh").as("sh_b")))
+      .filter(col("id_outer") =!= col("id_inner") && size(col("sh_b")) > 0)
+      .select(col("id_outer"), col("id_inner"),
+        graft.functions.SetExpressions.intersectionSize(col("sh_a"), col("sh_b"))
+          .as("inter_size"),
+        size(col("sh_b")).cast("long").as("inner_size"))
+      .filter(col("inter_size") * 10 >= col("inner_size") * 9)
+      .orderBy(col("id_outer"), col("id_inner"))
+  }
+
   /** Shared MinHash near-dup tier: LSH candidates -> signature-estimate
     * prefilter (cheap fixed-width compare) -> exact verify at J >= 0.9.
     * On this corpus most pairs sit at J 0.4-0.8, so the prefilter keeps
@@ -1178,6 +1199,7 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash_sig" -> (qSimhashSig _),
@@ -1607,6 +1629,16 @@ object SparkEntry {
         "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size " +
         "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
         "WHERE inter_size * 2 >= union_size ORDER BY id_a, id_b"),
+
+    "q_containment" ->
+      ("WITH s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
+        "FROM documents WHERE doc_id < 600) " +
+        "SELECT id_outer, id_inner, inter_size, inner_size FROM (" +
+        "SELECT a.doc_id AS id_outer, b.doc_id AS id_inner, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size, " +
+        "CAST(len(b.sh) AS BIGINT) AS inner_size " +
+        "FROM s a, s b WHERE a.doc_id != b.doc_id AND len(b.sh) > 0) " +
+        "WHERE inter_size * 10 >= inner_size * 9 ORDER BY id_outer, id_inner"),
 
     // LSH prefilters are tuned for full recall at τ = 0.9 and the exact
     // verify removes all false positives, so the scalable pipeline's
