@@ -58,6 +58,30 @@ class PackingSpec extends AnyFunSuite {
       run(docs) == run(docs.coalesce(1)))
   }
 
+  test("property sweep: distributed packing equals a Scala greedy model") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val budget = 64L + rnd.nextInt(128)
+      val width = 16L + rnd.nextInt(64)
+      val docs = (0 until 500).map(_ => rnd.nextLong(4000)).distinct
+        .map(id => (id, rnd.nextLong(120)))
+      // Scala model: group by floor(id/width), greedy fill in id order
+      val model = docs.groupBy { case (id, _) => Math.floorDiv(id, width) }
+        .flatMap { case (shard, ds) =>
+          var (seq, fill) = (-1L, 0L)
+          var pos = -1L
+          ds.sortBy(_._1).map { case (id, tk0) =>
+            val tk = math.min(math.max(tk0, 0L), budget)
+            if (seq < 0 || fill + tk > budget) { seq += 1; fill = tk; pos = 0 }
+            else { fill += tk; pos += 1 }
+            (id, shard * width + seq, pos, tk)
+          }
+        }.toSet
+      val got = pack(docs, budget = budget, width = width).toSet
+      assert(got == model, s"trial $trial (budget=$budget width=$width)")
+    }
+  }
+
   test("every sequence respects the budget and positions are dense") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
       .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tok"))

@@ -37,6 +37,37 @@ class StreamingDedupSpec extends AnyFunSuite {
       Set("doc_id", "text", "ts")) // digest helper column dropped
   }
 
+  test("exact dedup state is watermark-bounded: expired digests re-admit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-wm")
+    val in = tmp.resolve("in").toString
+    Seq((1L, "recycled content", ts(100))).toDF("doc_id", "text", "ts")
+      .write.parquet(s"$in/b0")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(s"$in/*")
+    val query = StreamingDedup
+      .exactWithinWatermark(stream, "text", "ts", "10 seconds")
+      .writeStream.format("memory").queryName("sdedup_wm_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100))
+      .option("checkpointLocation", tmp.resolve("ck").toString).start()
+    try {
+      query.processAllAvailable()
+      // advance event time FAR past the horizon, evicting doc 1's digest
+      Seq((2L, "unrelated advancing doc", ts(100000)))
+        .toDF("doc_id", "text", "ts").write.parquet(s"$in/b1")
+      query.processAllAvailable()
+      // the recycled content is now outside any retained state: re-admitted
+      Seq((3L, "recycled content", ts(100001)))
+        .toDF("doc_id", "text", "ts").write.parquet(s"$in/b2")
+      query.processAllAvailable()
+    } finally query.stop()
+    val ids = spark.table("sdedup_wm_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 1 admitted, 2 admitted, 3 admitted AGAIN (state for 1 was evicted
+    // when the watermark passed ts(100) + 10s) — dedup is a bounded-state
+    // contract, not an unbounded promise
+    assert(ids == Set(1L, 2L, 3L))
+  }
+
   test("near-dup candidates: identical docs collide, bucket state spans batches") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-snear")
     val in = tmp.resolve("in").toString
