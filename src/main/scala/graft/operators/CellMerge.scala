@@ -51,6 +51,9 @@ object CellMerge {
   def merge(log: DataFrame, pk: Seq[String], cells: Seq[String],
             asOfMicros: Long): DataFrame = {
     require(pk.nonEmpty && cells.nonEmpty, "need primary key and cell columns")
+    (pk ++ cells).find(_.startsWith("__w_")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name '$c' collides with the merge's internal __w_* winner columns"))
     val wt = coalesce(col(RowExplosion.WritetimeColumn), lit(asOfMicros))
     // final tie-break: longer-lived cell wins (no TTL = immortal) — two
     // writes agreeing on (writetime, value) but differing in TTL must

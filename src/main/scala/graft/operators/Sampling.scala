@@ -80,6 +80,9 @@ object Sampling {
                   k: Int, shards: Int = 16,
                   rankName: String = "rank_in_group"): DataFrame = {
     require(k > 0 && shards > 0, "need positive k and shards")
+    require(!df.columns.contains("__shard_rank") && !df.columns.contains(rankName),
+      s"input already has a '__shard_rank' or '$rankName' column — rename it " +
+        "or pass a different rankName (withColumn would silently overwrite)")
     import org.apache.spark.sql.expressions.Window
     val salt = pmod(xxhash64(rankBy: _*), lit(shards.toLong))
     val w1 = Window.partitionBy((groupCols.map(col) :+ salt): _*)

@@ -38,7 +38,9 @@ import org.apache.spark.sql.types._
   */
 object Packing {
 
-  /** @param idCol    integral id defining the pack order (shard =
+  /** @param idCol    integral id defining the pack order — ids must be
+    *                 UNIQUE (ties leave the within-sequence order, and
+    *                 thus the assignment, partition-dependent) (shard =
     *                 floor(id / shardWidth), exact for negatives too)
     * @param tokenCol per-document token count (null → 0, capped at budget)
     * @return (idCol, seq_id, seq_pos, tok_used): the sequence each doc

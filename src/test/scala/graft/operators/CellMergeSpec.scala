@@ -111,6 +111,14 @@ class CellMergeSpec extends AnyFunSuite {
     assert(back(2) == ((Some("p"), None)))
   }
 
+  test("reserved __w_ column names are rejected eagerly") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row]), logSchema)
+      .withColumnRenamed("a", "__w_b")
+    assertThrows[IllegalArgumentException](
+      CellMerge.merge(df, Seq("id"), Seq("__w_b", "b"), AsOf))
+  }
+
   test("merge replays idempotently: merging the log twice is stable") {
     val rows = Seq(
       w(1, "x", 1L, Seq("a", "b"), null, 100L),

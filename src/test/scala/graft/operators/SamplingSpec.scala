@@ -99,5 +99,12 @@ class SamplingSpec extends AnyFunSuite {
     }
     assertThrows[IllegalArgumentException](
       Sampling.capPerGroup(docs, Seq("source"), Seq(col("doc_id")), k = 0))
+    // reserved internal / output names are rejected, not overwritten
+    assertThrows[IllegalArgumentException](
+      Sampling.capPerGroup(docs.withColumn("__shard_rank", lit(1)),
+        Seq("source"), Seq(col("doc_id")), k = 1))
+    assertThrows[IllegalArgumentException](
+      Sampling.capPerGroup(docs.withColumn("r", lit(1)),
+        Seq("source"), Seq(col("doc_id")), k = 1, rankName = "r"))
   }
 }
