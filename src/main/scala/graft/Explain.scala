@@ -14,7 +14,8 @@ object Explain {
         "q_dedup_clusters", "q_hash_refine", "q_sim_ivf",
         "q_seq_gaps", "q_running_sum", "q_cube",
         "q_cell_merge", "q_source_cap", "q_seq_pack",
-        "q_embed_quant", "q_bloom_decontaminate", "q_heavy_hitters")
+        "q_embed_quant", "q_bloom_decontaminate", "q_heavy_hitters",
+        "q_containment")
     val spark = Tables.session("graft-explain", cores = 8)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
