@@ -499,6 +499,19 @@ object SparkEntry {
         "doc_id", "n_tok", budget = 128, shardWidth = 100)
       .orderBy(col("doc_id"))
 
+  /** Square-root temperature rebalancing over the (skewed) lang mix:
+    * keep rate ∝ 1/√|lang|, md5-bucket membership — kept counts go as
+    * √|lang|, lifting low-resource languages. Oracle recomputes the
+    * identical bucket (md5 nibbles) and floor(denom·scale/√n) rate —
+    * √ is IEEE-exact in both engines, pow would not be.
+    */
+  private def qSqrtSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.sqrtTemperatureSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        keyCol = "doc_id", groupCol = "lang", scale = 5.0, denom = 10000)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   private def qEmbedNorm(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .select(col("vec_id"), Similarity.norm(col("embedding")).as("l2_norm"))
@@ -1229,6 +1242,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_seq_pack" -> (qSeqPack _),
     "q_embed_norm" -> (qEmbedNorm _),
+    "q_sqrt_sample" -> (qSqrtSample _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_star_edges" -> (qStarEdges _),
     "q_filter_funnel" -> (qFilterFunnel _),
@@ -1868,6 +1882,17 @@ object SparkEntry {
 
     // md5 bucket replicated positionally (same hex arithmetic as the
     // portable fingerprint): bucket = 60-bit md5 prefix mod 20
+    "q_sqrt_sample" ->
+      ("WITH c AS (SELECT lang, LEAST(10000, FLOOR(10000 * 5.0 / " +
+        "sqrt(CAST(count(*) AS DOUBLE)))) AS rate FROM documents GROUP BY lang), " +
+        "b AS (SELECT doc_id, lang, " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT) % 10000 AS bucket " +
+        "FROM documents) " +
+        "SELECT doc_id, lang FROM b JOIN c USING (lang) " +
+        "WHERE bucket < rate ORDER BY doc_id"),
+
     "q_corpus_split" ->
       ("WITH b AS (SELECT doc_id, " +
         "CAST(list_sum(list_transform(range(1, 16), p -> " +

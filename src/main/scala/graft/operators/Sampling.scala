@@ -58,6 +58,39 @@ object Sampling {
     df.filter(b < rate)
   }
 
+  /** Square-root temperature rebalancing: keep each group at a rate
+    * ∝ 1/√|group| (so kept counts go as √|group| — the α=0.5
+    * "square-root sampling" every multilingual pretraining mix uses to
+    * lift low-resource groups without letting the giant ones dominate).
+    * `scale` calibrates the absolute level: a group of n rows keeps
+    * ~min(1, scale/√n) of its rows.
+    *
+    * Fully deterministic AND engine-portable: membership is the md5
+    * bucket of the key (as in [[deterministicSample]]) against
+    * floor(denom·scale/√n) — √ is IEEE-correctly-rounded in every
+    * engine (unlike pow), so the same rows are kept anywhere. This is
+    * why the exponent is pinned at 0.5 rather than a free α: pow's
+    * last-ulp differences across libm implementations could flip a
+    * floor() on the rate boundary.
+    *
+    * Plan shape: one count aggregation over the group key (tiny —
+    * |groups| rows, broadcast back) and a scan-side filter; no shuffle
+    * of the data rows.
+    */
+  def sqrtTemperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+                            scale: Double, denom: Int = 10000): DataFrame = {
+    require(scale > 0 && denom > 0, "need positive scale and denom")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__grp_n"))
+      .select(col(groupCol),
+        least(lit(denom.toLong),
+          floor(lit(denom.toDouble * scale) / sqrt(col("__grp_n").cast("double"))))
+          .as("__rate_num"))
+    df.join(broadcast(counts), groupCol)
+      .filter(bucketOf(col(keyCol), denom) < col("__rate_num"))
+      .drop("__rate_num")
+  }
+
   /** Keep at most `k` rows per group, ranked by `rankBy` (which must be
     * a total order — include a unique tiebreak column — or the kept set
     * is nondeterministic). The standard per-domain/per-source cap of

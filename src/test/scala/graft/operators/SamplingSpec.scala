@@ -69,6 +69,34 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 11), 5, 10))
   }
 
+  test("sqrt temperature sampling: per-group rate is floor(denom·scale/√n)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val denom = 10000
+    val got = Sampling.sqrtTemperatureSample(docs, "doc_id", "lang",
+      scale = 5.0, denom = denom)
+    // membership must equal the directly-computed bucket-vs-rate test
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = docs.collect().filter { r =>
+      val rate = math.min(denom.toLong,
+        math.floor(denom * 5.0 / math.sqrt(counts(r.getString(2)).toDouble)).toLong)
+      // replicate bucketOf locally: first 15 md5 hex chars mod denom
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getLong(0).toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % denom < rate
+    }.map(_.getLong(0)).toSet
+    assert(got.collect().map(_.getAs[Long]("doc_id")).toSet == expect)
+    // rebalancing direction: the dominant group keeps a SMALLER fraction
+    val fracs = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / counts(r.getString(0)))
+      .toMap
+    val (big, small) = (counts.maxBy(_._2)._1, counts.minBy(_._2)._1)
+    assert(fracs(big) < fracs(small))
+    assertThrows[IllegalArgumentException](
+      Sampling.sqrtTemperatureSample(docs, "doc_id", "lang", scale = 0.0))
+  }
+
   test("capPerGroup is row-identical to the single-window form") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, TestSpark.sf, "documents")
