@@ -472,8 +472,8 @@ object SparkEntry {
         size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))
       .orderBy(col("doc_id"))
 
-  /** Per-source document cap (domain balancing): keep at most 50 docs
-    * per source (k=10), ranked by (md5(text), doc_id) — a deterministic,
+  /** Per-source document cap (domain balancing): keep at most 10 docs
+    * per source, ranked by (md5(text), doc_id) — a deterministic,
     * engine-portable order. Runs through the two-stage salted ranking
     * in Sampling.capPerGroup (no whole-group single-task window), which
     * is row-identical to the plain window the oracle uses.

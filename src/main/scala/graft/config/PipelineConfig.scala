@@ -122,7 +122,8 @@ object TransformConfig {
       extends TransformConfig {
     val name = "split"
     def check: Option[String] =
-      if (fractions.isEmpty) Some("transform.split.fractions required")
+      if (denom <= 0) Some("transform.split.denom must be positive")
+      else if (fractions.isEmpty) Some("transform.split.fractions required")
       else if (fractions.exists(_._2 < 0) || fractions.map(_._2).sum > denom)
         Some("transform.split.fractions must be non-negative and fit in denom")
       else None
@@ -377,8 +378,10 @@ object PipelineConfig {
                 case _ => Left(s"malformed split fraction (want name=int): $f")
               })
             }
-          } yield TransformConfig.Split(key, fracs,
-            map.getOrElse("transform.split.denom", "100").toInt)
+            denom <- map.getOrElse("transform.split.denom", "100")
+              .toIntOption.toRight(
+                s"transform.split.denom not an int: ${map("transform.split.denom")}")
+          } yield TransformConfig.Split(key, fracs, denom)
         case other => Left(s"unknown transform stage: $other")
       }
       list("transforms").foldRight(

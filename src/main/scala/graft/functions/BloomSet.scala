@@ -33,8 +33,25 @@ object BloomSet {
     * `numBits` follows the standard optimal-bits formula via
     * [[suggestNumBits]]; pass it explicitly to pin memory.
     */
+  /** Session confs gating the aggregate's size arguments: Spark's
+    * `BloomFilterAggregate.checkInputDataTypes` rejects requests above
+    * them (defaults: 4e6 items, 67,108,864 bits = 8 MB). A 1e9-item
+    * deployment must RAISE these on its session; [[bloomAgg]] checks
+    * eagerly so the failure is an actionable message at build time, not
+    * an AnalysisException naming an internal conf.
+    */
+  val MaxItemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+  val MaxBitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+
   def bloomAgg(item: Column, expectedItems: Long, numBits: Long): Column = {
     require(expectedItems > 0 && numBits > 0, "need positive sizes")
+    val active = org.apache.spark.sql.SparkSession.active
+    val maxItems = active.conf.get(MaxItemsConf, "4000000").toLong
+    val maxBits = active.conf.get(MaxBitsConf, "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom of $expectedItems items / $numBits bits exceeds the session caps " +
+        s"($MaxItemsConf=$maxItems, $MaxBitsConf=$maxBits) — raise both confs " +
+        "on the session to build filters at this scale")
     GraftColumnBridge.column(
       new BloomFilterAggregate(
         GraftColumnBridge.expression(xxhash64(item)),

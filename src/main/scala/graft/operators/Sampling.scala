@@ -82,13 +82,18 @@ object Sampling {
     require(scale > 0 && denom > 0, "need positive scale and denom")
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__grp_n"))
-      .select(col(groupCol),
+      .select(col(groupCol).as("__grp_key"),
         least(lit(denom.toLong),
           floor(lit(denom.toDouble * scale) / sqrt(col("__grp_n").cast("double"))))
           .as("__rate_num"))
-    df.join(broadcast(counts), groupCol)
+    // null-SAFE join: groupBy counts the NULL group (un-identified
+    // language etc.), so membership must too — a plain equi-join would
+    // silently drop every NULL-group row, violating the module's NULL
+    // discipline (bucketOf maps NULL keys; stratifiedSample keeps NULL
+    // strata)
+    df.join(broadcast(counts), col(groupCol) <=> col("__grp_key"))
       .filter(bucketOf(col(keyCol), denom) < col("__rate_num"))
-      .drop("__rate_num")
+      .drop("__grp_key", "__rate_num")
   }
 
   /** Keep at most `k` rows per group, ranked by `rankBy` (which must be

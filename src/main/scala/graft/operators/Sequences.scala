@@ -50,19 +50,28 @@ object Sequences {
     val ends = k.as("a")
       .join(k.as("b"), col("a.k") + 1 === col("b.k"), "left_anti")
       .select(col("k").as("v"))
-    val bounds = k.agg(min(col("k")), max(col("k"))).head()
-    if (bounds.isNullAt(0))
+    // materialize the tagged endpoint frame ONCE (`__t` 0 = start, 1 =
+    // end): the anti-joins are the dominant cost and three separate
+    // actions read this frame (bounds, shard counts, the final rank
+    // join — the last twice). The checkpoint holds two rows per island
+    // — endpoint-sized, not key-sized. Bounds come FROM the endpoints
+    // (min start = min key, max end = max key), so no extra scan of k.
+    val endpoints0 = starts.withColumn("__t", lit(0))
+      .unionByName(ends.withColumn("__t", lit(1)))
+      .localCheckpoint()
+    val bounds = endpoints0.agg(
+      min(when(col("__t") === 0, col("v"))),
+      max(when(col("__t") === 1, col("v")))).head()
+    if (bounds.isNullAt(0)) {
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(endpoints0)
       return k.select(col("k").as("island_start"), col("k").as("island_end"),
         col("k").as("island_len"))
+    }
     val lo = bounds.getLong(0)
     val hi = bounds.getLong(1)
     val width = ((BigInt(hi) - BigInt(lo)) / rankShards + 1)
       .min(BigInt(Long.MaxValue)).toLong
-    // one tagged endpoint frame so shard counting is a single job;
-    // `__t` 0 = start, 1 = end (a start sorts before its own end, and
-    // ranks are computed per tag, so the tag never perturbs the order)
-    val endpoints = starts.withColumn("__t", lit(0))
-      .unionByName(ends.withColumn("__t", lit(1)))
+    val endpoints = endpoints0
       .withColumn("__shard", expr(s"(v - ${lo}L) div ${width}L"))
     // bounded driver artifact: one row per (tag, non-empty shard)
     val counts = endpoints.groupBy(col("__t"), col("__shard"))

@@ -51,7 +51,11 @@ object Packing {
                  budget: Long, shardWidth: Long): DataFrame = {
     require(budget > 0 && shardWidth > 0, "need positive budget and shardWidth")
     val prepared = df.select(
-        col(idCol).cast("long").as("id"),
+        // a NULL id would otherwise surface as an opaque executor NPE
+        // deep in the packing scan — fail with the actual problem named
+        when(col(idCol).isNull,
+          raise_error(lit(s"packGreedy: NULL value in id column '$idCol'")))
+          .otherwise(col(idCol).cast("long")).as("id"),
         // exact FLOOR division in integer ops: pmod is non-negative, so
         // (id - pmod(id, W)) is the largest multiple of W ≤ id and the
         // `div` is exact — agrees with floor semantics (DuckDB `//`) for

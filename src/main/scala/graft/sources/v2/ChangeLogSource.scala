@@ -237,12 +237,29 @@ private[v2] class ChangeLogMicroBatchStream(root: String, initialPosition: Strin
     // Plan from the admitted-file manifest, never from a fresh listing:
     // a file in (lo, hi] that vanished since admission must still be
     // planned so its reader fails loudly on open instead of the batch
-    // silently shrinking. A missing manifest means the checkpoint was
-    // tampered with or truncated — also data loss, also loud.
-    val names = readManifest(hi).getOrElse(throw new IllegalStateException(
-      s"change-log manifest for batch end offset '$hi' missing under " +
-        s"$manifestDir — cannot replay the batch without its admitted file " +
-        "list (checkpoint corrupted or manually pruned)"))
+    // silently shrinking.
+    //
+    // Missing manifest: distinguish two cases. If the manifest DIR
+    // exists, this batch was admitted by a manifest-writing source and
+    // its file was corrupted/pruned — refuse to guess. If the dir does
+    // not exist at all, the checkpoint predates manifests (a WAL'd but
+    // uncommitted batch from an older build): fall back to a range
+    // listing ONCE, loudly, so the upgrade doesn't brick the stream —
+    // new batches always get manifests.
+    val names = readManifest(hi).getOrElse {
+      val fs = manifestDir.getFileSystem(hadoopConf)
+      if (fs.exists(manifestDir))
+        throw new IllegalStateException(
+          s"change-log manifest for batch end offset '$hi' missing under " +
+            s"$manifestDir — cannot replay the batch without its admitted file " +
+            "list (checkpoint corrupted or manually pruned)")
+      System.err.println(
+        s"[changelog] WARNING: no manifest dir for replayed batch (lo='$lo', hi='$hi'): " +
+        "checkpoint predates admitted-file manifests; planning from a range " +
+        "listing this once — files deleted since admission cannot be detected " +
+        "for THIS batch")
+      list().filter(n => n > lo && n <= hi)
+    }
     names.map(n => ChangeLogPartition(root, n): InputPartition).toArray
   }
 

@@ -97,6 +97,22 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.sqrtTemperatureSample(docs, "doc_id", "lang", scale = 0.0))
   }
 
+  test("sqrt temperature sampling keeps NULL-group rows at their own rate") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .withColumn("lang", when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang")))
+    val got = Sampling.sqrtTemperatureSample(docs, "doc_id", "lang", scale = 5.0)
+    // the NULL group participates: same membership as filtering it directly
+    val nullKept = got.filter(col("lang").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nullGroup = docs.filter(col("lang").isNull)
+    val n = nullGroup.count()
+    val rate = math.min(10000L, math.floor(10000 * 5.0 / math.sqrt(n.toDouble)).toLong)
+    val expect = nullGroup.filter(
+      Sampling.bucketOf(col("doc_id"), 10000) < rate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nullKept == expect && nullKept.nonEmpty)
+  }
+
   test("capPerGroup is row-identical to the single-window form") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, TestSpark.sf, "documents")

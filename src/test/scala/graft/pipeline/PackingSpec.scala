@@ -29,6 +29,13 @@ class PackingSpec extends AnyFunSuite {
       "doc_id", "n_tok", 128, 100)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
     assert(withNull.toSeq == Seq((0L, 0L, 50L), (1L, 0L, 0L))) // null = 0 tokens
+    // a NULL id fails with the problem named, not an executor NPE
+    val e = intercept[Exception](
+      Packing.packGreedy(
+        Seq((Some(1L), 10L), (None, 20L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", 128, 100).collect())
+    assert(e.getMessage.contains("NULL value in id column") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL value in id column")))
   }
 
   test("shards pack independently with globally unique sequence ids") {
