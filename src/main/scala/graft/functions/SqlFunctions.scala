@@ -50,6 +50,18 @@ object SqlFunctions {
       expr(graft.pipeline.Dedup.simHashOf(col(exprs.head)))
     }, "built-in")
 
+    // graft_quantize(vec ARRAY<FLOAT|DOUBLE>) -> STRUCT<mn, mx, q ARRAY<INT>>
+    reg.createOrReplaceTempFunction("graft_quantize", exprs => {
+      require(exprs.length == 1, "graft_quantize takes exactly 1 argument")
+      expr(graft.pipeline.Similarity.quantizeInt8(col(exprs.head)))
+    }, "built-in")
+
+    // graft_dequantize(qv STRUCT<mn, mx, q>) -> ARRAY<DOUBLE>
+    reg.createOrReplaceTempFunction("graft_dequantize", exprs => {
+      require(exprs.length == 1, "graft_dequantize takes exactly 1 argument")
+      expr(graft.pipeline.Similarity.dequantizeInt8(col(exprs.head)))
+    }, "built-in")
+
     // graft_shingles(text STRING, n INT-literal) -> ARRAY<STRING>
     reg.createOrReplaceTempFunction("graft_shingles", exprs => {
       require(exprs.length == 2, "graft_shingles(text, n) takes 2 arguments")

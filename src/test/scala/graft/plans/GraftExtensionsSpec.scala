@@ -72,6 +72,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT graft_minhash(graft_shingles(text, 2), doc_id) FROM sqlfn_docs")
         .collect())
     assert(e.getMessage.contains("numHashes") || e.getMessage.contains("literal"))
+
+    // quantize round trip from pure SQL: reconstruction within half a step
+    Tables.load(spark, TestSpark.sf, "embeddings").limit(20)
+      .createOrReplaceTempView("sqlfn_emb")
+    val bad = spark.sql(
+      """SELECT vec_id FROM (
+        |  SELECT vec_id, graft_quantize(embedding) AS qv, embedding FROM sqlfn_emb)
+        |WHERE aggregate(zip_with(embedding, graft_dequantize(qv),
+        |        (x, y) -> abs(cast(x as double) - y)),
+        |      cast(0.0 as double), (a, b) -> greatest(a, b))
+        |    > (qv.mx - qv.mn) / 255.0 / 2.0 + 1e-12""".stripMargin)
+    assert(bad.count() == 0)
   }
 
   test("rule leaves non-cosine aggregates alone") {
