@@ -1156,9 +1156,85 @@ object SparkEntry {
     graft.pipeline.TypedEvents.userSummaries(s, d)
       .orderBy(col("user_id"))
 
+  /** Sub-document boilerplate removal: 3-token spans repeated across
+    * >= 5 distinct documents are dropped and the survivors reassembled
+    * (C4/RefinedWeb repeated-paragraph pass re-expressed for span
+    * units; the synthetic corpus has no newlines).
+    */
+  private def qSpanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.spanDedup(t(s, d, "documents"), "doc_id", "text",
+        spanTokens = 3, minDocs = 5)
+      .orderBy(col("doc_id"))
+
+  /** BM25 retrieval for a fixed query-term set: the gate pins the
+    * integer sufficient statistics (dl, n_matched, per-doc rank by
+    * score) — not the raw float score, whose last ulp depends on the
+    * engine's ln. Rank flips would need two distinct tf/dl profiles
+    * whose scores collide to within a libm ulp; true ties (identical
+    * profiles → bit-identical scores in BOTH engines) break by doc_id.
+    */
+  private def qBm25(s: SparkSession, d: String): DataFrame = {
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    // top-50 then a driver merge — no global window over the corpus);
+    // the rank window runs over the 50 surviving rows only
+    val top = Text.bm25(t(s, d, "documents"), "text", "doc_id",
+        queryTerms = Seq("spark", "window", "shuffle"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(50)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("dl"), col("n_matched"))
+      .orderBy(col("rank"))
+  }
+
+  /** Unigram-LM sufficient statistics against the corpus's own term
+    * counts (the distributed half of a perplexity quality filter); the
+    * gate pins the integer columns — the ln column is per-row math and
+    * engine-ulp-dependent (and a float SUM besides, so not even
+    * run-deterministic), see Text.unigramStats.
+    */
+  private def qUnigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Text.unigramStats(docs, "text", "doc_id",
+        model = Text.termStats(docs, "text", "doc_id"), minCount = 100L)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("sum_tf"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rademacher random projection 64 → 16 dims; sign planes keep every
+    * projected coordinate exact in double arithmetic, so the gate
+    * compares the raw doubles (long format: one row per coordinate).
+    */
+  private def qRandProj(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        posexplode(Similarity.randomProject(col("embedding"),
+          Similarity.hyperplanes(numPlanes = 16, dim = 64, seed = 7L)))
+          .as(Seq("dim_idx", "proj")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("proj"))
+      .orderBy(col("vec_id"), col("dim_idx"))
+
+  /** LSH-bucketed semantic dedup (SemDeDup rule): the oracle rebuilds
+    * the seed-fixed hyperplane buckets and the within-bucket cosine
+    * test end to end, so the approximate tier's exact output is pinned
+    * — same replication strategy as q_sim_lsh.
+    */
+  private def qSemDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        planes = Similarity.hyperplanes(numPlanes = 80, dim = 64),
+        bandBits = 4, threshold = 0.35)
+      .orderBy(col("vec_id"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_bm25" -> (qBm25 _),
+    "q_unigram_lm" -> (qUnigramLm _),
+    "q_rand_proj" -> (qRandProj _),
+    "q_sem_dedup" -> (qSemDedup _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -1264,6 +1340,104 @@ object SparkEntry {
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
 
   def oracleSql: Map[String, String] = Map(
+    "q_span_dedup" ->
+      ("WITH s AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "sp AS (SELECT doc_id, i AS span_idx, " +
+        "array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS span " +
+        "FROM s, unnest(generate_series(0, " +
+        "CAST(greatest(1, (len(toks) + 2) // 3) AS INT) - 1)) AS g(i)), " +
+        "boiler AS (SELECT span FROM sp GROUP BY span " +
+        "HAVING count(DISTINCT doc_id) >= 5), " +
+        "kept AS (SELECT sp.* FROM sp ANTI JOIN boiler USING (span)), " +
+        "re AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS clean_text, " +
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT s.doc_id, coalesce(re.clean_text, '') AS clean_text, " +
+        "CAST(greatest(1, (len(toks) + 2) // 3) AS BIGINT) AS n_spans, " +
+        "CAST(greatest(1, (len(toks) + 2) // 3) - coalesce(re.n_kept, 0) AS BIGINT) " +
+        "AS n_removed FROM s LEFT JOIN re USING (doc_id) ORDER BY s.doc_id"),
+
+    // rank-only gate: float scores order the rows but never enter the
+    // hash (ln is libm-dependent in its last ulp); arithmetic mirrors
+    // Text.bm25's op order so near-ties stay identical
+    "q_bm25" ->
+      ("WITH d AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, " +
+        "CAST(len(list_filter(toks, t -> t = 'spark')) AS BIGINT) AS tf0, " +
+        "CAST(len(list_filter(toks, t -> t = 'window')) AS BIGINT) AS tf1, " +
+        "CAST(len(list_filter(toks, t -> t = 'shuffle')) AS BIGINT) AS tf2 FROM d), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, " +
+        "sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0, " +
+        "sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1, " +
+        "sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2 FROM base), " +
+        "scored AS (SELECT doc_id, dl, " +
+        "CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, " +
+        "ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE) * 2.2 / " +
+        "(CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / avgdl)) + " +
+        "ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE) * 2.2 / " +
+        "(CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / avgdl)) + " +
+        "ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE) * 2.2 / " +
+        "(CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS score " +
+        "FROM base, stats) " +
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, " +
+        "doc_id, dl, n_matched FROM " +
+        "(SELECT * FROM scored WHERE n_matched > 0 ORDER BY score DESC, doc_id LIMIT 50) " +
+        "ORDER BY rank"),
+
+    "q_unigram_lm" ->
+      ("WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term FROM documents), " +
+        "model AS (SELECT term, count(*) AS c FROM tok GROUP BY term) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "CAST(sum(CASE WHEN coalesce(c, 0) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(sum(coalesce(c, 0)) AS BIGINT) AS sum_tf " +
+        "FROM tok LEFT JOIN model USING (term) GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_rand_proj" -> {
+      val planes = Similarity.hyperplanes(numPlanes = 16, dim = 64, seed = 7L)
+      def planeLit(p: Array[Double]): String =
+        p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val dots = planes.map(p =>
+        s"list_sum(list_transform(list_zip(embedding, ${planeLit(p)}), " +
+          "p -> CAST(p[1] AS DOUBLE) * p[2]))").mkString("[", ", ", "]")
+      "WITH pr AS (SELECT vec_id, " + dots + " AS projv FROM embeddings) " +
+        "SELECT vec_id, CAST(i AS BIGINT) AS dim_idx, projv[i + 1] AS proj " +
+        "FROM pr, unnest(generate_series(0, 15)) AS g(i) " +
+        "ORDER BY vec_id, dim_idx"
+    },
+
+    // full replication of the LSH-bucketed SemDeDup rule (same strategy
+    // as q_sim_lsh): seed-fixed planes inlined, 4-bit band codes, the
+    // within-bucket cosine test and the min-earlier-neighbor pick
+    "q_sem_dedup" -> {
+      val planes = Similarity.hyperplanes(numPlanes = 80, dim = 64)
+      def planeLit(p: Array[Double]): String =
+        p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      def dotSql(p: Array[Double]): String =
+        s"list_sum(list_transform(list_zip(embedding, ${planeLit(p)}), " +
+          "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+      val bandCodes = (0 until 20).map { b =>
+        (0 until 4).map { i =>
+          s"(CASE WHEN ${dotSql(planes(b * 4 + i))} > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+      val cos = "list_sum(list_transform(list_zip(va, vb), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+      "WITH codes AS (SELECT vec_id, embedding, " + bandCodes + " AS codes FROM embeddings), " +
+        "banded AS (SELECT vec_id, embedding, b, codes[b + 1] AS code " +
+        "FROM codes, UNNEST(generate_series(0, 19)) AS t(b)), " +
+        "cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, " +
+        "x.embedding AS va, y.embedding AS vb " +
+        "FROM banded x JOIN banded y ON x.b = y.b AND x.code = y.code " +
+        "AND x.vec_id < y.vec_id), " +
+        "dropped AS (SELECT id_b, min(id_a) AS dup_of FROM cand " +
+        s"WHERE $cos >= 0.35 GROUP BY id_b) " +
+        "SELECT e.vec_id, (d.dup_of IS NULL) AS is_kept, d.dup_of " +
+        "FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b " +
+        "ORDER BY e.vec_id"
+    },
+
     "q_asof_join" ->
       ("SELECT l.event_id, l.user_id, r.value AS asof_purchase_value " +
         "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +

@@ -498,6 +498,60 @@ object Dedup {
       .agg(countDistinct(col("g")).as("n_shared"))
   }
 
+  /** Sub-document boilerplate removal (the C4/RefinedWeb "repeated
+    * paragraph" pass re-expressed for span units): split every document
+    * into non-overlapping `spanTokens`-token spans, drop every span
+    * whose exact text occurs in >= `minDocs` DISTINCT documents
+    * (header/footer/license boilerplate repeats across documents;
+    * genuine content does not), and reassemble the survivors in
+    * original order.
+    *
+    * Output: (idCol, clean_text, n_spans, n_removed) — one row per
+    * input document, including documents whose every span was removed
+    * (clean_text = '').
+    *
+    * Scale: two shuffles, both on the span hash / doc id, never the
+    * full document — (1) the span-frequency groupBy + left_anti carry
+    * (span, doc_id) pairs where span is `spanTokens` words, (2) the
+    * reassembly groupBy carries the surviving spans of each doc, which
+    * is bounded by the document itself. The boilerplate set is NOT
+    * collected or broadcast — the anti-join stays distributed, so a
+    * pathological corpus where half the spans are boilerplate still
+    * streams. Span counting uses count(DISTINCT doc_id), not count(*),
+    * so a single document repeating its own phrase never self-censors.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textColName: String,
+                spanTokens: Int, minDocs: Int): DataFrame = {
+    require(spanTokens > 0 && minDocs > 1,
+      s"need spanTokens > 0 and minDocs > 1, got $spanTokens / $minDocs")
+    val spans = df.select(col(idCol),
+      posexplode(graft.pipeline.Text.chunks(textColName, spanTokens, 0))
+        .as(Seq("span_idx", "span")))
+    val boilerplate = spans.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span")
+    val kept = spans.join(boilerplate, Seq("span"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // span count mirrors Text.chunks bit-exactly: ceil(n/size) as
+    // integer `div` on non-negative operands, min 1
+    val nToksSql =
+      s"size(filter(split(trim($textColName), '\\\\s+'), t -> t != ''))"
+    df.select(col(idCol),
+        expr(s"greatest(CAST(1 AS BIGINT), CAST(($nToksSql + ${spanTokens - 1}) " +
+          s"div $spanTokens AS BIGINT))").as("n_spans"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** 64-bit SimHash from the token array: bit i of the signature is the
     * sign of Σ_tokens (±1 by bit i of xxhash64(token)). One aggregate
     * expression per row; no shuffle.

@@ -172,4 +172,69 @@ object Similarity {
       // pass any threshold without this guard
       .filter(!isnan(col("cos")) && col("cos") >= threshold)
   }
+
+  /** Johnson–Lindenstrauss random projection with Rademacher (±1)
+    * planes: dim-D float vectors down to `planes.length` doubles. Sign
+    * planes keep every projection EXACT in double arithmetic (each term
+    * is ±(float widened to double); the left-to-right sum is the same
+    * in any IEEE engine), so projected vectors compare bit-identically
+    * across engines — unlike Gaussian planes, where the plane constants
+    * themselves would round. Scan-side expressions; no shuffle.
+    */
+  def randomProject(vecCol: Column, planes: Array[Array[Double]]): Column =
+    array(planes.toIndexedSeq.map(p => dot(vecCol, typedLit(p.toSeq))): _*)
+
+  /** SemDeDup-style semantic deduplication, LSH-bucketed: drop a vector
+    * when an EARLIER vector (smaller id — deterministic, retry-stable)
+    * in a shared hyperplane-LSH bucket has cosine >= `threshold`.
+    *
+    * Output: one row per input id — (idCol, is_kept, dup_of) where
+    * dup_of = the smallest qualifying earlier neighbor (null when kept).
+    *
+    * Semantics note: "drop if ANY earlier near-duplicate exists" (the
+    * SemDeDup within-cluster rule) over-drops chains relative to a
+    * greedy keep-set (a→b→c with cos(a,c) < τ drops both b and c); it
+    * is order-independent and embarrassingly parallel, which is why the
+    * published pipelines use it.
+    *
+    * Scale: the bucket join shuffles (band, code, id) triples — never
+    * vectors; vectors re-join by id afterwards. Buckets larger than
+    * `maxBucketSize` are excluded from candidate generation (the
+    * standard LSH skew clamp — a degenerate bucket of size m costs
+    * m²/2 candidate rows; at corpus scale one hot bucket would dominate
+    * the stage). Recall per pair at angle θ: 1−(1−(1−θ/π)^bandBits)^B.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    planes: Array[Array[Double]], bandBits: Int,
+                    threshold: Double,
+                    maxBucketSize: Int = 10000): DataFrame = {
+    val banded = df.select(col(idCol).as("__id"),
+        posexplode(bandCodes(col(vecCol), planes, bandBits)).as(Seq("band", "chunk")))
+    // materialized once (eager, fixed-width id+band+code rows) because
+    // both sides of the candidate self-join read it — same rationale as
+    // Dedup.keptFrame
+    val capped = banded
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("chunk"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+      .localCheckpoint()
+    val candidates = capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val dropped = candidates
+      .join(vecs.withColumnRenamed("__vid", "id_a").withColumnRenamed("__v", "va"), "id_a")
+      .join(vecs.withColumnRenamed("__vid", "id_b").withColumnRenamed("__v", "vb"), "id_b")
+      .filter(!isnan(cosine(col("va"), col("vb"))) &&
+        cosine(col("va"), col("vb")) >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("dup_of"))
+    df.select(col(idCol))
+      .join(dropped.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("is_kept"), col("dup_of"))
+  }
 }

@@ -164,6 +164,87 @@ object Text {
       .withColumn("tf_idf", col("tf") * log(lit(nDocs.toDouble) / col("doc_freq")))
   }
 
+  /** BM25 retrieval scores for a fixed query-term set over the corpus
+    * (Robertson/Spärck Jones; the lexical-retrieval baseline every
+    * data-curation stack keeps next to its embedding index).
+    *
+    * Per document: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale: per-term tf and dl are scan-side expressions (the query set
+    * is a handful of terms — one `size(filter(...))` each, no explode);
+    * the only corpus pass beyond the scan is ONE single-row aggregate
+    * (N, avgdl, per-term df) that joins back as a scalar broadcast.
+    * Nothing shuffles by term; documents never leave their partitions.
+    *
+    * Output: (idCol, dl, n_matched, score) — `score` is a double whose
+    * last ulp depends on the engine's ln; gates should pin the integer
+    * columns and the score ORDER, not the raw float (see q_bm25).
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 64,
+      s"queryTerms must be 1..64 scan-side expressions, got ${queryTerms.size}")
+    val toks = tokens(col(textCol))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf_$i")
+    }
+    val base = df.select(col(idCol) +: size(toks).cast("long").as("dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).cast("double").as("__n") +:
+      avg(col("dl")).as("__avgdl") +:
+      queryTerms.indices.map(i =>
+        sum((col(s"__tf_$i") > 0).cast("double")).as(s"__df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val perTerm = queryTerms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df_$i") + lit(0.5)) / (col(s"__df_$i") + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    }
+    scored.select(col(idCol), col("dl"),
+      queryTerms.indices.map(i => (col(s"__tf_$i") > 0).cast("int"))
+        .reduce(_ + _).cast("long").as("n_matched"),
+      perTerm.reduce(_ + _).as("score"))
+  }
+
+  /** Per-document unigram language-model statistics against a corpus-
+    * derived model — the distributed half of a perplexity-style quality
+    * filter. The model is the corpus's own term-frequency table (or any
+    * other count table with (term, term_freq_total)); per document this
+    * returns the INTEGER sufficient statistics:
+    *
+    *   n_tokens    — document length in tokens
+    *   n_oov       — tokens whose corpus count < minCount
+    *   sum_tf      — Σ over tokens of the term's corpus count
+    *   sum_log_tf  — Σ ln(count) over in-vocabulary tokens (double)
+    *
+    * avg log-prob = (sum_log_tf − n_invocab·ln(C))/n_tokens follows by
+    * row-local math; keeping the gate on the integer columns makes the
+    * distributed part engine-exact while the ln stays a per-row detail
+    * (libm last-ulp differences must not fail a corpus-size join).
+    *
+    * Scale: one token explode + shuffle join against the model on the
+    * term key, one groupBy per doc. The model table is NOT broadcast by
+    * force — at web scale the vocabulary outgrows a broadcast; Catalyst
+    * still picks broadcast when the model fits.
+    */
+  def unigramStats(df: DataFrame, textCol: String, idCol: String,
+                   model: DataFrame, minCount: Long = 2L): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    tok.join(model.select(col("term"), col("term_freq_total")), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum((coalesce(col("term_freq_total"), lit(0L)) < minCount).cast("long"))
+          .as("n_oov"),
+        sum(coalesce(col("term_freq_total"), lit(0L))).as("sum_tf"),
+        sum(when(coalesce(col("term_freq_total"), lit(0L)) >= minCount,
+          log(col("term_freq_total").cast("double"))).otherwise(lit(0.0)))
+          .as("sum_log_tf"))
+  }
+
   /** Shared winnowing shape: the gram-hash array is wrapped in a
     * single-element array and re-bound as a lambda variable, so it is
     * materialized ONCE per row — referencing `$grams` directly inside

@@ -18,40 +18,71 @@ object JdbcSupport {
   /** Strip string literals, quoted identifiers and comments so keyword
     * scanning can't be fooled by quoted text — a miniature SQL lexer
     * (reference: readers/MySQL.scala:278-341).
+    *
+    * Three inputs are REJECTED instead of stripped, because stripping
+    * would hide content whose server-side parse we cannot predict:
+    *
+    *  - a backslash inside a `'…'` or `"…"` literal. MySQL's
+    *    `NO_BACKSLASH_ESCAPES` sql_mode flips whether `\'` is an escaped
+    *    quote or a literal backslash followed by the string terminator —
+    *    a lexer that commits to either reading mis-parses on servers
+    *    running the other, and the mismatch is an injection vector
+    *    (`'\'; DROP …--'` is one string to an escape-honoring lexer and
+    *    a terminated string plus live SQL to a `NO_BACKSLASH_ESCAPES`
+    *    server). The reference rejects the same way
+    *    (readers/MySQL.scala:291-308).
+    *  - unterminated quoted text: everything after the orphan quote
+    *    would be stripped here but parsed as SQL (or as an error) by the
+    *    server.
+    *  - an unterminated block comment, for the same reason.
+    *
+    * Doubled quotes (`''`, `""`, ` `` ` — the sql_mode-independent escape)
+    * stay inside the literal.
     */
-  def stripQuotedAndComments(sql: String): String = {
+  def stripQuotedAndComments(sql: String): Either[String, String] = {
     val out = new StringBuilder
     var i = 0
     val n = sql.length
-    var state: Char = 'N' // N normal, S 'string', D "string", B `ident`, L line comment, C block comment
     while (i < n) {
       val c = sql.charAt(i)
-      state match {
-        case 'N' =>
-          if (c == '\'') state = 'S'
-          else if (c == '"') state = 'D'
-          else if (c == '`') state = 'B'
-          else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') { state = 'L'; i += 1 }
-          else if (c == '#') state = 'L'
-          else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') { state = 'C'; i += 1 }
-          else out.append(c)
-        case 'S' =>
-          if (c == '\\') i += 1
-          else if (c == '\'') { state = 'N'; out.append(' ') }
-        case 'D' =>
-          if (c == '\\') i += 1
-          else if (c == '"') { state = 'N'; out.append(' ') }
-        case 'B' =>
-          if (c == '`') { state = 'N'; out.append(' ') }
-        case 'L' =>
-          if (c == '\n') { state = 'N'; out.append(' ') }
-        case 'C' =>
-          if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') { state = 'N'; out.append(' '); i += 1 }
-        case _ => ()
+      if (c == '\'' || c == '"' || c == '`') {
+        val q = c
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val in = sql.charAt(i)
+          if (q != '`' && in == '\\')
+            return Left(
+              "where clause contains a backslash inside a quoted literal; rejected " +
+                "because MySQL NO_BACKSLASH_ESCAPES mode changes how it parses")
+          else if (in == q && i + 1 < n && sql.charAt(i + 1) == q) i += 2 // doubled-quote escape
+          else if (in == q) { closed = true; i += 1 }
+          else i += 1
+        }
+        if (!closed) return Left("where clause contains unterminated quoted text")
+        out.append(' ')
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        // line comment: skip to end of line
+        i += 2
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '#') {
+        i += 1
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        i += 2
+        var closed = false
+        while (i + 1 < n && !closed) {
+          if (sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') { closed = true; i += 2 }
+          else i += 1
+        }
+        if (!closed) return Left("where clause contains an unterminated block comment")
+        out.append(' ')
+      } else {
+        out.append(c)
+        i += 1
       }
-      i += 1
     }
-    out.toString
+    Right(out.toString)
   }
 
   private val DangerousKeywords = Seq(
@@ -71,13 +102,15 @@ object JdbcSupport {
   def validateWhereClause(where: String): Either[String, Unit] = {
     if (where.contains("/*!"))
       return Left("where clause must not contain versioned comments (/*!)")
-    val stripped = stripQuotedAndComments(where).toLowerCase(Locale.ROOT)
-    if (stripped.contains(";")) Left("where clause must not contain ';'")
-    else {
-      val words = stripped.split("[^a-z_]+").filter(_.nonEmpty).toSet
-      DangerousKeywords.find(words.contains) match {
-        case Some(k) => Left(s"where clause contains forbidden keyword: $k")
-        case None    => Right(())
+    stripQuotedAndComments(where).flatMap { s =>
+      val stripped = s.toLowerCase(Locale.ROOT)
+      if (stripped.contains(";")) Left("where clause must not contain ';'")
+      else {
+        val words = stripped.split("[^a-z_]+").filter(_.nonEmpty).toSet
+        DangerousKeywords.find(words.contains) match {
+          case Some(k) => Left(s"where clause contains forbidden keyword: $k")
+          case None    => Right(())
+        }
       }
     }
   }

@@ -250,6 +250,42 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("spanDedup removes cross-document boilerplate, preserves order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // "the same footer" appears in 3 documents; minDocs=3 drops it.
+    // doc 4 repeats a span of its OWN 3 times — count(DISTINCT doc)
+    // must not self-censor it. doc 5 is nothing but boilerplate.
+    val docs = Seq(
+      (1L, "alpha beta gamma the same footer"),
+      (2L, "delta echo foxtrot the same footer"),
+      (3L, "golf hotel india the same footer juliet kilo lima"),
+      (4L, "my own phrase my own phrase my own phrase"),
+      (5L, "the same footer")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("alpha beta gamma", 2L, 1L)))
+    assert(got(2L) == (("delta echo foxtrot", 2L, 1L)))
+    // surviving spans reassemble in original order around the hole
+    assert(got(3L) == (("golf hotel india juliet kilo lima", 3L, 1L)))
+    assert(got(4L) == (("my own phrase my own phrase my own phrase", 3L, 0L)))
+    assert(got(5L) == (("", 1L, 1L)), "fully-boilerplate doc keeps a row")
+    assert(got.size == 5)
+  }
+
+  test("spanDedup is a no-op below the document threshold") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 2, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(got(1L) == (("a b c d", 0L)) && got(2L) == (("a b c d", 0L)))
+    intercept[IllegalArgumentException](
+      Dedup.spanDedup(docs, "doc_id", "text", 0, 3))
+    intercept[IllegalArgumentException](
+      Dedup.spanDedup(docs, "doc_id", "text", 3, 1))
+  }
+
   test("portable minhash signature is a deterministic length-H array") {
     import org.apache.spark.sql.functions._
     val df = spark.createDataFrame(Seq((1L, "x y z"))).toDF("doc_id", "text")

@@ -113,4 +113,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(0) - dd) < 1e-9)
     assert(math.abs(row.getDouble(1) - math.sqrt(dd)) < 1e-9)
   }
+
+  test("randomProject: exact signed sums, deterministic, JL-reasonable") {
+    val planes = Similarity.hyperplanes(numPlanes = 16, dim = 64, seed = 7L)
+    val got = emb.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), planes).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // exactness: left-to-right ±x sums in plain Scala doubles must be
+    // BIT-identical (the property the oracle parity rests on)
+    for (id <- Seq(0L, 1L, 7L)) {
+      val v = vectors(id)
+      val expect = planes.map(p => v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * p(i)))
+      assert(got(id) == expect.toSeq, s"vec $id projection not exact")
+    }
+    // JL sanity on the real corpus: projected distance correlates with
+    // the original (scaled by 1/sqrt(planes)); just require positive
+    // correlation rank-wise for one probe against two references
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val near = vectors.toSeq.filter(_._1 != 0L)
+      .minBy { case (_, v) => d2(vectors(0L).toSeq, v.toSeq) }._1
+    val far = vectors.toSeq.filter(_._1 != 0L)
+      .maxBy { case (_, v) => d2(vectors(0L).toSeq, v.toSeq) }._1
+    assert(d2(got(0L), got(near)) < d2(got(0L), got(far)),
+      "projection inverted the nearest/farthest ordering for probe 0")
+  }
+
+  test("semanticDedup: identical vectors drop, kept/dropped is a partition") {
+    import spark.implicits._
+    // 1 and 2 are exact copies of 0 (cos = 1, share every bucket);
+    // 3 is orthogonal to them
+    val rows = Seq(
+      (0L, Array.fill(8)(1.0f) ++ Array.fill(56)(0.0f)),
+      (1L, Array.fill(8)(1.0f) ++ Array.fill(56)(0.0f)),
+      (2L, Array.fill(8)(1.0f) ++ Array.fill(56)(0.0f)),
+      (3L, Array.fill(8)(0.0f) ++ Array.fill(8)(1.0f) ++ Array.fill(48)(0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(numPlanes = 80, dim = 64)
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+        planes, bandBits = 4, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(0L) == ((true, -1L)))
+    assert(got(1L) == ((false, 0L)))
+    assert(got(2L) == ((false, 0L))) // min earlier neighbor, not 1
+    assert(got(3L)._1, "orthogonal vector must be kept")
+    assert(got.size == 4)
+  }
+
+  test("semanticDedup on the corpus: every drop is justified by exact cosine") {
+    val planes = Similarity.hyperplanes(numPlanes = 80, dim = 64)
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        planes, bandBits = 4, threshold = 0.35)
+      .collect()
+    assert(out.length == vectors.size)
+    val dropped = out.filter(!_.getBoolean(1))
+    assert(dropped.nonEmpty, "threshold 0.35 must drop something on this corpus")
+    dropped.foreach { r =>
+      val (id, dupOf) = (r.getLong(0), r.getLong(2))
+      assert(dupOf < id, s"dup_of must be an EARLIER id: $id -> $dupOf")
+      assert(cos(vectors(id), vectors(dupOf)) >= 0.35 - 1e-12,
+        s"drop $id -> $dupOf not justified by exact cosine")
+    }
+  }
 }

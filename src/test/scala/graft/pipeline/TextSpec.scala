@@ -94,4 +94,55 @@ class TextSpec extends AnyFunSuite {
     assert(r.getLong(0) == 3)
     assert(r.getLong(1) > 2) // long word contributes extra subword units
   }
+
+  test("bm25: idf ranks selective terms above ubiquitous ones; dl normalizes") {
+    // 'rare' appears in 1 of 4 docs, 'common' in all 4: a doc matching
+    // only 'rare' must outrank one matching only 'common' at equal tf/dl
+    val df = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common delta epsilon zeta"),
+      (4L, "common eta theta iota")).toDF("doc_id", "text")
+    val r = Text.bm25(df, "text", "doc_id", Seq("rare", "common"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L)._1 == 1L && r(2L)._1 == 1L)
+    assert(r(1L)._2 > r(2L)._2, s"rare-term doc must outrank: $r")
+    // longer doc with same tf scores lower (dl normalization)
+    val dl = Seq((1L, "q a b c"), (2L, "q a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val s = Text.bm25(dl, "text", "doc_id", Seq("q"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(s(1L) > s(2L))
+    // score is the textbook formula, checked to double precision
+    val one = Text.bm25(Seq((1L, "q x"), (2L, "y z")).toDF("doc_id", "text"),
+      "text", "doc_id", Seq("q")).collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    val idf = math.log(1.0 + (2.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    val expected = idf * 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + (0.75 * 2) / 2.0))
+    assert(math.abs(one(1L) - expected) < 1e-15 && one(2L) == 0.0)
+  }
+
+  test("bm25 rejects empty and oversized query sets") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Text.bm25(df, "text", "doc_id", Nil))
+    intercept[IllegalArgumentException](
+      Text.bm25(df, "text", "doc_id", (1 to 65).map(_.toString)))
+  }
+
+  test("unigramStats: oov counting, model sums, external model with misses") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // self-model: counts a=2, b=2, c=1; minCount=2 makes c OOV
+    val self = Text.unigramStats(docs, "text", "doc_id",
+        Text.termStats(docs, "text", "doc_id"), minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(self(1L) == ((3L, 0L, 6L, 3 * math.log(2.0))))       // a,a,b -> 2+2+2
+    assert(self(2L)._1 == 2L && self(2L)._2 == 1L && self(2L)._3 == 3L) // b=2, c oov
+    assert(math.abs(self(2L)._4 - math.log(2.0)) < 1e-15)       // only b in-vocab
+    // external model missing a term entirely: the miss counts as OOV, sums 0
+    val model = Seq(("a", 5L)).toDF("term", "term_freq_total")
+    val ext = Text.unigramStats(docs, "text", "doc_id", model, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(ext(1L) == ((1L, 10L))) // b unseen -> oov, contributes 0
+    assert(ext(2L) == ((2L, 0L)))  // b and c both unseen
+  }
 }

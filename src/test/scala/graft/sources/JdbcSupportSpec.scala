@@ -5,12 +5,39 @@ import org.scalatest.funsuite.AnyFunSuite
 class JdbcSupportSpec extends AnyFunSuite {
   import JdbcSupport._
 
+  private def strip(sql: String): String =
+    stripQuotedAndComments(sql).fold(e => fail(s"unexpected reject: $e"), identity)
+
   test("lexer strips quoted text and comments") {
-    assert(stripQuotedAndComments("a = 'it''s -- not a comment'").trim == "a =")
-    assert(!stripQuotedAndComments("x = 'DROP TABLE'").toLowerCase.contains("drop"))
-    assert(stripQuotedAndComments("a -- trailing\nb").contains("b"))
-    assert(!stripQuotedAndComments("a /* DELETE */ b").toLowerCase.contains("delete"))
-    assert(!stripQuotedAndComments("`union` = 1").toLowerCase.contains("union"))
+    assert(strip("a = 'it''s -- not a comment'").trim == "a =")
+    assert(!strip("x = 'DROP TABLE'").toLowerCase.contains("drop"))
+    assert(strip("a -- trailing\nb").contains("b"))
+    assert(!strip("a /* DELETE */ b").toLowerCase.contains("delete"))
+    assert(!strip("`union` = 1").toLowerCase.contains("union"))
+  }
+
+  test("backslash escapes inside literals are rejected (NO_BACKSLASH_ESCAPES ambiguity)") {
+    // to an escape-honoring lexer this is ONE string; to a server running
+    // NO_BACKSLASH_ESCAPES it is a terminated string followed by live SQL
+    val smuggle = """name = '\'; DROP TABLE users; --'"""
+    val r = stripQuotedAndComments(smuggle)
+    assert(r.isLeft && r.left.exists(_.contains("NO_BACKSLASH_ESCAPES")))
+    assert(validateWhereClause(smuggle).isLeft)
+    assert(stripQuotedAndComments("""a = "x\ny"""").isLeft)
+    // backticks never honor backslash escapes in any mode: literal char, fine
+    assert(strip("`weird\\col` = 1").trim == "= 1")
+    // the sql_mode-independent escape (doubled quote) still works
+    assert(validateWhereClause("name = 'it''s fine'").isRight)
+  }
+
+  test("unterminated quoted text and block comments are rejected") {
+    assert(stripQuotedAndComments("a = 'unterminated").isLeft)
+    assert(stripQuotedAndComments("a = \"unterminated").isLeft)
+    assert(stripQuotedAndComments("`unterminated = 1").isLeft)
+    assert(stripQuotedAndComments("a /* unterminated").isLeft)
+    assert(validateWhereClause("a = 'x' AND b = 'oops").isLeft)
+    // line comments terminate at EOF harmlessly
+    assert(strip("a > 1 -- trailing") == "a > 1 ")
   }
 
   test("where-clause validation catches smuggled DML but allows quoted text") {
