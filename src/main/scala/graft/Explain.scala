@@ -15,7 +15,8 @@ object Explain {
         "q_seq_gaps", "q_running_sum", "q_cube",
         "q_cell_merge", "q_source_cap", "q_seq_pack",
         "q_embed_quant", "q_bloom_decontaminate", "q_heavy_hitters",
-        "q_containment")
+        "q_containment", "q_span_dedup", "q_bm25", "q_sem_dedup",
+        "q_rand_proj", "q_unigram_lm")
     val spark = Tables.session("graft-explain", cores = 8)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

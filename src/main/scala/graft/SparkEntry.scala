@@ -1166,6 +1166,14 @@ object SparkEntry {
         spanTokens = 3, minDocs = 5)
       .orderBy(col("doc_id"))
 
+  /** keep-first variant (C4's repeated-span rule): the occurrence with
+    * the smallest (doc, position) survives, later copies are dropped.
+    */
+  private def qSpanDedupFirst(s: SparkSession, d: String): DataFrame =
+    Dedup.spanDedup(t(s, d, "documents"), "doc_id", "text",
+        spanTokens = 3, minDocs = 5, keepFirst = true)
+      .orderBy(col("doc_id"))
+
   /** BM25 retrieval for a fixed query-term set: the gate pins the
     * integer sufficient statistics (dl, n_matched, per-doc rank by
     * score) — not the raw float score, whose last ulp depends on the
@@ -1231,6 +1239,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_dedup" -> (qSpanDedup _),
+    "q_span_dedup_first" -> (qSpanDedupFirst _),
     "q_bm25" -> (qBm25 _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_rand_proj" -> (qRandProj _),
@@ -1349,6 +1358,28 @@ object SparkEntry {
         "boiler AS (SELECT span FROM sp GROUP BY span " +
         "HAVING count(DISTINCT doc_id) >= 5), " +
         "kept AS (SELECT sp.* FROM sp ANTI JOIN boiler USING (span)), " +
+        "re AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS clean_text, " +
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT s.doc_id, coalesce(re.clean_text, '') AS clean_text, " +
+        "CAST(greatest(1, (len(toks) + 2) // 3) AS BIGINT) AS n_spans, " +
+        "CAST(greatest(1, (len(toks) + 2) // 3) - coalesce(re.n_kept, 0) AS BIGINT) " +
+        "AS n_removed FROM s LEFT JOIN re USING (doc_id) ORDER BY s.doc_id"),
+
+    "q_span_dedup_first" ->
+      ("WITH s AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "sp AS (SELECT doc_id, i AS span_idx, " +
+        "array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS span " +
+        "FROM s, unnest(generate_series(0, " +
+        "CAST(greatest(1, (len(toks) + 2) // 3) AS INT) - 1)) AS g(i)), " +
+        "boiler AS (SELECT span FROM sp GROUP BY span " +
+        "HAVING count(DISTINCT doc_id) >= 5), " +
+        "winners AS (SELECT span, doc_id AS wid, span_idx AS widx FROM " +
+        "(SELECT sp.span, sp.doc_id, sp.span_idx, row_number() OVER " +
+        "(PARTITION BY sp.span ORDER BY sp.doc_id, sp.span_idx) AS rn " +
+        "FROM sp SEMI JOIN boiler USING (span)) WHERE rn = 1), " +
+        "kept AS (SELECT sp.doc_id, sp.span_idx, sp.span FROM sp " +
+        "LEFT JOIN winners USING (span) WHERE winners.wid IS NULL " +
+        "OR (sp.doc_id = winners.wid AND sp.span_idx = winners.widx)), " +
         "re AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS clean_text, " +
         "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
         "SELECT s.doc_id, coalesce(re.clean_text, '') AS clean_text, " +

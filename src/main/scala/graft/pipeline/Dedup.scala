@@ -338,9 +338,16 @@ object Dedup {
     * superseded round's blocks are released as soon as the new round
     * materializes, and the edge frame is released once the loop exits —
     * only the final labels (+ the node list) stay pinned for the result.
+    *
+    * Small graphs skip the iteration entirely: when the pair count is
+    * ≤ `smallGraphThreshold` (long ids only), the edge list is collected
+    * and labelled by driver union-find — bit-identical output (property-
+    * swept against the distributed path), one job instead of 2+rounds.
+    * Set `smallGraphThreshold = 0` to force the distributed path.
     */
   def clusterRepresentatives(nodes: DataFrame, pairs: DataFrame, idCol: String,
-                             maxIters: Int = 10): DataFrame = {
+                             maxIters: Int = 10,
+                             smallGraphThreshold: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     // materialize the edge list once — every iteration references it,
     // and recomputing an upstream LSH pipeline per round would dominate
@@ -354,6 +361,49 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // Small-graph fast path: a duplicate graph under `smallGraphThreshold`
+    // pairs is a bounded driver artifact (16 bytes/pair — the IVF-centroid
+    // pattern), and driver union-find labels it EXACTLY (same min-id-per-
+    // component contract, equivalence property-swept in DedupSpec) in one
+    // collect + one broadcast re-attach join, replacing ~2+rounds
+    // checkpoint jobs of fixed overhead. The distributed propagation
+    // below stays the unbounded path; long-id graphs only (a non-integral
+    // id type falls through). The count itself is cheap: the edge blocks
+    // were just materialized by the checkpoint.
+    val longIds = edges.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longIds && smallGraphThreshold > 0 &&
+        edges.count() / 2 <= smallGraphThreshold) {
+      val undirected = edges.filter(col("src") < col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      GraftColumnBridge.unpersistLocalCheckpoint(edges)
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val allNodesS = nodes.select(col(idCol).as("id"))
+      if (undirected.isEmpty)
+        return allNodesS.select(col("id"), col("id").as("rep"))
+      // union-find with path halving; unions always attach the LARGER
+      // root under the smaller, so every terminal root IS its
+      // component's minimum id — the propagation contract exactly
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) {
+          val p = parent(r)
+          parent(r) = parent.getOrElse(p, p) // halve
+          r = parent(r)
+        }
+        r
+      }
+      undirected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = undirected.flatMap(e => Seq(e._1, e._2)).distinct
+      val labels = members.map(m => (m, find(m))).toSeq.toDF("id", "rep")
+      return allNodesS.join(broadcast(labels), Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    }
     // only nodes that touch an edge can ever change label — iterate over
     // that (typically much smaller) subgraph and re-attach the isolated
     // nodes at the end with their own id. On a crawl-scale corpus most
@@ -521,7 +571,8 @@ object Dedup {
     * so a single document repeating its own phrase never self-censors.
     */
   def spanDedup(df: DataFrame, idCol: String, textColName: String,
-                spanTokens: Int, minDocs: Int): DataFrame = {
+                spanTokens: Int, minDocs: Int,
+                keepFirst: Boolean = false): DataFrame = {
     require(spanTokens > 0 && minDocs > 1,
       s"need spanTokens > 0 and minDocs > 1, got $spanTokens / $minDocs")
     val spans = df.select(col(idCol),
@@ -531,7 +582,25 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("span")
-    val kept = spans.join(boilerplate, Seq("span"), "left_anti")
+    // drop-all (boilerplate removal) or keep-first (C4's repeated-span
+    // rule: the occurrence with the smallest (doc, position) survives,
+    // every later copy is dropped). keep-first resolves the winner with
+    // one min-struct aggregate per boilerplate span — same shuffle key
+    // as the frequency count, no window over the occurrence list.
+    val kept =
+      if (!keepFirst) spans.join(boilerplate, Seq("span"), "left_anti")
+      else {
+        val winners = spans.join(boilerplate, Seq("span"))
+          .groupBy(col("span"))
+          .agg(min(struct(col(idCol), col("span_idx"))).as("__w"))
+          .select(col("span"), col(s"__w.$idCol").as("__wid"),
+            col("__w.span_idx").as("__widx"))
+        spans.join(winners, Seq("span"), "left")
+          .filter(col("__wid").isNull ||
+            (col(idCol) === col("__wid") && col("span_idx") === col("__widx")))
+          .select(col("span"), col(idCol), col("span_idx"))
+      }
+    val reassembled = kept
       .groupBy(col(idCol))
       .agg(
         concat_ws(" ", transform(
@@ -545,7 +614,7 @@ object Dedup {
     df.select(col(idCol),
         expr(s"greatest(CAST(1 AS BIGINT), CAST(($nToksSql + ${spanTokens - 1}) " +
           s"div $spanTokens AS BIGINT))").as("n_spans"))
-      .join(kept, Seq(idCol), "left")
+      .join(reassembled, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_spans"),

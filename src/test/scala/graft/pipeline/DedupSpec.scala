@@ -107,7 +107,8 @@ class DedupSpec extends AnyFunSuite {
     val n = 60L
     val nodes = spark.createDataFrame((1L to n).map(Tuple1(_))).toDF("doc_id")
     val pairs = spark.createDataFrame((1L until n).map(i => (i, i + 1))).toDF("id_a", "id_b")
-    val got = Dedup.clusterRepresentatives(nodes, pairs, "doc_id", maxIters = 10)
+    val got = Dedup.clusterRepresentatives(nodes, pairs, "doc_id", maxIters = 10,
+        smallGraphThreshold = 0) // force the distributed path under test
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n && got.values.forall(_ == 1L))
   }
@@ -117,7 +118,8 @@ class DedupSpec extends AnyFunSuite {
     val nodes = spark.createDataFrame((1L to 40L).map(Tuple1(_))).toDF("doc_id")
     val pairs = spark.createDataFrame((1L until 40L).map(i => (i, i + 1))).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.clusterRepresentatives(nodes, pairs, "doc_id", maxIters = 2).collect()
+      Dedup.clusterRepresentatives(nodes, pairs, "doc_id", maxIters = 2,
+        smallGraphThreshold = 0).collect() // driver tier is exact; test the iterative path
     }
     assert(e.getMessage.contains("did NOT converge"))
   }
@@ -129,6 +131,30 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.clusterRepresentatives(nodes, pairs, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(7L -> 7L, 8L -> 8L))
+  }
+
+  test("cluster representatives: driver union-find tier equals the distributed path (seeded sweep)") {
+    import spark.implicits._
+    val genGraph = for {
+      nNodes <- org.scalacheck.Gen.choose(1, 25)
+      nEdges <- org.scalacheck.Gen.choose(0, 30)
+      edges <- org.scalacheck.Gen.listOfN(nEdges, for {
+        a <- org.scalacheck.Gen.choose(0L, nNodes - 1L)
+        b <- org.scalacheck.Gen.choose(0L, nNodes - 1L)
+      } yield (a, b))
+    } yield (nNodes, edges.filter(e => e._1 != e._2))
+    val prop = org.scalacheck.Prop.forAll(genGraph) { case (nNodes, edges) =>
+      val nodes = (0L until nNodes.toLong).map(Tuple1(_)).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      def run(threshold: Long) =
+        Dedup.clusterRepresentatives(nodes, pairs, "doc_id", maxIters = 10,
+            smallGraphThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      run(threshold = 1000000L) == run(threshold = 0L)
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, result.status.toString)
   }
 
   test("weighted candidates: matching_bands is a usable coarse estimate") {
@@ -272,6 +298,72 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == (("my own phrase my own phrase my own phrase", 3L, 0L)))
     assert(got(5L) == (("", 1L, 1L)), "fully-boilerplate doc keeps a row")
     assert(got.size == 5)
+  }
+
+  test("spanDedup keepFirst keeps exactly the smallest (doc, position) copy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma the same footer"),
+      (2L, "delta echo foxtrot the same footer"),
+      (3L, "golf hotel india the same footer juliet kilo lima"),
+      (5L, "the same footer"),
+      (4L, "unrelated words here")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text",
+        spanTokens = 3, minDocs = 3, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    // doc 1 holds the first occurrence (span_idx 1) and keeps it whole
+    assert(got(1L) == (("alpha beta gamma the same footer", 0L)))
+    assert(got(2L) == (("delta echo foxtrot", 1L)))
+    assert(got(3L) == (("golf hotel india juliet kilo lima", 1L)))
+    assert(got(5L) == (("", 1L)))
+    assert(got(4L) == (("unrelated words here", 0L)))
+  }
+
+  test("spanDedup reassembly invariants hold under a generated corpus (seeded sweep)") {
+    import spark.implicits._
+    // small vocabulary + short docs force heavy span collisions
+    val genDoc = for {
+      n <- org.scalacheck.Gen.choose(0, 12)
+      ws <- org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    val genCorpus = org.scalacheck.Gen.listOfN(8, genDoc)
+    val prop = org.scalacheck.Prop.forAll(genCorpus) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val spanTokens = 2
+      Seq(false, true).forall { kf =>
+        val rows = Dedup.spanDedup(df, "doc_id", "text", spanTokens,
+            minDocs = 2, keepFirst = kf)
+          .collect().map(r => r.getLong(0) ->
+            (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+        // local replay of the same rule
+        def spansOf(t: String): Vector[String] = {
+          val toks = t.trim.split("\\s+").filter(_.nonEmpty).toVector
+          val n = math.max(1, (toks.size + spanTokens - 1) / spanTokens)
+          (0 until n).toVector.map(i =>
+            toks.slice(i * spanTokens, i * spanTokens + spanTokens).mkString(" "))
+        }
+        val all = texts.zipWithIndex.flatMap { case (t, d) =>
+          spansOf(t).zipWithIndex.map { case (s, i) => (d.toLong, i, s) }
+        }
+        val boiler = all.groupBy(_._3)
+          .filter(_._2.map(_._1).distinct.size >= 2).keySet
+        rows.size == texts.size && texts.zipWithIndex.forall { case (t, d) =>
+          val sp = spansOf(t)
+          val keptLocal = sp.zipWithIndex.filter { case (s, i) =>
+            !boiler(s) || (kf && all.filter(_._3 == s)
+              .minBy(x => (x._1, x._2)) == ((d.toLong, i, s)))
+          }.map(_._1)
+          val (clean, nSpans, nRemoved) = rows(d.toLong)
+          clean == keptLocal.mkString(" ") &&
+            nSpans == sp.size.toLong &&
+            nRemoved == (sp.size - keptLocal.size).toLong
+        }
+      }
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(result.passed, result.status.toString)
   }
 
   test("spanDedup is a no-op below the document threshold") {
