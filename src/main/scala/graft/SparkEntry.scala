@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{Relational, RowExplosion}
 import graft.functions.ContentHash
-import graft.pipeline.{Dedup, Ivf, Multimodal, Packing, Similarity, Text}
+import graft.pipeline.{Dedup, Ivf, Multimodal, Packing, Pq, Similarity, Text}
 import graft.streaming.CdcApply
 import graft.validation.Diff
 
@@ -1211,6 +1211,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-64 BPE pre-tokenizer units by corpus frequency — the seed
+    * vocabulary for a subword tokenizer build; TakeOrderedAndProject,
+    * rank window only over the 64 survivors.
+    */
+  private def qBpeVocab(s: SparkSession, d: String): DataFrame = {
+    val top = Text.bpeVocab(t(s, d, "documents"), "text", k = 64)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("unit").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("unit"), col("n_occurrences"))
+      .orderBy(col("rank"))
+  }
+
+  /** Bigram-LM sufficient statistics against the corpus's own bigram
+    * counts — the order-sensitive quality signal (unigram models can't
+    * see scrambled text). Integer columns only, as q_unigram_lm.
+    */
+  private def qBigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Text.bigramStats(docs, "text", "doc_id",
+        model = Text.bigramModel(docs, "text"), minCount = 25L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Rademacher random projection 64 → 16 dims; sign planes keep every
     * projected coordinate exact in double arithmetic, so the gate
     * compares the raw doubles (long format: one row per coordinate).
@@ -1223,6 +1247,62 @@ object SparkEntry {
           .as(Seq("dim_idx", "proj")))
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("proj"))
       .orderBy(col("vec_id"), col("dim_idx"))
+
+  /** PQ encode/decode contract: per vector, the reconstruction from
+    * decode(encode(v)) must beat (<=, squared L2) the all-zeros code
+    * word — guaranteed by the per-subspace argmin, and false for many
+    * vectors if encode's slice indexing or decode's code→centroid map
+    * is off by one. Constant-TRUE oracle, like q_sim_ivf; PqSpec holds
+    * the tight bounds (determinism, MSE vs variance, ADC recall).
+    */
+  private def qPqCodes(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val model = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    def err(recon: org.apache.spark.sql.Column) =
+      aggregate(zip_with(col("embedding"), recon,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val zeros = typedLit((0 until model.m).map(_ => 0))
+    // codes bind to a column FIRST: decode references its input m×ksub
+    // times, and inlining the (large) encode expression there would
+    // square the expression tree (observed as a serialization OOM)
+    emb.select(col("vec_id"), col("embedding"),
+        Pq.encode(col("embedding"), model).as("__codes"))
+      .select(col("vec_id"),
+        (err(Pq.decode(col("__codes"), model)) <=
+          err(Pq.decode(zeros, model))).as("pq_reconstruction_optimal"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ asymmetric-distance contract: for every (query, neighbor) in
+    * the ADC top-10, the LUT-summed ADC distance must equal the squared
+    * L2 distance between the query and the neighbor's RECONSTRUCTION —
+    * a mathematical identity of ADC (the per-subspace decomposition),
+    * false under any LUT/code indexing slip. Tolerance 1e-9 covers the
+    * different association order (per-subspace partial sums vs one
+    * 64-term fold); neighbor ids depend on the trained codebooks, so
+    * the gate pins (query, rank, identity-held), not the ids.
+    */
+  private def qPqAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val model = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    val codes = emb.select(col("vec_id"),
+      Pq.encode(col("embedding"), model).as("codes"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val top = Pq.adcTopK(queries, codes, "vec_id", "embedding", "codes",
+      model, k = 10)
+    val recon = codes.select(col("vec_id").as("neighbor_id"),
+      Pq.decode(col("codes"), model).as("__recon"))
+    top.join(recon, "neighbor_id")
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv")), "query_id")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        (abs(col("adc_dist") -
+          aggregate(zip_with(col("__qv"), col("__recon"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v)) < 1e-9).as("adc_consistent"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** LSH-bucketed semantic dedup (SemDeDup rule): the oracle rebuilds
     * the seed-fixed hyperplane buckets and the within-bucket cosine
@@ -1242,8 +1322,12 @@ object SparkEntry {
     "q_span_dedup_first" -> (qSpanDedupFirst _),
     "q_bm25" -> (qBm25 _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_bigram_lm" -> (qBigramLm _),
+    "q_bpe_vocab" -> (qBpeVocab _),
     "q_rand_proj" -> (qRandProj _),
     "q_sem_dedup" -> (qSemDedup _),
+    "q_pq_codes" -> (qPqCodes _),
+    "q_pq_adc" -> (qPqAdc _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -1415,6 +1499,25 @@ object SparkEntry {
         "(SELECT * FROM scored WHERE n_matched > 0 ORDER BY score DESC, doc_id LIMIT 50) " +
         "ORDER BY rank"),
 
+    "q_bpe_vocab" ->
+      ("WITH u AS (SELECT unnest(regexp_extract_all(text, " +
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS unit FROM documents), " +
+        "c AS (SELECT unit, count(*) AS n_occurrences FROM u GROUP BY unit) " +
+        "SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, unit) AS BIGINT) " +
+        "AS rank, unit, n_occurrences FROM " +
+        "(SELECT * FROM c ORDER BY n_occurrences DESC, unit LIMIT 64) ORDER BY rank"),
+
+    "q_bigram_lm" ->
+      ("WITH d AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "big AS (SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, greatest(len(toks) - 1, 0)), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS term FROM d), " +
+        "model AS (SELECT term, count(*) AS c FROM big GROUP BY term) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN coalesce(c, 0) < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(sum(coalesce(c, 0)) AS BIGINT) AS sum_tf " +
+        "FROM big LEFT JOIN model USING (term) GROUP BY doc_id ORDER BY doc_id"),
+
     "q_unigram_lm" ->
       ("WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term FROM documents), " +
         "model AS (SELECT term, count(*) AS c FROM tok GROUP BY term) " +
@@ -1435,6 +1538,17 @@ object SparkEntry {
         "FROM pr, unnest(generate_series(0, 15)) AS g(i) " +
         "ORDER BY vec_id, dim_idx"
     },
+
+    // contract oracles (see qPqCodes/qPqAdc docs): constant expectation,
+    // hash matches iff the argmin/recall property held for every row
+    "q_pq_codes" ->
+      ("SELECT vec_id, TRUE AS pq_reconstruction_optimal " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q_pq_adc" ->
+      ("SELECT vec_id AS query_id, CAST(r AS BIGINT) AS rank, " +
+        "TRUE AS adc_consistent FROM embeddings, " +
+        "unnest(generate_series(1, 10)) AS g(r) WHERE vec_id < 5 " +
+        "ORDER BY query_id, rank"),
 
     // full replication of the LSH-bucketed SemDeDup rule (same strategy
     // as q_sim_lsh): seed-fixed planes inlined, 4-bit band codes, the

@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the third storage tier of the ANN stack
+  * (float32 → int8 [Similarity.quantizeInt8] → PQ codes), and the
+  * standard memory-bound ANN scan format: a dim-D float vector becomes
+  * `m` small codes (one per D/m-dim subspace, each the index of the
+  * nearest codebook centroid), a 32× compression at m=8, ksub=16 over
+  * 64 float32 dims.
+  *
+  * Scale design mirrors Ivf: codebooks are m × ksub × (D/m) doubles —
+  * driver-sized by construction — trained with the same deterministic
+  * Lloyd recipe (hash-seeded, exact-decimal centroid sums so partial-
+  * aggregation merge order can't drift a centroid by an ulp and flip a
+  * near-tie assignment). Training cost is one corpus pass per subspace
+  * per iteration; PQ codebooks are conventionally trained on a SAMPLE
+  * (callers pass `corpus.sample(...)` / a limit — the codebook quality
+  * saturates far below corpus size). Encoding is a scan-side
+  * projection; ADC scoring is a scan over fixed-width code rows with a
+  * per-query lookup table built in-plan — the corpus is never joined
+  * on anything wider than the (small, broadcast) query set.
+  */
+object Pq {
+
+  /** codebooks(j)(c) = centroid c of subspace j (length D/m each). */
+  final case class Model(codebooks: Array[Array[Array[Double]]]) extends Serializable {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.head.length
+    def dsub: Int = codebooks.head.head.length
+  }
+
+  private def subvector(vecCol: Column, j: Int, dsub: Int): Column =
+    slice(vecCol, j * dsub + 1, dsub)
+
+  /** Squared L2 distance between a (float or double) array column and a
+    * literal centroid, in double precision, left-to-right.
+    */
+  private def distSq(sub: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(sub, typedLit(centroid.toSeq),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Code for one subspace: index of the nearest centroid (first on
+    * ties — array_position returns the first match of the min).
+    */
+  private def subCode(sub: Column, codebook: Array[Array[Double]]): Column = {
+    val scores = array(codebook.map(c => distSq(sub, c)): _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** Train m codebooks of ksub centroids each. `dim` must divide by m.
+    *
+    * All m subspaces train TOGETHER: each Lloyd iteration is ONE
+    * distributed pass that assigns every subspace's code and aggregates
+    * per (subspace, centroid, dimension) means — 1 + iters jobs total
+    * instead of m × (1 + iters) (the per-subspace loop was 32 sequential
+    * jobs at m=16, iters=2, and job latency dominated training end to
+    * end). The collected update is m·ksub·(D/m) = ksub·D rows — driver-
+    * sized by construction, like Ivf's centroid collect.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, ksub: Int = 16, iters: Int = 3): Model = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // deterministic seeds: the ksub corpus vectors with the smallest
+    // hash(id), sliced per subspace (one collect of ksub full vectors)
+    val seedVecs = corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h")).limit(ksub)
+      .collect().map(_.getSeq[Any](0).map(_.toString.toDouble).toArray)
+    var codebooks = Array.tabulate(m)(j =>
+      seedVecs.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    (1 to iters).foreach { _ =>
+      val codes = graft.functions.PqExpressions.encode(col(vecCol), codebooks)
+      // rows (subspace j, code c, dim d, component x); exact decimal
+      // sums: see Ivf.train for the merge-order rationale
+      val sums = corpus
+        .select(col(vecCol).as("__v"), posexplode(codes).as(Seq("j", "c")))
+        .select(col("j"), col("c"), explode(expr(
+          s"transform(sequence(0, ${dsub - 1}), d -> " +
+            s"struct(d AS d, element_at(__v, j * $dsub + d + 1) AS x))")).as("e"))
+        .select(col("j"), col("c"), col("e.d").as("d"),
+          col("e.x").cast("double").as("x"))
+        .groupBy("j", "c", "d")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double") / count(lit(1))).as("mean"))
+        .collect()
+      val next = Array.tabulate(m)(j => codebooks(j).map(_.clone()))
+      sums.foreach(r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      codebooks = next
+    }
+    Model(codebooks)
+  }
+
+  /** PQ codes as an m-length int array — scan-side projection through
+    * the fused native kernel (graft.functions.PqEncode); the composed
+    * form below is the cross-check twin.
+    */
+  def encode(vecCol: Column, model: Model): Column =
+    graft.functions.PqExpressions.encode(vecCol, model.codebooks)
+
+  /** Composed-builtin twin of [[encode]] (m·ksub zip_with/aggregate
+    * subtrees — the expression tree itself is the cost at m=16; kept
+    * for the bit-identity cross-check in PqSpec).
+    */
+  def encodeHof(vecCol: Column, model: Model): Column =
+    array((0 until model.m).map(j =>
+      subCode(subvector(vecCol, j, model.dsub), model.codebooks(j))): _*)
+
+  /** Reconstruction (codebook centroid per subspace, concatenated). */
+  def decode(codesCol: Column, model: Model): Column =
+    graft.functions.PqExpressions.decode(codesCol, model.codebooks)
+
+  /** Asymmetric-distance top-k: exact query vector against PQ codes.
+    * The per-query lookup table (m × ksub squared distances) is built
+    * in-plan on the broadcast query side, so the corpus scan reads only
+    * (id, codes) rows and sums m table lookups per row — the
+    * memory-bandwidth-bound scan PQ exists for. Output:
+    * (query_id, rank, neighbor_id, adc_dist); ranks ties by neighbor.
+    */
+  def adcTopK(queries: DataFrame, corpusCodes: DataFrame, idCol: String,
+              vecCol: String, codesCol: String, model: Model, k: Int): DataFrame = {
+    val lut = graft.functions.PqExpressions.lut(col(vecCol), model.codebooks)
+    val q = queries.select(col(idCol).as("query_id"), lut.as("__lut"))
+    val scored = corpusCodes
+      .select(col(idCol).as("neighbor_id"), col(codesCol).as("__codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("__codes"), col("__lut"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, v) => acc + v).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+}

@@ -245,6 +245,62 @@ object Text {
           .as("sum_log_tf"))
   }
 
+  /** Top-k vocabulary of BPE pre-tokenizer units by corpus frequency —
+    * the seed table a subword-tokenizer build starts from. One unit
+    * explode + one hash aggregate (map-side partial keeps the shuffle
+    * at |unit vocabulary| keys); the top-k is orderBy+limit, which
+    * plans TakeOrderedAndProject (per-partition top-k, driver merge) —
+    * no global sort, no single-partition window. Ties break by unit
+    * text for determinism.
+    */
+  def bpeVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(regexp_extract_all(col(textCol), lit(BpePattern), lit(0)))
+        .as("unit"))
+      .groupBy(col("unit"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("unit").asc)
+      .limit(k)
+  }
+
+  /** Adjacent-token bigrams as an array column. The token array binds
+    * once via the single-element-array trick (see chunks); a doc with
+    * fewer than 2 tokens yields an empty array.
+    */
+  def bigrams(textColName: String): Column = {
+    val toks = s"filter(split(trim($textColName), '\\\\s+'), t -> t != '')"
+    expr(s"flatten(transform(array($toks), ts -> " +
+      "transform(sequence(1, greatest(size(ts) - 1, 0)), " +
+      "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))))")
+  }
+
+  /** Bigram analog of [[unigramStats]]: per document, integer sufficient
+    * statistics against a (term, term_freq_total) bigram model — the
+    * order-sensitive half of an n-gram-LM quality filter (a unigram
+    * model cannot see scrambled text; a bigram model can). Documents
+    * with fewer than 2 tokens produce no row (they have no bigrams),
+    * matching unigramStats' explode semantics for empty docs.
+    */
+  def bigramStats(df: DataFrame, textCol: String, idCol: String,
+                  model: DataFrame, minCount: Long = 2L): DataFrame = {
+    val big = df.select(col(idCol), explode(bigrams(textCol)).as("term"))
+    big.join(model.select(col("term"), col("term_freq_total")), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum((coalesce(col("term_freq_total"), lit(0L)) < minCount).cast("long"))
+          .as("n_oov"),
+        sum(coalesce(col("term_freq_total"), lit(0L))).as("sum_tf"))
+  }
+
+  /** Corpus bigram counts — the model table for [[bigramStats]], same
+    * shape as [[termStats]] restricted to what an LM join needs.
+    */
+  def bigramModel(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(bigrams(textCol)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("term_freq_total"))
+
   /** Shared winnowing shape: the gram-hash array is wrapped in a
     * single-element array and re-bound as a lambda variable, so it is
     * materialized ONCE per row — referencing `$grams` directly inside

@@ -26,7 +26,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_validate_summary", "q_heavy_hitters", "q_sim_topk",
     "q_cos_neardup", "q_ngram_jaccard", "q_sim_ivf",
     "q_containment", // same bounded verify tier as q_ngram_jaccard
-    "q_bm25")        // scalar-row cross join: the single (N, avgdl, df_t) stats row
+    "q_bm25",        // scalar-row cross join: the single (N, avgdl, df_t) stats row
+    "q_pq_adc")      // ADC scan: quadratic side is the broadcast query set (like q_sim_topk)
 
   test("no gate query plans an unlisted cartesian/nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

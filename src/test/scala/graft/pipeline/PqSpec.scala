@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // The synthetic embeddings are ISOTROPIC (no cluster structure:
+  // within-label and between-label cosine both ≈ 0) — the worst case
+  // rate-distortion allows. m=16, ksub=16 spends 1 bit/dim, for which
+  // theory predicts SSE/energy ≈ 2^(-2·1) = 0.25 on Gaussian data; the
+  // bounds below are set against that, not against clusterable data.
+  private lazy val emb = Tables.load(spark, TestSpark.sf, "embeddings").cache()
+  private lazy val model = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+
+  private lazy val vectors: Map[Long, Array[Double]] =
+    emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("training is deterministic and codebooks have the declared shape") {
+    val again = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    assert(model.m == 16 && model.ksub == 16 && model.dsub == 4)
+    def asSeq(cb: Array[Array[Array[Double]]]) =
+      cb.map(_.map(_.toSeq).toSeq).toSeq
+    assert(asSeq(model.codebooks) == asSeq(again.codebooks))
+  }
+
+  test("codes are the per-subspace argmin against the codebooks") {
+    val got = emb.select(col("vec_id"),
+        Pq.encode(col("embedding"), model).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (id <- Seq(0L, 1L, 13L, 99L)) {
+      val v = vectors(id)
+      val expect = (0 until model.m).map { j =>
+        val sub = v.slice(j * model.dsub, (j + 1) * model.dsub)
+        model.codebooks(j).zipWithIndex.minBy { case (c, i) => (d2(sub, c), i) }._2
+      }
+      assert(got(id) == expect, s"vec $id")
+    }
+  }
+
+  test("reconstruction captures most of the corpus variance") {
+    // PQ MSE must be well under the per-vector energy: quantizing to
+    // 8 codes of 16 centroids should not destroy the geometry
+    // two-step select: inlining encode inside decode squares the
+    // expression tree (decode reads its input m×ksub times)
+    val stats = emb
+      .select(col("embedding"), Pq.encode(col("embedding"), model).as("codes"))
+      .select(Pq.decode(col("codes"), model).as("r"), col("embedding"))
+      .select(
+        aggregate(zip_with(col("embedding"), col("r"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (a, v) => a + v).as("err"),
+        aggregate(col("embedding"),
+          lit(0.0), (a, v) => a + v.cast("double") * v.cast("double")).as("energy"))
+      .agg(sum(col("err")).as("sse"), sum(col("energy")).as("se"))
+      .collect().head
+    val ratio = stats.getDouble(0) / stats.getDouble(1)
+    // 1 bit/dim on isotropic data: theory ≈ 0.25, headroom for the
+    // short Lloyd budget and non-Gaussian marginals
+    assert(ratio < 0.45, s"PQ reconstruction lost too much: SSE/energy = $ratio")
+  }
+
+  test("adc top-k achieves reasonable recall against exact search") {
+    val codes = emb.select(col("vec_id"), Pq.encode(col("embedding"), model).as("codes"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val approx = Pq.adcTopK(queries, codes, "vec_id", "embedding", "codes", model, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // isotropic data is ANN's worst case (top-5 barely separated from
+    // the bulk); 1-bit/dim ADC must still beat the 2% chance baseline
+    // by an order of magnitude
+    assert(recall >= 0.3, s"ADC recall@10-vs-exact@5 too low: $recall")
+    // adc distances are non-negative and ranked ascending per query
+    val rows = Pq.adcTopK(queries.limit(3), codes, "vec_id", "embedding", "codes", model, k = 5)
+      .collect()
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.sameElements(byRank.sorted))
+    }
+  }
+
+  test("native encode kernel is bit-identical to the composed HOF form") {
+    val native = emb.select(col("vec_id"), Pq.encode(col("embedding"), model).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = emb.select(col("vec_id"), Pq.encodeHof(col("embedding"), model).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == hof)
+  }
+
+  test("train rejects a dimension that does not split into m subspaces") {
+    import spark.implicits._
+    val odd = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](Pq.train(odd, "vec_id", "embedding", m = 2))
+  }
+}
