@@ -81,19 +81,28 @@ object Ivf {
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       assignment(col(vecCol), model).as("bucket"))
 
-  /** Top-k with nProbe probes: queries fan out to their nProbe best
-    * buckets, join the index on bucket, exact re-rank inside.
+  /** (query_id, qv, bucket) rows for each query's nProbe best-scoring
+    * centroids — the probe fan-out shared by exact re-rank ([[topK]])
+    * and ADC re-rank (Pq.ivfAdcTopK).
     */
-  def topK(queries: DataFrame, indexed: DataFrame, idCol: String, vecCol: String,
-           model: Model, k: Int, nProbe: Int): DataFrame = {
+  def probeBuckets(queries: DataFrame, idCol: String, vecCol: String,
+                   model: Model, nProbe: Int): DataFrame = {
     val probeRank = Window.partitionBy("query_id").orderBy(col("score").desc, col("bucket").asc)
-    val probes = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),
         posexplode(scoreArray(col("qv"), model.centroids)).as(Seq("bucket", "score")))
       .withColumn("__pr", row_number().over(probeRank))
       .filter(col("__pr") <= nProbe)
       .select("query_id", "qv", "bucket")
+  }
+
+  /** Top-k with nProbe probes: queries fan out to their nProbe best
+    * buckets, join the index on bucket, exact re-rank inside.
+    */
+  def topK(queries: DataFrame, indexed: DataFrame, idCol: String, vecCol: String,
+           model: Model, k: Int, nProbe: Int): DataFrame = {
+    val probes = probeBuckets(queries, idCol, vecCol, model, nProbe)
     val scored = probes.join(indexed, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -142,4 +142,38 @@ object Pq {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
+
+  /** IVF-PQ: the production ANN layout at corpus scale — IVF buckets
+    * prune WHICH rows are scanned (~nProbe/k_ivf of the corpus), PQ
+    * codes shrink WHAT each scanned row costs (m bytes + m lookups, no
+    * vector read). `indexedCodes` is the persisted index frame:
+    * (idCol, bucket, codesCol) — built once via
+    * `Ivf.index(...)` + `Pq.encode(...)`, vectors not required at
+    * query time. The probe fan-out and the code scan join on the
+    * bucket key only; nothing wider than (id, m codes) moves.
+    */
+  def ivfAdcTopK(queries: DataFrame, indexedCodes: DataFrame, idCol: String,
+                 vecCol: String, codesCol: String, bucketCol: String,
+                 ivfModel: Ivf.Model, pqModel: Model, k: Int, nProbe: Int): DataFrame = {
+    // one LUT per query (not per probe row); both the probe pairs and
+    // the LUTs broadcast — the corpus-side code scan stays untouched
+    val luts = queries.select(col(idCol).as("query_id"),
+      graft.functions.PqExpressions.lut(col(vecCol), pqModel.codebooks).as("__lut"))
+    val probes = Ivf.probeBuckets(queries, idCol, vecCol, ivfModel, nProbe)
+      .select(col("query_id"), col("bucket").as(bucketCol))
+    val scored = probes
+      .join(indexedCodes.select(col(idCol).as("neighbor_id"),
+        col(bucketCol), col(codesCol).as("__codes")), bucketCol)
+      .join(broadcast(luts), "query_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("__codes"), col("__lut"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, v) => acc + v).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
 }

@@ -95,6 +95,36 @@ class PqSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("ivf-pq composition: pruned ADC search over the persisted code index") {
+    val ivf = Ivf.train(emb, "vec_id", "embedding", k = 10, iters = 2)
+    // the persisted index: (id, bucket, codes) — no vectors at query time
+    val indexedCodes = Ivf.index(emb, "vec_id", "embedding", ivf)
+      .select(col("neighbor_id").as("vec_id"), col("bucket"))
+      .join(emb.select(col("vec_id"),
+        Pq.encode(col("embedding"), model).as("codes")), "vec_id")
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Pq.ivfAdcTopK(queries, indexedCodes, "vec_id", "embedding",
+      "codes", "bucket", ivf, model, k = 5, nProbe = 4).collect()
+    // shape: <= 5 ranked rows per query, distances ascending, no self
+    assert(got.groupBy(_.getLong(0)).size == 10)
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.length <= 5)
+      assert(!g.exists(r => r.getLong(0) == r.getLong(2)))
+      val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.sameElements(byRank.sorted))
+    }
+    // pruning is real: every returned neighbor lives in one of the
+    // query's nProbe probed buckets
+    val bucketOf = indexedCodes.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = Ivf.probeBuckets(queries, "vec_id", "embedding", ivf, nProbe = 4)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getInt(2)).toSet }
+    got.foreach { r =>
+      assert(probed(r.getLong(0)).contains(bucketOf(r.getLong(2))),
+        s"neighbor ${r.getLong(2)} outside query ${r.getLong(0)}'s probed buckets")
+    }
+  }
+
   test("train rejects a dimension that does not split into m subspaces") {
     import spark.implicits._
     val odd = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
