@@ -575,6 +575,11 @@ object Dedup {
                 keepFirst: Boolean = false): DataFrame = {
     require(spanTokens > 0 && minDocs > 1,
       s"need spanTokens > 0 and minDocs > 1, got $spanTokens / $minDocs")
+    val reserved = Set("span", "span_idx", "clean_text", "n_spans", "n_kept",
+      "n_removed", "n_docs", "__w", "__wid", "__widx")
+    for (c <- df.columns if reserved(c) && c != idCol)
+      throw new IllegalArgumentException(
+        s"spanDedup: column $c collides with a reserved internal/output name")
     val spans = df.select(col(idCol),
       posexplode(graft.pipeline.Text.chunks(textColName, spanTokens, 0))
         .as(Seq("span_idx", "span")))

@@ -208,6 +208,12 @@ object Similarity {
                     planes: Array[Array[Double]], bandBits: Int,
                     threshold: Double,
                     maxBucketSize: Int = 10000): DataFrame = {
+    require(maxBucketSize > 0, "maxBucketSize must be positive")
+    val reserved = Set("__id", "__bn", "__vid", "__v", "band", "chunk",
+      "id_a", "id_b", "is_kept", "dup_of")
+    for (c <- df.columns if reserved(c) && c != idCol)
+      throw new IllegalArgumentException(
+        s"semanticDedup: column $c collides with a reserved internal/output name")
     val banded = df.select(col(idCol).as("__id"),
         posexplode(bandCodes(col(vecCol), planes, bandBits)).as(Seq("band", "chunk")))
     // materialized once (eager, fixed-width id+band+code rows) because

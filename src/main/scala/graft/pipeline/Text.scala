@@ -185,6 +185,12 @@ object Text {
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.size <= 64,
       s"queryTerms must be 1..64 scan-side expressions, got ${queryTerms.size}")
+    val reserved = Set("dl", "n_matched", "score") ++
+      queryTerms.indices.flatMap(i => Seq(s"__tf_$i", s"__df_$i")) ++
+      Set("__n", "__avgdl")
+    for (c <- df.columns if reserved(c) && c != idCol)
+      throw new IllegalArgumentException(
+        s"bm25: column $c collides with a reserved internal/output name")
     val toks = tokens(col(textCol))
     val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf_$i")
@@ -232,6 +238,8 @@ object Text {
     */
   def unigramStats(df: DataFrame, textCol: String, idCol: String,
                    model: DataFrame, minCount: Long = 2L): DataFrame = {
+    require(idCol != "term" && idCol != "term_freq_total",
+      "term/term_freq_total are reserved by the model join — rename the id column")
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     tok.join(model.select(col("term"), col("term_freq_total")), Seq("term"), "left")
       .groupBy(col(idCol))
@@ -283,6 +291,8 @@ object Text {
     */
   def bigramStats(df: DataFrame, textCol: String, idCol: String,
                   model: DataFrame, minCount: Long = 2L): DataFrame = {
+    require(idCol != "term" && idCol != "term_freq_total",
+      "term/term_freq_total are reserved by the model join — rename the id column")
     val big = df.select(col(idCol), explode(bigrams(textCol)).as("term"))
     big.join(model.select(col("term"), col("term_freq_total")), Seq("term"), "left")
       .groupBy(col(idCol))

@@ -366,6 +366,14 @@ class DedupSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("spanDedup rejects input columns colliding with reserved names") {
+    import spark.implicits._
+    val bad = Seq((1L, "a b", "x")).toDF("doc_id", "text", "span")
+    val e = intercept[IllegalArgumentException](
+      Dedup.spanDedup(bad, "doc_id", "text", 2, 2))
+    assert(e.getMessage.contains("span"))
+  }
+
   test("spanDedup is a no-op below the document threshold") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")

@@ -161,6 +161,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("semanticDedup and bm25 reject reserved-name collisions eagerly") {
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(numPlanes = 8, dim = 2)
+    val bad = Seq((1L, Array(1.0f, 0.0f), true))
+      .toDF("vec_id", "embedding", "is_kept")
+    assert(intercept[IllegalArgumentException](
+      Similarity.semanticDedup(bad, "vec_id", "embedding", planes, 4, 0.9))
+      .getMessage.contains("is_kept"))
+    val badText = Seq((1L, "a", 2.0)).toDF("doc_id", "text", "score")
+    assert(intercept[IllegalArgumentException](
+      Text.bm25(badText, "text", "doc_id", Seq("a")))
+      .getMessage.contains("score"))
+    assert(intercept[IllegalArgumentException](
+      Text.unigramStats(Seq(("a", "b")).toDF("term", "text"), "text", "term",
+        Seq(("a", 1L)).toDF("term", "term_freq_total")))
+      .getMessage.contains("term"))
+  }
+
   test("semanticDedup on the corpus: every drop is justified by exact cosine") {
     val planes = Similarity.hyperplanes(numPlanes = 80, dim = 64)
     val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
