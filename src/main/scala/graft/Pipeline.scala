@@ -102,7 +102,7 @@ object Pipeline {
     val v = cfg.validation.getOrElse(
       throw new IllegalArgumentException("repair requires a validation block"))
     val targetPath = cfg.target match {
-      case TargetConfig.Parquet(p, _, _, _, _) => p
+      case TargetConfig.Parquet(p, _, _, _, _, _) => p
       case other => throw new IllegalArgumentException(s"unsupported repair target: $other")
     }
     val src = transform(read(spark, cfg), cfg)
@@ -126,12 +126,15 @@ object Pipeline {
   }
 
   def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
-    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy) =>
+    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords) =>
       // sortWithinPartitions clusters each output file on the sort key:
       // parquet min/max row-group stats then let downstream scans skip
       // row groups on those columns (data-skipping without a shuffle)
       val sorted = if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.map(col): _*) else df
-      val w = sorted.write.mode(mode).option("compression", compression)
+      var w = sorted.write.mode(mode).option("compression", compression)
+      // per-write option (not a session conf): bounds file size without
+      // a shuffle — the writer rolls files mid-task
+      if (maxRecords > 0) w = w.option("maxRecordsPerFile", maxRecords)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     case TargetConfig.DynamoS3Export(path) =>
       DdbTables.writeS3Export(df, path)
@@ -174,7 +177,7 @@ object Pipeline {
     } finally manager.foreach(_.close())
 
     val validation = (cfg.validation, cfg.target) match {
-      case (Some(v), TargetConfig.Parquet(path, _, _, _, _)) =>
+      case (Some(v), TargetConfig.Parquet(path, _, _, _, _, _)) =>
         // validate against the FULL source: skipFiles marks files already
         // copied by a previous run — their rows ARE in the target, so a
         // skipping read would misreport them as extra_target on a correct

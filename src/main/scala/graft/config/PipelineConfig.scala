@@ -46,8 +46,9 @@ final case class PipelineConfig(
           s"where=${j.where.map(_ => "<redacted>")}, columns=${j.columns})"
     }
     def tgt = target match {
-      case TargetConfig.Parquet(p, m, c, pb, sb) =>
-        s"parquet(path=$p, mode=$m, compression=$c, partitionBy=$pb, sortBy=$sb)"
+      case TargetConfig.Parquet(p, m, c, pb, sb, mr) =>
+        s"parquet(path=$p, mode=$m, compression=$c, partitionBy=$pb, sortBy=$sb" +
+          (if (mr > 0) s", maxRecordsPerFile=$mr" else "") + ")"
       case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
       case c: TargetConfig.Csv =>
         s"csv(path=${c.path}, mode=${c.mode}, header=${c.header}, delimiter=${c.delimiter})"
@@ -150,14 +151,22 @@ object SourceConfig {
 
 sealed trait TargetConfig
 object TargetConfig {
+  /** `maxRecordsPerFile` bounds output file size WITHOUT a shuffle
+    * (the writer rolls to a new file mid-task) — the knob that keeps a
+    * 100 TB write from producing multi-GB files no scan can split
+    * effectively, or a coalesced task from emitting one giant file.
+    * 0 = engine default (unbounded per task).
+    */
   final case class Parquet(path: String, mode: String, compression: String,
                            partitionBy: List[String] = Nil,
-                           sortBy: List[String] = Nil) extends TargetConfig {
+                           sortBy: List[String] = Nil,
+                           maxRecordsPerFile: Long = 0L) extends TargetConfig {
     def validate: Either[String, Parquet] = {
       val modes = Set("overwrite", "append", "errorifexists", "ignore")
       val codecs = Set("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
       if (!modes.contains(mode.toLowerCase)) Left(s"invalid parquet write mode: $mode")
       else if (!codecs.contains(compression.toLowerCase)) Left(s"invalid compression: $compression")
+      else if (maxRecordsPerFile < 0) Left(s"maxRecordsPerFile must be >= 0, got $maxRecordsPerFile")
       else Right(this)
     }
   }
@@ -228,6 +237,7 @@ object PipelineConfig {
       "source.schema", "source.header", "source.delimiter", "source.inferSchema",
       "target.type", "target.path", "target.mode", "target.compression",
       "target.partitionBy", "target.sortBy", "target.header", "target.delimiter",
+      "target.maxRecordsPerFile",
       "renames", "savepoints.dir", "skipFiles",
       "transforms",
       "transform.dedupExact.idColumn", "transform.dedupExact.textColumn",
@@ -300,7 +310,8 @@ object PipelineConfig {
             map.getOrElse("target.mode", "errorifexists"),
             map.getOrElse("target.compression", "snappy"),
             list("target.partitionBy"),
-            list("target.sortBy")).validate)
+            list("target.sortBy"),
+            map.getOrElse("target.maxRecordsPerFile", "0").toLong).validate)
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))

@@ -149,6 +149,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("target.maxRecordsPerFile bounds output file size without a shuffle") {
+    val tmp = Files.createTempDirectory("graft-maxrec")
+    val out = tmp.resolve("out").toString
+    val cfg = PipelineConfig.parse(cfgText(s"${TestSpark.sf}/orders.parquet", out,
+      "target.maxRecordsPerFile: 100\n")).toOption.get
+    Pipeline.run(spark, cfg)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    val total = spark.read.parquet(out).count()
+    assert(files.length >= (total / 100).toInt,
+      s"expected the writer to roll files every 100 rows: ${files.length} files / $total rows")
+    files.foreach { f =>
+      val n = spark.read.parquet(f.toString).count()
+      assert(n <= 100, s"${f.getName} has $n rows > maxRecordsPerFile")
+    }
+    // rows survive intact
+    assert(total == spark.read.parquet(s"${TestSpark.sf}/orders.parquet").count())
+    // invalid values are load-time errors
+    assert(PipelineConfig.parse(cfgText("/x", "/y",
+      "target.maxRecordsPerFile: -5\n")).isLeft)
+  }
+
   test("dynamo-s3-export arm reads through the connector; skipFiles prunes files") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-ddb-arm")
