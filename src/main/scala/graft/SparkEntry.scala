@@ -1211,6 +1211,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Text normalization over an in-plan-mutated corpus (the q_hash_refine
+    * pattern: the synthetic text is already clean, so deterministic
+    * case/whitespace/control damage is injected first and the
+    * normalizer must undo it; `changed` pins which rows needed work).
+    */
+  private def qNormalize(s: SparkSession, d: String): DataFrame = {
+    val damaged = t(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, upper(col("text")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("  "), regexp_replace(col("text"), " ", "   "), expr("chr(9)")))
+        .otherwise(col("text")).as("text"))
+    damaged.select(col("doc_id"),
+        Text.normalize(col("text")).as("norm_text"),
+        (Text.normalize(col("text")) =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-64 BPE pre-tokenizer units by corpus frequency — the seed
     * vocabulary for a subword tokenizer build; TakeOrderedAndProject,
     * rank window only over the 64 survivors.
@@ -1324,6 +1341,7 @@ object SparkEntry {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_bpe_vocab" -> (qBpeVocab _),
+    "q_normalize" -> (qNormalize _),
     "q_rand_proj" -> (qRandProj _),
     "q_sem_dedup" -> (qSemDedup _),
     "q_pq_codes" -> (qPqCodes _),
@@ -1498,6 +1516,17 @@ object SparkEntry {
         "doc_id, dl, n_matched FROM " +
         "(SELECT * FROM scored WHERE n_matched > 0 ORDER BY score DESC, doc_id LIMIT 50) " +
         "ORDER BY rank"),
+
+    "q_normalize" ->
+      ("WITH damaged AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 3 = 0 THEN upper(text) " +
+        "WHEN doc_id % 3 = 1 THEN concat('  ', regexp_replace(text, ' ', '   ', 'g'), chr(9)) " +
+        "ELSE text END AS text FROM documents), " +
+        "n AS (SELECT doc_id, text, lower(trim(regexp_replace(" +
+        "regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g'))) " +
+        "AS norm_text FROM damaged) " +
+        "SELECT doc_id, norm_text, norm_text != text AS changed " +
+        "FROM n ORDER BY doc_id"),
 
     "q_bpe_vocab" ->
       ("WITH u AS (SELECT unnest(regexp_extract_all(text, " +

@@ -217,8 +217,11 @@ object Similarity {
     val banded = df.select(col(idCol).as("__id"),
         posexplode(bandCodes(col(vecCol), planes, bandBits)).as(Seq("band", "chunk")))
     // materialized once (eager, fixed-width id+band+code rows) because
-    // both sides of the candidate self-join read it — same rationale as
-    // Dedup.keptFrame
+    // both sides of the candidate self-join read it — same rationale,
+    // and the same block lifecycle, as Dedup.keptFrame: the checkpoint
+    // blocks stay pinned until session end unless the caller releases
+    // them via GraftColumnBridge.unpersistLocalCheckpoint AFTER fully
+    // consuming the result (they are the only copy of the banded frame)
     val capped = banded
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("chunk"))))

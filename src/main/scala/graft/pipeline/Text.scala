@@ -253,6 +253,18 @@ object Text {
           .as("sum_log_tf"))
   }
 
+  /** Canonical text normalization — step 0 of every corpus pipeline,
+    * and the key-preparation pass for exact dedup (un-normalized exact
+    * dedup misses case/whitespace variants of the same document):
+    * control characters → space, whitespace runs collapsed to one
+    * space, trimmed, lowercased. ASCII-scoped patterns on purpose: the
+    * result is engine-portable (RE2/Java regex agree), where Unicode
+    * case folding would diverge by ICU version.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " ")))
+
   /** Top-k vocabulary of BPE pre-tokenizer units by corpus frequency —
     * the seed table a subword-tokenizer build starts from. One unit
     * explode + one hash aggregate (map-side partial keeps the shuffle

@@ -95,6 +95,21 @@ class TextSpec extends AnyFunSuite {
     assert(r.getLong(1) > 2) // long word contributes extra subword units
   }
 
+  test("normalize: case, control chars, whitespace runs, idempotence") {
+    val df = Seq(
+      "Hello   WORLD",
+      "tab\therectrl",
+      " padded  ",
+      "already clean",
+      "").toDF("text")
+    val got = df.select(Text.normalize(col("text")).as("n")).as[String].collect().toSeq
+    assert(got == Seq("hello world", "tab here ctrl", "padded", "already clean", ""))
+    // idempotent: normalizing a normalized text is a no-op
+    val twice = df.select(Text.normalize(Text.normalize(col("text"))).as("n"))
+      .as[String].collect().toSeq
+    assert(twice == got)
+  }
+
   test("bm25: idf ranks selective terms above ubiquitous ones; dl normalizes") {
     // 'rare' appears in 1 of 4 docs, 'common' in all 4: a doc matching
     // only 'rare' must outrank one matching only 'common' at equal tf/dl
