@@ -72,6 +72,12 @@ object Pipeline {
       var df = r.json(path)
       df = where.fold(df)(w => df.filter(expr(w)))
       columns.fold(df)(cs => Relational.selectResolved(df, cs))
+    case SourceConfig.Orc(path, where, columns) =>
+      // same pushdown path as parquet: filters reach the ORC reader's
+      // PushedFilters, projections prune the read schema
+      var df = spark.read.orc(path)
+      df = where.fold(df)(w => df.filter(expr(w)))
+      columns.fold(df)(cs => Relational.selectResolved(df, cs))
   }
 
   def transform(df: DataFrame, cfg: PipelineConfig): DataFrame =
@@ -144,6 +150,8 @@ object Pipeline {
         .csv(path)
     case TargetConfig.Json(path, mode, compression) =>
       df.write.mode(mode).option("compression", compression).json(path)
+    case TargetConfig.Orc(path, mode, compression) =>
+      df.write.mode(mode).option("compression", compression).orc(path)
   }
 
   /** Copy with optional file-level resume (parquet sources) and a final

@@ -44,6 +44,9 @@ final case class PipelineConfig(
       case j: SourceConfig.Json =>
         s"json(path=${j.path}, schema=${j.schema.isDefined}, " +
           s"where=${j.where.map(_ => "<redacted>")}, columns=${j.columns})"
+      case o: SourceConfig.Orc =>
+        s"orc(path=${o.path}, where=${o.where.map(_ => "<redacted>")}, " +
+          s"columns=${o.columns})"
     }
     def tgt = target match {
       case TargetConfig.Parquet(p, m, c, pb, sb, mr) =>
@@ -53,6 +56,8 @@ final case class PipelineConfig(
       case c: TargetConfig.Csv =>
         s"csv(path=${c.path}, mode=${c.mode}, header=${c.header}, delimiter=${c.delimiter})"
       case j: TargetConfig.Json => s"json(path=${j.path}, mode=${j.mode})"
+      case o: TargetConfig.Orc =>
+        s"orc(path=${o.path}, mode=${o.mode}, compression=${o.compression})"
     }
     s"PipelineConfig(source=$src, target=$tgt, renames=${renames.size}, " +
       s"skipFiles=${skipFiles.size}, validation=${validation.isDefined}, " +
@@ -147,6 +152,11 @@ object SourceConfig {
                        where: Option[String], columns: Option[List[String]]) extends SourceConfig
   final case class Json(path: String, schema: Option[String], inferSchema: Boolean,
                         where: Option[String], columns: Option[List[String]]) extends SourceConfig
+  /** ORC scan — the other columnar lake format; same pushdown/pruning
+    * path as parquet (filters and projections reach the ORC reader).
+    */
+  final case class Orc(path: String, where: Option[String],
+                       columns: Option[List[String]]) extends SourceConfig
 }
 
 sealed trait TargetConfig
@@ -174,6 +184,15 @@ object TargetConfig {
   final case class Csv(path: String, mode: String, header: Boolean,
                        delimiter: String, compression: String) extends TargetConfig
   final case class Json(path: String, mode: String, compression: String) extends TargetConfig
+  final case class Orc(path: String, mode: String, compression: String) extends TargetConfig {
+    def validate: Either[String, Orc] = {
+      val modes = Set("overwrite", "append", "errorifexists", "ignore")
+      val codecs = Set("snappy", "zlib", "zstd", "lz4", "lzo", "none", "uncompressed")
+      if (!modes.contains(mode.toLowerCase)) Left(s"invalid orc write mode: $mode")
+      else if (!codecs.contains(compression.toLowerCase)) Left(s"invalid orc compression: $compression")
+      else Right(this)
+    }
+  }
 }
 
 final case class ValidationConfig(
@@ -300,6 +319,10 @@ object PipelineConfig {
         } yield SourceConfig.Json(p, schema, infer,
           map.get("source.where"),
           map.get("source.columns").map(_ => list("source.columns")))
+      case Some("orc") =>
+        map.get("source.path").toRight("source.path required")
+          .map(p => SourceConfig.Orc(p, map.get("source.where"),
+            map.get("source.columns").map(_ => list("source.columns"))))
       case other => Left(s"unsupported source.type: ${other.getOrElse("<missing>")}")
     }
 
@@ -327,6 +350,11 @@ object PipelineConfig {
           .map(p => TargetConfig.Json(p,
             map.getOrElse("target.mode", "errorifexists"),
             map.getOrElse("target.compression", "none")))
+      case Some("orc") =>
+        map.get("target.path").toRight("target.path required")
+          .flatMap(p => TargetConfig.Orc(p,
+            map.getOrElse("target.mode", "errorifexists"),
+            map.getOrElse("target.compression", "snappy")).validate)
       case other => Left(s"unsupported target.type: ${other.getOrElse("<missing>")}")
     }
 

@@ -72,5 +72,12 @@ object SqlFunctions {
       }
       expr(graft.pipeline.Dedup.shinglesOf(col(exprs.head), n))
     }, "built-in")
+
+    // graft_normalize(text STRING) -> STRING (canonical corpus text:
+    // control chars -> space, whitespace collapsed, trimmed, lowercased)
+    reg.createOrReplaceTempFunction("graft_normalize", exprs => {
+      require(exprs.length == 1, "graft_normalize takes exactly 1 argument")
+      expr(graft.pipeline.Text.normalize(col(exprs.head)))
+    }, "built-in")
   }
 }

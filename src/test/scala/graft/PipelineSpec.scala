@@ -248,6 +248,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(noSchema.isLeft && noSchema.swap.toOption.get.contains("inferSchema"))
   }
 
+  test("orc source/target arms round-trip with pushdown semantics") {
+    val tmp = Files.createTempDirectory("graft-orc")
+    val orcIn = tmp.resolve("in").toString
+    val out = tmp.resolve("out").toString
+    // stage an ORC copy of orders
+    spark.read.parquet(s"${TestSpark.sf}/orders.parquet").write.orc(orcIn)
+    val cfg = PipelineConfig.parse(
+      s"""source.type: orc
+         |source.path: $orcIn
+         |source.where: o_totalprice > 50000
+         |source.columns: o_orderkey,o_totalprice
+         |target.type: orc
+         |target.path: $out
+         |target.mode: overwrite
+         |target.compression: zstd""".stripMargin).toOption.get
+    Pipeline.run(spark, cfg)
+    val got = spark.read.orc(out)
+    assert(got.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
+    val expected = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .filter(col("o_totalprice") > 50000).count()
+    assert(got.count() == expected && expected > 0)
+    // the where clause reaches the ORC reader as a pushed filter
+    val plan = Pipeline.read(spark, cfg).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"filter not pushed into the orc scan:\n$plan")
+    // invalid codec is a load-time error
+    assert(PipelineConfig.parse(
+      s"source.type: orc\nsource.path: /x\ntarget.type: orc\ntarget.path: /y\n" +
+        "target.compression: nope").isLeft)
+  }
+
   test("validation detects a corrupted target") {
     val tmp = Files.createTempDirectory("graft-corrupt")
     val out = tmp.resolve("out").toString

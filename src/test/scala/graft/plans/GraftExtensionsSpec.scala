@@ -84,6 +84,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |      cast(0.0 as double), (a, b) -> greatest(a, b))
         |    > (qv.mx - qv.mn) / 255.0 / 2.0 + 1e-12""".stripMargin)
     assert(bad.count() == 0)
+
+    // normalize from pure SQL
+    assert(spark.sql("SELECT graft_normalize('  A \tB  ') AS n").head().getString(0)
+      == "a b")
   }
 
   test("rule leaves non-cosine aggregates alone") {
