@@ -40,6 +40,19 @@ object Bench {
       sources.DdbTables.writeS3Export(items, tmp)
       s.read.format(sources.v2.DdbExportSource.Name).option("path", tmp).load().count()
     }
+    // PQ ANN layout end to end: train codebooks, persist the compressed
+    // (id, codes) index, ADC-search it — the memory-bound scan format
+    benchScenario("pq_index_search", spark, sfDir, "embeddings") { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = pipeline.Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pq")
+        .resolve("codes").toString
+      emb.select(col("vec_id"),
+        pipeline.Pq.encode(col("embedding"), model).as("codes")).write.parquet(tmp)
+      pipeline.Pq.adcTopK(emb.filter(col("vec_id") < 20), s.read.parquet(tmp),
+        "vec_id", "embedding", "codes", model, k = 10).count()
+    }
     benchScenario("asof_join", spark, sfDir, "events") { (s, dir) =>
       SparkEntry.queries("q_asof_join")(s, dir).count()
     }

@@ -108,7 +108,7 @@ object Pipeline {
     val v = cfg.validation.getOrElse(
       throw new IllegalArgumentException("repair requires a validation block"))
     val targetPath = cfg.target match {
-      case TargetConfig.Parquet(p, _, _, _, _, _) => p
+      case TargetConfig.Parquet(p, _, _, _, _, _, _) => p
       case other => throw new IllegalArgumentException(s"unsupported repair target: $other")
     }
     val src = transform(read(spark, cfg), cfg)
@@ -132,11 +132,19 @@ object Pipeline {
   }
 
   def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
-    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords) =>
+    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords, globalSortBy) =>
       // sortWithinPartitions clusters each output file on the sort key:
       // parquet min/max row-group stats then let downstream scans skip
-      // row groups on those columns (data-skipping without a shuffle)
-      val sorted = if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.map(col): _*) else df
+      // row groups on those columns (data-skipping without a shuffle).
+      // globalSortBy adds the one range exchange that buys a TOTAL order
+      // across files (range partitioner samples the key distribution, so
+      // skewed keys still split evenly)
+      val sorted =
+        if (globalSortBy.nonEmpty)
+          df.repartitionByRange(globalSortBy.map(col): _*)
+            .sortWithinPartitions(globalSortBy.map(col): _*)
+        else if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.map(col): _*)
+        else df
       var w = sorted.write.mode(mode).option("compression", compression)
       // per-write option (not a session conf): bounds file size without
       // a shuffle — the writer rolls files mid-task
@@ -185,7 +193,7 @@ object Pipeline {
     } finally manager.foreach(_.close())
 
     val validation = (cfg.validation, cfg.target) match {
-      case (Some(v), TargetConfig.Parquet(path, _, _, _, _, _)) =>
+      case (Some(v), TargetConfig.Parquet(path, _, _, _, _, _, _)) =>
         // validate against the FULL source: skipFiles marks files already
         // copied by a previous run — their rows ARE in the target, so a
         // skipping read would misreport them as extra_target on a correct

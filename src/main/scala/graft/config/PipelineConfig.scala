@@ -49,9 +49,10 @@ final case class PipelineConfig(
           s"columns=${o.columns})"
     }
     def tgt = target match {
-      case TargetConfig.Parquet(p, m, c, pb, sb, mr) =>
+      case TargetConfig.Parquet(p, m, c, pb, sb, mr, gsb) =>
         s"parquet(path=$p, mode=$m, compression=$c, partitionBy=$pb, sortBy=$sb" +
-          (if (mr > 0) s", maxRecordsPerFile=$mr" else "") + ")"
+          (if (mr > 0) s", maxRecordsPerFile=$mr" else "") +
+          (if (gsb.nonEmpty) s", globalSortBy=$gsb" else "") + ")"
       case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
       case c: TargetConfig.Csv =>
         s"csv(path=${c.path}, mode=${c.mode}, header=${c.header}, delimiter=${c.delimiter})"
@@ -167,16 +168,27 @@ object TargetConfig {
     * effectively, or a coalesced task from emitting one giant file.
     * 0 = engine default (unbounded per task).
     */
+  /** `sortBy` clusters rows WITHIN each output file (no shuffle;
+    * row-group stats enable data skipping). `globalSortBy` produces a
+    * TOTAL order across files (one range-partitioning shuffle: file N's
+    * max key <= file N+1's min), the layout for binary-searchable
+    * corpora and maximal min/max pruning — mutually exclusive with
+    * sortBy, which it subsumes.
+    */
   final case class Parquet(path: String, mode: String, compression: String,
                            partitionBy: List[String] = Nil,
                            sortBy: List[String] = Nil,
-                           maxRecordsPerFile: Long = 0L) extends TargetConfig {
+                           maxRecordsPerFile: Long = 0L,
+                           globalSortBy: List[String] = Nil) extends TargetConfig {
     def validate: Either[String, Parquet] = {
       val modes = Set("overwrite", "append", "errorifexists", "ignore")
       val codecs = Set("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
       if (!modes.contains(mode.toLowerCase)) Left(s"invalid parquet write mode: $mode")
       else if (!codecs.contains(compression.toLowerCase)) Left(s"invalid compression: $compression")
       else if (maxRecordsPerFile < 0) Left(s"maxRecordsPerFile must be >= 0, got $maxRecordsPerFile")
+      else if (sortBy.nonEmpty && globalSortBy.nonEmpty)
+        Left("target.sortBy and target.globalSortBy are mutually exclusive " +
+          "(globalSortBy already sorts within files)")
       else Right(this)
     }
   }
@@ -256,7 +268,7 @@ object PipelineConfig {
       "source.schema", "source.header", "source.delimiter", "source.inferSchema",
       "target.type", "target.path", "target.mode", "target.compression",
       "target.partitionBy", "target.sortBy", "target.header", "target.delimiter",
-      "target.maxRecordsPerFile",
+      "target.maxRecordsPerFile", "target.globalSortBy",
       "renames", "savepoints.dir", "skipFiles",
       "transforms",
       "transform.dedupExact.idColumn", "transform.dedupExact.textColumn",
@@ -334,7 +346,8 @@ object PipelineConfig {
             map.getOrElse("target.compression", "snappy"),
             list("target.partitionBy"),
             list("target.sortBy"),
-            map.getOrElse("target.maxRecordsPerFile", "0").toLong).validate)
+            map.getOrElse("target.maxRecordsPerFile", "0").toLong,
+            list("target.globalSortBy")).validate)
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))

@@ -248,6 +248,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(noSchema.isLeft && noSchema.swap.toOption.get.contains("inferSchema"))
   }
 
+  test("target.globalSortBy totally orders rows ACROSS output files") {
+    val tmp = Files.createTempDirectory("graft-gsort")
+    val out = tmp.resolve("out").toString
+    // maxRecordsPerFile composes: AQE coalesces the tiny range exchange
+    // to one partition at this SF, so the roll is what yields >1 file —
+    // rolled files inherit the task's sort order, keeping ranges disjoint
+    val cfg = PipelineConfig.parse(cfgText(s"${TestSpark.sf}/orders.parquet", out,
+      "target.globalSortBy: o_totalprice\ntarget.maxRecordsPerFile: 300\n")).toOption.get
+    Pipeline.run(spark, cfg)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "need multiple files to prove a cross-file order")
+    // within each file rows are sorted; across files the ranges are
+    // disjoint: sort files by their min and require max(i) <= min(i+1)
+    val ranges = files.map { f =>
+      val vals = spark.read.parquet(f.toString)
+        .select(col("o_totalprice")).collect().map(_.getDouble(0))
+      assert(vals.sameElements(vals.sorted), s"${f.getName} not sorted")
+      (vals.min, vals.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "file ranges overlap")
+      case _ => ()
+    }
+    // both sort modes at once is a load-time error
+    assert(PipelineConfig.parse(cfgText("/x", "/y",
+      "target.sortBy: a\ntarget.globalSortBy: b\n")).isLeft)
+  }
+
   test("orc source/target arms round-trip with pushdown semantics") {
     val tmp = Files.createTempDirectory("graft-orc")
     val orcIn = tmp.resolve("in").toString
