@@ -56,6 +56,11 @@ object Sequences {
     // join — the last twice). The checkpoint holds two rows per island
     // — endpoint-sized, not key-sized. Bounds come FROM the endpoints
     // (min start = min key, max end = max key), so no extra scan of k.
+    // Block lifecycle (same contract as Dedup.keptFrame /
+    // Similarity.semanticDedup): the returned frame READS these blocks,
+    // so they stay pinned until session end unless the caller releases
+    // them via GraftColumnBridge.unpersistLocalCheckpoint AFTER fully
+    // consuming the result — they are the only copy of the endpoints.
     val endpoints0 = starts.withColumn("__t", lit(0))
       .unionByName(ends.withColumn("__t", lit(1)))
       .localCheckpoint()

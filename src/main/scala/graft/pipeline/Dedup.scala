@@ -347,7 +347,7 @@ object Dedup {
     */
   def clusterRepresentatives(nodes: DataFrame, pairs: DataFrame, idCol: String,
                              maxIters: Int = 10,
-                             smallGraphThreshold: Long = 2000000L): DataFrame = {
+                             smallGraphThreshold: Long = 250000L): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     // materialize the edge list once — every iteration references it,
     // and recomputing an upstream LSH pipeline per round would dominate
@@ -362,14 +362,19 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // Small-graph fast path: a duplicate graph under `smallGraphThreshold`
-    // pairs is a bounded driver artifact (16 bytes/pair — the IVF-centroid
-    // pattern), and driver union-find labels it EXACTLY (same min-id-per-
-    // component contract, equivalence property-swept in DedupSpec) in one
-    // collect + one broadcast re-attach join, replacing ~2+rounds
-    // checkpoint jobs of fixed overhead. The distributed propagation
-    // below stays the unbounded path; long-id graphs only (a non-integral
-    // id type falls through). The count itself is cheap: the edge blocks
-    // were just materialized by the checkpoint.
+    // pairs is a bounded driver artifact (the IVF-centroid pattern), and
+    // driver union-find labels it EXACTLY (same min-id-per-component
+    // contract, equivalence property-swept in DedupSpec) in one collect +
+    // one broadcast re-attach join, replacing ~2+rounds of checkpoint
+    // jobs of fixed overhead. Sizing is JVM-honest: a collected pair is
+    // a boxed Row (~100 bytes, not 16), and the label frame becomes a
+    // LocalRelation broadcast of up to 2·threshold tuples — the 250k
+    // default keeps the transient driver footprint ~25 MB and the
+    // broadcast ≤500k rows on ANY driver size. Raise it deliberately on
+    // big drivers; 0 forces the distributed path. The distributed
+    // propagation below stays the unbounded path; long-id graphs only (a
+    // non-integral id type falls through). The count itself is cheap:
+    // the edge blocks were just materialized by the checkpoint.
     val longIds = edges.schema("src").dataType ==
       org.apache.spark.sql.types.LongType
     if (longIds && smallGraphThreshold > 0 &&

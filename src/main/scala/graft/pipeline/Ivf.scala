@@ -45,10 +45,13 @@ object Ivf {
     val spark = corpus.sparkSession
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     // deterministic seeds: smallest hash(id)
+    // numeric read, NOT toString.toDouble: the string round-trip yields
+    // shortest-decimal doubles that differ from the exact float->double
+    // widening the scoring kernel applies (see Pq.train)
     val seeds = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .select(col(vecCol).cast("array<double>"), xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h")).limit(k)
-      .collect().map(_.getSeq[Any](0).map(_.toString.toDouble).toArray)
+      .collect().map(_.getSeq[Double](0).toArray)
     var model = Model(seeds)
     (1 to iters).foreach { _ =>
       val assigned = corpus.select(col(vecCol).as("v"),

@@ -69,10 +69,14 @@ object Pq {
     val dsub = dim / m
     // deterministic seeds: the ksub corpus vectors with the smallest
     // hash(id), sliced per subspace (one collect of ksub full vectors)
+    // numeric read, NOT toString.toDouble: the string round-trip yields
+    // shortest-decimal doubles that differ from the exact float->double
+    // widening every distance kernel applies — seeds must BE the corpus
+    // vectors the kernels see, or iteration-1 assignments drift
     val seedVecs = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .select(col(vecCol).cast("array<double>"), xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h")).limit(ksub)
-      .collect().map(_.getSeq[Any](0).map(_.toString.toDouble).toArray)
+      .collect().map(_.getSeq[Double](0).toArray)
     var codebooks = Array.tabulate(m)(j =>
       seedVecs.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     (1 to iters).foreach { _ =>
@@ -156,14 +160,17 @@ object Pq {
                  vecCol: String, codesCol: String, bucketCol: String,
                  ivfModel: Ivf.Model, pqModel: Model, k: Int, nProbe: Int): DataFrame = {
     // one LUT per query (not per probe row); both the probe pairs and
-    // the LUTs broadcast — the corpus-side code scan stays untouched
+    // the LUTs broadcast EXPLICITLY — probeBuckets ends in a window +
+    // filter whose size Catalyst can't always estimate under the
+    // broadcast threshold, and a fallback shuffle join here would
+    // exchange the corpus-scale code index on the bucket key
     val luts = queries.select(col(idCol).as("query_id"),
       graft.functions.PqExpressions.lut(col(vecCol), pqModel.codebooks).as("__lut"))
     val probes = Ivf.probeBuckets(queries, idCol, vecCol, ivfModel, nProbe)
       .select(col("query_id"), col("bucket").as(bucketCol))
-    val scored = probes
-      .join(indexedCodes.select(col(idCol).as("neighbor_id"),
-        col(bucketCol), col(codesCol).as("__codes")), bucketCol)
+    val scored = indexedCodes
+      .select(col(idCol).as("neighbor_id"), col(bucketCol), col(codesCol).as("__codes"))
+      .join(broadcast(probes), bucketCol)
       .join(broadcast(luts), "query_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -289,9 +289,13 @@ object Text {
     */
   def bigrams(textColName: String): Column = {
     val toks = s"filter(split(trim($textColName), '\\\\s+'), t -> t != '')"
+    // the short-doc arm must be EXPLICIT: Spark's sequence(1, 0) is a
+    // DESCENDING [1, 0] (not empty), and element_at(ts, 0) throws under
+    // every mode — a single empty/one-token document would abort the job
     expr(s"flatten(transform(array($toks), ts -> " +
-      "transform(sequence(1, greatest(size(ts) - 1, 0)), " +
-      "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))))")
+      "CASE WHEN size(ts) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+      "ELSE transform(sequence(1, size(ts) - 1), " +
+      "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))) END))")
   }
 
   /** Bigram analog of [[unigramStats]]: per document, integer sufficient

@@ -143,6 +143,21 @@ class TextSpec extends AnyFunSuite {
       Text.bm25(df, "text", "doc_id", (1 to 65).map(_.toString)))
   }
 
+  test("bigrams: empty and one-token documents yield empty arrays, not errors") {
+    // regression: sequence(1, 0) is a DESCENDING [1, 0] in Spark and
+    // element_at(ts, 0) throws — short docs must take the explicit arm
+    val df = Seq("", "solo", "two tokens", "a b c").toDF("text")
+    val got = df.select(Text.bigrams("text").as("b"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got == Seq(Seq(), Seq(), Seq("two tokens"), Seq("a b", "b c")))
+    // bigramStats over a corpus containing short docs must not abort
+    val docs = Seq((1L, "a b a"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val stats = Text.bigramStats(docs, "text", "doc_id",
+        Text.bigramModel(docs, "text"), minCount = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(1L -> 2L)) // docs 2/3 have no bigrams -> no row
+  }
+
   test("unigramStats: oov counting, model sums, external model with misses") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // self-model: counts a=2, b=2, c=1; minCount=2 makes c OOV
