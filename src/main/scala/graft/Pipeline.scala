@@ -97,6 +97,15 @@ object Pipeline {
         .drop("rank_in_group")
     case graft.config.TransformConfig.Split(key, fractions, denom) =>
       graft.operators.Sampling.split(df, key, fractions, denom)
+    case graft.config.TransformConfig.Normalize(text) =>
+      df.withColumn(text, graft.pipeline.Text.normalize(col(text)))
+    case graft.config.TransformConfig.SpanDedup(id, text, spanTokens, minDocs, keepFirst) =>
+      // replace the text column with the cleaned text; other columns
+      // re-attach by id so stages keep composing on the input schema
+      graft.pipeline.Dedup.spanDedup(df, id, text, spanTokens, minDocs, keepFirst)
+        .select(col(id), col("clean_text"))
+        .join(df.drop(text), Seq(id))
+        .withColumnRenamed("clean_text", text)
   }
 
   /** Repair: append source rows whose PK is absent from the target

@@ -121,6 +121,27 @@ object TransformConfig {
       else if (groupColumns.isEmpty) Some("transform.sourceCap.groupColumns required")
       else None
   }
+  /** Canonical text normalization in place — Text.normalize over
+    * `textColumn` (control chars, whitespace, case); step 0 before any
+    * content-keyed stage.
+    */
+  final case class Normalize(textColumn: String) extends TransformConfig {
+    val name = "normalize"
+    def check: Option[String] = None
+  }
+  /** Cross-document span boilerplate removal — Dedup.spanDedup; the
+    * document's text column is REPLACED by the cleaned text (n_spans /
+    * n_removed are dropped: config stages compose on the input schema).
+    */
+  final case class SpanDedup(idColumn: String, textColumn: String,
+                             spanTokens: Int, minDocs: Int,
+                             keepFirst: Boolean) extends TransformConfig {
+    val name = "spanDedup"
+    def check: Option[String] =
+      if (spanTokens <= 0) Some("transform.spanDedup.spanTokens must be positive")
+      else if (minDocs <= 1) Some("transform.spanDedup.minDocs must be > 1")
+      else None
+  }
   /** Label rows with a named split — Sampling.split (md5-bucket
     * membership; deterministic on any engine/partitioning/retry).
     */
@@ -276,6 +297,10 @@ object PipelineConfig {
       "transform.sourceCap.textColumn", "transform.sourceCap.k",
       "transform.split.keyColumn", "transform.split.fractions",
       "transform.split.denom",
+      "transform.normalize.textColumn",
+      "transform.spanDedup.idColumn", "transform.spanDedup.textColumn",
+      "transform.spanDedup.spanTokens", "transform.spanDedup.minDocs",
+      "transform.spanDedup.keepFirst",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
@@ -434,6 +459,22 @@ object PipelineConfig {
               .toIntOption.toRight(
                 s"transform.split.denom not an int: ${map("transform.split.denom")}")
           } yield TransformConfig.Split(key, fracs, denom)
+        case "normalize" =>
+          map.get("transform.normalize.textColumn")
+            .toRight("transform.normalize.textColumn required")
+            .map(TransformConfig.Normalize(_))
+        case "spanDedup" =>
+          for {
+            id <- map.get("transform.spanDedup.idColumn")
+              .toRight("transform.spanDedup.idColumn required")
+            text <- map.get("transform.spanDedup.textColumn")
+              .toRight("transform.spanDedup.textColumn required")
+            st <- map.getOrElse("transform.spanDedup.spanTokens", "3")
+              .toIntOption.toRight("transform.spanDedup.spanTokens not an int")
+            md <- map.getOrElse("transform.spanDedup.minDocs", "2")
+              .toIntOption.toRight("transform.spanDedup.minDocs not an int")
+          } yield TransformConfig.SpanDedup(id, text, st, md,
+            map.getOrElse("transform.spanDedup.keepFirst", "false").toBoolean)
         case other => Left(s"unknown transform stage: $other")
       }
       list("transforms").foldRight(

@@ -59,6 +59,49 @@ class TransformStagesSpec extends AnyFunSuite {
     assert(got.join(expect, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("normalize and spanDedup stages compose on the input schema") {
+    import spark.implicits._
+    // normalize: damage the text, then the stage must canonicalize it
+    val c1 = cfg(
+      """transforms: normalize
+        |transform.normalize.textColumn: text
+        |""".stripMargin)
+    val dirty = Seq((1L, "  A   B "), (2L, "ok")).toDF("doc_id", "text")
+    val cleaned = Pipeline.transform(dirty, c1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned == Map(1L -> "a b", 2L -> "ok"))
+
+    // spanDedup: text column replaced by the cleaned text, other
+    // columns intact, schema unchanged
+    val c2 = cfg(
+      """transforms: spanDedup
+        |transform.spanDedup.idColumn: doc_id
+        |transform.spanDedup.textColumn: text
+        |transform.spanDedup.spanTokens: 3
+        |transform.spanDedup.minDocs: 2
+        |""".stripMargin)
+    val docs = Seq(
+      (1L, "alpha beta gamma the same footer", "s1"),
+      (2L, "delta echo foxtrot the same footer", "s2")).toDF("doc_id", "text", "source")
+    val out = Pipeline.transform(docs, c2)
+    assert(out.columns.sorted.toSeq == Seq("doc_id", "source", "text"))
+    val m = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("text"), r.getAs[String]("source"))).toMap
+    assert(m(1L) == (("alpha beta gamma", "s1")))
+    assert(m(2L) == (("delta echo foxtrot", "s2")))
+    // eager validation
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |transforms: spanDedup
+         |transform.spanDedup.idColumn: doc_id
+         |transform.spanDedup.textColumn: text
+         |transform.spanDedup.minDocs: 1
+         |""".stripMargin).swap.exists(_.contains("minDocs")))
+  }
+
   test("config errors are eager: unknown stage, missing key, bad fractions") {
     def parseErr(extra: String): String =
       PipelineConfig.parse(
