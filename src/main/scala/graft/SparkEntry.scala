@@ -1211,6 +1211,47 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** JSONL ingestion through the quarantine reader, oracle-gated: the
+    * documents table round-trips text -> JSONL -> quarantine reader and
+    * must come back row-identical (zero quarantined); the oracle reads
+    * the original parquet. Exercises the real ingestion path inside the
+    * driver gate, not just the spec.
+    */
+  private def qJsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-jsonl")
+      .resolve("docs").toString
+    t(s, d, "documents").select("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").json(tmp)
+    val (good, quarantine) = graft.sources.Jsonl.readWithQuarantine(s, tmp,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING"),
+      requiredFields = Seq("doc_id"))
+    // fold the quarantine emptiness into the gated result: a corrupt
+    // line would surface as an extra n_quarantined count, not silence
+    good.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .withColumn("n_quarantined",
+        lit(0L) + quarantine.count()) // eager, tiny (0 on clean input)
+      .orderBy(col("doc_id"))
+  }
+
+  /** ORC round-trip through the Pipeline source/sink arms, oracle-gated
+    * against the original parquet table.
+    */
+  private def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-orc")
+    val orcPath = tmp.resolve("nation").toString
+    val src = t(s, d, "nation")
+    graft.Pipeline.write(src, graft.config.PipelineConfig(
+      graft.config.SourceConfig.Parquet("unused", None, None),
+      graft.config.TargetConfig.Orc(orcPath, "overwrite", "zstd"),
+      Nil, None, Set.empty, None))
+    graft.Pipeline.read(s, graft.config.PipelineConfig(
+        graft.config.SourceConfig.Orc(orcPath, Some("n_nationkey >= 0"), None),
+        graft.config.TargetConfig.Orc(tmp.resolve("unused").toString, "overwrite", "zstd"),
+        Nil, None, Set.empty, None))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Text normalization over an in-plan-mutated corpus (the q_hash_refine
     * pattern: the synthetic text is already clean, so deterministic
     * case/whitespace/control damage is injected first and the
@@ -1342,6 +1383,8 @@ object SparkEntry {
     "q_bigram_lm" -> (qBigramLm _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_normalize" -> (qNormalize _),
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_rand_proj" -> (qRandProj _),
     "q_sem_dedup" -> (qSemDedup _),
     "q_pq_codes" -> (qPqCodes _),
@@ -1516,6 +1559,13 @@ object SparkEntry {
         "doc_id, dl, n_matched FROM " +
         "(SELECT * FROM scored WHERE n_matched > 0 ORDER BY score DESC, doc_id LIMIT 50) " +
         "ORDER BY rank"),
+
+    "q_jsonl_roundtrip" ->
+      ("SELECT doc_id, text, lang, source, CAST(0 AS BIGINT) AS n_quarantined " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_orc_roundtrip" ->
+      ("SELECT * FROM nation WHERE n_nationkey >= 0 ORDER BY n_nationkey"),
 
     "q_normalize" ->
       ("WITH damaged AS (SELECT doc_id, CASE " +
