@@ -179,6 +179,28 @@ class SimilaritySpec extends AnyFunSuite {
       .getMessage.contains("term"))
   }
 
+  test("semanticDedup degenerate inputs: zero-norm and null vectors are kept, never dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Some(Array.fill(8)(1.0f) ++ Array.fill(56)(0.0f))),
+      (1L, Some(Array.fill(8)(1.0f) ++ Array.fill(56)(0.0f))), // dup of 0
+      (2L, Some(Array.fill(64)(0.0f))),                        // zero norm: cosine NaN
+      (3L, None))                                              // null embedding
+    val df = rows.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(numPlanes = 80, dim = 64)
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+        planes, bandBits = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // one row per input id, including the degenerate ones
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(!got(1L), "true duplicate must still drop")
+    // a zero-norm vector shares every bucket with everything (all dots
+    // are 0 -> same codes) but its cosine is NaN — the guard must keep
+    // it rather than let Spark's NaN-orders-largest pass the threshold
+    assert(got(2L), "zero-norm vector must be kept (NaN cosine)")
+    assert(got(3L), "null embedding must be kept (never bucketed)")
+  }
+
   test("semanticDedup on the corpus: every drop is justified by exact cosine") {
     val planes = Similarity.hyperplanes(numPlanes = 80, dim = 64)
     val out = Similarity.semanticDedup(emb, "vec_id", "embedding",

@@ -62,6 +62,20 @@ class JsonlSpec extends AnyFunSuite {
         StructType.fromDDL("__r STRING"), Nil))
   }
 
+  test("gzipped JSONL shards read transparently (the web-corpus delivery format)") {
+    val dir = Files.createTempDirectory("graft-jsonl-gz")
+    val gz = dir.resolve("part-0.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(
+      ("""{"doc_id": 1, "text": "a", "lang": "en"}""" + "\n" +
+        """not json""" + "\n" +
+        """{"doc_id": 2, "text": "b", "lang": "de"}""").getBytes("UTF-8"))
+    out.close()
+    val (good, quarantine) = Jsonl.readWithQuarantine(spark, dir.toString, schema)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(quarantine.collect().map(_.getString(1)).toSeq == Seq("malformed_json"))
+  }
+
   test("the real documents table round-trips losslessly through JSONL") {
     val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
       .select("doc_id", "text", "lang")
