@@ -61,13 +61,18 @@ object JdbcSupport {
         }
         if (!closed) return Left("where clause contains unterminated quoted text")
         out.append(' ')
-      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
-        // line comment: skip to end of line
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-' &&
+                 (i + 2 >= n || sql.charAt(i + 2).isWhitespace || sql.charAt(i + 2).isControl)) {
+        // MySQL line-comment rule (reference readers/MySQL.scala:207-213): `--`
+        // opens a comment ONLY when followed by whitespace/control or
+        // end-of-input. `a>0--(x)` is the expression `a>0 - -(x)` to MySQL, so
+        // the dashes must survive into the stripped output for keyword
+        // scanning — stripping them would hide the parenthesized tail.
         i += 2
-        while (i < n && sql.charAt(i) != '\n') i += 1
+        while (i < n && sql.charAt(i) != '\n' && sql.charAt(i) != '\r') i += 1
       } else if (c == '#') {
         i += 1
-        while (i < n && sql.charAt(i) != '\n') i += 1
+        while (i < n && sql.charAt(i) != '\n' && sql.charAt(i) != '\r') i += 1
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
         i += 2
         var closed = false
@@ -100,6 +105,12 @@ object JdbcSupport {
     * forbidden keywords from the scan.
     */
   def validateWhereClause(where: String): Either[String, Unit] = {
+    // Reject control characters (newlines, CRs, null bytes, U+2028/29) before
+    // lexing (reference: readers/jdbc/JdbcWhereFilter.scala:32-37): a WHERE
+    // clause has no legitimate use for them, and they are exactly the
+    // characters comment/line-termination tricks are built from.
+    if (where.exists(ch => ch.isControl || ch == '\u2028' || ch == '\u2029'))
+      return Left("where clause contains control characters (newlines, null bytes, …); rejected")
     if (where.contains("/*!"))
       return Left("where clause must not contain versioned comments (/*!)")
     stripQuotedAndComments(where).flatMap { s =>

@@ -40,6 +40,36 @@ class JdbcSupportSpec extends AnyFunSuite {
     assert(strip("a > 1 -- trailing") == "a > 1 ")
   }
 
+  test("MySQL line-comment rule: bare -- is NOT a comment (smuggle via ---tail blocked)") {
+    // MySQL only opens a line comment at `--` + whitespace/control (or EOI).
+    // `a>0--(select sleep(9))>0` parses server-side as `a>0 - -(select …)>0`,
+    // so the tail MUST survive stripping and trip the keyword scan.
+    val smuggled = "a>0--(select sleep(9))>0"
+    assert(strip(smuggled).toLowerCase.contains("sleep"))
+    val v = validateWhereClause(smuggled)
+    assert(v.isLeft && v.left.exists(_.contains("sleep")))
+    // `-- ` (with whitespace) still strips as a comment
+    assert(!strip("a > 1 -- sleep(9)").toLowerCase.contains("sleep"))
+    // `--` at end-of-input is a comment (nothing follows to mis-parse)
+    assert(strip("a > 1 --") == "a > 1 ")
+    // subtraction of a negative stays intact
+    assert(strip("a - -1 > 0").contains("- -1"))
+  }
+
+  test("line comments terminate at \\r as well as \\n") {
+    assert(strip("a -- x\rdrop").toLowerCase.contains("drop"))
+    assert(strip("# x\rdrop").toLowerCase.contains("drop"))
+  }
+
+  test("control characters in the where clause are rejected outright") {
+    assert(validateWhereClause("a > 1\nAND b < 2").isLeft)
+    assert(validateWhereClause("a > 1\r-- x").isLeft)
+    assert(validateWhereClause("a >\t1").isLeft)
+    assert(validateWhereClause("a > 1\u2028-- x").isLeft)
+    assert(validateWhereClause("a > 1\u2029AND b < 2").isLeft)
+    assert(validateWhereClause("a > 1 AND b < 2").isRight) // plain spaces fine
+  }
+
   test("where-clause validation catches smuggled DML but allows quoted text") {
     assert(validateWhereClause("status = 'active' AND id > 100").isRight)
     assert(validateWhereClause("name = 'DROP TABLE users'").isRight) // quoted: fine
