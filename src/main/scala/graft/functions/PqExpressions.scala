@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -25,10 +26,62 @@ import org.apache.spark.sql.types._
   */
 object PqExpressions {
 
-  private[functions] def flatten(codebooks: Array[Array[Array[Double]]]): Array[Double] = {
+  def encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v), PqCodebooks(codebooks)))
+
+  def decode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqDecode(GraftColumnBridge.expression(codes), PqCodebooks(codebooks)))
+
+  def lut(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqLut(GraftColumnBridge.expression(v), PqCodebooks(codebooks)))
+
+  /** Analysis-time element-type check shared by the vector-input
+    * kernels: array<float|double> in, Left(error) otherwise. The
+    * runtime twin [[PqCodebooks.elemIsFloat]] stays for direct eval
+    * outside an analyzed plan.
+    */
+  private[functions] def vectorTypeCheck(dt: DataType, what: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$what expects array<float|double>, got ${other.catalogString}")
+    }
+}
+
+/** Structurally-comparable codebook carrier. The PQ kernels are case
+  * classes; an `Array`-typed field would give them identity-based
+  * `equals`, defeating expression canonicalization and subexpression
+  * elimination (two plans over the same codebooks would never compare
+  * equal). The Vector field restores structural equality; the
+  * eval-side flat primitive array is derived lazily and excluded from
+  * equality/serialization footprint concerns.
+  */
+final case class PqCodebooks(m: Int, ksub: Int, dsub: Int, flat: Vector[Double]) {
+  @transient lazy val flatArray: Array[Double] = flat.toArray
+
+  private[functions] def elemIsFloat(dt: DataType, what: String): Boolean = dt match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"$what expects array<float|double>, got $other")
+  }
+}
+
+object PqCodebooks {
+  /** codebooks(j)(c) = centroid c of subspace j; all subspaces must
+    * carry the same centroid count and sub-dimension (checked here, at
+    * construction, not mid-job).
+    */
+  def apply(codebooks: Array[Array[Array[Double]]]): PqCodebooks = {
+    require(codebooks.nonEmpty && codebooks.head.nonEmpty && codebooks.head.head.nonEmpty,
+      "PQ codebooks must be non-empty (m, ksub, dsub all >= 1)")
     val m = codebooks.length
     val ksub = codebooks.head.length
     val dsub = codebooks.head.head.length
+    require(codebooks.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
+      s"ragged PQ codebooks: every subspace needs $ksub centroids of $dsub dims")
     val flat = new Array[Double](m * ksub * dsub)
     var j = 0
     while (j < m) {
@@ -39,37 +92,24 @@ object PqExpressions {
       }
       j += 1
     }
-    flat
+    PqCodebooks(m, ksub, dsub, flat.toVector)
   }
-
-  private[functions] def elemIsFloat(dt: DataType, what: String): Boolean = dt match {
-    case ArrayType(FloatType, _)  => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"$what expects array<float|double>, got $other")
-  }
-
-  def encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v), codebooks))
-
-  def decode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    GraftColumnBridge.column(PqDecode(GraftColumnBridge.expression(codes), codebooks))
-
-  def lut(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    GraftColumnBridge.column(PqLut(GraftColumnBridge.expression(v), codebooks))
 }
 
 /** PQ codes: per subspace, the index of the (squared-L2) nearest
   * codebook centroid; first on ties.
   */
-case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+case class PqEncode(child: Expression, cb: PqCodebooks)
     extends UnaryExpression with CodegenFallback {
 
-  private val m = codebooks.length
-  private val ksub = codebooks.head.length
-  private val dsub = codebooks.head.head.length
-  @transient private lazy val flat = PqExpressions.flatten(codebooks)
-  private lazy val isFloat = PqExpressions.elemIsFloat(child.dataType, "pq_encode")
+  private def m = cb.m
+  private def ksub = cb.ksub
+  private def dsub = cb.dsub
+  @transient private lazy val flat = cb.flatArray
+  private lazy val isFloat = cb.elemIsFloat(child.dataType, "pq_encode")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqExpressions.vectorTypeCheck(child.dataType, "pq_encode")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -108,13 +148,19 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 }
 
 /** PQ reconstruction: concatenated codebook centroids per code. */
-case class PqDecode(child: Expression, codebooks: Array[Array[Array[Double]]])
+case class PqDecode(child: Expression, cb: PqCodebooks)
     extends UnaryExpression with CodegenFallback {
 
-  private val m = codebooks.length
-  private val ksub = codebooks.head.length
-  private val dsub = codebooks.head.head.length
-  @transient private lazy val flat = PqExpressions.flatten(codebooks)
+  private def m = cb.m
+  private def ksub = cb.ksub
+  private def dsub = cb.dsub
+  @transient private lazy val flat = cb.flatArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_decode expects array<int> PQ codes, got ${other.catalogString}")
+  }
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -140,14 +186,17 @@ case class PqDecode(child: Expression, codebooks: Array[Array[Array[Double]]])
   * distance between the query's subspace j and centroid c. ADC distance
   * to any code word is then m array lookups.
   */
-case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+case class PqLut(child: Expression, cb: PqCodebooks)
     extends UnaryExpression with CodegenFallback {
 
-  private val m = codebooks.length
-  private val ksub = codebooks.head.length
-  private val dsub = codebooks.head.head.length
-  @transient private lazy val flat = PqExpressions.flatten(codebooks)
-  private lazy val isFloat = PqExpressions.elemIsFloat(child.dataType, "pq_lut")
+  private def m = cb.m
+  private def ksub = cb.ksub
+  private def dsub = cb.dsub
+  @transient private lazy val flat = cb.flatArray
+  private lazy val isFloat = cb.elemIsFloat(child.dataType, "pq_lut")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqExpressions.vectorTypeCheck(child.dataType, "pq_lut")
 
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)

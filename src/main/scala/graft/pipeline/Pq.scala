@@ -64,19 +64,27 @@ object Pq {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, ksub: Int = 16, iters: Int = 3): Model = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dimProbe = corpus.select(size(col(vecCol))).limit(1).collect()
+    require(dimProbe.nonEmpty, "PQ training corpus is empty; cannot train codebooks")
+    val dim = dimProbe.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     // deterministic seeds: the ksub corpus vectors with the smallest
-    // hash(id), sliced per subspace (one collect of ksub full vectors)
+    // (hash(id), id) — the id itself breaks hash ties (duplicate ids,
+    // 64-bit collisions) so the seed set cannot drift across retries or
+    // repartitionings; sliced per subspace (one collect of ksub vectors)
     // numeric read, NOT toString.toDouble: the string round-trip yields
     // shortest-decimal doubles that differ from the exact float->double
     // widening every distance kernel applies — seeds must BE the corpus
     // vectors the kernels see, or iteration-1 assignments drift
     val seedVecs = corpus
-      .select(col(vecCol).cast("array<double>"), xxhash64(col(idCol)).as("__h"))
-      .orderBy(col("__h")).limit(ksub)
+      .select(col(vecCol).cast("array<double>"), xxhash64(col(idCol)).as("__h"),
+        col(idCol).cast("string").as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(ksub)
       .collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == ksub,
+      s"PQ training corpus has only ${seedVecs.length} rows but ksub=$ksub centroids " +
+        "were requested; supply a larger corpus or lower ksub")
     var codebooks = Array.tabulate(m)(j =>
       seedVecs.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     (1 to iters).foreach { _ =>

@@ -130,4 +130,48 @@ class PqSpec extends AnyFunSuite {
     val odd = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException](Pq.train(odd, "vec_id", "embedding", m = 2))
   }
+
+  test("train fails loudly on an empty or too-small corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val eEmpty = intercept[IllegalArgumentException](
+      Pq.train(empty, "vec_id", "embedding", m = 2, ksub = 4))
+    assert(eEmpty.getMessage.contains("empty"))
+    val tiny = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val eTiny = intercept[IllegalArgumentException](
+      Pq.train(tiny, "vec_id", "embedding", m = 2, ksub = 4))
+    assert(eTiny.getMessage.contains("ksub=4"))
+  }
+
+  test("wrong-typed input fails at analysis time, not mid-job") {
+    import spark.implicits._
+    val strings = Seq((1L, "not a vector")).toDF("id", "v")
+    intercept[org.apache.spark.sql.AnalysisException](
+      strings.select(Pq.encode(col("v"), model)).schema)
+    intercept[org.apache.spark.sql.AnalysisException](
+      strings.select(Pq.decode(col("v"), model)).schema)
+    intercept[org.apache.spark.sql.AnalysisException](
+      strings.select(graft.functions.PqExpressions.lut(col("v"), model.codebooks)).schema)
+    // decode wants int codes specifically — a float vector is a mismatch
+    val floats = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    intercept[org.apache.spark.sql.AnalysisException](
+      floats.select(Pq.decode(col("v"), model)).schema)
+  }
+
+  test("PQ expressions compare structurally, not by codebook array identity") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types._
+    val copy = Pq.Model(model.codebooks.map(_.map(_.clone())))
+    val child = BoundReference(0, ArrayType(FloatType), nullable = false)
+    val a = graft.functions.PqEncode(child, graft.functions.PqCodebooks(model.codebooks))
+    val b = graft.functions.PqEncode(child, graft.functions.PqCodebooks(copy.codebooks))
+    assert(a == b, "equal codebooks via distinct arrays must yield equal expressions")
+    assert(a.semanticEquals(b))
+    // ragged codebooks are rejected at construction
+    val ragged = Array(
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)),
+      Array(Array(5.0, 6.0)))
+    intercept[IllegalArgumentException](graft.functions.PqCodebooks(ragged))
+  }
 }
