@@ -143,9 +143,21 @@ object Bench {
       s.read.parquet(tmp).filter(col("l_suppkey") === skMax).count()
     }
 
-    // min of two runs per query: single-shot timings carry whichever
-    // codegen-compile / co-tenant noise lands on them (observed 2-16s
-    // swings on identical plans); the min reflects the plan's real cost.
+    // Noise calibration: this host is co-tenant (documented 37.8-160.7 s
+    // swings across identical binaries in docs/BENCH_LOCAL.md), so the
+    // JSON carries two fixed-work sentinels timed exactly like the
+    // queries, before and after the sweep. A reader normalizes a
+    // polluted run by the sentinel ratio: if the spin/job sentinels read
+    // k× their quiet-period cost, query times inflated by ~k× are CPU
+    // steal, not regressions.
+    val calSpinPre = minOf3(cpuSpin _)
+    val calSparkPre = minOf3(() => sparkCalibration(spark))
+
+    // min of up to three runs per query: single-shot timings carry
+    // whichever codegen-compile / co-tenant noise lands on them; the min
+    // reflects the plan's real cost. The third run fires only when the
+    // first two disagree by >15% — agreement means the min is already
+    // trustworthy, disagreement means something polluted one of them.
     // Only NonFatal failures are recorded per-query (OOM/VM errors must
     // crash the run, not print a plausible JSON line); a failed query is
     // listed under "errors" so its timing is never mistaken for a result.
@@ -164,9 +176,15 @@ object Bench {
           None
         }
       }
-      val timings = Seq(once(), once()).flatten
+      val firstTwo = Seq(once(), once()).flatten
+      val timings =
+        if (firstTwo.size == 2 && firstTwo.max > firstTwo.min * 1.15)
+          firstTwo ++ once()
+        else firstTwo
       if (timings.isEmpty) None else Some(name -> timings.min)
     }
+    val calSpinPost = minOf3(cpuSpin _)
+    val calSparkPost = minOf3(() => sparkCalibration(spark))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver reads this line from a 2000-char stdout tail and parses
     // it as JSON: keep it short (3-decimal secs) and, if the per-query map
@@ -178,10 +196,16 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
+    // calibration sentinels ([pre-sweep, post-sweep] mins): fixed CPU
+    // work and a fixed tiny Spark job — constants a reader divides a
+    // quiet-period record by to normalize co-tenant load out of this run
+    val calJson = "\"calibration\":{" +
+      s""""spin_sec":[${fmt(calSpinPre)},${fmt(calSpinPost)}],""" +
+      s""""spark_job_sec":[${fmt(calSparkPre)},${fmt(calSparkPost)}]}"""
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,$calJson,"sf":"$sfDir"}"""
     }
     val out = (ranked.size to 1 by -1).iterator
       .map(k => line(ranked.take(k))).find(_.length <= 1800)
@@ -190,6 +214,40 @@ object Bench {
       System.err.println(s"[bench] spark.stop failed: $e")
     }
     println(out)
+  }
+
+  private def minOf3(work: () => Double): Double =
+    Seq(work(), work(), work()).min
+
+  /** Fixed single-core CPU work (2^26 xorshift64 steps), timed. Pure
+    * compute, no allocation, no Spark — isolates raw CPU availability
+    * from scheduler/JVM effects. ~0.1 s on an idle core.
+    */
+  private def cpuSpin(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < (1 << 26)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    // the value escapes so the loop cannot be dead-code-eliminated
+    if (x == 42L) System.err.println("calibration sentinel collision")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed tiny Spark job (8M-row range -> hash -> sum), timed like a
+    * query. Exercises scheduling + whole-stage codegen + the executor
+    * pool, so it inflates under the same co-tenant pressure the real
+    * queries feel.
+    */
+  private def sparkCalibration(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // pmod keeps the sum within 8M × 2^31 ≈ 2^54 — ANSI mode throws on
+    // Long overflow, and raw xxhash64 values sum past 2^63 immediately
+    spark.range(0, 1L << 23, 1, 8).selectExpr("pmod(xxhash64(id), 2147483647) AS h")
+      .agg(org.apache.spark.sql.functions.sum("h")).collect()
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Time one scenario and report reference-style rows/sec over the
