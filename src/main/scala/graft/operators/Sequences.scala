@@ -63,7 +63,7 @@ object Sequences {
     // consuming the result — they are the only copy of the endpoints.
     val endpoints0 = starts.withColumn("__t", lit(0))
       .unionByName(ends.withColumn("__t", lit(1)))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.materialize)
     val bounds = endpoints0.agg(
       min(when(col("__t") === 0, col("v"))),
       max(when(col("__t") === 1, col("v")))).head()

@@ -203,7 +203,7 @@ object Dedup {
     * window — one shuffle, no agg+join — so the banding Generate runs
     * exactly once, inside the single job that materializes the result.
     *
-    * The kept frame is materialized (ONE localCheckpoint — an eager job)
+    * The kept frame is materialized (ONE checkpoint — an eager job)
     * because both sides of the downstream candidate self-join read it;
     * without the checkpoint the banding+window pipeline runs once per
     * join side and the recompute, not the join, dominates the hot dedup
@@ -211,10 +211,12 @@ object Dedup {
     * band), so the checkpoint is ≤ bands×|df| small rows regardless of
     * document size. The blocks live until the session ends (or the
     * caller releases them via GraftColumnBridge.unpersistLocalCheckpoint
-    * on the returned candidate frame's inputs); localCheckpoint blocks
-    * are executor-local, so an executor loss mid-pipeline fails the job
-    * instead of recomputing — acceptable for a bounded dedup pass,
-    * documented here for long-running deployments.
+    * on the returned candidate frame's inputs). Checkpoint mode follows
+    * the session policy ([[graft.Checkpoints]]): executor-local by
+    * default (an executor loss fails the job — acceptable for a bounded
+    * pass), or reliable `checkpoint(dir)` when
+    * `spark.graft.checkpoint.dir` is set, which a multi-hour 100-TB run
+    * must do so a preempted executor costs a re-read, not the job.
     */
   private def keptFrame(df: DataFrame, idCol: String, signatureCol: String,
                         bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
@@ -224,7 +226,7 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("__bucket_n") <= maxBucketSize)
       .drop("__bucket_n")
-      .localCheckpoint()
+      .transform(graft.Checkpoints.materialize)
   }
 
   /** NOTE: eager — candidate generation materializes the banded frame
@@ -321,7 +323,7 @@ object Dedup {
     * convergence in O(log diameter) rounds instead of O(diameter), which
     * is what keeps path-like components (crawl chains, version histories)
     * from blowing the round budget at corpus scale. Each round is ONE
-    * job: the convergence count rides the localCheckpoint pass via
+    * job: the convergence count rides the checkpoint pass via
     * observe().
     *
     * Convergence is detected by a round that changes nothing, so one
@@ -334,10 +336,12 @@ object Dedup {
     * keep/drop decisions). Cost per extra round is one join over the
     * edge-touching subgraph; raise maxIters rather than catching.
     *
-    * Storage hygiene: each round checkpoints one label frame; the
+    * Storage hygiene: each round checkpoints one label frame (local or
+    * reliable per the [[graft.Checkpoints]] session policy); the
     * superseded round's blocks are released as soon as the new round
-    * materializes, and the edge frame is released once the loop exits —
-    * only the final labels (+ the node list) stay pinned for the result.
+    * materializes (a no-op under reliable mode — files, not blocks),
+    * and the edge frame is released once the loop exits — only the
+    * final labels (+ the node list) stay pinned for the result.
     *
     * Small graphs skip the iteration entirely: when the pair count is
     * ≤ `smallGraphThreshold` (long ids only), the edge list is collected
@@ -360,7 +364,7 @@ object Dedup {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.materialize)
     // Small-graph fast path: a duplicate graph under `smallGraphThreshold`
     // pairs is a bounded driver artifact (the IVF-centroid pattern), and
     // driver union-find labels it EXACTLY (same min-id-per-component
@@ -424,7 +428,7 @@ object Dedup {
     var labels = edges.groupBy(col("dst").as("id"))
       .agg(min(col("src")).as("__nbr"))
       .select(col("id"), least(col("id"), col("__nbr")).as("rep"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.materialize)
     var iter = 0
     var converged = labels.isEmpty // no candidate pairs => nothing to propagate
     while (iter < maxIters && !converged) {
@@ -443,7 +447,7 @@ object Dedup {
         .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"),
           col("rep").as("__prev"))
         .observe(obs, sum(when(col("rep") =!= col("__prev"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.materialize)
       // sum() over zero rows observes NULL — an empty label frame is
       // trivially converged, not a change
       converged = Option(obs.get("changed")).forall(_ == 0L)

@@ -227,7 +227,7 @@ object Similarity {
         Window.partitionBy(col("band"), col("chunk"))))
       .filter(col("__bn") <= maxBucketSize)
       .drop("__bn")
-      .localCheckpoint()
+      .transform(graft.Checkpoints.materialize)
     val candidates = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&

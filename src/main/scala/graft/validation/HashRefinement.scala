@@ -39,7 +39,7 @@ object HashRefinement {
       // small by design (only diverged keys); materialize once so the two
       // stage-2 semi joins and repeated caller actions don't re-run the
       // full stage-1 hash scan per use
-      .localCheckpoint()
+      .transform(graft.Checkpoints.materialize)
 
     // stage 2: pull real columns for mismatched keys only (left_semi
     // prunes both sides before the compare join)

@@ -157,6 +157,31 @@ class DedupSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("reliable-checkpoint mode yields identical labels on the distributed path") {
+    // spark.graft.checkpoint.dir flips every iterative-tier checkpoint
+    // from executor-local to reliable checkpoint(dir) — the 100-TB
+    // executor-loss escape hatch. Same plans, same labels.
+    val nodes = spark.createDataFrame((1L to 30L).map(Tuple1(_))).toDF("doc_id")
+    val pairs = spark.createDataFrame(
+      (1L until 20L).map(i => (i, i + 1)) ++ Seq((25L, 26L))).toDF("id_a", "id_b")
+    def run() = Dedup.clusterRepresentatives(nodes, pairs, "doc_id",
+        maxIters = 10, smallGraphThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt").toString
+    spark.conf.set(graft.Checkpoints.DirKey, dir)
+    try {
+      val reliable = run()
+      assert(reliable == local)
+      // the checkpoints really went to the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no reliable checkpoint files under $dir")
+    } finally spark.conf.unset(graft.Checkpoints.DirKey)
+    // and back to local mode after unset
+    assert(run() == local)
+  }
+
   test("weighted candidates: matching_bands is a usable coarse estimate") {
     val sig = shingled.withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
     val weighted = Dedup.lshCandidatesWeighted(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
