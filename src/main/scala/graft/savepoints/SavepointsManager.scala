@@ -50,7 +50,13 @@ final class SavepointsManager(
   fs.mkdirs(dirPath)
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(initialCounter())
-  private val lock = new Object
+  /** Guards snapshot+write so concurrent dumpers (scheduler, caller,
+    * signal handler) cannot interleave; a ReentrantLock (not
+    * `synchronized`) so the signal path can BOUND its wait — see
+    * [[tryDump]].
+    */
+  private val lock = new java.util.concurrent.locks.ReentrantLock()
+  private val signalDumpInProgress = new java.util.concurrent.atomic.AtomicBoolean(false)
   @volatile private var closed = false
 
   private def listNames(): Seq[String] =
@@ -68,8 +74,9 @@ final class SavepointsManager(
 
   /** Start periodic dumps on a daemon thread, and register a JVM
     * shutdown hook so an interrupted run (SIGINT/SIGTERM) still records
-    * its final progress — the portable equivalent of the reference's
-    * signal handlers (SavepointsManager.scala:248-322).
+    * its final progress. For the reference's out-of-band
+    * signal-triggered dump (SavepointsManager.scala:248-322), also call
+    * [[installSignalHandlers]].
     */
   def start(): this.type = {
     val s = Executors.newSingleThreadScheduledExecutor { r =>
@@ -92,11 +99,84 @@ final class SavepointsManager(
     this
   }
 
+  /** Install signal handlers that dump the current savepoint
+    * out-of-band — the reference's SIGINT/TERM/USR2 contract
+    * (SavepointsManager.scala:248-322). The handler:
+    *
+    *  - takes a CAS gate first: a second signal landing while a
+    *    signal-triggered dump is in flight never starts a redundant
+    *    dump (and, with `exitAfterDump`, forces exit immediately —
+    *    orchestrators deliver one SIGTERM before promoting to SIGKILL,
+    *    so the second signal must not wait)
+    *  - bounds the lock wait ([[tryDump]]): a wedged scheduled dump
+    *    (disk stall, slow object store) cannot stall a graceful
+    *    shutdown past `lockTimeoutMillis`
+    *  - with `exitAfterDump` (the TERM/INT deployment shape) exits 0
+    *    whether or not the dump succeeded — first signal always exits
+    *
+    * Defaults install USR2 only, without exiting (the dump-progress
+    * probe shape, also what the spec exercises — raising TERM in a
+    * test JVM would kill the suite). Production runs install
+    * `Seq("USR2", "TERM", "INT")` with `exitAfterDump = true`.
+    * Previous handlers are restored on [[close]].
+    */
+  def installSignalHandlers(signals: Seq[String] = Seq("USR2"),
+                            exitAfterDump: Boolean = false,
+                            lockTimeoutMillis: Long = 10000L): this.type = {
+    signals.foreach { name =>
+      val sig = new sun.misc.Signal(name)
+      val old = sun.misc.Signal.handle(sig, (s: sun.misc.Signal) => {
+        if (!signalDumpInProgress.compareAndSet(false, true)) {
+          System.err.println(
+            s"[savepoints] $s received while a signal-triggered dump is in flight" +
+              (if (exitAfterDump) "; forcing exit" else "; ignored"))
+          if (exitAfterDump) sys.exit(0)
+        } else {
+          try {
+            if (tryDump(lockTimeoutMillis, s.toString).isEmpty)
+              System.err.println(
+                s"[savepoints] no savepoint written for $s: dump lock contended " +
+                  s"beyond $lockTimeoutMillis ms")
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[savepoints] signal-triggered dump for $s failed: $e")
+          } finally {
+            // on the exit path the flag stays set: resetting it would
+            // open a re-entry window for a third signal during halt
+            if (exitAfterDump) sys.exit(0) else signalDumpInProgress.set(false)
+          }
+        }
+      })
+      installedHandlers = (sig, old) :: installedHandlers
+    }
+    this
+  }
+
+  private var installedHandlers: List[(sun.misc.Signal, sun.misc.SignalHandler)] = Nil
+
+  /** [[dump]] with a bounded lock wait: returns None (no savepoint)
+    * if another dump holds the lock past `timeoutMillis` or the wait is
+    * interrupted. The signal path uses this so a wedged scheduled dump
+    * cannot stall shutdown indefinitely.
+    */
+  def tryDump(timeoutMillis: Long, reason: String = "on-demand"): Option[Path] = {
+    val acquired =
+      try lock.tryLock(timeoutMillis, TimeUnit.MILLISECONDS)
+      catch { case _: InterruptedException => Thread.currentThread().interrupt(); false }
+    if (!acquired) None
+    else try Some(writeLocked()) finally lock.unlock()
+  }
+
   /** Write one savepoint (tmp + rename); returns its path. Filenames are
     * monotonic, so the rename target never pre-exists and a false return
     * from `FileSystem.rename` means a real failure, not a lost race.
     */
-  def dump(): Path = lock.synchronized {
+  def dump(): Path = {
+    lock.lock()
+    try writeLocked() finally lock.unlock()
+  }
+
+  private def writeLocked(): Path = {
     val n = counter.getAndIncrement()
     val name = f"$prefix$n%09d.txt"
     val tmp = new Path(dirPath, name + ".tmp")
@@ -146,6 +226,11 @@ final class SavepointsManager(
         try Runtime.getRuntime.removeShutdownHook(h)
         catch { case _: IllegalStateException => () } // already shutting down
       }
+      installedHandlers.foreach { case (sig, old) =>
+        try { sun.misc.Signal.handle(sig, old); () }
+        catch { case _: Exception => () }
+      }
+      installedHandlers = Nil
       dump() // final savepoint
       ()
     }

@@ -47,6 +47,72 @@ class SavepointsSpec extends AnyFunSuite {
     mgr2.close()
   }
 
+  test("signal-triggered dump runs concurrently with scheduled dumps, filenames stay monotonic") {
+    val dir = Files.createTempDirectory("graft-sp-sig").toString
+    val rendered = new java.util.concurrent.atomic.AtomicLong(0L)
+    val mgr = new SavepointsManager(dir, () => s"state_${rendered.incrementAndGet()}")
+    mgr.installSignalHandlers() // USR2 only, no exit — test-JVM-safe
+    try {
+      // hammer the lock from a "scheduler": continuous dumps on another
+      // thread while signals land out-of-band
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val scheduled = new Thread(() => while (!stop.get()) { mgr.dump(); () })
+      scheduled.start()
+      for (_ <- 1 to 3) {
+        sun.misc.Signal.raise(new sun.misc.Signal("USR2"))
+        Thread.sleep(50)
+      }
+      stop.set(true)
+      scheduled.join(5000)
+      assert(!scheduled.isAlive)
+      // the last raise may still be mid-dump on the signal-dispatch
+      // thread — wait for the directory to go quiet before asserting
+      var snapshot = new java.io.File(dir).list().toSet
+      var settled = false
+      val deadline = System.nanoTime() + 5000000000L
+      while (!settled && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        val now = new java.io.File(dir).list().toSet
+        settled = now == snapshot
+        snapshot = now
+      }
+      assert(settled, "savepoint directory still changing after 5 s")
+      // every file is a full snapshot (no torn writes), numbering is
+      // gapless and strictly increasing despite the two writers racing
+      val names = new java.io.File(dir).list().toSeq.filter(_.endsWith(".txt")).sorted
+      assert(names.nonEmpty)
+      val nums = names.map(_.stripPrefix("savepoint_").stripSuffix(".txt").toLong)
+      assert(nums == (0L until names.size.toLong))
+      names.foreach { n =>
+        val content = new String(Files.readAllBytes(java.nio.file.Paths.get(dir, n)), "UTF-8")
+        assert(content.matches("state_\\d+"), s"torn savepoint $n: $content")
+      }
+      assert(new java.io.File(dir).list().forall(!_.endsWith(".tmp")))
+    } finally mgr.close()
+  }
+
+  test("signal dump's lock wait is bounded: a wedged dump cannot stall it past the timeout") {
+    val dir = Files.createTempDirectory("graft-sp-wedge").toString
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    // a render that wedges (slow disk / hung object store stand-in)
+    val mgr = new SavepointsManager(dir, () => { entered.countDown(); gate.await(); "late" })
+    try {
+      val wedged = new Thread(() => { mgr.dump(); () })
+      wedged.start()
+      entered.await() // the wedged dump now owns the lock
+      val t0 = System.nanoTime()
+      val got = mgr.tryDump(timeoutMillis = 200L, reason = "USR2")
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(got.isEmpty, "bounded dump must give up, not wait for the wedged writer")
+      assert(waitedMs >= 150 && waitedMs < 5000, s"waited $waitedMs ms")
+      gate.countDown()
+      wedged.join(5000)
+      // once the lock frees, tryDump succeeds and numbering continued
+      assert(mgr.tryDump(timeoutMillis = 200L).isDefined)
+    } finally { gate.countDown(); mgr.close() }
+  }
+
   test("accumulators merge across tasks and survive retries growing-only") {
     val spark = TestSpark.spark
     val sc = spark.sparkContext
