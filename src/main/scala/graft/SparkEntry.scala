@@ -939,7 +939,7 @@ object SparkEntry {
   /** Multimodal feature extraction through the gate: batched
     * mapPartitions "inference" with a deterministic stub extractor, so
     * the per-element outputs are engine-reproducible (see
-    * Multimodal.fakeFeatures).
+    * pipeline.StubDecoder.features).
     */
   private def qMmFeatures(s: SparkSession, d: String): DataFrame = {
     val withPayload = Multimodal.withPayload(t(s, d, "documents"), "text")
@@ -1227,10 +1227,13 @@ object SparkEntry {
         "doc_id BIGINT, text STRING, lang STRING, source STRING"),
       requiredFields = Seq("doc_id"))
     // fold the quarantine emptiness into the gated result: a corrupt
-    // line would surface as an extra n_quarantined count, not silence
+    // line would surface as an extra n_quarantined count, not silence.
+    // The count rides the plan as a broadcast 1-row cross join — the
+    // only job building this DataFrame launches is the JSONL write
+    // above (the round-trip input itself), never a count()
+    val nQ = quarantine.agg(count(lit(1)).as("n_quarantined"))
     good.select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .withColumn("n_quarantined",
-        lit(0L) + quarantine.count()) // eager, tiny (0 on clean input)
+      .crossJoin(broadcast(nQ))
       .orderBy(col("doc_id"))
   }
 

@@ -27,7 +27,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_cos_neardup", "q_ngram_jaccard", "q_sim_ivf",
     "q_containment", // same bounded verify tier as q_ngram_jaccard
     "q_bm25",        // scalar-row cross join: the single (N, avgdl, df_t) stats row
-    "q_pq_adc")      // ADC scan: quadratic side is the broadcast query set (like q_sim_topk)
+    "q_pq_adc",      // ADC scan: quadratic side is the broadcast query set (like q_sim_topk)
+    "q_jsonl_roundtrip") // scalar-row cross join: the 1-row quarantine count
+                         // (global agg, no grouping) broadcast onto every row —
+                         // the lazy replacement for the old eager count()
 
   test("no gate query plans an unlisted cartesian/nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
