@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF-PQ index: the ANN layout that survives sessions the
+  * way savepoints survive restarts. One warehouse directory holds
+  *
+  *   <root>/ivf_model/   k coarse centroids        (Ivf.save)
+  *   <root>/pq_model/    m × ksub codebooks         (Pq.save)
+  *   <root>/index/       (neighbor_id, bucket, codes) parquet
+  *
+  * The index frame carries NO vectors — m int codes + a bucket per
+  * row — so reopening an index touches megabytes where the corpus is
+  * terabytes, and search scans only (id, codes) within probed buckets
+  * (Pq.ivfAdcTopK's contract). Model parquet is bit-exact for doubles,
+  * so a reopened index reproduces the training session's assignments,
+  * codes, and ADC ranks identically (AnnIndexSpec pins all three).
+  *
+  * Incrementality: [[append]] encodes NEW corpus rows with the SAVED
+  * models and appends them to the index frame — no retrain, no
+  * re-encode of existing rows. The standard freshness trade applies:
+  * centroids/codebooks drift from the true distribution as the corpus
+  * grows; retrain (build) when recall degrades, append between.
+  *
+  * Scale: index/ is written bucket-clustered (repartition + sort on
+  * bucket), so each parquet row group covers few buckets and the
+  * probe-join's scan skips most row groups on min/max stats.
+  */
+object AnnIndex {
+
+  final case class Handle(root: String, ivf: Ivf.Model, pq: Pq.Model) {
+    def indexPath: String = s"$root/index"
+  }
+
+  /** Train both models on `corpus` and write models + the encoded
+    * index frame under `root`. `trainSample` caps the rows used for
+    * codebook training (PQ quality saturates far below corpus size;
+    * at 100 TB you train on a sample and encode everything).
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, root: String,
+            kIvf: Int, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+            trainSample: Option[Long] = None): Handle = {
+    val spark = corpus.sparkSession
+    val trainSet = trainSample.fold(corpus)(n => corpus.limit(n.toInt))
+    val ivf = Ivf.train(trainSet, idCol, vecCol, kIvf, iters)
+    val pq = Pq.train(trainSet, idCol, vecCol, m, ksub, iters)
+    Ivf.save(ivf, spark, s"$root/ivf_model")
+    Pq.save(pq, spark, s"$root/pq_model")
+    encoded(corpus, idCol, vecCol, ivf, pq)
+      .repartition(col("bucket")).sortWithinPartitions("bucket")
+      .write.mode("overwrite").parquet(s"$root/index")
+    Handle(root, ivf, pq)
+  }
+
+  /** Reopen a persisted index: loads the two (driver-sized) models;
+    * the index frame stays on disk until [[search]] scans it.
+    */
+  def open(spark: SparkSession, root: String): Handle =
+    Handle(root, Ivf.load(spark, s"$root/ivf_model"), Pq.load(spark, s"$root/pq_model"))
+
+  /** Encode new rows with the PERSISTED models and append them to the
+    * index frame — the incremental path (no retrain, existing rows
+    * untouched). Callers own id uniqueness across appends; duplicate
+    * ids would surface as duplicate candidates at query time.
+    */
+  def append(handle: Handle, newRows: DataFrame, idCol: String, vecCol: String): Unit =
+    encoded(newRows, idCol, vecCol, handle.ivf, handle.pq)
+      .repartition(col("bucket")).sortWithinPartitions("bucket")
+      .write.mode("append").parquet(handle.indexPath)
+
+  private def encoded(rows: DataFrame, idCol: String, vecCol: String,
+                      ivf: Ivf.Model, pq: Pq.Model): DataFrame =
+    rows.select(col(idCol).as("neighbor_id"),
+      Ivf.assignment(col(vecCol), ivf).as("bucket"),
+      Pq.encode(col(vecCol), pq).as("codes"))
+
+  /** IVF-PQ top-k over the persisted index frame: probe nProbe coarse
+    * buckets, ADC-rank the PQ codes inside them (Pq.ivfAdcTopK).
+    * Output: (query_id, rank, neighbor_id, adc_dist).
+    */
+  def search(handle: Handle, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nProbe: Int): DataFrame = {
+    // the frame persists ids under the fixed name "neighbor_id";
+    // ivfAdcTopK resolves both sides by the caller's idCol
+    val idx = queries.sparkSession.read.parquet(handle.indexPath)
+      .withColumnRenamed("neighbor_id", idCol)
+    Pq.ivfAdcTopK(queries, idx, idCol, vecCol, "codes", "bucket",
+      handle.ivf, handle.pq, k, nProbe)
+  }
+}

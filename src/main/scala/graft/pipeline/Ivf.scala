@@ -84,6 +84,34 @@ object Ivf {
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       assignment(col(vecCol), model).as("bucket"))
 
+  /** Persist the trained centroids as parquet rows
+    * (centroid_id, centroid) — parquet doubles are bit-exact, so a
+    * loaded model reproduces every assignment and probe ranking of the
+    * session that trained it (AnnIndexSpec pins this).
+    */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids written by [[save]]; centroid ids must form a
+    * contiguous 0..k-1 range (anything else means a torn or foreign
+    * directory, rejected loudly).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("centroid_id"), col("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    require(rows.nonEmpty, s"no IVF centroids at $path")
+    val byId = rows.toMap
+    require(byId.size == rows.length && (0 until rows.length).forall(byId.contains),
+      s"IVF centroid ids at $path are not the contiguous range 0..${rows.length - 1}")
+    Model(Array.tabulate(rows.length)(byId))
+  }
+
   /** (query_id, qv, bucket) rows for each query's nProbe best-scoring
     * centroids — the probe fan-out shared by exact re-rank ([[topK]])
     * and ADC re-rank (Pq.ivfAdcTopK).

@@ -110,6 +110,38 @@ object Pq {
     Model(codebooks)
   }
 
+  /** Persist the trained codebooks as parquet rows
+    * (subspace, centroid_id, centroid) — bit-exact like Ivf.save, so a
+    * loaded model encodes/decodes/ADC-ranks identically across
+    * sessions (AnnIndexSpec pins this).
+    */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      (cb, j) <- model.codebooks.zipWithIndex
+      (c, i) <- cb.zipWithIndex
+    } yield (j, i, c.toSeq)).toSeq
+      .toDF("subspace", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks written by [[save]]; (subspace, centroid_id) must
+    * tile the full m × ksub grid — anything else is a torn or foreign
+    * directory, rejected loudly.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("subspace"), col("centroid_id"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+    require(rows.nonEmpty, s"no PQ codebooks at $path")
+    val byKey = rows.toMap
+    val m = rows.map(_._1._1).max + 1
+    val ksub = rows.map(_._1._2).max + 1
+    require(byKey.size == rows.length && rows.length == m * ksub,
+      s"PQ codebooks at $path do not tile the $m x $ksub grid (${rows.length} rows)")
+    Model(Array.tabulate(m, ksub)((j, c) => byKey((j, c))))
+  }
+
   /** PQ codes as an m-length int array — scan-side projection through
     * the fused native kernel (graft.functions.PqEncode); the composed
     * form below is the cross-check twin.

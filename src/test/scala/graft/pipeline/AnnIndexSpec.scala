@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val emb = Tables.load(spark, TestSpark.sf, "embeddings").cache()
+
+  test("Ivf/Pq model round-trip is bit-exact: identical assignments, codes, ADC ranks") {
+    val dir = Files.createTempDirectory("graft-ann-models").toString
+    val ivf = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    Ivf.save(ivf, spark, s"$dir/ivf")
+    Pq.save(pq, spark, s"$dir/pq")
+    val ivf2 = Ivf.load(spark, s"$dir/ivf")
+    val pq2 = Pq.load(spark, s"$dir/pq")
+    // models compare exactly (parquet doubles are lossless)
+    assert(ivf.centroids.map(_.toSeq).toSeq == ivf2.centroids.map(_.toSeq).toSeq)
+    assert(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // every downstream artifact matches bit-for-bit
+    def assignments(m: Ivf.Model) = emb
+      .select(col("vec_id"), Ivf.assignment(col("embedding"), m).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assignments(ivf) == assignments(ivf2))
+    def codes(m: Pq.Model) = emb
+      .select(col("vec_id"), Pq.encode(col("embedding"), m).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(pq) == codes(pq2))
+    val corpusCodes = emb.select(col("vec_id"),
+      Pq.encode(col("embedding"), pq).as("codes"))
+    def ranks(m: Pq.Model) = Pq.adcTopK(
+        emb.filter(col("vec_id") < 5), corpusCodes,
+        "vec_id", "embedding", "codes", m, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ranks(pq) == ranks(pq2))
+  }
+
+  test("load rejects torn model directories") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ann-torn").toString
+    // non-contiguous centroid ids
+    Seq((0, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0)))
+      .toDF("centroid_id", "centroid").write.parquet(s"$dir/ivf")
+    assert(intercept[IllegalArgumentException](
+      Ivf.load(spark, s"$dir/ivf")).getMessage.contains("contiguous"))
+    // a hole in the (subspace, centroid) grid
+    Seq((0, 0, Seq(1.0)), (0, 1, Seq(2.0)), (1, 0, Seq(3.0)))
+      .toDF("subspace", "centroid_id", "centroid").write.parquet(s"$dir/pq")
+    assert(intercept[IllegalArgumentException](
+      Pq.load(spark, s"$dir/pq")).getMessage.contains("grid"))
+  }
+
+  test("persisted index: build, reopen in a 'new session', search — and append incrementally") {
+    val root = Files.createTempDirectory("graft-ann-index").toString + "/idx"
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val rest = emb.filter(col("vec_id") % 10 === 0)
+    val built = AnnIndex.build(base, "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    // reopen from disk only — nothing shared with `built` but the path
+    val reopened = AnnIndex.open(spark, root)
+    assert(reopened.ivf.centroids.map(_.toSeq).toSeq ==
+      built.ivf.centroids.map(_.toSeq).toSeq)
+    val queries = emb.filter(col("vec_id") < 5)
+    def run(h: AnnIndex.Handle) =
+      AnnIndex.search(h, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(built) == run(reopened))
+    // the index frame carries codes, not vectors
+    val idxSchema = spark.read.parquet(s"$root/index").schema
+    assert(idxSchema.fieldNames.sorted.toSeq == Seq("bucket", "codes", "neighbor_id"))
+    // incremental append: new rows become searchable without retraining
+    val before = spark.read.parquet(s"$root/index").count()
+    AnnIndex.append(reopened, rest, "vec_id", "embedding")
+    val after = spark.read.parquet(s"$root/index").count()
+    assert(after == before + rest.count())
+    // the appended rows are genuinely searchable: querying BY the
+    // appended vectors returns a best neighbor for each (self excluded)
+    val probeQs = rest.limit(3)
+    val hits = AnnIndex.search(reopened, probeQs, "vec_id", "embedding",
+        k = 1, nProbe = 8)
+      .collect()
+    val qIds = probeQs.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.map(_.getLong(0)).toSet == qIds, "every appended query answered")
+    assert(hits.forall(r => r.getInt(1) == 1 && r.getLong(0) != r.getLong(2)))
+  }
+}
