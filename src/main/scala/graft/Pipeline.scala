@@ -100,12 +100,65 @@ object Pipeline {
     case graft.config.TransformConfig.Normalize(text) =>
       df.withColumn(text, graft.pipeline.Text.normalize(col(text)))
     case graft.config.TransformConfig.SpanDedup(id, text, spanTokens, minDocs, keepFirst) =>
-      // replace the text column with the cleaned text; other columns
-      // re-attach by id so stages keep composing on the input schema
-      graft.pipeline.Dedup.spanDedup(df, id, text, spanTokens, minDocs, keepFirst)
+      // replace the text column with the cleaned text via a LEFT join
+      // FROM the original frame, so the stage preserves input
+      // multiplicity exactly like the other transform stages: null-id
+      // rows (which a join can never match) keep their original text,
+      // and the cleaned side is deduplicated per id — clean_text is
+      // functionally determined by id (the reassembly is a groupBy(id))
+      // — so duplicate ids cannot multiply rows
+      val cleaned = graft.pipeline.Dedup
+        .spanDedup(df, id, text, spanTokens, minDocs, keepFirst)
         .select(col(id), col("clean_text"))
-        .join(df.drop(text), Seq(id))
-        .withColumnRenamed("clean_text", text)
+        .dropDuplicates(id)
+      df.join(cleaned, Seq(id), "left")
+        .withColumn(text, coalesce(col("clean_text"), col(text)))
+        .drop("clean_text")
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    case graft.config.TransformConfig.MinhashDedup(
+        id, text, shingleSize, numHashes, bands, rowsPerBand, tNum, tDenom) =>
+      // the full tier-2 near-dup path: signatures expression-side, LSH
+      // banding for candidates, exact Jaccard verify, min-label
+      // clustering; survivors are each cluster's min-id representative.
+      // Shuffles carry (id, signature) / (id, band, bucket) — never text
+      val sh = df.select(col(id), graft.pipeline.Dedup.shingles(text, shingleSize).as("__sh"))
+        .withColumn("__sig",
+          graft.pipeline.Dedup.minHashSignature(col("__sh"), numHashes))
+      val candidates = graft.pipeline.Dedup
+        .lshCandidates(sh, id, "__sig", bands, rowsPerBand)
+      val verified = graft.pipeline.Dedup
+        .verifyJaccard(candidates, sh, id, "__sh", tNum, tDenom)
+        .select("id_a", "id_b")
+      val reps = graft.pipeline.Dedup
+        .clusterRepresentatives(df.select(col(id)), verified, id)
+        .filter(col("id") === col("rep"))
+        .select(col("id").as(id))
+      df.join(reps, Seq(id), "left_semi")
+    case graft.config.TransformConfig.SemanticDedup(id, vec, numPlanes, bandBits, threshold, seed) =>
+      // dim probed from the data (one tiny job); planes are seed-fixed
+      // so the stage is deterministic across runs and engines
+      val dimProbe = df.select(size(col(vec))).limit(1).collect()
+      require(dimProbe.nonEmpty, "semanticDedup stage: input frame is empty")
+      val planes = graft.pipeline.Similarity.hyperplanes(
+        numPlanes, dimProbe.head.getInt(0), seed)
+      val kept = graft.pipeline.Similarity
+        .semanticDedup(df.select(col(id), col(vec)), id, vec, planes, bandBits, threshold)
+        .filter(col("is_kept"))
+        .select(col(id))
+      df.join(kept, Seq(id), "left_semi")
+    case graft.config.TransformConfig.Decontaminate(id, text, refPath, n, minShared) =>
+      val reference = df.sparkSession.read.parquet(refPath)
+      val contaminated = graft.pipeline.Dedup
+        .decontaminate(df, reference, id, text, n)
+        .filter(col("n_shared") >= minShared)
+        .select(col(id))
+      df.join(contaminated, Seq(id), "left_anti")
+    case graft.config.TransformConfig.SeqPack(id, text, budget, shardWidth) =>
+      // terminal reshape: output is the packed-sequence layout
+      graft.pipeline.Packing.packGreedy(
+        df.select(col(id),
+          graft.pipeline.Text.tokenCount(col(text)).cast("long").as("__n_tok")),
+        id, "__n_tok", budget, shardWidth)
   }
 
   /** Repair: append source rows whose PK is absent from the target

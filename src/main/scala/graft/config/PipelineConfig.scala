@@ -156,6 +156,73 @@ object TransformConfig {
         Some("transform.split.fractions must be non-negative and fit in denom")
       else None
   }
+  /** MinHash near-dup removal: shingle -> signature -> LSH candidates
+    * -> exact Jaccard verify at `thresholdNum/thresholdDenom` ->
+    * cluster -> keep only each cluster's representative (min id). The
+    * full Dedup tier-2 path behind one stage.
+    */
+  final case class MinhashDedup(idColumn: String, textColumn: String,
+                                shingleSize: Int, numHashes: Int,
+                                bands: Int, rowsPerBand: Int,
+                                thresholdNum: Int, thresholdDenom: Int)
+      extends TransformConfig {
+    val name = "minhashDedup"
+    def check: Option[String] =
+      if (shingleSize <= 0) Some("transform.minhashDedup.shingleSize must be positive")
+      else if (numHashes != bands * rowsPerBand)
+        Some(s"transform.minhashDedup.numHashes ($numHashes) must equal " +
+          s"bands*rowsPerBand (${bands * rowsPerBand})")
+      else if (thresholdNum <= 0 || thresholdDenom <= 0 || thresholdNum > thresholdDenom)
+        Some("transform.minhashDedup threshold must be a fraction in (0, 1]")
+      else None
+  }
+  /** Embedding near-dup removal — Similarity.semanticDedup over
+    * `vecColumn` with seed-fixed hyperplanes; rows whose vector
+    * cosine-matches an earlier (smaller-id) row at >= threshold drop.
+    */
+  final case class SemanticDedup(idColumn: String, vecColumn: String,
+                                 numPlanes: Int, bandBits: Int,
+                                 threshold: Double, seed: Long)
+      extends TransformConfig {
+    val name = "semanticDedup"
+    def check: Option[String] =
+      if (numPlanes <= 0) Some("transform.semanticDedup.numPlanes must be positive")
+      else if (bandBits <= 0 || numPlanes % bandBits != 0)
+        Some("transform.semanticDedup.bandBits must divide numPlanes")
+      else if (threshold < -1.0 || threshold > 1.0)
+        Some("transform.semanticDedup.threshold must be a cosine in [-1, 1]")
+      else None
+  }
+  /** Eval-set decontamination — Dedup.decontaminate: DROP corpus rows
+    * sharing >= `minShared` distinct word `ngram`-grams with the
+    * reference corpus at `referencePath` (parquet, same text column
+    * semantics).
+    */
+  final case class Decontaminate(idColumn: String, textColumn: String,
+                                 referencePath: String, ngram: Int,
+                                 minShared: Long)
+      extends TransformConfig {
+    val name = "decontaminate"
+    def check: Option[String] =
+      if (ngram <= 0) Some("transform.decontaminate.ngram must be positive")
+      else if (minShared <= 0) Some("transform.decontaminate.minShared must be positive")
+      else None
+  }
+  /** Greedy sequence packing — Packing.packGreedy over token counts
+    * derived from `textColumn`. TERMINAL reshape: unlike the other
+    * stages the OUTPUT schema is the packed-sequence layout
+    * (idColumn, seq_id, seq_pos, tok_used), not the input schema —
+    * place it last (or before a `split` keyed on seq_id).
+    */
+  final case class SeqPack(idColumn: String, textColumn: String,
+                           budget: Long, shardWidth: Long)
+      extends TransformConfig {
+    val name = "seqPack"
+    def check: Option[String] =
+      if (budget <= 0) Some("transform.seqPack.budget must be positive")
+      else if (shardWidth <= 0) Some("transform.seqPack.shardWidth must be positive")
+      else None
+  }
 }
 
 sealed trait SourceConfig
@@ -301,6 +368,18 @@ object PipelineConfig {
       "transform.spanDedup.idColumn", "transform.spanDedup.textColumn",
       "transform.spanDedup.spanTokens", "transform.spanDedup.minDocs",
       "transform.spanDedup.keepFirst",
+      "transform.minhashDedup.idColumn", "transform.minhashDedup.textColumn",
+      "transform.minhashDedup.shingleSize", "transform.minhashDedup.numHashes",
+      "transform.minhashDedup.bands", "transform.minhashDedup.rowsPerBand",
+      "transform.minhashDedup.thresholdNum", "transform.minhashDedup.thresholdDenom",
+      "transform.semanticDedup.idColumn", "transform.semanticDedup.vecColumn",
+      "transform.semanticDedup.numPlanes", "transform.semanticDedup.bandBits",
+      "transform.semanticDedup.threshold", "transform.semanticDedup.seed",
+      "transform.decontaminate.idColumn", "transform.decontaminate.textColumn",
+      "transform.decontaminate.referencePath", "transform.decontaminate.ngram",
+      "transform.decontaminate.minShared",
+      "transform.seqPack.idColumn", "transform.seqPack.textColumn",
+      "transform.seqPack.budget", "transform.seqPack.shardWidth",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
@@ -475,6 +554,61 @@ object PipelineConfig {
               .toIntOption.toRight("transform.spanDedup.minDocs not an int")
           } yield TransformConfig.SpanDedup(id, text, st, md,
             map.getOrElse("transform.spanDedup.keepFirst", "false").toBoolean)
+        case "minhashDedup" =>
+          def num(key: String, default: String): Either[String, Int] =
+            map.getOrElse(s"transform.minhashDedup.$key", default)
+              .toIntOption.toRight(s"transform.minhashDedup.$key not an int")
+          for {
+            id <- map.get("transform.minhashDedup.idColumn")
+              .toRight("transform.minhashDedup.idColumn required")
+            text <- map.get("transform.minhashDedup.textColumn")
+              .toRight("transform.minhashDedup.textColumn required")
+            sh <- num("shingleSize", "3")
+            nh <- num("numHashes", "64")
+            b <- num("bands", "16")
+            r <- num("rowsPerBand", "4")
+            tn <- num("thresholdNum", "9")
+            td <- num("thresholdDenom", "10")
+          } yield TransformConfig.MinhashDedup(id, text, sh, nh, b, r, tn, td)
+        case "semanticDedup" =>
+          for {
+            id <- map.get("transform.semanticDedup.idColumn")
+              .toRight("transform.semanticDedup.idColumn required")
+            vec <- map.get("transform.semanticDedup.vecColumn")
+              .toRight("transform.semanticDedup.vecColumn required")
+            np <- map.getOrElse("transform.semanticDedup.numPlanes", "80")
+              .toIntOption.toRight("transform.semanticDedup.numPlanes not an int")
+            bb <- map.getOrElse("transform.semanticDedup.bandBits", "4")
+              .toIntOption.toRight("transform.semanticDedup.bandBits not an int")
+            th <- map.getOrElse("transform.semanticDedup.threshold", "0.9")
+              .toDoubleOption.toRight("transform.semanticDedup.threshold not a double")
+            sd <- map.getOrElse("transform.semanticDedup.seed", "42")
+              .toLongOption.toRight("transform.semanticDedup.seed not a long")
+          } yield TransformConfig.SemanticDedup(id, vec, np, bb, th, sd)
+        case "decontaminate" =>
+          for {
+            id <- map.get("transform.decontaminate.idColumn")
+              .toRight("transform.decontaminate.idColumn required")
+            text <- map.get("transform.decontaminate.textColumn")
+              .toRight("transform.decontaminate.textColumn required")
+            ref <- map.get("transform.decontaminate.referencePath")
+              .toRight("transform.decontaminate.referencePath required")
+            n <- map.getOrElse("transform.decontaminate.ngram", "8")
+              .toIntOption.toRight("transform.decontaminate.ngram not an int")
+            ms <- map.getOrElse("transform.decontaminate.minShared", "1")
+              .toLongOption.toRight("transform.decontaminate.minShared not a long")
+          } yield TransformConfig.Decontaminate(id, text, ref, n, ms)
+        case "seqPack" =>
+          for {
+            id <- map.get("transform.seqPack.idColumn")
+              .toRight("transform.seqPack.idColumn required")
+            text <- map.get("transform.seqPack.textColumn")
+              .toRight("transform.seqPack.textColumn required")
+            bu <- map.getOrElse("transform.seqPack.budget", "2048")
+              .toLongOption.toRight("transform.seqPack.budget not a long")
+            sw <- map.getOrElse("transform.seqPack.shardWidth", "100000")
+              .toLongOption.toRight("transform.seqPack.shardWidth not a long")
+          } yield TransformConfig.SeqPack(id, text, bu, sw)
         case other => Left(s"unknown transform stage: $other")
       }
       list("transforms").foldRight(

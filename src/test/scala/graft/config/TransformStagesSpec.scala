@@ -102,6 +102,152 @@ class TransformStagesSpec extends AnyFunSuite {
          |""".stripMargin).swap.exists(_.contains("minDocs")))
   }
 
+  test("spanDedup stage preserves input multiplicity: null ids kept, duplicate ids not multiplied") {
+    import spark.implicits._
+    val c = cfg(
+      """transforms: spanDedup
+        |transform.spanDedup.idColumn: doc_id
+        |transform.spanDedup.textColumn: text
+        |transform.spanDedup.spanTokens: 3
+        |transform.spanDedup.minDocs: 2
+        |""".stripMargin)
+    val docs = Seq(
+      (Some(1L), "alpha beta gamma the same footer", "s1"),
+      (Some(2L), "delta echo foxtrot the same footer", "s2"),
+      (None, "null id row survives untouched", "s3"),
+      (Some(4L), "dup id first copy", "s4"),
+      (Some(4L), "dup id first copy", "s4"))
+      .toDF("doc_id", "text", "source")
+    val out = Pipeline.transform(docs, c)
+    // exactly one output row per input row — no silent drops, no join fan-out
+    assert(out.count() == 5)
+    assert(out.filter(col("doc_id").isNull).count() == 1)
+    assert(out.filter(col("doc_id").isNull).select("text").as[String].head()
+      == "null id row survives untouched")
+    assert(out.filter(col("doc_id") === 4L).count() == 2)
+    // the boilerplate span is still removed from the joinable rows
+    val m = out.filter(col("doc_id").isin(1L, 2L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(m == Map(1L -> "alpha beta gamma", 2L -> "delta echo foxtrot"))
+  }
+
+  test("curation chain from config: normalize -> minhashDedup -> split through Pipeline.run") {
+    val c = cfg(
+      """transforms: normalize, minhashDedup, split
+        |transform.normalize.textColumn: text
+        |transform.minhashDedup.idColumn: doc_id
+        |transform.minhashDedup.textColumn: text
+        |transform.minhashDedup.shingleSize: 1
+        |transform.split.keyColumn: doc_id
+        |transform.split.fractions: train=90, val=10
+        |""".stripMargin)
+    assert(c.transforms.map(_.name) == List("normalize", "minhashDedup", "split"))
+    val result = Pipeline.run(spark, c)
+    val out = spark.read.parquet(c.target.asInstanceOf[TargetConfig.Parquet].path)
+    assert(result.rowsCopied == out.count() && out.count() > 0)
+    assert(out.columns.contains("split"))
+    // near-dup removal really happened (the synthetic corpus is
+    // near-dup saturated), and survivors are the min-id representatives
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    assert(out.count() < docs.count())
+    assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val")))
+  }
+
+  test("semanticDedup stage keeps one representative per near-identical embedding group") {
+    import spark.implicits._
+    val c = cfg(
+      """transforms: semanticDedup
+        |transform.semanticDedup.idColumn: vec_id
+        |transform.semanticDedup.vecColumn: embedding
+        |transform.semanticDedup.threshold: 0.99
+        |""".stripMargin)
+    // two exact-duplicate groups + one singleton
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Pipeline.transform(rows, c)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(out.select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+  }
+
+  test("decontaminate stage drops rows sharing n-grams with the reference corpus") {
+    import spark.implicits._
+    val refDir = java.nio.file.Files.createTempDirectory("graft-decon-ref")
+      .resolve("ref").toString
+    Seq((100L, "the forbidden eval passage here"))
+      .toDF("doc_id", "text").write.parquet(refDir)
+    val c = cfg(
+      s"""transforms: decontaminate
+         |transform.decontaminate.idColumn: doc_id
+         |transform.decontaminate.textColumn: text
+         |transform.decontaminate.referencePath: $refDir
+         |transform.decontaminate.ngram: 3
+         |""".stripMargin)
+    val docs = Seq(
+      (1L, "contains the forbidden eval passage verbatim", "s1"),
+      (2L, "completely unrelated training document text", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Pipeline.transform(docs, c)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(out.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("seqPack stage reshapes to the packed-sequence layout") {
+    import spark.implicits._
+    val c = cfg(
+      """transforms: seqPack
+        |transform.seqPack.idColumn: doc_id
+        |transform.seqPack.textColumn: text
+        |transform.seqPack.budget: 4
+        |transform.seqPack.shardWidth: 1000
+        |""".stripMargin)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
+    val out = Pipeline.transform(docs, c)
+    assert(out.columns.toSeq == Seq("doc_id", "seq_id", "seq_pos", "tok_used"))
+    // every doc packed exactly once, budget respected per sequence
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val perSeq = out.groupBy("seq_id").agg(sum("tok_used").as("t")).collect()
+    assert(perSeq.forall(_.getLong(1) <= 4))
+  }
+
+  test("new stages validate eagerly") {
+    def parseErr(extra: String): String =
+      PipelineConfig.parse(
+        s"""source.type: parquet
+           |source.path: x
+           |target.type: parquet
+           |target.path: y
+           |$extra""".stripMargin).swap.getOrElse(fail("expected a parse error"))
+    assert(parseErr(
+      """transforms: minhashDedup
+        |transform.minhashDedup.idColumn: doc_id
+        |transform.minhashDedup.textColumn: text
+        |transform.minhashDedup.numHashes: 60
+        |""".stripMargin).contains("bands*rowsPerBand"))
+    assert(parseErr(
+      """transforms: semanticDedup
+        |transform.semanticDedup.idColumn: id
+        |transform.semanticDedup.vecColumn: v
+        |transform.semanticDedup.threshold: 1.5
+        |""".stripMargin).contains("cosine"))
+    assert(parseErr(
+      """transforms: decontaminate
+        |transform.decontaminate.idColumn: id
+        |transform.decontaminate.textColumn: t
+        |""".stripMargin).contains("referencePath required"))
+    assert(parseErr(
+      """transforms: seqPack
+        |transform.seqPack.idColumn: id
+        |transform.seqPack.textColumn: t
+        |transform.seqPack.budget: 0
+        |""".stripMargin).contains("budget must be positive"))
+  }
+
   test("config errors are eager: unknown stage, missing key, bad fractions") {
     def parseErr(extra: String): String =
       PipelineConfig.parse(
