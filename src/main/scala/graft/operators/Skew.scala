@@ -96,4 +96,86 @@ object Skew {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** [[keyProfile]]'s single row as a typed driver value. */
+  final case class Profile(nKeys: Long, maxN: Long, totalRows: Long,
+                           p50: Double, p90: Double, p99: Double) {
+    /** Hot-key ratio: rows under the heaviest key vs the median key. */
+    def skewRatio: Double = maxN / math.max(p50, 1.0)
+  }
+
+  def profile(df: DataFrame, keys: Seq[String]): Profile = {
+    val r = keyProfile(df, keys).head()
+    Profile(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+  }
+
+  /** The three join shapes [[decide]] picks between, with the picked
+    * parameters baked in. `reason` makes the decision auditable in logs
+    * — a 100-TB plan choice should never be silent.
+    */
+  sealed trait JoinChoice { def reason: String }
+  final case class BroadcastChoice(dimRows: Long, reason: String) extends JoinChoice
+  final case class SaltedChoice(buckets: Int, reason: String) extends JoinChoice
+  final case class PlainChoice(reason: String) extends JoinChoice
+
+  /** Decision thresholds. Defaults assume ~1M rows is a comfortable
+    * task's worth of join input and a dimension under `broadcastMaxRows`
+    * fits every executor; tune both to the cluster's memory story.
+    */
+  final case class JoinPolicy(
+      broadcastMaxRows: Long = 1000000L,
+      skewRatioThreshold: Double = 16.0,
+      minHotKeyRows: Long = 1000000L,
+      targetRowsPerTask: Long = 1000000L,
+      maxSaltBuckets: Int = 64,
+      saltedMaxDimRows: Long = 10000000L)
+
+  /** Pure decision function (unit-testable without a cluster):
+    *
+    *  1. dimension small enough -> broadcast (skew-immune: the fact
+    *     side never shuffles, so hot keys cost nothing extra)
+    *  2. fact skewed (hot key both RELATIVELY heavy — skewRatio — and
+    *     ABSOLUTELY too big for one task) and the dimension modest
+    *     enough to replicate -> salted join, buckets sized so the hot
+    *     key spreads to ~targetRowsPerTask per task
+    *  3. otherwise -> plain shuffle join (AQE's partition-level skew
+    *     split handles the residual cases)
+    */
+  def decide(factProfile: Profile, dimRows: Long,
+             policy: JoinPolicy = JoinPolicy()): JoinChoice =
+    if (dimRows <= policy.broadcastMaxRows)
+      BroadcastChoice(dimRows,
+        s"dim has $dimRows rows <= broadcastMaxRows=${policy.broadcastMaxRows}")
+    else if (factProfile.skewRatio >= policy.skewRatioThreshold &&
+             factProfile.maxN >= policy.minHotKeyRows &&
+             dimRows <= policy.saltedMaxDimRows) {
+      val buckets = math.min(policy.maxSaltBuckets.toLong,
+        (factProfile.maxN + policy.targetRowsPerTask - 1) / policy.targetRowsPerTask).toInt
+      SaltedChoice(math.max(buckets, 2),
+        f"hot key ${factProfile.maxN} rows, skewRatio=${factProfile.skewRatio}%.1f >= " +
+          s"${policy.skewRatioThreshold}; dim $dimRows rows replicable")
+    } else
+      PlainChoice(
+        f"no broadcast (dim $dimRows rows), skewRatio=${factProfile.skewRatio}%.1f " +
+          s"or hot key ${factProfile.maxN} below thresholds — shuffle join + AQE")
+
+  /** Profile -> decision -> join, closed loop. Runs TWO small driver
+    * jobs first (the fact key profile and the dim count) — at the scale
+    * where this matters, a counting pass is noise next to a mis-planned
+    * join. Returns the decision alongside the frame so callers can log
+    * it. Inner equi-join on `key`; output equals the plain join in
+    * every branch (SkewSpec pins that and the chosen plans).
+    */
+  def autoJoin(fact: DataFrame, dim: DataFrame, key: String,
+               factSaltOver: Seq[String],
+               policy: JoinPolicy = JoinPolicy()): (JoinChoice, DataFrame) = {
+    val choice = decide(profile(fact, Seq(key)), dim.count(), policy)
+    val joined = choice match {
+      case BroadcastChoice(_, _) => fact.join(broadcast(dim), key)
+      case SaltedChoice(buckets, _) => saltedJoin(fact, dim, key, buckets, factSaltOver)
+      case PlainChoice(_) => fact.join(dim, key)
+    }
+    (choice, joined)
+  }
 }
