@@ -50,6 +50,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == ((1, 1L, 1L)))
   }
 
+  test("a custom decoder injects through the trait and the registry; stub stays default") {
+    // a "real codec" stand-in with recognizably different output
+    object FixedDecoder extends MediaDecoder {
+      def decodeMeta(bytes: Array[Byte]) = (bytes.length.toLong, 1920L, 1080L, 2L, 255L)
+      val featureDim = 2
+      def features(bytes: Array[Byte]) = Array(1.0, 2.0)
+      def resize(bytes: Array[Byte], maxBytes: Int) = Array[Byte](42)
+    }
+    MediaDecoders.register("fixed", FixedDecoder)
+    assert(MediaDecoders.names.contains("fixed") && MediaDecoders.names.contains("stub"))
+    val df = Multimodal.withPayload(Seq((1L, "abc")).toDF("doc_id", "text"), "text")
+    // injected per-call (resolved from the registry, as a config would)
+    val viaRegistry = Multimodal.decodeMeta(df, "doc_id", "payload",
+        MediaDecoders.get("fixed"))
+      .select("meta.width", "meta.height").head()
+    assert((viaRegistry.getLong(0), viaRegistry.getLong(1)) == ((1920L, 1080L)))
+    val feats = Multimodal.featurize(df, "doc_id", "payload", FixedDecoder)
+      .select("features").head().getSeq[Double](0)
+    assert(feats == Seq(1.0, 2.0))
+    assert(Multimodal.resize(df, "doc_id", "payload", 1, FixedDecoder)
+      .select("resized").head().getAs[Array[Byte]](0).toSeq == Seq(42.toByte))
+    // the default path is untouched (q_multimodal_meta's contract)
+    val stubMeta = Multimodal.decodeMeta(df, "doc_id", "payload")
+      .select("meta.width").head().getLong(0)
+    assert(stubMeta == 3L % 640)
+    // unknown names fail loudly
+    assert(intercept[IllegalArgumentException](
+      MediaDecoders.get("nope")).getMessage.contains("no media decoder"))
+  }
+
   test("frame sampling strides through decoded frame counts") {
     // 20-byte payload => n_frames = 20 % 16 + 1 = 5 => frames 0 and 4
     val df = Multimodal.withPayload(Seq((7L, "x" * 20)).toDF("doc_id", "text"), "text")
