@@ -60,7 +60,10 @@ object BloomSet {
 
   /** `true` if the item is possibly in the built filter, `false` if
     * definitely not. `bloom` must be a foldable binary Column (a
-    * `lit(bytes)` of a [[bloomAgg]] result).
+    * `lit(bytes)` of a [[bloomAgg]] result) or a scalar subquery
+    * (`df.agg(bloomAgg(...)).scalar()`) — the two shapes
+    * `BloomFilterMightContain` accepts; anything else is an
+    * analysis-time error.
     */
   def mightContain(bloom: Column, item: Column): Column =
     GraftColumnBridge.column(

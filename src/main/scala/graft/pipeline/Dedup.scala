@@ -531,6 +531,13 @@ object Dedup {
     * join input shrinks from every-corpus-gram to matching-grams —
     * false positives cost join input, never correctness, so an
     * undersized filter degrades throughput, not results.
+    *
+    * The filter rides the plan as a SCALAR SUBQUERY — the same shape
+    * Catalyst's own runtime row-level filtering injects — so building
+    * this DataFrame launches no job; the subquery executes inside the
+    * one query execution. An empty reference yields a null filter,
+    * `might_contain` evaluates null, and the candidate set is empty —
+    * same result as the plain form.
     */
   def decontaminateBloom(corpus: DataFrame, reference: DataFrame, idCol: String,
                          textColName: String, n: Int,
@@ -538,21 +545,20 @@ object Dedup {
     val rg = reference.select(explode(shingles(textColName, n)).as("g")).distinct()
     val cg = corpus.select(col(idCol), explode(shingles(textColName, n)).as("g"))
     val bits = graft.functions.BloomSet.suggestNumBits(expectedGrams, fpp)
-    // the built filter is sketch-sized (bits/8 bytes), not data-sized —
-    // a bounded driver artifact, like IVF's k×dim centroid collect.
     // Built from the RAW gram stream, not `rg`: a bloom is duplicate-
-    // insensitive (re-inserting sets the same bits), so the build is a
-    // shuffle-free scan with partial aggregation — the distinct's full
-    // gram shuffle happens once, lazily, for the verify join only
-    val bloomRow = reference
+    // insensitive (re-inserting sets the same bits), so the subquery is
+    // a shuffle-free scan with partial aggregation whose single row is
+    // sketch-sized (bits/8 bytes), never data-sized. (Sharing `rg`'s
+    // distinct exchange instead does NOT pay: the verify join's
+    // constraint propagation pushes the might_contain predicate onto
+    // the rg subtree, so the two subtrees never canonicalize equal and
+    // exchange reuse cannot fire.)
+    val bloom = reference
       .select(explode(shingles(textColName, n)).as("g"))
       .agg(graft.functions.BloomSet.bloomAgg(col("g"), expectedGrams, bits).as("bf"))
-      .head()
-    val candidates =
-      if (bloomRow.isNullAt(0)) cg // empty reference: join below yields empty
-      else cg.filter(graft.functions.BloomSet.mightContain(
-        lit(bloomRow.getAs[Array[Byte]](0)), col("g")))
-    candidates.join(rg, "g")
+      .scalar()
+    cg.filter(graft.functions.BloomSet.mightContain(bloom, col("g")))
+      .join(rg, "g")
       .groupBy(col(idCol))
       .agg(countDistinct(col("g")).as("n_shared"))
   }

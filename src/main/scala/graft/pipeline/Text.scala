@@ -156,12 +156,14 @@ object Text {
     * (integer counts) and derive scores downstream.
     */
   def tfIdf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val nDocs = df.select(countDistinct(col(idCol))).first().getLong(0)
+    // N rides the plan as a scalar subquery — constructing the frame
+    // launches no job, and N is computed inside the one execution
+    val nDocs = df.select(countDistinct(col(idCol)).cast("double")).scalar()
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val stats = termStats(df, textCol, idCol).select(col("term"), col("doc_freq"))
     tf.join(broadcast(stats), "term")
-      .withColumn("tf_idf", col("tf") * log(lit(nDocs.toDouble) / col("doc_freq")))
+      .withColumn("tf_idf", col("tf") * log(nDocs / col("doc_freq")))
   }
 
   /** BM25 retrieval scores for a fixed query-term set over the corpus
