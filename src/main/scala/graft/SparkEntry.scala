@@ -1376,6 +1376,64 @@ object SparkEntry {
         bandBits = 4, threshold = 0.35)
       .orderBy(col("vec_id"))
 
+  /** Target-mixture rebalance over the language axis: en/de/fr/zh at
+    * 5/2/2/1 tenths (es has weight 0 and drops out). The gate pins the
+    * per-group census of the kept set — membership is the md5-mod
+    * quota rule, integer-exact on both engines.
+    */
+  private def qMixWeights(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.mixToTarget(t(s, d, "documents"), "doc_id", "lang",
+        weights = Map("en" -> 5, "de" -> 2, "fr" -> 2, "zh" -> 1), wDenom = 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+
+  /** Per-source length outliers from exact integer moments (z = 2
+    * population standard deviations); the flag's IEEE expression
+    * sequence is mirrored op-for-op in the oracle — see
+    * Moments.flagOutliers.
+    */
+  private def qLenOutliers(s: SparkSession, d: String): DataFrame =
+    graft.operators.Moments.flagOutliers(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "n_chars", "source", z = 2.0)
+      .filter(col("is_outlier"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_group"))
+      .orderBy(col("doc_id"))
+
+  /** Batch retrieval: top-10 docs for each of three queries through the
+    * postings join; evidence columns are all-integer so the ranking is
+    * engine-exact (floats stay downstream, see Text.retrievalTopK).
+    */
+  private def qRetrievalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      ("q0", "spark"), ("q0", "window"),
+      ("q1", "hash"), ("q1", "join"), ("q1", "merge"),
+      ("q2", "vector")).toDF("query_id", "term")
+    Text.retrievalTopK(t(s, d, "documents"), "text", "doc_id",
+        queries, "query_id", "term", k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_matched"), col("sum_tf"), col("dl"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Term drift between the English corpus and everything else: top-40
+    * terms by the exact integer cross-proportion gap |c_a·N_b − c_b·N_a|.
+    */
+  private def qTermDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val top = Text.termDrift(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text", k = 40)
+      .withColumn("drift", col("drift").cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("drift").desc, col("term").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("term"), col("c_a"), col("c_b"), col("drift"))
+      .orderBy(col("rank"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1384,6 +1442,10 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_mix_weights" -> (qMixWeights _),
+    "q_len_outliers" -> (qLenOutliers _),
+    "q_retrieval_join" -> (qRetrievalJoin _),
+    "q_term_drift" -> (qTermDrift _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_normalize" -> (qNormalize _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
@@ -1607,6 +1669,78 @@ object SparkEntry {
         "CAST(sum(CASE WHEN coalesce(c, 0) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
         "CAST(sum(coalesce(c, 0)) AS BIGINT) AS sum_tf " +
         "FROM tok LEFT JOIN model USING (term) GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_mix_weights" ->
+      ("WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
+        "CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2 WHEN 'fr' THEN 2 " +
+        "WHEN 'zh' THEN 1 ELSE 0 END AS wt " +
+        "FROM documents GROUP BY lang), " +
+        "cw AS (SELECT * FROM c WHERE wt > 0), " +
+        "tm AS (SELECT min(CAST(floor(CAST(n * 10 AS DOUBLE) / wt) AS BIGINT)) AS tmax FROM cw), " +
+        "q AS (SELECT lang, n, CAST(floor(CAST(wt * tmax AS DOUBLE) / 10) AS BIGINT) AS quota " +
+        "FROM cw, tm), " +
+        "h AS (SELECT doc_id, lang, " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT) AS hv " +
+        "FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM h JOIN q USING (lang) WHERE hv % n < quota " +
+        "GROUP BY lang ORDER BY lang"),
+
+    // the outlier predicate's double math must mirror Moments.flagOutliers
+    // parenthesis-for-parenthesis: mean = sv/n; var = svv/n - mean*mean;
+    // flag ⇔ (v - mean)² > z²·var — identical IEEE op sequence
+    "q_len_outliers" ->
+      ("WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_group, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sv, " +
+        "CAST(sum(n_chars * n_chars) AS BIGINT) AS svv " +
+        "FROM documents GROUP BY source) " +
+        "SELECT doc_id, source, n_chars, n_group " +
+        "FROM documents JOIN s USING (source) " +
+        "WHERE (CAST(n_chars AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE)) * " +
+        "(CAST(n_chars AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE)) > " +
+        "4.0 * (CAST(svv AS DOUBLE) / CAST(n_group AS DOUBLE) - " +
+        "(CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE)) * " +
+        "(CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE))) " +
+        "ORDER BY doc_id"),
+
+    "q_retrieval_join" ->
+      ("WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term, " +
+        "CAST(len(" + tokensExpr + ") AS BIGINT) AS dl FROM documents), " +
+        "post AS (SELECT doc_id, term, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM tok GROUP BY doc_id, term), " +
+        "q AS (SELECT * FROM (VALUES ('q0', 'spark'), ('q0', 'window'), " +
+        "('q1', 'hash'), ('q1', 'join'), ('q1', 'merge'), ('q2', 'vector')) " +
+        "AS v(query_id, term)), " +
+        "m AS (SELECT query_id, doc_id, max(dl) AS dl, " +
+        "CAST(count(*) AS BIGINT) AS n_matched, CAST(sum(tf) AS BIGINT) AS sum_tf " +
+        "FROM post JOIN q USING (term) GROUP BY query_id, doc_id), " +
+        "r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS BIGINT) AS rank, " +
+        "doc_id, n_matched, sum_tf, dl FROM m) " +
+        "SELECT query_id, rank, doc_id, n_matched, sum_tf, dl " +
+        "FROM r WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "q_term_drift" ->
+      ("WITH ta AS (SELECT unnest(" + tokensExpr + ") AS term FROM documents " +
+        "WHERE lang = 'en'), " +
+        "tb AS (SELECT unnest(" + tokensExpr + ") AS term FROM documents " +
+        "WHERE lang != 'en'), " +
+        "ca AS (SELECT term, CAST(count(*) AS BIGINT) AS c_a FROM ta GROUP BY term), " +
+        "cb AS (SELECT term, CAST(count(*) AS BIGINT) AS c_b FROM tb GROUP BY term), " +
+        "na AS (SELECT CAST(coalesce(sum(c_a), 0) AS HUGEINT) AS n_a FROM ca), " +
+        "nb AS (SELECT CAST(coalesce(sum(c_b), 0) AS HUGEINT) AS n_b FROM cb), " +
+        "j AS (SELECT coalesce(ca.term, cb.term) AS term, " +
+        "coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b " +
+        "FROM ca FULL OUTER JOIN cb ON ca.term = cb.term), " +
+        "sc AS (SELECT term, c_a, c_b, " +
+        "abs(CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a) AS drift " +
+        "FROM j, na, nb) " +
+        "SELECT CAST(row_number() OVER (ORDER BY drift DESC, term) AS BIGINT) AS rank, " +
+        "term, c_a, c_b, CAST(drift AS BIGINT) AS drift FROM " +
+        "(SELECT * FROM sc ORDER BY drift DESC, term LIMIT 40) ORDER BY rank"),
 
     "q_rand_proj" -> {
       val planes = Similarity.hyperplanes(numPlanes = 16, dim = 64, seed = 7L)

@@ -134,6 +134,59 @@ object Sampling {
       .filter(col(rankName) <= k)
   }
 
+  /** Rebalance the corpus to a TARGET mixture (the DoReMi-style static
+    * domain-weights move): given per-group target weights `w_s / wDenom`,
+    * keep the largest corpus whose group proportions match the target,
+    * i.e. scale the total to T = min over weighted groups of
+    * ⌊n_s · wDenom / w_s⌋ (the binding group keeps everything; every
+    * other group downsamples to its quota ⌊w_s · T / wDenom⌋). Groups
+    * with no listed weight (or weight 0) are dropped — they are not in
+    * the target mix.
+    *
+    * All quota arithmetic is INTEGER (rational weights against integer
+    * counts), and membership is the md5 hash of the key mod the group
+    * size against the quota — a pure function of (row key, group
+    * census), so the cut is retry/partition/engine invariant like every
+    * sampler in this module. Quotas are hit in expectation (hash-mod
+    * thins uniformly); exact-count quotas would need a per-group rank —
+    * that is [[capPerGroup]]'s job, composable after this when exact
+    * counts matter more than a scan-side plan.
+    *
+    * Plan shape at 100 TB: one count aggregation over the group key
+    * (|groups| rows), a 1-row min-reduction for T, both broadcast back;
+    * the data rows never shuffle — membership is a scan-side filter.
+    */
+  def mixToTarget(df: DataFrame, keyCol: String, groupCol: String,
+                  weights: Map[String, Int], wDenom: Int): DataFrame = {
+    require(wDenom > 0, "wDenom must be positive")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    require(weights.values.sum <= wDenom,
+      s"weights sum to ${weights.values.sum} > wDenom=$wDenom — the target mix must be a sub-distribution")
+    require(weights.values.exists(_ > 0), "at least one group needs a positive weight")
+    val weightOf = weights.toSeq.sortBy(_._1).foldRight(lit(0)) {
+      case ((value, num), acc) => when(col(groupCol) === value, lit(num)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__grp_n"))
+      .withColumn("__grp_w", weightOf.cast("long"))
+      .filter(col("__grp_w") > 0)
+    // T = min_s floor(n_s * wDenom / w_s): the largest total for which
+    // every group can fill its share. Integer division is exact — no
+    // float rate ever enters the membership decision.
+    val tMax = counts
+      .agg(min(floor(col("__grp_n") * lit(wDenom.toLong) / col("__grp_w")).cast("long"))
+        .as("__t_max"))
+    val quotas = counts.crossJoin(broadcast(tMax))
+      .select(col(groupCol).as("__grp_key"), col("__grp_n"),
+        floor(col("__grp_w") * col("__t_max") / lit(wDenom.toLong)).cast("long")
+          .as("__grp_quota"))
+    val h = conv(substring(md5(coalesce(col(keyCol).cast("string"), lit(""))), 1, 15), 16, 10)
+      .cast("long")
+    df.join(broadcast(quotas), col(groupCol) <=> col("__grp_key"))
+      .filter(pmod(h, col("__grp_n")) < col("__grp_quota"))
+      .drop("__grp_key", "__grp_n", "__grp_quota")
+  }
+
   /** Label every row with a named split; fractions are (name, numerator)
     * over `denom` buckets and must sum to at most denom (rows beyond the
     * last range get the final split). Splits are disjoint and exhaustive

@@ -352,4 +352,93 @@ object Text {
   def fingerprintPortableExpr(textColName: String, k: Int = 8, w: Int = 4): Column =
     winnow(s"transform(sequence(1, greatest(length($textColName) - ${k - 1}, 1))," +
       s" i -> CAST(conv(substring(md5(substring($textColName, CAST(i AS INT), $k)), 1, 15), 16, 10) AS BIGINT))", w)
+
+  /** Batch lexical retrieval: top-k documents per query over a QUERY
+    * TABLE — the many-query generalization of [[bm25]] (which pins a
+    * handful of terms as scan-side columns). This is the shape a
+    * dedup-against-eval or retrieval-labelling pass actually has: tens
+    * of thousands of queries joined against the corpus at once.
+    *
+    * `queries` is (queryIdCol, termCol) — one row per query term.
+    * Matching is postings-style: the corpus explodes ONCE to
+    * (doc, term, tf) postings, the query table joins on the term key
+    * (shuffle-by-term — both sides scale; neither is force-broadcast,
+    * so a million-query batch survives), and per (query, doc) the match
+    * aggregates to integer evidence: `n_matched` (distinct query terms
+    * present) and `sum_tf` (total matched occurrences). The final
+    * per-query top-k is [[graft.operators.Sampling.capPerGroup]] — the
+    * salted two-stage rank, so one query matching half the corpus
+    * cannot pin a single task.
+    *
+    * Ranking is (n_matched desc, sum_tf desc, doc_id) — all-integer and
+    * therefore engine-exact; float scoring (BM25 weights) belongs
+    * downstream on the surviving k·|queries| rows where its cost and
+    * its ulp-sensitivity are both bounded.
+    */
+  def retrievalTopK(df: DataFrame, textCol: String, idCol: String,
+                    queries: DataFrame, queryIdCol: String, termCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(idCol != queryIdCol,
+      s"doc id and query id must have distinct names, both are '$idCol'")
+    val reserved = Seq("term", "dl", "tf", "n_matched", "sum_tf")
+    require(!Seq(idCol, queryIdCol).exists(reserved.contains),
+      s"ids may not use reserved names ${reserved.mkString(", ")}")
+    val postings = df
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val q = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
+    postings.join(q, Seq("term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_matched"),
+        sum(col("tf")).as("sum_tf"))
+      .transform(j => graft.operators.Sampling.capPerGroup(j,
+        groupCols = Seq(queryIdCol),
+        rankBy = Seq(-col("n_matched"), -col("sum_tf"), col(idCol)),
+        k = k, rankName = "rank"))
+  }
+
+  /** Term-distribution drift between two corpora — the
+    * snapshot-comparison gate of a training-data pipeline ("did this
+    * month's crawl shift vocabulary against last month's?", "what did
+    * the quality filter remove?"). For each term with counts c_a, c_b
+    * against corpus totals N_a, N_b, the score is the cross-multiplied
+    * proportion gap |c_a·N_b − c_b·N_a| — the numerator of
+    * |c_a/N_a − c_b/N_b| over the common denominator, kept as an EXACT
+    * integer so ranking has no float tie ambiguity across engines.
+    * Returns the top-k drifted terms (score desc, term asc).
+    *
+    * Scale shape: two term-count aggregates (map-side partial to
+    * |vocab| keys), a full-outer join on the term key (both sides
+    * vocab-sized, shuffle-by-term — web-scale vocab survives; nothing
+    * force-broadcasts), two 1-row totals riding as broadcast scalars,
+    * and TakeOrderedAndProject for the top-k (per-partition heads, no
+    * global sort). Counts are cross-multiplied in DECIMAL(38,0): two
+    * exact 9.2e18-bounded longs can overflow their product, and ANSI
+    * mode would abort the job — decimal keeps it exact to 1e38.
+    */
+  def termDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def counts(d: DataFrame, name: String): DataFrame =
+      d.select(explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(name))
+    val ca = counts(dfA, "c_a")
+    val cb = counts(dfB, "c_b")
+    val na = ca.agg(coalesce(sum(col("c_a")), lit(0L)).as("__n_a"))
+    val nb = cb.agg(coalesce(sum(col("c_b")), lit(0L)).as("__n_b"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    ca.join(cb, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("drift",
+        abs(dec(col("c_a")) * dec(col("__n_b")) - dec(col("c_b")) * dec(col("__n_a")))
+          .cast("decimal(38,0)"))
+      .select(col("term"), col("c_a"), col("c_b"), col("drift"))
+      .orderBy(col("drift").desc, col("term").asc)
+      .limit(k)
+  }
 }

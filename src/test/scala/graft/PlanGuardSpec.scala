@@ -28,9 +28,13 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_containment", // same bounded verify tier as q_ngram_jaccard
     "q_bm25",        // scalar-row cross join: the single (N, avgdl, df_t) stats row
     "q_pq_adc",      // ADC scan: quadratic side is the broadcast query set (like q_sim_topk)
-    "q_jsonl_roundtrip") // scalar-row cross join: the 1-row quarantine count
+    "q_jsonl_roundtrip", // scalar-row cross join: the 1-row quarantine count
                          // (global agg, no grouping) broadcast onto every row —
                          // the lazy replacement for the old eager count()
+    "q_mix_weights",     // scalar-row cross join: the 1-row T_max min-reduction
+                         // broadcast onto the |groups|-row quota frame
+    "q_term_drift")      // scalar-row cross joins: the two 1-row corpus totals
+                         // (N_a, N_b) broadcast onto the vocab-keyed join
 
   test("no gate query plans an unlisted cartesian/nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -151,4 +151,37 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.capPerGroup(docs.withColumn("r", lit(1)),
         Seq("source"), Seq(col("doc_id")), k = 1, rankName = "r"))
   }
+
+  test("mixToTarget hits the target mixture and drops unweighted groups") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val weights = Map("en" -> 5, "de" -> 2, "fr" -> 2, "zh" -> 1)
+    val kept = Sampling.mixToTarget(docs, "doc_id", "lang", weights, wDenom = 10)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unweighted groups are not in the target mix
+    assert(!byLang.contains("es"))
+    assert(byLang.keySet == weights.keySet)
+    // exact integer quotas: T = min_s floor(n_s*10/w_s), quota_s = floor(w_s*T/10);
+    // hash-mod thinning hits quotas in expectation — allow binomial slack
+    val n = docs.filter(col("lang").isin(weights.keySet.toSeq: _*))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tMax = weights.map { case (g, w) => n(g) * 10 / w }.min
+    weights.foreach { case (g, w) =>
+      val quota = w * tMax / 10
+      val got = byLang(g)
+      val slack = math.max(4.0, 3 * math.sqrt(quota.toDouble))
+      assert(math.abs(got - quota) <= slack, s"$g: kept $got, quota $quota")
+    }
+    // membership is a pure function of the key: repartitioning changes nothing
+    val again = Sampling.mixToTarget(docs.repartition(7), "doc_id", "lang",
+      weights, wDenom = 10).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == kept.collect().map(_.getAs[Long]("doc_id")).toSet)
+    // kept set is a subset of the input
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    assertThrows[IllegalArgumentException](
+      Sampling.mixToTarget(docs, "doc_id", "lang", Map("en" -> 11), wDenom = 10))
+    assertThrows[IllegalArgumentException](
+      Sampling.mixToTarget(docs, "doc_id", "lang", Map("en" -> 0), wDenom = 10))
+  }
 }

@@ -175,4 +175,52 @@ class TextSpec extends AnyFunSuite {
     assert(ext(1L) == ((1L, 10L))) // b unseen -> oov, contributes 0
     assert(ext(2L) == ((2L, 0L)))  // b and c both unseen
   }
+
+  test("retrievalTopK ranks by integer evidence with exact tiebreaks") {
+    val docs = Seq(
+      (1L, "x x y"),      // q0: matches x(2) and y(1) -> n_matched 2, sum_tf 3
+      (2L, "x y z"),      // q0: n_matched 2, sum_tf 2
+      (3L, "x x x x"),    // q0: n_matched 1, sum_tf 4 — fewer distinct terms ranks BELOW both
+      (4L, "z z z"),      // q0: no match; q1: z -> tf 3
+      (5L, "w")).toDF("doc_id", "text")
+    val queries = Seq(("q0", "x"), ("q0", "y"), ("q1", "z")).toDF("qid", "term")
+    val got = Text.retrievalTopK(docs, "text", "doc_id", queries, "qid", "term", k = 3)
+      .select("qid", "rank", "doc_id", "n_matched", "sum_tf", "dl")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("q0", 1L, 1L, 2L, 3L, 3L),
+      ("q0", 2L, 2L, 2L, 2L, 3L),
+      ("q0", 3L, 3L, 1L, 4L, 4L),
+      ("q1", 1L, 4L, 1L, 3L, 3L),
+      ("q1", 2L, 2L, 1L, 1L, 3L)))  // doc 2 "x y z" carries one z
+    // duplicate query-term rows must not inflate the evidence
+    val dup = queries.union(queries)
+    val again = Text.retrievalTopK(docs, "text", "doc_id", dup, "qid", "term", k = 3)
+      .select("qid", "rank", "doc_id", "n_matched", "sum_tf", "dl")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(again == got)
+    assertThrows[IllegalArgumentException](
+      Text.retrievalTopK(docs, "text", "doc_id", queries, "doc_id", "term", k = 3))
+  }
+
+  test("termDrift scores the exact cross-proportion gap") {
+    val a = Seq((1L, "x x y"), (2L, "x z")).toDF("id", "text")   // N_a=5: x3 y1 z1
+    val b = Seq((3L, "y y z")).toDF("id", "text")                 // N_b=3: y2 z1
+    val got = Text.termDrift(a, b, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact())).toList
+    // x: |3*3 - 0*5| = 9; y: |1*3 - 2*5| = 7; z: |1*3 - 1*5| = 2
+    assert(got == List(("x", 3L, 0L, 9L), ("y", 1L, 2L, 7L), ("z", 1L, 1L, 2L)))
+    // symmetric: swapping corpora keeps the same drift magnitudes
+    val swapped = Text.termDrift(b, a, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getDecimal(3).longValueExact()).toMap
+    assert(swapped == Map("x" -> 9L, "y" -> 7L, "z" -> 2L))
+    // an empty side: every term of the other side drifts by c*N
+    val empty = a.filter(col("id") < 0)
+    val oneSided = Text.termDrift(a, empty, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getDecimal(3).longValueExact()).toMap
+    assert(oneSided == Map("x" -> 0L, "y" -> 0L, "z" -> 0L))
+  }
 }
