@@ -153,6 +153,20 @@ object Pipeline {
         .filter(col("n_shared") >= minShared)
         .select(col(id))
       df.join(contaminated, Seq(id), "left_anti")
+    case graft.config.TransformConfig.IncrDedup(id, text, refPath, refText) =>
+      graft.pipeline.Dedup.newAgainst(df, text, id,
+        df.sparkSession.read.parquet(refPath), refText)
+    case graft.config.TransformConfig.MixToTarget(key, group, weights, wDenom) =>
+      graft.operators.Sampling.mixToTarget(df, key, group, weights.toMap, wDenom)
+    case graft.config.TransformConfig.OutlierFilter(value, group, z) =>
+      // the stage KEEPS the typical rows (curation drops the outliers);
+      // restore the input schema exactly — flag + census are internal
+      graft.operators.Moments.flagOutliers(df, value, group, z)
+        .filter(!col("is_outlier"))
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    case graft.config.TransformConfig.QualityFilter(text, minScore, b, ws, wp, wd, wt) =>
+      graft.pipeline.Text.qualityFilter(df, text, minScore,
+        graft.pipeline.Text.QualityWeights(b, ws, wp, wd, wt))
     case graft.config.TransformConfig.SeqPack(id, text, budget, shardWidth) =>
       // terminal reshape: output is the packed-sequence layout
       graft.pipeline.Packing.packGreedy(
@@ -187,10 +201,32 @@ object Pipeline {
     * write job — one scan total, never a separate count() action (two
     * full passes is the difference between one day and two at 100 TB).
     */
-  private def writeCounted(df: DataFrame, cfg: PipelineConfig): Long = {
-    val obs = org.apache.spark.sql.Observation()
-    write(df.observe(obs, count(lit(1)).as("rows")), cfg)
-    obs.get("rows").asInstanceOf[Long]
+  private def writeCounted(df: DataFrame, cfg: PipelineConfig): Long = cfg.target match {
+    // RDD-driven sinks execute outside a SQL execution scope, so an
+    // Observation would block forever (no SQLExecutionEnd event ever
+    // fires to release it); their exact row counts come from the
+    // sink's own manifest instead — still one pass over the data
+    case t: TargetConfig.TarShards => writeTarShards(df, t)
+    case TargetConfig.DynamoS3Export(path) => DdbTables.writeS3Export(df, path)
+    case _ =>
+      val obs = org.apache.spark.sql.Observation()
+      write(df.observe(obs, count(lit(1)).as("rows")), cfg)
+      obs.get("rows").asInstanceOf[Long]
+  }
+
+  private def writeTarShards(df: DataFrame, t: TargetConfig.TarShards): Long = {
+    // string payloads export directly (text corpus -> sample shards);
+    // true binary columns pass through the cast unchanged
+    val manifest = graft.sources.TarShards.write(
+      df.withColumn(t.payloadColumn, col(t.payloadColumn).cast("binary")),
+      t.keyColumn, t.payloadColumn, t.path,
+      t.maxShardBytes, t.numShards, t.suffix)
+    // the manifest is driver-resident already (one row per shard);
+    // both actions below just replay a parallelize
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(t.path, "_manifest").toString)
+    manifest.agg(coalesce(sum(col("n_entries")), lit(0L)))
+      .collect().head.getLong(0)
   }
 
   def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
@@ -213,7 +249,9 @@ object Pipeline {
       if (maxRecords > 0) w = w.option("maxRecordsPerFile", maxRecords)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     case TargetConfig.DynamoS3Export(path) =>
-      DdbTables.writeS3Export(df, path)
+      DdbTables.writeS3Export(df, path); ()
+    case t: TargetConfig.TarShards =>
+      writeTarShards(df, t); ()
     case TargetConfig.Csv(path, mode, header, delimiter, compression) =>
       df.write.mode(mode).option("header", header.toString)
         .option("delimiter", delimiter).option("compression", compression)

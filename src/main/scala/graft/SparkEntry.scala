@@ -662,6 +662,18 @@ object SparkEntry {
     Dedup.exactGroups(t(s, d, "documents"), col("text"), "doc_id")
       .orderBy(col("keep_id"))
 
+  /** Incremental dedup: the full corpus arrives as the "new shard"
+    * against the English corpus as the prior snapshot — every English
+    * doc (and any cross-language exact copy of one) drops, survivors
+    * exact-dedup in-batch. Digest-only joins; schema preserved.
+    */
+  private def qIncrDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.newAgainst(docs, "text", "doc_id",
+        reference = docs.filter(col("lang") === "en"), refTextCol = "text")
+      .orderBy(col("doc_id"))
+  }
+
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     // exact all-pairs verification is bounded to a deterministic subset:
     // pairwise-exact Jaccard is the *verification* tier (O(n²)); the
@@ -1434,6 +1446,26 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** CCNet-style perplexity terciles per language: commonness =
+    * sum_tf/n_tokens as ONE IEEE division (bit-exact in any binary64
+    * engine, so the tercile ordering — not just the stats — is
+    * oracle-pinnable), ntile(3) within each language.
+    */
+  private def qPplBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Text.pplBuckets(docs, "text", "doc_id", "lang",
+        model = Text.termStats(docs, "text", "doc_id"), buckets = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Linear quality-classifier filter at the default prose weights,
+    * threshold 4750 (≈ the sf-corpus median): the keep/drop decision is
+    * all-integer per-mille math, engine-exact.
+    */
+  private def qQualityFilter(s: SparkSession, d: String): DataFrame =
+    Text.qualityFilter(t(s, d, "documents"), "text", minScore = 4750L)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1446,6 +1478,8 @@ object SparkEntry {
     "q_len_outliers" -> (qLenOutliers _),
     "q_retrieval_join" -> (qRetrievalJoin _),
     "q_term_drift" -> (qTermDrift _),
+    "q_ppl_buckets" -> (qPplBuckets _),
+    "q_quality_filter" -> (qQualityFilter _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_normalize" -> (qNormalize _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
@@ -1506,6 +1540,7 @@ object SparkEntry {
     "q_stream_route" -> (qStreamRoute _),
     "q_json_extract" -> (qJsonExtract _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_incr_dedup" -> (qIncrDedup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -1741,6 +1776,35 @@ object SparkEntry {
         "SELECT CAST(row_number() OVER (ORDER BY drift DESC, term) AS BIGINT) AS rank, " +
         "term, c_a, c_b, CAST(drift AS BIGINT) AS drift FROM " +
         "(SELECT * FROM sc ORDER BY drift DESC, term LIMIT 40) ORDER BY rank"),
+
+    "q_ppl_buckets" ->
+      ("WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term FROM documents), " +
+        "model AS (SELECT term, count(*) AS c FROM tok GROUP BY term), " +
+        "st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(coalesce(c, 0)) AS BIGINT) AS sum_tf " +
+        "FROM tok LEFT JOIN model USING (term) GROUP BY doc_id), " +
+        "sc AS (SELECT doc_id, lang, n_tokens, " +
+        "CAST(sum_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS common " +
+        "FROM st JOIN documents USING (doc_id)) " +
+        "SELECT doc_id, lang, n_tokens, " +
+        "CAST(ntile(3) OVER (PARTITION BY lang ORDER BY common DESC, doc_id) AS BIGINT) " +
+        "AS bucket FROM sc ORDER BY doc_id"),
+
+    "q_quality_filter" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "CAST(length(text) AS BIGINT) AS nc, " +
+        "CAST(len(" + tokensExpr + ") AS BIGINT) AS nt, " +
+        "CAST(list_sum(list_transform(" + tokensExpr + ", t -> length(t))) AS BIGINT) AS tc, " +
+        "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS pc, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS dc, " +
+        "CAST(len(list_filter(" + tokensExpr + ", t -> list_contains(" +
+        "['the','a','an','and','or','of','to','in','is','it','on','for','with','as','by','at','from'], t))) AS BIGINT) AS sh " +
+        "FROM documents) " +
+        "SELECT d.* FROM documents d JOIN m USING (doc_id) " +
+        "WHERE nt > 0 AND nc > 0 AND " +
+        "4 * ((1000 * sh) // nt) - 2 * ((1000 * pc) // nc) " +
+        "- 3 * ((1000 * dc) // nc) + 1 * ((1000 * tc) // nt) >= 4750 " +
+        "ORDER BY doc_id"),
 
     "q_rand_proj" -> {
       val planes = Similarity.hyperplanes(numPlanes = 16, dim = 64, seed = 7L)
@@ -2168,6 +2232,14 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT sha256(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY keep_id"),
+
+    "q_incr_dedup" ->
+      ("WITH r AS (SELECT DISTINCT sha256(text) AS dg FROM documents WHERE lang = 'en'), " +
+        "f AS (SELECT d.*, sha256(text) AS dg FROM documents d " +
+        "WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.dg = sha256(d.text))), " +
+        "k AS (SELECT dg, min(doc_id) AS doc_id FROM f GROUP BY dg) " +
+        "SELECT f.doc_id, f.text, f.lang, f.source, f.n_chars " +
+        "FROM f JOIN k USING (dg, doc_id) ORDER BY f.doc_id"),
 
     "q_ngram_jaccard" ->
       ("WITH s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +

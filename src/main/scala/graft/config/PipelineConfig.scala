@@ -54,6 +54,9 @@ final case class PipelineConfig(
           (if (mr > 0) s", maxRecordsPerFile=$mr" else "") +
           (if (gsb.nonEmpty) s", globalSortBy=$gsb" else "") + ")"
       case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
+      case t: TargetConfig.TarShards =>
+        s"tar-shards(path=${t.path}, key=${t.keyColumn}, payload=${t.payloadColumn}, " +
+          s"maxShardBytes=${t.maxShardBytes}, numShards=${t.numShards})"
       case c: TargetConfig.Csv =>
         s"csv(path=${c.path}, mode=${c.mode}, header=${c.header}, delimiter=${c.delimiter})"
       case j: TargetConfig.Json => s"json(path=${j.path}, mode=${j.mode})"
@@ -208,6 +211,62 @@ object TransformConfig {
       else if (minShared <= 0) Some("transform.decontaminate.minShared must be positive")
       else None
   }
+  /** Incremental cross-snapshot dedup — Dedup.newAgainst: drop rows
+    * whose content digest already appears in the reference corpus (the
+    * prior shard), then exact-dedup the survivors in-batch (min-id
+    * keeper). `referenceTextColumn` defaults to `textColumn`.
+    */
+  final case class IncrDedup(idColumn: String, textColumn: String,
+                             referencePath: String, referenceTextColumn: String)
+      extends TransformConfig {
+    val name = "incrDedup"
+    def check: Option[String] = None
+  }
+  /** Target-mixture rebalance — Sampling.mixToTarget: keep the largest
+    * corpus whose `groupColumn` proportions match `weights`/`wDenom`
+    * (integer quota math, md5-mod membership); groups without a listed
+    * weight are dropped from the mix.
+    */
+  final case class MixToTarget(keyColumn: String, groupColumn: String,
+                               weights: List[(String, Int)], wDenom: Int)
+      extends TransformConfig {
+    val name = "mixToTarget"
+    def check: Option[String] =
+      if (wDenom <= 0) Some("transform.mixToTarget.wDenom must be positive")
+      else if (weights.isEmpty) Some("transform.mixToTarget.weights required")
+      else if (weights.map(_._1).distinct.size != weights.size)
+        Some("transform.mixToTarget.weights has a duplicate group")
+      else if (weights.exists(_._2 < 0) || weights.map(_._2).sum > wDenom)
+        Some("transform.mixToTarget.weights must be non-negative and sum to <= wDenom")
+      else if (!weights.exists(_._2 > 0))
+        Some("transform.mixToTarget.weights need at least one positive entry")
+      else None
+  }
+  /** Group-relative outlier drop — Moments.flagOutliers: remove rows
+    * whose integer `valueColumn` deviates more than `z` population
+    * standard deviations from its group mean (exact integer moments,
+    * retry/engine-invariant flag).
+    */
+  final case class OutlierFilter(valueColumn: String, groupColumn: String,
+                                 z: Double)
+      extends TransformConfig {
+    val name = "outlierFilter"
+    def check: Option[String] =
+      if (z <= 0) Some("transform.outlierFilter.z must be positive")
+      else None
+  }
+  /** Linear quality-classifier row filter — Text.qualityFilter: keep
+    * rows whose integer per-mille quality score (stopword/punct/digit
+    * density, avg token length under integer weights) clears
+    * `minScore`; schema-preserving, scan-side, engine-exact.
+    */
+  final case class QualityFilter(textColumn: String, minScore: Long,
+                                 bias: Long, wStop: Long, wPunct: Long,
+                                 wDigit: Long, wTokLen: Long)
+      extends TransformConfig {
+    val name = "qualityFilter"
+    def check: Option[String] = None // any integer weights are a valid model
+  }
   /** Greedy sequence packing — Packing.packGreedy over token counts
     * derived from `textColumn`. TERMINAL reshape: unlike the other
     * stages the OUTPUT schema is the packed-sequence layout
@@ -281,6 +340,19 @@ object TargetConfig {
     }
   }
   final case class DynamoS3Export(path: String) extends TargetConfig
+  /** WebDataset-style tar shard sink — sources/TarShards: byte-bounded
+    * POSIX ustar sample shards + a `_manifest` parquet index. The
+    * payload column is cast to binary (a text corpus exports directly).
+    */
+  final case class TarShards(path: String, keyColumn: String,
+                             payloadColumn: String, maxShardBytes: Long,
+                             numShards: Int, suffix: String) extends TargetConfig {
+    def validate: Either[String, TarShards] =
+      if (maxShardBytes < 1536)
+        Left(s"target.maxShardBytes must be >= 1536 (3 tar blocks), got $maxShardBytes")
+      else if (numShards <= 0) Left(s"target.numShards must be positive, got $numShards")
+      else Right(this)
+  }
   final case class Csv(path: String, mode: String, header: Boolean,
                        delimiter: String, compression: String) extends TargetConfig
   final case class Json(path: String, mode: String, compression: String) extends TargetConfig
@@ -357,6 +429,8 @@ object PipelineConfig {
       "target.type", "target.path", "target.mode", "target.compression",
       "target.partitionBy", "target.sortBy", "target.header", "target.delimiter",
       "target.maxRecordsPerFile", "target.globalSortBy",
+      "target.keyColumn", "target.payloadColumn", "target.maxShardBytes",
+      "target.numShards", "target.suffix",
       "renames", "savepoints.dir", "skipFiles",
       "transforms",
       "transform.dedupExact.idColumn", "transform.dedupExact.textColumn",
@@ -380,6 +454,16 @@ object PipelineConfig {
       "transform.decontaminate.minShared",
       "transform.seqPack.idColumn", "transform.seqPack.textColumn",
       "transform.seqPack.budget", "transform.seqPack.shardWidth",
+      "transform.incrDedup.idColumn", "transform.incrDedup.textColumn",
+      "transform.incrDedup.referencePath", "transform.incrDedup.referenceTextColumn",
+      "transform.mixToTarget.keyColumn", "transform.mixToTarget.groupColumn",
+      "transform.mixToTarget.weights", "transform.mixToTarget.wDenom",
+      "transform.outlierFilter.valueColumn", "transform.outlierFilter.groupColumn",
+      "transform.outlierFilter.z",
+      "transform.qualityFilter.textColumn", "transform.qualityFilter.minScore",
+      "transform.qualityFilter.bias", "transform.qualityFilter.wStop",
+      "transform.qualityFilter.wPunct", "transform.qualityFilter.wDigit",
+      "transform.qualityFilter.wTokLen",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
@@ -455,6 +539,18 @@ object PipelineConfig {
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))
+      case Some("tar-shards") =>
+        for {
+          p <- map.get("target.path").toRight("target.path required")
+          key <- map.get("target.keyColumn").toRight("target.keyColumn required")
+          pay <- map.get("target.payloadColumn").toRight("target.payloadColumn required")
+          msb <- map.getOrElse("target.maxShardBytes", (128L * 1024 * 1024).toString)
+            .toLongOption.toRight("target.maxShardBytes not a long")
+          ns <- map.getOrElse("target.numShards", "32")
+            .toIntOption.toRight("target.numShards not an int")
+          t <- TargetConfig.TarShards(p, key, pay, msb, ns,
+            map.getOrElse("target.suffix", ".bin")).validate
+        } yield t
       case Some("csv") =>
         map.get("target.path").toRight("target.path required")
           .map(p => TargetConfig.Csv(p,
@@ -598,6 +694,58 @@ object PipelineConfig {
             ms <- map.getOrElse("transform.decontaminate.minShared", "1")
               .toLongOption.toRight("transform.decontaminate.minShared not a long")
           } yield TransformConfig.Decontaminate(id, text, ref, n, ms)
+        case "incrDedup" =>
+          for {
+            id <- map.get("transform.incrDedup.idColumn")
+              .toRight("transform.incrDedup.idColumn required")
+            text <- map.get("transform.incrDedup.textColumn")
+              .toRight("transform.incrDedup.textColumn required")
+            ref <- map.get("transform.incrDedup.referencePath")
+              .toRight("transform.incrDedup.referencePath required")
+          } yield TransformConfig.IncrDedup(id, text, ref,
+            map.getOrElse("transform.incrDedup.referenceTextColumn", text))
+        case "mixToTarget" =>
+          for {
+            key <- map.get("transform.mixToTarget.keyColumn")
+              .toRight("transform.mixToTarget.keyColumn required")
+            group <- map.get("transform.mixToTarget.groupColumn")
+              .toRight("transform.mixToTarget.groupColumn required")
+            weights <- list("transform.mixToTarget.weights").foldRight(
+              Right(Nil): Either[String, List[(String, Int)]]) { (w, acc) =>
+              acc.flatMap(rest => w.split("=") match {
+                case Array(nm, num) if num.trim.toIntOption.isDefined =>
+                  Right((nm.trim, num.trim.toInt) :: rest)
+                case _ => Left(s"malformed mixToTarget weight (want group=int): $w")
+              })
+            }
+            wd <- map.getOrElse("transform.mixToTarget.wDenom", "100")
+              .toIntOption.toRight("transform.mixToTarget.wDenom not an int")
+          } yield TransformConfig.MixToTarget(key, group, weights, wd)
+        case "outlierFilter" =>
+          for {
+            value <- map.get("transform.outlierFilter.valueColumn")
+              .toRight("transform.outlierFilter.valueColumn required")
+            group <- map.get("transform.outlierFilter.groupColumn")
+              .toRight("transform.outlierFilter.groupColumn required")
+            z <- map.getOrElse("transform.outlierFilter.z", "3.0")
+              .toDoubleOption.toRight("transform.outlierFilter.z not a double")
+          } yield TransformConfig.OutlierFilter(value, group, z)
+        case "qualityFilter" =>
+          def weight(key: String, default: Long): Either[String, Long] =
+            map.getOrElse(s"transform.qualityFilter.$key", default.toString)
+              .toLongOption.toRight(s"transform.qualityFilter.$key not a long")
+          for {
+            text <- map.get("transform.qualityFilter.textColumn")
+              .toRight("transform.qualityFilter.textColumn required")
+            ms <- map.get("transform.qualityFilter.minScore")
+              .toRight("transform.qualityFilter.minScore required")
+              .flatMap(_.toLongOption.toRight("transform.qualityFilter.minScore not a long"))
+            b <- weight("bias", 0L)
+            ws <- weight("wStop", 4L)
+            wp <- weight("wPunct", -2L)
+            wd <- weight("wDigit", -3L)
+            wt <- weight("wTokLen", 1L)
+          } yield TransformConfig.QualityFilter(text, ms, b, ws, wp, wd, wt)
         case "seqPack" =>
           for {
             id <- map.get("transform.seqPack.idColumn")

@@ -33,6 +33,33 @@ object Dedup {
     df.groupBy(sha2(key, 256).as("content_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-snapshot incremental dedup — "what is genuinely new since
+    * the last shard": drop every document whose content digest already
+    * appears in `reference` (the prior crawl / the already-trained
+    * corpus), then exact-dedup the survivors within the batch
+    * (min-id representative). The standard front gate of an
+    * append-only training pipeline: each new shard trains only on text
+    * neither seen in production nor repeated inside the shard.
+    *
+    * Scale: the reference NEVER ships documents — it reduces to
+    * distinct digests (fixed 64-char keys) before the anti-join, and
+    * the in-batch keeper pass shuffles (digest, id) pairs only;
+    * Catalyst broadcasts the digest set while it fits and shuffles
+    * both sides on the digest key once it doesn't — either plan is
+    * payload-free. Output preserves the input schema exactly.
+    */
+  def newAgainst(df: DataFrame, textCol: String, idCol: String,
+                 reference: DataFrame, refTextCol: String): DataFrame = {
+    val digest = sha2(col(textCol), 256)
+    val refDigests = reference
+      .select(sha2(col(refTextCol), 256).as("__digest")).distinct()
+    val fresh = df.withColumn("__digest", digest)
+      .join(refDigests, Seq("__digest"), "left_anti")
+    val keepers = fresh.groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol))
+    fresh.join(keepers, Seq("__digest", idCol), "left_semi").drop("__digest")
+  }
+
   /** Distinct word-n-gram shingles as an array column (n=1 => distinct
     * tokens). Pure expressions; no shuffle.
     */

@@ -441,4 +441,138 @@ object Text {
       .orderBy(col("drift").desc, col("term").asc)
       .limit(k)
   }
+
+  /** Per-language perplexity-proxy bucketing (the CCNet recipe: score
+    * each document against a language model, split each language's
+    * corpus into head/middle/tail terciles, train on the head). The
+    * proxy score is avg corpus term frequency sum_tf/n_tokens from
+    * [[unigramStats]] — higher = more typical text = "lower perplexity"
+    * — computed as ONE IEEE double division, which is bit-exact in any
+    * binary64 engine (unlike ln/exp, whose libm varies), so the derived
+    * ORDERING is engine-portable and the gate can pin ntile output.
+    *
+    * This is the EXACT tier: ntile needs a total order per language, so
+    * each language sorts within its window partition — fine for bounded
+    * per-language corpora and for the oracle gate; at 100 TB per
+    * language use [[pplBucketsApprox]], which replaces the sort with
+    * approx-percentile cutoffs and assigns buckets scan-side.
+    *
+    * Docs with zero tokens have no unigram rows and produce no output;
+    * `idCol` must be unique (the stats re-attach by id).
+    */
+  def pplBuckets(df: DataFrame, textCol: String, idCol: String,
+                 langCol: String, model: DataFrame, minCount: Long = 2L,
+                 buckets: Int = 3): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val stats = unigramStats(df, textCol, idCol, model, minCount)
+    val scored = stats.join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("__common",
+        col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("__common").desc, col(idCol).asc)
+    scored
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("bucket"))
+  }
+
+  /** Scale tier of [[pplBuckets]]: per language, take `buckets − 1`
+    * approx-percentile cutoffs of the commonness score (one tiny
+    * |langs|-row aggregate), broadcast them back, and assign each doc's
+    * bucket by comparison — no per-language sort, no window; the
+    * assignment rides the scan. Bucket b gets scores in the
+    * (1−b/buckets, 1−(b−1)/buckets] percentile band, so bucket 1 is the
+    * head as in the exact tier; boundary docs may land one bucket off
+    * versus ntile (percentile estimation error), which is the accepted
+    * trade at scale.
+    */
+  def pplBucketsApprox(df: DataFrame, textCol: String, idCol: String,
+                       langCol: String, model: DataFrame, minCount: Long = 2L,
+                       buckets: Int = 3): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val stats = unigramStats(df, textCol, idCol, model, minCount)
+    val scored = stats.join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("__common",
+        col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+    val pcts = typedLit((1 until buckets).map(b => 1.0 - b.toDouble / buckets))
+    val cuts = scored.groupBy(col(langCol))
+      .agg(percentile_approx(col("__common"), pcts, lit(10000)).as("__cuts"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        (lit(1L) + aggregate(col("__cuts"), lit(0L),
+          (acc, c) => acc + (col("__common") <= c).cast("long"))))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("bucket"))
+  }
+
+  /** Weights of the linear quality classifier in [[qualityScore]] —
+    * integer weights over integer per-mille features, so the score and
+    * the keep/drop decision are engine-exact (the fasttext-style quality
+    * classifier of the GPT-3/LLaMA pipelines reduced to a fixed linear
+    * model; swap the defaults for trained weights without touching the
+    * plan). Defaults favor prose: stopword density up, digit/punct
+    * walls down, longer tokens mildly up.
+    */
+  final case class QualityWeights(bias: Long = 0L, wStop: Long = 4L,
+                                  wPunct: Long = -2L, wDigit: Long = -3L,
+                                  wTokLen: Long = 1L)
+
+  /** Per-document linear quality score over integer per-mille features:
+    *
+    *   stop_milli   = 1000·stopword_hits div n_tokens
+    *   punct_milli  = 1000·punct_chars  div n_chars
+    *   digit_milli  = 1000·digit_chars  div n_chars
+    *   toklen_milli = 1000·token_chars  div n_tokens
+    *   score        = bias + Σ wᵢ·featureᵢ
+    *
+    * All-integer math (div = truncating division on non-negative
+    * operands, where trunc and floor agree) keeps every value exactly
+    * reproducible in any engine — a float sigmoid would rank identically
+    * anyway, so the monotone integer form loses nothing. Zero-token /
+    * zero-char documents are dropped (their ratio features are
+    * undefined; a curation pass drops them regardless). Pure scan-side
+    * expressions: zero shuffle at any scale.
+    */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String,
+                   w: QualityWeights = QualityWeights()): DataFrame =
+    qualityMetrics(df, textCol, idCol)
+      .where(col("n_tokens") > 0 && col("n_chars") > 0)
+      .select(col(idCol), col("n_tokens"),
+        expr("1000 * stopword_hits div n_tokens").as("stop_milli"),
+        expr("1000 * punct_chars div n_chars").as("punct_milli"),
+        expr("1000 * digit_chars div n_chars").as("digit_milli"),
+        expr("1000 * token_chars div n_tokens").as("toklen_milli"))
+      .withColumn("score",
+        lit(w.bias) + lit(w.wStop) * col("stop_milli")
+          + lit(w.wPunct) * col("punct_milli")
+          + lit(w.wDigit) * col("digit_milli")
+          + lit(w.wTokLen) * col("toklen_milli"))
+
+  /** Keep the rows whose quality score clears `minScore`, preserving
+    * the input schema exactly. The score is recomputed as scan-side
+    * expressions on the same frame (no self-join, no shuffle): the
+    * filter costs one codegen'd projection. Zero-token/zero-char rows
+    * are dropped, matching [[qualityScore]]'s domain.
+    */
+  def qualityFilter(df: DataFrame, textCol: String, minScore: Long,
+                    w: QualityWeights = QualityWeights()): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stop = typedLit(DefaultStopwords)
+    val nChars = length(t).cast("long")
+    val nTokens = size(toks).cast("long")
+    val tokenChars = aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val punctChars = length(regexp_replace(t, "[^.!?,;:]", "")).cast("long")
+    val digitChars = length(regexp_replace(t, "[^0-9]", "")).cast("long")
+    val stopHits = size(filter(toks, x => array_contains(stop, x))).cast("long")
+    // floor over an exact double is trunc div here: operands are
+    // non-negative and bounded by 1000·n_chars < 2^53
+    def milli(num: Column, denom: Column): Column =
+      floor(lit(1000L) * num / denom).cast("long")
+    val score = lit(w.bias) +
+      lit(w.wStop) * milli(stopHits, nTokens) +
+      lit(w.wPunct) * milli(punctChars, nChars) +
+      lit(w.wDigit) * milli(digitChars, nChars) +
+      lit(w.wTokLen) * milli(tokenChars, nTokens)
+    df.where(nTokens > 0 && nChars > 0 && score >= lit(minScore))
+  }
 }

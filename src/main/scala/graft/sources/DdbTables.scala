@@ -83,7 +83,11 @@ object DdbTables {
     * partition, then the two manifests. Items are re-encoded through the
     * codec so output lines are canonical (sorted keys/sets).
     */
-  def writeS3Export(df: DataFrame, root: String): Unit = {
+  /** Returns the exported item count (from the per-file manifest — the
+    * write runs as an RDD job outside any SQL execution scope, so the
+    * caller cannot count it with an `observe`).
+    */
+  def writeS3Export(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val serializableConf = new org.apache.spark.util.SerializableConfiguration(conf)
@@ -113,8 +117,10 @@ object DdbTables {
       s"""{"itemCount":$n,"dataFileKey":"$rel"}"""
     }
     writeText(fs, new Path(root, "manifest-files.json"), manifestLines.mkString("\n"))
+    val itemCount = perFile.map(_._3).sum
     writeText(fs, new Path(root, "manifest-summary.json"),
-      s"""{"manifestFilesPath":"manifest-files.json","itemCount":${perFile.map(_._3).sum}}""")
+      s"""{"manifestFilesPath":"manifest-files.json","itemCount":$itemCount}""")
+    itemCount
   }
 
   /** Attribute renames on DynamoDB-JSON items (reference:

@@ -215,6 +215,108 @@ class TransformStagesSpec extends AnyFunSuite {
     assert(perSeq.forall(_.getLong(1) <= 4))
   }
 
+  test("mixToTarget stage rebalances to the target mixture and drops unweighted groups") {
+    val c = cfg(
+      """transforms: mixToTarget
+        |transform.mixToTarget.keyColumn: doc_id
+        |transform.mixToTarget.groupColumn: lang
+        |transform.mixToTarget.weights: en=5, de=2, fr=2, zh=1
+        |transform.mixToTarget.wDenom: 10
+        |""".stripMargin)
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val out = Pipeline.transform(docs, c)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en", "de", "fr", "zh")) // es has no weight -> dropped
+    assert(out.count() > 0 && out.count() < docs.count())
+    // config round-trip matches the direct operator call
+    val direct = graft.operators.Sampling.mixToTarget(docs, "doc_id", "lang",
+      Map("en" -> 5, "de" -> 2, "fr" -> 2, "zh" -> 1), 10)
+    assert(out.count() == direct.count())
+  }
+
+  test("outlierFilter stage drops group-relative outliers, keeps the schema") {
+    import spark.implicits._
+    val c = cfg(
+      """transforms: outlierFilter
+        |transform.outlierFilter.valueColumn: n
+        |transform.outlierFilter.groupColumn: grp
+        |transform.outlierFilter.z: 2.0
+        |""".stripMargin)
+    val rows = ((1 to 9).map(i => (i.toLong, "a", 10L)) :+ ((10L, "a", 100L)))
+      .toDF("id", "grp", "n")
+    val out = Pipeline.transform(rows, c)
+    assert(out.columns.toSeq == Seq("id", "grp", "n"))
+    assert(out.select("id").collect().map(_.getLong(0)).toSet == (1L to 9L).toSet)
+  }
+
+  test("end-to-end LLM curation pipeline from one config: normalize -> qualityFilter -> dedupExact -> mixToTarget -> seqPack") {
+    val c = cfg(
+      """transforms: normalize, qualityFilter, dedupExact, mixToTarget, seqPack
+        |transform.normalize.textColumn: text
+        |transform.qualityFilter.textColumn: text
+        |transform.qualityFilter.minScore: 4000
+        |transform.dedupExact.idColumn: doc_id
+        |transform.dedupExact.textColumn: text
+        |transform.mixToTarget.keyColumn: doc_id
+        |transform.mixToTarget.groupColumn: lang
+        |transform.mixToTarget.weights: en=5, de=2, fr=2, zh=1
+        |transform.mixToTarget.wDenom: 10
+        |transform.seqPack.idColumn: doc_id
+        |transform.seqPack.textColumn: text
+        |transform.seqPack.budget: 256
+        |transform.seqPack.shardWidth: 64
+        |""".stripMargin)
+    assert(c.transforms.map(_.name)
+      == List("normalize", "qualityFilter", "dedupExact", "mixToTarget", "seqPack"))
+    val result = Pipeline.run(spark, c)
+    val out = spark.read.parquet(c.target.asInstanceOf[TargetConfig.Parquet].path)
+    // terminal reshape: packed-sequence layout, every pack within budget
+    assert(result.rowsCopied == out.count() && out.count() > 0)
+    val packCols = out.columns.toSet
+    assert(packCols.contains("seq_id") || packCols.contains("pack_id"),
+      s"expected packed layout, got ${out.columns.mkString(",")}")
+  }
+
+  test("incrDedup stage drops reference copies and in-batch dups through config") {
+    import spark.implicits._
+    val refDir = Files.createTempDirectory("graft-incr-ref").resolve("prior").toString
+    Seq((100L, "seen before")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(refDir)
+    val c = cfg(
+      s"""transforms: incrDedup
+         |transform.incrDedup.idColumn: doc_id
+         |transform.incrDedup.textColumn: text
+         |transform.incrDedup.referencePath: $refDir
+         |""".stripMargin)
+    val rows = Seq((1L, "seen before"), (2L, "brand new"), (3L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.transform(rows, c)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("qualityFilter stage drops low-quality rows, keeps the schema") {
+    import spark.implicits._
+    val c = cfg(
+      """transforms: qualityFilter
+        |transform.qualityFilter.textColumn: text
+        |transform.qualityFilter.minScore: 4000
+        |""".stripMargin)
+    // prose: stop_milli=555 (5/9), toklen_milli=2777 -> score 4997
+    // digit wall: digit_milli=888 (24/27), toklen_milli=6000 -> score 3336
+    val rows = Seq(
+      (1L, "the cat sat on the mat with a hat"),
+      (2L, "000000 111111 222222 333333"),
+      (3L, "")).toDF("id", "text")               // degenerate -> dropped
+    val out = Pipeline.transform(rows, c)
+    assert(out.columns.toSeq == Seq("id", "text"))
+    assert(out.select("id").as[Long].collect().toSet == Set(1L))
+    // config round-trip matches the direct operator call
+    val direct = graft.pipeline.Text.qualityFilter(rows, "text", 4000L)
+    assert(direct.select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("new stages validate eagerly") {
     def parseErr(extra: String): String =
       PipelineConfig.parse(
@@ -246,6 +348,24 @@ class TransformStagesSpec extends AnyFunSuite {
         |transform.seqPack.textColumn: t
         |transform.seqPack.budget: 0
         |""".stripMargin).contains("budget must be positive"))
+    assert(parseErr(
+      """transforms: mixToTarget
+        |transform.mixToTarget.keyColumn: id
+        |transform.mixToTarget.groupColumn: g
+        |transform.mixToTarget.weights: a=60, b=60
+        |""".stripMargin).contains("sum to <= wDenom"))
+    assert(parseErr(
+      """transforms: mixToTarget
+        |transform.mixToTarget.keyColumn: id
+        |transform.mixToTarget.groupColumn: g
+        |transform.mixToTarget.weights: a=10, a=20
+        |""".stripMargin).contains("duplicate group"))
+    assert(parseErr(
+      """transforms: outlierFilter
+        |transform.outlierFilter.valueColumn: v
+        |transform.outlierFilter.groupColumn: g
+        |transform.outlierFilter.z: -1
+        |""".stripMargin).contains("z must be positive"))
   }
 
   test("config errors are eager: unknown stage, missing key, bad fractions") {

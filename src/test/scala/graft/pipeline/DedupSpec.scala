@@ -41,6 +41,28 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall (${verified.size}/${truePairs.size})")
   }
 
+  test("newAgainst: reference copies drop, in-batch dups keep min id, schema survives") {
+    import spark.implicits._
+    val reference = Seq((100L, "alpha text"), (101L, "beta text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha text", "a"),   // exact copy of a reference doc -> dropped
+      (2L, "gamma text", "b"),   // new
+      (3L, "gamma text", "c"),   // in-batch duplicate -> dropped (id 2 kept)
+      (4L, "delta text", "d"))   // new
+      .toDF("doc_id", "text", "tag")
+    val out = Dedup.newAgainst(batch, "text", "doc_id", reference, "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "tag"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    // empty reference: pure in-batch exact dedup
+    val noRef = Dedup.newAgainst(batch, "text", "doc_id",
+      reference.filter(col("doc_id") < 0), "text")
+    assert(noRef.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // idempotent: running again over its own output changes nothing
+    val again = Dedup.newAgainst(out, "text", "doc_id", reference, "text")
+    assert(again.select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+  }
+
   test("exact groups: one representative per distinct text") {
     val groups = Dedup.exactGroups(docs, col("text"), "doc_id").collect()
     assert(groups.length == docs.select("text").distinct().count())

@@ -223,4 +223,73 @@ class TextSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDecimal(3).longValueExact()).toMap
     assert(oneSided == Map("x" -> 0L, "y" -> 0L, "z" -> 0L))
   }
+
+  test("pplBuckets: terciles per language, head = most typical text") {
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val model = Text.termStats(docs, "text", "doc_id")
+    val got = Text.pplBuckets(docs, "text", "doc_id", "lang", model, buckets = 3)
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
+    // ntile balance: per language the bucket sizes differ by at most 1
+    val sizes = rows.groupBy(r => (r.getString(1), r.getLong(3)))
+      .map { case (k, v) => k -> v.length }
+    for ((lang, perLang) <- sizes.groupBy(_._1._1)) {
+      val ns = perLang.values.toSeq
+      assert(ns.max - ns.min <= 1, s"unbalanced terciles for $lang: $ns")
+    }
+    // ordering contract: every head doc's commonness >= every tail doc's (same lang)
+    val stats = Text.unigramStats(docs, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(3).toDouble / r.getLong(1)).toMap
+    for ((lang, perLang) <- rows.groupBy(_.getString(1))) {
+      val head = perLang.filter(_.getLong(3) == 1L).map(r => stats(r.getLong(0)))
+      val tail = perLang.filter(_.getLong(3) == 3L).map(r => stats(r.getLong(0)))
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.min >= tail.max, s"tercile order broken for $lang")
+    }
+  }
+
+  test("pplBucketsApprox tracks the exact terciles within estimation tolerance") {
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val model = Text.termStats(docs, "text", "doc_id")
+    val exact = Text.pplBuckets(docs, "text", "doc_id", "lang", model, buckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val approx = Text.pplBucketsApprox(docs, "text", "doc_id", "lang", model, buckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(approx.keySet == exact.keySet)
+    assert(approx.values.forall(b => b >= 1 && b <= 3))
+    // scan-side assignment may slide boundary docs one bucket; >=90% agree
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree >= (exact.size * 9) / 10,
+      s"approx tier diverged: $agree/${exact.size} agree")
+  }
+
+  test("qualityFilter keeps exactly the qualityScore rows above threshold") {
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+      .unionByName(Seq((-1L, "", "en", "syn", 0L), (-2L, "   ", "en", "syn", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val threshold = 4750L
+    val scored = Text.qualityScore(docs, "text", "doc_id")
+      .filter(col("score") >= threshold)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = Text.qualityFilter(docs, "text", minScore = threshold)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == scored && kept.nonEmpty)
+    assert(!kept.contains(-1L) && !kept.contains(-2L)) // degenerate docs dropped
+    // schema preserved exactly
+    assert(Text.qualityFilter(docs, "text", threshold).columns.toSeq
+      == docs.columns.toSeq)
+  }
+
+  test("qualityScore per-mille features are exact on a known document") {
+    // "aa bb. 12" -> n_chars=9, tokens=[aa,bb.,12] n_tokens=3, token_chars=7,
+    // punct=1, digit=2, stopword_hits=0
+    val df = Seq((7L, "aa bb. 12")).toDF("doc_id", "text")
+    val r = Text.qualityScore(df, "text", "doc_id").collect().head
+    assert(r.getLong(2) == 0L)                 // stop_milli
+    assert(r.getLong(3) == 1000 * 1 / 9)       // punct_milli = 111
+    assert(r.getLong(4) == 1000 * 2 / 9)       // digit_milli = 222
+    assert(r.getLong(5) == 1000 * 7 / 3)       // toklen_milli = 2333
+    // score = 0 + 4*0 - 2*111 - 3*222 + 1*2333 = 1445
+    assert(r.getLong(6) == 1445L)
+  }
 }
