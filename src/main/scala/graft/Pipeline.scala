@@ -153,6 +153,10 @@ object Pipeline {
         .filter(col("n_shared") >= minShared)
         .select(col(id))
       df.join(contaminated, Seq(id), "left_anti")
+    case graft.config.TransformConfig.PiiScrub(text) =>
+      df.withColumn(text, graft.pipeline.Text.redactPii(col(text)))
+    case graft.config.TransformConfig.TokenBudget(group, key, tok, budget, shards) =>
+      graft.operators.Sampling.tokenBudget(df, group, key, tok, budget, shards)
     case graft.config.TransformConfig.IncrDedup(id, text, refPath, refText) =>
       graft.pipeline.Dedup.newAgainst(df, text, id,
         df.sparkSession.read.parquet(refPath), refText)

@@ -1446,6 +1446,17 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Per-language token budget (n_chars as the token unit): keep docs
+    * in md5(doc_id) priority order while the cumulative count stays
+    * within budget — run through the range-sharded plan (shards=256),
+    * which is row-identical to the naive single window per group.
+    */
+  private def qTokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.tokenBudget(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", "n_chars", budget = 20000L)
+      .orderBy(col("doc_id"))
+
   /** CCNet-style perplexity terciles per language: commonness =
     * sum_tf/n_tokens as ONE IEEE division (bit-exact in any binary64
     * engine, so the tercile ordering — not just the stats — is
@@ -1480,6 +1491,7 @@ object SparkEntry {
     "q_term_drift" -> (qTermDrift _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_quality_filter" -> (qQualityFilter _),
+    "q_token_budget" -> (qTokenBudget _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_normalize" -> (qNormalize _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
@@ -1776,6 +1788,17 @@ object SparkEntry {
         "SELECT CAST(row_number() OVER (ORDER BY drift DESC, term) AS BIGINT) AS rank, " +
         "term, c_a, c_b, CAST(drift AS BIGINT) AS drift FROM " +
         "(SELECT * FROM sc ORDER BY drift DESC, term LIMIT 40) ORDER BY rank"),
+
+    "q_token_budget" ->
+      ("WITH h AS (SELECT doc_id, lang, n_chars, " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT) AS hv " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, lang, n_chars, " +
+        "sum(n_chars) OVER (PARTITION BY lang ORDER BY hv, CAST(doc_id AS VARCHAR) " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM h) " +
+        "SELECT doc_id, lang, n_chars FROM c WHERE cum <= 20000 ORDER BY doc_id"),
 
     "q_ppl_buckets" ->
       ("WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term FROM documents), " +

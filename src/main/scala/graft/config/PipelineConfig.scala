@@ -211,6 +211,29 @@ object TransformConfig {
       else if (minShared <= 0) Some("transform.decontaminate.minShared must be positive")
       else None
   }
+  /** PII scrub — Text.redactPii: emails and long digit runs replaced
+    * with typed placeholder tokens in `textColumn`; stateless and
+    * schema-preserving (runs on streams unchanged).
+    */
+  final case class PiiScrub(textColumn: String) extends TransformConfig {
+    val name = "piiScrub"
+    def check: Option[String] = None
+  }
+  /** Per-group token-budget sampler — Sampling.tokenBudget: keep rows
+    * in md5(key) priority order while each group's cumulative token
+    * count stays within budget; range-sharded cumsum plan, nested
+    * samples across budgets, schema-preserving.
+    */
+  final case class TokenBudget(groupColumn: String, keyColumn: String,
+                               tokenColumn: String, budget: Long, shards: Int)
+      extends TransformConfig {
+    val name = "tokenBudget"
+    def check: Option[String] =
+      if (budget <= 0) Some("transform.tokenBudget.budget must be positive")
+      else if (shards <= 0 || (shards & (shards - 1)) != 0)
+        Some("transform.tokenBudget.shards must be a power of two")
+      else None
+  }
   /** Incremental cross-snapshot dedup — Dedup.newAgainst: drop rows
     * whose content digest already appears in the reference corpus (the
     * prior shard), then exact-dedup the survivors in-batch (min-id
@@ -454,6 +477,10 @@ object PipelineConfig {
       "transform.decontaminate.minShared",
       "transform.seqPack.idColumn", "transform.seqPack.textColumn",
       "transform.seqPack.budget", "transform.seqPack.shardWidth",
+      "transform.piiScrub.textColumn",
+      "transform.tokenBudget.groupColumn", "transform.tokenBudget.keyColumn",
+      "transform.tokenBudget.tokenColumn", "transform.tokenBudget.budget",
+      "transform.tokenBudget.shards",
       "transform.incrDedup.idColumn", "transform.incrDedup.textColumn",
       "transform.incrDedup.referencePath", "transform.incrDedup.referenceTextColumn",
       "transform.mixToTarget.keyColumn", "transform.mixToTarget.groupColumn",
@@ -694,6 +721,24 @@ object PipelineConfig {
             ms <- map.getOrElse("transform.decontaminate.minShared", "1")
               .toLongOption.toRight("transform.decontaminate.minShared not a long")
           } yield TransformConfig.Decontaminate(id, text, ref, n, ms)
+        case "piiScrub" =>
+          map.get("transform.piiScrub.textColumn")
+            .toRight("transform.piiScrub.textColumn required")
+            .map(TransformConfig.PiiScrub(_))
+        case "tokenBudget" =>
+          for {
+            group <- map.get("transform.tokenBudget.groupColumn")
+              .toRight("transform.tokenBudget.groupColumn required")
+            key <- map.get("transform.tokenBudget.keyColumn")
+              .toRight("transform.tokenBudget.keyColumn required")
+            tok <- map.get("transform.tokenBudget.tokenColumn")
+              .toRight("transform.tokenBudget.tokenColumn required")
+            b <- map.get("transform.tokenBudget.budget")
+              .toRight("transform.tokenBudget.budget required")
+              .flatMap(_.toLongOption.toRight("transform.tokenBudget.budget not a long"))
+            sh <- map.getOrElse("transform.tokenBudget.shards", "256")
+              .toIntOption.toRight("transform.tokenBudget.shards not an int")
+          } yield TransformConfig.TokenBudget(group, key, tok, b, sh)
         case "incrDedup" =>
           for {
             id <- map.get("transform.incrDedup.idColumn")

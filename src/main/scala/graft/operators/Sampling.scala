@@ -187,6 +187,63 @@ object Sampling {
       .drop("__grp_key", "__grp_n", "__grp_quota")
   }
 
+  /** Keep rows per group until a cumulative TOKEN budget fills — "take
+    * 50 B tokens from each source", the unit corpus procurement actually
+    * budgets in (a doc-count cap over variable-length documents misses
+    * by the length skew). Rows are consumed in md5(key) order (the same
+    * portable hash as every sampler here), so the kept set is a pure
+    * function of (key, group census) — retry/partition/engine
+    * invariant — and a budget increase only ever ADDS documents (the
+    * hash order is a fixed priority, so samples are nested).
+    *
+    * A row is kept iff its cumulative token sum (in hash order, within
+    * its group) stays ≤ `budget`; negative/null token counts clamp to 0.
+    * Ties in the hash order break by the key's string form — keys should
+    * be unique per group or the cut within a tie set is arbitrary.
+    *
+    * Scale shape: the naive form is one window per group — the hottest
+    * group funnels through one task. Instead the hash order is RANGE-
+    * SHARDED: bucket = top bits of the 60-bit key hash, so buckets
+    * partition the hash order. Global cumsum = (prefix of all earlier
+    * buckets) + (cumsum within the bucket) EXACTLY, so the plan is: a
+    * |groups|·shards-row bucket-sum aggregate, a window over that tiny
+    * frame for the prefixes (≤ `shards` rows per group), a join back,
+    * and per-(group, bucket) windows bounded at ~|group|/shards rows.
+    * Row-identical to the single-window form at ANY shard count
+    * (shards = 1 IS the single-window form; spec'd equal).
+    */
+  def tokenBudget(df: DataFrame, groupCol: String, keyCol: String,
+                  tokenCol: String, budget: Long, shards: Int = 256): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0 && (shards & (shards - 1)) == 0 && shards <= (1 << 20),
+      s"shards must be a power of two in [1, 2^20], got $shards")
+    val reserved = Seq("__h", "__b", "__t", "__bsum", "__prefix", "__cum")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not use reserved columns ${reserved.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(coalesce(col(keyCol).cast("string"), lit(""))), 1, 15), 16, 10)
+      .cast("long") // 60 bits: exact in a long, never negative
+    val shiftBits = 60 - Integer.numberOfTrailingZeros(shards)
+    val t = greatest(coalesce(col(tokenCol).cast("long"), lit(0L)), lit(0L))
+    val rows = df.withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), shiftBits))
+      .withColumn("__t", t)
+    val bucketSums = rows.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__t")).as("__bsum"))
+      .withColumn("__prefix", coalesce(
+        sum(col("__bsum")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bsum")
+    val wIn = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__h").asc, col(keyCol).cast("string").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(bucketSums, Seq(groupCol, "__b"))
+      .withColumn("__cum", col("__prefix") + sum(col("__t")).over(wIn))
+      .filter(col("__cum") <= budget)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Label every row with a named split; fractions are (name, numerator)
     * over `denom` buckets and must sum to at most denom (rows beyond the
     * last range get the final split). Splits are disjoint and exhaustive

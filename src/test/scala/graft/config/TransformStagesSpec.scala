@@ -278,6 +278,34 @@ class TransformStagesSpec extends AnyFunSuite {
       s"expected packed layout, got ${out.columns.mkString(",")}")
   }
 
+  test("tokenBudget stage keeps each group within budget through config") {
+    val c = cfg(
+      """transforms: tokenBudget
+        |transform.tokenBudget.groupColumn: lang
+        |transform.tokenBudget.keyColumn: doc_id
+        |transform.tokenBudget.tokenColumn: n_chars
+        |transform.tokenBudget.budget: 20000
+        |""".stripMargin)
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val out = Pipeline.transform(docs, c)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    assert(out.count() > 0 && out.count() < docs.count())
+    out.groupBy("lang").agg(sum("n_chars").as("s")).collect()
+      .foreach(r => assert(r.getLong(1) <= 20000L))
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/documents.parquet
+         |target.type: parquet
+         |target.path: /tmp/graft-tb-unused
+         |transforms: tokenBudget
+         |transform.tokenBudget.groupColumn: lang
+         |transform.tokenBudget.keyColumn: doc_id
+         |transform.tokenBudget.tokenColumn: n_chars
+         |transform.tokenBudget.budget: 20000
+         |transform.tokenBudget.shards: 3
+         |""".stripMargin).swap.exists(_.contains("power of two")))
+  }
+
   test("incrDedup stage drops reference copies and in-batch dups through config") {
     import spark.implicits._
     val refDir = Files.createTempDirectory("graft-incr-ref").resolve("prior").toString

@@ -184,4 +184,42 @@ class SamplingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Sampling.mixToTarget(docs, "doc_id", "lang", Map("en" -> 0), wDenom = 10))
   }
+
+  test("tokenBudget: sharded plan is row-identical to the single-window form") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    def ids(shards: Int, budget: Long) =
+      Sampling.tokenBudget(docs, "lang", "doc_id", "n_chars", budget, shards)
+        .collect().map(_.getLong(0)).toSet
+    val naive = ids(1, 20000L)
+    val sharded = ids(256, 20000L)
+    assert(naive == sharded && naive.nonEmpty)
+    // budget respected per group, and the NEXT doc in hash order would bust it
+    val kept = Sampling.tokenBudget(docs, "lang", "doc_id", "n_chars", 20000L)
+    kept.groupBy("lang").agg(sum("n_chars").as("s")).collect()
+      .foreach(r => assert(r.getLong(1) <= 20000L, s"${r.getString(0)} over budget"))
+    assert(kept.count() < docs.count())
+    // nested samples: a bigger budget only ever adds documents
+    assert(naive.subsetOf(ids(256, 40000L)))
+    // deterministic under repartitioning
+    val repart = Sampling.tokenBudget(docs.repartition(7), "lang", "doc_id",
+      "n_chars", 20000L).collect().map(_.getLong(0)).toSet
+    assert(repart == naive)
+    // schema preserved
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("tokenBudget: first doc over budget keeps nothing; clamps and validation") {
+    import spark.implicits._
+    val tiny = Seq((1L, "g", 500L), (2L, "g", 600L)).toDF("id", "grp", "tok")
+    assert(Sampling.tokenBudget(tiny, "grp", "id", "tok", 100L).count() == 0)
+    // null/negative token counts clamp to 0 and never block the budget
+    val weird = Seq((1L, "g", Some(-5L)), (2L, "g", None), (3L, "g", Some(10L)))
+      .toDF("id", "grp", "tok")
+    assert(Sampling.tokenBudget(weird, "grp", "id", "tok", 10L).count() == 3)
+    assertThrows[IllegalArgumentException](
+      Sampling.tokenBudget(tiny, "grp", "id", "tok", 0L))
+    assertThrows[IllegalArgumentException](
+      Sampling.tokenBudget(tiny, "grp", "id", "tok", 10L, shards = 3))
+  }
 }
