@@ -155,6 +155,16 @@ object Pipeline {
       df.join(contaminated, Seq(id), "left_anti")
     case graft.config.TransformConfig.PiiScrub(text) =>
       df.withColumn(text, graft.pipeline.Text.redactPii(col(text)))
+    case graft.config.TransformConfig.PplFilter(id, text, lang, buckets, keep, approx) =>
+      val model = graft.pipeline.Text.termStats(df, text, id)
+      val bucketed =
+        if (approx) graft.pipeline.Text.pplBucketsApprox(df, text, id, lang, model,
+          buckets = buckets)
+        else graft.pipeline.Text.pplBuckets(df, text, id, lang, model,
+          buckets = buckets)
+      val keepIds = bucketed
+        .filter(col("bucket").isin(keep: _*)).select(col(id))
+      df.join(keepIds, Seq(id), "left_semi")
     case graft.config.TransformConfig.TokenBudget(group, key, tok, budget, shards) =>
       graft.operators.Sampling.tokenBudget(df, group, key, tok, budget, shards)
     case graft.config.TransformConfig.IncrDedup(id, text, refPath, refText) =>

@@ -1446,6 +1446,13 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Corpus data card per (source, lang): doc/token/char census with
+    * exact distinct-content counts — all-integer, engine-exact.
+    */
+  private def qDataCard(s: SparkSession, d: String): DataFrame =
+    Text.dataCard(t(s, d, "documents"), "text", Seq("source", "lang"))
+      .orderBy(col("source"), col("lang"))
+
   /** Per-language token budget (n_chars as the token unit): keep docs
     * in md5(doc_id) priority order while the cumulative count stays
     * within budget — run through the range-sharded plan (shards=256),
@@ -1492,6 +1499,7 @@ object SparkEntry {
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_token_budget" -> (qTokenBudget _),
+    "q_data_card" -> (qDataCard _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_normalize" -> (qNormalize _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
@@ -1788,6 +1796,15 @@ object SparkEntry {
         "SELECT CAST(row_number() OVER (ORDER BY drift DESC, term) AS BIGINT) AS rank, " +
         "term, c_a, c_b, CAST(drift AS BIGINT) AS drift FROM " +
         "(SELECT * FROM sc ORDER BY drift DESC, term LIMIT 40) ORDER BY rank"),
+
+    "q_data_card" ->
+      ("SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(" + tokensExpr + ")) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
+        "CAST(min(len(" + tokensExpr + ")) AS BIGINT) AS min_tokens, " +
+        "CAST(max(len(" + tokensExpr + ")) AS BIGINT) AS max_tokens, " +
+        "CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct " +
+        "FROM documents GROUP BY source, lang ORDER BY source, lang"),
 
     "q_token_budget" ->
       ("WITH h AS (SELECT doc_id, lang, n_chars, " +

@@ -211,6 +211,26 @@ object TransformConfig {
       else if (minShared <= 0) Some("transform.decontaminate.minShared must be positive")
       else None
   }
+  /** CCNet-style perplexity-bucket filter — Text.pplBuckets(+Approx):
+    * score each document against the corpus's own unigram model, split
+    * each language into `buckets` commonness bands (1 = head = most
+    * typical), keep rows whose bucket is in `keep`. Schema-preserving;
+    * zero-token documents drop (they have no LM score). `approx = true`
+    * (default) is the 100-TB path — percentile cutoffs instead of a
+    * per-language sort.
+    */
+  final case class PplFilter(idColumn: String, textColumn: String,
+                             langColumn: String, buckets: Int,
+                             keep: List[Long], approx: Boolean)
+      extends TransformConfig {
+    val name = "pplFilter"
+    def check: Option[String] =
+      if (buckets <= 0) Some("transform.pplFilter.buckets must be positive")
+      else if (keep.isEmpty) Some("transform.pplFilter.keep required")
+      else if (keep.exists(b => b < 1 || b > buckets))
+        Some(s"transform.pplFilter.keep values must be in 1..$buckets")
+      else None
+  }
   /** PII scrub — Text.redactPii: emails and long digit runs replaced
     * with typed placeholder tokens in `textColumn`; stateless and
     * schema-preserving (runs on streams unchanged).
@@ -478,6 +498,9 @@ object PipelineConfig {
       "transform.seqPack.idColumn", "transform.seqPack.textColumn",
       "transform.seqPack.budget", "transform.seqPack.shardWidth",
       "transform.piiScrub.textColumn",
+      "transform.pplFilter.idColumn", "transform.pplFilter.textColumn",
+      "transform.pplFilter.langColumn", "transform.pplFilter.buckets",
+      "transform.pplFilter.keep", "transform.pplFilter.approx",
       "transform.tokenBudget.groupColumn", "transform.tokenBudget.keyColumn",
       "transform.tokenBudget.tokenColumn", "transform.tokenBudget.budget",
       "transform.tokenBudget.shards",
@@ -725,6 +748,24 @@ object PipelineConfig {
           map.get("transform.piiScrub.textColumn")
             .toRight("transform.piiScrub.textColumn required")
             .map(TransformConfig.PiiScrub(_))
+        case "pplFilter" =>
+          for {
+            id <- map.get("transform.pplFilter.idColumn")
+              .toRight("transform.pplFilter.idColumn required")
+            text <- map.get("transform.pplFilter.textColumn")
+              .toRight("transform.pplFilter.textColumn required")
+            lang <- map.get("transform.pplFilter.langColumn")
+              .toRight("transform.pplFilter.langColumn required")
+            buckets <- map.getOrElse("transform.pplFilter.buckets", "3")
+              .toIntOption.toRight("transform.pplFilter.buckets not an int")
+            keep <- list("transform.pplFilter.keep").foldRight(
+              Right(Nil): Either[String, List[Long]]) { (k, acc) =>
+              acc.flatMap(rest => k.toLongOption
+                .toRight(s"malformed pplFilter.keep bucket: $k").map(_ :: rest))
+            }
+            approx <- map.getOrElse("transform.pplFilter.approx", "true")
+              .toBooleanOption.toRight("transform.pplFilter.approx not a boolean")
+          } yield TransformConfig.PplFilter(id, text, lang, buckets, keep, approx)
         case "tokenBudget" =>
           for {
             group <- map.get("transform.tokenBudget.groupColumn")

@@ -504,6 +504,41 @@ object Text {
       .select(col(idCol), col(langCol), col("n_tokens"), col("bucket"))
   }
 
+  /** Corpus data card — the per-group census a dataset datasheet is
+    * built from: document count, token/char totals, min/max document
+    * length, and the exact distinct-content count (its complement
+    * against n_docs is the exact-duplicate rate). All-integer columns
+    * (averages are the caller's ratio — repo convention keeps the gate
+    * engine-exact).
+    *
+    * Plan: ONE aggregation over the group key. `countDistinct` over the
+    * content digest is the costly arm (a shuffle-expand per distinct);
+    * at 100 TB swap `exact = false` for approx_count_distinct and the
+    * card costs the same as any rollup. Everything else is map-side
+    * partial aggregation.
+    */
+  def dataCard(df: DataFrame, textCol: String, groupCols: Seq[String],
+               exact: Boolean = true): DataFrame = {
+    require(groupCols.nonEmpty, "dataCard needs at least one group column")
+    val t = col(textCol)
+    val nTok = size(tokens(t)).cast("long")
+    val base = df.select(groupCols.map(col)
+      :+ nTok.as("__ntok")
+      :+ length(t).cast("long").as("__nchr")
+      :+ sha2(t, 256).as("__dg"): _*)
+    val distinctAgg =
+      if (exact) countDistinct(col("__dg")).as("n_distinct")
+      else approx_count_distinct(col("__dg")).as("n_distinct")
+    base.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nchr")).as("n_chars"),
+        min(col("__ntok")).as("min_tokens"),
+        max(col("__ntok")).as("max_tokens"),
+        distinctAgg)
+  }
+
   /** Weights of the linear quality classifier in [[qualityScore]] —
     * integer weights over integer per-mille features, so the score and
     * the keep/drop decision are engine-exact (the fasttext-style quality

@@ -278,6 +278,38 @@ class TransformStagesSpec extends AnyFunSuite {
       s"expected packed layout, got ${out.columns.mkString(",")}")
   }
 
+  test("pplFilter stage keeps the chosen perplexity buckets, schema preserved") {
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    def run(extra: String) = Pipeline.transform(docs, cfg(
+      s"""transforms: pplFilter
+         |transform.pplFilter.idColumn: doc_id
+         |transform.pplFilter.textColumn: text
+         |transform.pplFilter.langColumn: lang
+         |$extra""".stripMargin))
+    val head = run("transform.pplFilter.keep: 1\n")
+    assert(head.columns.toSeq == docs.columns.toSeq)
+    val n = docs.count()
+    // head tercile keeps roughly a third (percentile estimation slack)
+    assert(head.count() > n / 5 && head.count() < n / 2)
+    // keeping every bucket keeps every scoreable doc (all docs tokenize here)
+    val all = run("transform.pplFilter.keep: 1, 2, 3\n")
+    assert(all.count() == n)
+    // exact tier agrees on the bucket-1 proportion contract
+    val exact = run("transform.pplFilter.keep: 1\ntransform.pplFilter.approx: false\n")
+    assert(exact.count() > n / 5 && exact.count() < n / 2)
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/documents.parquet
+         |target.type: parquet
+         |target.path: /tmp/graft-ppl-unused
+         |transforms: pplFilter
+         |transform.pplFilter.idColumn: doc_id
+         |transform.pplFilter.textColumn: text
+         |transform.pplFilter.langColumn: lang
+         |transform.pplFilter.keep: 4
+         |""".stripMargin).swap.exists(_.contains("must be in 1..3")))
+  }
+
   test("tokenBudget stage keeps each group within budget through config") {
     val c = cfg(
       """transforms: tokenBudget

@@ -280,6 +280,25 @@ class TextSpec extends AnyFunSuite {
       == docs.columns.toSeq)
   }
 
+  test("dataCard: exact census incl. duplicate-content rate") {
+    val df = Seq(
+      (1L, "a", "one two three"),
+      (2L, "a", "one two three"),   // exact duplicate
+      (3L, "a", "four"),
+      (4L, "b", "x y")).toDF("id", "src", "text")
+    val card = Text.dataCard(df, "text", Seq("src"))
+      .orderBy("src").collect()
+    assert(card.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))).toSeq == Seq(
+      ("a", 3L, 7L, 30L, 1L, 3L, 2L),  // 3 docs, 3+3+1 tokens, 13+13+4 chars, min 1, max 3, 2 distinct
+      ("b", 1L, 2L, 3L, 2L, 2L, 1L)))
+    // approx tier: same shape, count within the HLL error envelope
+    val approx = Text.dataCard(df, "text", Seq("src"), exact = false)
+      .orderBy("src").collect()
+    assert(approx.map(_.getLong(6)).zip(card.map(_.getLong(6)))
+      .forall { case (a, e) => math.abs(a - e) <= math.max(1L, e / 10) })
+  }
+
   test("qualityScore per-mille features are exact on a known document") {
     // "aa bb. 12" -> n_chars=9, tokens=[aa,bb.,12] n_tokens=3, token_chars=7,
     // punct=1, digit=2, stopword_hits=0
