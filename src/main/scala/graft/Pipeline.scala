@@ -115,6 +115,21 @@ object Pipeline {
         .withColumn(text, coalesce(col("clean_text"), col(text)))
         .drop("clean_text")
         .select(df.columns.map(col).toIndexedSeq: _*)
+    case graft.config.TransformConfig.DupSpanCut(id, text, k, minCount) =>
+      // same re-attach contract as SpanDedup: LEFT join from the
+      // original frame preserves multiplicity and null-id rows; only
+      // documents that actually lost a span are rewritten (everyone
+      // else keeps the original text byte-for-byte — the cut side's
+      // space-rejoined reassembly never touches clean docs)
+      val cut = graft.pipeline.Dedup
+        .cutDupSpans(df, id, text, k, minCount)
+        .filter(col("n_tokens_kept") < col("n_tokens"))
+        .select(col(id), col("text_cut"))
+        .dropDuplicates(id)
+      df.join(cut, Seq(id), "left")
+        .withColumn(text, coalesce(col("text_cut"), col(text)))
+        .drop("text_cut")
+        .select(df.columns.map(col).toIndexedSeq: _*)
     case graft.config.TransformConfig.MinhashDedup(
         id, text, shingleSize, numHashes, bands, rowsPerBand, tNum, tDenom) =>
       // the full tier-2 near-dup path: signatures expression-side, LSH
@@ -155,6 +170,23 @@ object Pipeline {
       df.join(contaminated, Seq(id), "left_anti")
     case graft.config.TransformConfig.PiiScrub(text) =>
       df.withColumn(text, graft.pipeline.Text.redactPii(col(text)))
+    case graft.config.TransformConfig.DsirFilter(id, text, tPath, tText, buckets, kn, kd) =>
+      // target features only feed bucket TOTALS, so the target's row id
+      // is a throwaway (monotonically_increasing_id — retry-instability
+      // is harmless here; nothing rides the id)
+      val tdocs = df.sparkSession.read.parquet(tPath)
+        .select(col(tText).as("__ttext"))
+        .withColumn("__tid", monotonically_increasing_id())
+      val tfeats = graft.pipeline.Text.dsirFeatures(tdocs, "__ttext", "__tid", buckets)
+      val feats = graft.pipeline.Text.dsirFeatures(df, text, id, buckets)
+      val weights = graft.pipeline.Text.dsirWeights(feats, tfeats, id, buckets)
+      // keep the top keepNum/keepDenom by weight via an approx-percentile
+      // cutoff (scalar broadcast) — no global sort; boundary ties keep
+      val cut = weights.agg(percentile_approx(col("dsir_weight"),
+        lit(1.0 - kn.toDouble / kd), lit(10000)).as("__cut"))
+      val keepIds = weights.crossJoin(broadcast(cut))
+        .filter(col("dsir_weight") >= col("__cut")).select(col(id))
+      df.join(keepIds, Seq(id), "left_semi")
     case graft.config.TransformConfig.PplFilter(id, text, lang, buckets, keep, approx) =>
       val model = graft.pipeline.Text.termStats(df, text, id)
       val bucketed =

@@ -758,6 +758,22 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Duplicated 8-token-gram profile — raw-gram arm for the oracle;
+    * DupSpanSpec proves the hashed arm row-equal.
+    */
+  private def qDupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.dupGramProfile(t(s, d, "documents"), "doc_id", "text",
+        k = 8, hashGrams = false)
+      .orderBy(col("doc_id"))
+
+  /** Token-granular span cut: text with corpus-duplicated 8-gram spans
+    * removed; counts + reassembled text are engine-exact.
+    */
+  private def qSpanCut(s: SparkSession, d: String): DataFrame =
+    Dedup.cutDupSpans(t(s, d, "documents"), "doc_id", "text",
+        k = 8, hashGrams = false)
+      .orderBy(col("doc_id"))
+
   private def qSimhashSig(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), Dedup.simHashPortableExpr("text").as("simhash"))
@@ -796,6 +812,33 @@ object SparkEntry {
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Integer int8-code top-k: ranking is all-integer, so the ORDER —
+    * not just a recall contract — is oracle-pinned. Queries are every
+    * 50th vector id (bounded broadcast set).
+    */
+  private def qInt8Topk(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.int8TopK(emb.filter(pmod(col("vec_id"), lit(50)) === 0), emb,
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("idot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hamming top-k over the portable 60-bit SimHash — integer
+    * similarity retrieval, rank order oracle-pinned. Queries are every
+    * 25th doc id.
+    */
+  private def qHammingTopk(s: SparkSession, d: String): DataFrame = {
+    val sigs = t(s, d, "documents")
+      .select(col("doc_id"), Dedup.simHashPortableExpr("text").as("sig"))
+    Dedup.hammingTopK(sigs.filter(pmod(col("doc_id"), lit(25)) === 0), sigs,
+        "doc_id", "sig", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("hamming"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1446,6 +1489,14 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** DSIR hashed-ngram features (unigram+bigram, 64 buckets, portable
+    * md5 bucket hash) — all-integer counts, engine-exact. The weighting
+    * tier (ln-ratio) is spec-gated instead (libm stays out of oracles).
+    */
+  private def qDsirFeatures(s: SparkSession, d: String): DataFrame =
+    Text.dsirFeatures(t(s, d, "documents"), "text", "doc_id", buckets = 64)
+      .orderBy(col("doc_id"), col("bucket"))
+
   /** Corpus data card per (source, lang): doc/token/char census with
     * exact distinct-content counts — all-integer, engine-exact.
     */
@@ -1500,6 +1551,7 @@ object SparkEntry {
     "q_quality_filter" -> (qQualityFilter _),
     "q_token_budget" -> (qTokenBudget _),
     "q_data_card" -> (qDataCard _),
+    "q_dsir_features" -> (qDsirFeatures _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_normalize" -> (qNormalize _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
@@ -1566,6 +1618,8 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash_sig" -> (qSimhashSig _),
+    "q_dup_spans" -> (qDupSpans _),
+    "q_span_cut" -> (qSpanCut _),
     "q_fingerprint" -> (qFingerprint _),
     "q_tokens" -> (qTokens _),
     "q_bpe_tokens" -> (qBpeTokens _),
@@ -1574,6 +1628,8 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_int8_topk" -> (qInt8Topk _),
+    "q_hamming_topk" -> (qHammingTopk _),
     "q_cos_neardup" -> (qCosNearDup _),
     "q_corpus_clean" -> (qCorpusClean _),
     "q_profile" -> (qProfile _),
@@ -1805,6 +1861,20 @@ object SparkEntry {
         "CAST(max(len(" + tokensExpr + ")) AS BIGINT) AS max_tokens, " +
         "CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct " +
         "FROM documents GROUP BY source, lang ORDER BY source, lang"),
+
+    // DSIR hashed features: unigrams + bigrams, portable 60-bit md5
+    // bucket hash (digit-positional sum == conv(hex,16,10)) mod 64
+    "q_dsir_features" ->
+      ("WITH d AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(toks) AS gram FROM d " +
+        "UNION ALL SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram " +
+        "FROM d, unnest(range(1, greatest(len(toks), 1))) AS u(i)), " +
+        "h AS (SELECT doc_id, list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(gram), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) % 64 AS bucket FROM g) " +
+        "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n FROM h GROUP BY doc_id, bucket " +
+        "ORDER BY doc_id, bucket"),
 
     "q_token_budget" ->
       ("WITH h AS (SELECT doc_id, lang, n_chars, " +
@@ -2353,14 +2423,90 @@ object SparkEntry {
     // portable SimHash: token hash bits come from md5 hex nibbles, so
     // DuckDB reproduces the signature bit-for-bit (hash bit i = bit
     // (i%4) of hex digit i/4; sign of ±1 votes per bit; 60 bits)
+    // token hash = first 15 md5 hex digits as a 60-bit int (digit-
+    // positional sum == Spark's conv(hex,16,10) — same recipe as
+    // q_fingerprint); signature bit i = sign of votes of hash bit i
     "q_simhash_sig" ->
       ("SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i -> " +
-        "CASE WHEN list_sum(list_transform(md5s, m -> " +
-        "CASE WHEN (((strpos('0123456789abcdef', substr(m, CAST(i // 4 AS INT) + 1, 1)) - 1) " +
-        ">> CAST(i % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+        "CASE WHEN list_sum(list_transform(hs, h -> " +
+        "CASE WHEN ((h >> CAST(i AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
         "THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS simhash " +
-        "FROM (SELECT doc_id, list_transform(" + tokensExpr + ", t -> md5(t)) AS md5s " +
+        "FROM (SELECT doc_id, list_transform(" + tokensExpr + ", t -> " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(t), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT)) AS hs " +
         "FROM documents) ORDER BY doc_id"),
+
+    // duplicated 8-token grams: all corpus occurrences counted,
+    // same-doc repeats included; docs shorter than 8 tokens profile 0/0
+    "q_dup_spans" ->
+      ("WITH d AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "g2 AS (SELECT doc_id, pos, array_to_string(toks[pos : pos + 7], ' ') AS gram " +
+        "FROM d, unnest(range(1, greatest(len(toks) - 8 + 1, 0) + 1)) AS u(pos)), " +
+        "cnt AS (SELECT gram, count(*) AS c FROM g2 GROUP BY gram), " +
+        "prof AS (SELECT g2.doc_id, count(*) AS n_grams, " +
+        "sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS n_dup " +
+        "FROM g2 JOIN cnt USING (gram) GROUP BY g2.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(prof.n_grams, 0) AS BIGINT) AS n_grams, " +
+        "CAST(coalesce(prof.n_dup, 0) AS BIGINT) AS n_dup_grams " +
+        "FROM d LEFT JOIN prof ON d.doc_id = prof.doc_id ORDER BY d.doc_id"),
+
+    // span cut: tokens covered by any duplicated 8-gram drop, rest
+    // re-join on single spaces (1-based positions, [pos, pos+8) cover)
+    "q_span_cut" ->
+      ("WITH d AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "g2 AS (SELECT doc_id, pos, array_to_string(toks[pos : pos + 7], ' ') AS gram " +
+        "FROM d, unnest(range(1, greatest(len(toks) - 8 + 1, 0) + 1)) AS u(pos)), " +
+        "cnt AS (SELECT gram, count(*) AS c FROM g2 GROUP BY gram), " +
+        "dup AS (SELECT doc_id, list_sort(list(pos)) AS dps FROM g2 " +
+        "JOIN cnt USING (gram) WHERE cnt.c >= 2 GROUP BY doc_id), " +
+        "cut AS (SELECT d.doc_id, len(toks) AS n_tokens, " +
+        "list_filter(toks, (t, i) -> len(list_filter(coalesce(dps, []), " +
+        "p -> i >= p AND i < p + 8)) = 0) AS kept " +
+        "FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(len(kept) AS BIGINT) AS n_tokens_kept, " +
+        // DuckDB's array_to_string of an empty list is NULL; Spark's
+        // array_join is '' — a fully-cut doc must compare equal
+        "coalesce(array_to_string(kept, ' '), '') AS text_cut " +
+        "FROM cut ORDER BY doc_id"),
+
+    // integer int8-code ANN: global scale row, codes round(x*127/s),
+    // integer dot ranking — engine-exact, same plan as the Spark side
+    "q_int8_topk" ->
+      ("WITH s AS (SELECT max(list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE))))) AS m FROM embeddings), " +
+        "c AS (SELECT vec_id, list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT)) AS cv " +
+        "FROM embeddings, s), " +
+        "q AS (SELECT vec_id AS query_id, cv AS qv FROM c WHERE vec_id % 50 = 0), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS idot " +
+        "FROM q, c WHERE query_id <> c.vec_id), " +
+        "r AS (SELECT query_id, neighbor_id, CAST(idot AS BIGINT) AS idot, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS rank FROM sc) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, idot " +
+        "FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // hamming top-k over the same portable 60-bit simhash as q_simhash_sig
+    "q_hamming_topk" ->
+      ("WITH m AS (SELECT doc_id, list_transform(" + tokensExpr + ", t -> " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(t), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT)) AS hs " +
+        "FROM documents), " +
+        "sg AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i -> " +
+        "CASE WHEN list_sum(list_transform(hs, h -> " +
+        "CASE WHEN ((h >> CAST(i AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+        "THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM m), " +
+        "q AS (SELECT doc_id AS query_id, sig AS qs FROM sg WHERE doc_id % 25 = 0), " +
+        "sc AS (SELECT query_id, sg.doc_id AS neighbor_id, " +
+        "CAST(bit_count(xor(qs, sg.sig)) AS BIGINT) AS hamming " +
+        "FROM q, sg WHERE query_id <> sg.doc_id), " +
+        "r AS (SELECT query_id, neighbor_id, hamming, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank FROM sc) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, hamming " +
+        "FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
 
     // portable winnowing fingerprint: k-gram hash = first 15 md5 hex
     // chars as a 60-bit integer (digit-positional, most significant

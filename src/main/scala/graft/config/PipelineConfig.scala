@@ -145,6 +145,21 @@ object TransformConfig {
       else if (minDocs <= 1) Some("transform.spanDedup.minDocs must be > 1")
       else None
   }
+  /** Token-gram substring dedup — Dedup.cutDupSpans (the suffix-array-
+    * dedup analog): tokens covered by a k-token gram occurring at least
+    * `minCount` times corpus-wide are cut out; only documents that
+    * actually contain a duplicated span are rewritten, the rest keep
+    * their original text byte-for-byte. Schema-preserving.
+    */
+  final case class DupSpanCut(idColumn: String, textColumn: String,
+                              gramTokens: Int, minCount: Long)
+      extends TransformConfig {
+    val name = "dupSpanCut"
+    def check: Option[String] =
+      if (gramTokens <= 0) Some("transform.dupSpanCut.gramTokens must be positive")
+      else if (minCount <= 1) Some("transform.dupSpanCut.minCount must be > 1")
+      else None
+  }
   /** Label rows with a named split — Sampling.split (md5-bucket
     * membership; deterministic on any engine/partitioning/retry).
     */
@@ -209,6 +224,25 @@ object TransformConfig {
     def check: Option[String] =
       if (ngram <= 0) Some("transform.decontaminate.ngram must be positive")
       else if (minShared <= 0) Some("transform.decontaminate.minShared must be positive")
+      else None
+  }
+  /** DSIR data selection — Text.dsirFeatures/dsirWeights: score every
+    * row's hashed-ngram counts by the ln-ratio of a TARGET corpus
+    * (parquet at `targetPath`) over the input corpus, keep the
+    * highest-weight keepNum/keepDenom fraction (approx-percentile
+    * cutoff — no global sort; boundary ties keep). Schema-preserving;
+    * rows with no tokens can't score and drop.
+    */
+  final case class DsirFilter(idColumn: String, textColumn: String,
+                              targetPath: String, targetTextColumn: String,
+                              buckets: Int, keepNum: Int, keepDenom: Int)
+      extends TransformConfig {
+    val name = "dsirFilter"
+    def check: Option[String] =
+      if (targetPath.isEmpty) Some("transform.dsirFilter.targetPath required")
+      else if (buckets <= 0) Some("transform.dsirFilter.buckets must be positive")
+      else if (keepDenom <= 0 || keepNum <= 0 || keepNum > keepDenom)
+        Some("transform.dsirFilter.keep fraction must satisfy 0 < num <= denom")
       else None
   }
   /** CCNet-style perplexity-bucket filter — Text.pplBuckets(+Approx):
@@ -485,6 +519,8 @@ object PipelineConfig {
       "transform.spanDedup.idColumn", "transform.spanDedup.textColumn",
       "transform.spanDedup.spanTokens", "transform.spanDedup.minDocs",
       "transform.spanDedup.keepFirst",
+      "transform.dupSpanCut.idColumn", "transform.dupSpanCut.textColumn",
+      "transform.dupSpanCut.gramTokens", "transform.dupSpanCut.minCount",
       "transform.minhashDedup.idColumn", "transform.minhashDedup.textColumn",
       "transform.minhashDedup.shingleSize", "transform.minhashDedup.numHashes",
       "transform.minhashDedup.bands", "transform.minhashDedup.rowsPerBand",
@@ -498,6 +534,10 @@ object PipelineConfig {
       "transform.seqPack.idColumn", "transform.seqPack.textColumn",
       "transform.seqPack.budget", "transform.seqPack.shardWidth",
       "transform.piiScrub.textColumn",
+      "transform.dsirFilter.idColumn", "transform.dsirFilter.textColumn",
+      "transform.dsirFilter.targetPath", "transform.dsirFilter.targetTextColumn",
+      "transform.dsirFilter.buckets", "transform.dsirFilter.keepNum",
+      "transform.dsirFilter.keepDenom",
       "transform.pplFilter.idColumn", "transform.pplFilter.textColumn",
       "transform.pplFilter.langColumn", "transform.pplFilter.buckets",
       "transform.pplFilter.keep", "transform.pplFilter.approx",
@@ -700,6 +740,17 @@ object PipelineConfig {
               .toIntOption.toRight("transform.spanDedup.minDocs not an int")
           } yield TransformConfig.SpanDedup(id, text, st, md,
             map.getOrElse("transform.spanDedup.keepFirst", "false").toBoolean)
+        case "dupSpanCut" =>
+          for {
+            id <- map.get("transform.dupSpanCut.idColumn")
+              .toRight("transform.dupSpanCut.idColumn required")
+            text <- map.get("transform.dupSpanCut.textColumn")
+              .toRight("transform.dupSpanCut.textColumn required")
+            k <- map.getOrElse("transform.dupSpanCut.gramTokens", "8")
+              .toIntOption.toRight("transform.dupSpanCut.gramTokens not an int")
+            mc <- map.getOrElse("transform.dupSpanCut.minCount", "2")
+              .toLongOption.toRight("transform.dupSpanCut.minCount not an int")
+          } yield TransformConfig.DupSpanCut(id, text, k, mc)
         case "minhashDedup" =>
           def num(key: String, default: String): Either[String, Int] =
             map.getOrElse(s"transform.minhashDedup.$key", default)
@@ -748,6 +799,22 @@ object PipelineConfig {
           map.get("transform.piiScrub.textColumn")
             .toRight("transform.piiScrub.textColumn required")
             .map(TransformConfig.PiiScrub(_))
+        case "dsirFilter" =>
+          for {
+            id <- map.get("transform.dsirFilter.idColumn")
+              .toRight("transform.dsirFilter.idColumn required")
+            text <- map.get("transform.dsirFilter.textColumn")
+              .toRight("transform.dsirFilter.textColumn required")
+            tp <- map.get("transform.dsirFilter.targetPath")
+              .toRight("transform.dsirFilter.targetPath required")
+            b <- map.getOrElse("transform.dsirFilter.buckets", "64")
+              .toIntOption.toRight("transform.dsirFilter.buckets not an int")
+            kn <- map.getOrElse("transform.dsirFilter.keepNum", "1")
+              .toIntOption.toRight("transform.dsirFilter.keepNum not an int")
+            kd <- map.getOrElse("transform.dsirFilter.keepDenom", "2")
+              .toIntOption.toRight("transform.dsirFilter.keepDenom not an int")
+          } yield TransformConfig.DsirFilter(id, text, tp,
+            map.getOrElse("transform.dsirFilter.targetTextColumn", text), b, kn, kd)
         case "pplFilter" =>
           for {
             id <- map.get("transform.pplFilter.idColumn")

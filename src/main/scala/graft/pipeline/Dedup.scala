@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -686,20 +687,28 @@ object Dedup {
       s"0L, (x, y) -> x | y)")
   }
 
-  /** Portable 60-bit SimHash: token hashes come from md5 hex nibbles
-    * (hash bit i = bit (i%4) of hex digit i/4, 15 digits = 60 bits), so
-    * the signature is computable bit-identically in any engine with md5
-    * — this is the oracle-checked gate variant. `simHashExpr` (xxhash64,
-    * 64-bit) stays the fast production default; the structure (sign of
-    * per-bit ±1 token votes) is identical.
+  /** Portable 60-bit SimHash: each token hashes to the first 15 md5 hex
+    * digits parsed as a 60-bit integer (digit-positional, most
+    * significant first — the same value any engine gets from its own
+    * hex parse or a digit sum), and signature bit i is the sign of the
+    * per-token votes of hash bit i. Computable bit-identically in any
+    * engine with md5 — this is the oracle-checked gate variant.
+    * `simHashExpr` (xxhash64, 64-bit) stays the fast production
+    * default; the structure (sign of per-bit ±1 token votes) is
+    * identical.
     */
   def simHashPortableExpr(textColName: String): Column = {
     val toks = s"filter(split(trim($textColName), '\\\\s+'), t -> t != '')"
-    val md5s = s"transform($toks, t -> md5(t))"
-    val acc = s"aggregate($md5s, array_repeat(0L, 60), (acc, m) -> " +
+    // ONE conv per token — the 15-hex-digit md5 prefix parsed as a
+    // 60-bit Long (same parse as the portable fingerprints); bit i is
+    // then a shift. The per-digit conv/substring form cost 60 string
+    // ops per token and dominated the whole gate query at bench scale.
+    val hs = s"transform($toks, t -> " +
+      s"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    val acc = s"aggregate($hs, array_repeat(0L, 60), (acc, h) -> " +
       s"zip_with(acc, transform(sequence(0, 59), i -> " +
-      s"CASE WHEN (shiftright(CAST(conv(substring(m, CAST(i div 4 AS INT) + 1, 1), 16, 10) AS INT), " +
-      s"CAST(i % 4 AS INT)) & 1) = 1 THEN 1L ELSE -1L END), (x, y) -> x + y))"
+      s"CASE WHEN (shiftright(h, CAST(i AS INT)) & 1) = 1 THEN 1L ELSE -1L END), " +
+      s"(x, y) -> x + y))"
     // bind the vote array once as a lambda variable: referencing $acc
     // inside the per-bit lambda would re-run the full token accumulation
     // once per bit (60× the work per row)
@@ -729,5 +738,131 @@ object Dedup {
       // only true near-dups instead of every chunk collision
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Top-k nearest signatures by Hamming distance — integer similarity
+    * retrieval over SimHash sketches. All arithmetic is
+    * bit_count(xor) on Longs, so ranks (ties broken by neighbor id)
+    * are bit-identical in any engine: the hash-oracle-checkable twin
+    * of float ANN ranking. Feed it [[simHashExpr]] signatures in
+    * production or [[simHashPortableExpr]] for cross-engine gates.
+    *
+    * Scale shape: the query signature set broadcasts (16 bytes a row);
+    * the corpus streams through once; the ranking window shuffles
+    * (query_id, neighbor_id, hamming) only. When the query set is
+    * itself corpus-sized, route through [[simHashPairs]]' banded join
+    * instead — this tier is for query batches ≪ corpus.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  sigCol: String, k: Int,
+                  excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(sigCol).as("qs"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(sigCol).as("cs"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("qs").bitwiseXOR(col("cs"))).cast("long").as("hamming"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "hamming")
+  }
+
+  // ------------------------------------------------------------------
+  // Sub-document substring dedup at token-gram granularity — the
+  // distributed analog of suffix-array dedup (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better"): a
+  // k-token gram occurring >= minCount times corpus-wide (all
+  // occurrences, same-document repeats included) marks a duplicated
+  // span; spans are cut from the text at token boundaries. A suffix
+  // array itself doesn't distribute; counting fixed-width grams over
+  // one explode + one groupBy computes the same "substring appears
+  // elsewhere" predicate at any scale.
+  // ------------------------------------------------------------------
+
+  /** (id, pos 1-based, gram-key) rows for every k-token gram. With
+    * `hashGrams` the key is xxhash64 of the gram text — the shuffle
+    * carries 8 bytes a gram instead of k tokens (the 100-TB arm;
+    * DupSpanSpec proves it row-equal to the raw-text arm, which the
+    * cross-engine oracle checks).
+    */
+  private def gramRows(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, hashGrams: Boolean): DataFrame = {
+    val toks = col("__toks")
+    val positions = when(size(toks) >= k,
+      sequence(lit(1), size(toks) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val withG = df.select(col(idCol).as("__id"),
+        Text.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), explode(positions).as("__pos"), col("__toks"))
+      .select(col("__id"), col("__pos"),
+        array_join(slice(col("__toks"), col("__pos"), lit(k)), " ").as("__gtext"))
+    withG.select(col("__id"), col("__pos"),
+      (if (hashGrams) xxhash64(col("__gtext")) else col("__gtext")).as("__g"))
+  }
+
+  /** Corpus-wide duplicated-gram keys: occurrences >= minCount. */
+  private def dupGrams(grams: DataFrame, minCount: Long): DataFrame =
+    grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("__g"))
+
+  /** Per-document duplicated-span profile: (id, n_grams, n_dup_grams).
+    * n_dup_grams counts gram positions whose gram text occurs at least
+    * `minCount` times corpus-wide — the decision input for "how much of
+    * this document is boilerplate copied from elsewhere". All-integer
+    * output, oracle-exact with `hashGrams = false`.
+    *
+    * Scale shape: one explode to (id, pos, gram-key), one count
+    * aggregation on the key, one semi join back — with hashed grams
+    * nothing wider than (long, int, long) ever shuffles.
+    */
+  def dupGramProfile(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minCount: Long = 2L,
+                     hashGrams: Boolean = true): DataFrame = {
+    require(k >= 1, s"gram width must be positive, got $k")
+    val grams = gramRows(df, idCol, textCol, k, hashGrams)
+    val dupCounts = grams
+      .join(dupGrams(grams, minCount), Seq("__g"), "left_semi")
+      .groupBy(col("__id")).agg(count(lit(1)).as("__ndup"))
+    val toks = Text.tokens(col(textCol))
+    df.select(col(idCol).as("__id"),
+        greatest(size(toks) - (k - 1), lit(0)).cast("long").as("n_grams"))
+      .join(dupCounts, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup_grams"))
+  }
+
+  /** Cut duplicated spans out of the text: every token covered by a
+    * duplicated k-gram (as in [[dupGramProfile]]) is dropped and the
+    * survivors re-join on single spaces. Output: (id, n_tokens,
+    * n_tokens_kept, text_cut) with the original row multiplicity —
+    * the duplicated-position list re-attaches via a LEFT join, so
+    * rows with no duplicated span (or a null id) pass through whole.
+    *
+    * The coverage mask is exists(positions, p -> p <= i < p+k) per
+    * token — positions per document are bounded by its gram count, and
+    * overlapping spans merge for free (a token under any span drops).
+    */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, minCount: Long = 2L,
+                  hashGrams: Boolean = true): DataFrame = {
+    require(k >= 1, s"gram width must be positive, got $k")
+    val grams = gramRows(df, idCol, textCol, k, hashGrams)
+    val dupPos = grams
+      .join(dupGrams(grams, minCount), Seq("__g"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__dps"))
+    val toks = Text.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .join(dupPos, col(idCol) === dupPos.col("__id"), "left_outer")
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(coalesce(col("__dps"), array().cast("array<int>")),
+          p => i + 1 >= p && i + 1 < p + k)))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_tokens_kept"),
+        array_join(col("__kept"), " ").as("text_cut"))
   }
 }

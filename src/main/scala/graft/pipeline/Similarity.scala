@@ -158,6 +158,53 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Integer top-k over symmetric int8 codes — the engine-exact ANN
+    * kernel. A single global scale s = max |xᵢ| over the corpus maps
+    * every coordinate to round(x·127/s) ∈ [-127, 127]; similarity is
+    * the INTEGER dot product of code vectors (|Σ| ≤ 127²·dim — far from
+    * Long range, ANSI-safe). Because codes and dots are integers, the
+    * ranking is bit-identical in any engine — unlike float cosine,
+    * where summation order perturbs ties — so this tier is
+    * hash-oracle-checkable end to end, and it is how int8-quantized
+    * retrieval actually runs (FAISS/ScaNN-style SQ8 with symmetric
+    * distance computation).
+    *
+    * Scale shape: the scalar scale row and the query code set are
+    * broadcast; the corpus streams through once computing codes
+    * scan-side; the ranking window shuffles (query_id, neighbor_id,
+    * idot) — ids and one Long, never vectors. Quantization error vs
+    * float ranking is the spec'd recall contract, not a gate concern.
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int,
+               excludeSelf: Boolean = true): DataFrame = {
+    val scale = corpus.agg(
+      max(array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+        .as("__s"))
+    def codes(df: DataFrame, idAs: String, vAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as("__v"))
+        .crossJoin(broadcast(scale))
+        .select(col(idAs), transform(col("__v"),
+          // all-zero corpus → s = 0: code to zeros instead of 0/0 = NaN
+          x => when(col("__s") === 0.0, lit(0L))
+            .otherwise(round(x.cast("double") * 127.0 / col("__s"))
+              .cast("long")))
+          .as(vAs))
+    val q = codes(queries, "query_id", "qv")
+    val c = codes(corpus, "neighbor_id", "cv")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("idot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("idot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "idot")
+  }
+
   /** All pairs with cosine >= threshold (near-duplicate detection on
     * embeddings). Exact O(n²) form — for large corpora route through
     * `lshTopK` instead; kept for oracle-checkable correctness.

@@ -504,6 +504,184 @@ object Text {
       .select(col(idCol), col(langCol), col("n_tokens"), col("bucket"))
   }
 
+  /** Pruned vocabulary as a driver-side map: top `maxVocab` terms of a
+    * [[termStats]] model by corpus frequency (ties by term) — the
+    * fixed-model artifact the streaming tier broadcasts. This is
+    * CCNet's deployment shape: documents score against a FIXED small
+    * LM shipped with the job, not against the live corpus.
+    */
+  def vocabMap(model: DataFrame, maxVocab: Int = 1 << 16): Map[String, Long] =
+    model.select(col("term"), col("term_freq_total"))
+      .orderBy(col("term_freq_total").desc, col("term").asc)
+      .limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Per-language commonness cutoffs trained once on a batch corpus —
+    * the tiny artifact [[pplAssignStatic]] applies. Same percentile
+    * recipe as [[pplBucketsApprox]] (approx cutoffs, no per-language
+    * sort); languages are few, so collecting is a bounded driver step.
+    */
+  def pplCutoffMap(df: DataFrame, textCol: String, idCol: String,
+                   langCol: String, model: DataFrame, minCount: Long = 2L,
+                   buckets: Int = 3): Map[String, Seq[Double]] = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val stats = unigramStats(df, textCol, idCol, model, minCount)
+    val scored = stats.join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("__common",
+        col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+    val pcts = typedLit((1 until buckets).map(b => 1.0 - b.toDouble / buckets))
+    scored.groupBy(col(langCol))
+      .agg(percentile_approx(col("__common"), pcts, lit(10000)).as("__cuts"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+  }
+
+  /** Persist the train-once curation model ([[vocabMap]] +
+    * [[pplCutoffMap]]) as two parquet frames under `path` (`vocab/`,
+    * `cutoffs/`). Parquet longs/doubles round-trip bit-exactly, so a
+    * loaded model reproduces every [[pplAssignStatic]] bucket of the
+    * session that trained it (TextSpec pins this) — the same
+    * train-on-batch / apply-on-stream contract the IVF/PQ codebooks
+    * have via their save/load.
+    */
+  def saveLmModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vocab: Map[String, Long],
+                  cuts: Map[String, Seq[Double]]): Unit = {
+    import spark.implicits._
+    vocab.toSeq.toDF("term", "term_freq_total")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    cuts.toSeq.toDF("lang", "cuts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cutoffs")
+  }
+
+  /** Load a model written by [[saveLmModel]]. Duplicate terms or
+    * languages mean a torn or foreign directory — rejected loudly.
+    */
+  def loadLmModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (Map[String, Long], Map[String, Seq[Double]]) = {
+    val vRows = spark.read.parquet(s"$path/vocab")
+      .select(col("term"), col("term_freq_total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val cRows = spark.read.parquet(s"$path/cutoffs")
+      .select(col("lang"), col("cuts"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
+    require(vRows.nonEmpty, s"no vocab rows at $path/vocab")
+    require(cRows.nonEmpty, s"no cutoff rows at $path/cutoffs")
+    require(vRows.map(_._1).distinct.length == vRows.length,
+      s"duplicate vocab terms at $path/vocab")
+    require(cRows.map(_._1).distinct.length == cRows.length,
+      s"duplicate cutoff languages at $path/cutoffs")
+    (vRows.toMap, cRows.toMap)
+  }
+
+  /** Stateless perplexity-bucket assignment against a FIXED vocab map
+    * and pre-trained per-language cutoffs: the commonness score
+    * (sum_tf / n_tokens, the same single IEEE division as the batch
+    * tier) and the bucket fold are pure scan-side expressions over
+    * literal maps, so this runs UNCHANGED on a Structured Streaming
+    * source — append mode, zero state, no stream-side aggregation.
+    * With `vocab` covering the corpus vocabulary the assignment is
+    * row-identical to [[pplBucketsApprox]] on the training corpus
+    * (spec'd); rows with zero tokens or a language absent from `cuts`
+    * drop, mirroring the batch tier's stats/lang inner joins.
+    */
+  def pplAssignStatic(df: DataFrame, textCol: String, idCol: String,
+                      langCol: String, vocab: Map[String, Long],
+                      cuts: Map[String, Seq[Double]]): DataFrame = {
+    require(cuts.nonEmpty, "pplAssignStatic needs at least one language cutoff")
+    val vm = typedLit(vocab)
+    val cm = typedLit(cuts)
+    df.select(col(idCol), col(langCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      // try_element_at, not element_at: ANSI mode throws on missing keys
+      .withColumn("__sum_tf", aggregate(col("__toks"), lit(0L),
+        (acc, t) => acc + coalesce(try_element_at(vm, t), lit(0L))))
+      .withColumn("__cuts", try_element_at(cm, col(langCol)))
+      .filter(col("__cuts").isNotNull)
+      .withColumn("__common",
+        col("__sum_tf").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("bucket", lit(1L) + aggregate(col("__cuts"), lit(0L),
+        (acc, c) => acc + (col("__common") <= c).cast("long")))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("bucket"))
+  }
+
+  /** DSIR hashed n-gram features (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): word unigrams and
+    * bigrams hash into a fixed number of buckets; the output is one
+    * (id, bucket, n) row per non-empty bucket. The bucket hash is the
+    * portable 60-bit md5 prefix (same recipe as
+    * [[fingerprintPortableExpr]]) mod `buckets`, so counts are
+    * engine-exact and the gate hash-checks them.
+    *
+    * Scale shape: one gram explode to (id, bucket) pairs — two
+    * integers, never text — and one count aggregation; the feature
+    * space is fixed-width by construction, which is the point of
+    * hashed features at corpus scale.
+    */
+  def dsirFeatures(df: DataFrame, textCol: String, idCol: String,
+                   buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // bigrams via double-slice zip_with: the lambda sees its elements as
+    // ARGUMENTS. An element_at(toks, i) form would re-evaluate the whole
+    // tokenization per element (O(n²) per document — measured 7× the
+    // query cost at bench scale)
+    val toks = col("__toks")
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(concat(toks, bigrams)).as("__g"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** DSIR importance weights: Σ_b n_b · (ln p̂_b − ln q̂_b), the
+    * log-likelihood ratio of the document's hashed-feature counts under
+    * the TARGET distribution (what you want more of) vs the RAW
+    * distribution (what you have), both add-one smoothed. Resampling
+    * keeps the highest-weight documents (or Gumbel-perturbs the weights
+    * — the caller's choice; the weight is the published quantity).
+    *
+    * `feats`/`targetFeats` are [[dsirFeatures]] frames. The two
+    * distributions reduce to `buckets` rows each and ride a broadcast
+    * join; the weight is one aggregation over the raw feature rows.
+    * Output: (id, dsir_weight double) — ln is libm, so this column
+    * stays OUT of oracle gates (DsirSpec pins it against a local
+    * replica instead).
+    */
+  def dsirWeights(feats: DataFrame, targetFeats: DataFrame,
+                  idCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def dist(f: DataFrame, nameAs: String): DataFrame =
+      f.groupBy(col("bucket")).agg(sum(col("n")).as("__c"))
+        .crossJoin(broadcast(f.agg(sum(col("n")).as("__tot"))))
+        .select(col("bucket"),
+          ((col("__c") + 1).cast("double") /
+            (col("__tot") + buckets).cast("double")).as(nameAs))
+    // full outer: a bucket can be present on one side only; its smoothed
+    // mass on the absent side is 1/(total+B), which needs that side's
+    // total — carried as 1-row broadcasts below
+    val ratio = dist(targetFeats, "__p")
+      .join(dist(feats, "__q"), Seq("bucket"), "full_outer")
+    val tT = targetFeats.agg(sum(col("n")).as("__tt"))
+    val tQ = feats.agg(sum(col("n")).as("__tq"))
+    val logRatio = ratio
+      .crossJoin(broadcast(tT)).crossJoin(broadcast(tQ))
+      .select(col("bucket"),
+        (log(coalesce(col("__p"),
+            lit(1.0) / (col("__tt") + buckets).cast("double"))) -
+          log(coalesce(col("__q"),
+            lit(1.0) / (col("__tq") + buckets).cast("double"))))
+          .as("__lr"))
+    feats.join(broadcast(logRatio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n").cast("double") * col("__lr")).as("dsir_weight"))
+  }
+
   /** Corpus data card — the per-group census a dataset datasheet is
     * built from: document count, token/char totals, min/max document
     * length, and the exact distinct-content count (its complement

@@ -33,8 +33,12 @@ class PlanGuardSpec extends AnyFunSuite {
                          // the lazy replacement for the old eager count()
     "q_mix_weights",     // scalar-row cross join: the 1-row T_max min-reduction
                          // broadcast onto the |groups|-row quota frame
-    "q_term_drift")      // scalar-row cross joins: the two 1-row corpus totals
+    "q_term_drift",      // scalar-row cross joins: the two 1-row corpus totals
                          // (N_a, N_b) broadcast onto the vocab-keyed join
+    "q_int8_topk",       // scalar-row scale cross join + broadcast query code
+                         // set (every 50th id) — same bounded shape as q_sim_topk
+    "q_hamming_topk")    // broadcast query signature set (every 25th id) —
+                         // corpus streams once, quadratic side is the bounded queries
 
   test("no gate query plans an unlisted cartesian/nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

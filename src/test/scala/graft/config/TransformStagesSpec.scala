@@ -278,6 +278,81 @@ class TransformStagesSpec extends AnyFunSuite {
       s"expected packed layout, got ${out.columns.mkString(",")}")
   }
 
+  test("dsirFilter stage keeps the top-weight fraction against a target corpus") {
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val tDir = Files.createTempDirectory("graft-dsir-target").resolve("t").toString
+    docs.filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .write.mode("overwrite").parquet(tDir)
+    val out = Pipeline.transform(docs, cfg(
+      s"""transforms: dsirFilter
+         |transform.dsirFilter.idColumn: doc_id
+         |transform.dsirFilter.textColumn: text
+         |transform.dsirFilter.targetPath: $tDir
+         |transform.dsirFilter.buckets: 16
+         |transform.dsirFilter.keepNum: 1
+         |transform.dsirFilter.keepDenom: 2
+         |""".stripMargin))
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    val n = docs.count()
+    // half by approx cutoff: allow estimation + tie slack
+    assert(out.count() > (n * 3) / 10 && out.count() < (n * 7) / 10,
+      s"kept ${out.count()} of $n")
+    // eager validation: malformed fraction fails at parse/check time
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/documents.parquet
+         |target.type: parquet
+         |target.path: /tmp/graft-dsir-unused
+         |transforms: dsirFilter
+         |transform.dsirFilter.idColumn: doc_id
+         |transform.dsirFilter.textColumn: text
+         |transform.dsirFilter.targetPath: $tDir
+         |transform.dsirFilter.keepNum: 3
+         |transform.dsirFilter.keepDenom: 2
+         |""".stripMargin).swap.exists(_.contains("0 < num <= denom")))
+  }
+
+  test("dupSpanCut stage rewrites only span-bearing docs, multiplicity preserved") {
+    import spark.implicits._
+    val c = cfg(
+      """transforms: dupSpanCut
+        |transform.dupSpanCut.idColumn: doc_id
+        |transform.dupSpanCut.textColumn: text
+        |transform.dupSpanCut.gramTokens: 4
+        |""".stripMargin)
+    val docs = Seq(
+      (Some(1L), "one two three four tail-a", "s1"),
+      (Some(2L), "one two three four tail-b", "s2"),
+      (None, "untouched  null-id   row!", "s3"),   // odd spacing must survive
+      (Some(4L), "clean row with  DOUBLE space", "s4"),
+      (Some(5L), "dup id copy", "s5"),
+      (Some(5L), "dup id copy", "s5"))
+      .toDF("doc_id", "text", "source")
+    val out = Pipeline.transform(docs, c)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    assert(out.count() == docs.count())
+    val byText = out.collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+      r.getString(1))).toSeq
+    // the shared 4-gram "one two three four" is cut from both carriers
+    assert(byText.contains(Some(1L) -> "tail-a"))
+    assert(byText.contains(Some(2L) -> "tail-b"))
+    // clean docs keep their original bytes (double spaces intact)
+    assert(byText.contains(None -> "untouched  null-id   row!"))
+    assert(byText.contains(Some(4L) -> "clean row with  DOUBLE space"))
+    assert(byText.count(_ == (Some(5L) -> "dup id copy")) == 2)
+    // eager validation
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/documents.parquet
+         |target.type: parquet
+         |target.path: /tmp/graft-dsc-unused
+         |transforms: dupSpanCut
+         |transform.dupSpanCut.idColumn: doc_id
+         |transform.dupSpanCut.textColumn: text
+         |transform.dupSpanCut.minCount: 1
+         |""".stripMargin).swap.exists(_.contains("minCount must be > 1")))
+  }
+
   test("pplFilter stage keeps the chosen perplexity buckets, schema preserved") {
     val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
     def run(extra: String) = Pipeline.transform(docs, cfg(

@@ -84,6 +84,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("hammingTopK ranks by exact bit distance, local replica agrees") {
+    val sigs = docs.limit(60)
+      .select(col("doc_id"), Dedup.simHashExpr("text").as("sig")).cache()
+    val local = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val queries = local.keys.filter(_ % 20 == 0).toSeq.sorted
+    val expected = queries.map { q =>
+      q -> local.keys.filter(_ != q).toSeq
+        .map(n => (n, java.lang.Long.bitCount(local(q) ^ local(n)).toLong))
+        .sortBy { case (n, h) => (h, n) }.take(3)
+    }.toMap
+    val got = Dedup.hammingTopK(
+      sigs.filter(pmod(col("doc_id"), lit(20)) === 0), sigs, "doc_id", "sig", k = 3)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq).toMap
+    queries.foreach(q => assert(got(q) == expected(q), s"query $q"))
+    // a verbatim duplicate is always the rank-1 neighbor at distance 0
+    val withDup = sigs.union(sigs.filter(col("doc_id") === local.keys.min)
+      .select(lit(7777L).as("doc_id"), col("sig")))
+    val top = Dedup.hammingTopK(withDup.filter(col("doc_id") === 7777L),
+      withDup, "doc_id", "sig", k = 1).collect().head
+    assert(top.getLong(2) == 0L && top.getLong(3) == 0L)
+  }
+
   test("lsh bucket clamp drops degenerate buckets") {
     // every doc identical => one giant bucket per band; cap of 3 kills them all
     val same = spark.createDataFrame((1L to 10L).map(i => (i, "same text here")))

@@ -37,6 +37,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8TopK matches a local integer-code replica exactly and tracks float ranking") {
+    val s = vectors.values.flatten.map(math.abs).max
+    def code(v: Array[Double]): Array[Long] = v.map(x =>
+      new java.math.BigDecimal(x * 127.0 / s)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    val codes = vectors.view.mapValues(code).toMap
+    val queries = vectors.keys.filter(_ % 50 == 0).toSeq.sorted
+    val expected = queries.map { q =>
+      q -> vectors.keys.filter(_ != q).toSeq
+        .map(n => (n, codes(q).zip(codes(n)).map { case (a, b) => a * b }.sum))
+        .sortBy { case (n, d) => (-d, n) }.take(5)
+    }.toMap
+    val got = Similarity.int8TopK(
+      emb.filter(pmod(col("vec_id"), lit(50)) === 0), emb,
+      "vec_id", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq).toMap
+    queries.foreach { q => assert(got(q) == expected(q), s"query $q") }
+    // quantization keeps retrieval useful: rank-1 int8 neighbor sits in
+    // the float top-5 for most queries (9-bit-per-coord headroom)
+    val floatTop = queries.map(q => q -> trueTopK(q, 5).toSet).toMap
+    val hits = queries.count(q => floatTop(q).contains(got(q).head._1))
+    assert(hits >= queries.size * 8 / 10, s"$hits/${queries.size}")
+  }
+
   test("a zero-norm vector never appears as a neighbor (NaN orders largest in Spark)") {
     import spark.implicits._
     val withZero = emb.select("vec_id", "embedding").limit(50)

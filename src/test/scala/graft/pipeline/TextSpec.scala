@@ -263,6 +263,42 @@ class TextSpec extends AnyFunSuite {
       s"approx tier diverged: $agree/${exact.size} agree")
   }
 
+  test("pplAssignStatic with full vocab is row-identical to pplBucketsApprox") {
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val model = Text.termStats(docs, "text", "doc_id")
+    val vocab = Text.vocabMap(model, maxVocab = 1 << 20) // covers everything
+    val cuts = Text.pplCutoffMap(docs, "text", "doc_id", "lang", model)
+    val static = Text.pplAssignStatic(docs, "text", "doc_id", "lang", vocab, cuts)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val batch = Text.pplBucketsApprox(docs, "text", "doc_id", "lang", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(static == batch)
+    // a pruned vocab still buckets every doc, an unseen language drops
+    import spark.implicits._
+    val pruned = Text.vocabMap(model, maxVocab = 50)
+    val extra = docs.limit(5).withColumn("lang", lit("xx"))
+    val out = Text.pplAssignStatic(docs.unionByName(extra),
+      "text", "doc_id", "lang", pruned, cuts)
+    assert(out.filter($"lang" === "xx").isEmpty)
+    assert(out.count() == batch.size)
+  }
+
+  test("LM model save/load round-trips and reproduces pplAssignStatic exactly") {
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val model = Text.termStats(docs, "text", "doc_id")
+    val vocab = Text.vocabMap(model, maxVocab = 1 << 20)
+    val cuts = Text.pplCutoffMap(docs, "text", "doc_id", "lang", model)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").resolve("m").toString
+    Text.saveLmModel(spark, dir, vocab, cuts)
+    val (v2, c2) = Text.loadLmModel(spark, dir)
+    assert(v2 == vocab && c2 == cuts) // bit-exact round trip
+    val a = Text.pplAssignStatic(docs, "text", "doc_id", "lang", vocab, cuts)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val b = Text.pplAssignStatic(docs, "text", "doc_id", "lang", v2, c2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a == b)
+  }
+
   test("qualityFilter keeps exactly the qualityScore rows above threshold") {
     val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
       .unionByName(Seq((-1L, "", "en", "syn", 0L), (-2L, "   ", "en", "syn", 3L))

@@ -66,4 +66,43 @@ class StreamingCurationSpec extends AnyFunSuite {
         !t.contains("example.com") && !t.contains("123456789012"))
     }
   }
+
+  test("pplAssignStatic curates a stream with a batch-trained model, batch-identical") {
+    import graft.pipeline.Text
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    // train once on the batch corpus: vocab + per-language cutoffs
+    val model = Text.termStats(docs, "text", "doc_id")
+    val vocab = Text.vocabMap(model, maxVocab = 1 << 20)
+    val cuts = Text.pplCutoffMap(docs, "text", "doc_id", "lang", model)
+
+    val dir = Files.createTempDirectory("graft-stream-ppl")
+    val srcDir = dir.resolve("in").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // the "stream" replays the corpus as JSONL
+    val rows = docs.select("doc_id", "text", "lang").collect().map { r =>
+      val quoted = Option(r.getString(1)).getOrElse("")
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t")
+      s"""{"doc_id": ${r.getLong(0)}, "text": "$quoted", "lang": "${r.getString(2)}"}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "part-0.json"),
+      rows.mkString("\n").getBytes("UTF-8"))
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val stream = spark.readStream.schema(schema).json(srcDir)
+    val assigned = Text.pplAssignStatic(stream, "text", "doc_id", "lang", vocab, cuts)
+    assert(assigned.isStreaming, "static assignment must not force a batch plan")
+
+    val q = assigned.writeStream.format("memory").queryName("stream_ppl")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_ppl").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+
+    val expect = Text.pplAssignStatic(
+        spark.read.schema(schema).json(srcDir), "text", "doc_id", "lang", vocab, cuts)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
 }
