@@ -842,6 +842,17 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Contrastive pair mining over the integer ranking: positives, hard
+    * negatives (near-miss ranks), md5-deterministic random negatives —
+    * the full pair set is oracle-pinned.
+    */
+  private def qContrastive(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.contrastivePairs(emb.filter(pmod(col("vec_id"), lit(100)) === 0),
+        emb, "vec_id", "embedding", kPos = 2, kNeg = 2, hardFrom = 20)
+      .orderBy(col("anchor_id"), col("role"), col("rank"))
+  }
+
   private def qCosNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.cosinePairs(t(s, d, "embeddings").filter(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.35)
@@ -1630,6 +1641,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_int8_topk" -> (qInt8Topk _),
     "q_hamming_topk" -> (qHammingTopk _),
+    "q_contrastive" -> (qContrastive _),
     "q_cos_neardup" -> (qCosNearDup _),
     "q_corpus_clean" -> (qCorpusClean _),
     "q_profile" -> (qProfile _),
@@ -2487,6 +2499,34 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS rank FROM sc) " +
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, idot " +
         "FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // contrastive pairs over the same int8 code ranking as q_int8_topk:
+    // pos = sim ranks 1..2, hard_neg = ranks 20..21, rand_neg = smallest
+    // md5(anchor#other) among the rest — precedence pos > hard > rand
+    "q_contrastive" ->
+      ("WITH s AS (SELECT max(list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE))))) AS m FROM embeddings), " +
+        "c AS (SELECT vec_id, list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT)) AS cv " +
+        "FROM embeddings, s), " +
+        "a AS (SELECT vec_id AS anchor_id, cv AS av FROM c WHERE vec_id % 100 = 0), " +
+        "sc AS (SELECT anchor_id, c.vec_id AS other_id, " +
+        "list_sum(list_transform(range(1, len(av) + 1), i -> av[i] * cv[i])) AS idot, " +
+        "md5(CAST(anchor_id AS VARCHAR) || '#' || CAST(c.vec_id AS VARCHAR)) AS rh " +
+        "FROM a, c WHERE anchor_id <> c.vec_id), " +
+        "r AS (SELECT anchor_id, other_id, rh, row_number() OVER " +
+        "(PARTITION BY anchor_id ORDER BY idot DESC, other_id) AS sim_rank FROM sc), " +
+        "m AS (SELECT anchor_id, other_id, rh, sim_rank, " +
+        "CASE WHEN sim_rank <= 2 THEN 'pos' " +
+        "WHEN sim_rank >= 20 AND sim_rank < 22 THEN 'hard_neg' END AS role FROM r), " +
+        "rnd AS (SELECT anchor_id, other_id, 'rand_neg' AS role, " +
+        "CAST(rr AS BIGINT) AS rank FROM (SELECT anchor_id, other_id, " +
+        "row_number() OVER (PARTITION BY anchor_id ORDER BY rh, other_id) AS rr " +
+        "FROM m WHERE role IS NULL) WHERE rr <= 2) " +
+        "SELECT anchor_id, other_id, role, rank FROM " +
+        "(SELECT anchor_id, other_id, role, CAST(sim_rank AS BIGINT) AS rank " +
+        "FROM m WHERE role IS NOT NULL UNION ALL SELECT * FROM rnd) " +
+        "ORDER BY anchor_id, role, rank"),
 
     // hamming top-k over the same portable 60-bit simhash as q_simhash_sig
     "q_hamming_topk" ->

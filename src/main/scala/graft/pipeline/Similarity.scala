@@ -205,6 +205,68 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "idot")
   }
 
+  /** Contrastive training pairs from the integer-exact ranking — the
+    * data-prep pass for embedding-model training (DPR/E5-style): per
+    * anchor, `kPos` positives = nearest neighbors by int8 integer dot,
+    * `kNeg` hard negatives = ranks [hardFrom, hardFrom+kNeg) of the
+    * same ranking (near misses — the pairs that actually teach), and
+    * `kNeg` random negatives picked by md5(anchor#other) order over the
+    * remaining rows (deterministic across retries/engines; no RNG).
+    * Roles are exclusive with precedence pos > hard_neg > rand_neg.
+    * Output: (anchor_id, other_id, role, rank) — rank is the similarity
+    * rank for pos/hard_neg, the md5 rank for rand_neg. All-integer +
+    * md5 ordering, so the whole pair set is oracle-checkable.
+    *
+    * Scale shape: same as [[int8TopK]] — one corpus stream against the
+    * broadcast anchor code set; both ranking windows shuffle
+    * (anchor_id, other_id, idot, hash) only.
+    */
+  def contrastivePairs(anchors: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String,
+                       kPos: Int = 2, kNeg: Int = 2,
+                       hardFrom: Int = 20): DataFrame = {
+    require(kPos >= 1 && kNeg >= 0, s"bad kPos=$kPos / kNeg=$kNeg")
+    require(hardFrom > kPos,
+      s"hardFrom=$hardFrom must exceed kPos=$kPos or roles overlap")
+    val scale = corpus.agg(
+      max(array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+        .as("__s"))
+    def codes(df: DataFrame, idAs: String, vAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as("__v"))
+        .crossJoin(broadcast(scale))
+        .select(col(idAs), transform(col("__v"),
+          x => when(col("__s") === 0.0, lit(0L))
+            .otherwise(round(x.cast("double") * 127.0 / col("__s"))
+              .cast("long")))
+          .as(vAs))
+    val a = codes(anchors, "anchor_id", "av")
+    val c = codes(corpus, "other_id", "cv")
+    val wSim = Window.partitionBy("anchor_id")
+      .orderBy(col("idot").desc, col("other_id").asc)
+    val marked = c.crossJoin(broadcast(a))
+      .filter(col("anchor_id") =!= col("other_id"))
+      .select(col("anchor_id"), col("other_id"),
+        aggregate(zip_with(col("av"), col("cv"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("idot"),
+        md5(concat_ws("#", col("anchor_id"), col("other_id"))).as("__rh"))
+      .withColumn("sim_rank", row_number().over(wSim))
+      .withColumn("role",
+        when(col("sim_rank") <= kPos, lit("pos"))
+          .when(col("sim_rank") >= hardFrom &&
+            col("sim_rank") < hardFrom + kNeg, lit("hard_neg")))
+    val wRnd = Window.partitionBy("anchor_id")
+      .orderBy(col("__rh").asc, col("other_id").asc)
+    val rand = marked.filter(col("role").isNull)
+      .withColumn("rnd_rank", row_number().over(wRnd))
+      .filter(col("rnd_rank") <= kNeg)
+      .select(col("anchor_id"), col("other_id"), lit("rand_neg").as("role"),
+        col("rnd_rank").cast("long").as("rank"))
+    marked.filter(col("role").isNotNull)
+      .select(col("anchor_id"), col("other_id"), col("role"),
+        col("sim_rank").cast("long").as("rank"))
+      .unionByName(rand)
+  }
+
   /** All pairs with cosine >= threshold (near-duplicate detection on
     * embeddings). Exact O(n²) form — for large corpora route through
     * `lshTopK` instead; kept for oracle-checkable correctness.

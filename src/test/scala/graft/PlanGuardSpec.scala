@@ -37,8 +37,10 @@ class PlanGuardSpec extends AnyFunSuite {
                          // (N_a, N_b) broadcast onto the vocab-keyed join
     "q_int8_topk",       // scalar-row scale cross join + broadcast query code
                          // set (every 50th id) — same bounded shape as q_sim_topk
-    "q_hamming_topk")    // broadcast query signature set (every 25th id) —
+    "q_hamming_topk",    // broadcast query signature set (every 25th id) —
                          // corpus streams once, quadratic side is the bounded queries
+    "q_contrastive")     // same bounded shape as q_int8_topk: scalar scale rows +
+                         // broadcast anchor code set (every 100th id)
 
   test("no gate query plans an unlisted cartesian/nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -278,6 +278,33 @@ class TransformStagesSpec extends AnyFunSuite {
       s"expected packed layout, got ${out.columns.mkString(",")}")
   }
 
+  test("round-8 stages compose in one config: pplFilter -> dsirFilter -> dupSpanCut") {
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val tDir = Files.createTempDirectory("graft-r8-target").resolve("t").toString
+    docs.filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .write.mode("overwrite").parquet(tDir)
+    val out = Pipeline.transform(docs, cfg(
+      s"""transforms: pplFilter, dsirFilter, dupSpanCut
+         |transform.pplFilter.idColumn: doc_id
+         |transform.pplFilter.textColumn: text
+         |transform.pplFilter.langColumn: lang
+         |transform.pplFilter.keep: 1, 2
+         |transform.dsirFilter.idColumn: doc_id
+         |transform.dsirFilter.textColumn: text
+         |transform.dsirFilter.targetPath: $tDir
+         |transform.dsirFilter.keepNum: 3
+         |transform.dsirFilter.keepDenom: 4
+         |transform.dupSpanCut.idColumn: doc_id
+         |transform.dupSpanCut.textColumn: text
+         |transform.dupSpanCut.gramTokens: 6
+         |""".stripMargin))
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    val n = docs.count()
+    // ppl keeps ~2/3, dsir keeps ~3/4 of that: between a third and ~65%
+    assert(out.count() > n / 3 && out.count() < (n * 13) / 20,
+      s"kept ${out.count()} of $n")
+  }
+
   test("dsirFilter stage keeps the top-weight fraction against a target corpus") {
     val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
     val tDir = Files.createTempDirectory("graft-dsir-target").resolve("t").toString

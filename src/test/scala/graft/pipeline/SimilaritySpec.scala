@@ -64,6 +64,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= queries.size * 8 / 10, s"$hits/${queries.size}")
   }
 
+  test("contrastivePairs: exclusive roles, exact counts, local replica of every pair") {
+    val got = Similarity.contrastivePairs(
+      emb.filter(pmod(col("vec_id"), lit(100)) === 0), emb,
+      "vec_id", "embedding", kPos = 2, kNeg = 2, hardFrom = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val anchors = vectors.keys.filter(_ % 100 == 0).toSeq.sorted
+    // per anchor: exactly 2 pos + 2 hard + 2 rand, all distinct others
+    anchors.foreach { an =>
+      val rows = got.filter(_._1 == an)
+      assert(rows.count(_._3 == "pos") == 2 && rows.count(_._3 == "hard_neg") == 2
+        && rows.count(_._3 == "rand_neg") == 2, s"anchor $an: $rows")
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+    // local replica: rebuild the whole pair set in plain Scala
+    val s = vectors.values.flatten.map(math.abs).max
+    def code(v: Array[Double]): Array[Long] = v.map(x =>
+      new java.math.BigDecimal(x * 127.0 / s)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    val codes = vectors.view.mapValues(code).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = anchors.flatMap { an =>
+      val ranked = vectors.keys.filter(_ != an).toSeq
+        .map(o => (o, codes(an).zip(codes(o)).map { case (x, y) => x * y }.sum))
+        .sortBy { case (o, d) => (-d, o) }.zipWithIndex
+        .map { case ((o, _), i) => (o, i + 1) }
+      val pos = ranked.filter(_._2 <= 2).map { case (o, r) => (an, o, "pos", r.toLong) }
+      val hard = ranked.filter(r => r._2 >= 20 && r._2 < 22)
+        .map { case (o, r) => (an, o, "hard_neg", r.toLong) }
+      val taken = (pos ++ hard).map(_._2).toSet
+      val rand = ranked.map(_._1).filterNot(taken)
+        .sortBy(o => (md5hex(s"$an#$o"), o)).take(2).zipWithIndex
+        .map { case (o, i) => (an, o, "rand_neg", (i + 1).toLong) }
+      pos ++ hard ++ rand
+    }.toSet
+    assert(got.toSet == expected)
+  }
+
   test("a zero-norm vector never appears as a neighbor (NaN orders largest in Spark)") {
     import spark.implicits._
     val withZero = emb.select("vec_id", "embedding").limit(50)
