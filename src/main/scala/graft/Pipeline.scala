@@ -168,6 +168,9 @@ object Pipeline {
         .filter(col("n_shared") >= minShared)
         .select(col(id))
       df.join(contaminated, Seq(id), "left_anti")
+    case graft.config.TransformConfig.SemanticDecontaminate(vec, refPath, minDot) =>
+      graft.pipeline.Similarity.semanticDecontaminate(df,
+        df.sparkSession.read.parquet(refPath), vec, minDot)
     case graft.config.TransformConfig.PiiScrub(text) =>
       df.withColumn(text, graft.pipeline.Text.redactPii(col(text)))
     case graft.config.TransformConfig.DsirFilter(id, text, tPath, tText, buckets, kn, kd) =>
@@ -213,6 +216,16 @@ object Pipeline {
     case graft.config.TransformConfig.QualityFilter(text, minScore, b, ws, wp, wd, wt) =>
       graft.pipeline.Text.qualityFilter(df, text, minScore,
         graft.pipeline.Text.QualityWeights(b, ws, wp, wd, wt))
+    case graft.config.TransformConfig.GopherFilter(text, minW, maxW, minL, maxL,
+        alpha, sym, stop, top) =>
+      graft.pipeline.Text.gopherFilter(df, text,
+        graft.pipeline.Text.GopherRules(minW, maxW, minL, maxL, alpha, sym,
+          stop, top))
+    case graft.config.TransformConfig.RepetitionFilter(text, topPcts, dupPcts) =>
+      graft.pipeline.Text.repetitionFilter(df, text,
+        graft.pipeline.Text.RepetitionRules(
+          topPcts.zipWithIndex.map { case (p, i) => (i + 2, p) },
+          dupPcts.zipWithIndex.map { case (p, i) => (i + 5, p) }))
     case graft.config.TransformConfig.SeqPack(id, text, budget, shardWidth) =>
       // terminal reshape: output is the packed-sequence layout
       graft.pipeline.Packing.packGreedy(

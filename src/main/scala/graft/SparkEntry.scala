@@ -853,6 +853,66 @@ object SparkEntry {
       .orderBy(col("anchor_id"), col("role"), col("rank"))
   }
 
+  /** kNN label-classification eval over the int8 integer ranking:
+    * majority vote of the 5 nearest, deterministic tie-breaks; the
+    * whole per-query table (not just accuracy) is oracle-pinned.
+    */
+  private def qKnnEval(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnEval(emb.filter(pmod(col("vec_id"), lit(20)) === 0), emb,
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("query_id"))
+  }
+
+  /** Gopher rule flags: per-rule pass/fail census, all-integer. */
+  private def qGopher(s: SparkSession, d: String): DataFrame =
+    Text.gopherFlags(t(s, d, "documents"), "text", "doc_id",
+        Text.GopherRules(minWords = 30L, maxTopTokenPct = 10L))
+      .orderBy(col("doc_id"))
+
+  /** Edit-distance verify tier: shared-6-gram candidates (>= 10
+    * distinct shared grams) verified by exact Levenshtein <= 6.
+    */
+  private def qEditVerify(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val cands = Dedup.gramCandidates(docs, "doc_id", "text", k = 6,
+        minShared = 10L, hashGrams = false)
+      .select("id_a", "id_b")
+    Dedup.editVerify(cands, docs, "doc_id", "text", maxDist = 6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-space decontamination: drop corpus rows whose int8
+    * integer dot with any reference embedding (every 50th id) reaches
+    * 20000 — the 10 reference rows plus their semantic near-dups go.
+    */
+  private def qSemDecon(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.semanticDecontaminate(emb,
+        emb.filter(pmod(col("vec_id"), lit(50)) === 0), "embedding",
+        minDot = 20000L)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Gopher repetition census: per-n top/dup gram char coverage with
+    * integer ceiling flags (paper-default percentages).
+    */
+  private def qGopherRep(s: SparkSession, d: String): DataFrame =
+    Text.repetitionFlags(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Cross-source shared-6-gram census incl. per-source diagonal. */
+  private def qOverlapMatrix(s: SparkSession, d: String): DataFrame =
+    Dedup.crossOverlapMatrix(t(s, d, "documents"), "text", "source",
+        k = 6, hashGrams = false)
+      .orderBy(col("group_a"), col("group_b"))
+
+  /** Zipf coverage checkpoints: occurrences covered by top-k vocab. */
+  private def qVocabCoverage(s: SparkSession, d: String): DataFrame =
+    Text.vocabCoverage(t(s, d, "documents"), "text", Seq(4, 16, 64))
+      .orderBy(col("k"))
+
   private def qCosNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.cosinePairs(t(s, d, "embeddings").filter(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.35)
@@ -1642,6 +1702,13 @@ object SparkEntry {
     "q_int8_topk" -> (qInt8Topk _),
     "q_hamming_topk" -> (qHammingTopk _),
     "q_contrastive" -> (qContrastive _),
+    "q_knn_eval" -> (qKnnEval _),
+    "q_gopher" -> (qGopher _),
+    "q_gopher_rep" -> (qGopherRep _),
+    "q_edit_verify" -> (qEditVerify _),
+    "q_sem_decon" -> (qSemDecon _),
+    "q_overlap_matrix" -> (qOverlapMatrix _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_cos_neardup" -> (qCosNearDup _),
     "q_corpus_clean" -> (qCorpusClean _),
     "q_profile" -> (qProfile _),
@@ -1680,6 +1747,53 @@ object SparkEntry {
 
   private val tokensExpr =
     "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+  /** DuckDB replica of [[graft.pipeline.Text.repetitionFlags]] with
+    * the paper-default rules, generated per n so the oracle stays in
+    * lockstep with the Spark twin's column set.
+    */
+  private def repetitionOracleSql: String = {
+    val topNs = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupNs = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val allNs = topNs.map(_._1) ++ dupNs.map(_._1)
+    val gsCols = allNs.map { n =>
+      s"list_transform(range(1, len(ts) - $n + 2), " +
+        s"i -> array_to_string(ts[i:i + ${n - 1}], ' ')) AS gs$n"
+    }.mkString(", ")
+    val mCols = (topNs.map { case (n, _) =>
+      s"list_max(list_transform(list_distinct(gs$n), " +
+        s"g -> len(list_filter(gs$n, x -> x = g)))) AS mc$n"
+    } ++ dupNs.map { case (n, _) =>
+      s"list_transform(gs$n, g -> len(list_filter(gs$n, x -> x = g)) >= 2) " +
+        s"AS db$n"
+    }).mkString(", ")
+    val coveredCols = (topNs.map { case (n, _) =>
+      s"CAST(coalesce(CASE WHEN mc$n >= 2 THEN mc$n * " +
+        s"list_max(list_transform(list_filter(list_distinct(gs$n), " +
+        s"g -> len(list_filter(gs$n, x -> x = g)) = mc$n), " +
+        s"g -> length(g) - ${n - 1})) ELSE 0 END, 0) AS BIGINT) " +
+        s"AS top${n}_chars"
+    } ++ dupNs.map { case (n, _) =>
+      s"CAST(coalesce(list_sum(list_transform(range(1, len(ts) + 1), " +
+        s"j -> CASE WHEN len(list_filter(range(greatest(1, j - ${n - 1}), " +
+        s"least(j, len(gs$n)) + 1), i -> db$n[i])) > 0 " +
+        s"THEN length(ts[j]) ELSE 0 END)), 0) AS BIGINT) AS dup${n}_chars"
+    }).mkString(", ")
+    val flagCols = (topNs.map { case (n, p) =>
+      s"CAST(100 * top${n}_chars <= $p * token_chars AS BIGINT) AS flag_top$n"
+    } ++ dupNs.map { case (n, p) =>
+      s"CAST(100 * dup${n}_chars <= $p * token_chars AS BIGINT) AS flag_dup$n"
+    }).mkString(", ")
+    val keep = (topNs.map { case (n, _) => s"flag_top$n" } ++
+      dupNs.map { case (n, _) => s"flag_dup$n" }).mkString(" * ")
+    s"WITH t AS (SELECT doc_id, $tokensExpr AS ts FROM documents), " +
+      s"g AS (SELECT doc_id, ts, $gsCols FROM t), " +
+      s"m AS (SELECT *, $mCols FROM g), " +
+      "f AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(ts, " +
+      s"x -> length(x))), 0) AS BIGINT) AS token_chars, $coveredCols FROM m), " +
+      s"ff AS (SELECT *, $flagCols FROM f) " +
+      s"SELECT *, $keep AS keep FROM ff ORDER BY doc_id"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_span_dedup" ->
@@ -2527,6 +2641,119 @@ object SparkEntry {
         "(SELECT anchor_id, other_id, role, CAST(sim_rank AS BIGINT) AS rank " +
         "FROM m WHERE role IS NOT NULL UNION ALL SELECT * FROM rnd) " +
         "ORDER BY anchor_id, role, rank"),
+
+    // kNN label vote over the same int8 code ranking as q_int8_topk:
+    // 5 nearest vote by label; majority with (votes desc, best rank,
+    // label) tie-break — the whole per-query table is pinned
+    "q_knn_eval" ->
+      ("WITH s AS (SELECT max(list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE))))) AS m FROM embeddings), " +
+        "c AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+        "list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT)) AS cv " +
+        "FROM embeddings, s), " +
+        "a AS (SELECT vec_id AS query_id, label AS true_label, cv AS av " +
+        "FROM c WHERE vec_id % 20 = 0), " +
+        "sc AS (SELECT query_id, true_label, c.vec_id AS neighbor_id, " +
+        "c.label AS nl, list_sum(list_transform(range(1, len(av) + 1), " +
+        "i -> av[i] * cv[i])) AS idot FROM a, c WHERE query_id <> c.vec_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY idot DESC, neighbor_id) AS rnk FROM sc), " +
+        "v AS (SELECT query_id, true_label, nl, count(*) AS n_votes, " +
+        "min(rnk) AS best FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3), " +
+        "p AS (SELECT query_id, true_label, nl AS pred_label, n_votes, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, " +
+        "best ASC, nl ASC) AS pr FROM v) " +
+        "SELECT query_id, true_label, pred_label, " +
+        "CAST(n_votes AS BIGINT) AS n_votes, " +
+        "CAST(pred_label = true_label AS BIGINT) AS correct " +
+        "FROM p WHERE pr = 1 ORDER BY query_id"),
+
+    // Gopher rule census: integer evidence counts + 0/1 flags + keep
+    "q_gopher" ->
+      ("WITH t AS (SELECT doc_id, text, " + tokensExpr + " AS ts FROM documents), " +
+        "m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(list_sum(list_transform(ts, x -> len(x))), 0) AS BIGINT) AS token_chars, " +
+        "CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_tokens, " +
+        "CAST(length(text) - length(replace(text, '#', '')) " +
+        "+ (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+        "CAST(len(list_filter(ts, x -> list_contains(['the', 'a', 'an', 'and', " +
+        "'or', 'of', 'to', 'in', 'is', 'it', 'on', 'for', 'with', 'as', 'by', " +
+        "'at', 'from'], lower(x)))) AS BIGINT) AS stop_hits, " +
+        "CAST(coalesce(list_max(list_transform(list_distinct(ts), " +
+        "u -> len(list_filter(ts, x -> x = u)))), 0) AS BIGINT) AS top_token_n FROM t), " +
+        "f AS (SELECT *, " +
+        "CAST(n_tokens BETWEEN 30 AND 100000 AS BIGINT) AS flag_words, " +
+        "CAST(token_chars BETWEEN 3 * n_tokens AND 10 * n_tokens AS BIGINT) AS flag_mean_len, " +
+        "CAST(100 * n_alpha_tokens >= 80 * n_tokens AS BIGINT) AS flag_alpha, " +
+        "CAST(100 * n_symbols <= 10 * n_tokens AS BIGINT) AS flag_symbol, " +
+        "CAST(stop_hits >= 2 AS BIGINT) AS flag_stop, " +
+        "CAST(100 * top_token_n <= 10 * n_tokens AS BIGINT) AS flag_top_token FROM m) " +
+        "SELECT doc_id, n_tokens, token_chars, n_alpha_tokens, n_symbols, " +
+        "stop_hits, top_token_n, flag_words, flag_mean_len, flag_alpha, " +
+        "flag_symbol, flag_stop, flag_top_token, " +
+        "flag_words * flag_mean_len * flag_alpha * flag_symbol * flag_stop " +
+        "* flag_top_token AS keep FROM f ORDER BY doc_id"),
+
+    // Gopher repetition census: generated per n (top 2-4, dup 5-10)
+    "q_gopher_rep" -> repetitionOracleSql,
+
+    // shared-distinct-6-gram candidates verified by exact Levenshtein
+    "q_edit_verify" ->
+      ("WITH t AS (SELECT doc_id, text, " + tokensExpr + " AS ts FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(ts) - 4), i -> array_to_string(ts[i:i+5], ' ')))) AS gm " +
+        "FROM t), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a " +
+        "JOIN g b USING (gm) WHERE a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10) " +
+        "SELECT id_a, id_b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) " +
+        "AS edit_dist FROM p " +
+        "JOIN t ta ON ta.doc_id = p.id_a JOIN t tb ON tb.doc_id = p.id_b " +
+        "WHERE levenshtein(ta.text, tb.text) <= 6 ORDER BY id_a, id_b"),
+
+    // embedding decontamination over the q_int8_topk integer-code recipe
+    "q_sem_decon" ->
+      ("WITH s AS (SELECT max(list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE))))) AS m FROM embeddings), " +
+        "c AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+        "list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT)) AS cv " +
+        "FROM embeddings, s), " +
+        "r AS (SELECT cv AS rv FROM c WHERE vec_id % 50 = 0), " +
+        "hit AS (SELECT DISTINCT c.vec_id FROM c, r WHERE " +
+        "list_sum(list_transform(range(1, len(cv) + 1), " +
+        "i -> cv[i] * rv[i])) >= 20000) " +
+        "SELECT vec_id, label FROM c " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM hit) ORDER BY vec_id"),
+
+    // cross-source shared-6-gram matrix + per-source diagonal
+    "q_overlap_matrix" ->
+      ("WITH t AS (SELECT source, " + tokensExpr + " AS ts FROM documents), " +
+        "e AS (SELECT source, unnest(list_transform(" +
+        "list_filter(range(1, len(ts) + 1), i -> i + 5 <= len(ts)), " +
+        "i -> array_to_string(ts[i:i+5], ' '))) AS gm FROM t), " +
+        "g AS (SELECT DISTINCT source, gm FROM e), " +
+        "x AS (SELECT a.source AS group_a, b.source AS group_b, count(*) AS n " +
+        "FROM g a JOIN g b USING (gm) WHERE a.source < b.source GROUP BY 1, 2), " +
+        "dg AS (SELECT source AS group_a, source AS group_b, count(*) AS n " +
+        "FROM g GROUP BY 1, 2) " +
+        "SELECT group_a, group_b, CAST(n AS BIGINT) AS n_shared_grams " +
+        "FROM (SELECT * FROM x UNION ALL SELECT * FROM dg) " +
+        "ORDER BY group_a, group_b"),
+
+    // Zipf coverage checkpoints over whitespace terms
+    "q_vocab_coverage" ->
+      ("WITH c AS (SELECT unnest(" + tokensExpr + ") AS term FROM documents), " +
+        "tc AS (SELECT term, count(*) AS tf FROM c GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf, " +
+        "count(*) AS n_terms FROM tc), " +
+        "r AS (SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term) " +
+        "AS rn FROM tc) " +
+        "SELECT CAST(k AS BIGINT) AS k, count(*) AS n_vocab, " +
+        "CAST(sum(tf) AS BIGINT) AS covered_tf, total_tf, n_terms " +
+        "FROM (VALUES (4), (16), (64)) ks(k) JOIN r ON rn <= k CROSS JOIN tot " +
+        "GROUP BY k, total_tf, n_terms ORDER BY k"),
 
     // hamming top-k over the same portable 60-bit simhash as q_simhash_sig
     "q_hamming_topk" ->

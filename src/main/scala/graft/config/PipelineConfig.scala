@@ -226,6 +226,20 @@ object TransformConfig {
       else if (minShared <= 0) Some("transform.decontaminate.minShared must be positive")
       else None
   }
+  /** Embedding-space decontamination — Similarity.semanticDecontaminate:
+    * drop rows whose int8-code integer dot with any reference embedding
+    * (parquet at `referencePath`, same vector column name) reaches
+    * `minDot`; schema-preserving, corpus rows never shuffle.
+    */
+  final case class SemanticDecontaminate(vecColumn: String,
+                                         referencePath: String, minDot: Long)
+      extends TransformConfig {
+    val name = "semanticDecontaminate"
+    def check: Option[String] =
+      if (minDot <= 0L)
+        Some("transform.semanticDecontaminate.minDot must be positive")
+      else None
+  }
   /** DSIR data selection — Text.dsirFeatures/dsirWeights: score every
     * row's hashed-ngram counts by the ln-ratio of a TARGET corpus
     * (parquet at `targetPath`) over the input corpus, keep the
@@ -343,6 +357,43 @@ object TransformConfig {
       extends TransformConfig {
     val name = "qualityFilter"
     def check: Option[String] = None // any integer weights are a valid model
+  }
+  /** Gopher rule-set row filter — Text.gopherFilter: keep rows passing
+    * every Gopher document-quality rule (word count, mean word length,
+    * alphabetic-word %, symbol %, stopword hits, top-token %);
+    * schema-preserving, scan-side, integer-exact.
+    */
+  final case class GopherFilter(textColumn: String, minWords: Long,
+                                maxWords: Long, minMeanLen: Long,
+                                maxMeanLen: Long, minAlphaPct: Long,
+                                maxSymbolPct: Long, minStopHits: Long,
+                                maxTopTokenPct: Long)
+      extends TransformConfig {
+    val name = "gopherFilter"
+    def check: Option[String] =
+      if (minWords < 0 || maxWords < minWords)
+        Some("transform.gopherFilter: need 0 <= minWords <= maxWords")
+      else if (minMeanLen < 0 || maxMeanLen < minMeanLen)
+        Some("transform.gopherFilter: need 0 <= minMeanLen <= maxMeanLen")
+      else None
+  }
+  /** Gopher repetition-ceiling row filter — Text.repetitionFilter:
+    * keep rows whose top-n-gram / duplicated-n-gram character coverage
+    * stays under the per-n percentage ceilings. `topPcts` are the
+    * ceilings for n = 2, 3, … (most-frequent-gram chars); `dupPcts`
+    * for n = 5, 6, … (chars covered by any gram occurring twice);
+    * schema-preserving, scan-side, integer-exact.
+    */
+  final case class RepetitionFilter(textColumn: String, topPcts: List[Long],
+                                    dupPcts: List[Long])
+      extends TransformConfig {
+    val name = "repetitionFilter"
+    def check: Option[String] =
+      if (topPcts.isEmpty && dupPcts.isEmpty)
+        Some("transform.repetitionFilter: need at least one ceiling")
+      else if ((topPcts ++ dupPcts).exists(_ < 0L))
+        Some("transform.repetitionFilter: ceilings must be >= 0")
+      else None
   }
   /** Greedy sequence packing — Packing.packGreedy over token counts
     * derived from `textColumn`. TERMINAL reshape: unlike the other
@@ -531,6 +582,9 @@ object PipelineConfig {
       "transform.decontaminate.idColumn", "transform.decontaminate.textColumn",
       "transform.decontaminate.referencePath", "transform.decontaminate.ngram",
       "transform.decontaminate.minShared",
+      "transform.semanticDecontaminate.vecColumn",
+      "transform.semanticDecontaminate.referencePath",
+      "transform.semanticDecontaminate.minDot",
       "transform.seqPack.idColumn", "transform.seqPack.textColumn",
       "transform.seqPack.budget", "transform.seqPack.shardWidth",
       "transform.piiScrub.textColumn",
@@ -554,6 +608,13 @@ object PipelineConfig {
       "transform.qualityFilter.bias", "transform.qualityFilter.wStop",
       "transform.qualityFilter.wPunct", "transform.qualityFilter.wDigit",
       "transform.qualityFilter.wTokLen",
+      "transform.gopherFilter.textColumn", "transform.gopherFilter.minWords",
+      "transform.gopherFilter.maxWords", "transform.gopherFilter.minMeanLen",
+      "transform.gopherFilter.maxMeanLen", "transform.gopherFilter.minAlphaPct",
+      "transform.gopherFilter.maxSymbolPct", "transform.gopherFilter.minStopHits",
+      "transform.gopherFilter.maxTopTokenPct",
+      "transform.repetitionFilter.textColumn",
+      "transform.repetitionFilter.topPcts", "transform.repetitionFilter.dupPcts",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
@@ -795,6 +856,17 @@ object PipelineConfig {
             ms <- map.getOrElse("transform.decontaminate.minShared", "1")
               .toLongOption.toRight("transform.decontaminate.minShared not a long")
           } yield TransformConfig.Decontaminate(id, text, ref, n, ms)
+        case "semanticDecontaminate" =>
+          for {
+            vec <- map.get("transform.semanticDecontaminate.vecColumn")
+              .toRight("transform.semanticDecontaminate.vecColumn required")
+            ref <- map.get("transform.semanticDecontaminate.referencePath")
+              .toRight("transform.semanticDecontaminate.referencePath required")
+            md <- map.get("transform.semanticDecontaminate.minDot")
+              .toRight("transform.semanticDecontaminate.minDot required")
+              .flatMap(_.toLongOption
+                .toRight("transform.semanticDecontaminate.minDot not a long"))
+          } yield TransformConfig.SemanticDecontaminate(vec, ref, md)
         case "piiScrub" =>
           map.get("transform.piiScrub.textColumn")
             .toRight("transform.piiScrub.textColumn required")
@@ -899,6 +971,40 @@ object PipelineConfig {
             wd <- weight("wDigit", -3L)
             wt <- weight("wTokLen", 1L)
           } yield TransformConfig.QualityFilter(text, ms, b, ws, wp, wd, wt)
+        case "gopherFilter" =>
+          def bound(key: String, default: Long): Either[String, Long] =
+            map.getOrElse(s"transform.gopherFilter.$key", default.toString)
+              .toLongOption.toRight(s"transform.gopherFilter.$key not a long")
+          for {
+            text <- map.get("transform.gopherFilter.textColumn")
+              .toRight("transform.gopherFilter.textColumn required")
+            minW <- bound("minWords", 50L)
+            maxW <- bound("maxWords", 100000L)
+            minL <- bound("minMeanLen", 3L)
+            maxL <- bound("maxMeanLen", 10L)
+            alpha <- bound("minAlphaPct", 80L)
+            sym <- bound("maxSymbolPct", 10L)
+            stop <- bound("minStopHits", 2L)
+            top <- bound("maxTopTokenPct", 20L)
+          } yield TransformConfig.GopherFilter(text, minW, maxW, minL, maxL,
+            alpha, sym, stop, top)
+        case "repetitionFilter" =>
+          def pcts(key: String, default: List[Long]): Either[String, List[Long]] =
+            map.get(s"transform.repetitionFilter.$key") match {
+              case None => Right(default)
+              case Some(raw) =>
+                val parts = raw.split(",").map(_.trim).filter(_.nonEmpty)
+                val longs = parts.flatMap(_.toLongOption)
+                if (longs.length != parts.length)
+                  Left(s"transform.repetitionFilter.$key: not a comma list of longs")
+                else Right(longs.toList)
+            }
+          for {
+            text <- map.get("transform.repetitionFilter.textColumn")
+              .toRight("transform.repetitionFilter.textColumn required")
+            top <- pcts("topPcts", List(20L, 18L, 16L))
+            dup <- pcts("dupPcts", List(15L, 14L, 13L, 12L, 11L, 10L))
+          } yield TransformConfig.RepetitionFilter(text, top, dup)
         case "seqPack" =>
           for {
             id <- map.get("transform.seqPack.idColumn")

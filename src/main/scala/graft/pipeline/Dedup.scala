@@ -865,4 +865,102 @@ object Dedup {
         size(col("__kept")).cast("long").as("n_tokens_kept"),
         array_join(col("__kept"), " ").as("text_cut"))
   }
+
+  /** Shared-k-gram candidate pairs: documents sharing at least
+    * `minShared` DISTINCT k-token grams, with the shared count — the
+    * minhash-free candidate generator for n-gram-overlap near-dup
+    * detection (exact where LSH is probabilistic; pairs with high
+    * distinct-gram overlap are exactly the high-containment pairs).
+    * Feed the result to [[verifyJaccard]] or [[editVerify]].
+    *
+    * Scale shape: one explode to (id, gram), one distinct, one
+    * self-equi-join on the gram key, one count aggregation — with
+    * `hashGrams` the shuffled key is 8 bytes. A gram present in m docs
+    * fans out to m²/2 pairs, so callers pick k large enough that
+    * cross-document gram collisions mean real overlap (k=6+ text
+    * grams are near-unique outside true near-dups; stopword-heavy
+    * small-k grams would be the skew case). `hashGrams = false` is
+    * the oracle-exact arm.
+    */
+  def gramCandidates(df: DataFrame, idCol: String, textCol: String, k: Int,
+                     minShared: Long, hashGrams: Boolean = true): DataFrame = {
+    require(k >= 1 && minShared >= 1L,
+      s"need k >= 1 and minShared >= 1, got k=$k minShared=$minShared")
+    val g = gramRows(df, idCol, textCol, k, hashGrams)
+      .select(col("__id"), col("__g")).distinct()
+    g.select(col("__id").as("id_a"), col("__g"))
+      .join(g.select(col("__id").as("id_b"), col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
+  /** Exact edit-distance verification of candidate pairs — the verify
+    * tier when near-duplicate semantics are defined on raw characters
+    * rather than token sets (the character-level twin of
+    * [[verifyJaccard]]). Joins each (id_a, id_b) candidate back to its
+    * text and keeps pairs whose Levenshtein distance is at most
+    * `maxDist`, with the exact distance as `edit_dist`.
+    *
+    * Scale shape: two id-keyed joins re-attach text onto the bounded
+    * candidate set (document text never rides a shuffle wider than the
+    * candidates); the quadratic DP runs only on gated survivors, and
+    * the threshold form of `levenshtein` abandons a pair's DP as soon
+    * as the running minimum exceeds `maxDist` — O(maxDist·len), not
+    * O(len²), on the far-apart pairs that dominate candidate sets.
+    */
+  def editVerify(candidates: DataFrame, df: DataFrame, idCol: String,
+                 textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val t = df.select(col(idCol).as("__jid"), col(textCol).as("__tx"))
+    candidates
+      .join(t.withColumnRenamed("__jid", "id_a")
+        .withColumnRenamed("__tx", "__ta"), "id_a")
+      .join(t.withColumnRenamed("__jid", "id_b")
+        .withColumnRenamed("__tx", "__tb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long")
+          .as("edit_dist"))
+      // the threshold form returns -1 past the bound; keep real hits
+      .filter(col("edit_dist") >= 0L && col("edit_dist") <= maxDist.toLong)
+  }
+
+  /** Cross-group content-overlap census: for every pair of groups
+    * (sources, crawl snapshots, domains) the number of DISTINCT k-token
+    * grams both contain, plus the diagonal (group_a = group_b) carrying
+    * each group's own distinct-gram count so overlap coefficients /
+    * Jaccard are computable from the output alone. This is the
+    * "how much of source B is already in source A" question every
+    * mixture decision starts from — full-document digests miss it
+    * entirely when copies are partial (and the synthetic corpus has
+    * zero full-document cross-source dups but thousands of shared
+    * spans).
+    *
+    * Scale shape: one explode to (group, gram-key), one distinct, one
+    * self-equi-join on the gram key, one count aggregation. With
+    * `hashGrams` the shuffled key is 8 bytes; per-gram fan-out is
+    * bounded by the group count (a gram in all G groups yields G²/2
+    * pairs), so the join never blows up past |distinct grams|·G²/2 —
+    * and the output is a G×G matrix. Groups ride the shuffle as
+    * values, never as partition-skewing keys. `hashGrams = false` is
+    * the oracle-exact arm (DupSpanSpec-style row-equality ties the two).
+    */
+  def crossOverlapMatrix(df: DataFrame, textCol: String, groupCol: String,
+                         k: Int = 6, hashGrams: Boolean = true): DataFrame = {
+    require(k >= 1, s"gram width must be positive, got $k")
+    val gg = gramRows(df, groupCol, textCol, k, hashGrams)
+      .select(col("__id").as("__grp"), col("__g")).distinct()
+    val a = gg.select(col("__grp").as("group_a"), col("__g"))
+    val b = gg.select(col("__grp").as("group_b"), col("__g"))
+    val cross = a.join(b, Seq("__g"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    val diag = gg.groupBy(col("__grp").as("group_a"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .select(col("group_a"), col("group_a").as("group_b"),
+        col("n_shared_grams"))
+    cross.unionByName(diag)
+  }
 }

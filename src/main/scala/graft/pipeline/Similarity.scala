@@ -267,6 +267,81 @@ object Similarity {
       .unionByName(rand)
   }
 
+  /** kNN label-classification eval over the integer-exact [[int8TopK]]
+    * ranking — the embedding-space health check a curation stack runs
+    * before trusting semantic dedup / clustering on a new embedding
+    * model: if k-nearest-neighbor majority vote can't recover held-out
+    * labels, bucketed semantic operators built on the same geometry
+    * won't group meaningfully either. Per query: the k nearest corpus
+    * rows vote by label; majority wins with deterministic tie-breaks
+    * (more votes, then best — smallest — similarity rank within the
+    * label, then smaller label value). Output per query:
+    * (query_id, true_label, pred_label, n_votes, correct 0/1) —
+    * all-integer given integer labels, so the whole eval (not just the
+    * accuracy scalar) is oracle-checkable; `correct` sums/avgs to
+    * accuracy.
+    *
+    * Scale shape: inherits [[int8TopK]]'s (broadcast query codes,
+    * corpus streamed once, ids-only ranking shuffle); the label join
+    * carries (id, label), votes are <= k rows per query, and the query
+    * label re-attach broadcasts the bounded query set.
+    */
+  def knnEval(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, labelCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val nbrs = int8TopK(queries, corpus, idCol, vecCol, k)
+    val votes = nbrs
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast("long").as("__nl")), "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("__best"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("__best").asc, col("__nl").asc)
+    votes.withColumn("__r", row_number().over(wv)).filter(col("__r") === 1)
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("true_label"))), "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("__nl").as("pred_label"), col("n_votes"),
+        (col("__nl") === col("true_label")).cast("long").as("correct"))
+  }
+
+  /** Embedding-space decontamination — the semantic twin of the
+    * n-gram [[Dedup.decontaminate]]: drop corpus rows whose int8-code
+    * INTEGER dot product with ANY reference (eval-benchmark) embedding
+    * reaches `minDot`. Paraphrased benchmark leakage survives n-gram
+    * screens; this arm catches it in embedding space, and because the
+    * scoring is the [[int8TopK]] integer recipe — one global max-abs
+    * scale from the corpus, codes round(x·127/s), integer dot — the
+    * kept set is bit-identical in any engine, unlike a float-cosine
+    * cut. Reference vectors beyond the corpus range simply quantize
+    * past ±127 (no clamp; still exact). Returns the corpus schema
+    * unchanged.
+    *
+    * Scale shape: the scale is a 1-row broadcast; the reference set
+    * (eval suites — thousands of rows, bounded by design) broadcasts
+    * as code arrays; the corpus streams once through a broadcast anti
+    * join with the dot-product predicate. Corpus rows never shuffle.
+    */
+  def semanticDecontaminate(corpus: DataFrame, reference: DataFrame,
+                            vecCol: String, minDot: Long): DataFrame = {
+    val scale = corpus.agg(
+      max(array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+        .as("__s"))
+    def toCodes(v: Column): Column =
+      transform(v, x => when(col("__s") === 0.0, lit(0L))
+        .otherwise(round(x.cast("double") * 127.0 / col("__s")).cast("long")))
+    val refCodes = reference.select(col(vecCol).as("__rv"))
+      .crossJoin(broadcast(scale))
+      .select(toCodes(col("__rv")).as("__rc"))
+    corpus.crossJoin(broadcast(scale))
+      .withColumn("__cc", toCodes(col(vecCol)))
+      .join(broadcast(refCodes),
+        aggregate(zip_with(col("__cc"), col("__rc"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x) >= minDot,
+        "left_anti")
+      .drop("__s", "__cc")
+  }
+
   /** All pairs with cosine >= threshold (near-duplicate detection on
     * embeddings). Exact O(n²) form — for large corpora route through
     * `lshTopK` instead; kept for oracle-checkable correctness.

@@ -285,6 +285,39 @@ object Text {
       .limit(k)
   }
 
+  /** Zipf coverage checkpoints — the tokenizer-sizing curve: for each
+    * vocabulary size `k`, how many of the corpus's token OCCURRENCES the
+    * top-k terms (by frequency, ties by term) cover. One row per
+    * checkpoint: (k, n_vocab, covered_tf, total_tf, n_terms) — n_vocab
+    * < k means the whole vocabulary fits; covered_tf/total_tf is the
+    * coverage ratio, left as exact integers. Deciding "is a 32k vocab
+    * enough for this corpus" is this table read off at the candidate
+    * sizes.
+    *
+    * Scale shape: one token explode + hash aggregate to term counts
+    * (map-side partials keep the shuffle at |vocabulary| keys), then
+    * per checkpoint a TakeOrderedAndProject top-k (per-partition heads,
+    * driver merge — no global sort) feeding a scalar aggregate; the
+    * 1-row corpus total broadcasts onto the checkpoint rows. The term
+    * count aggregate re-runs per checkpoint — checkpoints are a
+    * handful, and re-aggregating beats caching a vocabulary-sized
+    * frame at 100 TB.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"need positive checkpoints, got $ks")
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).as("total_tf"),
+      count(lit(1)).as("n_terms"))
+    ks.map { k =>
+      counts.orderBy(col("tf").desc, col("term").asc).limit(k)
+        .agg(coalesce(sum(col("tf")), lit(0L)).as("covered_tf"),
+          count(lit(1)).as("n_vocab"))
+        .select(lit(k.toLong).as("k"), col("n_vocab"), col("covered_tf"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+  }
+
   /** Adjacent-token bigrams as an array column. The token array binds
     * once via the single-element-array trick (see chunks); a doc with
     * fewer than 2 tokens yields an empty array.
@@ -759,6 +792,230 @@ object Text {
           + lit(w.wPunct) * col("punct_milli")
           + lit(w.wDigit) * col("digit_milli")
           + lit(w.wTokLen) * col("toklen_milli"))
+
+  /** Integer parameters of the Gopher document-quality rules (Rae et
+    * al. 2021, Appendix A1.1) — the subset meaningful for
+    * whitespace-tokenized text with no line structure. Percentages are
+    * integers so every rule is an integer cross-multiplication
+    * (`100·n_alpha >= pct·n_tokens`), never a float ratio: the flags
+    * are bit-identical in any engine.
+    */
+  final case class GopherRules(minWords: Long = 50L, maxWords: Long = 100000L,
+                               minMeanLen: Long = 3L, maxMeanLen: Long = 10L,
+                               minAlphaPct: Long = 80L, maxSymbolPct: Long = 10L,
+                               minStopHits: Long = 2L, maxTopTokenPct: Long = 20L)
+
+  /** Count of the most frequent token — per-doc mode, computed scan-side.
+    * O(distinct·n) per document (doc-bounded); the token array binds
+    * once via the single-element-array trick so `split` runs once.
+    */
+  private def topTokenCount(textColName: String): Column = expr(
+    s"element_at(transform(array(filter(split(trim($textColName), '\\\\s+'), t -> t != '')), " +
+      "ts -> coalesce(array_max(transform(array_distinct(ts), " +
+      "t -> size(filter(ts, x -> x = t)))), 0)), 1)").cast("long")
+
+  // '#' occurrences plus non-overlapping '...' runs — Gopher's "symbol"
+  // census. Plain (non-regex) replace in both engines.
+  private def symbolCount(textColName: String): Column =
+    (expr(s"length($textColName) - length(replace($textColName, '#', ''))") +
+      expr(s"(length($textColName) - length(replace($textColName, '...', ''))) div 3")
+      ).cast("long")
+
+  /** Per-document Gopher rule flags: the per-rule pass/fail census plus
+    * the conjunction, as 0/1 longs next to the integer evidence counts
+    * (n_tokens, token_chars, n_alpha_tokens, n_symbols, stop_hits,
+    * top_token_n). Keeping each rule's verdict — not just the final
+    * keep — is what makes the filter tunable: a data card can report
+    * which rule kills which slice of the corpus before anyone commits
+    * to the cut. All-integer output, oracle-exact; pure scan-side
+    * expressions, zero shuffle at any scale.
+    *
+    * Rules (defaults from the paper): word count in [50, 100000]; mean
+    * word length in [3, 10]; >= 80% of words contain an alphabetic
+    * character; symbol-to-word ratio ('#' / '...') <= 10%; >= 2
+    * stopword hits; most frequent token <= 20% of tokens. Zero-token
+    * documents fail the word-count rule, so `keep = 0` without special
+    * casing.
+    */
+  def gopherFlags(df: DataFrame, textCol: String, idCol: String,
+                  rules: GopherRules = GopherRules()): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stop = typedLit(DefaultStopwords)
+    def flag(c: Column): Column = c.cast("long")
+    val out = df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+        .as("token_chars"),
+      size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_tokens"),
+      symbolCount(textCol).as("n_symbols"),
+      size(filter(toks, x => array_contains(stop, lower(x)))).cast("long")
+        .as("stop_hits"),
+      topTokenCount(textCol).as("top_token_n"))
+    out.select(col(idCol), col("n_tokens"), col("token_chars"),
+        col("n_alpha_tokens"), col("n_symbols"), col("stop_hits"),
+        col("top_token_n"),
+        flag(col("n_tokens") >= rules.minWords &&
+          col("n_tokens") <= rules.maxWords).as("flag_words"),
+        flag(col("token_chars") >= lit(rules.minMeanLen) * col("n_tokens") &&
+          col("token_chars") <= lit(rules.maxMeanLen) * col("n_tokens"))
+          .as("flag_mean_len"),
+        flag(lit(100L) * col("n_alpha_tokens") >=
+          lit(rules.minAlphaPct) * col("n_tokens")).as("flag_alpha"),
+        flag(lit(100L) * col("n_symbols") <=
+          lit(rules.maxSymbolPct) * col("n_tokens")).as("flag_symbol"),
+        flag(col("stop_hits") >= rules.minStopHits).as("flag_stop"),
+        flag(lit(100L) * col("top_token_n") <=
+          lit(rules.maxTopTokenPct) * col("n_tokens")).as("flag_top_token"))
+      .withColumn("keep",
+        (col("flag_words") * col("flag_mean_len") * col("flag_alpha")
+          * col("flag_symbol") * col("flag_stop") * col("flag_top_token")))
+  }
+
+  /** Keep the rows passing every [[gopherFlags]] rule, preserving the
+    * input schema exactly. The flags are recomputed as scan-side
+    * expressions on the same frame (no self-join, no shuffle) — the
+    * filter costs one codegen'd projection.
+    */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   rules: GopherRules = GopherRules()): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stop = typedLit(DefaultStopwords)
+    val nTokens = size(toks).cast("long")
+    val tokenChars = aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(filter(toks, x => array_contains(stop, lower(x)))).cast("long")
+    df.where(
+      nTokens >= rules.minWords && nTokens <= rules.maxWords &&
+        tokenChars >= lit(rules.minMeanLen) * nTokens &&
+        tokenChars <= lit(rules.maxMeanLen) * nTokens &&
+        lit(100L) * nAlpha >= lit(rules.minAlphaPct) * nTokens &&
+        lit(100L) * symbolCount(textCol) <= lit(rules.maxSymbolPct) * nTokens &&
+        stopHits >= rules.minStopHits &&
+        lit(100L) * topTokenCount(textCol) <=
+          lit(rules.maxTopTokenPct) * nTokens)
+  }
+
+  /** Integer parameters of the Gopher REPETITION rules (Rae et al.
+    * 2021, Appendix A1.1) — ceilings on the fraction of token
+    * characters attributable to repeated token n-grams, the
+    * within-document twin of the corpus-wide [[Dedup.dupGramProfile]].
+    * `topGramMaxPct` bounds the characters claimed by the single most
+    * frequent n-gram (paper: n = 2..4); `dupGramMaxPct` bounds the
+    * characters of tokens covered by ANY n-gram occurring at least
+    * twice in the document (paper: n = 5..10). Percentages are
+    * integers so every rule is an integer cross-multiplication over
+    * exact character counts — bit-identical in any engine.
+    */
+  final case class RepetitionRules(
+      topGramMaxPct: Seq[(Int, Long)] = Seq(2 -> 20L, 3 -> 18L, 4 -> 16L),
+      dupGramMaxPct: Seq[(Int, Long)] =
+        Seq(5 -> 15L, 6 -> 14L, 7 -> 13L, 8 -> 12L, 9 -> 11L, 10 -> 10L)) {
+    require((topGramMaxPct ++ dupGramMaxPct).forall { case (n, p) =>
+      n >= 2 && p >= 0L }, "gram widths must be >= 2 and pcts >= 0")
+  }
+
+  /** Bind the token array (`ts`) and its n-gram list (`gs`) once each
+    * via the single-element-array trick, then evaluate `body` over
+    * them. Documents shorter than `n` tokens see an empty `gs`.
+    */
+  private def overGrams(textColName: String, n: Int, body: String): Column = {
+    val toks = s"filter(split(trim($textColName), '\\\\s+'), t -> t != '')"
+    val grams = s"case when size(ts) >= $n then " +
+      s"transform(sequence(0, size(ts) - $n), " +
+      s"i -> concat_ws(' ', slice(ts, i + 1, $n))) else array() end"
+    expr(s"element_at(transform(array($toks), ts -> " +
+      s"element_at(transform(array($grams), gs -> $body), 1)), 1)").cast("long")
+  }
+
+  /** Token characters claimed by the most frequent n-gram: its count
+    * times its token chars (`length(gram) − (n−1)` separators), 0 when
+    * no n-gram repeats. Count ties resolve to the LARGEST character
+    * coverage — deterministic without a gram-order tie-break, and the
+    * conservative choice for a ceiling rule. O(distinct²) per doc.
+    */
+  private def topGramChars(textColName: String, n: Int): Column =
+    overGrams(textColName, n,
+      "coalesce(element_at(transform(array(" +
+        "array_max(transform(array_distinct(gs), " +
+        "g -> size(filter(gs, x -> x = g))))), " +
+        "mc -> case when mc >= 2 then cast(mc as bigint) * " +
+        "array_max(transform(filter(array_distinct(gs), " +
+        "g -> size(filter(gs, x -> x = g)) = mc), " +
+        s"g -> cast(length(g) - ${n - 1} as bigint))) " +
+        "else 0L end), 1), 0L)")
+
+  /** Token characters covered by ANY occurrence of any n-gram that
+    * appears at least twice in the document: token j is covered when
+    * some duplicated gram's window [i, i+n) contains j; each covered
+    * token's chars count once. The per-gram duplicate flags (`db`)
+    * bind once, so the scan is O(grams²) for the flags plus O(n) per
+    * token for coverage — all doc-bounded, zero shuffle.
+    */
+  private def dupGramChars(textColName: String, n: Int): Column =
+    overGrams(textColName, n,
+      "case when size(gs) = 0 then 0L else " +
+        "element_at(transform(array(transform(gs, " +
+        "g -> size(filter(gs, x -> x = g)) >= 2)), db -> " +
+        "aggregate(sequence(1, size(ts)), 0L, (acc, j) -> acc + " +
+        s"(case when exists(sequence(greatest(1, j - ${n - 1}), " +
+        "least(j, size(gs))), i -> element_at(db, i)) " +
+        "then cast(length(element_at(ts, j)) as bigint) " +
+        "else 0L end))), 1) end")
+
+  /** Per-document Gopher repetition census: for each configured n, the
+    * exact token characters claimed by the top n-gram
+    * (`top{n}_chars`) and covered by duplicated n-grams
+    * (`dup{n}_chars`), each with its 0/1 ceiling flag, plus the
+    * conjunction `keep`. Fractions stay as (covered, token_chars)
+    * integer pairs — the flags compare via cross-multiplication, never
+    * a float. Pure scan-side expressions: zero shuffle at any scale,
+    * and per-doc cost is bounded by the document's own length.
+    * Zero-token and shorter-than-n documents have zero covered chars,
+    * so they pass every repetition rule (the length rules in
+    * [[gopherFlags]] own that verdict).
+    */
+  def repetitionFlags(df: DataFrame, textCol: String, idCol: String,
+                      rules: RepetitionRules = RepetitionRules()): DataFrame = {
+    val toks = tokens(col(textCol))
+    val covered =
+      rules.topGramMaxPct.map { case (n, _) =>
+        topGramChars(textCol, n).as(s"top${n}_chars") } ++
+      rules.dupGramMaxPct.map { case (n, _) =>
+        dupGramChars(textCol, n).as(s"dup${n}_chars") }
+    val base = df.select(col(idCol) +:
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+        .as("token_chars") +: covered: _*)
+    val flags =
+      rules.topGramMaxPct.map { case (n, p) =>
+        (lit(100L) * col(s"top${n}_chars") <= lit(p) * col("token_chars"))
+          .cast("long").as(s"flag_top$n") } ++
+      rules.dupGramMaxPct.map { case (n, p) =>
+        (lit(100L) * col(s"dup${n}_chars") <= lit(p) * col("token_chars"))
+          .cast("long").as(s"flag_dup$n") }
+    val flagNames = rules.topGramMaxPct.map { case (n, _) => s"flag_top$n" } ++
+      rules.dupGramMaxPct.map { case (n, _) => s"flag_dup$n" }
+    base.select(col("*") +: flags: _*)
+      .withColumn("keep", flagNames.map(col).reduce(_ * _))
+  }
+
+  /** Keep the rows passing every [[repetitionFlags]] ceiling,
+    * preserving the input schema exactly. Recomputed scan-side on the
+    * same frame — no self-join, no shuffle.
+    */
+  def repetitionFilter(df: DataFrame, textCol: String,
+                       rules: RepetitionRules = RepetitionRules()): DataFrame = {
+    val tokChars = aggregate(tokens(col(textCol)), lit(0L),
+      (acc, x) => acc + length(x).cast("long"))
+    val conds =
+      rules.topGramMaxPct.map { case (n, p) =>
+        lit(100L) * topGramChars(textCol, n) <= lit(p) * tokChars } ++
+      rules.dupGramMaxPct.map { case (n, p) =>
+        lit(100L) * dupGramChars(textCol, n) <= lit(p) * tokChars }
+    df.where(conds.reduce(_ && _))
+  }
 
   /** Keep the rows whose quality score clears `minScore`, preserving
     * the input schema exactly. The score is recomputed as scan-side

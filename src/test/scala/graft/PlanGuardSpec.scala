@@ -39,8 +39,15 @@ class PlanGuardSpec extends AnyFunSuite {
                          // set (every 50th id) — same bounded shape as q_sim_topk
     "q_hamming_topk",    // broadcast query signature set (every 25th id) —
                          // corpus streams once, quadratic side is the bounded queries
-    "q_contrastive")     // same bounded shape as q_int8_topk: scalar scale rows +
+    "q_contrastive",     // same bounded shape as q_int8_topk: scalar scale rows +
                          // broadcast anchor code set (every 100th id)
+    "q_knn_eval",        // same bounded shape as q_int8_topk (the ranking inside
+                         // knnEval): scalar scale row + broadcast query code set
+    "q_vocab_coverage",  // 1-row corpus-total aggregate broadcast onto the
+                         // (checkpoint-count)-row coverage frame
+    "q_sem_decon")       // broadcast anti join against the bounded reference
+                         // (eval-set) code rows + the 1-row scale scalar —
+                         // same bounded shape as q_int8_topk
 
   test("no gate query plans an unlisted cartesian/nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

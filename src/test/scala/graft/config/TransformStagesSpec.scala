@@ -479,6 +479,107 @@ class TransformStagesSpec extends AnyFunSuite {
     assert(direct.select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("gopherFilter stage applies the full rule set, keeps the schema") {
+    import spark.implicits._
+    val c = cfg(
+      """transforms: gopherFilter
+        |transform.gopherFilter.textColumn: text
+        |transform.gopherFilter.minWords: 3
+        |transform.gopherFilter.maxWords: 10
+        |transform.gopherFilter.minMeanLen: 2
+        |transform.gopherFilter.maxMeanLen: 6
+        |transform.gopherFilter.minStopHits: 1
+        |transform.gopherFilter.maxTopTokenPct: 40
+        |""".stripMargin)
+    val rows = Seq(
+      (1L, "the cat sat on a mat", "m"),  // passes every rule
+      (2L, "# # # # #", "m"),             // symbol wall
+      (3L, "word word word word", "m"),   // repetition + no stopwords
+      (4L, "", "m")).toDF("id", "text", "meta")
+    val out = Pipeline.transform(rows, c)
+    assert(out.columns.toSeq == Seq("id", "text", "meta"))
+    assert(out.select("id").as[Long].collect().toSet == Set(1L))
+    // config round-trip matches the direct operator call
+    val direct = graft.pipeline.Text.gopherFilter(rows, "text",
+      graft.pipeline.Text.GopherRules(3L, 10L, 2L, 6L, 80L, 10L, 1L, 40L))
+    assert(direct.select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("repetitionFilter stage drops repetitive docs, keeps the schema") {
+    import spark.implicits._
+    val c = cfg(
+      """transforms: repetitionFilter
+        |transform.repetitionFilter.textColumn: text
+        |""".stripMargin)
+    val rows = Seq(
+      (1L, "spam spam spam spam spam ham", "m"), // top-2-gram wall
+      (2L, "alpha beta gamma delta", "m"),       // all distinct
+      (3L, "", "m")).toDF("id", "text", "meta")  // empty passes
+    val out = Pipeline.transform(rows, c)
+    assert(out.columns.toSeq == Seq("id", "text", "meta"))
+    assert(out.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // explicit ceilings round-trip: a 200% ceiling keeps everything
+    val lax = cfg(
+      """transforms: repetitionFilter
+        |transform.repetitionFilter.textColumn: text
+        |transform.repetitionFilter.topPcts: 200, 200, 200
+        |transform.repetitionFilter.dupPcts: 200
+        |""".stripMargin)
+    assert(Pipeline.transform(rows, lax).count() == 3L)
+  }
+
+  test("semanticDecontaminate stage drops rows near the reference embeddings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semdecon")
+    val refPath = dir.resolve("ref").toString
+    Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("embedding")
+      .write.mode("overwrite").parquet(refPath)
+    val c = cfg(
+      s"""transforms: semanticDecontaminate
+         |transform.semanticDecontaminate.vecColumn: embedding
+         |transform.semanticDecontaminate.referencePath: $refPath
+         |transform.semanticDecontaminate.minDot: 16100
+         |""".stripMargin)
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), "copy of the benchmark"),
+      (2L, Seq(0.99f, 0.1f), "paraphrase"),
+      (3L, Seq(0.0f, 1.0f), "unrelated")).toDF("vec_id", "embedding", "text")
+    val out = Pipeline.transform(rows, c)
+    assert(out.columns.toSeq == rows.columns.toSeq)
+    assert(out.select("vec_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("repetitionFilter stage rejects bad ceiling lists eagerly") {
+    def parseErr(extra: String): String =
+      PipelineConfig.parse(
+        s"""source.type: parquet
+           |source.path: x
+           |target.type: parquet
+           |target.path: y
+           |transforms: repetitionFilter
+           |transform.repetitionFilter.textColumn: text
+           |$extra
+           |""".stripMargin).swap.getOrElse(fail("expected a parse error"))
+    assert(parseErr("transform.repetitionFilter.topPcts: 20, nope")
+      .contains("not a comma list of longs"))
+    assert(parseErr("transform.repetitionFilter.topPcts: -5")
+      .contains("ceilings must be >= 0"))
+  }
+
+  test("gopherFilter stage rejects inverted bounds eagerly") {
+    val err = PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |transforms: gopherFilter
+         |transform.gopherFilter.textColumn: text
+         |transform.gopherFilter.minWords: 100
+         |transform.gopherFilter.maxWords: 10
+         |""".stripMargin).swap.getOrElse(fail("expected a parse error"))
+    assert(err.contains("minWords <= maxWords"))
+  }
+
   test("new stages validate eagerly") {
     def parseErr(extra: String): String =
       PipelineConfig.parse(

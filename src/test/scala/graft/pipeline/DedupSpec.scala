@@ -467,4 +467,70 @@ class DedupSpec extends AnyFunSuite {
     assert(sig1 == sig2 && sig1.length == 16)
     assert(sig1.forall(v => v >= 0 && v < 2147483647L))
   }
+
+  test("gramCandidates + editVerify: crafted overlap and distances") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 x8"), // shares 5 of 6 3-grams with doc 1
+      (3L, "a b c")                    // disjoint
+    ).toDF("doc_id", "text")
+    val cands = Dedup.gramCandidates(df, "doc_id", "text", k = 3,
+        minShared = 5L, hashGrams = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cands.toSeq == Seq((1L, 2L, 5L)))
+    assert(Dedup.gramCandidates(df, "doc_id", "text", k = 3, minShared = 6L,
+      hashGrams = false).count() == 0L)
+    // verify tier: "w8" -> "x8" is one substitution
+    val pairs = cands.map(c => (c._1, c._2)).toSeq.toDF("id_a", "id_b")
+    val v1 = Dedup.editVerify(pairs, df, "doc_id", "text", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(v1.toSeq == Seq((1L, 2L, 1L)))
+    // below the bound the threshold form drops the pair entirely
+    assert(Dedup.editVerify(pairs, df, "doc_id", "text", maxDist = 0)
+      .count() == 0L)
+    // a far-apart pair fed directly is filtered, not mis-scored
+    val far = Seq((1L, 3L)).toDF("id_a", "id_b")
+    assert(Dedup.editVerify(far, df, "doc_id", "text", maxDist = 6)
+      .count() == 0L)
+  }
+
+  test("gramCandidates hashed arm is row-equal to the raw-gram arm") {
+    val a = Dedup.gramCandidates(docs, "doc_id", "text", k = 6, minShared = 2L,
+        hashGrams = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.gramCandidates(docs, "doc_id", "text", k = 6, minShared = 2L,
+        hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("crossOverlapMatrix: crafted ground truth + diagonal self-counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("g1", "x y z w q r"),     // 3-grams: xyz yzw zwq wqr
+      ("g2", "x y z w a b"),     // 3-grams: xyz yzw zwa wab -> shares 2
+      ("g2", "x y z w a b"),     // duplicate doc: distinct grams count once
+      ("g3", "p q")              // too short for any 3-gram
+    ).toDF("src", "text")
+    val got = Dedup.crossOverlapMatrix(df, "text", "src", k = 3,
+        hashGrams = false)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("g1", "g1", 4L), ("g2", "g2", 4L), ("g1", "g2", 2L)))
+  }
+
+  test("crossOverlapMatrix hashed arm is row-equal to the raw-gram arm") {
+    val raw = Dedup.crossOverlapMatrix(docs, "text", "source", k = 6,
+        hashGrams = false)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val hashed = Dedup.crossOverlapMatrix(docs, "text", "source", k = 6,
+        hashGrams = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(raw == hashed && raw.nonEmpty)
+    // diagonal present for every source that has at least one 6-gram
+    val diag = raw.filter(t => t._1 == t._2)
+    assert(diag.nonEmpty && diag.forall(_._3 > 0))
+  }
 }

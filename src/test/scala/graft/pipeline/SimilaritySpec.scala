@@ -103,6 +103,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSet == expected)
   }
 
+  test("knnEval: clustered embeddings classify perfectly; random labels stay mechanical") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 tight clusters on distinct axes; label = cluster -> 5-NN majority
+    // must recover every label (within-cluster idot >> cross-cluster 0)
+    val clustered = (0 until 30).map { i =>
+      val lab = i % 3
+      val v = Array.fill(4)(0.0f); v(lab) = 1.0f + (i / 3) * 0.001f
+      (i.toLong, v.toSeq, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnEval(clustered, clustered, "vec_id", "embedding",
+      "label", k = 5).collect()
+    assert(got.length == 30)
+    assert(got.forall(_.getLong(4) == 1L), "clustered eval must be 100% correct")
+    assert(got.forall(_.getLong(3) == 5L), "all 5 votes come from the cluster")
+    // on the shared fixture: one row per query, vote counts in [1, k],
+    // pred_label drawn from the label domain
+    val emb20 = emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+    val fix = Similarity.knnEval(emb20, emb, "vec_id", "embedding", "label", k = 5)
+      .collect()
+    assert(fix.length == emb20.count())
+    assert(fix.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= 5L))
+    val labels = emb.select(col("label").cast("long")).as[Long].collect().toSet
+    assert(fix.forall(r => labels.contains(r.getLong(2))))
+  }
+
+  test("semanticDecontaminate: integer-dot threshold, schema preserved") {
+    val spark2 = spark
+    import spark2.implicits._
+    // scale = 1.0 -> codes: (127,0), (126,13), (0,127)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), "m1"),   // dot vs ref = 127*127 = 16129
+      (2L, Seq(0.99f, 0.1f), "m2"),  // dot = 126*127 = 16002
+      (3L, Seq(0.0f, 1.0f), "m3")    // dot = 0
+    ).toDF("vec_id", "embedding", "meta")
+    val ref = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("embedding")
+    val strict = Similarity.semanticDecontaminate(corpus, ref, "embedding", 16100L)
+    assert(strict.columns.toSeq == corpus.columns.toSeq)
+    assert(strict.select("vec_id").as[Long].collect().toSet == Set(2L, 3L))
+    // looser threshold also catches the semantic near-dup
+    assert(Similarity.semanticDecontaminate(corpus, ref, "embedding", 16000L)
+      .select("vec_id").as[Long].collect().toSet == Set(3L))
+    // all-zero corpus: scale 0 -> all codes 0 -> nothing reaches minDot 1
+    val zeros = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.semanticDecontaminate(zeros, ref, "embedding", 1L)
+      .count() == 2L)
+  }
+
   test("a zero-norm vector never appears as a neighbor (NaN orders largest in Spark)") {
     import spark.implicits._
     val withZero = emb.select("vec_id", "embedding").limit(50)

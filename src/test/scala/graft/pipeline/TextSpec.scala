@@ -335,6 +335,101 @@ class TextSpec extends AnyFunSuite {
       .forall { case (a, e) => math.abs(a - e) <= math.max(1L, e / 10) })
   }
 
+  test("gopherFlags: hand-computed rule census on crafted documents") {
+    val rules = Text.GopherRules(minWords = 3L, maxWords = 10L,
+      minMeanLen = 2L, maxMeanLen = 6L, minAlphaPct = 80L,
+      maxSymbolPct = 10L, minStopHits = 1L, maxTopTokenPct = 40L)
+    val df = Seq(
+      (1L, "the cat sat on a mat"), // clean prose: every rule passes
+      (2L, "# # # # #"),            // symbol wall: fails len/alpha/sym/stop/top
+      (3L, ""),                     // empty: fails word count (and stop)
+      (4L, "word word word word"),  // repetition: fails stop + top-token
+      (5L, "abc... def x")          // one '...' run -> n_symbols = 1
+    ).toDF("doc_id", "text")
+    val got = Text.gopherFlags(df, "text", "doc_id", rules)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (1 until 14).map(r.getLong)).toMap
+    //            n_tok chars alpha sym stop top | words len alpha sym stop top | keep
+    assert(got(1L) == Seq(6L, 15L, 6L, 0L, 3L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L))
+    assert(got(2L) == Seq(5L, 5L, 0L, 5L, 0L, 5L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(got(3L) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 0L, 1L, 0L))
+    assert(got(4L) == Seq(4L, 16L, 4L, 0L, 0L, 4L, 1L, 1L, 1L, 1L, 0L, 0L, 0L))
+    // doc 5: tokens [abc..., def, x] chars 6+3+1=10, mean-len 6<=10<=18 ok,
+    // symbols 1 -> 100 > 30 fails the 10% symbol rule (stop fails too)
+    assert(got(5L) == Seq(3L, 10L, 3L, 1L, 0L, 1L, 1L, 1L, 1L, 0L, 0L, 1L, 0L))
+  }
+
+  test("gopherFilter keeps exactly the keep=1 rows and preserves the schema") {
+    val rules = Text.GopherRules(minWords = 3L, maxWords = 10L,
+      minMeanLen = 2L, maxMeanLen = 6L, minAlphaPct = 80L,
+      maxSymbolPct = 10L, minStopHits = 1L, maxTopTokenPct = 40L)
+    val df = Seq(
+      (1L, "the cat sat on a mat", "m1"),
+      (2L, "# # # # #", "m2"),
+      (3L, "", "m3"),
+      (4L, "it is a cat", "m4")).toDF("doc_id", "text", "meta")
+    val kept = Text.gopherFilter(df, "text", rules)
+    assert(kept.columns.toSeq == df.columns.toSeq)
+    val expected = Text.gopherFlags(df, "text", "doc_id", rules)
+      .filter(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet == expected)
+    assert(expected == Set(1L, 4L))
+  }
+
+  test("vocabCoverage: exact Zipf checkpoints incl. the capped tail") {
+    val df = Seq("a a a b", "b c").toDF("text")
+    val got = Text.vocabCoverage(df, "text", Seq(1, 2, 10))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // tf: a=3, b=2, c=1; total 6 occurrences, 3 terms
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 6L, 3L),
+      (2L, 2L, 5L, 6L, 3L),
+      (10L, 3L, 6L, 6L, 3L)))  // k past the vocab: n_vocab caps at 3
+  }
+
+  test("repetitionFlags: hand-computed top/dup gram coverage") {
+    val df = Seq(
+      (1L, "a b a b a b"),               // alternating: heavy 2-4 gram tops
+      (2L, "p q r s t u p q r s t u v"), // repeated 6-token run
+      (3L, "alpha beta gamma delta"),    // all distinct: zero coverage
+      (4L, "")                           // empty: zero everything, passes
+    ).toDF("doc_id", "text")
+    val got = Text.repetitionFlags(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (1 until 21).map(r.getLong)).toMap
+    // columns: token_chars, top2/3/4_chars, dup5..10_chars,
+    //          flag_top2/3/4, flag_dup5..10, keep
+    // doc 1: "a b" x3 -> 6, "a b a" x2 -> 6, "a b a b" x2 -> 8; no
+    // 5-gram repeats; top ceilings (20/18/16% of 6 chars) all fail
+    assert(got(1L) == Seq(6L, 6L, 6L, 8L, 0L, 0L, 0L, 0L, 0L, 0L,
+      0L, 0L, 0L, 1L, 1L, 1L, 1L, 1L, 1L, 0L))
+    // doc 2: dup 5-gram and 6-gram runs cover tokens 1..12 of 13 ->
+    // 12 chars; top-n = 2 occurrences x n chars (1-char tokens)
+    assert(got(2L) == Seq(13L, 4L, 6L, 8L, 12L, 12L, 0L, 0L, 0L, 0L,
+      0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 0L))
+    // doc 3: zero coverage everywhere -> every ceiling passes
+    assert(got(3L) == Seq(19L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+      1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L))
+    // doc 4: empty doc passes every repetition rule (0 <= p*0)
+    assert(got(4L) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+      1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L))
+  }
+
+  test("repetitionFilter keeps exactly the keep=1 rows, schema intact") {
+    val df = Seq(
+      (1L, "a b a b a b", "m1"),
+      (2L, "p q r s t u p q r s t u v", "m2"),
+      (3L, "alpha beta gamma delta", "m3"),
+      (4L, "", "m4")).toDF("doc_id", "text", "meta")
+    val kept = Text.repetitionFilter(df, "text")
+    assert(kept.columns.toSeq == df.columns.toSeq)
+    val expected = Text.repetitionFlags(df, "text", "doc_id")
+      .filter(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet == expected)
+    assert(expected == Set(3L, 4L))
+  }
+
   test("qualityScore per-mille features are exact on a known document") {
     // "aa bb. 12" -> n_chars=9, tokens=[aa,bb.,12] n_tokens=3, token_chars=7,
     // punct=1, digit=2, stopword_hits=0

@@ -34,11 +34,16 @@ class StreamingCurationSpec extends AnyFunSuite {
          |source.path: unused
          |target.type: parquet
          |target.path: ${dir.resolve("out")}
-         |transforms: normalize, piiScrub, qualityFilter
+         |transforms: normalize, piiScrub, qualityFilter, gopherFilter
          |transform.normalize.textColumn: text
          |transform.piiScrub.textColumn: text
          |transform.qualityFilter.textColumn: text
          |transform.qualityFilter.minScore: 3500
+         |transform.gopherFilter.textColumn: text
+         |transform.gopherFilter.minWords: 3
+         |transform.gopherFilter.minMeanLen: 2
+         |transform.gopherFilter.minStopHits: 1
+         |transform.gopherFilter.maxTopTokenPct: 40
          |""".stripMargin)
       .fold(e => fail(s"parse failed: $e"), identity)
 
