@@ -1164,6 +1164,44 @@ object SparkEntry {
         Seq("user_id"), "ts", gap = "6 hours", tieBreak = Seq(col("event_id")))
       .orderBy(col("user_id"))
 
+  /** Ordered conversion funnel view → click → purchase: per-step reach
+    * times chained by at-or-after minima (k pushdown scans + k key
+    * aggregations, |keys|-row join frames — see Funnel scaladoc).
+    */
+  private def qFunnelSteps(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.reachTimes(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  /** Weekly cohort retention triangle in exact integer calendar math
+    * (epoch-day ÷ 7 buckets — no date_trunc divergence in the gate).
+    */
+  private def qRetention(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retention.cohortRetention(t(s, d, "events"), "user_id", "ts",
+        bucketDays = 7)
+      .orderBy(col("cohort_bucket"), col("bucket_offset"))
+
+  /** Type-2 dimension history from the event change log: purchases are
+    * upserts of the user's value, errors close the open version. One
+    * lead() window on the key — the batch twin of CdcApply's latest-state.
+    */
+  private def qScd2(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scd2.buildHistory(
+        t(s, d, "events").select("user_id", "event_id", "ts", "event_type", "value"),
+        "user_id", "ts", "event_type", upsertOp = "purchase", deleteOp = "error",
+        valueCols = Seq("value"), tieBreak = Seq(col("event_id")))
+      .orderBy(col("user_id"), col("valid_from"))
+
+  /** 6-hour-grid resampling of purchase values with forward fill: the
+    * generated-grid LOCF operator (span aggregate → sequence explode →
+    * two key windows; see Resample scaladoc).
+    */
+  private def qResample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Resample.resampleLocf(
+        t(s, d, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value", bucketSeconds = 21600L, tieBreak = Seq(col("event_id")))
+      .orderBy(col("user_id"), col("bucket_ts"))
+
   private def qRollup(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1641,6 +1679,10 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_bloom_decontaminate" -> (qBloomDecontaminate _),
     "q_sessionize" -> (qSessionize _),
+    "q_funnel_steps" -> (qFunnelSteps _),
+    "q_retention" -> (qRetention _),
+    "q_scd2" -> (qScd2 _),
+    "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -2177,6 +2219,57 @@ object SparkEntry {
         "per AS (SELECT user_id, session_seq, count(*) AS n FROM s GROUP BY 1, 2) " +
         "SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, " +
         "max(n) AS longest_session FROM per GROUP BY user_id ORDER BY user_id"),
+
+    "q_funnel_steps" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS step_1_ts FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS step_2_ts FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts >= s1.step_1_ts GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS step_3_ts FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts >= s2.step_2_ts GROUP BY e.user_id) " +
+        "SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts, " +
+        "CAST(1 + CASE WHEN s2.step_2_ts IS NULL THEN 0 ELSE 1 END " +
+        "+ CASE WHEN s3.step_3_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_reached " +
+        "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
+        "LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY s1.user_id"),
+
+    "q_retention" ->
+      ("WITH b AS (SELECT user_id, CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') / 7.0) AS BIGINT) AS bucket FROM events), " +
+        "f AS (SELECT user_id, min(bucket) AS cohort_bucket FROM b GROUP BY user_id), " +
+        "sz AS (SELECT cohort_bucket, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY cohort_bucket), " +
+        "act AS (SELECT f.cohort_bucket, b.bucket - f.cohort_bucket AS bucket_offset, " +
+        "CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_active " +
+        "FROM b JOIN f ON b.user_id = f.user_id GROUP BY 1, 2) " +
+        "SELECT act.cohort_bucket, act.bucket_offset, act.n_active, sz.cohort_size " +
+        "FROM act JOIN sz ON act.cohort_bucket = sz.cohort_bucket " +
+        "ORDER BY act.cohort_bucket, act.bucket_offset"),
+
+    "q_scd2" ->
+      ("WITH ops AS (SELECT user_id, event_id, ts, value, event_type FROM events " +
+        "WHERE event_type IN ('purchase', 'error')), " +
+        "w AS (SELECT user_id, event_id, ts, value, event_type, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM ops) " +
+        "SELECT user_id, value, ts AS valid_from, valid_to, " +
+        "valid_to IS NULL AS is_current FROM w WHERE event_type = 'purchase' " +
+        "ORDER BY user_id, valid_from"),
+
+    "q_resample" ->
+      ("WITH obs AS (SELECT user_id, event_id, ts, value, " +
+        "CAST(floor(floor(epoch(ts)) / 21600) AS BIGINT) AS b FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "latest AS (SELECT user_id, b, value FROM " +
+        "(SELECT user_id, b, value, row_number() OVER " +
+        "(PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn FROM obs) " +
+        "WHERE rn = 1), " +
+        "span AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id), " +
+        "grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM span) " +
+        "SELECT g.user_id, make_timestamp(g.b * 21600 * 1000000) AS bucket_ts, " +
+        "last_value(l.value IGNORE NULLS) OVER " +
+        "(PARTITION BY g.user_id ORDER BY g.b ROWS UNBOUNDED PRECEDING) AS value_locf " +
+        "FROM grid g LEFT JOIN latest l ON g.user_id = l.user_id AND g.b = l.b " +
+        "ORDER BY g.user_id, bucket_ts"),
 
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val log = Seq(
+    // u1 converts fully, in order
+    ("u1", "view", ts("2024-01-01 10:00:00")),
+    ("u1", "click", ts("2024-01-01 10:05:00")),
+    ("u1", "purchase", ts("2024-01-01 10:10:00")),
+    // u2 clicks BEFORE viewing: the click must not count; converts to step 2 later
+    ("u2", "click", ts("2024-01-01 09:00:00")),
+    ("u2", "view", ts("2024-01-01 10:00:00")),
+    ("u2", "click", ts("2024-01-01 11:00:00")),
+    // u3 views only
+    ("u3", "view", ts("2024-01-01 10:00:00")),
+    // u4 never views: absent from the funnel population
+    ("u4", "purchase", ts("2024-01-01 10:00:00"))
+  ).toDF("u", "etype", "ts")
+
+  test("reach times chain: each step's min ts is at-or-after the previous step's") {
+    val got = Funnel.reachTimes(log, "u", "ts", "etype", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) ->
+        ((r.get(1), r.get(2), r.get(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set("u1", "u2", "u3"))
+    assert(got("u1") == ((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"),
+      ts("2024-01-01 10:10:00"), 3L)))
+    // u2's 09:00 click is before the view and must not be the reach time
+    assert(got("u2") == ((ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), null, 2L)))
+    assert(got("u3") == ((ts("2024-01-01 10:00:00"), null, null, 1L)))
+  }
+
+  test("a step event at the SAME timestamp as the previous reach counts (>=)") {
+    val df = Seq(
+      ("u", "view", ts("2024-01-01 10:00:00")),
+      ("u", "click", ts("2024-01-01 10:00:00"))).toDF("u", "etype", "ts")
+    val r = Funnel.reachTimes(df, "u", "ts", "etype", Seq("view", "click")).head()
+    assert(r.getLong(3) == 2L)
+  }
+
+  test("stepCounts is the conversion curve") {
+    val got = Funnel.stepCounts(log, "u", "ts", "etype", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("duplicate steps and output-column collisions are rejected eagerly") {
+    intercept[IllegalArgumentException] {
+      Funnel.reachTimes(log, "u", "ts", "etype", Seq("view", "view"))
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.reachTimes(log.withColumnRenamed("etype", "steps_reached"),
+        "u", "ts", "steps_reached", Seq("view"))
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val log = Seq(
+    (1L, "k1", "upsert", ts("2024-01-01 00:00:00"), 10.0),
+    (2L, "k1", "upsert", ts("2024-01-02 00:00:00"), 20.0),
+    (3L, "k1", "delete", ts("2024-01-03 00:00:00"), 0.0),
+    (4L, "k1", "upsert", ts("2024-01-04 00:00:00"), 30.0),
+    (5L, "k2", "upsert", ts("2024-01-01 00:00:00"), 1.0),
+    (6L, "k2", "delete", ts("2024-01-05 00:00:00"), 0.0),
+    (7L, "k3", "other", ts("2024-01-01 00:00:00"), 9.0) // ignored op type
+  ).toDF("seq", "k", "op", "ts", "v")
+
+  test("upserts open versions, the next op closes them, deletes emit no row") {
+    val got = Scd2.buildHistory(log, "k", "ts", "op", "upsert", "delete",
+        Seq("v"), Seq(col("seq")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.get(2), r.get(3), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      ("k1", 10.0, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), false),
+      ("k1", 20.0, ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00"), false),
+      ("k1", 30.0, ts("2024-01-04 00:00:00"), null, true),
+      // k2's only version was closed by a delete: NOT current despite being last
+      ("k2", 1.0, ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"), false)))
+  }
+
+  test("equal timestamps break ties by the tie-break column") {
+    val df = Seq(
+      (1L, "k", "upsert", ts("2024-01-01 00:00:00"), 1.0),
+      (2L, "k", "upsert", ts("2024-01-01 00:00:00"), 2.0)).toDF("seq", "k", "op", "ts", "v")
+    val got = Scd2.buildHistory(df, "k", "ts", "op", "upsert", "delete",
+        Seq("v"), Seq(col("seq")))
+      .collect().map(r => (r.getDouble(1), r.getBoolean(4))).toSet
+    assert(got == Set((1.0, false), (2.0, true)))
+  }
+
+  test("output-column collisions are rejected eagerly") {
+    intercept[IllegalArgumentException] {
+      Scd2.buildHistory(log.withColumnRenamed("v", "valid_from"),
+        "k", "ts", "op", "upsert", "delete", Seq("valid_from"))
+    }
+  }
+}
