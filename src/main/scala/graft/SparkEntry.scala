@@ -1192,6 +1192,43 @@ object SparkEntry {
         valueCols = Seq("value"), tieBreak = Seq(col("event_id")))
       .orderBy(col("user_id"), col("valid_from"))
 
+  /** Point-in-time-correct feature join: clicks enriched with the SCD2
+    * version valid AT the click — deletes (errors) null the state out
+    * instead of resurrecting the last upsert. One as-of shuffle + a
+    * scan-side expiry mask (see Scd2.pointInTime scaladoc).
+    */
+  private def qPitJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val hist = graft.operators.Scd2.buildHistory(
+      ev.select("user_id", "event_id", "ts", "event_type", "value"),
+      "user_id", "ts", "event_type", upsertOp = "purchase", deleteOp = "error",
+      valueCols = Seq("value"), tieBreak = Seq(col("event_id")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    graft.operators.Scd2.pointInTime(clicks, hist, "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("pit_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Mergeable distinct sketches: per-(type, day) HLL partials unioned
+    * per type — the any-range distinct answer from stored sketch rows,
+    * gated by the same exact-vs-estimate contract as q_approx_distinct.
+    */
+  private def qHllMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val parts = graft.functions.HllSketches.partials(
+      ev.withColumn("day", to_date(col("ts"))), Seq("event_type", "day"), "user_id")
+    val merged = graft.functions.HllSketches.mergeEstimate(parts, Seq("event_type"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_users_exact"),
+        (abs(col("n_distinct_est") - col("n_users_exact")) <=
+          col("n_users_exact").cast("double") * 0.02).as("within_2pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** 6-hour-grid resampling of purchase values with forward fill: the
     * generated-grid LOCF operator (span aggregate → sequence explode →
     * two key windows; see Resample scaladoc).
@@ -1682,6 +1719,8 @@ object SparkEntry {
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
+    "q_pit_join" -> (qPitJoin _),
+    "q_hll_merge" -> (qHllMerge _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -2254,6 +2293,28 @@ object SparkEntry {
         "SELECT user_id, value, ts AS valid_from, valid_to, " +
         "valid_to IS NULL AS is_current FROM w WHERE event_type = 'purchase' " +
         "ORDER BY user_id, valid_from"),
+
+    "q_pit_join" ->
+      ("WITH ops AS (SELECT user_id, event_id, ts, value, event_type FROM events " +
+        "WHERE event_type IN ('purchase', 'error')), " +
+        "w AS (SELECT user_id, ts, value, event_type, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM ops), " +
+        "hist AS (SELECT user_id, value, ts AS valid_from, valid_to FROM w " +
+        "WHERE event_type = 'purchase'), " +
+        "clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') " +
+        "SELECT c.event_id, c.user_id, " +
+        "CASE WHEN h.valid_to IS NOT NULL AND c.ts >= h.valid_to THEN NULL " +
+        "ELSE h.value END AS pit_value " +
+        "FROM clicks c ASOF LEFT JOIN hist h " +
+        "ON c.user_id = h.user_id AND c.ts >= h.valid_from " +
+        "ORDER BY c.event_id"),
+
+    // sketch contract: TRUE matches only if the merged-sketch estimate
+    // lands within 2% of exact (same pattern as q_approx_distinct)
+    "q_hll_merge" ->
+      ("SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact, " +
+        "TRUE AS within_2pct FROM events GROUP BY event_type ORDER BY event_type"),
 
     "q_resample" ->
       ("WITH obs AS (SELECT user_id, event_id, ts, value, " +

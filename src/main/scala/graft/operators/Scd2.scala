@@ -45,4 +45,45 @@ object Scd2 {
           col("valid_to"),
           col("valid_to").isNull.as("is_current")): _*)
   }
+
+  /** Point-in-time-correct enrichment of a fact table against a
+    * `buildHistory` output: each fact row sees the version whose
+    * validity interval `[valid_from, valid_to)` contains its timestamp
+    * — and NOTHING when the key was deleted before the fact (the
+    * leakage-safe feature-store join; a plain as-of on `valid_from`
+    * would resurrect deleted state).
+    *
+    * Composition, not a new plan: ONE as-of join (union+window, one
+    * key shuffle, no pair expansion — see AsOfJoin) attaches the
+    * latest version at-or-before the fact, then a scan-side expiry
+    * mask nulls the payload when the matched interval had already
+    * closed. Output columns are `pit_<payload>`.
+    */
+  def pointInTime(facts: DataFrame, history: DataFrame, key: String,
+                  factTsCol: String, valueCols: Seq[String]): DataFrame = {
+    require(history.columns.contains("valid_from") && history.columns.contains("valid_to"),
+      "history must be a buildHistory output (valid_from/valid_to)")
+    valueCols.foreach(c => require(!facts.columns.contains(s"pit_$c"),
+      s"pit_$c is a pointInTime output column — rename the fact input's first"))
+    require(!valueCols.contains(factTsCol), s"value column clashes with $factTsCol")
+    // the as-of union wants both sides' timeline under ONE column name:
+    // the version's valid_from IS its position on the fact clock
+    val joined = AsOfJoin.asOf(facts,
+      history.select((col(key) +: valueCols.map(col)) :+
+        col("valid_from").as(factTsCol) :+ col("valid_to"): _*),
+      Seq(key), factTsCol, valueCols :+ "valid_to")
+    val expired = col("asof_valid_to").isNotNull &&
+      col(factTsCol) >= col("asof_valid_to")
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"pit_$c", when(expired, lit(null)).otherwise(col(s"asof_$c")))
+    }.drop((valueCols :+ "valid_to").map(c => s"asof_$c"): _*)
+  }
+
+  /** Dimension state as of one instant: the versions whose interval
+    * contains `at` — a scan-side filter over the history (min/max
+    * pruning applies when the history is stored sorted by valid_from).
+    */
+  def snapshotAt(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
 }

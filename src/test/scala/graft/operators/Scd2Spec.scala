@@ -44,6 +44,39 @@ class Scd2Spec extends AnyFunSuite {
     assert(got == Set((1.0, false), (2.0, true)))
   }
 
+  test("pointInTime honors deletes: facts after a delete see NO state") {
+    val hist = Scd2.buildHistory(log, "k", "ts", "op", "upsert", "delete",
+      Seq("v"), Seq(col("seq")))
+    val facts = Seq(
+      (100L, "k1", ts("2024-01-01 12:00:00")), // inside v=10
+      (101L, "k1", ts("2024-01-03 12:00:00")), // after the delete, before v=30
+      (102L, "k1", ts("2024-01-05 00:00:00")), // inside current v=30
+      (103L, "k2", ts("2024-01-06 00:00:00")), // k2 deleted on the 5th
+      (104L, "k2", ts("2023-12-31 00:00:00")), // before k2's first version
+      (105L, "kX", ts("2024-01-01 00:00:00"))  // key with no history
+    ).toDF("fact_id", "k", "ts")
+    val got = Scd2.pointInTime(facts, hist, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Any]("pit_v")).toMap
+    assert(got == Map(100L -> 10.0, 101L -> null, 102L -> 30.0,
+      103L -> null, 104L -> null, 105L -> null))
+  }
+
+  test("pointInTime at the exact version boundary sees the NEW version (interval is [from, to))") {
+    val hist = Scd2.buildHistory(log, "k", "ts", "op", "upsert", "delete",
+      Seq("v"), Seq(col("seq")))
+    val facts = Seq((1L, "k1", ts("2024-01-02 00:00:00"))).toDF("fact_id", "k", "ts")
+    val got = Scd2.pointInTime(facts, hist, "k", "ts", Seq("v")).head()
+    assert(got.getAs[Double]("pit_v") == 20.0)
+  }
+
+  test("snapshotAt returns exactly the versions containing the instant") {
+    val hist = Scd2.buildHistory(log, "k", "ts", "op", "upsert", "delete",
+      Seq("v"), Seq(col("seq")))
+    val got = Scd2.snapshotAt(hist, lit(ts("2024-01-02 12:00:00")))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("k1", 20.0), ("k2", 1.0)))
+  }
+
   test("output-column collisions are rejected eagerly") {
     intercept[IllegalArgumentException] {
       Scd2.buildHistory(log.withColumnRenamed("v", "valid_from"),
