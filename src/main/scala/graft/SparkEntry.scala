@@ -1192,6 +1192,28 @@ object SparkEntry {
         valueCols = Seq("value"), tieBreak = Seq(col("event_id")))
       .orderBy(col("user_id"), col("valid_from"))
 
+  /** ANSI MERGE over a keyed snapshot in one full-outer pass:
+    * conditional matched-delete, matched-update assignment, and
+    * not-matched-insert, with in-plan-built source changes (the
+    * q_full_diff damage pattern).
+    */
+  private def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Merge
+    val t0 = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val upd = t0.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+    val del = t0.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("o_orderstatus", lit("D"))
+    val ins = t0.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    Merge.merge(t0, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"),
+        whenMatchedDelete = Some(Merge.s("o_orderstatus") === "D"),
+        whenMatchedUpdateSet = Map("o_totalprice" -> Merge.s("o_totalprice")))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Point-in-time-correct feature join: clicks enriched with the SCD2
     * version valid AT the click — deletes (errors) null the state out
     * instead of resurrecting the last upsert. One as-of shuffle + a
@@ -1719,6 +1741,7 @@ object SparkEntry {
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_pit_join" -> (qPitJoin _),
     "q_hll_merge" -> (qHllMerge _),
     "q_resample" -> (qResample _),
@@ -2293,6 +2316,25 @@ object SparkEntry {
         "SELECT user_id, value, ts AS valid_from, valid_to, " +
         "valid_to IS NULL AS is_current FROM w WHERE event_type = 'purchase' " +
         "ORDER BY user_id, valid_from"),
+
+    "q_merge_upsert" ->
+      ("WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "src AS (" +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice + 100 AS o_totalprice " +
+        "FROM t WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT o_orderkey, 'D' AS o_orderstatus, o_totalprice " +
+        "FROM t WHERE o_orderkey % 10 = 7 " +
+        "UNION ALL SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus, " +
+        "o_totalprice FROM t WHERE o_orderkey % 10 = 3), " +
+        "j AS (SELECT t.o_orderkey AS tk, t.o_orderstatus AS tst, t.o_totalprice AS tv, " +
+        "s.o_orderkey AS sk, s.o_orderstatus AS sst, s.o_totalprice AS sv " +
+        "FROM t FULL JOIN src s ON t.o_orderkey = s.o_orderkey) " +
+        "SELECT CASE WHEN tk IS NOT NULL THEN tk ELSE sk END AS o_orderkey, " +
+        "CASE WHEN tk IS NOT NULL THEN tst ELSE sst END AS o_orderstatus, " +
+        "CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN sv " +
+        "WHEN tk IS NOT NULL THEN tv ELSE sv END AS o_totalprice " +
+        "FROM j WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND sst = 'D') " +
+        "ORDER BY o_orderkey"),
 
     "q_pit_join" ->
       ("WITH ops AS (SELECT user_id, event_id, ts, value, event_type FROM events " +
