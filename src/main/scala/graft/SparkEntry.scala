@@ -1192,6 +1192,15 @@ object SparkEntry {
         valueCols = Seq("value"), tieBreak = Seq(col("event_id")))
       .orderBy(col("user_id"), col("valid_from"))
 
+  /** Event-transition matrix (user-journey Markov statistics): one lag
+    * window on the key + one (from, to) aggregation to a |types|²-row
+    * output; NULL from_type rows are the entry distribution.
+    */
+  private def qTransitions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Journeys.transitionMatrix(t(s, d, "events"),
+        "user_id", "ts", "event_type", tieBreak = Seq(col("event_id")))
+      .orderBy(col("from_type"), col("to_type"))
+
   /** ANSI MERGE over a keyed snapshot in one full-outer pass:
     * conditional matched-delete, matched-update assignment, and
     * not-matched-insert, with in-plan-built source changes (the
@@ -1741,6 +1750,7 @@ object SparkEntry {
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
+    "q_transitions" -> (qTransitions _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_pit_join" -> (qPitJoin _),
     "q_hll_merge" -> (qHllMerge _),
@@ -2316,6 +2326,13 @@ object SparkEntry {
         "SELECT user_id, value, ts AS valid_from, valid_to, " +
         "valid_to IS NULL AS is_current FROM w WHERE event_type = 'purchase' " +
         "ORDER BY user_id, valid_from"),
+
+    "q_transitions" ->
+      ("WITH t AS (SELECT lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS from_type, " +
+        "event_type AS to_type FROM events) " +
+        "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions " +
+        "FROM t GROUP BY from_type, to_type ORDER BY from_type, to_type"),
 
     "q_merge_upsert" ->
       ("WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
