@@ -1192,6 +1192,23 @@ object SparkEntry {
         valueCols = Seq("value"), tieBreak = Seq(col("event_id")))
       .orderBy(col("user_id"), col("valid_from"))
 
+  /** Time-weighted billing statistics over the SCD2 history: per-user
+    * Σ value·millis and coverage inside a fixed query window, as
+    * all-integer sufficient statistics (interval clamp + integer
+    * scaling scan-side, ONE key aggregation).
+    */
+  private def qTwa(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val hist = graft.operators.Scd2.buildHistory(
+      ev.select("user_id", "event_id", "ts", "event_type", "value"),
+      "user_id", "ts", "event_type", upsertOp = "purchase", deleteOp = "error",
+      valueCols = Seq("value"), tieBreak = Seq(col("event_id")))
+    graft.operators.Scd2.timeWeightedStats(hist, "user_id", "value",
+        lit("2024-01-05 00:00:00").cast("timestamp_ntz"),
+        lit("2024-01-25 00:00:00").cast("timestamp_ntz"))
+      .orderBy(col("user_id"))
+  }
+
   /** Event-transition matrix (user-journey Markov statistics): one lag
     * window on the key + one (from, to) aggregation to a |types|²-row
     * output; NULL from_type rows are the entry distribution.
@@ -1750,6 +1767,7 @@ object SparkEntry {
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
+    "q_twa" -> (qTwa _),
     "q_transitions" -> (qTransitions _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_pit_join" -> (qPitJoin _),
@@ -2326,6 +2344,21 @@ object SparkEntry {
         "SELECT user_id, value, ts AS valid_from, valid_to, " +
         "valid_to IS NULL AS is_current FROM w WHERE event_type = 'purchase' " +
         "ORDER BY user_id, valid_from"),
+
+    "q_twa" ->
+      ("WITH ops AS (SELECT user_id, event_id, ts, value, event_type FROM events " +
+        "WHERE event_type IN ('purchase', 'error')), " +
+        "w AS (SELECT user_id, ts, value, event_type, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM ops), " +
+        "hist AS (SELECT user_id, value, ts AS valid_from, valid_to FROM w " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, value, " +
+        "greatest(valid_from, TIMESTAMP '2024-01-05 00:00:00') AS f, " +
+        "least(coalesce(valid_to, TIMESTAMP '2024-01-25 00:00:00'), " +
+        "TIMESTAMP '2024-01-25 00:00:00') AS t FROM hist) " +
+        "SELECT user_id, CAST(sum(epoch_ms(t) - epoch_ms(f)) AS BIGINT) AS millis_covered, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT) * (epoch_ms(t) - epoch_ms(f))) AS BIGINT) " +
+        "AS weighted_units FROM c WHERE t > f GROUP BY user_id ORDER BY user_id"),
 
     "q_transitions" ->
       ("WITH t AS (SELECT lag(event_type) OVER " +

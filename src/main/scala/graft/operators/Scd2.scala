@@ -86,4 +86,36 @@ object Scd2 {
   def snapshotAt(history: DataFrame, at: Column): DataFrame =
     history.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
+
+  /** Time-weighted sufficient statistics over a query window — the
+    * metering/billing aggregation ("average price held during
+    * January") a version history exists to answer. Per key:
+    * `millis_covered` (total milliseconds any version was live inside
+    * `[windowStart, windowEnd)`) and `weighted_units` (Σ value·millis
+    * with the value scaled to an integer by `unitsPerValue`, e.g. 100
+    * for a 2-decimal price in cents). The time-weighted average is
+    * `weighted_units / (unitsPerValue · millis_covered)` — left to the
+    * caller so the OUTPUT stays all-integer and engine-exact (no
+    * float sum order, no decimal→double cast divergence). Deletion
+    * gaps contribute nothing: a closed version's interval simply ends.
+    *
+    * Shape at scale: two scan-side projections (interval clamp,
+    * integer scaling) + ONE key aggregation — nothing else.
+    */
+  def timeWeightedStats(history: DataFrame, key: String, valueCol: String,
+                        windowStart: Column, windowEnd: Column,
+                        unitsPerValue: Long = 100L): DataFrame = {
+    require(unitsPerValue >= 1, s"unitsPerValue must be >= 1, got $unitsPerValue")
+    Seq("__dur", "__units").foreach(c => require(!history.columns.contains(c),
+      s"$c is reserved by timeWeightedStats"))
+    val from = greatest(col("valid_from"), windowStart)
+    val until = least(coalesce(col("valid_to"), windowEnd), windowEnd)
+    val dur = unix_millis(until.cast("timestamp")) - unix_millis(from.cast("timestamp"))
+    history
+      .withColumn("__dur", dur).filter(col("__dur") > 0)
+      .withColumn("__units", round(col(valueCol) * unitsPerValue).cast("long"))
+      .groupBy(col(key))
+      .agg(sum(col("__dur")).cast("long").as("millis_covered"),
+        sum(col("__units") * col("__dur")).cast("long").as("weighted_units"))
+  }
 }

@@ -77,6 +77,23 @@ class Scd2Spec extends AnyFunSuite {
     assert(got == Set(("k1", 20.0), ("k2", 1.0)))
   }
 
+  test("timeWeightedStats clamps intervals to the window and skips deletion gaps") {
+    val hist = Scd2.buildHistory(log, "k", "ts", "op", "upsert", "delete",
+      Seq("v"), Seq(col("seq")))
+    // window Jan 1 12:00 .. Jan 6 00:00
+    val got = Scd2.timeWeightedStats(hist, "k", "v",
+        lit(ts("2024-01-01 12:00:00")), lit(ts("2024-01-06 00:00:00")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val h12 = 12L * 3600 * 1000
+    val d1 = 24L * 3600 * 1000
+    // k1: v=10 covers Jan1 12:00..Jan2 (12h), v=20 covers Jan2..Jan3 (24h),
+    //     gap Jan3..Jan4 (deleted), v=30 covers Jan4..Jan6 (48h)
+    assert(got("k1") == ((h12 + d1 + 2 * d1,
+      1000L * h12 + 2000L * d1 + 3000L * 2 * d1)))
+    // k2: v=1 covers Jan1 12:00..Jan5 (3.5 days), deleted after
+    assert(got("k2") == ((3 * d1 + h12, 100L * (3 * d1 + h12))))
+  }
+
   test("output-column collisions are rejected eagerly") {
     intercept[IllegalArgumentException] {
       Scd2.buildHistory(log.withColumnRenamed("v", "valid_from"),
