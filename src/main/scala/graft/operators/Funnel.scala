@@ -63,8 +63,10 @@ object Funnel {
   def stepCounts(events: DataFrame, key: String, tsCol: String, typeCol: String,
                  steps: Seq[String]): DataFrame = {
     val reach = reachTimes(events, key, tsCol, typeCol, steps)
+    // coalesce: a log with no step-1 keys leaves reachTimes empty and a
+    // no-groupBy sum over zero rows is NULL — the conversion curve owes 0
     val countCols = steps.indices.map(i =>
-      sum(when(col(s"step_${i + 1}_ts").isNotNull, 1L).otherwise(0L))
+      coalesce(sum(when(col(s"step_${i + 1}_ts").isNotNull, 1L).otherwise(0L)), lit(0L))
         .as(s"n_${i + 1}"))
     val counts = reach.agg(countCols.head, countCols.tail: _*)
     val pairs = steps.indices.map(i =>

@@ -34,10 +34,21 @@ object Resample {
     * @param tieBreak deterministic pick among equal timestamps in one
     *   bucket (pass a unique column); the LAST observation by
     *   (ts, tieBreak) wins, matching LOCF's "latest state" reading.
+    * @param maxBucketsPerKey hard per-key grid bound. `sequence()`
+    *   materializes a key's whole grid as ONE array row before the
+    *   explode, so a key spanning years at a small `bucketSeconds` would
+    *   otherwise fail deep inside codegen (or OOM an executor) with no
+    *   hint of which key or why. Keys over the bound fail fast with a
+    *   named error instead — raise `bucketSeconds` or resample such keys
+    *   in time slices. The default (4M buckets ≈ 32 MB of longs ≈ 15
+    *   months of 10-second buckets) keeps the array well inside both
+    *   Spark's max array length and a sane executor-memory share.
     */
   def resampleLocf(events: DataFrame, key: String, tsCol: String, valueCol: String,
-                   bucketSeconds: Long, tieBreak: Seq[Column] = Nil): DataFrame = {
+                   bucketSeconds: Long, tieBreak: Seq[Column] = Nil,
+                   maxBucketsPerKey: Long = 4L * 1000 * 1000): DataFrame = {
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    require(maxBucketsPerKey >= 1, s"maxBucketsPerKey must be >= 1, got $maxBucketsPerKey")
     Seq("bucket_ts", "value_locf").foreach(c =>
       require(!events.columns.contains(c), s"$c is a resample output column — rename the input's first"))
     Seq("__b", "__rn", "__lo", "__hi").foreach(c =>
@@ -58,9 +69,19 @@ object Resample {
       .filter(col("__rn") === 1)
       .select(col(key), col("__b"), col(valueCol).as("__v"))
 
+    // the guard folds into __hi (a column the explode consumes) so column
+    // pruning can never drop the check before it runs
+    val guardedHi = when(col("__hi") - col("__lo") >= maxBucketsPerKey,
+      raise_error(concat(
+        lit("resampleLocf: key "), col(key).cast("string"),
+        lit(" spans "), (col("__hi") - col("__lo") + 1).cast("string"),
+        lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey — raise bucketSeconds, "),
+        lit("raise maxBucketsPerKey, or resample this key in time slices")))
+        .cast("long"))
+      .otherwise(col("__hi"))
     val grid = events.groupBy(col(key))
       .agg(min(bucket).as("__lo"), max(bucket).as("__hi"))
-      .select(col(key), explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+      .select(col(key), explode(sequence(col("__lo"), guardedHi)).as("__b"))
 
     val fill = Window.partitionBy(col(key)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

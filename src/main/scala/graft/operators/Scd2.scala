@@ -66,10 +66,22 @@ object Scd2 {
     valueCols.foreach(c => require(!facts.columns.contains(s"pit_$c"),
       s"pit_$c is a pointInTime output column — rename the fact input's first"))
     require(!valueCols.contains(factTsCol), s"value column clashes with $factTsCol")
+    require(!history.columns.contains("__vrn"), "__vrn is reserved by pointInTime")
+    // AsOfJoin.asOf requires right-side uniqueness per (key, ts). Equal-
+    // timestamp upserts (buildHistory's tieBreak path) emit a zero-length
+    // expired version AND its survivor with the SAME valid_from — keep only
+    // the survivor (open interval first, else the latest valid_to) so the
+    // as-of tie is deterministic and the expiry mask can't null a fact that
+    // should see the surviving version.
+    val survivor = Window.partitionBy(col(key), col("valid_from"))
+      .orderBy(col("valid_to").desc_nulls_first)
+    val hist = history
+      .withColumn("__vrn", row_number().over(survivor))
+      .filter(col("__vrn") === 1).drop("__vrn")
     // the as-of union wants both sides' timeline under ONE column name:
     // the version's valid_from IS its position on the fact clock
     val joined = AsOfJoin.asOf(facts,
-      history.select((col(key) +: valueCols.map(col)) :+
+      hist.select((col(key) +: valueCols.map(col)) :+
         col("valid_from").as(factTsCol) :+ col("valid_to"): _*),
       Seq(key), factTsCol, valueCols :+ "valid_to")
     val expired = col("asof_valid_to").isNotNull &&

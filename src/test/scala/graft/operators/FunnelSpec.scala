@@ -51,6 +51,13 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Set((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
   }
 
+  test("stepCounts over a log with no step-1 keys returns 0s, not NULLs") {
+    val noViews = log.filter($"etype" =!= "view")
+    val got = Funnel.stepCounts(noViews, "u", "ts", "etype", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
   test("duplicate steps and output-column collisions are rejected eagerly") {
     intercept[IllegalArgumentException] {
       Funnel.reachTimes(log, "u", "ts", "etype", Seq("view", "view"))

@@ -52,6 +52,23 @@ class ResampleSpec extends AnyFunSuite {
       ("b", ldt("2024-01-01 05:00:00"), 9.0)))
   }
 
+  test("a key spanning more than maxBucketsPerKey fails fast with a named error") {
+    val df = Seq(
+      (1L, "wide", ts("2024-01-01 00:00:00"), 1.0),
+      (2L, "wide", ts("2024-01-01 10:00:00"), 2.0)).toDF("id", "k", "ts", "v")
+    val e = intercept[Throwable] {
+      Resample.resampleLocf(df, "k", "ts", "v", 3600, Seq(col("id")),
+        maxBucketsPerKey = 5).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxBucketsPerKey=5") && msgs.contains("wide"))
+    // just inside the bound still works
+    val ok = Resample.resampleLocf(df, "k", "ts", "v", 3600, Seq(col("id")),
+      maxBucketsPerKey = 11).collect()
+    assert(ok.length == 11)
+  }
+
   test("reserved/output column collisions are rejected eagerly") {
     val df = Seq((1L, "k", ts("2024-01-01 00:00:00"), 1.0)).toDF("id", "k", "ts", "value_locf")
     intercept[IllegalArgumentException] {

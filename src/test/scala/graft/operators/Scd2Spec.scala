@@ -69,6 +69,24 @@ class Scd2Spec extends AnyFunSuite {
     assert(got.getAs[Double]("pit_v") == 20.0)
   }
 
+  test("pointInTime with equal-timestamp upserts sees the surviving version, never the zero-length one") {
+    // two upserts at the same instant: buildHistory emits a zero-length
+    // expired version (valid_from == valid_to) AND its survivor with the
+    // SAME valid_from — the as-of must deterministically pick the survivor
+    val dupLog = Seq(
+      (1L, "k", "upsert", ts("2024-01-01 00:00:00"), 1.0),
+      (2L, "k", "upsert", ts("2024-01-01 00:00:00"), 2.0)).toDF("seq", "k", "op", "ts", "v")
+    val hist = Scd2.buildHistory(dupLog, "k", "ts", "op", "upsert", "delete",
+      Seq("v"), Seq(col("seq")))
+    val facts = Seq(
+      (1L, "k", ts("2024-01-01 00:00:00")),  // at the shared instant
+      (2L, "k", ts("2024-01-02 00:00:00")))  // well inside the survivor
+      .toDF("fact_id", "k", "ts")
+    val got = Scd2.pointInTime(facts, hist, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Any]("pit_v")).toMap
+    assert(got == Map(1L -> 2.0, 2L -> 2.0))
+  }
+
   test("snapshotAt returns exactly the versions containing the instant") {
     val hist = Scd2.buildHistory(log, "k", "ts", "op", "upsert", "delete",
       Seq("v"), Seq(col("seq")))
