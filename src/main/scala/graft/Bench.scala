@@ -166,22 +166,48 @@ object Bench {
     // not the plan's cost): failed runs are excluded from the min, and a
     // query whose every run failed is omitted from the timed map/total —
     // it exists only under "errors".
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
+    //
+    // Sweep-state hygiene: several queries materialize frames via
+    // localCheckpoint (Dedup.keptFrame etc.) whose storage blocks live
+    // until the session ends; across a 138-query × 2-3-run sweep those
+    // orphaned blocks accumulate and inflate later queries' in-sweep
+    // timings well past their isolated cost (round 8: q_dedup_clusters
+    // 8.23 s in-sweep vs 2.39 s isolated). Every run therefore releases
+    // ALL persistent RDDs afterwards — safe because queries are
+    // self-contained (each fn call rebuilds its frames; nothing is
+    // shared across runs) — outside the timed section, so each timing
+    // measures a run against a clean block store.
+    def releaseSweepState(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      val r =
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case NonFatal(e) =>
           errors(name) = (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("")).replaceAll("[\"\\\\\n\r\t]", " ").take(80)
           None
         }
-      }
+      releaseSweepState()
+      r
+    }
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      def once(): Option[Double] = timedRun(name, fn)
       val firstTwo = Seq(once(), once()).flatten
       val timings =
         if (firstTwo.size == 2 && firstTwo.max > firstTwo.min * 1.15)
           firstTwo ++ once()
         else firstTwo
       if (timings.isEmpty) None else Some(name -> timings.min)
+    }
+    // Fresh-state evidence for the slowest K: re-time them at sweep end
+    // (block store clean, min-of-3) under a separate "retimed" key. With
+    // per-run release these should match the in-sweep numbers — a
+    // retimed value well below its sweep twin flags residual session
+    // state a reader should trust the retimed number over.
+    val retimed = results.toSeq.sortBy(-_._2).take(5).flatMap { case (name, _) =>
+      val ts = Seq.fill(3)(timedRun(name, SparkEntry.queries(name))).flatten
+      if (ts.isEmpty) None else Some(name -> ts.min)
     }
     val calSpinPost = minOf3(cpuSpin _)
     val calSparkPost = minOf3(() => sparkCalibration(spark))
@@ -202,10 +228,12 @@ object Bench {
     val calJson = "\"calibration\":{" +
       s""""spin_sec":[${fmt(calSpinPre)},${fmt(calSpinPost)}],""" +
       s""""spark_job_sec":[${fmt(calSparkPre)},${fmt(calSparkPost)}]}"""
+    val retimedJson = retimed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("\"retimed\":{", ",", "},")
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,$calJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,$retimedJson$calJson,"sf":"$sfDir"}"""
     }
     val out = (ranked.size to 1 by -1).iterator
       .map(k => line(ranked.take(k))).find(_.length <= 1800)
@@ -265,6 +293,10 @@ object Bench {
         s"BENCHMARK_RESULT | scenario=$name rows=$inputRows durationMs=${ms.toLong} rowsPerSec=$rps")
     } catch {
       case NonFatal(e) => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    } finally {
+      // scenarios run before the query sweep and several checkpoint
+      // frames — release their blocks so the sweep starts clean
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
   }
 
