@@ -1240,6 +1240,28 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Snapshot-sync MERGE — the WHEN NOT MATCHED BY SOURCE clause
+    * family: target rows the new snapshot no longer carries are
+    * conditionally deleted (cheap ones) or tombstoned (status flag),
+    * in the SAME single full-outer pass as the matched updates. The
+    * first-sync idiom `operators/Merge.scala` documents.
+    */
+  private def qMergeSync(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Merge
+    val t0 = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // the new snapshot keeps keys ending 0..4, repricing the 0s
+    val src = t0.filter(col("o_orderkey") % 10 <= 4)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 100)
+          .otherwise(col("o_totalprice")))
+    Merge.merge(t0, src, Seq("o_orderkey"),
+        whenMatchedUpdateSet = Map("o_totalprice" -> Merge.s("o_totalprice")),
+        whenNotMatchedBySourceDelete = Some(Merge.t("o_totalprice") < 50000),
+        whenNotMatchedBySourceUpdateSet = Map("o_orderstatus" -> lit("S")))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Point-in-time-correct feature join: clicks enriched with the SCD2
     * version valid AT the click — deletes (errors) null the state out
     * instead of resurrecting the last upsert. One as-of shuffle + a
@@ -1770,6 +1792,7 @@ object SparkEntry {
     "q_twa" -> (qTwa _),
     "q_transitions" -> (qTransitions _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_merge_sync" -> (qMergeSync _),
     "q_pit_join" -> (qPitJoin _),
     "q_hll_merge" -> (qHllMerge _),
     "q_resample" -> (qResample _),
@@ -2384,6 +2407,22 @@ object SparkEntry {
         "CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN sv " +
         "WHEN tk IS NOT NULL THEN tv ELSE sv END AS o_totalprice " +
         "FROM j WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND sst = 'D') " +
+        "ORDER BY o_orderkey"),
+
+    "q_merge_sync" ->
+      ("WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "src AS (SELECT o_orderkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 ELSE o_totalprice END " +
+        "AS o_totalprice FROM t WHERE o_orderkey % 10 <= 4), " +
+        "j AS (SELECT t.o_orderkey AS tk, t.o_orderstatus AS tst, t.o_totalprice AS tv, " +
+        "s.o_orderkey AS sk, s.o_orderstatus AS sst, s.o_totalprice AS sv " +
+        "FROM t FULL JOIN src s ON t.o_orderkey = s.o_orderkey) " +
+        "SELECT COALESCE(tk, sk) AS o_orderkey, " +
+        "CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN tst " +
+        "WHEN tk IS NOT NULL THEN 'S' ELSE sst END AS o_orderstatus, " +
+        "CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN sv " +
+        "WHEN tk IS NOT NULL THEN tv ELSE sv END AS o_totalprice " +
+        "FROM j WHERE NOT (tk IS NOT NULL AND sk IS NULL AND tv < 50000) " +
         "ORDER BY o_orderkey"),
 
     "q_pit_join" ->

@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   *    (unassigned columns keep the target value); no update clause
   *    means the target row persists unchanged
   *  - source-only → inserted (source must carry the target schema)
-  *  - target-only → persists unchanged
+  *  - target-only + bySource delete condition → row dropped (the
+  *    snapshot-sync idiom: drop target rows the source no longer
+  *    carries)
+  *  - target-only otherwise → target row with the bySource `updateSet`
+  *    assignments (e.g. tombstone/flag columns); unassigned columns
+  *    keep the target value; no bySource clause means the row persists
+  *    unchanged. Note `s(...)` fields are NULL in both bySource
+  *    clauses — there is no source row to read.
   *
   * Contract: source must be unique per key (ANSI MERGE raises on
   * multi-match; pre-resolve with CdcApply.latestByKey). Spec'd, not
@@ -48,13 +55,15 @@ object Merge {
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
             whenMatchedDelete: Option[Column] = None,
             whenMatchedUpdateSet: Map[String, Column] = Map.empty,
-            whenNotMatchedInsert: Boolean = true): DataFrame = {
+            whenNotMatchedInsert: Boolean = true,
+            whenNotMatchedBySourceDelete: Option[Column] = None,
+            whenNotMatchedBySourceUpdateSet: Map[String, Column] = Map.empty): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val outCols = target.columns.toSeq
     require(source.columns.toSeq == outCols,
       s"source schema ${source.columns.toSeq} must match target schema $outCols")
-    whenMatchedUpdateSet.keys.foreach(c => require(outCols.contains(c),
-      s"update assignment targets unknown column $c"))
+    (whenMatchedUpdateSet.keys ++ whenNotMatchedBySourceUpdateSet.keys).foreach(c =>
+      require(outCols.contains(c), s"update assignment targets unknown column $c"))
     require(keys.forall(outCols.contains), s"keys $keys must be target columns")
 
     val tDf = target.select(struct(outCols.map(col): _*).as(T))
@@ -63,13 +72,16 @@ object Merge {
     val joined = tDf.join(sDf, cond, "full_outer")
 
     val matched = col(T).isNotNull && col(S).isNotNull
+    val targetOnly = col(T).isNotNull && col(S).isNull
     val deleteHit = matched && coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
-    val kept = joined.filter(!deleteHit &&
+    val bySourceDeleteHit = targetOnly &&
+      coalesce(whenNotMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+    val kept = joined.filter(!deleteHit && !bySourceDeleteHit &&
       (col(T).isNotNull || lit(whenNotMatchedInsert)))
 
     val out = outCols.map { c =>
       when(matched, whenMatchedUpdateSet.getOrElse(c, t(c)))
-        .when(col(T).isNotNull, t(c))
+        .when(targetOnly, whenNotMatchedBySourceUpdateSet.getOrElse(c, t(c)))
         .otherwise(s(c))
         .as(c)
     }

@@ -53,6 +53,32 @@ class MergeSpec extends AnyFunSuite {
     assert(got(1L) == 15.0)
   }
 
+  test("bySource clauses: stale target-only rows delete, the rest take tombstone assignments") {
+    val source = Seq(
+      (2L, "b2", 21.0),  // matched → update v
+      (9L, "new", 90.0)  // unmatched → insert
+    ).toDF("k", "name", "v")
+    // snapshot-sync: drop target-only rows below v=35, flag the rest
+    val got = Merge.merge(target, source, Seq("k"),
+        whenMatchedUpdateSet = Map("v" -> Merge.s("v")),
+        whenNotMatchedBySourceDelete = Some(Merge.t("v") < 35.0),
+        whenNotMatchedBySourceUpdateSet = Map("name" -> concat(lit("stale:"), Merge.t("name"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (2L, "b", 21.0),          // matched update
+      (4L, "stale:d", 40.0),    // target-only, v>=35 → tombstoned
+      (9L, "new", 90.0)))       // insert; k=1 (v=10) and k=3 (v=30) deleted
+  }
+
+  test("unconditional bySource delete is the full snapshot sync") {
+    val source = Seq((2L, "b", 99.0)).toDF("k", "name", "v")
+    val got = Merge.merge(target, source, Seq("k"),
+        whenMatchedUpdateSet = Map("v" -> Merge.s("v")),
+        whenNotMatchedBySourceDelete = Some(lit(true)))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got == Set((2L, 99.0)))
+  }
+
   test("schema mismatch and unknown assignment columns are rejected eagerly") {
     intercept[IllegalArgumentException] {
       Merge.merge(target, target.drop("name"), Seq("k"))
