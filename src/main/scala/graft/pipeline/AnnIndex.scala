@@ -69,6 +69,27 @@ object AnnIndex {
       .repartition(col("bucket")).sortWithinPartitions("bucket")
       .write.mode("append").parquet(handle.indexPath)
 
+  /** Delta-detecting append (the Dedup.newAgainst shape): rows whose id
+    * already sits in the stored index are dropped by an anti-join BEFORE
+    * encoding, so re-feeding an overlapping snapshot appends each vector
+    * exactly once. The anti-join's build side reads ONLY the index
+    * frame's id column (column-pruned parquet scan — megabytes at
+    * corpus scale); the delta alone pays encode cost. Returns the number
+    * of rows appended.
+    */
+  def appendNew(handle: Handle, rows: DataFrame, idCol: String, vecCol: String): Long = {
+    val spark = rows.sparkSession
+    val existing = spark.read.parquet(handle.indexPath).select(col("neighbor_id"))
+    val fresh = rows
+      .join(existing, rows(idCol) === existing("neighbor_id"), "left_anti")
+      .persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) append(handle, fresh, idCol, vecCol)
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
   private def encoded(rows: DataFrame, idCol: String, vecCol: String,
                       ivf: Ivf.Model, pq: Pq.Model): DataFrame =
     rows.select(col(idCol).as("neighbor_id"),

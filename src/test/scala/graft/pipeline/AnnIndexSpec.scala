@@ -88,4 +88,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits.map(_.getLong(0)).toSet == qIds, "every appended query answered")
     assert(hits.forall(r => r.getInt(1) == 1 && r.getLong(0) != r.getLong(2)))
   }
+
+  test("appendNew detects the delta; appended index searches identically to a same-model full encode") {
+    val root = Files.createTempDirectory("graft-ann-delta").toString + "/idx"
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    AnnIndex.build(base, "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val h = AnnIndex.open(spark, root)
+    // overlapping snapshot: base rows already indexed must NOT re-append
+    val overlapping = emb // = base ∪ delta
+    assert(AnnIndex.appendNew(h, overlapping, "vec_id", "embedding") == delta.count())
+    assert(spark.read.parquet(s"$root/index").count() == emb.count())
+    // idempotent: a second feed of the same snapshot appends nothing
+    assert(AnnIndex.appendNew(h, overlapping, "vec_id", "embedding") == 0L)
+    // rebuild equivalence: the appended index answers every query
+    // exactly like encoding the FULL corpus with the same frozen models
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = AnnIndex.search(h, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fullIdx = emb.select(col("vec_id"),
+      Ivf.assignment(col("embedding"), h.ivf).as("bucket"),
+      Pq.encode(col("embedding"), h.pq).as("codes"))
+    val expect = Pq.ivfAdcTopK(queries, fullIdx, "vec_id", "embedding",
+        "codes", "bucket", h.ivf, h.pq, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
 }
