@@ -752,6 +752,7 @@ object Dedup {
     * (query_id, neighbor_id, hamming) only. When the query set is
     * itself corpus-sized, route through [[simHashPairs]]' banded join
     * instead — this tier is for query batches ≪ corpus.
+    * [[hammingTopKAuto]] makes that routing decision automatically.
     */
   def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                   sigCol: String, k: Int,
@@ -768,6 +769,63 @@ object Dedup {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "hamming")
+  }
+
+  /** [[hammingTopK]] restricted to Hamming radius `maxHamming` (≤ 3),
+    * with the execution route picked by query cardinality:
+    *
+    *  - ≤ `broadcastMaxQueries` queries → the [[hammingTopK]] shape
+    *    (query set broadcasts, corpus streams once), post-filtered to
+    *    the radius. Ranking by (hamming, neighbor) means the
+    *    within-radius rows always hold the lowest ranks, so the filter
+    *    commutes with the top-k.
+    *  - more → the [[simHashPairs]] banded shape: both sides explode
+    *    into 4 × 16-bit chunks and equi-join on the chunk key — a plain
+    *    shuffle join, NO corpus-sized broadcast anywhere. Pigeonhole
+    *    over 4 chunks guarantees every pair at hamming ≤ 3 collides on
+    *    at least one chunk, so the candidate set is exact at this
+    *    radius (which is why `maxHamming ≤ 3` is required: it is what
+    *    makes the two routes return identical rows).
+    *
+    * @param numQueries pass the known query count to skip the counting
+    *   job the routing decision otherwise runs.
+    */
+  def hammingTopKAuto(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      sigCol: String, k: Int, maxHamming: Int = 3,
+                      excludeSelf: Boolean = true,
+                      broadcastMaxQueries: Long = 1L << 17,
+                      numQueries: Option[Long] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (the 4-chunk pigeonhole bound), got $maxHamming")
+    val nQ = numQueries.getOrElse(queries.count())
+    if (nQ <= broadcastMaxQueries)
+      hammingTopK(queries, corpus, idCol, sigCol, k, excludeSelf)
+        .filter(col("hamming") <= maxHamming)
+    else {
+      def chunked(df: DataFrame, outId: String, outSig: String) = {
+        val sig = col(sigCol)
+        val chunkCols = (0 until 4).map(c =>
+          shiftright(sig, c * 16).bitwiseAND(lit(0xFFFFL)))
+        df.select(col(idCol).as(outId), sig.as(outSig),
+          posexplode(array(chunkCols: _*)).as(Seq("chunk", "ck")))
+      }
+      val qc = chunked(queries, "query_id", "qs")
+      val cc = chunked(corpus, "neighbor_id", "cs")
+      val scored = qc.join(cc, Seq("chunk", "ck"))
+        .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+                else lit(true))
+        .select(col("query_id"), col("neighbor_id"),
+          bit_count(col("qs").bitwiseXOR(col("cs"))).cast("long").as("hamming"))
+        // radius filter BEFORE the dedup, as in simHashPairs: the
+        // distinct shuffle carries only true near-dups
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+    }
   }
 
   // ------------------------------------------------------------------

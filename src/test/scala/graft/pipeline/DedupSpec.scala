@@ -108,6 +108,37 @@ class DedupSpec extends AnyFunSuite {
     assert(top.getLong(2) == 0L && top.getLong(3) == 0L)
   }
 
+  test("hammingTopKAuto flips route on query cardinality; both routes return identical rows") {
+    val sigs = docs.limit(80)
+      .select(col("doc_id"), Dedup.simHashExpr("text").as("sig")).cache()
+    val fewQs = sigs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    // small query set → broadcast route: no banding explode in the plan,
+    // a broadcast hint on the query side
+    val small = Dedup.hammingTopKAuto(fewQs, sigs, "doc_id", "sig", k = 3)
+    val smallPlan = small.queryExecution.analyzed.toString
+    assert(!smallPlan.contains("posexplode"), "broadcast route must not band")
+    assert(smallPlan.toLowerCase.contains("broadcast"))
+    // corpus-sized query set → banded route: chunk explode present and
+    // NO broadcast hint anywhere (nothing corpus-sized may broadcast)
+    val big = Dedup.hammingTopKAuto(sigs, sigs, "doc_id", "sig", k = 3,
+      broadcastMaxQueries = 10)
+    val bigPlan = big.queryExecution.analyzed.toString
+    assert(bigPlan.contains("posexplode"), "banded route must band")
+    assert(!bigPlan.toLowerCase.contains("broadcast"),
+      "banded route must not broadcast a corpus-sized frame")
+    // the two routes agree exactly at the same radius: force both over
+    // the SAME corpus-sized query set
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val viaBroadcast = Dedup.hammingTopKAuto(sigs, sigs, "doc_id", "sig", k = 3,
+      broadcastMaxQueries = Long.MaxValue)
+    assert(rows(big) == rows(viaBroadcast))
+    // and the numQueries hint skips the counting job without changing the route
+    val hinted = Dedup.hammingTopKAuto(sigs, sigs, "doc_id", "sig", k = 3,
+      broadcastMaxQueries = 10, numQueries = Some(80L))
+    assert(rows(hinted) == rows(big))
+  }
+
   test("lsh bucket clamp drops degenerate buckets") {
     // every doc identical => one giant bucket per band; cap of 3 kills them all
     val same = spark.createDataFrame((1L to 10L).map(i => (i, "same text here")))
