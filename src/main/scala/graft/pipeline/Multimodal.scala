@@ -53,6 +53,103 @@ object StubDecoder extends MediaDecoder {
     if (bytes.length <= maxBytes) bytes else bytes.take(maxBytes)
 }
 
+/** Real pure-JVM image codec over the JDK's `javax.imageio` (PNG, BMP,
+  * GIF, JPEG readers ship with the JDK — no native libraries): the
+  * proof that the [[MediaDecoder]] plug-in point carries real bytes,
+  * not just the deterministic stub. Metadata decode reads ONLY the
+  * image header (an `ImageReader` over the byte stream — no pixel
+  * decode), which is the cost profile a 100-TB metadata pass needs;
+  * features and resize decode pixels, the genuinely expensive tier.
+  *
+  * Stateless object: `ImageIO` is a static utility, so there is no
+  * per-executor handle to lazily open — serialization is trivial.
+  */
+object ImageIoDecoder extends MediaDecoder {
+  import java.io.ByteArrayInputStream
+
+  def decodeMeta(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val first = if (bytes.isEmpty) 0L else (bytes(0) & 0xFF).toLong
+    val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "payload is not a decodable image")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        // getNumImages(true) counts frames (GIF animations > 1; PNG/BMP = 1)
+        (bytes.length.toLong, r.getWidth(0).toLong, r.getHeight(0).toLong,
+          r.getNumImages(true).toLong, first)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  private def readPixels(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    img
+  }
+
+  val featureDim = 16
+
+  /** 4×4 mean-luminance grid, row-major, each cell in [0, 1] — the
+    * deterministic classical-CV stand-in for a learned embedding.
+    */
+  def features(bytes: Array[Byte]): Array[Double] = {
+    val img = readPixels(bytes)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Double](featureDim)
+    var cy = 0
+    while (cy < 4) {
+      val y0 = cy * h / 4
+      val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / 4))
+      var cx = 0
+      while (cx < 4) {
+        val x0 = cx * w / 4
+        val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / 4))
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)) / 255.0
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * 4 + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** Halve dimensions and re-encode (PNG) until the payload fits
+    * `maxBytes` or the image is 1×1; best-effort at the floor (a 1×1
+    * PNG is ~70 bytes — below that no image encoding fits).
+    */
+  def resize(bytes: Array[Byte], maxBytes: Int): Array[Byte] = {
+    if (bytes.length <= maxBytes) return bytes
+    var img = readPixels(bytes)
+    var out = bytes
+    while (out.length > maxBytes && (img.getWidth > 1 || img.getHeight > 1)) {
+      val nw = math.max(1, img.getWidth / 2)
+      val nh = math.max(1, img.getHeight / 2)
+      val scaled = new java.awt.image.BufferedImage(nw, nh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", baos)
+      img = scaled
+      out = baos.toByteArray
+    }
+    out
+  }
+}
+
 /** Name -> decoder registry for config-driven pipelines ("decode with
   * codec X" as data, not code). Driver-side: resolve the name HERE and
   * pass the instance into the transform — the closure carries the
@@ -60,7 +157,8 @@ object StubDecoder extends MediaDecoder {
   */
 object MediaDecoders {
   private val registry =
-    scala.collection.concurrent.TrieMap[String, MediaDecoder]("stub" -> StubDecoder)
+    scala.collection.concurrent.TrieMap[String, MediaDecoder](
+      "stub" -> StubDecoder, "imageio" -> ImageIoDecoder)
 
   def register(name: String, decoder: MediaDecoder): Unit = {
     require(name.nonEmpty, "decoder name must be non-empty")

@@ -80,6 +80,61 @@ class MultimodalSpec extends AnyFunSuite {
       MediaDecoders.get("nope")).getMessage.contains("no media decoder"))
   }
 
+  test("the imageio registry decoder decodes real PNG and BMP payloads end to end") {
+    import java.awt.image.BufferedImage
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    // 8x6 image, left half black, right half white
+    def halfAndHalf(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+      img
+    }
+    val png = encode(halfAndHalf(8, 6), "png")
+    val bmp = encode(halfAndHalf(16, 4), "bmp")
+    val df = Seq((1L, png), (2L, bmp)).toDF("doc_id", "payload")
+    val dec = MediaDecoders.get("imageio")
+    // metadata through the registry decoder, via the SAME batched
+    // plumbing the stub uses — real dimensions come back
+    val meta = Multimodal.decodeMeta(df, "doc_id", "payload", dec)
+      .select(col("doc_id"), col("meta.byte_len"), col("meta.width"),
+        col("meta.height"), col("meta.n_frames"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(meta(1L) == ((png.length.toLong, 8L, 6L, 1L)))
+    assert(meta(2L) == ((bmp.length.toLong, 16L, 4L, 1L)))
+    // features: 4x4 luminance grid — left two columns ~0, right two ~1
+    val f = Multimodal.featurize(df.filter(col("doc_id") === 1L),
+        "doc_id", "payload", dec)
+      .head().getSeq[Double](1)
+    assert(f.size == dec.featureDim)
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val v = f(cy * 4 + cx)
+      if (cx < 2) assert(v < 0.05, s"cell ($cy,$cx)=$v should be black")
+      else assert(v > 0.95, s"cell ($cy,$cx)=$v should be white")
+    }
+    // resize: an incompressible (random-noise) PNG shrinks by halving
+    // until it fits, and the result is still a decodable PNG
+    val rnd = new scala.util.Random(1)
+    val noisy = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) noisy.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+    val noisyPng = encode(noisy, "png")
+    val cap = noisyPng.length / 2
+    val resized = Multimodal.resize(Seq((9L, noisyPng)).toDF("doc_id", "payload"),
+        "doc_id", "payload", cap, dec)
+      .head()
+    val outBytes = resized.getAs[Array[Byte]](1)
+    assert(outBytes.length <= cap && resized.getLong(2) == noisyPng.length.toLong)
+    val reread = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(reread != null && reread.getWidth < 64)
+    // non-image bytes fail loudly, not silently
+    intercept[Exception] { dec.decodeMeta("not an image".getBytes) }
+  }
+
   test("frame sampling strides through decoded frame counts") {
     // 20-byte payload => n_frames = 20 % 16 + 1 = 5 => frames 0 and 4
     val df = Multimodal.withPayload(Seq((7L, "x" * 20)).toDF("doc_id", "text"), "text")
