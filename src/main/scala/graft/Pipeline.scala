@@ -226,6 +226,33 @@ object Pipeline {
         graft.pipeline.Text.RepetitionRules(
           topPcts.zipWithIndex.map { case (p, i) => (i + 2, p) },
           dupPcts.zipWithIndex.map { case (p, i) => (i + 5, p) }))
+    case graft.config.TransformConfig.SessionizeStage(keys, ts, gap, tieBreak) =>
+      graft.operators.Sessionize.sessionize(df, keys, ts, gap, tieBreak.map(col))
+    case graft.config.TransformConfig.FunnelStage(key, ts, typ, steps) =>
+      // terminal reshape: whole-corpus conversion curve (step, step_type, n_reached)
+      graft.operators.Funnel.stepCounts(df, key, ts, typ, steps)
+    case graft.config.TransformConfig.RetentionStage(key, ts, bucketDays) =>
+      // terminal reshape: cohort × offset retention grid
+      graft.operators.Retention.cohortRetention(df, key, ts, bucketDays)
+    case graft.config.TransformConfig.Scd2HistoryStage(
+        key, ts, op, upsertOp, deleteOp, valueCols, tieBreak) =>
+      // terminal reshape: CDC log -> versioned dimension history
+      graft.operators.Scd2.buildHistory(df, key, ts, op, upsertOp, deleteOp,
+        valueCols, tieBreak.map(col))
+    case graft.config.TransformConfig.PitEnrichStage(historyPath, key, ts, valueCols) =>
+      graft.operators.Scd2.pointInTime(df,
+        df.sparkSession.read.parquet(historyPath), key, ts, valueCols)
+    case graft.config.TransformConfig.MergeSnapshotStage(snapshotPath, keys, deleteStale) =>
+      // the piped frame is the MERGE source; the persisted snapshot is
+      // the target. Column order aligns to the snapshot's (Merge requires
+      // identical schemas); every non-key column updates from the source
+      val snap = df.sparkSession.read.parquet(snapshotPath)
+      val src = df.select(snap.columns.map(col).toIndexedSeq: _*)
+      val nonKeys = snap.columns.filterNot(keys.contains).toSeq
+      graft.operators.Merge.merge(snap, src, keys,
+        whenMatchedUpdateSet = nonKeys.map(c => c -> graft.operators.Merge.s(c)).toMap,
+        whenNotMatchedInsert = true,
+        whenNotMatchedBySourceDelete = if (deleteStale) Some(lit(true)) else None)
     case graft.config.TransformConfig.SeqPack(id, text, budget, shardWidth) =>
       // terminal reshape: output is the packed-sequence layout
       graft.pipeline.Packing.packGreedy(

@@ -395,6 +395,94 @@ object TransformConfig {
         Some("transform.repetitionFilter: ceilings must be >= 0")
       else None
   }
+  /** Gap-based sessionization — Sessionize.sessionize: adds a
+    * `session_seq` column (1-based session index per key); schema-
+    * EXTENDING. `gap` is a SQL interval body ("30 minutes"); `tieBreak`
+    * columns disambiguate equal timestamps.
+    */
+  final case class SessionizeStage(keys: List[String], tsColumn: String,
+                                   gap: String, tieBreak: List[String])
+      extends TransformConfig {
+    val name = "sessionize"
+    def check: Option[String] =
+      if (keys.isEmpty) Some("transform.sessionize.keys required")
+      else if (gap.isEmpty) Some("transform.sessionize.gap required")
+      else None
+  }
+  /** Funnel conversion curve — Funnel.stepCounts: TERMINAL reshape;
+    * output is one row per step `(step, step_type, n_reached)`, not the
+    * input schema — place last (it is a whole-corpus summary).
+    */
+  final case class FunnelStage(keyColumn: String, tsColumn: String,
+                               typeColumn: String, steps: List[String])
+      extends TransformConfig {
+    val name = "funnel"
+    def check: Option[String] =
+      if (steps.isEmpty) Some("transform.funnel.steps required")
+      else if (steps.distinct.size != steps.size)
+        Some("transform.funnel.steps has a duplicate step")
+      else None
+  }
+  /** Cohort retention — Retention.cohortRetention: TERMINAL reshape to
+    * `(cohort_bucket, bucket_offset, n_active, cohort_size)` rows.
+    */
+  final case class RetentionStage(keyColumn: String, tsColumn: String,
+                                  bucketDays: Int)
+      extends TransformConfig {
+    val name = "retention"
+    def check: Option[String] =
+      if (bucketDays < 1) Some("transform.retention.bucketDays must be >= 1")
+      else None
+  }
+  /** SCD2 history build — Scd2.buildHistory over an upsert/delete log:
+    * TERMINAL reshape to versioned rows `(key, values..., valid_from,
+    * valid_to, is_current)` — the stage that turns a CDC log into a
+    * queryable dimension history (write it, then `pitEnrich` against it).
+    */
+  final case class Scd2HistoryStage(keyColumn: String, tsColumn: String,
+                                    opColumn: String, upsertOp: String,
+                                    deleteOp: String, valueColumns: List[String],
+                                    tieBreak: List[String])
+      extends TransformConfig {
+    val name = "scd2History"
+    def check: Option[String] =
+      if (valueColumns.isEmpty) Some("transform.scd2History.valueColumns required")
+      else if (upsertOp == deleteOp)
+        Some("transform.scd2History upsertOp and deleteOp must differ")
+      else None
+  }
+  /** Point-in-time enrichment — Scd2.pointInTime: the piped frame is the
+    * FACT table; `historyPath` holds a persisted `scd2History` output
+    * (parquet). Schema-EXTENDING: adds `pit_<value>` columns, NULL when
+    * the key's version had expired (deleted) before the fact — the
+    * leakage-safe feature-store join.
+    */
+  final case class PitEnrichStage(historyPath: String, keyColumn: String,
+                                  tsColumn: String, valueColumns: List[String])
+      extends TransformConfig {
+    val name = "pitEnrich"
+    def check: Option[String] =
+      if (historyPath.isEmpty) Some("transform.pitEnrich.historyPath required")
+      else if (valueColumns.isEmpty) Some("transform.pitEnrich.valueColumns required")
+      else None
+  }
+  /** Snapshot merge — Merge.merge with the piped frame as SOURCE and the
+    * parquet at `snapshotPath` as TARGET: matched keys take the source
+    * row (update), unmatched source keys insert, and target-only keys
+    * are deleted when `deleteStale` (full snapshot sync) or kept (pure
+    * upsert). Output is the NEW snapshot frame (target schema) — write
+    * it to the next snapshot path, never in place over `snapshotPath`
+    * (the plan reads it lazily). Source must be unique per key.
+    */
+  final case class MergeSnapshotStage(snapshotPath: String, keys: List[String],
+                                      deleteStale: Boolean)
+      extends TransformConfig {
+    val name = "mergeSnapshot"
+    def check: Option[String] =
+      if (snapshotPath.isEmpty) Some("transform.mergeSnapshot.snapshotPath required")
+      else if (keys.isEmpty) Some("transform.mergeSnapshot.keys required")
+      else None
+  }
   /** Greedy sequence packing — Packing.packGreedy over token counts
     * derived from `textColumn`. TERMINAL reshape: unlike the other
     * stages the OUTPUT schema is the packed-sequence layout
@@ -615,6 +703,20 @@ object PipelineConfig {
       "transform.gopherFilter.maxTopTokenPct",
       "transform.repetitionFilter.textColumn",
       "transform.repetitionFilter.topPcts", "transform.repetitionFilter.dupPcts",
+      "transform.sessionize.keys", "transform.sessionize.tsColumn",
+      "transform.sessionize.gap", "transform.sessionize.tieBreak",
+      "transform.funnel.keyColumn", "transform.funnel.tsColumn",
+      "transform.funnel.typeColumn", "transform.funnel.steps",
+      "transform.retention.keyColumn", "transform.retention.tsColumn",
+      "transform.retention.bucketDays",
+      "transform.scd2History.keyColumn", "transform.scd2History.tsColumn",
+      "transform.scd2History.opColumn", "transform.scd2History.upsertOp",
+      "transform.scd2History.deleteOp", "transform.scd2History.valueColumns",
+      "transform.scd2History.tieBreak",
+      "transform.pitEnrich.historyPath", "transform.pitEnrich.keyColumn",
+      "transform.pitEnrich.tsColumn", "transform.pitEnrich.valueColumns",
+      "transform.mergeSnapshot.snapshotPath", "transform.mergeSnapshot.keys",
+      "transform.mergeSnapshot.deleteStale",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
@@ -1005,6 +1107,65 @@ object PipelineConfig {
             top <- pcts("topPcts", List(20L, 18L, 16L))
             dup <- pcts("dupPcts", List(15L, 14L, 13L, 12L, 11L, 10L))
           } yield TransformConfig.RepetitionFilter(text, top, dup)
+        case "sessionize" =>
+          for {
+            ts <- map.get("transform.sessionize.tsColumn")
+              .toRight("transform.sessionize.tsColumn required")
+            gap <- map.get("transform.sessionize.gap")
+              .toRight("transform.sessionize.gap required")
+          } yield TransformConfig.SessionizeStage(
+            list("transform.sessionize.keys"), ts, gap,
+            list("transform.sessionize.tieBreak"))
+        case "funnel" =>
+          for {
+            key <- map.get("transform.funnel.keyColumn")
+              .toRight("transform.funnel.keyColumn required")
+            ts <- map.get("transform.funnel.tsColumn")
+              .toRight("transform.funnel.tsColumn required")
+            typ <- map.get("transform.funnel.typeColumn")
+              .toRight("transform.funnel.typeColumn required")
+          } yield TransformConfig.FunnelStage(key, ts, typ,
+            list("transform.funnel.steps"))
+        case "retention" =>
+          for {
+            key <- map.get("transform.retention.keyColumn")
+              .toRight("transform.retention.keyColumn required")
+            ts <- map.get("transform.retention.tsColumn")
+              .toRight("transform.retention.tsColumn required")
+            bd <- map.getOrElse("transform.retention.bucketDays", "7")
+              .toIntOption.toRight("transform.retention.bucketDays not an int")
+          } yield TransformConfig.RetentionStage(key, ts, bd)
+        case "scd2History" =>
+          for {
+            key <- map.get("transform.scd2History.keyColumn")
+              .toRight("transform.scd2History.keyColumn required")
+            ts <- map.get("transform.scd2History.tsColumn")
+              .toRight("transform.scd2History.tsColumn required")
+            op <- map.get("transform.scd2History.opColumn")
+              .toRight("transform.scd2History.opColumn required")
+          } yield TransformConfig.Scd2HistoryStage(key, ts, op,
+            map.getOrElse("transform.scd2History.upsertOp", "upsert"),
+            map.getOrElse("transform.scd2History.deleteOp", "delete"),
+            list("transform.scd2History.valueColumns"),
+            list("transform.scd2History.tieBreak"))
+        case "pitEnrich" =>
+          for {
+            hp <- map.get("transform.pitEnrich.historyPath")
+              .toRight("transform.pitEnrich.historyPath required")
+            key <- map.get("transform.pitEnrich.keyColumn")
+              .toRight("transform.pitEnrich.keyColumn required")
+            ts <- map.get("transform.pitEnrich.tsColumn")
+              .toRight("transform.pitEnrich.tsColumn required")
+          } yield TransformConfig.PitEnrichStage(hp, key, ts,
+            list("transform.pitEnrich.valueColumns"))
+        case "mergeSnapshot" =>
+          for {
+            sp <- map.get("transform.mergeSnapshot.snapshotPath")
+              .toRight("transform.mergeSnapshot.snapshotPath required")
+            ds <- map.getOrElse("transform.mergeSnapshot.deleteStale", "false")
+              .toBooleanOption.toRight("transform.mergeSnapshot.deleteStale not a boolean")
+          } yield TransformConfig.MergeSnapshotStage(sp,
+            list("transform.mergeSnapshot.keys"), ds)
         case "seqPack" =>
           for {
             id <- map.get("transform.seqPack.idColumn")
