@@ -47,7 +47,7 @@ object CdcApply {
     * a real deployment points `applyBatch` at an upsert-capable sink and
     * keeps the same merge logic.
     */
-  private def mergeBatchIntoParquet(batch: DataFrame, targetPath: String,
+  private[streaming] def mergeBatchIntoParquet(batch: DataFrame, targetPath: String,
                                     changesSchema: org.apache.spark.sql.types.StructType,
                                     pk: Seq[String], opCol: String,
                                     orderCols: DataFrame => Seq[org.apache.spark.sql.Column]): Unit = {
