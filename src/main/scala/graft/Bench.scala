@@ -74,57 +74,14 @@ object Bench {
     // workload, not plan overhead. Real crawl corpora are far sparser;
     // on saturation like this, switch the pipeline to lshStarEdges
     // (O(members) edges per bucket) when all-pairs output isn't needed.
-    benchScenario("full_neardup", spark, sfDir, "documents") { (s, dir) =>
-      import org.apache.spark.sql.functions.col
-      val docs = Tables.load(s, dir, "documents")
-      val sh = docs.select(col("doc_id"), pipeline.Dedup.shingles("text", 1).as("sh"))
-        .withColumn("sig", pipeline.Dedup.minHashSignature(col("sh"), numHashes = 64))
-        .localCheckpoint()
-      val candidates = pipeline.Dedup
-        .lshCandidatesWeighted(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
-        .filter(col("matching_bands") >= 4).select("id_a", "id_b")
-      val estimated = pipeline.Dedup.estimateJaccard(candidates, sh, "doc_id", "sig")
-        .filter(col("matching_hashes") >= 46).select("id_a", "id_b")
-      val verified = pipeline.Dedup.verifyJaccard(estimated, sh, "doc_id", "sh", 9, 10)
-        .select("id_a", "id_b").localCheckpoint()
-      val labels = pipeline.Dedup
-        .clusterRepresentatives(docs, verified, "doc_id").localCheckpoint()
-      val la = labels.withColumnRenamed("id", "id_a").withColumnRenamed("rep", "rep_a")
-      val lb = labels.withColumnRenamed("id", "id_b").withColumnRenamed("rep", "rep_b")
-      val crossCluster = verified.join(la, "id_a").join(lb, "id_b")
-        .filter(col("rep_a") =!= col("rep_b")).count()
-      require(crossCluster == 0,
-        s"$crossCluster verified pairs span two clusters — labels are not a closure")
-      val nonRoot = labels.as("a")
-        .join(labels.as("b"), col("a.rep") === col("b.id"))
-        .filter(col("b.rep") =!= col("b.id")).count()
-      require(nonRoot == 0, s"$nonRoot labels point at a non-root — not idempotent")
-      labels.count()
-    }
+    benchScenario("full_neardup", spark, sfDir, "documents")(fullNeardup _)
     // full curation pipeline as ONE chained plan: quality filter ->
     // language filter -> exact dedup -> per-source cap -> token packing
     // -> split labelling. The shape a training-data run actually
     // executes: each stage consumes the previous DataFrame lazily, so
     // Catalyst fuses the scan+filter stages and the only shuffles are
     // the dedup groupBy, the cap windows, and the packing repartition.
-    benchScenario("corpus_pipeline", spark, sfDir, "documents") { (s, dir) =>
-      import org.apache.spark.sql.functions._
-      val docs = Tables.load(s, dir, "documents")
-      val kept = docs
-        .filter(col("n_chars") >= 200 && col("lang").isin("en", "fr", "de"))
-      val deduped = pipeline.Dedup.exactGroups(kept, col("text"), "doc_id")
-        .select(col("keep_id").as("doc_id")).join(kept, "doc_id")
-      val capped = operators.Sampling.capPerGroup(
-        deduped, Seq("source"),
-        Seq(md5(col("text").cast("binary")), col("doc_id")), k = 1000)
-      val packed = pipeline.Packing.packGreedy(
-        capped.select(col("doc_id"),
-          pipeline.Text.tokenCount(col("text")).cast("long").as("n_tok")),
-        "doc_id", "n_tok", budget = 2048, shardWidth = 1000)
-      val split = operators.Sampling.split(
-        packed, "seq_id", Seq("train" -> 98, "val" -> 1, "test" -> 1), 100)
-      split.count()
-    }
+    benchScenario("corpus_pipeline", spark, sfDir, "documents")(corpusPipeline _)
     // data-layout scenario: z-cluster lineitem on (partkey, suppkey),
     // write, then run a second-dimension point-predicate read over the
     // clustered files (the scan the layout exists to accelerate)
@@ -242,6 +199,62 @@ object Bench {
       System.err.println(s"[bench] spark.stop failed: $e")
     }
     println(out)
+  }
+
+  /** FULL-corpus near-dup tier (no doc_id bound) + the two
+    * self-consistency invariants an oracle can't reach at this size:
+    * (a) both endpoints of every verified pair land in the same
+    * cluster, (b) labels are idempotent. Shared with ScaleBench.
+    */
+  def fullNeardup(s: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(s, dir, "documents")
+    val sh = docs.select(col("doc_id"), pipeline.Dedup.shingles("text", 1).as("sh"))
+      .withColumn("sig", pipeline.Dedup.minHashSignature(col("sh"), numHashes = 64))
+      .localCheckpoint()
+    val candidates = pipeline.Dedup
+      .lshCandidatesWeighted(sh, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .filter(col("matching_bands") >= 4).select("id_a", "id_b")
+    val estimated = pipeline.Dedup.estimateJaccard(candidates, sh, "doc_id", "sig")
+      .filter(col("matching_hashes") >= 46).select("id_a", "id_b")
+    val verified = pipeline.Dedup.verifyJaccard(estimated, sh, "doc_id", "sh", 9, 10)
+      .select("id_a", "id_b").localCheckpoint()
+    val labels = pipeline.Dedup
+      .clusterRepresentatives(docs, verified, "doc_id").localCheckpoint()
+    val la = labels.withColumnRenamed("id", "id_a").withColumnRenamed("rep", "rep_a")
+    val lb = labels.withColumnRenamed("id", "id_b").withColumnRenamed("rep", "rep_b")
+    val crossCluster = verified.join(la, "id_a").join(lb, "id_b")
+      .filter(col("rep_a") =!= col("rep_b")).count()
+    require(crossCluster == 0,
+      s"$crossCluster verified pairs span two clusters — labels are not a closure")
+    val nonRoot = labels.as("a")
+      .join(labels.as("b"), col("a.rep") === col("b.id"))
+      .filter(col("b.rep") =!= col("b.id")).count()
+    require(nonRoot == 0, s"$nonRoot labels point at a non-root — not idempotent")
+    labels.count()
+  }
+
+  /** Full curation pipeline as ONE chained plan: quality filter ->
+    * language filter -> exact dedup -> per-source cap -> token packing
+    * -> split labelling. Shared with ScaleBench.
+    */
+  def corpusPipeline(s: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(s, dir, "documents")
+    val kept = docs
+      .filter(col("n_chars") >= 200 && col("lang").isin("en", "fr", "de"))
+    val deduped = pipeline.Dedup.exactGroups(kept, col("text"), "doc_id")
+      .select(col("keep_id").as("doc_id")).join(kept, "doc_id")
+    val capped = operators.Sampling.capPerGroup(
+      deduped, Seq("source"),
+      Seq(md5(col("text").cast("binary")), col("doc_id")), k = 1000)
+    val packed = pipeline.Packing.packGreedy(
+      capped.select(col("doc_id"),
+        pipeline.Text.tokenCount(col("text")).cast("long").as("n_tok")),
+      "doc_id", "n_tok", budget = 2048, shardWidth = 1000)
+    val split = operators.Sampling.split(
+      packed, "seq_id", Seq("train" -> 98, "val" -> 1, "test" -> 1), 100)
+    split.count()
   }
 
   private def minOf3(work: () => Double): Double =

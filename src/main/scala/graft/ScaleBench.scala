@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Synthetic scale sweep: amplify the largest fixture (sf0.1) by an
+  * integer factor and time the heaviest workloads at BOTH sizes, so the
+  * "plans survive 100×" argument is a measured growth ratio instead of
+  * plan-shape reasoning. Prints one JSON line
+  * `{"factor":F,"workloads":{name:{"base_sec":b,"scaled_sec":s,"ratio":r}},…}`.
+  *
+  * Amplification model (union-with-id-offset ×F):
+  *  - fact tables (lineitem, orders, events, documents, embeddings) get
+  *    F copies with key columns offset by copy·10⁹ — copy 0 is the
+  *    original, so fixed query sets pin to `key < 10⁹`;
+  *  - dimension tables stay single-copy (facts grow, dims don't — the
+  *    realistic 100-TB shape);
+  *  - document TEXT is salted per copy (every token suffixed `_c<k>`),
+  *    giving each copy a disjoint shingle universe: near-dup density
+  *    per document stays CONSTANT as the corpus grows (F independent
+  *    corpora side by side — sharded crawl snapshots), so a dedup
+  *    workload growing superlinearly indicts the PLAN, not a workload
+  *    that is inherently quadratic in the duplication factor.
+  *
+  * Top-k / refinement workloads follow the "corpus grows, query batch
+  * fixed" model — their cost model at 100 TB (a bounded query batch
+  * against an ever-growing corpus), and the shape under which linear
+  * growth is the correct expectation.
+  */
+object ScaleBench {
+
+  private val Off = 1000000000L
+
+  def amplify(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.load(spark, baseDir, name)
+      write((0 until factor).map(k => f(base, k)).reduce(_.unionByName(_)), name)
+    }
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(Tables.load(spark, baseDir, dim), dim)
+    def shift(c: String, k: Int) = col(c) + lit(k * Off)
+    copies("lineitem")((df, k) => df.withColumn("l_orderkey", shift("l_orderkey", k)))
+    copies("orders")((df, k) => df.withColumn("o_orderkey", shift("o_orderkey", k)))
+    copies("events")((df, k) => df
+      .withColumn("event_id", shift("event_id", k))
+      .withColumn("user_id", shift("user_id", k)))
+    copies("embeddings")((df, k) => df.withColumn("vec_id", shift("vec_id", k)))
+    copies("documents")((df, k) => df
+      .withColumn("doc_id", shift("doc_id", k))
+      .withColumn("text",
+        if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1_c" + k)))
+  }
+
+  /** The sweep workloads: whole-corpus scans/joins uncapped; top-k and
+    * decontamination query sets pinned to copy 0 (`< 10⁹`).
+    */
+  def workloads: Seq[(String, (SparkSession, String) => Long)] = Seq(
+    "full_neardup" -> (Bench.fullNeardup _),
+    "corpus_pipeline" -> (Bench.corpusPipeline _),
+    "hamming_topk" -> { (s, dir) =>
+      val sigs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), pipeline.Dedup.simHashPortableExpr("text").as("sig"))
+      pipeline.Dedup.hammingTopK(
+        sigs.filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < Off),
+        sigs, "doc_id", "sig", k = 5).count()
+    },
+    "edit_verify" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cands = pipeline.Dedup.gramCandidates(docs, "doc_id", "text", k = 6,
+        minShared = 10L, hashGrams = false).select("id_a", "id_b")
+      pipeline.Dedup.editVerify(cands, docs, "doc_id", "text", maxDist = 6).count()
+    },
+    "bloom_decontaminate" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      pipeline.Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", 5, expectedGrams = 1000000L, fpp = 0.01).count()
+    },
+    "knn_eval" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      pipeline.Similarity.knnEval(
+        emb.filter(pmod(col("vec_id"), lit(20)) === 0 && col("vec_id") < Off),
+        emb, "vec_id", "embedding", "label", k = 5).count()
+    },
+    "sim_ivf" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = pipeline.Ivf.train(emb, "vec_id", "embedding", k = 10, iters = 3)
+      val indexed = pipeline.Ivf.index(emb, "vec_id", "embedding", model)
+      pipeline.Ivf.topK(emb.filter(col("vec_id") < 10), indexed, "vec_id",
+        "embedding", model, k = 5, nProbe = 4).count()
+    },
+    "quality_filter" -> { (s, dir) =>
+      pipeline.Text.qualityFilter(Tables.load(s, dir, "documents"), "text",
+        minScore = 4750L).count()
+    },
+    "explode_cells" -> ((s, dir) => SparkEntry.queries("q_explode_cells")(s, dir).count()),
+    "hash_refine" -> ((s, dir) => SparkEntry.queries("q_hash_refine")(s, dir).count()),
+    "asof_native" -> ((s, dir) => SparkEntry.queries("q_asof_native")(s, dir).count()),
+    "sessionize" -> ((s, dir) => SparkEntry.queries("q_sessionize")(s, dir).count()))
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.session("graft-scale", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val marker = new java.io.File(s"$workDir/_AMPLIFIED_$factor")
+    if (!marker.exists()) {
+      System.err.println(s"[scale] amplifying $baseDir x$factor -> $workDir")
+      amplify(spark, baseDir, workDir, factor)
+      marker.getParentFile.mkdirs(); marker.createNewFile(); ()
+    }
+
+    def release(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    def time(fn: (SparkSession, String) => Long, dir: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, dir); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case NonFatal(e) =>
+        System.err.println(s"[scale] failed on $dir: $e"); None
+      } finally release()
+    }
+
+    val rows = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    for (tbl <- Seq("lineitem", "events", "documents", "embeddings"))
+      rows(tbl) = (Tables.load(spark, baseDir, tbl).count(),
+        Tables.load(spark, workDir, tbl).count())
+
+    // min-of-2 at each size (first run eats codegen compilation; the
+    // min reflects the plan), base and scaled back-to-back per workload
+    // so co-tenant drift hits both sides of a ratio equally
+    val results = workloads.flatMap { case (name, fn) =>
+      System.err.println(s"[scale] $name")
+      val base = Seq(time(fn, baseDir), time(fn, baseDir)).flatten
+      val scaled = Seq(time(fn, workDir), time(fn, workDir)).flatten
+      if (base.isEmpty || scaled.isEmpty) None
+      else Some(name -> (base.min, scaled.min))
+    }
+
+    def fmt(v: Double) = f"$v%.3f"
+    val wl = results.map { case (name, (b, sc)) =>
+      s""""$name":{"base_sec":${fmt(b)},"scaled_sec":${fmt(sc)},"ratio":${fmt(sc / b)}}"""
+    }.mkString("{", ",", "}")
+    val rj = rows.map { case (tb, (b, sc)) => s""""$tb":[$b,$sc]""" }.mkString("{", ",", "}")
+    println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl}""")
+    spark.stop()
+  }
+}

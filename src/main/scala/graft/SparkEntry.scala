@@ -1299,6 +1299,69 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable quantile sketches: per-(type, day) KLL partials merged
+    * per type — the any-range percentile answer from stored artifacts;
+    * gated on the rank-error envelope (k=200 → ~1.65%, asserted 3%)
+    * plus the sketch's EXACT n, both cross-checked against exact
+    * aggregates computed in the same plan.
+    */
+  private def qKllQuantiles(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val parts = graft.functions.KllSketches.partials(
+      ev.withColumn("day", to_date(col("ts"))), Seq("event_type", "day"), "value")
+    val est = graft.functions.KllSketches
+      .mergeQuantiles(parts, Seq("event_type"), Seq(0.5, 0.9))
+      .select(col("event_type"), col("n").as("n_sk"),
+        element_at(col("q_est"), 1).as("p50"), element_at(col("q_est"), 2).as("p90"))
+    val ranks = ev.join(est, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+        count(lit(1)).as("n"))
+    est.join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        (col("n_sk") === col("n")).as("n_sketch_exact"),
+        (abs(col("le50").cast("double") / col("n") - 0.5) <= 0.03).as("p50_in_bound"),
+        (abs(col("le90").cast("double") / col("n") - 0.9) <= 0.03).as("p90_in_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Theta-sketch set algebra over stored per-(type, day) artifacts:
+    * distinct-user overlap and difference between click and purchase
+    * audiences — the intersection/difference HLL cannot answer — gated
+    * within 2% of exact flag-aggregates computed in the same plan.
+    */
+  private def qThetaOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ThetaSketches
+    val ev = t(s, d, "events")
+    val parts = ThetaSketches.partials(
+      ev.withColumn("day", to_date(col("ts"))), Seq("event_type", "day"), "user_id")
+    val byType = ThetaSketches.mergeSketch(parts, Seq("event_type"))
+    val sa = byType.filter(col("event_type") === "click")
+      .select(col("theta_sketch").as("sa"))
+    val sb = byType.filter(col("event_type") === "purchase")
+      .select(col("theta_sketch").as("sb"))
+    val ests = sa.crossJoin(sb).select(
+      ThetaSketches.estimate(col("sa")).as("est_click"),
+      ThetaSketches.estimate(ThetaSketches.intersect(col("sa"), col("sb"))).as("est_both"),
+      ThetaSketches.estimate(ThetaSketches.aNotB(col("sb"), col("sa"))).as("est_new"))
+    val exact = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .agg(sum(col("c")).as("n_click"), sum(col("p")).as("n_purchase"),
+        sum(col("c") * col("p")).as("n_both"),
+        sum(col("p") * (lit(1L) - col("c"))).as("n_new_purchasers"))
+    exact.crossJoin(ests).select(
+      col("n_click"), col("n_purchase"), col("n_both"), col("n_new_purchasers"),
+      (abs(col("est_click") - col("n_click")) <=
+        col("n_click").cast("double") * 0.02).as("within_2pct_click"),
+      (abs(col("est_both") - col("n_both")) <=
+        col("n_both").cast("double") * 0.02).as("within_2pct_both"),
+      (abs(col("est_new") - col("n_new_purchasers")) <=
+        col("n_new_purchasers").cast("double") * 0.02).as("within_2pct_new"))
+  }
+
   /** 6-hour-grid resampling of purchase values with forward fill: the
     * generated-grid LOCF operator (span aggregate → sequence explode →
     * two key windows; see Resample scaladoc).
@@ -1795,6 +1858,8 @@ object SparkEntry {
     "q_merge_sync" -> (qMergeSync _),
     "q_pit_join" -> (qPitJoin _),
     "q_hll_merge" -> (qHllMerge _),
+    "q_kll_quantiles" -> (qKllQuantiles _),
+    "q_theta_overlap" -> (qThetaOverlap _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -2446,6 +2511,24 @@ object SparkEntry {
       ("SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact, " +
         "TRUE AS within_2pct FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // KLL contract: n is the sketch's EXACT stream length; the TRUE
+    // booleans only match if the estimates land inside the rank bound
+    "q_kll_quantiles" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "TRUE AS n_sketch_exact, TRUE AS p50_in_bound, TRUE AS p90_in_bound " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // theta set-algebra contract: exact audience counts from the flag
+    // aggregate; TRUE booleans require the sketch estimates within 2%
+    "q_theta_overlap" ->
+      ("WITH f AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p " +
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY user_id) " +
+        "SELECT CAST(sum(c) AS BIGINT) AS n_click, CAST(sum(p) AS BIGINT) AS n_purchase, " +
+        "CAST(sum(c * p) AS BIGINT) AS n_both, CAST(sum(p * (1 - c)) AS BIGINT) AS n_new_purchasers, " +
+        "TRUE AS within_2pct_click, TRUE AS within_2pct_both, TRUE AS within_2pct_new FROM f"),
 
     "q_resample" ->
       ("WITH obs AS (SELECT user_id, event_id, ts, value, " +
