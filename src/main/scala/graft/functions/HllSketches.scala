@@ -46,4 +46,14 @@ object HllSketches {
     partials.groupBy(by.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
         .as("n_distinct_est"))
+
+  /** Union stored sketch rows up to a coarser grouping, keeping the
+    * RESULT a sketch (`by..., hll_sketch BINARY`) — the rollup form for
+    * artifact maintenance (incremental stores re-merge per batch; only
+    * the final read calls [[mergeEstimate]]).
+    */
+  def mergeSketch(partials: DataFrame, by: Seq[String],
+                  sketchCol: String = "hll_sketch"): DataFrame =
+    partials.groupBy(by.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol), lit(false)).as("hll_sketch"))
 }

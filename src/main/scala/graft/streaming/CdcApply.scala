@@ -51,35 +51,10 @@ object CdcApply {
                                     changesSchema: org.apache.spark.sql.types.StructType,
                                     pk: Seq[String], opCol: String,
                                     orderCols: DataFrame => Seq[org.apache.spark.sql.Column]): Unit = {
-    val sess = batch.sparkSession
-    val dst = new org.apache.hadoop.fs.Path(targetPath)
-    val fs = dst.getFileSystem(sess.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
-    // crash recovery FIRST: a death between the rename-aside and the
-    // swap below leaves dst missing but dst__old intact — restore it
-    // before reading state, or the batch replay would start from
-    // empty and the cleanup would delete the only surviving copy
-    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
-    // only a genuinely-absent target starts from empty state; any
-    // other read failure (corrupt footer, transient IO) fails the
-    // batch loudly instead of silently resetting accumulated state
-    val current =
-      if (fs.exists(dst)) sess.read.parquet(targetPath)
-      else sess.createDataFrame(
-        sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(
-          changesSchema.filterNot(_.name == opCol)))
-    val merged = applyBatch(current, batch, pk, opCol, orderCols(batch))
-    // write to tmp, rename old target aside, then swap: a crash at
-    // any point leaves either dst or dst__old intact (recoverable),
-    // never a window where the accumulated state is simply gone
-    val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(tmp, dst)
-    fs.delete(old, true)
-    ()
+    val current = SwapStore.readCurrent(batch.sparkSession, targetPath,
+      org.apache.spark.sql.types.StructType(changesSchema.filterNot(_.name == opCol)))
+    SwapStore.swapWrite(
+      applyBatch(current, batch, pk, opCol, orderCols(batch)), targetPath)
   }
 
   /** Continuous apply: parquet-file change feed → foreachBatch merge into

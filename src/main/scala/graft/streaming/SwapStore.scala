@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Crash-safe read-modify-swap for a small parquet state table (the
+  * CDC target / artifact-store write discipline, factored out of
+  * CdcApply): write the new state to `<path>__tmp`, rename the live
+  * copy aside to `<path>__old`, swap tmp in, drop old. A crash at any
+  * point leaves either `<path>` or `<path>__old` intact — recoverable,
+  * never a window where accumulated state is simply gone.
+  */
+private[streaming] object SwapStore {
+
+  /** Current state, with crash recovery FIRST: a death between the
+    * rename-aside and the swap leaves dst missing but dst__old intact —
+    * restore it before reading, or a replay would start from empty and
+    * the cleanup would delete the only surviving copy. Only a genuinely
+    * absent target starts from `emptySchema`; any other read failure
+    * (corrupt footer, transient IO) fails loudly instead of silently
+    * resetting accumulated state.
+    */
+  def readCurrent(sess: SparkSession, path: String, emptySchema: StructType): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    if (fs.exists(dst)) sess.read.parquet(path)
+    else sess.createDataFrame(
+      sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+  }
+
+  def swapWrite(merged: DataFrame, path: String): Unit = {
+    val sess = merged.sparkSession
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
+    ()
+  }
+}

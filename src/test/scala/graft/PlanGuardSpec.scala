@@ -45,9 +45,12 @@ class PlanGuardSpec extends AnyFunSuite {
                          // knnEval): scalar scale row + broadcast query code set
     "q_vocab_coverage",  // 1-row corpus-total aggregate broadcast onto the
                          // (checkpoint-count)-row coverage frame
-    "q_sem_decon")       // broadcast anti join against the bounded reference
+    "q_sem_decon",       // broadcast anti join against the bounded reference
                          // (eval-set) code rows + the 1-row scale scalar —
                          // same bounded shape as q_int8_topk
+    "q_theta_overlap")   // scalar-row cross joins only: the click and purchase
+                         // sketch frames are ONE row each (post-aggregation),
+                         // as is the exact flag-aggregate row — 1×1 joins
 
   test("no gate query plans an unlisted cartesian/nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
