@@ -270,7 +270,7 @@ object Pipeline {
     val v = cfg.validation.getOrElse(
       throw new IllegalArgumentException("repair requires a validation block"))
     val targetPath = cfg.target match {
-      case TargetConfig.Parquet(p, _, _, _, _, _, _) => p
+      case p: TargetConfig.Parquet => p.path
       case other => throw new IllegalArgumentException(s"unsupported repair target: $other")
     }
     val src = transform(read(spark, cfg), cfg)
@@ -316,7 +316,7 @@ object Pipeline {
   }
 
   def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
-    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords, globalSortBy) =>
+    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords, globalSortBy, _) =>
       // sortWithinPartitions clusters each output file on the sort key:
       // parquet min/max row-group stats then let downstream scans skip
       // row groups on those columns (data-skipping without a shuffle).
@@ -378,14 +378,24 @@ object Pipeline {
       }
     } finally manager.foreach(_.close())
 
+    // write-time stats: build the file-level min/max index ONCE after
+    // the whole copy (not per batch — build() groups the entire
+    // directory by file, so a per-batch rebuild would be quadratic)
+    cfg.target match {
+      case p: TargetConfig.Parquet if p.statsIndexColumns.nonEmpty =>
+        graft.sources.FileStatsIndex.buildAndSave(spark, p.path, p.statsIndexColumns)
+        ()
+      case _ => ()
+    }
+
     val validation = (cfg.validation, cfg.target) match {
-      case (Some(v), TargetConfig.Parquet(path, _, _, _, _, _, _)) =>
+      case (Some(v), pt: TargetConfig.Parquet) =>
         // validate against the FULL source: skipFiles marks files already
         // copied by a previous run — their rows ARE in the target, so a
         // skipping read would misreport them as extra_target on a correct
         // resumed copy (and throw if every file was already copied)
         val src = transform(read(spark, cfg.copy(skipFiles = Set.empty)), cfg)
-        val tgt = spark.read.parquet(path)
+        val tgt = spark.read.parquet(pt.path)
         Some(Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)
           .filter(col("diff_kind") =!= "match")
           .limit(v.failuresToFetch))

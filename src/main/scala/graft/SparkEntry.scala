@@ -1299,6 +1299,36 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** File-level stats-index pruning: copy lineitem range-clustered on
+    * the key, build the min/max index, then answer a key-range
+    * aggregate through the PRUNED read — the plan never opens the
+    * files the index rules out (require() asserts real skipping).
+    * Result must equal the unpruned filter bit-for-bit.
+    */
+  private def qStatsPrune(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{FileStatsIndex, ParquetSource}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stats-prune")
+      .resolve("li").toString
+    t(s, d, "lineitem")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(tmp)
+    val stats = s.read.parquet(FileStatsIndex.buildAndSave(s, tmp, Seq("l_orderkey")))
+    val preds = Seq(FileStatsIndex.Between("l_orderkey", 100L, 1200L))
+    val total = ParquetSource
+      .listParquetFiles(tmp, s.sparkContext.hadoopConfiguration)
+      .count(!_.contains("_stats"))
+    val survivors = FileStatsIndex.survivingFiles(s, tmp, stats, preds)
+    require(survivors.size < total,
+      s"stats index skipped nothing: ${survivors.size} of $total files survive")
+    FileStatsIndex.readPruned(s, tmp, stats, preds,
+        col("l_orderkey").between(100L, 1200L))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Mergeable quantile sketches: per-(type, day) KLL partials merged
     * per type — the any-range percentile answer from stored artifacts;
     * gated on the rank-error envelope (k=200 → ~1.65%, asserted 3%)
@@ -1860,6 +1890,7 @@ object SparkEntry {
     "q_hll_merge" -> (qHllMerge _),
     "q_kll_quantiles" -> (qKllQuantiles _),
     "q_theta_overlap" -> (qThetaOverlap _),
+    "q_stats_prune" -> (qStatsPrune _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -2529,6 +2560,14 @@ object SparkEntry {
         "SELECT CAST(sum(c) AS BIGINT) AS n_click, CAST(sum(p) AS BIGINT) AS n_purchase, " +
         "CAST(sum(c * p) AS BIGINT) AS n_both, CAST(sum(p * (1 - c)) AS BIGINT) AS n_new_purchasers, " +
         "TRUE AS within_2pct_click, TRUE AS within_2pct_both, TRUE AS within_2pct_new FROM f"),
+
+    // pruned read must equal the plain filtered aggregate — skipping is
+    // an optimization, never a semantics change
+    "q_stats_prune" ->
+      ("SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 100 AND 1200 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_resample" ->
       ("WITH obs AS (SELECT user_id, event_id, ts, value, " +

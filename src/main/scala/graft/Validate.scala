@@ -35,7 +35,7 @@ object Validate {
       System.err.println("[validate] config has no validation block"); sys.exit(2)
     }
     val targetPath = cfg.target match {
-      case TargetConfig.Parquet(p, _, _, _, _, _, _) => p
+      case p: TargetConfig.Parquet => p.path
       case other =>
         System.err.println(s"[validate] unsupported validation target: $other"); sys.exit(2)
     }

@@ -49,10 +49,12 @@ final case class PipelineConfig(
           s"columns=${o.columns})"
     }
     def tgt = target match {
-      case TargetConfig.Parquet(p, m, c, pb, sb, mr, gsb) =>
-        s"parquet(path=$p, mode=$m, compression=$c, partitionBy=$pb, sortBy=$sb" +
-          (if (mr > 0) s", maxRecordsPerFile=$mr" else "") +
-          (if (gsb.nonEmpty) s", globalSortBy=$gsb" else "") + ")"
+      case t: TargetConfig.Parquet =>
+        s"parquet(path=${t.path}, mode=${t.mode}, compression=${t.compression}, " +
+          s"partitionBy=${t.partitionBy}, sortBy=${t.sortBy}" +
+          (if (t.maxRecordsPerFile > 0) s", maxRecordsPerFile=${t.maxRecordsPerFile}" else "") +
+          (if (t.globalSortBy.nonEmpty) s", globalSortBy=${t.globalSortBy}" else "") +
+          (if (t.statsIndexColumns.nonEmpty) s", statsIndex=${t.statsIndexColumns}" else "") + ")"
       case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
       case t: TargetConfig.TarShards =>
         s"tar-shards(path=${t.path}, key=${t.keyColumn}, payload=${t.payloadColumn}, " +
@@ -538,11 +540,18 @@ object TargetConfig {
     * corpora and maximal min/max pruning — mutually exclusive with
     * sortBy, which it subsumes.
     */
+  /** `statsIndexColumns`: after the copy, build a file-level min/max
+    * stats index over these columns (`<path>/_stats`, see
+    * FileStatsIndex) — the write-time-stats discipline that makes
+    * later predicate reads skip files without opening them. Pair with
+    * sortBy/globalSortBy so the ranges are tight.
+    */
   final case class Parquet(path: String, mode: String, compression: String,
                            partitionBy: List[String] = Nil,
                            sortBy: List[String] = Nil,
                            maxRecordsPerFile: Long = 0L,
-                           globalSortBy: List[String] = Nil) extends TargetConfig {
+                           globalSortBy: List[String] = Nil,
+                           statsIndexColumns: List[String] = Nil) extends TargetConfig {
     def validate: Either[String, Parquet] = {
       val modes = Set("overwrite", "append", "errorifexists", "ignore")
       val codecs = Set("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
@@ -644,7 +653,7 @@ object PipelineConfig {
       "source.schema", "source.header", "source.delimiter", "source.inferSchema",
       "target.type", "target.path", "target.mode", "target.compression",
       "target.partitionBy", "target.sortBy", "target.header", "target.delimiter",
-      "target.maxRecordsPerFile", "target.globalSortBy",
+      "target.maxRecordsPerFile", "target.globalSortBy", "target.statsIndex",
       "target.keyColumn", "target.payloadColumn", "target.maxShardBytes",
       "target.numShards", "target.suffix",
       "renames", "savepoints.dir", "skipFiles",
@@ -788,7 +797,8 @@ object PipelineConfig {
             list("target.partitionBy"),
             list("target.sortBy"),
             map.getOrElse("target.maxRecordsPerFile", "0").toLong,
-            list("target.globalSortBy")).validate)
+            list("target.globalSortBy"),
+            list("target.statsIndex")).validate)
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))

@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics index + pre-scan pruning — the
+  * data-skipping layer table formats (Iceberg manifests, Delta
+  * add-file stats) put between the catalog and the scan, expressed
+  * portably over a plain parquet directory. At 100 TB a scan that
+  * must OPEN every file to check its row-group stats still pays a
+  * metadata round trip per file (hundreds of thousands of S3 GETs);
+  * a stats index reduces predicate evaluation to ONE |files|-row
+  * frame, and only surviving files reach the reader at all.
+  *
+  * Reference analog: the skip-file sets + S3-export manifest stats
+  * (`DdbExportSource` feeds manifest sizes to the optimizer;
+  * migrator skipped-file resume, SURVEY §2.4) — generalized to
+  * content statistics over any parquet layout.
+  *
+  * Build is ONE Spark pass grouping by `input_file_name()` — the same
+  * write-time-stats discipline as Delta (build right after the write,
+  * while the data is hot; see `target.statsIndex` in PipelineConfig).
+  * The artifact is itself parquet: `file, n_rows, <c>__min, <c>__max,
+  * <c>__nulls` per indexed column.
+  *
+  * Pruning contract (conservative, never wrong):
+  *  - a file is kept unless its stats PROVE no row can match;
+  *  - files present on disk but absent from the index are ALWAYS kept
+  *    (data added after the build must never be silently dropped);
+  *  - the residual predicate is still applied after the pruned read —
+  *    skipping is an optimization, filtering stays exact.
+  *
+  * Tight min/max ranges require value-clustered files: write with
+  * `sortBy`/`globalSortBy` (see TargetConfig) or z-order for
+  * multi-column predicates — the layout and the index are the two
+  * halves of one design.
+  */
+object FileStatsIndex {
+
+  /** Predicates the index can evaluate against [min, max] ranges.
+    * Bounds are inclusive; values must be of (or castable to) the
+    * indexed column's type — comparisons use Spark's own ordering on
+    * that type, the same ordering that produced the stats.
+    */
+  sealed trait StatsPredicate { def column: String }
+  final case class Between(column: String, lo: Any, hi: Any) extends StatsPredicate
+  final case class Eq(column: String, v: Any) extends StatsPredicate
+  final case class Lte(column: String, hi: Any) extends StatsPredicate
+  final case class Gte(column: String, lo: Any) extends StatsPredicate
+  final case class IsNull(column: String) extends StatsPredicate
+
+  /** Build the stats artifact for `columns` over every parquet file
+    * under `dir`: one distributed pass, |files| output rows.
+    */
+  def build(spark: SparkSession, dir: String, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "index at least one column")
+    val df = spark.read.parquet(dir)
+    val aggs = columns.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
+    }
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Build and persist next to the data (`<dir>/_stats`) — underscore
+    * prefix keeps every parquet reader from picking it up as data.
+    */
+  def buildAndSave(spark: SparkSession, dir: String, columns: Seq[String]): String = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_stats").toString
+    build(spark, dir, columns).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Can a file with these stats contain a matching row? NULL stats
+    * (empty or all-null file) prove non-match for range predicates —
+    * `<=>`-free SQL comparison semantics make that fall out naturally
+    * here because we test the POSITIVE condition and keep on TRUE only
+    * when provable... inverted: we DROP only when provably empty, so
+    * the survive condition must be null-tolerant the other way. The
+    * expressions below evaluate to false/null on all-null stats for
+    * range predicates (drop — correct: no non-null value exists) and
+    * use the null count for IsNull.
+    */
+  private def mightMatch(p: StatsPredicate): Column = p match {
+    case Between(c, lo, hi) => col(s"${c}__max") >= lit(lo) && col(s"${c}__min") <= lit(hi)
+    case Eq(c, v) => col(s"${c}__max") >= lit(v) && col(s"${c}__min") <= lit(v)
+    case Lte(c, hi) => col(s"${c}__min") <= lit(hi)
+    case Gte(c, lo) => col(s"${c}__max") >= lit(lo)
+    case IsNull(c) => col(s"${c}__nulls") > lit(0L)
+  }
+
+  /** Files under `dir` that might satisfy ALL of `predicates`
+    * (conjunction), plus every on-disk file the index doesn't know.
+    * The returned list is driver-resident — file lists are
+    * driver-sized in any Spark scan (FileIndex), this adds no new
+    * scaling assumption.
+    */
+  def survivingFiles(spark: SparkSession, dir: String, stats: DataFrame,
+                     predicates: Seq[StatsPredicate]): Seq[String] = {
+    predicates.foreach { p =>
+      val needed = p match {
+        case _: IsNull => s"${p.column}__nulls"
+        case _ => s"${p.column}__min"
+      }
+      require(stats.columns.contains(needed),
+        s"column ${p.column} is not in the stats index")
+    }
+    val keep = predicates.map(mightMatch).reduceOption(_ && _).getOrElse(lit(true))
+    val known = stats.select(col("file"), keep.as("__keep")).collect()
+    val keepSet = known.filter(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(r => pathOf(r.getString(0))).toSet
+    val knownSet = known.map(r => pathOf(r.getString(0))).toSet
+    // on-disk listing (the index's _stats dir and other _/.-prefixed
+    // paths are metadata, not data): anything the index has never seen
+    // stays in
+    val all = ParquetSource
+      .listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
+      .filterNot(f => pathOf(f).split("/")
+        .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+    all.filter(f => !knownSet.contains(pathOf(f)) || keepSet.contains(pathOf(f)))
+  }
+
+  // input_file_name() yields URIs (file:///...), listings may carry
+  // scheme-qualified or plain paths — compare on the path component
+  private def pathOf(file: String): String =
+    new org.apache.hadoop.fs.Path(file).toUri.getPath
+
+  /** Read only the files that might match, then apply `residual`
+    * exactly. An empty survivor set returns an empty frame with the
+    * directory's schema.
+    */
+  def readPruned(spark: SparkSession, dir: String, stats: DataFrame,
+                 predicates: Seq[StatsPredicate], residual: Column): DataFrame = {
+    val files = survivingFiles(spark, dir, stats, predicates)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(residual)
+  }
+}

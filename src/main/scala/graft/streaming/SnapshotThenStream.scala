@@ -53,7 +53,7 @@ object SnapshotThenStream {
     val sc = cfg.stream.getOrElse(
       throw new IllegalArgumentException("config has no stream block"))
     val targetPath = cfg.target match {
-      case TargetConfig.Parquet(p, _, _, _, _, _, _) => p
+      case p: TargetConfig.Parquet => p.path
       case other => throw new IllegalArgumentException(s"unsupported stream target: $other")
     }
     val changesSchema = sc.changesSchema

@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+import graft.sources.FileStatsIndex._
+
+class FileStatsIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("range predicate on a sorted layout prunes files; pruned read is exact") {
+    val dir = Files.createTempDirectory("graft-fsi").resolve("li").toString
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(dir)
+    val stats = spark.read.parquet(buildAndSave(spark, dir, Seq("l_orderkey")))
+    val total = ParquetSource
+      .listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
+      .count(!_.contains("_stats"))
+    assert(stats.count() == total)
+
+    val hi = 500L
+    val survivors = survivingFiles(spark, dir, stats, Seq(Lte("l_orderkey", hi)))
+    assert(survivors.nonEmpty && survivors.size < total,
+      s"expected pruning: ${survivors.size} of $total files survive")
+
+    val pruned = readPruned(spark, dir, stats,
+      Seq(Lte("l_orderkey", hi)), col("l_orderkey") <= hi)
+    val direct = spark.read.parquet(dir).filter(col("l_orderkey") <= hi)
+    assert(pruned.count() == direct.count())
+    assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
+  }
+
+  test("eq/gte/isnull arms; all-null files drop for ranges, survive for IsNull") {
+    val dir = Files.createTempDirectory("graft-fsi2").resolve("t").toString
+    // three 1-file slices: values 0-9, 100-109, all-null
+    Seq.tabulate(10)(i => (i.toLong, s"a$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(dir)
+    Seq.tabulate(10)(i => (100L + i, s"b$i")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq.fill(5)((Option.empty[Long], "n")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val stats = build(spark, dir, Seq("k"))
+    assert(stats.count() == 3)
+    assert(survivingFiles(spark, dir, stats, Seq(Eq("k", 105L))).size == 1)
+    assert(survivingFiles(spark, dir, stats, Seq(Gte("k", 50L))).size == 1)
+    assert(survivingFiles(spark, dir, stats, Seq(Between("k", 5L, 102L))).size == 2)
+    assert(survivingFiles(spark, dir, stats, Seq(IsNull("k"))).size == 1)
+    assert(survivingFiles(spark, dir, stats, Seq(Eq("k", 55L))).isEmpty)
+    val empty = readPruned(spark, dir, stats, Seq(Eq("k", 55L)), col("k") === 55L)
+    assert(empty.isEmpty && empty.schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("files added after the build are never silently dropped") {
+    val dir = Files.createTempDirectory("graft-fsi3").resolve("t").toString
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(dir)
+    val stats = build(spark, dir, Seq("k")).localCheckpoint()
+    // late arrival the index has never seen, containing a match
+    Seq((999L, "late")).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    val survivors = survivingFiles(spark, dir, stats, Seq(Eq("k", 999L)))
+    assert(survivors.size == 1, "unknown file must stay in")
+    val got = readPruned(spark, dir, stats, Seq(Eq("k", 999L)), col("k") === 999L)
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("late"))
+  }
+
+  test("config e2e: target.statsIndex builds the artifact after a sorted copy") {
+    val out = Files.createTempDirectory("graft-fsi4").resolve("out").toString
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/orders.parquet
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |target.globalSortBy: o_orderkey
+         |target.statsIndex: o_orderkey
+         |""".stripMargin).fold(e => fail(s"parse failed: $e"), identity)
+    assert(cfg.renderRedacted.contains("statsIndex=List(o_orderkey)"))
+    graft.Pipeline.run(spark, cfg)
+    val stats = spark.read.parquet(s"$out/_stats")
+    assert(stats.columns.toSet ==
+      Set("file", "n_rows", "o_orderkey__min", "o_orderkey__max", "o_orderkey__nulls"))
+    // the _stats dir must not leak into plain reads of the target
+    val direct = spark.read.parquet(out)
+    assert(direct.columns.contains("o_orderkey") && !direct.columns.contains("file"))
+    // and pruning works against the freshly built artifact
+    val pruned = readPruned(spark, out, stats,
+      Seq(Lte("o_orderkey", 100L)), col("o_orderkey") <= 100L)
+    val expect = direct.filter(col("o_orderkey") <= 100L)
+    assert(pruned.count() == expect.count())
+  }
+}
