@@ -226,6 +226,11 @@ object Pipeline {
         graft.pipeline.Text.RepetitionRules(
           topPcts.zipWithIndex.map { case (p, i) => (i + 2, p) },
           dupPcts.zipWithIndex.map { case (p, i) => (i + 5, p) }))
+    case graft.config.TransformConfig.BlocklistFilter(text, termsPath, maxTerms) =>
+      // wordlists are bounded (10²-10³ terms): read once, filter
+      // scan-side via the phrase-capable literal-expression arm
+      val terms = df.sparkSession.read.textFile(termsPath).collect().toSeq
+      graft.pipeline.Text.blocklistFilter(df, text, terms, maxTerms)
     case graft.config.TransformConfig.SessionizeStage(keys, ts, gap, tieBreak) =>
       graft.operators.Sessionize.sessionize(df, keys, ts, gap, tieBreak.map(col))
     case graft.config.TransformConfig.FunnelStage(key, ts, typ, steps) =>

@@ -1299,6 +1299,19 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Wordlist census (C4-style bad-words stage): distinct blocked
+    * terms per document — token-boundary, case-folded, phrase-aware —
+    * plus the keep verdict; fully oracle-pinned (the padded token
+    * stream reduces phrase matching to LIKE in any engine).
+    */
+  private def qBlocklist(s: SparkSession, d: String): DataFrame = {
+    val n = Text.blockedTermCount(col("text"),
+      Seq("slow", "merge batch", "nonexistentterm"))
+    t(s, d, "documents")
+      .select(col("doc_id"), n.as("n_blocked"), (n === lit(0L)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** File-level stats-index pruning: copy lineitem range-clustered on
     * the key, build the min/max index, then answer a key-range
     * aggregate through the PRUNED read — the plan never opens the
@@ -1891,6 +1904,7 @@ object SparkEntry {
     "q_kll_quantiles" -> (qKllQuantiles _),
     "q_theta_overlap" -> (qThetaOverlap _),
     "q_stats_prune" -> (qStatsPrune _),
+    "q_blocklist" -> (qBlocklist _),
     "q_resample" -> (qResample _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -2568,6 +2582,21 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n FROM lineitem " +
         "WHERE l_orderkey BETWEEN 100 AND 1200 " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // padded single-spaced token stream makes token-boundary phrase
+    // matching a plain LIKE — engine-neutral by construction
+    "q_blocklist" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') || ' ' AS s " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(" +
+        "(CASE WHEN s LIKE '% slow %' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN s LIKE '% merge batch %' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN s LIKE '% nonexistentterm %' THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, " +
+        "((CASE WHEN s LIKE '% slow %' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN s LIKE '% merge batch %' THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN s LIKE '% nonexistentterm %' THEN 1 ELSE 0 END)) = 0 AS kept " +
+        "FROM p ORDER BY doc_id"),
 
     "q_resample" ->
       ("WITH obs AS (SELECT user_id, event_id, ts, value, " +

@@ -397,6 +397,21 @@ object TransformConfig {
         Some("transform.repetitionFilter: ceilings must be >= 0")
       else None
   }
+  /** Wordlist row filter — Text.blocklistFilter: drop rows containing
+    * more than `maxTerms` distinct blocklist terms (C4-style bad-words
+    * stage; token-boundary, case-folded, phrases supported).
+    * `termsPath` is a text file, one term per line — wordlists are
+    * bounded, so the stage reads it once and filters scan-side.
+    */
+  final case class BlocklistFilter(textColumn: String, termsPath: String,
+                                   maxTerms: Long)
+      extends TransformConfig {
+    val name = "blocklist"
+    def check: Option[String] =
+      if (termsPath.isEmpty) Some("transform.blocklist.termsPath required")
+      else if (maxTerms < 0) Some("transform.blocklist.maxTerms must be >= 0")
+      else None
+  }
   /** Gap-based sessionization — Sessionize.sessionize: adds a
     * `session_seq` column (1-based session index per key); schema-
     * EXTENDING. `gap` is a SQL interval body ("30 minutes"); `tieBreak`
@@ -712,6 +727,8 @@ object PipelineConfig {
       "transform.gopherFilter.maxTopTokenPct",
       "transform.repetitionFilter.textColumn",
       "transform.repetitionFilter.topPcts", "transform.repetitionFilter.dupPcts",
+      "transform.blocklist.textColumn", "transform.blocklist.termsPath",
+      "transform.blocklist.maxTerms",
       "transform.sessionize.keys", "transform.sessionize.tsColumn",
       "transform.sessionize.gap", "transform.sessionize.tieBreak",
       "transform.funnel.keyColumn", "transform.funnel.tsColumn",
@@ -1117,6 +1134,15 @@ object PipelineConfig {
             top <- pcts("topPcts", List(20L, 18L, 16L))
             dup <- pcts("dupPcts", List(15L, 14L, 13L, 12L, 11L, 10L))
           } yield TransformConfig.RepetitionFilter(text, top, dup)
+        case "blocklist" =>
+          for {
+            text <- map.get("transform.blocklist.textColumn")
+              .toRight("transform.blocklist.textColumn required")
+            tp <- map.get("transform.blocklist.termsPath")
+              .toRight("transform.blocklist.termsPath required")
+            mt <- map.getOrElse("transform.blocklist.maxTerms", "0")
+              .toLongOption.toRight("transform.blocklist.maxTerms not a long")
+          } yield TransformConfig.BlocklistFilter(text, tp, mt)
         case "sessionize" =>
           for {
             ts <- map.get("transform.sessionize.tsColumn")

@@ -1045,4 +1045,61 @@ object Text {
       lit(w.wTokLen) * milli(tokenChars, nTokens)
     df.where(nTokens > 0 && nChars > 0 && score >= lit(minScore))
   }
+
+  /** Padded, case-folded, single-spaced token stream `' tok1 tok2 '` —
+    * the string on which token-boundary phrase containment reduces to a
+    * plain substring test (every term occurrence is space-delimited on
+    * both sides, including at the document edges).
+    */
+  private def paddedTokenStream(text: Column): Column =
+    concat(lit(" "), array_join(tokens(lower(text)), " "), lit(" "))
+
+  /** Number of DISTINCT blocklist terms present in `text` — the
+    * C4-style wordlist census (Raffel et al. 2020 filtered on the
+    * public "bad words" list). Token-boundary aware ("class" never
+    * matches inside "classic"), case-folded, multi-word phrases
+    * supported (matched on the single-spaced token stream, so any
+    * whitespace between the phrase's words matches).
+    *
+    * Scale shape: a literal expression fold — |terms| substring tests
+    * per row, scan-side, zero shuffle. Right for curated lists (10²-10³
+    * terms); for very large single-token lists use
+    * [[blocklistFilterJoin]], which shuffles tokens instead of
+    * multiplying per-row work.
+    */
+  def blockedTermCount(text: Column, terms: Seq[String]): Column = {
+    val canon = terms.map(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      .filter(_.nonEmpty).distinct
+    require(canon.nonEmpty, "blocklist needs at least one non-empty term")
+    val padded = paddedTokenStream(text)
+    canon.map(t => when(padded.contains(s" $t "), 1L).otherwise(0L)).reduce(_ + _)
+  }
+
+  /** Keep rows whose blocked-term count stays at or under `maxTerms`
+    * (0 = any blocked term drops the row). Schema-preserving,
+    * scan-side; stateless, so it curates a stream unchanged.
+    */
+  def blocklistFilter(df: DataFrame, textCol: String, terms: Seq[String],
+                      maxTerms: Long = 0L): DataFrame =
+    df.where(blockedTermCount(col(textCol), terms) <= lit(maxTerms))
+
+  /** Scalable single-TOKEN blocklist arm: explode tokens, broadcast-
+    * semi-join the blocked set, anti-join the hit ids away. The shuffle
+    * carries (id, token) pairs and the blocked side is a DataFrame (any
+    * size — Catalyst broadcasts it while it fits, hash-joins beyond);
+    * per-row cost is independent of |terms|, unlike the expression arm.
+    * Case-folded and token-boundary exact like [[blockedTermCount]];
+    * phrases need the expression arm.
+    */
+  def blocklistFilterJoin(df: DataFrame, idCol: String, textCol: String,
+                          blocked: DataFrame, termCol: String): DataFrame = {
+    require(!df.columns.contains("__graft_tok"), "__graft_tok is reserved")
+    val tok = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("__graft_tok"))
+    val hit = tok.join(
+        blocked.select(lower(trim(col(termCol))).as("__graft_tok")),
+        Seq("__graft_tok"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(hit, Seq(idCol), "left_anti")
+  }
 }
