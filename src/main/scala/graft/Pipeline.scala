@@ -27,7 +27,20 @@ object Pipeline {
 
   def read(spark: SparkSession, cfg: PipelineConfig): DataFrame = cfg.source match {
     case SourceConfig.Parquet(path, where, columns) =>
-      var df = ParquetSource.readSkipping(spark, path, cfg.skipFiles)
+      // file-level skipping stacks twice before any byte is read: the
+      // resume skip-set, then _stats-index pruning with predicates
+      // derived from the where condition (conservative — the residual
+      // filter below still applies the FULL condition)
+      val listed = ParquetSource
+        .listParquetFiles(path, spark.sparkContext.hadoopConfiguration)
+        .filterNot(cfg.skipFiles.contains)
+      require(listed.nonEmpty, s"no parquet files left to read under $path")
+      val pruned = graft.sources.FileStatsIndex.autoPrune(
+        spark, path, listed,
+        where.map(w => org.apache.spark.sql.GraftColumnBridge.parseExpression(spark, w)))
+      var df =
+        if (pruned.isEmpty) spark.read.parquet(listed.head).filter(lit(false))
+        else spark.read.parquet(pruned: _*)
       df = where.fold(df)(w => df.filter(expr(w)))
       df = columns.fold(df)(cs => Relational.selectResolved(df, cs))
       df

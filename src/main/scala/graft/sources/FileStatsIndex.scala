@@ -138,4 +138,103 @@ object FileStatsIndex {
       else spark.read.parquet(files: _*)
     base.filter(residual)
   }
+
+  /** Conservative stats predicates extracted from a Catalyst filter
+    * condition: top-level AND conjuncts of `col (=|<|<=|>|>=) literal`
+    * (either operand order) and `col IS NULL` over indexed columns.
+    * Anything else — ORs, functions, casts, unindexed columns —
+    * contributes NOTHING (never a wrong prune): strict inequalities
+    * relax to their inclusive bound, unrecognized conjuncts drop. The
+    * residual filter always re-applies the FULL condition, so this is
+    * purely an optimization surface.
+    */
+  def fromCondition(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                    indexed: Set[String]): Seq[StatsPredicate] = {
+    import org.apache.spark.sql.catalyst.expressions.{IsNull => SqlIsNull, Literal => Lit, _}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def colName(x: Expression): Option[String] = x match {
+      case a: AttributeReference if indexed(a.name) => Some(a.name)
+      case u: UnresolvedAttribute if u.nameParts.size == 1 && indexed(u.name) => Some(u.name)
+      case _ => None
+    }
+    def value(x: Expression): Option[Any] = x match {
+      case l @ Lit(v, dt) if v != null =>
+        Some(CatalystTypeConverters.convertToScala(v, dt))
+      case _ => None
+    }
+    def cmp(a: Expression, b: Expression,
+            mk: (String, Any) => StatsPredicate): Seq[StatsPredicate] =
+      (colName(a), value(b)) match {
+        case (Some(c), Some(v)) => Seq(mk(c, v))
+        case _ => Seq.empty
+      }
+    e match {
+      case And(l, r) => fromCondition(l, indexed) ++ fromCondition(r, indexed)
+      case EqualTo(a, b) => cmp(a, b, Eq(_, _)) ++ cmp(b, a, Eq(_, _))
+      case LessThanOrEqual(a, b) => cmp(a, b, Lte(_, _)) ++ cmp(b, a, Gte(_, _))
+      case LessThan(a, b) => cmp(a, b, Lte(_, _)) ++ cmp(b, a, Gte(_, _))
+      case GreaterThanOrEqual(a, b) => cmp(a, b, Gte(_, _)) ++ cmp(b, a, Lte(_, _))
+      case GreaterThan(a, b) => cmp(a, b, Gte(_, _)) ++ cmp(b, a, Lte(_, _))
+      case SqlIsNull(a) =>
+        colName(a).map(IsNull(_)).toSeq
+      case _ => Seq.empty
+    }
+  }
+
+  /** Prune an explicit file list against the directory's `_stats`
+    * artifact, deriving predicates from the ACTUAL filter condition —
+    * the auto-skip path Pipeline.read uses. No artifact, no extractable
+    * predicate, or no surviving evidence needed → the list passes
+    * through untouched; files unknown to the index always stay.
+    */
+  def autoPrune(spark: SparkSession, dir: String, files: Seq[String],
+                condition: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[String] = {
+    val statsPath = new org.apache.hadoop.fs.Path(dir, "_stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (condition.isEmpty || !fs.exists(statsPath)) return files
+    val stats = spark.read.parquet(statsPath.toString)
+    val indexed = stats.columns.collect {
+      case c if c.endsWith("__min") => c.stripSuffix("__min")
+    }.toSet
+    val preds = fromCondition(condition.get, indexed)
+    if (preds.isEmpty) return files
+    val keep = preds.map(mightMatch).reduce(_ && _)
+    val known = stats.select(col("file"), keep.as("__keep")).collect()
+    val keepSet = known.filter(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(r => pathOf(r.getString(0))).toSet
+    val knownSet = known.map(r => pathOf(r.getString(0))).toSet
+    files.filter(f => !knownSet.contains(pathOf(f)) || keepSet.contains(pathOf(f)))
+  }
+
+  /** Incremental maintenance: stat ONLY the data files the artifact
+    * has never seen and append them — the build never rescans indexed
+    * files (at warehouse scale a day's append costs a day's scan, not
+    * the table's). No-op when nothing is new; a missing artifact
+    * falls back to a full [[buildAndSave]].
+    */
+  def update(spark: SparkSession, dir: String, columns: Seq[String]): String = {
+    val statsPath = new org.apache.hadoop.fs.Path(dir, "_stats").toString
+    val fs = new org.apache.hadoop.fs.Path(statsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath)))
+      return buildAndSave(spark, dir, columns)
+    val existing = spark.read.parquet(statsPath)
+    val known = existing.select("file").collect().map(r => pathOf(r.getString(0))).toSet
+    val fresh = ParquetSource
+      .listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
+      .filterNot(f => known.contains(pathOf(f)))
+    if (fresh.isEmpty) return statsPath
+    val aggs = columns.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
+    }
+    val freshStats = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // materialize before overwriting the artifact being read
+    val merged = existing.unionByName(freshStats).localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(statsPath)
+    statsPath
+  }
 }

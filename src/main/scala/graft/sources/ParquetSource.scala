@@ -21,14 +21,21 @@ object ParquetSource {
   def listParquetFiles(root: String, conf: Configuration): Seq[String] = {
     val path = new Path(root)
     val fs = path.getFileSystem(conf)
-    def walk(p: Path): Seq[String] = {
+    // metadata conventions shared with Spark's own FileIndex: _- and
+    // .-prefixed paths (e.g. the _stats index, _SUCCESS markers,
+    // .hidden temp files) are never data — explicit file lists bypass
+    // Spark's hidden-path filter, so the listing must apply it itself
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    def walk(p: Path, isRoot: Boolean): Seq[String] = {
+      if (!isRoot && hidden(p)) return Seq.empty
       val status = fs.getFileStatus(p)
       if (status.isDirectory)
-        fs.listStatus(p).toIndexedSeq.flatMap(s => walk(s.getPath))
+        fs.listStatus(p).toIndexedSeq.flatMap(s => walk(s.getPath, isRoot = false))
       else if (p.getName.endsWith(".parquet")) Seq(p.toString)
       else Seq.empty
     }
-    walk(path).sorted
+    walk(path, isRoot = true).sorted
   }
 
   /** Read all files except the skip-set (resume semantics: a file in the

@@ -24,6 +24,14 @@ object GraftColumnBridge {
   def toExpressionTree(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Parse a SQL expression string into a raw (unresolved) catalyst
+    * Expression — what `expr(...)` defers behind a lazy SqlExpression
+    * column node. Needed when the TREE itself is inspected before any
+    * Dataset resolves it (e.g. stats-index predicate extraction).
+    */
+  def parseExpression(spark: SparkSession, sql: String): Expression =
+    spark.sessionState.sqlParser.parseExpression(sql)
+
   /** Wrap a (possibly custom) LogicalPlan as a DataFrame — the sql-private
     * `Dataset.ofRows`. Needed to hand an `AsOfJoinNode` (or any graft
     * logical operator) to the analyzer/planner from library code.

@@ -68,6 +68,70 @@ class FileStatsIndexSpec extends AnyFunSuite {
     assert(got == Seq("late"))
   }
 
+  test("autoPrune extracts conjunct bounds from a Catalyst condition, conservatively") {
+    val dir = Files.createTempDirectory("graft-fsi5").resolve("t").toString
+    Seq.tabulate(10)(i => (i.toLong, i * 2.0)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Seq.tabulate(10)(i => (100L + i, i * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    buildAndSave(spark, dir, Seq("k"))
+    val files = ParquetSource
+      .listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
+    assert(files.size == 2, "hidden _stats paths must not be listed as data")
+
+    def prune(cond: String): Int = FileStatsIndex.autoPrune(spark, dir, files,
+      Some(org.apache.spark.sql.GraftColumnBridge.parseExpression(spark, cond))).size
+    assert(prune("k <= 50") == 1)                 // Lte arm
+    assert(prune("105 <= k") == 1)                // flipped operands
+    assert(prune("k = 3 AND v >= 0.0") == 1)      // conjunct on unindexed v ignored
+    assert(prune("k > 200") == 0)                 // nothing can match
+    assert(prune("k <= 50 OR k >= 200") == 2)     // OR: no extraction, no pruning
+    assert(prune("abs(k) <= 1") == 2)             // function: no extraction
+    // no condition / no artifact: pass-through
+    assert(FileStatsIndex.autoPrune(spark, dir, files, None).size == 2)
+  }
+
+  test("Pipeline.read auto-prunes a stats-indexed source on its where clause") {
+    val dir = Files.createTempDirectory("graft-fsi6").resolve("t").toString
+    Seq.tabulate(10)(i => (i.toLong, s"a$i")).toDF("k", "v").coalesce(1).write.parquet(dir)
+    Seq.tabulate(10)(i => (100L + i, s"b$i")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    buildAndSave(spark, dir, Seq("k"))
+    def readCfg(where: Option[String]) = graft.Pipeline.read(spark,
+      graft.config.PipelineConfig.parse(
+        (s"""source.type: parquet
+            |source.path: $dir
+            |target.type: parquet
+            |target.path: /tmp/unused-fsi6
+            |""" + where.fold("")(w => s"source.where: $w\n")).stripMargin)
+        .fold(e => fail(s"parse failed: $e"), identity))
+    assert(readCfg(None).inputFiles.length == 2)
+    val prunedRead = readCfg(Some("k >= 100"))
+    assert(prunedRead.inputFiles.length == 1, "one file must be skipped pre-scan")
+    assert(prunedRead.count() == 10)
+    // all files pruned -> empty result, schema intact, no error
+    val none = readCfg(Some("k = 55"))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("incremental update stats only unseen files; no-op when nothing is new") {
+    val dir = Files.createTempDirectory("graft-fsi7").resolve("t").toString
+    Seq.tabulate(5)(i => (i.toLong, "x")).toDF("k", "v").coalesce(1).write.parquet(dir)
+    val statsPath = FileStatsIndex.update(spark, dir, Seq("k")) // falls back to full build
+    assert(spark.read.parquet(statsPath).count() == 1)
+    Seq.tabulate(5)(i => (200L + i, "y")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    FileStatsIndex.update(spark, dir, Seq("k"))
+    val stats = spark.read.parquet(statsPath)
+    assert(stats.count() == 2)
+    assert(stats.agg(max("k__max")).collect().head.getLong(0) == 204L)
+    // idempotent: nothing new -> artifact unchanged
+    FileStatsIndex.update(spark, dir, Seq("k"))
+    assert(spark.read.parquet(statsPath).count() == 2)
+    // and the updated artifact prunes correctly
+    assert(survivingFiles(spark, dir, spark.read.parquet(statsPath),
+      Seq(Gte("k", 100L))).size == 1)
+  }
+
   test("config e2e: target.statsIndex builds the artifact after a sorted copy") {
     val out = Files.createTempDirectory("graft-fsi4").resolve("out").toString
     val cfg = graft.config.PipelineConfig.parse(
