@@ -132,6 +132,38 @@ class FileStatsIndexSpec extends AnyFunSuite {
       Seq(Gte("k", 100L))).size == 1)
   }
 
+  test("z-ordered layout + two-column index prunes on EITHER dimension") {
+    import graft.operators.ZOrder
+    val dir = Files.createTempDirectory("graft-fsi8").resolve("li").toString
+    val li = graft.Tables.load(spark, TestSpark.sf, "lineitem")
+    val Array(pkMax, skMax) = li.selectExpr("max(l_partkey)", "max(l_suppkey)")
+      .head().toSeq.map(_.toString.toLong).toArray
+    val z = ZOrder.zValue(Seq(
+      ZOrder.scaleTo(col("l_partkey"), 1L, pkMax, 16),
+      ZOrder.scaleTo(col("l_suppkey"), 1L, skMax, 16)), 16)
+    ZOrder.clusterBy(li, z, 16).write.parquet(dir)
+    val stats = spark.read.parquet(
+      buildAndSave(spark, dir, Seq("l_partkey", "l_suppkey")))
+    val total = stats.count()
+    assert(total >= 8, s"need a multi-file layout, got $total")
+    // a narrow predicate on EACH dimension must skip files — the
+    // interleaved layout keeps both projections clustered, which a
+    // plain 1-column sort cannot do for the second key
+    val byPart = survivingFiles(spark, dir, stats,
+      Seq(Between("l_partkey", 1L, pkMax / 16))).size
+    val bySupp = survivingFiles(spark, dir, stats,
+      Seq(Between("l_suppkey", 1L, skMax / 16))).size
+    assert(byPart < total, s"partkey predicate pruned nothing ($byPart/$total)")
+    assert(bySupp < total, s"suppkey predicate pruned nothing ($bySupp/$total)")
+    // correctness: pruned read == direct filter on the second dimension
+    val pred = Seq(Between("l_suppkey", 1L, skMax / 16))
+    val pruned = readPruned(spark, dir, stats, pred,
+      col("l_suppkey").between(1L, skMax / 16))
+    val direct = spark.read.parquet(dir)
+      .filter(col("l_suppkey").between(1L, skMax / 16))
+    assert(pruned.count() == direct.count())
+  }
+
   test("config e2e: target.statsIndex builds the artifact after a sorted copy") {
     val out = Files.createTempDirectory("graft-fsi4").resolve("out").toString
     val cfg = graft.config.PipelineConfig.parse(
