@@ -42,4 +42,46 @@ object SketchMaintenance {
       batchPartials.schema)
     SwapStore.swapWrite(merge(current.unionByName(batchPartials), groups), storePath)
   }
+
+  /** Partition-aware maintenance — the warehouse-scale form promised by
+    * the object doc: the store is hive-partitioned on `partitionCol`
+    * (one of the group columns, e.g. day), and a batch re-merges ONLY
+    * the partitions its rows touch. Mechanics are all engine-native:
+    * partition pruning bounds the read (`isin` on the touched values),
+    * and DYNAMIC partition overwrite bounds the write — Spark's commit
+    * protocol replaces exactly the written partitions, untouched
+    * partition directories keep their files byte-for-byte (spec'd).
+    * A year-long store absorbs today's batch for the cost of today's
+    * partitions.
+    *
+    * `partitionCol` must be in `groups` (a partition holds whole
+    * groups, or the merge would split a group across partitions).
+    */
+  def mergeIntoPartitionedStore(batchPartials: DataFrame, storePath: String,
+                                partitionCol: String, groups: Seq[String],
+                                merge: (DataFrame, Seq[String]) => DataFrame): Unit = {
+    require(groups.contains(partitionCol),
+      s"$partitionCol must be one of the group columns $groups")
+    val sess = batchPartials.sparkSession
+    val touched = batchPartials.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
+    val current =
+      if (exists) sess.read.parquet(storePath)
+        .filter(org.apache.spark.sql.functions.col(partitionCol).isin(touched: _*))
+        .select(batchPartials.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      else sess.createDataFrame(
+        sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], batchPartials.schema)
+    val merged = merge(current.unionByName(batchPartials), groups)
+    val prev = sess.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(storePath)
+    finally prev match {
+      case Some(v) => sess.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => sess.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -77,6 +77,41 @@ class SketchMaintenanceSpec extends AnyFunSuite {
     assert(math.abs(got("b")._2 - 450.0) <= 900 * 0.03)
   }
 
+  test("partitioned store: a batch re-merges only the partitions it touches") {
+    import org.apache.spark.sql.functions.col
+    val store = Files.createTempDirectory("graft-skm-part").resolve("hll").toString
+    def partials(day: String, users: Range) =
+      HllSketches.partials(
+        users.map(u => (day, "a", u.toLong)).toDF("day", "g", "u"),
+        Seq("day", "g"), "u")
+    // day 1 lands, then day 2 + more day 2
+    SketchMaintenance.mergeIntoPartitionedStore(
+      partials("d1", 0 until 100), store, "day", Seq("day", "g"),
+      HllSketches.mergeSketch(_, _))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def d1Files = fs.listStatus(new org.apache.hadoop.fs.Path(store, "day=d1"))
+      .filter(_.isFile).map(s => s.getPath.getName -> s.getModificationTime).toSeq.sorted
+    val d1Before = d1Files
+
+    SketchMaintenance.mergeIntoPartitionedStore(
+      partials("d2", 0 until 50), store, "day", Seq("day", "g"),
+      HllSketches.mergeSketch(_, _))
+    SketchMaintenance.mergeIntoPartitionedStore(
+      partials("d2", 25 until 80), store, "day", Seq("day", "g"),
+      HllSketches.mergeSketch(_, _))
+
+    // day-1 partition files are byte-level untouched by day-2 batches
+    assert(d1Files == d1Before, "untouched partition must keep its files")
+    val est = HllSketches.mergeEstimate(spark.read.parquet(store), Seq("day"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("d1" -> 100L, "d2" -> 80L))
+    // merged across partitions, the artifact answers the any-range form
+    val overall = HllSketches.mergeEstimate(spark.read.parquet(store), Seq("g"))
+      .collect().head.getLong(1)
+    assert(overall == 100L) // user ids overlap across days
+  }
+
   test("maintenance runs from foreachBatch on a live stream") {
     val dir = Files.createTempDirectory("graft-skm-stream")
     val srcDir = dir.resolve("in")
