@@ -16,7 +16,8 @@ object Explain {
         "q_cell_merge", "q_source_cap", "q_seq_pack",
         "q_embed_quant", "q_bloom_decontaminate", "q_heavy_hitters",
         "q_containment", "q_span_dedup", "q_bm25", "q_sem_dedup",
-        "q_rand_proj", "q_unigram_lm", "q_pq_codes", "q_pq_adc")
+        "q_rand_proj", "q_unigram_lm", "q_pq_codes", "q_pq_adc",
+        "q_kll_quantiles", "q_theta_overlap", "q_stats_prune", "q_blocklist")
     val spark = Tables.session("graft-explain", cores = 8)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

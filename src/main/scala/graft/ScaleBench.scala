@@ -97,6 +97,38 @@ object ScaleBench {
       pipeline.Text.qualityFilter(Tables.load(s, dir, "documents"), "text",
         minScore = 4750L).count()
     },
+    "kll_artifacts" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.functions.KllSketches.mergeQuantiles(
+        graft.functions.KllSketches.partials(
+          ev.withColumn("day", to_date(col("ts"))), Seq("event_type", "day"), "value"),
+        Seq("event_type"), Seq(0.5, 0.9)).count()
+    },
+    "theta_artifacts" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.functions.ThetaSketches.mergeSketch(
+        graft.functions.ThetaSketches.partials(
+          ev.withColumn("day", to_date(col("ts"))), Seq("event_type", "day"), "user_id"),
+        Seq("event_type")).count()
+    },
+    "stats_prune" -> { (s, dir) =>
+      // write-clustered copy + index build + pruned range read: the
+      // whole write-time-stats lifecycle under amplification
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scale-stats")
+        .resolve("li").toString
+      val li = Tables.load(s, dir, "lineitem")
+      li.repartitionByRange(32, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey").write.parquet(tmp)
+      val stats = s.read.parquet(
+        sources.FileStatsIndex.buildAndSave(s, tmp, Seq("l_orderkey")))
+      sources.FileStatsIndex.readPruned(s, tmp, stats,
+        Seq(sources.FileStatsIndex.Between("l_orderkey", 100L, 1200L)),
+        col("l_orderkey").between(100L, 1200L)).count()
+    },
+    "blocklist" -> { (s, dir) =>
+      pipeline.Text.blocklistFilter(Tables.load(s, dir, "documents"), "text",
+        Seq("slow", "merge batch", "nonexistentterm")).count()
+    },
     "explode_cells" -> ((s, dir) => SparkEntry.queries("q_explode_cells")(s, dir).count()),
     "hash_refine" -> ((s, dir) => SparkEntry.queries("q_hash_refine")(s, dir).count()),
     "asof_native" -> ((s, dir) => SparkEntry.queries("q_asof_native")(s, dir).count()),

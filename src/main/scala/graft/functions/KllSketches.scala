@@ -132,38 +132,52 @@ case class KllBuildAgg(
 }
 
 /** Union stored KLL sketch binaries (register-merge analog: the merged
-  * sketch carries the combined stream's error envelope). The buffer
-  * adopts the FIRST input's k, so rollups preserve the accuracy the
-  * partials were built with.
+  * sketch carries the combined stream's error envelope). The buffer is
+  * LAZY — it adopts the first input sketch wholesale, so (a) no
+  * accuracy is lost to an arbitrary pre-chosen buffer k (later merges
+  * follow KLL's min-k rule over the INPUTS' k values only), and (b) an
+  * empty buffer costs nothing: with thousands of group buffers live in
+  * an ObjectHashAggregate, eager max-k preallocation would be ~0.5 MB
+  * per buffer of pure waste.
   */
 case class KllMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch]
+  extends TypedImperativeAggregate[KllMergeAgg.Holder]
   with UnaryLike[Expression] {
+  import KllMergeAgg.Holder
 
-  // an empty merge buffer needs SOME k before the first input arrives;
-  // merging a higher-k sketch into it cannot RAISE accuracy, so use the
-  // max (65535 is overkill: merge adopts min(k_a, k_b) behavior — a
-  // high-k empty buffer is transparent to the inputs' envelope)
-  override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(65535)
+  override def createAggregationBuffer(): Holder = new Holder(null)
 
-  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+  // KLL merge keeps the TARGET's k, so an empty placeholder target
+  // (e.g. a deserialized all-null partition buffer at the default k)
+  // must be REPLACED by, not merged with, the first real sketch — or
+  // its arbitrary k would cap the rollup's accuracy
+  private def adopt(h: Holder, sk: KllDoublesSketch): Holder = {
+    if (h.sk == null || h.sk.isEmpty) h.sk = sk
+    else if (!sk.isEmpty) h.sk.merge(sk)
+    h
+  }
+
+  override def update(buf: Holder, input: InternalRow): Holder = {
     val v = child.eval(input)
-    if (v != null) buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
-    buf
+    if (v == null) buf
+    else adopt(buf, KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
   }
 
-  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
-    a.merge(b); a
-  }
+  override def merge(a: Holder, b: Holder): Holder =
+    if (b.sk == null) a else adopt(a, b.sk)
 
-  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
-  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
+  // an all-null (or empty-frame global) group still owes a valid empty
+  // sketch artifact — emit one at the default k
+  private def orEmpty(h: Holder): KllDoublesSketch =
+    if (h.sk == null) KllDoublesSketch.newHeapInstance(200) else h.sk
+
+  override def eval(buf: Holder): Any = orEmpty(buf).toByteArray
+  override def serialize(buf: Holder): Array[Byte] = orEmpty(buf).toByteArray
+  override def deserialize(bytes: Array[Byte]): Holder =
+    new Holder(KllDoublesSketch.heapify(Memory.wrap(bytes)))
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -173,6 +187,11 @@ case class KllMergeAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
     copy(child = newChild)
+}
+
+object KllMergeAgg {
+  /** Mutable lazy buffer: null until the first input sketch arrives. */
+  final class Holder(var sk: KllDoublesSketch)
 }
 
 /** Quantiles at fixed ranks from a KLL byte image — scalar, runs on

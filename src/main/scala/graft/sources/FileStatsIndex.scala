@@ -220,21 +220,32 @@ object FileStatsIndex {
     if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath)))
       return buildAndSave(spark, dir, columns)
     val existing = spark.read.parquet(statsPath)
-    val known = existing.select("file").collect().map(r => pathOf(r.getString(0))).toSet
-    val fresh = ParquetSource
+    val knownRaw = existing.select("file").collect().map(_.getString(0))
+    val onDisk = ParquetSource
       .listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
-      .filterNot(f => known.contains(pathOf(f)))
-    if (fresh.isEmpty) return statsPath
-    val aggs = columns.flatMap { c =>
-      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
-    }
-    val freshStats = spark.read.parquet(fresh: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val diskSet = onDisk.map(pathOf).toSet
+    val known = knownRaw.map(pathOf).toSet
+    val fresh = onDisk.filterNot(f => known.contains(pathOf(f)))
+    // entries for files compaction/cleanup removed are dead weight —
+    // drop them while we're rewriting anyway
+    val stale = knownRaw.filterNot(f => diskSet.contains(pathOf(f)))
+    if (fresh.isEmpty && stale.isEmpty) return statsPath
+    val live =
+      if (stale.isEmpty) existing
+      else existing.filter(!col("file").isin(stale.toIndexedSeq: _*))
+    val merged =
+      if (fresh.isEmpty) live
+      else {
+        val aggs = columns.flatMap { c =>
+          Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
+        }
+        live.unionByName(spark.read.parquet(fresh: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("n_rows"), aggs: _*))
+      }
     // materialize before overwriting the artifact being read
-    val merged = existing.unionByName(freshStats).localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(statsPath)
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(statsPath)
     statsPath
   }
 }

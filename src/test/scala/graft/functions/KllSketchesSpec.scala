@@ -53,4 +53,23 @@ class KllSketchesSpec extends AnyFunSuite {
       .collect().head
     assert(qs.isNullAt(0))
   }
+
+  test("rollup preserves the partials' k: an empty placeholder never caps accuracy") {
+    // high-accuracy partials (k=2048); the merge buffer must adopt that
+    // k, not clamp to a default — check the merged sketch's normalized
+    // rank error stays at the k=2048 envelope, and that a rollup over
+    // ZERO sketch rows still yields a valid (empty) artifact
+    val df = Seq.tabulate(50000)(i => ("g", i.toDouble)).toDF("g", "v")
+    val parts = KllSketches.partials(df, Seq("g"), "v", k = 2048)
+    val merged = KllSketches.mergeQuantiles(parts, Seq.empty, Seq(0.5))
+      .collect().head
+    assert(merged.getLong(0) == 50000L)
+    // k=2048 single-sided rank error is ~0.4%; a k=200 clamp would be
+    // ~1.65% — assert inside the tight envelope
+    assert(math.abs(merged.getSeq[Double](1).head - 25000.0) <= 50000 * 0.008)
+
+    val none = KllSketches.mergeSketch(parts.filter(col("g") === "zz"), Seq.empty)
+      .select(KllSketches.sketchN(col("kll_sketch"))).collect().head.getLong(0)
+    assert(none == 0L)
+  }
 }

@@ -132,6 +132,28 @@ class FileStatsIndexSpec extends AnyFunSuite {
       Seq(Gte("k", 100L))).size == 1)
   }
 
+  test("update drops stale entries after compaction and indexes the replacement") {
+    val dir = Files.createTempDirectory("graft-fsi9").resolve("t").toString
+    (0 until 6).foreach { i =>
+      Seq.tabulate(20)(r => (i * 100L + r, s"v$r")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val statsPath = FileStatsIndex.buildAndSave(spark, dir, Seq("k"))
+    assert(spark.read.parquet(statsPath).count() == 6)
+    // compaction merges the small files into one replacement
+    Compaction.compact(spark, dir, targetBytes = 10L << 20, smallBytes = 5L << 20)
+    FileStatsIndex.update(spark, dir, Seq("k"))
+    val stats = spark.read.parquet(statsPath)
+    val files = ParquetSource
+      .listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
+    assert(stats.count() == files.size, "index rows must match live files exactly")
+    assert(stats.agg(sum("n_rows")).collect().head.getLong(0) == 120L)
+    // pruning still correct against the refreshed artifact
+    val pruned = readPruned(spark, dir, stats,
+      Seq(Between("k", 0L, 50L)), col("k").between(0L, 50L))
+    assert(pruned.count() == 20L)
+  }
+
   test("z-ordered layout + two-column index prunes on EITHER dimension") {
     import graft.operators.ZOrder
     val dir = Files.createTempDirectory("graft-fsi8").resolve("li").toString
