@@ -107,6 +107,23 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Sampled validation tier: the q_full_diff scenario restricted to a
+    * deterministic 1/5 md5-bucket key sample on BOTH sides — the
+    * first-pass check at 100 TB (full diff only after a clean sample).
+    * Oracle replicates the bucket arithmetic, proving the sample is
+    * engine-portable and pairwise-consistent.
+    */
+  private def qSampleDiff(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val src = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val tgt = orders.filter(col("o_orderstatus") =!= "P")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    Diff.sampledDiff(src, tgt, Seq("o_orderkey"), Seq("o_totalprice"), 1, 5)
+      .orderBy(col("o_orderkey"))
+  }
+
   private def qValidateSummary(s: SparkSession, d: String): DataFrame = {
     val src = t(s, d, "lineitem")
     val tgt = src.filter(col("l_quantity") < 49)
@@ -1931,6 +1948,7 @@ object SparkEntry {
     "q_diff_extra" -> (qDiffExtra _),
     "q_semi_prefetch" -> (qSemiPrefetch _),
     "q_full_diff" -> (qFullDiff _),
+    "q_sample_diff" -> (qSampleDiff _),
     "q_validate_summary" -> (qValidateSummary _),
     "q_tolerant_compare" -> (qTolerantCompare _),
     "q_explode_cells" -> (qExplodeCells _),
@@ -2738,6 +2756,24 @@ object SparkEntry {
       ("WITH s AS (SELECT o_orderkey, o_totalprice FROM orders), " +
         "t AS (SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1 " +
         "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderstatus <> 'P') " +
+        "SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN t.o_orderkey IS NULL THEN 'missing_target' " +
+        "WHEN s.o_orderkey IS NULL THEN 'extra_target' " +
+        "WHEN s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice THEN 'match' " +
+        "ELSE 'mismatch' END AS diff_kind " +
+        "FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey ORDER BY o_orderkey"),
+
+    // the same diff under a deterministic 1/5 md5(pk)-bucket sample on
+    // both sides (bucket arithmetic identical to q_corpus_split's)
+    "q_sample_diff" ->
+      ("WITH keep AS (SELECT o_orderkey AS k FROM orders " +
+        "WHERE CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT) % 5 < 1), " +
+        "s AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN (SELECT k FROM keep)), " +
+        "t AS (SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1 " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders " +
+        "WHERE o_orderstatus <> 'P' AND o_orderkey IN (SELECT k FROM keep)) " +
         "SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
         "CASE WHEN t.o_orderkey IS NULL THEN 'missing_target' " +
         "WHEN s.o_orderkey IS NULL THEN 'extra_target' " +

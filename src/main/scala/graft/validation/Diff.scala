@@ -70,6 +70,40 @@ object Diff {
     joined.select(pkOut :+ kind.as("diff_kind"): _*)
   }
 
+  /** Sampled validation tier — the first-pass check for tables too
+    * large to full-diff (at 100 TB the full join is a day; a 1/100
+    * sample is minutes and catches any systematic defect). BOTH sides
+    * restrict to the SAME deterministic md5(pk)-bucket sample before
+    * the join, so every key pair is entirely in or entirely out: the
+    * result is EXACTLY [[fullDiff]] restricted to the sampled keys —
+    * sampling can never fabricate missing/extra rows. The predicate
+    * pushes into both scans (`bucketOf` is a scan-side expression),
+    * and being pk-derived it is identical across engines/retries.
+    *
+    * Detection: a defect touching k random keys escapes a num/denom
+    * sample with probability (1 − num/denom)^k — 1 % catches a
+    * 1000-key defect w.p. ≈ 0.99996. Escalate to [[fullDiff]] (or
+    * HashRefinement) only when the sample reports clean.
+    */
+  def sampledDiff(source: DataFrame, target: DataFrame, pk: Seq[String],
+                  compareCols: Seq[String], rateNum: Int, rateDenom: Int): DataFrame = {
+    require(rateNum > 0 && rateNum <= rateDenom,
+      s"sample rate must satisfy 0 < num <= denom, got $rateNum/$rateDenom")
+    // composite keys fold to one string ("\\u0000" separator: outside
+    // any data alphabet); NULL components coalesce explicitly because
+    // concat_ws SKIPS nulls, which would shift later components'
+    // positions. A collision only perturbs WHICH bucket a key lands in
+    // - both sides compute the identical key, so sample membership
+    // stays pairwise-consistent regardless
+    val sampleKey =
+      if (pk.size == 1) col(pk.head)
+      else concat_ws("\u0000",
+        pk.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    def keep(df: DataFrame): DataFrame = df.filter(
+      graft.operators.Sampling.bucketOf(sampleKey, rateDenom) < rateNum)
+    fullDiff(keep(source), keep(target), pk, compareCols)
+  }
+
   /** Full-outer diff with the reference's per-category failure taxonomy
     * (Validator.scala:69-104), computed in one distributed pass. Output:
     * pk ++ diff_kind ++ four boolean category flags per matched row —

@@ -114,4 +114,44 @@ class DiffSpec extends AnyFunSuite {
     val c = Seq[Any](java.time.Instant.ofEpochMilli(1001L))
     assert(RCF.compare(Seq("ts"), Some(a), Some(c), timestampToleranceMs = 5L).isEmpty)
   }
+
+  test("sampledDiff equals fullDiff restricted to the sampled keys") {
+    val orders = graft.Tables.load(spark, TestSpark.sf, "orders")
+    val src = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val tgt = orders.filter(col("o_orderstatus") =!= "P")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val sampled = Diff.sampledDiff(src, tgt, Seq("o_orderkey"), Seq("o_totalprice"), 1, 5)
+    val full = Diff.fullDiff(src, tgt, Seq("o_orderkey"), Seq("o_totalprice"))
+      .filter(graft.operators.Sampling.bucketOf(col("o_orderkey"), 5) < 1)
+    assert(sampled.count() > 0)
+    assert(sampled.exceptAll(full).isEmpty && full.exceptAll(sampled).isEmpty)
+    // no fabricated missing/extra: every sampled non-match is also a
+    // full-diff non-match on the same key
+    val sampledBad = sampled.filter(col("diff_kind") =!= "match")
+    val fullBadKeys = Diff.fullDiff(src, tgt, Seq("o_orderkey"), Seq("o_totalprice"))
+      .filter(col("diff_kind") =!= "match").select("o_orderkey")
+    assert(sampledBad.join(fullBadKeys, Seq("o_orderkey"), "left_anti").count() == 0)
+    // rough rate sanity: 1/5 of keys within a generous band
+    val frac = sampled.count().toDouble / full.unionByName(
+      Diff.fullDiff(src, tgt, Seq("o_orderkey"), Seq("o_totalprice"))).count()
+    assert(frac > 0.1 && frac < 0.35, s"sample fraction $frac")
+  }
+
+  test("sampledDiff composite keys: NULL components sample consistently on both sides") {
+    val rows = Seq((Option(1L), Option("x"), "v1"), (Option(2L), Option.empty[String], "v2"),
+      (Option.empty[Long], Option("y"), "v3"))
+    val src = rows.toDF("a", "b", "v")
+    val tgt = rows.toDF("a", "b", "v")
+    // identical sides: every sampled row must classify as match — a
+    // side-inconsistent sample key would fabricate missing+extra pairs
+    (0 until 4).foreach { num =>
+      val kinds = Diff.sampledDiff(src, tgt, Seq("a", "b"), Seq("v"), num + 1, 4)
+        .collect().map(_.getString(2))
+      assert(kinds.forall(_ == "match"), s"rate ${num + 1}/4: ${kinds.mkString(",")}")
+    }
+    // full rate covers everything
+    assert(Diff.sampledDiff(src, tgt, Seq("a", "b"), Seq("v"), 4, 4).count() == 3)
+  }
 }
