@@ -1175,6 +1175,15 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Per-session table: start/end, exact integer-millis duration,
+    * event count — one aggregation from the sessionize window shuffle.
+    */
+  private def qSessions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.sessions(
+        t(s, d, "events").select("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", gap = "6 hours", tieBreak = Seq(col("event_id")))
+      .orderBy(col("user_id"), col("session_seq"))
+
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     graft.operators.Sessionize.sessionSummary(
         t(s, d, "events").select("user_id", "ts", "event_id"),
@@ -1188,6 +1197,15 @@ object SparkEntry {
   private def qFunnelSteps(s: SparkSession, d: String): DataFrame =
     graft.operators.Funnel.reachTimes(t(s, d, "events"), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  /** Conversion-window funnel: later steps only count within 2 days of
+    * step 1's reach — the bounded-window variant that keeps a funnel
+    * from overcounting unrelated late events.
+    */
+  private def qFunnelWindow(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.reachTimes(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), Some("2 days"))
       .orderBy(col("user_id"))
 
   /** Weekly cohort retention triangle in exact integer calendar math
@@ -1909,7 +1927,9 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_bloom_decontaminate" -> (qBloomDecontaminate _),
     "q_sessionize" -> (qSessionize _),
+    "q_sessions" -> (qSessions _),
     "q_funnel_steps" -> (qFunnelSteps _),
+    "q_funnel_window" -> (qFunnelWindow _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q_twa" -> (qTwa _),
@@ -2461,6 +2481,21 @@ object SparkEntry {
         "SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, " +
         "max(n) AS longest_session FROM per GROUP BY user_id ORDER BY user_id"),
 
+    // per-session table from the same gap numbering: start/end, exact
+    // integer millis duration, event count
+    "q_sessions" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '6 hours' " +
+        "THEN 1 ELSE 0 END AS is_new FROM events), " +
+        "s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g) " +
+        "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
+        "min(ts) AS session_start, max(ts) AS session_end, " +
+        "CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms, " +
+        "CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"),
+
     "q_funnel_steps" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS step_1_ts FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id), " +
@@ -2470,6 +2505,25 @@ object SparkEntry {
         "s3 AS (SELECT e.user_id, min(e.ts) AS step_3_ts FROM events e " +
         "JOIN s2 ON e.user_id = s2.user_id " +
         "WHERE e.event_type = 'purchase' AND e.ts >= s2.step_2_ts GROUP BY e.user_id) " +
+        "SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts, " +
+        "CAST(1 + CASE WHEN s2.step_2_ts IS NULL THEN 0 ELSE 1 END " +
+        "+ CASE WHEN s3.step_3_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_reached " +
+        "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
+        "LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY s1.user_id"),
+
+    // windowed funnel: each later step additionally bounded by
+    // step_1_ts + 2 days
+    "q_funnel_window" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS step_1_ts FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS step_2_ts FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts >= s1.step_1_ts " +
+        "AND e.ts <= s1.step_1_ts + INTERVAL '2 days' GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS step_3_ts FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts >= s2.step_2_ts " +
+        "AND e.ts <= s1.step_1_ts + INTERVAL '2 days' GROUP BY e.user_id) " +
         "SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts, " +
         "CAST(1 + CASE WHEN s2.step_2_ts IS NULL THEN 0 ELSE 1 END " +
         "+ CASE WHEN s3.step_3_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_reached " +

@@ -30,7 +30,18 @@ object Funnel {
     * zero-latency pipelines (batch-stamped logs) still convert.
     */
   def reachTimes(events: DataFrame, key: String, tsCol: String, typeCol: String,
-                 steps: Seq[String]): DataFrame = {
+                 steps: Seq[String]): DataFrame =
+    reachTimes(events, key, tsCol, typeCol, steps, None)
+
+  /** Windowed form: with `within = Some("7 days")`, every later step
+    * must land within that interval OF STEP 1's reach time — the
+    * standard conversion-window funnel (unbounded funnels overcount:
+    * a purchase a year after the view is not that view converting).
+    * Same plan shape; the window bound is one extra scan-side
+    * predicate on each step's pre-aggregation filter.
+    */
+  def reachTimes(events: DataFrame, key: String, tsCol: String, typeCol: String,
+                 steps: Seq[String], within: Option[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     val stepCols = steps.indices.map(i => s"step_${i + 1}_ts")
@@ -39,14 +50,18 @@ object Funnel {
     require(!events.columns.contains("steps_reached"),
       "steps_reached is a funnel output column — rename the input's first")
 
+    val deadline = within.map(w => expr(s"INTERVAL $w"))
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(key)).agg(min(col(tsCol)).as(stepCols.head))
     val reach = steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
       val prevC = stepCols(i - 1)
       val curC = stepCols(i)
+      // prevC IS step_1_ts on the first hop — select distinct names
+      val carry = Seq(key, stepCols.head, prevC).distinct.map(col)
       val next = events.filter(col(typeCol) === step)
-        .join(acc.select(col(key), col(prevC)), Seq(key))
-        .filter(col(tsCol) >= col(prevC))
+        .join(acc.select(carry: _*), Seq(key))
+        .filter(col(tsCol) >= col(prevC) &&
+          deadline.fold(lit(true))(d => col(tsCol) <= col(stepCols.head) + d))
         .groupBy(col(key)).agg(min(col(tsCol)).as(curC))
       acc.join(next.select(col(key), col(curC)), Seq(key), "left")
     }

@@ -38,6 +38,29 @@ object Sessionize {
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** One row PER SESSION — the unit session analysis actually works
+    * on: `keys..., session_seq, session_start, session_end,
+    * duration_ms (exact integer millis), n_events`. One aggregation
+    * flowing from the single sessionize window shuffle (same key
+    * partitioning, no second exchange).
+    */
+  def sessions(df: DataFrame, keys: Seq[String], tsCol: String, gap: String,
+               tieBreak: Seq[Column] = Nil): DataFrame = {
+    Seq("session_start", "session_end", "duration_ms", "n_events").foreach(c =>
+      require(!df.columns.contains(c), s"$c is a sessions output column — rename the input's first"))
+    // NTZ timestamps cast through TIMESTAMP for integer millis — the
+    // session runs UTC, so the cast is instant-preserving on both
+    // endpoints of the subtraction (same recipe as the lag/lead query)
+    sessionize(df, keys, tsCol, gap, tieBreak)
+      .groupBy((keys :+ "session_seq").map(col): _*)
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        (unix_millis(max(col(tsCol)).cast("timestamp")) -
+          unix_millis(min(col(tsCol)).cast("timestamp"))).as("duration_ms"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Per-key session summary: number of sessions and the largest session
     * (event count). Two aggregations, both flowing from the single
     * sessionize window shuffle.

@@ -67,4 +67,40 @@ class FunnelSpec extends AnyFunSuite {
         "u", "ts", "steps_reached", Seq("view"))
     }
   }
+
+  test("conversion window: a step past step_1_ts + within does not convert") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes inside the window
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 05:00:00", "click"),
+      (1L, "2024-01-01 23:00:00", "purchase"),
+      // u2's purchase lands past 1 day after the first view
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 12:00:00", "click"),
+      (2L, "2024-01-02 06:00:00", "purchase"),
+      // u3's click is already past the window -> stuck at step 1
+      (3L, "2024-01-01 00:00:00", "view"),
+      (3L, "2024-01-03 00:00:00", "click")
+    ).map { case (u, t, e) => (u, java.sql.Timestamp.valueOf(t), e) }
+      .toDF("user_id", "ts", "event_type")
+    val within = Funnel.reachTimes(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), Some("1 day"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("steps_reached")).toMap
+    assert(within == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // unbounded form still converts everyone with ordered steps
+    val open = Funnel.reachTimes(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("steps_reached")).toMap
+    assert(open == Map(1L -> 3L, 2L -> 3L, 3L -> 2L))
+    // boundary: exactly at the deadline converts (inclusive bound)
+    val edge = Seq(
+      (9L, "2024-01-01 00:00:00", "view"),
+      (9L, "2024-01-02 00:00:00", "click")
+    ).map { case (u, t, e) => (u, java.sql.Timestamp.valueOf(t), e) }
+      .toDF("user_id", "ts", "event_type")
+    val r = Funnel.reachTimes(edge, "user_id", "ts", "event_type",
+      Seq("view", "click"), Some("1 day")).collect().head
+    assert(r.getAs[Long]("steps_reached") == 2L)
+  }
 }

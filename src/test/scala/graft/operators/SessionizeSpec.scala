@@ -105,4 +105,21 @@ class SessionizeSpec extends AnyFunSuite {
       assert(got == expected, s"trial=$trial")
     }
   }
+
+  test("sessions: per-session start/end, integer millis duration, event count") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L),
+      (1L, "2024-01-01 00:10:00", 2L),
+      (1L, "2024-01-01 09:00:00", 3L),   // > 6h gap: new session
+      (2L, "2024-01-01 01:00:00", 4L)
+    ).map { case (u, t, e) => (u, java.sql.Timestamp.valueOf(t), e) }
+      .toDF("user_id", "ts", "event_id")
+    val got = Sessionize.sessions(ev, Seq("user_id"), "ts", "6 hours",
+        Seq(org.apache.spark.sql.functions.col("event_id")))
+      .orderBy("user_id", "session_seq")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+        r.getAs[Long]("duration_ms"), r.getAs[Long]("n_events"))).toSeq
+    assert(got == Seq((1L, 1L, 600000L, 2L), (1L, 2L, 0L, 1L), (2L, 1L, 0L, 1L)))
+  }
 }
