@@ -1208,6 +1208,16 @@ object SparkEntry {
         "event_type", Seq("view", "click", "purchase"), Some("2 days"))
       .orderBy(col("user_id"))
 
+  /** Multi-touch attribution: first/last-touch and integer-ppm linear
+    * credit over journeys converting to purchase (touches at-or-before
+    * each user's first purchase).
+    */
+  private def qAttribution(s: SparkSession, d: String): DataFrame =
+    graft.operators.Journeys.attribution(t(s, d, "events"), "user_id", "ts",
+        "event_type", "purchase", Seq("view", "click", "signup"),
+        tieBreak = Seq(col("event_id")))
+      .orderBy(col("touch_type"))
+
   /** Weekly cohort retention triangle in exact integer calendar math
     * (epoch-day ÷ 7 buckets — no date_trunc divergence in the gate).
     */
@@ -1930,6 +1940,7 @@ object SparkEntry {
     "q_sessions" -> (qSessions _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_funnel_window" -> (qFunnelWindow _),
+    "q_attribution" -> (qAttribution _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q_twa" -> (qTwa _),
@@ -2510,6 +2521,25 @@ object SparkEntry {
         "+ CASE WHEN s3.step_3_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_reached " +
         "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
         "LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY s1.user_id"),
+
+    // attribution: touch ranks/counts per converting user, credit in
+    // exact integer ppm (floor division — engine-portable)
+    "q_attribution" ->
+      ("WITH conv AS (SELECT user_id, min(ts) AS cts FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id), " +
+        "t AS (SELECT e.user_id, e.event_type, e.ts, e.event_id FROM events e " +
+        "JOIN conv ON e.user_id = conv.user_id " +
+        "WHERE e.event_type IN ('view', 'click', 'signup') AND e.ts <= conv.cts), " +
+        "r AS (SELECT user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd, " +
+        "count(*) OVER (PARTITION BY user_id) AS nk FROM t) " +
+        "SELECT event_type AS touch_type, " +
+        "CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch, " +
+        "CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch, " +
+        "CAST(count(*) AS BIGINT) AS n_touches, " +
+        "CAST(sum(1000000 // nk) AS BIGINT) AS linear_ppm " +
+        "FROM r GROUP BY event_type ORDER BY touch_type"),
 
     // windowed funnel: each later step additionally bounded by
     // step_1_ts + 2 days

@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Versioned table publishing over plain parquet — the minimal
+  * snapshot-isolation discipline a table format provides, without one:
+  * data lives in immutable version directories (`v_0000000001/…`), and
+  * a tiny `_LATEST` pointer file names the current version. Readers
+  * resolve the pointer once and then read an IMMUTABLE directory, so a
+  * concurrent publish (or compaction into the next version) can never
+  * tear a scan; the pointer swap is a tmp+rename, atomic on any
+  * rename-atomic store (the savepoint-manager discipline).
+  *
+  * This is how the maintenance ops compose safely under readers:
+  * rewrite (compact / re-sort / re-partition) INTO version N+1, then
+  * publish — in-place Compaction's "no concurrent readers" caveat
+  * disappears. Old versions stay readable until [[vacuum]] retires
+  * them (time-travel for free, bounded by the vacuum policy).
+  *
+  * Scale: the pointer file is one short string; version resolution
+  * costs one metadata read per query, not a listing of the table.
+  */
+object Versioned {
+
+  private val Pointer = "_LATEST"
+
+  private def vdir(n: Long): String = f"v_$n%010d"
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current version number, if any. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root, Pointer)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      Some(s.toLong)
+    }
+  }
+
+  /** Publish `df` as the next version: write the new directory fully,
+    * then swap the pointer. Returns the published version number. A
+    * crash before the swap leaves an orphan directory (removed by the
+    * next [[vacuum]]) and the previous version still current — never a
+    * half-visible table.
+    */
+  def publish(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    val next = latestVersion(spark, root).getOrElse(0L) + 1L
+    val dir = new Path(root, vdir(next))
+    df.write.mode("errorifexists").parquet(dir.toString)
+    val tmp = new Path(root, s"$Pointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(new Path(root, Pointer))) fs.delete(new Path(root, Pointer), false)
+    require(fs.rename(tmp, new Path(root, Pointer)), s"pointer swap failed for v$next")
+    next
+  }
+
+  /** The current snapshot (resolved once — the returned frame keeps
+    * reading version `n` even if a publish lands mid-query).
+    */
+  def readLatest(spark: SparkSession, root: String): DataFrame = {
+    val n = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no published version under $root"))
+    readVersion(spark, root, n)
+  }
+
+  /** Time travel: read a specific (immutable) version. */
+  def readVersion(spark: SparkSession, root: String, n: Long): DataFrame =
+    spark.read.parquet(new Path(root, vdir(n)).toString)
+
+  /** Published versions on disk, ascending (orphans from crashed
+    * publishes included — they are data directories like any other
+    * until vacuumed, just never pointed at).
+    */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root)).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .map(_.getPath.getName.stripPrefix("v_").toLong).sorted
+  }
+
+  /** Retire all but the newest `keep` versions at or below the current
+    * pointer, plus any orphan directories NEWER than the pointer left
+    * by crashed publishes. The current version is always kept.
+    */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, "must keep at least the current version")
+    val fs = fsOf(spark, root)
+    val current = latestVersion(spark, root).getOrElse(return Seq.empty)
+    val all = versions(spark, root)
+    val published = all.filter(_ <= current)
+    val orphans = all.filter(_ > current)
+    val retire = published.dropRight(keep) ++ orphans
+    retire.foreach(n => fs.delete(new Path(root, vdir(n)), true))
+    retire
+  }
+}

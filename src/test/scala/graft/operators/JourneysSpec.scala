@@ -44,4 +44,31 @@ class JourneysSpec extends AnyFunSuite {
       Journeys.transitionMatrix(df, "u", "ts", "to_type")
     }
   }
+
+  test("attribution: first/last/linear-ppm over converting journeys only") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: view -> click -> view -> PURCHASE (3 touches)
+      (1L, "2024-01-01 01:00:00", "view", 1L),
+      (1L, "2024-01-01 02:00:00", "click", 2L),
+      (1L, "2024-01-01 03:00:00", "view", 3L),
+      (1L, "2024-01-01 04:00:00", "purchase", 4L),
+      (1L, "2024-01-01 05:00:00", "click", 5L),   // post-conversion: no credit
+      // u2: click only, never converts -> contributes nothing
+      (2L, "2024-01-01 01:00:00", "click", 6L),
+      // u3: single view then purchase
+      (3L, "2024-01-01 01:00:00", "view", 7L),
+      (3L, "2024-01-01 02:00:00", "purchase", 8L)
+    ).map { case (u, t, e, id) => (u, java.sql.Timestamp.valueOf(t), e, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Journeys.attribution(ev, "user_id", "ts", "event_type",
+        "purchase", Seq("view", "click"), Seq(col("event_id")))
+      .orderBy("touch_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // u1: first=view, last=view, 2 views + 1 click each earn 333333 ppm
+    // u3: first=last=view, 1 view earns 1000000 ppm
+    assert(got.toSeq == Seq(
+      ("click", 0L, 0L, 1L, 333333L),
+      ("view", 2L, 2L, 3L, 333333L * 2 + 1000000L)))
+  }
 }

@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class VersionedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("publish/readLatest/time-travel: a resolved reader never sees a later publish") {
+    val root = Files.createTempDirectory("graft-ver").resolve("t").toString
+    assert(Versioned.latestVersion(spark, root).isEmpty)
+    val v1 = Versioned.publish(Seq((1L, "a")).toDF("k", "v"), root)
+    assert(v1 == 1L)
+    val snapshotAtV1 = Versioned.readLatest(spark, root) // resolved NOW
+    val v2 = Versioned.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    assert(v2 == 2L && Versioned.latestVersion(spark, root).contains(2L))
+    // the pre-publish reader still reads version 1's immutable dir
+    assert(snapshotAtV1.count() == 1)
+    assert(Versioned.readLatest(spark, root).count() == 2)
+    assert(Versioned.readVersion(spark, root, 1L).count() == 1)
+    assert(Versioned.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("compaction into the next version removes the concurrent-reader caveat") {
+    val root = Files.createTempDirectory("graft-ver2").resolve("t").toString
+    // many-small-file v1 (as a streaming sink would leave it)
+    val small = (0 until 8).map(i => Seq((i.toLong, s"v$i")).toDF("k", "v"))
+      .reduce(_.unionByName(_)).repartition(8)
+    Versioned.publish(small, root)
+    val reader = Versioned.readLatest(spark, root)
+    // maintenance: rewrite coalesced INTO v2, never touching v1
+    Versioned.publish(Versioned.readLatest(spark, root).coalesce(1), root)
+    assert(reader.count() == 8)                 // v1 reader unbroken
+    val v2files = new Path(root, "v_0000000002")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(root, "v_0000000002"))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+    assert(v2files == 1)
+    assert(Versioned.readLatest(spark, root).orderBy("k").collect().toSeq ==
+      reader.orderBy("k").collect().toSeq)
+  }
+
+  test("vacuum keeps the newest K published versions and sweeps crash orphans") {
+    val root = Files.createTempDirectory("graft-ver3").resolve("t").toString
+    (1 to 4).foreach(i => Versioned.publish(Seq((i.toLong, "x")).toDF("k", "v"), root))
+    // crashed publish: directory exists, pointer never swapped
+    Seq((99L, "orphan")).toDF("k", "v")
+      .write.parquet(new Path(root, "v_0000000009").toString)
+    assert(Versioned.versions(spark, root) == Seq(1L, 2L, 3L, 4L, 9L))
+    val retired = Versioned.vacuum(spark, root, keep = 2)
+    assert(retired.sorted == Seq(1L, 2L, 9L))
+    assert(Versioned.versions(spark, root) == Seq(3L, 4L))
+    assert(Versioned.readLatest(spark, root).collect().head.getLong(0) == 4L)
+    // the next publish continues the sequence past the vacuumed range
+    assert(Versioned.publish(Seq((5L, "y")).toDF("k", "v"), root) == 5L)
+  }
+}
