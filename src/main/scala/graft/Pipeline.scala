@@ -288,7 +288,11 @@ object Pipeline {
     val v = cfg.validation.getOrElse(
       throw new IllegalArgumentException("repair requires a validation block"))
     val targetPath = cfg.target match {
-      case p: TargetConfig.Parquet => p.path
+      case p: TargetConfig.Parquet if !p.versioned => p.path
+      case p: TargetConfig.Parquet =>
+        throw new IllegalArgumentException(
+          "repair appends in place — versioned targets publish whole " +
+            "snapshots instead (re-run the copy; the publish is atomic)")
       case other => throw new IllegalArgumentException(s"unsupported repair target: $other")
     }
     val src = transform(read(spark, cfg), cfg)
@@ -334,7 +338,7 @@ object Pipeline {
   }
 
   def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
-    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords, globalSortBy, _) =>
+    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords, globalSortBy, _, versioned) =>
       // sortWithinPartitions clusters each output file on the sort key:
       // parquet min/max row-group stats then let downstream scans skip
       // row groups on those columns (data-skipping without a shuffle).
@@ -347,11 +351,20 @@ object Pipeline {
             .sortWithinPartitions(globalSortBy.map(col): _*)
         else if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.map(col): _*)
         else df
-      var w = sorted.write.mode(mode).option("compression", compression)
-      // per-write option (not a session conf): bounds file size without
-      // a shuffle — the writer rolls files mid-task
-      if (maxRecords > 0) w = w.option("maxRecordsPerFile", maxRecords)
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+      def writeDir(dir: String, m: String): Unit = {
+        var w = sorted.write.mode(m).option("compression", compression)
+        // per-write option (not a session conf): bounds file size without
+        // a shuffle — the writer rolls files mid-task
+        if (maxRecords > 0) w = w.option("maxRecordsPerFile", maxRecords)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+      }
+      if (versioned)
+        // snapshot publish: the full writer options apply to the new
+        // immutable version dir; the pointer swaps only after it is
+        // completely written (mode is irrelevant — dir is fresh)
+        graft.sources.Versioned.publishWith(df.sparkSession, path)(
+          dir => writeDir(dir, "errorifexists")): Unit
+      else writeDir(path, mode)
     case TargetConfig.DynamoS3Export(path) =>
       DdbTables.writeS3Export(df, path); ()
     case t: TargetConfig.TarShards =>
@@ -396,12 +409,21 @@ object Pipeline {
       }
     } finally manager.foreach(_.close())
 
+    // versioned targets: everything downstream (stats, validation)
+    // addresses the just-published immutable version directory
+    def dataDir(p: TargetConfig.Parquet): String =
+      if (p.versioned)
+        graft.sources.Versioned.latestVersion(spark, p.path)
+          .map(n => new org.apache.hadoop.fs.Path(p.path, f"v_$n%010d").toString)
+          .getOrElse(p.path)
+      else p.path
+
     // write-time stats: build the file-level min/max index ONCE after
     // the whole copy (not per batch — build() groups the entire
     // directory by file, so a per-batch rebuild would be quadratic)
     cfg.target match {
       case p: TargetConfig.Parquet if p.statsIndexColumns.nonEmpty =>
-        graft.sources.FileStatsIndex.buildAndSave(spark, p.path, p.statsIndexColumns)
+        graft.sources.FileStatsIndex.buildAndSave(spark, dataDir(p), p.statsIndexColumns)
         ()
       case _ => ()
     }
@@ -413,7 +435,7 @@ object Pipeline {
         // skipping read would misreport them as extra_target on a correct
         // resumed copy (and throw if every file was already copied)
         val src = transform(read(spark, cfg.copy(skipFiles = Set.empty)), cfg)
-        val tgt = spark.read.parquet(pt.path)
+        val tgt = spark.read.parquet(dataDir(pt))
         Some(Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)
           .filter(col("diff_kind") =!= "match")
           .limit(v.failuresToFetch))

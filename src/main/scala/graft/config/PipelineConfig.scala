@@ -54,7 +54,8 @@ final case class PipelineConfig(
           s"partitionBy=${t.partitionBy}, sortBy=${t.sortBy}" +
           (if (t.maxRecordsPerFile > 0) s", maxRecordsPerFile=${t.maxRecordsPerFile}" else "") +
           (if (t.globalSortBy.nonEmpty) s", globalSortBy=${t.globalSortBy}" else "") +
-          (if (t.statsIndexColumns.nonEmpty) s", statsIndex=${t.statsIndexColumns}" else "") + ")"
+          (if (t.statsIndexColumns.nonEmpty) s", statsIndex=${t.statsIndexColumns}" else "") +
+          (if (t.versioned) ", versioned" else "") + ")"
       case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
       case t: TargetConfig.TarShards =>
         s"tar-shards(path=${t.path}, key=${t.keyColumn}, payload=${t.payloadColumn}, " +
@@ -81,6 +82,15 @@ final case class PipelineConfig(
       Left("validation.tolerance must be >= 0")
     else if (stream.isDefined && !target.isInstanceOf[TargetConfig.Parquet])
       Left("stream replication requires a parquet target")
+    else if (target match {
+      case p: TargetConfig.Parquet => p.versioned &&
+        (savepointsDir.isDefined || stream.isDefined)
+      case _ => false
+    })
+      Left("target.versioned publishes whole immutable snapshots — " +
+        "incompatible with per-batch resume (savepoints) and continuous " +
+        "replication (stream); run those against a plain path and publish " +
+        "the finished result")
     else if (stream.exists(_.primaryKey.isEmpty))
       Left("stream.primaryKey must be non-empty")
     else if (stream.exists(_.orderBy.isEmpty))
@@ -561,12 +571,20 @@ object TargetConfig {
     * later predicate reads skip files without opening them. Pair with
     * sortBy/globalSortBy so the ranges are tight.
     */
+  /** `versioned: true` publishes each run as an immutable version
+    * directory behind the atomic `_LATEST` pointer (see
+    * sources/Versioned) instead of writing `path` in place — readers
+    * never see a torn table, and previous versions stay time-travel
+    * readable until vacuumed. `mode` is ignored (every publish is a
+    * fresh directory).
+    */
   final case class Parquet(path: String, mode: String, compression: String,
                            partitionBy: List[String] = Nil,
                            sortBy: List[String] = Nil,
                            maxRecordsPerFile: Long = 0L,
                            globalSortBy: List[String] = Nil,
-                           statsIndexColumns: List[String] = Nil) extends TargetConfig {
+                           statsIndexColumns: List[String] = Nil,
+                           versioned: Boolean = false) extends TargetConfig {
     def validate: Either[String, Parquet] = {
       val modes = Set("overwrite", "append", "errorifexists", "ignore")
       val codecs = Set("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
@@ -669,6 +687,7 @@ object PipelineConfig {
       "target.type", "target.path", "target.mode", "target.compression",
       "target.partitionBy", "target.sortBy", "target.header", "target.delimiter",
       "target.maxRecordsPerFile", "target.globalSortBy", "target.statsIndex",
+      "target.versioned",
       "target.keyColumn", "target.payloadColumn", "target.maxShardBytes",
       "target.numShards", "target.suffix",
       "renames", "savepoints.dir", "skipFiles",
@@ -815,7 +834,8 @@ object PipelineConfig {
             list("target.sortBy"),
             map.getOrElse("target.maxRecordsPerFile", "0").toLong,
             list("target.globalSortBy"),
-            list("target.statsIndex")).validate)
+            list("target.statsIndex"),
+            map.getOrElse("target.versioned", "false").toBoolean).validate)
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))

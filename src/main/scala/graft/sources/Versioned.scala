@@ -48,12 +48,22 @@ object Versioned {
     * next [[vacuum]]) and the previous version still current — never a
     * half-visible table.
     */
-  def publish(df: DataFrame, root: String): Long = {
-    val spark = df.sparkSession
+  def publish(df: DataFrame, root: String): Long =
+    publishWith(df.sparkSession, root)(dir =>
+      df.write.mode("errorifexists").parquet(dir))
+
+  /** Generalized publish: the caller writes the version directory with
+    * whatever writer options it needs (sort, partitionBy, compression,
+    * a multi-batch copy loop); the pointer swaps only after `write`
+    * returns, so a partially written version is never visible.
+    */
+  def publishWith(spark: SparkSession, root: String)(write: String => Unit): Long = {
     val fs = fsOf(spark, root)
-    val next = latestVersion(spark, root).getOrElse(0L) + 1L
-    val dir = new Path(root, vdir(next))
-    df.write.mode("errorifexists").parquet(dir.toString)
+    // orphans from crashed publishes may sit ABOVE the pointer — the
+    // next version must clear them or errorifexists refuses the dir
+    val next = (latestVersion(spark, root).getOrElse(0L) +: versions(spark, root))
+      .max + 1L
+    write(new Path(root, vdir(next)).toString)
     val tmp = new Path(root, s"$Pointer.tmp")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()

@@ -58,4 +58,40 @@ class VersionedSpec extends AnyFunSuite {
     // the next publish continues the sequence past the vacuumed range
     assert(Versioned.publish(Seq((5L, "y")).toDF("k", "v"), root) == 5L)
   }
+
+  test("config e2e: target.versioned publishes through Pipeline.run with validation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ver4").resolve("t").toString
+    def cfg(where: String) = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/orders.parquet
+         |source.where: $where
+         |target.type: parquet
+         |target.path: $root
+         |target.versioned: true
+         |target.statsIndex: o_orderkey
+         |validation.primaryKey: o_orderkey
+         |validation.compareColumns: o_totalprice
+         |""".stripMargin).fold(e => fail(s"parse failed: $e"), identity)
+    val r1 = graft.Pipeline.run(spark, cfg("o_orderkey <= 1000"))
+    assert(Versioned.latestVersion(spark, root).contains(1L))
+    assert(r1.validation.get.isEmpty, "self-validation of a fresh publish must be clean")
+    val v1Reader = Versioned.readLatest(spark, root)
+    val r2 = graft.Pipeline.run(spark, cfg("o_orderkey <= 2000"))
+    assert(Versioned.latestVersion(spark, root).contains(2L))
+    assert(r2.rowsCopied > r1.rowsCopied)
+    assert(v1Reader.count() == r1.rowsCopied)   // old reader unbroken
+    assert(Versioned.readLatest(spark, root).count() == r2.rowsCopied)
+    // the stats index lives inside the version dir it describes
+    assert(spark.read.parquet(s"$root/v_0000000002/_stats").count() > 0)
+    // savepoints + versioned rejected eagerly
+    val bad = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |target.versioned: true
+         |savepoints.dir: /tmp/sp
+         |""".stripMargin)
+    assert(bad.swap.exists(_.contains("versioned publishes whole immutable")))
+  }
 }
