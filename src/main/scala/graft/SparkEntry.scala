@@ -1208,6 +1208,14 @@ object SparkEntry {
         "event_type", Seq("view", "click", "purchase"), Some("2 days"))
       .orderBy(col("user_id"))
 
+  /** RFM customer scoring as of a pinned date: exact integer recency,
+    * decimal-exact monetary, deterministic ntile scores (1 = best).
+    */
+  private def qRfm(s: SparkSession, d: String): DataFrame =
+    graft.operators.Rfm.scores(t(s, d, "events"), "user_id", "ts", "value",
+        asOf = lit("2024-07-01").cast("timestamp"), buckets = 5)
+      .orderBy(col("user_id"))
+
   /** Multi-touch attribution: first/last-touch and integer-ppm linear
     * credit over journeys converting to purchase (touches at-or-before
     * each user's first purchase).
@@ -1941,6 +1949,7 @@ object SparkEntry {
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_funnel_window" -> (qFunnelWindow _),
     "q_attribution" -> (qAttribution _),
+    "q_rfm" -> (qRfm _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q_twa" -> (qTwa _),
@@ -2521,6 +2530,20 @@ object SparkEntry {
         "+ CASE WHEN s3.step_3_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_reached " +
         "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
         "LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY s1.user_id"),
+
+    // RFM: exact integer recency + decimal-exact monetary + ntile
+    // scores with key tiebreaks — whole table oracle-pinned
+    "q_rfm" ->
+      ("WITH b AS (SELECT user_id, " +
+        "CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-07-01') AS BIGINT) AS recency_days, " +
+        "CAST(count(*) AS BIGINT) AS frequency, " +
+        "CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS monetary " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, recency_days, frequency, monetary, " +
+        "CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_score, " +
+        "CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_score, " +
+        "CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m_score " +
+        "FROM b ORDER BY user_id"),
 
     // attribution: touch ranks/counts per converting user, credit in
     // exact integer ppm (floor division — engine-portable)
