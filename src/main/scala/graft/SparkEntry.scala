@@ -1208,6 +1208,22 @@ object SparkEntry {
         "event_type", Seq("view", "click", "purchase"), Some("2 days"))
       .orderBy(col("user_id"))
 
+  /** Change-feed extraction: diff two order snapshots into the minimal
+    * put/delete op log (the batch-snapshot CDF; applyBatch's inverse —
+    * the round-trip law lives in CdcApplySpec).
+    */
+  private def qCdcExtract(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val prev = orders.filter(col("o_orderstatus") =!= "P")
+      .select("o_orderkey", "o_totalprice")
+    val next = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    graft.streaming.CdcApply.changesBetween(prev, next, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** RFM customer scoring as of a pinned date: exact integer recency,
     * decimal-exact monetary, deterministic ntile scores (1 = best).
     */
@@ -1950,6 +1966,7 @@ object SparkEntry {
     "q_funnel_window" -> (qFunnelWindow _),
     "q_attribution" -> (qAttribution _),
     "q_rfm" -> (qRfm _),
+    "q_cdc_extract" -> (qCdcExtract _),
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q_twa" -> (qTwa _),
@@ -2530,6 +2547,20 @@ object SparkEntry {
         "+ CASE WHEN s3.step_3_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_reached " +
         "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
         "LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY s1.user_id"),
+
+    // change-feed extraction: minimal put/delete op log between two
+    // keyed snapshots (full-outer diff, unchanged rows dropped)
+    "q_cdc_extract" ->
+      ("WITH p AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus <> 'P'), " +
+        "n AS (SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1 " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0) " +
+        "SELECT COALESCE(n.o_orderkey, p.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice END AS o_totalprice, " +
+        "CASE WHEN n.o_orderkey IS NOT NULL THEN 'put' ELSE 'delete' END AS op " +
+        "FROM p FULL OUTER JOIN n ON p.o_orderkey = n.o_orderkey " +
+        "WHERE p.o_orderkey IS NULL OR n.o_orderkey IS NULL " +
+        "OR p.o_totalprice IS DISTINCT FROM n.o_totalprice " +
+        "ORDER BY o_orderkey"),
 
     // RFM: exact integer recency + decimal-exact monetary + ntile
     // scores with key tiebreaks — whole table oracle-pinned

@@ -42,6 +42,42 @@ object CdcApply {
     current.join(allKeys, pk, "left_anti").unionByName(puts)
   }
 
+  /** Change-feed EXTRACTION — the inverse of [[applyBatch]]: diff two
+    * keyed snapshots into the minimal op log that turns `prev` into
+    * `next` (rows added or changed → `put` carrying next's values;
+    * rows gone → `delete` carrying the key with null payload). The
+    * batch-snapshot world's CDF: backfill a change-log pipeline from
+    * snapshots, ship deltas instead of full copies, feed the same
+    * `applyBatch` downstream.
+    *
+    * Round-trip law (spec'd): `applyBatch(prev, changesBetween(prev,
+    * next)) == next` row-for-row. ONE full-outer join on the key, both
+    * sides hashed once; unchanged rows drop out scan-side so the
+    * output is delta-sized, not snapshot-sized.
+    */
+  def changesBetween(prev: DataFrame, next: DataFrame, pk: Seq[String],
+                     opCol: String = "op"): DataFrame = {
+    require(prev.columns.toSeq == next.columns.toSeq,
+      s"snapshots must share a schema: ${prev.columns.toSeq} vs ${next.columns.toSeq}")
+    require(!prev.columns.contains(opCol), s"$opCol collides with a snapshot column")
+    val valueCols = prev.columns.filterNot(pk.contains).toSeq
+    val p = prev.select(prev.columns.map(col).toIndexedSeq :+ lit(true).as("__p"): _*)
+    val n = next.select(next.columns.map(col).toIndexedSeq :+ lit(true).as("__n"): _*)
+    val joined = p.as("p").join(n.as("n"),
+      pk.map(k => col(s"p.$k") <=> col(s"n.$k")).reduce(_ && _), "full_outer")
+    val inPrev = col("p.__p").isNotNull
+    val inNext = col("n.__n").isNotNull
+    val changed =
+      if (valueCols.isEmpty) lit(false)
+      else !valueCols.map(c => col(s"p.$c") <=> col(s"n.$c")).reduce(_ && _)
+    joined
+      .filter(!inPrev || !inNext || changed)
+      .select(
+        pk.map(k => coalesce(col(s"n.$k"), col(s"p.$k")).as(k)) ++
+          valueCols.map(c => when(inNext, col(s"n.$c")).as(c)) :+
+          when(inNext, lit("put")).otherwise(lit("delete")).as(opCol): _*)
+  }
+
   /** The per-batch merge into a parquet target, shared by both feed
     * shapes below. The target is rewritten per batch (local test shape);
     * a real deployment points `applyBatch` at an upsert-capable sink and

@@ -76,4 +76,24 @@ class CdcApplySpec extends AnyFunSuite {
       assert(after3 == Map(1L -> "a2", 3L -> "c", 4L -> "d")) // pre-crash rows survive
     } finally query.stop()
   }
+
+  test("changesBetween round-trip law: apply(prev, extract(prev, next)) == next") {
+    import spark.implicits._
+    val prev = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val next = Seq((1L, "a", 10.0),            // unchanged: no op emitted
+                   (2L, "B", 20.0),            // changed -> put
+                   (4L, "d", 40.0))            // new -> put; 3 gone -> delete
+      .toDF("id", "name", "v")
+    val changes = CdcApply.changesBetween(prev, next, Seq("id"))
+    val got = changes.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(3))).toSeq
+    assert(got == Seq((2L, Some("B"), "put"), (3L, None, "delete"), (4L, Some("d"), "put")))
+    // the op log is delta-sized and replays to exactly `next`
+    val replayed = CdcApply.applyBatch(prev, changes, Seq("id"), "op",
+      Seq(org.apache.spark.sql.functions.lit(1)))
+    assert(replayed.exceptAll(next).isEmpty && next.exceptAll(replayed).isEmpty)
+    // self-diff is empty
+    assert(CdcApply.changesBetween(next, next, Seq("id")).isEmpty)
+  }
 }
