@@ -26,7 +26,16 @@ object Pipeline {
                           validation: Option[DataFrame])
 
   def read(spark: SparkSession, cfg: PipelineConfig): DataFrame = cfg.source match {
-    case SourceConfig.Parquet(path, where, columns) =>
+    case SourceConfig.Parquet(root, where, columns, versioned) =>
+      // versioned sources resolve the _LATEST pointer ONCE — the copy
+      // consumes one immutable snapshot even if a publish lands mid-run
+      val path =
+        if (versioned)
+          graft.sources.Versioned.latestVersion(spark, root)
+            .map(n => new org.apache.hadoop.fs.Path(root, f"v_$n%010d").toString)
+            .getOrElse(throw new IllegalArgumentException(
+              s"source.versioned: no published version under $root"))
+        else root
       // file-level skipping stacks twice before any byte is read: the
       // resume skip-set, then _stats-index pruning with predicates
       // derived from the where condition (conservative — the residual
@@ -392,7 +401,7 @@ object Pipeline {
     var rows = 0L
     try {
       cfg.source match {
-        case SourceConfig.Parquet(path, where, columns) if cfg.savepointsDir.isDefined =>
+        case SourceConfig.Parquet(path, where, columns, false) if cfg.savepointsDir.isDefined =>
           // resumable path: deterministic file batches, append per batch
           ParquetSource.processInBatches(spark, path, cfg.skipFiles, fileBatchSize) { batch =>
             var df = where.fold(batch)(w => batch.filter(expr(w)))

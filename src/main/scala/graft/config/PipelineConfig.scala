@@ -30,8 +30,9 @@ final case class PipelineConfig(
     */
   def renderRedacted: String = {
     def src = source match {
-      case SourceConfig.Parquet(path, where, cols) =>
-        s"parquet(path=$path, where=${where.map(_ => "<redacted>")}, columns=$cols)"
+      case SourceConfig.Parquet(path, where, cols, versioned) =>
+        s"parquet(path=$path, where=${where.map(_ => "<redacted>")}, columns=$cols" +
+          (if (versioned) ", versioned" else "") + ")"
       case j: SourceConfig.Jdbc =>
         val url = j.url.replaceAll("(?i)(password|user)=[^&;]*", "$1=<redacted>")
         s"jdbc(url=$url, table=${j.table}, where=${j.where.map(_ => "<redacted>")}, " +
@@ -529,7 +530,13 @@ object TransformConfig {
 
 sealed trait SourceConfig
 object SourceConfig {
-  final case class Parquet(path: String, where: Option[String], columns: Option[List[String]]) extends SourceConfig
+  /** `versioned: true` resolves `path` through the `_LATEST` pointer
+    * (sources/Versioned) before reading — the copy consumes one
+    * immutable snapshot even if a publish lands mid-run.
+    */
+  final case class Parquet(path: String, where: Option[String],
+                           columns: Option[List[String]],
+                           versioned: Boolean = false) extends SourceConfig
   final case class Jdbc(url: String, table: String, where: Option[String],
                         partitionColumn: Option[String], numPartitions: Int,
                         lowerBound: Option[String], upperBound: Option[String]) extends SourceConfig
@@ -681,6 +688,7 @@ object PipelineConfig {
 
     val known = Set(
       "source.type", "source.path", "source.where", "source.columns",
+      "source.versioned",
       "source.url", "source.table", "source.partitionColumn",
       "source.numPartitions", "source.lowerBound", "source.upperBound",
       "source.schema", "source.header", "source.delimiter", "source.inferSchema",
@@ -779,7 +787,8 @@ object PipelineConfig {
       case Some("parquet") =>
         map.get("source.path").toRight("source.path required")
           .map(p => SourceConfig.Parquet(p, map.get("source.where"),
-            map.get("source.columns").map(_ => list("source.columns"))))
+            map.get("source.columns").map(_ => list("source.columns")),
+            map.getOrElse("source.versioned", "false").toBoolean))
       case Some("jdbc") =>
         for {
           url <- map.get("source.url").toRight("source.url required")

@@ -94,4 +94,34 @@ class VersionedSpec extends AnyFunSuite {
          |""".stripMargin)
     assert(bad.swap.exists(_.contains("versioned publishes whole immutable")))
   }
+
+  test("source.versioned reads the latest snapshot; versioned-to-versioned chains") {
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-ver5").resolve("s").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-ver5").resolve("d").toString
+    Versioned.publish(Seq((1L, "old")).toDF("k", "v"), srcRoot)
+    Versioned.publish(Seq((1L, "new"), (2L, "b")).toDF("k", "v"), srcRoot)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $srcRoot
+         |source.versioned: true
+         |target.type: parquet
+         |target.path: $dstRoot
+         |target.versioned: true
+         |""".stripMargin).fold(e => fail(s"parse failed: $e"), identity)
+    assert(cfg.renderRedacted.contains("versioned"))
+    val r = graft.Pipeline.run(spark, cfg)
+    assert(r.rowsCopied == 2)
+    assert(Versioned.readLatest(spark, dstRoot).orderBy("k")
+      .collect().map(_.getString(1)).toSeq == Seq("new", "b"))
+    // unpublished source root fails loudly, not with an empty copy
+    val none = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${srcRoot}_missing
+         |source.versioned: true
+         |target.type: parquet
+         |target.path: ${dstRoot}2
+         |""".stripMargin).fold(e => fail(s"parse failed: $e"), identity)
+    val e = intercept[Exception](graft.Pipeline.run(spark, none))
+    assert(e.getMessage.contains("no published version"))
+  }
 }
