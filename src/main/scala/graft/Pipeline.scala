@@ -347,15 +347,35 @@ object Pipeline {
   }
 
   def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
-    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords, globalSortBy, _, versioned) =>
+    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords, globalSortBy, _, versioned, zorderBy, zorderFiles) =>
       // sortWithinPartitions clusters each output file on the sort key:
       // parquet min/max row-group stats then let downstream scans skip
       // row groups on those columns (data-skipping without a shuffle).
       // globalSortBy adds the one range exchange that buys a TOTAL order
       // across files (range partitioner samples the key distribution, so
-      // skewed keys still split evenly)
+      // skewed keys still split evenly). zorderBy interleaves 2+ integer
+      // dimensions so EITHER one prunes (pair with target.statsIndex) —
+      // one small range-probe aggregation scales each dimension to the
+      // same bit width before the range exchange
       val sorted =
-        if (globalSortBy.nonEmpty)
+        if (zorderBy.nonEmpty) {
+          val probes = zorderBy.flatMap(c =>
+            Seq(min(col(c).cast("long")).as(s"__lo_$c"),
+              max(col(c).cast("long")).as(s"__hi_$c")))
+          val row = df.agg(probes.head, probes.tail: _*).collect().head
+          val dims = zorderBy.zipWithIndex.map { case (c, i) =>
+            if (row.isNullAt(2 * i) || row.getLong(2 * i) >= row.getLong(2 * i + 1))
+              lit(0L) // empty frame or constant column: degenerate dimension
+            else graft.operators.ZOrder.scaleTo(col(c),
+              row.getLong(2 * i), row.getLong(2 * i + 1), 16)
+          }
+          // zorderFiles pins the range-partition count (0 = engine/AQE
+          // decides; AQE coalesces tiny inputs to one file, which is
+          // right at scale and surprising in tests)
+          graft.operators.ZOrder.clusterBy(df,
+            graft.operators.ZOrder.zValue(dims, 16), zorderFiles)
+        }
+        else if (globalSortBy.nonEmpty)
           df.repartitionByRange(globalSortBy.map(col): _*)
             .sortWithinPartitions(globalSortBy.map(col): _*)
         else if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.map(col): _*)

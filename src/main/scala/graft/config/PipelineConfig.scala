@@ -56,7 +56,8 @@ final case class PipelineConfig(
           (if (t.maxRecordsPerFile > 0) s", maxRecordsPerFile=${t.maxRecordsPerFile}" else "") +
           (if (t.globalSortBy.nonEmpty) s", globalSortBy=${t.globalSortBy}" else "") +
           (if (t.statsIndexColumns.nonEmpty) s", statsIndex=${t.statsIndexColumns}" else "") +
-          (if (t.versioned) ", versioned" else "") + ")"
+          (if (t.versioned) ", versioned" else "") +
+          (if (t.zorderBy.nonEmpty) s", zorderBy=${t.zorderBy}" else "") + ")"
       case TargetConfig.DynamoS3Export(p) => s"dynamo-s3-export(path=$p)"
       case t: TargetConfig.TarShards =>
         s"tar-shards(path=${t.path}, key=${t.keyColumn}, payload=${t.payloadColumn}, " +
@@ -591,7 +592,9 @@ object TargetConfig {
                            maxRecordsPerFile: Long = 0L,
                            globalSortBy: List[String] = Nil,
                            statsIndexColumns: List[String] = Nil,
-                           versioned: Boolean = false) extends TargetConfig {
+                           versioned: Boolean = false,
+                           zorderBy: List[String] = Nil,
+                           zorderFiles: Int = 0) extends TargetConfig {
     def validate: Either[String, Parquet] = {
       val modes = Set("overwrite", "append", "errorifexists", "ignore")
       val codecs = Set("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
@@ -601,6 +604,13 @@ object TargetConfig {
       else if (sortBy.nonEmpty && globalSortBy.nonEmpty)
         Left("target.sortBy and target.globalSortBy are mutually exclusive " +
           "(globalSortBy already sorts within files)")
+      else if (zorderBy.nonEmpty && (sortBy.nonEmpty || globalSortBy.nonEmpty))
+        Left("target.zorderBy is its own layout — exclusive with sortBy/globalSortBy")
+      else if (zorderBy.nonEmpty && zorderBy.size < 2)
+        Left("target.zorderBy needs at least two columns (one column is just a sort " +
+          "— use target.globalSortBy)")
+      else if (zorderFiles < 0)
+        Left(s"target.zorderFiles must be >= 0, got $zorderFiles")
       else Right(this)
     }
   }
@@ -695,7 +705,7 @@ object PipelineConfig {
       "target.type", "target.path", "target.mode", "target.compression",
       "target.partitionBy", "target.sortBy", "target.header", "target.delimiter",
       "target.maxRecordsPerFile", "target.globalSortBy", "target.statsIndex",
-      "target.versioned",
+      "target.versioned", "target.zorderBy", "target.zorderFiles",
       "target.keyColumn", "target.payloadColumn", "target.maxShardBytes",
       "target.numShards", "target.suffix",
       "renames", "savepoints.dir", "skipFiles",
@@ -844,7 +854,9 @@ object PipelineConfig {
             map.getOrElse("target.maxRecordsPerFile", "0").toLong,
             list("target.globalSortBy"),
             list("target.statsIndex"),
-            map.getOrElse("target.versioned", "false").toBoolean).validate)
+            map.getOrElse("target.versioned", "false").toBoolean,
+            list("target.zorderBy"),
+            map.getOrElse("target.zorderFiles", "0").toInt).validate)
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))

@@ -211,4 +211,49 @@ class FileStatsIndexSpec extends AnyFunSuite {
     val expect = direct.filter(col("o_orderkey") <= 100L)
     assert(pruned.count() == expect.count())
   }
+
+  test("config e2e: target.zorderBy + statsIndex prunes on either dimension") {
+    val out = Files.createTempDirectory("graft-fsi10").resolve("li").toString
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/lineitem.parquet
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |target.zorderBy: l_partkey, l_suppkey
+         |target.zorderFiles: 8
+         |target.statsIndex: l_partkey, l_suppkey
+         |""".stripMargin).fold(e => fail(s"parse failed: $e"), identity)
+    val r = graft.Pipeline.run(spark, cfg)
+    val li = graft.Tables.load(spark, TestSpark.sf, "lineitem")
+    assert(r.rowsCopied == li.count())
+    val stats = spark.read.parquet(s"$out/_stats")
+    val total = stats.count()
+    assert(total >= 4, s"want a multi-file z layout, got $total")
+    val Array(pkMax, skMax) = li.selectExpr("max(l_partkey)", "max(l_suppkey)")
+      .head().toSeq.map(_.toString.toLong).toArray
+    assert(survivingFiles(spark, out, stats,
+      Seq(Between("l_partkey", 1L, pkMax / 8))).size < total)
+    assert(survivingFiles(spark, out, stats,
+      Seq(Between("l_suppkey", 1L, skMax / 8))).size < total)
+    assert(spark.read.parquet(out).count() == r.rowsCopied)
+    // layout knobs are mutually exclusive, eagerly
+    val bad = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |target.zorderBy: a, b
+         |target.sortBy: a
+         |""".stripMargin)
+    assert(bad.swap.exists(_.contains("zorderBy is its own layout")))
+    val one = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |target.zorderBy: a
+         |""".stripMargin)
+    assert(one.swap.exists(_.contains("at least two columns")))
+  }
 }
