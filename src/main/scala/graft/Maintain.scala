@@ -1,0 +1,57 @@
+package graft
+
+/** Table-maintenance executable — the operational sibling of Migrate /
+  * Validate, driving the warehouse-upkeep ops over a plain parquet
+  * path or a versioned table root:
+  *
+  *   runMain graft.Maintain compact <dir> <targetBytes> [smallBytes]
+  *   runMain graft.Maintain stats <dir> <col>[,col...]      # build or
+  *                                                          # incrementally update
+  *   runMain graft.Maintain vacuum <versionedRoot> [keep]
+  *
+  * compact is crash-safe (write-ahead group markers; interrupted swaps
+  * recover on the next run); stats updates touch only files the index
+  * has never seen and drop entries for files compaction removed;
+  * vacuum keeps the newest K published versions and sweeps crash
+  * orphans. Exit 0 on success, 2 on usage errors.
+  */
+object Maintain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) usage()
+    val spark = Tables.session("graft-maintain",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    args(0) match {
+      case "compact" =>
+        if (args.length < 3) usage()
+        val target = args(2).toLong
+        val small = if (args.length > 3) args(3).toLong else 0L
+        val r = sources.Compaction.compact(spark, args(1), target, small)
+        println(s"[maintain] compacted ${r.groupsCompacted} groups: " +
+          s"${r.filesRemoved} files -> ${r.filesCreated}, ${r.rowsMoved} rows moved")
+      case "stats" =>
+        if (args.length < 3) usage()
+        val cols = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val path = sources.FileStatsIndex.update(spark, args(1), cols)
+        println(s"[maintain] stats index at $path: " +
+          s"${spark.read.parquet(path).count()} file entries over ${cols.mkString(",")}")
+      case "vacuum" =>
+        val keep = if (args.length > 2) args(2).toInt else 2
+        val retired = sources.Versioned.vacuum(spark, args(1), keep)
+        println(s"[maintain] vacuumed ${retired.size} versions " +
+          s"(${retired.mkString(",")}); " +
+          s"current = ${sources.Versioned.latestVersion(spark, args(1)).getOrElse("-")}")
+      case other =>
+        System.err.println(s"[maintain] unknown command: $other"); usage()
+    }
+    spark.stop()
+  }
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft.Maintain compact <dir> <targetBytes> [smallBytes]
+        |       graft.Maintain stats <dir> <col>[,col...]
+        |       graft.Maintain vacuum <versionedRoot> [keep]""".stripMargin)
+    sys.exit(2)
+  }
+}
