@@ -1926,9 +1926,153 @@ object SparkEntry {
     Text.qualityFilter(t(s, d, "documents"), "text", minScore = 4750L)
       .orderBy(col("doc_id"))
 
+  /** Banded interval-overlap self-join: shipping windows
+    * [shipdate, receiptdate] of the same supplier that overlap in
+    * time, counted with total overlap days. The raw predicate would
+    * plan as a nested-loop join; [[graft.operators.IntervalJoin]]
+    * turns it into an equi-join on (suppkey, 32-day band) with
+    * canonical-band dedup — shuffle-partitionable at any scale.
+    */
+  private def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    // (l_orderkey, l_linenumber) duplicates exist in the synthetic
+    // data — reduce to one interval per id (min endpoints) so pair
+    // identity is well-defined on both engines.
+    def iv(p: String) = t(s, d, "lineitem").select(
+        col("l_suppkey").as(s"${p}_k"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as(s"${p}_id"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long").as(s"${p}_lo"),
+        (datediff(to_date(col("l_shipdate")), lit("1970-01-01")) +
+          col("l_quantity").cast("long") + 1).as(s"${p}_hi"))
+      .groupBy(s"${p}_k", s"${p}_id")
+      .agg(min(col(s"${p}_lo")).as(s"${p}_lo"), min(col(s"${p}_hi")).as(s"${p}_hi"))
+    graft.operators.IntervalJoin.overlapJoin(iv("a"), iv("b"),
+        "a_lo", "a_hi", "b_lo", "b_hi", bandWidth = 32.0, keys = Seq(("a_k", "b_k")))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_k").cast("long").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("overlap_hi") - col("overlap_lo")).cast("long").as("sum_overlap_days"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Declarative data-quality constraint report over orders (+ a
+    * referential-integrity check from lineitem): all scalar
+    * constraints in ONE aggregation pass, uniqueness as one hash
+    * aggregate, FK as one left-anti join. `unique(o_custkey)` and the
+    * tightened bounds are deliberately failing constraints so the
+    * violation COUNTS (not just booleans) are oracle-pinned.
+    */
+  private def qConstraints(s: SparkSession, d: String): DataFrame = {
+    import graft.validation.Constraints
+    import Constraints._
+    val orders = t(s, d, "orders")
+    val lineitem = t(s, d, "lineitem")
+    val onOrders = Constraints.check(orders, Seq(
+      NotNull("o_custkey"), Unique(Seq("o_orderkey")), Unique(Seq("o_custkey")),
+      Bounds("o_totalprice", lit(0), lit(300000)),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      RowCountBetween(1L, 10000000L)))
+    val onLineitem = Constraints.check(lineitem, Seq(
+      ForeignKey("l_orderkey", orders, "o_orderkey")))
+    onOrders.unionByName(onLineitem)
+      .withColumnRenamed("constraint", "check_name")
+      .orderBy(col("check_name"))
+  }
+
+  /** Rolling z-score anomaly screen on per-supplier extended prices
+    * along ship date: trailing-20 baseline, z=3, the whole predicate
+    * exact integer cross-multiplication (graft.operators.Anomaly) —
+    * ONE window per key, no self-join, flag decisions identical in
+    * any engine.
+    */
+  private def qAnomaly(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_suppkey"),
+      col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    graft.operators.Anomaly.rollingZFlags(li, Seq("l_suppkey"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        "cents", window = 20, minPoints = 8, z = 3, maxAbsValue = 20000000L)
+      .groupBy(col("l_suppkey").cast("long").as("s_suppkey"))
+      .agg(sum(when(col("n_base") >= 8, 1L).otherwise(0L)).cast("long").as("n_eval"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).cast("long").as("n_flagged"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** CSV shard round trip through [[graft.sources.Csv]]: supplier →
+    * headerless CSV shards → quarantine-routed read-back; the
+    * quarantine count rides the gated result as a broadcast 1-row
+    * cross join (same lazy shape as q_jsonl_roundtrip).
+    */
+  private def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-csv")
+      .resolve("supplier").toString
+    t(s, d, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").option("header", "false").csv(tmp)
+    val (good, quarantine) = graft.sources.Csv.readWithQuarantine(s, tmp,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"),
+      requiredFields = Seq("s_suppkey"))
+    val nQ = quarantine.agg(count(lit(1)).as("n_quarantined"))
+    good.crossJoin(broadcast(nQ)).orderBy(col("s_suppkey"))
+  }
+
+  /** Bloom-pruned big-big join: lineitem probe × urgent-orders build.
+    * The build key set rides as a scalar-subquery bloom; the probe is
+    * prefiltered scan-side by codegen'd `might_contain` before the
+    * shuffle — the runtime-filter shape that keeps a 100-TB probe from
+    * shuffling rows the join will drop.
+    */
+  private def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val probe = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val build = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    graft.operators.BloomJoin.prunedJoin(probe, build, "l_orderkey", "o_orderkey",
+        expectedKeys = 200000L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Graph analytics arm: customers co-ordering on the same day
+    * (group-capped co-occurrence projection) → per-customer triangle
+    * counts via the degree-oriented wedge join — out-degrees bounded
+    * O(√E), each triangle found exactly once. ~43k edges / ~119k
+    * triangles at sf0.01, all equi-joins.
+    */
+  private def qTriangles(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_custkey"))
+    val edges = graft.operators.Graphs.coOccurrenceEdges(orders, "day", "o_custkey",
+      maxGroupSize = 12)
+    graft.operators.Graphs.triangleCounts(edges)
+      .select(col("vertex").cast("long").as("c_custkey"), col("n_triangles"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Longs-to-wide's inverse: engine-native `unpivot` (melt) of the
+    * three lineitem measures — completes the pivot surface
+    * (q_pivot is the wide direction). Scan-side row expansion, no
+    * shuffle.
+    */
+  private def qUnpivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (qUnpivot _),
+    "q_triangles" -> (qTriangles _),
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_constraints" -> (qConstraints _),
+    "q_anomaly" -> (qAnomaly _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_span_dedup_first" -> (qSpanDedupFirst _),
     "q_bm25" -> (qBm25 _),
@@ -2136,6 +2280,83 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value " +
+        "FROM lineitem UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, measure"),
+
+    "q_triangles" ->
+      ("WITH it AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS g, o_custkey AS i " +
+        "FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL), " +
+        "ok AS (SELECT g FROM it GROUP BY g HAVING count(*) BETWEEN 2 AND 12), " +
+        "e AS (SELECT DISTINCT a.i AS u, b.i AS v FROM it a " +
+        "JOIN it b ON a.g = b.g AND a.i < b.i JOIN ok ON a.g = ok.g), " +
+        "tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 " +
+        "JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) " +
+        "SELECT CAST(vertex AS BIGINT) AS c_custkey, count(*) AS n_triangles " +
+        "FROM (SELECT a AS vertex FROM tr UNION ALL SELECT b FROM tr " +
+        "UNION ALL SELECT c FROM tr) GROUP BY vertex ORDER BY c_custkey"),
+
+    "q_bloom_join" ->
+      ("SELECT o_orderstatus, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "q_interval_join" ->
+      ("WITH iv0 AS (SELECT l_suppkey AS k, l_orderkey * 10 + l_linenumber AS id, " +
+        "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS lo, " +
+        "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) " +
+        "+ CAST(l_quantity AS BIGINT) + 1 AS BIGINT) AS hi FROM lineitem), " +
+        "iv AS (SELECT k, id, min(lo) AS lo, min(hi) AS hi FROM iv0 GROUP BY k, id) " +
+        "SELECT CAST(a.k AS BIGINT) AS s_suppkey, count(*) AS n_overlaps, " +
+        "CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT) AS sum_overlap_days " +
+        "FROM iv a JOIN iv b ON a.k = b.k AND a.id < b.id " +
+        "AND a.lo < b.hi AND b.lo < a.hi " +
+        "GROUP BY a.k ORDER BY s_suppkey"),
+
+    "q_constraints" ->
+      ("SELECT check_name, value, value = 0 AS passed FROM (" +
+        "SELECT 'bounds(o_totalprice)' AS check_name, CAST(coalesce(sum(CASE " +
+        "WHEN o_totalprice IS NOT NULL AND NOT (o_totalprice >= 0 AND o_totalprice <= 300000) " +
+        "THEN 1 END), 0) AS BIGINT) AS value FROM orders " +
+        "UNION ALL SELECT 'foreign_key(l_orderkey)', CAST(count(*) AS BIGINT) " +
+        "FROM lineitem WHERE l_orderkey IS NOT NULL " +
+        "AND l_orderkey NOT IN (SELECT o_orderkey FROM orders) " +
+        "UNION ALL SELECT 'in_set(o_orderstatus)', CAST(coalesce(sum(CASE " +
+        "WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') " +
+        "THEN 1 END), 0) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'not_null(o_custkey)', CAST(coalesce(sum(CASE " +
+        "WHEN o_custkey IS NULL THEN 1 END), 0) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'row_count', CAST(CASE WHEN count(*) < 1 THEN 1 - count(*) " +
+        "WHEN count(*) > 10000000 THEN count(*) - 10000000 ELSE 0 END AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'unique(o_custkey)', CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) " +
+        "AS BIGINT) FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey) " +
+        "UNION ALL SELECT 'unique(o_orderkey)', CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) " +
+        "AS BIGINT) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)" +
+        ") u(check_name, value) ORDER BY check_name"),
+
+    "q_anomaly" ->
+      ("WITH b AS (SELECT l_suppkey AS k, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x, " +
+        "l_shipdate, l_orderkey, l_linenumber FROM lineitem), " +
+        "w AS (SELECT k, x, count(x) OVER win AS n, sum(x) OVER win AS s, " +
+        "sum(x * x) OVER win AS q FROM b " +
+        "WINDOW win AS (PARTITION BY k ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT CAST(k AS BIGINT) AS s_suppkey, " +
+        "CAST(coalesce(sum(CASE WHEN n >= 8 THEN 1 END), 0) AS BIGINT) AS n_eval, " +
+        "CAST(coalesce(sum(CASE WHEN n >= 8 AND (n*x - s)*(n*x - s) > 9*(n*q - s*s) " +
+        "THEN 1 END), 0) AS BIGINT) AS n_flagged " +
+        "FROM w GROUP BY k ORDER BY s_suppkey"),
+
+    "q_csv_roundtrip" ->
+      ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal, " +
+        "CAST(0 AS BIGINT) AS n_quarantined FROM supplier ORDER BY s_suppkey"),
+
     "q_span_dedup" ->
       ("WITH s AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
         "sp AS (SELECT doc_id, i AS span_idx, " +

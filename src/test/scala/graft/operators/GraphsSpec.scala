@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("triangle counts on a known graph: K4 plus a pendant edge") {
+    // K4 on 1..4 (4 triangles, each vertex in 3) + pendant 4-5
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)).toDF("src", "dst")
+    val per = Graphs.triangleCounts(edges).as[(Int, Long)].collect().toMap
+    assert(per == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    assert(Graphs.totalTriangles(edges).as[Long].head() == 4L)
+  }
+
+  test("canonicalization: duplicates, reversed edges, and self-loops do not change counts") {
+    val messy = Seq((1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1), (3, 3)).toDF("src", "dst")
+    assert(Graphs.totalTriangles(messy).as[Long].head() == 1L)
+  }
+
+  test("matches a brute-force count on a random graph") {
+    val rng = new scala.util.Random(7L)
+    val n = 40
+    val edgeSet = (for {
+      u <- 1 to n; v <- (u + 1) to n if rng.nextDouble() < 0.15
+    } yield (u, v)).toSet
+    val brute = (for {
+      a <- 1 to n; b <- (a + 1) to n; c <- (b + 1) to n
+      if edgeSet(a -> b) && edgeSet(b -> c) && edgeSet(a -> c)
+    } yield 1).size.toLong
+    val got = Graphs.totalTriangles(edgeSet.toSeq.toDF("src", "dst")).as[Long].head()
+    assert(got == brute)
+    // per-vertex sums to 3x total
+    val per = Graphs.triangleCounts(edgeSet.toSeq.toDF("src", "dst"))
+      .agg(sum("n_triangles")).as[Long].head()
+    assert(per == 3 * brute)
+  }
+
+  test("co-occurrence edges: cap drops oversized groups, pairs are canonical-distinct") {
+    val df = Seq(
+      ("g1", 1), ("g1", 2), ("g1", 3),          // C(3,2) = 3 pairs
+      ("g2", 2), ("g2", 3),                     // 1 pair (dedups with g1's (2,3))
+      ("g3", 1), ("g3", 2), ("g3", 3), ("g3", 4), // size 4 > cap → dropped
+      ("g4", 9)                                 // singleton → dropped
+    ).toDF("g", "item")
+    val edges = Graphs.coOccurrenceEdges(df, "g", "item", maxGroupSize = 3)
+      .as[(Int, Int)].collect().toSet
+    assert(edges == Set((1, 2), (1, 3), (2, 3)))
+  }
+
+  test("the wedge join is an equi-join plan, not a nested loop") {
+    val edges = Seq((1, 2), (2, 3), (1, 3)).toDF("src", "dst")
+    val plan = Graphs.triangleCounts(edges).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+}
