@@ -2063,9 +2063,26 @@ object SparkEntry {
         "measure", "value")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
 
+  /** Connected components over the sparse co-order graph (day groups
+    * capped at 3 → 602 edges / 1069 components among 1500 customers at
+    * sf0.01): shared min-label propagation engine, isolated customers
+    * label themselves. Oracle = recursive-CTE transitive closure.
+    */
+  private def qComponents(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_custkey"))
+    val edges = graft.operators.Graphs.coOccurrenceEdges(orders, "day", "o_custkey",
+      maxGroupSize = 3)
+    graft.operators.Graphs.connectedComponents(
+        orders.select(col("o_custkey")).distinct(), edges, "o_custkey")
+      .select(col("id").cast("long").as("c_custkey"), col("rep").cast("long").as("component"))
+      .orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_components" -> (qComponents _),
     "q_unpivot" -> (qUnpivot _),
     "q_triangles" -> (qTriangles _),
     "q_bloom_join" -> (qBloomJoin _),
@@ -2280,6 +2297,22 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_components" ->
+      ("WITH RECURSIVE it AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS g, " +
+        "o_custkey AS i FROM orders " +
+        "WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL), " +
+        "ok AS (SELECT g FROM it GROUP BY g HAVING count(*) BETWEEN 2 AND 3), " +
+        "e AS (SELECT DISTINCT a.i AS u, b.i AS v FROM it a " +
+        "JOIN it b ON a.g = b.g AND a.i < b.i JOIN ok ON a.g = ok.g), " +
+        "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
+        "r AS (SELECT u AS a, v AS b FROM sym " +
+        "UNION SELECT r.a, sym.v FROM r JOIN sym ON r.b = sym.u), " +
+        "lab AS (SELECT a, least(a, min(b)) AS rep FROM r GROUP BY a), " +
+        "nodes AS (SELECT DISTINCT o_custkey AS c FROM orders WHERE o_custkey IS NOT NULL) " +
+        "SELECT CAST(c AS BIGINT) AS c_custkey, " +
+        "CAST(coalesce(lab.rep, c) AS BIGINT) AS component " +
+        "FROM nodes LEFT JOIN lab ON nodes.c = lab.a ORDER BY c_custkey"),
+
     "q_unpivot" ->
       ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value " +
         "FROM lineitem UNION ALL " +

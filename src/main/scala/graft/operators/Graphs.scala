@@ -77,6 +77,29 @@ object Graphs {
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Connected components over an undirected edge list: `(id, rep)`
+    * with `rep` = the component's minimum id (isolated nodes label
+    * themselves). The iteration engine is shared with near-dup
+    * clustering ([[graft.pipeline.Dedup.clusterRepresentatives]]):
+    * shortcut-augmented min-label propagation (O(log diameter)
+    * rounds, one job per round, per-round checkpoints) with the
+    * driver union-find fast path below the small-graph threshold —
+    * this adapter canonicalizes an arbitrary (src, dst) edge frame
+    * (self-loops out, both directions collapsed) onto that engine's
+    * pair contract.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
+                          srcCol: String = "src", dstCol: String = "dst",
+                          maxIters: Int = 10): DataFrame = {
+    val pairs = edges.select(
+        least(col(srcCol), col(dstCol)).as("id_a"),
+        greatest(col(srcCol), col(dstCol)).as("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull && col("id_a") =!= col("id_b"))
+      .distinct()
+    graft.pipeline.Dedup.clusterRepresentatives(
+      nodes.select(col(idCol).as("id")), pairs, "id", maxIters)
+  }
+
   /** Total triangle count as a 1-row frame `(n_triangles)`. */
   def totalTriangles(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst"): DataFrame =

@@ -51,6 +51,31 @@ class GraphsSpec extends AnyFunSuite {
     assert(edges == Set((1, 2), (1, 3), (2, 3)))
   }
 
+  test("connected components: min-id labels match a BFS brute force, isolated nodes self-label") {
+    val rng = new scala.util.Random(13L)
+    val n = 60
+    val edgeSeq = (for {
+      u <- 1 to n; v <- (u + 1) to n if rng.nextDouble() < 0.03
+    } yield (u.toLong, v.toLong))
+    // brute-force components via repeated label relaxation
+    val labels = scala.collection.mutable.Map((1 to n).map(i => i.toLong -> i.toLong): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      edgeSeq.foreach { case (u, v) =>
+        val m = math.min(labels(u), labels(v))
+        if (labels(u) != m || labels(v) != m) { labels(u) = m; labels(v) = m; changed = true }
+      }
+    }
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    // reversed + duplicated edges, plus a self-loop, must not matter
+    val messy = (edgeSeq ++ edgeSeq.map(_.swap) ++ Seq((5L, 5L))).toDF("src", "dst")
+    val got = Graphs.connectedComponents(nodes, messy, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == labels.toMap)
+    assert(got.keySet.size == n) // every node labelled, isolated ones included
+  }
+
   test("the wedge join is an equi-join plan, not a nested loop") {
     val edges = Seq((1, 2), (2, 3), (1, 3)).toDF("src", "dst")
     val plan = Graphs.triangleCounts(edges).queryExecution.executedPlan.toString
