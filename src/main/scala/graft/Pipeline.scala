@@ -280,6 +280,31 @@ object Pipeline {
         whenMatchedUpdateSet = nonKeys.map(c => c -> graft.operators.Merge.s(c)).toMap,
         whenNotMatchedInsert = true,
         whenNotMatchedBySourceDelete = if (deleteStale) Some(lit(true)) else None)
+    case graft.config.TransformConfig.ConstraintGateStage(
+        notNull, uniqueKey, minRows, maxRows, fkCol, fkRefPath, fkRefCol) =>
+      // the one EAGER stage: a publish gate that doesn't evaluate is
+      // not a gate. Builds the declared constraint set, runs the
+      // report (one scalar-agg pass + optional unique agg + optional
+      // FK anti-join), and fails the pipeline naming every violated
+      // constraint with its exact violation count.
+      import graft.validation.Constraints
+      val cs = notNull.map(Constraints.NotNull(_)) ++
+        (if (uniqueKey.nonEmpty) Seq(Constraints.Unique(uniqueKey)) else Nil) ++
+        (if (fkCol.nonEmpty)
+          Seq(Constraints.ForeignKey(fkCol,
+            df.sparkSession.read.parquet(fkRefPath), fkRefCol))
+        else Nil) ++
+        (if (minRows > 0 || maxRows != Long.MaxValue)
+          Seq(Constraints.RowCountBetween(minRows, maxRows)) else Nil)
+      val failed = Constraints.check(df, cs)
+        .filter(!col("passed"))
+        .select(col("constraint"), col("value"))
+        .collect()
+      if (failed.nonEmpty)
+        throw new IllegalStateException("constraintGate failed: " + failed
+          .map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
+          .mkString(", "))
+      df
     case graft.config.TransformConfig.SeqPack(id, text, budget, shardWidth) =>
       // terminal reshape: output is the packed-sequence layout
       graft.pipeline.Packing.packGreedy(

@@ -512,6 +512,34 @@ object TransformConfig {
       else if (keys.isEmpty) Some("transform.mergeSnapshot.keys required")
       else None
   }
+  /** Data-quality gate — validation.Constraints over the piped frame:
+    * the ONE EAGER stage (it runs the constraint aggregates when the
+    * pipeline reaches it — a gate that doesn't look is not a gate) and
+    * schema-PRESERVING: on success the frame passes through untouched,
+    * on any violation the pipeline fails listing every failing
+    * constraint with its violation count. Scalar constraints cost one
+    * aggregation pass; uniqueKey one hash aggregate; the optional FK
+    * one anti-join against `fkRefPath` parquet. Place it before the
+    * target write (gate, then publish).
+    */
+  final case class ConstraintGateStage(notNull: List[String], uniqueKey: List[String],
+                                       minRows: Long, maxRows: Long,
+                                       fkColumn: String, fkRefPath: String,
+                                       fkRefColumn: String)
+      extends TransformConfig {
+    val name = "constraintGate"
+    def check: Option[String] = {
+      val fk = Seq(fkColumn, fkRefPath, fkRefColumn)
+      if (notNull.isEmpty && uniqueKey.isEmpty && minRows <= 0 &&
+          maxRows == Long.MaxValue && fk.forall(_.isEmpty))
+        Some("transform.constraintGate declares no constraint")
+      else if (fk.exists(_.nonEmpty) && fk.exists(_.isEmpty))
+        Some("transform.constraintGate fkColumn/fkRefPath/fkRefColumn are all-or-none")
+      else if (minRows < 0 || maxRows < minRows)
+        Some("transform.constraintGate needs 0 <= minRows <= maxRows")
+      else None
+    }
+  }
   /** Greedy sequence packing — Packing.packGreedy over token counts
     * derived from `textColumn`. TERMINAL reshape: unlike the other
     * stages the OUTPUT schema is the packed-sequence layout
@@ -780,6 +808,10 @@ object PipelineConfig {
       "transform.pitEnrich.tsColumn", "transform.pitEnrich.valueColumns",
       "transform.mergeSnapshot.snapshotPath", "transform.mergeSnapshot.keys",
       "transform.mergeSnapshot.deleteStale",
+      "transform.constraintGate.notNull", "transform.constraintGate.uniqueKey",
+      "transform.constraintGate.minRows", "transform.constraintGate.maxRows",
+      "transform.constraintGate.fkColumn", "transform.constraintGate.fkRefPath",
+      "transform.constraintGate.fkRefColumn",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
@@ -1243,6 +1275,19 @@ object PipelineConfig {
               .toBooleanOption.toRight("transform.mergeSnapshot.deleteStale not a boolean")
           } yield TransformConfig.MergeSnapshotStage(sp,
             list("transform.mergeSnapshot.keys"), ds)
+        case "constraintGate" =>
+          for {
+            minR <- map.getOrElse("transform.constraintGate.minRows", "0")
+              .toLongOption.toRight("transform.constraintGate.minRows not a long")
+            maxR <- map.getOrElse("transform.constraintGate.maxRows",
+              Long.MaxValue.toString)
+              .toLongOption.toRight("transform.constraintGate.maxRows not a long")
+          } yield TransformConfig.ConstraintGateStage(
+            list("transform.constraintGate.notNull"),
+            list("transform.constraintGate.uniqueKey"), minR, maxR,
+            map.getOrElse("transform.constraintGate.fkColumn", ""),
+            map.getOrElse("transform.constraintGate.fkRefPath", ""),
+            map.getOrElse("transform.constraintGate.fkRefColumn", ""))
         case "seqPack" =>
           for {
             id <- map.get("transform.seqPack.idColumn")
