@@ -129,6 +129,44 @@ object ScaleBench {
       pipeline.Text.blocklistFilter(Tables.load(s, dir, "documents"), "text",
         Seq("slow", "merge batch", "nonexistentterm")).count()
     },
+    // per-copy key spaces kept disjoint (suppkey/custkey + copy·Off) so
+    // intervals-per-key and graph density stay CONSTANT under
+    // amplification — the "more entities at bigger scale" model under
+    // which linear growth is the correct expectation; leaving the keys
+    // shared would grow per-key pair counts quadratically in F, an
+    // inherent-workload effect that says nothing about the plan
+    "interval_join" -> { (s, dir) =>
+      def iv(p: String) = Tables.load(s, dir, "lineitem").select(
+          (col("l_suppkey") + floor(col("l_orderkey") / Off).cast("long") * Off)
+            .as(s"${p}_k"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as(s"${p}_id"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long")
+            .as(s"${p}_lo"),
+          (datediff(to_date(col("l_shipdate")), lit("1970-01-01")) +
+            col("l_quantity").cast("long") + 1).as(s"${p}_hi"))
+        .groupBy(s"${p}_k", s"${p}_id")
+        .agg(min(col(s"${p}_lo")).as(s"${p}_lo"), min(col(s"${p}_hi")).as(s"${p}_hi"))
+      operators.IntervalJoin.overlapJoin(iv("a"), iv("b"),
+          "a_lo", "a_hi", "b_lo", "b_hi", bandWidth = 32.0, keys = Seq(("a_k", "b_k")))
+        .filter(col("a_id") < col("b_id")).count()
+    },
+    "triangles" -> { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders").select(
+        concat_ws("#", to_date(col("o_orderdate")).cast("string"),
+          floor(col("o_orderkey") / Off).cast("long").cast("string")).as("day"),
+        (col("o_custkey") + floor(col("o_orderkey") / Off).cast("long") * Off)
+          .as("o_custkey"))
+      operators.Graphs.triangleCounts(
+        operators.Graphs.coOccurrenceEdges(orders, "day", "o_custkey",
+          maxGroupSize = 12)).count()
+    },
+    "bloom_join" -> { (s, dir) =>
+      val probe = Tables.load(s, dir, "lineitem").select(col("l_orderkey"))
+      val build = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      operators.BloomJoin.prunedJoin(probe, build, "l_orderkey", "o_orderkey",
+        expectedKeys = 500000L).count()
+    },
     "explode_cells" -> ((s, dir) => SparkEntry.queries("q_explode_cells")(s, dir).count()),
     "hash_refine" -> ((s, dir) => SparkEntry.queries("q_hash_refine")(s, dir).count()),
     "asof_native" -> ((s, dir) => SparkEntry.queries("q_asof_native")(s, dir).count()),
@@ -167,7 +205,11 @@ object ScaleBench {
     // min-of-2 at each size (first run eats codegen compilation; the
     // min reflects the plan), base and scaled back-to-back per workload
     // so co-tenant drift hits both sides of a ratio equally
-    val results = workloads.flatMap { case (name, fn) =>
+    // optional args: workload-name filter (local iteration on a subset)
+    val only = args.toSet
+    val results = workloads
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       System.err.println(s"[scale] $name")
       val base = Seq(time(fn, baseDir), time(fn, baseDir)).flatten
       val scaled = Seq(time(fn, workDir), time(fn, workDir)).flatten
