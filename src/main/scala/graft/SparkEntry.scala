@@ -2079,9 +2079,39 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** Incremental aggregate maintenance: the (status, year) revenue
+    * store built from orders ≤ a cut absorbs the post-cut batch via
+    * `IncrementalAgg.absorb` — the merged store must equal (and is
+    * oracle-checked against) the full re-aggregate, while costing only
+    * the delta scan plus a |keys|-sized merge. Decimal-cast before
+    * summing keeps the merge law exact (doubles would drift under
+    * re-association).
+    */
+  private def qIncrAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    import IncrementalAgg._
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val keys = Seq("o_orderstatus", "yr")
+    val metrics = Seq(CountRows("n_orders"), SumOf("price", "sum_price"),
+      MinOf("price", "min_price"), MaxOf("price", "max_price"))
+    val cut = 7500L
+    val store = IncrementalAgg.aggregate(
+      o.filter(col("o_orderkey") <= cut).drop("o_orderkey"), keys, metrics)
+    IncrementalAgg.absorb(store,
+        o.filter(col("o_orderkey") > cut).drop("o_orderkey"), keys, metrics)
+      .select(col("o_orderstatus"), col("yr"), col("n_orders"),
+        col("sum_price").cast("double").as("sum_price"),
+        col("min_price").cast("double").as("min_price"),
+        col("max_price").cast("double").as("max_price"))
+      .orderBy(col("o_orderstatus"), col("yr"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_agg" -> (qIncrAgg _),
     "q_components" -> (qComponents _),
     "q_unpivot" -> (qUnpivot _),
     "q_triangles" -> (qTriangles _),
@@ -2297,6 +2327,14 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_incr_agg" ->
+      ("SELECT o_orderstatus, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr, " +
+        "count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price, " +
+        "CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price " +
+        "FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, yr"),
+
     "q_components" ->
       ("WITH RECURSIVE it AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS g, " +
         "o_custkey AS i FROM orders " +
