@@ -30,6 +30,20 @@ trait MediaDecoder extends Serializable {
 
   /** Resample/resize the payload to at most `maxBytes`. */
   def resize(bytes: Array[Byte], maxBytes: Int): Array[Byte]
+
+  /** 64-bit perceptual hash: visually similar payloads map to
+    * bit-close hashes (small Hamming distance), so media near-dup
+    * reduces to the integer Hamming machinery the text tier already
+    * has. Default: content hash of the raw bytes (exact-dup only) —
+    * real codecs override with a perceptual construction.
+    */
+  def perceptualHash(bytes: Array[Byte]): Long = {
+    // FNV-1a over the raw bytes: deterministic, exact-duplicate-only
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xFFL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
 }
 
 /** Deterministic stand-in decoder — any engine can reproduce its
@@ -124,6 +138,68 @@ object ImageIoDecoder extends MediaDecoder {
       cy += 1
     }
     out
+  }
+
+  /** Classic pHash: downscale to 32×32 luminance, 2-D DCT, keep the
+    * 8×8 low-frequency block, threshold each coefficient at the
+    * block's median (DC excluded from the median so a brightness
+    * offset can't flip half the bits). Visually-close images differ
+    * in a few bits; unrelated images differ in ~32.
+    */
+  override def perceptualHash(bytes: Array[Byte]): Long = {
+    val src = readPixels(bytes)
+    val n = 32
+    val scaled = new java.awt.image.BufferedImage(n, n,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = scaled.createGraphics()
+    try {
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(src, 0, 0, n, n, null)
+    } finally g2.dispose()
+    val lum = Array.ofDim[Double](n, n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val rgb = scaled.getRGB(x, y)
+        lum(y)(x) = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val dct = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0.0
+        var yy = 0
+        while (yy < n) {
+          var xx = 0
+          while (xx < n) {
+            sum += lum(yy)(xx) *
+              math.cos((2 * xx + 1) * u * math.Pi / (2.0 * n)) *
+              math.cos((2 * yy + 1) * v * math.Pi / (2.0 * n))
+            xx += 1
+          }
+          yy += 1
+        }
+        dct(v * 8 + u) = sum
+        v += 1
+      }
+      u += 1
+    }
+    val acs = dct.drop(1).sorted
+    val median = (acs(30) + acs(31)) / 2.0
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (dct(i) > median) h |= 1L << i
+      i += 1
+    }
+    h
   }
 
   /** Halve dimensions and re-encode (PNG) until the payload fits
@@ -281,6 +357,66 @@ object Multimodal {
   /** Former name of [[resize]], kept for callers of the stub era. */
   def resizeStub(df: DataFrame, idCol: String, payloadCol: String, maxBytes: Int): DataFrame =
     resize(df, idCol, payloadCol, maxBytes)
+
+  /** Perceptual hash per payload: `(id, phash LONG)` via the same
+    * batched mapPartitions shape as the other decode passes. NULL
+    * payloads yield NULL hashes.
+    */
+  def perceptualHashes(df: DataFrame, idCol: String, payloadCol: String,
+                       decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val schema = df.schema
+    val idOrd = schema.fieldIndex(idCol)
+    val payloadOrd = schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(schema(idCol),
+      StructField("phash", LongType, nullable = true)))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val h =
+          if (row.isNullAt(payloadOrd)) null
+          else java.lang.Long.valueOf(
+            decoder.perceptualHash(row.getAs[Array[Byte]](payloadOrd)))
+        Row(row.get(idOrd), h)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Media near-dup pairs from a `(id, phash)` frame: all pairs with
+    * Hamming distance ≤ `maxDist` (≤ 15), via the pigeonhole band
+    * join — the 64-bit hash splits into 16-bit quarters, and two
+    * hashes within distance 15 MUST agree on at least one quarter, so
+    * candidates form on 4 equi-join keys (band_idx, band_value)
+    * instead of an all-pairs product; the exact `bit_count(xor)`
+    * predicate then verifies. Pair dedup keeps the FIRST agreeing
+    * band only (no distinct pass — same trick as the interval join's
+    * canonical band). Shuffle carries (band, 16-bit key, id, hash):
+    * fixed width, never a payload.
+    */
+  def phashNearDup(hashes: DataFrame, idCol: String, hashCol: String = "phash",
+                   maxDist: Int = 8): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      "maxDist must be in [0, 15]: 4 bands pigeonhole distances <= 15 only")
+    def banded(side: String) = hashes
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).as(s"${side}_id"), col(hashCol).as(s"${side}_h"))
+      .withColumn("bk", explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"),
+          shiftrightunsigned(col(s"${side}_h"), k * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("band_key"))): _*)))
+      .select(col(s"${side}_id"), col(s"${side}_h"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val a = banded("a")
+    val b = banded("b")
+    val dist = bit_count(col("a_h").bitwiseXOR(col("b_h")))
+    // first agreeing band: no earlier band index matches
+    val firstBand = (0 until 4).map(k =>
+      lit(k) >= col("band") ||
+        shiftrightunsigned(col("a_h"), k * 16).bitwiseAND(lit(0xFFFFL)) =!=
+          shiftrightunsigned(col("b_h"), k * 16).bitwiseAND(lit(0xFFFFL)))
+      .reduce(_ && _)
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id") && dist <= maxDist && firstBand)
+      .select(col("a_id"), col("b_id"), dist.cast("int").as("hamming"))
+  }
 
   /** Frame sampling: one output row per sampled frame index, stride
     * `every`. Declarative explode over the decoded frame count — the

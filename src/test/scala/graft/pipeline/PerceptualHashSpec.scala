@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Perceptual hashing over the REAL ImageIO decoder: visually-close
+  * images land bit-close, unrelated images far apart, and the banded
+  * near-dup join finds exactly the pairs a brute-force Hamming scan
+  * finds.
+  */
+class PerceptualHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def encode(img: BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic "photo": smooth gradient + a block pattern. */
+  private def photo(w: Int, h: Int, seed: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 255 / w + y * 255 / h) / 2
+      val block = if (((x / 16) + (y / 16) + seed) % 2 == 0) 60 else 0
+      val v = math.min(255, base + block)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def perturb(img: BufferedImage): BufferedImage = {
+    val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(img, 0, 0, null) finally g.dispose()
+    // small local edit: a 6x6 bright square — perceptually "the same image"
+    for (y <- 10 until 16; x <- 10 until 16) out.setRGB(x, y, 0xFFFFFF)
+    out
+  }
+
+  test("pHash: a small local edit stays bit-close, a different image is far") {
+    val a = ImageIoDecoder.perceptualHash(encode(photo(128, 96, 0)))
+    val aEdit = ImageIoDecoder.perceptualHash(encode(perturb(photo(128, 96, 0))))
+    val b = ImageIoDecoder.perceptualHash(encode(photo(128, 96, 1)))
+    def dist(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(dist(a, aEdit) <= 8, s"edit moved ${dist(a, aEdit)} bits")
+    assert(dist(a, b) > 15, s"different images only ${dist(a, b)} bits apart")
+    // a rescaled copy of the same image hashes close too
+    val aSmall = {
+      val s = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      val g = s.createGraphics()
+      try g.drawImage(photo(128, 96, 0), 0, 0, 64, 48, null) finally g.dispose()
+      ImageIoDecoder.perceptualHash(encode(s))
+    }
+    assert(dist(a, aSmall) <= 10, s"rescale moved ${dist(a, aSmall)} bits")
+  }
+
+  test("perceptualHashes runs through the batched decode pass; NULL payloads yield NULL") {
+    val df = Seq((1L, Some(encode(photo(64, 48, 0)))), (2L, None))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.perceptualHashes(df, "doc_id", "payload", ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L).isDefined && got(2L).isEmpty)
+  }
+
+  test("banded near-dup equals brute force on random hashes, exactly once per pair") {
+    val rng = new scala.util.Random(99L)
+    val base = Seq.fill(40)(rng.nextLong())
+    // close variants: flip up to 4 bits
+    val variants = base.take(10).map { h =>
+      (0 until 1 + rng.nextInt(4)).foldLeft(h)((x, _) => x ^ (1L << rng.nextInt(64)))
+    }
+    val hashes = (base ++ variants).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "phash")
+    val got = Multimodal.phashNearDup(hashes, "id", "phash", maxDist = 6)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    val all = (base ++ variants).zipWithIndex
+    val brute = (for {
+      (ha, ia) <- all; (hb, ib) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia.toLong, ib.toLong, d)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("the stub decoder's default hash separates exact duplicates only") {
+    val x = "same bytes".getBytes
+    assert(StubDecoder.perceptualHash(x) == StubDecoder.perceptualHash("same bytes".getBytes))
+    assert(StubDecoder.perceptualHash(x) != StubDecoder.perceptualHash("diff bytes".getBytes))
+  }
+}
