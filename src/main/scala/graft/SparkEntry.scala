@@ -2108,9 +2108,29 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"), col("yr"))
   }
 
+  /** Bitemporal snapshot — "the per-user daily state as we KNEW it at
+    * txAt": events become assertions (valid time = the event's day,
+    * transaction time = the event instant), later same-day assertions
+    * supersede earlier ones, and the tx cutoff excludes what was
+    * learned after. Two windows sharing one key shuffle, no joins.
+    */
+  private def qBitemporal(s: SparkSession, d: String): DataFrame = {
+    val log = t(s, d, "events").select(col("user_id"),
+      date_trunc("day", col("ts")).cast("timestamp_ntz").as("vts"), col("ts"),
+      col("event_id"), col("event_type"), col("value"))
+    graft.operators.Scd2.bitemporalSnapshot(log, "user_id", "vts", "ts",
+        "event_type", upsertOp = "purchase", deleteOp = "error",
+        valueCols = Seq("value"),
+        validAt = lit("2024-01-15 00:00:00").cast("timestamp_ntz"),
+        txAt = lit("2024-01-10 12:00:00").cast("timestamp_ntz"),
+        tieBreak = Seq(col("event_id")))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitemporal" -> (qBitemporal _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_components" -> (qComponents _),
     "q_unpivot" -> (qUnpivot _),
@@ -2327,6 +2347,20 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_bitemporal" ->
+      ("WITH log AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS vts, ts, event_id, " +
+        "event_type, value FROM events " +
+        "WHERE event_type IN ('purchase', 'error') " +
+        "AND ts <= TIMESTAMP '2024-01-10 12:00:00' " +
+        "AND CAST(date_trunc('day', ts) AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'), " +
+        "r1 AS (SELECT *, row_number() OVER (PARTITION BY user_id, vts " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM log), " +
+        "r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY vts DESC, ts DESC, event_id DESC) AS vn " +
+        "FROM (SELECT * FROM r1 WHERE rn = 1)) " +
+        "SELECT user_id, vts AS valid_ts, ts AS asserted_ts, value " +
+        "FROM r2 WHERE vn = 1 AND event_type = 'purchase' ORDER BY user_id"),
+
     "q_incr_agg" ->
       ("SELECT o_orderstatus, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr, " +
         "count(*) AS n_orders, " +

@@ -130,4 +130,48 @@ object Scd2 {
       .agg(sum(col("__dur")).cast("long").as("millis_covered"),
         sum(col("__units") * col("__dur")).cast("long").as("weighted_units"))
   }
+
+  /** BITEMPORAL snapshot — "what did we BELIEVE at `txAt` the state
+    * was at `validAt`?" — over a correction log where every row is an
+    * assertion `(key, validTs, txTs, op, values…)`: at transaction
+    * time `txTs` we asserted that, as of valid time `validTs`, the
+    * key's state became `values` (upsert) or ceased to exist
+    * (delete). A later-tx assertion about the SAME (key, validTs)
+    * supersedes the earlier one — the late-arriving correction the
+    * second time axis exists for. A plain SCD2 history cannot answer
+    * this: it has no record of when a fact was LEARNED, so a restated
+    * audit ("reproduce January's report as we computed it on Feb 3")
+    * silently absorbs corrections made after Feb 3.
+    *
+    * Semantics: restrict to assertions with `txTs <= txAt`; per
+    * (key, validTs) keep the last assertion by (txTs, tieBreak); per
+    * key keep the latest surviving validTs <= validAt; a delete there
+    * means no state (row absent).
+    *
+    * Shape at scale: scan-side tx filter (pushes to the source) +
+    * TWO windows that share the key shuffle (the second partitions by
+    * a prefix of the first — no extra exchange). No joins.
+    */
+  def bitemporalSnapshot(log: DataFrame, key: String, validTsCol: String,
+                         txTsCol: String, opCol: String, upsertOp: String,
+                         deleteOp: String, valueCols: Seq[String],
+                         validAt: Column, txAt: Column,
+                         tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(upsertOp != deleteOp, "upsertOp and deleteOp must differ")
+    Seq("__rn", "__vn").foreach(c => require(!log.columns.contains(c),
+      s"$c is reserved by bitemporalSnapshot"))
+    val known = log
+      .filter(col(opCol) === upsertOp || col(opCol) === deleteOp)
+      .filter(col(txTsCol) <= txAt && col(validTsCol) <= validAt)
+    val byTx = Window.partitionBy(col(key), col(validTsCol))
+      .orderBy((col(txTsCol).desc +: tieBreak.map(_.desc)): _*)
+    val byValid = Window.partitionBy(col(key))
+      .orderBy((col(validTsCol).desc +: col(txTsCol).desc +: tieBreak.map(_.desc)): _*)
+    known
+      .withColumn("__rn", row_number().over(byTx)).filter(col("__rn") === 1)
+      .withColumn("__vn", row_number().over(byValid)).filter(col("__vn") === 1)
+      .filter(col(opCol) === upsertOp)
+      .select((col(key) +: col(validTsCol).as("valid_ts") +:
+        col(txTsCol).as("asserted_ts") +: valueCols.map(col)): _*)
+  }
 }

@@ -31,6 +31,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_jsonl_roundtrip", // scalar-row cross join: the 1-row quarantine count
                          // (global agg, no grouping) broadcast onto every row —
                          // the lazy replacement for the old eager count()
+    "q_csv_roundtrip",   // identical shape: the CSV quarantine count rides as
+                         // the same 1-row broadcast cross join
     "q_mix_weights",     // scalar-row cross join: the 1-row T_max min-reduction
                          // broadcast onto the |groups|-row quota frame
     "q_term_drift",      // scalar-row cross joins: the two 1-row corpus totals

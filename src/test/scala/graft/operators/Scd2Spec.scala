@@ -118,4 +118,45 @@ class Scd2Spec extends AnyFunSuite {
         "k", "ts", "op", "upsert", "delete", Seq("valid_from"))
     }
   }
+
+  // bitemporal: assertions (key, validTs, txTs); later tx about the
+  // same valid instant is a correction
+  private val bilog = Seq(
+    // k1: day-1 value asserted 10, corrected to 11 on day 3
+    (1L, "k1", ts("2024-01-01 00:00:00"), ts("2024-01-01 09:00:00"), "upsert", 10.0),
+    (2L, "k1", ts("2024-01-01 00:00:00"), ts("2024-01-03 09:00:00"), "upsert", 11.0),
+    // k1: day-2 value 20, retracted (delete) on day 4
+    (3L, "k1", ts("2024-01-02 00:00:00"), ts("2024-01-02 09:00:00"), "upsert", 20.0),
+    (4L, "k1", ts("2024-01-02 00:00:00"), ts("2024-01-04 09:00:00"), "delete", 0.0),
+    // k2: single assertion
+    (5L, "k2", ts("2024-01-01 00:00:00"), ts("2024-01-01 10:00:00"), "upsert", 5.0)
+  ).toDF("seq", "k", "vts", "tts", "op", "v")
+
+  private def snap(validAt: String, txAt: String): Map[String, (Timestamp, Double)] =
+    Scd2.bitemporalSnapshot(bilog, "k", "vts", "tts", "op", "upsert", "delete",
+        Seq("v"), lit(validAt).cast("timestamp"), lit(txAt).cast("timestamp"),
+        Seq(col("seq")))
+      .collect().map(r => r.getString(0) -> ((r.getTimestamp(1), r.getDouble(3)))).toMap
+
+  test("bitemporal: corrections supersede only after their transaction time") {
+    // as known Jan 2 noon: day-2 value 20 is current, day-1 still reads 10
+    assert(snap("2024-01-05 00:00:00", "2024-01-02 12:00:00") ==
+      Map("k1" -> ((ts("2024-01-02 00:00:00"), 20.0)),
+          "k2" -> ((ts("2024-01-01 00:00:00"), 5.0))))
+    // as known Jan 5: the day-2 assertion is now a DELETE (the entity
+    // ceased to exist at day 2 in valid time), so k1 has NO state at
+    // validAt Jan 5 — a fallback to day-1 would resurrect valid-time
+    // state the delete superseded
+    assert(snap("2024-01-05 00:00:00", "2024-01-05 00:00:00") ==
+      Map("k2" -> ((ts("2024-01-01 00:00:00"), 5.0))))
+  }
+
+  test("bitemporal: valid-time cutoff ignores later valid instants entirely") {
+    // validAt Jan 1: day-2 assertions invisible regardless of tx knowledge
+    assert(snap("2024-01-01 00:00:00", "2024-01-05 00:00:00") ==
+      Map("k1" -> ((ts("2024-01-01 00:00:00"), 11.0)),
+          "k2" -> ((ts("2024-01-01 00:00:00"), 5.0))))
+    // txAt before anything was learned: empty
+    assert(snap("2024-01-05 00:00:00", "2024-01-01 08:00:00").isEmpty)
+  }
 }
