@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Targeted row deletion over a plain-parquet table — the
+  * right-to-be-forgotten rewrite: given a bounded key list, rewrite
+  * ONLY the files that actually contain one of the keys, leaving every
+  * other file byte-for-byte untouched. At 100 TB this is the
+  * difference between rewriting a table and rewriting the handful of
+  * files a user's rows landed in (thousands of times smaller when the
+  * layout clusters by the key — which `target.sortBy`/zorder already
+  * arrange).
+  *
+  * Detection: one scan with the `IN (keys…)` filter pushed to parquet
+  * (row-group stats skip cleanly on clustered layouts), projecting
+  * only `input_file_name()` — the candidate set never leaves the
+  * metadata tier. With a `_stats` index present, pass it to pre-prune
+  * the scan to files whose [min, max] intersects the key range.
+  *
+  * Crash safety: per-file write-ahead markers under `_delete/`, the
+  * same swap protocol as [[Compaction]] — replacement staged and
+  * row-count-verified (original rows − matched rows) → marker
+  * (replacement + original) → replacement moves in → original deleted
+  * → marker deleted. `recover()` (auto-run first) completes a
+  * post-move crash by deleting the original, and rolls back a
+  * pre-move crash by keeping it (staging debris is harmless). A file
+  * whose every row matches is replaced by an empty-but-schema'd
+  * parquet file — the swap protocol stays uniform.
+  *
+  * The key list is DRIVER-BOUNDED (it inlines into the pushed filter
+  * and the rewrite predicate): route deletion sets beyond ~100k keys
+  * through an anti-join full copy instead — at that volume you are
+  * rewriting most files anyway.
+  */
+object TargetedDelete {
+
+  final case class Result(filesRewritten: Int, rowsDeleted: Long, filesUntouched: Int)
+
+  private val MarkerDir = "_delete"
+
+  /** Complete or roll back interrupted swaps; returns markers resolved. */
+  def recover(spark: SparkSession, dir: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val markers = new Path(dir, MarkerDir)
+    val fs = markers.getFileSystem(conf)
+    if (!fs.exists(markers)) return 0
+    val resolved = fs.listStatus(markers).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+      val lines = body.split("\n").filter(_.nonEmpty)
+      val replacement = new Path(lines.head)
+      if (fs.exists(replacement))
+        lines.tail.foreach(o => fs.delete(new Path(o), false))
+      fs.delete(st.getPath, false)
+      1
+    }.sum
+    if (fs.listStatus(markers).isEmpty) fs.delete(markers, true)
+    resolved
+  }
+
+  def delete(spark: SparkSession, dir: String, keyCol: String, keys: Seq[Any],
+             stats: Option[org.apache.spark.sql.DataFrame] = None): Result = {
+    require(keys.nonEmpty, "empty key list — nothing to delete")
+    require(keys.size <= 100000,
+      s"${keys.size} keys: beyond the driver-bounded contract — " +
+        "use an anti-join full copy for deletion sets this large")
+    recover(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val all = ParquetSource.listParquetFiles(dir, conf)
+
+    // stats pre-prune (conservative): only files whose [min,max] range
+    // intersects [min(keys), max(keys)] can contain a key. Applied only
+    // for key types with an unambiguous ordering here (integral,
+    // string) — anything else skips the pre-prune, never prunes wrong.
+    val bounds: Option[(Any, Any)] =
+      if (keys.forall(k => k.isInstanceOf[java.lang.Long] ||
+          k.isInstanceOf[java.lang.Integer] || k.isInstanceOf[java.lang.Short] ||
+          k.isInstanceOf[java.lang.Byte])) {
+        val ls = keys.map(_.asInstanceOf[Number].longValue)
+        Some((ls.min, ls.max))
+      } else if (keys.forall(_.isInstanceOf[String])) {
+        val ss = keys.map(_.asInstanceOf[String])
+        Some((ss.min, ss.max))
+      } else None
+    val candidates = (stats, bounds) match {
+      case (Some(st), Some((lo, hi))) =>
+        FileStatsIndex.survivingFiles(spark, dir, st,
+          Seq(FileStatsIndex.Between(keyCol, lo, hi)))
+      case _ => all
+    }
+    if (candidates.isEmpty) return Result(0, 0L, all.size)
+
+    val inKeys = col(keyCol).isInCollection(keys)
+    val affected = spark.read.parquet(candidates: _*)
+      .filter(inKeys)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+    var deleted = 0L
+    affected.zipWithIndex.foreach { case (file, i) =>
+      val original = new Path(file)
+      val df = spark.read.parquet(file)
+      val total = df.count()
+      val matched = df.filter(inKeys).count()
+      val staging = new Path(dir, s"_delete_staging_$i")
+      df.filter(!inKeys || col(keyCol).isNull).coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = fs.listStatus(staging)
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet written under $staging"))
+      val got = spark.read.parquet(part.toString).count()
+      require(got == total - matched,
+        s"delete rewrite of $file row mismatch: $got != ${total - matched} — " +
+          "aborting, original kept")
+      val target = new Path(dir,
+        s"part-deleted-$i-${java.util.UUID.randomUUID()}.parquet")
+      val markers = new Path(dir, MarkerDir)
+      fs.mkdirs(markers)
+      val marker = new Path(markers, s"file_$i.json")
+      val out = fs.create(marker, true)
+      try out.write(s"$target\n$original".getBytes("UTF-8")) finally out.close()
+      fs.rename(part, target)
+      fs.delete(original, false)
+      fs.delete(marker, false)
+      fs.delete(staging, true)
+      deleted += matched
+    }
+    val markers = new Path(dir, MarkerDir)
+    if (fs.exists(markers) && fs.listStatus(markers).isEmpty) fs.delete(markers, true)
+    Result(affected.size, deleted, all.size - affected.size)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TargetedDeleteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A clustered multi-file table: file i holds ids [i*100, i*100+99]. */
+  private def table(): String = {
+    val dir = Files.createTempDirectory("graft-tdel").resolve("t").toString
+    (0 until 5).foreach { i =>
+      (i * 100 until i * 100 + 100).map(id => (id.toLong, s"row$id"))
+        .toDF("id", "payload").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    dir
+  }
+
+  private def fileBytes(dir: String): Map[String, Long] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ParquetSource.listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
+      .map(f => f -> fs.getFileStatus(new Path(f)).getModificationTime).toMap
+  }
+
+  test("only files containing the keys are rewritten; others stay byte-identical") {
+    val dir = table()
+    val before = fileBytes(dir)
+    val r = TargetedDelete.delete(spark, dir, "id", Seq(5L, 7L, 205L))
+    assert(r == TargetedDelete.Result(filesRewritten = 2, rowsDeleted = 3, filesUntouched = 3))
+    val after = fileBytes(dir)
+    // the 3 untouched files keep their exact paths and mtimes
+    assert(before.keySet.intersect(after.keySet).size == 3)
+    before.keySet.intersect(after.keySet).foreach(f => assert(before(f) == after(f)))
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 497)
+    assert(got.filter(col("id").isin(5L, 7L, 205L)).count() == 0)
+    assert(got.filter(col("id") === 6L).count() == 1) // neighbors survive
+  }
+
+  test("absent keys are a no-op; a fully-matched file becomes an empty replacement") {
+    val dir = table()
+    assert(TargetedDelete.delete(spark, dir, "id", Seq(99999L)) ==
+      TargetedDelete.Result(0, 0L, 5))
+    val whole = (400L until 500L).toSeq
+    val r = TargetedDelete.delete(spark, dir, "id", whole)
+    assert(r.filesRewritten == 1 && r.rowsDeleted == 100L)
+    assert(spark.read.parquet(dir).count() == 400)
+  }
+
+  test("stats pre-prune restricts the detection scan, result identical") {
+    val dir = table()
+    val stats = spark.read.parquet(FileStatsIndex.buildAndSave(spark, dir, Seq("id")))
+    val r = TargetedDelete.delete(spark, dir, "id", Seq(101L, 102L), Some(stats))
+    assert(r.filesRewritten == 1 && r.rowsDeleted == 2)
+    assert(spark.read.parquet(dir).filter(col("id").isin(101L, 102L)).isEmpty)
+  }
+
+  test("recovery: post-move marker deletes the original, pre-move marker keeps it") {
+    val dir = table()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ParquetSource.listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
+    val victim = files.head
+    // fabricate a post-move crash: replacement exists, original still there
+    val replacement = new Path(dir, "part-deleted-recovered.parquet")
+    fs.rename(new Path(files(1)), replacement) // stand-in replacement content
+    val markers = new Path(dir, "_delete"); fs.mkdirs(markers)
+    val m = fs.create(new Path(markers, "file_0.json"), true)
+    try m.write(s"$replacement\n$victim".getBytes("UTF-8")) finally m.close()
+    assert(TargetedDelete.recover(spark, dir) == 1)
+    assert(!fs.exists(new Path(victim)) && fs.exists(replacement))
+    // pre-move crash: marker names a replacement that never arrived
+    val m2dir = new Path(dir, "_delete"); fs.mkdirs(m2dir)
+    val survivor = ParquetSource.listParquetFiles(dir,
+      spark.sparkContext.hadoopConfiguration).head
+    val m2 = fs.create(new Path(m2dir, "file_1.json"), true)
+    try m2.write(s"$dir/never-written.parquet\n$survivor".getBytes("UTF-8"))
+    finally m2.close()
+    assert(TargetedDelete.recover(spark, dir) == 1)
+    assert(fs.exists(new Path(survivor)))
+  }
+
+  test("null keys in the table are never deleted; oversized key lists rejected") {
+    val dir = Files.createTempDirectory("graft-tdel-n").resolve("t").toString
+    Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c")).toDF("id", "payload")
+      .coalesce(1).write.parquet(dir)
+    val r = TargetedDelete.delete(spark, dir, "id", Seq(1L))
+    assert(r.rowsDeleted == 1)
+    val left = spark.read.parquet(dir).select("payload").as[String].collect().toSet
+    assert(left == Set("b", "c"))
+    intercept[IllegalArgumentException](
+      TargetedDelete.delete(spark, dir, "id", (1L to 100001L).map(x => x: Any)))
+  }
+}
