@@ -25,6 +25,12 @@ private[streaming] object SwapStore {
     val fs = dst.getFileSystem(sess.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    // the swap replaces the directory's files wholesale, but the
+    // session's shared file-status cache never expires by default
+    // (spark.sql.metadataCacheTTLSeconds = -1): without an explicit
+    // refresh a long-lived session can list a PREVIOUS swap's files
+    // and silently read stale state
+    sess.catalog.refreshByPath(path)
     if (fs.exists(dst)) sess.read.parquet(path)
     else sess.createDataFrame(
       sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
@@ -41,6 +47,7 @@ private[streaming] object SwapStore {
     if (fs.exists(dst)) fs.rename(dst, old)
     fs.rename(tmp, dst)
     fs.delete(old, true)
+    sess.catalog.refreshByPath(path) // evict the pre-swap listing (see readCurrent)
     ()
   }
 }
