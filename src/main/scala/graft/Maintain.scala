@@ -8,6 +8,8 @@ package graft
   *   runMain graft.Maintain stats <dir> <col>[,col...]      # build or
   *                                                          # incrementally update
   *   runMain graft.Maintain vacuum <versionedRoot> [keep]
+  *   runMain graft.Maintain delete <dir> <keyCol> <key>[,key...]  # targeted
+  *                                                  # right-to-be-forgotten rewrite
   *
   * compact is crash-safe (write-ahead group markers; interrupted swaps
   * recover on the next run); stats updates touch only files the index
@@ -41,6 +43,13 @@ object Maintain {
         println(s"[maintain] vacuumed ${retired.size} versions " +
           s"(${retired.mkString(",")}); " +
           s"current = ${sources.Versioned.latestVersion(spark, args(1)).getOrElse("-")}")
+      case "delete" =>
+        if (args.length < 4) usage()
+        val keys: Seq[Any] = args(3).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(k => k.toLongOption.getOrElse(k): Any).toSeq
+        val r = sources.TargetedDelete.delete(spark, args(1), args(2), keys)
+        println(s"[maintain] deleted ${r.rowsDeleted} rows: " +
+          s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")
       case other =>
         System.err.println(s"[maintain] unknown command: $other"); usage()
     }
@@ -51,7 +60,8 @@ object Maintain {
     System.err.println(
       """usage: graft.Maintain compact <dir> <targetBytes> [smallBytes]
         |       graft.Maintain stats <dir> <col>[,col...]
-        |       graft.Maintain vacuum <versionedRoot> [keep]""".stripMargin)
+        |       graft.Maintain vacuum <versionedRoot> [keep]
+        |       graft.Maintain delete <dir> <keyCol> <key>[,key...]""".stripMargin)
     sys.exit(2)
   }
 }
