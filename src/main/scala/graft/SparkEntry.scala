@@ -2127,9 +2127,28 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Incremental SCD2 maintenance under the full-rebuild oracle: the
+    * history of the first half of the month absorbs the second half
+    * via `Scd2.appendToHistory` (affected keys rebuilt from
+    * reconstructed ops, untouched keys pass through) — and must equal
+    * the one-shot history the full-log SQL computes.
+    */
+  private def qScd2Incr(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    val hist = graft.operators.Scd2.buildHistory(ev.filter(col("ts") <= cut),
+      "user_id", "ts", "event_type", upsertOp = "purchase", deleteOp = "error",
+      valueCols = Seq("value"), tieBreak = Seq(col("event_id")))
+    graft.operators.Scd2.appendToHistory(hist, ev.filter(col("ts") > cut),
+        "user_id", "ts", "event_type", upsertOp = "purchase", deleteOp = "error",
+        valueCols = Seq("value"), tieBreak = Seq("event_id"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_incr" -> (qScd2Incr _),
     "q_bitemporal" -> (qBitemporal _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_components" -> (qComponents _),
@@ -2347,6 +2366,15 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_scd2_incr" ->
+      ("WITH ops AS (SELECT user_id, event_id, ts, value, event_type FROM events " +
+        "WHERE event_type IN ('purchase', 'error')), " +
+        "w AS (SELECT user_id, event_id, ts, value, event_type, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM ops) " +
+        "SELECT user_id, value, ts AS valid_from, valid_to, " +
+        "valid_to IS NULL AS is_current FROM w WHERE event_type = 'purchase' " +
+        "ORDER BY user_id, valid_from"),
+
     "q_bitemporal" ->
       ("WITH log AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS vts, ts, event_id, " +
         "event_type, value FROM events " +

@@ -131,6 +131,86 @@ object Scd2 {
         sum(col("__units") * col("__dur")).cast("long").as("weighted_units"))
   }
 
+  /** INCREMENTAL history maintenance — absorb a new batch of ops into
+    * an existing `buildHistory` output without replaying the full
+    * change log: versions of keys the batch never touches pass
+    * through UNCHANGED (no window, no rebuild — at 100 TB a day's
+    * batch touches a sliver of the dimension), and only the affected
+    * keys rebuild, from their existing versions RECONSTRUCTED back
+    * into ops plus the new ops.
+    *
+    * Reconstruction is exact: every version row is one upsert at
+    * `valid_from`; a closed version with no successor starting at its
+    * `valid_to` contributes a delete there (the gap a delete
+    * originally created — including history-final deletes). Ties
+    * (equal `valid_from` versions — the zero-length-version case
+    * buildHistory supports) reconstruct in `valid_to` order
+    * (current/longest last), and history ops order BEFORE same-instant
+    * new ops, so the law
+    *
+    *   appendToHistory(buildHistory(a), b) == buildHistory(a ∪ b)
+    *
+    * holds whenever b's ties with a's boundaries would also have
+    * resolved history-first (always true for the normal case: new ops
+    * strictly later than the key's last boundary). Property-swept in
+    * Scd2Spec across random logs and split points.
+    */
+  def appendToHistory(history: DataFrame, newOps: DataFrame, key: String,
+                      tsCol: String, opCol: String, upsertOp: String,
+                      deleteOp: String, valueCols: Seq[String],
+                      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(upsertOp != deleteOp, "upsertOp and deleteOp must differ")
+    Seq("__src", "__vt").foreach(c =>
+      require(!history.columns.contains(c) && !newOps.columns.contains(c),
+        s"$c is reserved by appendToHistory"))
+    val affKeys = newOps.select(col(key)).distinct()
+    val affected = history.join(affKeys, Seq(key), "left_semi")
+    val untouched = history.join(affKeys, Seq(key), "left_anti")
+
+    // __vt: reconstruction tie order at equal valid_from — ISO string
+    // of valid_to (lexical == chronological), '~' sorts after digits so
+    // the current/longest version reconstructs LAST
+    // history rows lost the original tie-break values; they re-enter as
+    // typed NULLs — inert, because __src already orders history before
+    // same-instant new ops and __vt orders within history
+    val tieNulls = tieBreak.map(c => lit(null).cast(newOps.schema(c).dataType).as(c))
+    val upserts = affected.select(
+      (col(key) +: col("valid_from").as(tsCol) +: lit(upsertOp).as(opCol) +:
+        valueCols.map(col)) ++ (lit(0).as("__src") +:
+        coalesce(col("valid_to").cast("string"), lit("~")).as("__vt") +:
+        tieNulls): _*)
+    // gap deletes — one per (key, instant) where some version ENDS but
+    // no SURVIVOR version (valid_to > valid_from, or current) starts.
+    // Zero-length versions [T, T) must not count as their own
+    // successor (they'd suppress the delete that closed them), and a
+    // chain of zero-length versions at T is closed by its next member,
+    // so only the survivor's absence demands a delete. Deletes sort
+    // "~~" — strictly after every upsert at the instant (including a
+    // CURRENT survivor's "~"), so a reconstructed delete can never
+    // truncate the survivor it coexists with.
+    val survivors = affected
+      .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+      .select(col(key).as("__succ_key"), col("valid_from").as("__succ_from")).distinct()
+    val deletes = affected.filter(col("valid_to").isNotNull)
+      .select(col(key), col("valid_to")).distinct()
+      .join(survivors, col(key) === col("__succ_key") &&
+        col("valid_to") === col("__succ_from"), "left_anti")
+      .select(
+        (col(key) +: col("valid_to").as(tsCol) +: lit(deleteOp).as(opCol) +:
+          valueCols.map(c => lit(null).cast(affected.schema(c).dataType).as(c))) ++
+          (lit(0).as("__src") +: lit("~~").as("__vt") +: tieNulls): _*)
+    val fresh = newOps
+      .filter(col(opCol) === upsertOp || col(opCol) === deleteOp)
+      .select(
+        (col(key) +: col(tsCol) +: col(opCol) +: valueCols.map(col)) ++
+          (lit(1).as("__src") +: lit("~").as("__vt") +: tieBreak.map(col)): _*)
+    val rebuilt = buildHistory(
+      upserts.unionByName(deletes).unionByName(fresh),
+      key, tsCol, opCol, upsertOp, deleteOp, valueCols,
+      tieBreak = Seq(col("__src"), col("__vt")) ++ tieBreak.map(col))
+    untouched.unionByName(rebuilt.select(untouched.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** BITEMPORAL snapshot — "what did we BELIEVE at `txAt` the state
     * was at `validAt`?" — over a correction log where every row is an
     * assertion `(key, validTs, txTs, op, values…)`: at transaction

@@ -151,6 +151,46 @@ class Scd2Spec extends AnyFunSuite {
       Map("k2" -> ((ts("2024-01-01 00:00:00"), 5.0))))
   }
 
+  test("appendToHistory law: incremental absorption equals the full rebuild, any split") {
+    val rng = new scala.util.Random(20260814L)
+    val instants = (1 to 8).map(i => ts(f"2024-01-0$i 00:00:00"))
+    for (trial <- 1 to 3) {
+      val ops = (1 to 60).map { seq =>
+        (seq.toLong, s"k${rng.nextInt(4)}",
+          if (rng.nextInt(10) < 8) "upsert" else "delete",
+          instants(rng.nextInt(instants.size)), rng.nextInt(100).toDouble)
+      }.toDF("seq", "k", "op", "ts", "v")
+      val full = Scd2.buildHistory(ops, "k", "ts", "op", "upsert", "delete",
+        Seq("v"), Seq(col("seq"))).collect().toSet
+      for (cut <- Seq(0L, 20L, 45L, 60L)) {
+        val hist = Scd2.buildHistory(ops.filter(col("seq") <= cut),
+          "k", "ts", "op", "upsert", "delete", Seq("v"), Seq(col("seq")))
+        val got = Scd2.appendToHistory(hist, ops.filter(col("seq") > cut),
+          "k", "ts", "op", "upsert", "delete", Seq("v"), Seq("seq"))
+          .collect().toSet
+        assert(got == full, s"trial $trial cut $cut")
+      }
+    }
+  }
+
+  test("appendToHistory: untouched keys pass through; empty batch is identity") {
+    val hist = Scd2.buildHistory(log, "k", "ts", "op", "upsert", "delete",
+      Seq("v"), Seq(col("seq")))
+    val newOps = Seq((100L, "k1", "upsert", ts("2024-02-01 00:00:00"), 99.0))
+      .toDF("seq", "k", "op", "ts", "v")
+    val got = Scd2.appendToHistory(hist, newOps, "k", "ts", "op",
+      "upsert", "delete", Seq("v"), Seq("seq"))
+    // k2's versions byte-identical to the original history
+    assert(got.filter(col("k") === "k2").collect().toSet ==
+      hist.filter(col("k") === "k2").collect().toSet)
+    // k1 absorbed the new version: previous current closes at Feb 1
+    val k1 = got.filter(col("k") === "k1" && col("is_current")).collect()
+    assert(k1.length == 1 && k1.head.getDouble(1) == 99.0)
+    val empty = Scd2.appendToHistory(hist, newOps.filter(lit(false)),
+      "k", "ts", "op", "upsert", "delete", Seq("v"), Seq("seq"))
+    assert(empty.collect().toSet == hist.collect().toSet)
+  }
+
   test("bitemporal: valid-time cutoff ignores later valid instants entirely") {
     // validAt Jan 1: day-2 assertions invisible regardless of tx knowledge
     assert(snap("2024-01-01 00:00:00", "2024-01-05 00:00:00") ==
