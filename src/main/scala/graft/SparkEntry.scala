@@ -2145,9 +2145,27 @@ object SparkEntry {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Multi-source bounded BFS over the sparse co-order graph: minimum
+    * hop distance from the 3 smallest edge-bearing customers, depth ≤
+    * 3 — one shrinking frontier join per level. Oracle = recursive CTE
+    * with min-depth aggregation.
+    */
+  private def qReachable(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_custkey"))
+    val edges = graft.operators.Graphs.coOccurrenceEdges(orders, "day", "o_custkey",
+      maxGroupSize = 3)
+    val roots = edges.select(col("src")).distinct().orderBy(col("src")).limit(3)
+    graft.operators.Graphs.reachable(edges, roots, "src", maxDepth = 3)
+      .select(col("root").cast("long").as("root"),
+        col("vertex").cast("long").as("vertex"), col("depth").cast("long").as("depth"))
+      .orderBy(col("root"), col("vertex"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_reachable" -> (qReachable _),
     "q_scd2_incr" -> (qScd2Incr _),
     "q_bitemporal" -> (qBitemporal _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -2366,6 +2384,22 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_reachable" ->
+      ("WITH RECURSIVE it AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS g, " +
+        "o_custkey AS i FROM orders " +
+        "WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL), " +
+        "ok AS (SELECT g FROM it GROUP BY g HAVING count(*) BETWEEN 2 AND 3), " +
+        "e AS (SELECT DISTINCT a.i AS u, b.i AS v FROM it a " +
+        "JOIN it b ON a.g = b.g AND a.i < b.i JOIN ok ON a.g = ok.g), " +
+        "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
+        "roots AS (SELECT DISTINCT u AS c FROM e ORDER BY u LIMIT 3), " +
+        "walk AS (SELECT c AS root, c AS vertex, 0 AS depth FROM roots " +
+        "UNION SELECT w.root, s.v, w.depth + 1 FROM walk w " +
+        "JOIN sym s ON w.vertex = s.u WHERE w.depth < 3) " +
+        "SELECT CAST(root AS BIGINT) AS root, CAST(vertex AS BIGINT) AS vertex, " +
+        "CAST(min(depth) AS BIGINT) AS depth FROM walk " +
+        "GROUP BY root, vertex ORDER BY root, vertex"),
+
     "q_scd2_incr" ->
       ("WITH ops AS (SELECT user_id, event_id, ts, value, event_type FROM events " +
         "WHERE event_type IN ('purchase', 'error')), " +

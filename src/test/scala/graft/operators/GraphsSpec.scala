@@ -76,6 +76,30 @@ class GraphsSpec extends AnyFunSuite {
     assert(got.keySet.size == n) // every node labelled, isolated ones included
   }
 
+  test("reachable: min-depth BFS matches brute force; depth bound respected") {
+    val rng = new scala.util.Random(31L)
+    val n = 50
+    val edgeSeq = (for {
+      u <- 1 to n; v <- (u + 1) to n if rng.nextDouble() < 0.05
+    } yield (u.toLong, v.toLong))
+    val adj = edgeSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def bfs(root: Long, maxD: Int): Map[Long, Int] = {
+      var dist = Map(root -> 0); var frontier = Set(root)
+      for (d <- 1 to maxD) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= frontier.map(_ -> d)
+      }
+      dist
+    }
+    val roots = Seq(1L, 7L, 13L).toDF("r")
+    val got = Graphs.reachable(edgeSeq.toDF("src", "dst"), roots, "r", maxDepth = 3)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (r, rows) => r -> rows.map(t => t._2 -> t._3).toMap }
+    for (r <- Seq(1L, 7L, 13L)) assert(got(r) == bfs(r, 3), s"root $r")
+    assert(got.values.flatMap(_.values).forall(_ <= 3))
+  }
+
   test("the wedge join is an equi-join plan, not a nested loop") {
     val edges = Seq((1, 2), (2, 3), (1, 3)).toDF("src", "dst")
     val plan = Graphs.triangleCounts(edges).queryExecution.executedPlan.toString
