@@ -280,6 +280,12 @@ object Pipeline {
         whenMatchedUpdateSet = nonKeys.map(c => c -> graft.operators.Merge.s(c)).toMap,
         whenNotMatchedInsert = true,
         whenNotMatchedBySourceDelete = if (deleteStale) Some(lit(true)) else None)
+    case graft.config.TransformConfig.Scd2AppendStage(
+        historyPath, key, ts, op, upsertOp, deleteOp, valueCols, tieBreak) =>
+      // terminal reshape: piped ops absorb into the persisted history
+      graft.operators.Scd2.appendToHistory(
+        df.sparkSession.read.parquet(historyPath), df, key, ts, op,
+        upsertOp, deleteOp, valueCols, tieBreak)
     case graft.config.TransformConfig.ConstraintGateStage(
         notNull, uniqueKey, minRows, maxRows, fkCol, fkRefPath, fkRefCol) =>
       // the one EAGER stage: a publish gate that doesn't evaluate is

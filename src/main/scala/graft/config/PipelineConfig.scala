@@ -512,6 +512,26 @@ object TransformConfig {
       else if (keys.isEmpty) Some("transform.mergeSnapshot.keys required")
       else None
   }
+  /** Incremental SCD2 absorption — Scd2.appendToHistory with the piped
+    * frame as the NEW ops and the parquet at `historyPath` as the
+    * existing history: TERMINAL reshape to the history layout. Write
+    * the output to the NEXT history path (never in place over
+    * `historyPath` — the plan reads it lazily), exactly like
+    * `mergeSnapshot`.
+    */
+  final case class Scd2AppendStage(historyPath: String, keyColumn: String,
+                                   tsColumn: String, opColumn: String,
+                                   upsertOp: String, deleteOp: String,
+                                   valueColumns: List[String], tieBreak: List[String])
+      extends TransformConfig {
+    val name = "scd2Append"
+    def check: Option[String] =
+      if (historyPath.isEmpty) Some("transform.scd2Append.historyPath required")
+      else if (valueColumns.isEmpty) Some("transform.scd2Append.valueColumns required")
+      else if (upsertOp == deleteOp)
+        Some("transform.scd2Append upsertOp and deleteOp must differ")
+      else None
+  }
   /** Data-quality gate — validation.Constraints over the piped frame:
     * the ONE EAGER stage (it runs the constraint aggregates when the
     * pipeline reaches it — a gate that doesn't look is not a gate) and
@@ -808,6 +828,10 @@ object PipelineConfig {
       "transform.pitEnrich.tsColumn", "transform.pitEnrich.valueColumns",
       "transform.mergeSnapshot.snapshotPath", "transform.mergeSnapshot.keys",
       "transform.mergeSnapshot.deleteStale",
+      "transform.scd2Append.historyPath", "transform.scd2Append.keyColumn",
+      "transform.scd2Append.tsColumn", "transform.scd2Append.opColumn",
+      "transform.scd2Append.upsertOp", "transform.scd2Append.deleteOp",
+      "transform.scd2Append.valueColumns", "transform.scd2Append.tieBreak",
       "transform.constraintGate.notNull", "transform.constraintGate.uniqueKey",
       "transform.constraintGate.minRows", "transform.constraintGate.maxRows",
       "transform.constraintGate.fkColumn", "transform.constraintGate.fkRefPath",
@@ -1275,6 +1299,21 @@ object PipelineConfig {
               .toBooleanOption.toRight("transform.mergeSnapshot.deleteStale not a boolean")
           } yield TransformConfig.MergeSnapshotStage(sp,
             list("transform.mergeSnapshot.keys"), ds)
+        case "scd2Append" =>
+          for {
+            hp <- map.get("transform.scd2Append.historyPath")
+              .toRight("transform.scd2Append.historyPath required")
+            key <- map.get("transform.scd2Append.keyColumn")
+              .toRight("transform.scd2Append.keyColumn required")
+            ts <- map.get("transform.scd2Append.tsColumn")
+              .toRight("transform.scd2Append.tsColumn required")
+            op <- map.get("transform.scd2Append.opColumn")
+              .toRight("transform.scd2Append.opColumn required")
+          } yield TransformConfig.Scd2AppendStage(hp, key, ts, op,
+            map.getOrElse("transform.scd2Append.upsertOp", "upsert"),
+            map.getOrElse("transform.scd2Append.deleteOp", "delete"),
+            list("transform.scd2Append.valueColumns"),
+            list("transform.scd2Append.tieBreak"))
         case "constraintGate" =>
           for {
             minR <- map.getOrElse("transform.constraintGate.minRows", "0")

@@ -124,6 +124,43 @@ class EventStagesSpec extends AnyFunSuite {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("scd2Append stage absorbs new ops into a persisted history incrementally") {
+    // history of the first half of the month
+    val histPath = runTo(eventsCfg(tmp(),
+      """source.where: event_type IN ('purchase', 'error') AND ts <= '2024-01-15'
+        |transforms: scd2History
+        |transform.scd2History.keyColumn: user_id
+        |transform.scd2History.tsColumn: ts
+        |transform.scd2History.opColumn: event_type
+        |transform.scd2History.upsertOp: purchase
+        |transform.scd2History.deleteOp: error
+        |transform.scd2History.valueColumns: value
+        |transform.scd2History.tieBreak: event_id
+        |""".stripMargin))
+    // second half absorbs through scd2Append into a NEW history path
+    val nextPath = runTo(eventsCfg(tmp(),
+      s"""source.where: event_type IN ('purchase', 'error') AND ts > '2024-01-15'
+         |transforms: scd2Append
+         |transform.scd2Append.historyPath: $histPath
+         |transform.scd2Append.keyColumn: user_id
+         |transform.scd2Append.tsColumn: ts
+         |transform.scd2Append.opColumn: event_type
+         |transform.scd2Append.upsertOp: purchase
+         |transform.scd2Append.deleteOp: error
+         |transform.scd2Append.valueColumns: value
+         |transform.scd2Append.tieBreak: event_id
+         |""".stripMargin))
+    val got = spark.read.parquet(nextPath)
+    val events = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val full = graft.operators.Scd2.buildHistory(
+      events.filter(col("event_type").isin("purchase", "error"))
+        .select("user_id", "event_id", "ts", "event_type", "value"),
+      "user_id", "ts", "event_type", "purchase", "error",
+      Seq("value"), Seq(col("event_id")))
+    assert(got.exceptAll(full.select(got.columns.map(col).toIndexedSeq: _*)).isEmpty &&
+      full.select(got.columns.map(col).toIndexedSeq: _*).exceptAll(got).isEmpty)
+  }
+
   test("mergeSnapshot stage syncs a persisted snapshot from the piped source") {
     import spark.implicits._
     val snapPath = tmp()
