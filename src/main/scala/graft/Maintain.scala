@@ -45,8 +45,20 @@ object Maintain {
           s"current = ${sources.Versioned.latestVersion(spark, args(1)).getOrElse("-")}")
       case "delete" =>
         if (args.length < 4) usage()
+        // parse keys to the TABLE's key-column type — guessing from the
+        // literal's shape would silently miss string keys that look
+        // numeric ("042") through the IN filter's type coercion
+        val keyType = spark.read.parquet(args(1)).schema(args(2)).dataType
+        import org.apache.spark.sql.types._
+        val parse: String => Any = keyType match {
+          case LongType | IntegerType | ShortType | ByteType => _.toLong
+          case StringType => identity
+          case other =>
+            System.err.println(s"[maintain] unsupported key type $other for delete")
+            sys.exit(2)
+        }
         val keys: Seq[Any] = args(3).split(",").map(_.trim).filter(_.nonEmpty)
-          .map(k => k.toLongOption.getOrElse(k): Any).toSeq
+          .map(parse(_): Any).toSeq
         val r = sources.TargetedDelete.delete(spark, args(1), args(2), keys)
         println(s"[maintain] deleted ${r.rowsDeleted} rows: " +
           s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")

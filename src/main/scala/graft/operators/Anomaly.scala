@@ -53,8 +53,8 @@ object Anomaly {
         (BigInt(window) * BigInt(maxAbsValue)).pow(2) < BigInt(Long.MaxValue),
       s"z=$z, window=$window, maxAbsValue=$maxAbsValue can overflow 64-bit " +
         "cross-multiplication — pre-scale the value column down")
-    require(Seq("n_base", "flagged", "__s", "__q").forall(!df.columns.contains(_)),
-      "n_base/flagged/__s/__q are reserved by rollingZFlags")
+    require(Seq("n_base", "flagged").forall(!df.columns.contains(_)),
+      "n_base/flagged are reserved by rollingZFlags")
 
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
       .rowsBetween(-window, -1)

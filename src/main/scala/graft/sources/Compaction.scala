@@ -73,12 +73,17 @@ object Compaction {
     val resolved = fs.listStatus(markers).filter(_.isFile).map { st =>
       val body = new String(readAll(fs, st.getPath), "UTF-8")
       val lines = body.split("\n").filter(_.nonEmpty)
-      // line 0: replacement path; rest: originals
-      val replacement = new Path(lines.head)
-      if (fs.exists(replacement))
-        lines.tail.foreach(o => fs.delete(new Path(o), false))
-      // replacement missing: the move never happened — originals are
-      // the only copy, keep them (staging debris is harmless)
+      // line 0: replacement path; rest: originals. A zero-byte or
+      // partially-flushed marker (< 2 lines) means the move never
+      // started (it strictly follows the marker close): originals are
+      // authoritative — drop the debris instead of crashing recovery
+      if (lines.length >= 2) {
+        val replacement = new Path(lines.head)
+        if (fs.exists(replacement))
+          lines.tail.foreach(o => fs.delete(new Path(o), false))
+        // replacement missing: the move never happened — originals are
+        // the only copy, keep them (staging debris is harmless)
+      }
       fs.delete(st.getPath, false)
       1
     }.sum

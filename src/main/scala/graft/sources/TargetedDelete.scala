@@ -56,9 +56,15 @@ object TargetedDelete {
         new String(out.toByteArray, "UTF-8")
       } finally in.close()
       val lines = body.split("\n").filter(_.nonEmpty)
-      val replacement = new Path(lines.head)
-      if (fs.exists(replacement))
-        lines.tail.foreach(o => fs.delete(new Path(o), false))
+      // a zero-byte or partially-flushed marker (< 2 lines) means the
+      // swap never started (the rename strictly follows the marker
+      // close): the originals are intact and authoritative — drop the
+      // debris instead of crashing every future delete on this table
+      if (lines.length >= 2) {
+        val replacement = new Path(lines.head)
+        if (fs.exists(replacement))
+          lines.tail.foreach(o => fs.delete(new Path(o), false))
+      }
       fs.delete(st.getPath, false)
       1
     }.sum
@@ -109,8 +115,12 @@ object TargetedDelete {
     affected.zipWithIndex.foreach { case (file, i) =>
       val original = new Path(file)
       val df = spark.read.parquet(file)
-      val total = df.count()
-      val matched = df.filter(inKeys).count()
+      // one pass for both counts (the verify read below is separate by
+      // design: it must observe the STAGED file's actual content)
+      val counts = df.agg(count(lit(1)),
+        coalesce(sum(when(inKeys, 1L).otherwise(0L)), lit(0L))).head()
+      val total = counts.getLong(0)
+      val matched = counts.getLong(1)
       val staging = new Path(dir, s"_delete_staging_$i")
       df.filter(!inKeys || col(keyCol).isNull).coalesce(1)
         .write.mode("overwrite").parquet(staging.toString)
@@ -136,6 +146,10 @@ object TargetedDelete {
     }
     val markers = new Path(dir, MarkerDir)
     if (fs.exists(markers) && fs.listStatus(markers).isEmpty) fs.delete(markers, true)
+    // the swap replaced files wholesale: evict this session's listing
+    // cache (never expires by default) so subsequent reads of `dir`
+    // can't serve the pre-delete file list — see SwapStore
+    if (affected.nonEmpty) spark.catalog.refreshByPath(dir)
     Result(affected.size, deleted, all.size - affected.size)
   }
 }

@@ -53,8 +53,7 @@ object AggMaintenance {
     * on a different session (foreachBatch clones), whose refresh
     * cannot evict this session's stale listing.
     */
-  def readStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
-                keys: Seq[String], metrics: Seq[Metric]): DataFrame = {
+  def readStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     spark.catalog.refreshByPath(storePath)
     spark.read.parquet(storePath).drop("__last_batch")
   }

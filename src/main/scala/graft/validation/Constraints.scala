@@ -78,8 +78,6 @@ object Constraints {
     require(constraints.nonEmpty, "no constraints given")
     require(constraints.map(_.name).distinct.size == constraints.size,
       "duplicate constraint names — each constraint must be declared once")
-    val spark = df.sparkSession
-
     val scalars = constraints.collect {
       case c @ NotNull(col0) =>
         Scalar(c, sum(when(col(col0).isNull, 1L).otherwise(0L)))

@@ -84,6 +84,19 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(fs.exists(new Path(survivor)))
   }
 
+  test("recovery tolerates zero-byte and partially-flushed markers") {
+    val dir = table()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = new Path(dir, "_delete"); fs.mkdirs(markers)
+    fs.create(new Path(markers, "file_0.json"), true).close() // zero-byte
+    val m = fs.create(new Path(markers, "file_1.json"), true)
+    try m.write(s"$dir/never-written.parquet".getBytes("UTF-8")) finally m.close() // one line
+    assert(TargetedDelete.recover(spark, dir) == 2)
+    assert(spark.read.parquet(dir).count() == 500) // originals intact
+    // and a delete after the cleanup works normally
+    assert(TargetedDelete.delete(spark, dir, "id", Seq(0L)).rowsDeleted == 1)
+  }
+
   test("null keys in the table are never deleted; oversized key lists rejected") {
     val dir = Files.createTempDirectory("graft-tdel-n").resolve("t").toString
     Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c")).toDF("id", "payload")

@@ -22,7 +22,7 @@ class AggMaintenanceSpec extends AnyFunSuite {
     val store = Files.createTempDirectory("graft-aggm").resolve("store").toString
     (0 until 4).foreach(i =>
       assert(AggMaintenance.mergeIntoStore(batchDf(i), i.toLong, store, keys, metrics)))
-    val got = AggMaintenance.readStore(spark, store, keys, metrics)
+    val got = AggMaintenance.readStore(spark, store)
     val full = graft.operators.IncrementalAgg.aggregate(
       (0 until 4).map(batchDf).reduce(_.unionAll(_)), keys, metrics)
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
@@ -32,10 +32,10 @@ class AggMaintenanceSpec extends AnyFunSuite {
     val store = Files.createTempDirectory("graft-aggm-r").resolve("store").toString
     assert(AggMaintenance.mergeIntoStore(batchDf(0), 0L, store, keys, metrics))
     assert(AggMaintenance.mergeIntoStore(batchDf(1), 1L, store, keys, metrics))
-    val before = AggMaintenance.readStore(spark, store, keys, metrics).collect().toSet
+    val before = AggMaintenance.readStore(spark, store).collect().toSet
     assert(!AggMaintenance.mergeIntoStore(batchDf(1), 1L, store, keys, metrics))
     assert(!AggMaintenance.mergeIntoStore(batchDf(0), 0L, store, keys, metrics))
-    val after = AggMaintenance.readStore(spark, store, keys, metrics).collect().toSet
+    val after = AggMaintenance.readStore(spark, store).collect().toSet
     assert(before == after)
   }
 
@@ -48,7 +48,7 @@ class AggMaintenanceSpec extends AnyFunSuite {
     fs.rename(new org.apache.hadoop.fs.Path(store),
       new org.apache.hadoop.fs.Path(store + "__old"))
     assert(AggMaintenance.mergeIntoStore(batchDf(1), 1L, store, keys, metrics))
-    val got = AggMaintenance.readStore(spark, store, keys, metrics)
+    val got = AggMaintenance.readStore(spark, store)
     val full = graft.operators.IncrementalAgg.aggregate(
       batchDf(0).unionAll(batchDf(1)), keys, metrics)
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
@@ -75,18 +75,18 @@ class AggMaintenanceSpec extends AnyFunSuite {
     val q = start()
     try {
       q.processAllAvailable()
-      assert(AggMaintenance.readStore(spark, store, keys, metrics)
+      assert(AggMaintenance.readStore(spark, store)
         .collect().map(_.getLong(1)).sum == 50L, "b0 not absorbed")
       write("b1.json", 1000, 30)
       q.processAllAvailable()
-      assert(AggMaintenance.readStore(spark, store, keys, metrics)
+      assert(AggMaintenance.readStore(spark, store)
         .collect().map(_.getLong(1)).sum == 80L, "b1 not absorbed")
     } finally q.stop()
     // restart the query: replays nothing new, store unchanged
-    val before = AggMaintenance.readStore(spark, store, keys, metrics).collect().toSet
+    val before = AggMaintenance.readStore(spark, store).collect().toSet
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
-    val after = AggMaintenance.readStore(spark, store, keys, metrics).collect().toSet
+    val after = AggMaintenance.readStore(spark, store).collect().toSet
     assert(before == after)
     assert(after.toSeq.map(_.getLong(1)).sum == 80L) // 50 + 30 rows, counted once
   }
