@@ -280,6 +280,17 @@ object Pipeline {
         whenMatchedUpdateSet = nonKeys.map(c => c -> graft.operators.Merge.s(c)).toMap,
         whenNotMatchedInsert = true,
         whenNotMatchedBySourceDelete = if (deleteStale) Some(lit(true)) else None)
+    case graft.config.TransformConfig.PhashDedupStage(id, payload, decoderName, maxDist) =>
+      // decoder resolved HERE (driver) — the closure ships the instance,
+      // executors never consult the registry (Multimodal contract)
+      val decoder = graft.pipeline.MediaDecoders.get(decoderName)
+      val hashes = graft.pipeline.Multimodal.perceptualHashes(
+        df.select(col(id), col(payload)), id, payload, decoder)
+      val pairs = graft.pipeline.Multimodal.phashNearDup(hashes, id, "phash", maxDist)
+      // drop every row with a smaller-id near-duplicate (a_id < b_id by
+      // construction: b_id is the loser); NULL payloads hash NULL and
+      // never pair — they survive
+      df.join(pairs.select(col("b_id").as(id)).distinct(), Seq(id), "left_anti")
     case graft.config.TransformConfig.Scd2AppendStage(
         historyPath, key, ts, op, upsertOp, deleteOp, valueCols, tieBreak) =>
       // terminal reshape: piped ops absorb into the persisted history

@@ -512,6 +512,23 @@ object TransformConfig {
       else if (keys.isEmpty) Some("transform.mergeSnapshot.keys required")
       else None
   }
+  /** Perceptual media dedup — Multimodal.perceptualHashes (decoder
+    * resolved from the MediaDecoders registry at RUN time, driver-side)
+    * + phashNearDup banded join + min-id representative per near-dup
+    * cluster: rows whose payload hashes within `maxDist` of an
+    * earlier-id row drop. Schema-preserving (survivors keep all
+    * columns).
+    */
+  final case class PhashDedupStage(idColumn: String, payloadColumn: String,
+                                   decoder: String, maxDist: Int)
+      extends TransformConfig {
+    val name = "phashDedup"
+    def check: Option[String] =
+      if (decoder.isEmpty) Some("transform.phashDedup.decoder required")
+      else if (maxDist < 0 || maxDist > 15)
+        Some("transform.phashDedup.maxDist must be in [0, 15]")
+      else None
+  }
   /** Incremental SCD2 absorption — Scd2.appendToHistory with the piped
     * frame as the NEW ops and the parquet at `historyPath` as the
     * existing history: TERMINAL reshape to the history layout. Write
@@ -828,6 +845,8 @@ object PipelineConfig {
       "transform.pitEnrich.tsColumn", "transform.pitEnrich.valueColumns",
       "transform.mergeSnapshot.snapshotPath", "transform.mergeSnapshot.keys",
       "transform.mergeSnapshot.deleteStale",
+      "transform.phashDedup.idColumn", "transform.phashDedup.payloadColumn",
+      "transform.phashDedup.decoder", "transform.phashDedup.maxDist",
       "transform.scd2Append.historyPath", "transform.scd2Append.keyColumn",
       "transform.scd2Append.tsColumn", "transform.scd2Append.opColumn",
       "transform.scd2Append.upsertOp", "transform.scd2Append.deleteOp",
@@ -1299,6 +1318,16 @@ object PipelineConfig {
               .toBooleanOption.toRight("transform.mergeSnapshot.deleteStale not a boolean")
           } yield TransformConfig.MergeSnapshotStage(sp,
             list("transform.mergeSnapshot.keys"), ds)
+        case "phashDedup" =>
+          for {
+            id <- map.get("transform.phashDedup.idColumn")
+              .toRight("transform.phashDedup.idColumn required")
+            pay <- map.get("transform.phashDedup.payloadColumn")
+              .toRight("transform.phashDedup.payloadColumn required")
+            md <- map.getOrElse("transform.phashDedup.maxDist", "8")
+              .toIntOption.toRight("transform.phashDedup.maxDist not an int")
+          } yield TransformConfig.PhashDedupStage(id, pay,
+            map.getOrElse("transform.phashDedup.decoder", "stub"), md)
         case "scd2Append" =>
           for {
             hp <- map.get("transform.scd2Append.historyPath")

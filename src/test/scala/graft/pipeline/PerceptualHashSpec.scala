@@ -87,6 +87,32 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("phashDedup config stage drops near-duplicate images through the registry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-cfg")
+    val src = dir.resolve("src").toString
+    val out = dir.resolve("out").toString
+    Seq(
+      (1L, encode(photo(128, 96, 0))),
+      (2L, encode(perturb(photo(128, 96, 0)))), // near-dup of 1 -> drops
+      (3L, encode(photo(128, 96, 1)))           // different -> survives
+    ).toDF("doc_id", "payload").write.parquet(src)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: phashDedup
+         |transform.phashDedup.idColumn: doc_id
+         |transform.phashDedup.payloadColumn: payload
+         |transform.phashDedup.decoder: imageio
+         |transform.phashDedup.maxDist: 10
+         |""".stripMargin).fold(e => fail(s"parse failed: $e"), identity)
+    graft.Pipeline.run(spark, cfg)
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L))
+  }
+
   test("the stub decoder's default hash separates exact duplicates only") {
     val x = "same bytes".getBytes
     assert(StubDecoder.perceptualHash(x) == StubDecoder.perceptualHash("same bytes".getBytes))
