@@ -2162,9 +2162,25 @@ object SparkEntry {
       .orderBy(col("root"), col("vertex"))
   }
 
+  /** Quality-aware dedup keeper: the q_dedup_clusters labels with the
+    * LONGEST member kept per cluster (max (length, id) via one max_by
+    * aggregation) — the representative curation pipelines actually
+    * keep, instead of the accidental min id.
+    */
+  private def qDedupBest(s: SparkSession, d: String): DataFrame = {
+    val (docs, verified) = verifiedNearDupPairs(s, d)
+    val labels = Dedup.clusterRepresentatives(docs, verified.select("id_a", "id_b"), "doc_id")
+    Dedup.bestRepresentatives(labels,
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("sc")),
+        "doc_id", "sc")
+      .select(col("rep"), col("keep_id"), col("n_members"))
+      .orderBy(col("rep"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_best" -> (qDedupBest _),
     "q_reachable" -> (qReachable _),
     "q_scd2_incr" -> (qScd2Incr _),
     "q_bitemporal" -> (qBitemporal _),
@@ -2384,6 +2400,24 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_best" ->
+      ("WITH RECURSIVE s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
+        "FROM documents WHERE doc_id < 1000), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a, s b " +
+        "WHERE a.doc_id < b.doc_id AND " +
+        "len(list_intersect(a.sh, b.sh)) * 10 >= len(list_distinct(list_concat(a.sh, b.sh))) * 9), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM s " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), " +
+        "lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id), " +
+        "scored AS (SELECT lab.id, lab.rep, length(d.text) AS sc " +
+        "FROM lab JOIN documents d ON d.doc_id = lab.id) " +
+        "SELECT rep, keep_id, n_members FROM (" +
+        "SELECT rep, id AS keep_id, count(*) OVER (PARTITION BY rep) AS n_members, " +
+        "row_number() OVER (PARTITION BY rep ORDER BY sc DESC, id DESC) AS rn " +
+        "FROM scored) WHERE rn = 1 ORDER BY rep"),
+
     "q_reachable" ->
       ("WITH RECURSIVE it AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS g, " +
         "o_custkey AS i FROM orders " +

@@ -508,6 +508,29 @@ object Dedup {
     * |A∪B| = |A| + |B| − |A∩B| arithmetically. The pair join is the hot
     * dimension of the whole dedup pipeline; per-pair constants dominate.
     */
+  /** Quality-aware representative selection over clustering labels:
+    * instead of the min-id keeper `clusterRepresentatives` implies,
+    * pick per cluster the member maximizing `(score, id)` — what
+    * curation pipelines actually want (keep the LONGEST / highest-
+    * quality member of a near-dup cluster, not the accidental
+    * smallest id). One join to attach scores + one `max_by` hash
+    * aggregation over the |nodes|-row label frame — no window, no
+    * per-cluster sort.
+    *
+    * @param labels `(id, rep)` from [[clusterRepresentatives]]
+    * @param scored `(idCol, scoreCol)` per-member scores; members
+    *   missing from `scored` are dropped from consideration (a
+    *   cluster with NO scored member is absent from the output)
+    * @return `(rep, keep_id, n_members)` — one row per cluster
+    */
+  def bestRepresentatives(labels: DataFrame, scored: DataFrame,
+                          idCol: String, scoreCol: String): DataFrame =
+    labels
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      .groupBy(col("rep"))
+      .agg(max_by(col("id"), struct(col("__score"), col("id"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+
   def verifyJaccard(candidates: DataFrame, shingled: DataFrame, idCol: String,
                     shingleCol: String, thresholdNum: Int, thresholdDenom: Int): DataFrame = {
     val s = shingled.select(col(idCol).as("id"), col(shingleCol).as("sh"))
