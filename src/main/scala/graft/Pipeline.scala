@@ -153,7 +153,7 @@ object Pipeline {
         .drop("text_cut")
         .select(df.columns.map(col).toIndexedSeq: _*)
     case graft.config.TransformConfig.MinhashDedup(
-        id, text, shingleSize, numHashes, bands, rowsPerBand, tNum, tDenom) =>
+        id, text, shingleSize, numHashes, bands, rowsPerBand, tNum, tDenom, keepLongest) =>
       // the full tier-2 near-dup path: signatures expression-side, LSH
       // banding for candidates, exact Jaccard verify, min-label
       // clustering; survivors are each cluster's min-id representative.
@@ -166,10 +166,17 @@ object Pipeline {
       val verified = graft.pipeline.Dedup
         .verifyJaccard(candidates, sh, id, "__sh", tNum, tDenom)
         .select("id_a", "id_b")
-      val reps = graft.pipeline.Dedup
+      val labels = graft.pipeline.Dedup
         .clusterRepresentatives(df.select(col(id)), verified, id)
-        .filter(col("id") === col("rep"))
-        .select(col("id").as(id))
+      // keeper policy: min id (default), or the LONGEST member per
+      // cluster (what curation pipelines keep) via bestRepresentatives
+      val reps =
+        if (keepLongest)
+          graft.pipeline.Dedup.bestRepresentatives(labels,
+              df.select(col(id), length(col(text)).cast("long").as("__len")),
+              id, "__len")
+            .select(col("keep_id").as(id))
+        else labels.filter(col("id") === col("rep")).select(col("id").as(id))
       df.join(reps, Seq(id), "left_semi")
     case graft.config.TransformConfig.SemanticDedup(id, vec, numPlanes, bandBits, threshold, seed) =>
       // dim probed from the data (one tiny job); planes are seed-fixed

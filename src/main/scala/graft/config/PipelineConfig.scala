@@ -196,7 +196,8 @@ object TransformConfig {
   final case class MinhashDedup(idColumn: String, textColumn: String,
                                 shingleSize: Int, numHashes: Int,
                                 bands: Int, rowsPerBand: Int,
-                                thresholdNum: Int, thresholdDenom: Int)
+                                thresholdNum: Int, thresholdDenom: Int,
+                                keepLongest: Boolean = false)
       extends TransformConfig {
     val name = "minhashDedup"
     def check: Option[String] =
@@ -845,6 +846,7 @@ object PipelineConfig {
       "transform.pitEnrich.tsColumn", "transform.pitEnrich.valueColumns",
       "transform.mergeSnapshot.snapshotPath", "transform.mergeSnapshot.keys",
       "transform.mergeSnapshot.deleteStale",
+      "transform.minhashDedup.keepLongest",
       "transform.phashDedup.idColumn", "transform.phashDedup.payloadColumn",
       "transform.phashDedup.decoder", "transform.phashDedup.maxDist",
       "transform.scd2Append.historyPath", "transform.scd2Append.keyColumn",
@@ -1072,7 +1074,9 @@ object PipelineConfig {
             r <- num("rowsPerBand", "4")
             tn <- num("thresholdNum", "9")
             td <- num("thresholdDenom", "10")
-          } yield TransformConfig.MinhashDedup(id, text, sh, nh, b, r, tn, td)
+            kl <- map.getOrElse("transform.minhashDedup.keepLongest", "false")
+              .toBooleanOption.toRight("transform.minhashDedup.keepLongest not a boolean")
+          } yield TransformConfig.MinhashDedup(id, text, sh, nh, b, r, tn, td, kl)
         case "semanticDedup" =>
           for {
             id <- map.get("transform.semanticDedup.idColumn")

@@ -154,6 +154,36 @@ class TransformStagesSpec extends AnyFunSuite {
       .subsetOf(Set("train", "val")))
   }
 
+  test("minhashDedup keepLongest keeps each cluster's longest member, not its min id") {
+    val c = cfg(
+      """transforms: minhashDedup
+        |transform.minhashDedup.idColumn: doc_id
+        |transform.minhashDedup.textColumn: text
+        |transform.minhashDedup.shingleSize: 1
+        |transform.minhashDedup.keepLongest: true
+        |""".stripMargin)
+    Pipeline.run(spark, c)
+    val out = spark.read.parquet(c.target.asInstanceOf[TargetConfig.Parquet].path)
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+    assert(out.count() < docs.count() && out.count() > 0)
+    // replay the policy directly: same survivors as bestRepresentatives
+    import org.apache.spark.sql.functions.{col, length}
+    val sh = docs.select(col("doc_id"),
+        graft.pipeline.Dedup.shingles("text", 1).as("__sh"))
+      .withColumn("__sig", graft.pipeline.Dedup.minHashSignature(col("__sh"), 64))
+    val verified = graft.pipeline.Dedup.verifyJaccard(
+      graft.pipeline.Dedup.lshCandidates(sh, "doc_id", "__sig", 16, 4),
+      sh, "doc_id", "__sh", 9, 10).select("id_a", "id_b")
+    val labels = graft.pipeline.Dedup.clusterRepresentatives(
+      docs.select(col("doc_id")), verified, "doc_id")
+    val want = graft.pipeline.Dedup.bestRepresentatives(labels,
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("sc")),
+        "doc_id", "sc")
+      .select(col("keep_id").as("doc_id"))
+    assert(out.select("doc_id").exceptAll(want).isEmpty &&
+      want.exceptAll(out.select("doc_id")).isEmpty)
+  }
+
   test("semanticDedup stage keeps one representative per near-identical embedding group") {
     import spark.implicits._
     val c = cfg(
