@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   *
   * Emits `overlap_lo` / `overlap_hi` (the intersection) alongside both
   * sides' columns. Intervals are half-open: touching intervals
-  * ([1,2) vs [2,3)) do NOT match; NULL endpoints never match.
+  * ([1,2) vs [2,3)) do NOT match; NULL endpoints never match; and
+  * DEGENERATE intervals (lo >= hi — the empty set) are dropped
+  * scan-side on both sides, because the standard overlap predicate
+  * `lLo < rHi && rLo < lHi` is only the set-intersection test for
+  * non-empty intervals (it would claim [5,5) meets [4,6)).
   */
 object IntervalJoin {
 
@@ -55,8 +59,8 @@ object IntervalJoin {
     val w = lit(bandWidth)
     def bands(lo: String, hi: String): Column =
       explode(sequence(floor(col(lo) / w).cast("long"), floor(col(hi) / w).cast("long")))
-    val l = left.withColumn("__lband", bands(lLo, lHi))
-    val r = right.withColumn("__rband", bands(rLo, rHi))
+    val l = left.filter(col(lLo) < col(lHi)).withColumn("__lband", bands(lLo, lHi))
+    val r = right.filter(col(rLo) < col(rHi)).withColumn("__rband", bands(rLo, rHi))
     val cond = keys.foldLeft(col("__lband") === col("__rband")) {
       case (acc, (a, b)) => acc && col(a) === col(b)
     }
