@@ -2177,9 +2177,26 @@ object SparkEntry {
       .orderBy(col("rep"))
   }
 
+  /** Exact-rank winsorization of per-flag price cents at the 5th/95th
+    * order statistics — no percentile interpolation, so the clip
+    * bounds (and every clipped value) are engine-exact integers; ONE
+    * per-group window + a broadcast bounds join + scan-side clip.
+    */
+  private def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_returnflag"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    graft.operators.Winsorize.clipByRank(li, Seq("l_returnflag"), "cents", 5, "clipped")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("clipped")).cast("long").as("sum_clipped"),
+        min(col("clipped")).as("lo_clip"), max(col("clipped")).as("hi_clip"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (qWinsorize _),
     "q_dedup_best" -> (qDedupBest _),
     "q_reachable" -> (qReachable _),
     "q_scd2_incr" -> (qScd2Incr _),
@@ -2400,6 +2417,20 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_winsorize" ->
+      ("WITH b AS (SELECT l_returnflag AS rf, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x FROM lineitem), " +
+        "r AS (SELECT rf, x, row_number() OVER (PARTITION BY rf ORDER BY x) AS rn, " +
+        "count(*) OVER (PARTITION BY rf) AS n FROM b), " +
+        "bounds AS (SELECT rf, min(x) AS lo, max(x) AS hi FROM r " +
+        "WHERE rn = GREATEST(CAST(ceil(n * 5 / 100.0) AS BIGINT), 1) " +
+        "OR rn = n - GREATEST(CAST(ceil(n * 5 / 100.0) AS BIGINT), 1) + 1 GROUP BY rf) " +
+        "SELECT rf AS l_returnflag, count(*) AS n_rows, " +
+        "CAST(sum(LEAST(GREATEST(x, lo), hi)) AS BIGINT) AS sum_clipped, " +
+        "CAST(min(LEAST(GREATEST(x, lo), hi)) AS BIGINT) AS lo_clip, " +
+        "CAST(max(LEAST(GREATEST(x, lo), hi)) AS BIGINT) AS hi_clip " +
+        "FROM b JOIN bounds USING (rf) GROUP BY rf ORDER BY rf"),
+
     "q_dedup_best" ->
       ("WITH RECURSIVE s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
         "FROM documents WHERE doc_id < 1000), " +
