@@ -457,6 +457,37 @@ object Pipeline {
       df.write.mode(mode).option("compression", compression).orc(path)
   }
 
+  /** `run` plus a per-stage row-count report — the lineage question an
+    * operator asks a curation pipeline ("which stage dropped 40% of
+    * the corpus?") answered for FREE: each stage boundary carries an
+    * `observe()` count that rides the one write action, so the report
+    * costs zero extra scans. Entries: ("source", n) after
+    * read+renames, then one (stageName, n) per configured transform in
+    * order. Non-resumable configs only (the per-batch loop would need
+    * one observation set per batch; use plain `run` there).
+    */
+  def runWithStageMetrics(spark: SparkSession,
+                          cfg: PipelineConfig): (Result, Seq[(String, Long)]) = {
+    require(cfg.savepointsDir.isEmpty,
+      "stage metrics require a non-resumable run (no savepoints.dir)")
+    val observations = scala.collection.mutable.Buffer[(String, org.apache.spark.sql.Observation)]()
+    def observed(name: String, df: DataFrame): DataFrame = {
+      val o = org.apache.spark.sql.Observation()
+      observations += name -> o
+      df.observe(o, count(lit(1)).as("n"))
+    }
+    var df = observed("source",
+      Relational.applyRenames(read(spark, cfg), cfg.renames))
+    cfg.transforms.zipWithIndex.foreach { case (t, i) =>
+      df = observed(s"${i + 1}:${t.name}", applyStage(df, t))
+    }
+    val rows = writeCounted(df, cfg)
+    val metrics = observations.toSeq.map { case (name, o) =>
+      name -> o.get("n").asInstanceOf[Long]
+    }
+    (Result(rows, Set.empty, None), metrics)
+  }
+
   /** Copy with optional file-level resume (parquet sources) and a final
     * validation diff. Batch writes append so each completed batch is
     * durable before its savepoint is recorded.

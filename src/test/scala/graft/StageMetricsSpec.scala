@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.{PipelineConfig, TargetConfig}
+
+/** Per-stage row counts riding the single write action via observe()
+  * — the free lineage report for config pipelines.
+  */
+class StageMetricsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def cfg(text: String): PipelineConfig =
+    PipelineConfig.parse(text).fold(e => fail(s"parse failed: $e"), identity)
+
+  test("metrics report source and per-stage counts in order, zero extra scans") {
+    val out = Files.createTempDirectory("graft-sm").resolve("out").toString
+    val c = cfg(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/documents.parquet
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: qualityFilter, dedupExact, split
+         |transform.qualityFilter.textColumn: text
+         |transform.qualityFilter.minScore: 4750
+         |transform.dedupExact.idColumn: doc_id
+         |transform.dedupExact.textColumn: text
+         |transform.split.keyColumn: doc_id
+         |transform.split.fractions: train=90, val=10
+         |""".stripMargin)
+    val (result, metrics) = Pipeline.runWithStageMetrics(spark, c)
+    val names = metrics.map(_._1)
+    assert(names == Seq("source", "1:qualityFilter", "2:dedupExact", "3:split"))
+    val counts = metrics.map(_._2)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").count()
+    assert(counts.head == docs)
+    // monotone non-increasing through the filter/dedup stages; split preserves
+    assert(counts(1) <= counts.head && counts(2) <= counts(1) && counts(3) == counts(2))
+    assert(result.rowsCopied == counts.last)
+    assert(spark.read.parquet(out).count() == counts.last)
+    // at least one stage actually dropped rows on this corpus
+    assert(counts.last < counts.head)
+  }
+
+  test("resumable configs are rejected eagerly") {
+    val c = cfg(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/nation.parquet
+         |target.type: parquet
+         |target.path: ${Files.createTempDirectory("graft-sm2").resolve("o")}
+         |target.mode: overwrite
+         |savepoints.dir: ${Files.createTempDirectory("graft-sm3")}
+         |""".stripMargin)
+    intercept[IllegalArgumentException](Pipeline.runWithStageMetrics(spark, c))
+  }
+}
