@@ -2193,9 +2193,29 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Nearest-within-tolerance as-of: each click attaches the purchase
+    * closest in time (either direction, ≤ 1 h, ties backward) — two
+    * timeline-window as-of passes + one id join, no pair expansion.
+    * Oracle = DuckDB dual ASOF (>= and <=) with the same pick rule.
+    */
+  private def qAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    graft.operators.AsOfJoin.asOfNearest(clicks, purchases, Seq("user_id"), "ts",
+        Seq("value"), tolerance = 3600000000L, leftId = "event_id")
+      .select(col("event_id"), col("user_id"), col("near_value"),
+        col("near_dist"), col("near_dir"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_winsorize" -> (qWinsorize _),
     "q_dedup_best" -> (qDedupBest _),
     "q_reachable" -> (qReachable _),
@@ -2417,6 +2437,26 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_asof_nearest" ->
+      ("WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, max_by(value, event_id) AS value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts), " +
+        "j AS (SELECT c.event_id, c.user_id, pb.value AS bv, " +
+        "epoch_us(c.ts) - epoch_us(pb.ts) AS db, pf.value AS fv, " +
+        "epoch_us(pf.ts) - epoch_us(c.ts) AS df FROM c " +
+        "ASOF LEFT JOIN p pb ON c.user_id = pb.user_id AND c.ts >= pb.ts " +
+        "ASOF LEFT JOIN p pf ON c.user_id = pf.user_id AND c.ts <= pf.ts), " +
+        "k AS (SELECT *, db IS NOT NULL AND db <= 3600000000 " +
+        "AND (df IS NULL OR db <= df) AS pickb, " +
+        "NOT coalesce(db IS NOT NULL AND db <= 3600000000 " +
+        "AND (df IS NULL OR db <= df), false) " +
+        "AND df IS NOT NULL AND df <= 3600000000 AS pickf FROM j) " +
+        "SELECT event_id, user_id, " +
+        "CASE WHEN pickb THEN bv WHEN pickf THEN fv END AS near_value, " +
+        "CAST(CASE WHEN pickb THEN db WHEN pickf THEN df END AS BIGINT) AS near_dist, " +
+        "CASE WHEN pickb THEN 'b' WHEN pickf THEN 'f' END AS near_dir " +
+        "FROM k ORDER BY event_id"),
+
     "q_winsorize" ->
       ("WITH b AS (SELECT l_returnflag AS rf, " +
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x FROM lineitem), " +

@@ -32,6 +32,62 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** NEAREST-within-tolerance as-of (pandas merge_asof
+    * direction='nearest'): per left row, the right row minimizing
+    * |right.ts − left.ts| among rows within `tolerance`, ties broken
+    * BACKWARD (the past wins over an equally-distant future — the
+    * leakage-conservative default). Composition of two [[asOf]]
+    * passes — backward as-is, forward on negated micros — joined on a
+    * caller-supplied unique `leftId`; each pass is the union+window
+    * single-key-shuffle plan, so nearest costs two timeline sorts and
+    * one id join, never a pair expansion.
+    *
+    * `tolerance` is in MICROSECONDS for timestamp columns and raw
+    * units for numeric ones. Output adds `near_<payload>` columns,
+    * `near_dist` (the |Δ|, same units), and `near_dir` ('b'/'f') —
+    * all NULL when no right row lands within tolerance. Same right-
+    * uniqueness contract as [[asOf]].
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsCol: String, rightPayload: Seq[String],
+                  tolerance: Long, leftId: String): DataFrame = {
+    require(tolerance >= 0, "tolerance must be >= 0")
+    require(left.columns.contains(leftId), s"leftId $leftId not in left")
+    val reserved = Seq("__rts", "__neg", "near_dist", "near_dir") ++
+      rightPayload.map(c => s"near_$c") ++ rightPayload.map(c => s"fwd_$c")
+    for (c <- left.columns if reserved.contains(c))
+      throw new IllegalArgumentException(s"asOfNearest: left column $c is reserved")
+    def micros(df: DataFrame): Column = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(tsCol).cast("timestamp"))
+      case _ => col(tsCol).cast("long")
+    }
+    val r2 = right.withColumn("__rts", micros(right))
+    val payload = rightPayload :+ "__rts"
+    val back = asOf(left, r2, keys, tsCol, payload)
+    val fwd = asOf(left.withColumn("__neg", -micros(left)),
+        r2.withColumn("__neg", -micros(r2)).drop(tsCol), keys, "__neg", payload)
+      .select((col(leftId) +: payload.map(c => col(s"asof_$c").as(s"fwd_$c"))): _*)
+    val joined = back.join(fwd, Seq(leftId))
+    val lm = micros(back)
+    val db = lm - col("asof___rts")
+    val dfwd = col("fwd___rts") - lm
+    val pickB = col("asof___rts").isNotNull && db <= tolerance &&
+      (col("fwd___rts").isNull || db <= dfwd)
+    val pickF = !coalesce(pickB, lit(false)) &&
+      col("fwd___rts").isNotNull && dfwd <= tolerance
+    val withNear = rightPayload.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"near_$c",
+        when(pickB, col(s"asof_$c")).when(pickF, col(s"fwd_$c")))
+    }
+    withNear
+      .withColumn("near_dist", when(pickB, db).when(pickF, dfwd))
+      .withColumn("near_dir", when(pickB, lit("b")).when(pickF, lit("f")))
+      .drop(payload.map(c => s"asof_$c"): _*)
+      .drop(payload.map(c => s"fwd_$c"): _*)
+  }
+
   private def requireNoReserved(left: DataFrame, right: DataFrame,
                                 rightPayload: Seq[String]): Unit = {
     val reserved = Set("__r", "__side", "__latest")

@@ -86,4 +86,49 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), "as-of must not plan a join")
     assert(plan.count(_.toString.contains("Exchange")) >= 0) // window exchange only
   }
+
+  test("asOfNearest picks the closer side, ties backward, tolerance nulls out") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k", 100L),  // backward at 90 (d=10) vs forward at 130 (d=30) -> b
+      (2L, "k", 128L),  // backward 90 (d=38) vs forward 130 (d=2) -> f
+      (3L, "k", 500L),  // nothing within tolerance 50 -> null
+      (4L, "k", 110L),  // equidistant: 90 (d=20) vs 130 (d=20) -> backward wins
+      (5L, "x", 100L)   // key with no right rows -> null
+    ).toDF("id", "k", "ts")
+    val right = Seq(("k", 90L, "A"), ("k", 130L, "B"), ("k", 700L, "C"))
+      .toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin.asOfNearest(left, right, Seq("k"), "ts",
+        Seq("v"), tolerance = 50L, leftId = "id")
+      .select("id", "near_v", "near_dist", "near_dir")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) == ((Some("A"), Some(10L), Some("b"))))
+    assert(got(2L) == ((Some("B"), Some(2L), Some("f"))))
+    assert(got(3L) == ((None, None, None)))
+    assert(got(4L) == ((Some("A"), Some(20L), Some("b"))))
+    assert(got(5L) == ((None, None, None)))
+  }
+
+  test("asOfNearest matches brute force on random timelines") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17L)
+    val left = (1 to 300).map(i => (i.toLong, s"k${i % 4}", rng.nextInt(1000).toLong))
+    val right = (1 to 120).map(j => (s"k${j % 4}", rng.nextInt(1000).toLong, j.toLong))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique per (k, ts)
+    val tol = 40L
+    val got = graft.operators.AsOfJoin.asOfNearest(
+        left.toDF("id", "k", "ts"), right.toDF("k", "ts", "v"),
+        Seq("k"), "ts", Seq("v"), tol, "id")
+      .select("id", "near_v", "near_dist")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    left.foreach { case (id, k, ts) =>
+      val cands = right.filter(_._1 == k).map(t => (math.abs(t._2 - ts), t._2 <= ts, t._3))
+        .filter(_._1 <= tol)
+      val expect =
+        if (cands.isEmpty) None
+        else Some(cands.minBy(c => (c._1, !c._2))._3) // nearest, tie -> backward
+      assert(got(id) == expect, s"id=$id")
+    }
+  }
 }
