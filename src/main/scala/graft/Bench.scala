@@ -157,12 +157,40 @@ object Bench {
         else firstTwo
       if (timings.isEmpty) None else Some(name -> timings.min)
     }
-    // Fresh-state evidence for the slowest K: re-time them at sweep end
-    // (block store clean, min-of-3) under a separate "retimed" key. With
-    // per-run release these should match the in-sweep numbers — a
-    // retimed value well below its sweep twin flags residual session
-    // state a reader should trust the retimed number over.
-    val retimed = results.toSeq.sortBy(-_._2).take(5).flatMap { case (name, _) =>
+    // Fresh-state evidence for the slowest K AND for every round-over-
+    // round regression: re-time them at sweep end (block store clean,
+    // min-of-3) under a separate "retimed" key. With per-run release
+    // these should match the in-sweep numbers — a retimed value well
+    // below its sweep twin flags residual session state a reader should
+    // trust the retimed number over. The regression arm compares against
+    // the latest committed BENCH_r*.json in the working directory: any
+    // query >30% over its prior-round value gets fresh counter-evidence
+    // too (sub-second regressions used to escape the slowest-5 net).
+    val prior: Map[String, Double] = {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      files.sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption.flatMap { f =>
+        try {
+          val qs = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f).get("queries")
+          if (qs == null) None
+          else {
+            val m = scala.collection.mutable.Map.empty[String, Double]
+            val it = qs.fields()
+            while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+            Some(m.toMap)
+          }
+        } catch { case NonFatal(_) => None }
+      }.getOrElse(Map.empty)
+    }
+    val slowest = results.toSeq.sortBy(-_._2).take(5).map(_._1)
+    // worst absolute regressions first; capped so a machine-wide slowdown
+    // (everything nominally "regressed") can't triple-run the whole sweep
+    val regressed = results.toSeq
+      .flatMap { case (name, v) =>
+        prior.get(name).filter(p => v > p * 1.3).map(p => (name, v - p)) }
+      .sortBy(-_._2).take(15).map(_._1)
+    val retimed = (slowest ++ regressed).distinct.flatMap { name =>
       val ts = Seq.fill(3)(timedRun(name, SparkEntry.queries(name))).flatten
       if (ts.isEmpty) None else Some(name -> ts.min)
     }

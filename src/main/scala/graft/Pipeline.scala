@@ -335,6 +335,38 @@ object Pipeline {
         df.select(col(id),
           graft.pipeline.Text.tokenCount(col(text)).cast("long").as("__n_tok")),
         id, "__n_tok", budget, shardWidth)
+    case graft.config.TransformConfig.WinsorizeStage(groups, value, pct, out, tier) =>
+      if (tier == "approx")
+        graft.operators.Winsorize.clipByQuantiles(df, groups, value, pct, out)
+      else graft.operators.Winsorize.clipByRank(df, groups, value, pct, out)
+    case graft.config.TransformConfig.IntervalJoinStage(
+        rightPath, lLo, lHi, rLo, rHi, keys, bandWidth) =>
+      val right = df.sparkSession.read.parquet(rightPath)
+      if (bandWidth > 0)
+        graft.operators.IntervalJoin.overlapJoin(
+          df, right, lLo, lHi, rLo, rHi, bandWidth, keys)
+      else graft.operators.IntervalJoin.overlapJoinAuto(
+        df, right, lLo, lHi, rLo, rHi, keys)
+    case graft.config.TransformConfig.ComponentsStage(src, dst, maxIters) =>
+      // terminal reshape: (id, rep); node set = the distinct endpoints
+      val nodes = df.select(explode(array(col(src), col(dst))).as("id"))
+        .filter(col("id").isNotNull).distinct()
+      graft.operators.Graphs.connectedComponents(nodes, df, "id", src, dst, maxIters)
+    case graft.config.TransformConfig.TrianglesStage(src, dst) =>
+      // terminal reshape: (vertex, n_triangles)
+      graft.operators.Graphs.triangleCounts(df, src, dst)
+    case graft.config.TransformConfig.ReachableStage(src, dst, rootsPath, rootCol, maxDepth) =>
+      // terminal reshape: (root, vertex, depth)
+      val roots = df.sparkSession.read.parquet(rootsPath)
+      graft.operators.Graphs.reachable(df, roots, rootCol, maxDepth, src, dst)
+    case graft.config.TransformConfig.BitemporalStage(key, validTs, txTs, op,
+        upsertOp, deleteOp, valueCols, validAt, txAt, tieBreak) =>
+      // terminal reshape: (key, valid_ts, asserted_ts, values...);
+      // the as-of literals adopt the log's own timestamp column types
+      val vAt = lit(validAt).cast(df.schema(validTs).dataType)
+      val tAt = lit(txAt).cast(df.schema(txTs).dataType)
+      graft.operators.Scd2.bitemporalSnapshot(df, key, validTs, txTs, op,
+        upsertOp, deleteOp, valueCols, vAt, tAt, tieBreak.map(col))
   }
 
   /** Repair: append source rows whose PK is absent from the target
@@ -470,6 +502,22 @@ object Pipeline {
                           cfg: PipelineConfig): (Result, Seq[(String, Long)]) = {
     require(cfg.savepointsDir.isEmpty,
       "stage metrics require a non-resumable run (no savepoints.dir)")
+    // Observation records metrics from the FIRST action that executes
+    // the observed plan. A stage that probes its input with a
+    // short-circuiting action during construction (semanticDedup's
+    // limit(1) dim probe) would execute the upstream observe() nodes
+    // partially and permanently register truncated counts for every
+    // earlier stage — reject those configs instead of mis-reporting.
+    // (Stages that EAGERLY but FULLY materialize — the minhash
+    // checkpoint, the constraint-gate aggregate — observe every row
+    // and stay accurate.)
+    cfg.transforms.foreach {
+      case s: graft.config.TransformConfig.SemanticDedup =>
+        throw new IllegalArgumentException(
+          s"stage ${s.name} probes its input with a partial action and " +
+            "would corrupt upstream stage counts — use run() for this config")
+      case _ => ()
+    }
     val observations = scala.collection.mutable.Buffer[(String, org.apache.spark.sql.Observation)]()
     def observed(name: String, df: DataFrame): DataFrame = {
       val o = org.apache.spark.sql.Observation()
@@ -485,20 +533,57 @@ object Pipeline {
     val metrics = observations.toSeq.map { case (name, o) =>
       name -> o.get("n").asInstanceOf[Long]
     }
-    (Result(rows, Set.empty, None), metrics)
+    // a configured validation block runs exactly as in run(): silently
+    // returning validation = None would turn a requested check into a no-op
+    val validation = (cfg.validation, cfg.target) match {
+      case (Some(v), pt: TargetConfig.Parquet) =>
+        val dataDir =
+          if (pt.versioned)
+            graft.sources.Versioned.latestVersion(spark, pt.path)
+              .map(n => new org.apache.hadoop.fs.Path(pt.path, f"v_$n%010d").toString)
+              .getOrElse(pt.path)
+          else pt.path
+        val src = transform(read(spark, cfg), cfg)
+        val tgt = spark.read.parquet(dataDir)
+        Some(Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)
+          .filter(col("diff_kind") =!= "match")
+          .limit(v.failuresToFetch))
+      case _ => None
+    }
+    (Result(rows, Set.empty, validation), metrics)
   }
 
   /** Copy with optional file-level resume (parquet sources) and a final
     * validation diff. Batch writes append so each completed batch is
     * durable before its savepoint is recorded.
     */
-  def run(spark: SparkSession, cfg: PipelineConfig, fileBatchSize: Int = 64): Result = {
+  /** Continue a killed resumable run: load the completed-file set from
+    * the NEWEST savepoint under `savepoints.dir` and re-enter [[run]]
+    * with it merged into `skipFiles`. Already-copied batches are
+    * skipped (their rows are durable in the target — the batch loop
+    * always appends), remaining batches process normally, and because
+    * file batching is deterministic the union of both runs' outputs
+    * equals one uninterrupted run's. This is the reference's restart
+    * contract (savepoints config re-read on startup) as one call.
+    */
+  def resume(spark: SparkSession, cfg: PipelineConfig,
+             fileBatchSize: Int = 64): Result = {
+    val dir = cfg.savepointsDir.getOrElse(throw new IllegalArgumentException(
+      "resume requires savepoints.dir"))
+    val done = SavepointsManager.loadLatest(
+      dir, spark.sparkContext.hadoopConfiguration)
+    run(spark, cfg.copy(skipFiles = cfg.skipFiles ++ done), fileBatchSize)
+  }
+
+  def run(spark: SparkSession, cfg: PipelineConfig, fileBatchSize: Int = 64,
+          afterBatch: Int => Unit = _ => ()): Result = {
     val completed = new StringSetAccumulator
     spark.sparkContext.register(completed, "completedFiles")
     val manager = cfg.savepointsDir.map(dir => new SavepointsManager(
       dir, () => (cfg.skipFiles ++ completed.value).toSeq.sorted.mkString("\n"),
       hadoopConf = spark.sparkContext.hadoopConfiguration).start())
     var rows = 0L
+    var batchIdx = 0
     try {
       cfg.source match {
         case SourceConfig.Parquet(path, where, columns, false) if cfg.savepointsDir.isDefined =>
@@ -512,7 +597,13 @@ object Pipeline {
               case t => t
             })
             rows += writeCounted(df, appendCfg)
-          } { files => files.foreach(completed.add); manager.foreach(_.dump()) }
+          } { files =>
+            files.foreach(completed.add); manager.foreach(_.dump())
+            // between-batches crash-injection point for kill-resume specs:
+            // the batch is appended AND its savepoint durably recorded, so a
+            // throw here is exactly "the process died between batches"
+            batchIdx += 1; afterBatch(batchIdx)
+          }
         case _ =>
           rows = writeCounted(transform(read(spark, cfg), cfg), cfg)
       }

@@ -170,7 +170,44 @@ object ScaleBench {
     "explode_cells" -> ((s, dir) => SparkEntry.queries("q_explode_cells")(s, dir).count()),
     "hash_refine" -> ((s, dir) => SparkEntry.queries("q_hash_refine")(s, dir).count()),
     "asof_native" -> ((s, dir) => SparkEntry.queries("q_asof_native")(s, dir).count()),
-    "sessionize" -> ((s, dir) => SparkEntry.queries("q_sessionize")(s, dir).count()))
+    "sessionize" -> ((s, dir) => SparkEntry.queries("q_sessionize")(s, dir).count()),
+    // auto-width interval join: the probe aggregate must stay cheap and
+    // the picked width must keep the banding sub-linear under amplification
+    "interval_join_auto" -> { (s, dir) =>
+      def iv(p: String) = Tables.load(s, dir, "lineitem").select(
+          (col("l_suppkey") + floor(col("l_orderkey") / Off).cast("long") * Off)
+            .as(s"${p}_k"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as(s"${p}_id"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long")
+            .as(s"${p}_lo"),
+          (datediff(to_date(col("l_shipdate")), lit("1970-01-01")) +
+            col("l_quantity").cast("long") + 1).as(s"${p}_hi"))
+        .groupBy(s"${p}_k", s"${p}_id")
+        .agg(min(col(s"${p}_lo")).as(s"${p}_lo"), min(col(s"${p}_hi")).as(s"${p}_hi"))
+      operators.IntervalJoin.overlapJoinAuto(iv("a"), iv("b"),
+          "a_lo", "a_hi", "b_lo", "b_hi", keys = Seq(("a_k", "b_k")))
+        .filter(col("a_id") < col("b_id")).count()
+    },
+    // contraction-based incremental components: the delta cost must track
+    // the DELTA size, not the amplified corpus
+    "components_incr" -> { (s, dir) =>
+      SparkEntry.queries("q_components_incr")(s, dir).count()
+    },
+    // radius-probing banded phash near-dup over the WHOLE corpus (the
+    // gate query caps ids; amplification must grow real collisions
+    // linearly, with the fixed 72-key probe fan-out per row)
+    "phash_neardup" -> { (s, dir) =>
+      val g = floor(col("doc_id") / 8).cast("long")
+      val m = pmod(col("doc_id"), lit(8L))
+      val baseHash = conv(substring(md5(g.cast("string")), 1, 15), 16, 10).cast("long")
+      val mask = when(m === 7, lit(0x0101010101010101L))
+        .otherwise(pmod(m, lit(2L)) * 1 +
+          pmod(floor(m / 2).cast("long"), lit(2L)) * 256 +
+          pmod(floor(m / 4).cast("long"), lit(2L)) * 65536)
+      val hashes = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), baseHash.bitwiseXOR(mask).as("phash"))
+      pipeline.Multimodal.phashNearDup(hashes, "doc_id", "phash", maxDist = 8).count()
+    })
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

@@ -1028,6 +1028,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio arm of the media registry, end to end: synthesize a
+    * byte-exact WAV per document (frame count derived from the text),
+    * decode it back through the REAL JDK audio reader
+    * ([[graft.pipeline.WavDecoder]]), and emit the header meta. The
+    * oracle re-derives every field arithmetically (byte_len = 44 +
+    * 2·frames, 'R' = 82 leads the RIFF header), so a header-format or
+    * reader regression on either leg breaks the hash compare.
+    */
+  private def qAudioMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"),
+      (length(col("text")) % 400 + 40).cast("int").as("n_frames_in"))
+    val wav = Multimodal.withWavPayload(docs, "n_frames_in")
+    Multimodal.decodeMeta(wav, "doc_id", "payload", graft.pipeline.WavDecoder)
+      .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+        col("meta.width").as("sample_rate"), col("meta.height").as("channels"),
+        col("meta.n_frames").as("n_frames"), col("meta.first_byte").as("first_byte"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qFrameSample(s: SparkSession, d: String): DataFrame = {
     val withPayload = Multimodal.withPayload(t(s, d, "documents"), "text")
     val meta = Multimodal.decodeMeta(withPayload, "doc_id", "payload")
@@ -2079,6 +2098,28 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** Incremental component maintenance: build the labeling from half
+    * the co-order edges (deterministic endpoint-parity split), absorb
+    * the other half via `Graphs.appendToComponents` — contraction-
+    * based, delta-sized propagation — and oracle-check against the
+    * FULL recursive-CTE transitive closure: the full-rebuild
+    * equivalence law as a gate query, not just a spec.
+    */
+  private def qComponentsIncr(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_custkey"))
+    val edges = graft.operators.Graphs.coOccurrenceEdges(orders, "day", "o_custkey",
+      maxGroupSize = 3)
+    val base = edges.filter((col("src") + col("dst")) % 2 === 0)
+    val delta = edges.filter((col("src") + col("dst")) % 2 === 1)
+    val labels = graft.operators.Graphs.connectedComponents(
+      orders.select(col("o_custkey")).distinct(), base, "o_custkey")
+    graft.operators.Graphs.appendToComponents(labels, delta)
+      .select(col("id").cast("long").as("c_custkey"),
+        col("rep").cast("long").as("component"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Incremental aggregate maintenance: the (status, year) revenue
     * store built from orders ≤ a cut absorbs the post-cut batch via
     * `IncrementalAgg.absorb` — the merged store must equal (and is
@@ -2193,6 +2234,66 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Banded perceptual-hash near-dup under the ORACLE, including the
+    * radius-1 probing regime: hashes are engineered so groups of 8
+    * docs share a portable 60-bit md5 base, with member masks at bits
+    * {0, 8, 16} (distances 1–3, the exact-band arm) and member 7
+    * carrying 0x0101010101010101 — ONE flipped bit in EVERY 8-bit
+    * band (distance 7–8 to its groupmates), a pair class the old
+    * 4×16-bit banding provably missed (two differing bits per quarter
+    * ⇒ no quarter agrees) and only the multi-index probe finds. The
+    * DuckDB oracle brute-forces all pairs with bit_count(xor), so any
+    * recall loss in the banding is a hash mismatch, not a silent drop.
+    */
+  private def qPhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val g = floor(col("doc_id") / 8).cast("long")
+    val m = pmod(col("doc_id"), lit(8L))
+    val baseHash = conv(substring(md5(g.cast("string")), 1, 15), 16, 10).cast("long")
+    val mask = when(m === 7, lit(0x0101010101010101L))
+      .otherwise(pmod(m, lit(2L)) * 1 +
+        pmod(floor(m / 2).cast("long"), lit(2L)) * 256 +
+        pmod(floor(m / 4).cast("long"), lit(2L)) * 65536)
+    val hashes = t(s, d, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), baseHash.bitwiseXOR(mask).as("phash"))
+    Multimodal.phashNearDup(hashes, "doc_id", "phash", maxDist = 8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Config-driven winsorization, END TO END: the query parses a
+    * pipeline config (the engine's user surface — source, winsorize
+    * stage, parquet target), runs it through [[graft.Pipeline.run]],
+    * and aggregates the written target. Proves the declarative stage
+    * produces oracle-exact results, not just the Scala API: the
+    * DuckDB oracle recomputes the same exact-rank clip from the raw
+    * table. Clipping the decimal price then scaling to cents equals
+    * clipping cents (×100 is order-preserving and exact on DECIMAL),
+    * so the oracle mirrors q_winsorize's integer form.
+    */
+  private def qCfgWinsorize(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-cfgw")
+      .resolve("out").toString
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $d/lineitem.parquet
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: winsorize
+         |transform.winsorize.groupColumns: l_returnflag
+         |transform.winsorize.valueColumn: l_extendedprice
+         |transform.winsorize.pct: 5
+         |transform.winsorize.outColumn: w_price
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    val cents = (col("w_price").cast(DecimalType(18, 2)) * 100).cast("long")
+    s.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents).cast("long").as("sum_clipped_cents"),
+        min(cents).as("lo_cents"), max(cents).as("hi_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Nearest-within-tolerance as-of: each click attaches the purchase
     * closest in time (either direction, ≤ 1 h, ties backward) — two
     * timeline-window as-of passes + one id join, no pair expansion.
@@ -2217,12 +2318,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_nearest" -> (qAsofNearest _),
     "q_winsorize" -> (qWinsorize _),
+    "q_cfg_winsorize" -> (qCfgWinsorize _),
+    "q_phash_neardup" -> (qPhashNeardup _),
     "q_dedup_best" -> (qDedupBest _),
     "q_reachable" -> (qReachable _),
     "q_scd2_incr" -> (qScd2Incr _),
     "q_bitemporal" -> (qBitemporal _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_components" -> (qComponents _),
+    "q_components_incr" -> (qComponentsIncr _),
     "q_unpivot" -> (qUnpivot _),
     "q_triangles" -> (qTriangles _),
     "q_bloom_join" -> (qBloomJoin _),
@@ -2356,6 +2460,7 @@ object SparkEntry {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_audio_meta" -> (qAudioMeta _),
     "q_frame_sample" -> (qFrameSample _),
     "q_cube" -> (qCube _),
     "q_intersect" -> (qIntersect _),
@@ -2471,6 +2576,20 @@ object SparkEntry {
         "CAST(max(LEAST(GREATEST(x, lo), hi)) AS BIGINT) AS hi_clip " +
         "FROM b JOIN bounds USING (rf) GROUP BY rf ORDER BY rf"),
 
+    "q_cfg_winsorize" ->
+      ("WITH b AS (SELECT l_returnflag AS rf, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x FROM lineitem), " +
+        "r AS (SELECT rf, x, row_number() OVER (PARTITION BY rf ORDER BY x) AS rn, " +
+        "count(*) OVER (PARTITION BY rf) AS n FROM b), " +
+        "bounds AS (SELECT rf, min(x) AS lo, max(x) AS hi FROM r " +
+        "WHERE rn = GREATEST(CAST(ceil(n * 5 / 100.0) AS BIGINT), 1) " +
+        "OR rn = n - GREATEST(CAST(ceil(n * 5 / 100.0) AS BIGINT), 1) + 1 GROUP BY rf) " +
+        "SELECT rf AS l_returnflag, count(*) AS n_rows, " +
+        "CAST(sum(LEAST(GREATEST(x, lo), hi)) AS BIGINT) AS sum_clipped_cents, " +
+        "CAST(min(LEAST(GREATEST(x, lo), hi)) AS BIGINT) AS lo_cents, " +
+        "CAST(max(LEAST(GREATEST(x, lo), hi)) AS BIGINT) AS hi_cents " +
+        "FROM b JOIN bounds USING (rf) GROUP BY rf ORDER BY rf"),
+
     "q_dedup_best" ->
       ("WITH RECURSIVE s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
         "FROM documents WHERE doc_id < 1000), " +
@@ -2537,6 +2656,24 @@ object SparkEntry {
         "FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, yr"),
 
     "q_components" ->
+      ("WITH RECURSIVE it AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS g, " +
+        "o_custkey AS i FROM orders " +
+        "WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL), " +
+        "ok AS (SELECT g FROM it GROUP BY g HAVING count(*) BETWEEN 2 AND 3), " +
+        "e AS (SELECT DISTINCT a.i AS u, b.i AS v FROM it a " +
+        "JOIN it b ON a.g = b.g AND a.i < b.i JOIN ok ON a.g = ok.g), " +
+        "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
+        "r AS (SELECT u AS a, v AS b FROM sym " +
+        "UNION SELECT r.a, sym.v FROM r JOIN sym ON r.b = sym.u), " +
+        "lab AS (SELECT a, least(a, min(b)) AS rep FROM r GROUP BY a), " +
+        "nodes AS (SELECT DISTINCT o_custkey AS c FROM orders WHERE o_custkey IS NOT NULL) " +
+        "SELECT CAST(c AS BIGINT) AS c_custkey, " +
+        "CAST(coalesce(lab.rep, c) AS BIGINT) AS component " +
+        "FROM nodes LEFT JOIN lab ON nodes.c = lab.a ORDER BY c_custkey"),
+
+    // identical closure to q_components: the incremental absorb must
+    // reproduce the full rebuild exactly (the equivalence law)
+    "q_components_incr" ->
       ("WITH RECURSIVE it AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS g, " +
         "o_custkey AS i FROM orders " +
         "WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL), " +
@@ -4042,6 +4179,30 @@ object SparkEntry {
         "CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames, " +
         "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS BIGINT) " +
         "AS first_byte FROM documents ORDER BY doc_id"),
+
+    // the synthesized 16-bit mono WAV is byte-exact: canonical 44-byte
+    // RIFF header + 2 bytes/frame, sample rate pinned at 8000, and the
+    // payload leads with 'R' (82)
+    "q_audio_meta" ->
+      ("SELECT doc_id, CAST(44 + 2 * (length(text) % 400 + 40) AS BIGINT) AS byte_len, " +
+        "CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels, " +
+        "CAST(length(text) % 400 + 40 AS BIGINT) AS n_frames, " +
+        "CAST(82 AS BIGINT) AS first_byte FROM documents ORDER BY doc_id"),
+
+    // brute-force pair closure over the engineered hashes: any banding
+    // recall loss (the old 4x16 pigeonhole bug) breaks the hash compare
+    "q_phash_neardup" ->
+      ("WITH h AS (SELECT doc_id, " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id // 8 AS VARCHAR)), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT) AS base, " +
+        "doc_id % 8 AS m FROM documents WHERE doc_id < 500), " +
+        "x AS (SELECT doc_id, xor(base, CASE WHEN m = 7 THEN 72340172838076673 " +
+        "ELSE (m % 2) * 1 + ((m // 2) % 2) * 256 + ((m // 4) % 2) * 65536 END) AS ph FROM h) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming " +
+        "FROM x a JOIN x b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.ph, b.ph)) <= 8 ORDER BY a_id, b_id"),
 
     // md5 bucket replicated positionally (same hex arithmetic as the
     // portable fingerprint): bucket = 60-bit md5 prefix mod 20

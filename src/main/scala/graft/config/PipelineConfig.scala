@@ -593,6 +593,118 @@ object TransformConfig {
       else if (shardWidth <= 0) Some("transform.seqPack.shardWidth must be positive")
       else None
   }
+  /** Outlier winsorization — operators.Winsorize over the piped frame:
+    * clip `valueColumn` to its group's [pct, 100−pct] bounds into
+    * `outColumn`. Schema-EXTENDING. `tier: exact` is the one-window
+    * exact-rank clip (per-group sort — honest but heavy on huge
+    * groups); `tier: approx` takes KLL-sketch bounds (map-side sketch
+    * merge, no sort — the 100-TB route for heavy groups).
+    */
+  final case class WinsorizeStage(groupColumns: List[String], valueColumn: String,
+                                  pct: Int, outColumn: String, tier: String)
+      extends TransformConfig {
+    val name = "winsorize"
+    def check: Option[String] =
+      if (groupColumns.isEmpty) Some("transform.winsorize.groupColumns required")
+      else if (pct < 1 || pct > 49) Some("transform.winsorize.pct must be in [1, 49]")
+      else if (outColumn.isEmpty) Some("transform.winsorize.outColumn required")
+      else if (tier != "exact" && tier != "approx")
+        Some("transform.winsorize.tier must be exact or approx")
+      else None
+  }
+  /** Banded interval-overlap join — operators.IntervalJoin with the
+    * piped frame as LEFT and the parquet at `rightPath` as RIGHT.
+    * Schema-EXTENDING join output (both sides' columns +
+    * overlap_lo/overlap_hi); column names must not collide — alias
+    * via renames first. `bandWidth: 0` (the default) probes the span
+    * distribution and picks the width automatically (median × slack),
+    * aborting with clamp advice if an open-ended interval would
+    * explode the banding; a positive value pins it.
+    */
+  final case class IntervalJoinStage(rightPath: String,
+                                     leftLo: String, leftHi: String,
+                                     rightLo: String, rightHi: String,
+                                     keys: List[(String, String)],
+                                     bandWidth: Double)
+      extends TransformConfig {
+    val name = "intervalJoin"
+    def check: Option[String] =
+      if (rightPath.isEmpty) Some("transform.intervalJoin.rightPath required")
+      else if (Seq(leftLo, leftHi, rightLo, rightHi).exists(_.isEmpty))
+        Some("transform.intervalJoin left/right lo/hi columns required")
+      else if (bandWidth < 0) Some("transform.intervalJoin.bandWidth must be >= 0 (0 = auto)")
+      else None
+  }
+  /** Connected components — operators.Graphs.connectedComponents over
+    * the piped EDGE frame (`srcColumn`, `dstColumn`); the node set is
+    * the distinct endpoints. TERMINAL reshape: output is `(id, rep)`
+    * with rep = each component's minimum id.
+    */
+  final case class ComponentsStage(srcColumn: String, dstColumn: String,
+                                   maxIters: Int)
+      extends TransformConfig {
+    val name = "components"
+    def check: Option[String] =
+      if (srcColumn.isEmpty || dstColumn.isEmpty)
+        Some("transform.components.srcColumn/dstColumn required")
+      else if (maxIters < 1 || maxIters > 30)
+        Some("transform.components.maxIters must be in [1, 30]")
+      else None
+  }
+  /** Per-vertex triangle counts — operators.Graphs.triangleCounts over
+    * the piped edge frame. TERMINAL reshape: `(vertex, n_triangles)`,
+    * degree-oriented so hub vertices cannot explode the wedge join.
+    */
+  final case class TrianglesStage(srcColumn: String, dstColumn: String)
+      extends TransformConfig {
+    val name = "triangles"
+    def check: Option[String] =
+      if (srcColumn.isEmpty || dstColumn.isEmpty)
+        Some("transform.triangles.srcColumn/dstColumn required")
+      else None
+  }
+  /** Bounded multi-source BFS — operators.Graphs.reachable over the
+    * piped edge frame, roots read from `rootsPath` parquet
+    * (`rootColumn`). TERMINAL reshape: `(root, vertex, depth)` with
+    * depth = minimum hop count ≤ `maxDepth`.
+    */
+  final case class ReachableStage(srcColumn: String, dstColumn: String,
+                                  rootsPath: String, rootColumn: String,
+                                  maxDepth: Int)
+      extends TransformConfig {
+    val name = "reachable"
+    def check: Option[String] =
+      if (srcColumn.isEmpty || dstColumn.isEmpty)
+        Some("transform.reachable.srcColumn/dstColumn required")
+      else if (rootsPath.isEmpty) Some("transform.reachable.rootsPath required")
+      else if (rootColumn.isEmpty) Some("transform.reachable.rootColumn required")
+      else if (maxDepth < 0 || maxDepth > 30)
+        Some("transform.reachable.maxDepth must be in [0, 30]")
+      else None
+  }
+  /** Bitemporal snapshot — operators.Scd2.bitemporalSnapshot over the
+    * piped bitemporal log: state as it was VALID at `validAt`, as
+    * ASSERTED by `txAt` (late corrections included up to txAt only).
+    * TERMINAL reshape to `(key, valid_ts, asserted_ts, values…)`.
+    * `validAt`/`txAt` are literals cast to the respective ts columns'
+    * types at run time.
+    */
+  final case class BitemporalStage(keyColumn: String, validTsColumn: String,
+                                   txTsColumn: String, opColumn: String,
+                                   upsertOp: String, deleteOp: String,
+                                   valueColumns: List[String],
+                                   validAt: String, txAt: String,
+                                   tieBreak: List[String])
+      extends TransformConfig {
+    val name = "bitemporal"
+    def check: Option[String] =
+      if (valueColumns.isEmpty) Some("transform.bitemporal.valueColumns required")
+      else if (upsertOp == deleteOp)
+        Some("transform.bitemporal upsertOp and deleteOp must differ")
+      else if (validAt.isEmpty || txAt.isEmpty)
+        Some("transform.bitemporal.validAt/txAt required")
+      else None
+  }
 }
 
 sealed trait SourceConfig
@@ -857,6 +969,24 @@ object PipelineConfig {
       "transform.constraintGate.minRows", "transform.constraintGate.maxRows",
       "transform.constraintGate.fkColumn", "transform.constraintGate.fkRefPath",
       "transform.constraintGate.fkRefColumn",
+      "transform.winsorize.groupColumns", "transform.winsorize.valueColumn",
+      "transform.winsorize.pct", "transform.winsorize.outColumn",
+      "transform.winsorize.tier",
+      "transform.intervalJoin.rightPath", "transform.intervalJoin.leftLo",
+      "transform.intervalJoin.leftHi", "transform.intervalJoin.rightLo",
+      "transform.intervalJoin.rightHi", "transform.intervalJoin.keys",
+      "transform.intervalJoin.bandWidth",
+      "transform.components.srcColumn", "transform.components.dstColumn",
+      "transform.components.maxIters",
+      "transform.triangles.srcColumn", "transform.triangles.dstColumn",
+      "transform.reachable.srcColumn", "transform.reachable.dstColumn",
+      "transform.reachable.rootsPath", "transform.reachable.rootColumn",
+      "transform.reachable.maxDepth",
+      "transform.bitemporal.keyColumn", "transform.bitemporal.validTsColumn",
+      "transform.bitemporal.txTsColumn", "transform.bitemporal.opColumn",
+      "transform.bitemporal.upsertOp", "transform.bitemporal.deleteOp",
+      "transform.bitemporal.valueColumns", "transform.bitemporal.validAt",
+      "transform.bitemporal.txAt", "transform.bitemporal.tieBreak",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
@@ -1371,6 +1501,91 @@ object PipelineConfig {
             sw <- map.getOrElse("transform.seqPack.shardWidth", "100000")
               .toLongOption.toRight("transform.seqPack.shardWidth not a long")
           } yield TransformConfig.SeqPack(id, text, bu, sw)
+        case "winsorize" =>
+          for {
+            value <- map.get("transform.winsorize.valueColumn")
+              .toRight("transform.winsorize.valueColumn required")
+            out <- map.get("transform.winsorize.outColumn")
+              .toRight("transform.winsorize.outColumn required")
+            pct <- map.getOrElse("transform.winsorize.pct", "5")
+              .toIntOption.toRight("transform.winsorize.pct not an int")
+          } yield TransformConfig.WinsorizeStage(
+            list("transform.winsorize.groupColumns"), value, pct, out,
+            map.getOrElse("transform.winsorize.tier", "exact"))
+        case "intervalJoin" =>
+          for {
+            rp <- map.get("transform.intervalJoin.rightPath")
+              .toRight("transform.intervalJoin.rightPath required")
+            lLo <- map.get("transform.intervalJoin.leftLo")
+              .toRight("transform.intervalJoin.leftLo required")
+            lHi <- map.get("transform.intervalJoin.leftHi")
+              .toRight("transform.intervalJoin.leftHi required")
+            rLo <- map.get("transform.intervalJoin.rightLo")
+              .toRight("transform.intervalJoin.rightLo required")
+            rHi <- map.get("transform.intervalJoin.rightHi")
+              .toRight("transform.intervalJoin.rightHi required")
+            bw <- map.getOrElse("transform.intervalJoin.bandWidth", "0")
+              .toDoubleOption.toRight("transform.intervalJoin.bandWidth not a double")
+            keys <- list("transform.intervalJoin.keys").foldRight(
+              Right(Nil): Either[String, List[(String, String)]]) { (p, acc) =>
+              acc.flatMap { rest =>
+                p.split("=") match {
+                  case Array(a, b) if a.trim.nonEmpty && b.trim.nonEmpty =>
+                    Right((a.trim, b.trim) :: rest)
+                  case _ => Left(
+                    s"transform.intervalJoin.keys entry '$p' is not left=right")
+                }
+              }
+            }
+          } yield TransformConfig.IntervalJoinStage(rp, lLo, lHi, rLo, rHi, keys, bw)
+        case "components" =>
+          for {
+            src <- map.get("transform.components.srcColumn")
+              .toRight("transform.components.srcColumn required")
+            dst <- map.get("transform.components.dstColumn")
+              .toRight("transform.components.dstColumn required")
+            mi <- map.getOrElse("transform.components.maxIters", "10")
+              .toIntOption.toRight("transform.components.maxIters not an int")
+          } yield TransformConfig.ComponentsStage(src, dst, mi)
+        case "triangles" =>
+          for {
+            src <- map.get("transform.triangles.srcColumn")
+              .toRight("transform.triangles.srcColumn required")
+            dst <- map.get("transform.triangles.dstColumn")
+              .toRight("transform.triangles.dstColumn required")
+          } yield TransformConfig.TrianglesStage(src, dst)
+        case "reachable" =>
+          for {
+            src <- map.get("transform.reachable.srcColumn")
+              .toRight("transform.reachable.srcColumn required")
+            dst <- map.get("transform.reachable.dstColumn")
+              .toRight("transform.reachable.dstColumn required")
+            rp <- map.get("transform.reachable.rootsPath")
+              .toRight("transform.reachable.rootsPath required")
+            rc <- map.get("transform.reachable.rootColumn")
+              .toRight("transform.reachable.rootColumn required")
+            md <- map.getOrElse("transform.reachable.maxDepth", "3")
+              .toIntOption.toRight("transform.reachable.maxDepth not an int")
+          } yield TransformConfig.ReachableStage(src, dst, rp, rc, md)
+        case "bitemporal" =>
+          for {
+            key <- map.get("transform.bitemporal.keyColumn")
+              .toRight("transform.bitemporal.keyColumn required")
+            vts <- map.get("transform.bitemporal.validTsColumn")
+              .toRight("transform.bitemporal.validTsColumn required")
+            tts <- map.get("transform.bitemporal.txTsColumn")
+              .toRight("transform.bitemporal.txTsColumn required")
+            op <- map.get("transform.bitemporal.opColumn")
+              .toRight("transform.bitemporal.opColumn required")
+            va <- map.get("transform.bitemporal.validAt")
+              .toRight("transform.bitemporal.validAt required")
+            ta <- map.get("transform.bitemporal.txAt")
+              .toRight("transform.bitemporal.txAt required")
+          } yield TransformConfig.BitemporalStage(key, vts, tts, op,
+            map.getOrElse("transform.bitemporal.upsertOp", "upsert"),
+            map.getOrElse("transform.bitemporal.deleteOp", "delete"),
+            list("transform.bitemporal.valueColumns"), va, ta,
+            list("transform.bitemporal.tieBreak"))
         case other => Left(s"unknown transform stage: $other")
       }
       list("transforms").foldRight(

@@ -148,4 +148,65 @@ object Graphs {
                      dstCol: String = "dst"): DataFrame =
     triangleCounts(edges, srcCol, dstCol)
       .agg((coalesce(sum(col("n_triangles")), lit(0L)) / 3).cast("long").as("n_triangles"))
+
+  /** Incremental component maintenance: absorb a batch of NEW edges
+    * into an existing `(id, rep)` labeling without re-running label
+    * propagation over the full graph — the graph-tier sibling of
+    * `Scd2.appendToHistory` / `IncrementalAgg`.
+    *
+    * The trick is contraction: the old labeling already proves every
+    * member of a component reaches its rep, so for merging purposes
+    * each old component collapses to its rep. Map each new edge's
+    * endpoints to their old reps (a new node maps to itself), drop
+    * edges that stay inside one component, and run the SHARED
+    * propagation engine on that contracted graph — whose size is
+    * bounded by the DELTA (≤ 2·|newEdges| vertices), not the corpus.
+    * A |touched-labels|-row relabel map then joins back onto the old
+    * labeling: untouched components pass through byte-identical, and
+    * since an old rep is the min id of its old component, the merged
+    * rep (min over the contracted component of old reps and new node
+    * ids) is exactly the min id of the merged component.
+    *
+    * LAW (property-swept in GraphsSpec): for any edge split E = E₁ ∪
+    * E₂, `appendToComponents(components(E₁), E₂)` equals
+    * `connectedComponents(E)` row-for-row. New nodes appearing only
+    * in `newEdges` gain rows; isolated new nodes cannot exist (edges
+    * define them).
+    */
+  def appendToComponents(labels: DataFrame, newEdges: DataFrame,
+                         idCol: String = "id", repCol: String = "rep",
+                         srcCol: String = "src", dstCol: String = "dst",
+                         maxIters: Int = 10): DataFrame = {
+    val lab = labels.select(col(idCol).as("id"), col(repCol).as("rep"))
+    val e = newEdges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    // endpoints -> old reps; new nodes (no old label) represent themselves
+    val contracted = e
+      .join(lab.select(col("id").as("u"), col("rep").as("__ru")), Seq("u"), "left")
+      .join(lab.select(col("id").as("v"), col("rep").as("__rv")), Seq("v"), "left")
+      .select(coalesce(col("__ru"), col("u")).as("a"),
+        coalesce(col("__rv"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")) // intra-component edges are no-ops
+    val cPairs = contracted.select(
+        least(col("a"), col("b")).as("id_a"), greatest(col("a"), col("b")).as("id_b"))
+      .distinct()
+    val cNodes = contracted.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+    // delta-sized propagation on the contracted graph only
+    val cLabels = graft.pipeline.Dedup.clusterRepresentatives(cNodes, cPairs, "id", maxIters)
+    val relabel = cLabels.select(col("id").as("__t"), col("rep").as("__new_rep"))
+    // untouched components never match the |delta|-row relabel map and
+    // pass through with their old rep; AQE broadcasts the map when small
+    val updated = lab
+      .join(relabel, col("rep") === col("__t"), "left")
+      .select(col("id"), coalesce(col("__new_rep"), col("rep")).as("rep"))
+    // rows for genuinely new nodes (touched ids that had no old label)
+    val fresh = cLabels
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("rep"))
+    updated.unionByName(fresh)
+      .select(col("id").as(idCol), col("rep").as(repCol))
+  }
 }

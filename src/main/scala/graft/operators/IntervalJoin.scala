@@ -71,4 +71,57 @@ object IntervalJoin {
       .withColumn("overlap_hi", least(col(lHi), col(rHi)))
       .drop("__lband", "__rband")
   }
+
+  /** Probe both sides' span distribution and pick the band width:
+    * `median span × slack`. Rationale: at w ≈ median, a typical
+    * interval registers in ~2 bands (replication stays O(N)), while
+    * smaller w multiplies replicas and larger w widens the per-band
+    * compare set; the measured sf0.1 sweep (docs/BENCH_LOCAL.md:
+    * 16d 3.89 s / 32d 3.06 s / 64d 3.11 s on median span ≈ 26d)
+    * puts the optimum at median-plus-slack, which `slack = 1.25`
+    * reproduces. The probe is ONE two-column aggregate per call
+    * (approx median + max), the same measure-then-route cost as
+    * `hammingTopKAuto`. Returns (width, max span); width 1.0 when no
+    * non-degenerate interval exists (the join is then empty anyway).
+    */
+  def pickBandWidth(left: DataFrame, right: DataFrame,
+                    lLo: String, lHi: String, rLo: String, rHi: String,
+                    slack: Double = 1.25): (Double, Double) = {
+    require(slack > 0, "slack must be positive")
+    val spans = left
+      .select((col(lHi) - col(lLo)).cast("double").as("__s"))
+      .unionByName(right.select((col(rHi) - col(rLo)).cast("double").as("__s")))
+      .filter(col("__s") > 0)
+    val row = spans.agg(
+      percentile_approx(col("__s"), lit(0.5), lit(10000)).as("med"),
+      max(col("__s")).as("mx")).head()
+    if (row.isNullAt(0)) (1.0, 0.0)
+    else (math.max(row.getDouble(0) * slack, java.lang.Double.MIN_NORMAL),
+      row.getDouble(1))
+  }
+
+  /** [[overlapJoin]] with the band width picked by [[pickBandWidth]],
+    * and the long-interval risk ENFORCED instead of documented: if the
+    * longest span would replicate into more than `maxBandsPerInterval`
+    * bands at the picked width (the open-ended-validity failure mode —
+    * one `hi = +∞` row exploding into millions of band replicas), the
+    * call aborts with the clamp advice before any shuffle happens.
+    * Clamp open-ended intervals to the query horizon first
+    * (`least(hi, horizon)`, as [[Scd2]] does) or pass an explicit
+    * width to [[overlapJoin]].
+    */
+  def overlapJoinAuto(left: DataFrame, right: DataFrame,
+                      lLo: String, lHi: String, rLo: String, rHi: String,
+                      keys: Seq[(String, String)] = Nil,
+                      slack: Double = 1.25,
+                      maxBandsPerInterval: Long = 4096): DataFrame = {
+    val (w, maxSpan) = pickBandWidth(left, right, lLo, lHi, rLo, rHi, slack)
+    val worst = math.ceil(maxSpan / w).toLong + 1
+    require(worst <= maxBandsPerInterval,
+      s"longest interval (span $maxSpan) would replicate into $worst bands at " +
+        s"the picked width $w (> $maxBandsPerInterval): clamp open-ended " +
+        "intervals to the query horizon (least(hi, horizon)) before the " +
+        "join, or pass an explicit bandWidth to overlapJoin")
+    overlapJoin(left, right, lLo, lHi, rLo, rHi, w, keys)
+  }
 }

@@ -747,6 +747,10 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, simhashCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3]: 4 exact 16-bit bands pigeonhole " +
+        s"distances <= 3 only (got $maxHamming); use " +
+        s"Multimodal.phashNearDup for radii up to 15")
     val chunkCols = (0 until 4).map(c =>
       shiftright(col(simhashCol), c * 16).bitwiseAND(lit(0xFFFFL)))
     val chunks = df.select(col(idCol).as("id"), col(simhashCol).as("sig"),

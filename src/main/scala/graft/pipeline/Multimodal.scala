@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -226,6 +226,170 @@ object ImageIoDecoder extends MediaDecoder {
   }
 }
 
+/** Real pure-JVM audio codec over the JDK's `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM readers ship with the JDK — no native libraries):
+  * the proof that the [[MediaDecoder]] registry is media-GENERIC, not
+  * an image abstraction with one implementation. The generic meta
+  * tuple maps naturally: width → sample rate, height → channel count,
+  * n_frames → sample frames. Stateless object, trivially
+  * Serializable, same as [[ImageIoDecoder]].
+  */
+object WavDecoder extends MediaDecoder {
+  import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+  import java.io.ByteArrayInputStream
+
+  private def open(bytes: Array[Byte]): AudioInputStream =
+    AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+
+  /** (byte_len, sample_rate, channels, n_frames, first_byte) — header
+    * read only, no sample decode: the 100-TB metadata-pass cost
+    * profile, like [[ImageIoDecoder.decodeMeta]].
+    */
+  def decodeMeta(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val first = if (bytes.isEmpty) 0L else (bytes(0) & 0xFF).toLong
+    val s = open(bytes)
+    try {
+      val f = s.getFormat
+      (bytes.length.toLong, f.getSampleRate.toLong, f.getChannels.toLong,
+        s.getFrameLength, first)
+    } finally s.close()
+  }
+
+  /** First-channel PCM samples in [-1, 1], capped at `maxFrames`
+    * (8- and 16-bit PCM — what the JDK WAV reader emits).
+    */
+  private def samples(bytes: Array[Byte], maxFrames: Int = 1 << 20): Array[Double] = {
+    val s = open(bytes)
+    try {
+      val f = s.getFormat
+      val bits = f.getSampleSizeInBits
+      require(bits == 8 || bits == 16, s"unsupported PCM depth: $bits")
+      val frameSize = f.getFrameSize
+      val n = math.min(if (s.getFrameLength < 0) maxFrames.toLong
+        else s.getFrameLength, maxFrames.toLong).toInt
+      val buf = new Array[Byte](n * frameSize)
+      var off = 0
+      var r = 0
+      while (off < buf.length && r >= 0) {
+        r = s.read(buf, off, buf.length - off)
+        if (r > 0) off += r
+      }
+      val frames = off / frameSize
+      val out = new Array[Double](frames)
+      var i = 0
+      while (i < frames) {
+        val base = i * frameSize
+        out(i) =
+          if (bits == 16) {
+            val lo = buf(base) & 0xFF
+            val hi = buf(base + 1).toInt
+            ((hi << 8) | lo).toShort / 32768.0
+          } else ((buf(base) & 0xFF) - 128) / 128.0
+        i += 1
+      }
+      out
+    } finally s.close()
+  }
+
+  val featureDim = 16
+
+  /** Per-segment RMS energy over 16 equal time slices of the first
+    * channel — the deterministic classical-DSP stand-in for a learned
+    * audio embedding (the analog of the image tier's luminance grid).
+    */
+  def features(bytes: Array[Byte]): Array[Double] = {
+    val xs = samples(bytes)
+    val out = new Array[Double](featureDim)
+    if (xs.isEmpty) return out
+    var seg = 0
+    while (seg < featureDim) {
+      val a = seg * xs.length / featureDim
+      val b = math.max(a + 1, (seg + 1) * xs.length / featureDim)
+      var sum = 0.0
+      var i = a
+      while (i < math.min(b, xs.length)) { sum += xs(i) * xs(i); i += 1 }
+      out(seg) = math.sqrt(sum / math.max(1, math.min(b, xs.length) - a))
+      seg += 1
+    }
+    out
+  }
+
+  /** Energy-delta fingerprint: 65 segment energies, bit i set when
+    * segment i+1 is louder than segment i — amplitude-scale-invariant
+    * (both sides of each compare scale together), so re-normalized
+    * copies of the same clip hash bit-close while different audio
+    * flips ~half the bits. The audio analog of the image DCT pHash.
+    */
+  override def perceptualHash(bytes: Array[Byte]): Long = {
+    val xs = samples(bytes)
+    if (xs.isEmpty) return 0L
+    val e = new Array[Double](65)
+    var seg = 0
+    while (seg < 65) {
+      val a = seg * xs.length / 65
+      val b = math.max(a + 1, (seg + 1) * xs.length / 65)
+      var sum = 0.0
+      var i = a
+      while (i < math.min(b, xs.length)) { sum += xs(i) * xs(i); i += 1 }
+      e(seg) = sum / math.max(1, math.min(b, xs.length) - a)
+      seg += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 64) { if (e(k + 1) > e(k)) h |= 1L << k; k += 1 }
+    h
+  }
+
+  /** Truncate the clip to the frames that fit `maxBytes` (canonical
+    * 44-byte PCM header + frames), preserving format — the audio
+    * analog of image downscaling. Best-effort at the floor of one
+    * frame.
+    */
+  def resize(bytes: Array[Byte], maxBytes: Int): Array[Byte] = {
+    if (bytes.length <= maxBytes) return bytes
+    val s = open(bytes)
+    try {
+      val f = s.getFormat
+      val framesAllowed = math.max(1L, (maxBytes - 44L) / f.getFrameSize)
+      val limited = new AudioInputStream(s, f, math.min(framesAllowed,
+        if (s.getFrameLength < 0) framesAllowed else s.getFrameLength))
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(limited, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    } finally s.close()
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: `nFrames` samples of an
+    * integer triangle wave with `period` frames, canonical 44-byte
+    * RIFF header — byte-exact on any JVM, which is what lets a gate
+    * query oracle-check the real encode → decode round trip with
+    * plain arithmetic (byte_len = 44 + 2·nFrames).
+    */
+  def synthesize(nFrames: Int, sampleRate: Int = 8000, period: Int = 32): Array[Byte] = {
+    require(nFrames > 0 && sampleRate > 0 && period > 1, "bad synth parameters")
+    val dataLen = nFrames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      val ph = i % period
+      val tri = // integer triangle in [-8000, 8000]
+        if (ph < period / 2) -8000 + (32000 * ph) / period
+        else 8000 - (32000 * (ph - period / 2)) / period
+      bb.putShort(tri.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+}
+
 /** Name -> decoder registry for config-driven pipelines ("decode with
   * codec X" as data, not code). Driver-side: resolve the name HERE and
   * pass the instance into the transform — the closure carries the
@@ -234,7 +398,7 @@ object ImageIoDecoder extends MediaDecoder {
 object MediaDecoders {
   private val registry =
     scala.collection.concurrent.TrieMap[String, MediaDecoder](
-      "stub" -> StubDecoder, "imageio" -> ImageIoDecoder)
+      "stub" -> StubDecoder, "imageio" -> ImageIoDecoder, "wav" -> WavDecoder)
 
   def register(name: String, decoder: MediaDecoder): Unit = {
     require(name.nonEmpty, "decoder name must be non-empty")
@@ -278,6 +442,31 @@ object Multimodal {
     */
   def withPayload(df: DataFrame, textCol: String, payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol, col(textCol).cast(BinaryType))
+
+  /** Attach a deterministic synthesized WAV payload
+    * ([[WavDecoder.synthesize]]: 16-bit mono PCM, byte-exact on any
+    * JVM) whose frame count comes from an integer column — the audio
+    * fixture generator for gate queries (the tables carry no real
+    * media; production input would already be binary). Same batched
+    * mapPartitions shape as the decode passes; NULL frame counts
+    * yield NULL payloads.
+    */
+  def withWavPayload(df: DataFrame, nFramesCol: String,
+                     payloadCol: String = "payload",
+                     sampleRate: Int = 8000): DataFrame = {
+    val schema = df.schema
+    val nOrd = schema.fieldIndex(nFramesCol)
+    val outSchema = StructType(schema.fields :+
+      StructField(payloadCol, BinaryType, nullable = true))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload =
+          if (row.isNullAt(nOrd)) null
+          else WavDecoder.synthesize(row.getAs[Number](nOrd).intValue, sampleRate)
+        Row.fromSeq(row.toSeq :+ payload)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Decode payloads to a metadata struct via batched mapPartitions.
     * Per-partition setup (a real decoder handle, arena buffers) happens
@@ -380,38 +569,65 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Media near-dup pairs from a `(id, phash)` frame: all pairs with
-    * Hamming distance ≤ `maxDist` (≤ 15), via the pigeonhole band
-    * join — the 64-bit hash splits into 16-bit quarters, and two
-    * hashes within distance 15 MUST agree on at least one quarter, so
-    * candidates form on 4 equi-join keys (band_idx, band_value)
-    * instead of an all-pairs product; the exact `bit_count(xor)`
-    * predicate then verifies. Pair dedup keeps the FIRST agreeing
-    * band only (no distinct pass — same trick as the interval join's
-    * canonical band). Shuffle carries (band, 16-bit key, id, hash):
-    * fixed width, never a payload.
+  /** Media near-dup pairs from a `(id, phash)` frame: ALL pairs with
+    * Hamming distance ≤ `maxDist` (≤ 15), via a pigeonhole band join
+    * sized to the radius. The pigeonhole rule: splitting 64 bits into
+    * B bands, a pair within distance d has SOME band with at most
+    * ⌊d/B⌋ differing bits — so B bands with exact band-key equality
+    * cover only d ≤ B−1, and covering larger d needs either more
+    * bands or within-band probing. Routing (all recall-lossless):
+    *
+    *  - d ≤ 3: 4 bands × 16-bit keys, exact match (classic SimHash
+    *    banding — most selective keys).
+    *  - 4 ≤ d ≤ 7: 8 bands × 8-bit keys, exact match.
+    *  - 8 ≤ d ≤ 15: 8 bands × 8-bit keys, radius-1 key probing
+    *    (multi-index hashing): one side additionally emits the 8
+    *    single-bit flips of each band key, so a pair whose best band
+    *    differs by one bit still collides; ⌊15/8⌋ = 1 makes this
+    *    complete for the whole [0, 15] range.
+    *
+    * Candidates thus always form on equi-join keys — never an
+    * all-pairs product; the exact `bit_count(xor)` predicate
+    * verifies. Pair dedup keeps the FIRST band within radius only
+    * (no distinct pass — same trick as the interval join's canonical
+    * band). Shuffle carries (band, band key, id, hash): fixed width,
+    * never a payload; the probing arm's fan-out is a fixed 8×9 = 72
+    * rows per input, independent of data size.
     */
   def phashNearDup(hashes: DataFrame, idCol: String, hashCol: String = "phash",
                    maxDist: Int = 8): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
-      "maxDist must be in [0, 15]: 4 bands pigeonhole distances <= 15 only")
-    def banded(side: String) = hashes
-      .filter(col(hashCol).isNotNull)
-      .select(col(idCol).as(s"${side}_id"), col(hashCol).as(s"${side}_h"))
-      .withColumn("bk", explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band"),
-          shiftrightunsigned(col(s"${side}_h"), k * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("band_key"))): _*)))
-      .select(col(s"${side}_id"), col(s"${side}_h"),
-        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val a = banded("a")
-    val b = banded("b")
+      "maxDist must be in [0, 15]: the 8-band radius-1 probe covers <= 15 only")
+    val bands = if (maxDist <= 3) 4 else 8
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val radius = maxDist / bands // 0, or 1 when 8 <= maxDist <= 15
+    def slice(h: Column, k: Int) =
+      shiftrightunsigned(h, k * width).bitwiseAND(lit(mask))
+    def banded(side: String, probe: Boolean) = {
+      val h = col(s"${side}_h")
+      val keys = (0 until bands).flatMap { k =>
+        val exact = struct(lit(k).as("band"), slice(h, k).as("band_key"))
+        if (probe) exact +: (0 until width).map(j =>
+          struct(lit(k).as("band"),
+            slice(h, k).bitwiseXOR(lit(1L << j)).as("band_key")))
+        else Seq(exact)
+      }
+      hashes.filter(col(hashCol).isNotNull)
+        .select(col(idCol).as(s"${side}_id"), col(hashCol).as(s"${side}_h"))
+        .withColumn("bk", explode(array(keys: _*)))
+        .select(col(s"${side}_id"), col(s"${side}_h"),
+          col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    }
+    val a = banded("a", probe = false)
+    val b = banded("b", probe = radius > 0)
     val dist = bit_count(col("a_h").bitwiseXOR(col("b_h")))
-    // first agreeing band: no earlier band index matches
-    val firstBand = (0 until 4).map(k =>
+    // canonical band: no earlier band is already within the probe radius
+    // (each within-radius band yields exactly one joined row — an exact
+    // key hit at band distance 0, or the unique matching flip at 1)
+    val firstBand = (0 until bands).map(k =>
       lit(k) >= col("band") ||
-        shiftrightunsigned(col("a_h"), k * 16).bitwiseAND(lit(0xFFFFL)) =!=
-          shiftrightunsigned(col("b_h"), k * 16).bitwiseAND(lit(0xFFFFL)))
+        bit_count(slice(col("a_h"), k).bitwiseXOR(slice(col("b_h"), k))) > radius)
       .reduce(_ && _)
     a.join(b, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id") && dist <= maxDist && firstBand)

@@ -236,3 +236,31 @@ final class SavepointsManager(
     }
   }
 }
+
+object SavepointsManager {
+  /** The newest savepoint's line set under `dir` (empty when none
+    * exists) — the RESUME entry point: a killed run's completed-file
+    * list, readable without constructing a live manager (whose
+    * `close()` writes a fresh savepoint — exactly what a read-only
+    * loader must never do). Same naming convention as the writer:
+    * zero-padded `savepoint_NNN.txt`, lexicographic max is newest.
+    */
+  def loadLatest(dir: String, hadoopConf: Configuration = new Configuration(),
+                 prefix: String = "savepoint_"): Set[String] = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hadoopConf)
+    if (!fs.exists(dirPath)) return Set.empty
+    val names = fs.listStatus(dirPath).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".txt"))
+    if (names.isEmpty) return Set.empty
+    val in = fs.open(new Path(dirPath, names.max))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n != -1) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString(StandardCharsets.UTF_8.name())
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    } finally in.close()
+  }
+}

@@ -126,12 +126,18 @@ object Compaction {
       val target = new Path(dir, s"part-compacted-$i-${java.util.UUID.randomUUID()}.parquet")
       // marker commits the swap
       val markers = new Path(dir, "_compaction")
-      fs.mkdirs(markers)
+      require(fs.mkdirs(markers) || fs.exists(markers),
+        s"could not create marker dir $markers — aborting before the swap")
       val marker = new Path(markers, s"group_$i.json")
       val body = (target.toString +: group).mkString("\n")
       val out = fs.create(marker, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      fs.rename(part, target)
+      // rename is the commit point: Hadoop FileSystems report failure by
+      // returning false, and deleting the originals after a failed move
+      // would destroy the only copy — abort with originals intact (the
+      // next recover() drops the marker since the target never appeared)
+      require(fs.rename(part, target),
+        s"rename $part -> $target failed — aborting swap, originals kept")
       group.foreach(o => fs.delete(new Path(o), false))
       fs.delete(marker, false)
       fs.delete(staging, true)

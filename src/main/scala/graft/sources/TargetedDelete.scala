@@ -29,16 +29,19 @@ import org.apache.spark.sql.functions._
   * whose every row matches is replaced by an empty-but-schema'd
   * parquet file — the swap protocol stays uniform.
   *
-  * The key list is DRIVER-BOUNDED (it inlines into the pushed filter
-  * and the rewrite predicate): route deletion sets beyond ~100k keys
-  * through an anti-join full copy instead — at that volume you are
-  * rewriting most files anyway.
+  * The targeted path's key list is DRIVER-BOUNDED (it inlines into the
+  * pushed filter and the rewrite predicate); deletion sets beyond that
+  * go through [[deleteByAntiJoin]] — a full anti-join copy (at that
+  * volume you are rewriting most files anyway), with its own
+  * roll-forward swap marker. [[deleteAuto]] counts the keys and routes
+  * automatically, mirroring `Dedup.hammingTopKAuto`.
   */
 object TargetedDelete {
 
   final case class Result(filesRewritten: Int, rowsDeleted: Long, filesUntouched: Int)
 
   private val MarkerDir = "_delete"
+  private val RewriteMarkerDir = "_rewrite"
 
   /** Complete or roll back interrupted swaps; returns markers resolved. */
   def recover(spark: SparkSession, dir: String): Int = {
@@ -77,7 +80,9 @@ object TargetedDelete {
     require(keys.nonEmpty, "empty key list — nothing to delete")
     require(keys.size <= 100000,
       s"${keys.size} keys: beyond the driver-bounded contract — " +
-        "use an anti-join full copy for deletion sets this large")
+        "deleteByAntiJoin (or deleteAuto, which routes on size) handles " +
+        "deletion sets this large without inlining them")
+    recoverRewrite(spark, dir)
     recover(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
@@ -134,11 +139,17 @@ object TargetedDelete {
       val target = new Path(dir,
         s"part-deleted-$i-${java.util.UUID.randomUUID()}.parquet")
       val markers = new Path(dir, MarkerDir)
-      fs.mkdirs(markers)
+      require(fs.mkdirs(markers) || fs.exists(markers),
+        s"could not create marker dir $markers — aborting before the swap")
       val marker = new Path(markers, s"file_$i.json")
       val out = fs.create(marker, true)
       try out.write(s"$target\n$original".getBytes("UTF-8")) finally out.close()
-      fs.rename(part, target)
+      // rename is the commit point: Hadoop FileSystems report failure by
+      // returning false, and deleting the original after a failed move
+      // would destroy the only copy of its rows — abort with the original
+      // intact (recover() then drops the marker: the target never appeared)
+      require(fs.rename(part, target),
+        s"rename $part -> $target failed — aborting swap, original kept")
       fs.delete(original, false)
       fs.delete(marker, false)
       fs.delete(staging, true)
@@ -151,5 +162,148 @@ object TargetedDelete {
     // can't serve the pre-delete file list — see SwapStore
     if (affected.nonEmpty) spark.catalog.refreshByPath(dir)
     Result(affected.size, deleted, all.size - affected.size)
+  }
+
+  /** Count the key list and route: ≤ `inlineMaxKeys` keys take the
+    * targeted per-file rewrite (pushed `IN` filter, only key-bearing
+    * files touched); anything larger takes the anti-join full copy —
+    * the inline filter would otherwise grow with the key list and at
+    * that volume most files carry a key anyway. Mirrors
+    * `Dedup.hammingTopKAuto`'s measure-then-route shape.
+    */
+  def deleteAuto(spark: SparkSession, dir: String, keyCol: String, keys: Seq[Any],
+                 stats: Option[org.apache.spark.sql.DataFrame] = None,
+                 inlineMaxKeys: Int = 100000): Result =
+    if (keys.size <= inlineMaxKeys) delete(spark, dir, keyCol, keys, stats)
+    else deleteByAntiJoin(spark, dir, keyCol, keys)
+
+  /** Full-copy deletion for oversized key sets: the surviving rows are
+    * an anti-join of the table against a distributed keys frame (the
+    * keys NEVER inline into a predicate, so the list can be
+    * arbitrarily large), staged, row-count-verified
+    * (staged = total − semi-join matches), then swapped in under a
+    * single roll-forward marker in `_rewrite/`: because the marker is
+    * written only AFTER the staged copy is verified complete, recovery
+    * always completes the swap (move remaining staged parts in, drop
+    * the originals) — it never has to choose a direction. Rows whose
+    * key is NULL survive, matching [[delete]]'s keep-nulls contract
+    * (a null key never equi-matches the anti-join).
+    */
+  def deleteByAntiJoin(spark: SparkSession, dir: String, keyCol: String,
+                       keys: Seq[Any]): Result = {
+    require(keys.nonEmpty, "empty key list — nothing to delete")
+    recoverRewrite(spark, dir)
+    recover(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val all = ParquetSource.listParquetFiles(dir, conf)
+    if (all.isEmpty) return Result(0, 0L, 0)
+    val table = spark.read.parquet(all: _*)
+    val keyType = table.schema(keyCol).dataType
+    val keysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        keys.map(k => org.apache.spark.sql.Row(coerceKey(k, keyType))),
+        math.max(1, keys.size / 500000)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol, keyType)))).distinct()
+    val total = table.count()
+    val matched = table.join(keysDf, Seq(keyCol), "left_semi").count()
+    val staging = new Path(dir, "_rewrite_staging")
+    table.join(keysDf, Seq(keyCol), "left_anti")
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString).count()
+    require(staged == total - matched,
+      s"anti-join rewrite row mismatch: $staged != ${total - matched} — " +
+        "aborting, originals kept")
+    val markers = new Path(dir, RewriteMarkerDir)
+    require(fs.mkdirs(markers) || fs.exists(markers),
+      s"could not create marker dir $markers — aborting before the swap")
+    val marker = new Path(markers, "rewrite.json")
+    val out = fs.create(marker, true)
+    try out.write((staging.toString +: all).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    completeRewrite(fs, dirPath, staging, all)
+    require(fs.delete(marker, false) || !fs.exists(marker),
+      s"could not clear rewrite marker $marker")
+    if (fs.exists(markers) && fs.listStatus(markers).isEmpty) fs.delete(markers, true)
+    spark.catalog.refreshByPath(dir)
+    Result(all.size, total - staged, 0)
+  }
+
+  /** Complete an interrupted [[deleteByAntiJoin]] swap; returns markers
+    * resolved. Roll-forward only: a marker exists ⇒ the staged copy was
+    * verified complete ⇒ finish the moves and drop the originals. Run
+    * automatically by both delete paths.
+    */
+  def recoverRewrite(spark: SparkSession, dir: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val markers = new Path(dir, RewriteMarkerDir)
+    val fs = markers.getFileSystem(conf)
+    if (!fs.exists(markers)) return 0
+    val resolved = fs.listStatus(markers).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+      val lines = body.split("\n").filter(_.nonEmpty)
+      // a partially-flushed marker (< 2 lines) means the swap never
+      // started — originals intact and authoritative, drop the debris
+      if (lines.length >= 2)
+        completeRewrite(fs, new Path(dir), new Path(lines.head), lines.tail.toSeq)
+      fs.delete(st.getPath, false)
+      1
+    }.sum
+    if (fs.listStatus(markers).isEmpty) fs.delete(markers, true)
+    resolved
+  }
+
+  /** The idempotent swap tail shared by the live path and recovery:
+    * move every staged parquet part into the table dir (skipping any
+    * already moved — part names are job-UUID-unique so they never
+    * collide with originals), then delete the original files, then the
+    * staging dir. Every rename is success-checked before any original
+    * is touched.
+    */
+  private def completeRewrite(fs: org.apache.hadoop.fs.FileSystem, dirPath: Path,
+                              staging: Path, originals: Seq[String]): Unit = {
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { part =>
+          val target = new Path(dirPath, part.getName)
+          if (!fs.exists(target))
+            require(fs.rename(part, target),
+              s"rename $part -> $target failed — aborting swap, originals kept")
+        }
+    }
+    originals.foreach { o =>
+      val p = new Path(o)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
+  /** Map a driver-side key to the table column's external row type —
+    * integral/fractional widening plus strings; anything else passes
+    * through and must already match.
+    */
+  private def coerceKey(k: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (k, dt) match {
+      case (null, _) => null
+      case (n: Number, LongType) => n.longValue
+      case (n: Number, IntegerType) => n.intValue
+      case (n: Number, ShortType) => n.shortValue
+      case (n: Number, ByteType) => n.byteValue
+      case (n: Number, DoubleType) => n.doubleValue
+      case (n: Number, FloatType) => n.floatValue
+      case (s, StringType) => s.toString
+      case _ => k
+    }
   }
 }

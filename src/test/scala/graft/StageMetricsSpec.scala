@@ -44,6 +44,46 @@ class StageMetricsSpec extends AnyFunSuite {
     assert(counts.last < counts.head)
   }
 
+  test("partial-probe stages are rejected; full-materialize stages are not") {
+    val base = Files.createTempDirectory("graft-sm4")
+    def c(transforms: String, extra: String) = cfg(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/embeddings.parquet
+         |target.type: parquet
+         |target.path: ${base.resolve(transforms)}
+         |target.mode: overwrite
+         |transforms: $transforms
+         |$extra
+         |""".stripMargin)
+    // semanticDedup's limit(1) dim probe would register truncated counts
+    // for upstream stages -> rejected eagerly, before any job runs
+    val bad = c("semanticDedup",
+      """transform.semanticDedup.idColumn: doc_id
+        |transform.semanticDedup.vecColumn: embedding
+        |transform.semanticDedup.numPlanes: 16
+        |transform.semanticDedup.bandBits: 8
+        |transform.semanticDedup.threshold: 0.95
+        |transform.semanticDedup.seed: 7""".stripMargin)
+    val e = intercept[IllegalArgumentException](Pipeline.runWithStageMetrics(spark, bad))
+    assert(e.getMessage.contains("partial action"))
+  }
+
+  test("a configured validation block runs instead of being silently skipped") {
+    val out = Files.createTempDirectory("graft-sm5").resolve("out").toString
+    val c = cfg(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/nation.parquet
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |validation.primaryKey: n_nationkey
+         |""".stripMargin)
+    val (result, metrics) = Pipeline.runWithStageMetrics(spark, c)
+    assert(metrics.map(_._1) == Seq("source"))
+    val v = result.validation.getOrElse(fail("validation block was skipped"))
+    assert(v.isEmpty) // a faithful copy diffs clean
+  }
+
   test("resumable configs are rejected eagerly") {
     val c = cfg(
       s"""source.type: parquet

@@ -1,0 +1,201 @@
+package graft.config
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Pipeline, TestSpark}
+
+/** Declarative stages for the round-9 operator tier: winsorize,
+  * intervalJoin, graph ops (components / triangles / reachable) and
+  * bitemporal snapshots — the YAML surface is the engine's user API
+  * (the reference's users drive EVERYTHING through config), so every
+  * operator must be reachable without Scala.
+  */
+class Round9StagesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def parse(text: String): PipelineConfig =
+    PipelineConfig.parse(text).fold(e => fail(s"parse failed: $e"), identity)
+
+  private def cfgFor(extra: String): PipelineConfig = {
+    val out = Files.createTempDirectory("graft-r9s").resolve("out").toString
+    parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/lineitem.parquet
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |$extra""".stripMargin)
+  }
+
+  test("winsorize stage: exact and approx tiers from config") {
+    val df = ((1 to 50).map(v => ("a", v.toLong)) ++ Seq(("b", 9L))).toDF("g", "v")
+    val exact = cfgFor(
+      """transforms: winsorize
+        |transform.winsorize.groupColumns: g
+        |transform.winsorize.valueColumn: v
+        |transform.winsorize.pct: 9
+        |transform.winsorize.outColumn: w
+        |""".stripMargin)
+    val got = Pipeline.transform(df, exact)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // group a: n=50, pct=9 -> k=ceil(4.5)=5 -> bounds [5, 46]
+    // (pct picked so n*pct/100 is non-integral: the inclusive KLL rank and
+    // the exact ceil-rank then select the same element in the approx tier)
+    assert(got(("a", 1L)) == 5L && got(("a", 50L)) == 46L && got(("a", 20L)) == 20L)
+    assert(got(("b", 9L)) == 9L)
+    val approx = cfgFor(
+      """transforms: winsorize
+        |transform.winsorize.groupColumns: g
+        |transform.winsorize.valueColumn: v
+        |transform.winsorize.pct: 9
+        |transform.winsorize.outColumn: w
+        |transform.winsorize.tier: approx
+        |""".stripMargin)
+    assert(approx.transforms.head
+      .asInstanceOf[TransformConfig.WinsorizeStage].tier == "approx")
+    // 50-value groups fit a k=200 sketch uncompacted: tiers agree here
+    val a = Pipeline.transform(df, approx)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == got)
+    // bad tier fails at parse time, not mid-run
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |target.mode: overwrite
+         |transforms: winsorize
+         |transform.winsorize.groupColumns: g
+         |transform.winsorize.valueColumn: v
+         |transform.winsorize.outColumn: w
+         |transform.winsorize.tier: sketchy
+         |""".stripMargin).isLeft)
+  }
+
+  test("intervalJoin stage: auto width, equi-keys, overlap columns") {
+    val rightDir = Files.createTempDirectory("graft-r9s-ij").resolve("r").toString
+    Seq((10L, 1L, 0L, 10L), (11L, 1L, 50L, 60L), (12L, 2L, 0L, 10L))
+      .toDF("b_id", "b_k", "b_lo", "b_hi").write.parquet(rightDir)
+    val left = Seq((1L, 1L, 5L, 15L), (2L, 1L, 40L, 45L), (3L, 2L, 8L, 9L))
+      .toDF("a_id", "a_k", "a_lo", "a_hi")
+    val c = cfgFor(
+      s"""transforms: intervalJoin
+         |transform.intervalJoin.rightPath: $rightDir
+         |transform.intervalJoin.leftLo: a_lo
+         |transform.intervalJoin.leftHi: a_hi
+         |transform.intervalJoin.rightLo: b_lo
+         |transform.intervalJoin.rightHi: b_hi
+         |transform.intervalJoin.keys: a_k=b_k
+         |""".stripMargin)
+    val got = Pipeline.transform(left, c)
+      .select("a_id", "b_id", "overlap_lo", "overlap_hi")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // (1,10): [5,15)x[0,10) -> [5,10); (3,12): [8,9)x[0,10); key 1 vs 12 never
+    assert(got == Set((1L, 10L, 5L, 10L), (3L, 12L, 8L, 9L)))
+    // an explicit width gives the same pairs
+    val fixed = cfgFor(
+      s"""transforms: intervalJoin
+         |transform.intervalJoin.rightPath: $rightDir
+         |transform.intervalJoin.leftLo: a_lo
+         |transform.intervalJoin.leftHi: a_hi
+         |transform.intervalJoin.rightLo: b_lo
+         |transform.intervalJoin.rightHi: b_hi
+         |transform.intervalJoin.keys: a_k=b_k
+         |transform.intervalJoin.bandWidth: 7
+         |""".stripMargin)
+    assert(Pipeline.transform(left, fixed)
+      .select("a_id", "b_id", "overlap_lo", "overlap_hi")
+      .as[(Long, Long, Long, Long)].collect().toSet == got)
+    // malformed keys entry fails at parse time
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |target.mode: overwrite
+         |transforms: intervalJoin
+         |transform.intervalJoin.rightPath: $rightDir
+         |transform.intervalJoin.leftLo: a_lo
+         |transform.intervalJoin.leftHi: a_hi
+         |transform.intervalJoin.rightLo: b_lo
+         |transform.intervalJoin.rightHi: b_hi
+         |transform.intervalJoin.keys: a_k
+         |""".stripMargin).isLeft)
+  }
+
+  test("graph stages: components, triangles, reachable from one edge config") {
+    // two components: {1,2,3} (a triangle) and {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)).toDF("s", "d")
+    val comp = Pipeline.transform(edges, cfgFor(
+      """transforms: components
+        |transform.components.srcColumn: s
+        |transform.components.dstColumn: d
+        |""".stripMargin))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val tri = Pipeline.transform(edges, cfgFor(
+      """transforms: triangles
+        |transform.triangles.srcColumn: s
+        |transform.triangles.dstColumn: d
+        |""".stripMargin))
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val rootsDir = Files.createTempDirectory("graft-r9s-bfs").resolve("r").toString
+    Seq(Tuple1(1L)).toDF("root").write.parquet(rootsDir)
+    val reach = Pipeline.transform(edges, cfgFor(
+      s"""transforms: reachable
+         |transform.reachable.srcColumn: s
+         |transform.reachable.dstColumn: d
+         |transform.reachable.rootsPath: $rootsDir
+         |transform.reachable.rootColumn: root
+         |transform.reachable.maxDepth: 1
+         |""".stripMargin))
+      .select("vertex", "depth").as[(Long, Int)].collect().toSet
+    assert(reach == Set((1L, 0), (2L, 1), (3L, 1)))
+  }
+
+  test("bitemporal stage: late corrections visible only past their tx time") {
+    // key k: value 1 valid from t=10 (asserted t=10); correction to 5
+    // asserted at t=30 for the same valid time; delete valid t=40 asserted 40
+    val log = Seq(
+      ("k", 10L, 10L, "upsert", 1L),
+      ("k", 10L, 30L, "upsert", 5L),
+      ("k", 40L, 40L, "delete", 0L)
+    ).toDF("key", "valid_ts", "tx_ts", "op", "value")
+    def snap(validAt: Long, txAt: Long) = Pipeline.transform(log, cfgFor(
+      s"""transforms: bitemporal
+         |transform.bitemporal.keyColumn: key
+         |transform.bitemporal.validTsColumn: valid_ts
+         |transform.bitemporal.txTsColumn: tx_ts
+         |transform.bitemporal.opColumn: op
+         |transform.bitemporal.valueColumns: value
+         |transform.bitemporal.validAt: $validAt
+         |transform.bitemporal.txAt: $txAt
+         |""".stripMargin))
+      .select("key", "value").as[(String, Long)].collect().toSet
+    assert(snap(20L, 20L) == Set(("k", 1L))) // before the correction was known
+    assert(snap(20L, 35L) == Set(("k", 5L))) // correction asserted by tx=35
+    assert(snap(50L, 50L) == Set.empty)      // deleted by valid 40
+  }
+
+  test("terminal graph stages write through the full pipeline run") {
+    val edgesDir = Files.createTempDirectory("graft-r9s-e").resolve("edges").toString
+    Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("s", "d").write.parquet(edgesDir)
+    val out = Files.createTempDirectory("graft-r9s-o").resolve("out").toString
+    val c = parse(
+      s"""source.type: parquet
+         |source.path: $edgesDir
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: components
+         |transform.components.srcColumn: s
+         |transform.components.dstColumn: d
+         |""".stripMargin)
+    Pipeline.run(spark, c)
+    val got = spark.read.parquet(out).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+}

@@ -105,4 +105,48 @@ class GraphsSpec extends AnyFunSuite {
     val plan = Graphs.triangleCounts(edges).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("appendToComponents: merge, bridge, new-node, and no-op cases") {
+    // old graph: {1,2}, {5,6}, isolated 9
+    val oldEdges = Seq((1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 5L, 6L, 9L).toDF("id")
+    val labels = Graphs.connectedComponents(nodes, oldEdges, "id")
+    // delta: bridge 2-5 (merges two components), 6-100 (new node joins),
+    // 200-201 (brand-new component), 1-2 again (pure no-op)
+    val delta = Seq((2L, 5L), (6L, 100L), (200L, 201L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val got = Graphs.appendToComponents(labels, delta)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 100L -> 1L,
+      9L -> 9L, 200L -> 200L, 201L -> 200L))
+  }
+
+  test("LAW: append over any edge split equals the full rebuild (property sweep)") {
+    val rng = new scala.util.Random(42L)
+    for (trial <- 1 to 4) {
+      val n = 60
+      val edges = (1 to 120).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val (e1, e2) = edges.partition(_ => rng.nextBoolean())
+      def nodesOf(es: Seq[(Long, Long)]) =
+        es.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+      val full = Graphs.connectedComponents(
+          nodesOf(edges), edges.toDF("src", "dst"), "id")
+        .as[(Long, Long)].collect().toMap
+      val base = Graphs.connectedComponents(
+        nodesOf(e1), e1.toDF("src", "dst"), "id")
+      val incr = Graphs.appendToComponents(base, e2.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(incr == full, s"trial $trial: incremental != full rebuild")
+    }
+  }
+
+  test("appendToComponents with a new-node rep smaller than every old rep") {
+    // component {10, 11} rep 10; new edge 0-11: merged rep must become 0
+    val labels = Seq((10L, 10L), (11L, 10L)).toDF("id", "rep")
+    val got = Graphs.appendToComponents(labels, Seq((0L, 11L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 10L -> 0L, 11L -> 0L))
+  }
 }

@@ -78,4 +78,43 @@ class IntervalJoinSpec extends AnyFunSuite {
       col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")).select("a_id", "b_id")
     assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
   }
+
+  test("auto width tracks the MEDIAN span on skewed fixtures, not the mean") {
+    val rng = new scala.util.Random(31L)
+    // 400 short intervals (span ~8..12) + 8 long outliers (span ~1000):
+    // the mean span is ~30, the median ~10 — a mean-based width would
+    // overshoot 3x and fatten every band's compare set
+    def side(p: String) = ((1 to 400).map { i =>
+      val lo = rng.nextInt(5000).toLong
+      (i.toLong, lo, lo + 8 + rng.nextInt(5))
+    } ++ (1 to 8).map { i =>
+      val lo = rng.nextInt(4000).toLong
+      ((400 + i).toLong, lo, lo + 950 + rng.nextInt(100))
+    }).toDF(s"${p}_id", s"${p}_lo", s"${p}_hi")
+    val a = side("a")
+    val b = side("b")
+    val (w, maxSpan) = IntervalJoin.pickBandWidth(a, b, "a_lo", "a_hi", "b_lo", "b_hi")
+    assert(w >= 8 * 1.25 && w <= 12 * 1.25, s"picked $w, expected ~median*1.25")
+    assert(maxSpan >= 950 && maxSpan <= 1050)
+    // and the auto join equals a fixed-width call pair-for-pair
+    val auto = IntervalJoin.overlapJoinAuto(a, b, "a_lo", "a_hi", "b_lo", "b_hi")
+      .select("a_id", "b_id")
+    val fixed = IntervalJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 25.0)
+      .select("a_id", "b_id")
+    assert(auto.exceptAll(fixed).isEmpty && fixed.exceptAll(auto).isEmpty)
+  }
+
+  test("auto join aborts before shuffling when an open-ended interval would explode") {
+    // one effectively-open-ended row: span 10^9 against a ~10-wide median
+    val a = ((1L, 0L, 10L) :: (2L, 5L, 1000000000L) :: Nil).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((1L, 3L, 12L)).toDF("b_id", "b_lo", "b_hi")
+    val e = intercept[IllegalArgumentException](
+      IntervalJoin.overlapJoinAuto(a, b, "a_lo", "a_hi", "b_lo", "b_hi"))
+    assert(e.getMessage.contains("clamp open-ended intervals"))
+    // clamping to the horizon makes the same call fine
+    val clamped = a.withColumn("a_hi", least(col("a_hi"), lit(100L)))
+    val got = IntervalJoin.overlapJoinAuto(clamped, b, "a_lo", "a_hi", "b_lo", "b_hi")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L)))
+  }
 }

@@ -36,6 +36,46 @@ class WinsorizeSpec extends AnyFunSuite {
     }
   }
 
+  test("bounds join flips broadcast -> shuffle past the group-count threshold") {
+    val df = (1 to 200).map(i => (s"g$i", i.toLong)).toDF("g", "v")
+    def joinNodes(out: org.apache.spark.sql.DataFrame): String =
+      out.queryExecution.executedPlan.toString
+    // auto-broadcast off: any BroadcastHashJoin below can only come from
+    // the explicit hint, so its presence/absence proves the route
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 200 groups under a roomy threshold: bounds hinted -> broadcast
+      val small = Winsorize.clipByRank(df, Seq("g"), "v", 10, "w")
+      assert(joinNodes(small).contains("BroadcastHashJoin"))
+      // threshold forced below the group count: no hint -> shuffled join
+      val big = Winsorize.clipByRank(df, Seq("g"), "v", 10, "w", broadcastMaxGroups = 50)
+      val plan = joinNodes(big)
+      assert(!plan.contains("BroadcastHashJoin"), s"forced broadcast survived:\n$plan")
+      // both plans produce identical rows
+      assert(small.collect().map(_.toSeq).toSet == big.collect().map(_.toSeq).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("KLL approx tier agrees with the exact tier while sketches are uncompacted") {
+    // group sizes chosen so n*pct/100 is never integral: the inclusive
+    // KLL quantile and the exact ceil-rank then pick the same element
+    val rng = new scala.util.Random(11L)
+    val rows = (for (g <- 0 until 4; _ <- 0 until 97)
+      yield (s"g$g", rng.nextInt(1000).toLong)).toSeq
+    val df = rows.toDF("g", "v")
+    val exact = Winsorize.clipByRank(df, Seq("g"), "v", 10, "w")
+      .groupBy("g").agg(sum("w").as("s"), min("w").as("mn"), max("w").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = Winsorize.clipByQuantiles(df, Seq("g"), "v", 10, "w")
+      .groupBy("g").agg(sum("w").as("s"), min("w").as("mn"), max("w").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx == exact)
+    // clipped output column keeps the value column's type (no double leak)
+    val schema = Winsorize.clipByQuantiles(df, Seq("g"), "v", 10, "w").schema
+    assert(schema("w").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("NULL values pass through unclipped; reserved/validation errors are eager") {
     val df = Seq(("a", Some(1L)), ("a", Some(100L)), ("a", None)).toDF("g", "v")
     val got = Winsorize.clipByRank(df, Seq("g"), "v", 10, "w")

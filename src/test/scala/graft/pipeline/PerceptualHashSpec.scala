@@ -87,6 +87,52 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("banded near-dup equals brute force in the radius-1 probing regime (maxDist = 10)") {
+    val rng = new scala.util.Random(7L)
+    val base = Seq.fill(40)(rng.nextLong())
+    // close variants: flip up to 10 bits (deep into the probing arm)
+    val variants = base.take(12).map { h =>
+      (0 until 1 + rng.nextInt(10)).foldLeft(h)((x, _) => x ^ (1L << rng.nextInt(64)))
+    }
+    val hashes = (base ++ variants).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "phash")
+    val got = Multimodal.phashNearDup(hashes, "id", "phash", maxDist = 10)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    val all = (base ++ variants).zipWithIndex
+    val brute = (for {
+      (ha, ia) <- all; (hb, ib) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 10
+    } yield (ia.toLong, ib.toLong, d)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("adversarial band spread: differing bits land in every wide band and are still found") {
+    // distance 4 with one flipped bit per 16-bit quarter: under 4 exact
+    // 16-bit bands NO band agrees, so this pair is found only because
+    // maxDist >= 4 routes to 8-bit bands (bands 1,3,5,7 are clean)
+    val h0 = 0x0123456789ABCDEFL
+    val spread4 = h0 ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))
+    // distance 9 with at least one flipped bit in EVERY 8-bit band:
+    // no exact band key can match at any width >= 8, so this pair is
+    // found only through the radius-1 probe arm
+    val spread9 = h0 ^ (0 until 8).map(k => 1L << (k * 8)).reduce(_ | _) ^ (1L << 1)
+    for ((other, d, maxDist) <- Seq((spread4, 4, 4), (spread4, 4, 8), (spread9, 9, 9),
+                                    (spread9, 9, 15))) {
+      assert(java.lang.Long.bitCount(h0 ^ other) == d)
+      val pairs = Multimodal.phashNearDup(
+          Seq((1L, h0), (2L, other)).toDF("id", "phash"), "id", "phash", maxDist)
+        .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+      assert(pairs == Set((1L, 2L, d)), s"maxDist=$maxDist missed distance-$d spread pair")
+    }
+    // and the pair dedup holds: exactly one row even when several bands collide
+    val near = h0 ^ 1L
+    val one = Multimodal.phashNearDup(
+        Seq((1L, h0), (2L, near)).toDF("id", "phash"), "id", "phash", maxDist = 12)
+      .collect()
+    assert(one.length == 1)
+  }
+
   test("phashDedup config stage drops near-duplicate images through the registry") {
     val dir = java.nio.file.Files.createTempDirectory("graft-phash-cfg")
     val src = dir.resolve("src").toString

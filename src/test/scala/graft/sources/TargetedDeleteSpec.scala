@@ -97,6 +97,59 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(TargetedDelete.delete(spark, dir, "id", Seq(0L)).rowsDeleted == 1)
   }
 
+  test("deleteAuto routes on key-set size and both routes agree") {
+    val dirA = table()
+    val dirB = table()
+    val keys = Seq(5L, 7L, 205L, 499L)
+    // small threshold flips dirB onto the anti-join full-copy route
+    val rA = TargetedDelete.deleteAuto(spark, dirA, "id", keys)
+    val rB = TargetedDelete.deleteAuto(spark, dirB, "id", keys, inlineMaxKeys = 2)
+    assert(rA.filesRewritten == 3 && rA.filesUntouched == 2) // targeted route
+    assert(rB.filesRewritten == 5 && rB.filesUntouched == 0) // full-copy route
+    assert(rA.rowsDeleted == 4L && rB.rowsDeleted == 4L)
+    val a = spark.read.parquet(dirA).as[(Long, String)].collect().toSet
+    val b = spark.read.parquet(dirB).as[(Long, String)].collect().toSet
+    assert(a == b && a.size == 496)
+    assert(!a.exists(r => keys.contains(r._1)))
+    // no marker or staging debris on either route
+    val fs = new Path(dirB).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq("_delete", "_rewrite", "_rewrite_staging"))
+      assert(!fs.exists(new Path(dirB, d)), s"$d left behind")
+  }
+
+  test("anti-join route: null keys survive, duplicate keys count once per row") {
+    val dir = Files.createTempDirectory("graft-tdel-aj").resolve("t").toString
+    Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"), (Some(1L), "a2"))
+      .toDF("id", "payload").coalesce(1).write.parquet(dir)
+    val r = TargetedDelete.deleteByAntiJoin(spark, dir, "id", Seq(1L, 1L, 99L))
+    assert(r.rowsDeleted == 2L)
+    val left = spark.read.parquet(dir).select("payload").as[String].collect().toSet
+    assert(left == Set("b", "c"))
+  }
+
+  test("rewrite recovery rolls forward: staged parts move in, originals drop") {
+    val dir = table()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val originals = ParquetSource.listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
+    // fabricate a crash mid-swap: verified staging exists, marker written,
+    // no part moved yet
+    val staging = new Path(dir, "_rewrite_staging")
+    spark.read.parquet(originals: _*).filter(col("id") =!= 5L)
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val markers = new Path(dir, "_rewrite"); fs.mkdirs(markers)
+    val m = fs.create(new Path(markers, "rewrite.json"), true)
+    try m.write((staging.toString +: originals).mkString("\n").getBytes("UTF-8"))
+    finally m.close()
+    assert(TargetedDelete.recoverRewrite(spark, dir) == 1)
+    spark.catalog.refreshByPath(dir)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 499 && got.filter(col("id") === 5L).isEmpty)
+    originals.foreach(o => assert(!fs.exists(new Path(o)), s"original $o survived"))
+    assert(!fs.exists(staging) && !fs.exists(markers))
+    // idempotent: a second recover is a no-op
+    assert(TargetedDelete.recoverRewrite(spark, dir) == 0)
+  }
+
   test("null keys in the table are never deleted; oversized key lists rejected") {
     val dir = Files.createTempDirectory("graft-tdel-n").resolve("t").toString
     Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c")).toDF("id", "payload")
