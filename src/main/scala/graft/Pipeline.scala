@@ -428,7 +428,7 @@ object Pipeline {
   }
 
   def write(df: DataFrame, cfg: PipelineConfig): Unit = cfg.target match {
-    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords, globalSortBy, _, versioned, zorderBy, zorderFiles) =>
+    case TargetConfig.Parquet(path, mode, compression, partitionBy, sortBy, maxRecords, globalSortBy, _, versioned, zorderBy, zorderFiles, _) =>
       // sortWithinPartitions clusters each output file on the sort key:
       // parquet min/max row-group stats then let downstream scans skip
       // row groups on those columns (data-skipping without a shuffle).
@@ -617,6 +617,17 @@ object Pipeline {
           .map(n => new org.apache.hadoop.fs.Path(p.path, f"v_$n%010d").toString)
           .getOrElse(p.path)
       else p.path
+
+    // post-copy compaction BEFORE the stats index and validation: the
+    // resumable loop's per-batch appends fragment the table (one-plus
+    // files per batch), and the stats index must describe the files
+    // that will actually be read
+    cfg.target match {
+      case p: TargetConfig.Parquet if p.compactTargetBytes > 0 =>
+        graft.sources.Compaction.compact(spark, dataDir(p), p.compactTargetBytes)
+        ()
+      case _ => ()
+    }
 
     // write-time stats: build the file-level min/max index ONCE after
     // the whole copy (not per batch — build() groups the entire

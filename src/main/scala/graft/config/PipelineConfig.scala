@@ -764,6 +764,15 @@ object TargetConfig {
     * readable until vacuumed. `mode` is ignored (every publish is a
     * fresh directory).
     */
+  /** `compactTargetBytes > 0` runs the crash-safe small-file
+    * compaction (sources/Compaction) over the target directory after
+    * the copy completes — the maintenance executable's operation as a
+    * declarative option, so resumable batch-append pipelines (whose
+    * per-batch appends naturally fragment the table) end with sane
+    * file sizes in the same run. Non-versioned, non-partitioned
+    * targets only (a versioned publish is immutable; partitioned
+    * layouts compact per partition dir — use the Maintain executable).
+    */
   final case class Parquet(path: String, mode: String, compression: String,
                            partitionBy: List[String] = Nil,
                            sortBy: List[String] = Nil,
@@ -772,12 +781,21 @@ object TargetConfig {
                            statsIndexColumns: List[String] = Nil,
                            versioned: Boolean = false,
                            zorderBy: List[String] = Nil,
-                           zorderFiles: Int = 0) extends TargetConfig {
+                           zorderFiles: Int = 0,
+                           compactTargetBytes: Long = 0L) extends TargetConfig {
     def validate: Either[String, Parquet] = {
       val modes = Set("overwrite", "append", "errorifexists", "ignore")
       val codecs = Set("snappy", "gzip", "zstd", "lz4", "none", "uncompressed")
       if (!modes.contains(mode.toLowerCase)) Left(s"invalid parquet write mode: $mode")
       else if (!codecs.contains(compression.toLowerCase)) Left(s"invalid compression: $compression")
+      else if (compactTargetBytes < 0)
+        Left(s"target.compactTargetBytes must be >= 0, got $compactTargetBytes")
+      else if (compactTargetBytes > 0 && versioned)
+        Left("target.compactTargetBytes rewrites files in place — incompatible " +
+          "with versioned immutable publishes")
+      else if (compactTargetBytes > 0 && partitionBy.nonEmpty)
+        Left("target.compactTargetBytes compacts a flat directory — run the " +
+          "Maintain executable per partition for partitioned layouts")
       else if (maxRecordsPerFile < 0) Left(s"maxRecordsPerFile must be >= 0, got $maxRecordsPerFile")
       else if (sortBy.nonEmpty && globalSortBy.nonEmpty)
         Left("target.sortBy and target.globalSortBy are mutually exclusive " +
@@ -884,6 +902,7 @@ object PipelineConfig {
       "target.partitionBy", "target.sortBy", "target.header", "target.delimiter",
       "target.maxRecordsPerFile", "target.globalSortBy", "target.statsIndex",
       "target.versioned", "target.zorderBy", "target.zorderFiles",
+      "target.compactTargetBytes",
       "target.keyColumn", "target.payloadColumn", "target.maxShardBytes",
       "target.numShards", "target.suffix",
       "renames", "savepoints.dir", "skipFiles",
@@ -1063,7 +1082,8 @@ object PipelineConfig {
             list("target.statsIndex"),
             map.getOrElse("target.versioned", "false").toBoolean,
             list("target.zorderBy"),
-            map.getOrElse("target.zorderFiles", "0").toInt).validate)
+            map.getOrElse("target.zorderFiles", "0").toInt,
+            map.getOrElse("target.compactTargetBytes", "0").toLong).validate)
       case Some("dynamo-s3-export") =>
         map.get("target.path").toRight("target.path required")
           .map(TargetConfig.DynamoS3Export(_))

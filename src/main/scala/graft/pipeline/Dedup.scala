@@ -798,7 +798,7 @@ object Dedup {
       .select("query_id", "rank", "neighbor_id", "hamming")
   }
 
-  /** [[hammingTopK]] restricted to Hamming radius `maxHamming` (≤ 3),
+  /** [[hammingTopK]] restricted to Hamming radius `maxHamming` (≤ 15),
     * with the execution route picked by query cardinality:
     *
     *  - ≤ `broadcastMaxQueries` queries → the [[hammingTopK]] shape
@@ -806,13 +806,15 @@ object Dedup {
     *    the radius. Ranking by (hamming, neighbor) means the
     *    within-radius rows always hold the lowest ranks, so the filter
     *    commutes with the top-k.
-    *  - more → the [[simHashPairs]] banded shape: both sides explode
-    *    into 4 × 16-bit chunks and equi-join on the chunk key — a plain
-    *    shuffle join, NO corpus-sized broadcast anywhere. Pigeonhole
-    *    over 4 chunks guarantees every pair at hamming ≤ 3 collides on
-    *    at least one chunk, so the candidate set is exact at this
-    *    radius (which is why `maxHamming ≤ 3` is required: it is what
-    *    makes the two routes return identical rows).
+    *  - more → the banded multi-index shape shared with
+    *    `Multimodal.phashNearDup`: both sides explode into
+    *    `Multimodal.bandLayout(maxHamming)` band keys, the QUERY side
+    *    additionally probes every key within radius ⌊maxHamming/B⌋ of
+    *    each band value (broadcast (band, mask) frame), and candidates
+    *    form on a plain (band, key) shuffle join — NO corpus-sized
+    *    broadcast anywhere. The pigeonhole rule makes the candidate
+    *    set exact at the radius, which is what keeps the two routes
+    *    row-identical.
     *
     * @param numQueries pass the known query count to skip the counting
     *   job the routing decision otherwise runs.
@@ -822,21 +824,32 @@ object Dedup {
                       excludeSelf: Boolean = true,
                       broadcastMaxQueries: Long = 1L << 17,
                       numQueries: Option[Long] = None): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming must be in [0, 3] (the 4-chunk pigeonhole bound), got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (the 4-band radius-3 probe bound), got $maxHamming")
     val nQ = numQueries.getOrElse(queries.count())
     if (nQ <= broadcastMaxQueries)
       hammingTopK(queries, corpus, idCol, sigCol, k, excludeSelf)
         .filter(col("hamming") <= maxHamming)
     else {
+      val (layout, radius) = Multimodal.bandLayout(maxHamming)
       def chunked(df: DataFrame, outId: String, outSig: String) = {
         val sig = col(sigCol)
-        val chunkCols = (0 until 4).map(c =>
-          shiftright(sig, c * 16).bitwiseAND(lit(0xFFFFL)))
+        val chunkCols = layout.map { case (off, w) =>
+          shiftrightunsigned(sig, off).bitwiseAND(lit((1L << w) - 1)) }
         df.select(col(idCol).as(outId), sig.as(outSig),
           posexplode(array(chunkCols: _*)).as(Seq("chunk", "ck")))
       }
-      val qc = chunked(queries, "query_id", "qs")
+      val qc0 = chunked(queries, "query_id", "qs")
+      val qc =
+        if (radius == 0) qc0
+        else {
+          val spark = queries.sparkSession
+          import spark.implicits._
+          qc0.join(broadcast(
+              Multimodal.bandMasks(layout, radius).toDF("chunk", "__m")), Seq("chunk"))
+            .select(col("query_id"), col("qs"), col("chunk"),
+              col("ck").bitwiseXOR(col("__m")).as("ck"))
+        }
       val cc = chunked(corpus, "neighbor_id", "cs")
       val scored = qc.join(cc, Seq("chunk", "ck"))
         .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")

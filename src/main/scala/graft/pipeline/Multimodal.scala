@@ -570,62 +570,105 @@ object Multimodal {
   }
 
   /** Media near-dup pairs from a `(id, phash)` frame: ALL pairs with
-    * Hamming distance ≤ `maxDist` (≤ 15), via a pigeonhole band join
-    * sized to the radius. The pigeonhole rule: splitting 64 bits into
-    * B bands, a pair within distance d has SOME band with at most
-    * ⌊d/B⌋ differing bits — so B bands with exact band-key equality
-    * cover only d ≤ B−1, and covering larger d needs either more
-    * bands or within-band probing. Routing (all recall-lossless):
+    * Hamming distance ≤ `maxDist` (≤ 15), via multi-index hashing
+    * (Norouzi et al.): B wide bands, with the PROBE side emitting
+    * every key within Hamming radius ⌊maxDist/B⌋ of each band value.
+    * The pigeonhole rule makes this recall-lossless: a pair within
+    * distance d has SOME band with at most ⌊d/B⌋ differing bits, and
+    * exactly one probe mask (their band XOR) realizes that collision.
     *
-    *  - d ≤ 3: 4 bands × 16-bit keys, exact match (classic SimHash
-    *    banding — most selective keys).
-    *  - 4 ≤ d ≤ 7: 8 bands × 8-bit keys, exact match.
-    *  - 8 ≤ d ≤ 15: 8 bands × 8-bit keys, radius-1 key probing
-    *    (multi-index hashing): one side additionally emits the 8
-    *    single-bit flips of each band key, so a pair whose best band
-    *    differs by one bit still collides; ⌊15/8⌋ = 1 makes this
-    *    complete for the whole [0, 15] range.
+    * Why wide keys with probing, not narrower exact bands: band
+    * selectivity is what bounds the candidate volume. 8-bit exact
+    * bands pigeonhole d ≤ 7 cheaply per-row, but 256 key values mean
+    * E[candidates] ≈ n²·bands/256 — measured SUPERLINEAR at the 10×
+    * scale sweep (13× cost at 10× rows). Wide keys shrink the
+    * quadratic term ~30×: E[candidates] ≈ n²·B·C(width,≤r)/2^width,
+    * while the probe fan-out stays a FIXED per-row constant — the
+    * right trade at 100 TB, where the quadratic term is the cliff
+    * and linear shuffle volume is just bandwidth. [[bandLayout]]
+    * picks the (band count, width, radius) combination minimizing
+    * that coefficient per requested distance.
     *
-    * Candidates thus always form on equi-join keys — never an
-    * all-pairs product; the exact `bit_count(xor)` predicate
-    * verifies. Pair dedup keeps the FIRST band within radius only
-    * (no distinct pass — same trick as the interval join's canonical
-    * band). Shuffle carries (band, band key, id, hash): fixed width,
-    * never a payload; the probing arm's fan-out is a fixed 8×9 = 72
-    * rows per input, independent of data size.
+    * Candidates always form on equi-join keys — never an all-pairs
+    * product; the exact `bit_count(xor)` predicate verifies. Pair
+    * dedup keeps the FIRST band within radius only (no distinct pass
+    * — same trick as the interval join's canonical band; per band the
+    * matching probe mask is unique, so each qualifying band yields
+    * exactly one joined row). Shuffle carries (band, band key, id,
+    * hash): fixed width, never a payload.
     */
+  /** Band layout per radius, minimizing the QUADRATIC candidate
+    * coefficient (bands · C(width, ≤radius) / 2^width) first and probe
+    * fan-out second — B bands with radius r pigeonhole d ≤ B(r+1)−1:
+    *  - d ≤ 3:  4 × 16-bit, exact        (coef 6.1e-5, fan 4)
+    *  - d ≤ 7:  4 × 16-bit, radius 1     (coef 1.0e-3, fan 68)
+    *  - d ≤ 9:  5 × ~13-bit, radius 1    (coef 8.5e-3, fan ~70 — same
+    *    coefficient as 4×16 radius 2 at an 8× smaller fan-out)
+    *  - d ≤ 11: 4 × 16-bit, radius 2     (coef 8.4e-3, fan 548)
+    *  - d ≤ 15: 4 × 16-bit, radius 3     (coef 4.3e-2, fan 2788)
+    * Returns ((offset, width) per band, radius).
+    */
+  private[graft] def bandLayout(maxDist: Int): (Seq[(Int, Int)], Int) = {
+    def even(n: Int): Seq[(Int, Int)] = {
+      val base = 64 / n
+      val extra = 64 % n
+      val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(n - extra)(base)
+      widths.scanLeft(0)(_ + _).zip(widths)
+    }
+    maxDist match {
+      case d if d <= 3  => (even(4), 0)
+      case d if d <= 7  => (even(4), 1)
+      case d if d <= 9  => (even(5), 1)
+      case d if d <= 11 => (even(4), 2)
+      case _            => (even(4), 3)
+    }
+  }
+
+  /** Every (band, mask) probe pair for a layout: per band, all
+    * width-bit masks with popcount ≤ radius (≤ 2^16 driver-side
+    * iterations per band). Shared by [[phashNearDup]] and the banded
+    * arm of `Dedup.hammingTopKAuto`.
+    */
+  private[graft] def bandMasks(layout: Seq[(Int, Int)], radius: Int): Seq[(Int, Long)] =
+    layout.zipWithIndex.flatMap { case ((_, w), k) =>
+      (0L until (1L << w)).filter(m => java.lang.Long.bitCount(m) <= radius)
+        .map(m => (k, m))
+    }
+
   def phashNearDup(hashes: DataFrame, idCol: String, hashCol: String = "phash",
                    maxDist: Int = 8): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
-      "maxDist must be in [0, 15]: the 8-band radius-1 probe covers <= 15 only")
-    val bands = if (maxDist <= 3) 4 else 8
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    val radius = maxDist / bands // 0, or 1 when 8 <= maxDist <= 15
-    def slice(h: Column, k: Int) =
-      shiftrightunsigned(h, k * width).bitwiseAND(lit(mask))
-    def banded(side: String, probe: Boolean) = {
-      val h = col(s"${side}_h")
-      val keys = (0 until bands).flatMap { k =>
-        val exact = struct(lit(k).as("band"), slice(h, k).as("band_key"))
-        if (probe) exact +: (0 until width).map(j =>
-          struct(lit(k).as("band"),
-            slice(h, k).bitwiseXOR(lit(1L << j)).as("band_key")))
-        else Seq(exact)
-      }
-      hashes.filter(col(hashCol).isNotNull)
-        .select(col(idCol).as(s"${side}_id"), col(hashCol).as(s"${side}_h"))
-        .withColumn("bk", explode(array(keys: _*)))
-        .select(col(s"${side}_id"), col(s"${side}_h"),
-          col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      "maxDist must be in [0, 15]: the 4-band radius-3 probe covers <= 15 only")
+    val (layout, radius) = bandLayout(maxDist)
+    def slice(h: Column, k: Int) = {
+      val (off, w) = layout(k)
+      shiftrightunsigned(h, off).bitwiseAND(lit((1L << w) - 1))
     }
-    val a = banded("a", probe = false)
-    val b = banded("b", probe = radius > 0)
+    def banded(side: String) = hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as(s"${side}_id"), col(hashCol).as(s"${side}_h"))
+      .select(col(s"${side}_id"), col(s"${side}_h"),
+        posexplode(array(layout.indices.map(k => slice(col(s"${side}_h"), k)): _*))
+          .as(Seq("band", "band_key")))
+    val a = banded("a")
+    val b =
+      if (radius == 0) banded("b")
+      else {
+        // probe side: every key within the radius of each band value,
+        // via a broadcast (band, mask) frame — per band the masks are
+        // all width-bit values with popcount <= radius, enumerated
+        // driver-side (<= 2^16 iterations per band)
+        val spark = hashes.sparkSession
+        import spark.implicits._
+        banded("b").join(
+            broadcast(bandMasks(layout, radius).toDF("band", "__m")), Seq("band"))
+          .select(col("b_id"), col("b_h"), col("band"),
+            col("band_key").bitwiseXOR(col("__m")).as("band_key"))
+      }
     val dist = bit_count(col("a_h").bitwiseXOR(col("b_h")))
     // canonical band: no earlier band is already within the probe radius
-    // (each within-radius band yields exactly one joined row — an exact
-    // key hit at band distance 0, or the unique matching flip at 1)
-    val firstBand = (0 until bands).map(k =>
+    // (per band the matching probe mask is unique — it IS the band XOR —
+    // so each qualifying band yields exactly one joined row)
+    val firstBand = layout.indices.map(k =>
       lit(k) >= col("band") ||
         bit_count(slice(col("a_h"), k).bitwiseXOR(slice(col("b_h"), k))) > radius)
       .reduce(_ && _)

@@ -147,6 +147,10 @@ object Compaction {
     val markers = new Path(dir, "_compaction")
     if (fs.exists(markers) && fs.listStatus(markers).isEmpty)
       fs.delete(markers, true)
+    // the swap replaced files wholesale: evict this session's listing
+    // cache (never expires by default) so subsequent reads of `dir`
+    // can't serve the pre-compaction file list — see SwapStore
+    if (p.groups.nonEmpty) spark.catalog.refreshByPath(dir)
     Result(p.groups.size, removed, p.groups.size, rows)
   }
 }

@@ -180,6 +180,43 @@ class Round9StagesSpec extends AnyFunSuite {
     assert(snap(50L, 50L) == Set.empty)      // deleted by valid 40
   }
 
+  test("target.compactTargetBytes: batch-append fragmentation compacts post-run") {
+    val base = Files.createTempDirectory("graft-r9s-cmp")
+    val src = base.resolve("src").toString
+    (0 until 4).foreach(i =>
+      spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+        .filter(pmod(col("n_nationkey"), lit(4)) === i).coalesce(1)
+        .write.mode("append").parquet(src))
+    val out = base.resolve("out").toString
+    val c = parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: append
+         |target.compactTargetBytes: 104857600
+         |savepoints.dir: ${base.resolve("sp")}
+         |validation.primaryKey: n_nationkey
+         |""".stripMargin)
+    val r = graft.Pipeline.run(spark, c, fileBatchSize = 1)
+    // 4 per-batch appends -> one compacted file; rows and validation intact
+    val files = graft.sources.ParquetSource.listParquetFiles(
+      out, spark.sparkContext.hadoopConfiguration)
+    assert(files.size == 1, s"expected 1 compacted file, got ${files.size}")
+    assert(spark.read.parquet(out).count() == r.rowsCopied && r.rowsCopied == 25)
+    assert(r.validation.get.isEmpty) // validated AFTER compaction
+    // versioned + compact is rejected at parse time
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |target.versioned: true
+         |target.compactTargetBytes: 1000
+         |""".stripMargin).isLeft)
+  }
+
   test("terminal graph stages write through the full pipeline run") {
     val edgesDir = Files.createTempDirectory("graft-r9s-e").resolve("edges").toString
     Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("s", "d").write.parquet(edgesDir)

@@ -137,6 +137,18 @@ class DedupSpec extends AnyFunSuite {
     val hinted = Dedup.hammingTopKAuto(sigs, sigs, "doc_id", "sig", k = 3,
       broadcastMaxQueries = 10, numQueries = Some(80L))
     assert(rows(hinted) == rows(big))
+    // radius > 3 now routes through the shared multi-index probing
+    // (5-band radius-1 layout at 8): both routes still row-identical,
+    // and the only broadcast in the banded plan is the tiny mask frame
+    val bigWide = Dedup.hammingTopKAuto(sigs, sigs, "doc_id", "sig", k = 5,
+      maxHamming = 8, broadcastMaxQueries = 10, numQueries = Some(80L))
+    val viaBroadcastWide = Dedup.hammingTopKAuto(sigs, sigs, "doc_id", "sig",
+      k = 5, maxHamming = 8, broadcastMaxQueries = Long.MaxValue,
+      numQueries = Some(80L))
+    assert(rows(bigWide) == rows(viaBroadcastWide))
+    assert(rows(bigWide).nonEmpty)
+    intercept[IllegalArgumentException](
+      Dedup.hammingTopKAuto(sigs, sigs, "doc_id", "sig", k = 3, maxHamming = 16))
   }
 
   test("lsh bucket clamp drops degenerate buckets") {
