@@ -57,9 +57,16 @@ object Maintain {
             System.err.println(s"[maintain] unsupported key type $other for delete")
             sys.exit(2)
         }
-        val keys: Seq[Any] = args(3).split(",").map(_.trim).filter(_.nonEmpty)
-          .map(parse(_): Any).toSeq
-        val r = sources.TargetedDelete.delete(spark, args(1), args(2), keys)
+        // keys inline, or @/path/to/file with one key per line (the CLI
+        // arm of the large-deletion route — deleteAuto then picks the
+        // anti-join full copy past the inline threshold)
+        val rawKeys =
+          if (args(3).startsWith("@"))
+            scala.io.Source.fromFile(args(3).drop(1)).getLines().toSeq
+          else args(3).split(",").toSeq
+        val keys: Seq[Any] = rawKeys.map(_.trim).filter(_.nonEmpty)
+          .map(parse(_): Any)
+        val r = sources.TargetedDelete.deleteAuto(spark, args(1), args(2), keys)
         println(s"[maintain] deleted ${r.rowsDeleted} rows: " +
           s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")
       case other =>
@@ -73,7 +80,8 @@ object Maintain {
       """usage: graft.Maintain compact <dir> <targetBytes> [smallBytes]
         |       graft.Maintain stats <dir> <col>[,col...]
         |       graft.Maintain vacuum <versionedRoot> [keep]
-        |       graft.Maintain delete <dir> <keyCol> <key>[,key...]""".stripMargin)
+        |       graft.Maintain delete <dir> <keyCol> <key>[,key...]
+        |       graft.Maintain delete <dir> <keyCol> @<keyfile>   # one key per line""".stripMargin)
     sys.exit(2)
   }
 }

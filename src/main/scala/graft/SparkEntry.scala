@@ -529,6 +529,19 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic importance resampling — the thinning step a DSIR
+    * pipeline runs after scoring: each document keeps with its OWN
+    * parts-per-million rate (here an integer weight derived from the
+    * text, clamped by the operator), membership = md5 bucket of the
+    * key. All-integer, so the oracle replicates the exact kept set.
+    */
+  private def qDsirResample(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      ((length(col("text")) % 100 + 1) * 9000).cast("long").as("w_ppm"))
+    graft.operators.Sampling.resampleByWeight(docs, "doc_id", "w_ppm", 1000000)
+      .orderBy(col("doc_id"))
+  }
+
   private def qEmbedNorm(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .select(col("vec_id"), Similarity.norm(col("embedding")).as("l2_norm"))
@@ -2474,6 +2487,7 @@ object SparkEntry {
     "q_seq_pack" -> (qSeqPack _),
     "q_embed_norm" -> (qEmbedNorm _),
     "q_sqrt_sample" -> (qSqrtSample _),
+    "q_dsir_resample" -> (qDsirResample _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_star_edges" -> (qStarEdges _),
     "q_filter_funnel" -> (qFilterFunnel _),
@@ -4206,6 +4220,18 @@ object SparkEntry {
 
     // md5 bucket replicated positionally (same hex arithmetic as the
     // portable fingerprint): bucket = 60-bit md5 prefix mod 20
+    // per-row-rate thinning on the shared md5 bucket space — the kept
+    // set is exact (all-integer weights, no float rounding to disagree)
+    "q_dsir_resample" ->
+      ("WITH b AS (SELECT doc_id, lang, " +
+        "CAST((length(text) % 100 + 1) * 9000 AS BIGINT) AS w_ppm, " +
+        "CAST(list_sum(list_transform(range(1, 16), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(p AS INT), 1)) - 1) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (15 - p) AS INT)))) AS BIGINT) % 1000000 AS bucket " +
+        "FROM documents) " +
+        "SELECT doc_id, lang, w_ppm FROM b " +
+        "WHERE bucket < LEAST(1000000, GREATEST(0, w_ppm)) ORDER BY doc_id"),
+
     "q_sqrt_sample" ->
       ("WITH c AS (SELECT lang, LEAST(10000, FLOOR(10000 * 5.0 / " +
         "sqrt(CAST(count(*) AS DOUBLE)))) AS rate FROM documents GROUP BY lang), " +

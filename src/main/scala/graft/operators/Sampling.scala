@@ -39,6 +39,24 @@ object Sampling {
     df.filter(bucketOf(col(keyCol), rateDenom) < rateNum)
   }
 
+  /** Deterministic importance RESAMPLING: keep each row with its OWN
+    * per-row rate — `rateNumCol` (an integer column, e.g. a DSIR
+    * importance weight scaled to parts-per-`denom`) over `denom`
+    * buckets, clamped to [0, denom]. This is the thinning step an
+    * importance-resampling pipeline runs AFTER scoring (keep row i
+    * w.p. ∝ w_i): `deterministicSample` generalized from one global
+    * rate to a weight column, with the same md5-bucket membership —
+    * reproducible on any engine/partitioning/retry, and composable
+    * with [[split]] because the bucket space is shared. All-integer:
+    * no float rounding can disagree across engines.
+    */
+  def resampleByWeight(df: DataFrame, keyCol: String, rateNumCol: String,
+                       denom: Int): DataFrame = {
+    require(denom > 0, "denom must be positive")
+    df.filter(bucketOf(col(keyCol), denom) <
+      least(lit(denom.toLong), greatest(lit(0L), col(rateNumCol).cast("long"))))
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates over the
     * same bucket space (e.g. downsample a dominant language while keeping
     * the rest — the standard corpus-rebalancing move). `rates` maps a

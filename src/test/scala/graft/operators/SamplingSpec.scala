@@ -52,6 +52,34 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.deterministicSample(docs, "doc_id", 11, 10))
   }
 
+  test("resampleByWeight: per-row rates honored, clamped, and consistent with the global form") {
+    import spark.implicits._
+    val n = 2000
+    // weight column drives the rate: 0 keeps nothing, denom keeps all
+    val zero = (1 to n).map(i => (i.toLong, 0L)).toDF("id", "w")
+    assert(Sampling.resampleByWeight(zero, "id", "w", 1000).count() == 0)
+    val full = (1 to n).map(i => (i.toLong, 1000L)).toDF("id", "w")
+    assert(Sampling.resampleByWeight(full, "id", "w", 1000).count() == n)
+    // out-of-range weights clamp instead of corrupting the filter
+    val wild = (1 to n).map(i => (i.toLong, if (i % 2 == 0) -50L else 99999L)).toDF("id", "w")
+    val keptWild = Sampling.resampleByWeight(wild, "id", "w", 1000)
+      .select("id").as[Long].collect().toSet
+    assert(keptWild == (1 to n).filter(_ % 2 == 1).map(_.toLong).toSet)
+    // a CONSTANT weight equals the single-rate deterministicSample cut
+    val const = (1 to n).map(i => (i.toLong, 250L)).toDF("id", "w")
+    val viaWeight = Sampling.resampleByWeight(const, "id", "w", 1000)
+      .select("id").as[Long].collect().toSet
+    val viaGlobal = Sampling.deterministicSample(const, "id", 250, 1000)
+      .select("id").as[Long].collect().toSet
+    assert(viaWeight == viaGlobal)
+    // and the realized rate lands near the requested 25%
+    assert(math.abs(viaWeight.size / n.toDouble - 0.25) < 0.05)
+    // membership is layout-independent: same kept set after repartition
+    val reKept = Sampling.resampleByWeight(const.repartition(13), "id", "w", 1000)
+      .select("id").as[Long].collect().toSet
+    assert(reKept == viaWeight)
+  }
+
   test("stratified sample applies per-stratum rates over one bucket space") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val got = Sampling.stratifiedSample(docs, "doc_id", "lang",
