@@ -69,6 +69,16 @@ object Maintain {
         val r = sources.TargetedDelete.deleteAuto(spark, args(1), args(2), keys)
         println(s"[maintain] deleted ${r.rowsDeleted} rows: " +
           s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")
+      case "diff" =>
+        if (args.length < 5) usage()
+        val pk = args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val d = sources.Versioned.diffVersions(spark, args(1),
+          args(2).toLong, args(3).toLong, pk)
+        val byKind = d.groupBy("diff_kind").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        println(s"[maintain] v${args(2)} -> v${args(3)}: " +
+          Seq("added", "removed", "changed", "match")
+            .map(k => s"$k=${byKind.getOrElse(k, 0L)}").mkString(" "))
       case other =>
         System.err.println(s"[maintain] unknown command: $other"); usage()
     }
@@ -81,7 +91,8 @@ object Maintain {
         |       graft.Maintain stats <dir> <col>[,col...]
         |       graft.Maintain vacuum <versionedRoot> [keep]
         |       graft.Maintain delete <dir> <keyCol> <key>[,key...]
-        |       graft.Maintain delete <dir> <keyCol> @<keyfile>   # one key per line""".stripMargin)
+        |       graft.Maintain delete <dir> <keyCol> @<keyfile>   # one key per line
+        |       graft.Maintain diff <versionedRoot> <vA> <vB> <pk>[,pk...]""".stripMargin)
     sys.exit(2)
   }
 }

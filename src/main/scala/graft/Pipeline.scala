@@ -26,16 +26,23 @@ object Pipeline {
                           validation: Option[DataFrame])
 
   def read(spark: SparkSession, cfg: PipelineConfig): DataFrame = cfg.source match {
-    case SourceConfig.Parquet(root, where, columns, versioned) =>
+    case SourceConfig.Parquet(root, where, columns, versioned, versionAt, mergeSchema) =>
       // versioned sources resolve the _LATEST pointer ONCE — the copy
-      // consumes one immutable snapshot even if a publish lands mid-run
+      // consumes one immutable snapshot even if a publish lands mid-run;
+      // versionAt pins an explicit published version instead (time travel)
       val path =
-        if (versioned)
-          graft.sources.Versioned.latestVersion(spark, root)
-            .map(n => new org.apache.hadoop.fs.Path(root, f"v_$n%010d").toString)
-            .getOrElse(throw new IllegalArgumentException(
-              s"source.versioned: no published version under $root"))
-        else root
+        if (versioned) {
+          val n = versionAt.getOrElse(
+            graft.sources.Versioned.latestVersion(spark, root)
+              .getOrElse(throw new IllegalArgumentException(
+                s"source.versioned: no published version under $root")))
+          val dir = new org.apache.hadoop.fs.Path(root, f"v_$n%010d")
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(fs.exists(dir),
+            s"source.versionAt: version $n not found under $root " +
+              "(vacuumed, or never published)")
+          dir.toString
+        } else root
       // file-level skipping stacks twice before any byte is read: the
       // resume skip-set, then _stats-index pruning with predicates
       // derived from the where condition (conservative — the residual
@@ -47,9 +54,13 @@ object Pipeline {
       val pruned = graft.sources.FileStatsIndex.autoPrune(
         spark, path, listed,
         where.map(w => org.apache.spark.sql.GraftColumnBridge.parseExpression(spark, w)))
+      // mergeSchema unions the per-file schemas (the schema-evolution
+      // read: columns added over a table's lifetime come back NULL on
+      // old files) — opt-in because it footprints every file's footer
+      val reader = spark.read.option("mergeSchema", mergeSchema.toString)
       var df =
-        if (pruned.isEmpty) spark.read.parquet(listed.head).filter(lit(false))
-        else spark.read.parquet(pruned: _*)
+        if (pruned.isEmpty) reader.parquet(listed.head).filter(lit(false))
+        else reader.parquet(pruned: _*)
       df = where.fold(df)(w => df.filter(expr(w)))
       df = columns.fold(df)(cs => Relational.selectResolved(df, cs))
       df
@@ -586,7 +597,7 @@ object Pipeline {
     var batchIdx = 0
     try {
       cfg.source match {
-        case SourceConfig.Parquet(path, where, columns, false) if cfg.savepointsDir.isDefined =>
+        case SourceConfig.Parquet(path, where, columns, false, _, _) if cfg.savepointsDir.isDefined =>
           // resumable path: deterministic file batches, append per batch
           ParquetSource.processInBatches(spark, path, cfg.skipFiles, fileBatchSize) { batch =>
             var df = where.fold(batch)(w => batch.filter(expr(w)))

@@ -30,9 +30,10 @@ final case class PipelineConfig(
     */
   def renderRedacted: String = {
     def src = source match {
-      case SourceConfig.Parquet(path, where, cols, versioned) =>
+      case SourceConfig.Parquet(path, where, cols, versioned, versionAt, _) =>
         s"parquet(path=$path, where=${where.map(_ => "<redacted>")}, columns=$cols" +
-          (if (versioned) ", versioned" else "") + ")"
+          (if (versioned) ", versioned" else "") +
+          versionAt.map(n => s", versionAt=$n").getOrElse("") + ")"
       case j: SourceConfig.Jdbc =>
         val url = j.url.replaceAll("(?i)(password|user)=[^&;]*", "$1=<redacted>")
         s"jdbc(url=$url, table=${j.table}, where=${j.where.map(_ => "<redacted>")}, " +
@@ -713,9 +714,17 @@ object SourceConfig {
     * (sources/Versioned) before reading — the copy consumes one
     * immutable snapshot even if a publish lands mid-run.
     */
+  /** `versionAt: Some(n)` is the TIME-TRAVEL read: pin the scan to
+    * published version `v_n` of a versioned table root instead of
+    * resolving `_LATEST` — the audit/repro read ("re-run the job
+    * against exactly what we shipped last Tuesday"). Requires
+    * `versioned: true`; fails eagerly if the version was vacuumed.
+    */
   final case class Parquet(path: String, where: Option[String],
                            columns: Option[List[String]],
-                           versioned: Boolean = false) extends SourceConfig
+                           versioned: Boolean = false,
+                           versionAt: Option[Long] = None,
+                           mergeSchema: Boolean = false) extends SourceConfig
   final case class Jdbc(url: String, table: String, where: Option[String],
                         partitionColumn: Option[String], numPartitions: Int,
                         lowerBound: Option[String], upperBound: Option[String]) extends SourceConfig
@@ -894,7 +903,7 @@ object PipelineConfig {
 
     val known = Set(
       "source.type", "source.path", "source.where", "source.columns",
-      "source.versioned",
+      "source.versioned", "source.versionAt", "source.mergeSchema",
       "source.url", "source.table", "source.partitionColumn",
       "source.numPartitions", "source.lowerBound", "source.upperBound",
       "source.schema", "source.header", "source.delimiter", "source.inferSchema",
@@ -1021,10 +1030,22 @@ object PipelineConfig {
 
     val source: Either[String, SourceConfig] = map.get("source.type") match {
       case Some("parquet") =>
-        map.get("source.path").toRight("source.path required")
-          .map(p => SourceConfig.Parquet(p, map.get("source.where"),
-            map.get("source.columns").map(_ => list("source.columns")),
-            map.getOrElse("source.versioned", "false").toBoolean))
+        for {
+          p <- map.get("source.path").toRight("source.path required")
+          versioned = map.getOrElse("source.versioned", "false").toBoolean
+          vAt <- map.get("source.versionAt") match {
+            case None => Right(None)
+            case Some(v) => v.toLongOption match {
+              case Some(n) if n > 0 && versioned => Right(Some(n))
+              case Some(n) if n > 0 =>
+                Left("source.versionAt requires source.versioned: true")
+              case _ => Left("source.versionAt must be a positive long")
+            }
+          }
+        } yield SourceConfig.Parquet(p, map.get("source.where"),
+          map.get("source.columns").map(_ => list("source.columns")),
+          versioned, vAt,
+          map.getOrElse("source.mergeSchema", "false").toBoolean)
       case Some("jdbc") =>
         for {
           url <- map.get("source.url").toRight("source.url required")

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, when}
 import org.apache.hadoop.fs.Path
 
 /** Versioned table publishing over plain parquet — the minimal
@@ -84,6 +85,31 @@ object Versioned {
   /** Time travel: read a specific (immutable) version. */
   def readVersion(spark: SparkSession, root: String, n: Long): DataFrame =
     spark.read.parquet(new Path(root, vdir(n)).toString)
+
+  /** Semantic diff between two published versions — the publish-audit
+    * question ("what changed between Tuesday's and Wednesday's
+    * table?") as one call: `(pk…, diff_kind)` with kinds added /
+    * removed / changed / match, where "added" means present in `b`
+    * but not `a` (reading b as the newer side). Reuses the validation
+    * tier's null-safe full-outer diff, so key semantics match the
+    * copy gate exactly; both version dirs are immutable, making the
+    * report reproducible forever. Compare columns default to every
+    * shared non-pk column.
+    */
+  def diffVersions(spark: SparkSession, root: String, a: Long, b: Long,
+                   pk: Seq[String], compareCols: Seq[String] = Nil): DataFrame = {
+    val va = readVersion(spark, root, a)
+    val vb = readVersion(spark, root, b)
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else va.columns.toSeq.intersect(vb.columns.toSeq).filterNot(pk.contains)
+    graft.validation.Diff.fullDiff(va, vb, pk, cmp)
+      .withColumn("diff_kind",
+        when(col("diff_kind") === "missing_target", "removed")
+          .when(col("diff_kind") === "extra_target", "added")
+          .when(col("diff_kind") === "mismatch", "changed")
+          .otherwise("match"))
+  }
 
   /** Published versions on disk, ascending (orphans from crashed
     * publishes included — they are data directories like any other

@@ -35,6 +35,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(result.validation.get.count() == 0) // copy is faithful
   }
 
+  test("source.mergeSchema reads a schema-evolved table; off keeps the footprint") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ms")
+    val in = tmp.resolve("in").toString
+    // table evolves: old files lack the `score` column
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(s"$in/old")
+    Seq((2L, "b", 9L)).toDF("id", "v", "score").coalesce(1).write.parquet(s"$in/new")
+    val merged = PipelineConfig.parse(cfgText(in, tmp.resolve("o1").toString,
+      "source.mergeSchema: true\n")).toOption.get
+    val got = Pipeline.read(spark, merged).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == Seq((1L, None), (2L, Some(9L))))
+    // without the opt-in, the read keeps single-footer schema resolution
+    // (whichever file wins, the union column set is NOT guaranteed)
+    val plain = PipelineConfig.parse(cfgText(in, tmp.resolve("o2").toString)).toOption.get
+    assert(Pipeline.read(spark, plain).count() == 2)
+  }
+
   test("resume: second run with recorded savepoint skips completed files") {
     val tmp = Files.createTempDirectory("graft-resume")
     val in = tmp.resolve("in").toString

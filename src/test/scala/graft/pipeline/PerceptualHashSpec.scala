@@ -159,6 +159,44 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(ids == Set(1L, 3L))
   }
 
+  test("bandLayout invariants: full 64-bit cover, pigeonhole bound, minimal-coef pick") {
+    for (d <- 0 to 15) {
+      val (layout, radius) = Multimodal.bandLayout(d)
+      // bands tile the 64 bits exactly, in order, without overlap
+      assert(layout.map(_._2).sum == 64, s"d=$d widths don't sum to 64")
+      layout.sliding(2).foreach {
+        case Seq((o1, w1), (o2, _)) => assert(o1 + w1 == o2, s"d=$d bands overlap/gap")
+        case _ => ()
+      }
+      // pigeonhole: B bands at radius r cover distance B(r+1)-1 >= d
+      assert(layout.size * (radius + 1) - 1 >= d, s"d=$d pigeonhole bound broken")
+    }
+  }
+
+  test("PROPERTY: banded near-dup equals brute force at EVERY maxDist in [0, 15]") {
+    val rng = new scala.util.Random(123L)
+    val base = Seq.fill(30)(rng.nextLong())
+    // variants at every distance tier, including spreads engineered to
+    // defeat narrow pigeonholes
+    val variants = base.take(15).zipWithIndex.map { case (h, i) =>
+      val flips = 1 + (i % 15)
+      (0 until flips).foldLeft(h)((x, j) => x ^ (1L << ((j * 13 + i * 7) % 64)))
+    }
+    val all = (base ++ variants).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df = all.toDF("id", "phash")
+    for (maxDist <- 0 to 15) {
+      val got = Multimodal.phashNearDup(df, "id", "phash", maxDist)
+        .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+      val gotSet = got.toSet
+      assert(got.length == gotSet.size, s"maxDist=$maxDist produced duplicate pairs")
+      val brute = (for {
+        (ia, ha) <- all; (ib, hb) <- all if ia < ib
+        dd = java.lang.Long.bitCount(ha ^ hb) if dd <= maxDist
+      } yield (ia, ib, dd)).toSet
+      assert(gotSet == brute, s"maxDist=$maxDist: banded != brute force")
+    }
+  }
+
   test("the stub decoder's default hash separates exact duplicates only") {
     val x = "same bytes".getBytes
     assert(StubDecoder.perceptualHash(x) == StubDecoder.perceptualHash("same bytes".getBytes))
