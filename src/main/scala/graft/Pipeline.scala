@@ -509,10 +509,32 @@ object Pipeline {
     * order. Non-resumable configs only (the per-batch loop would need
     * one observation set per batch; use plain `run` there).
     */
+  /** The directory holding a parquet target's data: the just-published
+    * immutable version dir for versioned targets, the plain path
+    * otherwise. Shared by run() and runWithStageMetrics so post-write
+    * maintenance and validation always address the same files.
+    */
+  private def resolvedDataDir(spark: SparkSession, p: TargetConfig.Parquet): String =
+    if (p.versioned)
+      graft.sources.Versioned.latestVersion(spark, p.path)
+        .map(n => new org.apache.hadoop.fs.Path(p.path, f"v_$n%010d").toString)
+        .getOrElse(p.path)
+    else p.path
+
   def runWithStageMetrics(spark: SparkSession,
                           cfg: PipelineConfig): (Result, Seq[(String, Long)]) = {
     require(cfg.savepointsDir.isEmpty,
       "stage metrics require a non-resumable run (no savepoints.dir)")
+    // TarShards and the S3-export sink execute through .rdd actions, so
+    // a SQLExecutionEnd never fires for the observed plan and every
+    // o.get() below would block FOREVER — reject instead of hanging
+    cfg.target match {
+      case _: TargetConfig.TarShards | _: TargetConfig.DynamoS3Export =>
+        throw new IllegalArgumentException(
+          "stage metrics require a SQL-executed sink (parquet/csv/json/orc): " +
+            "RDD-driven sinks never complete an Observation — use run()")
+      case _ => ()
+    }
     // Observation records metrics from the FIRST action that executes
     // the observed plan. A stage that probes its input with a
     // short-circuiting action during construction (semanticDedup's
@@ -544,18 +566,28 @@ object Pipeline {
     val metrics = observations.toSeq.map { case (name, o) =>
       name -> o.get("n").asInstanceOf[Long]
     }
-    // a configured validation block runs exactly as in run(): silently
-    // returning validation = None would turn a requested check into a no-op
+    // post-write maintenance runs exactly as in run(): compaction first,
+    // then the stats index (it must describe the compacted files), then
+    // validation — silently skipping any of them would turn configured
+    // behavior into a no-op on this entry point
+    cfg.target match {
+      case p: TargetConfig.Parquet if p.compactTargetBytes > 0 =>
+        graft.sources.Compaction.compact(spark, resolvedDataDir(spark, p),
+          p.compactTargetBytes)
+        ()
+      case _ => ()
+    }
+    cfg.target match {
+      case p: TargetConfig.Parquet if p.statsIndexColumns.nonEmpty =>
+        graft.sources.FileStatsIndex.buildAndSave(spark,
+          resolvedDataDir(spark, p), p.statsIndexColumns)
+        ()
+      case _ => ()
+    }
     val validation = (cfg.validation, cfg.target) match {
       case (Some(v), pt: TargetConfig.Parquet) =>
-        val dataDir =
-          if (pt.versioned)
-            graft.sources.Versioned.latestVersion(spark, pt.path)
-              .map(n => new org.apache.hadoop.fs.Path(pt.path, f"v_$n%010d").toString)
-              .getOrElse(pt.path)
-          else pt.path
         val src = transform(read(spark, cfg), cfg)
-        val tgt = spark.read.parquet(dataDir)
+        val tgt = spark.read.parquet(resolvedDataDir(spark, pt))
         Some(Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)
           .filter(col("diff_kind") =!= "match")
           .limit(v.failuresToFetch))
@@ -622,12 +654,7 @@ object Pipeline {
 
     // versioned targets: everything downstream (stats, validation)
     // addresses the just-published immutable version directory
-    def dataDir(p: TargetConfig.Parquet): String =
-      if (p.versioned)
-        graft.sources.Versioned.latestVersion(spark, p.path)
-          .map(n => new org.apache.hadoop.fs.Path(p.path, f"v_$n%010d").toString)
-          .getOrElse(p.path)
-      else p.path
+    def dataDir(p: TargetConfig.Parquet): String = resolvedDataDir(spark, p)
 
     // post-copy compaction BEFORE the stats index and validation: the
     // resumable loop's per-batch appends fragment the table (one-plus

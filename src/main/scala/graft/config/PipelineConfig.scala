@@ -94,6 +94,16 @@ final case class PipelineConfig(
         "incompatible with per-batch resume (savepoints) and continuous " +
         "replication (stream); run those against a plain path and publish " +
         "the finished result")
+    else if (savepointsDir.isDefined && (source match {
+      case s: SourceConfig.Parquet => !s.versioned
+      case _ => false
+    }) && (target match {
+      case p: TargetConfig.Parquet => p.mode.toLowerCase != "append"
+      case _ => false
+    }))
+      Left("savepoints.dir runs per-file-batch APPENDS — set target.mode: " +
+        "append (any other mode pretends to clear a target that a resumed " +
+        "run must never clear; wipe the directory explicitly for a fresh run)")
     else if (stream.exists(_.primaryKey.isEmpty))
       Left("stream.primaryKey must be non-empty")
     else if (stream.exists(_.orderBy.isEmpty))

@@ -40,7 +40,7 @@ object Winsorize {
   def clipByRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
                  pct: Int, outCol: String,
                  broadcastMaxGroups: Int = 1000000): DataFrame = {
-    validate(df, pct, outCol)
+    validate(df, groupCols, pct, outCol)
     val groups = groupCols.map(col)
     val w = Window.partitionBy(groups: _*).orderBy(col(valueCol).asc)
     val wAll = Window.partitionBy(groups: _*)
@@ -68,7 +68,7 @@ object Winsorize {
   def clipByQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                       pct: Int, outCol: String, sketchK: Int = 200,
                       broadcastMaxGroups: Int = 1000000): DataFrame = {
-    validate(df, pct, outCol)
+    validate(df, groupCols, pct, outCol)
     val valueType = df.schema(valueCol).dataType
     val parts = KllSketches.partials(
       df.filter(col(valueCol).isNotNull), groupCols, valueCol, sketchK)
@@ -81,28 +81,37 @@ object Winsorize {
     clipJoin(df, bounds, groupCols, valueCol, outCol, broadcastMaxGroups)
   }
 
-  /** Join the |groups|-row bounds frame back and clip. The broadcast
-    * hint is applied only when a limit-probe confirms the distinct
-    * group count is under `broadcastMaxGroups`; past that the plain
-    * join lets AQE pick the strategy.
+  /** Join the |groups|-row bounds frame back and clip. NULL-SAFE on
+    * the group keys: a NULL group is a group like any other (its
+    * bounds row exists — window/groupBy both treat null as a value),
+    * and a plain equi-join would silently leave the null group's
+    * outliers unclipped. The broadcast hint is applied only when a
+    * limit-probe confirms the distinct group count is under
+    * `broadcastMaxGroups`; past that the plain join lets AQE pick the
+    * strategy.
     */
   private def clipJoin(df: DataFrame, bounds: DataFrame, groupCols: Seq[String],
                        valueCol: String, outCol: String,
                        broadcastMaxGroups: Int): DataFrame = {
     val fits = df.select(groupCols.map(col): _*).distinct()
       .limit(broadcastMaxGroups + 1).count() <= broadcastMaxGroups
-    val boundsSide = if (fits) broadcast(bounds) else bounds
-    df.join(boundsSide, groupCols, "left")
+    val renamed = bounds.select(
+      groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(col("__lo"), col("__hi")): _*)
+    val boundsSide = if (fits) broadcast(renamed) else renamed
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(boundsSide, cond, "left")
       .withColumn(outCol,
         when(col(valueCol).isNull, lit(null))
           .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
-      .drop("__lo", "__hi")
+      .drop(groupCols.map(c => s"__g_$c") ++ Seq("__lo", "__hi"): _*)
   }
 
-  private def validate(df: DataFrame, pct: Int, outCol: String): Unit = {
+  private def validate(df: DataFrame, groupCols: Seq[String], pct: Int,
+                       outCol: String): Unit = {
     require(pct >= 1 && pct <= 49, s"pct must be in [1, 49], got $pct")
     require(!df.columns.contains(outCol), s"$outCol already exists")
-    Seq("__rn", "__n", "__lo", "__hi", "__q", "kll_sketch").foreach(c =>
+    (Seq("__rn", "__n", "__lo", "__hi", "__q", "kll_sketch") ++
+      groupCols.map(c => s"__g_$c")).foreach(c =>
       require(!df.columns.contains(c), s"$c is reserved by Winsorize"))
   }
 }

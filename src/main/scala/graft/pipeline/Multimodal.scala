@@ -263,7 +263,15 @@ object WavDecoder extends MediaDecoder {
     try {
       val f = s.getFormat
       val bits = f.getSampleSizeInBits
+      val enc = f.getEncoding
+      // linear PCM only — mu-law/a-law bytes through a linear decode
+      // would produce deterministic-looking garbage, not audio
+      require(enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED,
+        s"unsupported encoding $enc: linear PCM only")
       require(bits == 8 || bits == 16, s"unsupported PCM depth: $bits")
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val big = f.isBigEndian // AIFF is big-endian PCM; WAV little
       val frameSize = f.getFrameSize
       val n = math.min(if (s.getFrameLength < 0) maxFrames.toLong
         else s.getFrameLength, maxFrames.toLong).toInt
@@ -281,10 +289,15 @@ object WavDecoder extends MediaDecoder {
         val base = i * frameSize
         out(i) =
           if (bits == 16) {
-            val lo = buf(base) & 0xFF
-            val hi = buf(base + 1).toInt
-            ((hi << 8) | lo).toShort / 32768.0
-          } else ((buf(base) & 0xFF) - 128) / 128.0
+            val (lo, hi) =
+              if (big) (buf(base + 1) & 0xFF, buf(base).toInt)
+              else (buf(base) & 0xFF, buf(base + 1).toInt)
+            val v = ((hi << 8) | lo).toShort.toInt
+            (if (signed) v else (v & 0xFFFF) - 32768) / 32768.0
+          } else {
+            val b0 = buf(base)
+            (if (signed) b0.toInt else (b0 & 0xFF) - 128) / 128.0
+          }
         i += 1
       }
       out
@@ -473,8 +486,15 @@ object Multimodal {
     * once per partition, not per row — the property that matters when a
     * partition holds millions of rows.
     */
+  /** `lenient = true` maps UNDECODABLE payloads (truncated PNG, not
+    * actually audio, codec require failures) to a NULL meta struct
+    * instead of failing the task — at 100 TB one corrupt row must not
+    * abort the job; count the NULLs downstream as the quarantine
+    * report. Default stays strict: silent data loss needs an opt-in.
+    */
   def decodeMeta(df: DataFrame, idCol: String, payloadCol: String,
-                 decoder: MediaDecoder = StubDecoder): DataFrame = {
+                 decoder: MediaDecoder = StubDecoder,
+                 lenient: Boolean = false): DataFrame = {
     val schema = df.schema
     val idOrd = schema.fieldIndex(idCol)
     val payloadOrd = schema.fieldIndex(payloadCol)
@@ -485,7 +505,7 @@ object Multimodal {
       rows.map { row =>
         val meta =
           if (row.isNullAt(payloadOrd)) null
-          else {
+          else decodeOrNull[Row](lenient) {
             val (len, w, h, f, fb) = decoder.decodeMeta(row.getAs[Array[Byte]](payloadOrd))
             Row(len, w, h, f, fb)
           }
@@ -493,6 +513,13 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Run a decode body; under `lenient` a decode failure becomes NULL
+    * (fatal errors — OOM, interrupts — still propagate).
+    */
+  private def decodeOrNull[A >: Null](lenient: Boolean)(body: => A): A =
+    if (!lenient) body
+    else try body catch { case scala.util.control.NonFatal(_) => null }
 
   val FeatureDim: Int = StubDecoder.featureDim
 
@@ -502,7 +529,8 @@ object Multimodal {
     * per-batch tensor shape, columnar output).
     */
   def featurize(df: DataFrame, idCol: String, payloadCol: String,
-                decoder: MediaDecoder = StubDecoder): DataFrame = {
+                decoder: MediaDecoder = StubDecoder,
+                lenient: Boolean = false): DataFrame = {
     val schema = df.schema
     val idOrd = schema.fieldIndex(idCol)
     val payloadOrd = schema.fieldIndex(payloadCol)
@@ -513,7 +541,8 @@ object Multimodal {
       rows.map { row =>
         val feats =
           if (row.isNullAt(payloadOrd)) null
-          else decoder.features(row.getAs[Array[Byte]](payloadOrd)).toSeq
+          else decodeOrNull[Seq[Double]](lenient)(
+            decoder.features(row.getAs[Array[Byte]](payloadOrd)).toSeq)
         Row(row.get(idOrd), feats)
       }
     }(Encoders.row(outSchema))
@@ -552,7 +581,8 @@ object Multimodal {
     * payloads yield NULL hashes.
     */
   def perceptualHashes(df: DataFrame, idCol: String, payloadCol: String,
-                       decoder: MediaDecoder = StubDecoder): DataFrame = {
+                       decoder: MediaDecoder = StubDecoder,
+                       lenient: Boolean = false): DataFrame = {
     val schema = df.schema
     val idOrd = schema.fieldIndex(idCol)
     val payloadOrd = schema.fieldIndex(payloadCol)
@@ -562,8 +592,8 @@ object Multimodal {
       rows.map { row =>
         val h =
           if (row.isNullAt(payloadOrd)) null
-          else java.lang.Long.valueOf(
-            decoder.perceptualHash(row.getAs[Array[Byte]](payloadOrd)))
+          else decodeOrNull[java.lang.Long](lenient)(java.lang.Long.valueOf(
+            decoder.perceptualHash(row.getAs[Array[Byte]](payloadOrd))))
         Row(row.get(idOrd), h)
       }
     }(Encoders.row(outSchema))
@@ -679,11 +709,18 @@ object Multimodal {
 
   /** Frame sampling: one output row per sampled frame index, stride
     * `every`. Declarative explode over the decoded frame count — the
-    * canonical "video → frames" fan-out.
+    * canonical "video → frames" fan-out. Zero-frame payloads (an empty
+    * audio clip, a corrupt container decoded leniently) emit no rows
+    * instead of crashing the job: `sequence(0, -1)` THROWS in ANSI
+    * Spark, so the empty case is filtered before the explode.
     */
-  def sampleFrames(meta: DataFrame, idCol: String, every: Int = 4): DataFrame =
-    meta.select(col(idCol), col("meta.n_frames").as("n_frames"),
-        explode(sequence(lit(0L), col("meta.n_frames") - 1, lit(every.toLong)))
+  def sampleFrames(meta: DataFrame, idCol: String, every: Int = 4): DataFrame = {
+    require(every > 0, s"every must be positive, got $every")
+    meta.select(col(idCol), col("meta.n_frames").as("n_frames"))
+      .filter(col("n_frames") >= 1)
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong)))
           .as("frame_idx"))
       .select(col(idCol), col("frame_idx"))
+  }
 }

@@ -43,6 +43,21 @@ object TargetedDelete {
   private val MarkerDir = "_delete"
   private val RewriteMarkerDir = "_rewrite"
 
+  /** Non-empty lines of a marker file (empty for a zero-byte or
+    * unreadable marker) — the one place marker parsing lives.
+    */
+  private def markerLines(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+    body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Complete or roll back interrupted swaps; returns markers resolved. */
   def recover(spark: SparkSession, dir: String): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -50,15 +65,7 @@ object TargetedDelete {
     val fs = markers.getFileSystem(conf)
     if (!fs.exists(markers)) return 0
     val resolved = fs.listStatus(markers).filter(_.isFile).map { st =>
-      val in = fs.open(st.getPath)
-      val body = try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        new String(out.toByteArray, "UTF-8")
-      } finally in.close()
-      val lines = body.split("\n").filter(_.nonEmpty)
+      val lines = markerLines(fs, st.getPath)
       // a zero-byte or partially-flushed marker (< 2 lines) means the
       // swap never started (the rename strictly follows the marker
       // close): the originals are intact and authoritative — drop the
@@ -78,6 +85,12 @@ object TargetedDelete {
   def delete(spark: SparkSession, dir: String, keyCol: String, keys: Seq[Any],
              stats: Option[org.apache.spark.sql.DataFrame] = None): Result = {
     require(keys.nonEmpty, "empty key list — nothing to delete")
+    // a NULL in the key list poisons the keep-predicate: `NOT IN (…,
+    // NULL)` is NULL for every non-matching row, so the staged file
+    // would drop everything and the verify would abort mid-run —
+    // reject eagerly (SQL cannot target null keys through IN anyway)
+    require(!keys.contains(null), "null keys cannot be deleted through IN — " +
+      "filter null-key rows with an explicit IS NULL rewrite instead")
     require(keys.size <= 100000,
       s"${keys.size} keys: beyond the driver-bounded contract — " +
         "deleteByAntiJoin (or deleteAuto, which routes on size) handles " +
@@ -99,8 +112,16 @@ object TargetedDelete {
         val ls = keys.map(_.asInstanceOf[Number].longValue)
         Some((ls.min, ls.max))
       } else if (keys.forall(_.isInstanceOf[String])) {
+        // order by UNSIGNED UTF-8 bytes — Spark's string ordering (and
+        // therefore the stats index's min/max). Java's natural String
+        // ordering is UTF-16 code units, which ranks supplementary
+        // characters (surrogate pairs) BELOW U+E000..U+FFFF; using it
+        // here could produce an empty [lo, hi] range and silently prune
+        // every file — skipped deletions reported as success.
+        val utf8: Ordering[String] = (a: String, b: String) =>
+          java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
         val ss = keys.map(_.asInstanceOf[String])
-        Some((ss.min, ss.max))
+        Some((ss.min(utf8), ss.max(utf8)))
       } else None
     val candidates = (stats, bounds) match {
       case (Some(st), Some((lo, hi))) =>
@@ -192,6 +213,8 @@ object TargetedDelete {
   def deleteByAntiJoin(spark: SparkSession, dir: String, keyCol: String,
                        keys: Seq[Any]): Result = {
     require(keys.nonEmpty, "empty key list — nothing to delete")
+    require(!keys.contains(null), "null keys cannot be deleted through an " +
+      "equi-anti-join — filter null-key rows with an explicit IS NULL rewrite")
     recoverRewrite(spark, dir)
     recover(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -242,19 +265,11 @@ object TargetedDelete {
     val fs = markers.getFileSystem(conf)
     if (!fs.exists(markers)) return 0
     val resolved = fs.listStatus(markers).filter(_.isFile).map { st =>
-      val in = fs.open(st.getPath)
-      val body = try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        new String(out.toByteArray, "UTF-8")
-      } finally in.close()
-      val lines = body.split("\n").filter(_.nonEmpty)
+      val lines = markerLines(fs, st.getPath)
       // a partially-flushed marker (< 2 lines) means the swap never
       // started — originals intact and authoritative, drop the debris
       if (lines.length >= 2)
-        completeRewrite(fs, new Path(dir), new Path(lines.head), lines.tail.toSeq)
+        completeRewrite(fs, new Path(dir), new Path(lines.head), lines.tail)
       fs.delete(st.getPath, false)
       1
     }.sum

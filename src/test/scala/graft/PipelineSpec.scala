@@ -9,12 +9,13 @@ import graft.sources.ParquetSource
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def cfgText(in: String, out: String, extra: String = "") =
+  private def cfgText(in: String, out: String, extra: String = "",
+                      mode: String = "overwrite") =
     s"""source.type: parquet
        |source.path: $in
        |target.type: parquet
        |target.path: $out
-       |target.mode: overwrite
+       |target.mode: $mode
        |$extra""".stripMargin
 
   test("copy with where + column selection + renames, then validation is clean") {
@@ -64,7 +65,7 @@ class PipelineSpec extends AnyFunSuite {
     val files = ParquetSource.listParquetFiles(in, spark.sparkContext.hadoopConfiguration)
 
     val cfg1 = PipelineConfig.parse(cfgText(in, out,
-      s"savepoints.dir: $sp\n")).toOption.get
+      s"savepoints.dir: $sp\n", mode = "append")).toOption.get
     val r1 = Pipeline.run(spark, cfg1, fileBatchSize = 2)
     assert(r1.rowsCopied == 4)
     assert(r1.filesCompleted == files.toSet)
@@ -94,7 +95,7 @@ class PipelineSpec extends AnyFunSuite {
 
     // run 1: full copy
     val cfg1 = PipelineConfig.parse(cfgText(in, out,
-      s"savepoints.dir: ${tmp.resolve("sp")}\n")).toOption.get
+      s"savepoints.dir: ${tmp.resolve("sp")}\n", mode = "append")).toOption.get
     assert(Pipeline.run(spark, cfg1).rowsCopied == 3)
 
     // run 2: everything already copied (skipFiles = all), append mode.

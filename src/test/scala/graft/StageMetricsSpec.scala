@@ -90,9 +90,62 @@ class StageMetricsSpec extends AnyFunSuite {
          |source.path: ${TestSpark.sf}/nation.parquet
          |target.type: parquet
          |target.path: ${Files.createTempDirectory("graft-sm2").resolve("o")}
-         |target.mode: overwrite
+         |target.mode: append
          |savepoints.dir: ${Files.createTempDirectory("graft-sm3")}
          |""".stripMargin)
     intercept[IllegalArgumentException](Pipeline.runWithStageMetrics(spark, c))
+    // and a resumable config with a non-append target mode is a PARSE
+    // error: the batch loop always appends, so any other mode would lie
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/nation.parquet
+         |target.type: parquet
+         |target.path: /tmp/x
+         |target.mode: overwrite
+         |savepoints.dir: /tmp/sp
+         |""".stripMargin).swap.exists(_.contains("per-file-batch APPENDS")))
+  }
+
+  test("RDD-driven sinks are rejected instead of hanging the Observation") {
+    // TarShards writes through .rdd actions: no SQLExecutionEnd ever
+    // fires for the observed plan, so o.get() would block forever
+    val base = Files.createTempDirectory("graft-sm6")
+    val c = cfg(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/documents.parquet
+         |target.type: tar-shards
+         |target.path: ${base.resolve("tar")}
+         |target.keyColumn: doc_id
+         |target.payloadColumn: text
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException](Pipeline.runWithStageMetrics(spark, c))
+    assert(e.getMessage.contains("SQL-executed sink"))
+  }
+
+  test("compaction and stats index run on the stage-metrics entry point too") {
+    val base = Files.createTempDirectory("graft-sm7")
+    val src = base.resolve("src").toString
+    (0 until 3).foreach(i =>
+      spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+        .filter(pmod(col("n_nationkey"), lit(3)) === i).coalesce(1)
+        .write.mode("append").parquet(src))
+    val out = base.resolve("out").toString
+    val c = cfg(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |target.compactTargetBytes: 104857600
+         |target.statsIndex: n_nationkey
+         |""".stripMargin)
+    val (result, _) = Pipeline.runWithStageMetrics(spark, c)
+    val files = graft.sources.ParquetSource.listParquetFiles(
+      out, spark.sparkContext.hadoopConfiguration)
+    assert(files.size == 1, s"compaction skipped: ${files.size} files")
+    // the stats index exists and describes the COMPACTED file set
+    val stats = spark.read.parquet(s"$out/_stats")
+    assert(stats.count() == 1)
+    assert(spark.read.parquet(out).count() == result.rowsCopied)
   }
 }

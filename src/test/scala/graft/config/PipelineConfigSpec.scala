@@ -20,7 +20,8 @@ class PipelineConfigSpec extends AnyFunSuite {
   }
 
   test("full config with renames, filter, validation, savepoints") {
-    val cfg = PipelineConfig.parse(base +
+    val cfg = PipelineConfig.parse(base.replace("target.mode: overwrite",
+      "target.mode: append") +
       """source.where: id > 10
         |source.columns: id, name
         |renames: name->full_name, id->pk

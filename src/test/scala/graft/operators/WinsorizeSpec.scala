@@ -76,6 +76,27 @@ class WinsorizeSpec extends AnyFunSuite {
     assert(schema("w").dataType == org.apache.spark.sql.types.LongType)
   }
 
+  test("NULL GROUP rows clip within their own group (null-safe bounds join)") {
+    // the null group holds an extreme outlier: a plain equi-join back
+    // would leave it unclipped — the null-safe join must not
+    val df = ((1 to 20).map(v => (Option("a"), v.toLong)) ++
+      (1 to 20).map(v => (Option.empty[String], v.toLong * 100))).toDF("g", "v")
+    // pct=9: n*pct/100 = 1.8 non-integral, so the KLL inclusive rank and
+    // the exact ceil-rank agree (k = 2) and both tiers assert identically
+    for (clipped <- Seq(
+        Winsorize.clipByRank(df, Seq("g"), "v", 9, "w"),
+        Winsorize.clipByQuantiles(df, Seq("g"), "v", 9, "w"))) {
+      val byRow = clipped.collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+      // group a: n=20, k=2 -> [2, 19]
+      assert(byRow((Some("a"), 1L)) == 2L && byRow((Some("a"), 20L)) == 19L)
+      // null group: values 100..2000, k=2 -> [200, 1900] — CLIPPED
+      assert(byRow((None, 100L)) == 200L, "null group's low outlier unclipped")
+      assert(byRow((None, 2000L)) == 1900L, "null group's high outlier unclipped")
+      assert(byRow((None, 1000L)) == 1000L)
+    }
+  }
+
   test("NULL values pass through unclipped; reserved/validation errors are eager") {
     val df = Seq(("a", Some(1L)), ("a", Some(100L)), ("a", None)).toDF("g", "v")
     val got = Winsorize.clipByRank(df, Seq("g"), "v", 10, "w")

@@ -143,4 +143,45 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(frames == Seq((7L, 0L), (7L, 4L)))
   }
+
+  test("frame sampling survives zero-frame and null metas; rejects a zero stride") {
+    // ANSI Spark throws on sequence(0, -1): a zero-frame clip must emit
+    // no rows, not abort the job
+    val meta = Seq(
+      (1L, Some((10L, 1L, 1L, 0L, 0L))), // zero frames
+      (2L, Some((10L, 1L, 1L, 3L, 0L))), // three frames
+      (3L, None)                          // undecodable -> null meta
+    ).toDF("doc_id", "m")
+      .select(col("doc_id"), col("m").cast(
+        "struct<byte_len:bigint,width:bigint,height:bigint,n_frames:bigint,first_byte:bigint>")
+        .as("meta"))
+    val frames = Multimodal.sampleFrames(meta, "doc_id", every = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(frames == Set((2L, 0L), (2L, 2L)))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(meta, "doc_id", every = 0))
+  }
+
+  test("lenient decode maps corrupt payloads to NULL instead of failing the job") {
+    val df = Seq(
+      (1L, Some("not an image at all".getBytes)),
+      (2L, None)
+    ).toDF("doc_id", "payload")
+    // strict: the corrupt payload aborts (the default contract)
+    intercept[Exception] {
+      Multimodal.decodeMeta(df, "doc_id", "payload", ImageIoDecoder).collect()
+    }
+    // lenient: corrupt -> NULL meta, the job completes, nulls are countable
+    val metas = Multimodal.decodeMeta(df, "doc_id", "payload", ImageIoDecoder,
+        lenient = true)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(metas == Map(1L -> true, 2L -> true))
+    val hashes = Multimodal.perceptualHashes(df, "doc_id", "payload", ImageIoDecoder,
+        lenient = true)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(hashes == Map(1L -> true, 2L -> true))
+    val feats = Multimodal.featurize(df, "doc_id", "payload", ImageIoDecoder,
+        lenient = true)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(feats == Map(1L -> true, 2L -> true))
+  }
 }
