@@ -298,12 +298,14 @@ object Pipeline {
         whenMatchedUpdateSet = nonKeys.map(c => c -> graft.operators.Merge.s(c)).toMap,
         whenNotMatchedInsert = true,
         whenNotMatchedBySourceDelete = if (deleteStale) Some(lit(true)) else None)
-    case graft.config.TransformConfig.PhashDedupStage(id, payload, decoderName, maxDist) =>
+    case graft.config.TransformConfig.PhashDedupStage(id, payload, decoderName, maxDist, lenient) =>
       // decoder resolved HERE (driver) — the closure ships the instance,
-      // executors never consult the registry (Multimodal contract)
+      // executors never consult the registry (Multimodal contract);
+      // lenient maps undecodable payloads to NULL hashes (they never
+      // pair, so corrupt media survives the dedup instead of killing it)
       val decoder = graft.pipeline.MediaDecoders.get(decoderName)
       val hashes = graft.pipeline.Multimodal.perceptualHashes(
-        df.select(col(id), col(payload)), id, payload, decoder)
+        df.select(col(id), col(payload)), id, payload, decoder, lenient)
       val pairs = graft.pipeline.Multimodal.phashNearDup(hashes, id, "phash", maxDist)
       // drop every row with a smaller-id near-duplicate (a_id < b_id by
       // construction: b_id is the loser); NULL payloads hash NULL and
@@ -346,6 +348,8 @@ object Pipeline {
         df.select(col(id),
           graft.pipeline.Text.tokenCount(col(text)).cast("long").as("__n_tok")),
         id, "__n_tok", budget, shardWidth)
+    case graft.config.TransformConfig.ResampleStage(key, rate, denom) =>
+      graft.operators.Sampling.resampleByWeight(df, key, rate, denom)
     case graft.config.TransformConfig.WinsorizeStage(groups, value, pct, out, tier) =>
       if (tier == "approx")
         graft.operators.Winsorize.clipByQuantiles(df, groups, value, pct, out)

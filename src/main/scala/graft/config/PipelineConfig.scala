@@ -532,7 +532,8 @@ object TransformConfig {
     * columns).
     */
   final case class PhashDedupStage(idColumn: String, payloadColumn: String,
-                                   decoder: String, maxDist: Int)
+                                   decoder: String, maxDist: Int,
+                                   lenient: Boolean = false)
       extends TransformConfig {
     val name = "phashDedup"
     def check: Option[String] =
@@ -621,6 +622,22 @@ object TransformConfig {
       else if (outColumn.isEmpty) Some("transform.winsorize.outColumn required")
       else if (tier != "exact" && tier != "approx")
         Some("transform.winsorize.tier must be exact or approx")
+      else None
+  }
+  /** Deterministic importance resampling — Sampling.resampleByWeight:
+    * keep each row at its OWN integer rate (`rateColumn`, parts per
+    * `denom`) over the shared md5 bucket space — the post-scoring
+    * thinning step of a DSIR pipeline, reproducible and composable
+    * with `split`. Schema-preserving (surviving rows keep all columns).
+    */
+  final case class ResampleStage(keyColumn: String, rateColumn: String,
+                                 denom: Int)
+      extends TransformConfig {
+    val name = "resampleByWeight"
+    def check: Option[String] =
+      if (keyColumn.isEmpty) Some("transform.resampleByWeight.keyColumn required")
+      else if (rateColumn.isEmpty) Some("transform.resampleByWeight.rateColumn required")
+      else if (denom <= 0) Some("transform.resampleByWeight.denom must be positive")
       else None
   }
   /** Banded interval-overlap join — operators.IntervalJoin with the
@@ -999,6 +1016,9 @@ object PipelineConfig {
       "transform.minhashDedup.keepLongest",
       "transform.phashDedup.idColumn", "transform.phashDedup.payloadColumn",
       "transform.phashDedup.decoder", "transform.phashDedup.maxDist",
+      "transform.phashDedup.lenient",
+      "transform.resampleByWeight.keyColumn",
+      "transform.resampleByWeight.rateColumn", "transform.resampleByWeight.denom",
       "transform.scd2Append.historyPath", "transform.scd2Append.keyColumn",
       "transform.scd2Append.tsColumn", "transform.scd2Append.opColumn",
       "transform.scd2Append.upsertOp", "transform.scd2Append.deleteOp",
@@ -1511,8 +1531,10 @@ object PipelineConfig {
               .toRight("transform.phashDedup.payloadColumn required")
             md <- map.getOrElse("transform.phashDedup.maxDist", "8")
               .toIntOption.toRight("transform.phashDedup.maxDist not an int")
+            ln <- map.getOrElse("transform.phashDedup.lenient", "false")
+              .toBooleanOption.toRight("transform.phashDedup.lenient not a boolean")
           } yield TransformConfig.PhashDedupStage(id, pay,
-            map.getOrElse("transform.phashDedup.decoder", "stub"), md)
+            map.getOrElse("transform.phashDedup.decoder", "stub"), md, ln)
         case "scd2Append" =>
           for {
             hp <- map.get("transform.scd2Append.historyPath")
@@ -1552,6 +1574,15 @@ object PipelineConfig {
             sw <- map.getOrElse("transform.seqPack.shardWidth", "100000")
               .toLongOption.toRight("transform.seqPack.shardWidth not a long")
           } yield TransformConfig.SeqPack(id, text, bu, sw)
+        case "resampleByWeight" =>
+          for {
+            key <- map.get("transform.resampleByWeight.keyColumn")
+              .toRight("transform.resampleByWeight.keyColumn required")
+            rate <- map.get("transform.resampleByWeight.rateColumn")
+              .toRight("transform.resampleByWeight.rateColumn required")
+            denom <- map.getOrElse("transform.resampleByWeight.denom", "1000000")
+              .toIntOption.toRight("transform.resampleByWeight.denom not an int")
+          } yield TransformConfig.ResampleStage(key, rate, denom)
         case "winsorize" =>
           for {
             value <- map.get("transform.winsorize.valueColumn")

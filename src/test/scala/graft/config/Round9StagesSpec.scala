@@ -217,6 +217,51 @@ class Round9StagesSpec extends AnyFunSuite {
          |""".stripMargin).isLeft)
   }
 
+  test("resampleByWeight stage thins per-row; lenient phashDedup survives corrupt media") {
+    // per-row rates from config: weight 0 drops, weight denom keeps
+    val df = ((1 to 50).map(i => (i.toLong, if (i % 2 == 0) 0L else 1000L)))
+      .toDF("id", "w")
+    val kept = Pipeline.transform(df, cfgFor(
+      """transforms: resampleByWeight
+        |transform.resampleByWeight.keyColumn: id
+        |transform.resampleByWeight.rateColumn: w
+        |transform.resampleByWeight.denom: 1000
+        |""".stripMargin))
+      .select("id").as[Long].collect().toSet
+    assert(kept == (1 to 50).filter(_ % 2 == 1).map(_.toLong).toSet)
+    // lenient phashDedup: two copies of a REAL image + one corrupt blob —
+    // the dup still drops, the corrupt row survives as NULL instead of
+    // killing the job (strict mode throws on it)
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = (x * 4 + y * 5 + seed) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(0)), (2L, png(0)), // identical image -> 2 drops
+      (3L, "definitely not an image".getBytes)
+    ).toDF("doc_id", "payload")
+    def cfgLenient(flag: Boolean) = cfgFor(
+      s"""transforms: phashDedup
+         |transform.phashDedup.idColumn: doc_id
+         |transform.phashDedup.payloadColumn: payload
+         |transform.phashDedup.decoder: imageio
+         |transform.phashDedup.maxDist: 4
+         |transform.phashDedup.lenient: $flag
+         |""".stripMargin)
+    val out = Pipeline.transform(media, cfgLenient(true))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+    intercept[Exception](
+      Pipeline.transform(media, cfgLenient(false)).collect())
+  }
+
   test("terminal graph stages write through the full pipeline run") {
     val edgesDir = Files.createTempDirectory("graft-r9s-e").resolve("edges").toString
     Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("s", "d").write.parquet(edgesDir)
