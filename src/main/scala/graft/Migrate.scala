@@ -21,7 +21,18 @@ object Migrate {
     spark.sparkContext.setLogLevel("WARN")
     println(s"[migrate] ${cfg.renderRedacted}")
     try {
-      val result = Pipeline.run(spark, cfg)
+      // the reference's restart contract (Migrator re-reads the savepoint
+      // config on startup): re-running the same command after a crash
+      // CONTINUES the copy — resume() merges the newest savepoint's
+      // completed-file set and falls through to a plain run when none exists
+      val result =
+        if (cfg.savepointsDir.isDefined) {
+          val done = savepoints.SavepointsManager.loadLatest(
+            cfg.savepointsDir.get, spark.sparkContext.hadoopConfiguration)
+          if (done.nonEmpty)
+            println(s"[migrate] resuming: ${done.size} files already completed")
+          Pipeline.resume(spark, cfg)
+        } else Pipeline.run(spark, cfg)
       println(s"[migrate] rows copied: ${result.rowsCopied}; " +
         s"files completed: ${result.filesCompleted.size}")
       result.validation.foreach { v =>
