@@ -142,6 +142,26 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("LAW composes: three sequential absorptions equal the full rebuild") {
+    // append's output must be a valid INPUT labeling for the next append
+    // (reps are min ids, every node labeled) — the induction step that
+    // makes continuous maintenance sound
+    val rng = new scala.util.Random(77L)
+    val n = 50
+    val edges = (1 to 90).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val parts = edges.grouped(math.max(1, edges.size / 3)).toSeq
+    def nodesOf(es: Seq[(Long, Long)]) =
+      es.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+    val full = Graphs.connectedComponents(nodesOf(edges), edges.toDF("src", "dst"), "id")
+      .as[(Long, Long)].collect().toMap
+    var labels = Graphs.connectedComponents(
+      nodesOf(parts.head), parts.head.toDF("src", "dst"), "id")
+    parts.tail.foreach(p =>
+      labels = Graphs.appendToComponents(labels, p.toDF("src", "dst")))
+    assert(labels.as[(Long, Long)].collect().toMap == full)
+  }
+
   test("appendToComponents with a new-node rep smaller than every old rep") {
     // component {10, 11} rep 10; new edge 0-11: merged rep must become 0
     val labels = Seq((10L, 10L), (11L, 10L)).toDF("id", "rep")
