@@ -1986,6 +1986,57 @@ object SparkEntry {
       .orderBy(col("s_suppkey"))
   }
 
+  /** The AUTO-width interval join under the same oracle as the pinned
+    * width: overlap semantics are band-width-INDEPENDENT by
+    * construction, so whatever width the span probe picks must
+    * reproduce the fixed-width result hash-for-hash — the measured
+    * guarantee that the measure-then-route tier can never trade
+    * correctness for its tuning.
+    */
+  private def qIntervalAuto(s: SparkSession, d: String): DataFrame = {
+    def iv(p: String) = t(s, d, "lineitem").select(
+        col("l_suppkey").as(s"${p}_k"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as(s"${p}_id"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long").as(s"${p}_lo"),
+        (datediff(to_date(col("l_shipdate")), lit("1970-01-01")) +
+          col("l_quantity").cast("long") + 1).as(s"${p}_hi"))
+      .groupBy(s"${p}_k", s"${p}_id")
+      .agg(min(col(s"${p}_lo")).as(s"${p}_lo"), min(col(s"${p}_hi")).as(s"${p}_hi"))
+    graft.operators.IntervalJoin.overlapJoinAuto(iv("a"), iv("b"),
+        "a_lo", "a_hi", "b_lo", "b_hi", keys = Seq(("a_k", "b_k")))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_k").cast("long").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("overlap_hi") - col("overlap_lo")).cast("long").as("sum_overlap_days"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Publish-audit diff between two deterministic versions of an
+    * orders projection, END TO END through the versioned-table
+    * machinery (two real publishes into an immutable root, then
+    * [[graft.sources.Versioned.diffVersions]]): v2 drops keys
+    * divisible by 7, adds keys ≡ 1 (mod 7) that v1 lacked, and
+    * re-prices keys ≡ 2 (mod 5); the oracle recomputes the kind
+    * classification from the same arithmetic with a full-outer join.
+    */
+  private def qVersionDiff(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vdiff")
+      .resolve("t").toString
+    val o = t(s, d, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    graft.sources.Versioned.publish(
+      o.filter(pmod(col("o_orderkey"), lit(7)) =!= 1), root)
+    graft.sources.Versioned.publish(
+      o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("cents", when(pmod(col("o_orderkey"), lit(5)) === 2,
+          col("cents") + 1).otherwise(col("cents"))), root)
+    graft.sources.Versioned.diffVersions(s, root, 1L, 2L, Seq("o_orderkey"))
+      .groupBy(col("diff_kind"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("long").as("key_sum"))
+      .orderBy(col("diff_kind"))
+  }
+
   /** Declarative data-quality constraint report over orders (+ a
     * referential-integrity check from lineitem): all scalar
     * constraints in ONE aggregation pass, uniqueness as one hash
@@ -2344,6 +2395,8 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_interval_join" -> (qIntervalJoin _),
+    "q_interval_auto" -> (qIntervalAuto _),
+    "q_version_diff" -> (qVersionDiff _),
     "q_constraints" -> (qConstraints _),
     "q_anomaly" -> (qAnomaly _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
@@ -2740,6 +2793,30 @@ object SparkEntry {
         "FROM iv a JOIN iv b ON a.k = b.k AND a.id < b.id " +
         "AND a.lo < b.hi AND b.lo < a.hi " +
         "GROUP BY a.k ORDER BY s_suppkey"),
+
+    // overlap semantics are band-width-independent: the auto-picked
+    // width must reproduce the pinned-width result exactly
+    "q_interval_auto" ->
+      ("WITH iv0 AS (SELECT l_suppkey AS k, l_orderkey * 10 + l_linenumber AS id, " +
+        "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS lo, " +
+        "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) " +
+        "+ CAST(l_quantity AS BIGINT) + 1 AS BIGINT) AS hi FROM lineitem), " +
+        "iv AS (SELECT k, id, min(lo) AS lo, min(hi) AS hi FROM iv0 GROUP BY k, id) " +
+        "SELECT CAST(a.k AS BIGINT) AS s_suppkey, count(*) AS n_overlaps, " +
+        "CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT) AS sum_overlap_days " +
+        "FROM iv a JOIN iv b ON a.k = b.k AND a.id < b.id " +
+        "AND a.lo < b.hi AND b.lo < a.hi " +
+        "GROUP BY a.k ORDER BY s_suppkey"),
+
+    // the arithmetic classification of the engineered publishes:
+    // % 7 = 0 only in v1 (removed), % 7 = 1 only in v2 (added),
+    // % 5 = 2 re-priced (changed), everything else identical
+    "q_version_diff" ->
+      ("SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'removed' " +
+        "WHEN o_orderkey % 7 = 1 THEN 'added' " +
+        "WHEN o_orderkey % 5 = 2 THEN 'changed' ELSE 'match' END AS diff_kind, " +
+        "count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders GROUP BY 1 ORDER BY diff_kind"),
 
     "q_constraints" ->
       ("SELECT check_name, value, value = 0 AS passed FROM (" +
