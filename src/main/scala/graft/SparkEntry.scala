@@ -2037,6 +2037,31 @@ object SparkEntry {
       .orderBy(col("diff_kind"))
   }
 
+  /** Config-driven TIME TRAVEL under the oracle: publish two real
+    * versions of a nation projection, then read version 1 through the
+    * pipeline's `source.versionAt` pin — the audit read must see
+    * exactly the old snapshot even though `_LATEST` points at v2.
+    */
+  private def qTimetravel(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-tt")
+      .resolve("t").toString
+    val nation = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+    graft.sources.Versioned.publish(nation.filter(col("n_nationkey") < 13), root)
+    graft.sources.Versioned.publish(nation, root)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $root
+         |source.versioned: true
+         |source.versionAt: 1
+         |target.type: parquet
+         |target.path: $root-unused-target
+         |target.mode: overwrite
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.read(s, cfg)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Declarative data-quality constraint report over orders (+ a
     * referential-integrity check from lineitem): all scalar
     * constraints in ONE aggregation pass, uniqueness as one hash
@@ -2397,6 +2422,7 @@ object SparkEntry {
     "q_interval_join" -> (qIntervalJoin _),
     "q_interval_auto" -> (qIntervalAuto _),
     "q_version_diff" -> (qVersionDiff _),
+    "q_timetravel" -> (qTimetravel _),
     "q_constraints" -> (qConstraints _),
     "q_anomaly" -> (qAnomaly _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
@@ -2817,6 +2843,11 @@ object SparkEntry {
         "WHEN o_orderkey % 5 = 2 THEN 'changed' ELSE 'match' END AS diff_kind, " +
         "count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
         "FROM orders GROUP BY 1 ORDER BY diff_kind"),
+
+    // the pinned version-1 publish holds exactly the keys < 13
+    "q_timetravel" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name " +
+        "FROM nation WHERE n_nationkey < 13 ORDER BY n_nationkey"),
 
     "q_constraints" ->
       ("SELECT check_name, value, value = 0 AS passed FROM (" +
