@@ -743,14 +743,21 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
     * chunks (hamming<=3 pairs must collide on at least one chunk), join
-    * on chunks, verify hamming distance with bit_count(xor).
+    * on chunks, verify hamming distance with bit_count(xor). Radii in
+    * (3, 15] route through the shared multi-index machinery
+    * (`Multimodal.phashNearDup` — per-distance optimal band layout with
+    * probe masks), so the whole [0, 15] range is recall-lossless under
+    * one entry point.
     */
   def simHashPairs(df: DataFrame, idCol: String, simhashCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming must be in [0, 3]: 4 exact 16-bit bands pigeonhole " +
-        s"distances <= 3 only (got $maxHamming); use " +
-        s"Multimodal.phashNearDup for radii up to 15")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (the 4-band radius-3 probe bound), " +
+        s"got $maxHamming")
+    if (maxHamming > 3)
+      return Multimodal.phashNearDup(df.select(col(idCol), col(simhashCol)),
+          idCol, simhashCol, maxHamming)
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("hamming"))
     val chunkCols = (0 until 4).map(c =>
       shiftright(col(simhashCol), c * 16).bitwiseAND(lit(0xFFFFL)))
     val chunks = df.select(col(idCol).as("id"), col(simhashCol).as("sig"),

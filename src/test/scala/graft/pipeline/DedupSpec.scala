@@ -78,6 +78,15 @@ class DedupSpec extends AnyFunSuite {
     val dup = spark.createDataFrame(Seq((1L, "spark row table scan"), (2L, "spark row table scan"),
       (3L, "completely different words entirely"))).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.simHashExpr("text").as("simhash"))
+    // radii past the classic 4-chunk bound delegate to the shared
+    // multi-index machinery with the same column contract
+    val wide = Dedup.simHashPairs(dup, "doc_id", "simhash", maxHamming = 8)
+    assert(wide.columns.toSeq == Seq("id_a", "id_b", "hamming"))
+    val narrow3 = Dedup.simHashPairs(dup, "doc_id", "simhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide3 = wide.filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrow3 == wide3, "wide-radius arm disagrees with the classic arm at <= 3")
     val pairs = Dedup.simHashPairs(dup, "doc_id", "simhash", maxHamming = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
