@@ -11,6 +11,31 @@ import scala.util.control.NonFatal
   * mirroring tests/.../ThroughputReporter.scala:5-13.
   */
 object Bench {
+  /** Per-query timings from the newest `BENCH_r*.json` in `dir`, feeding
+    * the >30% regression-retime net. Driver-written round files wrap the
+    * bench's stdout JSON line under a `parsed` key (top-level keys are
+    * `{n, rc, cpus, sf, tail, parsed}`), so look there first and fall
+    * back to a top-level `queries` for raw bench output saved directly.
+    */
+  private[graft] def priorQueries(dir: java.io.File): Map[String, Double] = {
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    files.sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption.flatMap { f =>
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val qs = Option(root.get("parsed")).map(_.get("queries"))
+          .filter(_ != null).getOrElse(root.get("queries"))
+        if (qs == null) None
+        else {
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          val it = qs.fields()
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+          Some(m.toMap)
+        }
+      } catch { case NonFatal(_) => None }
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -166,23 +191,7 @@ object Bench {
     // the latest committed BENCH_r*.json in the working directory: any
     // query >30% over its prior-round value gets fresh counter-evidence
     // too (sub-second regressions used to escape the slowest-5 net).
-    val prior: Map[String, Double] = {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      files.sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption.flatMap { f =>
-        try {
-          val qs = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(f).get("queries")
-          if (qs == null) None
-          else {
-            val m = scala.collection.mutable.Map.empty[String, Double]
-            val it = qs.fields()
-            while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
-            Some(m.toMap)
-          }
-        } catch { case NonFatal(_) => None }
-      }.getOrElse(Map.empty)
-    }
+    val prior: Map[String, Double] = priorQueries(new java.io.File("."))
     val slowest = results.toSeq.sortBy(-_._2).take(5).map(_._1)
     // worst absolute regressions first; capped so a machine-wide slowdown
     // (everything nominally "regressed") can't triple-run the whole sweep

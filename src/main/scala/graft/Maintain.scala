@@ -7,7 +7,7 @@ package graft
   *   runMain graft.Maintain compact <dir> <targetBytes> [smallBytes]
   *   runMain graft.Maintain stats <dir> <col>[,col...]      # build or
   *                                                          # incrementally update
-  *   runMain graft.Maintain vacuum <versionedRoot> [keep]
+  *   runMain graft.Maintain vacuum <versionedRoot> [keep] [minAgeMs]
   *   runMain graft.Maintain delete <dir> <keyCol> <key>[,key...]  # targeted
   *                                                  # right-to-be-forgotten rewrite
   *
@@ -39,7 +39,8 @@ object Maintain {
           s"${spark.read.parquet(path).count()} file entries over ${cols.mkString(",")}")
       case "vacuum" =>
         val keep = if (args.length > 2) args(2).toInt else 2
-        val retired = sources.Versioned.vacuum(spark, args(1), keep)
+        val minAgeMs = if (args.length > 3) args(3).toLong else 0L
+        val retired = sources.Versioned.vacuum(spark, args(1), keep, minAgeMs)
         println(s"[maintain] vacuumed ${retired.size} versions " +
           s"(${retired.mkString(",")}); " +
           s"current = ${sources.Versioned.latestVersion(spark, args(1)).getOrElse("-")}")
@@ -89,7 +90,7 @@ object Maintain {
     System.err.println(
       """usage: graft.Maintain compact <dir> <targetBytes> [smallBytes]
         |       graft.Maintain stats <dir> <col>[,col...]
-        |       graft.Maintain vacuum <versionedRoot> [keep]
+        |       graft.Maintain vacuum <versionedRoot> [keep] [minAgeMs]
         |       graft.Maintain delete <dir> <keyCol> <key>[,key...]
         |       graft.Maintain delete <dir> <keyCol> @<keyfile>   # one key per line
         |       graft.Maintain diff <versionedRoot> <vA> <vB> <pk>[,pk...]""".stripMargin)

@@ -26,13 +26,10 @@ object Migrate {
       // CONTINUES the copy — resume() merges the newest savepoint's
       // completed-file set and falls through to a plain run when none exists
       val result =
-        if (cfg.savepointsDir.isDefined) {
-          val done = savepoints.SavepointsManager.loadLatest(
-            cfg.savepointsDir.get, spark.sparkContext.hadoopConfiguration)
-          if (done.nonEmpty)
-            println(s"[migrate] resuming: ${done.size} files already completed")
-          Pipeline.resume(spark, cfg)
-        } else Pipeline.run(spark, cfg)
+        if (cfg.savepointsDir.isDefined)
+          Pipeline.resume(spark, cfg, onSkipSetLoaded = n =>
+            if (n > 0) println(s"[migrate] resuming: $n files already completed"))
+        else Pipeline.run(spark, cfg)
       println(s"[migrate] rows copied: ${result.rowsCopied}; " +
         s"files completed: ${result.filesCompleted.size}")
       result.validation.foreach { v =>

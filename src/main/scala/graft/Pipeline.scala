@@ -614,11 +614,15 @@ object Pipeline {
     * contract (savepoints config re-read on startup) as one call.
     */
   def resume(spark: SparkSession, cfg: PipelineConfig,
-             fileBatchSize: Int = 64): Result = {
+             fileBatchSize: Int = 64,
+             onSkipSetLoaded: Int => Unit = _ => ()): Result = {
     val dir = cfg.savepointsDir.getOrElse(throw new IllegalArgumentException(
       "resume requires savepoints.dir"))
     val done = SavepointsManager.loadLatest(
       dir, spark.sparkContext.hadoopConfiguration)
+    // callers report progress through the hook rather than re-reading
+    // the newest savepoint themselves (one filesystem read, not two)
+    onSkipSetLoaded(done.size)
     run(spark, cfg.copy(skipFiles = cfg.skipFiles ++ done), fileBatchSize)
   }
 
@@ -633,9 +637,10 @@ object Pipeline {
     var batchIdx = 0
     try {
       cfg.source match {
-        case SourceConfig.Parquet(path, where, columns, false, _, _) if cfg.savepointsDir.isDefined =>
+        case SourceConfig.Parquet(path, where, columns, false, _, mergeSchema) if cfg.savepointsDir.isDefined =>
           // resumable path: deterministic file batches, append per batch
-          ParquetSource.processInBatches(spark, path, cfg.skipFiles, fileBatchSize) { batch =>
+          ParquetSource.processInBatches(spark, path, cfg.skipFiles, fileBatchSize,
+              mergeSchema = mergeSchema) { batch =>
             var df = where.fold(batch)(w => batch.filter(expr(w)))
             df = columns.fold(df)(cs => Relational.selectResolved(df, cs))
             df = transform(df, cfg)

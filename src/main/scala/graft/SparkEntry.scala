@@ -2062,6 +2062,43 @@ object SparkEntry {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Schema-evolution read, oracle-pinned end to end: a table written
+    * in two schema generations (gen 2 adds `n_regionkey`) is copied
+    * through the config surface's RESUMABLE batch path
+    * (`savepoints.dir` + `source.mergeSchema: true`, fileBatchSize=1 so
+    * each generation is its own batch) and the target read back. The
+    * batch loop pins the union schema across every remaining file, so
+    * gen-1 batches carry the evolved column as nulls instead of
+    * silently dropping it — the DuckDB oracle replays the same union
+    * from `nation` with `union_by_name` semantics spelled out.
+    */
+  private def qSchemaEvo(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-sevo")
+    val src = base.resolve("src").toString
+    val out = base.resolve("out").toString
+    val nation = t(s, d, "nation")
+    nation.select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), lit(1L).as("gen"))
+      .coalesce(1).write.mode("append").parquet(src)
+    nation.select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), lit(2L).as("gen"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |source.mergeSchema: true
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: append
+         |savepoints.dir: ${base.resolve("sp")}
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg, fileBatchSize = 1)
+    s.read.parquet(out)
+      .select(col("n_nationkey"), col("n_name"), col("gen"), col("n_regionkey"))
+      .orderBy(col("gen"), col("n_nationkey"))
+  }
+
   /** Declarative data-quality constraint report over orders (+ a
     * referential-integrity check from lineitem): all scalar
     * constraints in ONE aggregation pass, uniqueness as one hash
@@ -2423,6 +2460,7 @@ object SparkEntry {
     "q_interval_auto" -> (qIntervalAuto _),
     "q_version_diff" -> (qVersionDiff _),
     "q_timetravel" -> (qTimetravel _),
+    "q_schema_evo" -> (qSchemaEvo _),
     "q_constraints" -> (qConstraints _),
     "q_anomaly" -> (qAnomaly _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
@@ -2848,6 +2886,16 @@ object SparkEntry {
     "q_timetravel" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name " +
         "FROM nation WHERE n_nationkey < 13 ORDER BY n_nationkey"),
+
+    // union_by_name semantics spelled out: gen 1 predates n_regionkey,
+    // so the merged read must surface it as NULL for those rows
+    "q_schema_evo" ->
+      ("SELECT * FROM (" +
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+        "CAST(1 AS BIGINT) AS gen, CAST(NULL AS BIGINT) AS n_regionkey FROM nation " +
+        "UNION ALL SELECT CAST(n_nationkey AS BIGINT), n_name, " +
+        "CAST(2 AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation" +
+        ") ORDER BY gen, n_nationkey"),
 
     "q_constraints" ->
       ("SELECT check_name, value, value = 0 AS passed FROM (" +

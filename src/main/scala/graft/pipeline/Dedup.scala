@@ -752,7 +752,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, simhashCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15] (the 4-band radius-3 probe bound), " +
+      s"maxHamming must be in [0, 15] (the per-distance band layouts in Multimodal.bandLayout cover radii 0-15), " +
         s"got $maxHamming")
     if (maxHamming > 3)
       return Multimodal.phashNearDup(df.select(col(idCol), col(simhashCol)),
@@ -832,7 +832,7 @@ object Dedup {
                       broadcastMaxQueries: Long = 1L << 17,
                       numQueries: Option[Long] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15] (the 4-band radius-3 probe bound), got $maxHamming")
+      s"maxHamming must be in [0, 15] (the per-distance band layouts in Multimodal.bandLayout cover radii 0-15), got $maxHamming")
     val nQ = numQueries.getOrElse(queries.count())
     if (nQ <= broadcastMaxQueries)
       hammingTopK(queries, corpus, idCol, sigCol, k, excludeSelf)

@@ -360,6 +360,14 @@ object WavDecoder extends MediaDecoder {
     */
   def resize(bytes: Array[Byte], maxBytes: Int): Array[Byte] = {
     if (bytes.length <= maxBytes) return bytes
+    // write back the INPUT container (AIFF/AU inputs decode fine but
+    // would otherwise come back silently re-wrapped as WAV — or throw,
+    // for writers that reject the byte order); fall back to WAVE only
+    // when the container can't be sniffed
+    val containerType =
+      try AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes)).getType
+      catch { case _: Exception => javax.sound.sampled.AudioFileFormat.Type.WAVE }
     val s = open(bytes)
     try {
       val f = s.getFormat
@@ -367,7 +375,7 @@ object WavDecoder extends MediaDecoder {
       val limited = new AudioInputStream(s, f, math.min(framesAllowed,
         if (s.getFrameLength < 0) framesAllowed else s.getFrameLength))
       val baos = new java.io.ByteArrayOutputStream()
-      AudioSystem.write(limited, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      AudioSystem.write(limited, containerType, baos)
       baos.toByteArray
     } finally s.close()
   }

@@ -54,12 +54,22 @@ object ParquetSource {
     * savepoint between batches.
     */
   def processInBatches(spark: SparkSession, root: String, skipFiles: Set[String],
-                       batchSize: Int)(
+                       batchSize: Int, mergeSchema: Boolean = false)(
       process: DataFrame => Unit)(onBatchDone: Seq[String] => Unit): Unit = {
     val remaining = listParquetFiles(root, spark.sparkContext.hadoopConfiguration)
       .filterNot(skipFiles.contains)
+    // Schema-evolved tables: union the per-file schemas ONCE across every
+    // remaining file (footer reads only — no data scan), then pin that
+    // schema on each batch read. Without the pin, each batch would carry
+    // only its own files' columns and the appended target would silently
+    // drop evolved columns batch by batch.
+    val pinned: Option[org.apache.spark.sql.types.StructType] =
+      if (mergeSchema && remaining.nonEmpty)
+        Some(spark.read.option("mergeSchema", "true").parquet(remaining: _*).schema)
+      else None
     remaining.grouped(batchSize).foreach { batch =>
-      process(spark.read.parquet(batch: _*))
+      val reader = pinned.fold(spark.read)(s => spark.read.schema(s))
+      process(reader.parquet(batch: _*))
       onBatchDone(batch)
     }
   }

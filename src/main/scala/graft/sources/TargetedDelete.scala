@@ -43,6 +43,13 @@ object TargetedDelete {
   private val MarkerDir = "_delete"
   private val RewriteMarkerDir = "_rewrite"
 
+  /** Hard ceiling on keys the targeted path may inline into a pushed
+    * `IN` predicate — shared by [[delete]]'s contract check and
+    * [[deleteAuto]]'s routing so a caller-raised `inlineMaxKeys` can
+    * never route a key set into a path that rejects it.
+    */
+  val InlineKeyCap = 100000
+
   /** Non-empty lines of a marker file (empty for a zero-byte or
     * unreadable marker) — the one place marker parsing lives.
     */
@@ -91,7 +98,7 @@ object TargetedDelete {
     // reject eagerly (SQL cannot target null keys through IN anyway)
     require(!keys.contains(null), "null keys cannot be deleted through IN — " +
       "filter null-key rows with an explicit IS NULL rewrite instead")
-    require(keys.size <= 100000,
+    require(keys.size <= InlineKeyCap,
       s"${keys.size} keys: beyond the driver-bounded contract — " +
         "deleteByAntiJoin (or deleteAuto, which routes on size) handles " +
         "deletion sets this large without inlining them")
@@ -132,49 +139,106 @@ object TargetedDelete {
     if (candidates.isEmpty) return Result(0, 0L, all.size)
 
     val inKeys = col(keyCol).isInCollection(keys)
-    val affected = spark.read.parquet(candidates: _*)
+    val table = spark.read.parquet(candidates: _*)
+    val dataCols = table.columns.toSeq
+    val affected = table
       .filter(inKeys)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSeq
 
     var deleted = 0L
-    affected.zipWithIndex.foreach { case (file, i) =>
-      val original = new Path(file)
-      val df = spark.read.parquet(file)
-      // one pass for both counts (the verify read below is separate by
-      // design: it must observe the STAGED file's actual content)
-      val counts = df.agg(count(lit(1)),
-        coalesce(sum(when(inKeys, 1L).otherwise(0L)), lit(0L))).head()
-      val total = counts.getLong(0)
-      val matched = counts.getLong(1)
-      val staging = new Path(dir, s"_delete_staging_$i")
-      df.filter(!inKeys || col(keyCol).isNull).coalesce(1)
-        .write.mode("overwrite").parquet(staging.toString)
-      val part = fs.listStatus(staging)
-        .map(_.getPath).find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet written under $staging"))
-      val got = spark.read.parquet(part.toString).count()
-      require(got == total - matched,
-        s"delete rewrite of $file row mismatch: $got != ${total - matched} — " +
-          "aborting, original kept")
-      val target = new Path(dir,
-        s"part-deleted-$i-${java.util.UUID.randomUUID()}.parquet")
-      val markers = new Path(dir, MarkerDir)
-      require(fs.mkdirs(markers) || fs.exists(markers),
-        s"could not create marker dir $markers — aborting before the swap")
-      val marker = new Path(markers, s"file_$i.json")
-      val out = fs.create(marker, true)
-      try out.write(s"$target\n$original".getBytes("UTF-8")) finally out.close()
-      // rename is the commit point: Hadoop FileSystems report failure by
-      // returning false, and deleting the original after a failed move
-      // would destroy the only copy of its rows — abort with the original
-      // intact (recover() then drops the marker: the target never appeared)
-      require(fs.rename(part, target),
-        s"rename $part -> $target failed — aborting swap, original kept")
-      fs.delete(original, false)
-      fs.delete(marker, false)
+    if (affected.nonEmpty) {
+      // ONE staging job for every affected file (the per-file loop this
+      // replaced ran |affected| serial read→write jobs — 10k files at
+      // 100 TB meant 10k jobs): tag each row with its source file's
+      // index via a broadcast map-join on input_file_name(), filter the
+      // survivors, write them partitioned by that index — hash
+      // repartitioning puts all of a file's rows in one task, so each
+      // `__gidx=N/` directory holds exactly one staged part. Per-file
+      // counts and the staged verify are one aggregation job each, ALL
+      // files are verified before ANY swap (an inconsistency aborts the
+      // whole delete with every original intact), and the swap loop
+      // below is pure filesystem work under the same per-file marker
+      // protocol recover() already understands. Rows from evolved files
+      // are normalized to the candidates' common read schema (same
+      // contract as deleteByAntiJoin).
+      val keep = !inKeys || col(keyCol).isNull
+      val idxDf = broadcast(spark.createDataFrame(
+        affected.zipWithIndex).toDF("__f", "__gidx"))
+      val tagged = spark.read.parquet(affected: _*)
+        .withColumn("__f", input_file_name()).join(idxDf, "__f")
+      val countsByFile: Map[Int, (Long, Long)] = tagged.groupBy(col("__gidx"))
+        .agg(count(lit(1)).as("total"),
+          coalesce(sum(when(inKeys, 1L).otherwise(0L)), lit(0L)).as("matched"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val staging = new Path(dir, "_delete_staging")
+      tagged.filter(keep)
+        .select(col("__gidx") +: dataCols.map(col): _*)
+        .repartition(col("__gidx"))
+        .write.mode("overwrite").partitionBy("__gidx").parquet(staging.toString)
+      // the verify reads the STAGED directory's actual content (never
+      // trusts the write's own accounting); a delete that empties every
+      // affected file stages no data files at all — schema inference on
+      // the bare _SUCCESS dir would throw, and the expected count is 0
+      val stagedCounts: Map[Int, Long] =
+        if (countsByFile.values.forall { case (t, m) => t == m }) Map.empty
+        else spark.read.parquet(staging.toString)
+          .groupBy(col("__gidx")).agg(count(lit(1)))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      affected.zipWithIndex.foreach { case (file, i) =>
+        val (total, matched) = countsByFile.getOrElse(i,
+          throw new IllegalStateException(s"no counts for affected file $file"))
+        val got = stagedCounts.getOrElse(i, 0L)
+        require(got == total - matched,
+          s"delete rewrite of $file row mismatch: $got != ${total - matched} — " +
+            "aborting, originals kept")
+      }
+      // a file whose every row matched has no staged directory: stage
+      // ONE empty-but-schema'd template (a single tiny job, only when
+      // needed) and copy it per such file — the swap protocol below
+      // stays uniform
+      val emptyTemplate: Option[Path] =
+        if (countsByFile.values.exists { case (t, m) => t == m }) {
+          val emptyDir = new Path(staging, "__empty")
+          table.limit(0).coalesce(1).write.mode("overwrite").parquet(emptyDir.toString)
+          val tmpl = fs.listStatus(emptyDir).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no template under $emptyDir"))
+          Some(tmpl)
+        } else None
+      affected.zipWithIndex.foreach { case (file, i) =>
+        val original = new Path(file)
+        val (total, matched) = countsByFile(i)
+        val partDir = new Path(staging, s"__gidx=$i")
+        val part =
+          if (total > matched)
+            fs.listStatus(partDir).map(_.getPath).find(_.getName.endsWith(".parquet"))
+              .getOrElse(throw new IllegalStateException(s"no parquet under $partDir"))
+          else {
+            val cp = new Path(staging, s"empty_$i.parquet")
+            org.apache.hadoop.fs.FileUtil.copy(fs, emptyTemplate.get, fs, cp,
+              false, conf)
+            cp
+          }
+        val target = new Path(dir,
+          s"part-deleted-$i-${java.util.UUID.randomUUID()}.parquet")
+        val markers = new Path(dir, MarkerDir)
+        require(fs.mkdirs(markers) || fs.exists(markers),
+          s"could not create marker dir $markers — aborting before the swap")
+        val marker = new Path(markers, s"file_$i.json")
+        val out = fs.create(marker, true)
+        try out.write(s"$target\n$original".getBytes("UTF-8")) finally out.close()
+        // rename is the commit point: Hadoop FileSystems report failure by
+        // returning false, and deleting the original after a failed move
+        // would destroy the only copy of its rows — abort with the original
+        // intact (recover() then drops the marker: the target never appeared)
+        require(fs.rename(part, target),
+          s"rename $part -> $target failed — aborting swap, original kept")
+        fs.delete(original, false)
+        fs.delete(marker, false)
+        deleted += matched
+      }
       fs.delete(staging, true)
-      deleted += matched
     }
     val markers = new Path(dir, MarkerDir)
     if (fs.exists(markers) && fs.listStatus(markers).isEmpty) fs.delete(markers, true)
@@ -194,8 +258,12 @@ object TargetedDelete {
     */
   def deleteAuto(spark: SparkSession, dir: String, keyCol: String, keys: Seq[Any],
                  stats: Option[org.apache.spark.sql.DataFrame] = None,
-                 inlineMaxKeys: Int = 100000): Result =
-    if (keys.size <= inlineMaxKeys) delete(spark, dir, keyCol, keys, stats)
+                 inlineMaxKeys: Int = InlineKeyCap): Result =
+    // clamp to delete()'s own contract cap: a caller-raised inlineMaxKeys
+    // must widen the anti-join arm, never route keys into a path that
+    // immediately rejects them
+    if (keys.size <= math.min(inlineMaxKeys, InlineKeyCap))
+      delete(spark, dir, keyCol, keys, stats)
     else deleteByAntiJoin(spark, dir, keyCol, keys)
 
   /** Full-copy deletion for oversized key sets: the surviving rows are

@@ -126,15 +126,32 @@ object Versioned {
   /** Retire all but the newest `keep` versions at or below the current
     * pointer, plus any orphan directories NEWER than the pointer left
     * by crashed publishes. The current version is always kept.
+    *
+    * `minAgeMs` is the retention guard between vacuum and in-flight
+    * readers (Delta-style): a version younger than the floor is never
+    * deleted — measured from the version directory's last modification
+    * time, i.e. publish completion — so a long scan that resolved
+    * `versionAt: N` (or the pointer) just before a newer publish keeps
+    * its files for at least the retention window, and a publisher
+    * mid-write can't lose its in-progress orphan to a concurrent
+    * vacuum. Size it to the longest query you run against the table.
     */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             minAgeMs: Long = 0L): Seq[Long] = {
     require(keep >= 1, "must keep at least the current version")
+    require(minAgeMs >= 0L, "minAgeMs must be non-negative")
     val fs = fsOf(spark, root)
     val current = latestVersion(spark, root).getOrElse(return Seq.empty)
     val all = versions(spark, root)
     val published = all.filter(_ <= current)
     val orphans = all.filter(_ > current)
-    val retire = published.dropRight(keep) ++ orphans
+    val now = System.currentTimeMillis()
+    def oldEnough(n: Long): Boolean = minAgeMs == 0L || {
+      val p = new Path(root, vdir(n))
+      try now - fs.getFileStatus(p).getModificationTime >= minAgeMs
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    val retire = (published.dropRight(keep) ++ orphans).filter(oldEnough)
     retire.foreach(n => fs.delete(new Path(root, vdir(n)), true))
     retire
   }

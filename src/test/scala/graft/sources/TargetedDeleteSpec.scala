@@ -150,6 +150,50 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(TargetedDelete.recoverRewrite(spark, dir) == 0)
   }
 
+  test("multi-file deletes run a CONSTANT number of jobs, not one per file") {
+    // 2-file and 10-file deletes over the same machinery: if the rewrite
+    // staged per-file (the old serial loop), job count would grow ~5×
+    def jobsFor(nFiles: Int): (Int, Long) = {
+      val dir = Files.createTempDirectory("graft-tdel-jobs").resolve("t").toString
+      (0 until nFiles).foreach { i =>
+        (i * 100 until i * 100 + 100).map(id => (id.toLong, s"row$id"))
+          .toDF("id", "payload").coalesce(1).write.mode("append").parquet(dir)
+      }
+      val keys = (0 until nFiles).map(i => (i * 100 + 1).toLong: Any)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = TargetedDelete.delete(spark, dir, "id", keys)
+        assert(r.filesRewritten == nFiles && r.rowsDeleted == nFiles.toLong)
+        assert(spark.read.parquet(dir).count() == nFiles * 100L - nFiles)
+        // listener events are async; give the bus a moment to drain
+        Thread.sleep(500)
+        (jobs.get(), r.rowsDeleted)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (jobs2, _) = jobsFor(2)
+    val (jobs10, _) = jobsFor(10)
+    // identical job count at 5× the affected files (all staged in one job)
+    assert(jobs10 == jobs2, s"job count grew with file count: $jobs2 -> $jobs10")
+  }
+
+  test("deleteAuto clamps a caller-raised inlineMaxKeys to delete()'s cap") {
+    val dir = Files.createTempDirectory("graft-tdel-clamp").resolve("t").toString
+    (0L until 300L).map(id => (id, s"r$id")).toDF("id", "payload")
+      .coalesce(1).write.parquet(dir)
+    // 100_001 keys with inlineMaxKeys raised above the cap must route to
+    // the anti-join arm (the targeted path would reject the key list)
+    val keys: Seq[Any] = (0L until 100001L).map(x => x: Any)
+    val r = TargetedDelete.deleteAuto(spark, dir, "id", keys, inlineMaxKeys = 200000)
+    assert(r.rowsDeleted == 300L)
+    assert(spark.read.parquet(dir).isEmpty)
+  }
+
   test("null keys in the table are never deleted; oversized key lists rejected") {
     val dir = Files.createTempDirectory("graft-tdel-n").resolve("t").toString
     Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c")).toDF("id", "payload")

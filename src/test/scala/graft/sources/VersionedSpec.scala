@@ -111,6 +111,46 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.publish(Seq((5L, "y")).toDF("k", "v"), root) == 5L)
   }
 
+  test("vacuum minAgeMs retention floor protects young versions and orphans") {
+    val root = Files.createTempDirectory("graft-ver-age").resolve("t").toString
+    (1 to 3).foreach(i => Versioned.publish(Seq((i.toLong, "x")).toDF("k", "v"), root))
+    // in-progress publish's orphan — a concurrent vacuum must not eat it
+    Seq((99L, "orphan")).toDF("k", "v")
+      .write.parquet(new Path(root, "v_0000000009").toString)
+    // everything here was published milliseconds ago: a 1-hour floor
+    // retires NOTHING (an in-flight reader of v1/v2 keeps its files)
+    assert(Versioned.vacuum(spark, root, keep = 1, minAgeMs = 3600000L).isEmpty)
+    assert(Versioned.versions(spark, root) == Seq(1L, 2L, 3L, 9L))
+    // and a reader that resolved an old version mid-flight still scans
+    assert(Versioned.readVersion(spark, root, 1L).count() == 1)
+    // floor elapsed (simulate by back-dating the dirs' mtimes)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1L, 2L, 9L).foreach { n =>
+      fs.setTimes(new Path(root, f"v_$n%010d"),
+        System.currentTimeMillis() - 7200000L, -1)
+    }
+    val retired = Versioned.vacuum(spark, root, keep = 1, minAgeMs = 3600000L)
+    assert(retired.sorted == Seq(1L, 2L, 9L))
+    assert(Versioned.versions(spark, root) == Seq(3L))
+  }
+
+  test("racing publishers: loser fails cleanly on errorifexists, winner readable") {
+    val root = Files.createTempDirectory("graft-ver-race").resolve("t").toString
+    Versioned.publish(Seq((1L, "base")).toDF("k", "v"), root)
+    // both publishers compute next=2; B lands its full publish while A
+    // is still "writing" — A's errorifexists write then refuses the dir
+    intercept[Exception] {
+      Versioned.publishWith(spark, root) { dir =>
+        Versioned.publish(Seq((2L, "winner")).toDF("k", "v"), root)
+        Seq((2L, "loser")).toDF("k", "v").write.mode("errorifexists").parquet(dir)
+      }
+    }
+    // pointer names the winner's complete version; no torn state
+    assert(Versioned.latestVersion(spark, root).contains(2L))
+    assert(Versioned.readLatest(spark, root).select("v").as[String]
+      .collect().toSeq == Seq("winner"))
+  }
+
   test("config e2e: target.versioned publishes through Pipeline.run with validation") {
     val root = java.nio.file.Files.createTempDirectory("graft-ver4").resolve("t").toString
     def cfg(where: String) = graft.config.PipelineConfig.parse(
