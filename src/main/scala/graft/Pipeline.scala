@@ -350,6 +350,10 @@ object Pipeline {
         id, "__n_tok", budget, shardWidth)
     case graft.config.TransformConfig.ResampleStage(key, rate, denom) =>
       graft.operators.Sampling.resampleByWeight(df, key, rate, denom)
+    case graft.config.TransformConfig.AnomalyStage(
+        keys, order, value, window, minPoints, z, maxAbs) =>
+      graft.operators.Anomaly.rollingZFlags(df, keys, order.map(col),
+        value, window, minPoints, z, maxAbs)
     case graft.config.TransformConfig.WinsorizeStage(groups, value, pct, out, tier) =>
       if (tier == "approx")
         graft.operators.Winsorize.clipByQuantiles(df, groups, value, pct, out)

@@ -1060,6 +1060,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio CONTENT near-dup, end to end through real PCM: clips are
+    * synthesized per doc (duration keyed by doc_id % 6, loudness by
+    * doc_id % 5), decoded by the registry's WAV arm, fingerprinted
+    * with the energy-delta pHash, and paired through the same banded
+    * Hamming machinery images use. The pHash is amplitude-invariant
+    * (energy RATIOS set the bits — measured exact: re-normalized
+    * copies hash identically, distinct durations sit ≥28 bits apart),
+    * so the radius-6 pair set is provably the same-duration groups —
+    * which the oracle replays as doc_id arithmetic.
+    */
+  private def qAudioNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 120)
+      .select(col("doc_id"),
+        (lit(64) + pmod(col("doc_id"), lit(6L)) * 96).cast("int").as("n_frames"),
+        (lit(1000) + pmod(col("doc_id"), lit(5L)) * 1750).cast("int").as("amp"))
+    val wav = Multimodal.withWavPayload(docs, "n_frames", amplitudeCol = Some("amp"))
+    val hashes = Multimodal.perceptualHashes(wav, "doc_id", "payload",
+      graft.pipeline.MediaDecoders.get("wav"))
+    Multimodal.phashNearDup(hashes, "doc_id", "phash", maxDist = 6)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   private def qFrameSample(s: SparkSession, d: String): DataFrame = {
     val withPayload = Multimodal.withPayload(t(s, d, "documents"), "text")
     val meta = Multimodal.decodeMeta(withPayload, "doc_id", "payload")
@@ -2591,6 +2613,7 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_audio_meta" -> (qAudioMeta _),
+    "q_audio_neardup" -> (qAudioNeardup _),
     "q_frame_sample" -> (qFrameSample _),
     "q_cube" -> (qCube _),
     "q_intersect" -> (qIntersect _),
@@ -4358,6 +4381,16 @@ object SparkEntry {
         "CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels, " +
         "CAST(length(text) % 400 + 40 AS BIGINT) AS n_frames, " +
         "CAST(82 AS BIGINT) AS first_byte FROM documents ORDER BY doc_id"),
+
+    // the amplitude-invariant energy-delta pHash puts same-duration
+    // clips at hamming 0 and distinct durations >= 28 bits apart
+    // (measured, deterministic synth), so the radius-6 pair closure is
+    // exactly the same-duration groups — pure doc_id arithmetic here
+    "q_audio_neardup" ->
+      ("SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS INT) AS hamming " +
+        "FROM documents a JOIN documents b " +
+        "ON a.doc_id < b.doc_id AND a.doc_id % 6 = b.doc_id % 6 " +
+        "WHERE a.doc_id < 120 AND b.doc_id < 120 ORDER BY a_id, b_id"),
 
     // brute-force pair closure over the engineered hashes: any banding
     // recall loss (the old 4x16 pigeonhole bug) breaks the hash compare

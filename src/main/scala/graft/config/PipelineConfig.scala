@@ -624,6 +624,30 @@ object TransformConfig {
         Some("transform.winsorize.tier must be exact or approx")
       else None
   }
+  /** Rolling z-score anomaly screen — operators.Anomaly.rollingZFlags:
+    * flag rows whose `valueColumn` sits more than `z` trailing standard
+    * deviations from the previous `window` points of their key group
+    * (ordered by `orderColumns`), decided in exact integer
+    * cross-multiplication so any engine reproduces the flags bit-for-
+    * bit. Schema-EXTENDING (`n_base`, `flagged`). `maxAbsValue` bounds
+    * |value| and is part of the 64-bit overflow contract — the stage
+    * refuses combinations that could wrap.
+    */
+  final case class AnomalyStage(keyColumns: List[String], orderColumns: List[String],
+                                valueColumn: String, window: Int, minPoints: Int,
+                                z: Int, maxAbsValue: Long)
+      extends TransformConfig {
+    val name = "anomaly"
+    def check: Option[String] =
+      if (keyColumns.isEmpty) Some("transform.anomaly.keyColumns required")
+      else if (orderColumns.isEmpty) Some("transform.anomaly.orderColumns required")
+      else if (valueColumn.isEmpty) Some("transform.anomaly.valueColumn required")
+      else if (window < 2 || minPoints < 2 || minPoints > window)
+        Some("transform.anomaly needs 2 <= minPoints <= window")
+      else if (z < 1) Some("transform.anomaly.z must be >= 1")
+      else if (maxAbsValue <= 0) Some("transform.anomaly.maxAbsValue must be positive")
+      else None
+  }
   /** Deterministic importance resampling — Sampling.resampleByWeight:
     * keep each row at its OWN integer rate (`rateColumn`, parts per
     * `denom`) over the shared md5 bucket space — the post-scoring
@@ -1030,6 +1054,10 @@ object PipelineConfig {
       "transform.winsorize.groupColumns", "transform.winsorize.valueColumn",
       "transform.winsorize.pct", "transform.winsorize.outColumn",
       "transform.winsorize.tier",
+      "transform.anomaly.keyColumns", "transform.anomaly.orderColumns",
+      "transform.anomaly.valueColumn", "transform.anomaly.window",
+      "transform.anomaly.minPoints", "transform.anomaly.z",
+      "transform.anomaly.maxAbsValue",
       "transform.intervalJoin.rightPath", "transform.intervalJoin.leftLo",
       "transform.intervalJoin.leftHi", "transform.intervalJoin.rightLo",
       "transform.intervalJoin.rightHi", "transform.intervalJoin.keys",
@@ -1583,6 +1611,24 @@ object PipelineConfig {
             denom <- map.getOrElse("transform.resampleByWeight.denom", "1000000")
               .toIntOption.toRight("transform.resampleByWeight.denom not an int")
           } yield TransformConfig.ResampleStage(key, rate, denom)
+        case "anomaly" =>
+          for {
+            value <- map.get("transform.anomaly.valueColumn")
+              .toRight("transform.anomaly.valueColumn required")
+            window <- map.getOrElse("transform.anomaly.window", "20")
+              .toIntOption.toRight("transform.anomaly.window not an int")
+            minPoints <- map.getOrElse("transform.anomaly.minPoints", "8")
+              .toIntOption.toRight("transform.anomaly.minPoints not an int")
+            z <- map.getOrElse("transform.anomaly.z", "3")
+              .toIntOption.toRight("transform.anomaly.z not an int")
+            maxAbs <- map.get("transform.anomaly.maxAbsValue")
+              .toRight("transform.anomaly.maxAbsValue required (the 64-bit " +
+                "overflow contract needs the caller's |value| bound)")
+              .flatMap(_.toLongOption.toRight("transform.anomaly.maxAbsValue not a long"))
+          } yield TransformConfig.AnomalyStage(
+            list("transform.anomaly.keyColumns"),
+            list("transform.anomaly.orderColumns"),
+            value, window, minPoints, z, maxAbs)
         case "winsorize" =>
           for {
             value <- map.get("transform.winsorize.valueColumn")

@@ -386,8 +386,10 @@ object WavDecoder extends MediaDecoder {
     * query oracle-check the real encode → decode round trip with
     * plain arithmetic (byte_len = 44 + 2·nFrames).
     */
-  def synthesize(nFrames: Int, sampleRate: Int = 8000, period: Int = 32): Array[Byte] = {
+  def synthesize(nFrames: Int, sampleRate: Int = 8000, period: Int = 32,
+                 amplitude: Int = 8000): Array[Byte] = {
     require(nFrames > 0 && sampleRate > 0 && period > 1, "bad synth parameters")
+    require(amplitude > 0 && amplitude <= 32000, "amplitude must be in (0, 32000]")
     val dataLen = nFrames * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -401,9 +403,9 @@ object WavDecoder extends MediaDecoder {
     var i = 0
     while (i < nFrames) {
       val ph = i % period
-      val tri = // integer triangle in [-8000, 8000]
-        if (ph < period / 2) -8000 + (32000 * ph) / period
-        else 8000 - (32000 * (ph - period / 2)) / period
+      val tri = // integer triangle in [-amplitude, amplitude]
+        if (ph < period / 2) -amplitude + (4 * amplitude * ph) / period
+        else amplitude - (4 * amplitude * (ph - period / 2)) / period
       bb.putShort(tri.toShort)
       i += 1
     }
@@ -474,16 +476,19 @@ object Multimodal {
     */
   def withWavPayload(df: DataFrame, nFramesCol: String,
                      payloadCol: String = "payload",
-                     sampleRate: Int = 8000): DataFrame = {
+                     sampleRate: Int = 8000,
+                     amplitudeCol: Option[String] = None): DataFrame = {
     val schema = df.schema
     val nOrd = schema.fieldIndex(nFramesCol)
+    val ampOrd = amplitudeCol.map(schema.fieldIndex)
     val outSchema = StructType(schema.fields :+
       StructField(payloadCol, BinaryType, nullable = true))
     df.mapPartitions { rows =>
       rows.map { row =>
         val payload =
           if (row.isNullAt(nOrd)) null
-          else WavDecoder.synthesize(row.getAs[Number](nOrd).intValue, sampleRate)
+          else WavDecoder.synthesize(row.getAs[Number](nOrd).intValue, sampleRate,
+            amplitude = ampOrd.map(row.getAs[Number](_).intValue).getOrElse(8000))
         Row.fromSeq(row.toSeq :+ payload)
       }
     }(Encoders.row(outSchema))

@@ -262,6 +262,56 @@ class Round9StagesSpec extends AnyFunSuite {
       Pipeline.transform(media, cfgLenient(false)).collect())
   }
 
+  test("anomaly stage: config flags match a direct rollingZFlags call") {
+    // one flat series with a single spike at t=15: the trailing-10
+    // baseline is constant, so only the spike should flag
+    val rows = (1 to 30).map(t => ("k", t.toLong, if (t == 15) 500L else 100L))
+    val df = rows.toDF("g", "t", "v")
+    val cfg = cfgFor(
+      """transforms: anomaly
+        |transform.anomaly.keyColumns: g
+        |transform.anomaly.orderColumns: t
+        |transform.anomaly.valueColumn: v
+        |transform.anomaly.window: 10
+        |transform.anomaly.minPoints: 4
+        |transform.anomaly.z: 3
+        |transform.anomaly.maxAbsValue: 1000
+        |""".stripMargin)
+    val viaConfig = Pipeline.transform(df, cfg)
+      .select("t", "flagged").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val direct = graft.operators.Anomaly.rollingZFlags(df, Seq("g"), Seq(col("t")),
+        "v", window = 10, minPoints = 4, z = 3, maxAbsValue = 1000L)
+      .select("t", "flagged").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaConfig == direct)
+    assert(viaConfig(15L))
+    assert(viaConfig.count(_._2) >= 1 && !viaConfig(10L))
+    // overflow-unsafe combination refuses at parse/check time
+    val bad = PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |target.mode: overwrite
+         |transforms: anomaly
+         |transform.anomaly.keyColumns: g
+         |transform.anomaly.orderColumns: t
+         |transform.anomaly.valueColumn: v
+         |transform.anomaly.maxAbsValue: 0
+         |""".stripMargin)
+    assert(bad.isLeft || bad.exists(_.transforms.exists(_.check.isDefined)))
+    assert(PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |target.mode: overwrite
+         |transforms: anomaly
+         |transform.anomaly.keyColumns: g
+         |transform.anomaly.orderColumns: t
+         |transform.anomaly.valueColumn: v
+         |""".stripMargin).isLeft) // maxAbsValue is mandatory
+  }
+
   test("terminal graph stages write through the full pipeline run") {
     val edgesDir = Files.createTempDirectory("graft-r9s-e").resolve("edges").toString
     Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("s", "d").write.parquet(edgesDir)
