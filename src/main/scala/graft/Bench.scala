@@ -268,7 +268,11 @@ object Bench {
       .join(labels.as("b"), col("a.rep") === col("b.id"))
       .filter(col("b.rep") =!= col("b.id")).count()
     require(nonRoot == 0, s"$nonRoot labels point at a non-root — not idempotent")
-    labels.count()
+    // return the VERIFIED PAIR count, not the labels count: pair volume
+    // is the output that legitimately grows with corpus size (dup
+    // density × docs), so ScaleBench's per-output normalization reads
+    // the pair tier's cost, not the trivially-linear labeling table
+    verified.count()
   }
 
   /** Full curation pipeline as ONE chained plan: quality filter ->

@@ -350,6 +350,14 @@ object Pipeline {
         id, "__n_tok", budget, shardWidth)
     case graft.config.TransformConfig.ResampleStage(key, rate, denom) =>
       graft.operators.Sampling.resampleByWeight(df, key, rate, denom)
+    case graft.config.TransformConfig.RfmStage(key, ts, value, asOf, buckets) =>
+      graft.operators.Rfm.scores(df, key, ts, value, to_date(lit(asOf)), buckets)
+    case graft.config.TransformConfig.TransitionMatrixStage(key, ts, tpe, tie) =>
+      graft.operators.Journeys.transitionMatrix(df, key, ts, tpe, tie.map(col))
+    case graft.config.TransformConfig.AttributionStage(
+        key, ts, tpe, conv, touches, tie) =>
+      graft.operators.Journeys.attribution(df, key, ts, tpe, conv, touches,
+        tie.map(col))
     case graft.config.TransformConfig.AnomalyStage(
         keys, order, value, window, minPoints, z, maxAbs) =>
       graft.operators.Anomaly.rollingZFlags(df, keys, order.map(col),

@@ -71,8 +71,13 @@ object ScaleBench {
     "edit_verify" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val cands = pipeline.Dedup.gramCandidates(docs, "doc_id", "text", k = 6,
-        minShared = 10L, hashGrams = false).select("id_a", "id_b")
+        minShared = 10L, hashGrams = false).select("id_a", "id_b").localCheckpoint()
       pipeline.Dedup.editVerify(cands, docs, "doc_id", "text", maxDist = 6).count()
+      // normalize by the CANDIDATE count: verify cost is proportional to
+      // candidates, and the per-copy token salting inflates edit
+      // distances (insertions grow by the suffix), so the SURVIVOR
+      // count under-grows by the amplification model, not the engine
+      cands.count()
     },
     "bloom_decontaminate" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
@@ -226,9 +231,13 @@ object ScaleBench {
 
     def release(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    def time(fn: (SparkSession, String) => Long, dir: String): Option[Double] = {
+    // capture the workload's OUTPUT SIZE (its returned count) with the
+    // timing: output-proportional tiers (near-dup pairs, verified
+    // candidates) legitimately grow with corpus size, so the honest
+    // scale metric is seconds per unit of output, not raw wall ratio
+    def time(fn: (SparkSession, String) => Long, dir: String): Option[(Double, Long)] = {
       val t0 = System.nanoTime()
-      try { fn(spark, dir); Some((System.nanoTime() - t0) / 1e9) }
+      try { val n = fn(spark, dir); Some(((System.nanoTime() - t0) / 1e9, n)) }
       catch { case NonFatal(e) =>
         System.err.println(s"[scale] failed on $dir: $e"); None
       } finally release()
@@ -251,12 +260,19 @@ object ScaleBench {
       val base = Seq(time(fn, baseDir), time(fn, baseDir)).flatten
       val scaled = Seq(time(fn, workDir), time(fn, workDir)).flatten
       if (base.isEmpty || scaled.isEmpty) None
-      else Some(name -> (base.min, scaled.min))
+      else Some(name -> (base.minBy(_._1), scaled.minBy(_._1)))
     }
 
     def fmt(v: Double) = f"$v%.3f"
-    val wl = results.map { case (name, (b, sc)) =>
-      s""""$name":{"base_sec":${fmt(b)},"scaled_sec":${fmt(sc)},"ratio":${fmt(sc / b)}}"""
+    val wl = results.map { case (name, ((b, bn), (sc, sn))) =>
+      // per_out_ratio: wall growth normalized by output growth — ≈1 means
+      // the engine's cost per emitted row is flat under amplification
+      // (output-proportional tier scaling correctly); only meaningful
+      // when the output actually grew
+      val perOut =
+        if (bn > 0 && sn > bn) s""","per_out_ratio":${fmt((sc / sn) / (b / bn))}"""
+        else ""
+      s""""$name":{"base_sec":${fmt(b)},"scaled_sec":${fmt(sc)},"ratio":${fmt(sc / b)},"base_n":$bn,"scaled_n":$sn$perOut}"""
     }.mkString("{", ",", "}")
     val rj = rows.map { case (tb, (b, sc)) => s""""$tb":[$b,$sc]""" }.mkString("{", ",", "}")
     println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl}""")

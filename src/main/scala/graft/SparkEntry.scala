@@ -1296,6 +1296,36 @@ object SparkEntry {
         tieBreak = Seq(col("event_id")))
       .orderBy(col("touch_type"))
 
+  /** Config-driven attribution, END TO END (the q_cfg_winsorize
+    * pattern): parse a pipeline config with the `attribution` stage,
+    * run it through [[graft.Pipeline.run]] against the raw events
+    * parquet, read the written target back. The raw read surfaces
+    * `ts` as epoch-nano LONGs (no Tables.load rebuild) — irrelevant
+    * here because attribution only ORDERS on ts, and long-nano order
+    * equals timestamp order; the oracle is q_attribution's SQL
+    * verbatim, so the stage must reproduce the Scala tier exactly.
+    */
+  private def qCfgAttribution(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-cfga")
+      .resolve("out").toString
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $d/events.parquet
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: attribution
+         |transform.attribution.keyColumn: user_id
+         |transform.attribution.tsColumn: ts
+         |transform.attribution.typeColumn: event_type
+         |transform.attribution.conversionType: purchase
+         |transform.attribution.touchTypes: view, click, signup
+         |transform.attribution.tieBreak: event_id
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out).orderBy(col("touch_type"))
+  }
+
   /** Weekly cohort retention triangle in exact integer calendar math
     * (epoch-day ÷ 7 buckets — no date_trunc divergence in the gate).
     */
@@ -2522,6 +2552,7 @@ object SparkEntry {
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_funnel_window" -> (qFunnelWindow _),
     "q_attribution" -> (qAttribution _),
+    "q_cfg_attribution" -> (qCfgAttribution _),
     "q_rfm" -> (qRfm _),
     "q_cdc_extract" -> (qCdcExtract _),
     "q_retention" -> (qRetention _),
@@ -2694,6 +2725,26 @@ object SparkEntry {
       s"ff AS (SELECT *, $flagCols FROM f) " +
       s"SELECT *, $keep AS keep FROM ff ORDER BY doc_id"
   }
+
+  /** Shared by q_attribution (Scala tier) and q_cfg_attribution (the
+    * declarative stage) — one oracle, two routes to the same answer.
+    */
+  private val AttributionOracleSql: String =
+    ("WITH conv AS (SELECT user_id, min(ts) AS cts FROM events " +
+      "WHERE event_type = 'purchase' GROUP BY user_id), " +
+      "t AS (SELECT e.user_id, e.event_type, e.ts, e.event_id FROM events e " +
+      "JOIN conv ON e.user_id = conv.user_id " +
+      "WHERE e.event_type IN ('view', 'click', 'signup') AND e.ts <= conv.cts), " +
+      "r AS (SELECT user_id, event_type, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd, " +
+      "count(*) OVER (PARTITION BY user_id) AS nk FROM t) " +
+      "SELECT event_type AS touch_type, " +
+      "CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch, " +
+      "CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch, " +
+      "CAST(count(*) AS BIGINT) AS n_touches, " +
+      "CAST(sum(1000000 // nk) AS BIGINT) AS linear_ppm " +
+      "FROM r GROUP BY event_type ORDER BY touch_type")
 
   def oracleSql: Map[String, String] = Map(
     "q_asof_nearest" ->
@@ -3401,22 +3452,9 @@ object SparkEntry {
 
     // attribution: touch ranks/counts per converting user, credit in
     // exact integer ppm (floor division — engine-portable)
-    "q_attribution" ->
-      ("WITH conv AS (SELECT user_id, min(ts) AS cts FROM events " +
-        "WHERE event_type = 'purchase' GROUP BY user_id), " +
-        "t AS (SELECT e.user_id, e.event_type, e.ts, e.event_id FROM events e " +
-        "JOIN conv ON e.user_id = conv.user_id " +
-        "WHERE e.event_type IN ('view', 'click', 'signup') AND e.ts <= conv.cts), " +
-        "r AS (SELECT user_id, event_type, " +
-        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra, " +
-        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd, " +
-        "count(*) OVER (PARTITION BY user_id) AS nk FROM t) " +
-        "SELECT event_type AS touch_type, " +
-        "CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch, " +
-        "CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch, " +
-        "CAST(count(*) AS BIGINT) AS n_touches, " +
-        "CAST(sum(1000000 // nk) AS BIGINT) AS linear_ppm " +
-        "FROM r GROUP BY event_type ORDER BY touch_type"),
+    "q_attribution" -> AttributionOracleSql,
+    // config stage must reproduce the Scala tier exactly: same oracle
+    "q_cfg_attribution" -> AttributionOracleSql,
 
     // windowed funnel: each later step additionally bounded by
     // step_1_ts + 2 days

@@ -624,6 +624,60 @@ object TransformConfig {
         Some("transform.winsorize.tier must be exact or approx")
       else None
   }
+  /** RFM customer scoring — operators.Rfm.scores: reduce the piped
+    * event log to one row per key with recency/frequency/monetary and
+    * their ntile scores as of `asOf` (an ISO date). Terminal reshape
+    * (output is the |keys|-row scoring table).
+    */
+  final case class RfmStage(keyColumn: String, tsColumn: String,
+                            valueColumn: String, asOf: String, buckets: Int)
+      extends TransformConfig {
+    val name = "rfm"
+    def check: Option[String] =
+      if (keyColumn.isEmpty) Some("transform.rfm.keyColumn required")
+      else if (tsColumn.isEmpty) Some("transform.rfm.tsColumn required")
+      else if (valueColumn.isEmpty) Some("transform.rfm.valueColumn required")
+      else if (!asOf.matches("\\d{4}-\\d{2}-\\d{2}"))
+        Some("transform.rfm.asOf must be an ISO date (yyyy-MM-dd)")
+      else if (buckets < 2) Some("transform.rfm.buckets must be >= 2")
+      else None
+  }
+  /** Journey transition matrix — operators.Journeys.transitionMatrix:
+    * (from_type, to_type, n_transitions) counts over each key's
+    * timeline; NULL from_type rows are the entry distribution.
+    * Terminal reshape (|types|²-row matrix).
+    */
+  final case class TransitionMatrixStage(keyColumn: String, tsColumn: String,
+                                         typeColumn: String,
+                                         tieBreak: List[String])
+      extends TransformConfig {
+    val name = "transitionMatrix"
+    def check: Option[String] =
+      if (keyColumn.isEmpty) Some("transform.transitionMatrix.keyColumn required")
+      else if (tsColumn.isEmpty) Some("transform.transitionMatrix.tsColumn required")
+      else if (typeColumn.isEmpty) Some("transform.transitionMatrix.typeColumn required")
+      else None
+  }
+  /** Multi-touch attribution — operators.Journeys.attribution:
+    * first/last/linear credit per touch type over journeys that reach
+    * `conversionType`. Terminal reshape (one row per touch type).
+    */
+  final case class AttributionStage(keyColumn: String, tsColumn: String,
+                                    typeColumn: String, conversionType: String,
+                                    touchTypes: List[String],
+                                    tieBreak: List[String])
+      extends TransformConfig {
+    val name = "attribution"
+    def check: Option[String] =
+      if (keyColumn.isEmpty) Some("transform.attribution.keyColumn required")
+      else if (tsColumn.isEmpty) Some("transform.attribution.tsColumn required")
+      else if (typeColumn.isEmpty) Some("transform.attribution.typeColumn required")
+      else if (conversionType.isEmpty) Some("transform.attribution.conversionType required")
+      else if (touchTypes.isEmpty) Some("transform.attribution.touchTypes required")
+      else if (touchTypes.contains(conversionType))
+        Some("transform.attribution.conversionType cannot also be a touch type")
+      else None
+  }
   /** Rolling z-score anomaly screen — operators.Anomaly.rollingZFlags:
     * flag rows whose `valueColumn` sits more than `z` trailing standard
     * deviations from the previous `window` points of their key group
@@ -1058,6 +1112,13 @@ object PipelineConfig {
       "transform.anomaly.valueColumn", "transform.anomaly.window",
       "transform.anomaly.minPoints", "transform.anomaly.z",
       "transform.anomaly.maxAbsValue",
+      "transform.rfm.keyColumn", "transform.rfm.tsColumn",
+      "transform.rfm.valueColumn", "transform.rfm.asOf", "transform.rfm.buckets",
+      "transform.transitionMatrix.keyColumn", "transform.transitionMatrix.tsColumn",
+      "transform.transitionMatrix.typeColumn", "transform.transitionMatrix.tieBreak",
+      "transform.attribution.keyColumn", "transform.attribution.tsColumn",
+      "transform.attribution.typeColumn", "transform.attribution.conversionType",
+      "transform.attribution.touchTypes", "transform.attribution.tieBreak",
       "transform.intervalJoin.rightPath", "transform.intervalJoin.leftLo",
       "transform.intervalJoin.leftHi", "transform.intervalJoin.rightLo",
       "transform.intervalJoin.rightHi", "transform.intervalJoin.keys",
@@ -1611,6 +1672,42 @@ object PipelineConfig {
             denom <- map.getOrElse("transform.resampleByWeight.denom", "1000000")
               .toIntOption.toRight("transform.resampleByWeight.denom not an int")
           } yield TransformConfig.ResampleStage(key, rate, denom)
+        case "rfm" =>
+          for {
+            key <- map.get("transform.rfm.keyColumn")
+              .toRight("transform.rfm.keyColumn required")
+            ts <- map.get("transform.rfm.tsColumn")
+              .toRight("transform.rfm.tsColumn required")
+            value <- map.get("transform.rfm.valueColumn")
+              .toRight("transform.rfm.valueColumn required")
+            asOf <- map.get("transform.rfm.asOf")
+              .toRight("transform.rfm.asOf required (ISO date)")
+            buckets <- map.getOrElse("transform.rfm.buckets", "5")
+              .toIntOption.toRight("transform.rfm.buckets not an int")
+          } yield TransformConfig.RfmStage(key, ts, value, asOf, buckets)
+        case "transitionMatrix" =>
+          for {
+            key <- map.get("transform.transitionMatrix.keyColumn")
+              .toRight("transform.transitionMatrix.keyColumn required")
+            ts <- map.get("transform.transitionMatrix.tsColumn")
+              .toRight("transform.transitionMatrix.tsColumn required")
+            tpe <- map.get("transform.transitionMatrix.typeColumn")
+              .toRight("transform.transitionMatrix.typeColumn required")
+          } yield TransformConfig.TransitionMatrixStage(key, ts, tpe,
+            list("transform.transitionMatrix.tieBreak"))
+        case "attribution" =>
+          for {
+            key <- map.get("transform.attribution.keyColumn")
+              .toRight("transform.attribution.keyColumn required")
+            ts <- map.get("transform.attribution.tsColumn")
+              .toRight("transform.attribution.tsColumn required")
+            tpe <- map.get("transform.attribution.typeColumn")
+              .toRight("transform.attribution.typeColumn required")
+            conv <- map.get("transform.attribution.conversionType")
+              .toRight("transform.attribution.conversionType required")
+          } yield TransformConfig.AttributionStage(key, ts, tpe, conv,
+            list("transform.attribution.touchTypes"),
+            list("transform.attribution.tieBreak"))
         case "anomaly" =>
           for {
             value <- map.get("transform.anomaly.valueColumn")

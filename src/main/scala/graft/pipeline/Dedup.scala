@@ -988,13 +988,28 @@ object Dedup {
     * the oracle-exact arm.
     */
   def gramCandidates(df: DataFrame, idCol: String, textCol: String, k: Int,
-                     minShared: Long, hashGrams: Boolean = true): DataFrame = {
+                     minShared: Long, hashGrams: Boolean = true,
+                     maxGramFreq: Int = 10000): DataFrame = {
     require(k >= 1 && minShared >= 1L,
       s"need k >= 1 and minShared >= 1, got k=$k minShared=$minShared")
+    require(maxGramFreq >= 2, s"maxGramFreq must be >= 2, got $maxGramFreq")
     val g = gramRows(df, idCol, textCol, k, hashGrams)
       .select(col("__id"), col("__g")).distinct()
-    g.select(col("__id").as("id_a"), col("__g"))
-      .join(g.select(col("__id").as("id_b"), col("__g")), Seq("__g"))
+    // stop-gram cap — the pair tier's candidate bound, same discipline
+    // as the LSH tier's maxBucketSize: a gram shared by f documents
+    // contributes f·(f−1)/2 pairs to the self-join, so ONE ubiquitous
+    // k-gram ("the quick brown" boilerplate) at 100 TB turns the join
+    // quadratic. Grams above the frequency cap are dropped from
+    // candidate generation; pairs whose overlap consists ONLY of such
+    // boilerplate lose recall by design (they are also the pairs
+    // minShared exists to reject), and the cap is sized far above any
+    // gram frequency the oracle fixtures reach, so gate results are
+    // unchanged.
+    val kept = g.withColumn("__f", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
+      .filter(col("__f") <= maxGramFreq).drop("__f")
+    kept.select(col("__id").as("id_a"), col("__g"))
+      .join(kept.select(col("__id").as("id_b"), col("__g")), Seq("__g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_grams"))

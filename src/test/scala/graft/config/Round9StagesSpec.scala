@@ -312,6 +312,73 @@ class Round9StagesSpec extends AnyFunSuite {
          |""".stripMargin).isLeft) // maxAbsValue is mandatory
   }
 
+  test("rfm / transitionMatrix / attribution stages match the direct calls") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "view", 10.0),
+      (1L, "2024-01-02 10:00:00", "click", 0.0),
+      (1L, "2024-01-03 10:00:00", "buy", 50.0),
+      (2L, "2024-01-05 10:00:00", "view", 5.0),
+      (2L, "2024-01-06 10:00:00", "buy", 20.0),
+      (3L, "2024-01-04 10:00:00", "view", 1.0)
+    ).toDF("uid", "ts", "etype", "amount")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+
+    val rfmCfg = cfgFor(
+      """transforms: rfm
+        |transform.rfm.keyColumn: uid
+        |transform.rfm.tsColumn: ts
+        |transform.rfm.valueColumn: amount
+        |transform.rfm.asOf: 2024-02-01
+        |transform.rfm.buckets: 3
+        |""".stripMargin)
+    val viaCfg = Pipeline.transform(ev, rfmCfg).orderBy("uid").collect().toSeq
+    val direct = graft.operators.Rfm.scores(ev, "uid", "ts", "amount",
+      to_date(lit("2024-02-01")), 3).orderBy("uid").collect().toSeq
+    assert(viaCfg == direct && viaCfg.size == 3)
+
+    val tmCfg = cfgFor(
+      """transforms: transitionMatrix
+        |transform.transitionMatrix.keyColumn: uid
+        |transform.transitionMatrix.tsColumn: ts
+        |transform.transitionMatrix.typeColumn: etype
+        |""".stripMargin)
+    val tm = Pipeline.transform(ev, tmCfg)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tm((None, "view")) == 3L)          // three timeline entries
+    assert(tm((Some("view"), "click")) == 1L)
+    assert(tm((Some("view"), "buy")) == 1L)
+    assert(tm((Some("click"), "buy")) == 1L)
+
+    val atCfg = cfgFor(
+      """transforms: attribution
+        |transform.attribution.keyColumn: uid
+        |transform.attribution.tsColumn: ts
+        |transform.attribution.typeColumn: etype
+        |transform.attribution.conversionType: buy
+        |transform.attribution.touchTypes: view, click
+        |""".stripMargin)
+    val at = Pipeline.transform(ev, atCfg)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // key 1: view->click->buy; key 2: view->buy; key 3 never converts
+    assert(at("view") == ((2L, 1L, 2L)))  // opens both journeys, closes key 2's
+    assert(at("click") == ((0L, 1L, 1L))) // closes key 1's
+    // conversion type listed as a touch fails the config check
+    val bad = PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: x
+         |target.type: parquet
+         |target.path: y
+         |target.mode: overwrite
+         |transforms: attribution
+         |transform.attribution.keyColumn: uid
+         |transform.attribution.tsColumn: ts
+         |transform.attribution.typeColumn: etype
+         |transform.attribution.conversionType: buy
+         |transform.attribution.touchTypes: buy, view
+         |""".stripMargin)
+    assert(bad.isLeft)
+  }
+
   test("terminal graph stages write through the full pipeline run") {
     val edgesDir = Files.createTempDirectory("graft-r9s-e").resolve("edges").toString
     Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("s", "d").write.parquet(edgesDir)

@@ -548,6 +548,31 @@ class DedupSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("gramCandidates stop-gram cap drops boilerplate-only pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every doc shares the boilerplate gram "p q r"; only 1&2 share a
+    // real gram too ("u v w")
+    val df = Seq(
+      (1L, "p q r u v w"),
+      (2L, "p q r u v w"),
+      (3L, "p q r x y z"),
+      (4L, "p q r m n o")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.gramCandidates(df, "doc_id", "text", k = 3,
+      minShared = 1L, hashGrams = false)
+    assert(uncapped.count() == 6L) // all pairs collide on the stop-gram
+    // cap at 3: the freq-4 boilerplate grams drop; only genuine overlap
+    // ("u v w" etc., freq 2) generates candidates
+    val capped = Dedup.gramCandidates(df, "doc_id", "text", k = 3,
+        minShared = 1L, hashGrams = false, maxGramFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Dedup.gramCandidates(df, "doc_id", "text", k = 3, minShared = 1L,
+        maxGramFreq = 1))
+  }
+
   test("gramCandidates hashed arm is row-equal to the raw-gram arm") {
     val a = Dedup.gramCandidates(docs, "doc_id", "text", k = 6, minShared = 2L,
         hashGrams = false)
