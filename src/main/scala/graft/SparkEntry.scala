@@ -778,6 +778,32 @@ object SparkEntry {
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
     verifiedNearDupPairs(s, d)._2.orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental near-dup through the PERSISTED band index: the corpus
+    * (doc_id < 800) is banded once and saved; the new batch (800-999)
+    * bands only itself, probes the index, and the survivors go through
+    * the same estimate + exact-verify tiers as the whole-corpus path —
+    * per-band collision is identical either way, so full recall at
+    * these thresholds carries over and the oracle is the exact J≥0.9
+    * CROSS pair set (corpus × batch), brute-forced in DuckDB.
+    */
+  private def qIncrLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+    val sh = docs.select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
+      .localCheckpoint()
+    val ix = java.nio.file.Files.createTempDirectory("graft-lshix")
+      .resolve("ix").toString
+    Dedup.BandIndex.write(sh.filter(col("doc_id") < 800), "doc_id", "sig",
+      bands = 16, rowsPerBand = 4, path = ix)
+    val cands = Dedup.BandIndex.probe(sh.filter(col("doc_id") >= 800),
+        "doc_id", "sig", ix, minBands = 4)
+      .select(col("id_corpus").as("id_a"), col("id_new").as("id_b"))
+    val estimated = Dedup.estimateJaccard(cands, sh, "doc_id", "sig")
+      .filter(col("matching_hashes") >= 46).select("id_a", "id_b")
+    Dedup.verifyJaccard(estimated, sh, "doc_id", "sh", 9, 10)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     // clustering tier: connected components (min-label propagation) over
     // the exact-verified near-dup pairs; with full-recall candidates the
@@ -2615,6 +2641,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_incr_lsh" -> (qIncrLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash_sig" -> (qSimhashSig _),
     "q_dup_spans" -> (qDupSpans _),
@@ -3979,6 +4006,18 @@ object SparkEntry {
         "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size, " +
         "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size " +
         "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
+        "WHERE inter_size * 10 >= union_size * 9 ORDER BY id_a, id_b"),
+
+    // the persisted-index probe must find exactly the exact-J>=0.9
+    // CROSS pairs (indexed corpus x new batch)
+    "q_incr_lsh" ->
+      ("WITH s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
+        "FROM documents WHERE doc_id < 1000) " +
+        "SELECT id_a, id_b, inter_size, union_size FROM (" +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size, " +
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size " +
+        "FROM s a, s b WHERE a.doc_id < 800 AND b.doc_id >= 800) " +
         "WHERE inter_size * 10 >= union_size * 9 ORDER BY id_a, id_b"),
 
     // connected components of the exact J>=0.9 graph via recursive

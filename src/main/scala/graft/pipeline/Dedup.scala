@@ -315,6 +315,90 @@ object Dedup {
       .distinct()
   }
 
+  /** Persisted LSH band index + incremental probe — the crawl-snapshot
+    * dedup shape at 100 TB: the corpus is banded ONCE and saved as a
+    * fixed-width (id, band, bucket) parquet index; each new snapshot
+    * batch bands ONLY ITSELF and equi-joins the index, so incremental
+    * near-dup detection never re-reads, re-hashes, or re-shuffles
+    * corpus text or signatures — the per-batch cost is proportional to
+    * the BATCH, plus one keyed join against index rows. The banding
+    * layout rides a `_banding.json` sidecar so a probe can never
+    * silently use a different (bands, rowsPerBand) than the index was
+    * built with; [[BandIndex.append]] admits a batch's rows so the next
+    * probe sees it. Hot buckets are capped at write AND within each
+    * probe batch (the keptFrame maxBucketSize skew guard on both
+    * sides); the signature column must carry bands×rowsPerBand hashes —
+    * recorded in the sidecar as `numHashes` for the caller to check.
+    */
+  object BandIndex {
+    private def rowsPath(path: String) = new org.apache.hadoop.fs.Path(path, "rows")
+    private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_banding.json")
+
+    private def capped(df: DataFrame, idCol: String, signatureCol: String,
+                       bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+        .filter(col("__n") <= maxBucketSize).drop("__n")
+    }
+
+    def write(df: DataFrame, idCol: String, signatureCol: String,
+              bands: Int, rowsPerBand: Int, path: String,
+              maxBucketSize: Int = 10000): Unit = {
+      require(bands >= 1 && rowsPerBand >= 1, "need bands >= 1 and rowsPerBand >= 1")
+      capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
+        .write.mode("errorifexists").parquet(rowsPath(path).toString)
+      val fs = metaPath(path).getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(metaPath(path), false)
+      try out.write(
+        s"""{"bands":$bands,"rowsPerBand":$rowsPerBand,"numHashes":${bands * rowsPerBand}}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    /** (bands, rowsPerBand) the index was built with. */
+    def layout(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
+      val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(metaPath(path)), s"no _banding.json under $path — not a band index")
+      val in = fs.open(metaPath(path))
+      val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      (node.get("bands").asInt(), node.get("rowsPerBand").asInt())
+    }
+
+    /** Band a new batch with the INDEX's layout and append its rows. */
+    def append(df: DataFrame, idCol: String, signatureCol: String, path: String,
+               maxBucketSize: Int = 10000): Unit = {
+      val (bands, rowsPerBand) = layout(df.sparkSession, path)
+      capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
+        .write.mode("append").parquet(rowsPath(path).toString)
+      // the rows dir changed under this session's never-expiring
+      // file-status cache (see SwapStore) — refresh for the next probe
+      df.sparkSession.catalog.refreshByPath(rowsPath(path).toString)
+    }
+
+    /** Candidate pairs of the NEW batch against the indexed corpus:
+      * (id_corpus, id_new, matching_bands), `matching_bands >= minBands`.
+      * Feed through [[estimateJaccard]] + [[verifyJaccard]] exactly like
+      * whole-corpus candidates (the collision rule per band is identical,
+      * so the recall guarantee carries over unchanged).
+      */
+    def probe(df: DataFrame, idCol: String, signatureCol: String, path: String,
+              minBands: Int = 1, maxBucketSize: Int = 10000): DataFrame = {
+      val spark = df.sparkSession
+      val (bands, rowsPerBand) = layout(spark, path)
+      val ix = spark.read.parquet(rowsPath(path).toString)
+        .select(col("id").as("__ix_id"), col("band"), col("bucket"))
+      capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
+        .join(ix, Seq("band", "bucket"))
+        .filter(col("__ix_id") =!= col("id"))
+        .groupBy(col("__ix_id").as("id_corpus"), col("id").as("id_new"))
+        .agg(count(lit(1)).as("matching_bands"))
+        .filter(col("matching_bands") >= minBands)
+    }
+  }
+
   /** Cheap Jaccard estimate for candidate pairs from the MinHash
     * signatures themselves: fraction of agreeing minhashes (unbiased
     * estimator, σ = √(J(1−J)/H)). Joining two fixed-width 64-long arrays

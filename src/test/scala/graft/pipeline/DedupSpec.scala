@@ -548,6 +548,41 @@ class DedupSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("BandIndex: persisted probe equals whole-corpus candidates; append advances") {
+    val sig = shingled.withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
+      .localCheckpoint()
+    val ids = sig.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val corpus = sig.filter(col("doc_id") < cut)
+    val batch = sig.filter(col("doc_id") >= cut)
+    val ix = java.nio.file.Files.createTempDirectory("graft-bandix")
+      .resolve("ix").toString
+    Dedup.BandIndex.write(corpus, "doc_id", "sig", bands = 16, rowsPerBand = 4, path = ix)
+    assert(Dedup.BandIndex.layout(spark, ix) == ((16, 4)))
+    // probe pairs == the cross subset of whole-corpus LSH candidates
+    val probed = Dedup.BandIndex.probe(batch, "doc_id", "sig", ix)
+      .select("id_corpus", "id_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 < cut && p._2 >= cut).toSet
+    assert(probed == whole && probed.nonEmpty)
+    // append the batch: a re-probe of the batch now also collides with
+    // ITS OWN rows admitted to the index (minus self-matches)
+    Dedup.BandIndex.append(batch, "doc_id", "sig", ix)
+    val after = Dedup.BandIndex.probe(batch, "doc_id", "sig", ix)
+      .select("id_corpus", "id_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wholeBoth = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4)
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter(p => p._2 >= cut).toSet
+    assert(after == wholeBoth)
+    // a directory without the sidecar is refused, not mis-probed
+    intercept[IllegalArgumentException](
+      Dedup.BandIndex.probe(batch, "doc_id", "sig",
+        java.nio.file.Files.createTempDirectory("graft-notix").toString))
+  }
+
   test("gramCandidates stop-gram cap drops boilerplate-only pairs") {
     val spark2 = spark
     import spark2.implicits._
