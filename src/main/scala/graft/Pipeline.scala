@@ -350,6 +350,11 @@ object Pipeline {
         id, "__n_tok", budget, shardWidth)
     case graft.config.TransformConfig.ResampleStage(key, rate, denom) =>
       graft.operators.Sampling.resampleByWeight(df, key, rate, denom)
+    case graft.config.TransformConfig.LshDedupStage(
+        ip, id, text, tn, td, mb, mh, adv) =>
+      graft.pipeline.Dedup.NearDupStore.dropNearDups(df, id, text, ip,
+        thresholdNum = tn, thresholdDenom = td, minBands = mb,
+        minMatchingHashes = mh, advance = adv)
     case graft.config.TransformConfig.RfmStage(key, ts, value, asOf, buckets) =>
       graft.operators.Rfm.scores(df, key, ts, value, to_date(lit(asOf)), buckets)
     case graft.config.TransformConfig.TransitionMatrixStage(key, ts, tpe, tie) =>

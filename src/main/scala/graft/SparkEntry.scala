@@ -804,6 +804,40 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Config-driven incremental near-dup curation, END TO END: a
+    * NearDupStore is created over the corpus (doc_id < 800), then the
+    * batch (800-999) flows through a declarative pipeline whose
+    * `lshDedup` stage drops every batch doc with exact unigram
+    * J ≥ 0.9 against the store, advancing the index with the
+    * survivors. The oracle recomputes the drop set by brute force —
+    * a batch doc survives iff NO corpus doc reaches the threshold.
+    */
+  private def qCfgLshDedup(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-ndstore")
+    val store = base.resolve("store").toString
+    val out = base.resolve("out").toString
+    val docs = t(s, d, "documents")
+    Dedup.NearDupStore.create(docs.filter(col("doc_id") < 800),
+      "doc_id", "text", store)
+    val batchDir = base.resolve("batch").toString
+    docs.filter(col("doc_id") >= 800 && col("doc_id") < 1000)
+      .write.parquet(batchDir)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $batchDir
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: lshDedup
+         |transform.lshDedup.indexPath: $store
+         |transform.lshDedup.idColumn: doc_id
+         |transform.lshDedup.textColumn: text
+         |transform.lshDedup.advance: true
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     // clustering tier: connected components (min-label propagation) over
     // the exact-verified near-dup pairs; with full-recall candidates the
@@ -2642,6 +2676,7 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_incr_lsh" -> (qIncrLsh _),
+    "q_cfg_lsh_dedup" -> (qCfgLshDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash_sig" -> (qSimhashSig _),
     "q_dup_spans" -> (qDupSpans _),
@@ -4019,6 +4054,18 @@ object SparkEntry {
         "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size " +
         "FROM s a, s b WHERE a.doc_id < 800 AND b.doc_id >= 800) " +
         "WHERE inter_size * 10 >= union_size * 9 ORDER BY id_a, id_b"),
+
+    // a batch doc survives the store-backed drop iff NO corpus doc
+    // reaches exact J >= 0.9 against it
+    "q_cfg_lsh_dedup" ->
+      ("WITH s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
+        "FROM documents WHERE doc_id < 1000), " +
+        "drops AS (SELECT DISTINCT b.doc_id FROM s a, s b " +
+        "WHERE a.doc_id < 800 AND b.doc_id >= 800 " +
+        "AND len(list_intersect(a.sh, b.sh)) * 10 >= " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) * 9) " +
+        "SELECT doc_id FROM s WHERE doc_id >= 800 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drops) ORDER BY doc_id"),
 
     // connected components of the exact J>=0.9 graph via recursive
     // transitive closure; representative = min reachable doc id

@@ -624,6 +624,27 @@ object TransformConfig {
         Some("transform.winsorize.tier must be exact or approx")
       else None
   }
+  /** Incremental near-dup curation against a persisted NearDupStore —
+    * Dedup.NearDupStore.dropNearDups: drop batch rows whose exact
+    * unigram Jaccard against the stored corpus reaches
+    * thresholdNum/thresholdDenom; `advance: true` appends survivors so
+    * the next batch dedups against this one. Schema-preserving.
+    */
+  final case class LshDedupStage(indexPath: String, idColumn: String,
+                                 textColumn: String, thresholdNum: Int,
+                                 thresholdDenom: Int, minBands: Int,
+                                 minMatchingHashes: Int, advance: Boolean)
+      extends TransformConfig {
+    val name = "lshDedup"
+    def check: Option[String] =
+      if (indexPath.isEmpty) Some("transform.lshDedup.indexPath required")
+      else if (idColumn.isEmpty) Some("transform.lshDedup.idColumn required")
+      else if (textColumn.isEmpty) Some("transform.lshDedup.textColumn required")
+      else if (thresholdNum < 1 || thresholdDenom < 1 || thresholdNum > thresholdDenom)
+        Some("transform.lshDedup threshold must satisfy 1 <= num <= denom")
+      else if (minBands < 1) Some("transform.lshDedup.minBands must be >= 1")
+      else None
+  }
   /** RFM customer scoring — operators.Rfm.scores: reduce the piped
     * event log to one row per key with recency/frequency/monetary and
     * their ntile scores as of `asOf` (an ISO date). Terminal reshape
@@ -1112,6 +1133,10 @@ object PipelineConfig {
       "transform.anomaly.valueColumn", "transform.anomaly.window",
       "transform.anomaly.minPoints", "transform.anomaly.z",
       "transform.anomaly.maxAbsValue",
+      "transform.lshDedup.indexPath", "transform.lshDedup.idColumn",
+      "transform.lshDedup.textColumn", "transform.lshDedup.thresholdNum",
+      "transform.lshDedup.thresholdDenom", "transform.lshDedup.minBands",
+      "transform.lshDedup.minMatchingHashes", "transform.lshDedup.advance",
       "transform.rfm.keyColumn", "transform.rfm.tsColumn",
       "transform.rfm.valueColumn", "transform.rfm.asOf", "transform.rfm.buckets",
       "transform.transitionMatrix.keyColumn", "transform.transitionMatrix.tsColumn",
@@ -1672,6 +1697,25 @@ object PipelineConfig {
             denom <- map.getOrElse("transform.resampleByWeight.denom", "1000000")
               .toIntOption.toRight("transform.resampleByWeight.denom not an int")
           } yield TransformConfig.ResampleStage(key, rate, denom)
+        case "lshDedup" =>
+          for {
+            ip <- map.get("transform.lshDedup.indexPath")
+              .toRight("transform.lshDedup.indexPath required")
+            id <- map.get("transform.lshDedup.idColumn")
+              .toRight("transform.lshDedup.idColumn required")
+            text <- map.get("transform.lshDedup.textColumn")
+              .toRight("transform.lshDedup.textColumn required")
+            tn <- map.getOrElse("transform.lshDedup.thresholdNum", "9")
+              .toIntOption.toRight("transform.lshDedup.thresholdNum not an int")
+            td <- map.getOrElse("transform.lshDedup.thresholdDenom", "10")
+              .toIntOption.toRight("transform.lshDedup.thresholdDenom not an int")
+            mb <- map.getOrElse("transform.lshDedup.minBands", "4")
+              .toIntOption.toRight("transform.lshDedup.minBands not an int")
+            mh <- map.getOrElse("transform.lshDedup.minMatchingHashes", "46")
+              .toIntOption.toRight("transform.lshDedup.minMatchingHashes not an int")
+            adv <- map.getOrElse("transform.lshDedup.advance", "false")
+              .toBooleanOption.toRight("transform.lshDedup.advance not a boolean")
+          } yield TransformConfig.LshDedupStage(ip, id, text, tn, td, mb, mh, adv)
         case "rfm" =>
           for {
             key <- map.get("transform.rfm.keyColumn")

@@ -399,6 +399,87 @@ object Dedup {
     }
   }
 
+  /** Rolling crawl-snapshot NEAR-dup store — the exact-decision twin of
+    * [[newAgainst]] (which matches exact digests only): a directory of
+    * three keyed side tables,
+    *
+    *   `bands/`    — a [[BandIndex]] (fixed-width candidate tier),
+    *   `sigs/`     — (id, sig): MinHash signatures for the estimate tier,
+    *   `shingles/` — (id, sh): distinct-unigram sets for the EXACT verify,
+    *
+    * so an incoming batch can be deduplicated against the whole corpus
+    * history with per-batch cost ∝ batch: candidates come from one
+    * keyed probe join, and the sigs/shingles tables are only ever
+    * joined BY ID on the candidate survivors — never scanned against
+    * each other. Keeping shingles is what makes the drop decision
+    * EXACT (threshold on true Jaccard, banding only bounds recall);
+    * they are a compressed derivative of the text (distinct tokens),
+    * the price of never re-reading the corpus. Ids must be globally
+    * unique across snapshots (crawl ids are).
+    */
+  object NearDupStore {
+    private def sub(path: String, name: String) =
+      new org.apache.hadoop.fs.Path(path, name).toString
+
+    private def framed(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int): DataFrame =
+      df.select(col(idCol).as("id"), shingles(textCol, 1).as("sh"))
+        .withColumn("sig", minHashSignature(col("sh"), numHashes))
+
+    def create(df: DataFrame, idCol: String, textCol: String, path: String,
+               bands: Int = 16, rowsPerBand: Int = 4,
+               maxBucketSize: Int = 10000): Unit = {
+      val f = framed(df, idCol, textCol, bands * rowsPerBand)
+        .transform(graft.Checkpoints.materialize)
+      BandIndex.write(f, "id", "sig", bands, rowsPerBand, sub(path, "bands"),
+        maxBucketSize)
+      f.select("id", "sig").write.mode("errorifexists").parquet(sub(path, "sigs"))
+      f.select("id", "sh").write.mode("errorifexists").parquet(sub(path, "shingles"))
+    }
+
+    /** Drop every batch row whose exact unigram Jaccard against some
+      * stored document reaches `thresholdNum/thresholdDenom`; survivors
+      * keep the input schema. `advance = true` appends the SURVIVORS to
+      * all three tables so the next batch dedups against this one too.
+      * The cheap-tier gates default to the oracle-proven 0.9-threshold
+      * chain (16×4 banding ≥4 bands, ≥46/64 estimate) — loosen them
+      * together with the threshold.
+      */
+    def dropNearDups(df: DataFrame, idCol: String, textCol: String, path: String,
+                     thresholdNum: Int = 9, thresholdDenom: Int = 10,
+                     minBands: Int = 4, minMatchingHashes: Int = 46,
+                     advance: Boolean = false): DataFrame = {
+      val spark = df.sparkSession
+      val (bands, rowsPerBand) = BandIndex.layout(spark, sub(path, "bands"))
+      val f = framed(df, idCol, textCol, bands * rowsPerBand)
+        .transform(graft.Checkpoints.materialize)
+      val cands = BandIndex.probe(f, "id", "sig", sub(path, "bands"),
+          minBands = minBands)
+        .select(col("id_corpus").as("id_a"), col("id_new").as("id_b"))
+      val sigsBoth = spark.read.parquet(sub(path, "sigs")).unionByName(
+        f.select("id", "sig"))
+      val estimated = estimateJaccard(cands, sigsBoth, "id", "sig")
+        .filter(col("matching_hashes") >= minMatchingHashes)
+        .select("id_a", "id_b")
+      val shBoth = spark.read.parquet(sub(path, "shingles")).unionByName(
+        f.select("id", "sh"))
+      val dropIds = verifyJaccard(estimated, shBoth, "id", "sh",
+          thresholdNum, thresholdDenom)
+        .select(col("id_b").as(idCol)).distinct()
+      val out = df.join(dropIds, Seq(idCol), "left_anti")
+      if (advance) {
+        val kept = f.join(out.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .transform(graft.Checkpoints.materialize)
+        BandIndex.append(kept, "id", "sig", sub(path, "bands"))
+        kept.select("id", "sig").write.mode("append").parquet(sub(path, "sigs"))
+        kept.select("id", "sh").write.mode("append").parquet(sub(path, "shingles"))
+        spark.catalog.refreshByPath(sub(path, "sigs"))
+        spark.catalog.refreshByPath(sub(path, "shingles"))
+      }
+      out
+    }
+  }
+
   /** Cheap Jaccard estimate for candidate pairs from the MinHash
     * signatures themselves: fraction of agreeing minhashes (unbiased
     * estimator, σ = √(J(1−J)/H)). Joining two fixed-width 64-long arrays

@@ -583,6 +583,44 @@ class DedupSpec extends AnyFunSuite {
         java.nio.file.Files.createTempDirectory("graft-notix").toString))
   }
 
+  test("NearDupStore: exact-threshold drops, advance rolls the corpus forward") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // batch 1: 11 is a 9/10-token near-dup of 1 (J=9/11 < 0.9? tokens:
+    // shares 9 of union 11 -> 0.818, below) — use an exact-set dup plus
+    // a disjoint doc to pin the threshold boundary both ways
+    val b1 = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // J=1 vs 1
+      (12L, "red orange yellow green blue indigo violet pink brown black"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-nds")
+      .resolve("s").toString
+    Dedup.NearDupStore.create(corpus, "doc_id", "text", store)
+    val out1 = Dedup.NearDupStore.dropNearDups(b1, "doc_id", "text", store,
+      advance = true)
+    assert(out1.columns.toSeq == b1.columns.toSeq)
+    assert(out1.select("doc_id").as[Long].collect().toSet == Set(12L))
+    // batch 2: 21 duplicates the ADVANCED survivor 12 (must drop even
+    // though 12 was never in the original corpus); 22 is new
+    val b2 = Seq(
+      (21L, "red orange yellow green blue indigo violet pink brown black"),
+      (22L, "solo fresh words nothing shared with anything else here now"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.NearDupStore.dropNearDups(b2, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(22L))
+    // a sub-threshold overlap survives: J = 9/11 ≈ 0.82 < 0.9
+    val b3 = Seq(
+      (31L, "alpha beta gamma delta epsilon zeta eta theta iota NOVEL"))
+      .toDF("doc_id", "text")
+    assert(Dedup.NearDupStore.dropNearDups(b3, "doc_id", "text", store,
+      minMatchingHashes = 1, minBands = 1)
+      .select("doc_id").as[Long].collect().toSet == Set(31L))
+  }
+
   test("gramCandidates stop-gram cap drops boilerplate-only pairs") {
     val spark2 = spark
     import spark2.implicits._
