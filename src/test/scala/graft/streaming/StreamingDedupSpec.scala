@@ -37,6 +37,40 @@ class StreamingDedupSpec extends AnyFunSuite {
       Set("doc_id", "text", "ts")) // digest helper column dropped
   }
 
+  test("curateAgainstStore: batches dedup against store AND prior survivors") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nds-stream")
+    val in = tmp.resolve("in").toString
+    val out = tmp.resolve("out").toString
+    val store = tmp.resolve("store").toString
+    // corpus history the stream must respect
+    graft.pipeline.Dedup.NearDupStore.create(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", store)
+    // batch 0: 10 duplicates the stored corpus doc; 11 is new
+    Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11L, "red orange yellow green blue indigo violet pink brown black"))
+      .toDF("doc_id", "text").write.parquet(s"$in/b0")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$in/*")
+    val query = StreamingDedup.curateAgainstStore(stream, "doc_id", "text",
+      store, out, tmp.resolve("ck").toString)
+    try {
+      query.processAllAvailable()
+      // batch 1: 20 duplicates batch 0's SURVIVOR 11 (never in the
+      // original store — only reachable through the advance); 21 is new
+      Seq((20L, "red orange yellow green blue indigo violet pink brown black"),
+          (21L, "totally novel words that nothing previous has ever used"))
+        .toDF("doc_id", "text").write.parquet(s"$in/b1")
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.catalog.refreshByPath(out)
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L, 21L),
+      s"survivors $ids: 10 must drop vs the store, 20 vs batch 0's survivor")
+  }
+
   test("exact dedup state is watermark-bounded: expired digests re-admit") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-wm")
     val in = tmp.resolve("in").toString
