@@ -10,6 +10,8 @@ package graft
   *   runMain graft.Maintain vacuum <versionedRoot> [keep] [minAgeMs]
   *   runMain graft.Maintain delete <dir> <keyCol> <key>[,key...]  # targeted
   *                                                  # right-to-be-forgotten rewrite
+  *   runMain graft.Maintain ndstore create <corpusDir> <idCol> <textCol> <storeDir>
+  *   runMain graft.Maintain ndstore dedup <batchDir> <idCol> <textCol> <storeDir> <outDir> [advance]
   *
   * compact is crash-safe (write-ahead group markers; interrupted swaps
   * recover on the next run); stats updates touch only files the index
@@ -70,6 +72,26 @@ object Maintain {
         val r = sources.TargetedDelete.deleteAuto(spark, args(1), args(2), keys)
         println(s"[maintain] deleted ${r.rowsDeleted} rows: " +
           s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")
+      case "ndstore" =>
+        // ndstore create <corpusDir> <idCol> <textCol> <storeDir>
+        // ndstore dedup  <batchDir>  <idCol> <textCol> <storeDir> <outDir> [advance]
+        if (args.length < 6) usage()
+        args(1) match {
+          case "create" =>
+            pipeline.Dedup.NearDupStore.create(
+              spark.read.parquet(args(2)), args(3), args(4), args(5))
+            println(s"[maintain] near-dup store created at ${args(5)}")
+          case "dedup" =>
+            if (args.length < 7) usage()
+            val survivors = pipeline.Dedup.NearDupStore.dropNearDups(
+              spark.read.parquet(args(2)), args(3), args(4), args(5),
+              advance = args.length > 7 && args(7) == "advance")
+            val n = survivors.count()
+            survivors.write.mode("errorifexists").parquet(args(6))
+            println(s"[maintain] $n survivors written to ${args(6)}")
+          case other =>
+            System.err.println(s"[maintain] unknown ndstore command: $other"); usage()
+        }
       case "diff" =>
         if (args.length < 5) usage()
         val pk = args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -93,7 +115,9 @@ object Maintain {
         |       graft.Maintain vacuum <versionedRoot> [keep] [minAgeMs]
         |       graft.Maintain delete <dir> <keyCol> <key>[,key...]
         |       graft.Maintain delete <dir> <keyCol> @<keyfile>   # one key per line
-        |       graft.Maintain diff <versionedRoot> <vA> <vB> <pk>[,pk...]""".stripMargin)
+        |       graft.Maintain diff <versionedRoot> <vA> <vB> <pk>[,pk...]
+        |       graft.Maintain ndstore create <corpusDir> <idCol> <textCol> <storeDir>
+        |       graft.Maintain ndstore dedup <batchDir> <idCol> <textCol> <storeDir> <outDir> [advance]""".stripMargin)
     sys.exit(2)
   }
 }
