@@ -478,6 +478,27 @@ object Dedup {
       }
       out
     }
+
+    /** Defragment an advanced store: every batch `advance` appends a
+      * few small files to all three tables, and after thousands of
+      * snapshots the probe's scan cost is dominated by file-open
+      * overhead, not data. Reuses the crash-safe [[graft.sources
+      * .Compaction]] swap (write-ahead group markers, verify-then-
+      * rename) on each table dir — results are row-identical, so probe
+      * decisions cannot change. Run it between batches, not under a
+      * concurrent probe (same caveat as any in-place compaction; a
+      * versioned store would publish instead).
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+                targetBytes: Long): Seq[graft.sources.Compaction.Result] = {
+      val rs = Seq(sub(path, "bands") + "/rows", sub(path, "sigs"),
+        sub(path, "shingles")).map { d =>
+        val r = graft.sources.Compaction.compact(spark, d, targetBytes)
+        spark.catalog.refreshByPath(d)
+        r
+      }
+      rs
+    }
   }
 
   /** Cheap Jaccard estimate for candidate pairs from the MinHash

@@ -621,6 +621,39 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(31L))
   }
 
+  test("NearDupStore.compact defragments all three tables, decisions unchanged") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-nds-c")
+      .resolve("s").toString
+    Dedup.NearDupStore.create(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), "doc_id", "text", store)
+    // several advances fragment the store (each appends small files)
+    (0 until 4).foreach { i =>
+      Dedup.NearDupStore.dropNearDups(
+        Seq((10L + i, s"unique words for batch number $i nothing shared at all"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", store, advance = true)
+    }
+    def files(d: String) = graft.sources.ParquetSource.listParquetFiles(
+      d, spark.sparkContext.hadoopConfiguration).size
+    val before = files(s"$store/sigs")
+    assert(before >= 5, s"expected fragmentation, got $before files")
+    val probe = Seq(
+      (99L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 1
+      (98L, "unique words for batch number 2 nothing shared at all"),    // dup of 12
+      (97L, "never seen anywhere previously by anyone in any corpus yet"))
+      .toDF("doc_id", "text")
+    val pre = Dedup.NearDupStore.dropNearDups(probe, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    val rs = Dedup.NearDupStore.compact(spark, store, targetBytes = 64 * 1024 * 1024)
+    assert(rs.exists(_.filesRemoved > 0), "compaction merged nothing")
+    assert(files(s"$store/sigs") < before)
+    val post = Dedup.NearDupStore.dropNearDups(probe, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pre == post && post == Set(97L))
+  }
+
   test("gramCandidates stop-gram cap drops boilerplate-only pairs") {
     val spark2 = spark
     import spark2.implicits._
