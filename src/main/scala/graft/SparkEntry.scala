@@ -1955,6 +1955,35 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Persisted ANN index round trip AT THE GATE: build the IVF-PQ
+    * store, search; reopen it from disk (models reloaded from parquet,
+    * index frame scanned cold) and search again — every (query, rank)
+    * must return the identical neighbor at the identical ADC distance,
+    * because model parquet is bit-exact for doubles. This is the
+    * warehouse claim behind AnnIndex (an index you can reopen next
+    * session IS the index you built), pinned per-row by the oracle
+    * rather than only in a spec.
+    */
+  private def qAnnStore(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-annstore")
+      .resolve("ix").toString
+    val built = graft.pipeline.AnnIndex.build(emb, "vec_id", "embedding", root,
+      kIvf = 10, m = 16, ksub = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+    def run(h: graft.pipeline.AnnIndex.Handle) =
+      graft.pipeline.AnnIndex.search(h, queries, "vec_id", "embedding", k = 10, nProbe = 4)
+    val a = run(built)
+    val b = run(graft.pipeline.AnnIndex.open(s, root))
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("__n2"), col("adc_dist").as("__d2"))
+    a.join(b, Seq("query_id", "rank"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        (col("neighbor_id") === col("__n2") &&
+          abs(col("adc_dist") - col("__d2")) < 1e-12).as("identical_after_reopen"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed semantic dedup (SemDeDup rule): the oracle rebuilds
     * the seed-fixed hyperplane buckets and the within-bucket cosine
     * test end to end, so the approximate tier's exact output is pinned
@@ -2598,6 +2627,7 @@ object SparkEntry {
     "q_sem_dedup" -> (qSemDedup _),
     "q_pq_codes" -> (qPqCodes _),
     "q_pq_adc" -> (qPqAdc _),
+    "q_ann_store" -> (qAnnStore _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -3339,6 +3369,14 @@ object SparkEntry {
     "q_pq_adc" ->
       ("SELECT vec_id AS query_id, CAST(r AS BIGINT) AS rank, " +
         "TRUE AS adc_consistent FROM embeddings, " +
+        "unnest(generate_series(1, 10)) AS g(r) WHERE vec_id < 5 " +
+        "ORDER BY query_id, rank"),
+
+    // a reopened index must reproduce the building session's search
+    // rows bit-for-bit (model parquet is exact for doubles)
+    "q_ann_store" ->
+      ("SELECT vec_id AS query_id, CAST(r AS BIGINT) AS rank, " +
+        "TRUE AS identical_after_reopen FROM embeddings, " +
         "unnest(generate_series(1, 10)) AS g(r) WHERE vec_id < 5 " +
         "ORDER BY query_id, rank"),
 
