@@ -17,24 +17,39 @@ object Bench {
     * `{n, rc, cpus, sf, tail, parsed}`), so look there first and fall
     * back to a top-level `queries` for raw bench output saved directly.
     */
-  private[graft] def priorQueries(dir: java.io.File): Map[String, Double] = {
+  private def priorRoot(dir: java.io.File): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
     files.sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption.flatMap { f =>
-      try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-        val qs = Option(root.get("parsed")).map(_.get("queries"))
-          .filter(_ != null).getOrElse(root.get("queries"))
-        if (qs == null) None
-        else {
-          val m = scala.collection.mutable.Map.empty[String, Double]
-          val it = qs.fields()
-          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
-          Some(m.toMap)
-        }
-      } catch { case NonFatal(_) => None }
-    }.getOrElse(Map.empty)
+      try Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(f))
+      catch { case NonFatal(_) => None }
+    }
   }
+
+  private def benchNode(root: com.fasterxml.jackson.databind.JsonNode,
+                        key: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    Option(root.get("parsed")).map(_.get(key)).filter(_ != null)
+      .orElse(Option(root.get(key)))
+
+  private[graft] def priorQueries(dir: java.io.File): Map[String, Double] =
+    priorRoot(dir).flatMap(benchNode(_, "queries")).map { qs =>
+      val m = scala.collection.mutable.Map.empty[String, Double]
+      val it = qs.fields()
+      while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+      m.toMap
+    }.getOrElse(Map.empty)
+
+  /** Prior round's pre-sweep CPU-spin sentinel (min of the [pre, post]
+    * pair) — the machine-wide-slowdown reference for the retime net: if
+    * THIS run's sentinel is far above the prior's, every query is
+    * nominally "regressed" and retiming the sweep would triple-run it
+    * for no information.
+    */
+  private[graft] def priorSpin(dir: java.io.File): Option[Double] =
+    priorRoot(dir).flatMap(benchNode(_, "calibration"))
+      .flatMap(c => Option(c.get("spin_sec")))
+      .filter(a => a.isArray && a.size() > 0)
+      .map(a => (0 until a.size()).map(a.get(_).asDouble()).min)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -159,8 +174,21 @@ object Bench {
     // self-contained (each fn call rebuilds its frames; nothing is
     // shared across runs) — outside the timed section, so each timing
     // measures a run against a clean block store.
-    def releaseSweepState(): Unit =
+    // Beyond unpersist: dead shuffle files and broadcast blocks are
+    // reclaimed by the ContextCleaner only after their driver-side refs
+    // are GARBAGE COLLECTED (weak-ref tracking) — and a sweep's tight
+    // query loop generates almost no driver-heap pressure, so hundreds
+    // of runs' shuffles/broadcasts linger in the block manager and on
+    // disk, squeezing the unified memory pool until join/agg-heavy
+    // queries spill (round 11: raw in-sweep timings up to 50× their
+    // same-session retimes — the retime phase ran fast because a major
+    // GC had fired by then). An explicit GC per run keeps the cleaner
+    // fed continuously; it runs OUTSIDE the timed section.
+    def releaseSweepState(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
     def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       val r =
@@ -193,12 +221,23 @@ object Bench {
     // too (sub-second regressions used to escape the slowest-5 net).
     val prior: Map[String, Double] = priorQueries(new java.io.File("."))
     val slowest = results.toSeq.sortBy(-_._2).take(5).map(_._1)
-    // worst absolute regressions first; capped so a machine-wide slowdown
-    // (everything nominally "regressed") can't triple-run the whole sweep
-    val regressed = results.toSeq
-      .flatMap { case (name, v) =>
-        prior.get(name).filter(p => v > p * 1.3).map(p => (name, v - p)) }
-      .sortBy(-_._2).take(15).map(_._1)
+    // EVERY >30%+0.2s regression gets fresh counter-evidence — the old
+    // top-15 absolute-delta cap spent all its slots on noise-inflated
+    // big queries and dropped exactly the mid-size regressions that
+    // needed retimes (round 11: q_cube/q_ngram_jaccard/q_join_agg/
+    // q_full_diff escaped unretimed). The machine-wide-slowdown guard
+    // is the SENTINEL, not a cap: if this run's CPU-spin reads far
+    // above the prior round's, everything is nominally "regressed" and
+    // retiming the sweep is pure noise — skip the net and flag it.
+    val machineSlow = priorSpin(new java.io.File(".")).exists(ps =>
+      ps > 0 && calSpinPre > ps * 1.5)
+    val regressed =
+      if (machineSlow) Seq.empty
+      else results.toSeq
+        .flatMap { case (name, v) =>
+          prior.get(name).filter(p => v > p * 1.3 && v - p > 0.2)
+            .map(p => (name, v - p)) }
+        .sortBy(-_._2).map(_._1)
     val retimed = (slowest ++ regressed).distinct.flatMap { name =>
       val ts = Seq.fill(3)(timedRun(name, SparkEntry.queries(name))).flatten
       if (ts.isEmpty) None else Some(name -> ts.min)
@@ -221,7 +260,8 @@ object Bench {
     // quiet-period record by to normalize co-tenant load out of this run
     val calJson = "\"calibration\":{" +
       s""""spin_sec":[${fmt(calSpinPre)},${fmt(calSpinPost)}],""" +
-      s""""spark_job_sec":[${fmt(calSparkPre)},${fmt(calSparkPost)}]}"""
+      s""""spark_job_sec":[${fmt(calSparkPre)},${fmt(calSparkPost)}]}""" +
+      (if (machineSlow) ""","machine_slow":true""" else "")
     val retimedJson = retimed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("\"retimed\":{", ",", "},")
     def line(entries: Seq[(String, Double)]): String = {

@@ -86,8 +86,11 @@ object Maintain {
             val survivors = pipeline.Dedup.NearDupStore.dropNearDups(
               spark.read.parquet(args(2)), args(3), args(4), args(5),
               advance = args.length > 7 && args(7) == "advance")
-            val n = survivors.count()
+            // write FIRST, count the written parquet: count-then-write
+            // would run the probe/estimate/verify chain twice (the
+            // non-advance path has no materialize barrier)
             survivors.write.mode("errorifexists").parquet(args(6))
+            val n = spark.read.parquet(args(6)).count()
             println(s"[maintain] $n survivors written to ${args(6)}")
           case other =>
             System.err.println(s"[maintain] unknown ndstore command: $other"); usage()

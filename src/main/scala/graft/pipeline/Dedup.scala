@@ -451,6 +451,18 @@ object Dedup {
                      advance: Boolean = false): DataFrame = {
       val spark = df.sparkSession
       val (bands, rowsPerBand) = BandIndex.layout(spark, sub(path, "bands"))
+      // validate the cheap-tier gates against the store's PERSISTED
+      // layout: a store created with fewer hashes than the defaults
+      // assume (e.g. 8×4 = 32 < 46) would make the estimate filter
+      // unsatisfiable and this curation would silently pass EVERYTHING
+      // through — fail fast instead of dropping nothing
+      require(minBands <= bands,
+        s"minBands=$minBands exceeds the store's $bands bands ($path) — " +
+          "the band filter can never pass; rebuild the store or lower minBands")
+      require(minMatchingHashes <= bands * rowsPerBand,
+        s"minMatchingHashes=$minMatchingHashes exceeds the store's " +
+          s"${bands * rowsPerBand} signature hashes ($path) — the estimate " +
+          "filter can never pass; rebuild the store or lower minMatchingHashes")
       val f = framed(df, idCol, textCol, bands * rowsPerBand)
         .transform(graft.Checkpoints.materialize)
       val cands = BandIndex.probe(f, "id", "sig", sub(path, "bands"),

@@ -56,16 +56,21 @@ object ParquetSource {
   def processInBatches(spark: SparkSession, root: String, skipFiles: Set[String],
                        batchSize: Int, mergeSchema: Boolean = false)(
       process: DataFrame => Unit)(onBatchDone: Seq[String] => Unit): Unit = {
-    val remaining = listParquetFiles(root, spark.sparkContext.hadoopConfiguration)
-      .filterNot(skipFiles.contains)
-    // Schema-evolved tables: union the per-file schemas ONCE across every
-    // remaining file (footer reads only — no data scan), then pin that
-    // schema on each batch read. Without the pin, each batch would carry
-    // only its own files' columns and the appended target would silently
-    // drop evolved columns batch by batch.
+    val all = listParquetFiles(root, spark.sparkContext.hadoopConfiguration)
+    val remaining = all.filterNot(skipFiles.contains)
+    // Schema-evolved tables: union the per-file schemas ONCE across EVERY
+    // listed file — including already-skipped ones (footer reads only —
+    // no data scan) — then pin that schema on each batch read. Without
+    // the pin, each batch would carry only its own files' columns and the
+    // appended target would silently drop evolved columns batch by batch.
+    // The union must cover skipped files too: on a savepoint resume where
+    // an evolved column lives only in already-completed files, a
+    // remaining-only union would append a NARROWER schema than the
+    // pre-crash batches did, leaving the target mixed-schema (a plain
+    // read of it then nondeterministically drops the evolved column).
     val pinned: Option[org.apache.spark.sql.types.StructType] =
-      if (mergeSchema && remaining.nonEmpty)
-        Some(spark.read.option("mergeSchema", "true").parquet(remaining: _*).schema)
+      if (mergeSchema && all.nonEmpty)
+        Some(spark.read.option("mergeSchema", "true").parquet(all: _*).schema)
       else None
     remaining.grouped(batchSize).foreach { batch =>
       val reader = pinned.fold(spark.read)(s => spark.read.schema(s))

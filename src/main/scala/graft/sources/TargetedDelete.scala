@@ -139,7 +139,15 @@ object TargetedDelete {
     if (candidates.isEmpty) return Result(0, 0L, all.size)
 
     val inKeys = col(keyCol).isInCollection(keys)
-    val table = spark.read.parquet(candidates: _*)
+    // mergeSchema: without it Spark infers the read schema from ONE
+    // arbitrary data file, so on a schema-evolved table columns present
+    // only in some affected files would be silently dropped from their
+    // rewritten replacements — permanent loss of non-targeted columns
+    // in a delete whose row-count verify cannot see it (counts match,
+    // columns don't). The union schema makes the rewrite carry every
+    // column; files that lacked one get nulls for it, same as any
+    // mergeSchema read of the table.
+    val table = spark.read.option("mergeSchema", "true").parquet(candidates: _*)
     val dataCols = table.columns.toSeq
     val affected = table
       .filter(inKeys)
@@ -160,12 +168,13 @@ object TargetedDelete {
       // whole delete with every original intact), and the swap loop
       // below is pure filesystem work under the same per-file marker
       // protocol recover() already understands. Rows from evolved files
-      // are normalized to the candidates' common read schema (same
-      // contract as deleteByAntiJoin).
+      // are widened to the candidates' mergeSchema UNION schema (nulls
+      // for columns their original file lacked), so no file's columns
+      // are dropped by the rewrite.
       val keep = !inKeys || col(keyCol).isNull
       val idxDf = broadcast(spark.createDataFrame(
         affected.zipWithIndex).toDF("__f", "__gidx"))
-      val tagged = spark.read.parquet(affected: _*)
+      val tagged = spark.read.option("mergeSchema", "true").parquet(affected: _*)
         .withColumn("__f", input_file_name()).join(idxDf, "__f")
       val countsByFile: Map[Int, (Long, Long)] = tagged.groupBy(col("__gidx"))
         .agg(count(lit(1)).as("total"),

@@ -26,6 +26,17 @@ object Versioned {
 
   private val Pointer = "_LATEST"
 
+  /** Publish-completion stamp written INSIDE each version directory
+    * (underscore prefix → invisible to parquet reads). Vacuum's
+    * `minAgeMs` floor measures from this, NOT the directory mtime:
+    * HDFS bumps a directory's mtime whenever a child is added/removed
+    * (a later touch would postpone retirement indefinitely), and
+    * S3A-style stores report epoch-0/synthetic mtimes for directory
+    * prefixes (every version would look "old enough", defeating the
+    * in-flight-reader guard entirely).
+    */
+  private val CommitFile = "_graft_commit.json"
+
   private def vdir(n: Long): String = f"v_$n%010d"
 
   private def fsOf(spark: SparkSession, root: String) =
@@ -65,6 +76,12 @@ object Versioned {
     val next = (latestVersion(spark, root).getOrElse(0L) +: versions(spark, root))
       .max + 1L
     write(new Path(root, vdir(next)).toString)
+    // stamp publish completion before the pointer swap — vacuum's
+    // retention floor measures from this file's recorded time
+    val stamp = fs.create(new Path(new Path(root, vdir(next)), CommitFile), true)
+    try stamp.write(
+      s"""{"publishedAtMs":${System.currentTimeMillis()}}""".getBytes("UTF-8"))
+    finally stamp.close()
     val tmp = new Path(root, s"$Pointer.tmp")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
@@ -129,12 +146,17 @@ object Versioned {
     *
     * `minAgeMs` is the retention guard between vacuum and in-flight
     * readers (Delta-style): a version younger than the floor is never
-    * deleted — measured from the version directory's last modification
-    * time, i.e. publish completion — so a long scan that resolved
-    * `versionAt: N` (or the pointer) just before a newer publish keeps
-    * its files for at least the retention window, and a publisher
-    * mid-write can't lose its in-progress orphan to a concurrent
-    * vacuum. Size it to the longest query you run against the table.
+    * deleted — measured from the `_graft_commit.json` stamp written at
+    * publish completion (directory mtimes are unusable for this: HDFS
+    * bumps them on any child change, S3A reports synthetic ones for
+    * prefixes) — so a long scan that resolved `versionAt: N` (or the
+    * pointer) just before a newer publish keeps its files for at least
+    * the retention window, and a publisher mid-write can't lose its
+    * in-progress orphan to a concurrent vacuum. Versions without a
+    * stamp (pre-stamp publishes, crashed mid-write orphans) fall back
+    * to the max mtime of the version's data FILES — file mtimes are
+    * set once at close and stable on every store. Size it to the
+    * longest query you run against the table.
     */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
              minAgeMs: Long = 0L): Seq[Long] = {
@@ -146,10 +168,34 @@ object Versioned {
     val published = all.filter(_ <= current)
     val orphans = all.filter(_ > current)
     val now = System.currentTimeMillis()
+    def maxFileMtime(p: Path): Option[Long] = {
+      def walk(q: Path): Seq[Long] = {
+        val st = fs.getFileStatus(q)
+        if (st.isDirectory) fs.listStatus(q).toIndexedSeq.flatMap(s => walk(s.getPath))
+        else Seq(st.getModificationTime)
+      }
+      val ts = walk(p)
+      if (ts.isEmpty) None else Some(ts.max)
+    }
+    def publishedAt(p: Path): Option[Long] = {
+      val cf = new Path(p, CommitFile)
+      if (fs.exists(cf)) {
+        val in = fs.open(cf)
+        val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        Some(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).get("publishedAtMs").asLong())
+      } else maxFileMtime(p)
+    }
     def oldEnough(n: Long): Boolean = minAgeMs == 0L || {
       val p = new Path(root, vdir(n))
-      try now - fs.getFileStatus(p).getModificationTime >= minAgeMs
-      catch { case _: java.io.FileNotFoundException => false }
+      // an empty/unstampable dir (mid-write orphan with no files yet)
+      // gets the dir status time as last resort — but only to KEEP it
+      // young; absence of evidence never makes a version old enough
+      try {
+        val at = publishedAt(p)
+          .getOrElse(fs.getFileStatus(p).getModificationTime)
+        now - at >= minAgeMs
+      } catch { case _: java.io.FileNotFoundException => false }
     }
     val retire = (published.dropRight(keep) ++ orphans).filter(oldEnough)
     retire.foreach(n => fs.delete(new Path(root, vdir(n)), true))

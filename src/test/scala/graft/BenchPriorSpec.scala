@@ -49,6 +49,21 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(m === Map("q_x" -> 0.5))
   }
 
+  test("priorSpin reads the calibration sentinel min (nested and top-level)") {
+    val dir = Files.createTempDirectory("graft-bench-spin")
+    write(dir, "BENCH_r09.json",
+      """{"parsed":{"queries":{"q_a":1.0},
+        |"calibration":{"spin_sec":[0.150,0.130],"spark_job_sec":[0.4,0.5]}}}""".stripMargin)
+    assert(Bench.priorSpin(dir.toFile).contains(0.130))
+    val top = Files.createTempDirectory("graft-bench-spin2")
+    write(top, "BENCH_r02.json",
+      """{"queries":{"q_x":0.5},"calibration":{"spin_sec":[0.2,0.3]}}""")
+    assert(Bench.priorSpin(top.toFile).contains(0.2))
+    // no calibration block → no reference → the retime net stays armed
+    write(top, "BENCH_r03.json", """{"queries":{"q_x":0.5}}""")
+    assert(Bench.priorSpin(top.toFile).isEmpty)
+  }
+
   test("picks the numerically-latest round and survives malformed files") {
     val dir = Files.createTempDirectory("graft-bench-prior")
     write(dir, "BENCH_r02.json",

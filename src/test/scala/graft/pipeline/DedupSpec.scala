@@ -621,6 +621,32 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(31L))
   }
 
+  test("NearDupStore: cheap-tier gates are validated against the persisted layout") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-nds-layout")
+      .resolve("s").toString
+    // 8×4 = 32 signature hashes — the DEFAULT estimate gate (>=46)
+    // could never pass against this store: every batch would silently
+    // survive. The probe must fail fast instead of dropping nothing.
+    Dedup.NearDupStore.create(corpus, "doc_id", "text", store,
+      bands = 8, rowsPerBand = 4)
+    val batch = Seq((11L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.NearDupStore.dropNearDups(batch, "doc_id", "text", store).collect())
+    assert(e1.getMessage.contains("minMatchingHashes"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.NearDupStore.dropNearDups(batch, "doc_id", "text", store,
+        minBands = 9, minMatchingHashes = 20).collect())
+    assert(e2.getMessage.contains("minBands"))
+    // gates sized to the layout work — and the exact dup still drops
+    assert(Dedup.NearDupStore.dropNearDups(batch, "doc_id", "text", store,
+      minBands = 4, minMatchingHashes = 23)
+      .select("doc_id").as[Long].collect().isEmpty)
+  }
+
   test("NearDupStore.compact defragments all three tables, decisions unchanged") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-nds-c")

@@ -205,4 +205,30 @@ class TargetedDeleteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TargetedDelete.delete(spark, dir, "id", (1L to 100001L).map(x => x: Any)))
   }
+
+  test("schema-evolved table: rewrite keeps columns present only in some files") {
+    // file A: (id, payload); file B adds an evolved column — without a
+    // mergeSchema read the one-job rewrite would infer ONE file's schema
+    // and silently drop the other's columns from its replacement (a
+    // row-count verify can't see it: counts match, columns don't)
+    val dir = Files.createTempDirectory("graft-tdel-ev").resolve("t").toString
+    (0L until 100L).map(id => (id, s"row$id")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    (100L until 200L).map(id => (id, s"row$id", s"extra$id"))
+      .toDF("id", "payload", "evolved")
+      .coalesce(1).write.mode("append").parquet(dir)
+    // one key per file → BOTH files rewritten in the single staged job
+    val r = TargetedDelete.delete(spark, dir, "id", Seq(5L, 105L))
+    assert(r == TargetedDelete.Result(filesRewritten = 2, rowsDeleted = 2,
+      filesUntouched = 0))
+    val got = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(got.columns.toSet == Set("id", "payload", "evolved"))
+    assert(got.count() == 198)
+    // the evolved column's surviving values are intact, not nulled
+    assert(got.filter(col("evolved").isNotNull).count() == 99)
+    assert(got.filter(col("id") === 106L).select("evolved").as[String]
+      .head() == "extra106")
+    // file-A survivors carry null for the column their file never had
+    assert(got.filter(col("id") === 6L && col("evolved").isNull).count() == 1)
+  }
 }

@@ -123,12 +123,24 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.versions(spark, root) == Seq(1L, 2L, 3L, 9L))
     // and a reader that resolved an old version mid-flight still scans
     assert(Versioned.readVersion(spark, root, 1L).count() == 1)
-    // floor elapsed (simulate by back-dating the dirs' mtimes)
+    // floor elapsed: age is measured from the _graft_commit.json stamp
+    // written at publish (dir mtimes are untrustworthy — HDFS bumps
+    // them on child changes, S3A synthesizes them), so back-date the
+    // STAMP for published versions and the data-file mtimes for the
+    // stampless crash orphan (its fallback signal)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(1L, 2L, 9L).foreach { n =>
-      fs.setTimes(new Path(root, f"v_$n%010d"),
-        System.currentTimeMillis() - 7200000L, -1)
+    val old = System.currentTimeMillis() - 7200000L
+    Seq(1L, 2L).foreach { n =>
+      val stamp = new Path(new Path(root, f"v_$n%010d"), "_graft_commit.json")
+      val out = fs.create(stamp, true)
+      try out.write(s"""{"publishedAtMs":$old}""".getBytes("UTF-8"))
+      finally out.close()
     }
+    fs.listStatus(new Path(root, "v_0000000009"))
+      .foreach(s => fs.setTimes(s.getPath, old, -1))
+    // an HDFS-style later touch to the version DIR must not postpone
+    // retirement — the stamp, not the directory mtime, is the clock
+    fs.setTimes(new Path(root, "v_0000000001"), System.currentTimeMillis(), -1)
     val retired = Versioned.vacuum(spark, root, keep = 1, minAgeMs = 3600000L)
     assert(retired.sorted == Seq(1L, 2L, 9L))
     assert(Versioned.versions(spark, root) == Seq(3L))
