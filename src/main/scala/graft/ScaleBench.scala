@@ -36,6 +36,12 @@ object ScaleBench {
   // once, let min-of-N time the probe alone
   private val ndStores = scala.collection.concurrent.TrieMap[String, String]()
 
+  // per-dir file bytes READ by the probe (task InputMetrics, min across
+  // runs): the store-layout claim under test is that probe I/O grows
+  // with the BATCH, not the corpus — wall time alone can't show it at
+  // toy scale where fixed overheads dominate
+  private val ndProbeBytes = scala.collection.concurrent.TrieMap[String, Long]()
+
   def amplify(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -216,9 +222,27 @@ object ScaleBench {
           Tables.load(s, dir, "documents"), "doc_id", "text", p)
         p
       })
-      pipeline.Dedup.NearDupStore.dropNearDups(
-        Tables.load(s, dir, "documents").filter(col("doc_id") < 500),
-        "doc_id", "text", store).count()
+      // sum file bytes read across the probe's tasks (store create is
+      // outside the listener's lifetime); keep the min across runs to
+      // match the min-of-2 timing semantics
+      val bytes = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      s.sparkContext.addSparkListener(listener)
+      val n =
+        try pipeline.Dedup.NearDupStore.dropNearDups(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", store).count()
+        finally {
+          org.apache.spark.sql.GraftColumnBridge.waitForListenerBus(s)
+          s.sparkContext.removeSparkListener(listener)
+        }
+      ndProbeBytes(dir) = ndProbeBytes.get(dir)
+        .fold(bytes.get())(math.min(_, bytes.get()))
+      n
     },
     // radius-probing banded phash near-dup over the WHOLE corpus (the
     // gate query caps ids; amplification must grow real collisions
@@ -297,7 +321,15 @@ object ScaleBench {
       s""""$name":{"base_sec":${fmt(b)},"scaled_sec":${fmt(sc)},"ratio":${fmt(sc / b)},"base_n":$bn,"scaled_n":$sn$perOut}"""
     }.mkString("{", ",", "}")
     val rj = rows.map { case (tb, (b, sc)) => s""""$tb":[$b,$sc]""" }.mkString("{", ",", "}")
-    println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl}""")
+    // probe I/O under amplification: bytes the fixed-batch probe read
+    // from the store at each corpus size — flat-ish means the pruned
+    // layout holds (I/O ∝ batch), ~factor× means it re-reads the corpus
+    val probeIo = (ndProbeBytes.get(baseDir), ndProbeBytes.get(workDir)) match {
+      case (Some(b), Some(sc)) if b > 0 =>
+        s""","nd_store_probe_bytes":{"base_mb":${fmt(b / 1e6)},"scaled_mb":${fmt(sc / 1e6)},"ratio":${fmt(sc.toDouble / b)}}"""
+      case _ => ""
+    }
+    println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl$probeIo}""")
     spark.stop()
   }
 }

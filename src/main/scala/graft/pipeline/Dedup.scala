@@ -330,12 +330,82 @@ object Dedup {
     * sides); the signature column must carry bands×rowsPerBand hashes —
     * recorded in the sidecar as `numHashes` for the caller to check.
     */
+  /** Driver-side key-set collect with a hard cap: `Some(keys)` when the
+    * distinct key count fits, `None` past the cap (callers fall back to
+    * an unpruned scan). The limit bounds the collect itself — the cap
+    * is the driver-memory contract, not a hope.
+    */
+  private def collectKeys(df: DataFrame, keyCol: String, cap: Int): Option[Array[Any]] = {
+    val rows = df.select(col(keyCol)).distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows.map(_.get(0)))
+  }
+
+  /** Keys per pruned-scan branch: the pushed IN becomes a recursive
+    * or-chain inside the parquet reader, which overflows the task
+    * stack somewhere above ~1000 terms (measured: 1000 fine, 2000
+    * SOE) — large key sets are split into ≤512-key scans unioned
+    * together. Row-group skipping is per scan, so the union reads the
+    * same pruned data; only footers are consulted once per chunk.
+    */
+  private val PruneChunk = 512
+
+  /** Read a key-clustered store table pruned to `keys`: the tables are
+    * written range-sharded and sorted on `keyCol` (each file/row group
+    * covers a narrow key range), so an IN predicate pushed to parquet
+    * skips every row group containing no requested key — file I/O then
+    * grows with the KEY SET (≈ the probe batch's candidates), not the
+    * corpus. Spark only converts IN to a parquet predicate below
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10), so
+    * the threshold is raised for the read; pushdown thresholds are
+    * consulted at EXECUTION, not plan build, so the pruned frame is
+    * materialized here while the raised value is in effect and the
+    * conf restored before returning.
+    */
+  private def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                         keyCol: String, keys: Array[Any]): DataFrame = {
+    // zero candidates: nothing to look up — an empty frame with the
+    // table's schema (schema-only read, no data scan)
+    if (keys.isEmpty) return spark.read.parquet(path).limit(0)
+    val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, PruneChunk.toString)
+    // sort before chunking so each chunk covers a CONTIGUOUS key
+    // interval: against the range-sharded layout a chunk then touches
+    // few files instead of sampling every shard (sorting only shapes
+    // pruning efficiency, never results)
+    val sorted: Array[Any] = keys.headOption match {
+      case Some(_: Long)   => keys.map(_.asInstanceOf[Long]).sorted.map(x => x: Any)
+      case Some(_: Int)    => keys.map(_.asInstanceOf[Int]).sorted.map(x => x: Any)
+      case Some(_: String) => keys.map(_.asInstanceOf[String]).sorted.map(x => x: Any)
+      case _               => keys
+    }
+    try graft.Checkpoints.materialize(
+      sorted.grouped(PruneChunk)
+        .map(chunk => spark.read.parquet(path)
+          .filter(col(keyCol).isInCollection(chunk)))
+        .reduce(_.unionByName(_)))
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
+
+  /** Cluster a store table on its lookup key before writing: range
+    * sharding puts each key interval in one file, the in-file sort
+    * packs it into few row groups — the layout [[prunedRead]]'s
+    * pushed IN predicate skips against. (In-place [[graft.sources
+    * .Compaction]] preserves rows but NOT this clustering; re-create
+    * or re-sort after heavy compaction if probe I/O matters.)
+    */
+  private def clusteredOn(df: DataFrame, keyCol: String): DataFrame =
+    df.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+
   object BandIndex {
     private def rowsPath(path: String) = new org.apache.hadoop.fs.Path(path, "rows")
     private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_banding.json")
 
-    private def capped(df: DataFrame, idCol: String, signatureCol: String,
-                       bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
+    private[pipeline] def capped(df: DataFrame, idCol: String, signatureCol: String,
+                                 bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       bandedFrame(df, idCol, signatureCol, bands, rowsPerBand)
         .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
@@ -346,7 +416,9 @@ object Dedup {
               bands: Int, rowsPerBand: Int, path: String,
               maxBucketSize: Int = 10000): Unit = {
       require(bands >= 1 && rowsPerBand >= 1, "need bands >= 1 and rowsPerBand >= 1")
-      capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
+      // bucket-clustered so probe's pushed bucket-IN skips row groups
+      clusteredOn(capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize),
+          "bucket")
         .write.mode("errorifexists").parquet(rowsPath(path).toString)
       val fs = metaPath(path).getFileSystem(
         df.sparkSession.sparkContext.hadoopConfiguration)
@@ -371,7 +443,8 @@ object Dedup {
     def append(df: DataFrame, idCol: String, signatureCol: String, path: String,
                maxBucketSize: Int = 10000): Unit = {
       val (bands, rowsPerBand) = layout(df.sparkSession, path)
-      capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
+      clusteredOn(capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize),
+          "bucket")
         .write.mode("append").parquet(rowsPath(path).toString)
       // the rows dir changed under this session's never-expiring
       // file-status cache (see SwapStore) — refresh for the next probe
@@ -383,15 +456,31 @@ object Dedup {
       * Feed through [[estimateJaccard]] + [[verifyJaccard]] exactly like
       * whole-corpus candidates (the collision rule per band is identical,
       * so the recall guarantee carries over unchanged).
+      *
+      * Scale: the index scan is PRUNED to the batch's buckets — the
+      * batch's distinct bucket hashes (≤ |batch|×bands values) are
+      * collected and pushed as an IN predicate against the
+      * bucket-clustered rows files, so index I/O grows with the batch,
+      * not the corpus. Batches whose bucket set exceeds `maxPruneKeys`
+      * fall back to the full scan (at that size the batch touches most
+      * of the index anyway, and the driver-side set is the cost).
       */
     def probe(df: DataFrame, idCol: String, signatureCol: String, path: String,
-              minBands: Int = 1, maxBucketSize: Int = 10000): DataFrame = {
+              minBands: Int = 1, maxBucketSize: Int = 10000,
+              maxPruneKeys: Int = 2000000): DataFrame = {
       val spark = df.sparkSession
       val (bands, rowsPerBand) = layout(spark, path)
-      val ix = spark.read.parquet(rowsPath(path).toString)
-        .select(col("id").as("__ix_id"), col("band"), col("bucket"))
-      capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
-        .join(ix, Seq("band", "bucket"))
+      // materialized: read twice (bucket collect + the probe join)
+      val batch = graft.Checkpoints.materialize(
+        capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize))
+      val rows = rowsPath(path).toString
+      val ix = collectKeys(batch, "bucket", maxPruneKeys) match {
+        case Some(buckets) => prunedRead(spark, rows, "bucket", buckets)
+        case None          => spark.read.parquet(rows)
+      }
+      batch
+        .join(ix.select(col("id").as("__ix_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
         .filter(col("__ix_id") =!= col("id"))
         .groupBy(col("__ix_id").as("id_corpus"), col("id").as("id_new"))
         .agg(count(lit(1)).as("matching_bands"))
@@ -408,9 +497,11 @@ object Dedup {
     *   `shingles/` — (id, sh): distinct-unigram sets for the EXACT verify,
     *
     * so an incoming batch can be deduplicated against the whole corpus
-    * history with per-batch cost ∝ batch: candidates come from one
-    * keyed probe join, and the sigs/shingles tables are only ever
-    * joined BY ID on the candidate survivors — never scanned against
+    * history with per-batch cost ∝ batch — in BOTH shuffle and I/O:
+    * candidates come from one keyed probe join against a
+    * bucket-pruned index read, and the sigs/shingles tables (written
+    * id-clustered) are read pruned to the candidate corpus ids via
+    * pushed IN predicates — never scanned whole, never joined against
     * each other. Keeping shingles is what makes the drop decision
     * EXACT (threshold on true Jaccard, banding only bounds recall);
     * they are a compressed derivative of the text (distinct tokens),
@@ -433,8 +524,11 @@ object Dedup {
         .transform(graft.Checkpoints.materialize)
       BandIndex.write(f, "id", "sig", bands, rowsPerBand, sub(path, "bands"),
         maxBucketSize)
-      f.select("id", "sig").write.mode("errorifexists").parquet(sub(path, "sigs"))
-      f.select("id", "sh").write.mode("errorifexists").parquet(sub(path, "shingles"))
+      // id-clustered: dropNearDups prunes these reads to candidate ids
+      clusteredOn(f.select("id", "sig"), "id")
+        .write.mode("errorifexists").parquet(sub(path, "sigs"))
+      clusteredOn(f.select("id", "sh"), "id")
+        .write.mode("errorifexists").parquet(sub(path, "shingles"))
     }
 
     /** Drop every batch row whose exact unigram Jaccard against some
@@ -448,7 +542,8 @@ object Dedup {
     def dropNearDups(df: DataFrame, idCol: String, textCol: String, path: String,
                      thresholdNum: Int = 9, thresholdDenom: Int = 10,
                      minBands: Int = 4, minMatchingHashes: Int = 46,
-                     advance: Boolean = false): DataFrame = {
+                     advance: Boolean = false,
+                     maxPruneKeys: Int = 2000000): DataFrame = {
       val spark = df.sparkSession
       val (bands, rowsPerBand) = BandIndex.layout(spark, sub(path, "bands"))
       // validate the cheap-tier gates against the store's PERSISTED
@@ -465,16 +560,32 @@ object Dedup {
           "filter can never pass; rebuild the store or lower minMatchingHashes")
       val f = framed(df, idCol, textCol, bands * rowsPerBand)
         .transform(graft.Checkpoints.materialize)
-      val cands = BandIndex.probe(f, "id", "sig", sub(path, "bands"),
-          minBands = minBands)
-        .select(col("id_corpus").as("id_a"), col("id_new").as("id_b"))
-      val sigsBoth = spark.read.parquet(sub(path, "sigs")).unionByName(
-        f.select("id", "sig"))
-      val estimated = estimateJaccard(cands, sigsBoth, "id", "sig")
-        .filter(col("matching_hashes") >= minMatchingHashes)
-        .select("id_a", "id_b")
-      val shBoth = spark.read.parquet(sub(path, "shingles")).unionByName(
-        f.select("id", "sh"))
+      // Every pair is (id_a = corpus, id_b = batch): only the id_a side
+      // needs STORE lookups — the batch side's sigs/shingles come from
+      // the in-flight frame. Each tier therefore collects its surviving
+      // corpus ids and prunes the corresponding id-clustered store
+      // table to them ([[prunedRead]]'s pushed-IN row-group skipping),
+      // so per-batch store I/O grows with the CANDIDATE set, not the
+      // corpus. Candidate frames are materialized because each feeds
+      // both a driver collect and the next tier's join.
+      val cands = graft.Checkpoints.materialize(
+        BandIndex.probe(f, "id", "sig", sub(path, "bands"),
+            minBands = minBands, maxPruneKeys = maxPruneKeys)
+          .select(col("id_corpus").as("id_a"), col("id_new").as("id_b")))
+      val storeSigs = collectKeys(cands, "id_a", maxPruneKeys) match {
+        case Some(ids) => prunedRead(spark, sub(path, "sigs"), "id", ids)
+        case None      => spark.read.parquet(sub(path, "sigs"))
+      }
+      val sigsBoth = storeSigs.unionByName(f.select("id", "sig"))
+      val estimated = graft.Checkpoints.materialize(
+        estimateJaccard(cands, sigsBoth, "id", "sig")
+          .filter(col("matching_hashes") >= minMatchingHashes)
+          .select("id_a", "id_b"))
+      val storeSh = collectKeys(estimated, "id_a", maxPruneKeys) match {
+        case Some(ids) => prunedRead(spark, sub(path, "shingles"), "id", ids)
+        case None      => spark.read.parquet(sub(path, "shingles"))
+      }
+      val shBoth = storeSh.unionByName(f.select("id", "sh"))
       val dropIds = verifyJaccard(estimated, shBoth, "id", "sh",
           thresholdNum, thresholdDenom)
         .select(col("id_b").as(idCol)).distinct()
@@ -483,8 +594,12 @@ object Dedup {
         val kept = f.join(out.select(col(idCol).as("id")), Seq("id"), "left_semi")
           .transform(graft.Checkpoints.materialize)
         BandIndex.append(kept, "id", "sig", sub(path, "bands"))
-        kept.select("id", "sig").write.mode("append").parquet(sub(path, "sigs"))
-        kept.select("id", "sh").write.mode("append").parquet(sub(path, "shingles"))
+        // appended files stay id-clustered so later probes' pushed-IN
+        // pruning skips them like create()'s originals
+        clusteredOn(kept.select("id", "sig"), "id")
+          .write.mode("append").parquet(sub(path, "sigs"))
+        clusteredOn(kept.select("id", "sh"), "id")
+          .write.mode("append").parquet(sub(path, "shingles"))
         spark.catalog.refreshByPath(sub(path, "sigs"))
         spark.catalog.refreshByPath(sub(path, "shingles"))
       }
@@ -510,6 +625,55 @@ object Dedup {
         r
       }
       rs
+    }
+
+    /** Exactly-once advance: append `survivors`' three table deltas
+      * under DETERMINISTIC per-tag file names
+      * ([[graft.sources.EpochFiles]]), so a caller replaying a failed
+      * epoch can [[rollbackAdvance]] the tag and redo it without ever
+      * double-appending — the discipline `dropNearDups(advance=true)`'s
+      * plain appends cannot offer. The caller picks the tag (a
+      * streaming epoch id) and owns the commit marker that decides
+      * "done vs redo".
+      */
+    def advanceStaged(survivors: DataFrame, idCol: String, textCol: String,
+                      path: String, tag: String): Unit = {
+      val spark = survivors.sparkSession
+      val (bands, rowsPerBand) = BandIndex.layout(spark, sub(path, "bands"))
+      val kept = framed(survivors, idCol, textCol, bands * rowsPerBand)
+        .transform(graft.Checkpoints.materialize)
+      val stage = sub(path, s"_stage/$tag")
+      clusteredOn(BandIndex.capped(kept, "id", "sig", bands, rowsPerBand,
+          maxBucketSize = 10000), "bucket")
+        .write.mode("overwrite").parquet(s"$stage/bands")
+      clusteredOn(kept.select("id", "sig"), "id")
+        .write.mode("overwrite").parquet(s"$stage/sigs")
+      clusteredOn(kept.select("id", "sh"), "id")
+        .write.mode("overwrite").parquet(s"$stage/shingles")
+      graft.sources.EpochFiles.publish(spark, s"$stage/bands",
+        sub(path, "bands") + "/rows", tag)
+      graft.sources.EpochFiles.publish(spark, s"$stage/sigs", sub(path, "sigs"), tag)
+      graft.sources.EpochFiles.publish(spark, s"$stage/shingles",
+        sub(path, "shingles"), tag)
+      val st = new org.apache.hadoop.fs.Path(sub(path, "_stage"))
+      val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(st, tag), true)
+      ()
+    }
+
+    /** Remove every live-table file a tag's [[advanceStaged]] attempt
+      * published (and its staging leftovers) — the store is back to
+      * its pre-epoch content no matter where the attempt died.
+      */
+    def rollbackAdvance(spark: org.apache.spark.sql.SparkSession, path: String,
+                        tag: String): Unit = {
+      graft.sources.EpochFiles.retire(spark, sub(path, "bands") + "/rows", tag)
+      graft.sources.EpochFiles.retire(spark, sub(path, "sigs"), tag)
+      graft.sources.EpochFiles.retire(spark, sub(path, "shingles"), tag)
+      val st = new org.apache.hadoop.fs.Path(sub(path, s"_stage/$tag"))
+      val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(st, true)
+      ()
     }
   }
 

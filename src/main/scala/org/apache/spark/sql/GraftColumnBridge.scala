@@ -62,6 +62,14 @@ object GraftColumnBridge {
     * RDDs (the per-round superseded-label pattern in
     * pipeline/Dedup.scala is the intended shape).
     */
+  /** Drain the async listener bus — measurement code that sums task
+    * metrics via a SparkListener must flush pending events before
+    * reading its accumulator (the bus delivers on its own thread).
+    * `listenerBus` is private[spark]; this package can reach it.
+    */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def unpersistLocalCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

@@ -71,6 +71,79 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"survivors $ids: 10 must drop vs the store, 20 vs batch 0's survivor")
   }
 
+  test("store curation epochs are exactly-once under replay and mid-publish crashes") {
+    import graft.pipeline.Dedup.NearDupStore
+    import graft.sources.EpochFiles
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nds-eo")
+    val out = tmp.resolve("out").toString
+    val store = tmp.resolve("store").toString
+    NearDupStore.create(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", store)
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingDedup.processEpoch(batch, id, "doc_id", "text", store, out, 9, 10)
+    def files(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    def outIds: Seq[Long] = {
+      spark.catalog.refreshByPath(out)
+      spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq.sorted
+    }
+    def storeIdCounts: Map[Long, Long] = {
+      spark.catalog.refreshByPath(s"$store/sigs")
+      spark.read.parquet(s"$store/sigs").groupBy("id").count()
+        .as[(Long, Long)].collect().toMap
+    }
+
+    val batch0 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 1
+      (11L, "red orange yellow green blue indigo violet pink brown black"))
+      .toDF("doc_id", "text")
+    run(batch0, 0)
+    val out0 = (files(out), outIds, storeIdCounts)
+    assert(out0._2 == Seq(11L) && out0._3 == Map(1L -> 1L, 11L -> 1L))
+    // a replayed COMMITTED epoch is a no-op: identical files, rows, store
+    run(batch0, 0)
+    assert((files(out), outIds, storeIdCounts) == out0)
+
+    // epoch 1 with two crashed half-attempts on the books:
+    val batch1 = Seq(
+      (20L, "red orange yellow green blue indigo violet pink brown black"), // dup of 11
+      (21L, "totally novel words that nothing previous has ever used"))
+      .toDF("doc_id", "text")
+    // attempt A died after publishing a WRONG survivor set to outDir
+    // (both rows, including the dup) and before the marker
+    val stageA = s"$out/_stage/e1"
+    batch1.write.mode("overwrite").parquet(stageA)
+    EpochFiles.publish(spark, stageA, out, "e1")
+    assert(outIds == Seq(11L, 20L, 21L)) // polluted, as a crash would leave it
+    // attempt B died after half an (equally wrong) store advance
+    NearDupStore.advanceStaged(batch1, "doc_id", "text", store, "e1")
+    assert(storeIdCounts.keySet == Set(1L, 11L, 20L, 21L)) // polluted
+    // the replay must roll BOTH back and land the correct state
+    run(batch1, 1)
+    assert(outIds == Seq(11L, 21L),
+      "replay must retire the crashed attempt's outDir files, then publish survivors")
+    assert(storeIdCounts == Map(1L -> 1L, 11L -> 1L, 21L -> 1L),
+      "store tables must hold each survivor EXACTLY once after the retried epoch")
+    // shingles/bands advanced in lockstep (same tag discipline)
+    spark.catalog.refreshByPath(s"$store/shingles")
+    assert(spark.read.parquet(s"$store/shingles").select("id").as[Long]
+      .collect().toSet == Set(1L, 11L, 21L))
+    spark.catalog.refreshByPath(s"$store/bands/rows")
+    assert(spark.read.parquet(s"$store/bands/rows").groupBy("id").count()
+      .as[(Long, Long)].collect().toMap == Map(1L -> 16L, 11L -> 16L, 21L -> 16L))
+    // and a replay of the now-committed epoch 1 changes nothing
+    val s1 = (files(out), outIds, storeIdCounts)
+    run(batch1, 1)
+    assert((files(out), outIds, storeIdCounts) == s1)
+  }
+
   test("exact dedup state is watermark-bounded: expired digests re-admit") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-wm")
     val in = tmp.resolve("in").toString
