@@ -12,6 +12,8 @@ package graft
   *                                                  # right-to-be-forgotten rewrite
   *   runMain graft.Maintain ndstore create <corpusDir> <idCol> <textCol> <storeDir>
   *   runMain graft.Maintain ndstore dedup <batchDir> <idCol> <textCol> <storeDir> <outDir> [advance]
+  *   runMain graft.Maintain ndstore recluster <storeDir>   # restore probe-prunable
+  *                                                  # key clustering after compact/advances
   *
   * compact is crash-safe (write-ahead group markers; interrupted swaps
   * recover on the next run); stats updates touch only files the index
@@ -73,10 +75,15 @@ object Maintain {
         println(s"[maintain] deleted ${r.rowsDeleted} rows: " +
           s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")
       case "ndstore" =>
-        // ndstore create <corpusDir> <idCol> <textCol> <storeDir>
-        // ndstore dedup  <batchDir>  <idCol> <textCol> <storeDir> <outDir> [advance]
-        if (args.length < 6) usage()
+        // ndstore create    <corpusDir> <idCol> <textCol> <storeDir>
+        // ndstore dedup     <batchDir>  <idCol> <textCol> <storeDir> <outDir> [advance]
+        // ndstore recluster <storeDir>
+        if (args.length < 3) usage()
         args(1) match {
+          case "recluster" =>
+            pipeline.Dedup.NearDupStore.recluster(spark, args(2))
+            println(s"[maintain] near-dup store re-clustered at ${args(2)}")
+          case _ if args.length < 6 => usage()
           case "create" =>
             pipeline.Dedup.NearDupStore.create(
               spark.read.parquet(args(2)), args(3), args(4), args(5))
@@ -120,7 +127,8 @@ object Maintain {
         |       graft.Maintain delete <dir> <keyCol> @<keyfile>   # one key per line
         |       graft.Maintain diff <versionedRoot> <vA> <vB> <pk>[,pk...]
         |       graft.Maintain ndstore create <corpusDir> <idCol> <textCol> <storeDir>
-        |       graft.Maintain ndstore dedup <batchDir> <idCol> <textCol> <storeDir> <outDir> [advance]""".stripMargin)
+        |       graft.Maintain ndstore dedup <batchDir> <idCol> <textCol> <storeDir> <outDir> [advance]
+        |       graft.Maintain ndstore recluster <storeDir>""".stripMargin)
     sys.exit(2)
   }
 }

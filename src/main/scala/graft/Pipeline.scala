@@ -351,10 +351,11 @@ object Pipeline {
     case graft.config.TransformConfig.ResampleStage(key, rate, denom) =>
       graft.operators.Sampling.resampleByWeight(df, key, rate, denom)
     case graft.config.TransformConfig.LshDedupStage(
-        ip, id, text, tn, td, mb, mh, adv) =>
+        ip, id, text, tn, td, mb, mh, adv, mpk, mpb) =>
       graft.pipeline.Dedup.NearDupStore.dropNearDups(df, id, text, ip,
         thresholdNum = tn, thresholdDenom = td, minBands = mb,
-        minMatchingHashes = mh, advance = adv)
+        minMatchingHashes = mh, advance = adv,
+        maxPruneKeys = mpk, minPruneBytes = mpb)
     case graft.config.TransformConfig.RfmStage(key, ts, value, asOf, buckets) =>
       graft.operators.Rfm.scores(df, key, ts, value, to_date(lit(asOf)), buckets)
     case graft.config.TransformConfig.TransitionMatrixStage(key, ts, tpe, tie) =>

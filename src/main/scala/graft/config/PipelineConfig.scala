@@ -633,7 +633,9 @@ object TransformConfig {
   final case class LshDedupStage(indexPath: String, idColumn: String,
                                  textColumn: String, thresholdNum: Int,
                                  thresholdDenom: Int, minBands: Int,
-                                 minMatchingHashes: Int, advance: Boolean)
+                                 minMatchingHashes: Int, advance: Boolean,
+                                 maxPruneKeys: Int = 2000000,
+                                 minPruneBytes: Long = 0L)
       extends TransformConfig {
     val name = "lshDedup"
     def check: Option[String] =
@@ -643,6 +645,8 @@ object TransformConfig {
       else if (thresholdNum < 1 || thresholdDenom < 1 || thresholdNum > thresholdDenom)
         Some("transform.lshDedup threshold must satisfy 1 <= num <= denom")
       else if (minBands < 1) Some("transform.lshDedup.minBands must be >= 1")
+      else if (maxPruneKeys < 1) Some("transform.lshDedup.maxPruneKeys must be >= 1")
+      else if (minPruneBytes < 0) Some("transform.lshDedup.minPruneBytes must be >= 0")
       else None
   }
   /** RFM customer scoring — operators.Rfm.scores: reduce the piped
@@ -1137,6 +1141,7 @@ object PipelineConfig {
       "transform.lshDedup.textColumn", "transform.lshDedup.thresholdNum",
       "transform.lshDedup.thresholdDenom", "transform.lshDedup.minBands",
       "transform.lshDedup.minMatchingHashes", "transform.lshDedup.advance",
+      "transform.lshDedup.maxPruneKeys", "transform.lshDedup.minPruneBytes",
       "transform.rfm.keyColumn", "transform.rfm.tsColumn",
       "transform.rfm.valueColumn", "transform.rfm.asOf", "transform.rfm.buckets",
       "transform.transitionMatrix.keyColumn", "transform.transitionMatrix.tsColumn",
@@ -1715,7 +1720,12 @@ object PipelineConfig {
               .toIntOption.toRight("transform.lshDedup.minMatchingHashes not an int")
             adv <- map.getOrElse("transform.lshDedup.advance", "false")
               .toBooleanOption.toRight("transform.lshDedup.advance not a boolean")
-          } yield TransformConfig.LshDedupStage(ip, id, text, tn, td, mb, mh, adv)
+            mpk <- map.getOrElse("transform.lshDedup.maxPruneKeys", "2000000")
+              .toIntOption.toRight("transform.lshDedup.maxPruneKeys not an int")
+            mpb <- map.getOrElse("transform.lshDedup.minPruneBytes", "0")
+              .toLongOption.toRight("transform.lshDedup.minPruneBytes not a long")
+          } yield TransformConfig.LshDedupStage(ip, id, text, tn, td, mb, mh, adv,
+            mpk, mpb)
         case "rfm" =>
           for {
             key <- map.get("transform.rfm.keyColumn")

@@ -390,6 +390,17 @@ object Dedup {
     }
   }
 
+  /** Total bytes under a table directory — the cheap FS metadata call
+    * behind the `minPruneBytes` floor: pruning a table that fits in a
+    * handful of row groups costs more in collect/scan-branch overhead
+    * than the full scan it avoids.
+    */
+  private def dirBytes(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   /** Cluster a store table on its lookup key before writing: range
     * sharding puts each key interval in one file, the in-file sort
     * packs it into few row groups — the layout [[prunedRead]]'s
@@ -467,17 +478,22 @@ object Dedup {
       */
     def probe(df: DataFrame, idCol: String, signatureCol: String, path: String,
               minBands: Int = 1, maxBucketSize: Int = 10000,
-              maxPruneKeys: Int = 2000000): DataFrame = {
+              maxPruneKeys: Int = 2000000, minPruneBytes: Long = 0L): DataFrame = {
       val spark = df.sparkSession
       val (bands, rowsPerBand) = layout(spark, path)
-      // materialized: read twice (bucket collect + the probe join)
-      val batch = graft.Checkpoints.materialize(
-        capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize))
       val rows = rowsPath(path).toString
-      val ix = collectKeys(batch, "bucket", maxPruneKeys) match {
-        case Some(buckets) => prunedRead(spark, rows, "bucket", buckets)
-        case None          => spark.read.parquet(rows)
-      }
+      val prune = dirBytes(spark, rows) >= minPruneBytes
+      // materialized when pruning: read twice (bucket collect + join)
+      val batch =
+        if (prune) graft.Checkpoints.materialize(
+          capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize))
+        else capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
+      val ix =
+        if (prune) collectKeys(batch, "bucket", maxPruneKeys) match {
+          case Some(buckets) => prunedRead(spark, rows, "bucket", buckets)
+          case None          => spark.read.parquet(rows)
+        }
+        else spark.read.parquet(rows)
       batch
         .join(ix.select(col("id").as("__ix_id"), col("band"), col("bucket")),
           Seq("band", "bucket"))
@@ -543,7 +559,8 @@ object Dedup {
                      thresholdNum: Int = 9, thresholdDenom: Int = 10,
                      minBands: Int = 4, minMatchingHashes: Int = 46,
                      advance: Boolean = false,
-                     maxPruneKeys: Int = 2000000): DataFrame = {
+                     maxPruneKeys: Int = 2000000,
+                     minPruneBytes: Long = 0L): DataFrame = {
       val spark = df.sparkSession
       val (bands, rowsPerBand) = BandIndex.layout(spark, sub(path, "bands"))
       // validate the cheap-tier gates against the store's PERSISTED
@@ -567,25 +584,30 @@ object Dedup {
       // table to them ([[prunedRead]]'s pushed-IN row-group skipping),
       // so per-batch store I/O grows with the CANDIDATE set, not the
       // corpus. Candidate frames are materialized because each feeds
-      // both a driver collect and the next tier's join.
+      // both a driver collect and the next tier's join. Tables below
+      // the `minPruneBytes` floor skip the whole apparatus — the
+      // collect + scan-branch overhead outruns a small full scan.
+      def pruned(table: String, ids: => Option[Array[Any]]): DataFrame = {
+        val dir = sub(path, table)
+        if (dirBytes(spark, dir) < minPruneBytes) spark.read.parquet(dir)
+        else ids match {
+          case Some(ks) => prunedRead(spark, dir, "id", ks)
+          case None     => spark.read.parquet(dir)
+        }
+      }
       val cands = graft.Checkpoints.materialize(
         BandIndex.probe(f, "id", "sig", sub(path, "bands"),
-            minBands = minBands, maxPruneKeys = maxPruneKeys)
+            minBands = minBands, maxPruneKeys = maxPruneKeys,
+            minPruneBytes = minPruneBytes)
           .select(col("id_corpus").as("id_a"), col("id_new").as("id_b")))
-      val storeSigs = collectKeys(cands, "id_a", maxPruneKeys) match {
-        case Some(ids) => prunedRead(spark, sub(path, "sigs"), "id", ids)
-        case None      => spark.read.parquet(sub(path, "sigs"))
-      }
-      val sigsBoth = storeSigs.unionByName(f.select("id", "sig"))
+      val sigsBoth = pruned("sigs", collectKeys(cands, "id_a", maxPruneKeys))
+        .unionByName(f.select("id", "sig"))
       val estimated = graft.Checkpoints.materialize(
         estimateJaccard(cands, sigsBoth, "id", "sig")
           .filter(col("matching_hashes") >= minMatchingHashes)
           .select("id_a", "id_b"))
-      val storeSh = collectKeys(estimated, "id_a", maxPruneKeys) match {
-        case Some(ids) => prunedRead(spark, sub(path, "shingles"), "id", ids)
-        case None      => spark.read.parquet(sub(path, "shingles"))
-      }
-      val shBoth = storeSh.unionByName(f.select("id", "sh"))
+      val shBoth = pruned("shingles", collectKeys(estimated, "id_a", maxPruneKeys))
+        .unionByName(f.select("id", "sh"))
       val dropIds = verifyJaccard(estimated, shBoth, "id", "sh",
           thresholdNum, thresholdDenom)
         .select(col("id_b").as(idCol)).distinct()
@@ -626,6 +648,29 @@ object Dedup {
       }
       rs
     }
+
+    /** Restore the key-clustered layout the pruned probes skip
+      * against: thousands of `advance` appends (each clustered only
+      * within itself) and in-place compactions (row-preserving but
+      * order-mixing) gradually spread every key range across every
+      * file, degrading [[prunedRead]]'s row-group skipping back
+      * toward full scans. Rewrites each table globally re-clustered
+      * on its lookup key under the crash-safe read-modify-swap
+      * discipline ([[graft.streaming.SwapStore]] — a crash leaves the
+      * old or new table intact, never neither). Row-identical, so
+      * probe decisions cannot change; run it between batches, like
+      * [[compact]].
+      */
+    def recluster(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+      Seq((sub(path, "bands") + "/rows", "bucket"),
+          (sub(path, "sigs"), "id"),
+          (sub(path, "shingles"), "id")).foreach { case (dir, key) =>
+        spark.catalog.refreshByPath(dir)
+        // swapWrite writes to <dir>__tmp BEFORE touching the live dir,
+        // so the lazy self-read drains the old files safely
+        graft.streaming.SwapStore.swapWrite(
+          clusteredOn(spark.read.parquet(dir), key), dir)
+      }
 
     /** Exactly-once advance: append `survivors`' three table deltas
       * under DETERMINISTIC per-tag file names

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.StructType
   * point leaves either `<path>` or `<path>__old` intact — recoverable,
   * never a window where accumulated state is simply gone.
   */
-private[streaming] object SwapStore {
+private[graft] object SwapStore {
 
   /** Current state, with crash recovery FIRST: a death between the
     * rename-aside and the swap leaves dst missing but dst__old intact —

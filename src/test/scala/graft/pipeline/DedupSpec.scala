@@ -680,6 +680,70 @@ class DedupSpec extends AnyFunSuite {
     assert(pre == post && post == Set(97L))
   }
 
+  test("NearDupStore.recluster restores the key-sorted layout, decisions unchanged") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-nds-rc")
+      .resolve("s").toString
+    Dedup.NearDupStore.create(
+      Seq((5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), "doc_id", "text", store)
+    // advances append per-batch files — clustered within themselves,
+    // but the TABLE's key ranges now overlap across files
+    (0 until 4).foreach { i =>
+      Dedup.NearDupStore.dropNearDups(
+        Seq((10L + i, s"unique words for batch number $i nothing shared at all"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", store, advance = true)
+    }
+    val probe = Seq(
+      (99L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (98L, "never seen anywhere previously by anyone in any corpus yet"))
+      .toDF("doc_id", "text")
+    val pre = Dedup.NearDupStore.dropNearDups(probe, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    Dedup.NearDupStore.recluster(spark, store)
+    // row-identical tables, globally re-clustered: per-file id ranges
+    // are now DISJOINT (the property prunedRead's skipping needs)
+    val ranges = graft.sources.ParquetSource.listParquetFiles(
+        s"$store/sigs", spark.sparkContext.hadoopConfiguration)
+      .flatMap { f =>
+        val ids = spark.read.parquet(f).select("id").as[Long].collect()
+        if (ids.isEmpty) None else Some((ids.min, ids.max))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"overlapping file ranges after recluster: $ranges")
+      case _ => ()
+    }
+    assert(spark.read.parquet(s"$store/sigs").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(5L, 10L, 11L, 12L, 13L))
+    val post = Dedup.NearDupStore.dropNearDups(probe, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pre == post && post == Set(98L))
+  }
+
+  test("NearDupStore: minPruneBytes floor skips pruning, decisions unchanged") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-nds-floor")
+      .resolve("s").toString
+    Dedup.NearDupStore.create(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text"), "doc_id", "text", store)
+    val batch = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 1
+      (12L, "red orange yellow green blue indigo violet pink brown black"))
+      .toDF("doc_id", "text")
+    // floor above the toy store's size -> full-scan path; floor 0 ->
+    // pruned path. Same drop set either way: the floor is a COST knob,
+    // never a semantics knob.
+    val full = Dedup.NearDupStore.dropNearDups(batch, "doc_id", "text", store,
+      minPruneBytes = Long.MaxValue).select("doc_id").as[Long].collect().toSet
+    val pruned = Dedup.NearDupStore.dropNearDups(batch, "doc_id", "text", store,
+      minPruneBytes = 0L).select("doc_id").as[Long].collect().toSet
+    assert(full == pruned && full == Set(12L))
+  }
+
   test("gramCandidates stop-gram cap drops boilerplate-only pairs") {
     val spark2 = spark
     import spark2.implicits._
