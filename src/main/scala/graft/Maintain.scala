@@ -14,6 +14,9 @@ package graft
   *   runMain graft.Maintain ndstore dedup <batchDir> <idCol> <textCol> <storeDir> <outDir> [advance]
   *   runMain graft.Maintain ndstore recluster <storeDir>   # restore probe-prunable
   *                                                  # key clustering after compact/advances
+  *   runMain graft.Maintain annindex compact <indexRoot> <targetBytes>
+  *   runMain graft.Maintain annindex recluster <indexRoot> # restore bucket
+  *                                                  # clustering after ingest epochs
   *
   * compact is crash-safe (write-ahead group markers; interrupted swaps
   * recover on the next run); stats updates touch only files the index
@@ -74,6 +77,20 @@ object Maintain {
         val r = sources.TargetedDelete.deleteAuto(spark, args(1), args(2), keys)
         println(s"[maintain] deleted ${r.rowsDeleted} rows: " +
           s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")
+      case "annindex" =>
+        // annindex compact   <indexRoot> <targetBytes>
+        // annindex recluster <indexRoot>
+        if (args.length < 3) usage()
+        args(1) match {
+          case "compact" if args.length >= 4 =>
+            val r = pipeline.AnnIndex.compact(spark, args(2), args(3).toLong)
+            println(s"[maintain] ann index compacted ${r.groupsCompacted} groups: " +
+              s"${r.filesRemoved} files -> ${r.filesCreated}")
+          case "recluster" =>
+            pipeline.AnnIndex.recluster(spark, args(2))
+            println(s"[maintain] ann index re-clustered at ${args(2)}")
+          case _ => usage()
+        }
       case "ndstore" =>
         // ndstore create    <corpusDir> <idCol> <textCol> <storeDir>
         // ndstore dedup     <batchDir>  <idCol> <textCol> <storeDir> <outDir> [advance]
@@ -128,7 +145,9 @@ object Maintain {
         |       graft.Maintain diff <versionedRoot> <vA> <vB> <pk>[,pk...]
         |       graft.Maintain ndstore create <corpusDir> <idCol> <textCol> <storeDir>
         |       graft.Maintain ndstore dedup <batchDir> <idCol> <textCol> <storeDir> <outDir> [advance]
-        |       graft.Maintain ndstore recluster <storeDir>""".stripMargin)
+        |       graft.Maintain ndstore recluster <storeDir>
+        |       graft.Maintain annindex compact <indexRoot> <targetBytes>
+        |       graft.Maintain annindex recluster <indexRoot>""".stripMargin)
     sys.exit(2)
   }
 }

@@ -42,6 +42,29 @@ object ScaleBench {
   // toy scale where fixed overheads dominate
   private val ndProbeBytes = scala.collection.concurrent.TrieMap[String, Long]()
 
+  // per-dir (fragmented, reclustered) probe bytes for nd_store_maint:
+  // the recluster claim is that advance-fragmented stores re-approach
+  // their freshly-created probe I/O after the rewrite
+  private val ndMaintBytes = scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+
+  /** Run `body`, returning (its result, file bytes read by its tasks). */
+  private def withBytesRead[A](s: SparkSession)(body: => A): (A, Long) = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    s.sparkContext.addSparkListener(listener)
+    val r =
+      try body
+      finally {
+        org.apache.spark.sql.GraftColumnBridge.waitForListenerBus(s)
+        s.sparkContext.removeSparkListener(listener)
+      }
+    (r, bytes.get())
+  }
+
   def amplify(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -225,24 +248,54 @@ object ScaleBench {
       // sum file bytes read across the probe's tasks (store create is
       // outside the listener's lifetime); keep the min across runs to
       // match the min-of-2 timing semantics
-      val bytes = new java.util.concurrent.atomic.AtomicLong()
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskMetrics != null)
-            bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
-      }
-      s.sparkContext.addSparkListener(listener)
-      val n =
-        try pipeline.Dedup.NearDupStore.dropNearDups(
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.Dedup.NearDupStore.dropNearDups(
           Tables.load(s, dir, "documents").filter(col("doc_id") < 500),
           "doc_id", "text", store).count()
-        finally {
-          org.apache.spark.sql.GraftColumnBridge.waitForListenerBus(s)
-          s.sparkContext.removeSparkListener(listener)
-        }
+      }
       ndProbeBytes(dir) = ndProbeBytes.get(dir)
-        .fold(bytes.get())(math.min(_, bytes.get()))
+        .fold(bytes)(math.min(_, bytes))
       n
+    },
+    // maintenance payoff, measured: a store fragmented by 8 incremental
+    // advances (each appends files clustered only within themselves)
+    // pays more probe I/O than its data size warrants; recluster
+    // rewrites the tables globally key-clustered and the SAME probe's
+    // bytes-read must drop back toward the freshly-created shape. The
+    // expensive build+measure runs once per dir; repeat runs re-probe
+    // the reclustered store for the count and reuse the recorded pair.
+    "nd_store_maint" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      // a probe batch of 500 UNSEEN ids carrying copy-0 text: near-dup
+      // saturated against the store, disjoint from every advance AND
+      // from every amplification copy's id range (copies sit at k·Off
+      // for k < factor; 20·Off is beyond any sweep factor used here)
+      val batch = docs.filter(col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + lit(20L * Off))
+      val store = ndStores.getOrElseUpdate(s"$dir#maint", {
+        val p = java.nio.file.Files.createTempDirectory("graft-scale-ndm")
+          .resolve("s").toString
+        pipeline.Dedup.NearDupStore.create(
+          docs.filter(col("doc_id") >= 800), "doc_id", "text", p)
+        (0 until 8).foreach { i =>
+          pipeline.Dedup.NearDupStore.dropNearDups(
+            docs.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100),
+            "doc_id", "text", p, advance = true); ()
+        }
+        val (_, frag) = withBytesRead(s) {
+          pipeline.Dedup.NearDupStore.dropNearDups(
+            batch, "doc_id", "text", p).count()
+        }
+        pipeline.Dedup.NearDupStore.recluster(s, p)
+        val (_, rec) = withBytesRead(s) {
+          pipeline.Dedup.NearDupStore.dropNearDups(
+            batch, "doc_id", "text", p).count()
+        }
+        ndMaintBytes(dir) = (frag, rec)
+        p
+      })
+      pipeline.Dedup.NearDupStore.dropNearDups(batch, "doc_id", "text", store)
+        .count()
     },
     // radius-probing banded phash near-dup over the WHOLE corpus (the
     // gate query caps ids; amplification must grow real collisions
@@ -329,7 +382,17 @@ object ScaleBench {
         s""","nd_store_probe_bytes":{"base_mb":${fmt(b / 1e6)},"scaled_mb":${fmt(sc / 1e6)},"ratio":${fmt(sc.toDouble / b)}}"""
       case _ => ""
     }
-    println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl$probeIo}""")
+    // fragmented-vs-reclustered probe I/O at each corpus size: the
+    // recluster payoff is the fraction of fragmented bytes it removes
+    def maintAt(dir: String, key: String) = ndMaintBytes.get(dir).collect {
+      case (frag, rec) if frag > 0 =>
+        s""""$key":{"frag_mb":${fmt(frag / 1e6)},"reclustered_mb":${fmt(rec / 1e6)},"ratio":${fmt(rec.toDouble / frag)}}"""
+    }
+    val maintIo = (maintAt(baseDir, "base") ++ maintAt(workDir, "scaled")).toSeq match {
+      case Nil => ""
+      case ms  => ms.mkString(""","nd_store_recluster_bytes":{""", ",", "}")
+    }
+    println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl$probeIo$maintIo}""")
     spark.stop()
   }
 }

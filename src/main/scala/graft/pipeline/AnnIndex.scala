@@ -90,6 +90,75 @@ object AnnIndex {
     } finally { fresh.unpersist(); () }
   }
 
+  /** Exactly-once incremental append: [[appendNew]]'s delta-detecting
+    * semantics, replay-safe under a caller-supplied epoch tag. The
+    * appended files carry DETERMINISTIC per-tag names
+    * ([[graft.sources.EpochFiles]]), so a replay of a failed attempt
+    * first retires whatever that attempt half-published — restoring
+    * the pre-epoch index — and the anti-join then recomputes the SAME
+    * delta (drop decisions are a pure function of the restored index).
+    * Replaying an already-COMMITTED tag is retire-and-redo: the call
+    * re-publishes the identical row set (END-STATE idempotent), it
+    * does not short-circuit — skipping committed epochs outright is
+    * the commit-marker layer's job (graft.streaming.StreamingAnn);
+    * batch callers replaying a savepoint batch get end-state
+    * idempotence from the tag alone. Returns rows appended.
+    */
+  def appendEpoch(handle: Handle, rows: DataFrame, idCol: String, vecCol: String,
+                  tag: String): Long = {
+    val spark = rows.sparkSession
+    graft.sources.EpochFiles.retire(spark, handle.indexPath, tag)
+    val existing = spark.read.parquet(handle.indexPath).select(col("neighbor_id"))
+    val fresh = rows
+      .join(existing, rows(idCol) === existing("neighbor_id"), "left_anti")
+      .persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        val stage = s"${handle.root}/_stage/$tag"
+        encoded(fresh, idCol, vecCol, handle.ivf, handle.pq)
+          .repartition(col("bucket")).sortWithinPartitions("bucket")
+          .write.mode("overwrite").parquet(stage)
+        graft.sources.EpochFiles.publish(spark, stage, handle.indexPath, tag)
+      }
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Defragment an append-heavy index frame: every epoch appends a few
+    * small files, and after thousands the probe-join's scan cost is
+    * file-open overhead, not data. Crash-safe in-place compaction
+    * ([[graft.sources.Compaction]]: write-ahead group markers,
+    * verify-then-rename) — row-identical, so search results cannot
+    * change. Run between ingest epochs, not under one: compaction
+    * renames away the per-tag files an in-flight epoch's replay would
+    * need to retire.
+    */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long): graft.sources.Compaction.Result = {
+    val r = graft.sources.Compaction.compact(spark, s"$root/index", targetBytes)
+    spark.catalog.refreshByPath(s"$root/index")
+    r
+  }
+
+  /** Restore the bucket-clustered layout incremental appends erode:
+    * each epoch's files are clustered within themselves, so after many
+    * epochs every bucket range appears in every file and the search's
+    * row-group skipping degrades toward a full scan. Rewrites the
+    * index frame globally range-sharded + sorted on `bucket` under the
+    * crash-safe swap discipline ([[graft.streaming.SwapStore]] — a
+    * crash leaves the old or new table intact, never neither).
+    * Row-identical; same between-epochs caveat as [[compact]].
+    */
+  def recluster(spark: SparkSession, root: String): Unit = {
+    val dir = s"$root/index"
+    spark.catalog.refreshByPath(dir)
+    graft.streaming.SwapStore.swapWrite(
+      spark.read.parquet(dir)
+        .repartitionByRange(col("bucket")).sortWithinPartitions("bucket"),
+      dir)
+  }
+
   private def encoded(rows: DataFrame, idCol: String, vecCol: String,
                       ivf: Ivf.Model, pq: Pq.Model): DataFrame =
     rows.select(col(idCol).as("neighbor_id"),

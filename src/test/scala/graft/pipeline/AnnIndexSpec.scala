@@ -115,4 +115,76 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(got == expect)
   }
+
+  test("appendEpoch is replay-safe: half-published attempts retire, committed tags redo identically") {
+    val root = Files.createTempDirectory("graft-ann-epoch").toString + "/idx"
+    val base = emb.filter(col("vec_id") < 350)
+    val delta = emb.filter(col("vec_id") >= 350)
+    AnnIndex.build(base, "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val h = AnnIndex.open(spark, root)
+    def idCounts: Map[Long, Long] = {
+      spark.catalog.refreshByPath(h.indexPath)
+      spark.read.parquet(h.indexPath).groupBy("neighbor_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // crashed attempt: the tag half-published a WRONG subset (encoded
+    // with the right models but only 3 rows) and died before commit
+    val stage = s"$root/_stage/e7"
+    delta.limit(3)
+      .select(col("vec_id").as("neighbor_id"),
+        Ivf.assignment(col("embedding"), h.ivf).as("bucket"),
+        Pq.encode(col("embedding"), h.pq).as("codes"))
+      .write.mode("overwrite").parquet(stage)
+    graft.sources.EpochFiles.publish(spark, stage, h.indexPath, "e7")
+    assert(idCounts.size > base.count().toInt) // polluted, as a crash leaves it
+    // the replay retires the partial files and lands the FULL delta
+    assert(AnnIndex.appendEpoch(h, delta, "vec_id", "embedding", "e7") == delta.count())
+    val committed = idCounts
+    assert(committed.size.toLong == emb.count() && committed.values.forall(_ == 1L),
+      "every vector indexed exactly once after the retried epoch")
+    // replaying the committed tag retires-and-redoes: the call reports
+    // the full delta again, but the END STATE is identical — the no-op
+    // short-circuit is the marker layer's job (StreamingAnn)
+    assert(AnnIndex.appendEpoch(h, delta, "vec_id", "embedding", "e7") == delta.count())
+    assert(idCounts == committed)
+  }
+
+  test("compact + recluster: row-identical, searches unchanged, bucket ranges disjoint") {
+    val root = Files.createTempDirectory("graft-ann-rc").toString + "/idx"
+    AnnIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val h = AnnIndex.open(spark, root)
+    // several small epochs: each clustered within itself, so the
+    // TABLE's bucket ranges overlap across files
+    (0 until 4).foreach { i =>
+      AnnIndex.appendEpoch(h,
+        emb.filter(col("vec_id") >= 300 + i * 50 && col("vec_id") < 350 + i * 50),
+        "vec_id", "embedding", s"e$i")
+    }
+    val queries = emb.filter(col("vec_id") < 5)
+    def results = AnnIndex.search(h, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pre = results
+    AnnIndex.compact(spark, root, targetBytes = 1L << 30)
+    spark.catalog.refreshByPath(h.indexPath)
+    AnnIndex.recluster(spark, root)
+    spark.catalog.refreshByPath(h.indexPath)
+    assert(spark.read.parquet(h.indexPath).count() == emb.count())
+    // per-file bucket ranges disjoint — the property the search's
+    // row-group/file skipping needs
+    val ranges = graft.sources.ParquetSource.listParquetFiles(
+        h.indexPath, spark.sparkContext.hadoopConfiguration)
+      .flatMap { f =>
+        val bs = spark.read.parquet(f).select("bucket")
+          .collect().map(_.getInt(0))
+        if (bs.isEmpty) None else Some((bs.min, bs.max))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"overlapping bucket ranges after recluster: $ranges")
+      case _ => ()
+    }
+    assert(results == pre, "maintenance must not change any search result")
+  }
 }
