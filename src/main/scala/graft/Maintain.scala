@@ -17,6 +17,9 @@ package graft
   *   runMain graft.Maintain annindex compact <indexRoot> <targetBytes>
   *   runMain graft.Maintain annindex recluster <indexRoot> # restore bucket
   *                                                  # clustering after ingest epochs
+  *   runMain graft.Maintain annindex forget <indexRoot> <key>[,key...]
+  *   runMain graft.Maintain ndstore forget <storeDir> <key>[,key...]  # purge a
+  *                                                  # doc from all three store tables
   *
   * compact is crash-safe (write-ahead group markers; interrupted swaps
   * recover on the next run); stats updates touch only files the index
@@ -65,15 +68,7 @@ object Maintain {
             System.err.println(s"[maintain] unsupported key type $other for delete")
             sys.exit(2)
         }
-        // keys inline, or @/path/to/file with one key per line (the CLI
-        // arm of the large-deletion route — deleteAuto then picks the
-        // anti-join full copy past the inline threshold)
-        val rawKeys =
-          if (args(3).startsWith("@"))
-            scala.io.Source.fromFile(args(3).drop(1)).getLines().toSeq
-          else args(3).split(",").toSeq
-        val keys: Seq[Any] = rawKeys.map(_.trim).filter(_.nonEmpty)
-          .map(parse(_): Any)
+        val keys = rawKeys(args(3)).map(parse(_): Any)
         val r = sources.TargetedDelete.deleteAuto(spark, args(1), args(2), keys)
         println(s"[maintain] deleted ${r.rowsDeleted} rows: " +
           s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")
@@ -89,6 +84,11 @@ object Maintain {
           case "recluster" =>
             pipeline.AnnIndex.recluster(spark, args(2))
             println(s"[maintain] ann index re-clustered at ${args(2)}")
+          case "forget" if args.length >= 4 =>
+            val r = pipeline.AnnIndex.forget(spark, args(2),
+              typedKeys(spark, s"${args(2)}/index", "neighbor_id", args(3)))
+            println(s"[maintain] ann index forgot ${r.rowsDeleted} vectors: " +
+              s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")
           case _ => usage()
         }
       case "ndstore" =>
@@ -100,6 +100,12 @@ object Maintain {
           case "recluster" =>
             pipeline.Dedup.NearDupStore.recluster(spark, args(2))
             println(s"[maintain] near-dup store re-clustered at ${args(2)}")
+          case "forget" if args.length >= 4 =>
+            val rs = pipeline.Dedup.NearDupStore.forget(spark, args(2),
+              typedKeys(spark, s"${args(2)}/sigs", "id", args(3)))
+            println(s"[maintain] near-dup store forgot: " +
+              s"${rs.map(_.rowsDeleted).sum} rows across 3 tables " +
+              s"(${rs.map(_.filesRewritten).sum} files rewritten)")
           case _ if args.length < 6 => usage()
           case "create" =>
             pipeline.Dedup.NearDupStore.create(
@@ -146,8 +152,40 @@ object Maintain {
         |       graft.Maintain ndstore create <corpusDir> <idCol> <textCol> <storeDir>
         |       graft.Maintain ndstore dedup <batchDir> <idCol> <textCol> <storeDir> <outDir> [advance]
         |       graft.Maintain ndstore recluster <storeDir>
+        |       graft.Maintain ndstore forget <storeDir> <key>[,key...]
         |       graft.Maintain annindex compact <indexRoot> <targetBytes>
-        |       graft.Maintain annindex recluster <indexRoot>""".stripMargin)
+        |       graft.Maintain annindex recluster <indexRoot>
+        |       graft.Maintain annindex forget <indexRoot> <key>[,key...]""".stripMargin)
     sys.exit(2)
+  }
+
+  /** Keys inline, or @/path/to/file with one key per line (the CLI arm
+    * of the large-deletion route — deleteAuto then picks the anti-join
+    * full copy past the inline threshold).
+    */
+  private def rawKeys(arg: String): Seq[String] = {
+    val raw =
+      if (arg.startsWith("@"))
+        scala.io.Source.fromFile(arg.drop(1)).getLines().toSeq
+      else arg.split(",").toSeq
+    raw.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** [[rawKeys]] parsed to `keyCol`'s type in the table at `dir` —
+    * guessing from the literal's shape would silently miss string keys
+    * that look numeric ("042") through the IN filter's type coercion.
+    */
+  private def typedKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        keyCol: String, arg: String): Seq[Any] = {
+    import org.apache.spark.sql.types._
+    val parse: String => Any =
+      spark.read.parquet(dir).schema(keyCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => _.toLong
+        case StringType => identity
+        case other =>
+          System.err.println(s"[maintain] unsupported key type $other for forget")
+          sys.exit(2)
+      }
+    rawKeys(arg).map(parse(_): Any)
   }
 }

@@ -887,6 +887,34 @@ object SparkEntry {
     s.read.parquet(out).select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Right-to-be-forgotten in the NEAR-DUP store, decision-gated: the
+    * corpus (doc_id < 400) is indexed, the lower half (doc_id < 200)
+    * is FORGOTTEN through the targeted rewrite of all three store
+    * tables, and the batch (400-499) is curated — a batch doc must
+    * now survive unless some REMAINING corpus doc (200-399) reaches
+    * exact J >= 0.9 against it. At sf0.01 the forget genuinely moves
+    * the decision: 7 batch docs suppressed only by forgotten corpus
+    * docs flip to survivors (47 drops vs 54 pre-forget), so a store
+    * that leaves residue in ANY table fails the gate.
+    */
+  private val ndStoreForgotten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qStoreForget(s: SparkSession, d: String): DataFrame = {
+    val store = ndStoreForgotten.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-nds-forget")
+        .resolve("s").toString
+      Dedup.NearDupStore.create(
+        t(s, d, "documents").filter(col("doc_id") < 400), "doc_id", "text", p)
+      Dedup.NearDupStore.forget(s, p, (0L until 200L).map(x => x: Any))
+      p
+    })
+    Dedup.NearDupStore.dropNearDups(
+        t(s, d, "documents").filter(col("doc_id") >= 400 && col("doc_id") < 500),
+        "doc_id", "text", store)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     // clustering tier: connected components (min-label propagation) over
     // the exact-verified near-dup pairs; with full-recall candidates the
@@ -2098,6 +2126,80 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exactly-once streaming-epoch ingest into the persisted ANN
+    * index, end to end through the crash cases: the base index covers
+    * vec_id < 350; epoch "e1" (the rest) first HALF-PUBLISHES (3 rows
+    * land under the tag, no commit — exactly what a mid-publish crash
+    * leaves), then replays, then replays again as if the COMMITTED
+    * epoch were re-delivered. The oracle pins the invariant a vector
+    * warehouse owner actually checks after any sequence of crashes and
+    * retries: every corpus vector indexed EXACTLY once.
+    */
+  private val annEpochIx =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.AnnIndex.Handle]()
+
+  private def qAnnEpoch(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val h = annEpochIx.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-annepoch")
+        .resolve("ix").toString
+      val built = graft.pipeline.AnnIndex.build(
+        emb.filter(col("vec_id") < 350), "vec_id", "embedding", root,
+        kIvf = 10, m = 16, ksub = 16, iters = 2)
+      val delta = emb.filter(col("vec_id") >= 350)
+      // mid-publish crash: a 3-row partial attempt lands under the tag
+      val stage = s"$root/_stage/e1"
+      delta.limit(3)
+        .select(col("vec_id").as("neighbor_id"),
+          graft.pipeline.Ivf.assignment(col("embedding"), built.ivf).as("bucket"),
+          graft.pipeline.Pq.encode(col("embedding"), built.pq).as("codes"))
+        .write.mode("overwrite").parquet(stage)
+      graft.sources.EpochFiles.publish(s, stage, built.indexPath, "e1")
+      // the replay retires the partial files and lands the full delta;
+      // a second replay (re-delivered committed epoch) redoes it
+      // identically — end-state idempotent either way
+      graft.pipeline.AnnIndex.appendEpoch(built, delta, "vec_id", "embedding", "e1")
+      graft.pipeline.AnnIndex.appendEpoch(built, delta, "vec_id", "embedding", "e1")
+      built
+    })
+    s.catalog.refreshByPath(h.indexPath)
+    s.read.parquet(h.indexPath)
+      .groupBy(col("neighbor_id"))
+      .agg((count(lit(1)) === 1).as("indexed_once"))
+      .orderBy(col("neighbor_id"))
+  }
+
+  /** Right-to-be-forgotten in the vector store: the full corpus is
+    * indexed, then vec_id >= 450 is forgotten through the targeted
+    * crash-safe rewrite. The gate emits one row PER CORPUS VECTOR with
+    * its index membership — forgotten ids absent, every other id
+    * still present — which pins both the deletion and the absence of
+    * collateral damage (search results are rows of this frame, so
+    * frame membership IS search reachability).
+    */
+  private val annForgetIx =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.AnnIndex.Handle]()
+
+  private def qAnnForget(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val h = annForgetIx.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-annforget")
+        .resolve("ix").toString
+      val built = graft.pipeline.AnnIndex.build(emb, "vec_id", "embedding", root,
+        kIvf = 10, m = 16, ksub = 16, iters = 2)
+      graft.pipeline.AnnIndex.forget(s, root,
+        (450L until 500L).map(x => x: Any))
+      built
+    })
+    s.catalog.refreshByPath(h.indexPath)
+    val indexed = s.read.parquet(h.indexPath)
+      .select(col("neighbor_id").as("vec_id")).withColumn("__in", lit(true))
+    emb.select(col("vec_id"))
+      .join(indexed, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("__in"), lit(false)).as("in_index"))
+      .orderBy(col("vec_id"))
+  }
+
   /** LSH-bucketed semantic dedup (SemDeDup rule): the oracle rebuilds
     * the seed-fixed hyperplane buckets and the within-bucket cosine
     * test end to end, so the approximate tier's exact output is pinned
@@ -2742,6 +2844,8 @@ object SparkEntry {
     "q_pq_codes" -> (qPqCodes _),
     "q_pq_adc" -> (qPqAdc _),
     "q_ann_store" -> (qAnnStore _),
+    "q_ann_epoch" -> (qAnnEpoch _),
+    "q_ann_forget" -> (qAnnForget _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -2823,6 +2927,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_incr_lsh" -> (qIncrLsh _),
     "q_cfg_lsh_dedup" -> (qCfgLshDedup _),
+    "q_store_forget" -> (qStoreForget _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash_sig" -> (qSimhashSig _),
     "q_dup_spans" -> (qDupSpans _),
@@ -3518,6 +3623,18 @@ object SparkEntry {
         "TRUE AS identical_after_reopen FROM embeddings, " +
         "unnest(generate_series(1, 10)) AS g(r) WHERE vec_id < 5 " +
         "ORDER BY query_id, rank"),
+
+    // after a half-published crash + two replays of the same epoch,
+    // every corpus vector sits in the index exactly once
+    "q_ann_epoch" ->
+      ("SELECT vec_id AS neighbor_id, TRUE AS indexed_once " +
+        "FROM embeddings ORDER BY neighbor_id"),
+
+    // forgotten ids absent from the index frame, all others present —
+    // frame membership IS search reachability
+    "q_ann_forget" ->
+      ("SELECT vec_id, (vec_id < 450) AS in_index " +
+        "FROM embeddings ORDER BY vec_id"),
 
     // full replication of the LSH-bucketed SemDeDup rule (same strategy
     // as q_sim_lsh): seed-fixed planes inlined, 4-bit band codes, the
@@ -4228,6 +4345,18 @@ object SparkEntry {
         "FROM documents WHERE doc_id < 500), " +
         "drops AS (SELECT DISTINCT b.doc_id FROM s a, s b " +
         "WHERE a.doc_id < 400 AND b.doc_id >= 400 " +
+        "AND len(list_intersect(a.sh, b.sh)) * 10 >= " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) * 9) " +
+        "SELECT doc_id FROM s WHERE doc_id >= 400 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM drops) ORDER BY doc_id"),
+
+    // after forgetting doc_id < 200 from the store, a batch doc drops
+    // iff some REMAINING corpus doc (200-399) reaches exact J >= 0.9
+    "q_store_forget" ->
+      ("WITH s AS (SELECT doc_id, list_distinct(" + tokensExpr + ") AS sh " +
+        "FROM documents WHERE doc_id < 500), " +
+        "drops AS (SELECT DISTINCT b.doc_id FROM s a, s b " +
+        "WHERE a.doc_id >= 200 AND a.doc_id < 400 AND b.doc_id >= 400 " +
         "AND len(list_intersect(a.sh, b.sh)) * 10 >= " +
         "len(list_distinct(list_concat(a.sh, b.sh))) * 9) " +
         "SELECT doc_id FROM s WHERE doc_id >= 400 " +

@@ -150,6 +150,28 @@ object AnnIndex {
     * crash leaves the old or new table intact, never neither).
     * Row-identical; same between-epochs caveat as [[compact]].
     */
+  /** Right-to-be-forgotten for the vector store: remove `ids` from the
+    * index frame through the crash-safe targeted rewrite
+    * ([[graft.sources.TargetedDelete]] — only files actually holding a
+    * forgotten id are rewritten, verify-all-before-any-swap; key sets
+    * past the inline cap route to the anti-join path). A forgotten
+    * vector can never be returned by [[search]] (results ARE rows of
+    * the index frame), and [[appendNew]]/[[appendEpoch]] re-admit the
+    * id if it legitimately reappears — the delta anti-join no longer
+    * sees it. The models are untouched: centroids and codebooks are
+    * trained AGGREGATES carrying no per-row data, so forgetting is a
+    * frame rewrite, never a retrain. Same between-epochs caveat as
+    * [[compact]]: the rewrite renames files, destroying the per-tag
+    * names an in-flight epoch's replay would need to retire.
+    */
+  def forget(spark: SparkSession, root: String,
+             ids: Seq[Any]): graft.sources.TargetedDelete.Result = {
+    val r = graft.sources.TargetedDelete.deleteAuto(
+      spark, s"$root/index", "neighbor_id", ids)
+    spark.catalog.refreshByPath(s"$root/index")
+    r
+  }
+
   def recluster(spark: SparkSession, root: String): Unit = {
     val dir = s"$root/index"
     spark.catalog.refreshByPath(dir)

@@ -720,6 +720,31 @@ object Dedup {
       fs.delete(st, true)
       ()
     }
+
+    /** Right-to-be-forgotten across ALL THREE store tables: a
+      * forgotten document must stop suppressing future near-dups of
+      * itself — its band rows, signature, and shingle set all go, so
+      * the store decides exactly as one created without the document
+      * (row-identical to that store; ForgetSpec pins it). Each table
+      * goes through the crash-safe targeted rewrite
+      * ([[graft.sources.TargetedDelete]]: only files actually holding
+      * a forgotten id are rewritten, verify-all-before-any-swap, key
+      * sets past the inline cap route to the anti-join path). The
+      * id-clustered sigs/shingles detection scans skip on row-group
+      * stats; the bucket-clustered band index pays one metadata-tier
+      * scan — maintenance-rate cost, never probe-rate. Same
+      * between-epochs caveat as [[compact]]/[[recluster]]: the
+      * rewrite renames files, destroying the per-tag names an
+      * IN-FLIGHT [[advanceStaged]] replay would need to retire.
+      */
+    def forget(spark: org.apache.spark.sql.SparkSession, path: String,
+               ids: Seq[Any]): Seq[graft.sources.TargetedDelete.Result] =
+      Seq(sub(path, "bands") + "/rows", sub(path, "sigs"),
+          sub(path, "shingles")).map { dir =>
+        val r = graft.sources.TargetedDelete.deleteAuto(spark, dir, "id", ids)
+        spark.catalog.refreshByPath(dir)
+        r
+      }
   }
 
   /** Cheap Jaccard estimate for candidate pairs from the MinHash

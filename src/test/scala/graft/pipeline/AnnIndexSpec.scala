@@ -150,6 +150,30 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(idCounts == committed)
   }
 
+  test("forget removes vectors from every search; a reappearing id re-admits") {
+    val root = Files.createTempDirectory("graft-ann-forget").toString + "/idx"
+    AnnIndex.build(emb, "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val h = AnnIndex.open(spark, root)
+    val gone = (450L until 500L).map(x => x: Any)
+    val r = AnnIndex.forget(spark, root, gone)
+    assert(r.rowsDeleted == 50L)
+    spark.catalog.refreshByPath(h.indexPath)
+    val left = spark.read.parquet(h.indexPath).select("neighbor_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == (0L until 450L), "exactly the forgotten ids gone")
+    // no search can ever return a forgotten neighbor — saturate with
+    // every vector as a query, all buckets probed
+    val hits = AnnIndex.search(h, emb, "vec_id", "embedding", k = 10, nProbe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.forall(_ < 450L), "forgotten ids leaked into search results")
+    // the id legitimately reappears: the delta anti-join re-admits it
+    assert(AnnIndex.appendNew(h, emb.filter(col("vec_id") >= 450),
+      "vec_id", "embedding") == 50L)
+    spark.catalog.refreshByPath(h.indexPath)
+    assert(spark.read.parquet(h.indexPath).count() == emb.count())
+  }
+
   test("compact + recluster: row-identical, searches unchanged, bucket ranges disjoint") {
     val root = Files.createTempDirectory("graft-ann-rc").toString + "/idx"
     AnnIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding", root,

@@ -647,6 +647,36 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().isEmpty)
   }
 
+  test("NearDupStore.forget: a forgotten doc stops suppressing; store equals fresh-create without it") {
+    import spark.implicits._
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-nds-f")
+      .resolve("s").toString
+    Dedup.NearDupStore.create(corpus, "doc_id", "text", store)
+    val batch = Seq((11L, textA), (12L, textB)).toDF("doc_id", "text")
+    assert(Dedup.NearDupStore.dropNearDups(batch, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().isEmpty, "both suppressed pre-forget")
+    val rs = Dedup.NearDupStore.forget(spark, store, Seq(1L))
+    assert(rs.map(_.rowsDeleted).sum > 0)
+    // 11's suppressor is gone; 12's is still there
+    assert(Dedup.NearDupStore.dropNearDups(batch, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+    // the forgotten store is ROW-IDENTICAL to one created without the
+    // doc — forgetting leaves zero residue in any table
+    val fresh = java.nio.file.Files.createTempDirectory("graft-nds-f2")
+      .resolve("s").toString
+    Dedup.NearDupStore.create(Seq((2L, textB)).toDF("doc_id", "text"),
+      "doc_id", "text", fresh)
+    def rows(root: String, table: String): Set[String] =
+      spark.read.parquet(s"$root/$table").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    Seq("bands/rows", "sigs", "shingles").foreach { tbl =>
+      assert(rows(store, tbl) == rows(fresh, tbl), s"residue in $tbl")
+    }
+  }
+
   test("NearDupStore.compact defragments all three tables, decisions unchanged") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-nds-c")
