@@ -356,6 +356,11 @@ object Pipeline {
         thresholdNum = tn, thresholdDenom = td, minBands = mb,
         minMatchingHashes = mh, advance = adv,
         maxPruneKeys = mpk, minPruneBytes = mpb)
+    case graft.config.TransformConfig.AnnSearchStage(root, id, vec, k, np) =>
+      // terminal reshape: piped rows are the queries, output is the
+      // k-per-query hit list; models load once per stage application
+      graft.pipeline.AnnIndex.search(
+        graft.pipeline.AnnIndex.open(df.sparkSession, root), df, id, vec, k, np)
     case graft.config.TransformConfig.RfmStage(key, ts, value, asOf, buckets) =>
       graft.operators.Rfm.scores(df, key, ts, value, to_date(lit(asOf)), buckets)
     case graft.config.TransformConfig.TransitionMatrixStage(key, ts, tpe, tie) =>

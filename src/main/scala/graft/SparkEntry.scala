@@ -2103,14 +2103,21 @@ object SparkEntry {
   private val annStoreIx =
     new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.AnnIndex.Handle]()
 
-  private def qAnnStore(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val built = annStoreIx.computeIfAbsent(d, _ => {
+  /** The q_ann_store index over the full embeddings table — shared by
+    * q_cfg_ann so the config stage is pinned against the SAME persisted
+    * artifact the Scala-tier gate reads.
+    */
+  private def annStoreHandle(s: SparkSession, d: String): graft.pipeline.AnnIndex.Handle =
+    annStoreIx.computeIfAbsent(d, _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-annstore")
         .resolve("ix").toString
-      graft.pipeline.AnnIndex.build(emb, "vec_id", "embedding", root,
-        kIvf = 10, m = 16, ksub = 16, iters = 2)
+      graft.pipeline.AnnIndex.build(t(s, d, "embeddings"), "vec_id", "embedding",
+        root, kIvf = 10, m = 16, ksub = 16, iters = 2)
     })
+
+  private def qAnnStore(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val built = annStoreHandle(s, d)
     val root = built.root
     val queries = emb.filter(col("vec_id") < 5)
     def run(h: graft.pipeline.AnnIndex.Handle) =
@@ -2123,6 +2130,54 @@ object SparkEntry {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         (col("neighbor_id") === col("__n2") &&
           abs(col("adc_dist") - col("__d2")) < 1e-12).as("identical_after_reopen"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The `annSearch` config stage pinned row-for-row against the
+    * Scala tier (the q_cfg_attribution discipline: one declarative
+    * query per stage, gated by equality with the library call it
+    * wraps): the same 5 queries flow through a declarative
+    * source→annSearch→target pipeline against the q_ann_store index,
+    * and every (query, rank) must land the identical neighbor at the
+    * identical ADC distance.
+    */
+  private val annQueriesDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qCfgAnn(s: SparkSession, d: String): DataFrame = {
+    val h = annStoreHandle(s, d)
+    val qdir = annQueriesDir.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-annq")
+        .resolve("q").toString
+      t(s, d, "embeddings").filter(col("vec_id") < 5).write.parquet(p)
+      p
+    })
+    val out = java.nio.file.Files.createTempDirectory("graft-annq-out")
+      .resolve("out").toString
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $qdir
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: annSearch
+         |transform.annSearch.indexRoot: ${h.root}
+         |transform.annSearch.idColumn: vec_id
+         |transform.annSearch.vecColumn: embedding
+         |transform.annSearch.k: 10
+         |transform.annSearch.nProbe: 4
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    val direct = graft.pipeline.AnnIndex.search(h,
+        t(s, d, "embeddings").filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nProbe = 4)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("__n2"), col("adc_dist").as("__d2"))
+    s.read.parquet(out)
+      .join(direct, Seq("query_id", "rank"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        (col("neighbor_id") === col("__n2") &&
+          abs(col("adc_dist") - col("__d2")) < 1e-12).as("same_as_library"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2846,6 +2901,7 @@ object SparkEntry {
     "q_ann_store" -> (qAnnStore _),
     "q_ann_epoch" -> (qAnnEpoch _),
     "q_ann_forget" -> (qAnnForget _),
+    "q_cfg_ann" -> (qCfgAnn _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -3635,6 +3691,14 @@ object SparkEntry {
     "q_ann_forget" ->
       ("SELECT vec_id, (vec_id < 450) AS in_index " +
         "FROM embeddings ORDER BY vec_id"),
+
+    // the declarative annSearch stage returns the library call's exact
+    // hits: same neighbor, same ADC distance, per (query, rank)
+    "q_cfg_ann" ->
+      ("SELECT vec_id AS query_id, CAST(r AS BIGINT) AS rank, " +
+        "TRUE AS same_as_library FROM embeddings, " +
+        "unnest(generate_series(1, 10)) AS g(r) WHERE vec_id < 5 " +
+        "ORDER BY query_id, rank"),
 
     // full replication of the LSH-bucketed SemDeDup rule (same strategy
     // as q_sim_lsh): seed-fixed planes inlined, 4-bit band codes, the

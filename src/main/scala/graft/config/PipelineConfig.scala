@@ -649,6 +649,27 @@ object TransformConfig {
       else if (minPruneBytes < 0) Some("transform.lshDedup.minPruneBytes must be >= 0")
       else None
   }
+  /** ANN top-k search against a PERSISTED vector index
+    * (pipeline.AnnIndex): the piped rows are the queries; the output
+    * is (query id, rank, neighbor_id, adc_dist) — k rows per query.
+    * Terminal reshape. The index is the durable artifact an ingest
+    * (StreamingAnn / AnnIndex.appendEpoch) maintains; this stage is
+    * its read face on the declarative surface. Search scans codes in
+    * probed buckets only (bucket-clustered row-group skipping) —
+    * never the vectors.
+    */
+  final case class AnnSearchStage(indexRoot: String, idColumn: String,
+                                  vecColumn: String, k: Int, nProbe: Int)
+      extends TransformConfig {
+    val name = "annSearch"
+    def check: Option[String] =
+      if (indexRoot.isEmpty) Some("transform.annSearch.indexRoot required")
+      else if (idColumn.isEmpty) Some("transform.annSearch.idColumn required")
+      else if (vecColumn.isEmpty) Some("transform.annSearch.vecColumn required")
+      else if (k < 1) Some("transform.annSearch.k must be >= 1")
+      else if (nProbe < 1) Some("transform.annSearch.nProbe must be >= 1")
+      else None
+  }
   /** RFM customer scoring — operators.Rfm.scores: reduce the piped
     * event log to one row per key with recency/frequency/monetary and
     * their ntile scores as of `asOf` (an ISO date). Terminal reshape
@@ -1142,6 +1163,9 @@ object PipelineConfig {
       "transform.lshDedup.thresholdDenom", "transform.lshDedup.minBands",
       "transform.lshDedup.minMatchingHashes", "transform.lshDedup.advance",
       "transform.lshDedup.maxPruneKeys", "transform.lshDedup.minPruneBytes",
+      "transform.annSearch.indexRoot", "transform.annSearch.idColumn",
+      "transform.annSearch.vecColumn", "transform.annSearch.k",
+      "transform.annSearch.nProbe",
       "transform.rfm.keyColumn", "transform.rfm.tsColumn",
       "transform.rfm.valueColumn", "transform.rfm.asOf", "transform.rfm.buckets",
       "transform.transitionMatrix.keyColumn", "transform.transitionMatrix.tsColumn",
@@ -1726,6 +1750,19 @@ object PipelineConfig {
               .toLongOption.toRight("transform.lshDedup.minPruneBytes not a long")
           } yield TransformConfig.LshDedupStage(ip, id, text, tn, td, mb, mh, adv,
             mpk, mpb)
+        case "annSearch" =>
+          for {
+            root <- map.get("transform.annSearch.indexRoot")
+              .toRight("transform.annSearch.indexRoot required")
+            id <- map.get("transform.annSearch.idColumn")
+              .toRight("transform.annSearch.idColumn required")
+            vec <- map.get("transform.annSearch.vecColumn")
+              .toRight("transform.annSearch.vecColumn required")
+            k <- map.getOrElse("transform.annSearch.k", "10")
+              .toIntOption.toRight("transform.annSearch.k not an int")
+            np <- map.getOrElse("transform.annSearch.nProbe", "4")
+              .toIntOption.toRight("transform.annSearch.nProbe not an int")
+          } yield TransformConfig.AnnSearchStage(root, id, vec, k, np)
         case "rfm" =>
           for {
             key <- map.get("transform.rfm.keyColumn")

@@ -693,5 +693,15 @@ class TransformStagesSpec extends AnyFunSuite {
         |stream.primaryKey: pk
         |stream.orderBy: ts
         |""".stripMargin).contains("batch copies"))
+    // annSearch: required keys and positive k/nProbe validated at load
+    assert(parseErr("transforms: annSearch\n")
+      .contains("transform.annSearch.indexRoot required"))
+    assert(parseErr(
+      """transforms: annSearch
+        |transform.annSearch.indexRoot: /tmp/ix
+        |transform.annSearch.idColumn: vec_id
+        |transform.annSearch.vecColumn: embedding
+        |transform.annSearch.k: 0
+        |""".stripMargin).contains("k must be >= 1"))
   }
 }
