@@ -47,6 +47,16 @@ object ScaleBench {
   // their freshly-created probe I/O after the rewrite
   private val ndMaintBytes = scala.collection.concurrent.TrieMap[String, (Long, Long)]()
 
+  // per-dir persisted ANN index roots (ann_search / ann_ingest build
+  // once; min-of-2 then times the read/ingest op alone) and the ops'
+  // file bytes read — the scale claims are (a) search scans CODES in
+  // probed buckets, never vectors: bytes/corpus-row stays tiny and
+  // constant; (b) a fixed-size epoch's ingest reads the column-pruned
+  // id frame + the delta, nothing corpus-vector-sized
+  private val annRoots = scala.collection.concurrent.TrieMap[String, String]()
+  private val annSearchBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val annIngestBytes = scala.collection.concurrent.TrieMap[String, Long]()
+
   /** Run `body`, returning (its result, file bytes read by its tasks). */
   private def withBytesRead[A](s: SparkSession)(body: => A): (A, Long) = {
     val bytes = new java.util.concurrent.atomic.AtomicLong()
@@ -297,6 +307,60 @@ object ScaleBench {
       pipeline.Dedup.NearDupStore.dropNearDups(batch, "doc_id", "text", store)
         .count()
     },
+    // fixed 50-query ANN search against an index over the WHOLE
+    // (amplified) corpus: IVF probing scans nProbe/kIvf of the corpus'
+    // CODES (m bytes/row, not the 8m-byte vectors), so wall and bytes
+    // may grow ~linearly but with a constant ~64-bytes/row coefficient
+    // — the honest 100-TB claim is cheap-per-row, not sublinear
+    "ann_search" -> { (s, dir) =>
+      val root = annRoots.getOrElseUpdate(s"$dir#search", {
+        val p = java.nio.file.Files.createTempDirectory("graft-scale-ann")
+          .resolve("ix").toString
+        pipeline.AnnIndex.build(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", p, kIvf = 16, m = 16, ksub = 16, iters = 2,
+          trainSample = Some(2000L))
+        p
+      })
+      val h = pipeline.AnnIndex.open(s, root)
+      // queries materialized OUTSIDE the measured region so the bytes
+      // metric isolates the INDEX's I/O, not the query batch's scan
+      val queries = Checkpoints.materialize(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 50))
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.AnnIndex.search(h, queries, "vec_id", "embedding",
+          k = 10, nProbe = 4).count()
+      }
+      annSearchBytes(dir) = annSearchBytes.get(dir).fold(bytes)(math.min(_, bytes))
+      n
+    },
+    // fixed 500-vector ingest epoch against the amplified index (own
+    // index — the appended copy-0 twins must not perturb ann_search's
+    // hits): appendEpoch's anti-join reads the index frame's id column
+    // only, so per-epoch bytes grow with corpus·8B, never corpus
+    // vectors; encode cost is the delta's alone. Re-running the SAME
+    // tag is retire-and-redo (end-state idempotent), which is exactly
+    // what min-of-2 timing needs.
+    "ann_ingest" -> { (s, dir) =>
+      val root = annRoots.getOrElseUpdate(s"$dir#ingest", {
+        val p = java.nio.file.Files.createTempDirectory("graft-scale-anni")
+          .resolve("ix").toString
+        pipeline.AnnIndex.build(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", p, kIvf = 16, m = 16, ksub = 16, iters = 2,
+          trainSample = Some(2000L))
+        p
+      })
+      val h = pipeline.AnnIndex.open(s, root)
+      // delta materialized outside the measured region (same reason as
+      // ann_search): bytes then cover the anti-join's id-column scan
+      val delta = Checkpoints.materialize(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 500)
+          .withColumn("vec_id", col("vec_id") + lit(21L * Off)))
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.AnnIndex.appendEpoch(h, delta, "vec_id", "embedding", "scalebench")
+      }
+      annIngestBytes(dir) = annIngestBytes.get(dir).fold(bytes)(math.min(_, bytes))
+      n
+    },
     // radius-probing banded phash near-dup over the WHOLE corpus (the
     // gate query caps ids; amplification must grow real collisions
     // linearly, with the fixed 72-key probe fan-out per row)
@@ -392,7 +456,18 @@ object ScaleBench {
       case Nil => ""
       case ms  => ms.mkString(""","nd_store_recluster_bytes":{""", ",", "}")
     }
-    println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl$probeIo$maintIo}""")
+    // ANN op I/O under amplification: search must stay codes-sized
+    // (≈ m bytes × probed rows), ingest id-column-sized — either one
+    // ballooning toward the corpus' VECTOR bytes indicts the layout
+    def annIo(m: scala.collection.concurrent.TrieMap[String, Long], key: String) =
+      (m.get(baseDir), m.get(workDir)) match {
+        case (Some(b), Some(sc)) if b > 0 =>
+          s""","$key":{"base_mb":${fmt(b / 1e6)},"scaled_mb":${fmt(sc / 1e6)},"ratio":${fmt(sc.toDouble / b)}}"""
+        case _ => ""
+      }
+    val annIoJson = annIo(annSearchBytes, "ann_search_bytes") +
+      annIo(annIngestBytes, "ann_ingest_bytes")
+    println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl$probeIo$maintIo$annIoJson}""")
     spark.stop()
   }
 }
