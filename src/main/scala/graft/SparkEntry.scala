@@ -915,6 +915,44 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Curation forensics on the declarative surface: a two-stage
+    * config chain (qualityFilter → blocklist) run through
+    * `Pipeline.transformAudited`, emitting for every dropped doc the
+    * FIRST stage that dropped it. At sf0.01 the attribution is
+    * genuinely contested: 399 docs carry a blocklisted phrase but 198
+    * of them ALSO fail the quality gate — those must be attributed to
+    * qualityFilter (stage 0), leaving exactly the 201
+    * quality-surviving blocklisted docs attributed to blocklist. The
+    * oracle recomputes both stage predicates and the first-drop rule
+    * in SQL.
+    */
+  private val auditTermsFile =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qCfgAudit(s: SparkSession, d: String): DataFrame = {
+    val terms = auditTermsFile.computeIfAbsent(d, _ => {
+      val f = java.nio.file.Files.createTempDirectory("graft-audit")
+        .resolve("terms.txt")
+      java.nio.file.Files.writeString(f, "slow\nmerge batch\n")
+      f.toString
+    })
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: unused
+         |target.type: parquet
+         |target.path: unused
+         |target.mode: overwrite
+         |transforms: qualityFilter, blocklist
+         |transform.qualityFilter.textColumn: text
+         |transform.qualityFilter.minScore: 4750
+         |transform.blocklist.textColumn: text
+         |transform.blocklist.termsPath: $terms
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    val (_, audit) = graft.Pipeline.transformAudited(t(s, d, "documents"), cfg, "doc_id")
+    audit.select(col("doc_id"), col("stage_idx"), col("dropped_by"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     // clustering tier: connected components (min-label propagation) over
     // the exact-verified near-dup pairs; with full-recall candidates the
@@ -2984,6 +3022,7 @@ object SparkEntry {
     "q_incr_lsh" -> (qIncrLsh _),
     "q_cfg_lsh_dedup" -> (qCfgLshDedup _),
     "q_store_forget" -> (qStoreForget _),
+    "q_cfg_audit" -> (qCfgAudit _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_simhash_sig" -> (qSimhashSig _),
     "q_dup_spans" -> (qDupSpans _),
@@ -4425,6 +4464,31 @@ object SparkEntry {
         "len(list_distinct(list_concat(a.sh, b.sh))) * 9) " +
         "SELECT doc_id FROM s WHERE doc_id >= 400 " +
         "AND doc_id NOT IN (SELECT doc_id FROM drops) ORDER BY doc_id"),
+
+    // per-row drop attribution, first-drop-wins: quality-failing docs
+    // go to stage 0 even when also blocklisted; only quality SURVIVORS
+    // carrying a blocked phrase are attributed to stage 1
+    "q_cfg_audit" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "CAST(length(text) AS BIGINT) AS nc, " +
+        "CAST(len(" + tokensExpr + ") AS BIGINT) AS nt, " +
+        "CAST(list_sum(list_transform(" + tokensExpr + ", t -> length(t))) AS BIGINT) AS tc, " +
+        "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS pc, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS dc, " +
+        "CAST(len(list_filter(" + tokensExpr + ", t -> list_contains(" +
+        "['the','a','an','and','or','of','to','in','is','it','on','for','with','as','by','at','from'], t))) AS BIGINT) AS sh, " +
+        "' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') || ' ' AS s " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id FROM m WHERE nt > 0 AND nc > 0 AND " +
+        "4 * ((1000 * sh) // nt) - 2 * ((1000 * pc) // nc) " +
+        "- 3 * ((1000 * dc) // nc) + 1 * ((1000 * tc) // nt) >= 4750) " +
+        "SELECT doc_id, CAST(0 AS BIGINT) AS stage_idx, 'qualityFilter' AS dropped_by " +
+        "FROM m WHERE doc_id NOT IN (SELECT doc_id FROM q) " +
+        "UNION ALL " +
+        "SELECT doc_id, CAST(1 AS BIGINT) AS stage_idx, 'blocklist' AS dropped_by " +
+        "FROM m WHERE doc_id IN (SELECT doc_id FROM q) " +
+        "AND (s LIKE '% slow %' OR s LIKE '% merge batch %') " +
+        "ORDER BY doc_id"),
 
     // connected components of the exact J>=0.9 graph via recursive
     // transitive closure; representative = min reachable doc id

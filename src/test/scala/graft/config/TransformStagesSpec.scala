@@ -704,4 +704,37 @@ class TransformStagesSpec extends AnyFunSuite {
         |transform.annSearch.k: 0
         |""".stripMargin).contains("k must be >= 1"))
   }
+
+  test("transformAudited: kept frame matches plain transform; reshape stages fail fast") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val c = cfg(
+      """transforms: qualityFilter, dedupExact
+        |transform.qualityFilter.textColumn: text
+        |transform.qualityFilter.minScore: 4750
+        |transform.dedupExact.idColumn: doc_id
+        |transform.dedupExact.textColumn: text
+        |""".stripMargin)
+    val (kept, audit) = Pipeline.transformAudited(docs, c, "doc_id")
+    val plain = Pipeline.transform(docs, c)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "audit must not change what survives")
+    val byStage = audit.groupBy("dropped_by").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every input row is either kept or attributed to exactly one stage
+    assert(byStage.values.sum + kept.count() == docs.count())
+    assert(audit.select("doc_id").distinct().count() == audit.count())
+    // a terminal reshape loses the row identity: refuse, don't mis-audit
+    // (transitionMatrix output is (from_type, to_type, n) — no doc_id;
+    // the guard must fire at PLAN time, before any job runs)
+    val reshape = cfg(
+      """transforms: transitionMatrix
+        |transform.transitionMatrix.keyColumn: source
+        |transform.transitionMatrix.tsColumn: doc_id
+        |transform.transitionMatrix.typeColumn: lang
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      Pipeline.transformAudited(docs, reshape, "doc_id"))
+    assert(e.getMessage.contains("preserve column"))
+  }
 }
