@@ -57,22 +57,24 @@ object ScaleBench {
   private val annSearchBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val annIngestBytes = scala.collection.concurrent.TrieMap[String, Long]()
 
-  /** Run `body`, returning (its result, file bytes read by its tasks). */
+  /** Run `body`, returning (its result, FILE bytes read while it ran).
+    * Measured from Hadoop's global `file`-scheme storage statistics,
+    * not task `inputMetrics.bytesRead`: the latter also counts BLOCK
+    * MANAGER reads (every stage re-reading a localCheckpointed frame),
+    * which dominate and are batch-proportional — they drowned the
+    * store-layout signal this metric exists to expose. In local mode
+    * every task shares the JVM, so the FS counter captures exactly the
+    * parquet bytes the probed tables served. (On a real cluster this
+    * would be a per-task metrics sum instead.)
+    */
   private def withBytesRead[A](s: SparkSession)(body: => A): (A, Long) = {
-    val bytes = new java.util.concurrent.atomic.AtomicLong()
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
-          bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    def fsBytes: Long = {
+      val st = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+      if (st == null) 0L else st.getLong("bytesRead").longValue()
     }
-    s.sparkContext.addSparkListener(listener)
-    val r =
-      try body
-      finally {
-        org.apache.spark.sql.GraftColumnBridge.waitForListenerBus(s)
-        s.sparkContext.removeSparkListener(listener)
-      }
-    (r, bytes.get())
+    val before = fsBytes
+    val r = body
+    (r, fsBytes - before)
   }
 
   def amplify(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
@@ -257,11 +259,14 @@ object ScaleBench {
       })
       // sum file bytes read across the probe's tasks (store create is
       // outside the listener's lifetime); keep the min across runs to
-      // match the min-of-2 timing semantics
+      // match the min-of-2 timing semantics. The batch is materialized
+      // OUTSIDE the measured region so the bytes isolate STORE I/O —
+      // the claim under test — not the batch's own text scan
+      val batch = Checkpoints.materialize(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 500))
       val (n, bytes) = withBytesRead(s) {
         pipeline.Dedup.NearDupStore.dropNearDups(
-          Tables.load(s, dir, "documents").filter(col("doc_id") < 500),
-          "doc_id", "text", store).count()
+          batch, "doc_id", "text", store).count()
       }
       ndProbeBytes(dir) = ndProbeBytes.get(dir)
         .fold(bytes)(math.min(_, bytes))
@@ -279,17 +284,24 @@ object ScaleBench {
       // a probe batch of 500 UNSEEN ids carrying copy-0 text: near-dup
       // saturated against the store, disjoint from every advance AND
       // from every amplification copy's id range (copies sit at k·Off
-      // for k < factor; 20·Off is beyond any sweep factor used here)
-      val batch = docs.filter(col("doc_id") < 500)
-        .withColumn("doc_id", col("doc_id") + lit(20L * Off))
+      // for k < factor; 20·Off is beyond any sweep factor used here).
+      // Materialized so the measured bytes isolate store I/O.
+      val batch = Checkpoints.materialize(docs.filter(col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + lit(20L * Off)))
       val store = ndStores.getOrElseUpdate(s"$dir#maint", {
         val p = java.nio.file.Files.createTempDirectory("graft-scale-ndm")
           .resolve("s").toString
         pipeline.Dedup.NearDupStore.create(
           docs.filter(col("doc_id") >= 800), "doc_id", "text", p)
+        // INTERLEAVED advance batches (id mod 8): each appended file
+        // spans the whole 0-799 id range, so every advance's sigs/
+        // shingles file defeats pushed-IN row-group skipping — the
+        // real fragmentation shape (crawl batches are never id-sorted
+        // slices). Contiguous slices would self-cluster and show no
+        // recluster payoff by construction.
         (0 until 8).foreach { i =>
           pipeline.Dedup.NearDupStore.dropNearDups(
-            docs.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100),
+            docs.filter(col("doc_id") < 800 && pmod(col("doc_id"), lit(8)) === i),
             "doc_id", "text", p, advance = true); ()
         }
         val (_, frag) = withBytesRead(s) {
