@@ -57,6 +57,18 @@ object ScaleBench {
   private val annSearchBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val annIngestBytes = scala.collection.concurrent.TrieMap[String, Long]()
 
+  // probed store's TOTAL on-disk size, so the bytes-read numbers carry
+  // their denominator: "the probe read 1.4 MB" only means pruning if
+  // the store it pruned against is reported alongside
+  private val ndStoreBytes = scala.collection.concurrent.TrieMap[String, Long]()
+
+  private def dirSize(path: String): Long = {
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+    du(new java.io.File(path))
+  }
+
   /** Run `body`, returning (its result, FILE bytes read while it ran).
     * Measured from Hadoop's global `file`-scheme storage statistics,
     * not task `inputMetrics.bytesRead`: the latter also counts BLOCK
@@ -270,6 +282,7 @@ object ScaleBench {
       }
       ndProbeBytes(dir) = ndProbeBytes.get(dir)
         .fold(bytes)(math.min(_, bytes))
+      ndStoreBytes(dir) = dirSize(store)
       n
     },
     // maintenance payoff, measured: a store fragmented by 8 incremental
@@ -455,7 +468,7 @@ object ScaleBench {
     // layout holds (I/O ∝ batch), ~factor× means it re-reads the corpus
     val probeIo = (ndProbeBytes.get(baseDir), ndProbeBytes.get(workDir)) match {
       case (Some(b), Some(sc)) if b > 0 =>
-        s""","nd_store_probe_bytes":{"base_mb":${fmt(b / 1e6)},"scaled_mb":${fmt(sc / 1e6)},"ratio":${fmt(sc.toDouble / b)}}"""
+        s""","nd_store_probe_bytes":{"base_mb":${fmt(b / 1e6)},"scaled_mb":${fmt(sc / 1e6)},"ratio":${fmt(sc.toDouble / b)},"store_mb":[${fmt(ndStoreBytes.getOrElse(baseDir, 0L) / 1e6)},${fmt(ndStoreBytes.getOrElse(workDir, 0L) / 1e6)}]}"""
       case _ => ""
     }
     // fragmented-vs-reclustered probe I/O at each corpus size: the
