@@ -2262,6 +2262,41 @@ object SparkEntry {
       .orderBy(col("neighbor_id"))
   }
 
+  /** Zero-downtime retrain at the gate: v1 indexes 400 vectors, a
+    * full-corpus retrain publishes v2 and swaps the pointer. The gate
+    * emits per-vector membership of BOTH the latest pointer's index
+    * and the time-traveled v1 — the retrain must cover everything
+    * while the immutable old version keeps answering exactly its own
+    * 400 (the repro/audit read a live searcher is pinned to).
+    */
+  private val annRetrainRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qAnnRetrain(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val root = annRetrainRoot.computeIfAbsent(d, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-annver")
+        .resolve("idx").toString
+      graft.pipeline.AnnIndex.buildVersioned(emb.filter(col("vec_id") < 400),
+        "vec_id", "embedding", r, kIvf = 10, m = 16, ksub = 16, iters = 2)
+      graft.pipeline.AnnIndex.buildVersioned(emb,
+        "vec_id", "embedding", r, kIvf = 10, m = 16, ksub = 16, iters = 2)
+      r
+    })
+    def members(h: graft.pipeline.AnnIndex.Handle, name: String) =
+      s.read.parquet(h.indexPath)
+        .select(col("neighbor_id").as("vec_id")).withColumn(name, lit(true))
+    emb.select(col("vec_id"))
+      .join(members(graft.pipeline.AnnIndex.openLatest(s, root), "__lat"),
+        Seq("vec_id"), "left")
+      .join(members(graft.pipeline.AnnIndex.openVersion(s, root, 1L), "__v1"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("__lat"), lit(false)).as("in_latest"),
+        coalesce(col("__v1"), lit(false)).as("in_v1"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Right-to-be-forgotten in the vector store: the full corpus is
     * indexed, then vec_id >= 450 is forgotten through the targeted
     * crash-safe rewrite. The gate emits one row PER CORPUS VECTOR with
@@ -2939,6 +2974,7 @@ object SparkEntry {
     "q_ann_store" -> (qAnnStore _),
     "q_ann_epoch" -> (qAnnEpoch _),
     "q_ann_forget" -> (qAnnForget _),
+    "q_ann_retrain" -> (qAnnRetrain _),
     "q_cfg_ann" -> (qCfgAnn _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
@@ -3729,6 +3765,12 @@ object SparkEntry {
     // frame membership IS search reachability
     "q_ann_forget" ->
       ("SELECT vec_id, (vec_id < 450) AS in_index " +
+        "FROM embeddings ORDER BY vec_id"),
+
+    // after the zero-downtime retrain, the pointer's index covers the
+    // whole corpus while time-traveled v1 still answers exactly its 400
+    "q_ann_retrain" ->
+      ("SELECT vec_id, TRUE AS in_latest, (vec_id < 400) AS in_v1 " +
         "FROM embeddings ORDER BY vec_id"),
 
     // the declarative annSearch stage returns the library call's exact

@@ -150,6 +150,46 @@ object AnnIndex {
     * crash leaves the old or new table intact, never neither).
     * Row-identical; same between-epochs caveat as [[compact]].
     */
+  /** Zero-downtime retrain: build a FULL index (fresh models + frame)
+    * into the next version of a [[graft.sources.Versioned]] root and
+    * swap the `_LATEST` pointer only after the build completes. The
+    * retrain discipline the in-place [[build]] cannot offer: live
+    * searchers hold handles opened against an IMMUTABLE version
+    * directory, so a concurrent retrain can never tear a running
+    * search or mix old codes with new codebooks; the old version
+    * stays readable (repro/time travel) until `Versioned.vacuum`
+    * retires it under the usual retention floor. Centroid/codebook
+    * drift under epoch appends is bounded by retraining on this path
+    * — append between retrains, republish when recall degrades.
+    * Returns (published version, handle on it).
+    */
+  def buildVersioned(corpus: DataFrame, idCol: String, vecCol: String,
+                     versionedRoot: String, kIvf: Int, m: Int = 8, ksub: Int = 16,
+                     iters: Int = 3, trainSample: Option[Long] = None): (Long, Handle) = {
+    var h: Handle = null
+    val v = graft.sources.Versioned.publishWith(corpus.sparkSession, versionedRoot) {
+      dir => h = build(corpus, idCol, vecCol, dir, kIvf, m, ksub, iters, trainSample)
+    }
+    (v, h)
+  }
+
+  /** Open the CURRENT published version (pointer resolved once — the
+    * handle keeps reading that immutable version even if a retrain
+    * publishes mid-query).
+    */
+  def openLatest(spark: SparkSession, versionedRoot: String): Handle = {
+    val n = graft.sources.Versioned.latestVersion(spark, versionedRoot).getOrElse(
+      throw new IllegalArgumentException(s"no published index under $versionedRoot"))
+    openVersion(spark, versionedRoot, n)
+  }
+
+  /** Time travel: open a specific published version — "which index
+    * served last Tuesday's retrieval run" is answerable for as long
+    * as the vacuum policy keeps the version.
+    */
+  def openVersion(spark: SparkSession, versionedRoot: String, n: Long): Handle =
+    open(spark, graft.sources.Versioned.versionPath(versionedRoot, n))
+
   /** Right-to-be-forgotten for the vector store: remove `ids` from the
     * index frame through the crash-safe targeted rewrite
     * ([[graft.sources.TargetedDelete]] — only files actually holding a

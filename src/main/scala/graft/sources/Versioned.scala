@@ -39,6 +39,13 @@ object Versioned {
 
   private def vdir(n: Long): String = f"v_$n%010d"
 
+  /** Path of version `n`'s immutable directory — for artifacts that
+    * are DIRECTORIES of files rather than one parquet frame (an ANN
+    * index: models + codes), whose readers open the dir themselves.
+    */
+  def versionPath(root: String, n: Long): String =
+    new Path(root, vdir(n)).toString
+
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

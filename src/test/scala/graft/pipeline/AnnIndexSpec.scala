@@ -150,6 +150,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(idCounts == committed)
   }
 
+  test("versioned retrain: pinned handles survive a republish; vacuum retires old versions") {
+    val root = Files.createTempDirectory("graft-ann-ver").toString + "/idx"
+    val (v1, h1) = AnnIndex.buildVersioned(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", root, kIvf = 8, m = 16, ksub = 16, iters = 2)
+    assert(v1 == 1L)
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(h: AnnIndex.Handle) =
+      AnnIndex.search(h, queries, "vec_id", "embedding", k = 10, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pre = hits(h1)
+    // retrain over the grown corpus publishes v2; h1 is PINNED to v1
+    val (v2, h2) = AnnIndex.buildVersioned(emb, "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    assert(v2 == 2L)
+    assert(hits(h1) == pre, "a pinned handle must not see the retrain")
+    // latest serves the full corpus; v1 time-travels to the old one
+    def ids(h: AnnIndex.Handle) = {
+      spark.catalog.refreshByPath(h.indexPath)
+      spark.read.parquet(h.indexPath).count()
+    }
+    assert(ids(AnnIndex.openLatest(spark, root)) == emb.count())
+    assert(ids(AnnIndex.openVersion(spark, root, 1L)) == 400L)
+    assert(hits(h2) == hits(AnnIndex.openLatest(spark, root)))
+    // vacuum retires v1; the pointer still serves v2
+    assert(graft.sources.Versioned.vacuum(spark, root, keep = 1) == Seq(1L))
+    assert(ids(AnnIndex.openLatest(spark, root)) == emb.count())
+    intercept[Exception](ids(AnnIndex.openVersion(spark, root, 1L)))
+  }
+
   test("forget removes vectors from every search; a reappearing id re-admits") {
     val root = Files.createTempDirectory("graft-ann-forget").toString + "/idx"
     AnnIndex.build(emb, "vec_id", "embedding", root,
