@@ -18,6 +18,8 @@ package graft
   *   runMain graft.Maintain annindex recluster <indexRoot> # restore bucket
   *                                                  # clustering after ingest epochs
   *   runMain graft.Maintain annindex forget <indexRoot> <key>[,key...]
+  *   runMain graft.Maintain annindex retrain <versionedRoot> <corpusDir> <idCol> <vecCol> <kIvf>
+  *                                                  # zero-downtime republish
   *   runMain graft.Maintain ndstore forget <storeDir> <key>[,key...]  # purge a
   *                                                  # doc from all three store tables
   *
@@ -89,6 +91,12 @@ object Maintain {
               typedKeys(spark, s"${args(2)}/index", "neighbor_id", args(3)))
             println(s"[maintain] ann index forgot ${r.rowsDeleted} vectors: " +
               s"${r.filesRewritten} files rewritten, ${r.filesUntouched} untouched")
+          case "retrain" if args.length >= 7 =>
+            // annindex retrain <versionedRoot> <corpusDir> <idCol> <vecCol> <kIvf>
+            val (v, _) = pipeline.AnnIndex.buildVersioned(
+              spark.read.parquet(args(3)), args(4), args(5), args(2),
+              kIvf = args(6).toInt)
+            println(s"[maintain] ann index retrained: published v$v at ${args(2)}")
           case _ => usage()
         }
       case "ndstore" =>
@@ -155,7 +163,8 @@ object Maintain {
         |       graft.Maintain ndstore forget <storeDir> <key>[,key...]
         |       graft.Maintain annindex compact <indexRoot> <targetBytes>
         |       graft.Maintain annindex recluster <indexRoot>
-        |       graft.Maintain annindex forget <indexRoot> <key>[,key...]""".stripMargin)
+        |       graft.Maintain annindex forget <indexRoot> <key>[,key...]
+        |       graft.Maintain annindex retrain <versionedRoot> <corpusDir> <idCol> <vecCol> <kIvf>""".stripMargin)
     sys.exit(2)
   }
 

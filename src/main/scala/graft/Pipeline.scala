@@ -398,11 +398,16 @@ object Pipeline {
         thresholdNum = tn, thresholdDenom = td, minBands = mb,
         minMatchingHashes = mh, advance = adv,
         maxPruneKeys = mpk, minPruneBytes = mpb)
-    case graft.config.TransformConfig.AnnSearchStage(root, id, vec, k, np) =>
+    case graft.config.TransformConfig.AnnSearchStage(root, id, vec, k, np, ver) =>
       // terminal reshape: piped rows are the queries, output is the
-      // k-per-query hit list; models load once per stage application
-      graft.pipeline.AnnIndex.search(
-        graft.pipeline.AnnIndex.open(df.sparkSession, root), df, id, vec, k, np)
+      // k-per-query hit list; models load once per stage application.
+      // versioned roots resolve the _LATEST pointer once here — the
+      // whole stage reads one immutable version even if a retrain
+      // publishes mid-run
+      val handle =
+        if (ver) graft.pipeline.AnnIndex.openLatest(df.sparkSession, root)
+        else graft.pipeline.AnnIndex.open(df.sparkSession, root)
+      graft.pipeline.AnnIndex.search(handle, df, id, vec, k, np)
     case graft.config.TransformConfig.RfmStage(key, ts, value, asOf, buckets) =>
       graft.operators.Rfm.scores(df, key, ts, value, to_date(lit(asOf)), buckets)
     case graft.config.TransformConfig.TransitionMatrixStage(key, ts, tpe, tie) =>

@@ -659,7 +659,8 @@ object TransformConfig {
     * never the vectors.
     */
   final case class AnnSearchStage(indexRoot: String, idColumn: String,
-                                  vecColumn: String, k: Int, nProbe: Int)
+                                  vecColumn: String, k: Int, nProbe: Int,
+                                  versioned: Boolean = false)
       extends TransformConfig {
     val name = "annSearch"
     def check: Option[String] =
@@ -1165,7 +1166,7 @@ object PipelineConfig {
       "transform.lshDedup.maxPruneKeys", "transform.lshDedup.minPruneBytes",
       "transform.annSearch.indexRoot", "transform.annSearch.idColumn",
       "transform.annSearch.vecColumn", "transform.annSearch.k",
-      "transform.annSearch.nProbe",
+      "transform.annSearch.nProbe", "transform.annSearch.versioned",
       "transform.rfm.keyColumn", "transform.rfm.tsColumn",
       "transform.rfm.valueColumn", "transform.rfm.asOf", "transform.rfm.buckets",
       "transform.transitionMatrix.keyColumn", "transform.transitionMatrix.tsColumn",
@@ -1762,7 +1763,9 @@ object PipelineConfig {
               .toIntOption.toRight("transform.annSearch.k not an int")
             np <- map.getOrElse("transform.annSearch.nProbe", "4")
               .toIntOption.toRight("transform.annSearch.nProbe not an int")
-          } yield TransformConfig.AnnSearchStage(root, id, vec, k, np)
+            ver <- map.getOrElse("transform.annSearch.versioned", "false")
+              .toBooleanOption.toRight("transform.annSearch.versioned not a boolean")
+          } yield TransformConfig.AnnSearchStage(root, id, vec, k, np, ver)
         case "rfm" =>
           for {
             key <- map.get("transform.rfm.keyColumn")

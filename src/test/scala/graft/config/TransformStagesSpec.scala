@@ -705,6 +705,46 @@ class TransformStagesSpec extends AnyFunSuite {
         |""".stripMargin).contains("k must be >= 1"))
   }
 
+  test("annSearch stage against a VERSIONED root resolves _LATEST and matches the library") {
+    import graft.pipeline.AnnIndex
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val root = Files.createTempDirectory("graft-tf-annver").resolve("idx").toString
+    // v1 over part of the corpus, v2 (the pointer) over all of it —
+    // the stage must serve v2
+    AnnIndex.buildVersioned(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      root, kIvf = 8, m = 16, ksub = 16, iters = 2)
+    AnnIndex.buildVersioned(emb, "vec_id", "embedding",
+      root, kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val qdir = Files.createTempDirectory("graft-tf-annq").resolve("q").toString
+    emb.filter(col("vec_id") < 3).write.parquet(qdir)
+    val c = PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $qdir
+         |target.type: parquet
+         |target.path: ${Files.createTempDirectory("graft-tf-anno").resolve("o")}
+         |target.mode: overwrite
+         |transforms: annSearch
+         |transform.annSearch.indexRoot: $root
+         |transform.annSearch.idColumn: vec_id
+         |transform.annSearch.vecColumn: embedding
+         |transform.annSearch.k: 5
+         |transform.annSearch.nProbe: 4
+         |transform.annSearch.versioned: true
+         |""".stripMargin).fold(e => fail(s"parse failed: $e"), identity)
+    Pipeline.run(spark, c)
+    val got = spark.read.parquet(c.target.asInstanceOf[TargetConfig.Parquet].path)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = AnnIndex.search(AnnIndex.openLatest(spark, root),
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    // and v2 really is the served index: it holds a vector v1 never saw
+    assert(spark.read.parquet(AnnIndex.openLatest(spark, root).indexPath)
+      .filter(col("neighbor_id") === 499L).count() == 1L)
+    assert(spark.read.parquet(AnnIndex.openVersion(spark, root, 1L).indexPath)
+      .filter(col("neighbor_id") === 499L).count() == 0L)
+  }
+
   test("transformAudited: kept frame matches plain transform; reshape stages fail fast") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val c = cfg(
