@@ -398,7 +398,8 @@ object Pipeline {
         thresholdNum = tn, thresholdDenom = td, minBands = mb,
         minMatchingHashes = mh, advance = adv,
         maxPruneKeys = mpk, minPruneBytes = mpb)
-    case graft.config.TransformConfig.AnnSearchStage(root, id, vec, k, np, ver) =>
+    case graft.config.TransformConfig.AnnSearchStage(
+        root, id, vec, k, np, ver, fPath, fCol) =>
       // terminal reshape: piped rows are the queries, output is the
       // k-per-query hit list; models load once per stage application.
       // versioned roots resolve the _LATEST pointer once here — the
@@ -407,7 +408,15 @@ object Pipeline {
       val handle =
         if (ver) graft.pipeline.AnnIndex.openLatest(df.sparkSession, root)
         else graft.pipeline.AnnIndex.open(df.sparkSession, root)
-      graft.pipeline.AnnIndex.search(handle, df, id, vec, k, np)
+      (fPath, fCol) match {
+        case (Some(p), Some(c)) =>
+          // filtered ANN: neighbor universe restricted to the id list
+          // at filterPath, ranked among survivors (never post-filtered)
+          graft.pipeline.AnnIndex.searchWhere(handle, df, id, vec, k, np,
+            allowed = df.sparkSession.read.parquet(p), allowedIdCol = c)
+        case _ =>
+          graft.pipeline.AnnIndex.search(handle, df, id, vec, k, np)
+      }
     case graft.config.TransformConfig.RfmStage(key, ts, value, asOf, buckets) =>
       graft.operators.Rfm.scores(df, key, ts, value, to_date(lit(asOf)), buckets)
     case graft.config.TransformConfig.TransitionMatrixStage(key, ts, tpe, tie) =>

@@ -2262,6 +2262,36 @@ object SparkEntry {
       .orderBy(col("neighbor_id"))
   }
 
+  /** Filtered ANN at the gate: neighbors restricted to EVEN vec_ids.
+    * Two invariants per (query, rank): the hit is identical to ranking
+    * over an index frame that only ever held the allowed rows (same
+    * models — the left-semi restriction is exactly a pre-filtered
+    * index), and the returned neighbor satisfies the predicate. The
+    * wrong program — post-filtering an unrestricted top-k — fails the
+    * first column whenever an odd neighbor outranked an even one.
+    */
+  private def qAnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val h = annStoreHandle(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val evens = emb.select(col("vec_id").as("id")).filter(col("id") % 2 === 0)
+    val a = graft.pipeline.AnnIndex.searchWhere(h, queries, "vec_id", "embedding",
+      k = 10, nProbe = 4, allowed = evens, allowedIdCol = "id")
+    val prunedIdx = s.read.parquet(h.indexPath)
+      .filter(col("neighbor_id") % 2 === 0)
+      .withColumnRenamed("neighbor_id", "vec_id")
+    val b = Pq.ivfAdcTopK(queries, prunedIdx, "vec_id", "embedding",
+        "codes", "bucket", h.ivf, h.pq, k = 10, nProbe = 4)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("__n2"), col("adc_dist").as("__d2"))
+    a.join(b, Seq("query_id", "rank"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        (col("neighbor_id") === col("__n2") &&
+          abs(col("adc_dist") - col("__d2")) < 1e-12).as("same_as_prefiltered_index"),
+        (pmod(col("neighbor_id"), lit(2L)) === 0).as("neighbor_allowed"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Zero-downtime retrain at the gate: v1 indexes 400 vectors, a
     * full-corpus retrain publishes v2 and swaps the pointer. The gate
     * emits per-vector membership of BOTH the latest pointer's index
@@ -2975,6 +3005,7 @@ object SparkEntry {
     "q_ann_epoch" -> (qAnnEpoch _),
     "q_ann_forget" -> (qAnnForget _),
     "q_ann_retrain" -> (qAnnRetrain _),
+    "q_ann_filtered" -> (qAnnFiltered _),
     "q_cfg_ann" -> (qCfgAnn _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
@@ -3766,6 +3797,14 @@ object SparkEntry {
     "q_ann_forget" ->
       ("SELECT vec_id, (vec_id < 450) AS in_index " +
         "FROM embeddings ORDER BY vec_id"),
+
+    // filtered ANN: every hit equals the pre-filtered-index ranking and
+    // satisfies the predicate — post-filtering a global top-k fails this
+    "q_ann_filtered" ->
+      ("SELECT vec_id AS query_id, CAST(r AS BIGINT) AS rank, " +
+        "TRUE AS same_as_prefiltered_index, TRUE AS neighbor_allowed " +
+        "FROM embeddings, unnest(generate_series(1, 10)) AS g(r) " +
+        "WHERE vec_id < 5 ORDER BY query_id, rank"),
 
     // after the zero-downtime retrain, the pointer's index covers the
     // whole corpus while time-traveled v1 still answers exactly its 400

@@ -660,7 +660,9 @@ object TransformConfig {
     */
   final case class AnnSearchStage(indexRoot: String, idColumn: String,
                                   vecColumn: String, k: Int, nProbe: Int,
-                                  versioned: Boolean = false)
+                                  versioned: Boolean = false,
+                                  filterPath: Option[String] = None,
+                                  filterColumn: Option[String] = None)
       extends TransformConfig {
     val name = "annSearch"
     def check: Option[String] =
@@ -669,6 +671,8 @@ object TransformConfig {
       else if (vecColumn.isEmpty) Some("transform.annSearch.vecColumn required")
       else if (k < 1) Some("transform.annSearch.k must be >= 1")
       else if (nProbe < 1) Some("transform.annSearch.nProbe must be >= 1")
+      else if (filterPath.isDefined != filterColumn.isDefined)
+        Some("transform.annSearch.filterPath and filterColumn go together")
       else None
   }
   /** RFM customer scoring — operators.Rfm.scores: reduce the piped
@@ -1167,6 +1171,7 @@ object PipelineConfig {
       "transform.annSearch.indexRoot", "transform.annSearch.idColumn",
       "transform.annSearch.vecColumn", "transform.annSearch.k",
       "transform.annSearch.nProbe", "transform.annSearch.versioned",
+      "transform.annSearch.filterPath", "transform.annSearch.filterColumn",
       "transform.rfm.keyColumn", "transform.rfm.tsColumn",
       "transform.rfm.valueColumn", "transform.rfm.asOf", "transform.rfm.buckets",
       "transform.transitionMatrix.keyColumn", "transform.transitionMatrix.tsColumn",
@@ -1765,7 +1770,9 @@ object PipelineConfig {
               .toIntOption.toRight("transform.annSearch.nProbe not an int")
             ver <- map.getOrElse("transform.annSearch.versioned", "false")
               .toBooleanOption.toRight("transform.annSearch.versioned not a boolean")
-          } yield TransformConfig.AnnSearchStage(root, id, vec, k, np, ver)
+          } yield TransformConfig.AnnSearchStage(root, id, vec, k, np, ver,
+            map.get("transform.annSearch.filterPath"),
+            map.get("transform.annSearch.filterColumn"))
         case "rfm" =>
           for {
             key <- map.get("transform.rfm.keyColumn")

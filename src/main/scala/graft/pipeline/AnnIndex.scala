@@ -240,4 +240,28 @@ object AnnIndex {
     Pq.ivfAdcTopK(queries, idx, idCol, vecCol, "codes", "bucket",
       handle.ivf, handle.pq, k, nProbe)
   }
+
+  /** Attribute-filtered search — the vector-db "filtered ANN" shape: a
+    * metadata predicate (language, license, time range) narrows the
+    * NEIGHBOR universe to the ids in `allowed`, and the top-k must be
+    * ranked among the SURVIVORS. Post-filtering an unrestricted top-k
+    * is the wrong program: it under-fills k whenever fewer than k of
+    * the global nearest pass the predicate (spec'd). The restriction
+    * is a left-semi join on the index frame's id BEFORE bucket
+    * ranking, so a selective predicate only shrinks the scan — and
+    * the result is row-identical to searching an index whose frame
+    * held only the allowed rows (same models), which is what pins it
+    * at the gate. `allowed` carries the ids in `allowedIdCol`;
+    * selective sets broadcast, large ones shuffle — either is correct.
+    */
+  def searchWhere(handle: Handle, queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nProbe: Int,
+                  allowed: DataFrame, allowedIdCol: String): DataFrame = {
+    val idx = queries.sparkSession.read.parquet(handle.indexPath)
+      .join(allowed.select(col(allowedIdCol).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .withColumnRenamed("neighbor_id", idCol)
+    Pq.ivfAdcTopK(queries, idx, idCol, vecCol, "codes", "bucket",
+      handle.ivf, handle.pq, k, nProbe)
+  }
 }

@@ -703,6 +703,13 @@ class TransformStagesSpec extends AnyFunSuite {
         |transform.annSearch.vecColumn: embedding
         |transform.annSearch.k: 0
         |""".stripMargin).contains("k must be >= 1"))
+    assert(parseErr(
+      """transforms: annSearch
+        |transform.annSearch.indexRoot: /tmp/ix
+        |transform.annSearch.idColumn: vec_id
+        |transform.annSearch.vecColumn: embedding
+        |transform.annSearch.filterPath: /tmp/allowed
+        |""".stripMargin).contains("filterPath and filterColumn go together"))
   }
 
   test("annSearch stage against a VERSIONED root resolves _LATEST and matches the library") {

@@ -150,6 +150,41 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(idCounts == committed)
   }
 
+  test("filtered search ranks among SURVIVORS; post-filtering under-fills k") {
+    val root = Files.createTempDirectory("graft-ann-flt").toString + "/idx"
+    AnnIndex.build(emb, "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val h = AnnIndex.open(spark, root)
+    val queries = emb.filter(col("vec_id") < 5)
+    val evens = emb.select(col("vec_id").as("id")).filter(col("id") % 2 === 0)
+    val got = AnnIndex.searchWhere(h, queries, "vec_id", "embedding",
+        k = 10, nProbe = 8, allowed = evens, allowedIdCol = "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got.forall(_._3 % 2 == 0), "a filtered-out neighbor leaked")
+    // identity: equals ranking over an index frame holding ONLY the
+    // allowed rows, with the SAME models
+    val prunedIdx = spark.read.parquet(h.indexPath)
+      .filter(col("neighbor_id") % 2 === 0).withColumnRenamed("neighbor_id", "vec_id")
+    val want = Pq.ivfAdcTopK(queries, prunedIdx, "vec_id", "embedding",
+        "codes", "bucket", h.ivf, h.pq, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    // post-filter is the WRONG program: restrict to a 3-id universe —
+    // filtered search fills 3 hits per query, while filtering an
+    // unrestricted top-10 keeps whatever evens happened to rank
+    val tiny = emb.select(col("vec_id").as("id")).filter(col("id").isin(100L, 200L, 300L))
+    val filled = AnnIndex.searchWhere(h, queries, "vec_id", "embedding",
+        k = 10, nProbe = 8, allowed = tiny, allowedIdCol = "id")
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(filled.nonEmpty && filled.forall(_ == 3L),
+      "every query must rank all 3 survivors")
+    val postFiltered = AnnIndex.search(h, queries, "vec_id", "embedding",
+        k = 10, nProbe = 8)
+      .filter(col("neighbor_id").isin(100L, 200L, 300L)).count()
+    assert(postFiltered < 3L * queries.count(),
+      "if post-filtering filled k the comparison would prove nothing")
+  }
+
   test("versioned retrain: pinned handles survive a republish; vacuum retires old versions") {
     val root = Files.createTempDirectory("graft-ann-ver").toString + "/idx"
     val (v1, h1) = AnnIndex.buildVersioned(emb.filter(col("vec_id") < 400),
