@@ -97,6 +97,15 @@ object Maintain {
               spark.read.parquet(args(3)), args(4), args(5), args(2),
               kIvf = args(6).toInt)
             println(s"[maintain] ann index retrained: published v$v at ${args(2)}")
+          case "stats" =>
+            val st = pipeline.AnnIndex.bucketStats(spark, args(2))
+              .collect().map(r => r.getInt(0) -> r.getLong(1))
+            val ns = st.map(_._2)
+            val avg = if (ns.isEmpty) 0.0 else ns.sum.toDouble / ns.length
+            println(s"[maintain] ann index ${args(2)}: ${st.length} buckets, " +
+              s"${ns.sum} rows, min=${if (ns.isEmpty) 0 else ns.min} " +
+              s"max=${if (ns.isEmpty) 0 else ns.max} " +
+              f"imbalance=${if (avg == 0) 0.0 else ns.max / avg}%.2f")
           case _ => usage()
         }
       case "ndstore" =>
@@ -164,7 +173,8 @@ object Maintain {
         |       graft.Maintain annindex compact <indexRoot> <targetBytes>
         |       graft.Maintain annindex recluster <indexRoot>
         |       graft.Maintain annindex forget <indexRoot> <key>[,key...]
-        |       graft.Maintain annindex retrain <versionedRoot> <corpusDir> <idCol> <vecCol> <kIvf>""".stripMargin)
+        |       graft.Maintain annindex retrain <versionedRoot> <corpusDir> <idCol> <vecCol> <kIvf>
+        |       graft.Maintain annindex stats <indexRoot>""".stripMargin)
     sys.exit(2)
   }
 

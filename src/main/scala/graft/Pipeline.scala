@@ -417,6 +417,14 @@ object Pipeline {
         case _ =>
           graft.pipeline.AnnIndex.search(handle, df, id, vec, k, np)
       }
+    case graft.config.TransformConfig.AnnIngestStage(root, id, vec, tag) =>
+      // passthrough side effect, EAGER at stage application: the piped
+      // survivors appendEpoch into the index (exactly-once under the
+      // tag — a re-run retires and redoes identically) and flow on
+      // unchanged to the next stage / the target write
+      graft.pipeline.AnnIndex.appendEpoch(
+        graft.pipeline.AnnIndex.open(df.sparkSession, root), df, id, vec, tag)
+      df
     case graft.config.TransformConfig.RfmStage(key, ts, value, asOf, buckets) =>
       graft.operators.Rfm.scores(df, key, ts, value, to_date(lit(asOf)), buckets)
     case graft.config.TransformConfig.TransitionMatrixStage(key, ts, tpe, tie) =>

@@ -2262,6 +2262,48 @@ object SparkEntry {
       .orderBy(col("neighbor_id"))
   }
 
+  /** The curate-then-index loop, declaratively, at the gate: a config
+    * whose annIngest stage appendEpochs the piped embeddings into a
+    * pre-built partial index — run TWICE with the same tag (the
+    * savepoint-replay shape). Every vector must land exactly once:
+    * the delta anti-join admits only the 150 unseen rows, and the
+    * second run retires-and-redoes instead of double-inserting.
+    */
+  private val cfgIngestRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qCfgAnnIngest(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val root = cfgIngestRoot.computeIfAbsent(d, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-cfgingest")
+        .resolve("idx").toString
+      graft.pipeline.AnnIndex.build(emb.filter(col("vec_id") < 350),
+        "vec_id", "embedding", r, kIvf = 10, m = 16, ksub = 16, iters = 2)
+      val out = java.nio.file.Files.createTempDirectory("graft-cfgingest-out")
+        .resolve("o").toString
+      val cfg = graft.config.PipelineConfig.parse(
+        s"""source.type: parquet
+           |source.path: $d/embeddings.parquet
+           |target.type: parquet
+           |target.path: $out
+           |target.mode: overwrite
+           |transforms: annIngest
+           |transform.annIngest.indexRoot: $r
+           |transform.annIngest.idColumn: vec_id
+           |transform.annIngest.vecColumn: embedding
+           |transform.annIngest.tag: g1
+           |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+      graft.Pipeline.run(s, cfg)
+      graft.Pipeline.run(s, cfg) // replay: retire-and-redo, same end state
+      r
+    })
+    s.catalog.refreshByPath(s"$root/index")
+    s.read.parquet(s"$root/index")
+      .groupBy(col("neighbor_id"))
+      .agg((count(lit(1)) === 1).as("indexed_once"))
+      .orderBy(col("neighbor_id"))
+  }
+
   /** Filtered ANN at the gate: neighbors restricted to EVEN vec_ids.
     * Two invariants per (query, rank): the hit is identical to ranking
     * over an index frame that only ever held the allowed rows (same
@@ -3007,6 +3049,7 @@ object SparkEntry {
     "q_ann_retrain" -> (qAnnRetrain _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_cfg_ann" -> (qCfgAnn _),
+    "q_cfg_ann_ingest" -> (qCfgAnnIngest _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -3811,6 +3854,12 @@ object SparkEntry {
     "q_ann_retrain" ->
       ("SELECT vec_id, TRUE AS in_latest, (vec_id < 400) AS in_v1 " +
         "FROM embeddings ORDER BY vec_id"),
+
+    // declarative ingest run twice under one tag: every vector indexed
+    // exactly once — the anti-join admits the delta, the replay redoes
+    "q_cfg_ann_ingest" ->
+      ("SELECT vec_id AS neighbor_id, TRUE AS indexed_once " +
+        "FROM embeddings ORDER BY neighbor_id"),
 
     // the declarative annSearch stage returns the library call's exact
     // hits: same neighbor, same ADC distance, per (query, rank)

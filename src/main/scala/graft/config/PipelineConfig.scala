@@ -675,6 +675,24 @@ object TransformConfig {
         Some("transform.annSearch.filterPath and filterColumn go together")
       else None
   }
+  /** Exactly-once vector ingest into a persisted AnnIndex as a
+    * pipeline side effect: the piped rows (typically curated
+    * survivors carrying an embedding column) appendEpoch into the
+    * index under `tag` and flow on UNCHANGED — the curate-then-index
+    * loop as one config. Re-running the same config (same tag) is
+    * retire-and-redo: end-state idempotent, never double-inserted.
+    */
+  final case class AnnIngestStage(indexRoot: String, idColumn: String,
+                                  vecColumn: String, tag: String)
+      extends TransformConfig {
+    val name = "annIngest"
+    def check: Option[String] =
+      if (indexRoot.isEmpty) Some("transform.annIngest.indexRoot required")
+      else if (idColumn.isEmpty) Some("transform.annIngest.idColumn required")
+      else if (vecColumn.isEmpty) Some("transform.annIngest.vecColumn required")
+      else if (tag.isEmpty) Some("transform.annIngest.tag required")
+      else None
+  }
   /** RFM customer scoring — operators.Rfm.scores: reduce the piped
     * event log to one row per key with recency/frequency/monetary and
     * their ntile scores as of `asOf` (an ISO date). Terminal reshape
@@ -1172,6 +1190,8 @@ object PipelineConfig {
       "transform.annSearch.vecColumn", "transform.annSearch.k",
       "transform.annSearch.nProbe", "transform.annSearch.versioned",
       "transform.annSearch.filterPath", "transform.annSearch.filterColumn",
+      "transform.annIngest.indexRoot", "transform.annIngest.idColumn",
+      "transform.annIngest.vecColumn", "transform.annIngest.tag",
       "transform.rfm.keyColumn", "transform.rfm.tsColumn",
       "transform.rfm.valueColumn", "transform.rfm.asOf", "transform.rfm.buckets",
       "transform.transitionMatrix.keyColumn", "transform.transitionMatrix.tsColumn",
@@ -1773,6 +1793,17 @@ object PipelineConfig {
           } yield TransformConfig.AnnSearchStage(root, id, vec, k, np, ver,
             map.get("transform.annSearch.filterPath"),
             map.get("transform.annSearch.filterColumn"))
+        case "annIngest" =>
+          for {
+            root <- map.get("transform.annIngest.indexRoot")
+              .toRight("transform.annIngest.indexRoot required")
+            id <- map.get("transform.annIngest.idColumn")
+              .toRight("transform.annIngest.idColumn required")
+            vec <- map.get("transform.annIngest.vecColumn")
+              .toRight("transform.annIngest.vecColumn required")
+            tag <- map.get("transform.annIngest.tag")
+              .toRight("transform.annIngest.tag required")
+          } yield TransformConfig.AnnIngestStage(root, id, vec, tag)
         case "rfm" =>
           for {
             key <- map.get("transform.rfm.keyColumn")

@@ -150,6 +150,19 @@ object AnnIndex {
     * crash leaves the old or new table intact, never neither).
     * Row-identical; same between-epochs caveat as [[compact]].
     */
+  /** Operational health census of the index frame: per-bucket row
+    * counts. IVF recall and tail latency both degrade when buckets
+    * skew (a hot bucket turns every probe that touches it into a
+    * near-full scan; empty buckets waste nProbe) — this is the number
+    * an operator checks before deciding a retrain is due, alongside
+    * recall spot checks. One column-pruned scan + one |kIvf|-row
+    * aggregate.
+    */
+  def bucketStats(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/index")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("bucket"))
+
   /** Zero-downtime retrain: build a FULL index (fresh models + frame)
     * into the next version of a [[graft.sources.Versioned]] root and
     * swap the `_LATEST` pointer only after the build completes. The

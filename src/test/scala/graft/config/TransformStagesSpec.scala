@@ -752,6 +752,42 @@ class TransformStagesSpec extends AnyFunSuite {
       .filter(col("neighbor_id") === 499L).count() == 0L)
   }
 
+  test("annIngest stage: passthrough, exactly-once under its tag across re-runs") {
+    import graft.pipeline.AnnIndex
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val root = Files.createTempDirectory("graft-tf-anni").resolve("idx").toString
+    AnnIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val c = PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: ${TestSpark.sf}/embeddings.parquet
+         |target.type: parquet
+         |target.path: ${Files.createTempDirectory("graft-tf-annio").resolve("o")}
+         |target.mode: overwrite
+         |transforms: annIngest
+         |transform.annIngest.indexRoot: $root
+         |transform.annIngest.idColumn: vec_id
+         |transform.annIngest.vecColumn: embedding
+         |transform.annIngest.tag: e9
+         |""".stripMargin).fold(e => fail(s"parse failed: $e"), identity)
+    def counts: Map[Long, Long] = {
+      spark.catalog.refreshByPath(s"$root/index")
+      spark.read.parquet(s"$root/index").groupBy("neighbor_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    Pipeline.run(spark, c)
+    // passthrough: the target carries ALL piped rows unchanged
+    assert(spark.read.parquet(c.target.asInstanceOf[TargetConfig.Parquet].path)
+      .count() == emb.count())
+    val after1 = counts
+    assert(after1.size.toLong == emb.count() && after1.values.forall(_ == 1L),
+      "every vector indexed exactly once after the ingest stage")
+    // a re-run of the same config (same tag) retires-and-redoes:
+    // end state identical, nothing double-inserted
+    Pipeline.run(spark, c)
+    assert(counts == after1)
+  }
+
   test("transformAudited: kept frame matches plain transform; reshape stages fail fast") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val c = cfg(
