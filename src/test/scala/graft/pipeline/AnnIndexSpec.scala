@@ -185,6 +185,30 @@ class AnnIndexSpec extends AnyFunSuite {
       "if post-filtering filled k the comparison would prove nothing")
   }
 
+  test("filtered search ≡ pre-filtered index for random allowed sets (property sweep)") {
+    val root = Files.createTempDirectory("graft-ann-fltp").toString + "/idx"
+    AnnIndex.build(emb, "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val h = AnnIndex.open(spark, root)
+    val queries = emb.filter(col("vec_id") < 4)
+    // deterministic pseudo-random allowed sets of varying selectivity
+    for ((mod, res) <- Seq((3L, 0L), (7L, 2L), (2L, 1L), (13L, 5L))) {
+      val allowed = emb.select(col("vec_id").as("id"))
+        .filter(pmod(col("id"), lit(mod)) === res)
+      val got = AnnIndex.searchWhere(h, queries, "vec_id", "embedding",
+          k = 8, nProbe = 8, allowed = allowed, allowedIdCol = "id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val prunedIdx = spark.read.parquet(h.indexPath)
+        .filter(pmod(col("neighbor_id"), lit(mod)) === res)
+        .withColumnRenamed("neighbor_id", "vec_id")
+      val want = Pq.ivfAdcTopK(queries, prunedIdx, "vec_id", "embedding",
+          "codes", "bucket", h.ivf, h.pq, k = 8, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == want, s"mismatch for allowed = ids ≡ $res (mod $mod)")
+      assert(got.forall(t => t._3 % mod == res), s"leak for mod $mod")
+    }
+  }
+
   test("versioned retrain: pinned handles survive a republish; vacuum retires old versions") {
     val root = Files.createTempDirectory("graft-ann-ver").toString + "/idx"
     val (v1, h1) = AnnIndex.buildVersioned(emb.filter(col("vec_id") < 400),
