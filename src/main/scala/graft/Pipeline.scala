@@ -190,6 +190,44 @@ object Pipeline {
         .withColumn(text, coalesce(col("clean_text"), col(text)))
         .drop("clean_text")
         .select(df.columns.map(col).toIndexedSeq: _*)
+    case graft.config.TransformConfig.HtmlExtract(text) =>
+      df.withColumn(text, graft.pipeline.Web.stripMarkup(col(text)))
+    case graft.config.TransformConfig.UrlCanon(u, hostC, domC) =>
+      // canonicalize in place; host/domain derive from the canonical
+      // form (urlHost lowercases anyway, so raw vs canon is identical)
+      val canon = df.withColumn(u, graft.pipeline.Web.canonicalizeUrl(col(u)))
+      val hostExpr = graft.pipeline.Web.urlHost(col(u))
+      val withHost = hostC.fold(canon)(h => canon.withColumn(h, hostExpr))
+      domC.fold(withHost)(dc => withHost.withColumn(dc,
+        graft.pipeline.Web.registeredDomain(hostC.map(col).getOrElse(hostExpr))))
+    case graft.config.TransformConfig.LineDedup(id, text, minDup, minChars, segWords) =>
+      // SpanDedup's re-attach contract; with segmentWords the SEGMENTED
+      // text is the stage's view of the column (and the output's)
+      val seg = if (segWords > 0)
+        df.withColumn(text, graft.pipeline.Web.segmentLines(col(text), segWords))
+      else df
+      val cleaned = graft.pipeline.Web
+        .lineDedup(seg.select(col(id), col(text)), id, text, minDup, minChars)
+        .select(col(id), col(text).as("__line_clean"))
+        .dropDuplicates(id)
+      seg.join(cleaned, Seq(id), "left")
+        .withColumn(text, coalesce(col("__line_clean"), col(text)))
+        .drop("__line_clean")
+        .select(seg.columns.map(col).toIndexedSeq: _*)
+    case graft.config.TransformConfig.LineFilter(id, text, minTok, anchors, minKept, segWords) =>
+      // inner join: documents keeping fewer than minKeptLines lines drop
+      val seg = if (segWords > 0)
+        df.withColumn(text, graft.pipeline.Web.segmentLines(col(text), segWords))
+      else df
+      val kept = graft.pipeline.Web
+        .lineQualityFilter(seg.select(col(id), col(text)), id, text,
+          minTok, anchors, minKept)
+        .select(col(id), col(text).as("__line_clean"))
+        .dropDuplicates(id)
+      seg.join(kept, Seq(id))
+        .withColumn(text, col("__line_clean"))
+        .drop("__line_clean")
+        .select(seg.columns.map(col).toIndexedSeq: _*)
     case graft.config.TransformConfig.DupSpanCut(id, text, k, minCount) =>
       // same re-attach contract as SpanDedup: LEFT join from the
       // original frame preserves multiplicity and null-id rows; only
@@ -454,6 +492,9 @@ object Pipeline {
       val nodes = df.select(explode(array(col(src), col(dst))).as("id"))
         .filter(col("id").isNotNull).distinct()
       graft.operators.Graphs.connectedComponents(nodes, df, "id", src, dst, maxIters)
+    case graft.config.TransformConfig.PageRankStage(src, dst, iters, dampingPct) =>
+      // terminal reshape: (id, rank_units)
+      graft.operators.Graphs.pageRank(df, src, dst, iters, dampingPct)
     case graft.config.TransformConfig.TrianglesStage(src, dst) =>
       // terminal reshape: (vertex, n_triangles)
       graft.operators.Graphs.triangleCounts(df, src, dst)

@@ -159,6 +159,16 @@ object ScaleBench {
       pipeline.Text.qualityFilter(Tables.load(s, dir, "documents"), "text",
         minScore = 4750L).count()
     },
+    // corpus-wide line dedup: per-copy token salting keeps each copy's
+    // duplicated-line census identical to base, so docs (and dropped
+    // lines) grow exactly ×F — the census aggregate and the broadcast
+    // join-back are what's under test
+    "line_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text8", pipeline.Web.segmentLines(col("text"), 8))
+        .select(col("doc_id"), col("text8"))
+      pipeline.Web.lineDedup(docs, "doc_id", "text8").count()
+    },
     "kll_artifacts" -> { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
       graft.functions.KllSketches.mergeQuantiles(

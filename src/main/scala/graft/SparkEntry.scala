@@ -2997,8 +2997,244 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------
+  // web-corpus curation tier (pipeline/Web): markup extraction, URL
+  // canonicalization, line-level dedup/filtering. The documents
+  // fixture is a single-line word stream with no markup or URLs, so
+  // each gate DERIVES its input deterministically from the fixture
+  // (identical construction on both sides) and the oracle replays the
+  // published regex pipeline under RE2 — the extraction/canon logic
+  // itself is what is compared, on 500 distinct real rows.
+  // ------------------------------------------------------------------
+
+  /** The synthetic page wrapped around each document's text: head with
+    * style+script blocks (angle brackets and entities INSIDE them must
+    * not leak), a comment carrying the id, inline `<b>` emphasis in
+    * the body, entities in the tail.
+    */
+  private def syntheticHtml(docId: Column, source: Column, text: Column): Column =
+    concat(
+      lit("<html><head><title>Doc &amp; co</title><style>p { color: red; }</style>"),
+      lit("<script type=\"text/js\">if (1 < 2) { x = \"a&b\"; }</script></head><body><!-- id:"),
+      docId.cast("string"), lit(" --><h1>"), source, lit("</h1><p>"),
+      regexp_replace(text, " (merge|join) ", " <b>$1</b> "),
+      lit("</p><br/><p>Tail &lt;quote&gt; &nbsp;ok</p></body></html>"))
+
+  private def qHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val html = syntheticHtml(col("doc_id"), col("source"), col("text"))
+    docs.select(col("doc_id"),
+        graft.pipeline.Web.stripMarkup(html).as("clean_text"),
+        graft.pipeline.Web.markupChars(html).as("markup_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Four URL shapes per doc_id mod 4: uppercase scheme/www + default
+    * https port + leading and trailing tracking params + fragment;
+    * http default port + leading `ref` param; trailing-slash path +
+    * sole `fbclid` (query must vanish entirely); userinfo + mid-query
+    * `gclid` + percent-escaped path (case preserved).
+    */
+  private def syntheticUrl(docId: Column, source: Column): Column = {
+    val id = docId.cast("string")
+    when(pmod(docId, lit(4)) === 0,
+        concat(lit("HTTPS://WWW."), upper(source), lit(".Example.CO.UK:443/Path/A"),
+          id, lit("?utm_source=feed&id="), id, lit("&utm_medium=x#frag")))
+      .when(pmod(docId, lit(4)) === 1,
+        concat(lit("http://"), source, lit(".example.com:80/?ref=home&q="), id))
+      .when(pmod(docId, lit(4)) === 2,
+        concat(lit("https://blog."), source, lit(".example.org/post/"), id,
+          lit("/?fbclid=zzz")))
+      .otherwise(
+        concat(lit("http://User:Pw@"), source, lit(".Example.COM/x%20y?id="),
+          id, lit("&gclid=g&r=2")))
+  }
+
+  private def qUrlCanon(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val url = syntheticUrl(col("doc_id"), col("source"))
+    val host = graft.pipeline.Web.urlHost(url)
+    docs.select(col("doc_id"),
+        graft.pipeline.Web.canonicalizeUrl(url).as("canon_url"),
+        host.as("host"),
+        graft.pipeline.Web.registeredDomain(host).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide line dedup over 8-word segmented documents: the
+    * fixture's heavy phrase reuse makes many 8-word lines corpus-wide
+    * duplicates, so the first-occurrence rule fires for real. Oracle =
+    * window formulation of the same keep rule (count ≥ 2 → only the
+    * (doc_id, line_no)-first survives; sub-2-char lines exempt).
+    */
+  private def qLineDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .withColumn("text8", graft.pipeline.Web.segmentLines(col("text"), 8))
+      .select(col("doc_id"), col("text8"))
+    graft.pipeline.Web.lineDedup(docs, "doc_id", "text8",
+        minDupCount = 2, minLineChars = 2)
+      .select(col("doc_id"), col("text8").as("clean_text"),
+        col("lines_kept"), col("lines_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qLineFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .withColumn("text8", graft.pipeline.Web.segmentLines(col("text"), 8))
+      .select(col("doc_id"), col("text8"))
+    graft.pipeline.Web.lineQualityFilter(docs, "doc_id", "text8",
+        minTokens = 4, anchorWords = Seq("a", "the"), minKeptLines = 1)
+      .select(col("doc_id"), col("text8").as("clean_text"),
+        col("lines_kept"), col("lines_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Link-graph extraction: href targets pulled from synthetic pages
+    * (two links per doc — one `ex<N>.com` with uppercase www + a
+    * tracking param, one `sub.ex<M>.co.uk` with a port + fragment,
+    * plus one href-less anchor that must NOT extract), reduced to
+    * (page source, registered target domain) edge counts.
+    */
+  private def qLinkGraph(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val html = concat(
+      lit("<html><body><a href=\"https://WWW.ex"),
+      pmod(col("doc_id") + 1, lit(20L)).cast("string"),
+      lit(".com/a?utm_source=z\">one</a> mid <A HREF = \"http://sub.ex"),
+      pmod(col("doc_id") * 3 + 7, lit(20L)).cast("string"),
+      lit(".co.uk:80/b#x\">two</a><a name=\"nohref\">z</a></body></html>"))
+    docs.select(col("source"),
+        explode(graft.pipeline.Web.extractLinks(html)).as("link"))
+      .withColumn("host", graft.pipeline.Web.urlHost(col("link")))
+      .withColumn("dst_domain", graft.pipeline.Web.registeredDomain(col("host")))
+      .groupBy(col("source"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
+      .orderBy(col("source"), col("dst_domain"))
+  }
+
+  /** Integer-exact PageRank (3 rounds, d=0.85, fixed-point 1e-12
+    * units) over a deterministic 500-node functional graph derived
+    * from doc_id — in-degrees vary 0..20+ at sf0.1, the two edge
+    * formulas collide for ids ≡ 82 (mod 250) so edge dedup is
+    * exercised. Oracle = the SAME integer recurrence as 3 chained
+    * CTE rounds (bit-identical by construction — no FP anywhere).
+    */
+  private def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val e1 = docs.select(col("doc_id").as("src"),
+      pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+    val e2 = docs.select(col("doc_id").as("src"),
+      pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst"))
+    graft.operators.Graphs.pageRank(e1.unionAll(e2), "src", "dst", iters = 3)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Config-driven PageRank END TO END: the `pageRank` stage over a
+    * materialized edge parquet (the same synthetic graph), pinned to
+    * q_pagerank's oracle verbatim.
+    */
+  private def qCfgPagerank(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgp")
+    val src = base.resolve("edges").toString
+    val out = base.resolve("out").toString
+    val docs = t(s, d, "documents")
+    docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+      .write.parquet(src)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: pageRank
+         |transform.pageRank.srcColumn: src
+         |transform.pageRank.dstColumn: dst
+         |transform.pageRank.iters: 3
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Config-driven web cleaning END TO END (q_cfg_attribution
+    * discipline): lineDedup(segmentWords=8) then lineFilter chained
+    * declaratively over the documents parquet; the oracle composes
+    * both stages' SQL. Exercises the stage re-attach contract (text
+    * replaced in place, schema preserved, disqualified docs dropped).
+    */
+  private def qCfgWebclean(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-cfgw")
+      .resolve("out").toString
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $d/documents.parquet
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: lineDedup, lineFilter
+         |transform.lineDedup.idColumn: doc_id
+         |transform.lineDedup.textColumn: text
+         |transform.lineDedup.segmentWords: 8
+         |transform.lineFilter.idColumn: doc_id
+         |transform.lineFilter.textColumn: text
+         |transform.lineFilter.minTokens: 4
+         |transform.lineFilter.anchorWords: a, the
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Config-driven extraction END TO END: htmlExtract + urlCanon (with
+    * derived host/domain columns) over a materialized page table; the
+    * oracle rebuilds the same pages and replays the published regex
+    * chains.
+    */
+  private def qCfgWebextract(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgx")
+    val src = base.resolve("pages").toString
+    val out = base.resolve("out").toString
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        syntheticHtml(col("doc_id"), col("source"), col("text")).as("html"),
+        syntheticUrl(col("doc_id"), col("source")).as("url"))
+      .write.parquet(src)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: htmlExtract, urlCanon
+         |transform.htmlExtract.textColumn: html
+         |transform.urlCanon.urlColumn: url
+         |transform.urlCanon.hostColumn: host
+         |transform.urlCanon.domainColumn: domain
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("doc_id"), col("html").as("clean_text"),
+        col("url").as("canon_url"), col("host"), col("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_extract" -> (qHtmlExtract _),
+    "q_cfg_webclean" -> (qCfgWebclean _),
+    "q_cfg_webextract" -> (qCfgWebextract _),
+    "q_link_graph" -> (qLinkGraph _),
+    "q_pagerank" -> (qPagerank _),
+    "q_cfg_pagerank" -> (qCfgPagerank _),
+    "q_url_canon" -> (qUrlCanon _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_line_filter" -> (qLineFilter _),
     "q_asof_nearest" -> (qAsofNearest _),
     "q_winsorize" -> (qWinsorize _),
     "q_cfg_winsorize" -> (qCfgWinsorize _),
@@ -3287,7 +3523,216 @@ object SparkEntry {
       "CAST(sum(1000000 // nk) AS BIGINT) AS linear_ppm " +
       "FROM r GROUP BY event_type ORDER BY touch_type")
 
+  // ------------------------------------------------------------------
+  // DuckDB replays of the pipeline/Web regex contracts. Each helper
+  // emits the SAME step sequence as its Scala twin (stripMarkup /
+  // canonicalizeUrl / urlHost / registeredDomain / segmentLines) under
+  // RE2 — keep them in lockstep when the contract changes.
+  // ------------------------------------------------------------------
+
+  private def sqlRr(inner: String, pat: String, repl: String): String =
+    "regexp_replace(" + inner + ", '" + pat + "', " + repl + ", 'g')"
+
+  /** [[graft.pipeline.Web.stripMarkup]] in DuckDB SQL. */
+  private def sqlStripMarkup(x: String): String = {
+    var e = x
+    e = sqlRr(e, "(?s)<!--.*?-->", "''")
+    e = sqlRr(e, """(?is)<script\b[^>]*>.*?</script>""", "''")
+    e = sqlRr(e, """(?is)<style\b[^>]*>.*?</style>""", "''")
+    e = sqlRr(e,
+      """(?is)</(?:p|div|li|h[1-6]|tr|ul|ol|blockquote|table)>|<(?:br|hr)\b[^>]*>""",
+      "chr(10)")
+    e = sqlRr(e, "(?s)<[^>]*>", "' '")
+    e = sqlRr(e, "&nbsp;", "' '")
+    e = sqlRr(e, "&lt;", "'<'")
+    e = sqlRr(e, "&gt;", "'>'")
+    e = sqlRr(e, "&quot;", "'\"'")
+    e = sqlRr(e, "&#39;", "''''")
+    e = sqlRr(e, "&amp;", "'&'")
+    e = sqlRr(e, """[ \t\r\f]+""", "' '")
+    e = sqlRr(e, """ *\n *""", "chr(10)")
+    e = sqlRr(e, """\n+""", "chr(10)")
+    e = sqlRr(e, """^[ \t\r\n\f]+|[ \t\r\n\f]+$""", "''")
+    e
+  }
+
+  /** [[syntheticHtml]] in DuckDB SQL (same byte-for-byte page). */
+  private val sqlSyntheticHtml: String =
+    "'<html><head><title>Doc &amp; co</title><style>p { color: red; }</style>" +
+      "<script type=\"text/js\">if (1 < 2) { x = \"a&b\"; }</script></head><body><!-- id:' " +
+      "|| CAST(doc_id AS VARCHAR) || ' --><h1>' || source || '</h1><p>' " +
+      "|| regexp_replace(text, ' (merge|join) ', ' <b>\\1</b> ', 'g') " +
+      "|| '</p><br/><p>Tail &lt;quote&gt; &nbsp;ok</p></body></html>'"
+
+  /** [[syntheticUrl]] in DuckDB SQL. */
+  private val sqlSyntheticUrl: String =
+    "CASE CAST(doc_id % 4 AS INTEGER) " +
+      "WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.Example.CO.UK:443/Path/A' || " +
+      "CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=x#frag' " +
+      "WHEN 1 THEN 'http://' || source || '.example.com:80/?ref=home&q=' || CAST(doc_id AS VARCHAR) " +
+      "WHEN 2 THEN 'https://blog.' || source || '.example.org/post/' || CAST(doc_id AS VARCHAR) || '/?fbclid=zzz' " +
+      "ELSE 'http://User:Pw@' || source || '.Example.COM/x%20y?id=' || CAST(doc_id AS VARCHAR) || '&gclid=g&r=2' END"
+
+  private val sqlTracked = "(?:utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)"
+  private val sqlAuthority = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  /** Tracking-param + fragment strip (canonicalizeUrl steps 1-2). */
+  private def sqlStripTracking(u: String): String = {
+    var e = sqlRr(u, "(?s)#.*$", "''")
+    e = sqlRr(e, "&" + sqlTracked + "=[^&#]*", "''")
+    e = sqlRr(e, """\?""" + sqlTracked + "=[^&#]*&", "'?'")
+    e = sqlRr(e, """\?""" + sqlTracked + "=[^&#]*$", "''")
+    e
+  }
+
+  /** [[graft.pipeline.Web.urlHost]] in DuckDB SQL. */
+  private def sqlUrlHost(u: String): String =
+    sqlRr("lower(regexp_extract(" + u +
+      ", '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))",
+      """^www\.""", "''")
+
+  /** [[graft.pipeline.Web.registeredDomain]] in DuckDB SQL over a
+    * `host` column (labels list via string_split, mirrored branch
+    * order: label count, then ccTLD extension, then plain 2-label).
+    */
+  private val sqlRegisteredDomain: String =
+    "CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
+      "WHEN regexp_matches(string_split(host, '.')[-1], '^[a-z][a-z]$') " +
+      "AND string_split(host, '.')[-2] IN ('co','com','net','org','ac','gov','edu') " +
+      "THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] " +
+      "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END"
+
+  /** [[graft.pipeline.Web.segmentLines]](text, 8) in DuckDB SQL. */
+  private val sqlSegment8: String =
+    sqlRr("text", "((?:[^ ]+ ){7}[^ ]+) ", "'\\1' || chr(10)")
+
+  /** Exploded (doc_id, line_no, line) over 8-word segmented docs —
+    * list_transform's two-arg lambda supplies the 1-based ordinal.
+    */
+  private val sqlSegmentedLines: String =
+    "seg AS (SELECT doc_id, " + sqlSegment8 + " AS t8 FROM documents), " +
+      "l AS (SELECT doc_id, CAST(x['n'] - 1 AS INTEGER) AS line_no, x['l'] AS line FROM " +
+      "(SELECT doc_id, unnest(list_transform(string_split(t8, chr(10)), " +
+      "(ln, n) -> {'l': ln, 'n': n})) AS x FROM seg) ul)"
+
+  /** [[graft.operators.Graphs.pageRank]]'s integer recurrence as 3
+    * chained CTE rounds — `//` is DuckDB's truncating integer divide
+    * (positive operands, so it matches Spark's `div`).
+    */
+  private val sqlPagerank: String = {
+    val rounds = (1 to 3).map { i =>
+      s"c$i AS (SELECT e.dst AS id, SUM(r.rank // d.deg) AS s " +
+        s"FROM e JOIN r${i - 1} r ON r.id = e.src JOIN d ON d.src = e.src GROUP BY e.dst), " +
+        s"r$i AS (SELECT n.id, CAST(150000000000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank " +
+        s"FROM n LEFT JOIN c$i c ON c.id = n.id)"
+    }.mkString(", ")
+    "WITH e AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +
+      "UNION ALL SELECT doc_id, (doc_id*13+11)%500 FROM documents)), " +
+      "n AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+      "r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM n), " +
+      rounds +
+      " SELECT id AS node_id, rank AS rank_units FROM r3 ORDER BY node_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_link_graph" ->
+      ("WITH h AS (SELECT doc_id, source, " +
+        "'<html><body><a href=\"https://WWW.ex' || CAST((doc_id+1)%20 AS VARCHAR) || " +
+        "'.com/a?utm_source=z\">one</a> mid <A HREF = \"http://sub.ex' || " +
+        "CAST((doc_id*3+7)%20 AS VARCHAR) || " +
+        "'.co.uk:80/b#x\">two</a><a name=\"nohref\">z</a></body></html>' AS html FROM documents), " +
+        "l AS (SELECT source, unnest(regexp_extract_all(html, " +
+        """'(?is)<a\b[^>]*href[ \t\r\n]*=[ \t\r\n]*"([^"]*)"', 1)) AS link FROM h), """ +
+        "hh AS (SELECT source, " + sqlUrlHost("link") + " AS host FROM l) " +
+        "SELECT source, " + sqlRegisteredDomain + " AS dst_domain, " +
+        "CAST(count(*) AS BIGINT) AS n_links " +
+        "FROM hh GROUP BY source, dst_domain ORDER BY source, dst_domain"),
+
+    "q_pagerank" -> sqlPagerank,
+    "q_cfg_pagerank" -> sqlPagerank,
+
+    "q_html_extract" ->
+      ("WITH h AS (SELECT doc_id, " + sqlSyntheticHtml + " AS html FROM documents), " +
+        "x AS (SELECT doc_id, html, " + sqlStripMarkup("html") + " AS clean_text FROM h) " +
+        "SELECT doc_id, clean_text, CAST(length(html) - length(clean_text) AS BIGINT) AS markup_chars " +
+        "FROM x ORDER BY doc_id"),
+
+    "q_url_canon" ->
+      ("WITH u0 AS (SELECT doc_id, " + sqlSyntheticUrl + " AS u FROM documents), " +
+        "u1 AS (SELECT doc_id, u, " + sqlStripTracking("u") + " AS nt FROM u0), " +
+        "u2 AS (SELECT doc_id, u, lower(regexp_extract(nt, '" + sqlAuthority + "', 0)) || " +
+        "regexp_replace(nt, '" + sqlAuthority + "', '', 'g') AS lo FROM u1), " +
+        "u3 AS (SELECT doc_id, u, " +
+        sqlRr(sqlRr("lo", "^(http://[^/:?#]+):80([/?]|$)", "'\\1\\2'"),
+          "^(https://[^/:?#]+):443([/?]|$)", "'\\1\\2'") + " AS np FROM u2), " +
+        "u4 AS (SELECT doc_id, " +
+        sqlRr("np", """^(https?://[^/?#]+)/(\?|$)""", "'\\1\\2'") + " AS canon_url, " +
+        sqlUrlHost("u") + " AS host FROM u3) " +
+        "SELECT doc_id, canon_url, host, " + sqlRegisteredDomain + " AS domain " +
+        "FROM u4 ORDER BY doc_id"),
+
+    "q_line_dedup" ->
+      ("WITH " + sqlSegmentedLines + ", " +
+        "w AS (SELECT doc_id, line_no, line, length(line) >= 2 AS elig, " +
+        "count(*) OVER (PARTITION BY line) AS occ, " +
+        "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM l), " +
+        "k AS (SELECT doc_id, line_no, line, (NOT elig) OR occ < 2 OR rn = 1 AS keep FROM w) " +
+        "SELECT doc_id, " +
+        "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no), '') AS clean_text, " +
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept, " +
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS lines_dropped " +
+        "FROM k GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_line_filter" ->
+      ("WITH " + sqlSegmentedLines + ", " +
+        "k AS (SELECT doc_id, line_no, line, " +
+        "len(list_filter(string_split(line, ' '), t -> len(t) > 0)) >= 4 " +
+        "AND list_has_any(list_filter(string_split(line, ' '), t -> len(t) > 0), ['a','the']) AS keep FROM l), " +
+        "g AS (SELECT doc_id, " +
+        "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no), '') AS clean_text, " +
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept, " +
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS lines_dropped " +
+        "FROM k GROUP BY doc_id) " +
+        "SELECT * FROM g WHERE lines_kept >= 1 ORDER BY doc_id"),
+
+    "q_cfg_webclean" ->
+      ("WITH " + sqlSegmentedLines + ", " +
+        "w AS (SELECT doc_id, line_no, line, length(line) >= 2 AS elig, " +
+        "count(*) OVER (PARTITION BY line) AS occ, " +
+        "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM l), " +
+        "k AS (SELECT doc_id, line_no, line, (NOT elig) OR occ < 2 OR rn = 1 AS keep FROM w), " +
+        "d1 AS (SELECT doc_id, " +
+        "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no), '') AS t1 " +
+        "FROM k GROUP BY doc_id), " +
+        "l2 AS (SELECT doc_id, CAST(x['n'] - 1 AS INTEGER) AS line_no, x['l'] AS line FROM " +
+        "(SELECT doc_id, unnest(list_transform(string_split(t1, chr(10)), " +
+        "(ln, n) -> {'l': ln, 'n': n})) AS x FROM d1) ul), " +
+        "k2 AS (SELECT doc_id, line_no, line, " +
+        "len(list_filter(string_split(line, ' '), t -> len(t) > 0)) >= 4 " +
+        "AND list_has_any(list_filter(string_split(line, ' '), t -> len(t) > 0), ['a','the']) AS keep FROM l2), " +
+        "d2 AS (SELECT doc_id, " +
+        "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no), '') AS t2, " +
+        "sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept FROM k2 GROUP BY doc_id) " +
+        "SELECT d.doc_id, d2.t2 AS text, d.lang, d.source, d.n_chars " +
+        "FROM d2 JOIN documents d USING (doc_id) WHERE d2.kept >= 1 ORDER BY d.doc_id"),
+
+    "q_cfg_webextract" ->
+      ("WITH h AS (SELECT doc_id, " + sqlSyntheticHtml + " AS html, " +
+        sqlSyntheticUrl + " AS u FROM documents), " +
+        "u1 AS (SELECT doc_id, html, u, " + sqlStripTracking("u") + " AS nt FROM h), " +
+        "u2 AS (SELECT doc_id, html, u, lower(regexp_extract(nt, '" + sqlAuthority + "', 0)) || " +
+        "regexp_replace(nt, '" + sqlAuthority + "', '', 'g') AS lo FROM u1), " +
+        "u3 AS (SELECT doc_id, html, u, " +
+        sqlRr(sqlRr("lo", "^(http://[^/:?#]+):80([/?]|$)", "'\\1\\2'"),
+          "^(https://[^/:?#]+):443([/?]|$)", "'\\1\\2'") + " AS np FROM u2), " +
+        "u4 AS (SELECT doc_id, " + sqlStripMarkup("html") + " AS clean_text, " +
+        sqlRr("np", """^(https?://[^/?#]+)/(\?|$)""", "'\\1\\2'") + " AS canon_url, " +
+        sqlUrlHost("np") + " AS host FROM u3) " +
+        "SELECT doc_id, clean_text, canon_url, host, " + sqlRegisteredDomain + " AS domain " +
+        "FROM u4 ORDER BY doc_id"),
+
     "q_asof_nearest" ->
       ("WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
         "p AS (SELECT user_id, ts, max_by(value, event_id) AS value FROM events " +

@@ -880,6 +880,74 @@ object TransformConfig {
         Some("transform.bitemporal.validAt/txAt required")
       else None
   }
+  /** Integer-exact PageRank — Graphs.pageRank over the piped edge
+    * frame; terminal reshape to (id, rank_units) like components.
+    */
+  final case class PageRankStage(srcColumn: String, dstColumn: String,
+                                 iters: Int, dampingPct: Int)
+      extends TransformConfig {
+    val name = "pageRank"
+    def check: Option[String] =
+      if (srcColumn.isEmpty || dstColumn.isEmpty)
+        Some("transform.pageRank.srcColumn/dstColumn required")
+      else if (iters < 1 || iters > 30)
+        Some("transform.pageRank.iters must be in [1, 30]")
+      else if (dampingPct < 1 || dampingPct > 99)
+        Some("transform.pageRank.dampingPct must be in [1, 99]")
+      else None
+  }
+  /** In-place markup extraction — Web.stripMarkup replaces
+    * `textColumn` with the extracted plain text (boilerplate stays;
+    * chain a lineDedup stage to remove it).
+    */
+  final case class HtmlExtract(textColumn: String) extends TransformConfig {
+    val name = "htmlExtract"
+    def check: Option[String] = None
+  }
+  /** In-place URL canonicalization — Web.canonicalizeUrl replaces
+    * `urlColumn`; optional `hostColumn`/`domainColumn` ADD the derived
+    * host / registered-domain columns (group keys for host caps).
+    */
+  final case class UrlCanon(urlColumn: String, hostColumn: Option[String],
+                            domainColumn: Option[String])
+      extends TransformConfig {
+    val name = "urlCanon"
+    def check: Option[String] = None
+  }
+  /** Corpus-wide line dedup (RefinedWeb recipe) — Web.lineDedup; the
+    * text column is REPLACED by the surviving lines (SpanDedup's
+    * re-attach contract: row multiplicity and null-id rows preserved,
+    * counter columns dropped). `segmentWords > 0` pre-splits
+    * single-line word streams into that many words per line — the
+    * segmented (newline-carrying) text is what downstream stages see.
+    */
+  final case class LineDedup(idColumn: String, textColumn: String,
+                             minDupCount: Int, minLineChars: Int,
+                             segmentWords: Int)
+      extends TransformConfig {
+    val name = "lineDedup"
+    def check: Option[String] =
+      if (minDupCount < 2) Some("transform.lineDedup.minDupCount must be >= 2")
+      else if (minLineChars < 0) Some("transform.lineDedup.minLineChars must be >= 0")
+      else if (segmentWords < 0) Some("transform.lineDedup.segmentWords must be >= 0")
+      else None
+  }
+  /** Line-quality row+line filter — Web.lineQualityFilter; lines
+    * failing the (minTokens, anchorWords) rule are cut from the text,
+    * documents keeping fewer than `minKeptLines` lines are DROPPED.
+    */
+  final case class LineFilter(idColumn: String, textColumn: String,
+                              minTokens: Int, anchorWords: List[String],
+                              minKeptLines: Int, segmentWords: Int)
+      extends TransformConfig {
+    val name = "lineFilter"
+    def check: Option[String] =
+      if (minTokens < 1) Some("transform.lineFilter.minTokens must be >= 1")
+      else if (anchorWords.isEmpty) Some("transform.lineFilter.anchorWords required")
+      else if (minKeptLines < 1) Some("transform.lineFilter.minKeptLines must be >= 1")
+      else if (segmentWords < 0) Some("transform.lineFilter.segmentWords must be >= 0")
+      else None
+  }
 }
 
 sealed trait SourceConfig
@@ -1214,6 +1282,17 @@ object PipelineConfig {
       "transform.bitemporal.upsertOp", "transform.bitemporal.deleteOp",
       "transform.bitemporal.valueColumns", "transform.bitemporal.validAt",
       "transform.bitemporal.txAt", "transform.bitemporal.tieBreak",
+      "transform.pageRank.srcColumn", "transform.pageRank.dstColumn",
+      "transform.pageRank.iters", "transform.pageRank.dampingPct",
+      "transform.htmlExtract.textColumn",
+      "transform.urlCanon.urlColumn", "transform.urlCanon.hostColumn",
+      "transform.urlCanon.domainColumn",
+      "transform.lineDedup.idColumn", "transform.lineDedup.textColumn",
+      "transform.lineDedup.minDupCount", "transform.lineDedup.minLineChars",
+      "transform.lineDedup.segmentWords",
+      "transform.lineFilter.idColumn", "transform.lineFilter.textColumn",
+      "transform.lineFilter.minTokens", "transform.lineFilter.anchorWords",
+      "transform.lineFilter.minKeptLines", "transform.lineFilter.segmentWords",
       "validation.primaryKey", "validation.compareColumns",
       "validation.tolerance", "validation.failuresToFetch",
       "stream.changesDir", "stream.checkpointDir", "stream.primaryKey",
@@ -1943,6 +2022,57 @@ object PipelineConfig {
             map.getOrElse("transform.bitemporal.deleteOp", "delete"),
             list("transform.bitemporal.valueColumns"), va, ta,
             list("transform.bitemporal.tieBreak"))
+        case "pageRank" =>
+          def num(key: String, default: Int): Either[String, Int] =
+            map.getOrElse(s"transform.pageRank.$key", default.toString)
+              .toIntOption.toRight(s"transform.pageRank.$key not an int")
+          for {
+            src <- map.get("transform.pageRank.srcColumn")
+              .toRight("transform.pageRank.srcColumn required")
+            dst <- map.get("transform.pageRank.dstColumn")
+              .toRight("transform.pageRank.dstColumn required")
+            it <- num("iters", 3)
+            dp <- num("dampingPct", 85)
+          } yield TransformConfig.PageRankStage(src, dst, it, dp)
+        case "htmlExtract" =>
+          map.get("transform.htmlExtract.textColumn")
+            .toRight("transform.htmlExtract.textColumn required")
+            .map(TransformConfig.HtmlExtract(_))
+        case "urlCanon" =>
+          map.get("transform.urlCanon.urlColumn")
+            .toRight("transform.urlCanon.urlColumn required")
+            .map(u => TransformConfig.UrlCanon(u,
+              map.get("transform.urlCanon.hostColumn"),
+              map.get("transform.urlCanon.domainColumn")))
+        case "lineDedup" =>
+          def num(key: String, default: Int): Either[String, Int] =
+            map.getOrElse(s"transform.lineDedup.$key", default.toString)
+              .toIntOption.toRight(s"transform.lineDedup.$key not an int")
+          for {
+            id <- map.get("transform.lineDedup.idColumn")
+              .toRight("transform.lineDedup.idColumn required")
+            text <- map.get("transform.lineDedup.textColumn")
+              .toRight("transform.lineDedup.textColumn required")
+            minDup <- num("minDupCount", 2)
+            minChars <- num("minLineChars", 2)
+            segWords <- num("segmentWords", 0)
+          } yield TransformConfig.LineDedup(id, text, minDup, minChars, segWords)
+        case "lineFilter" =>
+          def num(key: String, default: Int): Either[String, Int] =
+            map.getOrElse(s"transform.lineFilter.$key", default.toString)
+              .toIntOption.toRight(s"transform.lineFilter.$key not an int")
+          for {
+            id <- map.get("transform.lineFilter.idColumn")
+              .toRight("transform.lineFilter.idColumn required")
+            text <- map.get("transform.lineFilter.textColumn")
+              .toRight("transform.lineFilter.textColumn required")
+            minTok <- map.get("transform.lineFilter.minTokens")
+              .toRight("transform.lineFilter.minTokens required")
+              .flatMap(_.toIntOption.toRight("transform.lineFilter.minTokens not an int"))
+            minKept <- num("minKeptLines", 1)
+            segWords <- num("segmentWords", 0)
+          } yield TransformConfig.LineFilter(id, text, minTok,
+            list("transform.lineFilter.anchorWords"), minKept, segWords)
         case other => Left(s"unknown transform stage: $other")
       }
       list("transforms").foldRight(

@@ -143,6 +143,65 @@ object Graphs {
     visited
   }
 
+  /** Integer-exact PageRank over a directed edge list: `(id,
+    * rank_units)` after `iters` rounds of
+    * `r'(v) = (1-d) + d · Σ_{u→v} r(u)/deg(u)`, with ranks held in
+    * fixed-point units of `1/scale` (BIGINT) and every step integer —
+    * `r(u) div deg(u)` truncating, `(dampingPct · Σ) div 100`
+    * truncating — so the result is bit-identical on ANY engine that
+    * replays the recurrence (the DuckDB oracle does): FP summation
+    * would diverge across aggregation orders. The truncation error is
+    * ≤ deg·1/scale per vertex per round — at the default scale (1e12)
+    * noise far below any ranking decision.
+    *
+    * Semantics: the simplified formulation (dangling vertices'  rank
+    * leaks rather than redistributing — ordering, the 100-TB use as a
+    * crawl-quality prior, is unaffected); self-loops are ordinary
+    * edges; duplicate (src, dst) pairs collapse to one edge.
+    *
+    * Overflow envelope (ANSI mode fails fast rather than wrapping): a
+    * vertex's rank is bounded by ~`scale · (1 + d · inDeg)`, and the
+    * damped sum by 100× that — pick `scale` so
+    * `100 · scale · maxInDegree` fits int64 (the default 1e12 is good
+    * to ~10⁵ in-degree; drop to 1e6 for web-scale hub graphs).
+    *
+    * Shape at scale: per round, one equi-join of edges against the
+    * rank frame (both keyed on src — co-partitionable), one map-side
+    * combinable `sum` by dst, one left join back to the node set;
+    * per-round [[graft.Checkpoints]] materialization cuts lineage
+    * exactly like [[connectedComponents]]' rounds.
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+               iters: Int = 3, dampingPct: Int = 85,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
+    require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
+    require(scale >= 100L, "scale must be >= 100")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .transform(graft.Checkpoints.materialize)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .transform(graft.Checkpoints.materialize)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .transform(graft.Checkpoints.materialize)
+    val base = scale / 100L * (100L - dampingPct)
+    var ranks = nodes.select(col("id"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === col("id"))
+        .join(outDeg, "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+      val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"CAST($base AS BIGINT) + " +
+            s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank"))
+        .transform(graft.Checkpoints.materialize)
+    }
+    ranks.select(col("id"), col("rank").as("rank_units"))
+  }
+
   /** Total triangle count as a 1-row frame `(n_triangles)`. */
   def totalTriangles(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst"): DataFrame =

@@ -169,4 +169,40 @@ class GraphsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 0L, 10L -> 0L, 11L -> 0L))
   }
+
+  test("pageRank: a 2-cycle is the exact fixed point (rank 1.0 each, forever)") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, iters = 5).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000000000L, 2L -> 1000000000000L))
+  }
+
+  test("pageRank: star hand-check, exact integer units round by round") {
+    // a -> b, c -> b; after round 1: b = 0.15 + 0.85*(1+1) = 1.85,
+    // a = c = 0.15; after round 2: b = 0.15 + 0.85*(0.15+0.15) = 0.405
+    // (all exactly representable in 1e-12 fixed point, no truncation)
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val r1 = Graphs.pageRank(edges, iters = 1).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 150000000000L, 2L -> 1850000000000L, 3L -> 150000000000L))
+    val r2 = Graphs.pageRank(edges, iters = 2).as[(Long, Long)].collect().toMap
+    assert(r2(2L) == 405000000000L)
+  }
+
+  test("pageRank: duplicate edges collapse; higher in-degree means higher rank") {
+    val dup = Seq((1L, 2L), (1L, 2L), (3L, 2L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.pageRank(dup, iters = 3).as[(Long, Long)].collect().toMap
+    // node 3 splits its rank across 2 out-edges, node 1 gives all to 2
+    assert(got(2L) > got(4L))
+    val nodup = Seq((1L, 2L), (3L, 2L), (3L, 4L)).toDF("src", "dst")
+    assert(got == Graphs.pageRank(nodup, iters = 3).as[(Long, Long)].collect().toMap)
+  }
+
+  test("pageRank: truncating division is deterministic (deg 3 splits)") {
+    // 1 -> {2,3,4}: each gets 1000000000000 div 3 = 333333333333
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, iters = 1).as[(Long, Long)].collect().toMap
+    // 150000000000 + (85 * 333333333333) div 100 = 150e9 + 283333333333
+    assert(got(2L) == 433333333333L)
+    assert(got(2L) == got(3L) && got(3L) == got(4L))
+    assert(got(1L) == 150000000000L)
+  }
 }

@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** pipeline/Web: markup extraction, URL canonicalization, line-level
+  * dedup/filter. The oracle gates (q_html_extract, q_url_canon,
+  * q_line_dedup, q_line_filter) prove DuckDB parity on fixture data;
+  * these specs pin the EDGE semantics the fixture never exercises —
+  * malformed markup, entity ordering, weird URLs, dedup tie rules.
+  */
+class WebSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def strip(html: String): String =
+    Seq(html).toDF("h").select(Web.stripMarkup(col("h"))).as[String].head()
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(Web.canonicalizeUrl(col("u"))).as[String].head()
+
+  private def host(url: String): String =
+    Seq(url).toDF("u").select(Web.urlHost(col("u"))).as[String].head()
+
+  private def domain(h: String): String =
+    Seq(h).toDF("h").select(Web.registeredDomain(col("h"))).as[String].head()
+
+  // ---- stripMarkup ----
+
+  test("script/style/comment bodies vanish even when they contain angle brackets and quotes") {
+    val h = """<html><script>if (1 < 2) { x = "</b>"; }</script><style>a > b { }</style><!-- <p>hi</p> --><p>Real text</p></html>"""
+    assert(strip(h) === "Real text")
+  }
+
+  test("block closers and br become line breaks; inline tags become spaces that collapse") {
+    val h = "<div>first line</div><p>a <b>bold</b> word</p><br>tail"
+    assert(strip(h) === "first line\na bold word\ntail")
+  }
+
+  test("entities decode single-pass: &amp;lt; yields literal &lt;") {
+    assert(strip("x &amp;lt; y &lt; z &nbsp;&quot;q&quot; &#39;s&#39;") ===
+      "x &lt; y < z \"q\" 's'")
+  }
+
+  test("malformed markup degrades deterministically: unclosed < survives as text") {
+    assert(strip("a < b and <unclosed") === "a < b and <unclosed")
+    assert(strip("") === "")
+  }
+
+  test("whitespace canonicalization: runs collapse, newline absorbs hugging spaces, ends trim") {
+    assert(strip("  <p> a\t\tb </p> <p>  c  </p>  ") === "a b\nc")
+  }
+
+  test("markupChars is the exact character delta") {
+    val df = Seq("<p>abc</p>").toDF("h")
+    assert(df.select(Web.markupChars(col("h"))).as[Long].head() === 7L)
+  }
+
+  // ---- canonicalizeUrl / urlHost / registeredDomain ----
+
+  test("tracking params drop from every position; other params keep order") {
+    assert(canon("https://h.com/p?utm_source=a&id=1&fbclid=x&r=2") ===
+      "https://h.com/p?id=1&r=2")
+    assert(canon("https://h.com/p?gclid=x&id=1") === "https://h.com/p?id=1")
+    assert(canon("https://h.com/p?utm_a=1&utm_b=2") === "https://h.com/p")
+    assert(canon("https://h.com/p?id=1") === "https://h.com/p?id=1")
+  }
+
+  test("scheme and authority lowercase; path case preserved; fragment drops") {
+    assert(canon("HTTPS://WWW.Ex.COM/CaseSensitive/Path#Frag") ===
+      "https://www.ex.com/CaseSensitive/Path")
+  }
+
+  test("default ports drop only for the matching scheme; root slash drops") {
+    assert(canon("http://h.com:80/") === "http://h.com")
+    assert(canon("https://h.com:443/a") === "https://h.com/a")
+    assert(canon("http://h.com:443/a") === "http://h.com:443/a")
+    assert(canon("https://h.com:8443/a") === "https://h.com:8443/a")
+    assert(canon("https://h.com/a/") === "https://h.com/a/")
+  }
+
+  test("urlHost strips userinfo, port, www; non-URLs give empty string") {
+    assert(host("https://User:pw@WWW.Ex.Co.UK:8080/p?q=1") === "ex.co.uk")
+    assert(host("http://plain.org") === "plain.org")
+    assert(host("not a url") === "")
+  }
+
+  test("registeredDomain: plain TLD, ccTLD extension, bare host") {
+    assert(domain("blog.news.example.com") === "example.com")
+    assert(domain("www2.bbc.co.uk") === "bbc.co.uk")
+    assert(domain("example.org") === "example.org")
+    assert(domain("localhost") === "localhost")
+    assert(domain("a.co.uk") === "a.co.uk")
+  }
+
+  // ---- extractLinks ----
+
+  test("extractLinks pulls quoted hrefs in order, skips href-less anchors") {
+    val html = """<a href="u1">x</a><A class=c HREF = "u2">y</A><a name="n">z</a>"""
+    val out = Seq(html).toDF("h")
+      .select(Web.extractLinks(col("h"))).as[Seq[String]].head()
+    assert(out === Seq("u1", "u2"))
+  }
+
+  test("extractLinks malformed double-href resolves to the LAST (greedy — matches RE2)") {
+    val out = Seq("""<a x href="u1" href="u2">""").toDF("h")
+      .select(Web.extractLinks(col("h"))).as[Seq[String]].head()
+    assert(out === Seq("u2"))
+  }
+
+  // ---- segmentLines / lineDedup / lineQualityFilter ----
+
+  test("segmentLines cuts every k words, remainder stays on the last line") {
+    val out = Seq("w1 w2 w3 w4 w5").toDF("t")
+      .select(Web.segmentLines(col("t"), 2)).as[String].head()
+    assert(out === "w1 w2\nw3 w4\nw5")
+    val exact = Seq("w1 w2").toDF("t")
+      .select(Web.segmentLines(col("t"), 2)).as[String].head()
+    assert(exact === "w1 w2")
+  }
+
+  test("lineDedup keeps the first occurrence by (id, line_no) and drops the rest") {
+    val df = Seq(
+      (1L, "dup line\nunique a"),
+      (2L, "dup line\nunique b\ndup line"),
+      (3L, "dup line")).toDF("id", "text")
+    val out = Web.lineDedup(df, "id", "text").orderBy("id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((1L, "dup line\nunique a", 2L, 0L)))
+    assert(out(1) === ((2L, "unique b", 1L, 2L)))
+    assert(out(2) === ((3L, "", 0L, 1L)))
+  }
+
+  test("lineDedup: short lines are exempt — kept everywhere, never counted") {
+    val df = Seq((1L, "x\nbody one"), (2L, "x\nbody two")).toDF("id", "text")
+    val out = Web.lineDedup(df, "id", "text", minLineChars = 2).orderBy("id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0)._2 === "x\nbody one" && out(1)._2 === "x\nbody two")
+    assert(out.forall(_._4 === 0L))
+  }
+
+  test("lineDedup is idempotent") {
+    val df = Seq(
+      (1L, "dup line\nunique a"),
+      (2L, "dup line\nunique b")).toDF("id", "text")
+    val once = Web.lineDedup(df, "id", "text").select("id", "text")
+    val twice = Web.lineDedup(once, "id", "text").select("id", "text")
+    assert(once.orderBy("id").collect().toSeq ===
+      twice.orderBy("id").collect().toSeq)
+  }
+
+  test("lineDedup conserves line counts: kept + dropped = input lines per doc") {
+    val df = Seq((1L, "a b\nc d\na b"), (2L, "a b\ne f")).toDF("id", "text")
+    val out = Web.lineDedup(df, "id", "text").orderBy("id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0)._3 + out(0)._4 === 3L)
+    assert(out(1)._3 + out(1)._4 === 2L)
+  }
+
+  test("lineQualityFilter keeps anchored long-enough lines and drops empty docs") {
+    val df = Seq(
+      (1L, "the quick brown fox\nshort the\nno anchor words here at all"),
+      (2L, "nothing qualifies here")).toDF("id", "text")
+    val out = Web.lineQualityFilter(df, "id", "text",
+        minTokens = 3, anchorWords = Seq("the"), minKeptLines = 1)
+      .orderBy("id").as[(Long, String, Long, Long)].collect()
+    assert(out.length === 1)
+    assert(out(0) === ((1L, "the quick brown fox", 1L, 2L)))
+  }
+
+  test("lineQualityFilter tokenizes on spaces ignoring empties (double spaces)") {
+    val df = Seq((1L, "the  a  b")).toDF("id", "text")
+    val out = Web.lineQualityFilter(df, "id", "text",
+        minTokens = 3, anchorWords = Seq("the")).as[(Long, String, Long, Long)].head()
+    assert(out === ((1L, "the  a  b", 1L, 0L)))
+  }
+}
