@@ -200,14 +200,35 @@ object Pipeline {
       val withHost = hostC.fold(canon)(h => canon.withColumn(h, hostExpr))
       domC.fold(withHost)(dc => withHost.withColumn(dc,
         graft.pipeline.Web.registeredDomain(hostC.map(col).getOrElse(hostExpr))))
-    case graft.config.TransformConfig.LineDedup(id, text, minDup, minChars, segWords) =>
+    case graft.config.TransformConfig.LineDedup(id, text, minDup, minChars,
+        segWords, censusDir, advance) =>
       // SpanDedup's re-attach contract; with segmentWords the SEGMENTED
-      // text is the stage's view of the column (and the output's)
+      // text is the stage's view of the column (and the output's).
+      // With censusDir the batch dedups INCREMENTALLY against the
+      // persisted census (probe-then-advance — advancing first would
+      // count the batch against itself twice); minLineChars then comes
+      // from the census's own sidecar, not this config.
       val seg = if (segWords > 0)
         df.withColumn(text, graft.pipeline.Web.segmentLines(col(text), segWords))
       else df
-      val cleaned = graft.pipeline.Web
-        .lineDedup(seg.select(col(id), col(text)), id, text, minDup, minChars)
+      val deduped = censusDir match {
+        case Some(dir) =>
+          // materialize the probe BEFORE advancing: the probe plan is
+          // lazy and would otherwise read the census only at target-
+          // write time — after the advance has already swapped it in,
+          // double-counting the batch against itself
+          val out = graft.Checkpoints.materialize(
+            graft.pipeline.Web.lineDedupAgainst(dir,
+              seg.select(col(id), col(text)), id, text, minDup))
+          if (advance)
+            graft.pipeline.Web.advanceLineCensus(dir,
+              seg.select(col(id), col(text)), id, text)
+          out
+        case None =>
+          graft.pipeline.Web.lineDedup(seg.select(col(id), col(text)),
+            id, text, minDup, minChars)
+      }
+      val cleaned = deduped
         .select(col(id), col(text).as("__line_clean"))
         .dropDuplicates(id)
       seg.join(cleaned, Seq(id), "left")

@@ -3129,6 +3129,28 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Incremental line dedup against a persisted census: corpus =
+    * doc_id < 250, probe batch = doc_id >= 250 (non-empty at every SF
+    * — the q_incr_lsh lesson). The oracle is the WHOLE-CORPUS line
+    * dedup restricted to the batch's documents, so the gate directly
+    * proves the incremental path's ≡-whole-corpus contract, not just
+    * "it ran".
+    */
+  private def qIncrLineDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lc")
+      .resolve("census").toString
+    val docs = t(s, d, "documents")
+      .withColumn("text8", graft.pipeline.Web.segmentLines(col("text"), 8))
+      .select(col("doc_id"), col("text8"))
+    graft.pipeline.Web.createLineCensus(
+      docs.filter(col("doc_id") < 250), "doc_id", "text8", dir)
+    graft.pipeline.Web.lineDedupAgainst(dir,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text8")
+      .select(col("doc_id"), col("text8").as("clean_text"),
+        col("lines_kept"), col("lines_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Config-driven PageRank END TO END: the `pageRank` stage over a
     * materialized edge parquet (the same synthetic graph), pinned to
     * q_pagerank's oracle verbatim.
@@ -3232,6 +3254,7 @@ object SparkEntry {
     "q_link_graph" -> (qLinkGraph _),
     "q_pagerank" -> (qPagerank _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
+    "q_incr_linededup" -> (qIncrLineDedup _),
     "q_url_canon" -> (qUrlCanon _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_filter" -> (qLineFilter _),
@@ -3652,6 +3675,20 @@ object SparkEntry {
 
     "q_pagerank" -> sqlPagerank,
     "q_cfg_pagerank" -> sqlPagerank,
+
+    // the incremental path must equal WHOLE-CORPUS line dedup
+    // restricted to the probe batch's documents
+    "q_incr_linededup" ->
+      ("WITH " + sqlSegmentedLines + ", " +
+        "w AS (SELECT doc_id, line_no, line, length(line) >= 2 AS elig, " +
+        "count(*) OVER (PARTITION BY line) AS occ, " +
+        "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM l), " +
+        "k AS (SELECT doc_id, line_no, line, (NOT elig) OR occ < 2 OR rn = 1 AS keep FROM w) " +
+        "SELECT doc_id, " +
+        "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no), '') AS clean_text, " +
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept, " +
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS lines_dropped " +
+        "FROM k WHERE doc_id >= 250 GROUP BY doc_id ORDER BY doc_id"),
 
     "q_html_extract" ->
       ("WITH h AS (SELECT doc_id, " + sqlSyntheticHtml + " AS html FROM documents), " +

@@ -923,13 +923,17 @@ object TransformConfig {
     */
   final case class LineDedup(idColumn: String, textColumn: String,
                              minDupCount: Int, minLineChars: Int,
-                             segmentWords: Int)
+                             segmentWords: Int,
+                             censusDir: Option[String] = None,
+                             advance: Boolean = false)
       extends TransformConfig {
     val name = "lineDedup"
     def check: Option[String] =
       if (minDupCount < 2) Some("transform.lineDedup.minDupCount must be >= 2")
       else if (minLineChars < 0) Some("transform.lineDedup.minLineChars must be >= 0")
       else if (segmentWords < 0) Some("transform.lineDedup.segmentWords must be >= 0")
+      else if (advance && censusDir.isEmpty)
+        Some("transform.lineDedup.advance requires censusDir")
       else None
   }
   /** Line-quality row+line filter — Web.lineQualityFilter; lines
@@ -1289,7 +1293,8 @@ object PipelineConfig {
       "transform.urlCanon.domainColumn",
       "transform.lineDedup.idColumn", "transform.lineDedup.textColumn",
       "transform.lineDedup.minDupCount", "transform.lineDedup.minLineChars",
-      "transform.lineDedup.segmentWords",
+      "transform.lineDedup.segmentWords", "transform.lineDedup.censusDir",
+      "transform.lineDedup.advance",
       "transform.lineFilter.idColumn", "transform.lineFilter.textColumn",
       "transform.lineFilter.minTokens", "transform.lineFilter.anchorWords",
       "transform.lineFilter.minKeptLines", "transform.lineFilter.segmentWords",
@@ -2056,7 +2061,11 @@ object PipelineConfig {
             minDup <- num("minDupCount", 2)
             minChars <- num("minLineChars", 2)
             segWords <- num("segmentWords", 0)
-          } yield TransformConfig.LineDedup(id, text, minDup, minChars, segWords)
+            adv <- map.getOrElse("transform.lineDedup.advance", "false")
+              .toBooleanOption
+              .toRight("transform.lineDedup.advance not a boolean")
+          } yield TransformConfig.LineDedup(id, text, minDup, minChars, segWords,
+            map.get("transform.lineDedup.censusDir"), adv)
         case "lineFilter" =>
           def num(key: String, default: Int): Either[String, Int] =
             map.getOrElse(s"transform.lineFilter.$key", default.toString)

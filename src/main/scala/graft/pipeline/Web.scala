@@ -258,6 +258,156 @@ object Web {
         sum(when(col("keep"), 0L).otherwise(1L)).as("lines_dropped"))
   }
 
+  // ------------------------------------------------------------------
+  // incremental line census (cross-snapshot line dedup)
+  // ------------------------------------------------------------------
+
+  /** Per-hash stats of a frame's ELIGIBLE lines: `(line_hash, occ,
+    * first_id, first_no)` — the unit the census stores and the probe
+    * combines. Map-side combinable (count + min(struct)), same as the
+    * in-corpus path.
+    */
+  private def lineStats(df: DataFrame, idCol: String, textCol: String,
+                        minLineChars: Int): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .filter(length(col("line")) >= minLineChars)
+      .withColumn("line_hash", md5(col("line")))
+      .groupBy(col("line_hash"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("__id").as("first_id"), col("line_no").as("first_no")))
+          .as("first_at"))
+      .select(col("line_hash"), col("occ"),
+        col("first_at.first_id").as("first_id"),
+        col("first_at.first_no").as("first_no"))
+
+  private def censusRows(dir: String) = dir + "/rows"
+  private def censusMeta(dir: String) = dir + "/_census.json"
+
+  private def writeCensusMeta(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, minLineChars: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(censusMeta(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"""{"minLineChars":$minLineChars}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The census's pinned eligibility parameter. The probe/advance MUST
+    * run under the SAME `minLineChars` the census was built with (a
+    * looser probe would count lines the census never saw and silently
+    * break the ≡-whole-corpus contract), so the library checks the
+    * sidecar itself instead of trusting the caller.
+    */
+  private def readCensusMinChars(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(censusMeta(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no line census at $dir (missing ${censusMeta(dir)})")
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body).get("minLineChars").asInt()
+  }
+
+  /** Build a persisted line census at `dir` from a corpus snapshot:
+    * the durable half of incremental cross-snapshot line dedup. Rows
+    * are range-clustered by `line_hash` so parquet row-group min/max
+    * stats stay selective for future probes; the census is 3 narrow
+    * columns + a 32-hex hash — a small fraction of the corpus text
+    * bytes it summarizes.
+    */
+  def createLineCensus(df: DataFrame, idCol: String, textCol: String,
+                       dir: String, minLineChars: Int = 2): Unit = {
+    val spark = df.sparkSession
+    lineStats(df, idCol, textCol, minLineChars)
+      .repartitionByRange(col("line_hash"))
+      .sortWithinPartitions(col("line_hash"))
+      .write.mode("errorifexists").parquet(censusRows(dir))
+    writeCensusMeta(spark, dir, minLineChars)
+  }
+
+  /** Fold a processed batch's line stats into the census (read-merge-
+    * swap, crash-safe via [[graft.streaming.SwapStore]]): occ adds,
+    * the first locator takes the global min. Call AFTER
+    * [[lineDedupAgainst]] has consumed the batch — advance-then-probe
+    * would count the batch against itself twice.
+    */
+  def advanceLineCensus(dir: String, batch: DataFrame, idCol: String,
+                        textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val minChars = readCensusMinChars(spark, dir)
+    val cur = graft.streaming.SwapStore.readCurrent(spark, censusRows(dir),
+      lineStats(batch, idCol, textCol, minChars).schema)
+    val merged = cur.unionByName(lineStats(batch, idCol, textCol, minChars))
+      .groupBy(col("line_hash"))
+      .agg(sum(col("occ")).as("occ"),
+        min(struct(col("first_id"), col("first_no"))).as("first_at"))
+      .select(col("line_hash"), col("occ"),
+        col("first_at.first_id").as("first_id"),
+        col("first_at.first_no").as("first_no"))
+      .repartitionByRange(col("line_hash"))
+      .sortWithinPartitions(col("line_hash"))
+    graft.streaming.SwapStore.swapWrite(merged, censusRows(dir))
+  }
+
+  /** Incremental line dedup of a NEW batch against a persisted census:
+    * output over the batch's documents is IDENTICAL to running
+    * [[lineDedup]] over (census corpus ∪ batch) and keeping the batch
+    * rows — q_incr_linededup pins exactly that equality against the
+    * whole-corpus DuckDB oracle. Per occurrence the keep rule combines
+    * census and batch stats: total occurrences = census + in-batch,
+    * first locator = min(census first, batch first); an occurrence
+    * survives iff it is exempt, globally under-duplicated, or IS the
+    * global first.
+    *
+    * I/O shape: batch side is batch-proportional (explode + one
+    * aggregate); the census join reads the 3-narrow-column census
+    * table — hash-clustered so row-group stats prune, and eligible for
+    * Spark's runtime bloom-filter join pruning; it is the same
+    * corpus-summary-per-batch trade the sketch artifacts make, NOT a
+    * re-read of the corpus text.
+    */
+  def lineDedupAgainst(dir: String, batch: DataFrame, idCol: String,
+                       textCol: String, minDupCount: Int = 2): DataFrame = {
+    require(minDupCount >= 2, "minDupCount must be >= 2")
+    val spark = batch.sparkSession
+    val minChars = readCensusMinChars(spark, dir)
+    val lines = batch.filter(col(idCol).isNotNull).select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("eligible", length(col("line")) >= minChars)
+      .withColumn("line_hash", md5(col("line")))
+    val stats = lineStats(batch, idCol, textCol, minChars)
+    val batchStats = stats
+      .withColumnRenamed("occ", "occ_b")
+      .withColumn("first_b", struct(col("first_id"), col("first_no")))
+      .select(col("line_hash"), col("occ_b"), col("first_b"))
+    // empty-census fallback schema must match the STORED layout
+    // (line_hash, occ, first_id, first_no), not the probe projection
+    val census = graft.streaming.SwapStore
+      .readCurrent(spark, censusRows(dir), stats.schema)
+      .select(col("line_hash"), col("occ").as("occ_c"),
+        struct(col("first_id"), col("first_no")).as("first_c"))
+    val touched = batchStats.join(census, Seq("line_hash"), "left")
+      .select(col("line_hash"),
+        (col("occ_b") + coalesce(col("occ_c"), lit(0L))).as("occ_t"),
+        when(col("first_c").isNull || col("first_b") < col("first_c"),
+          col("first_b")).otherwise(col("first_c")).as("first_t"))
+    val kept = lines.join(touched, Seq("line_hash"), "left")
+      .withColumn("keep", !col("eligible") || col("occ_t") < minDupCount ||
+        (col("first_t.first_id") === col(idCol) &&
+          col("first_t.first_no") === col("line_no")))
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("keep"), struct(col("line_no"), col("line"))))),
+          s => s("line")), "\n").as(textCol),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("lines_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("lines_dropped"))
+  }
+
   /** Token count of one line under the same whitespace-split contract
     * as [[Text.tokens]], minus the empty-string artifacts a split of a
     * blank line produces.

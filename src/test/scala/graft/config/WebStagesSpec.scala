@@ -138,6 +138,56 @@ class WebStagesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).as[(Long, String)].head() === ((1L, "keep me")))
   }
 
+  test("lineDedup stage with censusDir: two snapshot runs equal the whole-corpus result") {
+    import org.apache.spark.sql.DataFrame
+    val base = Files.createTempDirectory("graft-webc")
+    val census = base.resolve("census").toString
+    def run(snap: DataFrame, tag: String, advance: Boolean): DataFrame = {
+      val src = base.resolve(s"src-$tag").toString
+      val out = base.resolve(s"out-$tag").toString
+      snap.write.parquet(src)
+      val c = PipelineConfig.parse(
+        s"""source.type: parquet
+           |source.path: $src
+           |target.type: parquet
+           |target.path: $out
+           |target.mode: overwrite
+           |transforms: lineDedup
+           |transform.lineDedup.idColumn: id
+           |transform.lineDedup.textColumn: text
+           |transform.lineDedup.censusDir: $census
+           |transform.lineDedup.advance: $advance
+           |""".stripMargin).fold(e => fail(e), identity)
+      Pipeline.run(spark, c)
+      spark.read.parquet(out)
+    }
+    val snap1 = Seq((1L, "banner\nbody one"), (2L, "banner\nbody two")).toDF("id", "text")
+    val snap2 = Seq((3L, "banner\nbody three\nfresh"), (4L, "fresh\nbody four")).toDF("id", "text")
+    graft.pipeline.Web.createLineCensus(
+      spark.emptyDataset[(Long, String)].toDF("id", "text"), "id", "text", census)
+    val got1 = run(snap1, "s1", advance = true)
+    // empty census: snapshot 1 dedups only against itself
+    assert(got1.orderBy("id").select("text").as[String].collect().toSeq ===
+      Seq("banner\nbody one", "body two"))
+    val got2 = run(snap2, "s2", advance = true)
+    val whole = graft.pipeline.Web.lineDedup(snap1.unionByName(snap2), "id", "text")
+      .filter(col("id") >= 3L).select(col("id"), col("text"))
+    assert(got2.select("id", "text").except(whole).isEmpty)
+    assert(whole.except(got2.select("id", "text")).isEmpty)
+    // eager validation: advance without a census dir is rejected
+    assert(PipelineConfig.parse(
+      """source.type: parquet
+        |source.path: x
+        |target.type: parquet
+        |target.path: y
+        |target.mode: overwrite
+        |transforms: lineDedup
+        |transform.lineDedup.idColumn: id
+        |transform.lineDedup.textColumn: text
+        |transform.lineDedup.advance: true
+        |""".stripMargin).left.exists(_.contains("censusDir")))
+  }
+
   test("lineDedup stage re-attach: null ids and duplicate ids survive untouched") {
     val base = Files.createTempDirectory("graft-webn")
     val src = base.resolve("src").toString

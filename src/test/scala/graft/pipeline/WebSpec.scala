@@ -176,4 +176,72 @@ class WebSpec extends AnyFunSuite {
         minTokens = 3, anchorWords = Seq("the")).as[(Long, String, Long, Long)].head()
     assert(out === ((1L, "the  a  b", 1L, 0L)))
   }
+
+  // ---- line census (incremental cross-snapshot line dedup) ----
+
+  private def tmpCensus(): String =
+    java.nio.file.Files.createTempDirectory("web-census").resolve("c").toString
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+
+  test("probe against a census equals whole-corpus lineDedup on the batch's docs — across an advance") {
+    val corpus = Seq((1L, "banner\nbody one"), (2L, "banner\nbody two")).toDF("id", "text")
+    val batch1 = Seq((3L, "banner\nbody three\nnewdup"), (4L, "newdup\nbody four")).toDF("id", "text")
+    val batch2 = Seq((5L, "newdup\nbanner\nbody five")).toDF("id", "text")
+    val dir = tmpCensus()
+    Web.createLineCensus(corpus, "id", "text", dir)
+
+    val whole1 = Web.lineDedup(corpus.unionByName(batch1), "id", "text")
+      .filter(col("id") >= 3L)
+    assert(sorted(Web.lineDedupAgainst(dir, batch1, "id", "text")) === sorted(whole1))
+
+    Web.advanceLineCensus(dir, batch1, "id", "text")
+    val whole2 = Web.lineDedup(corpus.unionByName(batch1).unionByName(batch2), "id", "text")
+      .filter(col("id") >= 5L)
+    assert(sorted(Web.lineDedupAgainst(dir, batch2, "id", "text")) === sorted(whole2))
+  }
+
+  test("census keeps the FIRST occurrence authoritative: a batch line never evicts it") {
+    val corpus = Seq((10L, "dup here")).toDF("id", "text")
+    val dir = tmpCensus()
+    Web.createLineCensus(corpus, "id", "text", dir)
+    // batch doc 1 has a smaller id than the census's 10 — global first
+    // is (1, 0), so the BATCH occurrence survives and 10's is already
+    // immortalized (the census is history; only batch rows are output)
+    val out = sorted(Web.lineDedupAgainst(dir,
+      Seq((1L, "dup here")).toDF("id", "text"), "id", "text"))
+    assert(out === Seq((1L, "dup here", 1L, 0L)))
+    // and a batch id LARGER than the census first drops its copy
+    val out2 = sorted(Web.lineDedupAgainst(dir,
+      Seq((20L, "dup here\nmine")).toDF("id", "text"), "id", "text"))
+    assert(out2 === Seq((20L, "mine", 1L, 1L)))
+  }
+
+  test("probe and advance validate the census's pinned minLineChars sidecar") {
+    val dir = tmpCensus()
+    Web.createLineCensus(Seq((1L, "abc")).toDF("id", "text"), "id", "text", dir,
+      minLineChars = 5)
+    // the probe reads eligibility from the sidecar, not the caller:
+    // 'abc' (3 chars) is exempt under the census's minLineChars=5
+    val out = sorted(Web.lineDedupAgainst(dir,
+      Seq((2L, "abc")).toDF("id", "text"), "id", "text"))
+    assert(out === Seq((2L, "abc", 1L, 0L)))
+    // a missing census fails loudly, never silently passes everything
+    val e = intercept[IllegalArgumentException] {
+      Web.lineDedupAgainst(tmpCensus(), Seq((1L, "x")).toDF("id", "text"), "id", "text")
+    }
+    assert(e.getMessage.contains("no line census"))
+  }
+
+  test("advance is exact: occ adds, first takes the global min (census survives a re-read)") {
+    val dir = tmpCensus()
+    Web.createLineCensus(Seq((5L, "dup here")).toDF("id", "text"), "id", "text", dir)
+    Web.advanceLineCensus(dir, Seq((2L, "dup here\nsolo")).toDF("id", "text"), "id", "text")
+    val rows = spark.read.parquet(dir + "/rows")
+      .as[(String, Long, Long, Int)].collect()
+      .map { case (h, o, f, n) => (h, (o, f, n)) }.toMap
+    val dupHash = Seq("dup here").toDF("l").select(md5(col("l"))).as[String].head()
+    assert(rows(dupHash) === ((2L, 2L, 0)))
+  }
 }
