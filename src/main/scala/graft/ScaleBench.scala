@@ -57,6 +57,14 @@ object ScaleBench {
   private val annSearchBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val annIngestBytes = scala.collection.concurrent.TrieMap[String, Long]()
 
+  // line-census probe: per-dir census roots (built once), the probe's
+  // file bytes read (min across runs) and the census's on-disk size —
+  // same claim shape as the near-dup store: probe I/O ∝ batch + a
+  // census summary read, never the corpus text
+  private val lineCensuses = scala.collection.concurrent.TrieMap[String, String]()
+  private val lineCensusBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val lineCensusSize = scala.collection.concurrent.TrieMap[String, Long]()
+
   // probed store's TOTAL on-disk size, so the bytes-read numbers carry
   // their denominator: "the probe read 1.4 MB" only means pruning if
   // the store it pruned against is reported alongside
@@ -69,15 +77,23 @@ object ScaleBench {
     du(new java.io.File(path))
   }
 
-  /** Run `body`, returning (its result, FILE bytes read while it ran).
+  /** Run `body`, returning (its result, Hadoop-FS-visible bytes read
+    * while it ran — a file-open/METADATA proxy, NOT data bytes).
     * Measured from Hadoop's global `file`-scheme storage statistics,
     * not task `inputMetrics.bytesRead`: the latter also counts BLOCK
     * MANAGER reads (every stage re-reading a localCheckpointed frame),
     * which dominate and are batch-proportional — they drowned the
-    * store-layout signal this metric exists to expose. In local mode
-    * every task shares the JVM, so the FS counter captures exactly the
-    * parquet bytes the probed tables served. (On a real cluster this
-    * would be a per-task metrics sum instead.)
+    * store-layout signal this metric exists to expose.
+    *
+    * IMPORTANT CALIBRATION (round 12, measured): in this Spark build
+    * the vectorized parquet reader's DATA-page reads bypass the Hadoop
+    * FS statistics — a full scan of a 10.8 MB table registers ~24 KB.
+    * What the counter sees is per-file-open metadata (footers, page
+    * indexes), so these numbers are a FILES-AND-ROW-GROUPS-TOUCHED
+    * proxy: they grow with how many store files a probe opens, which
+    * is the pruning signal the layout claims are about, but they must
+    * NOT be read as "fraction of the store's bytes scanned" (see
+    * docs/BENCH_LOCAL.md, round-12 correction).
     */
   private def withBytesRead[A](s: SparkSession)(body: => A): (A, Long) = {
     def fsBytes: Long = {
@@ -295,6 +311,34 @@ object ScaleBench {
       ndStoreBytes(dir) = dirSize(store)
       n
     },
+    // line-census incremental dedup, same discipline as nd_store_probe:
+    // the census summarizes the WHOLE amplified corpus, the probe batch
+    // stays fixed at copy 0's first 500 docs; census built once per dir
+    // outside the min-of-2's floor, batch materialized outside the
+    // measured region so the bytes isolate CENSUS I/O
+    "line_census_probe" -> { (s, dir) =>
+      val census = lineCensuses.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft-scale-lc")
+          .resolve("c").toString
+        pipeline.Web.createLineCensus(
+          Tables.load(s, dir, "documents")
+            .withColumn("text8", pipeline.Web.segmentLines(col("text"), 8))
+            .select(col("doc_id"), col("text8")),
+          "doc_id", "text8", p)
+        p
+      })
+      val batch = Checkpoints.materialize(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 500)
+          .withColumn("text8", pipeline.Web.segmentLines(col("text"), 8))
+          .select(col("doc_id"), col("text8")))
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.Web.lineDedupAgainst(census, batch, "doc_id", "text8").count()
+      }
+      lineCensusBytes(dir) = lineCensusBytes.get(dir)
+        .fold(bytes)(math.min(_, bytes))
+      lineCensusSize(dir) = dirSize(census)
+      n
+    },
     // maintenance payoff, measured: a store fragmented by 8 incremental
     // advances (each appends files clustered only within themselves)
     // pays more probe I/O than its data size warrants; recluster
@@ -502,7 +546,12 @@ object ScaleBench {
       }
     val annIoJson = annIo(annSearchBytes, "ann_search_bytes") +
       annIo(annIngestBytes, "ann_ingest_bytes")
-    println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl$probeIo$maintIo$annIoJson}""")
+    val censusIo = (lineCensusBytes.get(baseDir), lineCensusBytes.get(workDir)) match {
+      case (Some(b), Some(sc)) if b > 0 =>
+        s""","line_census_probe_bytes":{"base_mb":${fmt(b / 1e6)},"scaled_mb":${fmt(sc / 1e6)},"ratio":${fmt(sc.toDouble / b)},"census_mb":[${fmt(lineCensusSize.getOrElse(baseDir, 0L) / 1e6)},${fmt(lineCensusSize.getOrElse(workDir, 0L) / 1e6)}]}"""
+      case _ => ""
+    }
+    println(s"""{"factor":$factor,"base":"$baseDir","rows":$rj,"workloads":$wl$probeIo$maintIo$annIoJson$censusIo}""")
     spark.stop()
   }
 }
