@@ -3129,6 +3129,27 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Anchor-text extraction: (href, inner text) pairs from synthetic
+    * pages per doc — one anchor with a nested `<b>` tag and run-on
+    * spaces, one uppercase `<A HREF = "...">` with a relative target
+    * and padded text, one href-less anchor and one UNCLOSED anchor
+    * (both must not extract).
+    */
+  private def qAnchorText(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val html = concat(
+      lit("<div><a href=\"https://ex"),
+      pmod(col("doc_id"), lit(20L)).cast("string"),
+      lit(".com/p\">Read <b>more</b>  here</a><a name=\"skip\">not a link</a><A  HREF = \"/rel/"),
+      col("doc_id").cast("string"),
+      lit("\">  spaced   "), col("source"),
+      lit(" </a><a href=\"x\">unclosed</div>"))
+    docs.select(col("doc_id"),
+        explode(graft.pipeline.Web.extractAnchors(html)).as("a"))
+      .select(col("doc_id"), col("a.href").as("href"), col("a.anchor").as("anchor"))
+      .orderBy(col("doc_id"), col("href"))
+  }
+
   /** Incremental line dedup against a persisted census: corpus =
     * doc_id < 250, probe batch = doc_id >= 250 (non-empty at every SF
     * — the q_incr_lsh lesson). The oracle is the WHOLE-CORPUS line
@@ -3255,6 +3276,7 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
     "q_incr_linededup" -> (qIncrLineDedup _),
+    "q_anchor_text" -> (qAnchorText _),
     "q_url_canon" -> (qUrlCanon _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_filter" -> (qLineFilter _),
@@ -3675,6 +3697,19 @@ object SparkEntry {
 
     "q_pagerank" -> sqlPagerank,
     "q_cfg_pagerank" -> sqlPagerank,
+
+    "q_anchor_text" ->
+      ("WITH h AS (SELECT doc_id, '<div><a href=\"https://ex' || CAST(doc_id%20 AS VARCHAR) || " +
+        "'.com/p\">Read <b>more</b>  here</a><a name=\"skip\">not a link</a><A  HREF = \"/rel/' || " +
+        "CAST(doc_id AS VARCHAR) || '\">  spaced   ' || source || " +
+        "' </a><a href=\"x\">unclosed</div>' AS html FROM documents), " +
+        "a AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(html, " +
+        """'(?is)<a\b[^>]*href[ \t\r\n]*=[ \t\r\n]*"[^"]*"[^>]*>.*?</a>', 0), """ +
+        """el -> {'href': regexp_extract(el, '(?is)href[ \t\r\n]*=[ \t\r\n]*"([^"]*)"', 1), """ +
+        "'anchor': regexp_replace(regexp_replace(regexp_replace(regexp_replace(el, " +
+        """'(?is)^<a[^>]*>|</a>$', '', 'g'), '(?s)<[^>]*>', ' ', 'g'), """ +
+        """'[ \t\r\n\f]+', ' ', 'g'), '^ +| +$', '', 'g')})) AS x FROM h) """ +
+        "SELECT doc_id, x['href'] AS href, x['anchor'] AS anchor FROM a ORDER BY doc_id, href"),
 
     // the incremental path must equal WHOLE-CORPUS line dedup
     // restricted to the probe batch's documents

@@ -108,6 +108,32 @@ object Web {
     regexp_extract_all(html,
       lit("(?is)<a\\b[^>]*href[ \\t\\r\\n]*=[ \\t\\r\\n]*\"([^\"]*)\""), lit(1))
 
+  /** `(href, anchor)` pairs of complete `<a href="…">…</a>` elements:
+    * the anchor is the element's inner text with nested tags dropped
+    * and whitespace canonicalized — the classic retrieval/quality
+    * signal (what the WEB calls the target) that [[extractLinks]]'s
+    * bare hrefs can't give. Elements without a closing tag or a quoted
+    * href are skipped (deterministically, both engines). Scan-side:
+    * one `regexp_extract_all` + a `transform` over the matches.
+    */
+  def extractAnchors(html: Column): Column = {
+    val ws = "[ \\t\\r\\n]"
+    val element = "(?is)<a\\b[^>]*href" + ws + "*=" + ws + "*\"[^\"]*\"[^>]*>.*?</a>"
+    transform(
+      regexp_extract_all(html, lit(element), lit(0)),
+      el => struct(
+        regexp_extract(el, "(?is)href" + ws + "*=" + ws + "*\"([^\"]*)\"", 1)
+          .as("href"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(el, "(?is)^<a[^>]*>|</a>$", ""),
+              "(?s)<[^>]*>", " "),
+            "[ \\t\\r\\n\\f]+", " "),
+          "^ +| +$", "")
+          .as("anchor")))
+  }
+
   // ------------------------------------------------------------------
   // URL canonicalization
   // ------------------------------------------------------------------

@@ -110,6 +110,13 @@ class WebSpec extends AnyFunSuite {
     assert(out === Seq("u2"))
   }
 
+  test("extractAnchors pairs hrefs with tag-stripped, whitespace-canonical inner text") {
+    val html = """<a href="u1">Read <b>more</b>  here</a><a name=x>no</a><A HREF = "u2">  padded </A><a href="u3">unclosed"""
+    val out = Seq(html).toDF("h")
+      .select(Web.extractAnchors(col("h"))).as[Seq[(String, String)]].head()
+    assert(out === Seq(("u1", "Read more here"), ("u2", "padded")))
+  }
+
   // ---- segmentLines / lineDedup / lineQualityFilter ----
 
   test("segmentLines cuts every k words, remainder stays on the last line") {
