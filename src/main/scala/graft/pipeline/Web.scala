@@ -379,6 +379,74 @@ object Web {
     graft.streaming.SwapStore.swapWrite(merged, censusRows(dir))
   }
 
+  /** Epoch-staged census advance for EXACTLY-ONCE streaming: the
+    * batch's line stats land as a DELTA file set under the tag's
+    * deterministic names ([[graft.sources.EpochFiles]]) instead of
+    * being merged in place — a replayed epoch retires its own files
+    * and republishes identically, which the read-merge-swap
+    * [[advanceLineCensus]] cannot offer (a replay would re-add the
+    * batch's counts). Probes fold deltas at read time; run
+    * [[compactLineCensus]] at maintenance rate to keep the file count
+    * down.
+    */
+  def advanceStagedLineCensus(batch: DataFrame, idCol: String,
+                              textCol: String, dir: String, tag: String): Unit = {
+    val spark = batch.sparkSession
+    val minChars = readCensusMinChars(spark, dir)
+    val stage = dir + s"/_stage/$tag"
+    lineStats(batch, idCol, textCol, minChars)
+      .repartitionByRange(col("line_hash"))
+      .sortWithinPartitions(col("line_hash"))
+      .write.mode("overwrite").parquet(stage)
+    graft.sources.EpochFiles.publish(spark, stage, censusRows(dir), tag)
+  }
+
+  /** Remove everything a tag's [[advanceStagedLineCensus]] attempt
+    * published (and staging leftovers) — the census is back to its
+    * pre-epoch content no matter where the attempt died.
+    */
+  def rollbackLineAdvance(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, tag: String): Unit = {
+    graft.sources.EpochFiles.retire(spark, censusRows(dir), tag)
+    val st = new org.apache.hadoop.fs.Path(dir + s"/_stage/$tag")
+    val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(st, true)
+    ()
+  }
+
+  /** Fold accumulated epoch deltas into one hash-clustered table
+    * (crash-safe swap) — probe results are identical before and after
+    * (the probe aggregates at read time); this only buys back file
+    * count and clustering. Same caveat as the near-dup store's
+    * compact: the swap renames files, destroying the per-tag names an
+    * IN-FLIGHT epoch replay would need to retire — run it between
+    * epochs.
+    */
+  def compactLineCensus(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    val rows = new org.apache.hadoop.fs.Path(censusRows(dir))
+    val fs = rows.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // nothing to fold (and no schema to guess) on an absent census;
+    // the stored id type is whatever the corpus used, so never invent
+    // an empty frame here
+    if (!fs.exists(rows) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(censusRows(dir) + "__old")))
+      return
+    // readCurrent for its crash recovery (restores a swapped-aside
+    // __old); the empty-schema arm is unreachable past the guard
+    val cur = graft.streaming.SwapStore.readCurrent(spark, censusRows(dir),
+      new org.apache.spark.sql.types.StructType())
+    val merged = cur.groupBy(col("line_hash"))
+      .agg(sum(col("occ")).as("occ"),
+        min(struct(col("first_id"), col("first_no"))).as("first_at"))
+      .select(col("line_hash"), col("occ"),
+        col("first_at.first_id").as("first_id"),
+        col("first_at.first_no").as("first_no"))
+      .repartitionByRange(col("line_hash"))
+      .sortWithinPartitions(col("line_hash"))
+    graft.streaming.SwapStore.swapWrite(merged, censusRows(dir))
+  }
+
   /** Incremental line dedup of a NEW batch against a persisted census:
     * output over the batch's documents is IDENTICAL to running
     * [[lineDedup]] over (census corpus ∪ batch) and keeping the batch
@@ -416,11 +484,17 @@ object Web {
       .withColumn("first_b", struct(col("first_id"), col("first_no")))
       .select(col("line_hash"), col("occ_b"), col("first_b"))
     // empty-census fallback schema must match the STORED layout
-    // (line_hash, occ, first_id, first_no), not the probe projection
+    // (line_hash, occ, first_id, first_no), not the probe projection.
+    // The read-side aggregate makes per-epoch DELTA files (streaming
+    // advance appends one per micro-batch) indistinguishable from a
+    // compacted census: same hash across files folds to one row, so
+    // the probe's left join can never multiply batch occurrences. On a
+    // compacted census it is a no-op the partial-aggregate tier eats.
     val census = graft.streaming.SwapStore
       .readCurrent(spark, censusRows(dir), stats.schema)
-      .select(col("line_hash"), col("occ").as("occ_c"),
-        struct(col("first_id"), col("first_no")).as("first_c"))
+      .groupBy(col("line_hash"))
+      .agg(sum(col("occ")).as("occ_c"),
+        min(struct(col("first_id"), col("first_no"))).as("first_c"))
     val touched = batchStats.join(census, Seq("line_hash"), "left")
       .select(col("line_hash"),
         (col("occ_b") + coalesce(col("occ_c"), lit(0L))).as("occ_t"),
