@@ -142,6 +142,36 @@ object Maintain {
           case other =>
             System.err.println(s"[maintain] unknown ndstore command: $other"); usage()
         }
+      case "linecensus" =>
+        // linecensus create  <corpusDir> <idCol> <textCol> <censusDir> [minLineChars]
+        // linecensus dedup   <batchDir>  <idCol> <textCol> <censusDir> <outDir> [advance]
+        // linecensus compact <censusDir>
+        if (args.length < 3) usage()
+        args(1) match {
+          case "compact" =>
+            pipeline.Web.compactLineCensus(spark, args(2))
+            println(s"[maintain] line census compacted at ${args(2)}")
+          case _ if args.length < 6 => usage()
+          case "create" =>
+            pipeline.Web.createLineCensus(spark.read.parquet(args(2)),
+              args(3), args(4), args(5),
+              minLineChars = if (args.length > 6) args(6).toInt else 2)
+            println(s"[maintain] line census created at ${args(5)}")
+          case "dedup" =>
+            if (args.length < 7) usage()
+            val batch = spark.read.parquet(args(2))
+            val cleaned = pipeline.Web.lineDedupAgainst(args(5), batch,
+              args(3), args(4))
+            // write FIRST, count the written parquet (the ndstore dedup
+            // lesson: count-then-write runs the probe twice)
+            cleaned.write.mode("errorifexists").parquet(args(6))
+            val n = spark.read.parquet(args(6)).count()
+            if (args.length > 7 && args(7) == "advance")
+              pipeline.Web.advanceLineCensus(args(5), batch, args(3), args(4))
+            println(s"[maintain] $n docs line-deduped to ${args(6)}")
+          case other =>
+            System.err.println(s"[maintain] unknown linecensus command: $other"); usage()
+        }
       case "diff" =>
         if (args.length < 5) usage()
         val pk = args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -174,7 +204,10 @@ object Maintain {
         |       graft.Maintain annindex recluster <indexRoot>
         |       graft.Maintain annindex forget <indexRoot> <key>[,key...]
         |       graft.Maintain annindex retrain <versionedRoot> <corpusDir> <idCol> <vecCol> <kIvf>
-        |       graft.Maintain annindex stats <indexRoot>""".stripMargin)
+        |       graft.Maintain annindex stats <indexRoot>
+        |       graft.Maintain linecensus create <corpusDir> <idCol> <textCol> <censusDir> [minLineChars]
+        |       graft.Maintain linecensus dedup <batchDir> <idCol> <textCol> <censusDir> <outDir> [advance]
+        |       graft.Maintain linecensus compact <censusDir>""".stripMargin)
     sys.exit(2)
   }
 
