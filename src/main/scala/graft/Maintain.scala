@@ -142,6 +142,39 @@ object Maintain {
           case other =>
             System.err.println(s"[maintain] unknown ndstore command: $other"); usage()
         }
+      case "lexindex" =>
+        // lexindex create  <corpusDir> <idCol> <textCol> <root>
+        // lexindex append  <batchDir> <idCol> <textCol> <root> <tag>
+        // lexindex search  <root> <queriesDir> <queryIdCol> <termCol> <k> <outDir>
+        // lexindex compact <root>
+        // lexindex forget  <root> <key>[,key...]
+        if (args.length < 3) usage()
+        args(1) match {
+          case "compact" =>
+            pipeline.LexIndex.compact(spark, args(2))
+            println(s"[maintain] lex index compacted at ${args(2)}")
+          case "forget" if args.length >= 4 =>
+            val r = pipeline.LexIndex.forget(spark, args(2),
+              typedKeys(spark, s"${args(2)}/postings", "id", args(3)))
+            println(s"[maintain] lex index forgot ${r.rowsDeleted} postings " +
+              s"(${r.filesRewritten} files rewritten)")
+          case "create" if args.length >= 6 =>
+            pipeline.LexIndex.create(spark.read.parquet(args(2)),
+              args(3), args(4), args(5))
+            println(s"[maintain] lex index created at ${args(5)}")
+          case "append" if args.length >= 7 =>
+            pipeline.LexIndex.appendEpoch(spark.read.parquet(args(2)),
+              args(3), args(4), args(5), args(6))
+            println(s"[maintain] lex index epoch ${args(6)} appended at ${args(5)}")
+          case "search" if args.length >= 8 =>
+            val out = pipeline.LexIndex.search(spark, args(2),
+              spark.read.parquet(args(3)), args(4), args(5), args(6).toInt)
+            out.write.mode("errorifexists").parquet(args(7))
+            val n = spark.read.parquet(args(7)).count()
+            println(s"[maintain] $n hits written to ${args(7)}")
+          case other =>
+            System.err.println(s"[maintain] unknown lexindex command: $other"); usage()
+        }
       case "linecensus" =>
         // linecensus create  <corpusDir> <idCol> <textCol> <censusDir> [minLineChars]
         // linecensus dedup   <batchDir>  <idCol> <textCol> <censusDir> <outDir> [advance]
@@ -207,7 +240,12 @@ object Maintain {
         |       graft.Maintain annindex stats <indexRoot>
         |       graft.Maintain linecensus create <corpusDir> <idCol> <textCol> <censusDir> [minLineChars]
         |       graft.Maintain linecensus dedup <batchDir> <idCol> <textCol> <censusDir> <outDir> [advance]
-        |       graft.Maintain linecensus compact <censusDir>""".stripMargin)
+        |       graft.Maintain linecensus compact <censusDir>
+        |       graft.Maintain lexindex create <corpusDir> <idCol> <textCol> <root>
+        |       graft.Maintain lexindex append <batchDir> <idCol> <textCol> <root> <tag>
+        |       graft.Maintain lexindex search <root> <queriesDir> <queryIdCol> <termCol> <k> <outDir>
+        |       graft.Maintain lexindex compact <root>
+        |       graft.Maintain lexindex forget <root> <key>[,key...]""".stripMargin)
     sys.exit(2)
   }
 

@@ -3129,6 +3129,47 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  private def lexQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("q0", "spark"), ("q0", "window"),
+      ("q1", "hash"), ("q1", "join"), ("q1", "merge"),
+      ("q2", "vector")).toDF("query_id", "term")
+  }
+
+  /** Persisted lexical index search ≡ the in-plan postings join:
+    * identical queries (and oracle SQL) as q_retrieval_join, but the
+    * hit list comes from a LexIndex built at a temp root — the
+    * persisted path must reproduce the retrieval contract exactly.
+    */
+  private def qLexSearch(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-lex")
+      .resolve("ix").toString
+    graft.pipeline.LexIndex.create(t(s, d, "documents"), "doc_id", "text", root)
+    graft.pipeline.LexIndex.search(s, root, lexQueries(s), "query_id", "term", k = 10)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        col("n_matched"), col("sum_tf"), col("dl"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exactly-once epoch append: index created over doc_id < 250, the
+    * FULL corpus appended as an epoch (the anti-join must keep only
+    * the new half), then the SAME epoch replayed — and the search must
+    * equal the whole-corpus retrieval oracle.
+    */
+  private def qLexEpoch(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-lexe")
+      .resolve("ix").toString
+    val docs = t(s, d, "documents")
+    graft.pipeline.LexIndex.create(
+      docs.filter(col("doc_id") < 250), "doc_id", "text", root)
+    graft.pipeline.LexIndex.appendEpoch(docs, "doc_id", "text", root, "e1")
+    graft.pipeline.LexIndex.appendEpoch(docs, "doc_id", "text", root, "e1")
+    graft.pipeline.LexIndex.search(s, root, lexQueries(s), "query_id", "term", k = 10)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        col("n_matched"), col("sum_tf"), col("dl"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Anchor-text extraction: (href, inner text) pairs from synthetic
     * pages per doc — one anchor with a nested `<b>` tag and run-on
     * spaces, one uppercase `<A HREF = "...">` with a relative target
@@ -3277,6 +3318,8 @@ object SparkEntry {
     "q_cfg_pagerank" -> (qCfgPagerank _),
     "q_incr_linededup" -> (qIncrLineDedup _),
     "q_anchor_text" -> (qAnchorText _),
+    "q_lex_search" -> (qLexSearch _),
+    "q_lex_epoch" -> (qLexEpoch _),
     "q_url_canon" -> (qUrlCanon _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_filter" -> (qLineFilter _),
@@ -3680,6 +3723,26 @@ object SparkEntry {
       rounds +
       " SELECT id AS node_id, rank AS rank_units FROM r3 ORDER BY node_id"
   }
+
+  /** Whole-corpus top-10 retrieval for the fixed 3-query batch — the
+    * shared oracle of q_retrieval_join / q_lex_search / q_lex_epoch.
+    */
+  private val sqlRetrievalTop10: String =
+    "WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term, " +
+      "CAST(len(" + tokensExpr + ") AS BIGINT) AS dl FROM documents), " +
+      "post AS (SELECT doc_id, term, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM tok GROUP BY doc_id, term), " +
+      "q AS (SELECT * FROM (VALUES ('q0', 'spark'), ('q0', 'window'), " +
+      "('q1', 'hash'), ('q1', 'join'), ('q1', 'merge'), ('q2', 'vector')) " +
+      "AS v(query_id, term)), " +
+      "m AS (SELECT query_id, doc_id, max(dl) AS dl, " +
+      "CAST(count(*) AS BIGINT) AS n_matched, CAST(sum(tf) AS BIGINT) AS sum_tf " +
+      "FROM post JOIN q USING (term) GROUP BY query_id, doc_id), " +
+      "r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS BIGINT) AS rank, " +
+      "doc_id, n_matched, sum_tf, dl FROM m) " +
+      "SELECT query_id, rank, doc_id, n_matched, sum_tf, dl " +
+      "FROM r WHERE rank <= 10 ORDER BY query_id, rank"
 
   def oracleSql: Map[String, String] = Map(
     "q_link_graph" ->
@@ -4215,22 +4278,12 @@ object SparkEntry {
         "(CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE))) " +
         "ORDER BY doc_id"),
 
-    "q_retrieval_join" ->
-      ("WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term, " +
-        "CAST(len(" + tokensExpr + ") AS BIGINT) AS dl FROM documents), " +
-        "post AS (SELECT doc_id, term, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf " +
-        "FROM tok GROUP BY doc_id, term), " +
-        "q AS (SELECT * FROM (VALUES ('q0', 'spark'), ('q0', 'window'), " +
-        "('q1', 'hash'), ('q1', 'join'), ('q1', 'merge'), ('q2', 'vector')) " +
-        "AS v(query_id, term)), " +
-        "m AS (SELECT query_id, doc_id, max(dl) AS dl, " +
-        "CAST(count(*) AS BIGINT) AS n_matched, CAST(sum(tf) AS BIGINT) AS sum_tf " +
-        "FROM post JOIN q USING (term) GROUP BY query_id, doc_id), " +
-        "r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS BIGINT) AS rank, " +
-        "doc_id, n_matched, sum_tf, dl FROM m) " +
-        "SELECT query_id, rank, doc_id, n_matched, sum_tf, dl " +
-        "FROM r WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q_retrieval_join" -> sqlRetrievalTop10,
+    // the persisted lexical index must reproduce the SAME hit lists —
+    // one retrieval contract, three paths (in-plan join, fresh index,
+    // epoch-appended-and-replayed index)
+    "q_lex_search" -> sqlRetrievalTop10,
+    "q_lex_epoch" -> sqlRetrievalTop10,
 
     "q_term_drift" ->
       ("WITH ta AS (SELECT unnest(" + tokensExpr + ") AS term FROM documents " +

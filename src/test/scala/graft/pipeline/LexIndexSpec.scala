@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Persisted lexical index: creation, epoch append/replay/rollback,
+  * compaction invariance, forget + re-admit, and the inline-cap
+  * fallback — every path must keep the integer-exact retrieval
+  * contract (search ≡ Text.retrievalTopK over the same corpus).
+  */
+class LexIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def root(): String =
+    Files.createTempDirectory("lex-spec").resolve("ix").toString
+
+  private val corpus = Seq(
+    (1L, "spark joins data with spark shuffles"),
+    (2L, "window functions rank rows"),
+    (3L, "spark window spark window"),
+    (4L, "nothing relevant here")).toDF("id", "text")
+
+  private val queries = Seq(("qa", "spark"), ("qa", "window")).toDF("qid", "term")
+
+  private def hits(r: String, q: org.apache.spark.sql.DataFrame = queries,
+                   k: Int = 10, maxInline: Int = 10000) =
+    LexIndex.search(spark, r, q, "qid", "term", k, maxInline)
+      .orderBy("qid", "rank")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("search equals the in-plan retrieval join, hand-checkable ranks") {
+    val r = root()
+    LexIndex.create(corpus, "id", "text", r)
+    val got = hits(r)
+    // doc 3 matches both terms (n_matched 2, sum_tf 4); doc 1 matches
+    // spark twice (1, 2); doc 2 matches window once (1, 1); doc 4 never
+    assert(got === Seq(
+      ("qa", 1L, 3L, 2L, 4L, 4L),
+      ("qa", 2L, 1L, 1L, 2L, 6L),
+      ("qa", 3L, 2L, 1L, 1L, 4L)))
+    val direct = Text.retrievalTopK(corpus, "text", "id", queries, "qid", "term", 10)
+      .select(col("qid"), col("rank"), col("id"), col("n_matched"),
+        col("sum_tf"), col("dl"))
+      .orderBy("qid", "rank")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === direct)
+  }
+
+  test("semi-join fallback (terms over the inline cap) returns identical hits") {
+    val r = root()
+    LexIndex.create(corpus, "id", "text", r)
+    assert(hits(r, maxInline = 1) === hits(r))
+  }
+
+  test("epoch append is delta-only and replay-idempotent; compact changes nothing") {
+    val r = root()
+    LexIndex.create(corpus.filter(col("id") <= 2), "id", "text", r)
+    LexIndex.appendEpoch(corpus, "id", "text", r, "e1") // overlap: 1,2 already in
+    LexIndex.appendEpoch(corpus, "id", "text", r, "e1") // replay, same tag
+    val whole = root()
+    LexIndex.create(corpus, "id", "text", whole)
+    assert(hits(r) === hits(whole))
+    // postings hold each (doc, term) exactly once
+    val n = spark.read.parquet(r + "/postings")
+      .groupBy("id", "term").count().filter(col("count") > 1).count()
+    assert(n === 0L)
+    LexIndex.compact(spark, r)
+    assert(hits(r) === hits(whole))
+  }
+
+  test("rollback of a partial epoch restores the pre-epoch hit list") {
+    val r = root()
+    LexIndex.create(corpus.filter(col("id") <= 2), "id", "text", r)
+    val before = hits(r)
+    LexIndex.appendEpoch(corpus, "id", "text", r, "e9")
+    assert(hits(r) !== before)
+    LexIndex.rollbackEpoch(spark, r, "e9")
+    assert(hits(r) === before)
+  }
+
+  test("forget removes a document from every hit list; it can re-admit later") {
+    val r = root()
+    LexIndex.create(corpus, "id", "text", r)
+    LexIndex.forget(spark, r, Seq(3L))
+    assert(!hits(r).exists(_._3 == 3L))
+    // a forgotten id passes the append anti-join again
+    LexIndex.appendEpoch(corpus.filter(col("id") === 3L), "id", "text", r, "e2")
+    assert(hits(r).head === (("qa", 1L, 3L, 2L, 4L, 4L)))
+  }
+
+  test("searching a missing index fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.search(spark, root(), queries, "qid", "term", 5)
+    }
+    assert(e.getMessage.contains("no lex index"))
+  }
+}
