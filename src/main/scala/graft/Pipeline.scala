@@ -513,6 +513,9 @@ object Pipeline {
       val nodes = df.select(explode(array(col(src), col(dst))).as("id"))
         .filter(col("id").isNotNull).distinct()
       graft.operators.Graphs.connectedComponents(nodes, df, "id", src, dst, maxIters)
+    case graft.config.TransformConfig.LexSearchStage(root, qid, term, k) =>
+      // terminal reshape: piped rows are the bounded query batch
+      graft.pipeline.LexIndex.search(df.sparkSession, root, df, qid, term, k)
     case graft.config.TransformConfig.PageRankStage(src, dst, iters, dampingPct) =>
       // terminal reshape: (id, rank_units)
       graft.operators.Graphs.pageRank(df, src, dst, iters, dampingPct)

@@ -3170,6 +3170,37 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Config-driven lexical search END TO END: the `lexSearch` stage
+    * over a materialized query parquet against a prebuilt index,
+    * pinned to the shared retrieval oracle — stage ≡ library ≡
+    * in-plan join.
+    */
+  private def qCfgLexSearch(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgl")
+    val root = base.resolve("ix").toString
+    val src = base.resolve("queries").toString
+    val out = base.resolve("out").toString
+    graft.pipeline.LexIndex.create(t(s, d, "documents"), "doc_id", "text", root)
+    lexQueries(s).write.parquet(src)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: lexSearch
+         |transform.lexSearch.indexRoot: $root
+         |transform.lexSearch.queryIdColumn: query_id
+         |transform.lexSearch.termColumn: term
+         |transform.lexSearch.k: 10
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        col("n_matched"), col("sum_tf"), col("dl"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Anchor-text extraction: (href, inner text) pairs from synthetic
     * pages per doc — one anchor with a nested `<b>` tag and run-on
     * spaces, one uppercase `<A HREF = "...">` with a relative target
@@ -3320,6 +3351,7 @@ object SparkEntry {
     "q_anchor_text" -> (qAnchorText _),
     "q_lex_search" -> (qLexSearch _),
     "q_lex_epoch" -> (qLexEpoch _),
+    "q_cfg_lex" -> (qCfgLexSearch _),
     "q_url_canon" -> (qUrlCanon _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_filter" -> (qLineFilter _),
@@ -4284,6 +4316,7 @@ object SparkEntry {
     // epoch-appended-and-replayed index)
     "q_lex_search" -> sqlRetrievalTop10,
     "q_lex_epoch" -> sqlRetrievalTop10,
+    "q_cfg_lex" -> sqlRetrievalTop10,
 
     "q_term_drift" ->
       ("WITH ta AS (SELECT unnest(" + tokensExpr + ") AS term FROM documents " +

@@ -880,6 +880,21 @@ object TransformConfig {
         Some("transform.bitemporal.validAt/txAt required")
       else None
   }
+  /** Persisted lexical-index top-k — LexIndex.search with the piped
+    * rows as the bounded query batch; terminal reshape to the hit
+    * list, the annSearch pattern on the lexical side.
+    */
+  final case class LexSearchStage(indexRoot: String, queryIdColumn: String,
+                                  termColumn: String, k: Int)
+      extends TransformConfig {
+    val name = "lexSearch"
+    def check: Option[String] =
+      if (indexRoot.isEmpty) Some("transform.lexSearch.indexRoot required")
+      else if (queryIdColumn.isEmpty) Some("transform.lexSearch.queryIdColumn required")
+      else if (termColumn.isEmpty) Some("transform.lexSearch.termColumn required")
+      else if (k < 1) Some("transform.lexSearch.k must be >= 1")
+      else None
+  }
   /** Integer-exact PageRank — Graphs.pageRank over the piped edge
     * frame; terminal reshape to (id, rank_units) like components.
     */
@@ -1286,6 +1301,8 @@ object PipelineConfig {
       "transform.bitemporal.upsertOp", "transform.bitemporal.deleteOp",
       "transform.bitemporal.valueColumns", "transform.bitemporal.validAt",
       "transform.bitemporal.txAt", "transform.bitemporal.tieBreak",
+      "transform.lexSearch.indexRoot", "transform.lexSearch.queryIdColumn",
+      "transform.lexSearch.termColumn", "transform.lexSearch.k",
       "transform.pageRank.srcColumn", "transform.pageRank.dstColumn",
       "transform.pageRank.iters", "transform.pageRank.dampingPct",
       "transform.htmlExtract.textColumn",
@@ -2027,6 +2044,17 @@ object PipelineConfig {
             map.getOrElse("transform.bitemporal.deleteOp", "delete"),
             list("transform.bitemporal.valueColumns"), va, ta,
             list("transform.bitemporal.tieBreak"))
+        case "lexSearch" =>
+          for {
+            root <- map.get("transform.lexSearch.indexRoot")
+              .toRight("transform.lexSearch.indexRoot required")
+            qid <- map.get("transform.lexSearch.queryIdColumn")
+              .toRight("transform.lexSearch.queryIdColumn required")
+            term <- map.get("transform.lexSearch.termColumn")
+              .toRight("transform.lexSearch.termColumn required")
+            k <- map.getOrElse("transform.lexSearch.k", "10")
+              .toIntOption.toRight("transform.lexSearch.k not an int")
+          } yield TransformConfig.LexSearchStage(root, qid, term, k)
         case "pageRank" =>
           def num(key: String, default: Int): Either[String, Int] =
             map.getOrElse(s"transform.pageRank.$key", default.toString)
