@@ -2092,8 +2092,18 @@ object PipelineConfig {
             adv <- map.getOrElse("transform.lineDedup.advance", "false")
               .toBooleanOption
               .toRight("transform.lineDedup.advance not a boolean")
+            census = map.get("transform.lineDedup.censusDir")
+            // the census pins eligibility in its own sidecar; accepting
+            // an explicit minLineChars alongside it would be a silently
+            // ignored knob — the failure shape the NearDupStore banding
+            // check exists for
+            _ <- if (census.isDefined &&
+                map.contains("transform.lineDedup.minLineChars"))
+              Left("transform.lineDedup.minLineChars is pinned by the " +
+                "census sidecar — remove it when censusDir is set")
+            else Right(())
           } yield TransformConfig.LineDedup(id, text, minDup, minChars, segWords,
-            map.get("transform.lineDedup.censusDir"), adv)
+            census, adv)
         case "lineFilter" =>
           def num(key: String, default: Int): Either[String, Int] =
             map.getOrElse(s"transform.lineFilter.$key", default.toString)

@@ -186,6 +186,20 @@ class WebStagesSpec extends AnyFunSuite {
         |transform.lineDedup.textColumn: text
         |transform.lineDedup.advance: true
         |""".stripMargin).left.exists(_.contains("censusDir")))
+    // and an explicit minLineChars alongside a census is a silently
+    // ignored knob — rejected at parse, not at runtime
+    assert(PipelineConfig.parse(
+      """source.type: parquet
+        |source.path: x
+        |target.type: parquet
+        |target.path: y
+        |target.mode: overwrite
+        |transforms: lineDedup
+        |transform.lineDedup.idColumn: id
+        |transform.lineDedup.textColumn: text
+        |transform.lineDedup.censusDir: /tmp/c
+        |transform.lineDedup.minLineChars: 3
+        |""".stripMargin).left.exists(_.contains("pinned by the census")))
   }
 
   test("lineDedup stage re-attach: null ids and duplicate ids survive untouched") {
