@@ -3192,6 +3192,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BM25-scored retrieval from the persisted index, rank-gated (the
+    * q_bm25 discipline: the float score orders, integers are emitted).
+    * The oracle replays the scoring operand-for-operand — stats as
+    * sum/count with one division, per-term contributions added in
+    * sorted-term order exactly like the index path's fold.
+    */
+  private def qLexBm25(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.LexIndex.bm25Search(s, lexIndexRoot(s, d),
+        lexQueries(s), "query_id", "term", k = 10)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        col("n_matched"), col("dl"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** Config-driven lexical search END TO END: the `lexSearch` stage
     * over a materialized query parquet against a prebuilt index,
     * pinned to the shared retrieval oracle — stage ≡ library ≡
@@ -3373,6 +3386,7 @@ object SparkEntry {
     "q_lex_search" -> (qLexSearch _),
     "q_lex_epoch" -> (qLexEpoch _),
     "q_cfg_lex" -> (qCfgLexSearch _),
+    "q_lex_bm25" -> (qLexBm25 _),
     "q_url_canon" -> (qUrlCanon _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_filter" -> (qLineFilter _),
@@ -4338,6 +4352,46 @@ object SparkEntry {
     "q_lex_search" -> sqlRetrievalTop10,
     "q_lex_epoch" -> sqlRetrievalTop10,
     "q_cfg_lex" -> sqlRetrievalTop10,
+
+    "q_lex_bm25" ->
+      ("WITH d AS (SELECT doc_id, " + tokensExpr + " AS toks FROM documents), " +
+        "base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, " +
+        "CAST(len(list_filter(toks, t -> t = 'spark')) AS BIGINT) AS tf_spark, " +
+        "CAST(len(list_filter(toks, t -> t = 'window')) AS BIGINT) AS tf_window, " +
+        "CAST(len(list_filter(toks, t -> t = 'hash')) AS BIGINT) AS tf_hash, " +
+        "CAST(len(list_filter(toks, t -> t = 'join')) AS BIGINT) AS tf_join, " +
+        "CAST(len(list_filter(toks, t -> t = 'merge')) AS BIGINT) AS tf_merge, " +
+        "CAST(len(list_filter(toks, t -> t = 'vector')) AS BIGINT) AS tf_vector " +
+        "FROM d WHERE len(toks) > 0), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(dl) AS DOUBLE) AS sumdl, " +
+        "sum(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark, " +
+        "sum(CASE WHEN tf_window > 0 THEN 1.0 ELSE 0.0 END) AS df_window, " +
+        "sum(CASE WHEN tf_hash > 0 THEN 1.0 ELSE 0.0 END) AS df_hash, " +
+        "sum(CASE WHEN tf_join > 0 THEN 1.0 ELSE 0.0 END) AS df_join, " +
+        "sum(CASE WHEN tf_merge > 0 THEN 1.0 ELSE 0.0 END) AS df_merge, " +
+        "sum(CASE WHEN tf_vector > 0 THEN 1.0 ELSE 0.0 END) AS df_vector FROM base), " +
+        "s AS (SELECT doc_id, dl, " +
+        // per-term contribution, operand order identical to the index
+        // path's termScore; CASE adds an exact +0.0 for unmatched terms
+        Seq("spark", "window", "hash", "join", "merge", "vector").map { t =>
+          s"CASE WHEN tf_$t > 0 THEN ln(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5)) * " +
+            s"CAST(tf_$t AS DOUBLE) * 2.2 / (CAST(tf_$t AS DOUBLE) + " +
+            s"1.2 * (0.25 + (0.75 * dl) / (sumdl / n))) ELSE 0.0 END AS s_$t, " +
+            s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END AS m_$t"
+        }.mkString(", ") + " FROM base, stats), " +
+        "scored AS (" +
+        Seq(("q0", Seq("spark", "window")), ("q1", Seq("hash", "join", "merge")),
+          ("q2", Seq("vector"))).map { case (qid, ts) =>
+          s"SELECT '$qid' AS query_id, doc_id, dl, " +
+            s"CAST(${ts.map(t => s"m_$t").mkString(" + ")} AS BIGINT) AS n_matched, " +
+            s"${ts.map(t => s"s_$t").mkString(" + ")} AS score FROM s"
+        }.mkString(" UNION ALL ") + "), " +
+        "r AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id) AS BIGINT) AS rank, doc_id, n_matched, dl " +
+        "FROM scored WHERE n_matched > 0) " +
+        "SELECT query_id, rank, doc_id, n_matched, dl FROM r WHERE rank <= 10 " +
+        "ORDER BY query_id, rank"),
 
     "q_term_drift" ->
       ("WITH ta AS (SELECT unnest(" + tokensExpr + ") AS term FROM documents " +

@@ -123,6 +123,63 @@ object LexIndex {
     r
   }
 
+  /** BM25-scored top-k per query from the persisted index (the scored
+    * read; [[search]] is the integer-exact one). Corpus stats come
+    * from the index itself — N and avgdl from one column-pruned
+    * distinct over (id, dl) (a summary-table scan per query batch, the
+    * AnnIndex-ingest trade), df per term from the PRUNED postings —
+    * so the scores equal [[Text.bm25]] over the indexed corpus, with
+    * N = documents that produced at least one token. Output is
+    * rank-gated like q_bm25: `(queryIdCol, rank, id, n_matched, dl)`
+    * — the float score orders (desc, id asc) but is never emitted, so
+    * engines can replay the ranking without float-hash hazards.
+    */
+  def bm25Search(spark: SparkSession, root: String, queries: DataFrame,
+                 queryIdCol: String, termCol: String, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 maxInlineTerms: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    requireIndex(spark, root)
+    val q = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
+    val post = spark.read.parquet(postingsDir(root))
+    // exact stats: integer sum + count, ONE division — not avg(), whose
+    // internal accumulation an oracle can't replay operand-for-operand
+    val stats = post.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("dl")).cast("double").as("__sumdl"))
+    val terms = q.select(col("term")).distinct()
+    val inline = terms.limit(maxInlineTerms + 1).collect().map(_.getString(0))
+    val pruned =
+      if (inline.length <= maxInlineTerms) post.filter(col("term").isin(inline.toIndexedSeq: _*))
+      else post.join(broadcast(terms), Seq("term"), "left_semi")
+    // postings are unique per (id, term), so count(*) IS the df
+    val df = pruned.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tf = col("tf").cast("double")
+    val avgdl = col("__sumdl") / col("__n")
+    val termScore = idf * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    // deterministic score: per-term contributions fold in SORTED-term
+    // order (a bare sum() would accumulate in partition order, and two
+    // engines would disagree on near-ties; this way the oracle can
+    // replay the addition operand-for-operand)
+    pruned.join(q, Seq("term"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col("id"), col("dl"), col("term"), termScore.as("__s"))
+      .groupBy(col(queryIdCol), col("id"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_matched"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("__s")))),
+            x => x("__s")),
+          lit(0.0), (acc, s) => acc + s).as("__score"))
+      .transform(j => graft.operators.Sampling.capPerGroup(j,
+        groupCols = Seq(queryIdCol),
+        rankBy = Seq(-col("__score"), col("id")),
+        k = k, rankName = "rank"))
+      .select(col(queryIdCol), col("rank"), col("id"), col("n_matched"), col("dl"))
+  }
+
   /** Top-k documents per query from the persisted index, identical to
     * [[Text.retrievalTopK]] over the indexed corpus: output
     * `(queryIdCol, rank, id, n_matched, sum_tf, dl)`. `queries` is a

@@ -91,6 +91,17 @@ class LexIndexSpec extends AnyFunSuite {
     assert(hits(r).head === (("qa", 1L, 3L, 2L, 4L, 4L)))
   }
 
+  test("bm25Search ranks like Text.bm25 over the indexed corpus") {
+    val r = root()
+    LexIndex.create(corpus, "id", "text", r)
+    val got = LexIndex.bm25Search(spark, r, queries, "qid", "term", k = 10)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    val direct = Text.bm25(corpus, "text", "id", Seq("spark", "window"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("score").desc, col("id")).select("id").as[Long].collect().toSeq
+    assert(got === direct)
+  }
+
   test("searching a missing index fails loudly") {
     val e = intercept[IllegalArgumentException] {
       LexIndex.search(spark, root(), queries, "qid", "term", 5)
