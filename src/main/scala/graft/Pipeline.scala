@@ -513,6 +513,10 @@ object Pipeline {
       val nodes = df.select(explode(array(col(src), col(dst))).as("id"))
         .filter(col("id").isNotNull).distinct()
       graft.operators.Graphs.connectedComponents(nodes, df, "id", src, dst, maxIters)
+    case graft.config.TransformConfig.LinkExtract(html, href) =>
+      // row multiplying: n links -> n rows, link-less pages drop
+      df.withColumn(href,
+        explode(graft.pipeline.Web.extractLinks(col(html))))
     case graft.config.TransformConfig.LexSearchStage(root, qid, term, k) =>
       // terminal reshape: piped rows are the bounded query batch
       graft.pipeline.LexIndex.search(df.sparkSession, root, df, qid, term, k)

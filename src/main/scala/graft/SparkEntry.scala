@@ -3205,6 +3205,41 @@ object SparkEntry {
         col("n_matched"), col("dl"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** Config-driven crawl→link-graph END TO END: linkExtract explodes
+    * the q_link_graph pages into per-href rows, urlCanon canonicalizes
+    * each href in place and derives host/registered-domain — the whole
+    * path declarative, the oracle replaying extraction + canon chains.
+    */
+  private def qCfgLinks(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgk")
+    val src = base.resolve("pages").toString
+    val out = base.resolve("out").toString
+    val html = concat(
+      lit("<html><body><a href=\"https://WWW.ex"),
+      pmod(col("doc_id") + 1, lit(20L)).cast("string"),
+      lit(".com/a?utm_source=z\">one</a> mid <A HREF = \"http://sub.ex"),
+      pmod(col("doc_id") * 3 + 7, lit(20L)).cast("string"),
+      lit(".co.uk:80/b#x\">two</a><a name=\"nohref\">z</a></body></html>"))
+    t(s, d, "documents").select(col("doc_id"), html.as("html")).write.parquet(src)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: linkExtract, urlCanon
+         |transform.linkExtract.htmlColumn: html
+         |transform.linkExtract.hrefColumn: link
+         |transform.urlCanon.urlColumn: link
+         |transform.urlCanon.hostColumn: host
+         |transform.urlCanon.domainColumn: domain
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("doc_id"), col("link"), col("host"), col("domain"))
+      .orderBy(col("doc_id"), col("link"))
+  }
+
   /** Config-driven lexical search END TO END: the `lexSearch` stage
     * over a materialized query parquet against a prebuilt index,
     * pinned to the shared retrieval oracle — stage ≡ library ≡
@@ -3387,6 +3422,7 @@ object SparkEntry {
     "q_lex_epoch" -> (qLexEpoch _),
     "q_cfg_lex" -> (qCfgLexSearch _),
     "q_lex_bm25" -> (qLexBm25 _),
+    "q_cfg_links" -> (qCfgLinks _),
     "q_url_canon" -> (qUrlCanon _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_filter" -> (qLineFilter _),
@@ -3827,6 +3863,25 @@ object SparkEntry {
 
     "q_pagerank" -> sqlPagerank,
     "q_cfg_pagerank" -> sqlPagerank,
+
+    "q_cfg_links" ->
+      ("WITH h AS (SELECT doc_id, '<html><body><a href=\"https://WWW.ex' || " +
+        "CAST((doc_id+1)%20 AS VARCHAR) || '.com/a?utm_source=z\">one</a> mid " +
+        "<A HREF = \"http://sub.ex' || CAST((doc_id*3+7)%20 AS VARCHAR) || " +
+        "'.co.uk:80/b#x\">two</a><a name=\"nohref\">z</a></body></html>' AS html FROM documents), " +
+        "l AS (SELECT doc_id, unnest(regexp_extract_all(html, " +
+        """'(?is)<a\b[^>]*href[ \t\r\n]*=[ \t\r\n]*"([^"]*)"', 1)) AS link FROM h), """ +
+        "u1 AS (SELECT doc_id, " + sqlStripTracking("link") + " AS nt FROM l), " +
+        "u2 AS (SELECT doc_id, lower(regexp_extract(nt, '" + sqlAuthority + "', 0)) || " +
+        "regexp_replace(nt, '" + sqlAuthority + "', '', 'g') AS lo FROM u1), " +
+        "u3 AS (SELECT doc_id, " +
+        sqlRr(sqlRr("lo", "^(http://[^/:?#]+):80([/?]|$)", "'\\1\\2'"),
+          "^(https://[^/:?#]+):443([/?]|$)", "'\\1\\2'") + " AS np FROM u2), " +
+        "u4 AS (SELECT doc_id, " +
+        sqlRr("np", """^(https?://[^/?#]+)/(\?|$)""", "'\\1\\2'") + " AS link, " +
+        sqlUrlHost("np") + " AS host FROM u3) " +
+        "SELECT doc_id, link, host, " + sqlRegisteredDomain + " AS domain " +
+        "FROM u4 ORDER BY doc_id, link"),
 
     "q_anchor_text" ->
       ("WITH h AS (SELECT doc_id, '<div><a href=\"https://ex' || CAST(doc_id%20 AS VARCHAR) || " +

@@ -880,6 +880,22 @@ object TransformConfig {
         Some("transform.bitemporal.validAt/txAt required")
       else None
   }
+  /** Link extraction — Web.extractLinks: one row per quoted href of
+    * the page's anchor elements, appended as `hrefColumn` (row
+    * multiplying: a page with n links becomes n rows; pages with none
+    * drop). Chain urlCanon on the href column for canon/host/domain,
+    * then pageRank/sourceCap — the crawl→graph path as config.
+    */
+  final case class LinkExtract(htmlColumn: String, hrefColumn: String)
+      extends TransformConfig {
+    val name = "linkExtract"
+    def check: Option[String] =
+      if (htmlColumn.isEmpty) Some("transform.linkExtract.htmlColumn required")
+      else if (hrefColumn.isEmpty) Some("transform.linkExtract.hrefColumn required")
+      else if (htmlColumn == hrefColumn)
+        Some("transform.linkExtract.hrefColumn must differ from htmlColumn")
+      else None
+  }
   /** Persisted lexical-index top-k — LexIndex.search with the piped
     * rows as the bounded query batch; terminal reshape to the hit
     * list, the annSearch pattern on the lexical side.
@@ -1301,6 +1317,7 @@ object PipelineConfig {
       "transform.bitemporal.upsertOp", "transform.bitemporal.deleteOp",
       "transform.bitemporal.valueColumns", "transform.bitemporal.validAt",
       "transform.bitemporal.txAt", "transform.bitemporal.tieBreak",
+      "transform.linkExtract.htmlColumn", "transform.linkExtract.hrefColumn",
       "transform.lexSearch.indexRoot", "transform.lexSearch.queryIdColumn",
       "transform.lexSearch.termColumn", "transform.lexSearch.k",
       "transform.pageRank.srcColumn", "transform.pageRank.dstColumn",
@@ -2044,6 +2061,13 @@ object PipelineConfig {
             map.getOrElse("transform.bitemporal.deleteOp", "delete"),
             list("transform.bitemporal.valueColumns"), va, ta,
             list("transform.bitemporal.tieBreak"))
+        case "linkExtract" =>
+          for {
+            html <- map.get("transform.linkExtract.htmlColumn")
+              .toRight("transform.linkExtract.htmlColumn required")
+            href <- map.get("transform.linkExtract.hrefColumn")
+              .toRight("transform.linkExtract.hrefColumn required")
+          } yield TransformConfig.LinkExtract(html, href)
         case "lexSearch" =>
           for {
             root <- map.get("transform.lexSearch.indexRoot")
