@@ -3313,6 +3313,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The full crawl→rank composition at one gate: pages → extracted
+    * hrefs → registered-domain edges → 3 integer-exact PageRank
+    * rounds. Domains that only ever link out (the page sources) leak
+    * rank; target domains accumulate by in-degree — exactly the crawl
+    * quality prior the pipeline feeds back into sourceCap/mixToTarget.
+    */
+  private def qLinkRank(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><body><a href=\"https://WWW.ex"),
+      pmod(col("doc_id") + 1, lit(20L)).cast("string"),
+      lit(".com/a?utm_source=z\">one</a> mid <A HREF = \"http://sub.ex"),
+      pmod(col("doc_id") * 3 + 7, lit(20L)).cast("string"),
+      lit(".co.uk:80/b#x\">two</a><a name=\"nohref\">z</a></body></html>"))
+    val edges = t(s, d, "documents")
+      .select(col("source"), explode(graft.pipeline.Web.extractLinks(html)).as("link"))
+      .withColumn("host", graft.pipeline.Web.urlHost(col("link")))
+      .select(col("source").as("src"),
+        graft.pipeline.Web.registeredDomain(col("host")).as("dst"))
+    graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
   /** Config-driven PageRank END TO END: the `pageRank` stage over a
     * materialized edge parquet (the same synthetic graph), pinned to
     * q_pagerank's oracle verbatim.
@@ -3423,6 +3446,7 @@ object SparkEntry {
     "q_cfg_lex" -> (qCfgLexSearch _),
     "q_lex_bm25" -> (qLexBm25 _),
     "q_cfg_links" -> (qCfgLinks _),
+    "q_link_rank" -> (qLinkRank _),
     "q_url_canon" -> (qUrlCanon _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_filter" -> (qLineFilter _),
@@ -3810,22 +3834,29 @@ object SparkEntry {
     * chained CTE rounds — `//` is DuckDB's truncating integer divide
     * (positive operands, so it matches Spark's `div`).
     */
-  private val sqlPagerank: String = {
+  /** 3 integer-exact PageRank rounds over an `e(src, dst)` CTE the
+    * caller supplies (must already be DISTINCT edges) — shared by the
+    * synthetic-graph and link-graph gates.
+    */
+  private def sqlPagerankOver(edgeCtes: String): String = {
     val rounds = (1 to 3).map { i =>
       s"c$i AS (SELECT e.dst AS id, SUM(r.rank // d.deg) AS s " +
         s"FROM e JOIN r${i - 1} r ON r.id = e.src JOIN d ON d.src = e.src GROUP BY e.dst), " +
         s"r$i AS (SELECT n.id, CAST(150000000000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank " +
         s"FROM n LEFT JOIN c$i c ON c.id = n.id)"
     }.mkString(", ")
-    "WITH e AS (SELECT DISTINCT src, dst FROM (" +
-      "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +
-      "UNION ALL SELECT doc_id, (doc_id*13+11)%500 FROM documents)), " +
+    "WITH " + edgeCtes + ", " +
       "n AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
       "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
       "r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM n), " +
       rounds +
       " SELECT id AS node_id, rank AS rank_units FROM r3 ORDER BY node_id"
   }
+
+  private val sqlPagerank: String = sqlPagerankOver(
+    "e AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +
+      "UNION ALL SELECT doc_id, (doc_id*13+11)%500 FROM documents))")
 
   /** Whole-corpus top-10 retrieval for the fixed 3-query batch — the
     * shared oracle of q_retrieval_join / q_lex_search / q_lex_epoch.
@@ -3863,6 +3894,18 @@ object SparkEntry {
 
     "q_pagerank" -> sqlPagerank,
     "q_cfg_pagerank" -> sqlPagerank,
+
+    // crawl→rank: the SAME extraction/host/domain chain as q_cfg_links
+    // feeds the SAME integer recurrence as q_pagerank
+    "q_link_rank" -> sqlPagerankOver(
+      "h AS (SELECT doc_id, source, '<html><body><a href=\"https://WWW.ex' || " +
+        "CAST((doc_id+1)%20 AS VARCHAR) || '.com/a?utm_source=z\">one</a> mid " +
+        "<A HREF = \"http://sub.ex' || CAST((doc_id*3+7)%20 AS VARCHAR) || " +
+        "'.co.uk:80/b#x\">two</a><a name=\"nohref\">z</a></body></html>' AS html FROM documents), " +
+        "l AS (SELECT doc_id, source, unnest(regexp_extract_all(html, " +
+        """'(?is)<a\b[^>]*href[ \t\r\n]*=[ \t\r\n]*"([^"]*)"', 1)) AS link FROM h), """ +
+        "hh AS (SELECT source, " + sqlUrlHost("link") + " AS host FROM l), " +
+        "e AS (SELECT DISTINCT source AS src, " + sqlRegisteredDomain + " AS dst FROM hh)"),
 
     "q_cfg_links" ->
       ("WITH h AS (SELECT doc_id, '<html><body><a href=\"https://WWW.ex' || " +
