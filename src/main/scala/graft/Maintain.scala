@@ -20,6 +20,10 @@ package graft
   *   runMain graft.Maintain annindex forget <indexRoot> <key>[,key...]
   *   runMain graft.Maintain annindex retrain <versionedRoot> <corpusDir> <idCol> <vecCol> <kIvf>
   *                                                  # zero-downtime republish
+  *   runMain graft.Maintain annindex rebuildids <indexRoot>  # re-derive the id
+  *                                                  # census after out-of-protocol surgery
+  *   runMain graft.Maintain lexindex rebuildids <root>       # same for the lex
+  *                                                  # index's census + corpus stats
   *   runMain graft.Maintain ndstore forget <storeDir> <key>[,key...]  # purge a
   *                                                  # doc from all three store tables
   *
@@ -86,6 +90,9 @@ object Maintain {
           case "recluster" =>
             pipeline.AnnIndex.recluster(spark, args(2))
             println(s"[maintain] ann index re-clustered at ${args(2)}")
+          case "rebuildids" =>
+            pipeline.AnnIndex.rebuildIds(spark, args(2))
+            println(s"[maintain] ann index id census rebuilt at ${args(2)}")
           case "forget" if args.length >= 4 =>
             val r = pipeline.AnnIndex.forget(spark, args(2),
               typedKeys(spark, s"${args(2)}/index", "neighbor_id", args(3)))
@@ -153,6 +160,9 @@ object Maintain {
           case "compact" =>
             pipeline.LexIndex.compact(spark, args(2))
             println(s"[maintain] lex index compacted at ${args(2)}")
+          case "rebuildids" =>
+            pipeline.LexIndex.rebuildSidecars(spark, args(2))
+            println(s"[maintain] lex index sidecars rebuilt at ${args(2)}")
           case "forget" if args.length >= 4 =>
             val r = pipeline.LexIndex.forget(spark, args(2),
               typedKeys(spark, s"${args(2)}/postings", "id", args(3)))

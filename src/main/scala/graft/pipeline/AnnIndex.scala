@@ -50,8 +50,18 @@ object AnnIndex {
     encoded(corpus, idCol, vecCol, ivf, pq)
       .repartition(col("bucket")).sortWithinPartitions("bucket")
       .write.mode("overwrite").parquet(s"$root/index")
+    // id census sidecar: the summary the delta anti-join probes instead
+    // of the full index id column (IdCensus's batch-proportional read)
+    graft.sources.IdCensus.create(spark, root, indexIds(spark, root))
     Handle(root, ivf, pq)
   }
+
+  /** Ground-truth id set of the persisted index frame (column-pruned
+    * scan) — what the census is (re)derived from.
+    */
+  private def indexIds(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/index")
+      .select(col("neighbor_id").as("id")).distinct()
 
   /** Reopen a persisted index: loads the two (driver-sized) models;
     * the index frame stays on disk until [[search]] scans it.
@@ -62,27 +72,38 @@ object AnnIndex {
   /** Encode new rows with the PERSISTED models and append them to the
     * index frame — the incremental path (no retrain, existing rows
     * untouched). Callers own id uniqueness across appends; duplicate
-    * ids would surface as duplicate candidates at query time.
+    * ids would surface as duplicate candidates at query time. The id
+    * census (when present) advances with the batch; this plain path
+    * carries no replay protocol, so a crash between the two appends
+    * leaves the census to [[graft.sources.IdCensus.ensureFrom]]-style
+    * repair (`Maintain annindex rebuildids`) — use [[appendEpoch]]
+    * where crash-exactness matters.
     */
-  def append(handle: Handle, newRows: DataFrame, idCol: String, vecCol: String): Unit =
+  def append(handle: Handle, newRows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val spark = newRows.sparkSession
     encoded(newRows, idCol, vecCol, handle.ivf, handle.pq)
       .repartition(col("bucket")).sortWithinPartitions("bucket")
       .write.mode("append").parquet(handle.indexPath)
+    if (graft.sources.IdCensus.exists(spark, handle.root))
+      graft.sources.IdCensus.appendPlain(spark, handle.root,
+        newRows.select(col(idCol).as("id")).distinct())
+  }
 
   /** Delta-detecting append (the Dedup.newAgainst shape): rows whose id
     * already sits in the stored index are dropped by an anti-join BEFORE
     * encoding, so re-feeding an overlapping snapshot appends each vector
-    * exactly once. The anti-join's build side reads ONLY the index
-    * frame's id column (column-pruned parquet scan — megabytes at
-    * corpus scale); the delta alone pays encode cost. Returns the number
-    * of rows appended.
+    * exactly once. Membership comes from the id census sidecar
+    * ([[graft.sources.IdCensus.known]] — a stats-pruned, IN-pushed read
+    * whose cost follows the BATCH, not the index; pre-sidecar stores
+    * migrate with one id-column scan on first touch); the delta alone
+    * pays encode cost. Returns the number of rows appended.
     */
   def appendNew(handle: Handle, rows: DataFrame, idCol: String, vecCol: String): Long = {
     val spark = rows.sparkSession
-    val existing = spark.read.parquet(handle.indexPath).select(col("neighbor_id"))
-    val fresh = rows
-      .join(existing, rows(idCol) === existing("neighbor_id"), "left_anti")
-      .persist()
+    graft.sources.IdCensus.ensureFrom(spark, handle.root, indexIds(spark, handle.root))
+    val known = graft.sources.IdCensus.known(spark, handle.root, rows, idCol)
+      .select(col("id").as(idCol))
+    val fresh = rows.join(known, Seq(idCol), "left_anti").persist()
     try {
       val n = fresh.count()
       if (n > 0) append(handle, fresh, idCol, vecCol)
@@ -108,10 +129,15 @@ object AnnIndex {
                   tag: String): Long = {
     val spark = rows.sparkSession
     graft.sources.EpochFiles.retire(spark, handle.indexPath, tag)
-    val existing = spark.read.parquet(handle.indexPath).select(col("neighbor_id"))
-    val fresh = rows
-      .join(existing, rows(idCol) === existing("neighbor_id"), "left_anti")
-      .persist()
+    graft.sources.IdCensus.retireEpoch(spark, handle.root, tag)
+    graft.sources.IdCensus.ensureFrom(spark, handle.root, indexIds(spark, handle.root))
+    // membership via the census sidecar: a stats-pruned point-lookup
+    // read whose cost follows the BATCH (flat under index growth) —
+    // never the full index id column + distinct this path used to pay
+    // per micro-batch
+    val known = graft.sources.IdCensus.known(spark, handle.root, rows, idCol)
+      .select(col("id").as(idCol))
+    val fresh = rows.join(known, Seq(idCol), "left_anti").persist()
     try {
       val n = fresh.count()
       if (n > 0) {
@@ -120,6 +146,11 @@ object AnnIndex {
           .repartition(col("bucket")).sortWithinPartitions("bucket")
           .write.mode("overwrite").parquet(stage)
         graft.sources.EpochFiles.publish(spark, stage, handle.indexPath, tag)
+        // census publishes second, under the SAME tag: a crash between
+        // the two publishes is repaired by replaying the tag (both
+        // retires above restore the pre-epoch pair)
+        graft.sources.IdCensus.appendEpoch(spark, handle.root,
+          fresh.select(col(idCol).as("id")).distinct(), tag)
       }
       n
     } finally { fresh.unpersist(); () }
@@ -138,6 +169,9 @@ object AnnIndex {
               targetBytes: Long): graft.sources.Compaction.Result = {
     val r = graft.sources.Compaction.compact(spark, s"$root/index", targetBytes)
     spark.catalog.refreshByPath(s"$root/index")
+    // the census accretes one small file per epoch just like the index
+    // — fold it (and rebuild its stats artifact) on the same cadence
+    graft.sources.IdCensus.compact(spark, root)
     r
   }
 
@@ -222,8 +256,22 @@ object AnnIndex {
     val r = graft.sources.TargetedDelete.deleteAuto(
       spark, s"$root/index", "neighbor_id", ids)
     spark.catalog.refreshByPath(s"$root/index")
+    // census forgets too — re-admission on legitimate reappearance is
+    // the delta check no longer seeing the id, and the delta check IS
+    // the census
+    if (graft.sources.IdCensus.exists(spark, root))
+      graft.sources.IdCensus.forget(spark, root, ids)
     r
   }
+
+  /** Re-derive the id census from the index frame's ground truth —
+    * the repair arm for out-of-protocol surgery (a crash between a
+    * plain append's two writes, manual file moves). One column-pruned
+    * scan; never needed on the epoch path, whose tag replay repairs
+    * itself.
+    */
+  def rebuildIds(spark: SparkSession, root: String): Unit =
+    graft.sources.IdCensus.create(spark, root, indexIds(spark, root))
 
   def recluster(spark: SparkSession, root: String): Unit = {
     val dir = s"$root/index"

@@ -335,60 +335,22 @@ object Dedup {
     * an unpruned scan). The limit bounds the collect itself — the cap
     * is the driver-memory contract, not a hope.
     */
-  private def collectKeys(df: DataFrame, keyCol: String, cap: Int): Option[Array[Any]] = {
-    val rows = df.select(col(keyCol)).distinct().limit(cap + 1).collect()
-    if (rows.length > cap) None else Some(rows.map(_.get(0)))
-  }
+  private def collectKeys(df: DataFrame, keyCol: String, cap: Int): Option[Array[Any]] =
+    graft.sources.KeyedReads.collectKeys(df, keyCol, cap)
 
-  /** Keys per pruned-scan branch: the pushed IN becomes a recursive
-    * or-chain inside the parquet reader, which overflows the task
-    * stack somewhere above ~1000 terms (measured: 1000 fine, 2000
-    * SOE) — large key sets are split into ≤512-key scans unioned
-    * together. Row-group skipping is per scan, so the union reads the
-    * same pruned data; only footers are consulted once per chunk.
-    */
-  private val PruneChunk = 512
-
-  /** Read a key-clustered store table pruned to `keys`: the tables are
-    * written range-sharded and sorted on `keyCol` (each file/row group
-    * covers a narrow key range), so an IN predicate pushed to parquet
-    * skips every row group containing no requested key — file I/O then
-    * grows with the KEY SET (≈ the probe batch's candidates), not the
-    * corpus. Spark only converts IN to a parquet predicate below
-    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10), so
-    * the threshold is raised for the read; pushdown thresholds are
-    * consulted at EXECUTION, not plan build, so the pruned frame is
-    * materialized here while the raised value is in effect and the
-    * conf restored before returning.
+  /** Read a key-clustered store table pruned to `keys` — the shared
+    * two-layer primitive ([[graft.sources.KeyedReads.prunedRead]]):
+    * a `_stats` artifact (when the table carries one) prunes the FILE
+    * list at planning time so only candidate-touched files are even
+    * opened, then the keys are pushed as sorted-chunk IN predicates
+    * for row-group skipping. The tables are written range-sharded and
+    * sorted on `keyCol` (each file/row group covers a narrow key
+    * range), so I/O grows with the KEY SET (≈ the probe batch's
+    * candidates), not the corpus.
     */
   private def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
-                         keyCol: String, keys: Array[Any]): DataFrame = {
-    // zero candidates: nothing to look up — an empty frame with the
-    // table's schema (schema-only read, no data scan)
-    if (keys.isEmpty) return spark.read.parquet(path).limit(0)
-    val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, PruneChunk.toString)
-    // sort before chunking so each chunk covers a CONTIGUOUS key
-    // interval: against the range-sharded layout a chunk then touches
-    // few files instead of sampling every shard (sorting only shapes
-    // pruning efficiency, never results)
-    val sorted: Array[Any] = keys.headOption match {
-      case Some(_: Long)   => keys.map(_.asInstanceOf[Long]).sorted.map(x => x: Any)
-      case Some(_: Int)    => keys.map(_.asInstanceOf[Int]).sorted.map(x => x: Any)
-      case Some(_: String) => keys.map(_.asInstanceOf[String]).sorted.map(x => x: Any)
-      case _               => keys
-    }
-    try graft.Checkpoints.materialize(
-      sorted.grouped(PruneChunk)
-        .map(chunk => spark.read.parquet(path)
-          .filter(col(keyCol).isInCollection(chunk)))
-        .reduce(_.unionByName(_)))
-    finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None    => spark.conf.unset(confKey)
-    }
-  }
+                         keyCol: String, keys: Array[Any]): DataFrame =
+    graft.sources.KeyedReads.prunedRead(spark, path, keyCol, keys)
 
   /** Total bytes under a table directory — the cheap FS metadata call
     * behind the `minPruneBytes` floor: pruning a table that fits in a

@@ -27,14 +27,95 @@ import org.apache.spark.sql.functions._
   * (pushed In-filter under the inline cap; a broadcast semi-join
   * beyond it), joins against the bounded query set, and ranks with
   * per-partition `WindowGroupLimit` pushdown — cost ∝ the queried
-  * terms' posting lists, never the corpus. Append cost ∝ the batch
-  * (plus one column-pruned id scan for the delta anti-join, the
-  * [[AnnIndex.appendEpoch]] discipline).
+  * terms' posting lists, never the corpus. Append cost ∝ the batch:
+  * the delta check probes the id census sidecar
+  * ([[graft.sources.IdCensus]], stats-pruned point lookups — the
+  * [[AnnIndex.appendEpoch]] discipline), never the full postings id
+  * column. BM25 corpus stats (N, Σdl) are PINNED in per-epoch
+  * `_corpus/` artifacts maintained at create/append/forget time, so
+  * the scored search does no corpus-sized stats work in-plan at all.
   */
 object LexIndex {
 
   private def postingsDir(root: String) = root + "/postings"
   private def metaPath(root: String) = root + "/_lex.json"
+  private def corpusDir(root: String) = root + "/_corpus"
+
+  /** One (id, dl) row per indexed document — derived from postings
+    * rows (dl is constant per id by construction). This is both the
+    * census payload and the BM25 stats source.
+    */
+  private def censusOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+
+  /** Atomic (tmp+rename) write of one corpus-stats contribution:
+    * `{"n":…,"sumdl":…}`. `name` is `base` or `epoch-<tag>` — the sum
+    * over all files under `_corpus/` is the live (N, Σdl).
+    */
+  private def writeCorpusStats(spark: SparkSession, root: String, name: String,
+                               n: Long, sumdl: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(corpusDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.mkdirs(dir) || fs.exists(dir), s"cannot create $dir")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-$name")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"n":$n,"sumdl":$sumdl}""".getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"$name.json")
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"corpus stats rename failed for $name")
+  }
+
+  private def deleteCorpusStats(spark: SparkSession, root: String,
+                                name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir(root), s"$name.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    ()
+  }
+
+  private def statsFromCensus(spark: SparkSession, root: String): (Long, Long) = {
+    val r = graft.sources.IdCensus.readAll(spark, root)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Migration for pre-sidecar stores: derive census and stats from
+    * the postings' own ground truth, once, on first touch.
+    */
+  private def ensureSidecars(spark: SparkSession, root: String): Unit = {
+    graft.sources.IdCensus.ensureFrom(spark, root,
+      censusOf(spark.read.parquet(postingsDir(root))))
+    val dir = new org.apache.hadoop.fs.Path(corpusDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) {
+      val (n, sumdl) = statsFromCensus(spark, root)
+      writeCorpusStats(spark, root, "base", n, sumdl)
+    }
+  }
+
+  /** Live (N, Σdl) of the indexed corpus: the driver-side sum of the
+    * `_corpus/` contribution files — file count = epoch count since
+    * the last compact, never corpus-sized.
+    */
+  def readCorpusStats(spark: SparkSession, root: String): (Long, Long) = {
+    ensureSidecars(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(corpusDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pat = """\{"n":(-?\d+),"sumdl":(-?\d+)\}""".r
+    fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
+      .foldLeft((0L, 0L)) { case ((n, s), p) =>
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        body.trim match {
+          case pat(a, b) => (n + a.toLong, s + b.toLong)
+          case other => throw new IllegalStateException(
+            s"malformed corpus stats file $p: $other")
+        }
+      }
+  }
 
   /** (term, id, dl, tf) posting rows of a document frame. Null-id
     * docs are ignored; duplicate ids merge (ids are expected unique).
@@ -51,10 +132,32 @@ object LexIndex {
   private def clustered(p: DataFrame): DataFrame =
     p.repartitionByRange(col("term")).sortWithinPartitions(col("term"), col("id"))
 
+  /** Validated, de-nulled (queryId, term) pairs: the term column must
+    * be StringType up front (a non-string column would otherwise fail
+    * with an opaque driver-side ClassCastException at the inline-terms
+    * collect), and null terms — which can never match a posting under
+    * SQL equality — are dropped explicitly rather than silently.
+    */
+  private def queryTerms(queries: DataFrame, queryIdCol: String,
+                         termCol: String): DataFrame = {
+    val tt = queries.schema(termCol).dataType
+    require(tt == org.apache.spark.sql.types.StringType,
+      s"term column '$termCol' must be string, got ${tt.simpleString} — " +
+        "cast it before searching")
+    queries.filter(col(termCol).isNotNull)
+      .select(col(queryIdCol), col(termCol).as("term")).distinct()
+  }
+
   def create(docs: DataFrame, idCol: String, textCol: String, root: String): Unit = {
     val spark = docs.sparkSession
     clustered(postingsOf(docs, idCol, textCol))
       .write.mode("errorifexists").parquet(postingsDir(root))
+    // sidecars from the WRITTEN postings (the ground truth): id census
+    // for batch-proportional delta checks, pinned (N, Σdl) for BM25
+    graft.sources.IdCensus.create(spark, root,
+      censusOf(spark.read.parquet(postingsDir(root))))
+    val (n, sumdl) = statsFromCensus(spark, root)
+    writeCorpusStats(spark, root, "base", n, sumdl)
     val p = new org.apache.hadoop.fs.Path(metaPath(root))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -80,19 +183,41 @@ object LexIndex {
     val spark = batch.sparkSession
     requireIndex(spark, root)
     graft.sources.EpochFiles.retire(spark, postingsDir(root), tag)
-    val existing = spark.read.parquet(postingsDir(root))
-      .select(col("id")).distinct()
-    val delta = postingsOf(
-      batch.join(existing.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"),
-      idCol, textCol)
-    val stage = root + s"/_stage/$tag"
-    clustered(delta).write.mode("overwrite").parquet(stage)
-    graft.sources.EpochFiles.publish(spark, stage, postingsDir(root), tag)
+    graft.sources.IdCensus.retireEpoch(spark, root, tag)
+    deleteCorpusStats(spark, root, s"epoch-$tag")
+    ensureSidecars(spark, root)
+    // membership via the census sidecar: stats-pruned point lookups,
+    // cost ∝ batch — never the full postings id column + distinct
+    // this path used to pay per micro-batch
+    val known = graft.sources.IdCensus.known(spark, root, batch, idCol)
+      .select(col("id").as(idCol))
+    val delta = postingsOf(batch.join(known, Seq(idCol), "left_anti"),
+      idCol, textCol).persist()
+    try {
+      val stage = root + s"/_stage/$tag"
+      clustered(delta).write.mode("overwrite").parquet(stage)
+      graft.sources.EpochFiles.publish(spark, stage, postingsDir(root), tag)
+      // census + stats publish second, under the SAME tag: a crash
+      // between publishes is repaired by replaying the tag (all three
+      // retires above restore the pre-epoch triple)
+      val cen = censusOf(delta).persist()
+      try {
+        val r = cen.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+        if (r.getLong(0) > 0) {
+          graft.sources.IdCensus.appendEpoch(spark, root, cen, tag)
+          writeCorpusStats(spark, root, s"epoch-$tag", r.getLong(0), r.getLong(1))
+        }
+      } finally { cen.unpersist(); () }
+    } finally { delta.unpersist(); () }
   }
 
-  /** Remove a tag's published postings and staging leftovers. */
+  /** Remove a tag's published postings, census rows, stats
+    * contribution, and staging leftovers.
+    */
   def rollbackEpoch(spark: SparkSession, root: String, tag: String): Unit = {
     graft.sources.EpochFiles.retire(spark, postingsDir(root), tag)
+    graft.sources.IdCensus.retireEpoch(spark, root, tag)
+    deleteCorpusStats(spark, root, s"epoch-$tag")
     val st = new org.apache.hadoop.fs.Path(root + s"/_stage/$tag")
     val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(st, true)
@@ -109,30 +234,73 @@ object LexIndex {
     val cur = graft.streaming.SwapStore.readCurrent(spark, postingsDir(root),
       new org.apache.spark.sql.types.StructType())
     graft.streaming.SwapStore.swapWrite(clustered(cur), postingsDir(root))
+    // fold the sidecars on the same cadence: census epoch files merge
+    // into one clustered table, stats contributions into one base
+    graft.sources.IdCensus.compact(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(corpusDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      val (n, sumdl) = readCorpusStats(spark, root)
+      fs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.endsWith(".json") && p.getName != "base.json")
+        .foreach(fs.delete(_, false))
+      writeCorpusStats(spark, root, "base", n, sumdl)
+    }
+  }
+
+  /** Re-derive both sidecars (id census, corpus stats) from the
+    * postings' ground truth — the repair arm for out-of-protocol
+    * surgery. One postings scan; never needed on the epoch path,
+    * whose tag replay repairs itself.
+    */
+  def rebuildSidecars(spark: SparkSession, root: String): Unit = {
+    requireIndex(spark, root)
+    graft.sources.IdCensus.create(spark, root,
+      censusOf(spark.read.parquet(postingsDir(root))))
+    val dir = new org.apache.hadoop.fs.Path(corpusDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val (n, sumdl) = statsFromCensus(spark, root)
+    writeCorpusStats(spark, root, "base", n, sumdl)
   }
 
   /** Right-to-be-forgotten: a forgotten document's postings go through
     * the crash-safe targeted rewrite; it stops being retrievable and —
-    * via the append anti-join — can be re-admitted later.
+    * via the append delta check — can be re-admitted later. The census
+    * forgets too, and the corpus stats are re-pinned from the
+    * post-delete census (consolidated into `base`). Same between-epochs
+    * caveat as [[compact]].
     */
   def forget(spark: SparkSession, root: String,
              ids: Seq[Any]): graft.sources.TargetedDelete.Result = {
     requireIndex(spark, root)
+    ensureSidecars(spark, root)
     val r = graft.sources.TargetedDelete.deleteAuto(spark, postingsDir(root), "id", ids)
     spark.catalog.refreshByPath(postingsDir(root))
+    graft.sources.IdCensus.forget(spark, root, ids)
+    val (n, sumdl) = statsFromCensus(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(corpusDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.endsWith(".json") && p.getName != "base.json")
+        .foreach(fs.delete(_, false))
+    writeCorpusStats(spark, root, "base", n, sumdl)
     r
   }
 
   /** BM25-scored top-k per query from the persisted index (the scored
-    * read; [[search]] is the integer-exact one). Corpus stats come
-    * from the index itself — N and avgdl from one column-pruned
-    * distinct over (id, dl) (a summary-table scan per query batch, the
-    * AnnIndex-ingest trade), df per term from the PRUNED postings —
-    * so the scores equal [[Text.bm25]] over the indexed corpus, with
-    * N = documents that produced at least one token. Output is
-    * rank-gated like q_bm25: `(queryIdCol, rank, id, n_matched, dl)`
-    * — the float score orders (desc, id asc) but is never emitted, so
-    * engines can replay the ranking without float-hash hazards.
+    * read; [[search]] is the integer-exact one). Corpus stats (N,
+    * Σdl) come from the index's PINNED `_corpus/` artifacts —
+    * maintained at create/append/forget time, summed driver-side, and
+    * injected as literals, so the plan does NO corpus-sized stats work
+    * per query batch (and no scalar-row cross join); df per term from
+    * the PRUNED postings. The scores equal [[Text.bm25]] over the
+    * indexed corpus, with N = documents that produced at least one
+    * token. Output is rank-gated like q_bm25: `(queryIdCol, rank, id,
+    * n_matched, dl)` — the float score orders (desc, id asc) but is
+    * never emitted, so engines can replay the ranking without
+    * float-hash hazards.
     */
   def bm25Search(spark: SparkSession, root: String, queries: DataFrame,
                  queryIdCol: String, termCol: String, k: Int,
@@ -140,13 +308,12 @@ object LexIndex {
                  maxInlineTerms: Int = 10000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     requireIndex(spark, root)
-    val q = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
+    val q = queryTerms(queries, queryIdCol, termCol)
     val post = spark.read.parquet(postingsDir(root))
-    // exact stats: integer sum + count, ONE division — not avg(), whose
-    // internal accumulation an oracle can't replay operand-for-operand
-    val stats = post.select(col("id"), col("dl")).distinct()
-      .agg(count(lit(1)).cast("double").as("__n"),
-        sum(col("dl")).cast("double").as("__sumdl"))
+    // exact stats: integer sum + count pinned at write time, ONE
+    // division — not avg(), whose internal accumulation an oracle
+    // can't replay operand-for-operand
+    val (nDocs, sumDl) = readCorpusStats(spark, root)
     val terms = q.select(col("term")).distinct()
     val inline = terms.limit(maxInlineTerms + 1).collect().map(_.getString(0))
     val pruned =
@@ -154,9 +321,9 @@ object LexIndex {
       else post.join(broadcast(terms), Seq("term"), "left_semi")
     // postings are unique per (id, term), so count(*) IS the df
     val df = pruned.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
-    val idf = log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val tf = col("tf").cast("double")
-    val avgdl = col("__sumdl") / col("__n")
+    val avgdl = lit(sumDl.toDouble) / lit(nDocs.toDouble)
     val termScore = idf * tf * lit(k1 + 1.0) /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
     // deterministic score: per-term contributions fold in SORTED-term
@@ -165,7 +332,6 @@ object LexIndex {
     // replay the addition operand-for-operand)
     pruned.join(q, Seq("term"))
       .join(df, Seq("term"))
-      .crossJoin(broadcast(stats))
       .select(col(queryIdCol), col("id"), col("dl"), col("term"), termScore.as("__s"))
       .groupBy(col(queryIdCol), col("id"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_matched"),
@@ -193,7 +359,7 @@ object LexIndex {
              maxInlineTerms: Int = 10000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     requireIndex(spark, root)
-    val q = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
+    val q = queryTerms(queries, queryIdCol, termCol)
     val post = spark.read.parquet(postingsDir(root))
     val terms = q.select(col("term")).distinct()
     val inline = terms.limit(maxInlineTerms + 1).collect().map(_.getString(0))

@@ -111,13 +111,13 @@ object FileStatsIndex {
     val keepSet = known.filter(r => !r.isNullAt(1) && r.getBoolean(1))
       .map(r => pathOf(r.getString(0))).toSet
     val knownSet = known.map(r => pathOf(r.getString(0))).toSet
-    // on-disk listing (the index's _stats dir and other _/.-prefixed
-    // paths are metadata, not data): anything the index has never seen
-    // stays in
+    // on-disk listing: anything the index has never seen stays in.
+    // listParquetFiles already excludes _/.-prefixed metadata BELOW the
+    // table root (the _stats dir itself, markers, temp files); the root
+    // may legitimately sit under an underscore parent (e.g. the id
+    // census at <store>/_ids/rows), so no whole-path segment filter
     val all = ParquetSource
       .listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
-      .filterNot(f => pathOf(f).split("/")
-        .exists(seg => seg.startsWith("_") || seg.startsWith(".")))
     all.filter(f => !knownSet.contains(pathOf(f)) || keepSet.contains(pathOf(f)))
   }
 

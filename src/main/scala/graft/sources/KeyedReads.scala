@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Key-pruned point-lookup reads over a key-clustered parquet table —
+  * the shared primitive behind every "probe a persisted store with a
+  * bounded key batch" path (near-dup store tiers, id-census delta
+  * checks). Two pruning layers compose:
+  *
+  *  1. **File-level** (planning time, zero I/O): when the table carries
+  *     a [[FileStatsIndex]] `_stats` artifact, the driver keeps only
+  *     files whose [min, max] key range contains at least one probe
+  *     key (binary search of the sorted key array per file — exact
+  *     interval membership, not just range overlap). Files the
+  *     artifact has never seen are always kept, so a stale artifact
+  *     can only under-prune, never lose rows. This is what makes probe
+  *     cost batch-proportional in FILE OPENS, not just bytes: a scan
+  *     that must open every footer still pays a metadata round trip
+  *     per file (hundreds of thousands of S3 GETs at warehouse scale).
+  *  2. **Row-group-level** (read time): the surviving files are read
+  *     with the keys pushed as IN predicates in sorted contiguous
+  *     chunks, under a raised parquet `inFilterThreshold` so the
+  *     filter stays exact OR-of-eq pushdown instead of collapsing to a
+  *     min/max range — each row group's stats then reject chunks that
+  *     merely straddle it.
+  *
+  * Both layers are advisory: results equal an unpruned
+  * `read.filter(key isin probe)` by construction (KeyedReadsSpec
+  * property-checks it against random layouts).
+  */
+object KeyedReads {
+
+  /** Sorted-chunk size for the pushed IN predicates: large enough to
+    * amortize scan-branch overhead, small enough that evaluating the
+    * OR-of-eq set against row-group stats stays cheap.
+    */
+  val PruneChunk = 512
+
+  /** Distinct keys of `df.keyCol`, driver-collected — or None past
+    * `cap` (the caller falls back to a full-scan join at that size).
+    * Null keys are dropped (a point lookup on null matches nothing
+    * under SQL join semantics).
+    */
+  def collectKeys(df: DataFrame, keyCol: String, cap: Int): Option[Array[Any]] = {
+    val rows = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows.map(_.get(0)))
+  }
+
+  /** Rows of the parquet table under `path` whose `keyCol` is in
+    * `keys`, read through both pruning layers. Empty key set returns
+    * an empty frame with the table's schema (schema-only read).
+    */
+  def prunedRead(spark: SparkSession, path: String, keyCol: String,
+                 keys: Array[Any]): DataFrame = {
+    if (keys.isEmpty) return spark.read.parquet(path).limit(0)
+    // sort before chunking so each chunk covers a CONTIGUOUS key
+    // interval: against a range-sharded layout a chunk then touches
+    // few files instead of sampling every shard (sorting only shapes
+    // pruning efficiency, never results)
+    val sorted: Array[Any] = keys.headOption match {
+      case Some(_: Long)   => keys.map(_.asInstanceOf[Long]).sorted.map(x => x: Any)
+      case Some(_: Int)    => keys.map(_.asInstanceOf[Int]).sorted.map(x => x: Any)
+      case Some(_: String) => keys.map(_.asInstanceOf[String]).sorted.map(x => x: Any)
+      case _               => keys
+    }
+    val files = survivingFiles(spark, path, keyCol, sorted)
+    if (files.exists(_.isEmpty)) return spark.read.parquet(path).limit(0)
+    def read(): DataFrame = files match {
+      case Some(fs) => spark.read.parquet(fs: _*)
+      case None     => spark.read.parquet(path)
+    }
+    val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, PruneChunk.toString)
+    try graft.Checkpoints.materialize(
+      sorted.grouped(PruneChunk)
+        .map(chunk => read().filter(col(keyCol).isInCollection(chunk)))
+        .reduce(_.unionByName(_)))
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
+
+  /** File-level prune against the table's `_stats` artifact: Some(kept
+    * files) when the artifact exists and covers `keyCol`, None when
+    * there is nothing to prune with (read the directory normally).
+    * A file survives iff some probe key falls inside its [min, max]
+    * (binary search — exact for the supported orderable types; other
+    * key types conservatively keep the file), or the artifact has no
+    * row for it.
+    */
+  private def survivingFiles(spark: SparkSession, path: String, keyCol: String,
+                             sortedKeys: Array[Any]): Option[Seq[String]] = {
+    val statsPath = new org.apache.hadoop.fs.Path(path, "_stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) return None
+    val stats = spark.read.parquet(statsPath.toString)
+    val (lo, hi) = (s"${keyCol}__min", s"${keyCol}__max")
+    if (!stats.columns.contains(lo) || !stats.columns.contains(hi)) return None
+    val known = stats.select(col("file"), col(lo), col(hi)).collect()
+    def anyKeyIn(mn: Any, mx: Any): Boolean = {
+      if (mn == null || mx == null) return false // empty/all-null file
+      // smallest key >= mn, then check it is <= mx
+      import java.util.Arrays
+      val i = (mn, sortedKeys.headOption) match {
+        case (m: java.lang.Long, Some(_: Long)) =>
+          val a = sortedKeys.map(_.asInstanceOf[Long])
+          val j = Arrays.binarySearch(a, m.longValue)
+          val k = if (j >= 0) j else -j - 1
+          if (k >= a.length) -1
+          else if (a(k) <= mx.asInstanceOf[Long]) k else -1
+        case (m: java.lang.Integer, Some(_: Int)) =>
+          val a = sortedKeys.map(_.asInstanceOf[Int])
+          val j = Arrays.binarySearch(a, m.intValue)
+          val k = if (j >= 0) j else -j - 1
+          if (k >= a.length) -1
+          else if (a(k) <= mx.asInstanceOf[Int]) k else -1
+        case (m: String, Some(_: String)) =>
+          val a = sortedKeys.map(_.asInstanceOf[String])
+          val j = Arrays.binarySearch(a.asInstanceOf[Array[AnyRef]], m)
+          val k = if (j >= 0) j else -j - 1
+          if (k >= a.length) -1
+          else if (a(k) <= mx.asInstanceOf[String]) k else -1
+        case _ => 0 // unsupported type: conservatively keep
+      }
+      i >= 0
+    }
+    val keepSet = known.filter(r => anyKeyIn(r.get(1), r.get(2)))
+      .map(r => pathOf(r.getString(0))).toSet
+    val knownSet = known.map(r => pathOf(r.getString(0))).toSet
+    // anything the artifact has never seen stays in (appends since the
+    // last stats update must never be silently dropped); listParquetFiles
+    // already excludes _/.-prefixed children BELOW the table root — the
+    // root itself may legitimately sit under an underscore parent (the
+    // id census lives at <store>/_ids/rows), so no whole-path filter here
+    val all = ParquetSource
+      .listParquetFiles(path, spark.sparkContext.hadoopConfiguration)
+    Some(all.filter(f => !knownSet.contains(pathOf(f)) || keepSet.contains(pathOf(f))))
+  }
+
+  private def pathOf(file: String): String =
+    new org.apache.hadoop.fs.Path(file).toUri.getPath
+}

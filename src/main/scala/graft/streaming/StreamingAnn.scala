@@ -24,9 +24,11 @@ import graft.pipeline.AnnIndex
   * retrains, and a retrain (AnnIndex.build) must not run under a live
   * ingest for the same reason compaction must not.
   *
-  * Scale: per epoch, the anti-join's build side reads ONLY the index
-  * frame's id column (column-pruned scan); encode cost is paid by the
-  * delta alone; the appended files are bucket-clustered within
+  * Scale: per epoch, membership comes from the id census sidecar
+  * ([[graft.sources.IdCensus]] — a stats-pruned point-lookup read
+  * whose cost follows the MICRO-BATCH, flat under index growth; never
+  * a full id-column scan + distinct per trigger); encode cost is paid
+  * by the delta alone; the appended files are bucket-clustered within
   * themselves. After many epochs run [[AnnIndex.compact]] +
   * [[AnnIndex.recluster]] between batches to restore file sizes and
   * global bucket clustering.

@@ -50,12 +50,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_sem_decon",       // broadcast anti join against the bounded reference
                          // (eval-set) code rows + the 1-row scale scalar —
                          // same bounded shape as q_int8_topk
-    "q_theta_overlap",   // scalar-row cross joins only: the click and purchase
+    "q_theta_overlap")   // scalar-row cross joins only: the click and purchase
                          // sketch frames are ONE row each (post-aggregation),
                          // as is the exact flag-aggregate row — 1×1 joins
-    "q_lex_bm25")        // scalar-row cross join: the 1-row (N, sumdl) corpus
-                         // stats frame broadcast onto the pruned postings —
-                         // same bounded shape as the allowlisted q_bm25
+    // q_lex_bm25 left the list in round 13: its (N, Σdl) stats are now
+    // PINNED in the index's _corpus/ artifacts and injected as
+    // literals, so the plan has no scalar-row cross join at all
 
   test("no gate query plans an unlisted cartesian/nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
