@@ -192,16 +192,17 @@ object Pipeline {
         .select(df.columns.map(col).toIndexedSeq: _*)
     case graft.config.TransformConfig.HtmlExtract(text) =>
       df.withColumn(text, graft.pipeline.Web.stripMarkup(col(text)))
-    case graft.config.TransformConfig.UrlCanon(u, hostC, domC) =>
+    case graft.config.TransformConfig.UrlCanon(u, hostC, domC, tracked) =>
       // canonicalize in place; host/domain derive from the canonical
       // form (urlHost lowercases anyway, so raw vs canon is identical)
-      val canon = df.withColumn(u, graft.pipeline.Web.canonicalizeUrl(col(u)))
+      val canon = df.withColumn(u, graft.pipeline.Web.canonicalizeUrl(col(u),
+        tracked.getOrElse(graft.pipeline.Web.DefaultTrackedParams.toList)))
       val hostExpr = graft.pipeline.Web.urlHost(col(u))
       val withHost = hostC.fold(canon)(h => canon.withColumn(h, hostExpr))
       domC.fold(withHost)(dc => withHost.withColumn(dc,
         graft.pipeline.Web.registeredDomain(hostC.map(col).getOrElse(hostExpr))))
     case graft.config.TransformConfig.LineDedup(id, text, minDup, minChars,
-        segWords, censusDir, advance) =>
+        segWords, censusDir, advance, advanceTag) =>
       // SpanDedup's re-attach contract; with segmentWords the SEGMENTED
       // text is the stage's view of the column (and the output's).
       // With censusDir the batch dedups INCREMENTALLY against the
@@ -213,6 +214,13 @@ object Pipeline {
       else df
       val deduped = censusDir match {
         case Some(dir) =>
+          // with an advanceTag, retire the tag's previous delta FIRST:
+          // a replayed run then probes the pre-epoch census and
+          // republishes identically (end-state idempotent); without a
+          // tag the read-merge-swap advance is at-least-once (see
+          // LineDedup's scaladoc)
+          advanceTag.foreach(tag =>
+            graft.pipeline.Web.rollbackLineAdvance(df.sparkSession, dir, tag))
           // materialize the probe BEFORE advancing: the probe plan is
           // lazy and would otherwise read the census only at target-
           // write time — after the advance has already swapped it in,
@@ -220,9 +228,12 @@ object Pipeline {
           val out = graft.Checkpoints.materialize(
             graft.pipeline.Web.lineDedupAgainst(dir,
               seg.select(col(id), col(text)), id, text, minDup))
-          if (advance)
-            graft.pipeline.Web.advanceLineCensus(dir,
+          if (advance) advanceTag match {
+            case Some(tag) => graft.pipeline.Web.advanceStagedLineCensus(
+              seg.select(col(id), col(text)), id, text, dir, tag)
+            case None => graft.pipeline.Web.advanceLineCensus(dir,
               seg.select(col(id), col(text)), id, text)
+          }
           out
         case None =>
           graft.pipeline.Web.lineDedup(seg.select(col(id), col(text)),
@@ -484,6 +495,24 @@ object Pipeline {
       graft.pipeline.AnnIndex.appendEpoch(
         graft.pipeline.AnnIndex.open(df.sparkSession, root), df, id, vec, tag)
       df
+    case graft.config.TransformConfig.ForgetStage(store, root, idCol) =>
+      // passthrough side effect: the piped rows ARE the RTBF batch —
+      // the collect is capped (ForgetStage.MaxIds): requests, not
+      // corpora; larger sets should be split into pipeline runs
+      val cap = graft.config.TransformConfig.ForgetStage.MaxIds
+      val keyRows = df.select(col(idCol)).filter(col(idCol).isNotNull)
+        .distinct().limit(cap + 1).collect()
+      require(keyRows.length <= cap,
+        s"forget stage caps at $cap ids per run — split the RTBF batch")
+      val ids: Seq[Any] = keyRows.toIndexedSeq.map(_.get(0))
+      val spark = df.sparkSession
+      store match {
+        case "annIndex" => graft.pipeline.AnnIndex.forget(spark, root, ids)
+        case "lexIndex" => graft.pipeline.LexIndex.forget(spark, root, ids)
+        case "nearDupStore" =>
+          graft.pipeline.Dedup.NearDupStore.forget(spark, root, ids)
+      }
+      df
     case graft.config.TransformConfig.RfmStage(key, ts, value, asOf, buckets) =>
       graft.operators.Rfm.scores(df, key, ts, value, to_date(lit(asOf)), buckets)
     case graft.config.TransformConfig.TransitionMatrixStage(key, ts, tpe, tie) =>
@@ -520,9 +549,10 @@ object Pipeline {
     case graft.config.TransformConfig.LexSearchStage(root, qid, term, k) =>
       // terminal reshape: piped rows are the bounded query batch
       graft.pipeline.LexIndex.search(df.sparkSession, root, df, qid, term, k)
-    case graft.config.TransformConfig.PageRankStage(src, dst, iters, dampingPct) =>
+    case graft.config.TransformConfig.PageRankStage(src, dst, iters, dampingPct, dangling) =>
       // terminal reshape: (id, rank_units)
-      graft.operators.Graphs.pageRank(df, src, dst, iters, dampingPct)
+      graft.operators.Graphs.pageRank(df, src, dst, iters, dampingPct,
+        danglingRedistribute = dangling)
     case graft.config.TransformConfig.TrianglesStage(src, dst) =>
       // terminal reshape: (vertex, n_triangles)
       graft.operators.Graphs.triangleCounts(df, src, dst)

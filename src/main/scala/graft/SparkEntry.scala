@@ -2400,6 +2400,52 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  private val cfgForgetIx =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.AnnIndex.Handle]()
+
+  /** Right-to-be-forgotten DECLARATIVELY (q_cfg_audit discipline): the
+    * RTBF batch (vec_ids 400-449) is a parquet source, `forget` is a
+    * config stage against the persisted ANN index, and the audit copy
+    * of the batch is the pipeline's target — then the gate pins index
+    * membership for the WHOLE corpus against the q_ann_forget-style
+    * oracle.
+    */
+  private def qCfgForget(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val h = cfgForgetIx.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-cfgforget")
+      val root = base.resolve("ix").toString
+      val built = graft.pipeline.AnnIndex.build(emb, "vec_id", "embedding", root,
+        kIvf = 10, m = 16, ksub = 16, iters = 2)
+      val src = base.resolve("batch").toString
+      val out = base.resolve("audit").toString
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .select(col("vec_id")).write.parquet(src)
+      val cfg = graft.config.PipelineConfig.parse(
+        s"""source.type: parquet
+           |source.path: $src
+           |target.type: parquet
+           |target.path: $out
+           |target.mode: overwrite
+           |transforms: forget
+           |transform.forget.store: annIndex
+           |transform.forget.root: $root
+           |transform.forget.idColumn: vec_id
+           |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+      graft.Pipeline.run(s, cfg)
+      // the audit target must carry the batch through unchanged
+      require(s.read.parquet(out).count() == 50L, "forget stage must pass rows through")
+      built
+    })
+    s.catalog.refreshByPath(h.indexPath)
+    val indexed = s.read.parquet(h.indexPath)
+      .select(col("neighbor_id").as("vec_id")).withColumn("__in", lit(true))
+    emb.select(col("vec_id"))
+      .join(indexed, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("__in"), lit(false)).as("in_index"))
+      .orderBy(col("vec_id"))
+  }
+
   /** LSH-bucketed semantic dedup (SemDeDup rule): the oracle rebuilds
     * the seed-fixed hyperplane buckets and the within-bucket cosine
     * test end to end, so the approximate tier's exact output is pinned
@@ -3129,6 +3175,47 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Incremental PageRank maintenance pinned to the FULL-recompute
+    * oracle (the q_components_incr discipline): ranks for the crawl
+    * epoch split doc_id < 250 vs rest — levels persisted for the old
+    * graph, the epoch's edges absorbed through the frontier-bounded
+    * appendToPageRank — must equal q_pagerank's whole-graph recurrence
+    * over the union edge set, unit for unit.
+    */
+  private def qPagerankIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val edges = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+    val oldE = edges.filter(col("src") < 250)
+    val newE = edges.filter(col("src") >= 250)
+    val levels = graft.operators.Graphs.pageRankLevels(oldE, "src", "dst", iters = 3)
+    graft.operators.Graphs.appendToPageRank(levels, oldE, newE, "src", "dst", iters = 3)
+      .filter(col("iter") === 3)
+      .select(col("id").as("node_id"), col("rank").as("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
+  /** PageRank with the classic dangling-mass redistribution term,
+    * integer-exact: the edge set is truncated to sources doc_id < 300
+    * so the dst-only vertices genuinely dangle, and each round every
+    * vertex receives `(85 · (Σ contribs + (D div N))) div 100` — the
+    * oracle replays the identical recurrence including the per-round
+    * dangling aggregate.
+    */
+  private def qPagerankDangling(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+    val edges = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+    graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3,
+        danglingRedistribute = true)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
   private def lexQueries(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(("q0", "spark"), ("q0", "window"),
@@ -3438,6 +3525,8 @@ object SparkEntry {
     "q_cfg_webextract" -> (qCfgWebextract _),
     "q_link_graph" -> (qLinkGraph _),
     "q_pagerank" -> (qPagerank _),
+    "q_pagerank_incr" -> (qPagerankIncr _),
+    "q_pagerank_dangling" -> (qPagerankDangling _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
     "q_incr_linededup" -> (qIncrLineDedup _),
     "q_anchor_text" -> (qAnchorText _),
@@ -3497,6 +3586,7 @@ object SparkEntry {
     "q_ann_store" -> (qAnnStore _),
     "q_ann_epoch" -> (qAnnEpoch _),
     "q_ann_forget" -> (qAnnForget _),
+    "q_cfg_forget" -> (qCfgForget _),
     "q_ann_retrain" -> (qAnnRetrain _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_cfg_ann" -> (qCfgAnn _),
@@ -3788,8 +3878,21 @@ object SparkEntry {
       "WHEN 2 THEN 'https://blog.' || source || '.example.org/post/' || CAST(doc_id AS VARCHAR) || '/?fbclid=zzz' " +
       "ELSE 'http://User:Pw@' || source || '.Example.COM/x%20y?id=' || CAST(doc_id AS VARCHAR) || '&gclid=g&r=2' END"
 
-  private val sqlTracked = "(?:utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)"
+  // mirrors Web.DefaultTrackedParams — `ref` is NOT tracked (a common
+  // legitimate content parameter; see the advice-driven round-13 change)
+  private val sqlTracked = "(?:utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)"
   private val sqlAuthority = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  /** canonicalizeUrl step 3 in DuckDB SQL over a `nt` column:
+    * lowercase scheme and host:port only — userinfo keeps its case
+    * (RFC 3986 §6.2.2.1), exactly like the Spark side.
+    */
+  private val sqlLowerAuth: String =
+    "CASE WHEN regexp_extract(nt, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN nt " +
+      "ELSE lower(regexp_extract(nt, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || " +
+      "regexp_extract(nt, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)', 1) || " +
+      "lower(regexp_extract(nt, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1)) || " +
+      "regexp_replace(nt, '" + sqlAuthority + "', '', 'g') END"
 
   /** Tracking-param + fragment strip (canonicalizeUrl steps 1-2). */
   private def sqlStripTracking(u: String): String = {
@@ -3858,6 +3961,34 @@ object SparkEntry {
       "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +
       "UNION ALL SELECT doc_id, (doc_id*13+11)%500 FROM documents))")
 
+  /** The dangling-redistribution recurrence over a truncated edge set
+    * (sources doc_id < 300 so dst-only vertices dangle): per round a
+    * scalar dangling share `coalesce(Σ rank over zero-out-degree, 0)
+    * div N` joins every vertex's in-sum — the exact integer recipe
+    * Graphs.pageRank(danglingRedistribute = true) runs.
+    */
+  private val sqlPagerankDangling: String = {
+    val rounds = (1 to 3).map { i =>
+      s"g$i AS (SELECT coalesce((SELECT SUM(r.rank) FROM r${i - 1} r " +
+        "LEFT JOIN d ON d.src = r.id WHERE d.src IS NULL), 0) // " +
+        "(SELECT c FROM nn) AS share), " +
+        s"c$i AS (SELECT e.dst AS id, SUM(r.rank // d.deg) AS s " +
+        s"FROM e JOIN r${i - 1} r ON r.id = e.src JOIN d ON d.src = e.src GROUP BY e.dst), " +
+        s"r$i AS (SELECT n.id, CAST(150000000000 + (85 * (coalesce(c.s, 0) + " +
+        s"(SELECT share FROM g$i))) // 100 AS BIGINT) AS rank " +
+        s"FROM n LEFT JOIN c$i c ON c.id = n.id)"
+    }.mkString(", ")
+    "WITH e AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents WHERE doc_id < 300 " +
+      "UNION ALL SELECT doc_id, (doc_id*13+11)%500 FROM documents WHERE doc_id < 300)), " +
+      "n AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+      "nn AS (SELECT count(*) AS c FROM n), " +
+      "r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM n), " +
+      rounds +
+      " SELECT id AS node_id, rank AS rank_units FROM r3 ORDER BY node_id"
+  }
+
   /** Whole-corpus top-10 retrieval for the fixed 3-query batch — the
     * shared oracle of q_retrieval_join / q_lex_search / q_lex_epoch.
     */
@@ -3894,6 +4025,11 @@ object SparkEntry {
 
     "q_pagerank" -> sqlPagerank,
     "q_cfg_pagerank" -> sqlPagerank,
+    // the incremental gate is PINNED TO THE FULL RECOMPUTE: same
+    // recurrence, same union edge set — the frontier path must land on
+    // identical units or the gate hash-fails
+    "q_pagerank_incr" -> sqlPagerank,
+    "q_pagerank_dangling" -> sqlPagerankDangling,
 
     // crawl→rank: the SAME extraction/host/domain chain as q_cfg_links
     // feeds the SAME integer recurrence as q_pagerank
@@ -3915,8 +4051,7 @@ object SparkEntry {
         "l AS (SELECT doc_id, unnest(regexp_extract_all(html, " +
         """'(?is)<a\b[^>]*href[ \t\r\n]*=[ \t\r\n]*"([^"]*)"', 1)) AS link FROM h), """ +
         "u1 AS (SELECT doc_id, " + sqlStripTracking("link") + " AS nt FROM l), " +
-        "u2 AS (SELECT doc_id, lower(regexp_extract(nt, '" + sqlAuthority + "', 0)) || " +
-        "regexp_replace(nt, '" + sqlAuthority + "', '', 'g') AS lo FROM u1), " +
+        "u2 AS (SELECT doc_id, " + sqlLowerAuth + " AS lo FROM u1), " +
         "u3 AS (SELECT doc_id, " +
         sqlRr(sqlRr("lo", "^(http://[^/:?#]+):80([/?]|$)", "'\\1\\2'"),
           "^(https://[^/:?#]+):443([/?]|$)", "'\\1\\2'") + " AS np FROM u2), " +
@@ -3962,8 +4097,7 @@ object SparkEntry {
     "q_url_canon" ->
       ("WITH u0 AS (SELECT doc_id, " + sqlSyntheticUrl + " AS u FROM documents), " +
         "u1 AS (SELECT doc_id, u, " + sqlStripTracking("u") + " AS nt FROM u0), " +
-        "u2 AS (SELECT doc_id, u, lower(regexp_extract(nt, '" + sqlAuthority + "', 0)) || " +
-        "regexp_replace(nt, '" + sqlAuthority + "', '', 'g') AS lo FROM u1), " +
+        "u2 AS (SELECT doc_id, u, " + sqlLowerAuth + " AS lo FROM u1), " +
         "u3 AS (SELECT doc_id, u, " +
         sqlRr(sqlRr("lo", "^(http://[^/:?#]+):80([/?]|$)", "'\\1\\2'"),
           "^(https://[^/:?#]+):443([/?]|$)", "'\\1\\2'") + " AS np FROM u2), " +
@@ -4022,8 +4156,7 @@ object SparkEntry {
       ("WITH h AS (SELECT doc_id, " + sqlSyntheticHtml + " AS html, " +
         sqlSyntheticUrl + " AS u FROM documents), " +
         "u1 AS (SELECT doc_id, html, u, " + sqlStripTracking("u") + " AS nt FROM h), " +
-        "u2 AS (SELECT doc_id, html, u, lower(regexp_extract(nt, '" + sqlAuthority + "', 0)) || " +
-        "regexp_replace(nt, '" + sqlAuthority + "', '', 'g') AS lo FROM u1), " +
+        "u2 AS (SELECT doc_id, html, u, " + sqlLowerAuth + " AS lo FROM u1), " +
         "u3 AS (SELECT doc_id, html, u, " +
         sqlRr(sqlRr("lo", "^(http://[^/:?#]+):80([/?]|$)", "'\\1\\2'"),
           "^(https://[^/:?#]+):443([/?]|$)", "'\\1\\2'") + " AS np FROM u2), " +
@@ -4615,6 +4748,12 @@ object SparkEntry {
     // frame membership IS search reachability
     "q_ann_forget" ->
       ("SELECT vec_id, (vec_id < 450) AS in_index " +
+        "FROM embeddings ORDER BY vec_id"),
+
+    // declarative RTBF: the forget STAGE must leave exactly the
+    // complement of the 400-449 batch in the index
+    "q_cfg_forget" ->
+      ("SELECT vec_id, (vec_id < 400 OR vec_id >= 450) AS in_index " +
         "FROM embeddings ORDER BY vec_id"),
 
     // filtered ANN: every hit equals the pre-filtered-index ranking and

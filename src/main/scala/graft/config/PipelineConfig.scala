@@ -693,6 +693,31 @@ object TransformConfig {
       else if (tag.isEmpty) Some("transform.annIngest.tag required")
       else None
   }
+  /** Right-to-be-forgotten as a pipeline event: the piped rows ARE the
+    * RTBF batch — their `idColumn` values are purged from the named
+    * persisted store (annIndex / lexIndex / nearDupStore crash-safe
+    * targeted rewrite, the CLI `forget` arms' exact semantics) and the
+    * rows flow on UNCHANGED, so the same config can write the batch to
+    * an audit target. Passthrough side effect, eager at stage
+    * application; same between-epochs caveat as every store rewrite.
+    */
+  final case class ForgetStage(store: String, root: String, idColumn: String)
+      extends TransformConfig {
+    val name = "forget"
+    def check: Option[String] =
+      if (!ForgetStage.Stores(store))
+        Some(s"transform.forget.store must be one of ${ForgetStage.Stores.mkString("|")}")
+      else if (root.isEmpty) Some("transform.forget.root required")
+      else if (idColumn.isEmpty) Some("transform.forget.idColumn required")
+      else None
+  }
+  object ForgetStage {
+    val Stores: Set[String] = Set("annIndex", "lexIndex", "nearDupStore")
+    /** RTBF batches are bounded by nature (requests, not corpora); the
+      * cap bounds the stage's driver-side key collect explicitly.
+      */
+    val MaxIds = 1000000
+  }
   /** RFM customer scoring — operators.Rfm.scores: reduce the piped
     * event log to one row per key with recency/frequency/monetary and
     * their ntile scores as of `asOf` (an ISO date). Terminal reshape
@@ -915,7 +940,8 @@ object TransformConfig {
     * frame; terminal reshape to (id, rank_units) like components.
     */
   final case class PageRankStage(srcColumn: String, dstColumn: String,
-                                 iters: Int, dampingPct: Int)
+                                 iters: Int, dampingPct: Int,
+                                 dangling: Boolean = false)
       extends TransformConfig {
     val name = "pageRank"
     def check: Option[String] =
@@ -938,12 +964,19 @@ object TransformConfig {
   /** In-place URL canonicalization — Web.canonicalizeUrl replaces
     * `urlColumn`; optional `hostColumn`/`domainColumn` ADD the derived
     * host / registered-domain columns (group keys for host caps).
+    * `trackedParams` (comma-separated regex fragments) overrides the
+    * default tracking-parameter set — e.g. add `ref` back for corpora
+    * where it is known to be tracking, not content.
     */
   final case class UrlCanon(urlColumn: String, hostColumn: Option[String],
-                            domainColumn: Option[String])
+                            domainColumn: Option[String],
+                            trackedParams: Option[List[String]] = None)
       extends TransformConfig {
     val name = "urlCanon"
-    def check: Option[String] = None
+    def check: Option[String] =
+      if (trackedParams.exists(_.isEmpty))
+        Some("transform.urlCanon.trackedParams must be non-empty when set")
+      else None
   }
   /** Corpus-wide line dedup (RefinedWeb recipe) — Web.lineDedup; the
     * text column is REPLACED by the surviving lines (SpanDedup's
@@ -952,11 +985,23 @@ object TransformConfig {
     * single-line word streams into that many words per line — the
     * segmented (newline-carrying) text is what downstream stages see.
     */
+  /** Census-advance semantics: plain `advance: true` is AT-LEAST-ONCE
+    * — the read-merge-swap advance runs when the stage applies (before
+    * the pipeline's target write commits), so a run that fails after
+    * the advance leaves the batch's counts folded in. Supplying
+    * `advanceTag` upgrades it to replay-idempotent end state: the
+    * stage first retires the tag's previous delta (so the probe sees
+    * the pre-epoch census), then publishes the batch's delta under the
+    * tag's deterministic file names — re-running the same config
+    * (same tag) after any failure retires-and-redoes identically, the
+    * annIngest discipline.
+    */
   final case class LineDedup(idColumn: String, textColumn: String,
                              minDupCount: Int, minLineChars: Int,
                              segmentWords: Int,
                              censusDir: Option[String] = None,
-                             advance: Boolean = false)
+                             advance: Boolean = false,
+                             advanceTag: Option[String] = None)
       extends TransformConfig {
     val name = "lineDedup"
     def check: Option[String] =
@@ -965,6 +1010,8 @@ object TransformConfig {
       else if (segmentWords < 0) Some("transform.lineDedup.segmentWords must be >= 0")
       else if (advance && censusDir.isEmpty)
         Some("transform.lineDedup.advance requires censusDir")
+      else if (advanceTag.isDefined && !advance)
+        Some("transform.lineDedup.advanceTag requires advance: true")
       else None
   }
   /** Line-quality row+line filter — Web.lineQualityFilter; lines
@@ -1295,6 +1342,8 @@ object PipelineConfig {
       "transform.annSearch.filterPath", "transform.annSearch.filterColumn",
       "transform.annIngest.indexRoot", "transform.annIngest.idColumn",
       "transform.annIngest.vecColumn", "transform.annIngest.tag",
+      "transform.forget.store", "transform.forget.root",
+      "transform.forget.idColumn",
       "transform.rfm.keyColumn", "transform.rfm.tsColumn",
       "transform.rfm.valueColumn", "transform.rfm.asOf", "transform.rfm.buckets",
       "transform.transitionMatrix.keyColumn", "transform.transitionMatrix.tsColumn",
@@ -1322,13 +1371,14 @@ object PipelineConfig {
       "transform.lexSearch.termColumn", "transform.lexSearch.k",
       "transform.pageRank.srcColumn", "transform.pageRank.dstColumn",
       "transform.pageRank.iters", "transform.pageRank.dampingPct",
+      "transform.pageRank.dangling",
       "transform.htmlExtract.textColumn",
       "transform.urlCanon.urlColumn", "transform.urlCanon.hostColumn",
-      "transform.urlCanon.domainColumn",
+      "transform.urlCanon.domainColumn", "transform.urlCanon.trackedParams",
       "transform.lineDedup.idColumn", "transform.lineDedup.textColumn",
       "transform.lineDedup.minDupCount", "transform.lineDedup.minLineChars",
       "transform.lineDedup.segmentWords", "transform.lineDedup.censusDir",
-      "transform.lineDedup.advance",
+      "transform.lineDedup.advance", "transform.lineDedup.advanceTag",
       "transform.lineFilter.idColumn", "transform.lineFilter.textColumn",
       "transform.lineFilter.minTokens", "transform.lineFilter.anchorWords",
       "transform.lineFilter.minKeptLines", "transform.lineFilter.segmentWords",
@@ -1922,6 +1972,16 @@ object PipelineConfig {
             tag <- map.get("transform.annIngest.tag")
               .toRight("transform.annIngest.tag required")
           } yield TransformConfig.AnnIngestStage(root, id, vec, tag)
+        case "forget" =>
+          for {
+            store <- map.get("transform.forget.store")
+              .toRight("transform.forget.store required " +
+                s"(${TransformConfig.ForgetStage.Stores.mkString("|")})")
+            root <- map.get("transform.forget.root")
+              .toRight("transform.forget.root required")
+            id <- map.get("transform.forget.idColumn")
+              .toRight("transform.forget.idColumn required")
+          } yield TransformConfig.ForgetStage(store, root, id)
         case "rfm" =>
           for {
             key <- map.get("transform.rfm.keyColumn")
@@ -2090,7 +2150,10 @@ object PipelineConfig {
               .toRight("transform.pageRank.dstColumn required")
             it <- num("iters", 3)
             dp <- num("dampingPct", 85)
-          } yield TransformConfig.PageRankStage(src, dst, it, dp)
+            dg <- map.getOrElse("transform.pageRank.dangling", "false")
+              .toBooleanOption
+              .toRight("transform.pageRank.dangling not a boolean")
+          } yield TransformConfig.PageRankStage(src, dst, it, dp, dg)
         case "htmlExtract" =>
           map.get("transform.htmlExtract.textColumn")
             .toRight("transform.htmlExtract.textColumn required")
@@ -2100,7 +2163,9 @@ object PipelineConfig {
             .toRight("transform.urlCanon.urlColumn required")
             .map(u => TransformConfig.UrlCanon(u,
               map.get("transform.urlCanon.hostColumn"),
-              map.get("transform.urlCanon.domainColumn")))
+              map.get("transform.urlCanon.domainColumn"),
+              map.get("transform.urlCanon.trackedParams")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toList)))
         case "lineDedup" =>
           def num(key: String, default: Int): Either[String, Int] =
             map.getOrElse(s"transform.lineDedup.$key", default.toString)
@@ -2127,7 +2192,7 @@ object PipelineConfig {
                 "census sidecar — remove it when censusDir is set")
             else Right(())
           } yield TransformConfig.LineDedup(id, text, minDup, minChars, segWords,
-            census, adv)
+            census, adv, map.get("transform.lineDedup.advanceTag"))
         case "lineFilter" =>
           def num(key: String, default: Int): Either[String, Int] =
             map.getOrElse(s"transform.lineFilter.$key", default.toString)

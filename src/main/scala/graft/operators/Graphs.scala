@@ -154,10 +154,19 @@ object Graphs {
     * ≤ deg·1/scale per vertex per round — at the default scale (1e12)
     * noise far below any ranking decision.
     *
-    * Semantics: the simplified formulation (dangling vertices'  rank
-    * leaks rather than redistributing — ordering, the 100-TB use as a
-    * crawl-quality prior, is unaffected); self-loops are ordinary
-    * edges; duplicate (src, dst) pairs collapse to one edge.
+    * Semantics: by default the simplified formulation — DANGLING
+    * vertices' rank LEAKS rather than redistributing, so totals are
+    * not conserved and absolute units differ from NetworkX-style
+    * PageRank (ordering, the 100-TB use as a crawl-quality prior, is
+    * unaffected). `danglingRedistribute = true` adds the classic
+    * redistribution term under the same integer-exact discipline:
+    * each round every vertex receives `(dampingPct · (Σ contribs +
+    * (D div N))) div 100` where `D` is the previous round's rank sum
+    * over zero-out-degree vertices and `N` the vertex count — `D` is
+    * a ONE-ROW aggregate collected per round (bounded driver work,
+    * like the round loop itself), injected as a literal so the plan
+    * stays free of scalar cross joins. Self-loops are ordinary edges;
+    * duplicate (src, dst) pairs collapse to one edge.
     *
     * Overflow envelope (ANSI mode fails fast rather than wrapping): a
     * vertex's rank is bounded by ~`scale · (1 + d · inDeg)`, and the
@@ -173,33 +182,178 @@ object Graphs {
     */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                iters: Int = 3, dampingPct: Int = 85,
-               scale: Long = 1000000000000L): DataFrame = {
-    require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
-    require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
-    require(scale >= 100L, "scale must be >= 100")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+               scale: Long = 1000000000000L,
+               danglingRedistribute: Boolean = false): DataFrame =
+    prRounds(canonEdges(edges, srcCol, dstCol), iters, dampingPct, scale,
+      danglingRedistribute).last
+      .select(col("id"), col("rank").as("rank_units"))
+
+  /** Every intermediate rank vector of [[pageRank]] as one frame
+    * `(id, iter, rank)`, `iter` ∈ [1, iters] — the state
+    * [[appendToPageRank]] needs to absorb a crawl epoch EXACTLY: the
+    * finite-iteration recurrence is level-wise, so incremental
+    * maintenance must know what each level was, not just the last
+    * (iters is small — 3-5 — so the state is a few |V|-row narrow
+    * frames, a fraction of the edge table it summarizes). Leak
+    * semantics only (the dangling term couples every vertex to every
+    * other, defeating frontier-bounded maintenance).
+    */
+  def pageRankLevels(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+                     iters: Int = 3, dampingPct: Int = 85,
+                     scale: Long = 1000000000000L): DataFrame =
+    prRounds(canonEdges(edges, srcCol, dstCol), iters, dampingPct, scale,
+        dangling = false)
+      .zipWithIndex
+      .map { case (r, i) => r.select(col("id"), lit(i + 1).as("iter"), col("rank")) }
+      .reduce(_.unionByName(_))
+
+  private def canonEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .transform(graft.Checkpoints.materialize)
+
+  /** The shared integer-exact round loop: rank frames after rounds
+    * 1..iters over canonical edges.
+    */
+  private def prRounds(e: DataFrame, iters: Int, dampingPct: Int, scale: Long,
+                       dangling: Boolean): Seq[DataFrame] = {
+    require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
+    require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
+    require(scale >= 100L, "scale must be >= 100")
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
       .transform(graft.Checkpoints.materialize)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .transform(graft.Checkpoints.materialize)
+    val nNodes = if (dangling) nodes.count() else 0L
     val base = scale / 100L * (100L - dampingPct)
     var ranks = nodes.select(col("id"), lit(scale).as("rank"))
-    for (_ <- 1 to iters) {
+    (1 to iters).map { _ =>
       val contribs = e.join(ranks, e("src") === col("id"))
         .join(outDeg, "src")
         .select(col("dst"), expr("rank div deg").as("c"))
       val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // dangling mass: one bounded 1-row collect per round (the loop
+      // is already driver-paced), injected as a literal — every vertex
+      // receives D div N alongside its in-sum
+      val dangShare =
+        if (!dangling || nNodes == 0L) 0L
+        else ranks.join(outDeg, col("id") === col("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0).getLong(0) / nNodes
       ranks = nodes.join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"CAST($base AS BIGINT) + ($dampingPct * " +
+            s"(coalesce(s, CAST(0 AS BIGINT)) + CAST($dangShare AS BIGINT))) div 100")
+            .as("rank"))
+        .transform(graft.Checkpoints.materialize)
+      ranks
+    }
+  }
+
+  /** EXACT incremental PageRank maintenance — absorb a crawl epoch's
+    * new edges into a persisted [[pageRankLevels]] state without
+    * re-iterating the whole graph: the result is row-identical to
+    * `pageRankLevels(oldEdges ∪ newEdges, iters)` (the
+    * appendToComponents discipline — the gate pins the incremental
+    * path to the full-recompute oracle), but the per-round work is
+    * bounded by the CHANGE FRONTIER, not the graph.
+    *
+    * Why it can be exact: rank changes propagate one hop per round.
+    * Level 0 is uniform, so after an edge-only append the vertices
+    * whose level-k rank can differ are exactly the k-hop out-reach of
+    * the perturbation seeds — the out-neighbors of sources whose
+    * degree changed (every Δ-edge source; appends only increase
+    * degree) plus the genuinely new vertices. Each round recomputes
+    * candidate ranks from their FULL in-edge sets (old level values
+    * overridden by the previous round's changed set — new vertices are
+    * always in it, by induction), compares against the stored level,
+    * and carries forward only true differences, so frontiers stop
+    * growing wherever truncated integer ranks coincide — in crawl
+    * graphs typically a small neighborhood of the epoch.
+    *
+    * Shape at scale: Δ-edge detection is one anti-join; per round, two
+    * semi-joins prune the union edge set to frontier-incident edges
+    * (runtime bloom/broadcast when the frontier is small), one keyed
+    * aggregate sized by the candidate in-edges, one |cand|-row compare
+    * against the stored level. Empty delta degenerates to returning
+    * `oldLevels` untouched. Cost ∝ epoch reach × iters — never a
+    * whole-graph re-iteration.
+    *
+    * Returns the updated `(id, iter, rank)` levels for the union
+    * graph; final ranks are `iter = iters`. `oldLevels` must carry the
+    * SAME (iters, dampingPct, scale) it was built with.
+    */
+  def appendToPageRank(oldLevels: DataFrame, oldEdges: DataFrame, newEdges: DataFrame,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       iters: Int = 3, dampingPct: Int = 85,
+                       scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
+    require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
+    require(scale >= 100L, "scale must be >= 100")
+    val e1 = canonEdges(oldEdges, srcCol, dstCol)
+    val eU = canonEdges(
+      oldEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .unionAll(newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))),
+      "src", "dst")
+    val delta = eU.join(e1, Seq("src", "dst"), "left_anti")
+      .transform(graft.Checkpoints.materialize)
+    val lv = oldLevels.select(col("id"), col("iter"), col("rank"))
+    if (delta.isEmpty) return lv
+    val degU = eU.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .transform(graft.Checkpoints.materialize)
+    def nodesOf(e: DataFrame) = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val newNodes = nodesOf(eU).join(nodesOf(e1), Seq("id"), "left_anti")
+    // perturbation seeds: out-neighbors of every changed-degree source
+    // (their contributions via ALL out-edges change) + new vertices
+    val seeds = eU.join(delta.select(col("src")).distinct(), Seq("src"), "left_semi")
+      .select(col("dst").as("id"))
+      .unionAll(newNodes).distinct()
+      .transform(graft.Checkpoints.materialize)
+    val base = scale / 100L * (100L - dampingPct)
+    var changed: DataFrame = null // (id, rank) whose level-(k-1) rank differs
+    val changedLevels = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (k <- 1 to iters) {
+      val cand =
+        if (k == 1) seeds
+        else seeds.unionAll(
+            eU.join(changed.select(col("id").as("src")), Seq("src"), "left_semi")
+              .select(col("dst").as("id")))
+          .distinct()
+      val inE = eU.join(cand.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      val contribs =
+        if (k == 1)
+          // level 0 is uniform `scale` for every vertex, old or new
+          inE.join(degU, Seq("src"))
+            .select(col("dst"), expr(s"CAST($scale AS BIGINT) div deg").as("c"))
+        else {
+          // level k-1 = stored level overridden by last round's changes
+          // (new vertices are always in `changed`, so every source of
+          // inE resolves)
+          val oldPrev = lv.filter(col("iter") === (k - 1)).select(col("id"), col("rank"))
+          val prev = oldPrev.join(changed, Seq("id"), "left_anti").unionByName(changed)
+          inE.join(prev.withColumnRenamed("id", "src"), Seq("src"))
+            .join(degU, Seq("src"))
+            .select(col("dst"), expr("rank div deg").as("c"))
+        }
+      val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val newr = cand.join(sums, col("id") === col("dst"), "left")
         .select(col("id"),
           expr(s"CAST($base AS BIGINT) + " +
             s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank"))
+      val oldK = lv.filter(col("iter") === k)
+        .select(col("id"), col("rank").as("__old"))
+      changed = newr.join(oldK, Seq("id"), "left")
+        .filter(col("__old").isNull || col("__old") =!= col("rank"))
+        .select(col("id"), col("rank"))
         .transform(graft.Checkpoints.materialize)
+      changedLevels += changed.select(col("id"), lit(k).as("iter"), col("rank"))
     }
-    ranks.select(col("id"), col("rank").as("rank_units"))
+    val ch = changedLevels.reduce(_.unionByName(_))
+    lv.join(ch, Seq("id", "iter"), "left_anti")
+      .unionByName(ch)
+      .select(col("id"), col("iter"), col("rank"))
   }
 
   /** Total triangle count as a 1-row frame `(n_triangles)`. */

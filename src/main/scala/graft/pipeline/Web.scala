@@ -138,7 +138,14 @@ object Web {
   // URL canonicalization
   // ------------------------------------------------------------------
 
-  private val TrackedParams = "(?:utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)"
+  /** Default tracking-parameter set as regex fragments. `ref` is
+    * deliberately NOT here: it is a common legitimate content
+    * parameter (`?ref=branch` on code hosts) and stripping it would
+    * merge genuinely different resources — callers curating corpora
+    * where `ref` is known to be tracking pass it explicitly.
+    */
+  val DefaultTrackedParams: Seq[String] =
+    Seq("utm_[a-zA-Z0-9_]*", "fbclid", "gclid", "msclkid")
 
   /** Canonical form of an absolute http(s) URL, as a deterministic
     * pipeline (fragment → tracking params → case → default port →
@@ -147,26 +154,36 @@ object Web {
     * different resources, only spellings of the same one.
     *
     *  1. drop the `#fragment`
-    *  2. drop tracking params (`utm_*`, `fbclid`, `gclid`, `msclkid`,
-    *     `ref`): first every `&tracked=…`, then a leading
-    *     `?tracked=…&` promotes the next param, then a sole
-    *     `?tracked=…` drops the query entirely
-    *  3. lowercase the scheme and authority (host is case-insensitive
-    *     per RFC 3986; the path is NOT touched)
+    *  2. drop tracking params (`trackedParams`, regex fragments;
+    *     default [[DefaultTrackedParams]]): first every
+    *     `&tracked=…`, then a leading `?tracked=…&` promotes the next
+    *     param, then a sole `?tracked=…` drops the query entirely
+    *  3. lowercase the scheme and the host:port — NOT the userinfo,
+    *     which is case-sensitive per RFC 3986 §6.2.2.1 (only scheme
+    *     and host case-normalize); the path is not touched either
     *  4. drop the default port (`:80` for http, `:443` for https)
     *  5. `http://host/` → `http://host` (root path only; deeper
     *     trailing slashes are preserved — they can be distinct
     *     resources)
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    canonicalizeUrl(url, DefaultTrackedParams)
+
+  def canonicalizeUrl(url: Column, trackedParams: Seq[String]): Column = {
+    require(trackedParams.nonEmpty, "trackedParams must be non-empty")
+    val tracked = trackedParams.mkString("(?:", "|", ")")
     val noFrag = regexp_replace(url, "(?s)#.*$", "")
-    val noAmpTracked = regexp_replace(noFrag, "&" + TrackedParams + "=[^&#]*", "")
-    val noLeadTracked = regexp_replace(noAmpTracked, "\\?" + TrackedParams + "=[^&#]*&", "?")
-    val noTracked = regexp_replace(noLeadTracked, "\\?" + TrackedParams + "=[^&#]*$", "")
-    val authPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
-    val lowered = concat(
-      lower(regexp_extract(noTracked, authPat, 0)),
-      regexp_replace(noTracked, authPat, ""))
+    val noAmpTracked = regexp_replace(noFrag, "&" + tracked + "=[^&#]*", "")
+    val noLeadTracked = regexp_replace(noAmpTracked, "\\?" + tracked + "=[^&#]*&", "?")
+    val noTracked = regexp_replace(noLeadTracked, "\\?" + tracked + "=[^&#]*$", "")
+    val schemeSlashes = "^[A-Za-z][A-Za-z0-9+.-]*://"
+    val authPat = schemeSlashes + "[^/?#]*"
+    val scheme = regexp_extract(noTracked, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val userinfo = regexp_extract(noTracked, schemeSlashes + "([^/?#]*@)", 1)
+    val hostPort = regexp_extract(noTracked, schemeSlashes + "(?:[^/?#]*@)?([^/?#]*)", 1)
+    val lowered = when(scheme === "", noTracked)
+      .otherwise(concat(lower(scheme), lit("://"), userinfo,
+        lower(hostPort), regexp_replace(noTracked, authPat, "")))
     val noPort = regexp_replace(
       regexp_replace(lowered, "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
       "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
@@ -186,24 +203,35 @@ object Web {
 
   /** Second-level domains that act as TLD extensions under a 2-letter
     * ccTLD (`bbc.co.uk` → registered domain `bbc.co.uk`, not `co.uk`).
-    * A pragmatic core of the public-suffix list — the full list is a
-    * data file, not an algorithm change; swap this set for it when
-    * shipping against real crawl data.
+    * A pragmatic core of the public-suffix list — production crawls
+    * should load the full PSL's second-level entries from its data
+    * file and pass them to [[registeredDomain(host:org\.apache\.spark\.sql\.Column,ccSecondLevel:Seq[String])*]]
+    * (the set rides into the plan as one literal InSet — no algorithm
+    * change, no join).
     */
-  private val CcSecondLevel = Seq("co", "com", "net", "org", "ac", "gov", "edu")
+  val CcSecondLevel: Seq[String] = Seq("co", "com", "net", "org", "ac", "gov", "edu")
 
   /** Registered (pay-level) domain of a host: the last two labels,
     * or the last three when the TLD is a 2-letter country code and the
     * second-level label is a known extension (`co.uk`, `com.au`, …).
     * Hosts with fewer labels pass through unchanged.
     */
-  def registeredDomain(host: Column): Column = {
+  def registeredDomain(host: Column): Column =
+    registeredDomain(host, CcSecondLevel)
+
+  /** [[registeredDomain]] with a caller-supplied extension set — feed
+    * the real public-suffix list here (its ~9k second-level entries
+    * fit a broadcast-literal InSet comfortably) when label heuristics
+    * must hold on live crawl hosts (`com.br`, `co.jp`, …).
+    */
+  def registeredDomain(host: Column, ccSecondLevel: Seq[String]): Column = {
+    require(ccSecondLevel.nonEmpty, "ccSecondLevel must be non-empty")
     val labels = split(host, "\\.")
     val n = size(labels)
     val tld = element_at(labels, -1)
     val sld = element_at(labels, -2)
     val ccExtension = tld.rlike("^[a-z][a-z]$") &&
-      sld.isInCollection(CcSecondLevel)
+      sld.isInCollection(ccSecondLevel)
     when(n <= lit(2), host)
       .when(ccExtension,
         concat_ws(".", element_at(labels, -3), sld, tld))

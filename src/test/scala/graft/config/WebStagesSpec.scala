@@ -202,6 +202,54 @@ class WebStagesSpec extends AnyFunSuite {
         |""".stripMargin).left.exists(_.contains("pinned by the census")))
   }
 
+  test("lineDedup advanceTag: re-running the same config is end-state idempotent") {
+    import org.apache.spark.sql.DataFrame
+    val base = Files.createTempDirectory("graft-webtag")
+    val census = base.resolve("census").toString
+    val snapA = Seq((1L, "banner\nbody one"), (2L, "banner\nbody two")).toDF("id", "text")
+    val snapB = Seq((3L, "banner\nbody three")).toDF("id", "text")
+    graft.pipeline.Web.createLineCensus(snapA, "id", "text", census)
+    val src = base.resolve("srcB").toString
+    val out = base.resolve("outB").toString
+    snapB.write.parquet(src)
+    val cfgText =
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: lineDedup
+         |transform.lineDedup.idColumn: id
+         |transform.lineDedup.textColumn: text
+         |transform.lineDedup.censusDir: $census
+         |transform.lineDedup.advance: true
+         |transform.lineDedup.advanceTag: epochB
+         |""".stripMargin
+    val cfg = PipelineConfig.parse(cfgText).fold(e => fail(e), identity)
+    def censusState(): Seq[(String, Long)] = {
+      spark.catalog.refreshByPath(census + "/rows")
+      spark.read.parquet(census + "/rows")
+        .groupBy("line_hash").agg(sum("occ").as("occ"))
+        .as[(String, Long)].collect().sorted.toSeq
+    }
+    Pipeline.run(spark, cfg)
+    val out1 = spark.read.parquet(out).orderBy("id")
+      .select("id", "text").as[(Long, String)].collect().toSeq
+    val census1 = censusState()
+    // replay the SAME config (a failed-run retry): the tag retires its
+    // previous delta, the probe sees the pre-epoch census, and the
+    // republished state is identical — counts do NOT fold twice
+    Pipeline.run(spark, cfg)
+    assert(spark.read.parquet(out).orderBy("id")
+      .select("id", "text").as[(Long, String)].collect().toSeq === out1)
+    assert(censusState() === census1)
+    // the banner was already census-duplicated, so the batch row drops it
+    assert(out1 === Seq((3L, "body three")))
+    // eager validation: advanceTag without advance is rejected
+    assert(PipelineConfig.parse(cfgText.replace("transform.lineDedup.advance: true\n", ""))
+      .left.exists(_.contains("advanceTag")))
+  }
+
   test("lineDedup stage re-attach: null ids and duplicate ids survive untouched") {
     val base = Files.createTempDirectory("graft-webn")
     val src = base.resolve("src").toString

@@ -205,4 +205,79 @@ class GraphsSpec extends AnyFunSuite {
     assert(got(2L) == got(3L) && got(3L) == got(4L))
     assert(got(1L) == 150000000000L)
   }
+
+  test("pageRank danglingRedistribute: hand-check, and leak mode is unchanged") {
+    // 1 -> 2: node 2 dangles. Round 1 with redistribution:
+    // D = r0(2) = 1e12, N = 2, share = 5e11;
+    // r1(2) = 150e9 + (85 * (1e12 contrib + 5e11 share)) div 100
+    //       = 150e9 + 1275e9 = 1425e9
+    // r1(1) = 150e9 + (85 * 5e11) div 100 = 150e9 + 425e9 = 575e9
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, iters = 1, danglingRedistribute = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 575000000000L, 2L -> 1425000000000L))
+    // default (leak) semantics are byte-identical to the pre-flag op
+    val leak = Graphs.pageRank(edges, iters = 1).as[(Long, Long)].collect().toMap
+    assert(leak == Map(1L -> 150000000000L, 2L -> 1000000000000L))
+    // no dangling vertices -> the flag is a no-op
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(Graphs.pageRank(cyc, iters = 3, danglingRedistribute = true)
+      .as[(Long, Long)].collect().toMap ==
+      Graphs.pageRank(cyc, iters = 3).as[(Long, Long)].collect().toMap)
+  }
+
+  test("pageRankLevels: last level equals pageRank, every level present") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val lv = Graphs.pageRankLevels(edges, iters = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(lv.map(_._2).distinct.sorted.toSeq == Seq(1, 2, 3))
+    val last = lv.filter(_._2 == 3).map(t => t._1 -> t._3).toMap
+    assert(last == Graphs.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap)
+  }
+
+  /** LAW: for any edge split E = E1 ∪ E2,
+    * appendToPageRank(pageRankLevels(E1), E1, E2) equals
+    * pageRankLevels(E) row-for-row — the frontier-bounded incremental
+    * path is EXACT, not approximate.
+    */
+  test("appendToPageRank law: incremental == full recompute, property-swept") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val n = 12 + rnd.nextInt(20)
+      val all = (1 to (n * 2)).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n + 5).toLong)).distinct
+      val cut = 1 + rnd.nextInt(math.max(1, all.size - 1))
+      val (p1, p2raw) = all.splitAt(cut)
+      // overlap: re-deliver some old edges in the delta batch too
+      val p2 = p2raw ++ p1.take(rnd.nextInt(3))
+      val full = Graphs.pageRankLevels(all.toDF("src", "dst"), iters = 3)
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+      val incr = Graphs.appendToPageRank(
+          Graphs.pageRankLevels(p1.toDF("src", "dst"), iters = 3),
+          p1.toDF("src", "dst"), p2.toDF("src", "dst"), iters = 3)
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+      assert(incr == full, s"trial $trial: split $cut of ${all.size} edges")
+    }
+  }
+
+  test("appendToPageRank: empty and fully-duplicate deltas return the old levels") {
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val lv = Graphs.pageRankLevels(e1, iters = 2)
+    val old = lv.as[(Long, Int, Long)].collect().sorted.toSeq
+    val same = Graphs.appendToPageRank(lv, e1, e1.limit(2), iters = 2)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(same == old)
+  }
+
+  test("appendToPageRank: delta introducing only new nodes ranks them correctly") {
+    val e1 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val e2 = Seq((10L, 11L)).toDF("src", "dst") // disconnected new pair
+    val got = Graphs.appendToPageRank(
+        Graphs.pageRankLevels(e1, iters = 3), e1, e2, iters = 3)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val full = Graphs.pageRankLevels(
+        Seq((1L, 2L), (2L, 1L), (10L, 11L)).toDF("src", "dst"), iters = 3)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(got == full)
+  }
 }

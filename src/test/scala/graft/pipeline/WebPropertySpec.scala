@@ -68,14 +68,16 @@ class WebPropertySpec extends AnyFunSuite {
   }
 
   test("canonical URLs carry no fragment and no tracked params; plain params survive in order") {
+    // `ref` is NOT in the default tracked set (a legitimate content
+    // param on code hosts) — it must SURVIVE like any plain param
     check(Prop.forAll(batch) { us =>
       us.isEmpty || cols(us, Web.canonicalizeUrl).zip(us).forall { case (c, u) =>
         val noFrag = !c.contains("#")
-        val noTracked = !c.matches(".*[?&](utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)=.*")
+        val noTracked = !c.matches(".*[?&](utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)=.*")
         // non-tracked params of the original survive, same relative order
         val keepParams = u.takeWhile(_ != '#').split("[?]", 2) match {
           case Array(_, q) => q.split("&").filterNot(
-            _.matches("(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)=.*")).toSeq
+            _.matches("(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)=.*")).toSeq
           case _ => Seq.empty
         }
         val gotParams = c.split("[?]", 2) match {
@@ -85,6 +87,18 @@ class WebPropertySpec extends AnyFunSuite {
         noFrag && noTracked && gotParams == keepParams
       }
     })
+  }
+
+  test("a custom tracked set strips ref; the default preserves it and userinfo case") {
+    val u = "HTTPS://UserName@Host.Example.COM:443/Path?ref=main&q=1"
+    val byDefault = Seq(u).toDF("u")
+      .select(Web.canonicalizeUrl(col("u"))).as[String].head()
+    // scheme+host lower, userinfo case kept (RFC 3986 §6.2.2.1), ref kept
+    assert(byDefault == "https://UserName@host.example.com/Path?ref=main&q=1")
+    val custom = Seq(u).toDF("u")
+      .select(Web.canonicalizeUrl(col("u"),
+        Web.DefaultTrackedParams :+ "ref")).as[String].head()
+    assert(custom == "https://UserName@host.example.com/Path?q=1")
   }
 
   test("registeredDomain is a dot-suffix of the host with at most 3 labels") {
