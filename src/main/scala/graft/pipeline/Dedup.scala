@@ -389,10 +389,15 @@ object Dedup {
               bands: Int, rowsPerBand: Int, path: String,
               maxBucketSize: Int = 10000): Unit = {
       require(bands >= 1 && rowsPerBand >= 1, "need bands >= 1 and rowsPerBand >= 1")
-      // bucket-clustered so probe's pushed bucket-IN skips row groups
+      // bucket-clustered so probe's pushed bucket-IN skips row groups;
+      // the _stats artifact lets prunedRead drop whole FILES at
+      // planning time (zero footer reads for files no probe bucket
+      // touches) — the same two-layer discipline as IdCensus
       clusteredOn(capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize),
           "bucket")
         .write.mode("errorifexists").parquet(rowsPath(path).toString)
+      graft.sources.FileStatsIndex.buildAndSave(df.sparkSession,
+        rowsPath(path).toString, Seq("bucket"))
       val fs = metaPath(path).getFileSystem(
         df.sparkSession.sparkContext.hadoopConfiguration)
       val out = fs.create(metaPath(path), false)
@@ -422,6 +427,11 @@ object Dedup {
       // the rows dir changed under this session's never-expiring
       // file-status cache (see SwapStore) — refresh for the next probe
       df.sparkSession.catalog.refreshByPath(rowsPath(path).toString)
+      // advance the stats artifact over the fresh files only
+      // (batch-proportional); staleness only ever under-prunes
+      graft.sources.FileStatsIndex.update(df.sparkSession,
+        rowsPath(path).toString, Seq("bucket"))
+      ()
     }
 
     /** Candidate pairs of the NEW batch against the indexed corpus:
@@ -490,6 +500,25 @@ object Dedup {
     private def sub(path: String, name: String) =
       new org.apache.hadoop.fs.Path(path, name).toString
 
+    // _stats maintenance for the id-clustered side tables: the file-
+    // level half of the probe's two-layer pruning (KeyedReads) — a
+    // probe then OPENS only candidate-touched files instead of paying
+    // a footer read per store file. update() stats fresh files only
+    // and drops entries for files a rewrite removed; the artifact is
+    // advisory (unknown files always kept), so every path below stays
+    // correct even if a crash lands between a table write and its
+    // stats advance.
+    private def statsUpdate(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, key: String): Unit = {
+      graft.sources.FileStatsIndex.update(spark, dir, Seq(key))
+      ()
+    }
+    private def statsRebuild(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, key: String): Unit = {
+      graft.sources.FileStatsIndex.buildAndSave(spark, dir, Seq(key))
+      ()
+    }
+
     private def framed(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int): DataFrame =
       df.select(col(idCol).as("id"), shingles(textCol, 1).as("sh"))
@@ -507,6 +536,8 @@ object Dedup {
         .write.mode("errorifexists").parquet(sub(path, "sigs"))
       clusteredOn(f.select("id", "sh"), "id")
         .write.mode("errorifexists").parquet(sub(path, "shingles"))
+      statsRebuild(df.sparkSession, sub(path, "sigs"), "id")
+      statsRebuild(df.sparkSession, sub(path, "shingles"), "id")
     }
 
     /** Drop every batch row whose exact unigram Jaccard against some
@@ -586,6 +617,8 @@ object Dedup {
           .write.mode("append").parquet(sub(path, "shingles"))
         spark.catalog.refreshByPath(sub(path, "sigs"))
         spark.catalog.refreshByPath(sub(path, "shingles"))
+        statsUpdate(spark, sub(path, "sigs"), "id")
+        statsUpdate(spark, sub(path, "shingles"), "id")
       }
       out
     }
@@ -602,11 +635,14 @@ object Dedup {
       */
     def compact(spark: org.apache.spark.sql.SparkSession, path: String,
                 targetBytes: Long): Seq[graft.sources.Compaction.Result] = {
-      val rs = Seq(sub(path, "bands") + "/rows", sub(path, "sigs"),
-        sub(path, "shingles")).map { d =>
-        val r = graft.sources.Compaction.compact(spark, d, targetBytes)
-        spark.catalog.refreshByPath(d)
-        r
+      val rs = Seq((sub(path, "bands") + "/rows", "bucket"),
+        (sub(path, "sigs"), "id"), (sub(path, "shingles"), "id")).map {
+        case (d, key) =>
+          val r = graft.sources.Compaction.compact(spark, d, targetBytes)
+          spark.catalog.refreshByPath(d)
+          // re-stat the merged files, drop the compacted-away entries
+          statsUpdate(spark, d, key)
+          r
       }
       rs
     }
@@ -632,6 +668,9 @@ object Dedup {
         // so the lazy self-read drains the old files safely
         graft.streaming.SwapStore.swapWrite(
           clusteredOn(spark.read.parquet(dir), key), dir)
+        // every file changed — rebuild the artifact against the fresh
+        // globally-clustered layout (its tightest possible ranges)
+        statsRebuild(spark, dir, key)
       }
 
     /** Exactly-once advance: append `survivors`' three table deltas
@@ -662,6 +701,9 @@ object Dedup {
       graft.sources.EpochFiles.publish(spark, s"$stage/sigs", sub(path, "sigs"), tag)
       graft.sources.EpochFiles.publish(spark, s"$stage/shingles",
         sub(path, "shingles"), tag)
+      statsUpdate(spark, sub(path, "bands") + "/rows", "bucket")
+      statsUpdate(spark, sub(path, "sigs"), "id")
+      statsUpdate(spark, sub(path, "shingles"), "id")
       val st = new org.apache.hadoop.fs.Path(sub(path, "_stage"))
       val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(st, tag), true)
@@ -677,6 +719,12 @@ object Dedup {
       graft.sources.EpochFiles.retire(spark, sub(path, "bands") + "/rows", tag)
       graft.sources.EpochFiles.retire(spark, sub(path, "sigs"), tag)
       graft.sources.EpochFiles.retire(spark, sub(path, "shingles"), tag)
+      // drop the retired files' (now-stale) stats entries while here —
+      // harmless if left (survivingFiles intersects with the on-disk
+      // listing) but dead weight in every future probe's stats read
+      statsUpdate(spark, sub(path, "bands") + "/rows", "bucket")
+      statsUpdate(spark, sub(path, "sigs"), "id")
+      statsUpdate(spark, sub(path, "shingles"), "id")
       val st = new org.apache.hadoop.fs.Path(sub(path, s"_stage/$tag"))
       val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(st, true)
@@ -701,10 +749,12 @@ object Dedup {
       */
     def forget(spark: org.apache.spark.sql.SparkSession, path: String,
                ids: Seq[Any]): Seq[graft.sources.TargetedDelete.Result] =
-      Seq(sub(path, "bands") + "/rows", sub(path, "sigs"),
-          sub(path, "shingles")).map { dir =>
+      Seq((sub(path, "bands") + "/rows", "bucket"), (sub(path, "sigs"), "id"),
+          (sub(path, "shingles"), "id")).map { case (dir, key) =>
         val r = graft.sources.TargetedDelete.deleteAuto(spark, dir, "id", ids)
         spark.catalog.refreshByPath(dir)
+        // stat the rewritten files, drop the rewritten-away entries
+        statsUpdate(spark, dir, key)
         r
       }
   }

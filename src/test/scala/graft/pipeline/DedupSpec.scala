@@ -752,6 +752,70 @@ class DedupSpec extends AnyFunSuite {
     assert(pre == post && post == Set(98L))
   }
 
+  test("NearDupStore: every write path keeps a complete _stats artifact; file-level prune engages") {
+    import spark.implicits._
+    def pathOf(f: String) = new org.apache.hadoop.fs.Path(f).toUri.getPath
+    // invariant behind batch-proportional probe FILE OPENS: after any
+    // maintenance op, every on-disk data file is statted, so
+    // KeyedReads' planning-time prune never degenerates to "unknown →
+    // keep all" (unknown files are kept for safety, but a healthy
+    // store should have none)
+    def assertCovered(root: String, label: String): Unit =
+      Seq("bands/rows", "sigs", "shingles").foreach { tbl =>
+        val dir = s"$root/$tbl"
+        val stats = spark.read.parquet(s"$dir/_stats")
+        val known = stats.select("file").collect()
+          .map(r => pathOf(r.getString(0))).toSet
+        val disk = graft.sources.ParquetSource.listParquetFiles(
+          dir, spark.sparkContext.hadoopConfiguration).map(pathOf).toSet
+        assert(disk.subsetOf(known),
+          s"$label/$tbl: unstatted files ${disk -- known}")
+      }
+    val store = java.nio.file.Files.createTempDirectory("graft-nds-stats")
+      .resolve("s").toString
+    Dedup.NearDupStore.create(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text"), "doc_id", "text", store)
+    assertCovered(store, "create")
+    Dedup.NearDupStore.dropNearDups(
+      Seq((11L, "totally novel content shared with nothing else anywhere at all"))
+        .toDF("doc_id", "text"), "doc_id", "text", store, advance = true)
+    assertCovered(store, "advance")
+    Dedup.NearDupStore.advanceStaged(
+      Seq((12L, "still more novel content never before seen by any store here"))
+        .toDF("doc_id", "text"), "doc_id", "text", store, tag = "e1")
+    assertCovered(store, "advanceStaged")
+    Dedup.NearDupStore.rollbackAdvance(spark, store, "e1")
+    assertCovered(store, "rollback")
+    Dedup.NearDupStore.forget(spark, store, Seq(2L))
+    assertCovered(store, "forget")
+    Dedup.NearDupStore.compact(spark, store, targetBytes = 64 * 1024 * 1024)
+    assertCovered(store, "compact")
+    Dedup.NearDupStore.recluster(spark, store)
+    assertCovered(store, "recluster")
+    // effectiveness: the reclustered sigs table has disjoint per-file
+    // id ranges, so a single-id lookup must plan STRICTLY fewer files
+    // than the table holds whenever it holds more than one
+    val sigsDir = s"$store/sigs"
+    val all = graft.sources.ParquetSource.listParquetFiles(
+      sigsDir, spark.sparkContext.hadoopConfiguration)
+    val surviving = graft.sources.FileStatsIndex.survivingFiles(
+      spark, sigsDir, spark.read.parquet(s"$sigsDir/_stats"),
+      Seq(graft.sources.FileStatsIndex.Eq("id", 1L)))
+    assert(surviving.nonEmpty, "the file holding id=1 must survive")
+    if (all.size > 1)
+      assert(surviving.size < all.size,
+        s"no file-level pruning: ${surviving.size} of ${all.size} files kept")
+    // decisions unchanged end-to-end: 1 still suppresses, 2 forgotten
+    val out = Dedup.NearDupStore.dropNearDups(Seq(
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (22L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text"), "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(22L))
+  }
+
   test("NearDupStore: minPruneBytes floor skips pruning, decisions unchanged") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-nds-floor")
