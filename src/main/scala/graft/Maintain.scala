@@ -26,6 +26,13 @@ package graft
   *                                                  # index's census + corpus stats
   *   runMain graft.Maintain ndstore forget <storeDir> <key>[,key...]  # purge a
   *                                                  # doc from all three store tables
+  *   runMain graft.Maintain linkgraph create <edgesDir> <srcCol> <dstCol> <root> [iters] [dampingPct]
+  *   runMain graft.Maintain linkgraph append <edgesDir> <srcCol> <dstCol> <root> <tag>
+  *                                                  # absorb a crawl epoch: frontier-bounded
+  *                                                  # exact PageRank maintenance
+  *   runMain graft.Maintain linkgraph ranks <root> <outDir>
+  *   runMain graft.Maintain linkgraph rollback <root> <tag>
+  *   runMain graft.Maintain linkgraph compact <root>
   *
   * compact is crash-safe (write-ahead group markers; interrupted swaps
   * recover on the next run); stats updates touch only files the index
@@ -214,6 +221,38 @@ object Maintain {
             println(s"[maintain] $n docs line-deduped to ${args(6)}")
           case other =>
             System.err.println(s"[maintain] unknown linecensus command: $other"); usage()
+        }
+      case "linkgraph" =>
+        // linkgraph create   <edgesDir> <srcCol> <dstCol> <root> [iters] [dampingPct]
+        // linkgraph append   <edgesDir> <srcCol> <dstCol> <root> <tag>
+        // linkgraph rollback <root> <tag>
+        // linkgraph ranks    <root> <outDir>
+        // linkgraph compact  <root>
+        if (args.length < 3) usage()
+        args(1) match {
+          case "compact" =>
+            pipeline.LinkGraph.compact(spark, args(2))
+            println(s"[maintain] link graph compacted at ${args(2)}")
+          case "rollback" if args.length >= 4 =>
+            pipeline.LinkGraph.rollbackEpoch(spark, args(2), args(3))
+            println(s"[maintain] link graph epoch ${args(3)} rolled back at ${args(2)}")
+          case "ranks" if args.length >= 4 =>
+            pipeline.LinkGraph.ranks(spark, args(2))
+              .write.mode("errorifexists").parquet(args(3))
+            val n = spark.read.parquet(args(3)).count()
+            println(s"[maintain] $n ranks written to ${args(3)}")
+          case "create" if args.length >= 6 =>
+            pipeline.LinkGraph.create(spark.read.parquet(args(2)),
+              args(3), args(4), args(5),
+              iters = if (args.length > 6) args(6).toInt else 3,
+              dampingPct = if (args.length > 7) args(7).toInt else 85)
+            println(s"[maintain] link graph created at ${args(5)}")
+          case "append" if args.length >= 7 =>
+            val n = pipeline.LinkGraph.appendEpoch(spark.read.parquet(args(2)),
+              args(3), args(4), args(5), args(6))
+            println(s"[maintain] link graph epoch ${args(6)}: $n new edges at ${args(5)}")
+          case other =>
+            System.err.println(s"[maintain] unknown linkgraph command: $other"); usage()
         }
       case "diff" =>
         if (args.length < 5) usage()

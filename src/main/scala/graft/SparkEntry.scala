@@ -3197,6 +3197,46 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Persisted link-graph store builds memoized per dataset dir (the
+    * lexEpochIx discipline — artifacts are deterministic; the bench's
+    * min-of-N then times the SERVE read, what a store user pays per
+    * refresh inspection, not the one-time build). The memoized state
+    * is the epoch's REPLAYED end state, so idempotence is inside the
+    * gate's pinned artifact.
+    */
+  private val graphStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted link-graph store pinned to the full-recompute oracle:
+    * the q_pagerank functional graph split at src 250 — store created
+    * over the old half, the crawl epoch absorbed through the store's
+    * batch-proportional keyed reads (out/in adjacency + degree and
+    * level sidecars), the epoch REPLAYED to prove end-state
+    * idempotence — and the served ranks must equal q_pagerank's
+    * whole-graph integer recurrence, unit for unit (same oracle SQL
+    * verbatim).
+    */
+  private def qGraphRank(s: SparkSession, d: String): DataFrame = {
+    val root = graphStores.computeIfAbsent(d, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-lg")
+        .resolve("g").toString
+      val docs = t(s, d, "documents")
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+      graft.pipeline.LinkGraph.create(
+        edges.filter(col("src") < 250), "src", "dst", r, iters = 3)
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250), "src", "dst", r, "e1")
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250), "src", "dst", r, "e1")
+      r
+    })
+    graft.pipeline.LinkGraph.ranks(s, root)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
   /** PageRank with the classic dangling-mass redistribution term,
     * integer-exact: the edge set is truncated to sources doc_id < 300
     * so the dst-only vertices genuinely dangle, and each round every
@@ -3291,6 +3331,28 @@ object SparkEntry {
       .select(col("query_id"), col("rank"), col("id").as("doc_id"),
         col("n_matched"), col("dl"))
       .orderBy(col("query_id"), col("rank"))
+
+  /** Hybrid retrieval by reciprocal-rank fusion: the q_retrieval_join
+    * lexical ranking and the q_sim_topk dense cosine ranking (vec ids
+    * 0-2 playing queries q0-q2, each id standing for its document)
+    * fused per (query, id) as `1/(60+rank_lex) + 1/(60+rank_dense)`
+    * — two IEEE double divisions summed in fixed order, so the oracle
+    * replays the SCORE bit-for-bit, not just the fused order.
+    */
+  private def qHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = Text.retrievalTopK(t(s, d, "documents"), "text", "doc_id",
+        lexQueries(s), "query_id", "term", k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id").as("id"))
+    val emb = t(s, d, "embeddings")
+    val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 10)
+      .select(concat(lit("q"), col("query_id").cast("string")).as("query_id"),
+        col("rank"), col("neighbor_id").as("id"))
+    graft.pipeline.Retrieval.rrfFuse(lex, dense, "query_id", "id", k = 10)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        col("rank_a"), col("rank_b"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Config-driven crawl→link-graph END TO END: linkExtract explodes
     * the q_link_graph pages into per-href rows, urlCanon canonicalizes
@@ -3526,6 +3588,7 @@ object SparkEntry {
     "q_link_graph" -> (qLinkGraph _),
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_incr" -> (qPagerankIncr _),
+    "q_graph_rank" -> (qGraphRank _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
     "q_incr_linededup" -> (qIncrLineDedup _),
@@ -3534,6 +3597,7 @@ object SparkEntry {
     "q_lex_epoch" -> (qLexEpoch _),
     "q_cfg_lex" -> (qCfgLexSearch _),
     "q_lex_bm25" -> (qLexBm25 _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_cfg_links" -> (qCfgLinks _),
     "q_link_rank" -> (qLinkRank _),
     "q_url_canon" -> (qUrlCanon _),
@@ -4029,6 +4093,9 @@ object SparkEntry {
     // recurrence, same union edge set — the frontier path must land on
     // identical units or the gate hash-fails
     "q_pagerank_incr" -> sqlPagerank,
+    // the persisted store's served ranks are pinned the same way: the
+    // epoch-maintained level state must land on the whole-graph units
+    "q_graph_rank" -> sqlPagerank,
     "q_pagerank_dangling" -> sqlPagerankDangling,
 
     // crawl→rank: the SAME extraction/host/domain chain as q_cfg_links
@@ -4623,6 +4690,47 @@ object SparkEntry {
         "FROM scored WHERE n_matched > 0) " +
         "SELECT query_id, rank, doc_id, n_matched, dl FROM r WHERE rank <= 10 " +
         "ORDER BY query_id, rank"),
+
+    // RRF fusion of the q_retrieval_join lexical ranking and the
+    // q_sim_topk dense ranking: both tiers replayed verbatim, then the
+    // fused score computed with the IDENTICAL two divisions summed in
+    // (lex, dense) order — the double is hash-compared bit-for-bit
+    "q_hybrid_rrf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term, " +
+        "CAST(len(" + tokensExpr + ") AS BIGINT) AS dl FROM documents), " +
+        "post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM tok GROUP BY doc_id, term), " +
+        "q AS (SELECT * FROM (VALUES ('q0', 'spark'), ('q0', 'window'), " +
+        "('q1', 'hash'), ('q1', 'join'), ('q1', 'merge'), ('q2', 'vector')) " +
+        "AS v(query_id, term)), " +
+        "m AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched, " +
+        "CAST(sum(tf) AS BIGINT) AS sum_tf FROM post JOIN q USING (term) " +
+        "GROUP BY query_id, doc_id), " +
+        "lex AS (SELECT query_id, rank, doc_id AS id FROM " +
+        "(SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS BIGINT) AS rank, doc_id " +
+        "FROM m) WHERE rank <= 10), " +
+        "qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3), " +
+        "c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings), " +
+        "scored AS (SELECT qid, nid, " +
+        "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+        "FROM qe, c WHERE qid <> nid), " +
+        "dense AS (SELECT query_id, rank, id FROM " +
+        "(SELECT 'q' || CAST(qid AS VARCHAR) AS query_id, " +
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank, " +
+        "nid AS id FROM scored) WHERE rank <= 10), " +
+        "fused AS (SELECT coalesce(l.query_id, de.query_id) AS query_id, " +
+        "coalesce(l.id, de.id) AS id, l.rank AS rank_a, de.rank AS rank_b, " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), CAST(0 AS DOUBLE)) + " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + de.rank), CAST(0 AS DOUBLE)) AS rrf_score " +
+        "FROM lex l FULL OUTER JOIN dense de ON l.query_id = de.query_id AND l.id = de.id) " +
+        "SELECT query_id, rank, doc_id, rank_a, rank_b, rrf_score FROM " +
+        "(SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY rrf_score DESC, id) AS BIGINT) AS rank, id AS doc_id, " +
+        "rank_a, rank_b, CAST(rrf_score AS DOUBLE) AS rrf_score FROM fused) " +
+        "WHERE rank <= 10 ORDER BY query_id, rank"),
 
     "q_term_drift" ->
       ("WITH ta AS (SELECT unnest(" + tokensExpr + ") AS term FROM documents " +

@@ -1,0 +1,368 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted link-graph store with batch-proportional epoch appends
+  * and EXACT incremental PageRank maintenance — the crawl-refresh
+  * path [[graft.operators.Graphs.appendToPageRank]] proves the math
+  * for, made operational: that API takes the old and union edge sets
+  * as FRAMES, so every epoch still pays a whole-graph `distinct` +
+  * degree aggregate before the frontier rounds even start. This store
+  * persists what those scans recompute — edges clustered both ways,
+  * a degree sidecar, the per-level rank state — so absorbing a crawl
+  * epoch touches only what the epoch can reach:
+  *
+  *  - `out/`  (src, dst) src-clustered  — delta detection, frontier
+  *    expansion (out-neighbors of a bounded id set);
+  *  - `in/`   (src, dst) dst-clustered  — candidate rank recompute
+  *    needs candidates' FULL in-edge sets (same edges, second sort
+  *    order: the classic out+in adjacency pair of graph warehouses);
+  *  - `deg/`  (src, deg, seq)           — current out-degree without
+  *    re-aggregating the edge table (latest seq per src wins);
+  *  - `levels/` (id, iter, rank, seq)   — every intermediate rank
+  *    vector of the finite recurrence (latest seq per (id, iter)
+  *    wins), because level-wise maintenance must know what each level
+  *    WAS, not just the last.
+  *
+  * All four tables carry [[graft.sources.FileStatsIndex]] artifacts,
+  * so the epoch path's point lookups go through
+  * [[graft.sources.KeyedReads]] (planning-time file prune + pushed
+  * sorted-chunk IN predicates): epoch cost follows the delta's k-hop
+  * reach × iters — never the graph. Rank semantics are
+  * [[graft.operators.Graphs.pageRank]]'s integer-exact leak
+  * formulation (dangling mass couples every vertex to every other,
+  * defeating frontier-bounded maintenance), and the maintained state
+  * is row-identical to `pageRankLevels(all edges)` — the gate pins
+  * the store against the whole-graph DuckDB recurrence.
+  *
+  * Epoch protocol (the [[graft.sources.EpochFiles]] discipline shared
+  * with AnnIndex/LexIndex): a tag's seq number is recorded first
+  * (reused verbatim on replay), then out/in/deg publish, then levels —
+  * a crash anywhere is repaired by replaying the SAME tag, which
+  * retires every file the tag ever published before recomputing.
+  * Updates are append-only overrides (LSM shape): reads resolve the
+  * latest seq per key, [[compact]] folds accumulated overrides back
+  * into one clustered table per dir (crash-safe swap; destroys
+  * per-tag file names, so compact only between settled epochs).
+  */
+object LinkGraph {
+
+  private def outDir(root: String) = root + "/out"
+  private def inDir(root: String) = root + "/in"
+  private def degDir(root: String) = root + "/deg"
+  private def levelsDir(root: String) = root + "/levels"
+  private def metaPath(root: String) = root + "/_graph.json"
+  private def epochsDir(root: String) = root + "/_epochs"
+  private def stageDir(root: String, table: String, tag: String) =
+    root + s"/_stage/$tag/$table"
+
+  final case class Meta(iters: Int, dampingPct: Int, scale: Long)
+
+  private def hadoopFs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeSmallFile(spark: SparkSession, path: String, body: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.mkdirs(dst.getParent) || fs.exists(dst.getParent),
+      s"cannot create ${dst.getParent}")
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent, s".tmp-${dst.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"atomic write failed for $path")
+  }
+
+  private def readSmallFile(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  def readMeta(spark: SparkSession, root: String): Meta = {
+    val pat = """\{"iters":(\d+),"dampingPct":(\d+),"scale":(\d+)\}""".r
+    readSmallFile(spark, metaPath(root)).map(_.trim) match {
+      case Some(pat(i, d, s)) => Meta(i.toInt, d.toInt, s.toLong)
+      case Some(other) =>
+        throw new IllegalStateException(s"malformed ${metaPath(root)}: $other")
+      case None =>
+        throw new IllegalStateException(
+          s"no link-graph store at $root (missing ${metaPath(root)})")
+    }
+  }
+
+  /** The tag's monotonic sequence number — recorded ATOMICALLY before
+    * anything else the epoch does, and reused verbatim when the tag is
+    * replayed, so a replay's override rows land at the same LSM
+    * position no matter how many later epochs were recorded in
+    * between. (Running a DIFFERENT tag past an unrepaired crash is
+    * outside the protocol, same as every store here.)
+    */
+  private def seqFor(spark: SparkSession, root: String, tag: String): Long = {
+    val pat = """\{"seq":(\d+)\}""".r
+    readSmallFile(spark, s"${epochsDir(root)}/$tag.json").map(_.trim) match {
+      case Some(pat(n)) => n.toLong
+      case Some(other) => throw new IllegalStateException(
+        s"malformed epoch record for $tag: $other")
+      case None =>
+        val dir = new org.apache.hadoop.fs.Path(epochsDir(root))
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val max =
+          if (!fs.exists(dir)) 0L
+          else fs.listStatus(dir).map(_.getPath.getName)
+            .filter(_.endsWith(".json"))
+            .flatMap { n =>
+              readSmallFile(spark, s"${epochsDir(root)}/$n").map(_.trim).collect {
+                case pat(v) => v.toLong
+              }
+            }.foldLeft(0L)(math.max)
+        val seq = max + 1
+        writeSmallFile(spark, s"${epochsDir(root)}/$tag.json", s"""{"seq":$seq}""")
+        seq
+    }
+  }
+
+  private def canon(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .transform(graft.Checkpoints.materialize)
+
+  private def writeClustered(df: DataFrame, dir: String, keyCol: String): Unit = {
+    df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(dir)
+    graft.sources.FileStatsIndex.buildAndSave(df.sparkSession, dir, Seq(keyCol))
+    df.sparkSession.catalog.refreshByPath(dir)
+  }
+
+  private def publishClustered(spark: SparkSession, df: DataFrame, root: String,
+                               table: String, dir: String, keyCol: String,
+                               tag: String): Unit = {
+    val stage = stageDir(root, table, tag)
+    df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(stage)
+    graft.sources.EpochFiles.publish(spark, stage, dir, tag)
+    graft.sources.FileStatsIndex.update(spark, dir, Seq(keyCol))
+    ()
+  }
+
+  /** Rows of `dir` whose `keyCol` matches a `probe.probeCol` value —
+    * the two-layer pruned point lookup while the probe is bounded, a
+    * semi-join fallback past `maxInline` (same rows, no scan prune).
+    */
+  private def readByKeys(spark: SparkSession, dir: String, keyCol: String,
+                         probe: DataFrame, probeCol: String,
+                         maxInline: Int = 2000000): DataFrame =
+    graft.sources.KeyedReads.collectKeys(probe, probeCol, maxInline) match {
+      case Some(ks) => graft.sources.KeyedReads.prunedRead(spark, dir, keyCol, ks)
+      case None => spark.read.parquet(dir).join(
+        probe.select(col(probeCol).as(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    }
+
+  /** Latest (key, value) per key of an LSM read: max seq wins. */
+  private def resolveDeg(df: DataFrame): DataFrame =
+    df.groupBy(col("src")).agg(max_by(col("deg"), col("seq")).as("deg"))
+
+  private def resolveLevels(df: DataFrame): DataFrame =
+    df.groupBy(col("id"), col("iter"))
+      .agg(max_by(col("rank"), col("seq")).as("rank"))
+
+  /** Build the store: canonical edges clustered both ways, the degree
+    * sidecar, and the full [[graft.operators.Graphs.pageRankLevels]]
+    * state at seq 0.
+    */
+  def create(edges: DataFrame, srcCol: String, dstCol: String, root: String,
+             iters: Int = 3, dampingPct: Int = 85,
+             scale: Long = 1000000000000L): Unit = {
+    require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
+    require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
+    require(scale >= 100L, "scale must be >= 100")
+    val spark = edges.sparkSession
+    val e = canon(edges, srcCol, dstCol)
+    writeClustered(e, outDir(root), "src")
+    writeClustered(e, inDir(root), "dst")
+    writeClustered(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumn("seq", lit(0L)),
+      degDir(root), "src")
+    writeClustered(
+      graft.operators.Graphs.pageRankLevels(e, "src", "dst", iters, dampingPct, scale)
+        .withColumn("seq", lit(0L)),
+      levelsDir(root), "id")
+    writeSmallFile(spark, metaPath(root),
+      s"""{"iters":$iters,"dampingPct":$dampingPct,"scale":$scale}""")
+  }
+
+  /** Absorb a crawl epoch's edges. Work is bounded by the epoch's
+    * k-hop reach: delta detection probes `out/` by the batch's
+    * sources; each round reads candidates' in-edges from `in/`, their
+    * sources' degrees and previous-level ranks through point lookups,
+    * and carries forward only ranks that truly differ from the stored
+    * level. Returns the number of genuinely new edges (0 leaves the
+    * store untouched). Replaying the same tag is retire-and-redo —
+    * end-state idempotent at the SAME seq.
+    */
+  def appendEpoch(newEdges: DataFrame, srcCol: String, dstCol: String,
+                  root: String, tag: String): Long = {
+    val spark = newEdges.sparkSession
+    val meta = readMeta(spark, root)
+    rollbackFiles(spark, root, tag)
+    val seq = seqFor(spark, root, tag)
+    val cand0 = canon(newEdges, srcCol, dstCol)
+    // delta detection ∝ the batch's sources' existing out-edges
+    val existing = readByKeys(spark, outDir(root), "src", cand0, "src")
+      .select(col("src"), col("dst"))
+    val delta = graft.Checkpoints.materialize(
+      cand0.join(existing, Seq("src", "dst"), "left_anti"))
+    val nDelta = delta.count()
+    if (nDelta == 0) return 0L
+
+    // degree overlay: stored deg for touched srcs + this epoch's adds
+    val deltaDeg = delta.groupBy(col("src")).agg(count(lit(1)).as("add"))
+    val oldDeg = resolveDeg(
+      readByKeys(spark, degDir(root), "src", delta, "src"))
+    val newDeg = deltaDeg.join(oldDeg, Seq("src"), "left")
+      .select(col("src"),
+        (coalesce(col("deg"), lit(0L)) + col("add")).as("deg"),
+        lit(seq).as("seq"))
+
+    // edges + degrees publish FIRST: the frontier rounds below read
+    // the union graph through the store's own tables
+    publishClustered(spark, delta, root, "out", outDir(root), "src", tag)
+    publishClustered(spark, delta, root, "in", inDir(root), "dst", tag)
+    publishClustered(spark, newDeg, root, "deg", degDir(root), "src", tag)
+
+    // perturbation seeds: out-neighbors of every changed-degree source
+    // (all delta sources — appends only increase degree) + new vertices
+    val touchedNodes = graft.Checkpoints.materialize(
+      delta.select(col("src").as("id"))
+        .unionAll(delta.select(col("dst").as("id"))).distinct())
+    val knownIds = readByKeys(spark, levelsDir(root), "id", touchedNodes, "id")
+      .select(col("id")).distinct()
+    val newNodes = touchedNodes.join(knownIds, Seq("id"), "left_anti")
+    val outOfDeltaSrcs = readByKeys(spark, outDir(root), "src",
+        delta.select(col("src")).distinct(), "src")
+      .select(col("dst").as("id"))
+    val seeds = graft.Checkpoints.materialize(
+      outOfDeltaSrcs.unionAll(newNodes).distinct())
+
+    val base = meta.scale / 100L * (100L - meta.dampingPct)
+    var changed: DataFrame = null // (id, rank) differing at level k-1
+    val changedLevels = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (k <- 1 to meta.iters) {
+      val cand = graft.Checkpoints.materialize(
+        if (k == 1) seeds
+        else seeds.unionAll(
+            readByKeys(spark, outDir(root), "src",
+                changed.select(col("id")), "id")
+              .select(col("dst").as("id")))
+          .distinct())
+      val inE = readByKeys(spark, inDir(root), "dst", cand, "id")
+        .select(col("src"), col("dst"))
+      val srcs = inE.select(col("src")).distinct()
+      val degS = resolveDeg(readByKeys(spark, degDir(root), "src", srcs, "src"))
+      val prev =
+        if (k == 1) srcs.select(col("src").as("id"), lit(meta.scale).as("rank"))
+        else {
+          // stored level k-1 overridden by the previous round's changed
+          // set (new vertices are always in it, by induction)
+          val stored = resolveLevels(
+            readByKeys(spark, levelsDir(root), "id", srcs, "src")
+              .filter(col("iter") === (k - 1)))
+            .select(col("id"), col("rank"))
+          stored.join(changed, Seq("id"), "left_anti").unionByName(changed)
+        }
+      val contribs = inE
+        .join(prev.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(degS, Seq("src"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+      val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val fresh = cand.join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"CAST($base AS BIGINT) + (${meta.dampingPct} * " +
+            "coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank"))
+      val storedK = resolveLevels(
+        readByKeys(spark, levelsDir(root), "id", cand, "id")
+          .filter(col("iter") === k))
+        .select(col("id"), col("rank").as("old_rank"))
+      changed = graft.Checkpoints.materialize(
+        fresh.join(storedK, Seq("id"), "left")
+          .filter(col("old_rank").isNull || col("old_rank") =!= col("rank"))
+          .select(col("id"), col("rank")))
+      changedLevels += changed.select(col("id"), lit(k).as("iter"), col("rank"))
+    }
+    val levelRows = changedLevels.reduce(_.unionByName(_))
+      .withColumn("seq", lit(seq))
+    publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag)
+    nDelta
+  }
+
+  private def rollbackFiles(spark: SparkSession, root: String, tag: String): Unit = {
+    for (d <- Seq(outDir(root), inDir(root), degDir(root), levelsDir(root)))
+      graft.sources.EpochFiles.retire(spark, d, tag)
+    val st = new org.apache.hadoop.fs.Path(root + s"/_stage/$tag")
+    val fs = hadoopFs(spark, root)
+    fs.delete(st, true)
+    ()
+  }
+
+  /** Remove everything a tag published (the epoch's seq record is
+    * kept, so a later replay of the tag reuses its LSM position).
+    */
+  def rollbackEpoch(spark: SparkSession, root: String, tag: String): Unit =
+    rollbackFiles(spark, root, tag)
+
+  /** Current canonical edge set. */
+  def edges(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(outDir(root)).select(col("src"), col("dst"))
+
+  /** The maintained level state, latest override per (id, iter) —
+    * row-identical to `pageRankLevels(edges)` by the maintenance
+    * contract (the gate pins it).
+    */
+  def levels(spark: SparkSession, root: String): DataFrame =
+    resolveLevels(spark.read.parquet(levelsDir(root)))
+
+  /** Final ranks `(id, rank_units)` — level `iters` of [[levels]]. */
+  def ranks(spark: SparkSession, root: String): DataFrame = {
+    val meta = readMeta(spark, root)
+    levels(spark, root).filter(col("iter") === meta.iters)
+      .select(col("id"), col("rank").as("rank_units"))
+  }
+
+  /** Fold accumulated LSM overrides back into one clustered table per
+    * dir (edges just recluster — they are append-only and unique by
+    * the delta discipline). Crash-safe swap per table; destroys
+    * per-tag names, so compact only between settled epochs.
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    def swapClustered(dir: String, df: DataFrame, keyCol: String): Unit = {
+      graft.streaming.SwapStore.swapWrite(
+        df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol)), dir)
+      graft.sources.FileStatsIndex.buildAndSave(spark, dir, Seq(keyCol))
+      spark.catalog.refreshByPath(dir)
+    }
+    swapClustered(outDir(root), spark.read.parquet(outDir(root)), "src")
+    swapClustered(inDir(root), spark.read.parquet(inDir(root)), "dst")
+    swapClustered(degDir(root),
+      spark.read.parquet(degDir(root))
+        .groupBy(col("src"))
+        .agg(max_by(struct(col("deg"), col("seq")), col("seq")).as("v"))
+        .select(col("src"), col("v.deg").as("deg"), col("v.seq").as("seq")),
+      "src")
+    swapClustered(levelsDir(root),
+      spark.read.parquet(levelsDir(root))
+        .groupBy(col("id"), col("iter"))
+        .agg(max_by(struct(col("rank"), col("seq")), col("seq")).as("v"))
+        .select(col("id"), col("iter"), col("v.rank").as("rank"),
+          col("v.seq").as("seq")),
+      "id")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Persisted link-graph store: the maintained level state must stay
+  * row-identical to the whole-graph pageRankLevels recurrence after
+  * every epoch, replay, crash-repair, and compact — the same
+  * incremental-equals-recompute law GraphsSpec pins for the frame-level
+  * appendToPageRank, here enforced across the persisted layout.
+  */
+class LinkGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def root(): String =
+    Files.createTempDirectory("lg-spec").resolve("g").toString
+
+  private def edgesDf(pairs: Seq[(Long, Long)]): DataFrame =
+    pairs.toDF("src", "dst")
+
+  private def sortedLevels(df: DataFrame): Seq[(Long, Int, Long)] =
+    df.select(col("id").cast("long"), col("iter").cast("int"),
+        col("rank").cast("long"))
+      .orderBy("id", "iter")
+      .as[(Long, Int, Long)].collect().toSeq
+
+  private def fullLevels(e: DataFrame, iters: Int = 3): Seq[(Long, Int, Long)] =
+    sortedLevels(graft.operators.Graphs.pageRankLevels(e, "src", "dst", iters))
+
+  private val e1 = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 4L -> 1L)
+  private val e2 = Seq(2L -> 4L, 5L -> 1L, 5L -> 6L, 6L -> 5L, 3L -> 1L) // one dup
+
+  test("create serves the whole-graph recurrence") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === fullLevels(edgesDf(e1)))
+    val ranks = LinkGraph.ranks(spark, r)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val direct = graft.operators.Graphs.pageRank(edgesDf(e1), "src", "dst", 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(ranks === direct)
+  }
+
+  test("epoch append equals full recompute over the union graph") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    val n = LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    assert(n === 4) // 3->1 already present
+    val union = edgesDf(e1 ++ e2)
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === fullLevels(union))
+    // edges dedup'd and complete
+    assert(LinkGraph.edges(spark, r).distinct().count() ===
+      LinkGraph.edges(spark, r).count())
+    assert(LinkGraph.edges(spark, r).count() === (e1 ++ e2).distinct.size.toLong)
+  }
+
+  test("replaying the same tag is end-state idempotent") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    val before = sortedLevels(LinkGraph.levels(spark, r))
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === before)
+    assert(LinkGraph.edges(spark, r).count() === (e1 ++ e2).distinct.size.toLong)
+  }
+
+  test("crash between table publishes is repaired by replaying the tag") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    // simulate a crash that died after edges+deg published but before
+    // levels: retire the levels files the tag wrote
+    graft.sources.EpochFiles.retire(spark, r + "/levels", "e1")
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    assert(sortedLevels(LinkGraph.levels(spark, r)) ===
+      fullLevels(edgesDf(e1 ++ e2)))
+  }
+
+  test("rollback restores the pre-epoch state") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    val before = sortedLevels(LinkGraph.levels(spark, r))
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    LinkGraph.rollbackEpoch(spark, r, "e1")
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === before)
+    assert(LinkGraph.edges(spark, r).count() === e1.distinct.size.toLong)
+  }
+
+  test("all-duplicate epoch is a no-op") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    val before = sortedLevels(LinkGraph.levels(spark, r))
+    assert(LinkGraph.appendEpoch(edgesDf(e1), "src", "dst", r, "dup") === 0L)
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === before)
+  }
+
+  test("chained epochs then compact: reads invariant, overrides folded") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    val e3 = Seq(7L -> 1L, 4L -> 7L, 6L -> 2L)
+    LinkGraph.appendEpoch(edgesDf(e3), "src", "dst", r, "e2")
+    val expect = fullLevels(edgesDf(e1 ++ e2 ++ e3))
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === expect)
+    LinkGraph.compact(spark, r)
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === expect)
+    // compaction folded the LSM: exactly one row per (id, iter)
+    val raw = spark.read.parquet(r + "/levels")
+    assert(raw.count() === raw.select("id", "iter").distinct().count())
+  }
+
+  test("property: random graphs, random epoch splits — incremental ≡ recompute") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val nV = 12 + rng.nextInt(10)
+      val all = Seq.fill(40 + rng.nextInt(30))(
+        (rng.nextInt(nV).toLong, rng.nextInt(nV).toLong)).distinct
+      val (a, b) = all.partition(_ => rng.nextBoolean())
+      if (a.nonEmpty && b.nonEmpty) {
+        val r = root()
+        LinkGraph.create(edgesDf(a), "src", "dst", r, iters = 4)
+        LinkGraph.appendEpoch(edgesDf(b), "src", "dst", r, s"t$trial")
+        assert(sortedLevels(LinkGraph.levels(spark, r)) ===
+          fullLevels(edgesDf(all), iters = 4), s"trial $trial")
+      }
+    }
+  }
+}
