@@ -31,6 +31,8 @@ package graft
   *                                                  # absorb a crawl epoch: frontier-bounded
   *                                                  # exact PageRank maintenance
   *   runMain graft.Maintain linkgraph ranks <root> <outDir>
+  *   runMain graft.Maintain linkgraph forget <root> <key>[,key...]   # purge vertices
+  *                                                  # with exact survivor rank repair
   *   runMain graft.Maintain linkgraph rollback <root> <tag>
   *   runMain graft.Maintain linkgraph compact <root>
   *
@@ -236,6 +238,10 @@ object Maintain {
           case "rollback" if args.length >= 4 =>
             pipeline.LinkGraph.rollbackEpoch(spark, args(2), args(3))
             println(s"[maintain] link graph epoch ${args(3)} rolled back at ${args(2)}")
+          case "forget" if args.length >= 4 =>
+            val keys = typedKeys(spark, s"${args(2)}/out", "src", args(3))
+            pipeline.LinkGraph.forget(spark, args(2), keys)
+            println(s"[maintain] link graph forgot ${keys.size} vertices at ${args(2)}")
           case "ranks" if args.length >= 4 =>
             pipeline.LinkGraph.ranks(spark, args(2))
               .write.mode("errorifexists").parquet(args(3))

@@ -511,6 +511,7 @@ object Pipeline {
         case "lexIndex" => graft.pipeline.LexIndex.forget(spark, root, ids)
         case "nearDupStore" =>
           graft.pipeline.Dedup.NearDupStore.forget(spark, root, ids)
+        case "linkGraph" => graft.pipeline.LinkGraph.forget(spark, root, ids)
       }
       df
     case graft.config.TransformConfig.RfmStage(key, ts, value, asOf, buckets) =>
@@ -549,6 +550,15 @@ object Pipeline {
     case graft.config.TransformConfig.LexSearchStage(root, qid, term, k) =>
       // terminal reshape: piped rows are the bounded query batch
       graft.pipeline.LexIndex.search(df.sparkSession, root, df, qid, term, k)
+    case graft.config.TransformConfig.RrfFuseStage(other, qid, id, rank, k, kRrf) =>
+      // terminal reshape: piped ranking fused with the otherPath tier
+      graft.pipeline.Retrieval.rrfFuse(df,
+        df.sparkSession.read.parquet(other), qid, id, rank, k, kRrf)
+    case graft.config.TransformConfig.GraphEpochStage(root, src, dst, tag) =>
+      // terminal reshape: epoch absorbed (idempotent under the tag's
+      // retire-and-redo), then the store's served final ranks
+      graft.pipeline.LinkGraph.appendEpoch(df, src, dst, root, tag)
+      graft.pipeline.LinkGraph.ranks(df.sparkSession, root)
     case graft.config.TransformConfig.PageRankStage(src, dst, iters, dampingPct, dangling) =>
       // terminal reshape: (id, rank_units)
       graft.operators.Graphs.pageRank(df, src, dst, iters, dampingPct,

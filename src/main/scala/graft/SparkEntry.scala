@@ -3207,13 +3207,15 @@ object SparkEntry {
   private val graphStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Persisted link-graph store pinned to the full-recompute oracle:
-    * the q_pagerank functional graph split at src 250 — store created
-    * over the old half, the crawl epoch absorbed through the store's
-    * batch-proportional keyed reads (out/in adjacency + degree and
-    * level sidecars), the epoch REPLAYED to prove end-state
+    * the q_pagerank functional graph minus a 100-source crawl slice is
+    * the store's base, the slice is absorbed as an epoch through the
+    * store's batch-proportional keyed reads (out/in adjacency + degree
+    * and level sidecars), the epoch REPLAYED to prove end-state
     * idempotence — and the served ranks must equal q_pagerank's
     * whole-graph integer recurrence, unit for unit (same oracle SQL
-    * verbatim).
+    * verbatim; the BIG-epoch shape is covered by q_pagerank_incr and
+    * the LinkGraphSpec property sweep — here the epoch stays bounded
+    * so the memoized build prices a refresh, not a rebuild).
     */
   private def qGraphRank(s: SparkSession, d: String): DataFrame = {
     val root = graphStores.computeIfAbsent(d, _ => {
@@ -3225,11 +3227,39 @@ object SparkEntry {
         .unionAll(docs.select(col("doc_id").as("src"),
           pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
       graft.pipeline.LinkGraph.create(
-        edges.filter(col("src") < 250), "src", "dst", r, iters = 3)
+        edges.filter(col("src") < 250 || col("src") >= 350),
+        "src", "dst", r, iters = 3)
       graft.pipeline.LinkGraph.appendEpoch(
-        edges.filter(col("src") >= 250), "src", "dst", r, "e1")
+        edges.filter(col("src") >= 250 && col("src") < 350), "src", "dst", r, "e1")
       graft.pipeline.LinkGraph.appendEpoch(
-        edges.filter(col("src") >= 250), "src", "dst", r, "e1")
+        edges.filter(col("src") >= 250 && col("src") < 350), "src", "dst", r, "e1")
+      r
+    })
+    graft.pipeline.LinkGraph.ranks(s, root)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Right-to-be-forgotten on the link-graph store, pinned to the
+    * REMAINING-graph recurrence: five vertices purged outright (edges
+    * both directions, degree + level rows, orphan cleanup) with exact
+    * survivor rank maintenance — then forgotten AGAIN (the completed
+    * re-invoke must be a no-op) — and the served ranks must equal the
+    * whole-graph recurrence over the surviving edge set.
+    */
+  private def qGraphForget(s: SparkSession, d: String): DataFrame = {
+    val victims = Seq(7L, 107L, 207L, 307L, 407L)
+    val root = graphStores.computeIfAbsent(d + "#forget", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-lgf")
+        .resolve("g").toString
+      val docs = t(s, d, "documents")
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+      graft.pipeline.LinkGraph.create(edges, "src", "dst", r, iters = 3)
+      graft.pipeline.LinkGraph.forget(s, r, victims)
+      graft.pipeline.LinkGraph.forget(s, r, victims)
       r
     })
     graft.pipeline.LinkGraph.ranks(s, root)
@@ -3516,6 +3546,89 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** The declarative rrfFuse stage pinned to the q_hybrid_rrf oracle:
+    * the lexical tier flows in as the piped source, the dense tier as
+    * the stage's otherPath parquet — config indirection must add
+    * nothing but the two hit-list round trips.
+    */
+  private def qCfgRrf(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgrrf")
+    val srcA = base.resolve("lex").toString
+    val srcB = base.resolve("dense").toString
+    val out = base.resolve("out").toString
+    Text.retrievalTopK(t(s, d, "documents"), "text", "doc_id",
+        lexQueries(s), "query_id", "term", k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id").as("id"))
+      .write.parquet(srcA)
+    val emb = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 10)
+      .select(concat(lit("q"), col("query_id").cast("string")).as("query_id"),
+        col("rank"), col("neighbor_id").as("id"))
+      .write.parquet(srcB)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $srcA
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: rrfFuse
+         |transform.rrfFuse.otherPath: $srcB
+         |transform.rrfFuse.queryIdColumn: query_id
+         |transform.rrfFuse.idColumn: id
+         |transform.rrfFuse.k: 10
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        col("rank_a"), col("rank_b"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The declarative graphEpoch stage pinned to the q_pagerank oracle
+    * (the q_graph_rank discipline by config): store created once over
+    * everything but a 100-source crawl slice, each run pipes the
+    * slice's edges through the stage — same tag, so every re-run is a
+    * retire-and-redo replay of a BOUNDED epoch (the gate times what a
+    * refresh costs, not a rebuild) — and the stage's served ranks must
+    * equal the whole-graph recurrence.
+    */
+  private def qCfgGraphRank(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    def edges = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+    val root = graphStores.computeIfAbsent(d + "#cfg", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-cfglg")
+        .resolve("g").toString
+      graft.pipeline.LinkGraph.create(
+        edges.filter(col("src") < 250 || col("src") >= 350),
+        "src", "dst", r, iters = 3)
+      r
+    })
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgge")
+    val src = base.resolve("epoch").toString
+    val out = base.resolve("out").toString
+    edges.filter(col("src") >= 250 && col("src") < 350).write.parquet(src)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: graphEpoch
+         |transform.graphEpoch.root: $root
+         |transform.graphEpoch.srcColumn: src
+         |transform.graphEpoch.dstColumn: dst
+         |transform.graphEpoch.tag: e1
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
   /** Config-driven web cleaning END TO END (q_cfg_attribution
     * discipline): lineDedup(segmentWords=8) then lineFilter chained
     * declaratively over the documents parquet; the oracle composes
@@ -3589,6 +3702,7 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_incr" -> (qPagerankIncr _),
     "q_graph_rank" -> (qGraphRank _),
+    "q_graph_forget" -> (qGraphForget _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
     "q_incr_linededup" -> (qIncrLineDedup _),
@@ -3598,6 +3712,8 @@ object SparkEntry {
     "q_cfg_lex" -> (qCfgLexSearch _),
     "q_lex_bm25" -> (qLexBm25 _),
     "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_cfg_rrf" -> (qCfgRrf _),
+    "q_cfg_graphrank" -> (qCfgGraphRank _),
     "q_cfg_links" -> (qCfgLinks _),
     "q_link_rank" -> (qLinkRank _),
     "q_url_canon" -> (qUrlCanon _),
@@ -4073,6 +4189,49 @@ object SparkEntry {
       "SELECT query_id, rank, doc_id, n_matched, sum_tf, dl " +
       "FROM r WHERE rank <= 10 ORDER BY query_id, rank"
 
+  /** RRF fusion of the q_retrieval_join lexical ranking and the
+    * q_sim_topk dense ranking (vec ids 0-2 as queries q0-q2): both
+    * tiers replayed verbatim, then the fused score computed with the
+    * identical two divisions summed in (lex, dense) order — shared by
+    * q_hybrid_rrf and the declarative q_cfg_rrf.
+    */
+  private val sqlHybridRrf: String =
+    "WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term " +
+      "FROM documents), " +
+      "post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM tok GROUP BY doc_id, term), " +
+      "q AS (SELECT * FROM (VALUES ('q0', 'spark'), ('q0', 'window'), " +
+      "('q1', 'hash'), ('q1', 'join'), ('q1', 'merge'), ('q2', 'vector')) " +
+      "AS v(query_id, term)), " +
+      "m AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched, " +
+      "CAST(sum(tf) AS BIGINT) AS sum_tf FROM post JOIN q USING (term) " +
+      "GROUP BY query_id, doc_id), " +
+      "lex AS (SELECT query_id, rank, doc_id AS id FROM " +
+      "(SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS BIGINT) AS rank, doc_id " +
+      "FROM m) WHERE rank <= 10), " +
+      "qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3), " +
+      "c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings), " +
+      "scored AS (SELECT qid, nid, " +
+      "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+      "(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      "sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+      "FROM qe, c WHERE qid <> nid), " +
+      "dense AS (SELECT query_id, rank, id FROM " +
+      "(SELECT 'q' || CAST(qid AS VARCHAR) AS query_id, " +
+      "CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank, " +
+      "nid AS id FROM scored) WHERE rank <= 10), " +
+      "fused AS (SELECT coalesce(l.query_id, de.query_id) AS query_id, " +
+      "coalesce(l.id, de.id) AS id, l.rank AS rank_a, de.rank AS rank_b, " +
+      "coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), CAST(0 AS DOUBLE)) + " +
+      "coalesce(CAST(1.0 AS DOUBLE) / (60 + de.rank), CAST(0 AS DOUBLE)) AS rrf_score " +
+      "FROM lex l FULL OUTER JOIN dense de ON l.query_id = de.query_id AND l.id = de.id) " +
+      "SELECT query_id, rank, doc_id, rank_a, rank_b, rrf_score FROM " +
+      "(SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY rrf_score DESC, id) AS BIGINT) AS rank, id AS doc_id, " +
+      "rank_a, rank_b, CAST(rrf_score AS DOUBLE) AS rrf_score FROM fused) " +
+      "WHERE rank <= 10 ORDER BY query_id, rank"
+
   def oracleSql: Map[String, String] = Map(
     "q_link_graph" ->
       ("WITH h AS (SELECT doc_id, source, " +
@@ -4096,6 +4255,15 @@ object SparkEntry {
     // the persisted store's served ranks are pinned the same way: the
     // epoch-maintained level state must land on the whole-graph units
     "q_graph_rank" -> sqlPagerank,
+    // RTBF on the store: ranks after the purge (run TWICE — the
+    // completed re-invoke must no-op) equal the recurrence over the
+    // surviving edge set alone
+    "q_graph_forget" -> sqlPagerankOver(
+      "e0 AS (SELECT DISTINCT src, dst FROM (" +
+        "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*13+11)%500 FROM documents)), " +
+        "e AS (SELECT src, dst FROM e0 WHERE src NOT IN (7, 107, 207, 307, 407) " +
+        "AND dst NOT IN (7, 107, 207, 307, 407))"),
     "q_pagerank_dangling" -> sqlPagerankDangling,
 
     // crawl→rank: the SAME extraction/host/domain chain as q_cfg_links
@@ -4695,42 +4863,12 @@ object SparkEntry {
     // q_sim_topk dense ranking: both tiers replayed verbatim, then the
     // fused score computed with the IDENTICAL two divisions summed in
     // (lex, dense) order — the double is hash-compared bit-for-bit
-    "q_hybrid_rrf" ->
-      ("WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term, " +
-        "CAST(len(" + tokensExpr + ") AS BIGINT) AS dl FROM documents), " +
-        "post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
-        "FROM tok GROUP BY doc_id, term), " +
-        "q AS (SELECT * FROM (VALUES ('q0', 'spark'), ('q0', 'window'), " +
-        "('q1', 'hash'), ('q1', 'join'), ('q1', 'merge'), ('q2', 'vector')) " +
-        "AS v(query_id, term)), " +
-        "m AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched, " +
-        "CAST(sum(tf) AS BIGINT) AS sum_tf FROM post JOIN q USING (term) " +
-        "GROUP BY query_id, doc_id), " +
-        "lex AS (SELECT query_id, rank, doc_id AS id FROM " +
-        "(SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS BIGINT) AS rank, doc_id " +
-        "FROM m) WHERE rank <= 10), " +
-        "qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3), " +
-        "c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings), " +
-        "scored AS (SELECT qid, nid, " +
-        "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
-        "(sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
-        "sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
-        "FROM qe, c WHERE qid <> nid), " +
-        "dense AS (SELECT query_id, rank, id FROM " +
-        "(SELECT 'q' || CAST(qid AS VARCHAR) AS query_id, " +
-        "CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank, " +
-        "nid AS id FROM scored) WHERE rank <= 10), " +
-        "fused AS (SELECT coalesce(l.query_id, de.query_id) AS query_id, " +
-        "coalesce(l.id, de.id) AS id, l.rank AS rank_a, de.rank AS rank_b, " +
-        "coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), CAST(0 AS DOUBLE)) + " +
-        "coalesce(CAST(1.0 AS DOUBLE) / (60 + de.rank), CAST(0 AS DOUBLE)) AS rrf_score " +
-        "FROM lex l FULL OUTER JOIN dense de ON l.query_id = de.query_id AND l.id = de.id) " +
-        "SELECT query_id, rank, doc_id, rank_a, rank_b, rrf_score FROM " +
-        "(SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY rrf_score DESC, id) AS BIGINT) AS rank, id AS doc_id, " +
-        "rank_a, rank_b, CAST(rrf_score AS DOUBLE) AS rrf_score FROM fused) " +
-        "WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q_hybrid_rrf" -> sqlHybridRrf,
+    // the declarative rrfFuse stage is pinned to the SAME fusion
+    "q_cfg_rrf" -> sqlHybridRrf,
+    // the declarative graphEpoch stage serves the store's maintained
+    // ranks — pinned to the whole-graph recurrence like q_graph_rank
+    "q_cfg_graphrank" -> sqlPagerank,
 
     "q_term_drift" ->
       ("WITH ta AS (SELECT unnest(" + tokensExpr + ") AS term FROM documents " +

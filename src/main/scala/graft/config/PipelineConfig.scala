@@ -712,7 +712,7 @@ object TransformConfig {
       else None
   }
   object ForgetStage {
-    val Stores: Set[String] = Set("annIndex", "lexIndex", "nearDupStore")
+    val Stores: Set[String] = Set("annIndex", "lexIndex", "nearDupStore", "linkGraph")
     /** RTBF batches are bounded by nature (requests, not corpora); the
       * cap bounds the stage's driver-side key collect explicitly.
       */
@@ -934,6 +934,42 @@ object TransformConfig {
       else if (queryIdColumn.isEmpty) Some("transform.lexSearch.queryIdColumn required")
       else if (termColumn.isEmpty) Some("transform.lexSearch.termColumn required")
       else if (k < 1) Some("transform.lexSearch.k must be >= 1")
+      else None
+  }
+  /** Hybrid-retrieval fusion — Retrieval.rrfFuse of the piped ranking
+    * (tier A: e.g. a lexSearch stage's hit list) with the ranking
+    * parquet at `otherPath` (tier B: e.g. a persisted annSearch dump);
+    * terminal reshape to the fused per-query top-k.
+    */
+  final case class RrfFuseStage(otherPath: String, queryIdColumn: String,
+                                idColumn: String, rankColumn: String,
+                                k: Int, kRrf: Int)
+      extends TransformConfig {
+    val name = "rrfFuse"
+    def check: Option[String] =
+      if (otherPath.isEmpty) Some("transform.rrfFuse.otherPath required")
+      else if (queryIdColumn.isEmpty) Some("transform.rrfFuse.queryIdColumn required")
+      else if (idColumn.isEmpty) Some("transform.rrfFuse.idColumn required")
+      else if (rankColumn.isEmpty) Some("transform.rrfFuse.rankColumn required")
+      else if (k < 1) Some("transform.rrfFuse.k must be >= 1")
+      else if (kRrf < 0) Some("transform.rrfFuse.kRrf must be >= 0")
+      else None
+  }
+  /** Crawl-epoch absorption into a persisted LinkGraph store — the
+    * piped rows are the epoch's edges, absorbed under `tag` through
+    * the store's frontier-bounded exact rank maintenance
+    * (retire-and-redo on replay, the forget-stage idempotence
+    * discipline); terminal reshape to the store's served final ranks.
+    */
+  final case class GraphEpochStage(root: String, srcColumn: String,
+                                   dstColumn: String, tag: String)
+      extends TransformConfig {
+    val name = "graphEpoch"
+    def check: Option[String] =
+      if (root.isEmpty) Some("transform.graphEpoch.root required")
+      else if (srcColumn.isEmpty || dstColumn.isEmpty)
+        Some("transform.graphEpoch.srcColumn/dstColumn required")
+      else if (tag.isEmpty) Some("transform.graphEpoch.tag required")
       else None
   }
   /** Integer-exact PageRank — Graphs.pageRank over the piped edge
@@ -1369,6 +1405,11 @@ object PipelineConfig {
       "transform.linkExtract.htmlColumn", "transform.linkExtract.hrefColumn",
       "transform.lexSearch.indexRoot", "transform.lexSearch.queryIdColumn",
       "transform.lexSearch.termColumn", "transform.lexSearch.k",
+      "transform.rrfFuse.otherPath", "transform.rrfFuse.queryIdColumn",
+      "transform.rrfFuse.idColumn", "transform.rrfFuse.rankColumn",
+      "transform.rrfFuse.k", "transform.rrfFuse.kRrf",
+      "transform.graphEpoch.root", "transform.graphEpoch.srcColumn",
+      "transform.graphEpoch.dstColumn", "transform.graphEpoch.tag",
       "transform.pageRank.srcColumn", "transform.pageRank.dstColumn",
       "transform.pageRank.iters", "transform.pageRank.dampingPct",
       "transform.pageRank.dangling",
@@ -2139,6 +2180,31 @@ object PipelineConfig {
             k <- map.getOrElse("transform.lexSearch.k", "10")
               .toIntOption.toRight("transform.lexSearch.k not an int")
           } yield TransformConfig.LexSearchStage(root, qid, term, k)
+        case "rrfFuse" =>
+          for {
+            other <- map.get("transform.rrfFuse.otherPath")
+              .toRight("transform.rrfFuse.otherPath required")
+            qid <- map.get("transform.rrfFuse.queryIdColumn")
+              .toRight("transform.rrfFuse.queryIdColumn required")
+            id <- map.get("transform.rrfFuse.idColumn")
+              .toRight("transform.rrfFuse.idColumn required")
+            rank = map.getOrElse("transform.rrfFuse.rankColumn", "rank")
+            k <- map.getOrElse("transform.rrfFuse.k", "10")
+              .toIntOption.toRight("transform.rrfFuse.k not an int")
+            kRrf <- map.getOrElse("transform.rrfFuse.kRrf", "60")
+              .toIntOption.toRight("transform.rrfFuse.kRrf not an int")
+          } yield TransformConfig.RrfFuseStage(other, qid, id, rank, k, kRrf)
+        case "graphEpoch" =>
+          for {
+            root <- map.get("transform.graphEpoch.root")
+              .toRight("transform.graphEpoch.root required")
+            src <- map.get("transform.graphEpoch.srcColumn")
+              .toRight("transform.graphEpoch.srcColumn required")
+            dst <- map.get("transform.graphEpoch.dstColumn")
+              .toRight("transform.graphEpoch.dstColumn required")
+            tag <- map.get("transform.graphEpoch.tag")
+              .toRight("transform.graphEpoch.tag required")
+          } yield TransformConfig.GraphEpochStage(root, src, dst, tag)
         case "pageRank" =>
           def num(key: String, default: Int): Either[String, Int] =
             map.getOrElse(s"transform.pageRank.$key", default.toString)

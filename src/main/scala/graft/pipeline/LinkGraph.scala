@@ -253,6 +253,22 @@ object LinkGraph {
     val seeds = graft.Checkpoints.materialize(
       outOfDeltaSrcs.unionAll(newNodes).distinct())
 
+    val levelRows = frontierRounds(spark, root, meta, seeds, seq)
+    publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag)
+    nDelta
+  }
+
+  /** The shared frontier-bounded maintenance loop (append AND forget
+    * call it): recompute candidate ranks level by level from the
+    * store's CURRENT tables — which must already reflect the perturbed
+    * graph — carrying forward only ranks that truly differ from the
+    * stored level. Returns the level override rows (id, iter, rank,
+    * seq); any previous attempt's level files for the running tag must
+    * be retired BEFORE calling (the compare below reads stored
+    * levels).
+    */
+  private def frontierRounds(spark: SparkSession, root: String, meta: Meta,
+                             seeds: DataFrame, seq: Long): DataFrame = {
     val base = meta.scale / 100L * (100L - meta.dampingPct)
     var changed: DataFrame = null // (id, rank) differing at level k-1
     val changedLevels = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -298,10 +314,7 @@ object LinkGraph {
           .select(col("id"), col("rank")))
       changedLevels += changed.select(col("id"), lit(k).as("iter"), col("rank"))
     }
-    val levelRows = changedLevels.reduce(_.unionByName(_))
-      .withColumn("seq", lit(seq))
-    publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag)
-    nDelta
+    changedLevels.reduce(_.unionByName(_)).withColumn("seq", lit(seq))
   }
 
   private def rollbackFiles(spark: SparkSession, root: String, tag: String): Unit = {
@@ -335,6 +348,143 @@ object LinkGraph {
     val meta = readMeta(spark, root)
     levels(spark, root).filter(col("iter") === meta.iters)
       .select(col("id"), col("rank").as("rank_units"))
+  }
+
+  /** One-column probe frame typed to the store's key type (guessing
+    * from the literals' shape would miss string keys that look
+    * numeric).
+    */
+  private def keysFrame(spark: SparkSession, root: String, ids: Seq[Any]): DataFrame = {
+    val dt = spark.read.parquet(outDir(root)).schema("src").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 1), schema)
+  }
+
+  /** Right-to-be-forgotten: remove vertices outright — every edge
+    * touching them in both adjacency tables, their degree and level
+    * rows — with EXACT rank maintenance for the survivors, so the
+    * store afterwards serves precisely `pageRankLevels(remaining
+    * edges)` (the forget gate pins it against the remaining-graph
+    * recurrence).
+    *
+    * Protocol (crash-resumable, end-state idempotent): the removal's
+    * ground truth is SNAPSHOTTED first under `_forget/<tag>/` (removed
+    * edges + corrected survivor degrees, derived from the pre-delete
+    * tables, sealed by a marker) — a re-run after any crash reuses the
+    * snapshot instead of re-deriving from half-mutated tables. Then:
+    * physical deletes (TargetedDelete per table; the cross-column
+    * halves — dst∈ids rows in `out/`, src∈ids rows in `in/` — pay one
+    * honest table scan each, the RTBF price), corrected degrees
+    * republished under the tag's recorded seq, level rows of the
+    * forgotten AND of vertices orphaned by the removal dropped, and
+    * the shared frontier loop repairs survivor ranks (seeds: removed
+    * edges' surviving targets + out-neighbors of every
+    * degree-corrected source). A completed forget re-invoked is a
+    * no-op (empty re-derived snapshot returns before any mutation).
+    * Degree corrections that reach 0 stay as 0-rows — never consulted,
+    * because a 0-degree source has no out-edges left to join.
+    */
+  def forget(spark: SparkSession, root: String, ids: Seq[Any]): Unit = {
+    require(ids.nonEmpty, "empty id list — nothing to forget")
+    require(!ids.contains(null), "null ids cannot be forgotten")
+    val meta = readMeta(spark, root)
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(ids.map(String.valueOf).sorted.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val tag = s"forget-$digest"
+    val seq = seqFor(spark, root, tag)
+    val idsDf = keysFrame(spark, root, ids)
+    val snap = root + s"/_forget/$tag"
+    val marker = new org.apache.hadoop.fs.Path(snap + "/_SNAP_DONE")
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(marker)) {
+      val eOut = readByKeys(spark, outDir(root), "src", idsDf, "id")
+        .select(col("src"), col("dst"))
+      val eIn = readByKeys(spark, inDir(root), "dst", idsDf, "id")
+        .select(col("src"), col("dst"))
+      val removed = graft.Checkpoints.materialize(
+        eOut.unionAll(eIn).distinct())
+      removed.write.mode("overwrite").parquet(snap + "/removed")
+      // surviving sources that lose out-edges: deg' = deg − removed
+      val survSrcRm = removed
+        .join(idsDf.select(col("id").as("src")), Seq("src"), "left_anti")
+        .groupBy(col("src")).agg(count(lit(1)).as("rm"))
+      val oldDeg = resolveDeg(
+        readByKeys(spark, degDir(root), "src", survSrcRm, "src"))
+      survSrcRm.join(oldDeg, Seq("src"), "left")
+        .select(col("src"),
+          (coalesce(col("deg"), lit(0L)) - col("rm")).as("deg"),
+          lit(seq).as("seq"))
+        .write.mode("overwrite").parquet(snap + "/deg")
+      val out = fs.create(marker, true)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
+    }
+    val removed = spark.read.parquet(snap + "/removed")
+    if (removed.isEmpty) {
+      // edgeless ids: drop any stray level rows, nothing to maintain
+      graft.sources.TargetedDelete.deleteAuto(spark, levelsDir(root), "id", ids)
+      graft.sources.FileStatsIndex.update(spark, levelsDir(root), Seq("id"))
+      fs.delete(new org.apache.hadoop.fs.Path(snap), true)
+      return
+    }
+    val corrected = spark.read.parquet(snap + "/deg")
+
+    // physical deletes, all idempotent: the keyed halves are
+    // stats-pruned, the cross-column halves scan (RTBF price)
+    graft.sources.TargetedDelete.deleteAuto(spark, outDir(root), "src", ids)
+    graft.sources.TargetedDelete.deleteAuto(spark, outDir(root), "dst", ids)
+    graft.sources.FileStatsIndex.update(spark, outDir(root), Seq("src"))
+    graft.sources.TargetedDelete.deleteAuto(spark, inDir(root), "dst", ids)
+    graft.sources.TargetedDelete.deleteAuto(spark, inDir(root), "src", ids)
+    graft.sources.FileStatsIndex.update(spark, inDir(root), Seq("dst"))
+    graft.sources.TargetedDelete.deleteAuto(spark, degDir(root), "src", ids)
+    graft.sources.FileStatsIndex.update(spark, degDir(root), Seq("src"))
+    graft.sources.TargetedDelete.deleteAuto(spark, levelsDir(root), "id", ids)
+    graft.sources.FileStatsIndex.update(spark, levelsDir(root), Seq("id"))
+    spark.catalog.refreshByPath(outDir(root))
+    spark.catalog.refreshByPath(inDir(root))
+
+    // corrected survivor degrees BEFORE any maintenance read
+    publishClustered(spark, corrected, root, "deg", degDir(root), "src", tag)
+
+    // orphans: removed-edge endpoints (not themselves forgotten) with
+    // no remaining edge in either direction leave the node set — their
+    // level rows go too. Driver-bounded: endpoints ≤ 2·|removed edges|.
+    val ends = graft.Checkpoints.materialize(
+      removed.select(col("src").as("id"))
+        .unionAll(removed.select(col("dst").as("id"))).distinct()
+        .join(idsDf, Seq("id"), "left_anti"))
+    val stillOut = readByKeys(spark, outDir(root), "src", ends, "id")
+      .select(col("src").as("id"))
+    val stillIn = readByKeys(spark, inDir(root), "dst", ends, "id")
+      .select(col("dst").as("id"))
+    val living = graft.Checkpoints.materialize(
+      ends.join(stillOut.unionAll(stillIn).distinct(), Seq("id"), "left_semi"))
+    val orphanKeys = ends.join(living, Seq("id"), "left_anti")
+      .collect().map(_.get(0)).toSeq
+    if (orphanKeys.nonEmpty) {
+      graft.sources.TargetedDelete.deleteAuto(spark, levelsDir(root), "id", orphanKeys)
+      graft.sources.FileStatsIndex.update(spark, levelsDir(root), Seq("id"))
+    }
+
+    // seeds: removed edges' surviving non-orphan targets +
+    // out-neighbors (over the remaining graph) of every
+    // degree-corrected source
+    val dstSeeds = removed.select(col("dst").as("id")).distinct()
+      .join(living, Seq("id"), "left_semi")
+    val reOut = readByKeys(spark, outDir(root), "src",
+        corrected.select(col("src")), "src")
+      .select(col("dst").as("id"))
+    val seeds = graft.Checkpoints.materialize(
+      dstSeeds.unionAll(reOut).distinct())
+
+    graft.sources.EpochFiles.retire(spark, levelsDir(root), tag)
+    val levelRows = frontierRounds(spark, root, meta, seeds, seq)
+    publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag)
+    fs.delete(new org.apache.hadoop.fs.Path(snap), true)
+    ()
   }
 
   /** Fold accumulated LSM overrides back into one clustered table per

@@ -8,8 +8,8 @@ import graft.{Pipeline, TestSpark}
 /** The declarative RTBF stage: the piped rows are the forget batch,
   * the store stops returning the ids, re-admission stays possible, and
   * rows pass through to the audit target. The annIndex arm is gated
-  * end-to-end (q_cfg_forget); this spec covers the lexIndex and
-  * nearDupStore arms plus parse validation.
+  * end-to-end (q_cfg_forget); this spec covers the lexIndex,
+  * nearDupStore, and linkGraph arms plus parse validation.
   */
 class ForgetStageSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -62,6 +62,21 @@ class ForgetStageSpec extends AnyFunSuite {
     // after: nothing left to match against
     assert(graft.pipeline.Dedup.NearDupStore.dropNearDups(
       probe, "id", "text", root).count() === 1L)
+  }
+
+  test("linkGraph arm: forgotten vertex leaves the graph; survivor ranks exact") {
+    val root = Files.createTempDirectory("fs-lg").resolve("g").toString
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L).toDF("src", "dst")
+    graft.pipeline.LinkGraph.create(edges, "src", "dst", root, iters = 3)
+    runForget("linkGraph", root, Seq(1L).toDF("vertex"), "vertex")
+    assert(graft.pipeline.LinkGraph.edges(spark, root)
+      .filter(col("src") === 1L || col("dst") === 1L).count() === 0L)
+    val got = graft.pipeline.LinkGraph.levels(spark, root)
+      .orderBy("id", "iter").as[(Long, Int, Long)].collect().toSeq
+    val expect = graft.operators.Graphs.pageRankLevels(
+        Seq(2L -> 3L).toDF("src", "dst"), "src", "dst", 3)
+      .orderBy("id", "iter").as[(Long, Int, Long)].collect().toSeq
+    assert(got === expect)
   }
 
   test("parse validation: unknown store and missing keys fail loudly") {

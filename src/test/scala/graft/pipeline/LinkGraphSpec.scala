@@ -113,6 +113,61 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(raw.count() === raw.select("id", "iter").distinct().count())
   }
 
+  test("forget equals recompute over the remaining graph; re-invoke no-ops") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1 ++ e2), "src", "dst", r, iters = 3)
+    LinkGraph.forget(spark, r, Seq(2L))
+    val remaining = (e1 ++ e2).distinct.filter { case (s, d) => s != 2L && d != 2L }
+    assert(sortedLevels(LinkGraph.levels(spark, r)) ===
+      fullLevels(edgesDf(remaining)))
+    assert(LinkGraph.edges(spark, r)
+      .filter(col("src") === 2L || col("dst") === 2L).count() === 0L)
+    // completed forget re-invoked is a no-op
+    LinkGraph.forget(spark, r, Seq(2L))
+    assert(sortedLevels(LinkGraph.levels(spark, r)) ===
+      fullLevels(edgesDf(remaining)))
+  }
+
+  test("forget drops orphaned vertices from the level state") {
+    val r = root()
+    // 9 exists only through 1 -> 9: forgetting 1 orphans it
+    val es = Seq(1L -> 9L, 1L -> 2L, 2L -> 3L, 3L -> 2L)
+    LinkGraph.create(edgesDf(es), "src", "dst", r, iters = 3)
+    LinkGraph.forget(spark, r, Seq(1L))
+    val remaining = Seq(2L -> 3L, 3L -> 2L)
+    assert(sortedLevels(LinkGraph.levels(spark, r)) ===
+      fullLevels(edgesDf(remaining)))
+    assert(LinkGraph.levels(spark, r).filter(col("id").isin(1L, 9L)).count() === 0L)
+  }
+
+  test("forgetting edgeless ids is a level no-op") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    val before = sortedLevels(LinkGraph.levels(spark, r))
+    LinkGraph.forget(spark, r, Seq(777L))
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === before)
+  }
+
+  test("property: random graphs, random victim sets — forget ≡ recompute") {
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val nV = 10 + rng.nextInt(8)
+      val all = Seq.fill(35 + rng.nextInt(25))(
+        (rng.nextInt(nV).toLong, rng.nextInt(nV).toLong)).distinct
+      val victims = (0 until nV).filter(_ => rng.nextDouble() < 0.2)
+        .map(_.toLong)
+      if (victims.nonEmpty) {
+        val r = root()
+        LinkGraph.create(edgesDf(all), "src", "dst", r, iters = 4)
+        LinkGraph.forget(spark, r, victims)
+        val vs = victims.toSet
+        val remaining = all.filter { case (s, d) => !vs(s) && !vs(d) }
+        assert(sortedLevels(LinkGraph.levels(spark, r)) ===
+          fullLevels(edgesDf(remaining), iters = 4), s"trial $trial")
+      }
+    }
+  }
+
   test("property: random graphs, random epoch splits — incremental ≡ recompute") {
     val rng = new scala.util.Random(7)
     for (trial <- 1 to 4) {
