@@ -469,7 +469,7 @@ object Pipeline {
         minMatchingHashes = mh, advance = adv,
         maxPruneKeys = mpk, minPruneBytes = mpb)
     case graft.config.TransformConfig.AnnSearchStage(
-        root, id, vec, k, np, ver, fPath, fCol) =>
+        root, id, vec, k, np, ver, fPath, fCol, rPath, rKCand) =>
       // terminal reshape: piped rows are the queries, output is the
       // k-per-query hit list; models load once per stage application.
       // versioned roots resolve the _LATEST pointer once here — the
@@ -478,12 +478,17 @@ object Pipeline {
       val handle =
         if (ver) graft.pipeline.AnnIndex.openLatest(df.sparkSession, root)
         else graft.pipeline.AnnIndex.open(df.sparkSession, root)
-      (fPath, fCol) match {
-        case (Some(p), Some(c)) =>
+      (fPath, fCol, rPath, rKCand) match {
+        case (Some(p), Some(c), _, _) =>
           // filtered ANN: neighbor universe restricted to the id list
           // at filterPath, ranked among survivors (never post-filtered)
           graft.pipeline.AnnIndex.searchWhere(handle, df, id, vec, k, np,
             allowed = df.sparkSession.read.parquet(p), allowedIdCol = c)
+        case (_, _, Some(p), Some(kc)) =>
+          // two-stage: ADC over-fetches kCand candidates, exact
+          // squared-L2 on the true vectors at rerankPath decides order
+          graft.pipeline.AnnIndex.searchRerank(handle, df,
+            df.sparkSession.read.parquet(p), id, vec, k, np, kc)
         case _ =>
           graft.pipeline.AnnIndex.search(handle, df, id, vec, k, np)
       }
@@ -563,6 +568,13 @@ object Pipeline {
       // terminal reshape: (id, rank_units)
       graft.operators.Graphs.pageRank(df, src, dst, iters, dampingPct,
         danglingRedistribute = dangling)
+    case graft.config.TransformConfig.HitsStage(src, dst, iters) =>
+      // terminal reshape: (id, auth_units, hub_units)
+      graft.operators.Graphs.hits(df, src, dst, iters)
+    case graft.config.TransformConfig.MmrStage(qid, id, score, vec, k, lam) =>
+      // terminal reshape: the piped candidate ranking re-ranked for
+      // diversity — (queryId, rank, id, mmr_score)
+      graft.pipeline.Retrieval.mmrRerank(df, qid, id, score, vec, k, lam)
     case graft.config.TransformConfig.TrianglesStage(src, dst) =>
       // terminal reshape: (vertex, n_triangles)
       graft.operators.Graphs.triangleCounts(df, src, dst)

@@ -64,6 +64,8 @@ object ScaleBench {
   private val lineCensuses = scala.collection.concurrent.TrieMap[String, String]()
   private val graphRoots = scala.collection.concurrent.TrieMap[String, String]()
   private val graphEpochBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val graphForgetBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val graphForgetRuns = scala.collection.concurrent.TrieMap[String, Int]()
   private val lexRoots = scala.collection.concurrent.TrieMap[String, String]()
   private val lexAppendBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val lineCensusBytes = scala.collection.concurrent.TrieMap[String, Long]()
@@ -522,6 +524,37 @@ object ScaleBench {
       graphEpochBytes(dir) = graphEpochBytes.get(dir).fold(bytes)(math.min(_, bytes))
       n
     },
+    // fixed 5-vertex RTBF batch against its own persisted link-graph
+    // store over the whole amplified corpus (same block-local build as
+    // graph_rank_epoch): EVERY run forgets a FRESH victim set — a
+    // completed forget re-invoked is a no-op, which would turn
+    // min-of-2 into timing nothing — each set the same shape (block-0
+    // vertices, block-local reach). The claim under test: the
+    // snapshot-driven pair-deletes pay the victims' edge reach on ALL
+    // FOUR tables (no cross-column table scan), so wall and bytes stay
+    // flat under a 10x graph.
+    "graph_forget" -> { (s, dir) =>
+      def blockDst(mul: Long, add: Long) =
+        col("doc_id") - pmod(col("doc_id"), lit(500L)) +
+          pmod(col("doc_id") * mul + add, lit(500L))
+      val root = graphRoots.getOrElseUpdate(s"$dir#forget", {
+        val p = java.nio.file.Files.createTempDirectory("graft-scale-lgf")
+          .resolve("g").toString
+        val docs = Tables.load(s, dir, "documents")
+        val edges = docs.select(col("doc_id").as("src"), blockDst(7, 3).as("dst"))
+          .unionAll(docs.select(col("doc_id").as("src"), blockDst(13, 11).as("dst")))
+        pipeline.LinkGraph.create(edges, "src", "dst", p, iters = 3)
+        p
+      })
+      val k = graphForgetRuns.updateWith(dir)(n => Some(n.getOrElse(0) + 1)).get
+      val ids: Seq[Any] = Seq(0, 1, 2, 3, 4).map(i => 7L + 100L * i + 10L * k)
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.LinkGraph.forget(s, root, ids)
+        ids.size.toLong
+      }
+      graphForgetBytes(dir) = graphForgetBytes.get(dir).fold(bytes)(math.min(_, bytes))
+      n
+    },
     // radius-probing banded phash near-dup over the WHOLE corpus (the
     // gate query caps ids; amplification must grow real collisions
     // linearly, with the fixed 72-key probe fan-out per row)
@@ -629,7 +662,8 @@ object ScaleBench {
     val annIoJson = annIo(annSearchBytes, "ann_search_bytes") +
       annIo(annIngestBytes, "ann_ingest_bytes") +
       annIo(lexAppendBytes, "lex_append_bytes") +
-      annIo(graphEpochBytes, "graph_rank_epoch_bytes")
+      annIo(graphEpochBytes, "graph_rank_epoch_bytes") +
+      annIo(graphForgetBytes, "graph_forget_bytes")
     val censusIo = (lineCensusBytes.get(baseDir), lineCensusBytes.get(workDir)) match {
       case (Some(b), Some(sc)) if b > 0 =>
         s""","line_census_probe_bytes":{"base_mb":${fmt(b / 1e6)},"scaled_mb":${fmt(sc / 1e6)},"ratio":${fmt(sc.toDouble / b)},"census_mb":[${fmt(lineCensusSize.getOrElse(baseDir, 0L) / 1e6)},${fmt(lineCensusSize.getOrElse(workDir, 0L) / 1e6)}]}"""

@@ -2171,6 +2171,27 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-stage ANN search (ADC candidates → exact re-rank,
+    * [[graft.pipeline.AnnIndex.searchRerank]]) pinned by EXACT ground
+    * truth: with kCand covering the whole corpus and every bucket
+    * probed, the candidate stage admits everything and the output IS
+    * brute-force exact squared-L2 top-5 — independent of the trained
+    * codebooks (quantization decides only candidate ADMISSION, total
+    * here; the exact stage alone decides order). So the whole two-stage
+    * path — code scan, candidate broadcast, true-vector fetch, exact
+    * window — gets a hash oracle replaying the brute-force ranking in
+    * DuckDB, not a constant-TRUE contract. Production-kCand recall
+    * behavior (recall ≥ plain ADC) is PqSpec territory.
+    */
+  private def qAnnRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val h = annStoreHandle(s, d)
+    graft.pipeline.AnnIndex.searchRerank(h, emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, nProbe = 10, kCand = 1 << 20)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The `annSearch` config stage pinned row-for-row against the
     * Scala tier (the q_cfg_attribution discipline: one declarative
     * query per stage, gated by equality with the library call it
@@ -2218,6 +2239,53 @@ object SparkEntry {
           abs(col("adc_dist") - col("__d2")) < 1e-12).as("same_as_library"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** The `annSearch` stage's rerank arm under the q_ann_rerank
+    * discipline: with total candidate admission the declarative
+    * two-stage search must reproduce brute-force exact squared-L2
+    * top-5 — the stage gets the same REAL oracle as the library call,
+    * pinning the config plumbing (rerankPath corpus read, kCand
+    * threading) end to end.
+    */
+  private def qCfgAnnRerank(s: SparkSession, d: String): DataFrame = {
+    val h = annStoreHandle(s, d)
+    val qdir = annQueriesDir.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-annq")
+        .resolve("q").toString
+      t(s, d, "embeddings").filter(col("vec_id") < 5).write.parquet(p)
+      p
+    })
+    val corpusDir = annRerankCorpusDir.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-annrrc")
+        .resolve("c").toString
+      t(s, d, "embeddings").select("vec_id", "embedding").write.parquet(p)
+      p
+    })
+    val out = java.nio.file.Files.createTempDirectory("graft-annrr-out")
+      .resolve("out").toString
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $qdir
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: annSearch
+         |transform.annSearch.indexRoot: ${h.root}
+         |transform.annSearch.idColumn: vec_id
+         |transform.annSearch.vecColumn: embedding
+         |transform.annSearch.k: 5
+         |transform.annSearch.nProbe: 10
+         |transform.annSearch.rerankPath: $corpusDir
+         |transform.annSearch.rerankKCand: 1048576
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annRerankCorpusDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Exactly-once streaming-epoch ingest into the persisted ANN
     * index, end to end through the crash cases: the base index covers
@@ -3175,6 +3243,24 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** HITS hubs/authorities over the q_pagerank edge set: two full
+    * rounds of the integer-exact max-normalized recurrence
+    * ([[graft.operators.Graphs.hits]]) — every step BIGINT (sum,
+    * multiply, truncating div), so the oracle replays the unrolled
+    * recurrence and the gate hash-pins exact units, the q_pagerank
+    * discipline applied to the second classic link-analysis ranking.
+    */
+  private def qHits(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val e1 = docs.select(col("doc_id").as("src"),
+      pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+    val e2 = docs.select(col("doc_id").as("src"),
+      pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst"))
+    graft.operators.Graphs.hits(e1.unionAll(e2), "src", "dst", iters = 2)
+      .select(col("id").as("node_id"), col("auth_units"), col("hub_units"))
+      .orderBy(col("node_id"))
+  }
+
   /** Incremental PageRank maintenance pinned to the FULL-recompute
     * oracle (the q_components_incr discipline): ranks for the crawl
     * epoch split doc_id < 250 vs rest — levels persisted for the old
@@ -3384,6 +3470,26 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR diversity re-rank pinned by FULL greedy replay: candidates
+    * are the exact cosine top-20 (q_sim_topk's deterministic tier),
+    * and the oracle unrolls all 5 greedy selections in SQL — same
+    * integer-percent λ arithmetic, same cosine kernel, same id
+    * tiebreak — so the gate hash-pins the selected ids AND their
+    * order, not a constant-TRUE contract.
+    */
+  private def qMmrRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cand = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 20)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+    graft.pipeline.Retrieval.mmrRerank(cand, "query_id", "neighbor_id",
+        "cos", "embedding", k = 5, lambdaPct = 70)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Config-driven crawl→link-graph END TO END: linkExtract explodes
     * the q_link_graph pages into per-href rows, urlCanon canonicalizes
     * each href in place and derives host/registered-domain — the whole
@@ -3546,6 +3652,72 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** The declarative hits stage pinned to the q_hits oracle: same
+    * edges through the config surface, identical integer units.
+    */
+  private def qCfgHits(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgh")
+    val src = base.resolve("edges").toString
+    val out = base.resolve("out").toString
+    val docs = t(s, d, "documents")
+    docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+      .write.parquet(src)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: hits
+         |transform.hits.srcColumn: src
+         |transform.hits.dstColumn: dst
+         |transform.hits.iters: 2
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("id").as("node_id"), col("auth_units"), col("hub_units"))
+      .orderBy(col("node_id"))
+  }
+
+  /** The declarative mmrRerank stage pinned to the q_mmr_rerank
+    * oracle: the same cosine top-20 candidate ranking flows in as the
+    * piped source and the stage must reproduce the full greedy replay.
+    */
+  private def qCfgMmr(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgmmr")
+    val src = base.resolve("cand").toString
+    val out = base.resolve("out").toString
+    val emb = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 20)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("embedding"))
+      .write.parquet(src)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: mmrRerank
+         |transform.mmrRerank.queryIdColumn: query_id
+         |transform.mmrRerank.idColumn: neighbor_id
+         |transform.mmrRerank.scoreColumn: cos
+         |transform.mmrRerank.vecColumn: embedding
+         |transform.mmrRerank.k: 5
+         |transform.mmrRerank.lambdaPct: 70
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The declarative rrfFuse stage pinned to the q_hybrid_rrf oracle:
     * the lexical tier flows in as the piped source, the dense tier as
     * the stage's otherPath parquet — config indirection must add
@@ -3700,6 +3872,7 @@ object SparkEntry {
     "q_cfg_webextract" -> (qCfgWebextract _),
     "q_link_graph" -> (qLinkGraph _),
     "q_pagerank" -> (qPagerank _),
+    "q_hits" -> (qHits _),
     "q_pagerank_incr" -> (qPagerankIncr _),
     "q_graph_rank" -> (qGraphRank _),
     "q_graph_forget" -> (qGraphForget _),
@@ -3712,6 +3885,9 @@ object SparkEntry {
     "q_cfg_lex" -> (qCfgLexSearch _),
     "q_lex_bm25" -> (qLexBm25 _),
     "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_mmr_rerank" -> (qMmrRerank _),
+    "q_cfg_hits" -> (qCfgHits _),
+    "q_cfg_mmr" -> (qCfgMmr _),
     "q_cfg_rrf" -> (qCfgRrf _),
     "q_cfg_graphrank" -> (qCfgGraphRank _),
     "q_cfg_links" -> (qCfgLinks _),
@@ -3764,12 +3940,14 @@ object SparkEntry {
     "q_pq_codes" -> (qPqCodes _),
     "q_pq_adc" -> (qPqAdc _),
     "q_ann_store" -> (qAnnStore _),
+    "q_ann_rerank" -> (qAnnRerank _),
     "q_ann_epoch" -> (qAnnEpoch _),
     "q_ann_forget" -> (qAnnForget _),
     "q_cfg_forget" -> (qCfgForget _),
     "q_ann_retrain" -> (qAnnRetrain _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_cfg_ann" -> (qCfgAnn _),
+    "q_cfg_annrerank" -> (qCfgAnnRerank _),
     "q_cfg_ann_ingest" -> (qCfgAnnIngest _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
@@ -4136,6 +4314,86 @@ object SparkEntry {
       " SELECT id AS node_id, rank AS rank_units FROM r3 ORDER BY node_id"
   }
 
+  /** Unrolled integer-exact HITS recurrence (2 rounds, scale 1e6) over
+    * the q_pagerank edge set: per half-round a keyed sum, a scalar
+    * max, and a truncating rescale — every value BIGINT, so the gate
+    * hash-pins exact units (DuckDB's HUGEINT sums are cast back down
+    * at each normalized output).
+    */
+  private val sqlHits: String = {
+    val scale = 1000000L
+    def norm(raw: String, mx: String, outCte: String, outCol: String) =
+      s"$mx AS (SELECT MAX(s) AS m FROM $raw), " +
+        s"$outCte AS (SELECT id, CAST(CASE WHEN (SELECT m FROM $mx) <= 0 THEN 0 " +
+        s"ELSE (s * $scale) // (SELECT m FROM $mx) END AS BIGINT) AS $outCol FROM $raw)"
+    def aRaw(i: Int, hubCte: String) =
+      s"a${i}r AS (SELECT n.id, coalesce(x.s, 0) AS s FROM n LEFT JOIN " +
+        s"(SELECT e.dst AS id, SUM(h.hub) AS s FROM e JOIN $hubCte h " +
+        s"ON h.id = e.src GROUP BY e.dst) x ON x.id = n.id)"
+    def hRaw(i: Int) =
+      s"h${i}r AS (SELECT n.id, coalesce(x.s, 0) AS s FROM n LEFT JOIN " +
+        s"(SELECT e.src AS id, SUM(a.auth) AS s FROM e JOIN a$i a " +
+        s"ON a.id = e.dst GROUP BY e.src) x ON x.id = n.id)"
+    val rounds = (1 to 2).map { i =>
+      aRaw(i, s"h${i - 1}") + ", " + norm(s"a${i}r", s"a${i}m", s"a$i", "auth") +
+        ", " + hRaw(i) + ", " + norm(s"h${i}r", s"h${i}m", s"h$i", "hub")
+    }.mkString(", ")
+    "WITH e AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +
+      "UNION ALL SELECT doc_id, (doc_id*13+11)%500 FROM documents)), " +
+      "n AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      s"h0 AS (SELECT id, CAST($scale AS BIGINT) AS hub FROM n), " +
+      rounds +
+      " SELECT a2.id AS node_id, a2.auth AS auth_units, h2.hub AS hub_units " +
+      "FROM a2 JOIN h2 ON h2.id = a2.id ORDER BY node_id"
+  }
+
+  /** Full greedy MMR replay: exact cosine top-20 candidates, then the
+    * 5 selection rounds unrolled — each round an anti-join of the
+    * candidates against the picked set, a per-candidate MAX cosine to
+    * the picked vectors, and an argmax of
+    * `((70·rel)/100) − ((30·maxsim)/100)` with id tiebreak, exactly
+    * the double-op sequence `Retrieval.mmrRerank` runs.
+    */
+  private val sqlMmr: String = {
+    def cosSql(a: String, b: String) =
+      s"(list_sum(list_transform(list_zip($a, $b), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    val rounds = (2 to 5).map { j =>
+      val prev = s"s${j - 1}"
+      s"r$j AS (SELECT c.* FROM cand c WHERE NOT EXISTS (SELECT 1 FROM $prev s " +
+        "WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)), " +
+        s"m$j AS (SELECT r.query_id, r.neighbor_id, MAX(${cosSql("r.cv", "s.cv")}) AS ms " +
+        s"FROM r$j r JOIN $prev s ON s.query_id = r.query_id " +
+        "GROUP BY r.query_id, r.neighbor_id), " +
+        s"x$j AS (SELECT r.query_id, r.neighbor_id, r.cos, r.cv, m.ms FROM r$j r " +
+        s"JOIN m$j m ON m.query_id = r.query_id AND m.neighbor_id = r.neighbor_id), " +
+        s"p$j AS (SELECT query_id, neighbor_id, cv, $j AS rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY " +
+        "((70 * cos) / 100) - ((30 * ms) / 100) DESC, neighbor_id) AS rn " +
+        s"FROM x$j) WHERE rn = 1), " +
+        s"s$j AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$j)"
+    }.mkString(", ")
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv " +
+      "FROM embeddings WHERE vec_id < 3), " +
+      "c0 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), " +
+      "scoredc AS (SELECT query_id, neighbor_id, cv, " + cosSql("qv", "cv") +
+      " AS cos FROM q, c0 WHERE query_id <> neighbor_id), " +
+      "cand AS (SELECT query_id, neighbor_id, cv, cos FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY cos DESC, neighbor_id) AS rn FROM scoredc) WHERE rn <= 20), " +
+      "p1 AS (SELECT query_id, neighbor_id, cv, 1 AS rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY " +
+      "((70 * cos) / 100) - ((30 * 0.0) / 100) DESC, neighbor_id) AS rn " +
+      "FROM cand) WHERE rn = 1), " +
+      "s1 AS (SELECT * FROM p1), " +
+      rounds +
+      " SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM s5 " +
+      "ORDER BY query_id, rank"
+  }
+
   private val sqlPagerank: String = sqlPagerankOver(
     "e AS (SELECT DISTINCT src, dst FROM (" +
       "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +
@@ -4247,6 +4505,7 @@ object SparkEntry {
         "FROM hh GROUP BY source, dst_domain ORDER BY source, dst_domain"),
 
     "q_pagerank" -> sqlPagerank,
+    "q_hits" -> sqlHits,
     "q_cfg_pagerank" -> sqlPagerank,
     // the incremental gate is PINNED TO THE FULL RECOMPUTE: same
     // recurrence, same union edge set — the frontier path must land on
@@ -4864,6 +5123,11 @@ object SparkEntry {
     // fused score computed with the IDENTICAL two divisions summed in
     // (lex, dense) order — the double is hash-compared bit-for-bit
     "q_hybrid_rrf" -> sqlHybridRrf,
+    // full greedy MMR replay — ids AND order hash-pinned
+    "q_mmr_rerank" -> sqlMmr,
+    // stage ≡ library, both against the same full replays
+    "q_cfg_hits" -> sqlHits,
+    "q_cfg_mmr" -> sqlMmr,
     // the declarative rrfFuse stage is pinned to the SAME fusion
     "q_cfg_rrf" -> sqlHybridRrf,
     // the declarative graphEpoch stage serves the store's maintained
@@ -4984,6 +5248,23 @@ object SparkEntry {
         "unnest(generate_series(1, 10)) AS g(r) WHERE vec_id < 5 " +
         "ORDER BY query_id, rank"),
 
+    // two-stage search with total candidate admission IS brute-force
+    // exact squared-L2 top-5 — replayed verbatim, a real hash oracle
+    // for the rerank path (codebook-independent by construction)
+    "q_ann_rerank" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_sum(list_transform(list_zip(qv, cv), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d " +
+        "FROM q, c WHERE query_id <> neighbor_id) " +
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM " +
+        "(SELECT query_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rn FROM scored) " +
+        "WHERE rn <= 5 ORDER BY query_id, rank"),
+
     // after a half-published crash + two replays of the same epoch,
     // every corpus vector sits in the index exactly once
     "q_ann_epoch" ->
@@ -5029,6 +5310,22 @@ object SparkEntry {
         "TRUE AS same_as_library FROM embeddings, " +
         "unnest(generate_series(1, 10)) AS g(r) WHERE vec_id < 5 " +
         "ORDER BY query_id, rank"),
+
+    // the declarative two-stage search gets the same REAL oracle as
+    // q_ann_rerank: brute-force exact squared-L2 top-5, replayed
+    "q_cfg_annrerank" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_sum(list_transform(list_zip(qv, cv), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d " +
+        "FROM q, c WHERE query_id <> neighbor_id) " +
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM " +
+        "(SELECT query_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rn FROM scored) " +
+        "WHERE rn <= 5 ORDER BY query_id, rank"),
 
     // full replication of the LSH-bucketed SemDeDup rule (same strategy
     // as q_sim_lsh): seed-fixed planes inlined, 4-bit band codes, the

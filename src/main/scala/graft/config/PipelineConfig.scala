@@ -662,7 +662,9 @@ object TransformConfig {
                                   vecColumn: String, k: Int, nProbe: Int,
                                   versioned: Boolean = false,
                                   filterPath: Option[String] = None,
-                                  filterColumn: Option[String] = None)
+                                  filterColumn: Option[String] = None,
+                                  rerankPath: Option[String] = None,
+                                  rerankKCand: Option[Int] = None)
       extends TransformConfig {
     val name = "annSearch"
     def check: Option[String] =
@@ -673,6 +675,13 @@ object TransformConfig {
       else if (nProbe < 1) Some("transform.annSearch.nProbe must be >= 1")
       else if (filterPath.isDefined != filterColumn.isDefined)
         Some("transform.annSearch.filterPath and filterColumn go together")
+      else if (rerankPath.isDefined != rerankKCand.isDefined)
+        Some("transform.annSearch.rerankPath and rerankKCand go together")
+      else if (rerankKCand.exists(_ < k))
+        Some("transform.annSearch.rerankKCand must be >= k")
+      else if (rerankPath.isDefined && filterPath.isDefined)
+        Some("transform.annSearch rerank and filter cannot combine (yet): " +
+          "restrict the corpus at rerankPath instead")
       else None
   }
   /** Exactly-once vector ingest into a persisted AnnIndex as a
@@ -987,6 +996,39 @@ object TransformConfig {
         Some("transform.pageRank.iters must be in [1, 30]")
       else if (dampingPct < 1 || dampingPct > 99)
         Some("transform.pageRank.dampingPct must be in [1, 99]")
+      else None
+  }
+  /** Integer-exact HITS — Graphs.hits over the piped edge frame;
+    * terminal reshape to (id, auth_units, hub_units).
+    */
+  final case class HitsStage(srcColumn: String, dstColumn: String,
+                             iters: Int)
+      extends TransformConfig {
+    val name = "hits"
+    def check: Option[String] =
+      if (srcColumn.isEmpty || dstColumn.isEmpty)
+        Some("transform.hits.srcColumn/dstColumn required")
+      else if (iters < 1 || iters > 30)
+        Some("transform.hits.iters must be in [1, 30]")
+      else None
+  }
+  /** MMR diversity re-rank — Retrieval.mmrRerank over the piped
+    * candidate ranking (which must carry relevance + vector columns);
+    * terminal reshape to (queryId, rank, id, mmr_score).
+    */
+  final case class MmrStage(queryIdColumn: String, idColumn: String,
+                            scoreColumn: String, vecColumn: String,
+                            k: Int, lambdaPct: Int)
+      extends TransformConfig {
+    val name = "mmrRerank"
+    def check: Option[String] =
+      if (queryIdColumn.isEmpty) Some("transform.mmrRerank.queryIdColumn required")
+      else if (idColumn.isEmpty) Some("transform.mmrRerank.idColumn required")
+      else if (scoreColumn.isEmpty) Some("transform.mmrRerank.scoreColumn required")
+      else if (vecColumn.isEmpty) Some("transform.mmrRerank.vecColumn required")
+      else if (k < 1) Some("transform.mmrRerank.k must be >= 1")
+      else if (lambdaPct < 0 || lambdaPct > 100)
+        Some("transform.mmrRerank.lambdaPct must be in [0, 100]")
       else None
   }
   /** In-place markup extraction — Web.stripMarkup replaces
@@ -1376,6 +1418,7 @@ object PipelineConfig {
       "transform.annSearch.vecColumn", "transform.annSearch.k",
       "transform.annSearch.nProbe", "transform.annSearch.versioned",
       "transform.annSearch.filterPath", "transform.annSearch.filterColumn",
+      "transform.annSearch.rerankPath", "transform.annSearch.rerankKCand",
       "transform.annIngest.indexRoot", "transform.annIngest.idColumn",
       "transform.annIngest.vecColumn", "transform.annIngest.tag",
       "transform.forget.store", "transform.forget.root",
@@ -1413,6 +1456,11 @@ object PipelineConfig {
       "transform.pageRank.srcColumn", "transform.pageRank.dstColumn",
       "transform.pageRank.iters", "transform.pageRank.dampingPct",
       "transform.pageRank.dangling",
+      "transform.hits.srcColumn", "transform.hits.dstColumn",
+      "transform.hits.iters",
+      "transform.mmrRerank.queryIdColumn", "transform.mmrRerank.idColumn",
+      "transform.mmrRerank.scoreColumn", "transform.mmrRerank.vecColumn",
+      "transform.mmrRerank.k", "transform.mmrRerank.lambdaPct",
       "transform.htmlExtract.textColumn",
       "transform.urlCanon.urlColumn", "transform.urlCanon.hostColumn",
       "transform.urlCanon.domainColumn", "transform.urlCanon.trackedParams",
@@ -1999,9 +2047,15 @@ object PipelineConfig {
               .toIntOption.toRight("transform.annSearch.nProbe not an int")
             ver <- map.getOrElse("transform.annSearch.versioned", "false")
               .toBooleanOption.toRight("transform.annSearch.versioned not a boolean")
+            kc <- map.get("transform.annSearch.rerankKCand") match {
+              case None => Right(None)
+              case Some(v) => v.toIntOption.map(Some(_))
+                .toRight("transform.annSearch.rerankKCand not an int")
+            }
           } yield TransformConfig.AnnSearchStage(root, id, vec, k, np, ver,
             map.get("transform.annSearch.filterPath"),
-            map.get("transform.annSearch.filterColumn"))
+            map.get("transform.annSearch.filterColumn"),
+            map.get("transform.annSearch.rerankPath"), kc)
         case "annIngest" =>
           for {
             root <- map.get("transform.annIngest.indexRoot")
@@ -2220,6 +2274,30 @@ object PipelineConfig {
               .toBooleanOption
               .toRight("transform.pageRank.dangling not a boolean")
           } yield TransformConfig.PageRankStage(src, dst, it, dp, dg)
+        case "hits" =>
+          for {
+            src <- map.get("transform.hits.srcColumn")
+              .toRight("transform.hits.srcColumn required")
+            dst <- map.get("transform.hits.dstColumn")
+              .toRight("transform.hits.dstColumn required")
+            it <- map.getOrElse("transform.hits.iters", "2")
+              .toIntOption.toRight("transform.hits.iters not an int")
+          } yield TransformConfig.HitsStage(src, dst, it)
+        case "mmrRerank" =>
+          for {
+            qid <- map.get("transform.mmrRerank.queryIdColumn")
+              .toRight("transform.mmrRerank.queryIdColumn required")
+            id <- map.get("transform.mmrRerank.idColumn")
+              .toRight("transform.mmrRerank.idColumn required")
+            score <- map.get("transform.mmrRerank.scoreColumn")
+              .toRight("transform.mmrRerank.scoreColumn required")
+            vec <- map.get("transform.mmrRerank.vecColumn")
+              .toRight("transform.mmrRerank.vecColumn required")
+            k <- map.getOrElse("transform.mmrRerank.k", "10")
+              .toIntOption.toRight("transform.mmrRerank.k not an int")
+            lam <- map.getOrElse("transform.mmrRerank.lambdaPct", "70")
+              .toIntOption.toRight("transform.mmrRerank.lambdaPct not an int")
+          } yield TransformConfig.MmrStage(qid, id, score, vec, k, lam)
         case "htmlExtract" =>
           map.get("transform.htmlExtract.textColumn")
             .toRight("transform.htmlExtract.textColumn required")

@@ -302,6 +302,26 @@ object AnnIndex {
       handle.ivf, handle.pq, k, nProbe)
   }
 
+  /** Two-stage search over the persisted index — IVF-PQ candidate
+    * generation then exact re-rank ([[Pq.rerankExact]]): the index
+    * frame (codes only, no vectors) over-fetches `kCand` candidates
+    * per query, and their TRUE vectors are fetched from `corpus` (the
+    * caller's vector table — the index deliberately doesn't store
+    * vectors) and ranked by exact squared L2. This is the recall
+    * repair every production PQ deployment runs: quantization error
+    * decides only WHICH kCand make the candidate list, never their
+    * final order. Cost: the code-scan search at kCand, plus one
+    * broadcast-pruned fetch of |queries|·kCand true vectors — the
+    * corpus is scanned (column-pruned), never shuffled. Output
+    * (query_id, rank, neighbor_id, exact_dist).
+    */
+  def searchRerank(handle: Handle, queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, k: Int, nProbe: Int,
+                   kCand: Int): DataFrame =
+    Pq.rerankExact(
+      search(handle, queries, idCol, vecCol, kCand, nProbe),
+      queries, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, k)
+
   /** Attribute-filtered search — the vector-db "filtered ANN" shape: a
     * metadata predicate (language, license, time range) narrows the
     * NEIGHBOR universe to the ids in `allowed`, and the top-k must be

@@ -375,8 +375,10 @@ object LinkGraph {
     * tables, sealed by a marker) — a re-run after any crash reuses the
     * snapshot instead of re-deriving from half-mutated tables. Then:
     * physical deletes (TargetedDelete per table; the cross-column
-    * halves — dst∈ids rows in `out/`, src∈ids rows in `in/` — pay one
-    * honest table scan each, the RTBF price), corrected degrees
+    * halves — dst∈ids rows in `out/`, src∈ids rows in `in/` — are
+    * pair-deletes from the snapshot's removed-edge list, pruned by
+    * each table's cluster key, so they too cost the batch's reach,
+    * not a table scan), corrected degrees
     * republished under the tag's recorded seq, level rows of the
     * forgotten AND of vertices orphaned by the removal dropped, and
     * the shared frontier loop repairs survivor ranks (seeds: removed
@@ -431,17 +433,53 @@ object LinkGraph {
     }
     val corrected = spark.read.parquet(snap + "/deg")
 
-    // physical deletes, all idempotent: the keyed halves are
-    // stats-pruned, the cross-column halves scan (RTBF price)
-    graft.sources.TargetedDelete.deleteAuto(spark, outDir(root), "src", ids)
-    graft.sources.TargetedDelete.deleteAuto(spark, outDir(root), "dst", ids)
+    // physical deletes, all idempotent. The keyed halves are
+    // stats-pruned; the cross-column halves used to pay an honest
+    // whole-table scan (out/ can't prune "dst ∈ ids") — but the
+    // SNAPSHOT knows the doomed edges exactly, so they become
+    // pair-deletes pruned by each table's own cluster key
+    // (TargetedDelete.deletePairs): RTBF cost follows the forgotten
+    // vertices' edge count, never the graph. Pair lists are derived
+    // from the sealed snapshot, so a replay after any crash deletes
+    // the same pairs (no-ops where already gone); lists beyond the
+    // driver-bounded cap fall back to the scan path.
+    def statsOf(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_stats")
+      if (hadoopFs(spark, dir).exists(p)) Some(spark.read.parquet(p.toString))
+      else None
+    }
+    val cap = graft.sources.TargetedDelete.InlineKeyCap
+    def crossDelete(dir: String, pruneCol: String, crossCol: String): Unit = {
+      // cross half only: pairs whose prune-side endpoint is itself
+      // forgotten are already gone — the keyed delete runs first
+      val rows = removed
+        .join(idsDf.select(col("id").as(crossCol)), Seq(crossCol), "left_semi")
+        .join(idsDf.select(col("id").as(pruneCol)), Seq(pruneCol), "left_anti")
+        .select(col(pruneCol), col(crossCol))
+        .limit(cap + 1).collect()
+      if (rows.isEmpty) ()
+      else if (rows.length > cap) {
+        graft.sources.TargetedDelete.deleteAuto(spark, dir, crossCol, ids)
+        ()
+      } else {
+        graft.sources.TargetedDelete.deletePairs(spark, dir, pruneCol, crossCol,
+          rows.toSeq.map(r => (r.get(0), r.get(1))))
+        ()
+      }
+    }
+    graft.sources.TargetedDelete.deleteAuto(spark, outDir(root), "src", ids,
+      stats = statsOf(outDir(root)))
+    crossDelete(outDir(root), "src", "dst")
     graft.sources.FileStatsIndex.update(spark, outDir(root), Seq("src"))
-    graft.sources.TargetedDelete.deleteAuto(spark, inDir(root), "dst", ids)
-    graft.sources.TargetedDelete.deleteAuto(spark, inDir(root), "src", ids)
+    graft.sources.TargetedDelete.deleteAuto(spark, inDir(root), "dst", ids,
+      stats = statsOf(inDir(root)))
+    crossDelete(inDir(root), "dst", "src")
     graft.sources.FileStatsIndex.update(spark, inDir(root), Seq("dst"))
-    graft.sources.TargetedDelete.deleteAuto(spark, degDir(root), "src", ids)
+    graft.sources.TargetedDelete.deleteAuto(spark, degDir(root), "src", ids,
+      stats = statsOf(degDir(root)))
     graft.sources.FileStatsIndex.update(spark, degDir(root), Seq("src"))
-    graft.sources.TargetedDelete.deleteAuto(spark, levelsDir(root), "id", ids)
+    graft.sources.TargetedDelete.deleteAuto(spark, levelsDir(root), "id", ids,
+      stats = statsOf(levelsDir(root)))
     graft.sources.FileStatsIndex.update(spark, levelsDir(root), Seq("id"))
     spark.catalog.refreshByPath(outDir(root))
     spark.catalog.refreshByPath(inDir(root))

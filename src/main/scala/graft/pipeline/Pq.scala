@@ -187,6 +187,58 @@ object Pq {
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
 
+  /** Exact re-rank of an ANN candidate set — the second stage of the
+    * standard two-stage search: a cheap code scan (ADC) over-fetches
+    * `kCand` candidates per query, then the TRUE vectors of just those
+    * candidates are read and ranked by exact squared L2, repairing the
+    * recall the quantized first stage gave up. `candidates` carries
+    * (query_id, neighbor_id) — anything [[adcTopK]]/[[ivfAdcTopK]]
+    * shaped; `corpusVecs` carries (idCol, vecCol).
+    *
+    * Scale shape: the candidate set is |queries| × kCand — bounded by
+    * construction — and BROADCASTS into the vector fetch, so the
+    * corpus-side read is one column-pruned scan of (id, vec) with a
+    * broadcast hash join and no shuffle of corpus rows; the exact
+    * distance runs only on candidate rows (|Q|·kCand of them), and the
+    * final top-k is a per-query window over that bounded set. Nothing
+    * here grows with the corpus except the fetch scan itself, which an
+    * id-clustered vector table turns into pruned point reads.
+    */
+  def rerankExact(candidates: DataFrame, queries: DataFrame, corpusVecs: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val fetched = corpusVecs
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+    val dist = aggregate(
+      zip_with(col("__qv"), col("__cv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("exact_dist").asc, col("neighbor_id").asc)
+    fetched.select(col("query_id"), col("neighbor_id"), dist.as("exact_dist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "exact_dist")
+  }
+
+  /** Two-stage ADC search: [[adcTopK]] over-fetches `kCand` candidates
+    * per query from the code frame, [[rerankExact]] ranks their true
+    * vectors — output (query_id, rank, neighbor_id, exact_dist), top
+    * `k` by exact squared L2 among the candidates. With kCand ≥ corpus
+    * size this IS brute-force exact search (the gate's oracle anchor);
+    * at production kCand (a few × k) it reads kCand true vectors per
+    * query instead of the corpus.
+    */
+  def adcRerankTopK(queries: DataFrame, corpusCodes: DataFrame, corpusVecs: DataFrame,
+                    idCol: String, vecCol: String, codesCol: String,
+                    model: Model, k: Int, kCand: Int): DataFrame =
+    rerankExact(
+      adcTopK(queries, corpusCodes, idCol, vecCol, codesCol, model, kCand),
+      queries, corpusVecs, idCol, vecCol, k)
+
   /** IVF-PQ: the production ANN layout at corpus scale — IVF buckets
     * prune WHICH rows are scanned (~nProbe/k_ivf of the corpus), PQ
     * codes shrink WHAT each scanned row costs (m bytes + m lookups, no

@@ -51,4 +51,66 @@ object Retrieval {
       .select(col(queryIdCol), col("rank"), col(idCol),
         col("rank_a"), col("rank_b"), col("rrf_score"))
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein): pick
+    * `k` results per query greedily, each step taking the candidate
+    * maximizing `λ·relevance − (1−λ)·max cosine to the already-picked`
+    * — the standard diversity repair for retrieval feeding RAG context
+    * windows or for diverse exemplar selection from a near-dup-heavy
+    * corpus (top-k without it returns k paraphrases of one document).
+    *
+    * Determinism/oracle discipline: λ rides as an integer percent, so
+    * the score is `(λpct·rel)/100 − ((100−λpct)·maxsim)/100` — a fixed
+    * sequence of IEEE double ops an oracle replays bit-for-bit; ties
+    * break by id. Candidates with zero-norm vectors are the caller's
+    * problem (cosine is NaN there, as in every cosine op here).
+    *
+    * Scale shape: `candidates` is already a RANKING — queries × kCand
+    * rows, bounded by construction — so the k greedy rounds are joins
+    * between bounded frames (remaining × selected ≤ kCand·k rows per
+    * query), driver-paced like every finite-recurrence loop here, with
+    * per-round lineage truncation. Nothing grows with the corpus.
+    *
+    * Input needs (`queryIdCol`, `idCol`, `scoreCol`, `vecCol`); output
+    * `(queryIdCol, rank, idCol, mmr_score)`, rank 1..k (fewer where a
+    * query ran out of candidates).
+    */
+  def mmrRerank(candidates: DataFrame, queryIdCol: String, idCol: String,
+                scoreCol: String, vecCol: String, k: Int,
+                lambdaPct: Int = 70): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be in [0, 100], got $lambdaPct")
+    val cand = candidates.select(col(queryIdCol), col(idCol),
+        col(scoreCol).cast("double").as("__rel"), col(vecCol).as("__v"))
+      .transform(graft.Checkpoints.materialize)
+    def mmr(ms: org.apache.spark.sql.Column) =
+      (lit(lambdaPct) * col("__rel") / lit(100)) -
+        (lit(100 - lambdaPct) * ms / lit(100))
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      graft.operators.Sampling.capPerGroup(scored,
+          groupCols = Seq(queryIdCol),
+          rankBy = Seq(-col("__mmr"), col(idCol)),
+          k = 1, rankName = "__pick")
+        .select(col(queryIdCol), col(idCol), col("__v"),
+          col("__mmr"), lit(rank).as("rank"))
+    var selected = pick(cand.withColumn("__mmr", mmr(lit(0.0))), 1)
+      .transform(graft.Checkpoints.materialize)
+    for (j <- 2 to k) {
+      val remaining = cand.join(
+        selected.select(col(queryIdCol), col(idCol)),
+        Seq(queryIdCol, idCol), "left_anti")
+      val sims = remaining
+        .join(selected.select(col(queryIdCol), col("__v").as("__sv")),
+          Seq(queryIdCol))
+        .groupBy(col(queryIdCol), col(idCol))
+        .agg(max(Similarity.cosine(col("__v"), col("__sv"))).as("__ms"))
+      val scored = remaining.join(sims, Seq(queryIdCol, idCol))
+        .withColumn("__mmr", mmr(col("__ms")))
+      selected = selected.unionByName(pick(scored, j))
+        .transform(graft.Checkpoints.materialize)
+    }
+    selected.select(col(queryIdCol), col("rank"), col(idCol),
+      col("__mmr").as("mmr_score"))
+  }
 }

@@ -104,41 +104,68 @@ object TargetedDelete {
         "deletion sets this large without inlining them")
     recoverRewrite(spark, dir)
     recover(spark, dir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dir).getFileSystem(conf)
-    val all = ParquetSource.listParquetFiles(dir, conf)
+    val all = ParquetSource.listParquetFiles(dir,
+      spark.sparkContext.hadoopConfiguration)
 
-    // stats pre-prune (conservative): only files whose [min,max] range
-    // intersects [min(keys), max(keys)] can contain a key. Applied only
-    // for key types with an unambiguous ordering here (integral,
-    // string) — anything else skips the pre-prune, never prunes wrong.
-    val bounds: Option[(Any, Any)] =
-      if (keys.forall(k => k.isInstanceOf[java.lang.Long] ||
-          k.isInstanceOf[java.lang.Integer] || k.isInstanceOf[java.lang.Short] ||
-          k.isInstanceOf[java.lang.Byte])) {
-        val ls = keys.map(_.asInstanceOf[Number].longValue)
-        Some((ls.min, ls.max))
-      } else if (keys.forall(_.isInstanceOf[String])) {
-        // order by UNSIGNED UTF-8 bytes — Spark's string ordering (and
-        // therefore the stats index's min/max). Java's natural String
-        // ordering is UTF-16 code units, which ranks supplementary
-        // characters (surrogate pairs) BELOW U+E000..U+FFFF; using it
-        // here could produce an empty [lo, hi] range and silently prune
-        // every file — skipped deletions reported as success.
-        val utf8: Ordering[String] = (a: String, b: String) =>
-          java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-        val ss = keys.map(_.asInstanceOf[String])
-        Some((ss.min(utf8), ss.max(utf8)))
-      } else None
-    val candidates = (stats, bounds) match {
+    val candidates = (stats, keyBounds(keys)) match {
       case (Some(st), Some((lo, hi))) =>
         FileStatsIndex.survivingFiles(spark, dir, st,
           Seq(FileStatsIndex.Between(keyCol, lo, hi)))
       case _ => all
     }
-    if (candidates.isEmpty) return Result(0, 0L, all.size)
 
     val inKeys = col(keyCol).isInCollection(keys)
+    // __matched must be null-free: a null key never equi-matches, so it
+    // survives (the keep-nulls contract)
+    rewriteMatched(spark, dir, candidates, all.size,
+      df => df.withColumn("__matched", coalesce(inKeys, lit(false))),
+      detectFilter = Some(inKeys))
+  }
+
+  /** stats pre-prune bounds (conservative): only files whose [min,max]
+    * range intersects [min(keys), max(keys)] can contain a key. Applied
+    * only for key types with an unambiguous ordering here (integral,
+    * string) — anything else skips the pre-prune, never prunes wrong.
+    */
+  private def keyBounds(keys: Seq[Any]): Option[(Any, Any)] =
+    if (keys.forall(k => k.isInstanceOf[java.lang.Long] ||
+        k.isInstanceOf[java.lang.Integer] || k.isInstanceOf[java.lang.Short] ||
+        k.isInstanceOf[java.lang.Byte])) {
+      val ls = keys.map(_.asInstanceOf[Number].longValue)
+      Some((ls.min, ls.max))
+    } else if (keys.forall(_.isInstanceOf[String])) {
+      // order by UNSIGNED UTF-8 bytes — Spark's string ordering (and
+      // therefore the stats index's min/max). Java's natural String
+      // ordering is UTF-16 code units, which ranks supplementary
+      // characters (surrogate pairs) BELOW U+E000..U+FFFF; using it
+      // here could produce an empty [lo, hi] range and silently prune
+      // every file — skipped deletions reported as success.
+      val utf8: Ordering[String] = (a: String, b: String) =>
+        java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val ss = keys.map(_.asInstanceOf[String])
+      Some((ss.min(utf8), ss.max(utf8)))
+    } else None
+
+  /** The shared rewrite core: given candidate files and a matcher that
+    * marks each row with a null-free boolean `__matched`, rewrite only
+    * the files that actually contain a matched row, dropping exactly
+    * the matched rows — under [[delete]]'s full staging/verify/swap
+    * protocol. `detectFilter`, when given, is a predicate IMPLIED BY
+    * `__matched` (a superset condition, e.g. the pushable `IN` on the
+    * cluster key) applied to the detection scan only, so row-group
+    * stats engage while staging still reads every row of affected
+    * files.
+    */
+  private def rewriteMatched(spark: SparkSession, dir: String,
+                             candidates: Seq[String], totalFiles: Int,
+                             withMatch: org.apache.spark.sql.DataFrame =>
+                               org.apache.spark.sql.DataFrame,
+                             detectFilter: Option[org.apache.spark.sql.Column])
+      : Result = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    if (candidates.isEmpty) return Result(0, 0L, totalFiles)
+
     // mergeSchema: without it Spark infers the read schema from ONE
     // arbitrary data file, so on a schema-evolved table columns present
     // only in some affected files would be silently dropped from their
@@ -149,9 +176,10 @@ object TargetedDelete {
     // mergeSchema read of the table.
     val table = spark.read.option("mergeSchema", "true").parquet(candidates: _*)
     val dataCols = table.columns.toSeq
-    val affected = table
-      .filter(inKeys)
-      .select(input_file_name().as("f")).distinct()
+    val detectBase = detectFilter.fold(table)(table.filter)
+    val affected = withMatch(detectBase.withColumn("__f", input_file_name()))
+      .filter(col("__matched"))
+      .select(col("__f")).distinct()
       .collect().map(_.getString(0)).toSeq
 
     var deleted = 0L
@@ -171,14 +199,15 @@ object TargetedDelete {
       // are widened to the candidates' mergeSchema UNION schema (nulls
       // for columns their original file lacked), so no file's columns
       // are dropped by the rewrite.
-      val keep = !inKeys || col(keyCol).isNull
+      val keep = !col("__matched")
       val idxDf = broadcast(spark.createDataFrame(
         affected.zipWithIndex).toDF("__f", "__gidx"))
-      val tagged = spark.read.option("mergeSchema", "true").parquet(affected: _*)
-        .withColumn("__f", input_file_name()).join(idxDf, "__f")
+      val tagged = withMatch(
+        spark.read.option("mergeSchema", "true").parquet(affected: _*)
+          .withColumn("__f", input_file_name())).join(idxDf, "__f")
       val countsByFile: Map[Int, (Long, Long)] = tagged.groupBy(col("__gidx"))
         .agg(count(lit(1)).as("total"),
-          coalesce(sum(when(inKeys, 1L).otherwise(0L)), lit(0L)).as("matched"))
+          coalesce(sum(when(col("__matched"), 1L).otherwise(0L)), lit(0L)).as("matched"))
         .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       val staging = new Path(dir, "_delete_staging")
       tagged.filter(keep)
@@ -255,7 +284,70 @@ object TargetedDelete {
     // cache (never expires by default) so subsequent reads of `dir`
     // can't serve the pre-delete file list — see SwapStore
     if (affected.nonEmpty) spark.catalog.refreshByPath(dir)
-    Result(affected.size, deleted, all.size - affected.size)
+    Result(affected.size, deleted, totalFiles - affected.size)
+  }
+
+  /** Delete exact (pruneCol, otherCol) VALUE PAIRS, pruning files by
+    * `pruneCol` alone — the cross-column RTBF shape for co-clustered
+    * adjacency tables: an edge table clustered by `src` cannot prune a
+    * "dst ∈ ids" delete, but when the caller KNOWS the doomed edges
+    * (from the dst-clustered twin table, a bounded stats-pruned read),
+    * the delete becomes "these exact (src, dst) pairs", and the files
+    * to rewrite are found through the cluster key's stats + pushed IN —
+    * batch-proportional work where the single-column path pays a
+    * whole-table scan. Matching is an equi-join against a broadcast
+    * pairs frame (nothing inlines per pair into a predicate); the
+    * detection filter (`pruneCol IN first-components`) is implied by
+    * any pair match, so it prunes row groups without changing
+    * semantics. Null components are rejected; rows with a null in
+    * either column never match (they survive, the keep-nulls
+    * contract). Stats artifact at `<dir>/_stats` is auto-loaded when
+    * `stats` is not supplied.
+    */
+  def deletePairs(spark: SparkSession, dir: String, pruneCol: String,
+                  otherCol: String, pairs: Seq[(Any, Any)],
+                  stats: Option[org.apache.spark.sql.DataFrame] = None): Result = {
+    require(pairs.nonEmpty, "empty pair list — nothing to delete")
+    require(pairs.forall(p => p._1 != null && p._2 != null),
+      "null pair components cannot be deleted through an equi-match — " +
+        "filter null rows with an explicit IS NULL rewrite instead")
+    require(pairs.size <= InlineKeyCap,
+      s"${pairs.size} pairs: beyond the driver-bounded contract — " +
+        "route oversized deletions through deleteByAntiJoin on one column")
+    recoverRewrite(spark, dir)
+    recover(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val all = ParquetSource.listParquetFiles(dir, conf)
+    if (all.isEmpty) return Result(0, 0L, 0)
+    val pruneKeys = pairs.map(_._1).distinct
+    val statsDf = stats.orElse {
+      val p = new Path(dir, "_stats")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+    val candidates = (statsDf, keyBounds(pruneKeys)) match {
+      case (Some(st), Some((lo, hi)))
+          if st.columns.contains(s"${pruneCol}__min") =>
+        FileStatsIndex.survivingFiles(spark, dir, st,
+          Seq(FileStatsIndex.Between(pruneCol, lo, hi)))
+      case _ => all
+    }
+    if (candidates.isEmpty) return Result(0, 0L, all.size)
+    val schema = spark.read.parquet(candidates: _*).schema
+    val pDt = schema(pruneCol).dataType
+    val oDt = schema(otherCol).dataType
+    val pairsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) =>
+        org.apache.spark.sql.Row(coerceKey(a, pDt), coerceKey(b, oDt))
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(pruneCol, pDt),
+        org.apache.spark.sql.types.StructField(otherCol, oDt))))
+      .distinct().withColumn("__pairhit", lit(1))
+    rewriteMatched(spark, dir, candidates, all.size,
+      df => df.join(broadcast(pairsDf), Seq(pruneCol, otherCol), "left")
+        .withColumn("__matched", col("__pairhit").isNotNull).drop("__pairhit"),
+      detectFilter = Some(col(pruneCol).isInCollection(pruneKeys)))
   }
 
   /** Count the key list and route: ≤ `inlineMaxKeys` keys take the

@@ -187,6 +187,32 @@ class GraphsSpec extends AnyFunSuite {
     assert(r2(2L) == 405000000000L)
   }
 
+  test("hits: star hand-check — the hub is the center, the authorities are the leaves") {
+    // c=0 -> {1..5}: leaves' auth = scale (max-normalized), center 0;
+    // center's hub = scale, leaves 0 — the exact fixed point from round 1
+    val edges = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val got = Graphs.hits(edges, iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == ((0L, 1000000L)))
+    (1L to 5L).foreach(l => assert(got(l) == ((1000000L, 0L))))
+  }
+
+  test("hits: bounded to [0, scale], max normalized, deterministic, duplicates collapse") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)).toDF("src", "dst")
+    val a = Graphs.hits(edges, iters = 2).as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = Graphs.hits(edges.unionAll(edges.limit(10)), iters = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "duplicate edges must collapse; runs must be deterministic")
+    assert(a.forall(r => r._2 >= 0L && r._2 <= 1000000L && r._3 >= 0L && r._3 <= 1000000L))
+    assert(a.map(_._2).max == 1000000L && a.map(_._3).max == 1000000L)
+    // a high-in-degree target out-ranks a low-in-degree one on authority
+    val skew = (Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (4L, 8L))).toDF("src", "dst")
+    val s = Graphs.hits(skew, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(s(9L) > s(8L))
+  }
+
   test("pageRank: duplicate edges collapse; higher in-degree means higher rank") {
     val dup = Seq((1L, 2L), (1L, 2L), (3L, 2L), (3L, 4L)).toDF("src", "dst")
     val got = Graphs.pageRank(dup, iters = 3).as[(Long, Long)].collect().toMap

@@ -89,6 +89,41 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits.forall(r => r.getInt(1) == 1 && r.getLong(0) != r.getLong(2)))
   }
 
+  test("searchRerank: exact squared-L2 order over the candidate set; total admission is brute force") {
+    val root = Files.createTempDirectory("graft-ann-rerank").toString + "/idx"
+    val h = AnnIndex.build(emb, "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 8)
+    val vecs: Map[Long, Array[Double]] = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    // all buckets probed + total kCand: output is exact brute-force L2
+    val full = AnnIndex.searchRerank(h, queries, emb, "vec_id", "embedding",
+        k = 5, nProbe = 8, kCand = vecs.size)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val exact = (0L until 8L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(n => (sq(vecs(q), vecs(n)), n)).sorted.take(5).map(_._2)
+    }.toMap
+    assert(full == exact)
+    // pruned two-stage: every returned neighbor must be one of the ADC
+    // stage's candidates, at its EXACT distance, in exact-ascending order
+    val cands = AnnIndex.search(h, queries, "vec_id", "embedding", k = 20, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pruned = AnnIndex.searchRerank(h, queries, emb, "vec_id", "embedding",
+      k = 5, nProbe = 2, kCand = 20).collect()
+    pruned.foreach { r =>
+      assert(cands.contains((r.getLong(0), r.getLong(2))), "hit outside candidate set")
+      assert(math.abs(r.getDouble(3) - sq(vecs(r.getLong(0)), vecs(r.getLong(2)))) < 1e-9)
+    }
+    pruned.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.sameElements(byRank.sorted), "rerank order not exact-ascending")
+    }
+  }
+
   test("appendNew detects the delta; appended index searches identically to a same-model full encode") {
     val root = Files.createTempDirectory("graft-ann-delta").toString + "/idx"
     val base = emb.filter(col("vec_id") % 10 =!= 0)

@@ -87,6 +87,43 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("two-stage rerank: exact distances, recall repaired, full-kCand equals brute force") {
+    val codes = emb.select(col("vec_id"), Pq.encode(col("embedding"), model).as("codes"))
+    val queries = emb.filter(col("vec_id") < 20)
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val exactTop: Map[Long, Seq[Long]] = (0L until 20L).map { q =>
+      q -> vectors.keys.filter(_ != q).toSeq
+        .map(n => (sq(vectors(q), vectors(n)), n)).sorted.take(5).map(_._2)
+    }.toMap
+
+    // total candidate admission: the rerank IS brute-force exact L2
+    val full = Pq.adcRerankTopK(queries, codes, emb, "vec_id", "embedding",
+        "codes", model, k = 5, kCand = vectors.size)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(full == exactTop)
+
+    // production kCand: distances are EXACT (quantization error can
+    // only cost candidate admission, never order), and recall vs the
+    // true top-5 is at least the plain ADC stage's
+    val reranked = Pq.adcRerankTopK(queries, codes, emb, "vec_id", "embedding",
+      "codes", model, k = 5, kCand = 25).collect()
+    reranked.foreach { r =>
+      val d = sq(vectors(r.getLong(0)), vectors(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - d) < 1e-9,
+        s"rerank distance not exact for (${r.getLong(0)}, ${r.getLong(2)})")
+    }
+    val truth = exactTop.flatMap { case (q, ns) => ns.map(q -> _) }.toSet
+    val rrHits = reranked.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adcHits = Pq.adcTopK(queries, codes, "vec_id", "embedding", "codes", model, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rrRecall = truth.count(rrHits.contains).toDouble / truth.size
+    val adcRecall = truth.count(adcHits.contains).toDouble / truth.size
+    assert(rrRecall >= adcRecall,
+      s"rerank recall $rrRecall below plain ADC recall $adcRecall")
+  }
+
   test("native encode kernel is bit-identical to the composed HOF form") {
     val native = emb.select(col("vec_id"), Pq.encode(col("embedding"), model).as("c"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap

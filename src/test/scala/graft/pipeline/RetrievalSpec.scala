@@ -44,4 +44,40 @@ class RetrievalSpec extends AnyFunSuite {
       .select("rrf_score").as[Double].head()
     assert(got === 1.0 / 2 + 1.0 / 1)
   }
+
+  // axis-aligned candidate vectors make every cosine 0 or 1: the MMR
+  // trace is hand-computable exactly
+  private def mmrCands = Seq(
+    // q0: docs 1,2 identical direction (cos 1), doc 3 orthogonal.
+    // rels: 1 -> 0.9, 2 -> 0.8, 3 -> 0.5
+    ("q0", 1L, 0.9, Seq(1.0f, 0.0f, 0.0f)),
+    ("q0", 2L, 0.8, Seq(2.0f, 0.0f, 0.0f)),
+    ("q0", 3L, 0.5, Seq(0.0f, 1.0f, 0.0f)),
+    // q1: a single candidate — ranks stop at 1
+    ("q1", 7L, 0.4, Seq(0.0f, 0.0f, 1.0f))
+  ).toDF("qid", "id", "rel", "vec")
+
+  test("mmr: the diversity term demotes a near-duplicate of the first pick") {
+    val got = Retrieval.mmrRerank(mmrCands, "qid", "id", "rel", "vec",
+        k = 3, lambdaPct = 70)
+      .orderBy("qid", "rank")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    // q0 rank 1: doc 1 (top rel, score 0.7*0.9). rank 2: doc 2 scores
+    // 0.7*0.8 - 0.3*1 = 0.26 < doc 3's 0.7*0.5 - 0.3*0 = 0.35 -> doc 3.
+    // rank 3: doc 2 (last one standing).
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("q0", 1, 1L), ("q0", 2, 3L), ("q0", 3, 2L), ("q1", 1, 7L)))
+    // scores are the exact fixed-order double arithmetic
+    assert(math.abs(got.head._4 - (70 * 0.9 / 100 - 30 * 0.0 / 100)) == 0.0)
+    assert(math.abs(got(1)._4 - (70 * 0.5 / 100 - 30 * 0.0 / 100)) == 0.0)
+    assert(math.abs(got(2)._4 - (70 * 0.8 / 100 - 30 * 1.0 / 100)) < 1e-15)
+  }
+
+  test("mmr: lambdaPct = 100 reduces to pure relevance order") {
+    val got = Retrieval.mmrRerank(mmrCands, "qid", "id", "rel", "vec",
+        k = 3, lambdaPct = 100)
+      .filter($"qid" === "q0").orderBy("rank")
+      .as[(String, Int, Long, Double)].collect().map(_._3).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
 }

@@ -60,6 +60,43 @@ class TargetedDeleteSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter(col("id").isin(101L, 102L)).isEmpty)
   }
 
+  test("deletePairs: exact pairs go, siblings survive, files pruned by the cluster key") {
+    // src-clustered edge table: file i holds src [i*100, i*100+99],
+    // each src with dsts src+1 and src+2
+    val dir = Files.createTempDirectory("graft-tdel-pairs").resolve("e").toString
+    (0 until 5).foreach { i =>
+      (i * 100 until i * 100 + 100).flatMap(s =>
+        Seq((s.toLong, s.toLong + 1), (s.toLong, s.toLong + 2)))
+        .toDF("src", "dst").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    FileStatsIndex.buildAndSave(spark, dir, Seq("src"))
+    val before = fileBytes(dir)
+    // pairs live in files 0 and 2 only; auto-loaded _stats must keep
+    // the other three byte-identical
+    val r = TargetedDelete.deletePairs(spark, dir, "src", "dst",
+      Seq((5L, 6L), (205L, 207L)))
+    assert(r == TargetedDelete.Result(filesRewritten = 2, rowsDeleted = 2,
+      filesUntouched = 3))
+    val after = fileBytes(dir)
+    assert(before.keySet.intersect(after.keySet).size == 3)
+    before.keySet.intersect(after.keySet).foreach(f => assert(before(f) == after(f)))
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 998)
+    // exact pairs gone; same-src and same-dst siblings survive
+    assert(got.filter(col("src") === 5L && col("dst") === 6L).isEmpty)
+    assert(got.filter(col("src") === 5L && col("dst") === 7L).count() == 1)
+    assert(got.filter(col("src") === 4L && col("dst") === 6L).count() == 1)
+    assert(got.filter(col("src") === 205L).count() == 1)
+    // replaying the same pairs is a no-op
+    assert(TargetedDelete.deletePairs(spark, dir, "src", "dst",
+      Seq((5L, 6L), (205L, 207L))) == TargetedDelete.Result(0, 0L, 5))
+    // null components rejected eagerly
+    intercept[IllegalArgumentException] {
+      TargetedDelete.deletePairs(spark, dir, "src", "dst", Seq((1L, null)))
+    }
+  }
+
   test("recovery: post-move marker deletes the original, pre-move marker keeps it") {
     val dir = table()
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
