@@ -50,18 +50,35 @@ object AnnIndex {
     encoded(corpus, idCol, vecCol, ivf, pq)
       .repartition(col("bucket")).sortWithinPartitions("bucket")
       .write.mode("overwrite").parquet(s"$root/index")
+    // bucket stats artifact: planning-time file pruning for forget's
+    // pair-deletes (and any probe pushing bucket predicates) —
+    // advisory, unknown files always kept
+    graft.sources.FileStatsIndex.buildAndSave(spark, s"$root/index", Seq("bucket"))
     // id census sidecar: the summary the delta anti-join probes instead
     // of the full index id column (IdCensus's batch-proportional read)
     graft.sources.IdCensus.create(spark, root, indexIds(spark, root))
     Handle(root, ivf, pq)
   }
 
-  /** Ground-truth id set of the persisted index frame (column-pruned
-    * scan) — what the census is (re)derived from.
+  /** Ground-truth (id, bucket) set of the persisted index frame
+    * (column-pruned scan) — what the census is (re)derived from. The
+    * bucket rides along so [[forget]] can turn "delete these ids from
+    * a BUCKET-clustered frame" into cluster-key-pruned pair-deletes
+    * instead of a table scan.
     */
   private def indexIds(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/index")
-      .select(col("neighbor_id").as("id")).distinct()
+      .select(col("neighbor_id").as("id"), col("bucket")).distinct()
+
+  /** The census contribution of a batch: its ids plus their coarse
+    * bucket under the handle's IVF model — the same assignment
+    * [[encoded]] writes into the index frame (PQ codes not needed, so
+    * this is the cheap half of encode).
+    */
+  private def censusRows(rows: DataFrame, idCol: String, vecCol: String,
+                         ivf: Ivf.Model): DataFrame =
+    rows.select(col(idCol).as("id"),
+      Ivf.assignment(col(vecCol), ivf).as("bucket")).distinct()
 
   /** Reopen a persisted index: loads the two (driver-sized) models;
     * the index frame stays on disk until [[search]] scans it.
@@ -84,9 +101,10 @@ object AnnIndex {
     encoded(newRows, idCol, vecCol, handle.ivf, handle.pq)
       .repartition(col("bucket")).sortWithinPartitions("bucket")
       .write.mode("append").parquet(handle.indexPath)
+    graft.sources.FileStatsIndex.update(spark, handle.indexPath, Seq("bucket"))
     if (graft.sources.IdCensus.exists(spark, handle.root))
       graft.sources.IdCensus.appendPlain(spark, handle.root,
-        newRows.select(col(idCol).as("id")).distinct())
+        censusRows(newRows, idCol, vecCol, handle.ivf))
   }
 
   /** Delta-detecting append (the Dedup.newAgainst shape): rows whose id
@@ -146,11 +164,12 @@ object AnnIndex {
           .repartition(col("bucket")).sortWithinPartitions("bucket")
           .write.mode("overwrite").parquet(stage)
         graft.sources.EpochFiles.publish(spark, stage, handle.indexPath, tag)
+        graft.sources.FileStatsIndex.update(spark, handle.indexPath, Seq("bucket"))
         // census publishes second, under the SAME tag: a crash between
         // the two publishes is repaired by replaying the tag (both
         // retires above restore the pre-epoch pair)
         graft.sources.IdCensus.appendEpoch(spark, handle.root,
-          fresh.select(col(idCol).as("id")).distinct(), tag)
+          censusRows(fresh, idCol, vecCol, handle.ivf), tag)
       }
       n
     } finally { fresh.unpersist(); () }
@@ -169,6 +188,7 @@ object AnnIndex {
               targetBytes: Long): graft.sources.Compaction.Result = {
     val r = graft.sources.Compaction.compact(spark, s"$root/index", targetBytes)
     spark.catalog.refreshByPath(s"$root/index")
+    graft.sources.FileStatsIndex.update(spark, s"$root/index", Seq("bucket"))
     // the census accretes one small file per epoch just like the index
     // — fold it (and rebuild its stats artifact) on the same cadence
     graft.sources.IdCensus.compact(spark, root)
@@ -241,7 +261,13 @@ object AnnIndex {
     * index frame through the crash-safe targeted rewrite
     * ([[graft.sources.TargetedDelete]] — only files actually holding a
     * forgotten id are rewritten, verify-all-before-any-swap; key sets
-    * past the inline cap route to the anti-join path). A forgotten
+    * past the inline cap route to the anti-join path). The frame is
+    * bucket-clustered, so a plain id-delete cannot prune — the census
+    * carries each indexed id's BUCKET precisely so this call can
+    * derive the doomed (bucket, id) pairs from a stats-pruned census
+    * point read and run a cluster-key-pruned pair-delete
+    * ([[graft.sources.TargetedDelete.deletePairs]]): RTBF cost follows
+    * the batch's rows, not the index. A forgotten
     * vector can never be returned by [[search]] (results ARE rows of
     * the index frame), and [[appendNew]]/[[appendEpoch]] re-admit the
     * id if it legitimately reappears — the delta anti-join no longer
@@ -253,12 +279,49 @@ object AnnIndex {
     */
   def forget(spark: SparkSession, root: String,
              ids: Seq[Any]): graft.sources.TargetedDelete.Result = {
-    val r = graft.sources.TargetedDelete.deleteAuto(
-      spark, s"$root/index", "neighbor_id", ids)
-    spark.catalog.refreshByPath(s"$root/index")
-    // census forgets too — re-admission on legitimate reappearance is
-    // the delta check no longer seeing the id, and the delta check IS
-    // the census
+    val dir = s"$root/index"
+    // the frame clusters by BUCKET, so a plain id-delete scans — but
+    // the census knows every indexed id's bucket: derive the doomed
+    // (bucket, neighbor_id) pairs from a stats-pruned census point
+    // read and pair-delete with files pruned by the cluster key (RTBF
+    // cost follows the batch). Pairs derive BEFORE any mutation, so a
+    // crash anywhere is repaired by re-invoking (already-deleted pairs
+    // no-op). The census is trusted the same way the delta anti-join
+    // trusts it — out-of-protocol surgery repairs via `rebuildids`.
+    // Pre-bucket censuses (no bucket column) and oversized batches
+    // fall back to the scan path.
+    val censusHasBuckets = graft.sources.IdCensus.exists(spark, root) &&
+      spark.read.parquet(graft.sources.IdCensus.rowsDir(root))
+        .columns.contains("bucket")
+    val cap = graft.sources.TargetedDelete.InlineKeyCap
+    val r =
+      if (censusHasBuckets && ids.size <= cap) {
+        val idType = spark.read.parquet(graft.sources.IdCensus.rowsDir(root))
+          .schema("id").dataType
+        val probe = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ids.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType))))
+        val pairs = graft.sources.IdCensus.known(spark, root, probe, "id")
+          .select(col("bucket"), col("id")).distinct()
+          .limit(cap + 1).collect()
+        if (pairs.isEmpty)
+          graft.sources.TargetedDelete.Result(0, 0L,
+            graft.sources.ParquetSource.listParquetFiles(dir,
+              spark.sparkContext.hadoopConfiguration).size)
+        else if (pairs.length > cap)
+          graft.sources.TargetedDelete.deleteAuto(spark, dir, "neighbor_id", ids)
+        else
+          graft.sources.TargetedDelete.deletePairs(spark, dir,
+            "bucket", "neighbor_id", pairs.toSeq.map(r => (r.get(0), r.get(1))))
+      } else
+        graft.sources.TargetedDelete.deleteAuto(spark, dir, "neighbor_id", ids)
+    spark.catalog.refreshByPath(dir)
+    graft.sources.FileStatsIndex.update(spark, dir, Seq("bucket"))
+    // census forgets SECOND (the pair derivation needed it) —
+    // re-admission on legitimate reappearance is the delta check no
+    // longer seeing the id, and the delta check IS the census
     if (graft.sources.IdCensus.exists(spark, root))
       graft.sources.IdCensus.forget(spark, root, ids)
     r
@@ -280,6 +343,8 @@ object AnnIndex {
       spark.read.parquet(dir)
         .repartitionByRange(col("bucket")).sortWithinPartitions("bucket"),
       dir)
+    graft.sources.FileStatsIndex.buildAndSave(spark, dir, Seq("bucket"))
+    spark.catalog.refreshByPath(dir)
   }
 
   private def encoded(rows: DataFrame, idCol: String, vecCol: String,

@@ -748,15 +748,59 @@ object Dedup {
       * IN-FLIGHT [[advanceStaged]] replay would need to retire.
       */
     def forget(spark: org.apache.spark.sql.SparkSession, path: String,
-               ids: Seq[Any]): Seq[graft.sources.TargetedDelete.Result] =
-      Seq((sub(path, "bands") + "/rows", "bucket"), (sub(path, "sigs"), "id"),
-          (sub(path, "shingles"), "id")).map { case (dir, key) =>
-        val r = graft.sources.TargetedDelete.deleteAuto(spark, dir, "id", ids)
+               ids: Seq[Any]): Seq[graft.sources.TargetedDelete.Result] = {
+      // The bands table clusters by BUCKET, so an id-delete cannot
+      // prune — but the still-present sigs know exactly which buckets
+      // each doomed id banded into: re-derive (bucket, id) pairs with
+      // the store's own banding from a stats-pruned sigs point read
+      // and pair-delete with files pruned by the cluster key. The
+      // derived set is a SUPERSET of the stored rows (write-time
+      // bucket caps drop rows), and deleting an absent pair is a
+      // no-op, so the superset is safe. Order is load-bearing for
+      // crash resumability: derive + delete bands BEFORE deleting
+      // sigs — a re-run after any crash re-derives from whatever sigs
+      // remain, and already-deleted bands rows no-op. (The pair path
+      // assumes the store's write protocol completed — sigs cover the
+      // bands table's ids, which every create/advance write order
+      // guarantees; recover half-written stores before forgetting.)
+      val bandsDir = sub(path, "bands") + "/rows"
+      val cap = graft.sources.TargetedDelete.InlineKeyCap
+      def loadStats(dir: String) = {
+        val p = new org.apache.hadoop.fs.Path(dir, "_stats")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      }
+      val bandsResult =
+        if (ids.size > cap)
+          graft.sources.TargetedDelete.deleteAuto(spark, bandsDir, "id", ids)
+        else {
+          val (bands, rowsPerBand) = BandIndex.layout(spark, sub(path, "bands"))
+          val sigRows = graft.sources.KeyedReads.prunedRead(
+            spark, sub(path, "sigs"), "id", ids.toArray)
+          val pairs = bandedFrame(sigRows, "id", "sig", bands, rowsPerBand)
+            .select(col("bucket"), col("id")).distinct()
+            .limit(cap + 1).collect()
+          if (pairs.isEmpty)
+            graft.sources.TargetedDelete.Result(0, 0L,
+              graft.sources.ParquetSource.listParquetFiles(bandsDir,
+                spark.sparkContext.hadoopConfiguration).size)
+          else if (pairs.length > cap)
+            graft.sources.TargetedDelete.deleteAuto(spark, bandsDir, "id", ids)
+          else
+            graft.sources.TargetedDelete.deletePairs(spark, bandsDir,
+              "bucket", "id", pairs.toSeq.map(r => (r.get(0), r.get(1))))
+        }
+      spark.catalog.refreshByPath(bandsDir)
+      statsUpdate(spark, bandsDir, "bucket")
+      bandsResult +: Seq(sub(path, "sigs"), sub(path, "shingles")).map { dir =>
+        val r = graft.sources.TargetedDelete.deleteAuto(spark, dir, "id", ids,
+          stats = loadStats(dir))
         spark.catalog.refreshByPath(dir)
         // stat the rewritten files, drop the rewritten-away entries
-        statsUpdate(spark, dir, key)
+        statsUpdate(spark, dir, "id")
         r
       }
+    }
   }
 
   /** Cheap Jaccard estimate for candidate pairs from the MinHash

@@ -297,6 +297,57 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(h.indexPath).count() == emb.count())
   }
 
+  test("forget pair-deletes through the census: other buckets' files stay byte-identical") {
+    val root = Files.createTempDirectory("graft-ann-fpair").toString + "/idx"
+    AnnIndex.build(emb, "vec_id", "embedding", root,
+      kIvf = 8, m = 16, ksub = 16, iters = 2)
+    // the census carries each indexed id's bucket
+    val census = spark.read.parquet(
+      graft.sources.IdCensus.rowsDir(root))
+    assert(census.columns.toSet == Set("id", "bucket"))
+    assert(census.count() == emb.count())
+    // test-scale builds AQE-coalesce into one file, which would make
+    // the untouched-files assertion vacuous — force the many-file
+    // layout a real index has (explicit partition count pins the
+    // shuffle) and rebuild the bucket stats the pair-delete prunes by
+    graft.streaming.SwapStore.swapWrite(
+      spark.read.parquet(s"$root/index")
+        .repartitionByRange(8, col("bucket")).sortWithinPartitions("bucket"),
+      s"$root/index")
+    graft.sources.FileStatsIndex.buildAndSave(spark, s"$root/index", Seq("bucket"))
+    spark.catalog.refreshByPath(s"$root/index")
+    // victims: every id of ONE bucket — only files holding that bucket
+    // may be rewritten, the rest must keep their exact paths and mtimes
+    val victimBucket = census.groupBy("bucket").count()
+      .orderBy(col("count"), col("bucket")).first().getInt(0)
+    val victims = census.filter(col("bucket") === victimBucket)
+      .select("id").collect().map(_.getLong(0): Any).toSeq
+    def files(): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(s"$root/index")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.sources.ParquetSource.listParquetFiles(s"$root/index",
+          spark.sparkContext.hadoopConfiguration)
+        .map(f => f -> fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(f)).getModificationTime).toMap
+    }
+    val before = files()
+    val r = AnnIndex.forget(spark, root, victims)
+    assert(r.rowsDeleted == victims.size.toLong)
+    val after = files()
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.nonEmpty, "pair-delete rewrote every file — no pruning")
+    untouched.foreach(f => assert(before(f) == after(f)))
+    assert(r.filesUntouched == untouched.size)
+    // exactly the victims gone; the census agrees
+    val left = spark.read.parquet(s"$root/index").select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !left.contains(v.asInstanceOf[Long])))
+    assert(left.size.toLong == emb.count() - victims.size)
+    val censusAfter = spark.read.parquet(graft.sources.IdCensus.rowsDir(root))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(censusAfter == left)
+  }
+
   test("compact + recluster: row-identical, searches unchanged, bucket ranges disjoint") {
     val root = Files.createTempDirectory("graft-ann-rc").toString + "/idx"
     AnnIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding", root,
