@@ -383,6 +383,14 @@ object Graphs {
     * sum — exactly the pageRank round shape, with the same per-round
     * lineage truncation. Self-loops are ordinary edges; duplicate
     * (src, dst) pairs collapse to one.
+    *
+    * No incremental arm, by design: the per-round global max couples
+    * every vertex to every other (one new edge can move the max and
+    * rescale ALL scores), exactly why [[pageRank]]'s dangling term is
+    * excluded from [[appendToPageRank]] — HITS under any global norm
+    * is a full-recompute recurrence. Crawl-refresh users keep
+    * incremental PageRank as the maintained ranking and recompute
+    * HITS on the refresh cadence.
     */
   def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
            iters: Int = 2, scale: Long = 1000000L): DataFrame = {
