@@ -3652,6 +3652,38 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Ranking-quality eval hash-pinned END TO END, metric DOUBLES
+    * included: the evaluated ranking is the exact cosine top-10 and
+    * the relevance truth the exact squared-L2 top-5 (two different
+    * deterministic metrics, so recall/MRR/AP/NDCG land strictly
+    * between 0 and 1), and every metric is replayable arithmetic —
+    * divisions, ordered folds, and driver-inlined log2 discount
+    * literals shared verbatim with the oracle (no in-plan logarithm,
+    * whose ulps differ across engines).
+    */
+  private def qEvalRanking(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val results = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val sq = aggregate(
+      zip_with(col("__qv"), col("__cv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    val truth = cv.crossJoin(broadcast(qv))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sq.as("__d"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+      .select("query_id", "neighbor_id")
+    graft.pipeline.Retrieval.evalRanking(results, truth,
+        "query_id", "neighbor_id", "rank", k = 10)
+      .orderBy(col("query_id"))
+  }
+
   /** The declarative hits stage pinned to the q_hits oracle: same
     * edges through the config surface, identical integer units.
     */
@@ -3886,6 +3918,7 @@ object SparkEntry {
     "q_lex_bm25" -> (qLexBm25 _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_mmr_rerank" -> (qMmrRerank _),
+    "q_eval_ranking" -> (qEvalRanking _),
     "q_cfg_hits" -> (qCfgHits _),
     "q_cfg_mmr" -> (qCfgMmr _),
     "q_cfg_rrf" -> (qCfgRrf _),
@@ -4392,6 +4425,65 @@ object SparkEntry {
       rounds +
       " SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM s5 " +
       "ORDER BY query_id, rank"
+  }
+
+  /** Full metric replay for the ranking eval: cosine top-10 results,
+    * L2 top-5 truth, then recall/MRR/AP/NDCG as the SAME arithmetic —
+    * divisions, left-associated ordered chains (explicit 10-term sums
+    * with 0-coalesce, bit-equal to the Spark fold since x + 0.0 = x on
+    * the positive terms), and the identical driver-computed discount
+    * literals CAST to DOUBLE (bracket literals parse as DECIMAL).
+    */
+  private val sqlEvalRanking: String = {
+    val discounts = (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val prefix = discounts.scanLeft(0.0)(_ + _).tail
+    def dlit(v: Double) = s"CAST(${v.toString} AS DOUBLE)"
+    val dArr = discounts.map(dlit).mkString("[", ", ", "]")
+    val pArr = prefix.map(dlit).mkString("[", ", ", "]")
+    def chain(l: String) =
+      (1 to 10).map(i => s"coalesce(($l)[$i], CAST(0 AS DOUBLE))").mkString(" + ")
+    def cosSql(a: String, b: String) =
+      s"(list_sum(list_transform(list_zip($a, $b), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv " +
+      "FROM embeddings WHERE vec_id < 5), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), " +
+      "sc AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos, " +
+      "list_sum(list_transform(list_zip(qv, cv), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d " +
+      "FROM q, c WHERE query_id <> neighbor_id), " +
+      "res AS (SELECT query_id, neighbor_id, rn AS rank FROM " +
+      "(SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc) " +
+      "WHERE rn <= 10), " +
+      "tr AS (SELECT query_id, neighbor_id FROM " +
+      "(SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rn FROM sc) " +
+      "WHERE rn <= 5), " +
+      "nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM tr GROUP BY query_id), " +
+      "hits AS (SELECT r.query_id, r.rank, row_number() OVER " +
+      "(PARTITION BY r.query_id ORDER BY r.rank) AS pos " +
+      "FROM res r JOIN tr t ON t.query_id = r.query_id " +
+      "AND t.neighbor_id = r.neighbor_id), " +
+      "hl AS (SELECT query_id, list(CAST(rank AS BIGINT) ORDER BY rank) AS ranks, " +
+      "list(CAST(pos AS DOUBLE) / CAST(rank AS DOUBLE) ORDER BY rank) AS apterms, " +
+      s"list(($dArr)[CAST(rank AS INT)] ORDER BY rank) AS dcgterms " +
+      "FROM hits GROUP BY query_id) " +
+      "SELECT n.query_id, CAST(n.n_rel AS BIGINT) AS n_rel, " +
+      "CAST(coalesce(len(h.ranks), 0) AS BIGINT) AS n_hits, " +
+      "CAST(coalesce(len(h.ranks), 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall, " +
+      "CASE WHEN coalesce(len(h.ranks), 0) = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(1.0 AS DOUBLE) / CAST(h.ranks[1] AS DOUBLE) END AS mrr, " +
+      s"(CASE WHEN h.ranks IS NULL THEN CAST(0 AS DOUBLE) " +
+      s"ELSE ${chain("h.apterms")} END) / CAST(n.n_rel AS DOUBLE) AS ap, " +
+      "CASE WHEN coalesce(len(h.ranks), 0) = 0 THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (${chain("h.dcgterms")}) / " +
+      s"(($pArr)[CAST(least(n.n_rel, 10) AS INT)]) END AS ndcg " +
+      "FROM nrel n LEFT JOIN hl h ON h.query_id = n.query_id " +
+      "ORDER BY n.query_id"
   }
 
   private val sqlPagerank: String = sqlPagerankOver(
@@ -5125,6 +5217,8 @@ object SparkEntry {
     "q_hybrid_rrf" -> sqlHybridRrf,
     // full greedy MMR replay — ids AND order hash-pinned
     "q_mmr_rerank" -> sqlMmr,
+    // IR metrics replayed arithmetic-exactly, metric doubles pinned
+    "q_eval_ranking" -> sqlEvalRanking,
     // stage ≡ library, both against the same full replays
     "q_cfg_hits" -> sqlHits,
     "q_cfg_mmr" -> sqlMmr,

@@ -113,4 +113,70 @@ object Retrieval {
     selected.select(col(queryIdCol), col("rank"), col(idCol),
       col("__mmr").as("mmr_score"))
   }
+
+  /** Ranking-quality evaluation against a relevance ground truth — the
+    * IR metrics a retrieval stack is tuned by: per query,
+    * `(n_rel, n_hits, recall, mrr, ap, ndcg)` at cutoff `k`. Binary
+    * relevance: a result row is a hit iff its (query, id) appears in
+    * `truth`.
+    *
+    * Every metric is DETERMINISTIC double arithmetic an oracle replays
+    * bit-for-bit — the knnEval discipline extended to ranking:
+    *  - recall = n_hits / n_rel, mrr = 1/first-hit-rank — single IEEE
+    *    divisions;
+    *  - ap (average precision) = Σ_i (i+1)/ranks[i] / n_rel over the
+    *    SORTED hit ranks — each term one division, summed left-to-right
+    *    by an `aggregate` fold over the sorted list (no FP-aggregation
+    *    order to drift);
+    *  - ndcg uses NO in-plan logarithm (log/ln differ by ulps across
+    *    engines and would break hash oracles): the k discount values
+    *    1/log2(r+1) and their prefix sums are computed ONCE driver-side
+    *    and inlined as literals, so DCG is a fold of literal lookups
+    *    and IDCG a single literal lookup at min(n_rel, k).
+    *
+    * Scale shape: `results` is a ranking (queries × k, bounded) and
+    * `truth` a relevance set (queries × judged, bounded) — one
+    * semi-join, two bounded aggregations, no corpus anywhere.
+    */
+  def evalRanking(results: DataFrame, truth: DataFrame, queryIdCol: String,
+                  idCol: String, rankCol: String = "rank",
+                  k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val discounts: Seq[Double] =
+      (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val idcgPrefix: Seq[Double] = discounts.scanLeft(0.0)(_ + _).tail
+    val res = results
+      .select(col(queryIdCol).as("__q"), col(idCol).as("__id"),
+        col(rankCol).cast("long").as("__rank"))
+      .filter(col("__rank") <= k)
+    val tr = truth.select(col(queryIdCol).as("__q"), col(idCol).as("__id"))
+      .distinct()
+    val nRel = tr.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    val hitRanks = res.join(tr, Seq("__q", "__id"), "left_semi")
+      .groupBy(col("__q"))
+      .agg(sort_array(collect_list(col("__rank"))).as("__ranks"))
+    val joined = nRel.join(hitRanks, Seq("__q"), "left")
+      .select(col("__q"), col("n_rel"),
+        coalesce(col("__ranks"), typedLit(Seq.empty[Long])).as("__ranks"))
+    val nHits = size(col("__ranks")).cast("long")
+    // Σ (i+1)/ranks[i] over sorted hit ranks, left-to-right: transform
+    // carries the 0-based position, aggregate folds in list order
+    val apSum = aggregate(
+      transform(col("__ranks"),
+        (r, i) => (i.cast("double") + lit(1.0)) / r.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val dcg = aggregate(
+      transform(col("__ranks"),
+        r => element_at(typedLit(discounts), r.cast("int"))),
+      lit(0.0), (acc, v) => acc + v)
+    val idcg = element_at(typedLit(idcgPrefix),
+      least(col("n_rel"), lit(k.toLong)).cast("int"))
+    joined.select(col("__q").as(queryIdCol), col("n_rel"), nHits.as("n_hits"),
+      (nHits.cast("double") / col("n_rel").cast("double")).as("recall"),
+      when(nHits === 0L, lit(0.0))
+        .otherwise(lit(1.0) / element_at(col("__ranks"), 1).cast("double"))
+        .as("mrr"),
+      (apSum / col("n_rel").cast("double")).as("ap"),
+      when(nHits === 0L, lit(0.0)).otherwise(dcg / idcg).as("ndcg"))
+  }
 }

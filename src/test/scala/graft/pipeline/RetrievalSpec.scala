@@ -73,6 +73,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(got(2)._4 - (70 * 0.8 / 100 - 30 * 1.0 / 100)) < 1e-15)
   }
 
+  test("evalRanking: hand-checked recall/MRR/AP/NDCG, zero-hit and cutoff cases") {
+    val results = Seq(
+      ("q0", 10L, 1L), ("q0", 11L, 2L), ("q0", 12L, 3L), ("q0", 13L, 4L),
+      ("q1", 20L, 1L), ("q1", 21L, 2L),
+      // q2's only relevant hit sits past the cutoff — must not count
+      ("q2", 30L, 11L)
+    ).toDF("qid", "id", "rank")
+    val truth = Seq(
+      ("q0", 11L), ("q0", 13L), ("q0", 99L),
+      ("q1", 77L),
+      ("q2", 30L)
+    ).toDF("qid", "id")
+    val got = Retrieval.evalRanking(results, truth, "qid", "id", "rank", k = 10)
+      .orderBy("qid")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    def disc(r: Int) = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    // q0: hits at ranks 2 and 4 of 3 relevant
+    val (_, nRel0, nHits0, rec0, mrr0, ap0, ndcg0) = got(0)
+    assert(nRel0 == 3L && nHits0 == 2L)
+    assert(rec0 == 2.0 / 3.0)
+    assert(mrr0 == 0.5)
+    assert(ap0 == (1.0 / 2.0 + 2.0 / 4.0) / 3.0)
+    assert(ndcg0 == (disc(2) + disc(4)) / (disc(1) + disc(2) + disc(3)))
+    // q1: judged but no hits — all metrics zero, n_rel preserved
+    assert(got(1) == (("q1", 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    // q2: the rank-11 hit is outside k=10
+    assert(got(2) == (("q2", 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("mmr: lambdaPct = 100 reduces to pure relevance order") {
     val got = Retrieval.mmrRerank(mmrCands, "qid", "id", "rel", "vec",
         k = 3, lambdaPct = 100)
