@@ -575,6 +575,11 @@ object Pipeline {
       // terminal reshape: the piped candidate ranking re-ranked for
       // diversity — (queryId, rank, id, mmr_score)
       graft.pipeline.Retrieval.mmrRerank(df, qid, id, score, vec, k, lam)
+    case graft.config.TransformConfig.EvalRankingStage(tp, qid, id, rank, k, rel) =>
+      // terminal reshape: per-query IR metrics of the piped ranking
+      // against the judgment parquet
+      graft.pipeline.Retrieval.evalRanking(df,
+        df.sparkSession.read.parquet(tp), qid, id, rank, k, rel)
     case graft.config.TransformConfig.TrianglesStage(src, dst) =>
       // terminal reshape: (vertex, n_triangles)
       graft.operators.Graphs.triangleCounts(df, src, dst)

@@ -3684,6 +3684,36 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Graded-relevance twin of q_eval_ranking: the same L2 truth set
+    * carries grades 5..1 by nearness rank, and NDCG uses the standard
+    * exponential gain (2^rel − 1) — computed as integer shifts widened
+    * exactly to doubles, so the graded metric stays hash-replayable
+    * like the binary one.
+    */
+  private def qEvalGraded(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val results = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val sq = aggregate(
+      zip_with(col("__qv"), col("__cv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    val truth = cv.crossJoin(broadcast(qv))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sq.as("__d"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(6L) - col("__rn")).as("rel"))
+    graft.pipeline.Retrieval.evalRanking(results, truth,
+        "query_id", "neighbor_id", "rank", k = 10, relCol = Some("rel"))
+      .orderBy(col("query_id"))
+  }
+
   /** The declarative hits stage pinned to the q_hits oracle: same
     * edges through the config surface, identical integer units.
     */
@@ -3748,6 +3778,51 @@ object SparkEntry {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The declarative evalRanking stage pinned to the q_eval_ranking
+    * oracle: the same cosine-top-10 ranking flows in as the piped
+    * source, the L2-top-5 judgments as the stage's truthPath parquet,
+    * and every metric double must land identically.
+    */
+  private def qCfgEvalRank(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgev")
+    val src = base.resolve("results").toString
+    val tp = base.resolve("truth").toString
+    val out = base.resolve("out").toString
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "rank").write.parquet(src)
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val sq = aggregate(
+      zip_with(col("__qv"), col("__cv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    cv.crossJoin(broadcast(qv))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sq.as("__d"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+      .select("query_id", "neighbor_id").write.parquet(tp)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: evalRanking
+         |transform.evalRanking.truthPath: $tp
+         |transform.evalRanking.queryIdColumn: query_id
+         |transform.evalRanking.idColumn: neighbor_id
+         |transform.evalRanking.rankColumn: rank
+         |transform.evalRanking.k: 10
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out).orderBy(col("query_id"))
   }
 
   /** The declarative rrfFuse stage pinned to the q_hybrid_rrf oracle:
@@ -3919,7 +3994,9 @@ object SparkEntry {
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_eval_ranking" -> (qEvalRanking _),
+    "q_eval_graded" -> (qEvalGraded _),
     "q_cfg_hits" -> (qCfgHits _),
+    "q_cfg_evalrank" -> (qCfgEvalRank _),
     "q_cfg_mmr" -> (qCfgMmr _),
     "q_cfg_rrf" -> (qCfgRrf _),
     "q_cfg_graphrank" -> (qCfgGraphRank _),
@@ -4482,6 +4559,65 @@ object SparkEntry {
       "CASE WHEN coalesce(len(h.ranks), 0) = 0 THEN CAST(0 AS DOUBLE) " +
       s"ELSE (${chain("h.dcgterms")}) / " +
       s"(($pArr)[CAST(least(n.n_rel, 10) AS INT)]) END AS ndcg " +
+      "FROM nrel n LEFT JOIN hl h ON h.query_id = n.query_id " +
+      "ORDER BY n.query_id"
+  }
+
+  /** Graded replay: same shape as sqlEvalRanking, gains (1 << rel) − 1
+    * as integer shifts widened to DOUBLE, ideal DCG chained over the
+    * grades sorted best-first.
+    */
+  private val sqlEvalGraded: String = {
+    val discounts = (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    def dlit(v: Double) = s"CAST(${v.toString} AS DOUBLE)"
+    val dArr = discounts.map(dlit).mkString("[", ", ", "]")
+    def chain(l: String) =
+      (1 to 10).map(i => s"coalesce(($l)[$i], CAST(0 AS DOUBLE))").mkString(" + ")
+    val idcgChain = (1 to 10).map(i =>
+      s"coalesce(CAST((1 << n.trels[$i]) - 1 AS DOUBLE) * ($dArr)[$i], " +
+        "CAST(0 AS DOUBLE))").mkString(" + ")
+    def cosSql(a: String, b: String) =
+      s"(list_sum(list_transform(list_zip($a, $b), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+        s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv " +
+      "FROM embeddings WHERE vec_id < 5), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), " +
+      "sc AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos, " +
+      "list_sum(list_transform(list_zip(qv, cv), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d " +
+      "FROM q, c WHERE query_id <> neighbor_id), " +
+      "res AS (SELECT query_id, neighbor_id, rn AS rank FROM " +
+      "(SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc) " +
+      "WHERE rn <= 10), " +
+      "tr AS (SELECT query_id, neighbor_id, 6 - rn AS rel FROM " +
+      "(SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rn FROM sc) " +
+      "WHERE rn <= 5), " +
+      "nrel AS (SELECT query_id, COUNT(*) AS n_rel, " +
+      "list(CAST(rel AS BIGINT) ORDER BY rel DESC) AS trels " +
+      "FROM tr GROUP BY query_id), " +
+      "hits AS (SELECT r.query_id, r.rank, t.rel, row_number() OVER " +
+      "(PARTITION BY r.query_id ORDER BY r.rank) AS pos " +
+      "FROM res r JOIN tr t ON t.query_id = r.query_id " +
+      "AND t.neighbor_id = r.neighbor_id), " +
+      "hl AS (SELECT query_id, list(CAST(rank AS BIGINT) ORDER BY rank) AS ranks, " +
+      "list(CAST(pos AS DOUBLE) / CAST(rank AS DOUBLE) ORDER BY rank) AS apterms, " +
+      s"list(CAST((1 << rel) - 1 AS DOUBLE) * ($dArr)[CAST(rank AS INT)] " +
+      "ORDER BY rank) AS dcgterms " +
+      "FROM hits GROUP BY query_id) " +
+      "SELECT n.query_id, CAST(n.n_rel AS BIGINT) AS n_rel, " +
+      "CAST(coalesce(len(h.ranks), 0) AS BIGINT) AS n_hits, " +
+      "CAST(coalesce(len(h.ranks), 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall, " +
+      "CASE WHEN coalesce(len(h.ranks), 0) = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(1.0 AS DOUBLE) / CAST(h.ranks[1] AS DOUBLE) END AS mrr, " +
+      s"(CASE WHEN h.ranks IS NULL THEN CAST(0 AS DOUBLE) " +
+      s"ELSE ${chain("h.apterms")} END) / CAST(n.n_rel AS DOUBLE) AS ap, " +
+      "CASE WHEN coalesce(len(h.ranks), 0) = 0 THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (${chain("h.dcgterms")}) / ($idcgChain) END AS ndcg " +
       "FROM nrel n LEFT JOIN hl h ON h.query_id = n.query_id " +
       "ORDER BY n.query_id"
   }
@@ -5219,6 +5355,9 @@ object SparkEntry {
     "q_mmr_rerank" -> sqlMmr,
     // IR metrics replayed arithmetic-exactly, metric doubles pinned
     "q_eval_ranking" -> sqlEvalRanking,
+    "q_eval_graded" -> sqlEvalGraded,
+    // stage ≡ library against the same metric replay
+    "q_cfg_evalrank" -> sqlEvalRanking,
     // stage ≡ library, both against the same full replays
     "q_cfg_hits" -> sqlHits,
     "q_cfg_mmr" -> sqlMmr,

@@ -1031,6 +1031,24 @@ object TransformConfig {
         Some("transform.mmrRerank.lambdaPct must be in [0, 100]")
       else None
   }
+  /** Ranking-quality evaluation — Retrieval.evalRanking of the piped
+    * ranking against the judgment parquet at `truthPath`; terminal
+    * reshape to per-query (n_rel, n_hits, recall, mrr, ap, ndcg).
+    */
+  final case class EvalRankingStage(truthPath: String, queryIdColumn: String,
+                                    idColumn: String, rankColumn: String,
+                                    k: Int, relColumn: Option[String])
+      extends TransformConfig {
+    val name = "evalRanking"
+    def check: Option[String] =
+      if (truthPath.isEmpty) Some("transform.evalRanking.truthPath required")
+      else if (queryIdColumn.isEmpty)
+        Some("transform.evalRanking.queryIdColumn required")
+      else if (idColumn.isEmpty) Some("transform.evalRanking.idColumn required")
+      else if (rankColumn.isEmpty) Some("transform.evalRanking.rankColumn required")
+      else if (k < 1) Some("transform.evalRanking.k must be >= 1")
+      else None
+  }
   /** In-place markup extraction — Web.stripMarkup replaces
     * `textColumn` with the extracted plain text (boilerplate stays;
     * chain a lineDedup stage to remove it).
@@ -1461,6 +1479,9 @@ object PipelineConfig {
       "transform.mmrRerank.queryIdColumn", "transform.mmrRerank.idColumn",
       "transform.mmrRerank.scoreColumn", "transform.mmrRerank.vecColumn",
       "transform.mmrRerank.k", "transform.mmrRerank.lambdaPct",
+      "transform.evalRanking.truthPath", "transform.evalRanking.queryIdColumn",
+      "transform.evalRanking.idColumn", "transform.evalRanking.rankColumn",
+      "transform.evalRanking.k", "transform.evalRanking.relColumn",
       "transform.htmlExtract.textColumn",
       "transform.urlCanon.urlColumn", "transform.urlCanon.hostColumn",
       "transform.urlCanon.domainColumn", "transform.urlCanon.trackedParams",
@@ -2298,6 +2319,19 @@ object PipelineConfig {
             lam <- map.getOrElse("transform.mmrRerank.lambdaPct", "70")
               .toIntOption.toRight("transform.mmrRerank.lambdaPct not an int")
           } yield TransformConfig.MmrStage(qid, id, score, vec, k, lam)
+        case "evalRanking" =>
+          for {
+            tp <- map.get("transform.evalRanking.truthPath")
+              .toRight("transform.evalRanking.truthPath required")
+            qid <- map.get("transform.evalRanking.queryIdColumn")
+              .toRight("transform.evalRanking.queryIdColumn required")
+            id <- map.get("transform.evalRanking.idColumn")
+              .toRight("transform.evalRanking.idColumn required")
+            rank = map.getOrElse("transform.evalRanking.rankColumn", "rank")
+            k <- map.getOrElse("transform.evalRanking.k", "10")
+              .toIntOption.toRight("transform.evalRanking.k not an int")
+          } yield TransformConfig.EvalRankingStage(tp, qid, id, rank, k,
+            map.get("transform.evalRanking.relColumn"))
         case "htmlExtract" =>
           map.get("transform.htmlExtract.textColumn")
             .toRight("transform.htmlExtract.textColumn required")

@@ -140,24 +140,41 @@ object Retrieval {
     */
   def evalRanking(results: DataFrame, truth: DataFrame, queryIdCol: String,
                   idCol: String, rankCol: String = "rank",
-                  k: Int = 10): DataFrame = {
+                  k: Int = 10, relCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val discounts: Seq[Double] =
       (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
-    val idcgPrefix: Seq[Double] = discounts.scanLeft(0.0)(_ + _).tail
     val res = results
       .select(col(queryIdCol).as("__q"), col(idCol).as("__id"),
         col(rankCol).cast("long").as("__rank"))
       .filter(col("__rank") <= k)
-    val tr = truth.select(col(queryIdCol).as("__q"), col(idCol).as("__id"))
-      .distinct()
-    val nRel = tr.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
-    val hitRanks = res.join(tr, Seq("__q", "__id"), "left_semi")
+    // every truth row IS relevant; the optional grade only weights the
+    // gain ladder (rel >= 1, capped so 2^rel - 1 stays integer-exact
+    // in a double). Graded gain: (1 << rel) - 1 — the standard
+    // exponential gain, computed in integers then widened exactly.
+    val tr = relCol match {
+      case Some(rc) => truth.select(col(queryIdCol).as("__q"),
+        col(idCol).as("__id"), col(rc).cast("long").as("__rel")).distinct()
+      case None => truth.select(col(queryIdCol).as("__q"),
+        col(idCol).as("__id"), lit(1L).as("__rel")).distinct()
+    }
+    def gain(rel: org.apache.spark.sql.Column) =
+      (call_function("shiftleft", lit(1L), rel.cast("int")) - lit(1L))
+        .cast("double")
+    // per-query truth: count + grades sorted DESC for the ideal DCG
+    val nRel = tr.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"),
+      reverse(sort_array(collect_list(col("__rel")))).as("__trels"))
+    val hitRanks = res.join(tr, Seq("__q", "__id"))
       .groupBy(col("__q"))
-      .agg(sort_array(collect_list(col("__rank"))).as("__ranks"))
+      .agg(sort_array(collect_list(struct(col("__rank"), col("__rel"))))
+        .as("__hits"))
     val joined = nRel.join(hitRanks, Seq("__q"), "left")
-      .select(col("__q"), col("n_rel"),
-        coalesce(col("__ranks"), typedLit(Seq.empty[Long])).as("__ranks"))
+      .select(col("__q"), col("n_rel"), col("__trels"),
+        coalesce(transform(col("__hits"), h => h.getField("__rank")),
+          typedLit(Seq.empty[Long])).as("__ranks"),
+        coalesce(col("__hits"),
+          array().cast("array<struct<__rank:bigint,__rel:bigint>>"))
+          .as("__hits"))
     val nHits = size(col("__ranks")).cast("long")
     // Σ (i+1)/ranks[i] over sorted hit ranks, left-to-right: transform
     // carries the 0-based position, aggregate folds in list order
@@ -166,11 +183,15 @@ object Retrieval {
         (r, i) => (i.cast("double") + lit(1.0)) / r.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val dcg = aggregate(
-      transform(col("__ranks"),
-        r => element_at(typedLit(discounts), r.cast("int"))),
+      transform(col("__hits"), h =>
+        gain(h.getField("__rel")) *
+          element_at(typedLit(discounts), h.getField("__rank").cast("int"))),
       lit(0.0), (acc, v) => acc + v)
-    val idcg = element_at(typedLit(idcgPrefix),
-      least(col("n_rel"), lit(k.toLong)).cast("int"))
+    // ideal DCG: the grades sorted best-first laid onto ranks 1..k
+    val idcg = aggregate(
+      transform(slice(col("__trels"), 1, k),
+        (rel, i) => gain(rel) * element_at(typedLit(discounts), i + 1)),
+      lit(0.0), (acc, v) => acc + v)
     joined.select(col("__q").as(queryIdCol), col("n_rel"), nHits.as("n_hits"),
       (nHits.cast("double") / col("n_rel").cast("double")).as("recall"),
       when(nHits === 0L, lit(0.0))

@@ -102,6 +102,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(2) == (("q2", 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("evalRanking graded: exponential gains, ideal ordering, binary-equivalence at rel=1") {
+    val results = Seq(
+      ("q0", 10L, 1L), ("q0", 11L, 2L), ("q0", 12L, 3L)
+    ).toDF("qid", "id", "rank")
+    // the LOW-graded doc is ranked first: DCG pays for the misorder
+    val truth = Seq(("q0", 10L, 1L), ("q0", 11L, 3L)).toDF("qid", "id", "rel")
+    val got = Retrieval.evalRanking(results, truth, "qid", "id", "rank",
+        k = 10, relCol = Some("rel"))
+      .as[(String, Long, Long, Double, Double, Double, Double)].head()
+    def disc(r: Int) = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    def gain(rel: Int) = (1L << rel) - 1.0
+    val dcg = gain(1) * disc(1) + gain(3) * disc(2)
+    val idcg = gain(3) * disc(1) + gain(1) * disc(2)
+    assert(got._7 == dcg / idcg)
+    assert(got._7 < 1.0, "misordered grades must cost NDCG")
+    // binary metrics unaffected by grades
+    assert(got._4 == 1.0 && got._5 == 1.0)
+    // rel = 1 everywhere reduces the graded path to the binary one
+    val bin = Retrieval.evalRanking(results,
+      truth.withColumn("rel", org.apache.spark.sql.functions.lit(1L)),
+      "qid", "id", "rank", k = 10, relCol = Some("rel"))
+    val noRel = Retrieval.evalRanking(results, truth.drop("rel"),
+      "qid", "id", "rank", k = 10)
+    assert(bin.collect().toSeq == noRel.collect().toSeq)
+  }
+
   test("mmr: lambdaPct = 100 reduces to pure relevance order") {
     val got = Retrieval.mmrRerank(mmrCands, "qid", "id", "rel", "vec",
         k = 3, lambdaPct = 100)
