@@ -41,12 +41,20 @@ object LexIndex {
   private def metaPath(root: String) = root + "/_lex.json"
   private def corpusDir(root: String) = root + "/_corpus"
 
-  /** One (id, dl) row per indexed document — derived from postings
-    * rows (dl is constant per id by construction). This is both the
-    * census payload and the BM25 stats source.
+  /** One (id, dl, terms) row per indexed document — derived from
+    * postings rows (dl is constant per id by construction; terms is
+    * the doc's distinct term set, canonically sorted). This is the
+    * census payload, the BM25 stats source, AND the forward index
+    * [[forget]] needs: the postings table clusters by TERM, so
+    * deleting a document without knowing its terms is a table scan —
+    * with them it is a cluster-key-pruned pair-delete. The terms
+    * array makes the census postings-sized (the standard
+    * forward-index space trade every deletable inverted index pays);
+    * delta detection stays cheap because it column-prunes to `id`.
     */
   private def censusOf(postings: DataFrame): DataFrame =
-    postings.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+    postings.groupBy(col("id")).agg(max(col("dl")).as("dl"),
+      sort_array(collect_set(col("term"))).as("terms"))
 
   /** Atomic (tmp+rename) write of one corpus-stats contribution:
     * `{"n":…,"sumdl":…}`. `name` is `base` or `epoch-<tag>` — the sum
@@ -152,6 +160,9 @@ object LexIndex {
     val spark = docs.sparkSession
     clustered(postingsOf(docs, idCol, textCol))
       .write.mode("errorifexists").parquet(postingsDir(root))
+    // term stats artifact: planning-time file pruning for forget's
+    // pair-deletes — advisory, unknown files always kept
+    graft.sources.FileStatsIndex.buildAndSave(spark, postingsDir(root), Seq("term"))
     // sidecars from the WRITTEN postings (the ground truth): id census
     // for batch-proportional delta checks, pinned (N, Σdl) for BM25
     graft.sources.IdCensus.create(spark, root,
@@ -197,6 +208,7 @@ object LexIndex {
       val stage = root + s"/_stage/$tag"
       clustered(delta).write.mode("overwrite").parquet(stage)
       graft.sources.EpochFiles.publish(spark, stage, postingsDir(root), tag)
+      graft.sources.FileStatsIndex.update(spark, postingsDir(root), Seq("term"))
       // census + stats publish second, under the SAME tag: a crash
       // between publishes is repaired by replaying the tag (all three
       // retires above restore the pre-epoch triple)
@@ -234,6 +246,8 @@ object LexIndex {
     val cur = graft.streaming.SwapStore.readCurrent(spark, postingsDir(root),
       new org.apache.spark.sql.types.StructType())
     graft.streaming.SwapStore.swapWrite(clustered(cur), postingsDir(root))
+    graft.sources.FileStatsIndex.buildAndSave(spark, postingsDir(root), Seq("term"))
+    spark.catalog.refreshByPath(postingsDir(root))
     // fold the sidecars on the same cadence: census epoch files merge
     // into one clustered table, stats contributions into one base
     graft.sources.IdCensus.compact(spark, root)
@@ -275,8 +289,36 @@ object LexIndex {
              ids: Seq[Any]): graft.sources.TargetedDelete.Result = {
     requireIndex(spark, root)
     ensureSidecars(spark, root)
-    val r = graft.sources.TargetedDelete.deleteAuto(spark, postingsDir(root), "id", ids)
+    // the postings cluster by TERM — an id-delete cannot prune — but
+    // the census's forward terms array knows exactly which (term, id)
+    // pairs are doomed: derive them from a stats-pruned census point
+    // read (BEFORE any mutation, so crash re-runs re-derive) and
+    // pair-delete with files pruned by the cluster key. Pre-forward
+    // censuses (no terms column) and oversized batches take the scan.
+    val cap = graft.sources.TargetedDelete.InlineKeyCap
+    val censusHasTerms = spark.read
+      .parquet(graft.sources.IdCensus.rowsDir(root))
+      .columns.contains("terms")
+    val r =
+      if (censusHasTerms && ids.size <= cap) {
+        val pairs = graft.sources.KeyedReads.prunedRead(spark,
+            graft.sources.IdCensus.rowsDir(root), "id", ids.toArray)
+          .select(col("id"), explode(col("terms")).as("term"))
+          .select(col("term"), col("id")).distinct()
+          .limit(cap + 1).collect()
+        if (pairs.isEmpty)
+          graft.sources.TargetedDelete.Result(0, 0L,
+            graft.sources.ParquetSource.listParquetFiles(postingsDir(root),
+              spark.sparkContext.hadoopConfiguration).size)
+        else if (pairs.length > cap)
+          graft.sources.TargetedDelete.deleteAuto(spark, postingsDir(root), "id", ids)
+        else
+          graft.sources.TargetedDelete.deletePairs(spark, postingsDir(root),
+            "term", "id", pairs.toSeq.map(r => (r.get(0), r.get(1))))
+      } else
+        graft.sources.TargetedDelete.deleteAuto(spark, postingsDir(root), "id", ids)
     spark.catalog.refreshByPath(postingsDir(root))
+    graft.sources.FileStatsIndex.update(spark, postingsDir(root), Seq("term"))
     graft.sources.IdCensus.forget(spark, root, ids)
     val (n, sumdl) = statsFromCensus(spark, root)
     val dir = new org.apache.hadoop.fs.Path(corpusDir(root))

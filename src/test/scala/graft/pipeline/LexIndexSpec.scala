@@ -91,6 +91,44 @@ class LexIndexSpec extends AnyFunSuite {
     assert(hits(r).head === (("qa", 1L, 3L, 2L, 4L, 4L)))
   }
 
+  test("forget pair-deletes through the forward terms: other term ranges stay byte-identical") {
+    val r = root()
+    // two DISJOINT vocabulary ranges, forced into two term-range files
+    val docs = (0L until 10L).map(i =>
+        (i, if (i < 5) s"aa${i} ab${i} ac${i}" else s"za${i} zb${i} zc${i}"))
+      .toDF("id", "text")
+    LexIndex.create(docs, "id", "text", r)
+    val census = spark.read.parquet(graft.sources.IdCensus.rowsDir(r))
+    assert(census.columns.contains("terms"), "census must carry the forward index")
+    graft.streaming.SwapStore.swapWrite(
+      spark.read.parquet(r + "/postings")
+        .repartitionByRange(2, col("term"))
+        .sortWithinPartitions(col("term"), col("id")),
+      r + "/postings")
+    graft.sources.FileStatsIndex.buildAndSave(spark, r + "/postings", Seq("term"))
+    spark.catalog.refreshByPath(r + "/postings")
+    def files(): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(r + "/postings")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.sources.ParquetSource.listParquetFiles(r + "/postings",
+          spark.sparkContext.hadoopConfiguration)
+        .map(f => f -> fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(f)).getModificationTime).toMap
+    }
+    val before = files()
+    assert(before.size >= 2)
+    // forgetting an a-vocabulary doc must leave the z-range file alone
+    val res = LexIndex.forget(spark, r, Seq(2L))
+    assert(res.rowsDeleted == 3L)
+    val after = files()
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.nonEmpty, "pair-delete rewrote every postings file")
+    untouched.foreach(f => assert(before(f) == after(f)))
+    assert(spark.read.parquet(r + "/postings")
+      .filter(col("id") === 2L).isEmpty)
+    assert(spark.read.parquet(r + "/postings").count() == 27L)
+  }
+
   test("bm25Search ranks like Text.bm25 over the indexed corpus") {
     val r = root()
     LexIndex.create(corpus, "id", "text", r)
