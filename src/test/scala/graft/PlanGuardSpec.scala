@@ -53,11 +53,17 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_theta_overlap",   // scalar-row cross joins only: the click and purchase
                          // sketch frames are ONE row each (post-aggregation),
                          // as is the exact flag-aggregate row — 1×1 joins
-    "q_hybrid_rrf")      // the embedded q_sim_topk dense tier: quadratic side
+    "q_hybrid_rrf",      // the embedded q_sim_topk dense tier: quadratic side
                          // is the 3-row broadcast query set, by design; the
                          // fusion join itself is keyed (queries × k rows).
                          // q_cfg_rrf reads the SAME fusion from a written
                          // parquet, so its returned plan carries no loop join
+    "q_eval_ranking",    // the L2 ground-truth tier: quadratic side is the
+                         // 5-row broadcast query set (same bounded shape as
+                         // q_sim_topk); the eval itself joins rankings —
+                         // queries × k rows — on keys. q_cfg_evalrank reads
+                         // results/truth from written parquet, no loop join
+    "q_eval_graded")     // identical shape to q_eval_ranking (graded truth)
     // q_lex_bm25 left the list in round 13: its (N, Σdl) stats are now
     // PINNED in the index's _corpus/ artifacts and injected as
     // literals, so the plan has no scalar-row cross join at all
