@@ -35,6 +35,7 @@ package graft
   *                                                  # with exact survivor rank repair
   *   runMain graft.Maintain linkgraph rollback <root> <tag>
   *   runMain graft.Maintain linkgraph compact <root>
+  *   runMain graft.Maintain linkgraph components <root>   # (re)build labels
   *
   * compact is crash-safe (write-ahead group markers; interrupted swaps
   * recover on the next run); stats updates touch only files the index
@@ -235,6 +236,11 @@ object Maintain {
           case "compact" =>
             pipeline.LinkGraph.compact(spark, args(2))
             println(s"[maintain] link graph compacted at ${args(2)}")
+          case "components" =>
+            // (re)build the maintained component labels from the
+            // store's current edges; epochs maintain them afterwards
+            pipeline.LinkGraph.createComponents(spark, args(2))
+            println(s"[maintain] link graph components built at ${args(2)}")
           case "rollback" if args.length >= 4 =>
             pipeline.LinkGraph.rollbackEpoch(spark, args(2), args(3))
             println(s"[maintain] link graph epoch ${args(3)} rolled back at ${args(2)}")

@@ -3326,6 +3326,39 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Maintained connected components on the link-graph store, pinned
+    * to the whole-graph closure: the store is created on the
+    * sub-250-source slice, components built, and the rest absorbed as
+    * a REPLAYED epoch — labels maintained through the contraction
+    * merge (endpoint point reads, bounded contracted graph, only
+    * changed components' members overridden) must equal the
+    * undirected min-id closure over the UNION edge set, replayed as a
+    * recursive CTE in the oracle (the q_components discipline on the
+    * persisted store).
+    */
+  private def qGraphComponents(s: SparkSession, d: String): DataFrame = {
+    val root = graphStores.computeIfAbsent(d + "#comp", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-lgc")
+        .resolve("g").toString
+      val docs = t(s, d, "documents")
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+      graft.pipeline.LinkGraph.create(
+        edges.filter(col("src") < 250), "src", "dst", r, iters = 1)
+      graft.pipeline.LinkGraph.createComponents(s, r)
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250), "src", "dst", r, "e1")
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250), "src", "dst", r, "e1")
+      r
+    })
+    graft.pipeline.LinkGraph.components(s, root)
+      .select(col("id").as("node_id"), col("rep").as("component"))
+      .orderBy(col("node_id"))
+  }
+
   /** Right-to-be-forgotten on the link-graph store, pinned to the
     * REMAINING-graph recurrence: five vertices purged outright (edges
     * both directions, degree + level rows, orphan cleanup) with exact
@@ -3982,6 +4015,7 @@ object SparkEntry {
     "q_hits" -> (qHits _),
     "q_pagerank_incr" -> (qPagerankIncr _),
     "q_graph_rank" -> (qGraphRank _),
+    "q_graph_components" -> (qGraphComponents _),
     "q_graph_forget" -> (qGraphForget _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
@@ -4745,6 +4779,24 @@ object SparkEntry {
     // RTBF on the store: ranks after the purge (run TWICE — the
     // completed re-invoke must no-op) equal the recurrence over the
     // surviving edge set alone
+    // maintained components on the store: the undirected min-id
+    // closure over the UNION edge set, replayed recursively
+    "q_graph_components" ->
+      ("WITH RECURSIVE e0 AS (SELECT DISTINCT src, dst FROM (" +
+        "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +
+        "UNION ALL SELECT doc_id, (doc_id*13+11)%500 FROM documents)), " +
+        "n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e0 " +
+        "UNION ALL SELECT dst FROM e0)), " +
+        "e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v " +
+        "FROM e0 WHERE src <> dst), " +
+        "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
+        "r AS (SELECT u AS a, v AS b FROM sym " +
+        "UNION SELECT r.a, sym.v FROM r JOIN sym ON r.b = sym.u), " +
+        "lab AS (SELECT a, LEAST(a, MIN(b)) AS rep FROM r GROUP BY a) " +
+        "SELECT CAST(n.id AS BIGINT) AS node_id, " +
+        "CAST(coalesce(lab.rep, n.id) AS BIGINT) AS component " +
+        "FROM n LEFT JOIN lab ON lab.a = n.id ORDER BY node_id"),
+
     "q_graph_forget" -> sqlPagerankOver(
       "e0 AS (SELECT DISTINCT src, dst FROM (" +
         "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   *  - `levels/` (id, iter, rank, seq)   — every intermediate rank
   *    vector of the finite recurrence (latest seq per (id, iter)
   *    wins), because level-wise maintenance must know what each level
-  *    WAS, not just the last.
+  *    WAS, not just the last;
+  *  - `labid/` + `labrep/` (id, rep, seq), OPTIONAL (built by
+  *    [[createComponents]]) — maintained connected-component labels,
+  *    dual-clustered like the edges: by id for endpoint lookups, by
+  *    rep for changed-component member relabels.
   *
   * All four tables carry [[graft.sources.FileStatsIndex]] artifacts,
   * so the epoch path's point lookups go through
@@ -52,6 +56,8 @@ object LinkGraph {
   private def inDir(root: String) = root + "/in"
   private def degDir(root: String) = root + "/deg"
   private def levelsDir(root: String) = root + "/levels"
+  private def labIdDir(root: String) = root + "/labid"
+  private def labRepDir(root: String) = root + "/labrep"
   private def metaPath(root: String) = root + "/_graph.json"
   private def epochsDir(root: String) = root + "/_epochs"
   private def stageDir(root: String, table: String, tag: String) =
@@ -170,6 +176,14 @@ object LinkGraph {
   private def resolveDeg(df: DataFrame): DataFrame =
     df.groupBy(col("src")).agg(max_by(col("deg"), col("seq")).as("deg"))
 
+  private def resolveLabels(df: DataFrame): DataFrame =
+    df.groupBy(col("id")).agg(max_by(col("rep"), col("seq")).as("rep"))
+
+  private def labelsExist(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(labIdDir(root))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def resolveLevels(df: DataFrame): DataFrame =
     df.groupBy(col("id"), col("iter"))
       .agg(max_by(col("rank"), col("seq")).as("rank"))
@@ -232,6 +246,10 @@ object LinkGraph {
       .select(col("src"),
         (coalesce(col("deg"), lit(0L)) + col("add")).as("deg"),
         lit(seq).as("seq"))
+
+    // labels absorb BEFORE the edge publishes (they need the PRE-epoch
+    // endpoint labels; a replay's retire restored them above)
+    if (labelsExist(spark, root)) absorbLabels(spark, root, delta, seq, tag)
 
     // edges + degrees publish FIRST: the frontier rounds below read
     // the union graph through the store's own tables
@@ -318,7 +336,10 @@ object LinkGraph {
   }
 
   private def rollbackFiles(spark: SparkSession, root: String, tag: String): Unit = {
-    for (d <- Seq(outDir(root), inDir(root), degDir(root), levelsDir(root)))
+    val labels =
+      if (labelsExist(spark, root)) Seq(labIdDir(root), labRepDir(root))
+      else Seq.empty
+    for (d <- Seq(outDir(root), inDir(root), degDir(root), levelsDir(root)) ++ labels)
       graft.sources.EpochFiles.retire(spark, d, tag)
     val st = new org.apache.hadoop.fs.Path(root + s"/_stage/$tag")
     val fs = hadoopFs(spark, root)
@@ -348,6 +369,91 @@ object LinkGraph {
     val meta = readMeta(spark, root)
     levels(spark, root).filter(col("iter") === meta.iters)
       .select(col("id"), col("rank").as("rank_units"))
+  }
+
+  /** Maintained connected components over the store's edge set (viewed
+    * undirected — crawl-dedup clustering semantics): min-id labels in
+    * TWO LSM tables, `labid/` (id-clustered: "what is this vertex's
+    * component", the endpoint lookup epochs need) and `labrep/`
+    * (rep-clustered: "who is in this component", the member lookup a
+    * merge relabel needs) — the out/in dual-clustering pattern applied
+    * to labels. Build once with [[createComponents]]; every later
+    * [[appendEpoch]] maintains the labels EXACTLY alongside the ranks:
+    * the epoch's edges contract onto their endpoints' current reps
+    * (point reads), the contracted graph — bounded by the delta —
+    * merges via the shared label-propagation engine, and only the
+    * members of components that actually changed rep are overridden
+    * (work ∝ merged components' size, the appendToComponents
+    * contraction argument made batch-proportional by the store).
+    *
+    * [[forget]] REBUILDS the labels (edge removal can split a
+    * component, and decremental connectivity has no frontier-bounded
+    * exact maintenance — the rebuild is the honest cost, priced like a
+    * compact); between-epochs caveat applies (the rebuild destroys
+    * per-tag label file names).
+    */
+  def createComponents(spark: SparkSession, root: String): Unit = {
+    val e = spark.read.parquet(outDir(root)).select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val labels = graft.operators.Graphs
+      .connectedComponents(nodes, e, "id")
+      .select(col("id"), col("rep"), lit(0L).as("seq"))
+      .transform(graft.Checkpoints.materialize)
+    writeClustered(labels, labIdDir(root), "id")
+    writeClustered(labels, labRepDir(root), "rep")
+  }
+
+  /** Current component labels `(id, rep)` — latest override per id;
+    * rep is the min member id, identical to
+    * `Graphs.connectedComponents` over [[edges]] (the gate pins it).
+    */
+  def components(spark: SparkSession, root: String): DataFrame =
+    resolveLabels(spark.read.parquet(labIdDir(root)))
+
+  /** Exact label absorption for one epoch's delta edges — called by
+    * [[appendEpoch]] when the label tables exist. Bounded work: the
+    * contracted merge graph is ≤ 2·|delta| vertices; member relabels
+    * read only CHANGED components through the rep-clustered table.
+    */
+  private def absorbLabels(spark: SparkSession, root: String, delta: DataFrame,
+                           seq: Long, tag: String): Unit = {
+    val endpoints = graft.Checkpoints.materialize(
+      delta.select(col("src").as("id"))
+        .unionAll(delta.select(col("dst").as("id"))).distinct())
+    val epLab = graft.Checkpoints.materialize(resolveLabels(
+      readByKeys(spark, labIdDir(root), "id", endpoints, "id")))
+    val withLab = endpoints.join(epLab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      .transform(graft.Checkpoints.materialize)
+    val contracted = delta
+      .join(withLab.select(col("id").as("src"), col("rep").as("__ru")), Seq("src"))
+      .join(withLab.select(col("id").as("dst"), col("rep").as("__rv")), Seq("dst"))
+      .select(col("__ru").as("src"), col("__rv").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val cNodes = withLab.select(col("rep").as("id")).distinct()
+    // merged rep per contracted node: min id over {old reps, new ids}
+    // of the merged component = the true min member id (an old rep IS
+    // the min of its members — the appendToComponents argument)
+    val merged = graft.operators.Graphs
+      .connectedComponents(cNodes, contracted, "id")
+      .select(col("id").as("rep"), col("rep").as("__new"))
+      .transform(graft.Checkpoints.materialize)
+    val changed = merged.filter(col("rep") =!= col("__new"))
+    val members = resolveLabels(
+      readByKeys(spark, labRepDir(root), "rep",
+        changed.select(col("rep").as("id")), "id"))
+    val overridden = members.join(changed, Seq("rep"))
+      .select(col("id"), col("__new").as("rep"))
+    // new vertices get their merged rep outright (self where unmerged)
+    val fresh = withLab.join(epLab.select(col("id")), Seq("id"), "left_anti")
+      .join(merged, Seq("rep"))
+      .select(col("id"), col("__new").as("rep"))
+    val overrides = overridden.unionByName(fresh).distinct()
+      .withColumn("seq", lit(seq))
+      .transform(graft.Checkpoints.materialize)
+    publishClustered(spark, overrides, root, "labid", labIdDir(root), "id", tag)
+    publishClustered(spark, overrides, root, "labrep", labRepDir(root), "rep", tag)
   }
 
   /** One-column probe frame typed to the store's key type (guessing
@@ -521,6 +627,11 @@ object LinkGraph {
     graft.sources.EpochFiles.retire(spark, levelsDir(root), tag)
     val levelRows = frontierRounds(spark, root, meta, seeds, seq)
     publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag)
+    // maintained components REBUILD from the purged edges: removal can
+    // split a component, and decremental connectivity has no exact
+    // frontier-bounded maintenance — the rebuild is the honest cost
+    // (idempotent, so crash re-runs just rebuild again)
+    if (labelsExist(spark, root)) createComponents(spark, root)
     fs.delete(new org.apache.hadoop.fs.Path(snap), true)
     ()
   }
@@ -552,5 +663,13 @@ object LinkGraph {
         .select(col("id"), col("iter"), col("v.rank").as("rank"),
           col("v.seq").as("seq")),
       "id")
+    if (labelsExist(spark, root)) {
+      def folded = spark.read.parquet(labIdDir(root))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("rep"), col("seq")), col("seq")).as("v"))
+        .select(col("id"), col("v.rep").as("rep"), col("v.seq").as("seq"))
+      swapClustered(labIdDir(root), folded, "id")
+      swapClustered(labRepDir(root), folded, "rep")
+    }
   }
 }

@@ -184,4 +184,63 @@ class LinkGraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def fullComponents(e: DataFrame): Seq[(Long, Long)] = {
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    graft.operators.Graphs.connectedComponents(nodes, e, "id")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+  }
+
+  private def storeComponents(r: String): Seq[(Long, Long)] =
+    LinkGraph.components(spark, r).orderBy("id").as[(Long, Long)].collect().toSeq
+
+  test("components: create equals the frame-level closure; epoch merge maintains exactly") {
+    val r = root()
+    // sparse base: two separate components {1,2,3} and {5,6}, plus 4->1
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 1)
+    LinkGraph.createComponents(spark, r)
+    assert(storeComponents(r) === fullComponents(edgesDf(e1)))
+    // the epoch's 5->1 edge merges {5,6} into component 1; replay of
+    // the same tag must be end-state idempotent
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "ce1")
+    assert(storeComponents(r) === fullComponents(edgesDf(e1 ++ e2)))
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "ce1")
+    assert(storeComponents(r) === fullComponents(edgesDf(e1 ++ e2)))
+    // compact folds the label LSM without changing the resolution
+    LinkGraph.compact(spark, r)
+    assert(storeComponents(r) === fullComponents(edgesDf(e1 ++ e2)))
+  }
+
+  test("components: forget rebuilds — splits are served correctly") {
+    val r = root()
+    // a bridge vertex 3 whose removal splits {1,2,3,4,5}: 1-2-3, 3-4, 4-5
+    val bridge = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    LinkGraph.create(edgesDf(bridge), "src", "dst", r, iters = 1)
+    LinkGraph.createComponents(spark, r)
+    assert(storeComponents(r).forall(_._2 == 1L))
+    LinkGraph.forget(spark, r, Seq(3L))
+    // remaining edges 1->2 and 4->5: two components, vertex 3 gone
+    assert(storeComponents(r) ===
+      Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L)))
+  }
+
+  test("property: random epoch splits — maintained components ≡ closure") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val nV = 14 + rng.nextInt(8)
+      // sparse edges so multiple components survive and merge
+      val all = Seq.fill(8 + rng.nextInt(8))(
+        (rng.nextInt(nV).toLong, rng.nextInt(nV).toLong)).distinct
+      val (a, b) = all.partition(_ => rng.nextBoolean())
+      if (a.nonEmpty && b.nonEmpty) {
+        val r = root()
+        LinkGraph.create(edgesDf(a), "src", "dst", r, iters = 1)
+        LinkGraph.createComponents(spark, r)
+        LinkGraph.appendEpoch(edgesDf(b), "src", "dst", r, s"c$trial")
+        assert(storeComponents(r) === fullComponents(edgesDf(all)),
+          s"trial $trial: a=$a b=$b")
+      }
+    }
+  }
 }
