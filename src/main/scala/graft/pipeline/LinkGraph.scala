@@ -499,7 +499,7 @@ object LinkGraph {
     require(!ids.contains(null), "null ids cannot be forgotten")
     val meta = readMeta(spark, root)
     val digest = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(ids.map(String.valueOf).sorted.mkString(" ").getBytes("UTF-8"))
+      .digest(ids.map(String.valueOf).sorted.mkString("\u0000").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val tag = s"forget-$digest"
     val seq = seqFor(spark, root, tag)
