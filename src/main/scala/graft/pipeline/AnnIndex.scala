@@ -98,10 +98,18 @@ object AnnIndex {
     */
   def append(handle: Handle, newRows: DataFrame, idCol: String, vecCol: String): Unit = {
     val spark = newRows.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val before = graft.sources.ParquetSource
+      .listParquetFiles(handle.indexPath, conf).toSet
     encoded(newRows, idCol, vecCol, handle.ivf, handle.pq)
       .repartition(col("bucket")).sortWithinPartitions("bucket")
       .write.mode("append").parquet(handle.indexPath)
-    graft.sources.FileStatsIndex.update(spark, handle.indexPath, Seq("bucket"))
+    spark.catalog.refreshByPath(handle.indexPath)
+    // stats advance over EXACTLY the appended files (listing diff →
+    // one small job), not an artifact diff + rewrite per append
+    graft.sources.FileStatsIndex.appendFor(spark, handle.indexPath, Seq("bucket"),
+      graft.sources.ParquetSource.listParquetFiles(handle.indexPath, conf)
+        .filterNot(before.contains))
     if (graft.sources.IdCensus.exists(spark, handle.root))
       graft.sources.IdCensus.appendPlain(spark, handle.root,
         censusRows(newRows, idCol, vecCol, handle.ivf))
@@ -146,6 +154,11 @@ object AnnIndex {
   def appendEpoch(handle: Handle, rows: DataFrame, idCol: String, vecCol: String,
                   tag: String): Long = {
     val spark = rows.sparkSession
+    // complete any interrupted auto-compact BEFORE retiring (the
+    // half-folded-tables hazard — see graft.sources.AutoCompact)
+    graft.sources.AutoCompact.recover(spark, handle.root) {
+      foldAll(spark, handle.root)
+    }
     graft.sources.EpochFiles.retire(spark, handle.indexPath, tag)
     graft.sources.IdCensus.retireEpoch(spark, handle.root, tag)
     graft.sources.IdCensus.ensureFrom(spark, handle.root, indexIds(spark, handle.root))
@@ -163,17 +176,46 @@ object AnnIndex {
         encoded(fresh, idCol, vecCol, handle.ivf, handle.pq)
           .repartition(col("bucket")).sortWithinPartitions("bucket")
           .write.mode("overwrite").parquet(stage)
-        graft.sources.EpochFiles.publish(spark, stage, handle.indexPath, tag)
-        graft.sources.FileStatsIndex.update(spark, handle.indexPath, Seq("bucket"))
+        val published = graft.sources.EpochFiles.publish(spark, stage,
+          handle.indexPath, tag)
+        // stats advance over EXACTLY the published files — one small
+        // job (the write-pass discipline), not an artifact diff
+        graft.sources.FileStatsIndex.appendFor(spark, handle.indexPath,
+          Seq("bucket"), published)
         // census publishes second, under the SAME tag: a crash between
         // the two publishes is repaired by replaying the tag (both
         // retires above restore the pre-epoch pair)
         graft.sources.IdCensus.appendEpoch(spark, handle.root,
           censusRows(fresh, idCol, vecCol, handle.ivf), tag)
       }
+      // settled — the auto-compact policy may fold accumulated epoch
+      // files. The fold is [[recluster]] + census compact (BOTH
+      // all-or-nothing SwapStore rewrites — a partial small-file merge
+      // would half-destroy a tag's names within one table, which no
+      // entry-point recovery could repair); a replay after the fold is
+      // a clean no-op because the census still knows every id.
+      graft.sources.AutoCompact.maybe(spark, handle.root,
+        Seq(handle.indexPath, graft.sources.IdCensus.rowsDir(handle.root))) {
+        foldAll(spark, handle.root)
+      }
       n
     } finally { fresh.unpersist(); () }
   }
+
+  /** The auto-compact fold: bucket-recluster the index frame and fold
+    * the census — each an all-or-nothing crash-safe swap.
+    */
+  private def foldAll(spark: SparkSession, root: String): Unit = {
+    recluster(spark, root)
+    if (graft.sources.IdCensus.exists(spark, root))
+      graft.sources.IdCensus.compact(spark, root)
+  }
+
+  /** Pin the index's auto-compact threshold (parquet files in the
+    * index frame or census dir; 0 disables) — epochs fold past it.
+    */
+  def setAutoCompact(spark: SparkSession, root: String, maxFiles: Int): Unit =
+    graft.sources.AutoCompact.setPolicy(spark, root, maxFiles)
 
   /** Defragment an append-heavy index frame: every epoch appends a few
     * small files, and after thousands the probe-join's scan cost is
@@ -288,35 +330,50 @@ object AnnIndex {
     // crash anywhere is repaired by re-invoking (already-deleted pairs
     // no-op). The census is trusted the same way the delta anti-join
     // trusts it — out-of-protocol surgery repairs via `rebuildids`.
-    // Pre-bucket censuses (no bucket column) and oversized batches
-    // fall back to the scan path.
-    val censusHasBuckets = graft.sources.IdCensus.exists(spark, root) &&
-      spark.read.parquet(graft.sources.IdCensus.rowsDir(root))
-        .columns.contains("bucket")
+    // The census reads under mergeSchema (the LexIndex.forget
+    // discipline): a pre-bucket census that later received
+    // bucket-bearing epoch rows is a MIXED directory — per-ROW split,
+    // ids whose row carries a bucket pair-delete, null-bucket rows
+    // route to the id-scan fallback instead of tripping deletePairs'
+    // null require. Bucket-less censuses and oversized batches take
+    // the scan for everything.
     val cap = graft.sources.TargetedDelete.InlineKeyCap
-    val r =
-      if (censusHasBuckets && ids.size <= cap) {
-        val idType = spark.read.parquet(graft.sources.IdCensus.rowsDir(root))
-          .schema("id").dataType
-        val probe = spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            ids.map(org.apache.spark.sql.Row(_)), 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id", idType))))
-        val pairs = graft.sources.IdCensus.known(spark, root, probe, "id")
+    def scanAll() =
+      graft.sources.TargetedDelete.deleteAuto(spark, dir, "neighbor_id", ids)
+    val census =
+      if (graft.sources.IdCensus.exists(spark, root))
+        Some(graft.sources.KeyedReads.prunedRead(spark,
+          graft.sources.IdCensus.rowsDir(root), "id", ids.toArray,
+          mergeSchema = true))
+      else None
+    val r = census match {
+      case Some(cen) if cen.columns.contains("bucket") && ids.size <= cap =>
+        val bare = cen.filter(col("bucket").isNull)
+          .select(col("id")).distinct()
+          .limit(cap + 1).collect().map(_.get(0)).toSeq
+        val pairs = cen.filter(col("bucket").isNotNull)
           .select(col("bucket"), col("id")).distinct()
           .limit(cap + 1).collect()
-        if (pairs.isEmpty)
-          graft.sources.TargetedDelete.Result(0, 0L,
-            graft.sources.ParquetSource.listParquetFiles(dir,
-              spark.sparkContext.hadoopConfiguration).size)
-        else if (pairs.length > cap)
-          graft.sources.TargetedDelete.deleteAuto(spark, dir, "neighbor_id", ids)
-        else
-          graft.sources.TargetedDelete.deletePairs(spark, dir,
-            "bucket", "neighbor_id", pairs.toSeq.map(r => (r.get(0), r.get(1))))
-      } else
-        graft.sources.TargetedDelete.deleteAuto(spark, dir, "neighbor_id", ids)
+        if (pairs.length > cap || bare.size > cap) scanAll()
+        else {
+          val pr =
+            if (pairs.isEmpty)
+              graft.sources.TargetedDelete.Result(0, 0L,
+                graft.sources.ParquetSource.listParquetFiles(dir,
+                  spark.sparkContext.hadoopConfiguration).size)
+            else
+              graft.sources.TargetedDelete.deletePairs(spark, dir,
+                "bucket", "neighbor_id", pairs.toSeq.map(r => (r.get(0), r.get(1))))
+          if (bare.nonEmpty) {
+            val sr = graft.sources.TargetedDelete.deleteAuto(spark, dir,
+              "neighbor_id", bare)
+            graft.sources.TargetedDelete.Result(
+              pr.filesRewritten + sr.filesRewritten,
+              pr.rowsDeleted + sr.rowsDeleted, sr.filesUntouched)
+          } else pr
+        }
+      case _ => scanAll()
+    }
     spark.catalog.refreshByPath(dir)
     graft.sources.FileStatsIndex.update(spark, dir, Seq("bucket"))
     // census forgets SECOND (the pair derivation needed it) —
@@ -386,6 +443,66 @@ object AnnIndex {
     Pq.rerankExact(
       search(handle, queries, idCol, vecCol, kCand, nProbe),
       queries, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, k)
+
+  /** Operational recall tuner — the measured recall-vs-cost table a
+    * production ANN deployment sets `nProbe` from, instead of guessing
+    * a static knob. For each candidate nProbe: run [[search]] on a
+    * BOUNDED query sample, score recall@k against the EXACT squared-L2
+    * top-k over `corpus` (computed once for the whole sweep — one
+    * column-pruned corpus scan with the sample broadcast, the
+    * brute-force anchor every ANN eval uses), and price the setting by
+    * the candidate rows its probes admit (probed buckets' row counts
+    * from [[bucketStats]] — the code-scan volume that IS the search's
+    * cost driver at any corpus size). Output, one row per nProbe:
+    * `(n_probe, recall, n_queries, cand_rows)`, recall =
+    * total-hits / (|queries|·k) — integer counts, ONE division, so the
+    * table replays exactly. Recall is weakly increasing in nProbe
+    * (more buckets admit a candidate superset under the same ADC
+    * ranking); the operator picks the knee. Maintenance-rate cost:
+    * |nProbes| code-scan searches + one exact pass, all bounded by the
+    * sample.
+    */
+  def tuneNProbe(handle: Handle, queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 nProbes: Seq[Int]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbes.nonEmpty, "need at least one candidate nProbe")
+    require(nProbes.forall(_ >= 1), "nProbe candidates must be >= 1")
+    val spark = queries.sparkSession
+    val q = graft.Checkpoints.materialize(
+      queries.select(col(idCol), col(vecCol)))
+    val nq = q.count()
+    require(nq > 0, "empty query sample — nothing to tune on")
+    val qv = q.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sqDist = aggregate(
+      zip_with(col("__qv"), col("__cv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__d").asc, col("neighbor_id").asc)
+    val truth = graft.Checkpoints.materialize(
+      cv.crossJoin(broadcast(qv))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), sqDist.as("__d"))
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select(col("query_id"), col("neighbor_id")))
+    // |kIvf|-row bucket census once; probe pairs are |sample|×nProbe
+    val sizes = bucketStats(spark, handle.root).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = nProbes.distinct.sorted.map { np =>
+      val hits = search(handle, q, idCol, vecCol, k, np)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val candRows = Ivf.probeBuckets(q, idCol, vecCol, handle.ivf, np)
+        .select(col("bucket")).collect()
+        .map(r => sizes.getOrElse(r.getInt(0), 0L)).sum
+      (np, hits.toDouble / (nq * k).toDouble, nq, candRows)
+    }
+    import spark.implicits._
+    rows.toDF("n_probe", "recall", "n_queries", "cand_rows")
+  }
 
   /** Attribute-filtered search — the vector-db "filtered ANN" shape: a
     * metadata predicate (language, license, time range) narrows the

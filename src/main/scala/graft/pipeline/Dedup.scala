@@ -373,6 +373,28 @@ object Dedup {
   private def clusteredOn(df: DataFrame, keyCol: String): DataFrame =
     df.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
 
+  /** Run `write` (a plain append to `dir`), refresh the session's
+    * listing cache, and advance the `_stats` artifact over EXACTLY the
+    * files the write created (listing diff →
+    * [[graft.sources.FileStatsIndex.appendFor]] — one small job). This
+    * replaces the per-table `FileStatsIndex.update` the advance paths
+    * used to pay: update re-reads the whole artifact, re-lists, and
+    * REWRITES it per call — a fixed cost per table per advance that a
+    * streaming curator pays per micro-batch and that grows with the
+    * STORE's file count instead of the batch.
+    */
+  private def appendWithStats(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, keyCol: String)(write: => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val before = graft.sources.ParquetSource.listParquetFiles(dir, conf).toSet
+    write
+    spark.catalog.refreshByPath(dir)
+    val fresh = graft.sources.ParquetSource.listParquetFiles(dir, conf)
+      .filterNot(before.contains)
+    graft.sources.FileStatsIndex.appendFor(spark, dir, Seq(keyCol), fresh)
+    ()
+  }
+
   object BandIndex {
     private def rowsPath(path: String) = new org.apache.hadoop.fs.Path(path, "rows")
     private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_banding.json")
@@ -421,17 +443,15 @@ object Dedup {
     def append(df: DataFrame, idCol: String, signatureCol: String, path: String,
                maxBucketSize: Int = 10000): Unit = {
       val (bands, rowsPerBand) = layout(df.sparkSession, path)
-      clusteredOn(capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize),
-          "bucket")
-        .write.mode("append").parquet(rowsPath(path).toString)
-      // the rows dir changed under this session's never-expiring
-      // file-status cache (see SwapStore) — refresh for the next probe
-      df.sparkSession.catalog.refreshByPath(rowsPath(path).toString)
-      // advance the stats artifact over the fresh files only
-      // (batch-proportional); staleness only ever under-prunes
-      graft.sources.FileStatsIndex.update(df.sparkSession,
-        rowsPath(path).toString, Seq("bucket"))
-      ()
+      // the rows dir changes under this session's never-expiring
+      // file-status cache (see SwapStore) — the helper refreshes and
+      // advances the stats artifact over EXACTLY the appended files
+      // (one small job, the write-pass discipline)
+      appendWithStats(df.sparkSession, rowsPath(path).toString, "bucket") {
+        clusteredOn(capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize),
+            "bucket")
+          .write.mode("append").parquet(rowsPath(path).toString)
+      }
     }
 
     /** Candidate pairs of the NEW batch against the indexed corpus:
@@ -610,15 +630,31 @@ object Dedup {
           .transform(graft.Checkpoints.materialize)
         BandIndex.append(kept, "id", "sig", sub(path, "bands"))
         // appended files stay id-clustered so later probes' pushed-IN
-        // pruning skips them like create()'s originals
-        clusteredOn(kept.select("id", "sig"), "id")
-          .write.mode("append").parquet(sub(path, "sigs"))
-        clusteredOn(kept.select("id", "sh"), "id")
-          .write.mode("append").parquet(sub(path, "shingles"))
-        spark.catalog.refreshByPath(sub(path, "sigs"))
-        spark.catalog.refreshByPath(sub(path, "shingles"))
-        statsUpdate(spark, sub(path, "sigs"), "id")
-        statsUpdate(spark, sub(path, "shingles"), "id")
+        // pruning skips them like create()'s originals; each table's
+        // stats artifact advances over exactly its appended files
+        // (appendWithStats — one small job per table, not an artifact
+        // rewrite per table per advance)
+        appendWithStats(spark, sub(path, "sigs"), "id") {
+          clusteredOn(kept.select("id", "sig"), "id")
+            .write.mode("append").parquet(sub(path, "sigs"))
+        }
+        appendWithStats(spark, sub(path, "shingles"), "id") {
+          clusteredOn(kept.select("id", "sh"), "id")
+            .write.mode("append").parquet(sub(path, "shingles"))
+        }
+        // settled — the auto-compact policy (graft.sources.AutoCompact)
+        // may restore the fully-clustered layout once advances have
+        // accumulated enough files. recluster is an all-or-nothing
+        // SwapStore fold per table, and THIS path needs no marker:
+        // advances carry no tag protocol, and a replayed batch re-drops
+        // its rows as near-dups of their stored copies (self-delta), so
+        // a crash anywhere just re-runs.
+        graft.sources.AutoCompact.maybe(spark, path,
+          Seq(sub(path, "bands") + "/rows", sub(path, "sigs"),
+            sub(path, "shingles"))) {
+          recluster(spark, path)
+        }
+        ()
       }
       out
     }
@@ -646,6 +682,14 @@ object Dedup {
       }
       rs
     }
+
+    /** Pin the store's auto-compact threshold (parquet files in any of
+      * the three table dirs; 0 disables) — advancing dedups
+      * self-recluster past it.
+      */
+    def setAutoCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                       maxFiles: Int): Unit =
+      graft.sources.AutoCompact.setPolicy(spark, path, maxFiles)
 
     /** Restore the key-clustered layout the pruned probes skip
       * against: thousands of `advance` appends (each clustered only
@@ -696,14 +740,22 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$stage/sigs")
       clusteredOn(kept.select("id", "sh"), "id")
         .write.mode("overwrite").parquet(s"$stage/shingles")
-      graft.sources.EpochFiles.publish(spark, s"$stage/bands",
+      // stats advance over EXACTLY the published per-tag files (one
+      // small job per table — the write-pass discipline); a replayed
+      // tag may leave duplicate artifact entries for its re-published
+      // names, which only ever under-prune (see appendFor)
+      val pubBands = graft.sources.EpochFiles.publish(spark, s"$stage/bands",
         sub(path, "bands") + "/rows", tag)
-      graft.sources.EpochFiles.publish(spark, s"$stage/sigs", sub(path, "sigs"), tag)
-      graft.sources.EpochFiles.publish(spark, s"$stage/shingles",
+      val pubSigs = graft.sources.EpochFiles.publish(spark, s"$stage/sigs",
+        sub(path, "sigs"), tag)
+      val pubSh = graft.sources.EpochFiles.publish(spark, s"$stage/shingles",
         sub(path, "shingles"), tag)
-      statsUpdate(spark, sub(path, "bands") + "/rows", "bucket")
-      statsUpdate(spark, sub(path, "sigs"), "id")
-      statsUpdate(spark, sub(path, "shingles"), "id")
+      graft.sources.FileStatsIndex.appendFor(spark, sub(path, "bands") + "/rows",
+        Seq("bucket"), pubBands)
+      graft.sources.FileStatsIndex.appendFor(spark, sub(path, "sigs"),
+        Seq("id"), pubSigs)
+      graft.sources.FileStatsIndex.appendFor(spark, sub(path, "shingles"),
+        Seq("id"), pubSh)
       val st = new org.apache.hadoop.fs.Path(sub(path, "_stage"))
       val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(st, tag), true)

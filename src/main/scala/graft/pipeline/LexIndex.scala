@@ -193,6 +193,11 @@ object LexIndex {
                   root: String, tag: String): Unit = {
     val spark = batch.sparkSession
     requireIndex(spark, root)
+    // complete any interrupted auto-compact BEFORE retiring: a crash
+    // mid-fold leaves tables half-folded, and retiring a completed
+    // epoch's surviving per-tag files would lose rows the folded
+    // tables keep (see graft.sources.AutoCompact)
+    graft.sources.AutoCompact.recover(spark, root) { compact(spark, root) }
     graft.sources.EpochFiles.retire(spark, postingsDir(root), tag)
     graft.sources.IdCensus.retireEpoch(spark, root, tag)
     deleteCorpusStats(spark, root, s"epoch-$tag")
@@ -207,8 +212,12 @@ object LexIndex {
     try {
       val stage = root + s"/_stage/$tag"
       clustered(delta).write.mode("overwrite").parquet(stage)
-      graft.sources.EpochFiles.publish(spark, stage, postingsDir(root), tag)
-      graft.sources.FileStatsIndex.update(spark, postingsDir(root), Seq("term"))
+      val published = graft.sources.EpochFiles.publish(spark, stage,
+        postingsDir(root), tag)
+      // stats advance over EXACTLY the published files — one small job
+      // (the write-pass discipline), not an artifact diff per epoch
+      graft.sources.FileStatsIndex.appendFor(spark, postingsDir(root),
+        Seq("term"), published)
       // census + stats publish second, under the SAME tag: a crash
       // between publishes is repaired by replaying the tag (all three
       // retires above restore the pre-epoch triple)
@@ -221,6 +230,15 @@ object LexIndex {
         }
       } finally { cen.unpersist(); () }
     } finally { delta.unpersist(); () }
+    // the epoch is SETTLED here — the auto-compact policy may fold
+    // accumulated epoch files (postings + census) without violating
+    // the per-tag-name caveat; a replay after the fold is a clean
+    // no-op because the census still knows every id
+    graft.sources.AutoCompact.maybe(spark, root,
+      Seq(postingsDir(root), graft.sources.IdCensus.rowsDir(root))) {
+      compact(spark, root)
+    }
+    ()
   }
 
   /** Remove a tag's published postings, census rows, stats
@@ -236,10 +254,19 @@ object LexIndex {
     ()
   }
 
+  /** Pin the index's auto-compact threshold (parquet files in the
+    * postings or census dir; 0 disables) — epochs fold past it.
+    */
+  def setAutoCompact(spark: SparkSession, root: String, maxFiles: Int): Unit =
+    graft.sources.AutoCompact.setPolicy(spark, root, maxFiles)
+
   /** Fold accumulated epoch files back into one term-clustered table
     * (crash-safe swap; search-invariant — LexIndexSpec pins it). Same
     * between-epochs caveat as every compact: the swap renames files,
-    * destroying per-tag names an in-flight replay would retire.
+    * destroying per-tag names an in-flight replay would retire —
+    * which is why the auto-compact policy triggers it only at the
+    * settled end of an epoch, under [[graft.sources.AutoCompact]]'s
+    * marker.
     */
   def compact(spark: SparkSession, root: String): Unit = {
     requireIndex(spark, root)
@@ -293,30 +320,53 @@ object LexIndex {
     // the census's forward terms array knows exactly which (term, id)
     // pairs are doomed: derive them from a stats-pruned census point
     // read (BEFORE any mutation, so crash re-runs re-derive) and
-    // pair-delete with files pruned by the cluster key. Pre-forward
-    // censuses (no terms column) and oversized batches take the scan.
+    // pair-delete with files pruned by the cluster key. The census is
+    // read under mergeSchema: a store whose census PREDATES the
+    // forward column and then received terms-bearing epochs is a
+    // MIXED directory, and a plain read's schema (hence whether
+    // `terms` even appears, hence which branch runs) would depend on
+    // which footer Spark sampled. Under the union schema the split is
+    // per-ROW instead: ids whose census row carries terms pair-delete;
+    // ids with a null terms array (pre-forward census rows) route to
+    // the id-scan fallback — NEVER silently dropped from the pair list
+    // (the silent-retention hole: postings that outlive their census
+    // row are afterwards undetectable). Oversized batches/pair lists
+    // take the scan for everything.
     val cap = graft.sources.TargetedDelete.InlineKeyCap
-    val censusHasTerms = spark.read
-      .parquet(graft.sources.IdCensus.rowsDir(root))
-      .columns.contains("terms")
+    val census = graft.sources.KeyedReads.prunedRead(spark,
+      graft.sources.IdCensus.rowsDir(root), "id", ids.toArray,
+      mergeSchema = true)
+    val censusHasTerms = census.columns.contains("terms")
+    def scanAll() =
+      graft.sources.TargetedDelete.deleteAuto(spark, postingsDir(root), "id", ids)
     val r =
       if (censusHasTerms && ids.size <= cap) {
-        val pairs = graft.sources.KeyedReads.prunedRead(spark,
-            graft.sources.IdCensus.rowsDir(root), "id", ids.toArray)
+        val bare = census.filter(col("terms").isNull)
+          .select(col("id")).distinct()
+          .limit(cap + 1).collect().map(_.get(0)).toSeq
+        val pairs = census.filter(col("terms").isNotNull)
           .select(col("id"), explode(col("terms")).as("term"))
           .select(col("term"), col("id")).distinct()
           .limit(cap + 1).collect()
-        if (pairs.isEmpty)
-          graft.sources.TargetedDelete.Result(0, 0L,
-            graft.sources.ParquetSource.listParquetFiles(postingsDir(root),
-              spark.sparkContext.hadoopConfiguration).size)
-        else if (pairs.length > cap)
-          graft.sources.TargetedDelete.deleteAuto(spark, postingsDir(root), "id", ids)
-        else
-          graft.sources.TargetedDelete.deletePairs(spark, postingsDir(root),
-            "term", "id", pairs.toSeq.map(r => (r.get(0), r.get(1))))
-      } else
-        graft.sources.TargetedDelete.deleteAuto(spark, postingsDir(root), "id", ids)
+        if (pairs.length > cap || bare.size > cap) scanAll()
+        else {
+          val pr =
+            if (pairs.isEmpty)
+              graft.sources.TargetedDelete.Result(0, 0L,
+                graft.sources.ParquetSource.listParquetFiles(postingsDir(root),
+                  spark.sparkContext.hadoopConfiguration).size)
+            else
+              graft.sources.TargetedDelete.deletePairs(spark, postingsDir(root),
+                "term", "id", pairs.toSeq.map(r => (r.get(0), r.get(1))))
+          if (bare.nonEmpty) {
+            val sr = graft.sources.TargetedDelete.deleteAuto(spark,
+              postingsDir(root), "id", bare)
+            graft.sources.TargetedDelete.Result(
+              pr.filesRewritten + sr.filesRewritten,
+              pr.rowsDeleted + sr.rowsDeleted, sr.filesUntouched)
+          } else pr
+        }
+      } else scanAll()
     spark.catalog.refreshByPath(postingsDir(root))
     graft.sources.FileStatsIndex.update(spark, postingsDir(root), Seq("term"))
     graft.sources.IdCensus.forget(spark, root, ids)

@@ -148,14 +148,29 @@ object LinkGraph {
     df.sparkSession.catalog.refreshByPath(dir)
   }
 
+  /** Override-publish shard count from a known delta size: a crawl
+    * epoch's overrides are batch-bounded, and publishing them through
+    * the session's default shuffle width would flush a handful of rows
+    * as MANY near-empty files per table per epoch — LSM file-count
+    * growth that every later stats-pruned read pays in footer opens.
+    * One file per ~2M override rows is the memtable-flush shape:
+    * small epochs land ONE file per table, large ones still shard.
+    */
+  private def partsFor(nRows: Long): Int =
+    math.max(1L, math.min(200L, (nRows - 1L) / 2000000L + 1L)).toInt
+
   private def publishClustered(spark: SparkSession, df: DataFrame, root: String,
                                table: String, dir: String, keyCol: String,
-                               tag: String): Unit = {
+                               tag: String, parts: Int): Unit = {
     val stage = stageDir(root, table, tag)
-    df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol))
+    df.repartitionByRange(parts, col(keyCol)).sortWithinPartitions(col(keyCol))
       .write.mode("overwrite").parquet(stage)
-    graft.sources.EpochFiles.publish(spark, stage, dir, tag)
-    graft.sources.FileStatsIndex.update(spark, dir, Seq(keyCol))
+    val published = graft.sources.EpochFiles.publish(spark, stage, dir, tag)
+    // stats advance over EXACTLY the published files — one small job
+    // per table (the write-pass discipline), never an artifact re-read
+    // + rewrite per publish (the old per-epoch cost that grew with the
+    // STORE's file count instead of the epoch's)
+    graft.sources.FileStatsIndex.appendFor(spark, dir, Seq(keyCol), published)
     ()
   }
 
@@ -227,6 +242,14 @@ object LinkGraph {
                   root: String, tag: String): Long = {
     val spark = newEdges.sparkSession
     val meta = readMeta(spark, root)
+    // finish any interrupted auto-compact FIRST: a crash mid-compact
+    // leaves some tables folded (their per-tag names destroyed) and
+    // some not — retiring the tag's files from the unfolded tables
+    // would delete a COMPLETED epoch's rows while the folded tables
+    // keep theirs. Completing the fold restores the invariant (all
+    // names gone, all rows present), and the delta anti-join below
+    // then makes the replay a clean no-op.
+    recoverAutoCompact(spark, root)
     rollbackFiles(spark, root, tag)
     val seq = seqFor(spark, root, tag)
     val cand0 = canon(newEdges, srcCol, dstCol)
@@ -247,15 +270,17 @@ object LinkGraph {
         (coalesce(col("deg"), lit(0L)) + col("add")).as("deg"),
         lit(seq).as("seq"))
 
+    val parts = partsFor(nDelta)
+
     // labels absorb BEFORE the edge publishes (they need the PRE-epoch
     // endpoint labels; a replay's retire restored them above)
-    if (labelsExist(spark, root)) absorbLabels(spark, root, delta, seq, tag)
+    if (labelsExist(spark, root)) absorbLabels(spark, root, delta, seq, tag, parts)
 
     // edges + degrees publish FIRST: the frontier rounds below read
     // the union graph through the store's own tables
-    publishClustered(spark, delta, root, "out", outDir(root), "src", tag)
-    publishClustered(spark, delta, root, "in", inDir(root), "dst", tag)
-    publishClustered(spark, newDeg, root, "deg", degDir(root), "src", tag)
+    publishClustered(spark, delta, root, "out", outDir(root), "src", tag, parts)
+    publishClustered(spark, delta, root, "in", inDir(root), "dst", tag, parts)
+    publishClustered(spark, newDeg, root, "deg", degDir(root), "src", tag, parts)
 
     // perturbation seeds: out-neighbors of every changed-degree source
     // (all delta sources — appends only increase degree) + new vertices
@@ -272,7 +297,14 @@ object LinkGraph {
       outOfDeltaSrcs.unionAll(newNodes).distinct())
 
     val levelRows = frontierRounds(spark, root, meta, seeds, seq)
-    publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag)
+    // level overrides are reach-bounded (≈ seeds × iters) — the delta-
+    // derived shard count is the right order for them too
+    publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag,
+      parts)
+    // the epoch is SETTLED here (every table published under the tag's
+    // recorded seq) — the one point the auto-compact policy may fold
+    // accumulated overrides without violating the per-tag-name caveat
+    maybeAutoCompact(spark, root)
     nDelta
   }
 
@@ -364,6 +396,27 @@ object LinkGraph {
   def levels(spark: SparkSession, root: String): DataFrame =
     resolveLevels(spark.read.parquet(levelsDir(root)))
 
+  /** Store-served HITS `(id, auth_units, hub_units)` — the honest
+    * refresh-cadence arm: [[graft.operators.Graphs.hits]] recomputed
+    * over the maintained edge tables. There is NO maintained/epoch
+    * variant BY DESIGN, and the reason is structural, not deferred
+    * work: HITS's per-round max-normalization (the rescale that keeps
+    * the integer-exact recurrence in BIGINT — see Graphs.hits) couples
+    * every vertex to every other, so ONE new edge can move the global
+    * max and rescale ALL scores — exactly the coupling that makes
+    * [[graft.operators.Graphs.pageRank]]'s dangling-mass term
+    * unmaintainable and is excluded from the maintained rank path.
+    * What the store still buys a crawl-refresh user: the edge set is
+    * SERVED (no re-extraction, no re-dedup — the epochs maintained
+    * it), the scan is one column-pruned read of `out/`, and the
+    * recurrence is iters × (2 keyed joins + 2 one-row max aggregates)
+    * — recompute bounded by the maintained graph, on whatever cadence
+    * the maintained PageRank's freshness makes HITS worth refreshing.
+    */
+  def hits(spark: SparkSession, root: String, iters: Int = 2,
+           scale: Long = 1000000L): DataFrame =
+    graft.operators.Graphs.hits(edges(spark, root), "src", "dst", iters, scale)
+
   /** Final ranks `(id, rank_units)` — level `iters` of [[levels]]. */
   def ranks(spark: SparkSession, root: String): DataFrame = {
     val meta = readMeta(spark, root)
@@ -417,7 +470,7 @@ object LinkGraph {
     * read only CHANGED components through the rep-clustered table.
     */
   private def absorbLabels(spark: SparkSession, root: String, delta: DataFrame,
-                           seq: Long, tag: String): Unit = {
+                           seq: Long, tag: String, parts: Int): Unit = {
     val endpoints = graft.Checkpoints.materialize(
       delta.select(col("src").as("id"))
         .unionAll(delta.select(col("dst").as("id"))).distinct())
@@ -452,8 +505,10 @@ object LinkGraph {
     val overrides = overridden.unionByName(fresh).distinct()
       .withColumn("seq", lit(seq))
       .transform(graft.Checkpoints.materialize)
-    publishClustered(spark, overrides, root, "labid", labIdDir(root), "id", tag)
-    publishClustered(spark, overrides, root, "labrep", labRepDir(root), "rep", tag)
+    publishClustered(spark, overrides, root, "labid", labIdDir(root), "id", tag,
+      parts)
+    publishClustered(spark, overrides, root, "labrep", labRepDir(root), "rep", tag,
+      parts)
   }
 
   /** One-column probe frame typed to the store's key type (guessing
@@ -494,19 +549,38 @@ object LinkGraph {
     * Degree corrections that reach 0 stay as 0-rows — never consulted,
     * because a 0-degree source has no out-edges left to join.
     */
-  def forget(spark: SparkSession, root: String, ids: Seq[Any]): Unit = {
+  /** `inlineCap` bounds every driver-side key/pair collect in the
+    * forget (cross-column pair lists, the orphan set) — production
+    * leaves the TargetedDelete contract cap; specs shrink it to drive
+    * the distributed fallbacks on small graphs.
+    */
+  def forget(spark: SparkSession, root: String, ids: Seq[Any],
+             inlineCap: Int = graft.sources.TargetedDelete.InlineKeyCap): Unit = {
     require(ids.nonEmpty, "empty id list — nothing to forget")
     require(!ids.contains(null), "null ids cannot be forgotten")
     val meta = readMeta(spark, root)
-    val digest = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(ids.map(String.valueOf).sorted.mkString("\u0000").getBytes("UTF-8"))
+    recoverAutoCompact(spark, root)
+    def digestWith(sep: String) = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(ids.map(String.valueOf).sorted.mkString(sep).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    val tag = s"forget-$digest"
+    val fs = hadoopFs(spark, root)
+    // the id-list digest once joined on " " (colliding for id lists
+    // whose rendered values contain spaces) and now joins on NUL — but
+    // a forget that CRASHED under the old separator and is replayed
+    // after the upgrade must resume ITS OWN sealed snapshot, not
+    // derive a fresh one from half-mutated tables (the exact hazard
+    // the snapshot protocol exists to prevent). A sealed
+    // legacy-separator snapshot therefore wins the tag; everything
+    // else uses the NUL digest.
+    val legacyTag = s"forget-${digestWith(" ")}"
+    val tag =
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+          root + s"/_forget/$legacyTag/_SNAP_DONE"))) legacyTag
+      else s"forget-${digestWith("\u0000")}"
     val seq = seqFor(spark, root, tag)
     val idsDf = keysFrame(spark, root, ids)
     val snap = root + s"/_forget/$tag"
     val marker = new org.apache.hadoop.fs.Path(snap + "/_SNAP_DONE")
-    val fs = hadoopFs(spark, root)
     if (!fs.exists(marker)) {
       val eOut = readByKeys(spark, outDir(root), "src", idsDf, "id")
         .select(col("src"), col("dst"))
@@ -554,7 +628,7 @@ object LinkGraph {
       if (hadoopFs(spark, dir).exists(p)) Some(spark.read.parquet(p.toString))
       else None
     }
-    val cap = graft.sources.TargetedDelete.InlineKeyCap
+    val cap = math.min(inlineCap, graft.sources.TargetedDelete.InlineKeyCap)
     def crossDelete(dir: String, pruneCol: String, crossCol: String): Unit = {
       // cross half only: pairs whose prune-side endpoint is itself
       // forgotten are already gone — the keyed delete runs first
@@ -590,8 +664,10 @@ object LinkGraph {
     spark.catalog.refreshByPath(outDir(root))
     spark.catalog.refreshByPath(inDir(root))
 
-    // corrected survivor degrees BEFORE any maintenance read
-    publishClustered(spark, corrected, root, "deg", degDir(root), "src", tag)
+    // corrected survivor degrees BEFORE any maintenance read; override
+    // volume is bounded by the removal's reach — shard like an epoch
+    val parts = partsFor(removed.count())
+    publishClustered(spark, corrected, root, "deg", degDir(root), "src", tag, parts)
 
     // orphans: removed-edge endpoints (not themselves forgotten) with
     // no remaining edge in either direction leave the node set — their
@@ -606,10 +682,20 @@ object LinkGraph {
       .select(col("dst").as("id"))
     val living = graft.Checkpoints.materialize(
       ends.join(stillOut.unionAll(stillIn).distinct(), Seq("id"), "left_semi"))
-    val orphanKeys = ends.join(living, Seq("id"), "left_anti")
-      .collect().map(_.get(0)).toSeq
-    if (orphanKeys.nonEmpty) {
-      graft.sources.TargetedDelete.deleteAuto(spark, levelsDir(root), "id", orphanKeys)
+    // `ends` is ≤ 2·|removed edges| — batch-proportional but NOT
+    // driver-bounded (a hub vertex forgets millions of endpoints), so
+    // the orphan set follows the crossDelete discipline: inline up to
+    // the cap, past it a DISTRIBUTED anti-join delete keyed by the
+    // orphan FRAME (the keys never touch the driver)
+    val orphans = ends.join(living, Seq("id"), "left_anti")
+    val orphanRows = orphans.limit(cap + 1).collect()
+    if (orphanRows.length > cap) {
+      graft.sources.TargetedDelete.deleteByAntiJoinDf(spark, levelsDir(root),
+        "id", orphans)
+      graft.sources.FileStatsIndex.update(spark, levelsDir(root), Seq("id"))
+    } else if (orphanRows.nonEmpty) {
+      graft.sources.TargetedDelete.deleteAuto(spark, levelsDir(root), "id",
+        orphanRows.map(_.get(0)).toSeq)
       graft.sources.FileStatsIndex.update(spark, levelsDir(root), Seq("id"))
     }
 
@@ -626,20 +712,65 @@ object LinkGraph {
 
     graft.sources.EpochFiles.retire(spark, levelsDir(root), tag)
     val levelRows = frontierRounds(spark, root, meta, seeds, seq)
-    publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag)
+    publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag,
+      parts)
     // maintained components REBUILD from the purged edges: removal can
     // split a component, and decremental connectivity has no exact
     // frontier-bounded maintenance — the rebuild is the honest cost
     // (idempotent, so crash re-runs just rebuild again)
     if (labelsExist(spark, root)) createComponents(spark, root)
     fs.delete(new org.apache.hadoop.fs.Path(snap), true)
+    // settled (snapshot gone, a re-run is a no-op) — the auto-compact
+    // policy may fold here, same as the epoch path
+    maybeAutoCompact(spark, root)
     ()
   }
+
+  /** Pin the store's auto-compact threshold (`maxFiles` parquet files
+    * in any table dir triggers a fold at the next settled epoch /
+    * forget; 0 disables the policy). Absent sidecar = the
+    * [[graft.sources.AutoCompact.DefaultMaxFiles]] default.
+    */
+  def setAutoCompact(spark: SparkSession, root: String, maxFiles: Int): Unit =
+    graft.sources.AutoCompact.setPolicy(spark, root, maxFiles)
+
+  private def tableDirs(spark: SparkSession, root: String): Seq[String] =
+    Seq(outDir(root), inDir(root), degDir(root), levelsDir(root)) ++
+      (if (labelsExist(spark, root)) Seq(labIdDir(root), labRepDir(root))
+       else Seq.empty)
+
+  /** The auto-compact cadence ([[graft.sources.AutoCompact]] — the
+    * savepoint-housekeeping discipline applied to the LSM tables):
+    * called at the SETTLED end of [[appendEpoch]]/[[forget]], folds
+    * when any table dir's parquet file count exceeds the policy
+    * threshold — without it every epoch adds override files per table
+    * and serve-read planning cost grows with EPOCH COUNT, not data,
+    * until an operator remembers the manual CLI arm. Crash-safe: an
+    * intent marker brackets the fold, and both mutation entry points
+    * complete an interrupted fold before retiring anything
+    * ([[recoverAutoCompact]]) — otherwise a replayed tag could retire
+    * a completed epoch's rows from the not-yet-folded tables while the
+    * folded ones keep theirs.
+    */
+  private def maybeAutoCompact(spark: SparkSession, root: String): Boolean =
+    graft.sources.AutoCompact.maybe(spark, root, tableDirs(spark, root)) {
+      compact(spark, root)
+    }
+
+  /** Complete an interrupted auto-compact: the fold is idempotent (it
+    * re-clusters whatever each table currently holds), so re-running
+    * it restores the all-or-nothing invariant the marker protects —
+    * every table folded, every per-tag name gone, every row present.
+    */
+  private def recoverAutoCompact(spark: SparkSession, root: String): Unit =
+    graft.sources.AutoCompact.recover(spark, root) { compact(spark, root) }
 
   /** Fold accumulated LSM overrides back into one clustered table per
     * dir (edges just recluster — they are append-only and unique by
     * the delta discipline). Crash-safe swap per table; destroys
-    * per-tag names, so compact only between settled epochs.
+    * per-tag names, so compact only between settled epochs — the
+    * auto-compact policy ([[maybeAutoCompact]]) triggers it exactly
+    * there, and its marker protocol covers a crash mid-fold.
     */
   def compact(spark: SparkSession, root: String): Unit = {
     def swapClustered(dir: String, df: DataFrame, keyCol: String): Unit = {

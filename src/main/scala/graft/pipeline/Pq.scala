@@ -205,13 +205,28 @@ object Pq {
     * id-clustered vector table turns into pruned point reads.
     */
   def rerankExact(candidates: DataFrame, queries: DataFrame, corpusVecs: DataFrame,
-                  idCol: String, vecCol: String, k: Int): DataFrame = {
+                  idCol: String, vecCol: String, k: Int,
+                  maxBroadcastRows: Long = 4000000L): DataFrame = {
+    // |queries| × kCand is bounded by construction but NOT small by
+    // contract: the config surface caps neither, and an unconditional
+    // broadcast hint of a huge candidate frame (plus the query vectors
+    // it implies) would blow the 8 GB broadcast limit or the driver
+    // heap before the join even plans. Materialize the candidates
+    // (they feed two joins anyway — without a barrier the ADC search
+    // that produced them would re-run per consumer) and count them:
+    // under the cap, broadcast as before; past it, fall back to plain
+    // shuffle joins — same rows, corpus-side exchange accepted as the
+    // price of an oversized batch.
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val cand = graft.Checkpoints.materialize(
+      candidates.select(col("query_id"), col("neighbor_id")))
+    val small = cand.limit(
+      (math.min(maxBroadcastRows, Int.MaxValue - 1L) + 1L).toInt).count() <= maxBroadcastRows
+    def hint(df: DataFrame) = if (small) broadcast(df) else df
     val fetched = corpusVecs
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
+      .join(hint(cand), Seq("neighbor_id"))
+      .join(hint(qv), Seq("query_id"))
     val dist = aggregate(
       zip_with(col("__qv"), col("__cv"),
         (x, y) => (x.cast("double") - y.cast("double")) *

@@ -149,12 +149,21 @@ object Retrieval {
         col(rankCol).cast("long").as("__rank"))
       .filter(col("__rank") <= k)
     // every truth row IS relevant; the optional grade only weights the
-    // gain ladder (rel >= 1, capped so 2^rel - 1 stays integer-exact
-    // in a double). Graded gain: (1 << rel) - 1 — the standard
+    // gain ladder. Graded gain: (1 << rel) - 1 — the standard
     // exponential gain, computed in integers then widened exactly.
+    // The cap is ENFORCED, not assumed: rel must sit in [1, 31] (2³¹−1
+    // is far inside a double's exact-integer range; rel ≥ 63 would
+    // shift into the sign bit and rel ≳ 53 would round, both producing
+    // silently-garbage NDCG) — a grade outside the envelope fails the
+    // job loudly instead.
     val tr = relCol match {
-      case Some(rc) => truth.select(col(queryIdCol).as("__q"),
-        col(idCol).as("__id"), col(rc).cast("long").as("__rel")).distinct()
+      case Some(rc) =>
+        val rel = col(rc).cast("long")
+        truth.select(col(queryIdCol).as("__q"), col(idCol).as("__id"),
+          when(rel.isNull || rel < 1L || rel > 31L,
+            raise_error(concat(lit(s"evalRanking: relevance grade '$rc' must " +
+              "be in [1, 31], got "), coalesce(rel.cast("string"), lit("null")))))
+            .otherwise(rel).as("__rel")).distinct()
       case None => truth.select(col(queryIdCol).as("__q"),
         col(idCol).as("__id"), lit(1L).as("__rel")).distinct()
     }

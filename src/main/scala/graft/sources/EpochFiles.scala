@@ -32,10 +32,13 @@ object EpochFiles {
     * deterministic names (retiring any previous attempt's files
     * first), then delete the staging dir. The session's never-expiring
     * file-status cache is refreshed for `liveDir` so this session's
-    * next read lists the published files.
+    * next read lists the published files. Returns the published file
+    * paths — callers advance stats artifacts over EXACTLY these files
+    * ([[FileStatsIndex.appendFor]]) instead of re-diffing the artifact
+    * against a directory listing per publish.
     */
   def publish(spark: SparkSession, stagedDir: String, liveDir: String,
-              tag: String): Unit = {
+              tag: String): Seq[String] = {
     val live = new Path(liveDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     retire(spark, liveDir, tag)
@@ -46,12 +49,14 @@ object EpochFiles {
         fs.listStatus(staged).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       else Array.empty[Path]
-    parts.zipWithIndex.foreach { case (p, i) =>
+    val published = parts.zipWithIndex.map { case (p, i) =>
       val dst = new Path(live, s"${prefix(tag)}$i.parquet")
       require(fs.rename(p, dst), s"publish rename $p -> $dst failed")
+      dst.toString
     }
     fs.delete(staged, true)
     spark.catalog.refreshByPath(liveDir)
+    published.toSeq
   }
 
   /** Delete every file the tag ever published into `liveDir` —

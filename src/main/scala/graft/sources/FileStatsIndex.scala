@@ -68,7 +68,12 @@ object FileStatsIndex {
     */
   def buildAndSave(spark: SparkSession, dir: String, columns: Seq[String]): String = {
     val path = new org.apache.hadoop.fs.Path(dir, "_stats").toString
-    build(spark, dir, columns).write.mode("overwrite").parquet(path)
+    // ONE artifact file: the frame is |files| rows (driver-sized by the
+    // same argument as any FileIndex), but the groupBy's 32 shuffle
+    // partitions would otherwise scatter it across 32 tiny parts — and
+    // every stats-pruned point read re-opens the artifact, so its own
+    // footer count is a per-probe metadata tax paid store-wide
+    build(spark, dir, columns).coalesce(1).write.mode("overwrite").parquet(path)
     path
   }
 
@@ -207,6 +212,41 @@ object FileStatsIndex {
     files.filter(f => !knownSet.contains(pathOf(f)) || keepSet.contains(pathOf(f)))
   }
 
+  /** Advance the artifact over files the CALLER already knows are new
+    * (an epoch publish returns its published names, an append can diff
+    * two listings) — one job reading exactly those files, appended to
+    * the artifact in place. This is the write-pass stats discipline:
+    * where [[update]] pays an artifact read + listing diff + full
+    * rewrite per call (3+ jobs), this is one small aggregation and one
+    * appended parquet part, so per-epoch maintenance cost follows the
+    * EPOCH, not the artifact. Trade: entries for since-removed files
+    * and duplicate entries for a replayed tag's re-published names can
+    * accumulate until the next [[update]]/[[buildAndSave]] (compact /
+    * recluster / forget all run one) — both are safe by construction
+    * (pruning intersects with the on-disk listing and keeps a file if
+    * ANY of its entries might match), they only ever under-prune.
+    * A missing artifact falls back to a full [[buildAndSave]].
+    */
+  def appendFor(spark: SparkSession, dir: String, columns: Seq[String],
+                newFiles: Seq[String]): String = {
+    val statsPath = new org.apache.hadoop.fs.Path(dir, "_stats").toString
+    val fs = new org.apache.hadoop.fs.Path(statsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath)))
+      return buildAndSave(spark, dir, columns)
+    if (newFiles.isEmpty) return statsPath
+    val aggs = columns.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
+    }
+    spark.read.parquet(newFiles: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .coalesce(1)
+      .write.mode("append").parquet(statsPath)
+    statsPath
+  }
+
   /** Incremental maintenance: stat ONLY the data files the artifact
     * has never seen and append them — the build never rescans indexed
     * files (at warehouse scale a day's append costs a day's scan, not
@@ -244,8 +284,11 @@ object FileStatsIndex {
           .groupBy(input_file_name().as("file"))
           .agg(count(lit(1)).as("n_rows"), aggs: _*))
       }
-    // materialize before overwriting the artifact being read
-    merged.localCheckpoint(true).write.mode("overwrite").parquet(statsPath)
+    // materialize before overwriting the artifact being read; one file
+    // (see buildAndSave — the artifact's own footer count is a
+    // per-probe metadata tax)
+    merged.localCheckpoint(true).coalesce(1)
+      .write.mode("overwrite").parquet(statsPath)
     statsPath
   }
 }

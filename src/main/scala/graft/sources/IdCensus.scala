@@ -76,8 +76,10 @@ object IdCensus {
                   tag: String): Unit = {
     val stage = stageDir(root, tag)
     clustered(rows).write.mode("overwrite").parquet(stage)
-    EpochFiles.publish(spark, stage, rowsDir(root), tag)
-    FileStatsIndex.update(spark, rowsDir(root), Seq("id"))
+    val published = EpochFiles.publish(spark, stage, rowsDir(root), tag)
+    // stats advance over EXACTLY the published files — one small job
+    // (the write-pass discipline), never an artifact diff per epoch
+    FileStatsIndex.appendFor(spark, rowsDir(root), Seq("id"), published)
     ()
   }
 
@@ -85,9 +87,13 @@ object IdCensus {
     * clustered layout and stats advance, no replay protocol.
     */
   def appendPlain(spark: SparkSession, root: String, rows: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val before = ParquetSource.listParquetFiles(rowsDir(root), conf).toSet
     clustered(rows).write.mode("append").parquet(rowsDir(root))
     spark.catalog.refreshByPath(rowsDir(root))
-    FileStatsIndex.update(spark, rowsDir(root), Seq("id"))
+    val fresh = ParquetSource.listParquetFiles(rowsDir(root), conf)
+      .filterNot(before.contains)
+    FileStatsIndex.appendFor(spark, rowsDir(root), Seq("id"), fresh)
     ()
   }
 

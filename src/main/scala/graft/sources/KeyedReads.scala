@@ -51,10 +51,19 @@ object KeyedReads {
   /** Rows of the parquet table under `path` whose `keyCol` is in
     * `keys`, read through both pruning layers. Empty key set returns
     * an empty frame with the table's schema (schema-only read).
+    * `mergeSchema = true` reads under the table's UNION schema — the
+    * mixed-schema-safe mode for stores whose files evolved (e.g. an id
+    * census that grew a forward column mid-life): without it the read
+    * schema comes from ONE arbitrary surviving file, so whether an
+    * evolved column even appears would depend on which files the prune
+    * kept — footer-nondeterministic behavior no caller can reason
+    * about. Rows from pre-evolution files carry null for the evolved
+    * columns, as in any mergeSchema read.
     */
   def prunedRead(spark: SparkSession, path: String, keyCol: String,
-                 keys: Array[Any]): DataFrame = {
-    if (keys.isEmpty) return spark.read.parquet(path).limit(0)
+                 keys: Array[Any], mergeSchema: Boolean = false): DataFrame = {
+    def reader = spark.read.option("mergeSchema", mergeSchema.toString)
+    if (keys.isEmpty) return reader.parquet(path).limit(0)
     // sort before chunking so each chunk covers a CONTIGUOUS key
     // interval: against a range-sharded layout a chunk then touches
     // few files instead of sampling every shard (sorting only shapes
@@ -66,10 +75,10 @@ object KeyedReads {
       case _               => keys
     }
     val files = survivingFiles(spark, path, keyCol, sorted)
-    if (files.exists(_.isEmpty)) return spark.read.parquet(path).limit(0)
+    if (files.exists(_.isEmpty)) return reader.parquet(path).limit(0)
     def read(): DataFrame = files match {
-      case Some(fs) => spark.read.parquet(fs: _*)
-      case None     => spark.read.parquet(path)
+      case Some(fs) => reader.parquet(fs: _*)
+      case None     => reader.parquet(path)
     }
     val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val prev = spark.conf.getOption(confKey)

@@ -384,6 +384,28 @@ object TargetedDelete {
     require(keys.nonEmpty, "empty key list — nothing to delete")
     require(!keys.contains(null), "null keys cannot be deleted through an " +
       "equi-anti-join — filter null-key rows with an explicit IS NULL rewrite")
+    val schema = spark.read.parquet(dir).schema
+    val keyType = schema(keyCol).dataType
+    val keysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        keys.map(k => org.apache.spark.sql.Row(coerceKey(k, keyType))),
+        math.max(1, keys.size / 500000)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol, keyType))))
+    deleteByAntiJoinDf(spark, dir, keyCol, keysDf)
+  }
+
+  /** [[deleteByAntiJoin]] keyed by a DATAFRAME of doomed keys — the
+    * form for deletion sets that are themselves distributed query
+    * results and must never be driver-collected (a hub vertex's orphan
+    * set, a join-derived purge list). The keys frame's single column
+    * must be named `keyCol` and castable to the table's key type; null
+    * keys in the frame never equi-match (the keep-nulls contract).
+    * Everything else — staging, row-count verify, the roll-forward
+    * rewrite marker — is the [[deleteByAntiJoin]] protocol verbatim.
+    */
+  def deleteByAntiJoinDf(spark: SparkSession, dir: String, keyCol: String,
+                         keysFrame: org.apache.spark.sql.DataFrame): Result = {
     recoverRewrite(spark, dir)
     recover(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -393,12 +415,8 @@ object TargetedDelete {
     if (all.isEmpty) return Result(0, 0L, 0)
     val table = spark.read.parquet(all: _*)
     val keyType = table.schema(keyCol).dataType
-    val keysDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        keys.map(k => org.apache.spark.sql.Row(coerceKey(k, keyType))),
-        math.max(1, keys.size / 500000)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(keyCol, keyType)))).distinct()
+    val keysDf = keysFrame
+      .select(col(keyCol).cast(keyType).as(keyCol)).distinct()
     val total = table.count()
     val matched = table.join(keysDf, Seq(keyCol), "left_semi").count()
     val staging = new Path(dir, "_rewrite_staging")

@@ -385,4 +385,98 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(results == pre, "maintenance must not change any search result")
   }
+
+  test("auto-compact: epochs past the threshold fold the frame; search invariant; replay no-ops") {
+    val root = Files.createTempDirectory("graft-ann-ac").toString + "/idx"
+    val h = AnnIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      root, kIvf = 8, m = 16, ksub = 16, iters = 2)
+    AnnIndex.setAutoCompact(spark, root, 2)
+    assert(AnnIndex.appendEpoch(h,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 350),
+      "vec_id", "embedding", "ac1") === 50L)
+    assert(AnnIndex.appendEpoch(h,
+      emb.filter(col("vec_id") >= 350 && col("vec_id") < 400),
+      "vec_id", "embedding", "ac2") === 50L)
+    val queries = emb.filter(col("vec_id") < 5)
+    def results = AnnIndex.search(h, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = results
+    // the folds ran automatically: no per-tag names remain
+    val fs = new org.apache.hadoop.fs.Path(h.indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(h.indexPath))
+      .exists(st => st.getPath.getName.startsWith("part-ac1__") ||
+        st.getPath.getName.startsWith("part-ac2__")))
+    // replaying a folded tag is a clean no-op (the folded census still
+    // knows every id), and searches are untouched
+    assert(AnnIndex.appendEpoch(h,
+      emb.filter(col("vec_id") >= 350 && col("vec_id") < 400),
+      "vec_id", "embedding", "ac2") === 0L)
+    assert(spark.read.parquet(h.indexPath).count() === 400L)
+    assert(results == got)
+  }
+
+  test("mixed-schema census forget: pre-bucket rows route to the scan, nothing survives") {
+    val root = Files.createTempDirectory("graft-ann-mixed").toString + "/idx"
+    val h = AnnIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+      root, kIvf = 4, m = 16, ksub = 16, iters = 2)
+    // strip the bucket payload in place — the pre-bucket census layout
+    // an old store carries into the upgrade
+    val rows = graft.sources.IdCensus.rowsDir(root)
+    graft.streaming.SwapStore.swapWrite(
+      spark.read.parquet(rows).drop("bucket")
+        .repartitionByRange(col("id")).sortWithinPartitions(col("id")),
+      rows)
+    graft.sources.FileStatsIndex.buildAndSave(spark, rows, Seq("id"))
+    spark.catalog.refreshByPath(rows)
+    // a bucket-bearing epoch lands on top: MIXED census directory
+    AnnIndex.appendEpoch(h,
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 420),
+      "vec_id", "embedding", "mx1")
+    // one PRE-BUCKET id (bucket null under the union schema — must
+    // route to the id-scan, not trip deletePairs' null require or
+    // silently drop) and one bucket-bearing id (pair path) together
+    AnnIndex.forget(spark, root, Seq(1L, 401L))
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.filter(col("neighbor_id").isin(1L, 401L)).count() === 0L,
+      "a forgotten vector survived the mixed-schema forget")
+    assert(idx.filter(col("neighbor_id") === 2L).count() === 1L)
+    assert(spark.read.option("mergeSchema", "true").parquet(rows)
+      .filter(col("id").isin(1L, 401L)).count() === 0L)
+    // the forgotten ids re-admit through the delta check
+    assert(AnnIndex.appendEpoch(h, emb.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", "mx2") === 1L)
+  }
+
+  test("tuneNProbe: measured recall curve and candidate-row costs on a crafted corpus") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-tune").toString + "/idx"
+    // two DIRECTION-separated clusters (IVF trains on cosine): A along
+    // +x — (8,0) (8,1) (9,0) (9,1) — and B along +y at staggered radii
+    // (0,8) (0,16) (0,24) (0,32). Query (8,0): true squared-L2 top-4 is
+    // the other three A points (d = 1, 1, 2) plus (0,8) (d = 128, the
+    // next B is 320 — gaps far beyond any quantization error). One
+    // probe reaches only A → recall 3/4; both probes → 4/4. Costs are
+    // the probed buckets' row counts: 4, then 8.
+    val pts = Seq(
+      0L -> Array(8f, 0f), 1L -> Array(8f, 1f), 2L -> Array(9f, 0f),
+      3L -> Array(9f, 1f), 4L -> Array(0f, 8f), 5L -> Array(0f, 16f),
+      6L -> Array(0f, 24f), 7L -> Array(0f, 32f))
+    val corpus = pts.toDF("id", "vec")
+    val h = AnnIndex.build(corpus, "id", "vec", root,
+      kIvf = 2, m = 2, ksub = 4, iters = 4)
+    // precondition: training separated the clusters 4/4 (else the
+    // recall arithmetic below would pin the wrong thing)
+    val buckets = spark.read.parquet(s"$root/index")
+      .groupBy("bucket").count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(buckets === Seq(4L, 4L), s"expected a 4/4 split, got $buckets")
+    val table = AnnIndex.tuneNProbe(h, corpus.filter(col("id") === 0L), corpus,
+        "id", "vec", k = 4, nProbes = Seq(2, 1))
+      .orderBy("n_probe").collect()
+    assert(table.length === 2)
+    assert(table(0).getInt(0) === 1 && table(0).getDouble(1) === 0.75 &&
+      table(0).getLong(2) === 1L && table(0).getLong(3) === 4L)
+    assert(table(1).getInt(0) === 2 && table(1).getDouble(1) === 1.0 &&
+      table(1).getLong(3) === 8L)
+  }
 }

@@ -129,6 +129,61 @@ class LexIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(r + "/postings").count() == 27L)
   }
 
+  test("auto-compact: epochs past the threshold fold the index; search invariant; replay no-ops") {
+    val r = root()
+    LexIndex.create(corpus, "id", "text", r)
+    LexIndex.setAutoCompact(spark, r, 1)
+    LexIndex.appendEpoch(Seq((9L, "spark extra")).toDF("id", "text"),
+      "id", "text", r, "ac1")
+    val got = hits(r)
+    assert(got.exists(_._3 == 9L), "epoch rows must be searchable after the fold")
+    // the fold ran AUTOMATICALLY: the tag's per-epoch names are gone
+    val fs = new org.apache.hadoop.fs.Path(r + "/postings")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(r + "/postings"))
+      .exists(_.getPath.getName.startsWith("part-ac1__")))
+    // replaying the folded tag is a clean no-op: the census (folded
+    // with the postings) still knows the id, so the delta is empty
+    LexIndex.appendEpoch(Seq((9L, "spark extra")).toDF("id", "text"),
+      "id", "text", r, "ac1")
+    assert(hits(r) === got)
+    assert(spark.read.parquet(r + "/postings")
+      .filter(col("id") === 9L).count() === 2L) // "spark extra": 2 terms, once
+  }
+
+  test("mixed-schema census forget: pre-forward rows route to the scan, nothing survives") {
+    val r = root()
+    LexIndex.create(corpus, "id", "text", r)
+    // strip the forward terms column in place — the pre-forward layout
+    // an old store carries into the upgrade
+    val rows = graft.sources.IdCensus.rowsDir(r)
+    graft.streaming.SwapStore.swapWrite(
+      spark.read.parquet(rows).drop("terms")
+        .repartitionByRange(col("id")).sortWithinPartitions(col("id")),
+      rows)
+    graft.sources.FileStatsIndex.buildAndSave(spark, rows, Seq("id"))
+    spark.catalog.refreshByPath(rows)
+    // a terms-bearing epoch lands on top: the census is now a MIXED
+    // directory, and a plain (non-mergeSchema) read's view of it would
+    // depend on which footer Spark sampled
+    LexIndex.appendEpoch(Seq((9L, "spark window extra")).toDF("id", "text"),
+      "id", "text", r, "mx1")
+    // forget one PRE-FORWARD id (terms null under the union schema —
+    // must route to the id-scan, NOT silently drop out of the pair
+    // list) and one terms-bearing id (pair path) in the same batch
+    LexIndex.forget(spark, r, Seq(3L, 9L))
+    val post = spark.read.parquet(r + "/postings")
+    assert(post.filter(col("id").isin(3L, 9L)).count() === 0L,
+      "a forgotten document's postings survived the mixed-schema forget")
+    assert(post.filter(col("id") === 1L).count() > 0L)
+    assert(!hits(r).exists(h => h._3 == 3L || h._3 == 9L))
+    // the census forgot them too — both re-admit through the delta check
+    assert(spark.read.option("mergeSchema", "true").parquet(rows)
+      .filter(col("id").isin(3L, 9L)).count() === 0L)
+    LexIndex.appendEpoch(corpus.filter(col("id") === 3L), "id", "text", r, "mx2")
+    assert(hits(r).exists(_._3 == 3L))
+  }
+
   test("bm25Search ranks like Text.bm25 over the indexed corpus") {
     val r = root()
     LexIndex.create(corpus, "id", "text", r)

@@ -225,6 +225,103 @@ class LinkGraphSpec extends AnyFunSuite {
       Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L)))
   }
 
+  test("auto-compact: threshold trigger folds the LSM, reads invariant, replay no-ops") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    LinkGraph.setAutoCompact(spark, r, 1)
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    val expect = fullLevels(edgesDf(e1 ++ e2))
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === expect)
+    // the fold ran AUTOMATICALLY: overrides folded to one row per
+    // (id, iter) and the tag's per-epoch file names are gone
+    val raw = spark.read.parquet(r + "/levels")
+    assert(raw.count() === raw.select("id", "iter").distinct().count())
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(r + "/levels"))
+      .exists(_.getPath.getName.startsWith("part-e1__")))
+    // replaying the folded tag is a clean no-op: the delta check sees
+    // every edge already present
+    assert(LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1") === 0L)
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === expect)
+  }
+
+  test("interrupted auto-compact: the marker completes the fold before a replay retires") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    val expect = sortedLevels(LinkGraph.levels(spark, r))
+    // simulate a crash mid-fold: out/ folded (its per-tag names
+    // destroyed), every other table untouched, intent marker present —
+    // an UNRECOVERED replay would retire the completed epoch's level
+    // rows while the folded edge table keeps its edges (delta = 0, so
+    // they would never be recomputed)
+    graft.streaming.SwapStore.swapWrite(
+      spark.read.parquet(r + "/out")
+        .repartitionByRange(col("src")).sortWithinPartitions(col("src")),
+      r + "/out")
+    spark.catalog.refreshByPath(r + "/out")
+    val mp = new org.apache.hadoop.fs.Path(r + "/_compacting.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(mp, true)
+    o.write("""{"compacting":1}""".getBytes("UTF-8")); o.close()
+    assert(LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1") === 0L)
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === expect)
+    assert(!fs.exists(mp))
+  }
+
+  test("hub forget past the inline cap: distributed orphan fallback ≡ inline path") {
+    // hub 0 fans out to 12 leaves reachable ONLY through it (all 12
+    // orphan on forget) plus a surviving 2-cycle core
+    val hubEdges = (0 until 12).map(i => 0L -> (100L + i))
+    val core = Seq(1L -> 2L, 2L -> 1L)
+    val all = hubEdges ++ core ++ Seq(0L -> 1L)
+    def build(): String = {
+      val r = root()
+      LinkGraph.create(edgesDf(all), "src", "dst", r, iters = 3)
+      r
+    }
+    val rCapped = build()
+    val rInline = build()
+    // 12 orphans > cap 3 → the levels cleanup must take the
+    // distributed anti-join keyed by the orphan FRAME
+    LinkGraph.forget(spark, rCapped, Seq(0L), inlineCap = 3)
+    LinkGraph.forget(spark, rInline, Seq(0L))
+    assert(sortedLevels(LinkGraph.levels(spark, rCapped)) ===
+      sortedLevels(LinkGraph.levels(spark, rInline)))
+    assert(sortedLevels(LinkGraph.levels(spark, rCapped)) ===
+      fullLevels(edgesDf(core)))
+    assert(LinkGraph.edges(spark, rCapped).count() === 2L)
+  }
+
+  test("a sealed legacy-separator forget snapshot is resumed, not rederived") {
+    val r = root()
+    LinkGraph.create(edgesDf(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L)),
+      "src", "dst", r, iters = 3)
+    val ids = Seq(9L)
+    // the separator the digest used before the NUL upgrade
+    val legacyDigest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(ids.map(String.valueOf).sorted.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val snap = r + s"/_forget/forget-$legacyDigest"
+    // a sealed snapshot a crashed pre-upgrade forget left behind: it
+    // claims edge (1,2) removed with src 1's degree corrected 2 → 1
+    Seq((1L, 2L)).toDF("src", "dst").write.parquet(snap + "/removed")
+    Seq((1L, 1L, 99L)).toDF("src", "deg", "seq").write.parquet(snap + "/deg")
+    val mp = new org.apache.hadoop.fs.Path(snap + "/_SNAP_DONE")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(mp, true); o.write("1".getBytes("UTF-8")); o.close()
+    LinkGraph.forget(spark, r, ids)
+    // the snapshot's degree correction was applied — proof the sealed
+    // legacy snapshot won the tag; a fresh derivation would have found
+    // id 9 edgeless and taken the early no-op return, leaving deg = 2
+    val deg = spark.read.parquet(r + "/deg")
+      .groupBy(col("src")).agg(max_by(col("deg"), col("seq")).as("deg"))
+      .filter(col("src") === 1L).collect()
+    assert(deg.head.getLong(1) === 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snap)))
+  }
+
   test("property: random epoch splits — maintained components ≡ closure") {
     val rng = new scala.util.Random(23)
     for (trial <- 1 to 4) {

@@ -124,6 +124,18 @@ class PqSpec extends AnyFunSuite {
       s"rerank recall $rrRecall below plain ADC recall $adcRecall")
   }
 
+  test("rerankExact past the broadcast cap: shuffle fallback returns identical rankings") {
+    val codes = emb.select(col("vec_id"), Pq.encode(col("embedding"), model).as("codes"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val cand = Pq.adcTopK(queries, codes, "vec_id", "embedding", "codes", model, k = 10)
+    def run(cap: Long) = Pq.rerankExact(cand, queries, emb, "vec_id", "embedding",
+        k = 5, maxBroadcastRows = cap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // cap 0 forces the non-broadcast plan (the oversized-batch path);
+    // rows must be identical to the hinted plan
+    assert(run(0L) == run(4000000L))
+  }
+
   test("native encode kernel is bit-identical to the composed HOF form") {
     val native = emb.select(col("vec_id"), Pq.encode(col("embedding"), model).as("c"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap

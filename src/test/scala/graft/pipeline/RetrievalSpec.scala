@@ -128,6 +128,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bin.collect().toSeq == noRel.collect().toSeq)
   }
 
+  test("evalRanking rejects out-of-envelope grades loudly") {
+    val results = Seq(("q0", 10L, 1L)).toDF("qid", "id", "rank")
+    // rel = 63 would shift into the sign bit (negative gain), rel = 0
+    // and null are outside the documented >= 1 contract — all three
+    // must fail the job, never produce silently-garbage NDCG
+    for (bad <- Seq[Option[Long]](Some(63L), Some(0L), None)) {
+      val truth = Seq(("q0", 10L, bad)).toDF("qid", "id", "rel")
+      val e = intercept[Exception] {
+        Retrieval.evalRanking(results, truth, "qid", "id", "rank",
+          k = 10, relCol = Some("rel")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("must be in [1, 31]")),
+        s"grade $bad: wrong failure ${e.getMessage}")
+    }
+    // the boundary grades pass
+    val ok = Retrieval.evalRanking(results,
+      Seq(("q0", 10L, 31L), ("q0", 11L, 1L)).toDF("qid", "id", "rel"),
+      "qid", "id", "rank", k = 10, relCol = Some("rel")).collect()
+    assert(ok.length === 1)
+  }
+
   test("mmr: lambdaPct = 100 reduces to pure relevance order") {
     val got = Retrieval.mmrRerank(mmrCands, "qid", "id", "rel", "vec",
         k = 3, lambdaPct = 100)
