@@ -14,6 +14,10 @@ package graft
   *   runMain graft.Maintain ndstore dedup <batchDir> <idCol> <textCol> <storeDir> <outDir> [advance]
   *   runMain graft.Maintain ndstore recluster <storeDir>   # restore probe-prunable
   *                                                  # key clustering after compact/advances
+  *   runMain graft.Maintain ndstore   autocompact <storeDir> <maxFiles>  # pin the
+  *   runMain graft.Maintain annindex  autocompact <indexRoot> <maxFiles> # stores'
+  *   runMain graft.Maintain lexindex  autocompact <root> <maxFiles>      # self-compact
+  *                                                  # thresholds (0 = off; see linkgraph)
   *   runMain graft.Maintain annindex compact <indexRoot> <targetBytes>
   *   runMain graft.Maintain annindex recluster <indexRoot> # restore bucket
   *                                                  # clustering after ingest epochs
@@ -107,6 +111,10 @@ object Maintain {
           case "recluster" =>
             pipeline.AnnIndex.recluster(spark, args(2))
             println(s"[maintain] ann index re-clustered at ${args(2)}")
+          case "autocompact" if args.length >= 4 =>
+            pipeline.AnnIndex.setAutoCompact(spark, args(2), args(3).toInt)
+            println(s"[maintain] ann index auto-compact at ${args(2)}: " +
+              s"maxFiles=${args(3)}")
           case "rebuildids" =>
             pipeline.AnnIndex.rebuildIds(spark, args(2))
             println(s"[maintain] ann index id census rebuilt at ${args(2)}")
@@ -156,6 +164,10 @@ object Maintain {
           case "recluster" =>
             pipeline.Dedup.NearDupStore.recluster(spark, args(2))
             println(s"[maintain] near-dup store re-clustered at ${args(2)}")
+          case "autocompact" if args.length >= 4 =>
+            pipeline.Dedup.NearDupStore.setAutoCompact(spark, args(2), args(3).toInt)
+            println(s"[maintain] near-dup store auto-compact at ${args(2)}: " +
+              s"maxFiles=${args(3)}")
           case "forget" if args.length >= 4 =>
             val rs = pipeline.Dedup.NearDupStore.forget(spark, args(2),
               typedKeys(spark, s"${args(2)}/sigs", "id", args(3)))
@@ -192,6 +204,10 @@ object Maintain {
           case "compact" =>
             pipeline.LexIndex.compact(spark, args(2))
             println(s"[maintain] lex index compacted at ${args(2)}")
+          case "autocompact" if args.length >= 4 =>
+            pipeline.LexIndex.setAutoCompact(spark, args(2), args(3).toInt)
+            println(s"[maintain] lex index auto-compact at ${args(2)}: " +
+              s"maxFiles=${args(3)}")
           case "rebuildids" =>
             pipeline.LexIndex.rebuildSidecars(spark, args(2))
             println(s"[maintain] lex index sidecars rebuilt at ${args(2)}")
@@ -226,6 +242,10 @@ object Maintain {
           case "compact" =>
             pipeline.Web.compactLineCensus(spark, args(2))
             println(s"[maintain] line census compacted at ${args(2)}")
+          case "autocompact" if args.length >= 4 =>
+            pipeline.Web.setLineCensusAutoCompact(spark, args(2), args(3).toInt)
+            println(s"[maintain] line census auto-compact at ${args(2)}: " +
+              s"maxFiles=${args(3)}")
           case _ if args.length < 6 => usage()
           case "create" =>
             pipeline.Web.createLineCensus(spark.read.parquet(args(2)),

@@ -92,8 +92,8 @@ object ScaleBench {
           .resolve("s").toString
         graft.pipeline.Dedup.NearDupStore.create(
           Tables.load(s, dir, "documents"), "doc_id", "text", p,
-          bands = bands, rowsPerBand = rowsPerBand)
-        p
+          bands = bands, rowsPerBand = rowsPerBand) // default granularity
+        p                                           // (see nd_store_probe)
       })
       val batch = Checkpoints.materialize(
         Tables.load(s, dir, "documents").filter(col("doc_id") < 500))
@@ -328,6 +328,14 @@ object ScaleBench {
       val store = ndStores.getOrElseUpdate(dir, {
         val p = java.nio.file.Files.createTempDirectory("graft-scale-nds")
           .resolve("s").toString
+        // DEFAULT granularity, deliberately: LSH probes are
+        // hash-SCATTERED (a batch's buckets and candidate ids spread
+        // over the whole key space), so they touch ~every file and the
+        // metadata proxy grows with FILE COUNT — measured 5.5x at
+        // 4096-row granularity vs 3.7x at the default's fixed shard
+        // width. Fewer, bigger files are the right layout for
+        // scattered probes; the granularity policy is for RANGE-LOCAL
+        // probes (see graph_rank_epoch, flat at 1.03x under it).
         pipeline.Dedup.NearDupStore.create(
           Tables.load(s, dir, "documents"), "doc_id", "text", p)
         p
@@ -552,7 +560,13 @@ object ScaleBench {
         val docs = Tables.load(s, dir, "documents")
         val edges = docs.select(col("doc_id").as("src"), blockDst(7, 3).as("dst"))
           .unionAll(docs.select(col("doc_id").as("src"), blockDst(13, 11).as("dst")))
-        pipeline.LinkGraph.create(edges, "src", "dst", p, iters = 3)
+        // bench-scale file granularity (the production default of 4M
+        // rows/file puts BOTH corpus sizes in one file per key range,
+        // which would measure nothing): with ANY fixed granularity the
+        // epoch's point reads sweep in at most rowsPerFile rows per
+        // touched range — the property under test
+        pipeline.LinkGraph.create(edges, "src", "dst", p, iters = 3,
+          rowsPerFile = 4096L)
         p
       })
       // the SAME copy-0 epoch at both corpus sizes: new edges among
@@ -586,7 +600,8 @@ object ScaleBench {
         val docs = Tables.load(s, dir, "documents")
         val edges = docs.select(col("doc_id").as("src"), blockDst(7, 3).as("dst"))
           .unionAll(docs.select(col("doc_id").as("src"), blockDst(13, 11).as("dst")))
-        pipeline.LinkGraph.create(edges, "src", "dst", p, iters = 3)
+        pipeline.LinkGraph.create(edges, "src", "dst", p, iters = 3,
+          rowsPerFile = 4096L) // bench-scale granularity, see graph_rank_epoch
         p
       })
       val k = graphForgetRuns.updateWith(dir)(n => Some(n.getOrElse(0) + 1)).get

@@ -409,22 +409,30 @@ object Dedup {
 
     def write(df: DataFrame, idCol: String, signatureCol: String,
               bands: Int, rowsPerBand: Int, path: String,
-              maxBucketSize: Int = 10000): Unit = {
+              maxBucketSize: Int = 10000,
+              rowsPerFile: Long = 4000000L): Unit = {
       require(bands >= 1 && rowsPerBand >= 1, "need bands >= 1 and rowsPerBand >= 1")
+      require(rowsPerFile >= 1L, "rowsPerFile must be >= 1")
       // bucket-clustered so probe's pushed bucket-IN skips row groups;
       // the _stats artifact lets prunedRead drop whole FILES at
       // planning time (zero footer reads for files no probe bucket
-      // touches) — the same two-layer discipline as IdCensus
+      // touches) — the same two-layer discipline as IdCensus. The
+      // rowsPerFile FILE-GRANULARITY policy (recorded in the sidecar,
+      // honored by every later write) is what keeps probe bytes flat
+      // under corpus growth: sharding by session shuffle width alone
+      // means the file covering a probe's bucket range grows with the
+      // CORPUS and every point read sweeps the growth in.
       clusteredOn(capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize),
           "bucket")
-        .write.mode("errorifexists").parquet(rowsPath(path).toString)
+        .write.option("maxRecordsPerFile", rowsPerFile)
+        .mode("errorifexists").parquet(rowsPath(path).toString)
       graft.sources.FileStatsIndex.buildAndSave(df.sparkSession,
         rowsPath(path).toString, Seq("bucket"))
       val fs = metaPath(path).getFileSystem(
         df.sparkSession.sparkContext.hadoopConfiguration)
       val out = fs.create(metaPath(path), false)
       try out.write(
-        s"""{"bands":$bands,"rowsPerBand":$rowsPerBand,"numHashes":${bands * rowsPerBand}}"""
+        s"""{"bands":$bands,"rowsPerBand":$rowsPerBand,"numHashes":${bands * rowsPerBand},"rowsPerFile":$rowsPerFile}"""
           .getBytes("UTF-8"))
       finally out.close()
     }
@@ -439,6 +447,20 @@ object Dedup {
       (node.get("bands").asInt(), node.get("rowsPerBand").asInt())
     }
 
+    /** The index's file-granularity policy (rows per file) — default
+      * for pre-policy sidecars, whose files were written before the
+      * knob existed.
+      */
+    private[pipeline] def rowsPerFileOf(spark: org.apache.spark.sql.SparkSession,
+                                        path: String): Long = {
+      val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(metaPath(path))) return 4000000L
+      val in = fs.open(metaPath(path))
+      val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      Option(node.get("rowsPerFile")).map(_.asLong()).getOrElse(4000000L)
+    }
+
     /** Band a new batch with the INDEX's layout and append its rows. */
     def append(df: DataFrame, idCol: String, signatureCol: String, path: String,
                maxBucketSize: Int = 10000): Unit = {
@@ -447,10 +469,12 @@ object Dedup {
       // file-status cache (see SwapStore) — the helper refreshes and
       // advances the stats artifact over EXACTLY the appended files
       // (one small job, the write-pass discipline)
+      val g = rowsPerFileOf(df.sparkSession, path)
       appendWithStats(df.sparkSession, rowsPath(path).toString, "bucket") {
         clusteredOn(capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize),
             "bucket")
-          .write.mode("append").parquet(rowsPath(path).toString)
+          .write.option("maxRecordsPerFile", g)
+          .mode("append").parquet(rowsPath(path).toString)
       }
     }
 
@@ -546,16 +570,21 @@ object Dedup {
 
     def create(df: DataFrame, idCol: String, textCol: String, path: String,
                bands: Int = 16, rowsPerBand: Int = 4,
-               maxBucketSize: Int = 10000): Unit = {
+               maxBucketSize: Int = 10000,
+               rowsPerFile: Long = 4000000L): Unit = {
       val f = framed(df, idCol, textCol, bands * rowsPerBand)
         .transform(graft.Checkpoints.materialize)
       BandIndex.write(f, "id", "sig", bands, rowsPerBand, sub(path, "bands"),
-        maxBucketSize)
-      // id-clustered: dropNearDups prunes these reads to candidate ids
+        maxBucketSize, rowsPerFile)
+      // id-clustered: dropNearDups prunes these reads to candidate ids;
+      // the file-granularity policy (see BandIndex.write) bounds what a
+      // pruned point read can sweep in as the store grows
       clusteredOn(f.select("id", "sig"), "id")
-        .write.mode("errorifexists").parquet(sub(path, "sigs"))
+        .write.option("maxRecordsPerFile", rowsPerFile)
+        .mode("errorifexists").parquet(sub(path, "sigs"))
       clusteredOn(f.select("id", "sh"), "id")
-        .write.mode("errorifexists").parquet(sub(path, "shingles"))
+        .write.option("maxRecordsPerFile", rowsPerFile)
+        .mode("errorifexists").parquet(sub(path, "shingles"))
       statsRebuild(df.sparkSession, sub(path, "sigs"), "id")
       statsRebuild(df.sparkSession, sub(path, "shingles"), "id")
     }
@@ -634,13 +663,16 @@ object Dedup {
         // stats artifact advances over exactly its appended files
         // (appendWithStats — one small job per table, not an artifact
         // rewrite per table per advance)
+        val g = BandIndex.rowsPerFileOf(spark, sub(path, "bands"))
         appendWithStats(spark, sub(path, "sigs"), "id") {
           clusteredOn(kept.select("id", "sig"), "id")
-            .write.mode("append").parquet(sub(path, "sigs"))
+            .write.option("maxRecordsPerFile", g)
+            .mode("append").parquet(sub(path, "sigs"))
         }
         appendWithStats(spark, sub(path, "shingles"), "id") {
           clusteredOn(kept.select("id", "sh"), "id")
-            .write.mode("append").parquet(sub(path, "shingles"))
+            .write.option("maxRecordsPerFile", g)
+            .mode("append").parquet(sub(path, "shingles"))
         }
         // settled — the auto-compact policy (graft.sources.AutoCompact)
         // may restore the fully-clustered layout once advances have
@@ -703,19 +735,22 @@ object Dedup {
       * probe decisions cannot change; run it between batches, like
       * [[compact]].
       */
-    def recluster(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    def recluster(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      val g = BandIndex.rowsPerFileOf(spark, sub(path, "bands"))
       Seq((sub(path, "bands") + "/rows", "bucket"),
           (sub(path, "sigs"), "id"),
           (sub(path, "shingles"), "id")).foreach { case (dir, key) =>
         spark.catalog.refreshByPath(dir)
         // swapWrite writes to <dir>__tmp BEFORE touching the live dir,
-        // so the lazy self-read drains the old files safely
+        // so the lazy self-read drains the old files safely; the fold
+        // preserves the store's file-granularity policy
         graft.streaming.SwapStore.swapWrite(
-          clusteredOn(spark.read.parquet(dir), key), dir)
+          clusteredOn(spark.read.parquet(dir), key), dir, maxRecordsPerFile = g)
         // every file changed — rebuild the artifact against the fresh
         // globally-clustered layout (its tightest possible ranges)
         statsRebuild(spark, dir, key)
       }
+    }
 
     /** Exactly-once advance: append `survivors`' three table deltas
       * under DETERMINISTIC per-tag file names
@@ -733,13 +768,17 @@ object Dedup {
       val kept = framed(survivors, idCol, textCol, bands * rowsPerBand)
         .transform(graft.Checkpoints.materialize)
       val stage = sub(path, s"_stage/$tag")
+      val g = BandIndex.rowsPerFileOf(spark, sub(path, "bands"))
       clusteredOn(BandIndex.capped(kept, "id", "sig", bands, rowsPerBand,
           maxBucketSize = 10000), "bucket")
-        .write.mode("overwrite").parquet(s"$stage/bands")
+        .write.option("maxRecordsPerFile", g)
+        .mode("overwrite").parquet(s"$stage/bands")
       clusteredOn(kept.select("id", "sig"), "id")
-        .write.mode("overwrite").parquet(s"$stage/sigs")
+        .write.option("maxRecordsPerFile", g)
+        .mode("overwrite").parquet(s"$stage/sigs")
       clusteredOn(kept.select("id", "sh"), "id")
-        .write.mode("overwrite").parquet(s"$stage/shingles")
+        .write.option("maxRecordsPerFile", g)
+        .mode("overwrite").parquet(s"$stage/shingles")
       // stats advance over EXACTLY the published per-tag files (one
       // small job per table — the write-pass discipline); a replayed
       // tag may leave duplicate artifact entries for its re-published

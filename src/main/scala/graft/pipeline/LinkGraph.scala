@@ -63,7 +63,22 @@ object LinkGraph {
   private def stageDir(root: String, table: String, tag: String) =
     root + s"/_stage/$tag/$table"
 
-  final case class Meta(iters: Int, dampingPct: Int, scale: Long)
+  /** `rowsPerFile` is the store's FILE-GRANULARITY policy: every table
+    * write splits output at this many rows per file (Spark's
+    * maxRecordsPerFile under the range-sort, so split files stay
+    * key-contiguous and the stats artifact keeps tight per-file
+    * ranges). This is what makes point-read I/O follow the PROBE, not
+    * the table: sharding by session shuffle width alone means the one
+    * file covering a probe's key range grows linearly with the corpus
+    * and every keyed read sweeps the growth in — measured 4.5× probe
+    * bytes under a 10× graph before the policy existed. With any FIXED
+    * granularity the swept-in rows are bounded by the granularity, so
+    * probe bytes stay flat. Default 4M rows ≈ 100-200 MB files at this
+    * schema's row width — the production shard size; benches pin a
+    * scale-appropriate value at create time.
+    */
+  final case class Meta(iters: Int, dampingPct: Int, scale: Long,
+                        rowsPerFile: Long = 4000000L)
 
   private def hadoopFs(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -94,7 +109,12 @@ object LinkGraph {
 
   def readMeta(spark: SparkSession, root: String): Meta = {
     val pat = """\{"iters":(\d+),"dampingPct":(\d+),"scale":(\d+)\}""".r
+    // pre-policy stores carry the three-field meta: they keep the
+    // default granularity (their files were written before the knob)
+    val patG =
+      """\{"iters":(\d+),"dampingPct":(\d+),"scale":(\d+),"rowsPerFile":(\d+)\}""".r
     readSmallFile(spark, metaPath(root)).map(_.trim) match {
+      case Some(patG(i, d, s, g)) => Meta(i.toInt, d.toInt, s.toLong, g.toLong)
       case Some(pat(i, d, s)) => Meta(i.toInt, d.toInt, s.toLong)
       case Some(other) =>
         throw new IllegalStateException(s"malformed ${metaPath(root)}: $other")
@@ -141,9 +161,11 @@ object LinkGraph {
       .distinct()
       .transform(graft.Checkpoints.materialize)
 
-  private def writeClustered(df: DataFrame, dir: String, keyCol: String): Unit = {
+  private def writeClustered(df: DataFrame, dir: String, keyCol: String,
+                             rowsPerFile: Long): Unit = {
     df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol))
-      .write.mode("overwrite").parquet(dir)
+      .write.option("maxRecordsPerFile", rowsPerFile)
+      .mode("overwrite").parquet(dir)
     graft.sources.FileStatsIndex.buildAndSave(df.sparkSession, dir, Seq(keyCol))
     df.sparkSession.catalog.refreshByPath(dir)
   }
@@ -161,10 +183,11 @@ object LinkGraph {
 
   private def publishClustered(spark: SparkSession, df: DataFrame, root: String,
                                table: String, dir: String, keyCol: String,
-                               tag: String, parts: Int): Unit = {
+                               tag: String, parts: Int, rowsPerFile: Long): Unit = {
     val stage = stageDir(root, table, tag)
     df.repartitionByRange(parts, col(keyCol)).sortWithinPartitions(col(keyCol))
-      .write.mode("overwrite").parquet(stage)
+      .write.option("maxRecordsPerFile", rowsPerFile)
+      .mode("overwrite").parquet(stage)
     val published = graft.sources.EpochFiles.publish(spark, stage, dir, tag)
     // stats advance over EXACTLY the published files — one small job
     // per table (the write-pass discipline), never an artifact re-read
@@ -209,24 +232,27 @@ object LinkGraph {
     */
   def create(edges: DataFrame, srcCol: String, dstCol: String, root: String,
              iters: Int = 3, dampingPct: Int = 85,
-             scale: Long = 1000000000000L): Unit = {
+             scale: Long = 1000000000000L,
+             rowsPerFile: Long = 4000000L): Unit = {
     require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
     require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
     require(scale >= 100L, "scale must be >= 100")
+    require(rowsPerFile >= 1L, "rowsPerFile must be >= 1")
     val spark = edges.sparkSession
     val e = canon(edges, srcCol, dstCol)
-    writeClustered(e, outDir(root), "src")
-    writeClustered(e, inDir(root), "dst")
+    writeClustered(e, outDir(root), "src", rowsPerFile)
+    writeClustered(e, inDir(root), "dst", rowsPerFile)
     writeClustered(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .withColumn("seq", lit(0L)),
-      degDir(root), "src")
+      degDir(root), "src", rowsPerFile)
     writeClustered(
       graft.operators.Graphs.pageRankLevels(e, "src", "dst", iters, dampingPct, scale)
         .withColumn("seq", lit(0L)),
-      levelsDir(root), "id")
+      levelsDir(root), "id", rowsPerFile)
     writeSmallFile(spark, metaPath(root),
-      s"""{"iters":$iters,"dampingPct":$dampingPct,"scale":$scale}""")
+      s"""{"iters":$iters,"dampingPct":$dampingPct,"scale":$scale,""" +
+        s""""rowsPerFile":$rowsPerFile}""")
   }
 
   /** Absorb a crawl epoch's edges. Work is bounded by the epoch's
@@ -274,13 +300,17 @@ object LinkGraph {
 
     // labels absorb BEFORE the edge publishes (they need the PRE-epoch
     // endpoint labels; a replay's retire restored them above)
-    if (labelsExist(spark, root)) absorbLabels(spark, root, delta, seq, tag, parts)
+    if (labelsExist(spark, root))
+      absorbLabels(spark, root, delta, seq, tag, parts, meta.rowsPerFile)
 
     // edges + degrees publish FIRST: the frontier rounds below read
     // the union graph through the store's own tables
-    publishClustered(spark, delta, root, "out", outDir(root), "src", tag, parts)
-    publishClustered(spark, delta, root, "in", inDir(root), "dst", tag, parts)
-    publishClustered(spark, newDeg, root, "deg", degDir(root), "src", tag, parts)
+    publishClustered(spark, delta, root, "out", outDir(root), "src", tag, parts,
+      meta.rowsPerFile)
+    publishClustered(spark, delta, root, "in", inDir(root), "dst", tag, parts,
+      meta.rowsPerFile)
+    publishClustered(spark, newDeg, root, "deg", degDir(root), "src", tag, parts,
+      meta.rowsPerFile)
 
     // perturbation seeds: out-neighbors of every changed-degree source
     // (all delta sources — appends only increase degree) + new vertices
@@ -300,7 +330,7 @@ object LinkGraph {
     // level overrides are reach-bounded (≈ seeds × iters) — the delta-
     // derived shard count is the right order for them too
     publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag,
-      parts)
+      parts, meta.rowsPerFile)
     // the epoch is SETTLED here (every table published under the tag's
     // recorded seq) — the one point the auto-compact policy may fold
     // accumulated overrides without violating the per-tag-name caveat
@@ -453,8 +483,9 @@ object LinkGraph {
       .connectedComponents(nodes, e, "id")
       .select(col("id"), col("rep"), lit(0L).as("seq"))
       .transform(graft.Checkpoints.materialize)
-    writeClustered(labels, labIdDir(root), "id")
-    writeClustered(labels, labRepDir(root), "rep")
+    val g = readMeta(spark, root).rowsPerFile
+    writeClustered(labels, labIdDir(root), "id", g)
+    writeClustered(labels, labRepDir(root), "rep", g)
   }
 
   /** Current component labels `(id, rep)` — latest override per id;
@@ -470,7 +501,8 @@ object LinkGraph {
     * read only CHANGED components through the rep-clustered table.
     */
   private def absorbLabels(spark: SparkSession, root: String, delta: DataFrame,
-                           seq: Long, tag: String, parts: Int): Unit = {
+                           seq: Long, tag: String, parts: Int,
+                           rowsPerFile: Long): Unit = {
     val endpoints = graft.Checkpoints.materialize(
       delta.select(col("src").as("id"))
         .unionAll(delta.select(col("dst").as("id"))).distinct())
@@ -506,9 +538,9 @@ object LinkGraph {
       .withColumn("seq", lit(seq))
       .transform(graft.Checkpoints.materialize)
     publishClustered(spark, overrides, root, "labid", labIdDir(root), "id", tag,
-      parts)
+      parts, rowsPerFile)
     publishClustered(spark, overrides, root, "labrep", labRepDir(root), "rep", tag,
-      parts)
+      parts, rowsPerFile)
   }
 
   /** One-column probe frame typed to the store's key type (guessing
@@ -667,7 +699,8 @@ object LinkGraph {
     // corrected survivor degrees BEFORE any maintenance read; override
     // volume is bounded by the removal's reach — shard like an epoch
     val parts = partsFor(removed.count())
-    publishClustered(spark, corrected, root, "deg", degDir(root), "src", tag, parts)
+    publishClustered(spark, corrected, root, "deg", degDir(root), "src", tag, parts,
+      meta.rowsPerFile)
 
     // orphans: removed-edge endpoints (not themselves forgotten) with
     // no remaining edge in either direction leave the node set — their
@@ -713,7 +746,7 @@ object LinkGraph {
     graft.sources.EpochFiles.retire(spark, levelsDir(root), tag)
     val levelRows = frontierRounds(spark, root, meta, seeds, seq)
     publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag,
-      parts)
+      parts, meta.rowsPerFile)
     // maintained components REBUILD from the purged edges: removal can
     // split a component, and decremental connectivity has no exact
     // frontier-bounded maintenance — the rebuild is the honest cost
@@ -773,9 +806,11 @@ object LinkGraph {
     * there, and its marker protocol covers a crash mid-fold.
     */
   def compact(spark: SparkSession, root: String): Unit = {
+    val rowsPerFile = readMeta(spark, root).rowsPerFile
     def swapClustered(dir: String, df: DataFrame, keyCol: String): Unit = {
       graft.streaming.SwapStore.swapWrite(
-        df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol)), dir)
+        df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol)), dir,
+        maxRecordsPerFile = rowsPerFile)
       graft.sources.FileStatsIndex.buildAndSave(spark, dir, Seq(keyCol))
       spark.catalog.refreshByPath(dir)
     }

@@ -450,6 +450,14 @@ object Web {
     * IN-FLIGHT epoch replay would need to retire — run it between
     * epochs.
     */
+  /** Pin the census's auto-compact threshold (parquet files under
+    * rows/; 0 disables) — committed streaming epochs fold past it
+    * (StreamingWeb, strictly after the epoch marker).
+    */
+  def setLineCensusAutoCompact(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, maxFiles: Int): Unit =
+    graft.sources.AutoCompact.setPolicy(spark, dir, maxFiles)
+
   def compactLineCensus(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
     val rows = new org.apache.hadoop.fs.Path(censusRows(dir))

@@ -93,6 +93,21 @@ object KeyedReads {
     }
   }
 
+  /** Session-scoped cache of collected stats-artifact rows, keyed by
+    * `<table path>#<keyCol>` and validated against the artifact's
+    * EXACT file signature (names + lengths + mtimes): a point-lookup
+    * loop (the link-graph epoch runs ~15-25 keyed reads per epoch)
+    * otherwise pays a full Spark job per read just to re-collect an
+    * unchanged |files|-row artifact — a fixed ~100 ms of job overhead
+    * multiplied into every frontier round. Any write that touches the
+    * artifact (appendFor, update, rebuild) changes the signature, so a
+    * stale hit is impossible; `None` caches "artifact doesn't cover
+    * this key column". Bounded: cleared wholesale past 256 entries
+    * (point-lookup working sets are a handful of store tables).
+    */
+  private val statsCache = scala.collection.concurrent.TrieMap[
+    String, (String, Option[Array[org.apache.spark.sql.Row]])]()
+
   /** File-level prune against the table's `_stats` artifact: Some(kept
     * files) when the artifact exists and covers `keyCol`, None when
     * there is nothing to prune with (read the directory normally).
@@ -106,10 +121,26 @@ object KeyedReads {
     val statsPath = new org.apache.hadoop.fs.Path(path, "_stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(statsPath)) return None
-    val stats = spark.read.parquet(statsPath.toString)
     val (lo, hi) = (s"${keyCol}__min", s"${keyCol}__max")
-    if (!stats.columns.contains(lo) || !stats.columns.contains(hi)) return None
-    val known = stats.select(col("file"), col(lo), col(hi)).collect()
+    val sig = fs.listStatus(statsPath).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    val cacheKey = s"$path#$keyCol"
+    val cached = statsCache.get(cacheKey) match {
+      case Some((s, rows)) if s == sig => rows
+      case _ =>
+        val stats = spark.read.parquet(statsPath.toString)
+        val rows =
+          if (!stats.columns.contains(lo) || !stats.columns.contains(hi)) None
+          else Some(stats.select(col("file"), col(lo), col(hi)).collect())
+        if (statsCache.size > 256) statsCache.clear()
+        statsCache(cacheKey) = (sig, rows)
+        rows
+    }
+    val known = cached match {
+      case Some(rows) => rows
+      case None => return None
+    }
     def anyKeyIn(mn: Any, mx: Any): Boolean = {
       if (mn == null || mx == null) return false // empty/all-null file
       // smallest key >= mn, then check it is <= mx

@@ -67,5 +67,17 @@ object StreamingWeb {
     try out.write(s"""{"epoch":$batchId}""".getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, marker), s"epoch marker rename failed for $batchId")
     sess.catalog.refreshByPath(outDir)
+    // committed — the auto-compact policy may fold accumulated census
+    // epoch deltas HERE, strictly after the marker (the StreamingDedup
+    // discipline): the fold merges occ contributions under a
+    // crash-safe swap, probe results are identical by the read-time
+    // fold contract, a replay of THIS epoch short-circuits on its
+    // marker, and the only per-tag names destroyed belong to COMMITTED
+    // epochs no replay will retire.
+    graft.sources.AutoCompact.maybe(sess, censusDir,
+      Seq(censusDir + "/rows")) {
+      Web.compactLineCensus(sess, censusDir)
+    }
+    ()
   }
 }

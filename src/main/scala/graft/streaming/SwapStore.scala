@@ -36,13 +36,21 @@ private[graft] object SwapStore {
       sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
   }
 
-  def swapWrite(merged: DataFrame, path: String): Unit = {
+  def swapWrite(merged: DataFrame, path: String,
+                maxRecordsPerFile: Long = 0L): Unit = {
     val sess = merged.sparkSession
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(sess.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
+    // 0 = writer default; a store's file-granularity policy threads
+    // through here so a fold preserves the size-bounded layout its
+    // point reads were priced against
+    val w =
+      if (maxRecordsPerFile > 0L)
+        merged.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      else merged.write
+    w.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true)
     if (fs.exists(dst)) fs.rename(dst, old)
     fs.rename(tmp, dst)

@@ -144,6 +144,58 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert((files(out), outIds, storeIdCounts) == s1)
   }
 
+  test("post-marker auto-compact folds the store without changing decisions or replay safety") {
+    import graft.pipeline.Dedup.NearDupStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nds-ac")
+    val out = tmp.resolve("out").toString
+    val store = tmp.resolve("store").toString
+    NearDupStore.create(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", store)
+    NearDupStore.setAutoCompact(spark, store, 1)
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingDedup.processEpoch(batch, id, "doc_id", "text", store, out, 9, 10)
+    run(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 1
+      (11L, "red orange yellow green blue indigo violet pink brown black"))
+      .toDF("doc_id", "text"), 0)
+    run(Seq(
+      (20L, "red orange yellow green blue indigo violet pink brown black"), // dup of 11
+      (21L, "totally novel words that nothing previous has ever used"))
+      .toDF("doc_id", "text"), 1)
+    def outIds: Seq[Long] = {
+      spark.catalog.refreshByPath(out)
+      spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq.sorted
+    }
+    assert(outIds == Seq(11L, 21L))
+    // the folds ran strictly AFTER each commit marker: the advance tags'
+    // per-epoch names are gone from every store table
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("bands/rows", "sigs", "shingles")) {
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$t"))
+        .map(_.getPath.getName)
+      assert(!names.exists(n => n.startsWith("part-e0__") || n.startsWith("part-e1__")),
+        s"$t still carries per-tag advance files after the auto-compact fold")
+    }
+    // each survivor sits in the folded store exactly once, and a replay
+    // of a committed (and since-folded) epoch short-circuits on its
+    // marker — nothing to retire, nothing double-appended
+    def storeIdCounts: Map[Long, Long] = {
+      spark.catalog.refreshByPath(s"$store/sigs")
+      spark.read.parquet(s"$store/sigs").groupBy("id").count()
+        .as[(Long, Long)].collect().toMap
+    }
+    val settled = (outIds, storeIdCounts)
+    assert(settled._2 == Map(1L -> 1L, 11L -> 1L, 21L -> 1L))
+    run(Seq(
+      (20L, "red orange yellow green blue indigo violet pink brown black"),
+      (21L, "totally novel words that nothing previous has ever used"))
+      .toDF("doc_id", "text"), 1)
+    assert((outIds, storeIdCounts) == settled)
+  }
+
   test("exact dedup state is watermark-bounded: expired digests re-admit") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-wm")
     val in = tmp.resolve("in").toString

@@ -87,6 +87,29 @@ class StreamingWebSpec extends AnyFunSuite {
     assert(spark.read.parquet(census + "/rows").inputFiles.length <= filesBefore)
   }
 
+  test("post-marker auto-compact folds the census without changing probes or replay safety") {
+    val (census, out) = setup()
+    Web.setLineCensusAutoCompact(spark, census, 1)
+    StreamingWeb.processEpoch(b0.toDF("id", "text"), 0L, "id", "text", census, out, 2)
+    StreamingWeb.processEpoch(b1.toDF("id", "text"), 1L, "id", "text", census, out, 2)
+    val whole = Web.lineDedup((b0 ++ b1).toDF("id", "text"), "id", "text")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(outDocs(out) === whole)
+    // the folds ran strictly AFTER each commit marker: no per-tag
+    // delta names remain under rows/
+    val fs = new org.apache.hadoop.fs.Path(census + "/rows")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(census + "/rows"))
+      .exists(st => st.getPath.getName.startsWith("part-e0__") ||
+        st.getPath.getName.startsWith("part-e1__")))
+    // a replay of a committed (and since-folded) epoch short-circuits
+    // on its marker: census rows and output identical
+    val before = spark.read.parquet(census + "/rows").collect().toSet
+    StreamingWeb.processEpoch(b1.toDF("id", "text"), 1L, "id", "text", census, out, 2)
+    assert(spark.read.parquet(census + "/rows").collect().toSet === before)
+    assert(outDocs(out) === whole)
+  }
+
   test("end to end through a real stream: file source, two micro-batches") {
     val (census, out) = setup()
     val base = Files.createTempDirectory("graft-sweb-src")
