@@ -564,10 +564,18 @@ object Pipeline {
       // retire-and-redo), then the store's served final ranks
       graft.pipeline.LinkGraph.appendEpoch(df, src, dst, root, tag)
       graft.pipeline.LinkGraph.ranks(df.sparkSession, root)
-    case graft.config.TransformConfig.PageRankStage(src, dst, iters, dampingPct, dangling) =>
-      // terminal reshape: (id, rank_units)
-      graft.operators.Graphs.pageRank(df, src, dst, iters, dampingPct,
-        danglingRedistribute = dangling)
+    case graft.config.TransformConfig.PageRankStage(src, dst, iters, dampingPct,
+        dangling, seedsPath, seedCol) =>
+      // terminal reshape: (id, rank_units). A seeds parquet switches
+      // the recurrence to TrustRank (teleport restricted to the seeds
+      // — the crawl source-selection prior)
+      if (seedsPath.nonEmpty)
+        graft.operators.Graphs.personalizedPageRank(df,
+          df.sparkSession.read.parquet(seedsPath), src, dst, seedCol,
+          iters, dampingPct)
+      else
+        graft.operators.Graphs.pageRank(df, src, dst, iters, dampingPct,
+          danglingRedistribute = dangling)
     case graft.config.TransformConfig.HitsStage(src, dst, iters) =>
       // terminal reshape: (id, auth_units, hub_units)
       graft.operators.Graphs.hits(df, src, dst, iters)

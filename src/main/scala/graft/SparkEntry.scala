@@ -3261,6 +3261,25 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** TrustRank (personalized PageRank) over the q_pagerank graph:
+    * teleport mass restricted to a 25-node trusted seed set, so trust
+    * decays with link distance from the seeds and unreachable nodes
+    * sit at EXACTLY 0 — the crawl source-selection prior. Same
+    * integer-exact discipline as q_pagerank: the oracle replays the
+    * seed-conditional recurrence in chained CTEs, unit for unit.
+    */
+  private def qTrustrank(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val edges = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+    val seeds = docs.filter(col("doc_id") < 25).select(col("doc_id").as("id"))
+    graft.operators.Graphs.personalizedPageRank(edges, seeds, iters = 3)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
   /** Incremental PageRank maintenance pinned to the FULL-recompute
     * oracle (the q_components_incr discipline): ranks for the crawl
     * epoch split doc_id < 250 vs rest — levels persisted for the old
@@ -4076,6 +4095,42 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** The declarative TrustRank arm pinned to q_trustrank's oracle:
+    * same edges piped through `transforms: pageRank` with a seeds
+    * parquet — config indirection must land identical integer units.
+    */
+  private def qCfgTrustrank(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfgtr")
+    val src = base.resolve("edges").toString
+    val seedsP = base.resolve("seeds").toString
+    val out = base.resolve("out").toString
+    val docs = t(s, d, "documents")
+    docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+      .write.parquet(src)
+    docs.filter(col("doc_id") < 25).select(col("doc_id").as("id"))
+      .write.parquet(seedsP)
+    val cfg = graft.config.PipelineConfig.parse(
+      s"""source.type: parquet
+         |source.path: $src
+         |target.type: parquet
+         |target.path: $out
+         |target.mode: overwrite
+         |transforms: pageRank
+         |transform.pageRank.srcColumn: src
+         |transform.pageRank.dstColumn: dst
+         |transform.pageRank.iters: 3
+         |transform.pageRank.seedsPath: $seedsP
+         |transform.pageRank.seedColumn: id
+         |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
+    graft.Pipeline.run(s, cfg)
+    s.read.parquet(out)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
   /** Config-driven web cleaning END TO END (q_cfg_attribution
     * discipline): lineDedup(segmentWords=8) then lineFilter chained
     * declaratively over the documents parquet; the oracle composes
@@ -4153,6 +4208,8 @@ object SparkEntry {
     "q_graph_components" -> (qGraphComponents _),
     "q_graph_forget" -> (qGraphForget _),
     "q_graph_hits" -> (qGraphHits _),
+    "q_trustrank" -> (qTrustrank _),
+    "q_cfg_trustrank" -> (qCfgTrustrank _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
     "q_incr_linededup" -> (qIncrLineDedup _),
@@ -4595,6 +4652,29 @@ object SparkEntry {
       " SELECT id AS node_id, rank AS rank_units FROM r3 ORDER BY node_id"
   }
 
+  /** The seed-conditional (TrustRank) recurrence unrolled: r0 = scale
+    * on seeds else 0; each round adds the teleport base ONLY on seeds.
+    * Same chained-CTE integer arithmetic as [[sqlPagerankOver]].
+    */
+  private val sqlTrustrank: String = {
+    val rounds = (1 to 3).map { i =>
+      s"c$i AS (SELECT e.dst AS id, SUM(r.rank // d.deg) AS s " +
+        s"FROM e JOIN r${i - 1} r ON r.id = e.src JOIN d ON d.src = e.src GROUP BY e.dst), " +
+        s"r$i AS (SELECT sd.id, CAST(sd.seed * 150000000000 + " +
+        s"(85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank " +
+        s"FROM sd LEFT JOIN c$i c ON c.id = sd.id)"
+    }.mkString(", ")
+    "WITH e AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT doc_id AS src, (doc_id*7+3)%500 AS dst FROM documents " +
+      "UNION ALL SELECT doc_id, (doc_id*13+11)%500 FROM documents)), " +
+      "n AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+      "sd AS (SELECT id, CASE WHEN id < 25 THEN 1 ELSE 0 END AS seed FROM n), " +
+      "r0 AS (SELECT id, CAST(seed * 1000000000000 AS BIGINT) AS rank FROM sd), " +
+      rounds +
+      " SELECT id AS node_id, rank AS rank_units FROM r3 ORDER BY node_id"
+  }
+
   /** Unrolled integer-exact HITS recurrence (2 rounds, scale 1e6) over
     * the q_pagerank edge set: per half-round a keyed sum, a scalar
     * max, and a truncating rescale — every value BIGINT, so the gate
@@ -4989,6 +5069,10 @@ object SparkEntry {
     // store-served HITS after an epoch: the unrolled recurrence over
     // the UNION edge set, verbatim q_hits (the q_graph_rank discipline)
     "q_graph_hits" -> sqlHits,
+    // seed-restricted teleport (TrustRank): the crawl source-selection
+    // prior, integer units replayed with the seed-conditional base
+    "q_trustrank" -> sqlTrustrank,
+    "q_cfg_trustrank" -> sqlTrustrank,
     // RTBF on the store: ranks after the purge (run TWICE — the
     // completed re-invoke must no-op) equal the recurrence over the
     // surviving edge set alone

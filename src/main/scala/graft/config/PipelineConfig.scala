@@ -986,7 +986,9 @@ object TransformConfig {
     */
   final case class PageRankStage(srcColumn: String, dstColumn: String,
                                  iters: Int, dampingPct: Int,
-                                 dangling: Boolean = false)
+                                 dangling: Boolean = false,
+                                 seedsPath: String = "",
+                                 seedColumn: String = "id")
       extends TransformConfig {
     val name = "pageRank"
     def check: Option[String] =
@@ -996,6 +998,10 @@ object TransformConfig {
         Some("transform.pageRank.iters must be in [1, 30]")
       else if (dampingPct < 1 || dampingPct > 99)
         Some("transform.pageRank.dampingPct must be in [1, 99]")
+      else if (seedsPath.nonEmpty && dangling)
+        Some("transform.pageRank.seedsPath (TrustRank) and dangling " +
+          "cannot combine: the dangling term redistributes uniformly, " +
+          "the personalized teleport by definition does not")
       else None
   }
   /** Integer-exact HITS — Graphs.hits over the piped edge frame;
@@ -1474,6 +1480,7 @@ object PipelineConfig {
       "transform.pageRank.srcColumn", "transform.pageRank.dstColumn",
       "transform.pageRank.iters", "transform.pageRank.dampingPct",
       "transform.pageRank.dangling",
+      "transform.pageRank.seedsPath", "transform.pageRank.seedColumn",
       "transform.hits.srcColumn", "transform.hits.dstColumn",
       "transform.hits.iters",
       "transform.mmrRerank.queryIdColumn", "transform.mmrRerank.idColumn",
@@ -2294,7 +2301,9 @@ object PipelineConfig {
             dg <- map.getOrElse("transform.pageRank.dangling", "false")
               .toBooleanOption
               .toRight("transform.pageRank.dangling not a boolean")
-          } yield TransformConfig.PageRankStage(src, dst, it, dp, dg)
+          } yield TransformConfig.PageRankStage(src, dst, it, dp, dg,
+            seedsPath = map.getOrElse("transform.pageRank.seedsPath", ""),
+            seedColumn = map.getOrElse("transform.pageRank.seedColumn", "id"))
         case "hits" =>
           for {
             src <- map.get("transform.hits.srcColumn")

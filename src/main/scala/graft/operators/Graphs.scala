@@ -207,6 +207,64 @@ object Graphs {
       .map { case (r, i) => r.select(col("id"), lit(i + 1).as("iter"), col("rank")) }
       .reduce(_.unionByName(_))
 
+  /** TrustRank / personalized PageRank — the crawl-quality prior that
+    * propagates trust from a SEED set (hand-vetted domains) instead of
+    * teleporting uniformly: source selection for a training corpus
+    * ranks candidate domains by how reachable they are from trusted
+    * ones, exactly this recurrence (Gyöngyi et al.'s TrustRank is
+    * PageRank with the teleport vector restricted to seeds). Integer-
+    * exact like [[pageRank]] — same truncating-div fixed-point
+    * arithmetic, so any engine replays the units bit-for-bit:
+    *
+    *   r₀(v) = scale·[v ∈ S]
+    *   rₖ(v) = [v ∈ S]·base + (d · Σ_{u→v} rₖ₋₁(u) div deg(u)) div 100
+    *
+    * with base = scale·(100−d) div 100. Non-seed vertices unreachable
+    * from any seed stay at exactly 0 — the "untrusted" verdict the
+    * prior exists to produce. Seeds not present in the graph's node
+    * set are ignored (they have no edges to propagate through); null
+    * seeds are dropped. Shape per round = [[pageRank]]'s: one
+    * src-keyed join + one map-side-combinable sum + one node
+    * left-join, per-round lineage truncation. Output
+    * `(id, rank_units)` over ALL graph nodes.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           seedCol: String = "id", iters: Int = 3,
+                           dampingPct: Int = 85,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
+    require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
+    require(scale >= 100L, "scale must be >= 100")
+    val e = canonEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val s = seeds.select(col(seedCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
+    // (id, __seed ∈ {0,1}) over the node set, materialized once — the
+    // per-round teleport indicator
+    val flagged = graft.Checkpoints.materialize(
+      nodes.join(s.withColumn("__seed", lit(1L)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed")))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .transform(graft.Checkpoints.materialize)
+    val base = scale / 100L * (100L - dampingPct)
+    var ranks = flagged.select(col("id"), (col("__seed") * scale).as("rank"))
+      .transform(graft.Checkpoints.materialize)
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === col("id"))
+        .join(outDeg, "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+      val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = flagged.join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"(__seed * CAST($base AS BIGINT)) + ($dampingPct * " +
+            "coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank"))
+        .transform(graft.Checkpoints.materialize)
+    }
+    ranks.select(col("id"), col("rank").as("rank_units"))
+  }
+
   private def canonEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)

@@ -306,4 +306,30 @@ class GraphsSpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().sorted.toSeq
     assert(got == full)
   }
+
+  test("trustrank: hand-checked chain, zero for seed-unreachable, all-seeds ≡ pageRank") {
+    // chain 1→2→3 plus a seedless component 4→5; seed {1} (and a ghost
+    // seed 99 absent from the graph, which must be ignored)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("id")
+    val got = Graphs.personalizedPageRank(edges, seeds,
+        iters = 2, dampingPct = 85, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    // base = 1000/100·15 = 150; r1 = (150, 850, 0); r2:
+    //   1 → 150 + 0            = 150
+    //   2 → (85·150) div 100   = 127
+    //   3 → (85·850) div 100   = 722
+    //   4, 5 → unreachable from any seed: exactly 0
+    assert(got == Map(1L -> 150L, 2L -> 127L, 3L -> 722L, 4L -> 0L, 5L -> 0L))
+    // with EVERY node seeded the teleport vector is uniform — the
+    // recurrence degenerates to plain pageRank, unit for unit
+    val all = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (4L, 1L)).toDF("src", "dst")
+    val nodes = all.select(col("src").as("id"))
+      .unionAll(all.select(col("dst").as("id"))).distinct()
+    val ppr = Graphs.personalizedPageRank(all, nodes, iters = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val pr = Graphs.pageRank(all, iters = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(ppr == pr)
+  }
 }
