@@ -45,6 +45,9 @@ package graft
   *   runMain graft.Maintain linkgraph components <root>   # (re)build labels
   *   runMain graft.Maintain linkgraph hits <root> <outDir> [iters]  # store-served
   *                                                  # hubs/authorities (refresh-cadence)
+  *   runMain graft.Maintain linkgraph trustrank <root> <seedsDir> <outDir> [iters]
+  *                                                  # store-served seed-personalized
+  *                                                  # PageRank (source-selection prior)
   *   runMain graft.Maintain linkgraph autocompact <root> <maxFiles> # pin the
   *                                                  # self-compact threshold (0 = off)
   *
@@ -291,6 +294,16 @@ object Maintain {
               .write.mode("errorifexists").parquet(args(3))
             val n = spark.read.parquet(args(3)).count()
             println(s"[maintain] $n hub/authority rows written to ${args(3)}")
+          case "trustrank" if args.length >= 5 =>
+            // linkgraph trustrank <root> <seedsDir> <outDir> [iters]
+            // store-served seed-personalized PageRank (source-selection
+            // prior over the maintained edge tables)
+            pipeline.LinkGraph.trustRank(spark, args(2),
+                spark.read.parquet(args(3)),
+                iters = if (args.length > 5) args(5).toInt else 3)
+              .write.mode("errorifexists").parquet(args(4))
+            val n = spark.read.parquet(args(4)).count()
+            println(s"[maintain] $n trust ranks written to ${args(4)}")
           case "autocompact" if args.length >= 4 =>
             // pin the self-compact threshold (parquet files per table
             // dir; 0 disables) — epochs/forgets fold past it

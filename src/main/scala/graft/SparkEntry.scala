@@ -3438,6 +3438,39 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** Store-served TrustRank on the link-graph store (sharing the
+    * q_graph_hits store: created minus a 100-source slice, the slice
+    * absorbed as a REPLAYED epoch): `LinkGraph.trustRank` over the
+    * maintained edge tables must equal the seed-conditional recurrence
+    * over the UNION edge set, unit for unit — verbatim q_trustrank's
+    * oracle (the q_graph_rank discipline applied to the
+    * source-selection prior).
+    */
+  private def qGraphTrustrank(s: SparkSession, d: String): DataFrame = {
+    val root = graphStores.computeIfAbsent(d + "#hits", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-lgh")
+        .resolve("g").toString
+      val docs = t(s, d, "documents")
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+      graft.pipeline.LinkGraph.create(
+        edges.filter(col("src") < 250 || col("src") >= 350),
+        "src", "dst", r, iters = 1)
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250 && col("src") < 350), "src", "dst", r, "e1")
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250 && col("src") < 350), "src", "dst", r, "e1")
+      r
+    })
+    val seeds = t(s, d, "documents").filter(col("doc_id") < 25)
+      .select(col("doc_id").as("id"))
+    graft.pipeline.LinkGraph.trustRank(s, root, seeds, iters = 3)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
   /** PageRank with the classic dangling-mass redistribution term,
     * integer-exact: the edge set is truncated to sources doc_id < 300
     * so the dst-only vertices genuinely dangle, and each round every
@@ -4210,6 +4243,7 @@ object SparkEntry {
     "q_graph_hits" -> (qGraphHits _),
     "q_trustrank" -> (qTrustrank _),
     "q_cfg_trustrank" -> (qCfgTrustrank _),
+    "q_graph_trustrank" -> (qGraphTrustrank _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
     "q_incr_linededup" -> (qIncrLineDedup _),
@@ -5073,6 +5107,9 @@ object SparkEntry {
     // prior, integer units replayed with the seed-conditional base
     "q_trustrank" -> sqlTrustrank,
     "q_cfg_trustrank" -> sqlTrustrank,
+    // store-served TrustRank after a replayed epoch: the same
+    // seed-conditional recurrence over the UNION edge set
+    "q_graph_trustrank" -> sqlTrustrank,
     // RTBF on the store: ranks after the purge (run TWICE — the
     // completed re-invoke must no-op) equal the recurrence over the
     // surviving edge set alone

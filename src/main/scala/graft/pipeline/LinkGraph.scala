@@ -447,6 +447,24 @@ object LinkGraph {
            scale: Long = 1000000L): DataFrame =
     graft.operators.Graphs.hits(edges(spark, root), "src", "dst", iters, scale)
 
+  /** Store-served TrustRank `(id, rank_units)` — seed-personalized
+    * PageRank ([[graft.operators.Graphs.personalizedPageRank]], the
+    * crawl source-selection prior) recomputed over the maintained edge
+    * tables, the [[hits]] refresh-cadence discipline. Unlike HITS,
+    * nothing here is STRUCTURALLY unmaintainable — the personalized
+    * recurrence has no global coupling (no dangling term, no
+    * normalization), so a seed-conditional level store would admit the
+    * same frontier-bounded exact maintenance as the uniform ranks;
+    * this arm is the served recompute until that state exists, and the
+    * maintained edge set already saves the re-extraction/re-dedup a
+    * frame-level caller pays per refresh.
+    */
+  def trustRank(spark: SparkSession, root: String, seeds: DataFrame,
+                seedCol: String = "id", iters: Int = 3, dampingPct: Int = 85,
+                scale: Long = 1000000000000L): DataFrame =
+    graft.operators.Graphs.personalizedPageRank(edges(spark, root), seeds,
+      "src", "dst", seedCol, iters, dampingPct, scale)
+
   /** Final ranks `(id, rank_units)` — level `iters` of [[levels]]. */
   def ranks(spark: SparkSession, root: String): DataFrame = {
     val meta = readMeta(spark, root)
