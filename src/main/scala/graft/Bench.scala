@@ -184,10 +184,23 @@ object Bench {
     // same-session retimes — the retime phase ran fast because a major
     // GC had fired by then). An explicit GC per run keeps the cleaner
     // fed continuously; it runs OUTSIDE the timed section.
+    // Release BLOCKING and drain before the next timed section: the
+    // old non-blocking unpersist queued block removals that then ran
+    // CONCURRENTLY with the next query's timed run — checkpoint-heavy
+    // gates (q_pagerank_incr's per-epoch localCheckpoints, q_cfg_mmr)
+    // carried 1.7-1.8× raw-vs-retime gaps from exactly that overlap.
+    // The double GC + pause feeds the weak-ref ContextCleaner twice
+    // (refs discovered by the first pass are enqueued, the second pass
+    // collects their cleanup garbage) and gives its async thread a
+    // beat to finish shuffle/broadcast removals — all OUTSIDE the
+    // timed section, so each timing starts from a settled block store.
     def releaseSweepState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.sharedState.cacheManager.clearCache()
       System.gc()
+      Thread.sleep(50)
+      System.gc()
+      Thread.sleep(50)
     }
     def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()

@@ -27,8 +27,12 @@ package graft
   *   runMain graft.Maintain annindex rebuildids <indexRoot>  # re-derive the id
   *                                                  # census after out-of-protocol surgery
   *   runMain graft.Maintain annindex tune <indexRoot> <corpusDir> <queriesDir>
-  *                         <idCol> <vecCol> <k> [nProbes]  # measured recall@k
-  *                                                  # vs cost per candidate nProbe
+  *                         <idCol> <vecCol> <k> [nProbes] [--apply [recallTarget]]
+  *                                                  # measured recall@k vs cost per
+  *                                                  # candidate nProbe; --apply pins the
+  *                                                  # cheapest point meeting the target
+  *   runMain graft.Maintain annindex pin <indexRoot> <nProbe> [kCand]
+  *                                                  # pin the serve-time operating point
   *   runMain graft.Maintain lexindex rebuildids <root>       # same for the lex
   *                                                  # index's census + corpus stats
   *   runMain graft.Maintain ndstore forget <storeDir> <key>[,key...]  # purge a
@@ -41,11 +45,16 @@ package graft
   *   runMain graft.Maintain linkgraph forget <root> <key>[,key...]   # purge vertices
   *                                                  # with exact survivor rank repair
   *   runMain graft.Maintain linkgraph rollback <root> <tag>
-  *   runMain graft.Maintain linkgraph compact <root>
+  *   runMain graft.Maintain linkgraph compact <root>       # major (whole-store) fold
+  *   runMain graft.Maintain linkgraph minorcompact <root>  # override-tier-only fold
   *   runMain graft.Maintain linkgraph components <root>   # (re)build labels
   *   runMain graft.Maintain linkgraph hits <root> <outDir> [iters]  # store-served
   *                                                  # hubs/authorities (refresh-cadence)
   *   runMain graft.Maintain linkgraph trustrank <root> <seedsDir> <outDir> [iters]
+  *   runMain graft.Maintain linkgraph trustregister <root> <seedsDir>  # seal a seed
+  *                                                  # set for exact maintained TrustRank
+  *   runMain graft.Maintain linkgraph trustranks <root> <digest> <outDir>
+  *                                                  # serve the maintained trust ranks
   *                                                  # store-served seed-personalized
   *                                                  # PageRank (source-selection prior)
   *   runMain graft.Maintain linkgraph autocompact <root> <maxFiles> # pin the
@@ -135,9 +144,11 @@ object Maintain {
           case "tune" if args.length >= 8 =>
             // annindex tune <indexRoot> <corpusDir> <queriesDir> <idCol>
             //               <vecCol> <k> [nProbe,nProbe,...]
+            //               [--apply [recallTarget]]
             val handle = pipeline.AnnIndex.open(spark, args(2))
+            val applyIdx = args.indexOf("--apply")
             val nProbes =
-              if (args.length > 8)
+              if (args.length > 8 && args(8) != "--apply")
                 args(8).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
               else Seq(1, 2, 4, 8, 16)
             val table = pipeline.AnnIndex.tuneNProbe(handle,
@@ -147,6 +158,35 @@ object Maintain {
             table.foreach(r => println(
               f"[maintain] ${r.getInt(0)}%6d  ${r.getDouble(1)}%.4f  " +
                 f"${r.getLong(2)}%9d  ${r.getLong(3)}%9d"))
+            if (applyIdx >= 0) {
+              // pin the CHEAPEST point meeting the recall target —
+              // recall is weakly increasing in nProbe, so that is the
+              // smallest qualifying nProbe; if none qualifies, pin the
+              // best-recall row (and say so) rather than silently
+              // leaving the index unpinned
+              val target =
+                if (args.length > applyIdx + 1) args(applyIdx + 1).toDouble
+                else 0.9
+              val qualified = table.filter(_.getDouble(1) >= target)
+              val chosen =
+                if (qualified.nonEmpty) qualified.minBy(_.getInt(0))
+                else table.maxBy(r => (r.getDouble(1), -r.getInt(0)))
+              if (qualified.isEmpty)
+                println(f"[maintain] WARNING: no candidate reached recall " +
+                  f"$target%.3f — pinning the best measured point instead")
+              pipeline.AnnIndex.applyTuning(spark, args(2), chosen.getInt(0))
+              println(f"[maintain] pinned tunedNProbe=${chosen.getInt(0)} " +
+                f"(recall=${chosen.getDouble(1)}%.4f, " +
+                f"cand_rows=${chosen.getLong(3)}) at ${args(2)}")
+            }
+          case "pin" if args.length >= 4 =>
+            // annindex pin <indexRoot> <nProbe> [kCand] — pin an
+            // operator-chosen operating point without re-measuring
+            pipeline.AnnIndex.applyTuning(spark, args(2), args(3).toInt,
+              if (args.length > 4) Some(args(4).toInt) else None)
+            println(s"[maintain] pinned tunedNProbe=${args(3)}" +
+              (if (args.length > 4) s" tunedKCand=${args(4)}" else "") +
+              s" at ${args(2)}")
           case "stats" =>
             val st = pipeline.AnnIndex.bucketStats(spark, args(2))
               .collect().map(r => r.getInt(0) -> r.getLong(1))
@@ -304,6 +344,25 @@ object Maintain {
               .write.mode("errorifexists").parquet(args(4))
             val n = spark.read.parquet(args(4)).count()
             println(s"[maintain] $n trust ranks written to ${args(4)}")
+          case "minorcompact" =>
+            // linkgraph minorcompact <root> — fold only the override
+            // tier (I/O ∝ override bytes; see LinkGraph.compactOverrides)
+            pipeline.LinkGraph.compactOverrides(spark, args(2))
+            println(s"[maintain] link graph override tier folded at ${args(2)}")
+          case "trustregister" if args.length >= 4 =>
+            // linkgraph trustregister <root> <seedsDir> — seal a seed
+            // set for EXACT maintained TrustRank; epochs/forgets absorb
+            // it frontier-bounded from here on
+            val dg = pipeline.LinkGraph.registerTrustRank(spark, args(2),
+              spark.read.parquet(args(3)))
+            println(s"[maintain] trust set registered at ${args(2)}: digest=$dg")
+          case "trustranks" if args.length >= 5 =>
+            // linkgraph trustranks <root> <digest> <outDir> — serve the
+            // MAINTAINED trust ranks (a read, not a recompute)
+            pipeline.LinkGraph.maintainedTrustRank(spark, args(2), args(3))
+              .write.mode("errorifexists").parquet(args(4))
+            val n = spark.read.parquet(args(4)).count()
+            println(s"[maintain] $n maintained trust ranks written to ${args(4)}")
           case "autocompact" if args.length >= 4 =>
             // pin the self-compact threshold (parquet files per table
             // dir; 0 disables) — epochs/forgets fold past it

@@ -64,10 +64,15 @@ object ScaleBench {
   private val lineCensuses = scala.collection.concurrent.TrieMap[String, String]()
   private val graphRoots = scala.collection.concurrent.TrieMap[String, String]()
   private val graphEpochBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val graphTrustBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val graphFoldBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val graphFoldRuns = scala.collection.concurrent.TrieMap[String, Int]()
   private val graphForgetBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val graphForgetRuns = scala.collection.concurrent.TrieMap[String, Int]()
   private val lexRoots = scala.collection.concurrent.TrieMap[String, String]()
   private val lexAppendBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val lexSearchBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val annCodesBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val lineCensusBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val lineCensusSize = scala.collection.concurrent.TrieMap[String, Long]()
 
@@ -407,14 +412,24 @@ object ScaleBench {
       val ix = lexRoots.getOrElseUpdate(dir, {
         val p = java.nio.file.Files.createTempDirectory("graft-scale-lex")
           .resolve("ix").toString
+        // bench-scale granularity (same reason as graph_rank_epoch:
+        // the 4M default puts both corpus sizes in one file per term
+        // range and would measure nothing) — the byte claim under
+        // test is that a pushed-IN term probe sweeps at most
+        // rowsPerFile rows per matched range, not the fold's
+        // corpus-grown shard
         pipeline.LexIndex.create(Tables.load(s, dir, "documents"),
-          "doc_id", "text", p)
+          "doc_id", "text", p, rowsPerFile = 65536L)
         p
       })
       val queries = Seq(("q0", "spark"), ("q0", "window"),
         ("q1", "hash"), ("q1", "join"), ("q1", "merge"),
         ("q2", "vector")).toDF("query_id", "term")
-      pipeline.LexIndex.search(s, ix, queries, "query_id", "term", k = 10).count()
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.LexIndex.search(s, ix, queries, "query_id", "term", k = 10).count()
+      }
+      lexSearchBytes(dir) = lexSearchBytes.get(dir).fold(bytes)(math.min(_, bytes))
+      n
     },
     // fixed 500-doc ingest epoch against a lex index over the whole
     // amplified corpus (own root — appended copy-0 twins would inflate
@@ -513,6 +528,38 @@ object ScaleBench {
       annSearchBytes(dir) = annSearchBytes.get(dir).fold(bytes)(math.min(_, bytes))
       n
     },
+    // the RANGE-LOCAL codes-table byte probe ann_search can't be
+    // (its broadcast join scans the whole codes frame by design, the
+    // documented cheap-per-row linear claim): an index whose BUCKET
+    // COUNT scales with the corpus (constant ~4k rows/bucket — the
+    // production discipline: recall tracks bucket size, so you grow
+    // buckets in number, not size) served through searchPruned's
+    // stats-pruned point reads. A fixed 50-query batch then probes a
+    // constant number of constant-size buckets, and with the
+    // granularity policy each touched file holds at most rowsPerFile
+    // rows — bytes must stay ~flat at 10×, exactly the
+    // graph_rank_epoch claim on the ANN store's layout.
+    "ann_codes_probe" -> { (s, dir) =>
+      val root = annRoots.getOrElseUpdate(s"$dir#codes", {
+        val p = java.nio.file.Files.createTempDirectory("graft-scale-annc")
+          .resolve("ix").toString
+        val corpus = Tables.load(s, dir, "embeddings")
+        val kIvf = math.max(16L, corpus.count() / 4096L).toInt
+        pipeline.AnnIndex.build(corpus, "vec_id", "embedding", p,
+          kIvf = kIvf, m = 16, ksub = 16, iters = 2,
+          trainSample = Some(4000L), rowsPerFile = 4096L)
+        p
+      })
+      val h = pipeline.AnnIndex.open(s, root)
+      val queries = Checkpoints.materialize(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 50))
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.AnnIndex.searchPruned(h, queries, "vec_id", "embedding",
+          k = 10, nProbe = 4).count()
+      }
+      annCodesBytes(dir) = annCodesBytes.get(dir).fold(bytes)(math.min(_, bytes))
+      n
+    },
     // fixed 500-vector ingest epoch against the amplified index (own
     // index — the appended copy-0 twins must not perturb ann_search's
     // hits): appendEpoch's membership check runs through the IdCensus
@@ -579,6 +626,73 @@ object ScaleBench {
         pipeline.LinkGraph.appendEpoch(epoch, "src", "dst", root, "scalebench")
       }
       graphEpochBytes(dir) = graphEpochBytes.get(dir).fold(bytes)(math.min(_, bytes))
+      n
+    },
+    // the MINOR-fold I/O claim, measured directly: each run appends a
+    // fresh fixed-size epoch (auto-compact disabled on this store so
+    // the fold is invoked — and measured — explicitly), then times and
+    // meters compactOverrides. A full-rewrite fold would read the
+    // whole store (≈10× bytes at 10×); the minor fold must read only
+    // the override tier, so bytes stay ~flat — this is the probe that
+    // pins fold I/O ∝ override bytes, the LSM discipline the
+    // auto-compact cadence relies on at web-graph scale.
+    "graph_fold_io" -> { (s, dir) =>
+      def blockDst(mul: Long, add: Long) =
+        col("doc_id") - pmod(col("doc_id"), lit(500L)) +
+          pmod(col("doc_id") * mul + add, lit(500L))
+      val root = graphRoots.getOrElseUpdate(s"$dir#fold", {
+        val p = java.nio.file.Files.createTempDirectory("graft-scale-lgc")
+          .resolve("g").toString
+        val docs = Tables.load(s, dir, "documents")
+        val edges = docs.select(col("doc_id").as("src"), blockDst(7, 3).as("dst"))
+          .unionAll(docs.select(col("doc_id").as("src"), blockDst(13, 11).as("dst")))
+        pipeline.LinkGraph.create(edges, "src", "dst", p, iters = 3,
+          rowsPerFile = 4096L)
+        pipeline.LinkGraph.setAutoCompact(s, p, 0)
+        p
+      })
+      val k = graphFoldRuns.updateWith(dir)(n => Some(n.getOrElse(0) + 1)).get
+      val epoch = Checkpoints.materialize(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id").as("src"), blockDst(17, 5L + k).as("dst")))
+      pipeline.LinkGraph.appendEpoch(epoch, "src", "dst", root, s"fold$k")
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.LinkGraph.compactOverrides(s, root); 1L
+      }
+      graphFoldBytes(dir) = graphFoldBytes.get(dir).fold(bytes)(math.min(_, bytes))
+      n
+    },
+    // the maintained-TrustRank twin of graph_rank_epoch: same
+    // block-local build, but with a REGISTERED trust set (copy-0 seed
+    // ids — identical at both corpus sizes), so each epoch also
+    // absorbs the seed-conditional level table through the same
+    // frontier rounds. The claim: maintained TrustRank's epoch cost is
+    // the uniform path's shape (reach-bounded keyed reads), so wall
+    // and bytes stay flat at 10× — the refresh a crawl pays for its
+    // source-selection prior follows the EPOCH, never the graph.
+    "graph_trust_epoch" -> { (s, dir) =>
+      def blockDst(mul: Long, add: Long) =
+        col("doc_id") - pmod(col("doc_id"), lit(500L)) +
+          pmod(col("doc_id") * mul + add, lit(500L))
+      val root = graphRoots.getOrElseUpdate(s"$dir#trust", {
+        val p = java.nio.file.Files.createTempDirectory("graft-scale-lgt")
+          .resolve("g").toString
+        val docs = Tables.load(s, dir, "documents")
+        val edges = docs.select(col("doc_id").as("src"), blockDst(7, 3).as("dst"))
+          .unionAll(docs.select(col("doc_id").as("src"), blockDst(13, 11).as("dst")))
+        pipeline.LinkGraph.create(edges, "src", "dst", p, iters = 3,
+          rowsPerFile = 4096L) // bench-scale granularity, see graph_rank_epoch
+        pipeline.LinkGraph.registerTrustRank(s, p,
+          docs.filter(col("doc_id") < 50).select(col("doc_id").as("id")))
+        p
+      })
+      val epoch = Checkpoints.materialize(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id").as("src"), blockDst(11, 5).as("dst")))
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.LinkGraph.appendEpoch(epoch, "src", "dst", root, "scalebench")
+      }
+      graphTrustBytes(dir) = graphTrustBytes.get(dir).fold(bytes)(math.min(_, bytes))
       n
     },
     // fixed 5-vertex RTBF batch against its own persisted link-graph
@@ -732,9 +846,13 @@ object ScaleBench {
       case ms  => ms.mkString(""","nd_probe_band_sweep":{""", ",", "}")
     }
     val annIoJson = bandSweep + annIo(annSearchBytes, "ann_search_bytes") +
+      annIo(annCodesBytes, "ann_codes_probe_bytes") +
       annIo(annIngestBytes, "ann_ingest_bytes") +
       annIo(lexAppendBytes, "lex_append_bytes") +
+      annIo(lexSearchBytes, "lex_search_bytes") +
       annIo(graphEpochBytes, "graph_rank_epoch_bytes") +
+      annIo(graphTrustBytes, "graph_trust_epoch_bytes") +
+      annIo(graphFoldBytes, "graph_fold_io_bytes") +
       annIo(graphForgetBytes, "graph_forget_bytes")
     val censusIo = (lineCensusBytes.get(baseDir), lineCensusBytes.get(workDir)) match {
       case (Some(b), Some(sc)) if b > 0 =>

@@ -3471,6 +3471,43 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** EXACT MAINTAINED TrustRank (its own store — registration must
+    * precede the epochs it absorbs): create minus a 100-source slice,
+    * REGISTER the seed set, absorb the slice as a replayed epoch, then
+    * SERVE the maintained seed-conditional level table. The served
+    * ranks must equal the personalized recurrence over the UNION edge
+    * set unit for unit (q_trustrank's oracle verbatim) — the
+    * incremental-equals-recompute law q_graph_rank pins for the
+    * uniform ranks, extended to the teleport-restricted prior, which
+    * is admissible precisely because that recurrence has no global
+    * coupling (see LinkGraph.registerTrustRank).
+    */
+  private def qGraphTrustrankM(s: SparkSession, d: String): DataFrame = {
+    val root = graphStores.computeIfAbsent(d + "#trustm", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-lgtm")
+        .resolve("g").toString
+      val docs = t(s, d, "documents")
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(500L)).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 11, lit(500L)).as("dst")))
+      graft.pipeline.LinkGraph.create(
+        edges.filter(col("src") < 250 || col("src") >= 350),
+        "src", "dst", r, iters = 3)
+      graft.pipeline.LinkGraph.registerTrustRank(s, r,
+        docs.filter(col("doc_id") < 25).select(col("doc_id").as("id")))
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250 && col("src") < 350), "src", "dst", r, "e1")
+      graft.pipeline.LinkGraph.appendEpoch(
+        edges.filter(col("src") >= 250 && col("src") < 350), "src", "dst", r, "e1")
+      r
+    })
+    val dg = graft.pipeline.LinkGraph.trustSets(s, root).head
+    graft.pipeline.LinkGraph.maintainedTrustRank(s, root, dg)
+      .select(col("id").as("node_id"), col("rank_units"))
+      .orderBy(col("node_id"))
+  }
+
   /** PageRank with the classic dangling-mass redistribution term,
     * integer-exact: the edge set is truncated to sources doc_id < 300
     * so the dst-only vertices genuinely dangle, and each round every
@@ -4244,6 +4281,7 @@ object SparkEntry {
     "q_trustrank" -> (qTrustrank _),
     "q_cfg_trustrank" -> (qCfgTrustrank _),
     "q_graph_trustrank" -> (qGraphTrustrank _),
+    "q_graph_trustrank_m" -> (qGraphTrustrankM _),
     "q_pagerank_dangling" -> (qPagerankDangling _),
     "q_cfg_pagerank" -> (qCfgPagerank _),
     "q_incr_linededup" -> (qIncrLineDedup _),
@@ -4637,7 +4675,7 @@ object SparkEntry {
   private def sqlUrlHost(u: String): String =
     sqlRr("lower(regexp_extract(" + u +
       ", '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))",
-      """^www\.""", "''")
+      """^(www\.)+""", "''")
 
   /** [[graft.pipeline.Web.registeredDomain]] in DuckDB SQL over a
     * `host` column (labels list via string_split, mirrored branch
@@ -5110,6 +5148,7 @@ object SparkEntry {
     // store-served TrustRank after a replayed epoch: the same
     // seed-conditional recurrence over the UNION edge set
     "q_graph_trustrank" -> sqlTrustrank,
+    "q_graph_trustrank_m" -> sqlTrustrank,
     // RTBF on the store: ranks after the purge (run TWICE — the
     // completed re-invoke must no-op) equal the recurrence over the
     // surviving edge set alone

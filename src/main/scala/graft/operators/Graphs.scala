@@ -232,7 +232,33 @@ object Graphs {
                            srcCol: String = "src", dstCol: String = "dst",
                            seedCol: String = "id", iters: Int = 3,
                            dampingPct: Int = 85,
-                           scale: Long = 1000000000000L): DataFrame = {
+                           scale: Long = 1000000000000L): DataFrame =
+    pprRounds(edges, seeds, srcCol, dstCol, seedCol, iters, dampingPct, scale)
+      .last.select(col("id"), col("rank").as("rank_units"))
+
+  /** Every intermediate level of [[personalizedPageRank]] — `(id,
+    * iter, rank)` for iter 1..iters, the seed-conditional twin of
+    * [[pageRankLevels]]: the state a maintained TrustRank store
+    * persists so epoch absorption can recompute only the perturbed
+    * frontier (level k reads level k-1; without the levels a single
+    * new edge would force the whole recurrence). Same integer-exact
+    * arithmetic, so the maintained table replays bit-for-bit against
+    * this whole-graph recompute — the gate contract.
+    */
+  def personalizedPageRankLevels(edges: DataFrame, seeds: DataFrame,
+                                 srcCol: String = "src", dstCol: String = "dst",
+                                 seedCol: String = "id", iters: Int = 3,
+                                 dampingPct: Int = 85,
+                                 scale: Long = 1000000000000L): DataFrame =
+    pprRounds(edges, seeds, srcCol, dstCol, seedCol, iters, dampingPct, scale)
+      .zipWithIndex
+      .map { case (r, i) => r.select(col("id"), lit(i + 1).as("iter"), col("rank")) }
+      .reduce(_.unionByName(_))
+
+  private def pprRounds(edges: DataFrame, seeds: DataFrame,
+                        srcCol: String, dstCol: String, seedCol: String,
+                        iters: Int, dampingPct: Int,
+                        scale: Long): Seq[DataFrame] = {
     require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
     require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
     require(scale >= 100L, "scale must be >= 100")
@@ -251,6 +277,7 @@ object Graphs {
     val base = scale / 100L * (100L - dampingPct)
     var ranks = flagged.select(col("id"), (col("__seed") * scale).as("rank"))
       .transform(graft.Checkpoints.materialize)
+    val rounds = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, e("src") === col("id"))
         .join(outDeg, "src")
@@ -261,8 +288,9 @@ object Graphs {
           expr(s"(__seed * CAST($base AS BIGINT)) + ($dampingPct * " +
             "coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank"))
         .transform(graft.Checkpoints.materialize)
+      rounds += ranks
     }
-    ranks.select(col("id"), col("rank").as("rank_units"))
+    rounds.toSeq
   }
 
   private def canonEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =

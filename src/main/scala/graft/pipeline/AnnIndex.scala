@@ -33,6 +33,103 @@ object AnnIndex {
     def indexPath: String = s"$root/index"
   }
 
+  val DefaultRowsPerFile = 4000000L
+
+  private def annMetaPath(root: String) = root + "/_ann.json"
+
+  /** The index frame's file-granularity policy (the [[LinkGraph.Meta]]
+    * `rowsPerFile` discipline): every index write splits output at
+    * this many rows per file under the bucket clustering, so a probed
+    * bucket's swept-in bytes are bounded by the granularity instead of
+    * growing with the corpus — session-width sharding alone is the
+    * mechanism that grew the graph store's probe bytes 4.5× at 10×
+    * before its policy existed. Pinned in `_ann.json` at build time;
+    * pre-policy stores keep the default.
+    */
+  def rowsPerFileOf(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(annMetaPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return DefaultRowsPerFile
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    """"rowsPerFile":(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong).getOrElse(DefaultRowsPerFile)
+  }
+
+  private def writeAnnMeta(spark: SparkSession, root: String,
+                           body: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(annMetaPath(root))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.mkdirs(dst.getParent) || fs.exists(dst.getParent),
+      s"cannot create ${dst.getParent}")
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent, s".tmp-${dst.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"atomic write failed for ${annMetaPath(root)}")
+  }
+
+  private def annMetaField(spark: SparkSession, root: String,
+                           field: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(annMetaPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    ("\"" + field + "\":(\\d+)").r.findFirstMatchIn(body)
+      .map(_.group(1).toLong)
+  }
+
+  /** Pin the tuner's chosen serve-time operating point into the index
+    * meta — the knob [[tuneNProbe]] MEASURES but (until pinned) nothing
+    * applied: a deployment that re-tunes per retrain wants the chosen
+    * (nProbe, kCand) to travel WITH the index, not live in some
+    * caller's config that drifts from the index it was measured on.
+    * The no-nProbe [[search]]/[[searchPruned]] overloads serve at the
+    * pinned point; re-pinning overwrites, the granularity policy is
+    * preserved.
+    */
+  def applyTuning(spark: SparkSession, root: String, nProbe: Int,
+                  kCand: Option[Int] = None): Unit = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    kCand.foreach(kc => require(kc >= 1, s"kCand must be >= 1, got $kc"))
+    val g = rowsPerFileOf(spark, root)
+    val kc = kCand.map(v => s""","tunedKCand":$v""").getOrElse("")
+    writeAnnMeta(spark, root,
+      s"""{"rowsPerFile":$g,"tunedNProbe":$nProbe$kc}""")
+  }
+
+  /** The pinned serve-time probe width, when [[applyTuning]] ran. */
+  def tunedNProbe(spark: SparkSession, root: String): Option[Int] =
+    annMetaField(spark, root, "tunedNProbe").map(_.toInt)
+
+  /** The pinned rerank over-fetch, when [[applyTuning]] pinned one. */
+  def tunedKCand(spark: SparkSession, root: String): Option[Int] =
+    annMetaField(spark, root, "tunedKCand").map(_.toInt)
+
+  private def requireTuned(spark: SparkSession, root: String): Int =
+    tunedNProbe(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"no tuned operating point pinned at $root — run `Maintain annindex " +
+        "tune ... --apply <recallTarget>` (or AnnIndex.applyTuning), or " +
+        "pass nProbe explicitly"))
+
+  /** [[search]] at the index's PINNED operating point — fails loudly
+    * on an untuned index rather than inventing a probe width.
+    */
+  def search(handle: Handle, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int): DataFrame =
+    search(handle, queries, idCol, vecCol, k,
+      requireTuned(queries.sparkSession, handle.root))
+
+  /** [[searchPruned]] at the index's pinned operating point. */
+  def searchPruned(handle: Handle, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame =
+    searchPruned(handle, queries, idCol, vecCol, k,
+      requireTuned(queries.sparkSession, handle.root))
+
   /** Train both models on `corpus` and write models + the encoded
     * index frame under `root`. `trainSample` caps the rows used for
     * codebook training (PQ quality saturates far below corpus size;
@@ -40,16 +137,20 @@ object AnnIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, root: String,
             kIvf: Int, m: Int = 8, ksub: Int = 16, iters: Int = 3,
-            trainSample: Option[Long] = None): Handle = {
+            trainSample: Option[Long] = None,
+            rowsPerFile: Long = DefaultRowsPerFile): Handle = {
     val spark = corpus.sparkSession
+    require(rowsPerFile >= 1L, "rowsPerFile must be >= 1")
     val trainSet = trainSample.fold(corpus)(n => corpus.limit(n.toInt))
     val ivf = Ivf.train(trainSet, idCol, vecCol, kIvf, iters)
     val pq = Pq.train(trainSet, idCol, vecCol, m, ksub, iters)
     Ivf.save(ivf, spark, s"$root/ivf_model")
     Pq.save(pq, spark, s"$root/pq_model")
+    writeAnnMeta(spark, root, s"""{"rowsPerFile":$rowsPerFile}""")
     encoded(corpus, idCol, vecCol, ivf, pq)
       .repartition(col("bucket")).sortWithinPartitions("bucket")
-      .write.mode("overwrite").parquet(s"$root/index")
+      .write.option("maxRecordsPerFile", rowsPerFile)
+      .mode("overwrite").parquet(s"$root/index")
     // bucket stats artifact: planning-time file pruning for forget's
     // pair-deletes (and any probe pushing bucket predicates) —
     // advisory, unknown files always kept
@@ -103,7 +204,8 @@ object AnnIndex {
       .listParquetFiles(handle.indexPath, conf).toSet
     encoded(newRows, idCol, vecCol, handle.ivf, handle.pq)
       .repartition(col("bucket")).sortWithinPartitions("bucket")
-      .write.mode("append").parquet(handle.indexPath)
+      .write.option("maxRecordsPerFile", rowsPerFileOf(spark, handle.root))
+      .mode("append").parquet(handle.indexPath)
     spark.catalog.refreshByPath(handle.indexPath)
     // stats advance over EXACTLY the appended files (listing diff →
     // one small job), not an artifact diff + rewrite per append
@@ -156,7 +258,8 @@ object AnnIndex {
     val spark = rows.sparkSession
     // complete any interrupted auto-compact BEFORE retiring (the
     // half-folded-tables hazard — see graft.sources.AutoCompact)
-    graft.sources.AutoCompact.recover(spark, handle.root) {
+    graft.sources.AutoCompact.recover(spark, handle.root,
+      Seq(handle.indexPath, graft.sources.IdCensus.rowsDir(handle.root))) {
       foldAll(spark, handle.root)
     }
     graft.sources.EpochFiles.retire(spark, handle.indexPath, tag)
@@ -175,7 +278,8 @@ object AnnIndex {
         val stage = s"${handle.root}/_stage/$tag"
         encoded(fresh, idCol, vecCol, handle.ivf, handle.pq)
           .repartition(col("bucket")).sortWithinPartitions("bucket")
-          .write.mode("overwrite").parquet(stage)
+          .write.option("maxRecordsPerFile", rowsPerFileOf(spark, handle.root))
+          .mode("overwrite").parquet(stage)
         val published = graft.sources.EpochFiles.publish(spark, stage,
           handle.indexPath, tag)
         // stats advance over EXACTLY the published files — one small
@@ -396,10 +500,14 @@ object AnnIndex {
   def recluster(spark: SparkSession, root: String): Unit = {
     val dir = s"$root/index"
     spark.catalog.refreshByPath(dir)
+    // the fold honors the granularity policy: without maxRecordsPerFile
+    // a session-width range shuffle writes files whose bucket span
+    // grows with the corpus, and every probed bucket sweeps that
+    // growth in
     graft.streaming.SwapStore.swapWrite(
       spark.read.parquet(dir)
         .repartitionByRange(col("bucket")).sortWithinPartitions("bucket"),
-      dir)
+      dir, maxRecordsPerFile = rowsPerFileOf(spark, root))
     graft.sources.FileStatsIndex.buildAndSave(spark, dir, Seq("bucket"))
     spark.catalog.refreshByPath(dir)
   }
@@ -422,6 +530,39 @@ object AnnIndex {
       .withColumnRenamed("neighbor_id", idCol)
     Pq.ivfAdcTopK(queries, idx, idCol, vecCol, "codes", "bucket",
       handle.ivf, handle.pq, k, nProbe)
+  }
+
+  /** [[search]] through the stats-pruned point-read path: a bounded
+    * query batch's probed buckets are collected (≤ `cap` distinct
+    * bucket ids — |queries|×nProbe bounds them by construction) and
+    * the codes table is read through
+    * [[graft.sources.KeyedReads.prunedRead]] — file- and
+    * row-group-pruned on the bucket cluster key — before ADC ranking.
+    * Search I/O then follows the PROBED buckets' rows, each file
+    * bounded by the granularity policy ([[rowsPerFileOf]]), never the
+    * whole code table the full-scan broadcast join of [[search]] pays:
+    * that is the serve shape an interactive batch wants at 100 TB,
+    * where even the codes frame is TBs. Results are identical to
+    * [[search]] (AnnIndexSpec pins it; the scored set per query is
+    * exactly the probed buckets' rows either way); batches whose
+    * probed-bucket count exceeds `cap` fall back to [[search]] — at
+    * that fan-out most of the table is probed anyway and the scan
+    * amortizes.
+    */
+  def searchPruned(handle: Handle, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nProbe: Int,
+                   cap: Int = 4096): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = Ivf.probeBuckets(queries, idCol, vecCol, handle.ivf, nProbe)
+    graft.sources.KeyedReads.collectKeys(probes, "bucket", cap) match {
+      case Some(buckets) =>
+        val idx = graft.sources.KeyedReads
+          .prunedRead(spark, handle.indexPath, "bucket", buckets)
+          .withColumnRenamed("neighbor_id", idCol)
+        Pq.ivfAdcTopK(queries, idx, idCol, vecCol, "codes", "bucket",
+          handle.ivf, handle.pq, k, nProbe)
+      case None => search(handle, queries, idCol, vecCol, k, nProbe)
+    }
   }
 
   /** Two-stage search over the persisted index — IVF-PQ candidate

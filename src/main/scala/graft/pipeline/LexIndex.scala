@@ -140,6 +140,40 @@ object LexIndex {
   private def clustered(p: DataFrame): DataFrame =
     p.repartitionByRange(col("term")).sortWithinPartitions(col("term"), col("id"))
 
+  /** The store's file-granularity policy (the [[LinkGraph.Meta]]
+    * `rowsPerFile` discipline, applied to the postings table): every
+    * postings write splits output at this many rows per file under the
+    * term-range sort, so split files stay term-contiguous and a
+    * pushed-IN term probe's swept-in bytes are bounded by the
+    * granularity instead of growing with the corpus — sharding folds
+    * by session shuffle width alone is exactly the mechanism that grew
+    * the graph store's probe bytes 4.5× at 10× before its policy
+    * existed. Pinned in `_lex.json` at create time; pre-policy stores
+    * keep the default.
+    */
+  def rowsPerFileOf(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return DefaultRowsPerFile
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    """"rowsPerFile":(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong).getOrElse(DefaultRowsPerFile)
+  }
+
+  val DefaultRowsPerFile = 4000000L
+
+  /** Epoch-delta shard count (the [[LinkGraph]] `partsFor` shape): a
+    * batch's postings published through the session's default shuffle
+    * width would land a handful of rows as MANY near-empty files —
+    * LSM file-count growth every later stats-pruned search pays in
+    * footer opens. One file per ~2M delta rows; small epochs land ONE
+    * file, large ones still shard.
+    */
+  private def partsFor(nRows: Long): Int =
+    math.max(1L, math.min(200L, (nRows - 1L) / 2000000L + 1L)).toInt
+
   /** Validated, de-nulled (queryId, term) pairs: the term column must
     * be StringType up front (a non-string column would otherwise fail
     * with an opaque driver-side ClassCastException at the inline-terms
@@ -156,10 +190,13 @@ object LexIndex {
       .select(col(queryIdCol), col(termCol).as("term")).distinct()
   }
 
-  def create(docs: DataFrame, idCol: String, textCol: String, root: String): Unit = {
+  def create(docs: DataFrame, idCol: String, textCol: String, root: String,
+             rowsPerFile: Long = DefaultRowsPerFile): Unit = {
     val spark = docs.sparkSession
+    require(rowsPerFile >= 1L, "rowsPerFile must be >= 1")
     clustered(postingsOf(docs, idCol, textCol))
-      .write.mode("errorifexists").parquet(postingsDir(root))
+      .write.option("maxRecordsPerFile", rowsPerFile)
+      .mode("errorifexists").parquet(postingsDir(root))
     // term stats artifact: planning-time file pruning for forget's
     // pair-deletes — advisory, unknown files always kept
     graft.sources.FileStatsIndex.buildAndSave(spark, postingsDir(root), Seq("term"))
@@ -172,7 +209,7 @@ object LexIndex {
     val p = new org.apache.hadoop.fs.Path(metaPath(root))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    out.write("""{"analyzer":"ws"}""".getBytes("UTF-8"))
+    out.write(s"""{"analyzer":"ws","rowsPerFile":$rowsPerFile}""".getBytes("UTF-8"))
     out.close()
   }
 
@@ -197,7 +234,10 @@ object LexIndex {
     // mid-fold leaves tables half-folded, and retiring a completed
     // epoch's surviving per-tag files would lose rows the folded
     // tables keep (see graft.sources.AutoCompact)
-    graft.sources.AutoCompact.recover(spark, root) { compact(spark, root) }
+    graft.sources.AutoCompact.recover(spark, root,
+      Seq(postingsDir(root), graft.sources.IdCensus.rowsDir(root))) {
+      compact(spark, root)
+    }
     graft.sources.EpochFiles.retire(spark, postingsDir(root), tag)
     graft.sources.IdCensus.retireEpoch(spark, root, tag)
     deleteCorpusStats(spark, root, s"epoch-$tag")
@@ -211,7 +251,14 @@ object LexIndex {
       idCol, textCol).persist()
     try {
       val stage = root + s"/_stage/$tag"
-      clustered(delta).write.mode("overwrite").parquet(stage)
+      // delta-sized shards at the store's pinned granularity: batch
+      // rows land in few term-contiguous files, each split at
+      // rowsPerFile so later probes never sweep more than a granule
+      val g = rowsPerFileOf(spark, root)
+      delta.repartitionByRange(partsFor(delta.count()), col("term"))
+        .sortWithinPartitions(col("term"), col("id"))
+        .write.option("maxRecordsPerFile", g)
+        .mode("overwrite").parquet(stage)
       val published = graft.sources.EpochFiles.publish(spark, stage,
         postingsDir(root), tag)
       // stats advance over EXACTLY the published files — one small job
@@ -272,7 +319,11 @@ object LexIndex {
     requireIndex(spark, root)
     val cur = graft.streaming.SwapStore.readCurrent(spark, postingsDir(root),
       new org.apache.spark.sql.types.StructType())
-    graft.streaming.SwapStore.swapWrite(clustered(cur), postingsDir(root))
+    // the fold honors the granularity policy: without maxRecordsPerFile
+    // a session-width range shuffle writes files whose term span grows
+    // with the corpus, and every pushed-IN probe sweeps that growth in
+    graft.streaming.SwapStore.swapWrite(clustered(cur), postingsDir(root),
+      maxRecordsPerFile = rowsPerFileOf(spark, root))
     graft.sources.FileStatsIndex.buildAndSave(spark, postingsDir(root), Seq("term"))
     spark.catalog.refreshByPath(postingsDir(root))
     // fold the sidecars on the same cadence: census epoch files merge

@@ -201,9 +201,14 @@ object LinkGraph {
     * the two-layer pruned point lookup while the probe is bounded, a
     * semi-join fallback past `maxInline` (same rows, no scan prune).
     */
+  /** Inline-key cap shared by [[readByKeys]] and the fused frontier
+    * reads: past it, point reads fall back to semi-join scans.
+    */
+  private val MaxInlineKeys = 2000000
+
   private def readByKeys(spark: SparkSession, dir: String, keyCol: String,
                          probe: DataFrame, probeCol: String,
-                         maxInline: Int = 2000000): DataFrame =
+                         maxInline: Int = MaxInlineKeys): DataFrame =
     graft.sources.KeyedReads.collectKeys(probe, probeCol, maxInline) match {
       case Some(ks) => graft.sources.KeyedReads.prunedRead(spark, dir, keyCol, ks)
       case None => spark.read.parquet(dir).join(
@@ -331,6 +336,17 @@ object LinkGraph {
     // derived shard count is the right order for them too
     publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag,
       parts, meta.rowsPerFile)
+    // registered trust sets absorb the SAME perturbation frontier
+    // through the seed-conditional recurrence — one more set of
+    // reach-bounded rounds per set, never a whole-graph recompute
+    // (rollbackFiles retired any prior attempt's trust files above)
+    for (dg <- trustSets(spark, root)) {
+      val rows = frontierRounds(spark, root, meta, seeds, seq,
+        trustLevelsDir(root, dg),
+        Some(spark.read.parquet(trustSeedsDir(root, dg))))
+      publishClustered(spark, rows, root, s"trust_$dg",
+        trustLevelsDir(root, dg), "id", tag, parts, meta.rowsPerFile)
+    }
     // the epoch is SETTLED here (every table published under the tag's
     // recorded seq) — the one point the auto-compact policy may fold
     // accumulated overrides without violating the per-tag-name caveat
@@ -348,8 +364,33 @@ object LinkGraph {
     * levels).
     */
   private def frontierRounds(spark: SparkSession, root: String, meta: Meta,
-                             seeds: DataFrame, seq: Long): DataFrame = {
+                             seeds: DataFrame, seq: Long): DataFrame =
+    frontierRounds(spark, root, meta, seeds, seq, levelsDir(root), None)
+
+  /** [[frontierRounds]] against an arbitrary level table and an
+    * optional TRUST seed set: with `trust = Some(ids)` the recurrence
+    * is the seed-conditional one ([[graft.operators.Graphs
+    * .personalizedPageRank]] — level 0 is `scale·[v∈S]` and the
+    * per-round teleport term is `[v∈S]·base` instead of `base`),
+    * which is exactly why TrustRank admits the same frontier-bounded
+    * exact maintenance as the uniform ranks: the teleport indicator
+    * depends only on the REGISTERED seed set, never on global graph
+    * state, so a perturbation's reach is the same k-hop cone.
+    */
+  private def frontierRounds(spark: SparkSession, root: String, meta: Meta,
+                             seeds: DataFrame, seq: Long, levelsPath: String,
+                             trust: Option[DataFrame]): DataFrame = {
     val base = meta.scale / 100L * (100L - meta.dampingPct)
+    // (id, __seed) lookup for the trust arm — seed sets are bounded
+    // (hand-vetted trust lists), so the flag side broadcasts
+    val flagOf: DataFrame => DataFrame = trust match {
+      case Some(ts) => df => df.join(
+          broadcast(ts.select(col("id")).withColumn("__seed", lit(1L))),
+          Seq("id"), "left")
+        .select(df.columns.map(col) :+
+          coalesce(col("__seed"), lit(0L)).as("__seed"): _*)
+      case None => df => df.withColumn("__seed", lit(1L))
+    }
     var changed: DataFrame = null // (id, rank) differing at level k-1
     val changedLevels = scala.collection.mutable.Buffer.empty[DataFrame]
     for (k <- 1 to meta.iters) {
@@ -360,18 +401,56 @@ object LinkGraph {
                 changed.select(col("id")), "id")
               .select(col("dst").as("id")))
           .distinct())
-      val inE = readByKeys(spark, inDir(root), "dst", cand, "id")
-        .select(col("src"), col("dst"))
+      // the round's key frames collect ONCE each and the collected
+      // arrays are shared across every point read that needs them —
+      // the per-table readByKeys calls used to re-collect the same
+      // frame per read (a driver job each) and read the levels table
+      // TWICE (iter k-1 for sources, iter k for candidates); fusing
+      // the two level reads on the driver-side key union removes 3-4
+      // jobs per round from the epoch's job-count constant
+      val candKeys = graft.sources.KeyedReads.collectKeys(cand, "id", MaxInlineKeys)
+      def pruned(dir: String, keyCol: String, ks: Array[Any]) =
+        graft.sources.KeyedReads.prunedRead(spark, dir, keyCol, ks)
+      val inE = (candKeys match {
+        case Some(ks) => pruned(inDir(root), "dst", ks)
+        case None => spark.read.parquet(inDir(root)).join(
+          cand.select(col("id").as("dst")).distinct(), Seq("dst"), "left_semi")
+      }).select(col("src"), col("dst"))
       val srcs = inE.select(col("src")).distinct()
-      val degS = resolveDeg(readByKeys(spark, degDir(root), "src", srcs, "src"))
+      val srcKeys = graft.sources.KeyedReads.collectKeys(srcs, "src", MaxInlineKeys)
+      val degS = resolveDeg(srcKeys match {
+        case Some(ks) => pruned(degDir(root), "src", ks)
+        case None => spark.read.parquet(degDir(root))
+          .join(srcs, Seq("src"), "left_semi")
+      })
+      // fused levels read: iter k-1 rows (the sources' previous level)
+      // and iter k rows (the candidates' stored level) in ONE pruned
+      // point read — the key union happens on the DRIVER (no extra
+      // job). The split below keeps extra (id, iter) pairs the union
+      // admits (a source's iter-k row, a candidate's iter-(k-1) row);
+      // they are harmless by construction: prev joins INNER on src and
+      // storedK is left-joined FROM fresh's candidate ids.
+      val lvls = (srcKeys, candKeys) match {
+        case (Some(sk), Some(ck)) =>
+          pruned(levelsPath, "id",
+            (if (k == 1) ck else (sk ++ ck).distinct.toArray))
+            .filter(if (k == 1) col("iter") === k
+                    else col("iter") === (k - 1) || col("iter") === k)
+        case _ =>
+          spark.read.parquet(levelsPath)
+            .filter(if (k == 1) col("iter") === k
+                    else col("iter") === (k - 1) || col("iter") === k)
+            .join(srcs.select(col("src").as("id"))
+              .unionAll(cand.select(col("id"))).distinct(),
+              Seq("id"), "left_semi")
+      }
       val prev =
-        if (k == 1) srcs.select(col("src").as("id"), lit(meta.scale).as("rank"))
+        if (k == 1) flagOf(srcs.select(col("src").as("id")))
+          .select(col("id"), (col("__seed") * meta.scale).as("rank"))
         else {
           // stored level k-1 overridden by the previous round's changed
           // set (new vertices are always in it, by induction)
-          val stored = resolveLevels(
-            readByKeys(spark, levelsDir(root), "id", srcs, "src")
-              .filter(col("iter") === (k - 1)))
+          val stored = resolveLevels(lvls.filter(col("iter") === (k - 1)))
             .select(col("id"), col("rank"))
           stored.join(changed, Seq("id"), "left_anti").unionByName(changed)
         }
@@ -380,13 +459,11 @@ object LinkGraph {
         .join(degS, Seq("src"))
         .select(col("dst"), expr("rank div deg").as("c"))
       val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val fresh = cand.join(sums, col("id") === col("dst"), "left")
+      val fresh = flagOf(cand).join(sums, col("id") === col("dst"), "left")
         .select(col("id"),
-          expr(s"CAST($base AS BIGINT) + (${meta.dampingPct} * " +
+          expr(s"(__seed * CAST($base AS BIGINT)) + (${meta.dampingPct} * " +
             "coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank"))
-      val storedK = resolveLevels(
-        readByKeys(spark, levelsDir(root), "id", cand, "id")
-          .filter(col("iter") === k))
+      val storedK = resolveLevels(lvls.filter(col("iter") === k))
         .select(col("id"), col("rank").as("old_rank"))
       changed = graft.Checkpoints.materialize(
         fresh.join(storedK, Seq("id"), "left")
@@ -401,7 +478,9 @@ object LinkGraph {
     val labels =
       if (labelsExist(spark, root)) Seq(labIdDir(root), labRepDir(root))
       else Seq.empty
-    for (d <- Seq(outDir(root), inDir(root), degDir(root), levelsDir(root)) ++ labels)
+    val trust = trustSets(spark, root).map(trustLevelsDir(root, _))
+    for (d <- Seq(outDir(root), inDir(root), degDir(root), levelsDir(root)) ++
+           labels ++ trust)
       graft.sources.EpochFiles.retire(spark, d, tag)
     val st = new org.apache.hadoop.fs.Path(root + s"/_stage/$tag")
     val fs = hadoopFs(spark, root)
@@ -464,6 +543,96 @@ object LinkGraph {
                 scale: Long = 1000000000000L): DataFrame =
     graft.operators.Graphs.personalizedPageRank(edges(spark, root), seeds,
       "src", "dst", seedCol, iters, dampingPct, scale)
+
+  private def trustDir(root: String) = root + "/trust"
+  private def trustSeedsDir(root: String, digest: String) =
+    s"${trustDir(root)}/$digest/seeds"
+  private def trustLevelsDir(root: String, digest: String) =
+    s"${trustDir(root)}/$digest/levels"
+  private def trustMarker(root: String, digest: String) =
+    new org.apache.hadoop.fs.Path(s"${trustDir(root)}/$digest/_REGISTERED")
+
+  /** Digests of the REGISTERED maintained trust sets (marker present —
+    * a crash mid-registration leaves an unmarked dir the next
+    * [[registerTrustRank]] of the same seed set overwrites; epochs
+    * never absorb into it).
+    */
+  def trustSets(spark: SparkSession, root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(trustDir(root))
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(st => st.isDirectory &&
+        fs.exists(trustMarker(root, st.getPath.getName)))
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Cap on a registered trust set's size: seed sets are hand-vetted
+    * allowlists (domains, curated hosts) — driver-collected once at
+    * registration for the digest, broadcast per absorb round.
+    */
+  val MaxTrustSeeds = 1000000
+
+  /** Register a seed set for EXACT maintained TrustRank — the
+    * seed-conditional twin of the uniform level state: the full
+    * [[graft.operators.Graphs.personalizedPageRankLevels]] recurrence
+    * is sealed once over the CURRENT graph under
+    * `trust/<digest>/levels` (id-clustered LSM, the store's
+    * granularity policy), and every subsequent [[appendEpoch]] /
+    * [[forget]] absorbs its perturbation with the same
+    * frontier-bounded rounds the uniform ranks use — admissible
+    * precisely because the personalized recurrence has NO global
+    * coupling (teleport depends only on the registered set; compare
+    * [[hits]]' max-normalization, which is why HITS gets no such
+    * store). `digest` identifies the seed set (SHA-1 of the sorted
+    * rendered ids); re-registering the same set reseals it from the
+    * current graph. Serve with [[maintainedTrustRank]]; refresh-cadence
+    * recompute ([[trustRank]]) remains for unregistered sets.
+    */
+  def registerTrustRank(spark: SparkSession, root: String, seeds: DataFrame,
+                        seedCol: String = "id"): String = {
+    val meta = readMeta(spark, root)
+    recoverAutoCompact(spark, root)
+    val s = seeds.select(col(seedCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
+    val vals = s.limit(MaxTrustSeeds + 1).collect()
+    require(vals.nonEmpty, "empty seed set — nothing to register")
+    require(vals.length <= MaxTrustSeeds,
+      s"trust seed set exceeds $MaxTrustSeeds ids — TrustRank seeds are " +
+        "curated allowlists; shrink the set or raise MaxTrustSeeds")
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(vals.map(r => String.valueOf(r.get(0))).sorted
+        .mkString("\u0000").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val fs = hadoopFs(spark, root)
+    fs.delete(trustMarker(root, digest), false)
+    s.write.mode("overwrite").parquet(trustSeedsDir(root, digest))
+    writeClustered(
+      graft.operators.Graphs.personalizedPageRankLevels(
+          edges(spark, root), s, "src", "dst", "id",
+          meta.iters, meta.dampingPct, meta.scale)
+        .withColumn("seq", lit(0L)),
+      trustLevelsDir(root, digest), "id", meta.rowsPerFile)
+    val out = fs.create(trustMarker(root, digest), true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    digest
+  }
+
+  /** Maintained seed-conditional level state of a registered set. */
+  def trustLevels(spark: SparkSession, root: String, digest: String): DataFrame =
+    resolveLevels(spark.read.parquet(trustLevelsDir(root, digest)))
+
+  /** Served maintained TrustRank `(id, rank_units)` of a registered
+    * set — level `iters`, row-identical to [[trustRank]] recomputed
+    * over the maintained edges (the gate pins it) but costing a READ,
+    * not a whole-graph recurrence: the epochs already absorbed every
+    * perturbation frontier-bounded.
+    */
+  def maintainedTrustRank(spark: SparkSession, root: String,
+                          digest: String): DataFrame = {
+    val meta = readMeta(spark, root)
+    trustLevels(spark, root, digest).filter(col("iter") === meta.iters)
+      .select(col("id"), col("rank").as("rank_units"))
+  }
 
   /** Final ranks `(id, rank_units)` — level `iters` of [[levels]]. */
   def ranks(spark: SparkSession, root: String): DataFrame = {
@@ -658,6 +827,11 @@ object LinkGraph {
       // edgeless ids: drop any stray level rows, nothing to maintain
       graft.sources.TargetedDelete.deleteAuto(spark, levelsDir(root), "id", ids)
       graft.sources.FileStatsIndex.update(spark, levelsDir(root), Seq("id"))
+      for (dg <- trustSets(spark, root)) {
+        val tl = trustLevelsDir(root, dg)
+        graft.sources.TargetedDelete.deleteAuto(spark, tl, "id", ids)
+        graft.sources.FileStatsIndex.update(spark, tl, Seq("id"))
+      }
       fs.delete(new org.apache.hadoop.fs.Path(snap), true)
       return
     }
@@ -765,6 +939,29 @@ object LinkGraph {
     val levelRows = frontierRounds(spark, root, meta, seeds, seq)
     publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag,
       parts, meta.rowsPerFile)
+    // registered trust sets take the same repair: purge the forgotten
+    // ids + orphans from each seed-conditional level table, then
+    // re-absorb the removal's frontier through the personalized
+    // recurrence (all idempotent — a crash re-runs from the sealed
+    // snapshot like the main tables)
+    for (dg <- trustSets(spark, root)) {
+      val tl = trustLevelsDir(root, dg)
+      graft.sources.TargetedDelete.deleteAuto(spark, tl, "id", ids,
+        stats = statsOf(tl))
+      if (orphanRows.length > cap)
+        graft.sources.TargetedDelete.deleteByAntiJoinDf(spark, tl, "id", orphans)
+      else if (orphanRows.nonEmpty) {
+        graft.sources.TargetedDelete.deleteAuto(spark, tl, "id",
+          orphanRows.map(_.get(0)).toSeq)
+        ()
+      }
+      graft.sources.FileStatsIndex.update(spark, tl, Seq("id"))
+      graft.sources.EpochFiles.retire(spark, tl, tag)
+      val rows = frontierRounds(spark, root, meta, seeds, seq, tl,
+        Some(spark.read.parquet(trustSeedsDir(root, dg))))
+      publishClustered(spark, rows, root, s"trust_$dg", tl, "id", tag,
+        parts, meta.rowsPerFile)
+    }
     // maintained components REBUILD from the purged edges: removal can
     // split a component, and decremental connectivity has no exact
     // frontier-bounded maintenance — the rebuild is the honest cost
@@ -788,7 +985,8 @@ object LinkGraph {
   private def tableDirs(spark: SparkSession, root: String): Seq[String] =
     Seq(outDir(root), inDir(root), degDir(root), levelsDir(root)) ++
       (if (labelsExist(spark, root)) Seq(labIdDir(root), labRepDir(root))
-       else Seq.empty)
+       else Seq.empty) ++
+      trustSets(spark, root).map(trustLevelsDir(root, _))
 
   /** The auto-compact cadence ([[graft.sources.AutoCompact]] — the
     * savepoint-housekeeping discipline applied to the LSM tables):
@@ -805,7 +1003,7 @@ object LinkGraph {
     */
   private def maybeAutoCompact(spark: SparkSession, root: String): Boolean =
     graft.sources.AutoCompact.maybe(spark, root, tableDirs(spark, root)) {
-      compact(spark, root)
+      compactOverrides(spark, root)
     }
 
   /** Complete an interrupted auto-compact: the fold is idempotent (it
@@ -814,7 +1012,77 @@ object LinkGraph {
     * every table folded, every per-tag name gone, every row present.
     */
   private def recoverAutoCompact(spark: SparkSession, root: String): Unit =
-    graft.sources.AutoCompact.recover(spark, root) { compact(spark, root) }
+    graft.sources.AutoCompact.recover(spark, root, tableDirs(spark, root)) {
+      compactOverrides(spark, root)
+    }
+
+  /** MINOR fold — the LSM memtable-merge tier auto-compact runs: each
+    * table's accumulated per-tag OVERRIDE files (and only those) merge
+    * into granule-respecting clustered runs, resolving supersessions
+    * WITHIN the override set (max seq per key). Fold I/O is ∝ the
+    * override bytes — never the store, which is what keeps lifetime
+    * fold I/O linear where a full-rewrite-per-trigger is quadratic
+    * (any table past `threshold × rowsPerFile` rows would otherwise
+    * rewrite wholly on every fold). What a minor fold does NOT
+    * reclaim: a BASE row superseded by an override survives until a
+    * MAJOR [[compact]] — bounded at one stale version per (key, table)
+    * because the override set itself is resolved, so reads stay
+    * max-seq-correct and the dead-row tail never grows past the base's
+    * own key count. Run a major [[compact]] at operator cadence
+    * (weekly, or after heavy forgets) to reclaim it and restore global
+    * clustering. Tag-name discipline: every folded tag loses ALL its
+    * names in a table or none ([[graft.sources.TargetedDelete
+    * .foldFiles]]'s marker makes the subset swap roll-forward
+    * all-or-nothing), so the auto-compact crash protocol holds
+    * unchanged.
+    */
+  def compactOverrides(spark: SparkSession, root: String): Unit = {
+    val rowsPerFile = readMeta(spark, root).rowsPerFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    def overrides(dir: String): Seq[String] =
+      graft.sources.ParquetSource.listParquetFiles(dir, conf)
+        .filter(f => graft.sources.EpochFiles.isTagged(
+          new org.apache.hadoop.fs.Path(f).getName))
+    def fold(dir: String, keyCol: String,
+             resolve: DataFrame => DataFrame): Unit = {
+      val ran = graft.sources.TargetedDelete.foldFiles(spark, dir,
+        overrides(dir), resolve,
+        (df, staging) => df
+          .repartitionByRange(partsFor(df.count()), col(keyCol))
+          .sortWithinPartitions(col(keyCol))
+          .write.option("maxRecordsPerFile", rowsPerFile)
+          .mode("overwrite").parquet(staging))
+      if (ran) {
+        graft.sources.FileStatsIndex.update(spark, dir, Seq(keyCol))
+        spark.catalog.refreshByPath(dir)
+      }
+    }
+    val degResolve: DataFrame => DataFrame = df => df
+      .groupBy(col("src"))
+      .agg(max_by(struct(col("deg"), col("seq")), col("seq")).as("v"))
+      .select(col("src"), col("v.deg").as("deg"), col("v.seq").as("seq"))
+    val levelResolve: DataFrame => DataFrame = df => df
+      .groupBy(col("id"), col("iter"))
+      .agg(max_by(struct(col("rank"), col("seq")), col("seq")).as("v"))
+      .select(col("id"), col("iter"), col("v.rank").as("rank"),
+        col("v.seq").as("seq"))
+    val labResolve: DataFrame => DataFrame = df => df
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("rep"), col("seq")), col("seq")).as("v"))
+      .select(col("id"), col("v.rep").as("rep"), col("v.seq").as("seq"))
+    // edges are append-only and unique across tags by the delta
+    // discipline — the merge is a pure re-shard
+    fold(outDir(root), "src", identity)
+    fold(inDir(root), "dst", identity)
+    fold(degDir(root), "src", degResolve)
+    fold(levelsDir(root), "id", levelResolve)
+    if (labelsExist(spark, root)) {
+      fold(labIdDir(root), "id", labResolve)
+      fold(labRepDir(root), "rep", labResolve)
+    }
+    for (dg <- trustSets(spark, root))
+      fold(trustLevelsDir(root, dg), "id", levelResolve)
+  }
 
   /** Fold accumulated LSM overrides back into one clustered table per
     * dir (edges just recluster — they are append-only and unique by
@@ -854,6 +1122,17 @@ object LinkGraph {
         .select(col("id"), col("v.rep").as("rep"), col("v.seq").as("seq"))
       swapClustered(labIdDir(root), folded, "id")
       swapClustered(labRepDir(root), folded, "rep")
+    }
+    // the trust level tables fold like levels/ (same LSM shape)
+    for (dg <- trustSets(spark, root)) {
+      val tl = trustLevelsDir(root, dg)
+      swapClustered(tl,
+        spark.read.parquet(tl)
+          .groupBy(col("id"), col("iter"))
+          .agg(max_by(struct(col("rank"), col("seq")), col("seq")).as("v"))
+          .select(col("id"), col("iter"), col("v.rank").as("rank"),
+            col("v.seq").as("seq")),
+        "id")
     }
   }
 }

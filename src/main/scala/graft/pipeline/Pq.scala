@@ -217,16 +217,33 @@ object Pq {
     // under the cap, broadcast as before; past it, fall back to plain
     // shuffle joins — same rows, corpus-side exchange accepted as the
     // price of an oversized batch.
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val qvAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val cand = graft.Checkpoints.materialize(
       candidates.select(col("query_id"), col("neighbor_id")))
     val small = cand.limit(
       (math.min(maxBroadcastRows, Int.MaxValue - 1L) + 1L).toInt).count() <= maxBroadcastRows
     def hint(df: DataFrame) = if (small) broadcast(df) else df
+    // The qv side earns its OWN broadcast verdict: `small` bounds the
+    // candidate PAIR frame (two scalar ids), but the queries frame
+    // carries full vectors — a tiny candidate batch against a huge or
+    // very wide queries frame must not inherit cand's verdict and
+    // broadcast every query vector anyway. Semi-join qv down to the
+    // query ids that actually appear in candidates (prunes the fetch
+    // under any join strategy), then broadcast only when the surviving
+    // id count fits a width-scaled element budget: maxBroadcastRows is
+    // a row cap for the 2-column cand frame, so the vector frame's cap
+    // divides it by the per-row element width.
+    val qids = cand.select("query_id").distinct()
+    val qv = qvAll.join(hint(qids), Seq("query_id"), "left_semi")
+    val vecWidth = math.max(1L, queries.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).cast("long"))
+      .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(1L))
+    val qvSmall = small && qids.count() <= math.max(1L, maxBroadcastRows / vecWidth)
+    def qhint(df: DataFrame) = if (qvSmall) broadcast(df) else df
     val fetched = corpusVecs
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .join(hint(cand), Seq("neighbor_id"))
-      .join(hint(qv), Seq("query_id"))
+      .join(qhint(qv), Seq("query_id"))
     val dist = aggregate(
       zip_with(col("__qv"), col("__cv"),
         (x, y) => (x.cast("double") - y.cast("double")) *

@@ -190,7 +190,8 @@ object Web {
     regexp_replace(noPort, "^(https?://[^/?#]+)/(\\?|$)", "$1$2")
   }
 
-  /** Lowercased host of an absolute URL, `www.` prefix dropped and any
+  /** Lowercased host of an absolute URL, leading `www.` labels (all of
+    * them — `www.www.example.com` → `example.com`) dropped and any
     * userinfo/port stripped; empty string when no `scheme://` is
     * present (a parse failure must stay distinguishable from a real
     * host, and NULL would poison downstream group keys).
@@ -198,7 +199,7 @@ object Web {
   def urlHost(url: Column): Column = {
     val host = lower(regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
-    regexp_replace(host, "^www\\.", "")
+    regexp_replace(host, "^(www\\.)+", "")
   }
 
   /** Second-level domains that act as TLD extensions under a 2-letter

@@ -11,7 +11,22 @@ import org.apache.spark.sql.SparkSession
   * `compact` CLI the serve-read planning cost grows with EPOCH COUNT,
   * not data, until an operator remembers to fold. Policy: a store
   * self-compacts at the SETTLED end of a mutation when any table dir
-  * holds more parquet files than the threshold.
+  * has accumulated more parquet files than the threshold OVER its
+  * post-fold baseline.
+  *
+  * Growth, not total: the trigger compares each dir's file count to
+  * the count recorded right after its last fold
+  * (`<root>/_fold_baseline.json`), because folds preserve the store's
+  * rows-per-file granularity — a table holding more rows than
+  * `threshold × rowsPerFile` legitimately NEEDS more than `threshold`
+  * files forever, and an absolute-count trigger would then fire on
+  * every mutation, rewriting the whole store each time (quadratic
+  * lifetime I/O at web-graph scale). Against the baseline, a fold runs
+  * only after `threshold` NEW override files accumulate, so fold
+  * frequency follows EPOCH COUNT at any table size. A dir absent from
+  * the baseline counts from 0 (a never-folded store fires on the same
+  * absolute cadence as before, and its first fold records the true
+  * granule count).
   *
   * Threshold: `<root>/_policy.json` (`{"autoCompactFiles":N}`; 0
   * disables), default [[DefaultMaxFiles]] when absent — weeks of
@@ -39,6 +54,7 @@ object AutoCompact {
 
   private def policyPath(root: String) = root + "/_policy.json"
   private def markerPath(root: String) = root + "/_compacting.json"
+  private def baselinePath(root: String) = root + "/_fold_baseline.json"
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -79,32 +95,69 @@ object AutoCompact {
     }
   }
 
-  /** Fold now iff any of `dirs` exceeds the policy threshold, under
-    * the intent marker. Returns whether the fold ran.
+  /** Post-fold file count per table dir (keyed by the dir path as the
+    * store passes it — stable, since every store derives its table
+    * dirs from `root`). A dir absent from the sidecar baselines at 0.
+    */
+  def baseline(spark: SparkSession, root: String): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(baselinePath(root))
+    val fs = fsOf(spark, root)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val pair = """"([^"]+)":(\d+)""".r
+    pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toInt).toMap
+  }
+
+  /** Record the just-folded state: current file count per dir, written
+    * atomically BEFORE the intent marker clears (a crash in between
+    * re-folds on recovery and rewrites the baseline — never a stale
+    * baseline under a cleared marker).
+    */
+  private def writeBaseline(spark: SparkSession, root: String,
+                            dirs: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val body = dirs.map(d =>
+      s""""$d":${ParquetSource.listParquetFiles(d, conf).size}""")
+      .mkString("{", ",", "}")
+    writeSmall(spark, baselinePath(root), body)
+  }
+
+  /** Fold now iff any of `dirs` has grown more than the policy
+    * threshold past its post-fold baseline, under the intent marker;
+    * the fold refreshes the baseline. Returns whether the fold ran.
     */
   def maybe(spark: SparkSession, root: String, dirs: Seq[String])
            (fold: => Unit): Boolean = {
     val thr = threshold(spark, root)
     if (thr <= 0) return false
     val conf = spark.sparkContext.hadoopConfiguration
+    val base = baseline(spark, root)
     val over = dirs.exists(d =>
-      ParquetSource.listParquetFiles(d, conf).size > thr)
+      ParquetSource.listParquetFiles(d, conf).size - base.getOrElse(d, 0) > thr)
     if (!over) return false
     writeSmall(spark, markerPath(root), """{"compacting":1}""")
     fold
+    writeBaseline(spark, root, dirs)
     fsOf(spark, root).delete(new org.apache.hadoop.fs.Path(markerPath(root)), false)
     true
   }
 
   /** Complete an interrupted fold (idempotent — a fold re-folds
     * whatever each table currently holds), clearing the marker. Call
-    * at every mutation entry point BEFORE retiring anything.
+    * at every mutation entry point BEFORE retiring anything. Pass the
+    * store's table `dirs` so the recovered fold also refreshes the
+    * growth baseline (an empty list skips the refresh — the next
+    * [[maybe]] then at worst folds once more than strictly needed).
     */
-  def recover(spark: SparkSession, root: String)(fold: => Unit): Unit = {
+  def recover(spark: SparkSession, root: String, dirs: Seq[String] = Nil)
+             (fold: => Unit): Unit = {
     val m = new org.apache.hadoop.fs.Path(markerPath(root))
     val fs = fsOf(spark, root)
     if (fs.exists(m)) {
       fold
+      if (dirs.nonEmpty) writeBaseline(spark, root, dirs)
       fs.delete(m, false)
       ()
     }

@@ -28,6 +28,16 @@ object EpochFiles {
 
   private def prefix(tag: String) = s"part-${tag}__"
 
+  /** Whether `fileName` is a tag-published override file — the
+    * deterministic `part-<tag>__<i>.parquet` names [[publish]] mints.
+    * Spark's own output names (`part-00000-<uuid>-c000…`) never
+    * contain a double underscore, so the test cleanly separates a
+    * store's override tier from its folded base: minor compaction
+    * folds exactly the files this accepts.
+    */
+  def isTagged(fileName: String): Boolean =
+    fileName.startsWith("part-") && fileName.contains("__")
+
   /** Move the staged parquet parts into `liveDir` under the tag's
     * deterministic names (retiring any previous attempt's files
     * first), then delete the staging dir. The session's never-expiring

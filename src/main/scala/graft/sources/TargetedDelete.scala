@@ -384,7 +384,17 @@ object TargetedDelete {
     require(keys.nonEmpty, "empty key list — nothing to delete")
     require(!keys.contains(null), "null keys cannot be deleted through an " +
       "equi-anti-join — filter null-key rows with an explicit IS NULL rewrite")
-    val schema = spark.read.parquet(dir).schema
+    // Recover FIRST, and key-coerce only against a non-empty listing: a
+    // prior anti-join that deleted every row (or a crash mid-swap) can
+    // leave the dir with zero data files, where an eager
+    // `spark.read.parquet(dir).schema` throws 'Unable to infer schema'
+    // instead of the documented no-op Result. recoverRewrite/recover are
+    // idempotent, so deleteByAntiJoinDf re-running them is free.
+    recoverRewrite(spark, dir)
+    recover(spark, dir)
+    val listed = ParquetSource.listParquetFiles(dir, spark.sparkContext.hadoopConfiguration)
+    if (listed.isEmpty) return Result(0, 0L, 0)
+    val schema = spark.read.parquet(listed: _*).schema
     val keyType = schema(keyCol).dataType
     val keysDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -439,6 +449,63 @@ object TargetedDelete {
     if (fs.exists(markers) && fs.listStatus(markers).isEmpty) fs.delete(markers, true)
     spark.catalog.refreshByPath(dir)
     Result(all.size, total - staged, 0)
+  }
+
+  /** Merge a SUBSET of a table's parquet files into replacement files
+    * under the same roll-forward rewrite marker as [[deleteByAntiJoin]]
+    * — the MINOR-compaction primitive: a store folds only its
+    * accumulated override files (I/O ∝ override bytes) instead of
+    * rewriting the whole table. `resolve` may drop rows superseded
+    * WITHIN the subset (LSM max-seq resolution) but must never consult
+    * rows outside it; `write` stages the resolved frame into the
+    * staging dir it is handed (clustered at the store's granularity).
+    * Crash discipline is [[deleteByAntiJoinDf]]'s verbatim: the marker
+    * is written only AFTER the staged copy is verified against the
+    * pre-computed resolved count, so [[recoverRewrite]] always rolls
+    * FORWARD — the subset swap is all-or-nothing in effect, which is
+    * what lets a minor fold destroy per-tag names without violating
+    * the replay protocol (every tag in the subset loses ALL its names
+    * in the table, or none). Returns whether a fold ran. A SINGLE
+    * subset file still folds: for LSM stores the rewrite's point is
+    * name hygiene, not just merging — a surviving per-tag name after
+    * the other tables folded would let a replayed tag retire a
+    * COMPLETED epoch's rows from this table alone (the cross-table
+    * half-fold corruption the auto-compact marker exists to prevent),
+    * so the fold must leave ZERO tagged names behind, even at the cost
+    * of rewriting one file.
+    */
+  def foldFiles(spark: SparkSession, dir: String, files: Seq[String],
+                resolve: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                write: (org.apache.spark.sql.DataFrame, String) => Unit): Boolean = {
+    recoverRewrite(spark, dir)
+    recover(spark, dir)
+    if (files.isEmpty) return false
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val resolved = resolve(spark.read.parquet(files: _*)).persist()
+    try {
+      val expected = resolved.count()
+      val staging = new Path(dir, "_rewrite_staging")
+      write(resolved, staging.toString)
+      val staged = spark.read.parquet(staging.toString).count()
+      require(staged == expected,
+        s"subset fold row mismatch: $staged != $expected — " +
+          "aborting, originals kept")
+      val markers = new Path(dir, RewriteMarkerDir)
+      require(fs.mkdirs(markers) || fs.exists(markers),
+        s"could not create marker dir $markers — aborting before the swap")
+      val marker = new Path(markers, "rewrite.json")
+      val out = fs.create(marker, true)
+      try out.write((staging.toString +: files).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      completeRewrite(fs, dirPath, staging, files)
+      require(fs.delete(marker, false) || !fs.exists(marker),
+        s"could not clear rewrite marker $marker")
+      if (fs.exists(markers) && fs.listStatus(markers).isEmpty) fs.delete(markers, true)
+      spark.catalog.refreshByPath(dir)
+      true
+    } finally { resolved.unpersist(); () }
   }
 
   /** Complete an interrupted [[deleteByAntiJoin]] swap; returns markers

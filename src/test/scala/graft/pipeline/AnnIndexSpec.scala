@@ -89,6 +89,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits.forall(r => r.getInt(1) == 1 && r.getLong(0) != r.getLong(2)))
   }
 
+  test("searchPruned ≡ search at every cap; granularity bounds build/append/fold file sizes") {
+    val root = Files.createTempDirectory("graft-ann-pruned").toString + "/idx"
+    // 64 rows/file: the index must shard — and stay sharded through
+    // append and the recluster fold (the write that regrew the graph
+    // store's probe bytes before its granularity policy)
+    val h = AnnIndex.build(emb.filter(col("vec_id") % 7 =!= 0), "vec_id",
+      "embedding", root, kIvf = 8, m = 16, ksub = 16, iters = 2,
+      rowsPerFile = 64L)
+    assert(AnnIndex.rowsPerFileOf(spark, root) === 64L)
+    def maxFileRows(): Long = graft.sources.ParquetSource
+      .listParquetFiles(s"$root/index", spark.sparkContext.hadoopConfiguration)
+      .map(f => spark.read.parquet(f).count()).max
+    assert(maxFileRows() <= 64L)
+    val queries = emb.filter(col("vec_id") < 7)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = norm(AnnIndex.search(h, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3))
+    // pruned point-read path: identical hits
+    assert(norm(AnnIndex.searchPruned(h, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3)) === full)
+    // over-cap batches fall back to the full-scan join — still identical
+    assert(norm(AnnIndex.searchPruned(h, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3, cap = 1)) === full)
+    // append and fold both preserve the pinned granularity, and the
+    // pruned search still matches the full scan over the grown index
+    AnnIndex.append(h, emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+    assert(maxFileRows() <= 64L)
+    AnnIndex.recluster(spark, root)
+    assert(maxFileRows() <= 64L)
+    val grown = norm(AnnIndex.search(h, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3))
+    assert(norm(AnnIndex.searchPruned(h, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3)) === grown)
+  }
+
   test("searchRerank: exact squared-L2 order over the candidate set; total admission is brute force") {
     val root = Files.createTempDirectory("graft-ann-rerank").toString + "/idx"
     val h = AnnIndex.build(emb, "vec_id", "embedding", root,
@@ -478,5 +514,37 @@ class AnnIndexSpec extends AnyFunSuite {
       table(0).getLong(2) === 1L && table(0).getLong(3) === 4L)
     assert(table(1).getInt(0) === 2 && table(1).getDouble(1) === 1.0 &&
       table(1).getLong(3) === 8L)
+  }
+
+  test("applyTuning pins the operating point: no-nProbe search serves it, untuned fails loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ann-apply").toString + "/idx"
+    val pts = Seq(
+      0L -> Array(8f, 0f), 1L -> Array(8f, 1f), 2L -> Array(9f, 0f),
+      3L -> Array(9f, 1f), 4L -> Array(0f, 8f), 5L -> Array(0f, 16f),
+      6L -> Array(0f, 24f), 7L -> Array(0f, 32f))
+    val corpus = pts.toDF("id", "vec")
+    val h = AnnIndex.build(corpus, "id", "vec", root,
+      kIvf = 2, m = 2, ksub = 4, iters = 4)
+    val q = corpus.filter(col("id") === 0L)
+    // untuned index: the serve-default overload must fail loudly, not
+    // invent a probe width
+    assert(intercept[IllegalArgumentException](
+      AnnIndex.search(h, q, "id", "vec", k = 4)).getMessage
+      .contains("no tuned operating point"))
+    // pin the tuner's full-recall point; the pinned default must serve
+    // exactly what the explicit nProbe serves, on a REOPENED handle
+    // (the point travels with the index, not the session)
+    AnnIndex.applyTuning(spark, root, nProbe = 2, kCand = Some(8))
+    assert(AnnIndex.tunedNProbe(spark, root) === Some(2))
+    assert(AnnIndex.tunedKCand(spark, root) === Some(8))
+    // re-pinning preserves the granularity policy alongside
+    assert(AnnIndex.rowsPerFileOf(spark, root) === AnnIndex.DefaultRowsPerFile)
+    val reopened = AnnIndex.open(spark, root)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val explicit = norm(AnnIndex.search(h, q, "id", "vec", k = 4, nProbe = 2))
+    assert(norm(AnnIndex.search(reopened, q, "id", "vec", k = 4)) === explicit)
+    assert(norm(AnnIndex.searchPruned(reopened, q, "id", "vec", k = 4)) === explicit)
   }
 }

@@ -71,6 +71,37 @@ class LexIndexSpec extends AnyFunSuite {
     assert(hits(r) === hits(whole))
   }
 
+  test("granularity policy: create, epoch, and fold files all respect rowsPerFile; search invariant") {
+    val r = root()
+    // 2 rows/file: postings (11 distinct (id,term) pairs for this
+    // corpus) must shard — and STAY sharded through epoch publish and
+    // the whole-table fold, the write that regrew the graph store's
+    // probe bytes 4.5× before its policy existed
+    LexIndex.create(corpus, "id", "text", r, rowsPerFile = 2L)
+    assert(LexIndex.rowsPerFileOf(spark, r) === 2L)
+    val before = hits(r)
+    def maxFileRows(): Long = graft.sources.ParquetSource
+      .listParquetFiles(r + "/postings", spark.sparkContext.hadoopConfiguration)
+      .map(f => spark.read.parquet(f).count()).max
+    assert(maxFileRows() <= 2L)
+    LexIndex.appendEpoch(Seq((9L, "spark ahoy")).toDF("id", "text"),
+      "id", "text", r, "g1")
+    assert(maxFileRows() <= 2L)
+    LexIndex.compact(spark, r)
+    assert(maxFileRows() <= 2L)
+    // the invariant: search ≡ the in-plan retrieval join over the
+    // union corpus, at every granularity-bounded layout
+    val after = hits(r)
+    assert(after !== before) // the epoch's doc changed the hit list
+    val union = corpus.unionByName(Seq((9L, "spark ahoy")).toDF("id", "text"))
+    val direct = Text.retrievalTopK(union, "text", "id", queries, "qid", "term", 10)
+      .select(col("qid"), col("rank"), col("id"), col("n_matched"),
+        col("sum_tf"), col("dl"))
+      .orderBy("qid", "rank")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(after === direct)
+  }
+
   test("rollback of a partial epoch restores the pre-epoch hit list") {
     val r = root()
     LexIndex.create(corpus.filter(col("id") <= 2), "id", "text", r)

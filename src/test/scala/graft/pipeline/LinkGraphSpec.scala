@@ -232,18 +232,58 @@ class LinkGraphSpec extends AnyFunSuite {
     LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
     val expect = fullLevels(edgesDf(e1 ++ e2))
     assert(sortedLevels(LinkGraph.levels(spark, r)) === expect)
-    // the fold ran AUTOMATICALLY: overrides folded to one row per
-    // (id, iter) and the tag's per-epoch file names are gone
+    // the MINOR fold ran AUTOMATICALLY: the override tier is resolved
+    // to one row per (id, iter) WITHIN itself (base rows superseded by
+    // an override survive until a major compact — bounded at one stale
+    // version per key) and every per-tag file name is gone
     val raw = spark.read.parquet(r + "/levels")
-    assert(raw.count() === raw.select("id", "iter").distinct().count())
+    assert(raw.count() <= 2L * raw.select("id", "iter").distinct().count())
     val fs = new org.apache.hadoop.fs.Path(r)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(r + "/levels"))
-      .exists(_.getPath.getName.startsWith("part-e1__")))
+      .exists(n => graft.sources.EpochFiles.isTagged(n.getPath.getName)))
+    // a major compact reclaims the stale base versions entirely
+    LinkGraph.compact(spark, r)
+    val folded = spark.read.parquet(r + "/levels")
+    assert(folded.count() === folded.select("id", "iter").distinct().count())
+    assert(sortedLevels(LinkGraph.levels(spark, r)) === expect)
     // replaying the folded tag is a clean no-op: the delta check sees
     // every edge already present
     assert(LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1") === 0L)
     assert(sortedLevels(LinkGraph.levels(spark, r)) === expect)
+  }
+
+  test("auto-compact: growth trigger — a store legitimately past the threshold does not fold per mutation") {
+    val r = root()
+    // 1 row/file: even the FOLDED store holds far more files than the
+    // threshold, which an absolute-count trigger would answer with a
+    // whole-store rewrite on every subsequent mutation (quadratic
+    // lifetime I/O) — the growth trigger must not
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3, rowsPerFile = 1L)
+    LinkGraph.setAutoCompact(spark, r, 6)
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(conf)
+    // the first epoch folded (growth measured from the empty baseline)
+    // and recorded the post-fold granule counts
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(r + "/levels"))
+      .exists(_.getPath.getName.startsWith("part-e1__")))
+    val base = graft.sources.AutoCompact.baseline(spark, r)
+    assert(base.nonEmpty)
+    val levels = graft.sources.ParquetSource
+      .listParquetFiles(r + "/levels", conf).toSet
+    assert(levels.size > 6) // granule count alone exceeds the threshold
+    // replaying the settled tag appends nothing: growth over the
+    // post-fold baseline is 0, so NO fold may run — the file set must
+    // come through bit-identical (a total-count trigger rewrote the
+    // whole store right here)
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    assert(graft.sources.ParquetSource
+      .listParquetFiles(r + "/levels", conf).toSet === levels)
+    assert(graft.sources.AutoCompact.baseline(spark, r) === base)
+    assert(sortedLevels(LinkGraph.levels(spark, r)) ===
+      fullLevels(edgesDf(e1 ++ e2)))
   }
 
   test("interrupted auto-compact: the marker completes the fold before a replay retires") {
@@ -320,6 +360,33 @@ class LinkGraphSpec extends AnyFunSuite {
       .filter(col("src") === 1L).collect()
     assert(deg.head.getLong(1) === 1L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(snap)))
+  }
+
+  test("maintained TrustRank: register, epoch absorb, replay, compact, forget — all ≡ recompute") {
+    val r = root()
+    LinkGraph.create(edgesDf(e1), "src", "dst", r, iters = 3)
+    // seed 5 is NOT in the graph yet — it arrives with e2, exercising
+    // the new-seed-vertex induction (level 0 = scale on first sight)
+    val seeds = Seq(1L, 5L).toDF("id")
+    val dg = LinkGraph.registerTrustRank(spark, r, seeds)
+    def expect(pairs: Seq[(Long, Long)]) =
+      graft.operators.Graphs.personalizedPageRank(
+          edgesDf(pairs), seeds, "src", "dst", "id", iters = 3)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+    def served() = LinkGraph.maintainedTrustRank(spark, r, dg)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(served() === expect(e1))
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    assert(served() === expect(e1 ++ e2))
+    // replay is end-state idempotent on the trust table too
+    LinkGraph.appendEpoch(edgesDf(e2), "src", "dst", r, "e1")
+    assert(served() === expect(e1 ++ e2))
+    LinkGraph.compact(spark, r)
+    assert(served() === expect(e1 ++ e2))
+    // vertex removal repairs the seed-conditional state exactly
+    LinkGraph.forget(spark, r, Seq(4L))
+    val surviving = (e1 ++ e2).distinct.filterNot(p => p._1 == 4L || p._2 == 4L)
+    assert(served() === expect(surviving))
   }
 
   test("property: random epoch splits — maintained components ≡ closure") {
