@@ -169,16 +169,23 @@ class StreamingDedupSpec extends AnyFunSuite {
       spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq.sorted
     }
     assert(outIds == Seq(11L, 21L))
-    // the folds ran strictly AFTER each commit marker: the advance tags'
-    // per-epoch names are gone from every store table
+    // the fold runs strictly AFTER a commit marker once file GROWTH
+    // crosses the threshold (the post-fold-baseline trigger): epoch
+    // 0's advance names are guaranteed gone from every table —
+    // whichever epoch crossed first folded them — and the recorded
+    // baseline proves an auto-fold ran. Epoch 1's names may
+    // legitimately wait for more growth; folding on EVERY mutation
+    // once the store's total exceeded the threshold is the
+    // quadratic-I/O behavior the growth policy removed.
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (t <- Seq("bands/rows", "sigs", "shingles")) {
       val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$t"))
         .map(_.getPath.getName)
-      assert(!names.exists(n => n.startsWith("part-e0__") || n.startsWith("part-e1__")),
-        s"$t still carries per-tag advance files after the auto-compact fold")
+      assert(!names.exists(_.startsWith("part-e0__")),
+        s"$t still carries epoch 0's advance files after the auto-compact fold")
     }
+    assert(graft.sources.AutoCompact.baseline(spark, store).nonEmpty)
     // each survivor sits in the folded store exactly once, and a replay
     // of a committed (and since-folded) epoch short-circuits on its
     // marker — nothing to retire, nothing double-appended

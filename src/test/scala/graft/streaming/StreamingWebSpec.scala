@@ -95,13 +95,18 @@ class StreamingWebSpec extends AnyFunSuite {
     val whole = Web.lineDedup((b0 ++ b1).toDF("id", "text"), "id", "text")
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(outDocs(out) === whole)
-    // the folds ran strictly AFTER each commit marker: no per-tag
-    // delta names remain under rows/
+    // the fold runs strictly AFTER a commit marker once file GROWTH
+    // crosses the threshold (the post-fold-baseline trigger): epoch
+    // 0's delta names are guaranteed gone — whichever epoch crossed
+    // first folded them — and the recorded baseline proves an
+    // auto-fold ran. Epoch 1's names may legitimately wait for more
+    // growth; an absolute-count trigger folding every epoch is the
+    // quadratic-I/O behavior the growth policy removed.
     val fs = new org.apache.hadoop.fs.Path(census + "/rows")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(census + "/rows"))
-      .exists(st => st.getPath.getName.startsWith("part-e0__") ||
-        st.getPath.getName.startsWith("part-e1__")))
+      .exists(st => st.getPath.getName.startsWith("part-e0__")))
+    assert(graft.sources.AutoCompact.baseline(spark, census).nonEmpty)
     // a replay of a committed (and since-folded) epoch short-circuits
     // on its marker: census rows and output identical
     val before = spark.read.parquet(census + "/rows").collect().toSet
