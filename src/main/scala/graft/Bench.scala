@@ -46,8 +46,19 @@ object Bench {
     * for no information.
     */
   private[graft] def priorSpin(dir: java.io.File): Option[Double] =
+    priorCal(dir, "spin_sec")
+
+  /** Prior round's parallel-spin sentinel (present from round 15 on):
+    * the full-width-contention reference the single-core spin is blind
+    * to — host overcommit inflates every 32-thread query while
+    * `spin_sec` stays flat (measured: 1.51× at flat spin).
+    */
+  private[graft] def priorSpinPar(dir: java.io.File): Option[Double] =
+    priorCal(dir, "spin_par_sec")
+
+  private def priorCal(dir: java.io.File, key: String): Option[Double] =
     priorRoot(dir).flatMap(benchNode(_, "calibration"))
-      .flatMap(c => Option(c.get("spin_sec")))
+      .flatMap(c => Option(c.get(key)))
       .filter(a => a.isArray && a.size() > 0)
       .map(a => (0 until a.size()).map(a.get(_).asDouble()).min)
 
@@ -148,6 +159,7 @@ object Bench {
     // k× their quiet-period cost, query times inflated by ~k× are CPU
     // steal, not regressions.
     val calSpinPre = minOf3(cpuSpin _)
+    val calParPre = minOf3(() => parallelSpin(cpus.toInt))
     val calSparkPre = minOf3(() => sparkCalibration(spark))
 
     // min of up to three runs per query: single-shot timings carry
@@ -214,7 +226,13 @@ object Bench {
       releaseSweepState()
       r
     }
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    // optional args: query-name filter (local iteration on a subset —
+    // the ScaleBench `only` discipline); the full sweep remains the
+    // no-arg default the driver runs
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       def once(): Option[Double] = timedRun(name, fn)
       val firstTwo = Seq(once(), once()).flatten
       val timings =
@@ -243,8 +261,15 @@ object Bench {
     // cap: if this run's CPU-spin reads far above the prior round's,
     // everything is nominally "regressed" and retiming the sweep is
     // pure noise — skip the net and flag it.
-    val machineSlow = priorSpin(new java.io.File(".")).exists(ps =>
-      ps > 0 && calSpinPre > ps * 1.5)
+    // full-width contention (spin_par vs the prior round's) counts as
+    // machine-slow too: host overcommit inflates every 32-thread query
+    // while the single-core spin reads flat — retiming under it is
+    // noise, same as a single-core slowdown
+    val machineSlow =
+      priorSpin(new java.io.File(".")).exists(ps =>
+        ps > 0 && calSpinPre > ps * 1.5) ||
+      priorSpinPar(new java.io.File(".")).exists(pp =>
+        pp > 0 && calParPre > pp * 1.5)
     val slowest = results.toSeq.sortBy(-_._2).take(10).map(_._1)
     val regressed =
       if (machineSlow) Seq.empty
@@ -258,6 +283,7 @@ object Bench {
       if (ts.isEmpty) None else Some(name -> ts.min)
     }
     val calSpinPost = minOf3(cpuSpin _)
+    val calParPost = minOf3(() => parallelSpin(cpus.toInt))
     val calSparkPost = minOf3(() => sparkCalibration(spark))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver reads this line from a 2000-char stdout tail and parses
@@ -275,6 +301,7 @@ object Bench {
     // quiet-period record by to normalize co-tenant load out of this run
     val calJson = "\"calibration\":{" +
       s""""spin_sec":[${fmt(calSpinPre)},${fmt(calSpinPost)}],""" +
+      s""""spin_par_sec":[${fmt(calParPre)},${fmt(calParPost)}],""" +
       s""""spark_job_sec":[${fmt(calSparkPre)},${fmt(calSparkPost)}]}""" +
       (if (machineSlow) ""","machine_slow":true""" else "")
     // "retimed_total": the sweep total with every retimed value
@@ -378,6 +405,25 @@ object Bench {
     // the value escapes so the loop cannot be dead-code-eliminated
     if (x == 42L) System.err.println("calibration sentinel collision")
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The [[cpuSpin]] work on `n` threads at once (one per configured
+    * core); returns the SLOWEST thread's seconds. This is the sentinel
+    * for FULL-WIDTH contention — host CPU overcommit, a co-tenant
+    * burst — which the single-core spin cannot see: measured on this
+    * host (round 15), a 32-way spin ran 1.51× the single spin while
+    * `spin_sec` read dead flat and every 32-thread query inflated by
+    * the same ~1.5×. A reader normalizes a polluted run by
+    * spin_par/spin relative to the quiet-period ratio.
+    */
+  private def parallelSpin(n: Int): Double = {
+    val times = new Array[Double](n)
+    val ths = (0 until n).map { i =>
+      new Thread(() => { times(i) = cpuSpin() })
+    }
+    ths.foreach(_.start())
+    ths.foreach(_.join())
+    times.max
   }
 
   /** Fixed tiny Spark job (8M-row range -> hash -> sum), timed like a

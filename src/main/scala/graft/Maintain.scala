@@ -21,6 +21,8 @@ package graft
   *   runMain graft.Maintain annindex compact <indexRoot> <targetBytes>
   *   runMain graft.Maintain annindex recluster <indexRoot> # restore bucket
   *                                                  # clustering after ingest epochs
+  *   runMain graft.Maintain annindex minorcompact <indexRoot> # override-tier-only fold
+  *   runMain graft.Maintain lexindex minorcompact <root>      # (I/O ∝ override bytes)
   *   runMain graft.Maintain annindex forget <indexRoot> <key>[,key...]
   *   runMain graft.Maintain annindex retrain <versionedRoot> <corpusDir> <idCol> <vecCol> <kIvf>
   *                                                  # zero-downtime republish
@@ -123,6 +125,11 @@ object Maintain {
           case "recluster" =>
             pipeline.AnnIndex.recluster(spark, args(2))
             println(s"[maintain] ann index re-clustered at ${args(2)}")
+          case "minorcompact" =>
+            // annindex minorcompact <indexRoot> — fold only the override
+            // tier (I/O ∝ override bytes; see AnnIndex.compactOverrides)
+            pipeline.AnnIndex.compactOverrides(spark, args(2))
+            println(s"[maintain] ann index override tier folded at ${args(2)}")
           case "autocompact" if args.length >= 4 =>
             pipeline.AnnIndex.setAutoCompact(spark, args(2), args(3).toInt)
             println(s"[maintain] ann index auto-compact at ${args(2)}: " +
@@ -207,6 +214,11 @@ object Maintain {
           case "recluster" =>
             pipeline.Dedup.NearDupStore.recluster(spark, args(2))
             println(s"[maintain] near-dup store re-clustered at ${args(2)}")
+          case "minorcompact" =>
+            // ndstore minorcompact <storeDir> — fold only the staged
+            // override tier (I/O ∝ override bytes)
+            pipeline.Dedup.NearDupStore.compactOverrides(spark, args(2))
+            println(s"[maintain] near-dup store override tier folded at ${args(2)}")
           case "autocompact" if args.length >= 4 =>
             pipeline.Dedup.NearDupStore.setAutoCompact(spark, args(2), args(3).toInt)
             println(s"[maintain] near-dup store auto-compact at ${args(2)}: " +
@@ -247,6 +259,11 @@ object Maintain {
           case "compact" =>
             pipeline.LexIndex.compact(spark, args(2))
             println(s"[maintain] lex index compacted at ${args(2)}")
+          case "minorcompact" =>
+            // lexindex minorcompact <root> — fold only the override
+            // tier (I/O ∝ override bytes; see LexIndex.compactOverrides)
+            pipeline.LexIndex.compactOverrides(spark, args(2))
+            println(s"[maintain] lex index override tier folded at ${args(2)}")
           case "autocompact" if args.length >= 4 =>
             pipeline.LexIndex.setAutoCompact(spark, args(2), args(3).toInt)
             println(s"[maintain] lex index auto-compact at ${args(2)}: " +
@@ -285,6 +302,11 @@ object Maintain {
           case "compact" =>
             pipeline.Web.compactLineCensus(spark, args(2))
             println(s"[maintain] line census compacted at ${args(2)}")
+          case "minorcompact" =>
+            // linecensus minorcompact <censusDir> — fold only the
+            // staged override deltas (I/O ∝ override bytes)
+            pipeline.Web.minorCompactLineCensus(spark, args(2))
+            println(s"[maintain] line census override tier folded at ${args(2)}")
           case "autocompact" if args.length >= 4 =>
             pipeline.Web.setLineCensusAutoCompact(spark, args(2), args(3).toInt)
             println(s"[maintain] line census auto-compact at ${args(2)}: " +

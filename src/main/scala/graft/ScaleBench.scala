@@ -72,6 +72,8 @@ object ScaleBench {
   private val lexRoots = scala.collection.concurrent.TrieMap[String, String]()
   private val lexAppendBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val lexSearchBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val lexFoldBytes = scala.collection.concurrent.TrieMap[String, Long]()
+  private val lexFoldRuns = scala.collection.concurrent.TrieMap[String, Int]()
   private val annCodesBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val lineCensusBytes = scala.collection.concurrent.TrieMap[String, Long]()
   private val lineCensusSize = scala.collection.concurrent.TrieMap[String, Long]()
@@ -454,6 +456,36 @@ object ScaleBench {
       }
       lexAppendBytes(dir) = lexAppendBytes.get(dir).fold(bytes)(math.min(_, bytes))
       delta.count()
+    },
+    // the lex twin of graph_fold_io: each run appends a fresh
+    // fixed-size epoch (auto-compact disabled so the fold is invoked —
+    // and metered — explicitly), then meters compactOverrides. A
+    // full-rewrite fold would read the whole postings table (≈10×
+    // bytes at 10×); the minor fold must read only the override tier,
+    // so bytes stay ~flat — fold I/O ∝ override bytes on the lexical
+    // store too.
+    "lex_fold_io" -> { (s, dir) =>
+      val root = lexRoots.getOrElseUpdate(s"$dir#fold", {
+        val p = java.nio.file.Files.createTempDirectory("graft-scale-lexf")
+          .resolve("ix").toString
+        pipeline.LexIndex.create(Tables.load(s, dir, "documents"),
+          "doc_id", "text", p, rowsPerFile = 65536L)
+        pipeline.LexIndex.setAutoCompact(s, p, 0)
+        p
+      })
+      val k = lexFoldRuns.updateWith(dir)(n => Some(n.getOrElse(0) + 1)).get
+      // a FRESH 500-doc epoch per run (ids at (30+k)·Off — disjoint
+      // from every amplification copy and every other workload's
+      // offset), so each measured fold has a real override tier
+      val delta = Checkpoints.materialize(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 500)
+          .withColumn("doc_id", col("doc_id") + lit((30L + k) * Off)))
+      pipeline.LexIndex.appendEpoch(delta, "doc_id", "text", root, s"fold$k")
+      val (n, bytes) = withBytesRead(s) {
+        pipeline.LexIndex.compactOverrides(s, root); 1L
+      }
+      lexFoldBytes(dir) = lexFoldBytes.get(dir).fold(bytes)(math.min(_, bytes))
+      n
     },
     // maintenance payoff, measured: a store fragmented by 8 incremental
     // advances (each appends files clustered only within themselves)
@@ -850,6 +882,7 @@ object ScaleBench {
       annIo(annIngestBytes, "ann_ingest_bytes") +
       annIo(lexAppendBytes, "lex_append_bytes") +
       annIo(lexSearchBytes, "lex_search_bytes") +
+      annIo(lexFoldBytes, "lex_fold_io_bytes") +
       annIo(graphEpochBytes, "graph_rank_epoch_bytes") +
       annIo(graphTrustBytes, "graph_trust_epoch_bytes") +
       annIo(graphFoldBytes, "graph_fold_io_bytes") +

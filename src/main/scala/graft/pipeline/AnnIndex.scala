@@ -292,12 +292,12 @@ object AnnIndex {
         graft.sources.IdCensus.appendEpoch(spark, handle.root,
           censusRows(fresh, idCol, vecCol, handle.ivf), tag)
       }
-      // settled — the auto-compact policy may fold accumulated epoch
-      // files. The fold is [[recluster]] + census compact (BOTH
-      // all-or-nothing SwapStore rewrites — a partial small-file merge
-      // would half-destroy a tag's names within one table, which no
-      // entry-point recovery could repair); a replay after the fold is
-      // a clean no-op because the census still knows every id.
+      // settled — the auto-compact policy may run the MINOR fold
+      // (override files only, I/O ∝ override bytes; each subset swap
+      // is all-or-nothing per table under foldFiles' roll-forward
+      // marker, so a tag loses ALL its names in a table or none); a
+      // replay after the fold is a clean no-op because the census
+      // still knows every id.
       graft.sources.AutoCompact.maybe(spark, handle.root,
         Seq(handle.indexPath, graft.sources.IdCensus.rowsDir(handle.root))) {
         foldAll(spark, handle.root)
@@ -306,13 +306,50 @@ object AnnIndex {
     } finally { fresh.unpersist(); () }
   }
 
-  /** The auto-compact fold: bucket-recluster the index frame and fold
-    * the census — each an all-or-nothing crash-safe swap.
+  /** The auto-compact fold — the MINOR tier: override files only,
+    * I/O ∝ override bytes (see [[compactOverrides]]).
     */
-  private def foldAll(spark: SparkSession, root: String): Unit = {
-    recluster(spark, root)
+  private def foldAll(spark: SparkSession, root: String): Unit =
+    compactOverrides(spark, root)
+
+  /** MINOR fold — the LSM memtable-merge tier auto-compact runs (the
+    * [[LinkGraph.compactOverrides]] discipline): only the accumulated
+    * per-tag OVERRIDE files of the index frame (and the id census)
+    * merge into bucket-clustered, granule-respecting runs, so fold I/O
+    * is ∝ the override bytes — never the store — and lifetime fold I/O
+    * stays linear where a full-rewrite-per-trigger is quadratic. Rows
+    * are delta-unique across tags (the census anti-join), so both
+    * folds resolve by identity (pure re-shard). What a minor fold does
+    * NOT restore: global bucket clustering across base + folded runs —
+    * each folded run is bucket-contiguous within itself, so a probed
+    * bucket opens at most one extra run per fold; run a major
+    * [[recluster]] at operator cadence to re-merge. Tag-name
+    * discipline holds unchanged ([[graft.sources.TargetedDelete
+    * .foldFiles]]'s roll-forward marker makes each subset swap
+    * all-or-nothing per table).
+    */
+  def compactOverrides(spark: SparkSession, root: String): Unit = {
+    val dir = s"$root/index"
+    val g = rowsPerFileOf(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tagged = graft.sources.ParquetSource.listParquetFiles(dir, conf)
+      .filter(f => graft.sources.EpochFiles.isTagged(
+        new org.apache.hadoop.fs.Path(f).getName))
+    val ran = graft.sources.TargetedDelete.foldFiles(spark, dir, tagged, identity,
+      (df, staging) => {
+        val shards = math.max(1L, math.min(200L,
+          (df.count() - 1L) / math.max(1L, g) + 1L)).toInt
+        df.repartitionByRange(shards, col("bucket"))
+          .sortWithinPartitions("bucket")
+          .write.option("maxRecordsPerFile", g)
+          .mode("overwrite").parquet(staging)
+      })
+    if (ran) {
+      graft.sources.FileStatsIndex.update(spark, dir, Seq("bucket"))
+      spark.catalog.refreshByPath(dir)
+    }
     if (graft.sources.IdCensus.exists(spark, root))
-      graft.sources.IdCensus.compact(spark, root)
+      graft.sources.IdCensus.compactOverrides(spark, root, g)
   }
 
   /** Pin the index's auto-compact threshold (parquet files in the

@@ -723,6 +723,55 @@ object Dedup {
                        maxFiles: Int): Unit =
       graft.sources.AutoCompact.setPolicy(spark, path, maxFiles)
 
+    /** MINOR fold — the LSM memtable-merge tier the streaming path's
+      * auto-compact runs (the [[LinkGraph.compactOverrides]]
+      * discipline): only the accumulated per-tag OVERRIDE files of the
+      * three tables ([[advanceStaged]]'s published epochs) merge into
+      * key-clustered, granule-respecting runs, so fold I/O is ∝ the
+      * override bytes — never the store. Rows are append-only across
+      * tags (a survivor advances once), so every fold resolves by
+      * identity (pure re-shard). Plain (untagged) `advance` appends
+      * are already granule-capped and clustered within themselves;
+      * they fold at [[recluster]]'s operator cadence, not here.
+      * Tag-name discipline holds unchanged ([[graft.sources
+      * .TargetedDelete.foldFiles]]'s roll-forward marker makes each
+      * subset swap all-or-nothing per table).
+      */
+    def compactOverrides(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+      val g = BandIndex.rowsPerFileOf(spark, sub(path, "bands"))
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq((sub(path, "bands") + "/rows", "bucket"),
+          (sub(path, "sigs"), "id"),
+          (sub(path, "shingles"), "id")).foreach { case (dir, key) =>
+        // recover a crashed MAJOR swap first: foldFiles recovers its
+        // own rewrite protocol, not SwapStore's aside-dir
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p) || fs.exists(new org.apache.hadoop.fs.Path(dir + "__old"))) {
+          graft.streaming.SwapStore.readCurrent(spark, dir,
+            new org.apache.spark.sql.types.StructType())
+          val tagged = graft.sources.ParquetSource.listParquetFiles(dir, conf)
+            .filter(f => graft.sources.EpochFiles.isTagged(
+              new org.apache.hadoop.fs.Path(f).getName))
+          val ran = graft.sources.TargetedDelete.foldFiles(spark, dir, tagged,
+            identity,
+            (df, staging) => {
+              val shards = math.max(1L, math.min(200L,
+                (df.count() - 1L) / math.max(1L, g) + 1L)).toInt
+              df.repartitionByRange(shards, col(key))
+                .sortWithinPartitions(col(key))
+                .write.option("maxRecordsPerFile", g)
+                .mode("overwrite").parquet(staging)
+            })
+          if (ran) {
+            statsUpdate(spark, dir, key)
+            spark.catalog.refreshByPath(dir)
+          }
+        }
+      }
+    }
+
     /** Restore the key-clustered layout the pruned probes skip
       * against: thousands of `advance` appends (each clustered only
       * within itself) and in-place compactions (row-preserving but

@@ -82,6 +82,63 @@ object LexIndex {
     ()
   }
 
+  private val statsPat = """\{"n":(-?\d+),"sumdl":(-?\d+)\}""".r
+
+  private def readStatsFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.trim match {
+      case statsPat(a, b) => (a.toLong, b.toLong)
+      case other => throw new IllegalStateException(
+        s"malformed corpus stats file $p: $other")
+    }
+  }
+
+  /** Absorb every per-epoch stats contribution into `base.json`,
+    * crash-safe at every intermediate state. The hazard a naive
+    * read-delete-write order carries: a crash between the deletes and
+    * the base rewrite loses the deleted contributions from the live
+    * (N, Σdl) — and the auto-compact recovery that re-runs the fold
+    * re-reads the now-partial file set, baking the loss in. Protocol:
+    * (1) if no staging file (`fold.tmp`) exists, sum ALL `.json`
+    * contributions and write the total to staging atomically; if one
+    * exists, it IS the authority — a prior fold already started
+    * deleting, so a recompute would undercount. (2) delete every
+    * `.json` contribution. (3) promote staging to `base.json` and drop
+    * it. [[readCorpusStats]] honors a live staging file for the same
+    * reason, so mid-fold reads (a search between a crash and its
+    * recovery) stay exact. Idempotent from any crash point.
+    */
+  private[graft] def foldCorpusStats(spark: SparkSession, root: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(corpusDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val staging = new org.apache.hadoop.fs.Path(dir, "fold.tmp")
+    val (n, sumdl) =
+      if (fs.exists(staging)) readStatsFile(fs, staging)
+      else {
+        val total = fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.endsWith(".json"))
+          .foldLeft((0L, 0L)) { case ((a, s), p) =>
+            val (pn, ps) = readStatsFile(fs, p); (a + pn, s + ps)
+          }
+        val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp-fold")
+        val out = fs.create(tmp, true)
+        try out.write(s"""{"n":${total._1},"sumdl":${total._2}}""".getBytes("UTF-8"))
+        finally out.close()
+        fs.delete(staging, false)
+        require(fs.rename(tmp, staging), s"stats fold staging rename failed in $dir")
+        total
+      }
+    fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
+      .foreach(fs.delete(_, false))
+    writeCorpusStats(spark, root, "base", n, sumdl)
+    fs.delete(staging, false)
+    ()
+  }
+
   private def statsFromCensus(spark: SparkSession, root: String): (Long, Long) = {
     val r = graft.sources.IdCensus.readAll(spark, root)
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
@@ -111,17 +168,15 @@ object LexIndex {
     ensureSidecars(spark, root)
     val dir = new org.apache.hadoop.fs.Path(corpusDir(root))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pat = """\{"n":(-?\d+),"sumdl":(-?\d+)\}""".r
+    // a live stats-fold staging file is the authority: once a fold has
+    // begun deleting contributions, the remaining .json set undercounts
+    // (see foldCorpusStats) — the staging total is the exact pre-fold sum
+    val staging = new org.apache.hadoop.fs.Path(dir, "fold.tmp")
+    if (fs.exists(staging)) return readStatsFile(fs, staging)
     fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
       .foldLeft((0L, 0L)) { case ((n, s), p) =>
-        val in = fs.open(p)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        body.trim match {
-          case pat(a, b) => (n + a.toLong, s + b.toLong)
-          case other => throw new IllegalStateException(
-            s"malformed corpus stats file $p: $other")
-        }
+        val (pn, ps) = readStatsFile(fs, p)
+        (n + pn, s + ps)
       }
   }
 
@@ -236,7 +291,7 @@ object LexIndex {
     // tables keep (see graft.sources.AutoCompact)
     graft.sources.AutoCompact.recover(spark, root,
       Seq(postingsDir(root), graft.sources.IdCensus.rowsDir(root))) {
-      compact(spark, root)
+      compactOverrides(spark, root)
     }
     graft.sources.EpochFiles.retire(spark, postingsDir(root), tag)
     graft.sources.IdCensus.retireEpoch(spark, root, tag)
@@ -277,13 +332,14 @@ object LexIndex {
         }
       } finally { cen.unpersist(); () }
     } finally { delta.unpersist(); () }
-    // the epoch is SETTLED here — the auto-compact policy may fold
-    // accumulated epoch files (postings + census) without violating
-    // the per-tag-name caveat; a replay after the fold is a clean
-    // no-op because the census still knows every id
+    // the epoch is SETTLED here — the auto-compact policy may run the
+    // MINOR fold (override files + stats contributions only, I/O ∝
+    // override bytes) without violating the per-tag-name caveat; a
+    // replay after the fold is a clean no-op because the census still
+    // knows every id and the stats contribution is absorbed into base
     graft.sources.AutoCompact.maybe(spark, root,
       Seq(postingsDir(root), graft.sources.IdCensus.rowsDir(root))) {
-      compact(spark, root)
+      compactOverrides(spark, root)
     }
     ()
   }
@@ -327,17 +383,53 @@ object LexIndex {
     graft.sources.FileStatsIndex.buildAndSave(spark, postingsDir(root), Seq("term"))
     spark.catalog.refreshByPath(postingsDir(root))
     // fold the sidecars on the same cadence: census epoch files merge
-    // into one clustered table, stats contributions into one base
+    // into one clustered table, stats contributions into one base —
+    // via the staged protocol (a read-delete-write order here used to
+    // lose contributions to a crash between the deletes and the write)
     graft.sources.IdCensus.compact(spark, root)
-    val dir = new org.apache.hadoop.fs.Path(corpusDir(root))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) {
-      val (n, sumdl) = readCorpusStats(spark, root)
-      fs.listStatus(dir).map(_.getPath)
-        .filter(p => p.getName.endsWith(".json") && p.getName != "base.json")
-        .foreach(fs.delete(_, false))
-      writeCorpusStats(spark, root, "base", n, sumdl)
+    foldCorpusStats(spark, root)
+  }
+
+  /** MINOR fold — the LSM memtable-merge tier auto-compact runs (the
+    * [[LinkGraph.compactOverrides]] discipline): only the accumulated
+    * per-tag OVERRIDE files merge into term-clustered,
+    * granule-respecting runs, so fold I/O is ∝ the override bytes —
+    * never the store — and lifetime fold I/O stays linear where a
+    * full-rewrite-per-trigger is quadratic. Postings rows never span
+    * epochs and ids are delta-unique across tags, so both folds
+    * resolve by identity (pure re-shard). The per-tag stats
+    * contributions fold into base on the same cadence: once a tag's
+    * postings names are gone, a replayed tag's `deleteCorpusStats`
+    * must find nothing to delete, or the replay silently drops an
+    * absorbed contribution from the live (N, Σdl). What a minor fold
+    * does NOT restore: global term clustering across base + folded
+    * runs — each folded run is term-contiguous within itself, so
+    * pushed-IN probes open at most one extra run per fold; run a major
+    * [[compact]] at operator cadence to re-merge. Tag-name discipline
+    * holds unchanged ([[graft.sources.TargetedDelete.foldFiles]]'s
+    * roll-forward marker makes each subset swap all-or-nothing per
+    * table).
+    */
+  def compactOverrides(spark: SparkSession, root: String): Unit = {
+    requireIndex(spark, root)
+    val g = rowsPerFileOf(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = postingsDir(root)
+    val tagged = graft.sources.ParquetSource.listParquetFiles(dir, conf)
+      .filter(f => graft.sources.EpochFiles.isTagged(
+        new org.apache.hadoop.fs.Path(f).getName))
+    val ran = graft.sources.TargetedDelete.foldFiles(spark, dir, tagged, identity,
+      (df, staging) => df
+        .repartitionByRange(partsFor(df.count()), col("term"))
+        .sortWithinPartitions(col("term"), col("id"))
+        .write.option("maxRecordsPerFile", g)
+        .mode("overwrite").parquet(staging))
+    if (ran) {
+      graft.sources.FileStatsIndex.update(spark, dir, Seq("term"))
+      spark.catalog.refreshByPath(dir)
     }
+    graft.sources.IdCensus.compactOverrides(spark, root, g)
+    foldCorpusStats(spark, root)
   }
 
   /** Re-derive both sidecars (id census, corpus stats) from the

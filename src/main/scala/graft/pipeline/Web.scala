@@ -459,6 +459,55 @@ object Web {
                                dir: String, maxFiles: Int): Unit =
     graft.sources.AutoCompact.setPolicy(spark, dir, maxFiles)
 
+  /** MINOR fold — the tier the streaming path's auto-compact runs:
+    * only the accumulated per-tag OVERRIDE deltas
+    * ([[advanceStagedLineCensus]]'s published epochs) merge, so fold
+    * I/O is ∝ the override bytes — never the census. Unlike the
+    * append-only stores this resolve is NOT identity: census rows for
+    * one `line_hash` may appear in several deltas, and the read-time
+    * fold contract (occ sums, first-locator mins — a commutative
+    * monoid) makes the within-subset aggregate exactly equivalent, so
+    * probe results are identical before and after. What it does NOT
+    * reclaim: a hash present in base AND overrides keeps two rows
+    * until a major [[compactLineCensus]] — bounded at one extra row
+    * per (hash, fold-run tier), and probes aggregate at read time
+    * regardless. Tag-name discipline holds unchanged
+    * ([[graft.sources.TargetedDelete.foldFiles]]'s roll-forward
+    * marker makes the subset swap all-or-nothing).
+    */
+  def minorCompactLineCensus(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    val rows = censusRows(dir)
+    val p = new org.apache.hadoop.fs.Path(rows)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(rows + "__old")))
+      return
+    // recover a crashed MAJOR swap first: foldFiles recovers its own
+    // rewrite protocol, not SwapStore's aside-dir
+    graft.streaming.SwapStore.readCurrent(spark, rows,
+      new org.apache.spark.sql.types.StructType())
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tagged = graft.sources.ParquetSource.listParquetFiles(rows, conf)
+      .filter(f => graft.sources.EpochFiles.isTagged(
+        new org.apache.hadoop.fs.Path(f).getName))
+    val ran = graft.sources.TargetedDelete.foldFiles(spark, rows, tagged,
+      df => df.groupBy(col("line_hash"))
+        .agg(sum(col("occ")).as("occ"),
+          min(struct(col("first_id"), col("first_no"))).as("first_at"))
+        .select(col("line_hash"), col("occ"),
+          col("first_at.first_id").as("first_id"),
+          col("first_at.first_no").as("first_no")),
+      (df, staging) => {
+        val shards = math.max(1L, math.min(200L,
+          (df.count() - 1L) / 2000000L + 1L)).toInt
+        df.repartitionByRange(shards, col("line_hash"))
+          .sortWithinPartitions(col("line_hash"))
+          .write.mode("overwrite").parquet(staging)
+      })
+    if (ran) spark.catalog.refreshByPath(rows)
+  }
+
   def compactLineCensus(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
     val rows = new org.apache.hadoop.fs.Path(censusRows(dir))

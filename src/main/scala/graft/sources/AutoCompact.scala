@@ -41,11 +41,13 @@ import org.apache.spark.sql.SparkSession
   * tables while the folded ones keep theirs. Completing the fold
   * first restores the invariant (all names gone, all rows present),
   * and the stores' delta checks (edge anti-join, id census) then make
-  * the replay a clean no-op. This requires the fold itself to be
-  * ALL-OR-NOTHING per table (SwapStore full-rewrite folds, as every
-  * store's `compact`/`recluster` here is) — a partial small-file
-  * merge would leave a tag's names half-destroyed WITHIN one table,
-  * which no entry-point recovery can repair.
+  * the replay a clean no-op. This requires the fold to be
+  * ALL-OR-NOTHING per table: a tag loses ALL its names in a table or
+  * none. Full SwapStore rewrites satisfy it trivially; the stores'
+  * MINOR folds (override files only, I/O ∝ override bytes) satisfy it
+  * through [[TargetedDelete.foldFiles]]'s roll-forward rewrite marker
+  * — the subset swap completes or rolls forward on recovery, never
+  * leaving a tag's names half-destroyed within one table.
   */
 object AutoCompact {
 

@@ -140,6 +140,37 @@ object IdCensus {
     ()
   }
 
+  /** MINOR fold: merge only the accumulated per-tag OVERRIDE files
+    * into id-clustered runs at the caller's granularity — I/O ∝
+    * override bytes, never the census ([[TargetedDelete.foldFiles]]'s
+    * roll-forward marker keeps the subset swap all-or-nothing, so
+    * every folded tag loses ALL its names or none). Ids are unique
+    * across tags by the delta discipline, so the resolve is identity.
+    * `rowsPerFile ≤ 0` leaves file sizing to the shard count alone
+    * (pre-policy stores).
+    */
+  def compactOverrides(spark: SparkSession, root: String,
+                       rowsPerFile: Long): Unit = {
+    if (!exists(spark, root)) return
+    val dir = rowsDir(root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tagged = ParquetSource.listParquetFiles(dir, conf)
+      .filter(f => EpochFiles.isTagged(new org.apache.hadoop.fs.Path(f).getName))
+    val ran = TargetedDelete.foldFiles(spark, dir, tagged, identity,
+      (df, staging) => {
+        val shards = math.max(1L, math.min(200L,
+          if (rowsPerFile > 0) (df.count() - 1L) / rowsPerFile + 1L else 1L)).toInt
+        val w = df.repartitionByRange(shards, col("id"))
+          .sortWithinPartitions(col("id")).write
+        (if (rowsPerFile > 0) w.option("maxRecordsPerFile", rowsPerFile) else w)
+          .mode("overwrite").parquet(staging)
+      })
+    if (ran) {
+      FileStatsIndex.update(spark, dir, Seq("id"))
+      spark.catalog.refreshByPath(dir)
+    }
+  }
+
   /** Fold accumulated epoch files back into a globally id-clustered
     * layout (crash-safe swap) and rebuild the stats artifact. Same
     * between-epochs caveat as every store compact: the swap renames

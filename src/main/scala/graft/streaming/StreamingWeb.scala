@@ -69,14 +69,15 @@ object StreamingWeb {
     sess.catalog.refreshByPath(outDir)
     // committed — the auto-compact policy may fold accumulated census
     // epoch deltas HERE, strictly after the marker (the StreamingDedup
-    // discipline): the fold merges occ contributions under a
-    // crash-safe swap, probe results are identical by the read-time
-    // fold contract, a replay of THIS epoch short-circuits on its
-    // marker, and the only per-tag names destroyed belong to COMMITTED
-    // epochs no replay will retire.
+    // discipline). The fold is MINOR (override deltas only, I/O ∝
+    // override bytes — see Web.minorCompactLineCensus): the
+    // within-subset occ/first-locator aggregate is probe-equivalent by
+    // the read-time fold contract, a replay of THIS epoch
+    // short-circuits on its marker, and the only per-tag names
+    // destroyed belong to COMMITTED epochs no replay will retire.
     graft.sources.AutoCompact.maybe(sess, censusDir,
       Seq(censusDir + "/rows")) {
-      Web.compactLineCensus(sess, censusDir)
+      Web.minorCompactLineCensus(sess, censusDir)
     }
     ()
   }

@@ -452,6 +452,39 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(results == got)
   }
 
+  test("minor fold: base files survive by name; only the override tier folds; census follows") {
+    val root = Files.createTempDirectory("graft-ann-minor").toString + "/idx"
+    val h = AnnIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      root, kIvf = 8, m = 16, ksub = 16, iters = 2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def names(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(conf).listStatus(p).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val baseIdx = names(h.indexPath)
+    val baseCen = names(graft.sources.IdCensus.rowsDir(root))
+    AnnIndex.setAutoCompact(spark, root, 1)
+    assert(AnnIndex.appendEpoch(h,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 350),
+      "vec_id", "embedding", "mf1") === 50L)
+    // the fold ran (no tagged names anywhere) and it was MINOR: every
+    // base file survives untouched BY NAME — fold I/O was the override
+    // tier alone, never the store
+    val idxNow = names(h.indexPath)
+    val cenNow = names(graft.sources.IdCensus.rowsDir(root))
+    assert(baseIdx.subsetOf(idxNow), "a minor fold rewrote base index files")
+    assert(baseCen.subsetOf(cenNow), "a minor fold rewrote base census files")
+    assert(!idxNow.exists(_.startsWith("part-mf1__")))
+    assert(!cenNow.exists(_.startsWith("part-mf1__")))
+    assert(spark.read.parquet(h.indexPath).count() === 350L)
+    // replaying the folded tag is still a clean no-op
+    assert(AnnIndex.appendEpoch(h,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 350),
+      "vec_id", "embedding", "mf1") === 0L)
+    assert(spark.read.parquet(h.indexPath).count() === 350L)
+  }
+
   test("mixed-schema census forget: pre-bucket rows route to the scan, nothing survives") {
     val root = Files.createTempDirectory("graft-ann-mixed").toString + "/idx"
     val h = AnnIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding",

@@ -752,6 +752,46 @@ class DedupSpec extends AnyFunSuite {
     assert(pre == post && post == Set(98L))
   }
 
+  test("NearDupStore.compactOverrides: base survives by name, staged overrides fold, decisions unchanged") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-nds-mf")
+      .resolve("s").toString
+    Dedup.NearDupStore.create(
+      Seq((5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), "doc_id", "text", store)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def names(t: String) = graft.sources.ParquetSource
+      .listParquetFiles(s"$store/$t", conf)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val tables = Seq("bands/rows", "sigs", "shingles")
+    val base = tables.map(t => t -> names(t)).toMap
+    // two staged advances form the tagged override tier
+    Dedup.NearDupStore.advanceStaged(
+      Seq((10L, "unique words for the first staged epoch nothing shared"))
+        .toDF("doc_id", "text"), "doc_id", "text", store, "t1")
+    Dedup.NearDupStore.advanceStaged(
+      Seq((11L, "entirely different vocabulary in the second staged epoch here"))
+        .toDF("doc_id", "text"), "doc_id", "text", store, "t2")
+    val probe = Seq(
+      (99L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 5
+      (97L, "unique words for the first staged epoch nothing shared"),   // dup of 10
+      (98L, "never seen anywhere previously by anyone in any corpus yet"))
+      .toDF("doc_id", "text")
+    val pre = Dedup.NearDupStore.dropNearDups(probe, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    Dedup.NearDupStore.compactOverrides(spark, store)
+    for (t <- tables) {
+      val now = names(t)
+      assert(base(t).subsetOf(now), s"a minor fold rewrote base files in $t")
+      assert(!now.exists(n => n.startsWith("part-t1__") || n.startsWith("part-t2__")),
+        s"$t still carries staged override names after the minor fold")
+    }
+    // the folded overrides still suppress their near-dups exactly
+    val post = Dedup.NearDupStore.dropNearDups(probe, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pre == post && post == Set(98L))
+  }
+
   test("NearDupStore: every write path keeps a complete _stats artifact; file-level prune engages") {
     import spark.implicits._
     def pathOf(f: String) = new org.apache.hadoop.fs.Path(f).toUri.getPath

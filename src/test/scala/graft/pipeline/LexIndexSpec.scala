@@ -182,6 +182,70 @@ class LexIndexSpec extends AnyFunSuite {
       .filter(col("id") === 9L).count() === 2L) // "spark extra": 2 terms, once
   }
 
+  test("minor fold: base files survive by name, overrides fold, stats absorb; replay keeps (N, Σdl)") {
+    val r = root()
+    LexIndex.create(corpus, "id", "text", r)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def names(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(conf).listStatus(p).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val basePost = names(r + "/postings")
+    val baseCen = names(graft.sources.IdCensus.rowsDir(r))
+    LexIndex.setAutoCompact(spark, r, 1)
+    LexIndex.appendEpoch(Seq((9L, "spark extra")).toDF("id", "text"),
+      "id", "text", r, "mf1")
+    // the fold ran (no tagged names anywhere) and it was MINOR: every
+    // base file survives untouched BY NAME — fold I/O was the override
+    // tier alone, never the store
+    val postNow = names(r + "/postings")
+    val cenNow = names(graft.sources.IdCensus.rowsDir(r))
+    assert(basePost.subsetOf(postNow), "a minor fold rewrote base postings files")
+    assert(baseCen.subsetOf(cenNow), "a minor fold rewrote base census files")
+    assert(!postNow.exists(_.startsWith("part-mf1__")))
+    assert(!cenNow.exists(_.startsWith("part-mf1__")))
+    // the per-epoch stats contribution was absorbed into base on the
+    // same cadence: one contribution file, and the live (N, Σdl) is
+    // exact — so a REPLAY of the folded tag (whose deleteCorpusStats
+    // now finds nothing) cannot lose the contribution
+    val cdir = new org.apache.hadoop.fs.Path(r + "/_corpus")
+    val cfs = cdir.getFileSystem(conf)
+    assert(cfs.listStatus(cdir).map(_.getPath.getName).count(_.endsWith(".json")) === 1)
+    val stats = LexIndex.readCorpusStats(spark, r)
+    assert(stats._1 === 5L, s"expected 5 indexed docs, got $stats")
+    LexIndex.appendEpoch(Seq((9L, "spark extra")).toDF("id", "text"),
+      "id", "text", r, "mf1")
+    assert(LexIndex.readCorpusStats(spark, r) === stats,
+      "replaying a folded tag changed the corpus stats")
+    assert(hits(r).exists(_._3 == 9L))
+  }
+
+  test("corpus-stats fold: a live staging file is the authority mid-fold; promotion idempotent") {
+    val r = root()
+    LexIndex.create(corpus, "id", "text", r)
+    LexIndex.appendEpoch(Seq((9L, "spark extra")).toDF("id", "text"),
+      "id", "text", r, "cs1")
+    val before = LexIndex.readCorpusStats(spark, r)
+    // simulate a stats fold that crashed after writing its staging file
+    // and deleting SOME contributions: the remaining .json set
+    // undercounts, and only the staging total is exact
+    val cdir = new org.apache.hadoop.fs.Path(r + "/_corpus")
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(cdir, "fold.tmp"), true)
+    try out.write(s"""{"n":${before._1},"sumdl":${before._2}}""".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(cdir, "epoch-cs1.json"), false)
+    assert(LexIndex.readCorpusStats(spark, r) === before,
+      "mid-fold reads must come from the staging authority, not the partial file set")
+    // recovery re-runs the fold from the crash point: staging promotes
+    // to base, the sum survives, and the staging file clears
+    LexIndex.foldCorpusStats(spark, r)
+    assert(LexIndex.readCorpusStats(spark, r) === before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cdir, "fold.tmp")))
+    assert(fs.listStatus(cdir).map(_.getPath.getName).count(_.endsWith(".json")) === 1)
+  }
+
   test("mixed-schema census forget: pre-forward rows route to the scan, nothing survives") {
     val r = root()
     LexIndex.create(corpus, "id", "text", r)

@@ -241,6 +241,37 @@ class WebSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no line census"))
   }
 
+  test("minorCompactLineCensus folds only the staged deltas; probes identical; base survives by name") {
+    val dir = tmpCensus()
+    Web.createLineCensus(
+      Seq((1L, "banner\nbody one"), (2L, "banner\nbody two")).toDF("id", "text"),
+      "id", "text", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def names() = graft.sources.ParquetSource.listParquetFiles(dir + "/rows", conf)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val base = names()
+    // two staged epochs SHARE the "newdup" line — its occ contributions
+    // sit in two override deltas the fold must aggregate
+    Web.advanceStagedLineCensus(
+      Seq((3L, "newdup\nbody three")).toDF("id", "text"), "id", "text", dir, "w1")
+    Web.advanceStagedLineCensus(
+      Seq((4L, "newdup\nbody four")).toDF("id", "text"), "id", "text", dir, "w2")
+    val probe = Seq((9L, "banner\nnewdup\nfresh line nine")).toDF("id", "text")
+    val pre = sorted(Web.lineDedupAgainst(dir, probe, "id", "text"))
+    Web.minorCompactLineCensus(spark, dir)
+    val now = names()
+    assert(base.subsetOf(now), "a minor fold rewrote base census files")
+    assert(!now.exists(n => n.startsWith("part-w1__") || n.startsWith("part-w2__")))
+    assert(sorted(Web.lineDedupAgainst(dir, probe, "id", "text")) === pre)
+    // the within-subset aggregate really merged: ONE folded row for
+    // "newdup" carrying occ 2 and the min locator across both deltas
+    val dupHash = Seq("newdup").toDF("l").select(md5(col("l"))).as[String].head()
+    val dupRows = spark.read.parquet(dir + "/rows")
+      .filter(col("line_hash") === dupHash)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(dupRows === Seq((dupHash, 2L, 3L, 0)))
+  }
+
   test("advance is exact: occ adds, first takes the global min (census survives a re-read)") {
     val dir = tmpCensus()
     Web.createLineCensus(Seq((5L, "dup here")).toDF("id", "text"), "id", "text", dir)
