@@ -417,11 +417,17 @@ object ScaleBench {
         // bench-scale granularity (same reason as graph_rank_epoch:
         // the 4M default puts both corpus sizes in one file per term
         // range and would measure nothing) — the byte claim under
-        // test is that a pushed-IN term probe sweeps at most
+        // test is that an artifact-planned term probe sweeps at most
         // rowsPerFile rows per matched range, not the fold's
-        // corpus-grown shard
+        // corpus-grown shard. The granularity must be small enough
+        // that the bound BINDS at the base size too: at 65536 the
+        // base table (116k rows) was 1-2 files, so the base probe
+        // degenerated to a full-table read and the ratio measured
+        // base-regime truncation (3×), not growth; at 8192 both
+        // sizes sit in the bound-limited regime (6 terms × ≤8192
+        // rows each) and flat bytes measure the actual claim.
         pipeline.LexIndex.create(Tables.load(s, dir, "documents"),
-          "doc_id", "text", p, rowsPerFile = 65536L)
+          "doc_id", "text", p, rowsPerFile = 8192L)
         p
       })
       val queries = Seq(("q0", "spark"), ("q0", "window"),
@@ -563,31 +569,48 @@ object ScaleBench {
     // the RANGE-LOCAL codes-table byte probe ann_search can't be
     // (its broadcast join scans the whole codes frame by design, the
     // documented cheap-per-row linear claim): an index whose BUCKET
-    // COUNT scales with the corpus (constant ~4k rows/bucket — the
-    // production discipline: recall tracks bucket size, so you grow
-    // buckets in number, not size) served through searchPruned's
+    // COUNT scales with the corpus at CONSTANT rows/bucket (~128 at
+    // bench scale — the production discipline: recall tracks bucket
+    // size, so you grow buckets in number, not size, which is what
+    // AnnIndex.retrain exists for) served through searchPruned's
     // stats-pruned point reads. A fixed 50-query batch then probes a
     // constant number of constant-size buckets, and with the
     // granularity policy each touched file holds at most rowsPerFile
     // rows — bytes must stay ~flat at 10×, exactly the
-    // graph_rank_epoch claim on the ANN store's layout.
+    // graph_rank_epoch claim on the ANN store's layout. Bench-scale
+    // knobs, all for the same reason as graph_rank_epoch's 4096
+    // granularity: the probe's byte BOUND (probed buckets × bucket
+    // rows, file-rounded) must bind at BOTH corpus sizes or the base
+    // side degenerates to a full read of its tiny table and the ratio
+    // measures base-regime truncation instead of growth. The base
+    // embeddings table is only 2000 rows, so: cell size ~32 rows
+    // (kIvf = corpus/32 — both sizes past the 16-cell floor; a
+    // floor-pinned cell count, as this probe's first cut had, silently
+    // grows cell SIZE 10× and measures the un-retrained layout), file
+    // granularity 128 rows, and a 5-query × nProbe-2 batch probing
+    // ≤10 buckets ⇒ ≤10 matched files × 128 rows at either size.
+    // The WALL ratio here is dominated by coarse-quantizer centroid
+    // assignment (∝ kIvf, 10× more centroids at 10× by construction,
+    // sub-second absolute) — the claim under test is the BYTES line;
+    // production serves batches where the per-query centroid math
+    // amortizes and nProbe/kCand come from the tuner.
     "ann_codes_probe" -> { (s, dir) =>
       val root = annRoots.getOrElseUpdate(s"$dir#codes", {
         val p = java.nio.file.Files.createTempDirectory("graft-scale-annc")
           .resolve("ix").toString
         val corpus = Tables.load(s, dir, "embeddings")
-        val kIvf = math.max(16L, corpus.count() / 4096L).toInt
+        val kIvf = math.max(16L, corpus.count() / 32L).toInt
         pipeline.AnnIndex.build(corpus, "vec_id", "embedding", p,
           kIvf = kIvf, m = 16, ksub = 16, iters = 2,
-          trainSample = Some(4000L), rowsPerFile = 4096L)
+          trainSample = Some(4000L), rowsPerFile = 128L)
         p
       })
       val h = pipeline.AnnIndex.open(s, root)
       val queries = Checkpoints.materialize(
-        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 50))
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 5))
       val (n, bytes) = withBytesRead(s) {
         pipeline.AnnIndex.searchPruned(h, queries, "vec_id", "embedding",
-          k = 10, nProbe = 4).count()
+          k = 10, nProbe = 2).count()
       }
       annCodesBytes(dir) = annCodesBytes.get(dir).fold(bytes)(math.min(_, bytes))
       n

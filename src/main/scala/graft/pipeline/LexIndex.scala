@@ -537,6 +537,30 @@ object LexIndex {
     * never emitted, so engines can replay the ranking without
     * float-hash hazards.
     */
+  /** Postings rows matching a bounded query-term set, with the file
+    * list planned from the `_stats` artifact BEFORE the scan
+    * ([[graft.sources.KeyedReads.prunedRead]]'s two-layer read): a
+    * footer-planned `isin` scan opens EVERY file's footer, so probe
+    * bytes grow with the table's FILE COUNT under epoch accumulation
+    * even when the matched row groups stay constant — measured 3.5× at
+    * 10× on a granularity-pinned store, the one growth mode the
+    * rows-per-file policy cannot remove (file count ∝ corpus is by
+    * design). Artifact-planned, the probe opens only the files whose
+    * term range matches, and the artifact itself is served from the
+    * session stats cache. Over-cap term sets fall back to the
+    * broadcast semi-join against a full scan (same rows, no pruning).
+    */
+  private def prunedPostings(spark: SparkSession, root: String, q: DataFrame,
+                             maxInlineTerms: Int): DataFrame = {
+    val terms = q.select(col("term")).distinct()
+    val inline = terms.limit(maxInlineTerms + 1).collect().map(_.getString(0))
+    if (inline.length <= maxInlineTerms)
+      graft.sources.KeyedReads.prunedRead(spark, postingsDir(root), "term",
+        inline.map(x => x: Any))
+    else spark.read.parquet(postingsDir(root))
+      .join(broadcast(terms), Seq("term"), "left_semi")
+  }
+
   def bm25Search(spark: SparkSession, root: String, queries: DataFrame,
                  queryIdCol: String, termCol: String, k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
@@ -544,16 +568,11 @@ object LexIndex {
     require(k > 0, s"k must be positive, got $k")
     requireIndex(spark, root)
     val q = queryTerms(queries, queryIdCol, termCol)
-    val post = spark.read.parquet(postingsDir(root))
     // exact stats: integer sum + count pinned at write time, ONE
     // division — not avg(), whose internal accumulation an oracle
     // can't replay operand-for-operand
     val (nDocs, sumDl) = readCorpusStats(spark, root)
-    val terms = q.select(col("term")).distinct()
-    val inline = terms.limit(maxInlineTerms + 1).collect().map(_.getString(0))
-    val pruned =
-      if (inline.length <= maxInlineTerms) post.filter(col("term").isin(inline.toIndexedSeq: _*))
-      else post.join(broadcast(terms), Seq("term"), "left_semi")
+    val pruned = prunedPostings(spark, root, q, maxInlineTerms)
     // postings are unique per (id, term), so count(*) IS the df
     val df = pruned.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
     val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
@@ -585,9 +604,9 @@ object LexIndex {
     * [[Text.retrievalTopK]] over the indexed corpus: output
     * `(queryIdCol, rank, id, n_matched, sum_tf, dl)`. `queries` is a
     * BOUNDED batch (the retrieval cost model); its distinct terms are
-    * collected and pushed as an In-filter into the postings scan while
-    * they fit `maxInlineTerms`, else the filter becomes a broadcast
-    * semi-join (same rows, no scan pruning).
+    * collected and the postings read is artifact-planned + In-pushed
+    * ([[prunedPostings]]) while they fit `maxInlineTerms`, else the
+    * filter becomes a broadcast semi-join (same rows, no pruning).
     */
   def search(spark: SparkSession, root: String, queries: DataFrame,
              queryIdCol: String, termCol: String, k: Int,
@@ -595,12 +614,7 @@ object LexIndex {
     require(k > 0, s"k must be positive, got $k")
     requireIndex(spark, root)
     val q = queryTerms(queries, queryIdCol, termCol)
-    val post = spark.read.parquet(postingsDir(root))
-    val terms = q.select(col("term")).distinct()
-    val inline = terms.limit(maxInlineTerms + 1).collect().map(_.getString(0))
-    val pruned =
-      if (inline.length <= maxInlineTerms) post.filter(col("term").isin(inline.toIndexedSeq: _*))
-      else post.join(broadcast(terms), Seq("term"), "left_semi")
+    val pruned = prunedPostings(spark, root, q, maxInlineTerms)
     pruned.join(q, Seq("term"))
       .groupBy(col(queryIdCol), col("id"))
       .agg(max(col("dl")).as("dl"),
