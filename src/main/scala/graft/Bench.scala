@@ -71,6 +71,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // lazy keyed point reads keep exact OR-of-eq parquet pushdown for
+      // their sorted 512-key IN chunks (see KeyedReads/Tables.session)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        sources.KeyedReads.PruneChunk.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

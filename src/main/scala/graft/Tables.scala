@@ -30,6 +30,57 @@ object Tables {
     }
   }
 
+  /** Splittable scan units (parquet row groups) a table's files offer —
+    * the ceiling on scan-side parallelism: Spark assigns a parquet row
+    * group to exactly one task, so a table with fewer row groups than
+    * the session has cores can never parallelize scan-side compute no
+    * matter how `maxPartitionBytes` splits the byte ranges. Driver-side
+    * footer reads, cached per (path, file signature).
+    */
+  private val unitsCache = scala.collection.concurrent.TrieMap[String, (String, Int)]()
+
+  def scanUnits(spark: SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+                 else Seq(fs.getFileStatus(p)))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val sig = files.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    unitsCache.get(path) match {
+      case Some((s, n)) if s == sig => n
+      case _ =>
+        val n = files.map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        }.sum
+        unitsCache(path) = (sig, n)
+        n
+    }
+  }
+
+  /** [[load]] with compute fan-out for scan-bound operators (guide §2:
+    * derive partitioning from the INPUT, never a constant): when the
+    * file layout offers fewer splittable units than the session's
+    * cores, hash-repartition to full width so per-row compute above the
+    * scan (tokenize + hash signatures, distance arithmetic) runs at
+    * core width instead of row-group width. At warehouse scale inputs
+    * carry thousands of row groups and this is a no-op — the shuffle
+    * only ever pays off (and only ever happens) when the layout would
+    * otherwise idle the machine. Hash keys keep the exchange
+    * deterministic (no round-robin local sort) and AQE never coalesces
+    * an explicit-width repartition back down.
+    */
+  def loadFanOut(spark: SparkSession, sfDir: String, name: String,
+                 by: Seq[String]): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (scanUnits(spark, s"$sfDir/$name.parquet") >= p) df
+    else df.repartition(p, by.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   /** Convenience: standard local session shaped for this container
     * (local[32], 128 GiB, 32 shuffle partitions — see the builder notes).
     * On a real cluster only the master/shuffle settings change.
@@ -40,6 +91,13 @@ object Tables {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // keyed point reads push sorted 512-key IN chunks into parquet;
+      // exact OR-of-eq row-group pruning (vs the min/max collapse past
+      // the default threshold of 10) is what keeps probe bytes batch-
+      // proportional — see KeyedReads. Session-wide so LAZY pruned
+      // frames (planned after the read call returns) keep it too.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.sources.KeyedReads.PruneChunk.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

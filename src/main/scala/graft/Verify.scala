@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // lazy keyed point reads keep exact OR-of-eq parquet pushdown for
+      // their sorted 512-key IN chunks (see KeyedReads/Tables.session)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        sources.KeyedReads.PruneChunk.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -269,11 +269,15 @@ object Graphs {
       .filter(col("id").isNotNull).distinct()
     // (id, __seed ∈ {0,1}) over the node set, materialized once — the
     // per-round teleport indicator
-    val flagged = graft.Checkpoints.materialize(
-      nodes.join(s.withColumn("__seed", lit(1L)), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed")))
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .transform(graft.Checkpoints.materialize)
+    // flagged and outDeg both derive from the materialized edge frame
+    // and nothing else — materialize them concurrently (guide §1: the
+    // loop's cost is its job chain)
+    val Seq(flagged, outDeg) = graft.Par.run(e.sparkSession)(
+      () => graft.Checkpoints.materialize(
+        nodes.join(s.withColumn("__seed", lit(1L)), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"))),
+      () => graft.Checkpoints.materialize(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg"))))
     val base = scale / 100L * (100L - dampingPct)
     var ranks = flagged.select(col("id"), (col("__seed") * scale).as("rank"))
       .transform(graft.Checkpoints.materialize)
@@ -307,11 +311,14 @@ object Graphs {
     require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
     require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
     require(scale >= 100L, "scale must be >= 100")
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
-      .transform(graft.Checkpoints.materialize)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .transform(graft.Checkpoints.materialize)
+    // node set and degree sidecar both derive from the materialized
+    // edge frame alone — build them concurrently
+    val Seq(nodes, outDeg) = graft.Par.run(e.sparkSession)(
+      () => graft.Checkpoints.materialize(
+        e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct()),
+      () => graft.Checkpoints.materialize(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg"))))
     val nNodes = if (dangling) nodes.count() else 0L
     val base = scale / 100L * (100L - dampingPct)
     var ranks = nodes.select(col("id"), lit(scale).as("rank"))
@@ -377,26 +384,31 @@ object Graphs {
     require(iters >= 1 && iters <= 30, "iters must be in [1, 30]")
     require(dampingPct >= 1 && dampingPct <= 99, "dampingPct must be in [1, 99]")
     require(scale >= 100L, "scale must be >= 100")
-    val e1 = canonEdges(oldEdges, srcCol, dstCol)
-    val eU = canonEdges(
-      oldEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .unionAll(newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))),
-      "src", "dst")
+    // the two canonical edge frames are independent — materialize
+    // concurrently
+    val Seq(e1, eU) = graft.Par.run(oldEdges.sparkSession)(
+      () => canonEdges(oldEdges, srcCol, dstCol),
+      () => canonEdges(
+        oldEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .unionAll(newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))),
+        "src", "dst"))
     val delta = eU.join(e1, Seq("src", "dst"), "left_anti")
       .transform(graft.Checkpoints.materialize)
     val lv = oldLevels.select(col("id"), col("iter"), col("rank"))
     if (delta.isEmpty) return lv
-    val degU = eU.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .transform(graft.Checkpoints.materialize)
     def nodesOf(e: DataFrame) = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
-    val newNodes = nodesOf(eU).join(nodesOf(e1), Seq("id"), "left_anti")
-    // perturbation seeds: out-neighbors of every changed-degree source
-    // (their contributions via ALL out-edges change) + new vertices
-    val seeds = eU.join(delta.select(col("src")).distinct(), Seq("src"), "left_semi")
-      .select(col("dst").as("id"))
-      .unionAll(newNodes).distinct()
-      .transform(graft.Checkpoints.materialize)
+    // degree sidecar and perturbation seeds (out-neighbors of every
+    // changed-degree source + new vertices) are independent once delta
+    // settles — materialize concurrently
+    val Seq(degU, seeds) = graft.Par.run(oldEdges.sparkSession)(
+      () => graft.Checkpoints.materialize(
+        eU.groupBy(col("src")).agg(count(lit(1)).as("deg"))),
+      () => graft.Checkpoints.materialize(
+        eU.join(delta.select(col("src")).distinct(), Seq("src"), "left_semi")
+          .select(col("dst").as("id"))
+          .unionAll(nodesOf(eU).join(nodesOf(e1), Seq("id"), "left_anti"))
+          .distinct()))
     val base = scale / 100L * (100L - dampingPct)
     var changed: DataFrame = null // (id, rank) whose level-(k-1) rank differs
     val changedLevels = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -486,15 +498,19 @@ object Graphs {
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
       .transform(graft.Checkpoints.materialize)
-    def rescaled(raw: DataFrame, out: String): DataFrame = {
-      // raw: (id, s) with s >= 0; normalize so the max lands on scale
+    def rescaled(raw0: DataFrame, out: String): DataFrame = {
+      // raw: (id, s) with s >= 0; normalize so the max lands on scale.
+      // Materialize the half-round ONCE, read the max off the
+      // checkpoint, and keep the rescale a lazy projection — the old
+      // shape ran the join+sum twice per half-round (once under the
+      // max collect, once under the rescale's own materialize)
+      val raw = graft.Checkpoints.materialize(raw0)
       val mRow = raw.agg(max(col("s"))).collect()(0)
       val m = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
       raw.select(col("id"),
-          (if (m <= 0L) lit(0L)
-           else expr(s"(s * CAST($scale AS BIGINT)) div CAST($m AS BIGINT)"))
-            .as(out))
-        .transform(graft.Checkpoints.materialize)
+        (if (m <= 0L) lit(0L)
+         else expr(s"(s * CAST($scale AS BIGINT)) div CAST($m AS BIGINT)"))
+          .as(out))
     }
     def halfRound(score: DataFrame, scoreCol: String, fromCol: String,
                   toCol: String): DataFrame =

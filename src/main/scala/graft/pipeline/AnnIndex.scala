@@ -617,10 +617,49 @@ object AnnIndex {
     */
   def searchRerank(handle: Handle, queries: DataFrame, corpus: DataFrame,
                    idCol: String, vecCol: String, k: Int, nProbe: Int,
-                   kCand: Int): DataFrame =
-    Pq.rerankExact(
-      search(handle, queries, idCol, vecCol, kCand, nProbe),
-      queries, corpus.select(col(idCol), col(vecCol)), idCol, vecCol, k)
+                   kCand: Int): DataFrame = {
+    // Candidate ADMISSION is the probed buckets' rows; the ADC ranking
+    // window only CAPS that set at kCand per query. Materialize the
+    // un-ranked scored frame once and size it in one aggregation: when
+    // no query admits more than kCand rows the window is a no-op by
+    // construction — skip its shuffle+sort and hand the pairs straight
+    // to the exact stage (identical candidate set, and the exact stage
+    // alone decides the final order either way). Only an over-admitted
+    // batch pays the ranking pass, and the size numbers feed the exact
+    // stage's broadcast verdicts so nothing is counted twice.
+    val spark = queries.sparkSession
+    val idx = spark.read.parquet(handle.indexPath)
+      .withColumnRenamed("neighbor_id", idCol)
+    val scored = graft.Checkpoints.materialize(
+      Pq.ivfAdcScored(queries, idx, idCol, vecCol, "codes", "bucket",
+        handle.ivf, handle.pq, nProbe))
+    val sized = scored.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("nq"),
+        max(col("__c")).as("maxPer")).head()
+    val (n, nq) = (Option(sized.get(0)).fold(0L)(_ => sized.getLong(0)),
+      sized.getLong(1))
+    val corpusVecs = corpus.select(col(idCol), col(vecCol))
+    // vector width is a model constant (dim = m·dsub) — no probe job
+    val width = Some((handle.pq.m * handle.pq.dsub).toLong)
+    if (sized.isNullAt(2) || sized.getLong(2) <= kCand.toLong)
+      Pq.rerankExactSized(scored.select(col("query_id"), col("neighbor_id")),
+        n, nq, queries, corpusVecs, idCol, vecCol, k, maxBroadcastRows = 4000000L,
+        knownVecWidth = width)
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+      val capped = graft.Checkpoints.materialize(
+        scored.withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= kCand)
+          .select(col("query_id"), col("neighbor_id")))
+      // per-query cap changes the totals: nq is unchanged (a capped
+      // query keeps ≥ k rows), n shrinks to Σ min(admitted, kCand)
+      val n2 = capped.agg(count(lit(1))).head().getLong(0)
+      Pq.rerankExactSized(capped, n2, nq, queries, corpusVecs,
+        idCol, vecCol, k, maxBroadcastRows = 4000000L, knownVecWidth = width)
+    }
+  }
 
   /** Operational recall tuner — the measured recall-vs-cost table a
     * production ANN deployment sets `nProbe` from, instead of guessing

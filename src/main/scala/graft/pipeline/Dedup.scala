@@ -349,8 +349,10 @@ object Dedup {
     * candidates), not the corpus.
     */
   private def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
-                         keyCol: String, keys: Array[Any]): DataFrame =
-    graft.sources.KeyedReads.prunedRead(spark, path, keyCol, keys)
+                         keyCol: String, keys: Array[Any],
+                         materialize: Boolean = true): DataFrame =
+    graft.sources.KeyedReads.prunedRead(spark, path, keyCol, keys,
+      materialize = materialize)
 
   /** Total bytes under a table directory — the cheap FS metadata call
     * behind the `minPruneBytes` floor: pruning a table that fits in a
@@ -574,19 +576,27 @@ object Dedup {
                rowsPerFile: Long = 4000000L): Unit = {
       val f = framed(df, idCol, textCol, bands * rowsPerBand)
         .transform(graft.Checkpoints.materialize)
-      BandIndex.write(f, "id", "sig", bands, rowsPerBand, sub(path, "bands"),
-        maxBucketSize, rowsPerFile)
+      // three disjoint tables fed by the one materialized frame —
+      // build them concurrently.
       // id-clustered: dropNearDups prunes these reads to candidate ids;
       // the file-granularity policy (see BandIndex.write) bounds what a
       // pruned point read can sweep in as the store grows
-      clusteredOn(f.select("id", "sig"), "id")
-        .write.option("maxRecordsPerFile", rowsPerFile)
-        .mode("errorifexists").parquet(sub(path, "sigs"))
-      clusteredOn(f.select("id", "sh"), "id")
-        .write.option("maxRecordsPerFile", rowsPerFile)
-        .mode("errorifexists").parquet(sub(path, "shingles"))
-      statsRebuild(df.sparkSession, sub(path, "sigs"), "id")
-      statsRebuild(df.sparkSession, sub(path, "shingles"), "id")
+      graft.Par.run(df.sparkSession)(
+        () => BandIndex.write(f, "id", "sig", bands, rowsPerBand,
+          sub(path, "bands"), maxBucketSize, rowsPerFile),
+        () => {
+          clusteredOn(f.select("id", "sig"), "id")
+            .write.option("maxRecordsPerFile", rowsPerFile)
+            .mode("errorifexists").parquet(sub(path, "sigs"))
+          statsRebuild(df.sparkSession, sub(path, "sigs"), "id")
+        },
+        () => {
+          clusteredOn(f.select("id", "sh"), "id")
+            .write.option("maxRecordsPerFile", rowsPerFile)
+            .mode("errorifexists").parquet(sub(path, "shingles"))
+          statsRebuild(df.sparkSession, sub(path, "shingles"), "id")
+        })
+      ()
     }
 
     /** Drop every batch row whose exact unigram Jaccard against some
@@ -633,7 +643,10 @@ object Dedup {
         val dir = sub(path, table)
         if (dirBytes(spark, dir) < minPruneBytes) spark.read.parquet(dir)
         else ids match {
-          case Some(ks) => prunedRead(spark, dir, "id", ks)
+          // lazy: each pruned table feeds exactly one downstream tier's
+          // materialization — the point scan folds into that job
+          // instead of paying its own
+          case Some(ks) => prunedRead(spark, dir, "id", ks, materialize = false)
           case None     => spark.read.parquet(dir)
         }
       }
@@ -657,23 +670,26 @@ object Dedup {
       if (advance) {
         val kept = f.join(out.select(col(idCol).as("id")), Seq("id"), "left_semi")
           .transform(graft.Checkpoints.materialize)
-        BandIndex.append(kept, "id", "sig", sub(path, "bands"))
         // appended files stay id-clustered so later probes' pushed-IN
         // pruning skips them like create()'s originals; each table's
         // stats artifact advances over exactly its appended files
         // (appendWithStats — one small job per table, not an artifact
-        // rewrite per table per advance)
+        // rewrite per table per advance). The three tables are disjoint
+        // dirs fed by the one materialized kept frame — append them
+        // concurrently (guide §1: an advance's cost is its job chain)
         val g = BandIndex.rowsPerFileOf(spark, sub(path, "bands"))
-        appendWithStats(spark, sub(path, "sigs"), "id") {
-          clusteredOn(kept.select("id", "sig"), "id")
-            .write.option("maxRecordsPerFile", g)
-            .mode("append").parquet(sub(path, "sigs"))
-        }
-        appendWithStats(spark, sub(path, "shingles"), "id") {
-          clusteredOn(kept.select("id", "sh"), "id")
-            .write.option("maxRecordsPerFile", g)
-            .mode("append").parquet(sub(path, "shingles"))
-        }
+        graft.Par.run(spark)(
+          () => BandIndex.append(kept, "id", "sig", sub(path, "bands")),
+          () => appendWithStats(spark, sub(path, "sigs"), "id") {
+            clusteredOn(kept.select("id", "sig"), "id")
+              .write.option("maxRecordsPerFile", g)
+              .mode("append").parquet(sub(path, "sigs"))
+          },
+          () => appendWithStats(spark, sub(path, "shingles"), "id") {
+            clusteredOn(kept.select("id", "sh"), "id")
+              .write.option("maxRecordsPerFile", g)
+              .mode("append").parquet(sub(path, "shingles"))
+          })
         // settled — the auto-compact policy (graft.sources.AutoCompact)
         // may restore the fully-clustered layout once advances have
         // accumulated enough files. recluster is an all-or-nothing

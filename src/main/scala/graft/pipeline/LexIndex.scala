@@ -551,12 +551,13 @@ object LexIndex {
     * broadcast semi-join against a full scan (same rows, no pruning).
     */
   private def prunedPostings(spark: SparkSession, root: String, q: DataFrame,
-                             maxInlineTerms: Int): DataFrame = {
+                             maxInlineTerms: Int,
+                             materialize: Boolean = true): DataFrame = {
     val terms = q.select(col("term")).distinct()
     val inline = terms.limit(maxInlineTerms + 1).collect().map(_.getString(0))
     if (inline.length <= maxInlineTerms)
       graft.sources.KeyedReads.prunedRead(spark, postingsDir(root), "term",
-        inline.map(x => x: Any))
+        inline.map(x => x: Any), materialize = materialize)
     else spark.read.parquet(postingsDir(root))
       .join(broadcast(terms), Seq("term"), "left_semi")
   }
@@ -614,7 +615,10 @@ object LexIndex {
     require(k > 0, s"k must be positive, got $k")
     requireIndex(spark, root)
     val q = queryTerms(queries, queryIdCol, termCol)
-    val pruned = prunedPostings(spark, root, q, maxInlineTerms)
+    // single consumer — the pruned scan folds into the caller's action
+    // instead of paying its own materialization job
+    val pruned = prunedPostings(spark, root, q, maxInlineTerms,
+      materialize = false)
     pruned.join(q, Seq("term"))
       .groupBy(col(queryIdCol), col("id"))
       .agg(max(col("dl")).as("dl"),

@@ -208,9 +208,11 @@ object LinkGraph {
 
   private def readByKeys(spark: SparkSession, dir: String, keyCol: String,
                          probe: DataFrame, probeCol: String,
-                         maxInline: Int = MaxInlineKeys): DataFrame =
+                         maxInline: Int = MaxInlineKeys,
+                         materialize: Boolean = true): DataFrame =
     graft.sources.KeyedReads.collectKeys(probe, probeCol, maxInline) match {
-      case Some(ks) => graft.sources.KeyedReads.prunedRead(spark, dir, keyCol, ks)
+      case Some(ks) => graft.sources.KeyedReads.prunedRead(spark, dir, keyCol, ks,
+        materialize = materialize)
       case None => spark.read.parquet(dir).join(
         probe.select(col(probeCol).as(keyCol)).distinct(), Seq(keyCol), "left_semi")
     }
@@ -245,16 +247,19 @@ object LinkGraph {
     require(rowsPerFile >= 1L, "rowsPerFile must be >= 1")
     val spark = edges.sparkSession
     val e = canon(edges, srcCol, dstCol)
-    writeClustered(e, outDir(root), "src", rowsPerFile)
-    writeClustered(e, inDir(root), "dst", rowsPerFile)
-    writeClustered(
-      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .withColumn("seq", lit(0L)),
-      degDir(root), "src", rowsPerFile)
-    writeClustered(
-      graft.operators.Graphs.pageRankLevels(e, "src", "dst", iters, dampingPct, scale)
-        .withColumn("seq", lit(0L)),
-      levelsDir(root), "id", rowsPerFile)
+    // all four tables derive from the one materialized edge frame and
+    // write to disjoint dirs — fan the builds out
+    graft.Par.run(spark)(
+      () => writeClustered(e, outDir(root), "src", rowsPerFile),
+      () => writeClustered(e, inDir(root), "dst", rowsPerFile),
+      () => writeClustered(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .withColumn("seq", lit(0L)),
+        degDir(root), "src", rowsPerFile),
+      () => writeClustered(
+        graft.operators.Graphs.pageRankLevels(e, "src", "dst", iters, dampingPct, scale)
+          .withColumn("seq", lit(0L)),
+        levelsDir(root), "id", rowsPerFile))
     writeSmallFile(spark, metaPath(root),
       s"""{"iters":$iters,"dampingPct":$dampingPct,"scale":$scale,""" +
         s""""rowsPerFile":$rowsPerFile}""")
@@ -284,18 +289,34 @@ object LinkGraph {
     rollbackFiles(spark, root, tag)
     val seq = seqFor(spark, root, tag)
     val cand0 = canon(newEdges, srcCol, dstCol)
-    // delta detection ∝ the batch's sources' existing out-edges
-    val existing = readByKeys(spark, outDir(root), "src", cand0, "src")
+    // delta detection ∝ the batch's sources' existing out-edges; the
+    // existing read stays LAZY — its only consumer is the anti-join
+    // inside the delta materialization job
+    val existing = readByKeys(spark, outDir(root), "src", cand0, "src",
+        materialize = false)
       .select(col("src"), col("dst"))
     val delta = graft.Checkpoints.materialize(
       cand0.join(existing, Seq("src", "dst"), "left_anti"))
     val nDelta = delta.count()
     if (nDelta == 0) return 0L
 
+    // the delta's source keys collect ONCE and prune both the stored-
+    // degree read and the perturbation-seed out-read below (two
+    // identical driver collects fused to one)
+    val deltaSrcKeys = graft.sources.KeyedReads
+      .collectKeys(delta, "src", MaxInlineKeys)
+    def readByDeltaSrcs(dir: String, keyCol: String): DataFrame =
+      deltaSrcKeys match {
+        case Some(ks) => graft.sources.KeyedReads.prunedRead(spark, dir, keyCol,
+          ks, materialize = false)
+        case None => spark.read.parquet(dir).join(
+          delta.select(col("src").as(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      }
+
     // degree overlay: stored deg for touched srcs + this epoch's adds
+    // (the stored read stays lazy — consumed once by the publish below)
     val deltaDeg = delta.groupBy(col("src")).agg(count(lit(1)).as("add"))
-    val oldDeg = resolveDeg(
-      readByKeys(spark, degDir(root), "src", delta, "src"))
+    val oldDeg = resolveDeg(readByDeltaSrcs(degDir(root), "src"))
     val newDeg = deltaDeg.join(oldDeg, Seq("src"), "left")
       .select(col("src"),
         (coalesce(col("deg"), lit(0L)) + col("add")).as("deg"),
@@ -309,44 +330,51 @@ object LinkGraph {
       absorbLabels(spark, root, delta, seq, tag, parts, meta.rowsPerFile)
 
     // edges + degrees publish FIRST: the frontier rounds below read
-    // the union graph through the store's own tables
-    publishClustered(spark, delta, root, "out", outDir(root), "src", tag, parts,
-      meta.rowsPerFile)
-    publishClustered(spark, delta, root, "in", inDir(root), "dst", tag, parts,
-      meta.rowsPerFile)
-    publishClustered(spark, newDeg, root, "deg", degDir(root), "src", tag, parts,
-      meta.rowsPerFile)
+    // the union graph through the store's own tables. The three
+    // publishes touch disjoint tables — fan them out (guide §1: the
+    // epoch's cost is its job CHAIN; independent publishes overlap
+    // their range-sample + write + stats jobs)
+    graft.Par.run(spark)(
+      () => publishClustered(spark, delta, root, "out", outDir(root), "src",
+        tag, parts, meta.rowsPerFile),
+      () => publishClustered(spark, delta, root, "in", inDir(root), "dst",
+        tag, parts, meta.rowsPerFile),
+      () => publishClustered(spark, newDeg, root, "deg", degDir(root), "src",
+        tag, parts, meta.rowsPerFile))
 
     // perturbation seeds: out-neighbors of every changed-degree source
-    // (all delta sources — appends only increase degree) + new vertices
-    val touchedNodes = graft.Checkpoints.materialize(
-      delta.select(col("src").as("id"))
-        .unionAll(delta.select(col("dst").as("id"))).distinct())
-    val knownIds = readByKeys(spark, levelsDir(root), "id", touchedNodes, "id")
+    // (all delta sources — appends only increase degree) + new vertices.
+    // All three constituent reads stay lazy and fold into the ONE seeds
+    // materialization job (they are point reads, not worth a job each).
+    val touchedNodes = delta.select(col("src").as("id"))
+      .unionAll(delta.select(col("dst").as("id"))).distinct()
+    val knownIds = readByKeys(spark, levelsDir(root), "id", touchedNodes, "id",
+        materialize = false)
       .select(col("id")).distinct()
     val newNodes = touchedNodes.join(knownIds, Seq("id"), "left_anti")
-    val outOfDeltaSrcs = readByKeys(spark, outDir(root), "src",
-        delta.select(col("src")).distinct(), "src")
+    val outOfDeltaSrcs = readByDeltaSrcs(outDir(root), "src")
       .select(col("dst").as("id"))
     val seeds = graft.Checkpoints.materialize(
       outOfDeltaSrcs.unionAll(newNodes).distinct())
 
     val levelRows = frontierRounds(spark, root, meta, seeds, seq)
     // level overrides are reach-bounded (≈ seeds × iters) — the delta-
-    // derived shard count is the right order for them too
-    publishClustered(spark, levelRows, root, "levels", levelsDir(root), "id", tag,
-      parts, meta.rowsPerFile)
-    // registered trust sets absorb the SAME perturbation frontier
-    // through the seed-conditional recurrence — one more set of
-    // reach-bounded rounds per set, never a whole-graph recompute
-    // (rollbackFiles retired any prior attempt's trust files above)
-    for (dg <- trustSets(spark, root)) {
-      val rows = frontierRounds(spark, root, meta, seeds, seq,
-        trustLevelsDir(root, dg),
-        Some(spark.read.parquet(trustSeedsDir(root, dg))))
-      publishClustered(spark, rows, root, s"trust_$dg",
-        trustLevelsDir(root, dg), "id", tag, parts, meta.rowsPerFile)
-    }
+    // derived shard count is the right order for them too. The uniform
+    // publish and the per-trust-set rounds are independent (disjoint
+    // level tables; the trust rounds read only the already-published
+    // edge/degree tables and their own seed-conditional levels), so
+    // they fan out together.
+    val trustDigests = trustSets(spark, root)
+    graft.Par.run(spark)(
+      (() => publishClustered(spark, levelRows, root, "levels",
+        levelsDir(root), "id", tag, parts, meta.rowsPerFile)) +:
+      trustDigests.map(dg => () => {
+        val rows = frontierRounds(spark, root, meta, seeds, seq,
+          trustLevelsDir(root, dg),
+          Some(spark.read.parquet(trustSeedsDir(root, dg))))
+        publishClustered(spark, rows, root, s"trust_$dg",
+          trustLevelsDir(root, dg), "id", tag, parts, meta.rowsPerFile)
+      }): _*)
     // the epoch is SETTLED here (every table published under the tag's
     // recorded seq) — the one point the auto-compact policy may fold
     // accumulated overrides without violating the per-tag-name caveat
@@ -393,24 +421,58 @@ object LinkGraph {
     }
     var changed: DataFrame = null // (id, rank) differing at level k-1
     val changedLevels = scala.collection.mutable.Buffer.empty[DataFrame]
+    // the seed keys collect ONCE for the whole loop; every round's
+    // candidate set is then assembled DRIVER-SIDE (seed keys ∪ one
+    // collect of the changed set's out-neighbors) and handed to the
+    // point reads as a local relation — the per-round materialize +
+    // re-collect chain (4 driver jobs a round) collapses to 2, and
+    // every join against the candidate set sees a LocalTableScan
+    // instead of a checkpointed shuffle output
+    val seedKeys = graft.sources.KeyedReads.collectKeys(seeds, "id", MaxInlineKeys)
+    val idType = seeds.schema("id").dataType
+    def localIds(ks: Array[Any]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(ks.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType))))
     for (k <- 1 to meta.iters) {
-      val cand = graft.Checkpoints.materialize(
-        if (k == 1) seeds
-        else seeds.unionAll(
-            readByKeys(spark, outDir(root), "src",
-                changed.select(col("id")), "id")
-              .select(col("dst").as("id")))
-          .distinct())
-      // the round's key frames collect ONCE each and the collected
-      // arrays are shared across every point read that needs them —
-      // the per-table readByKeys calls used to re-collect the same
-      // frame per read (a driver job each) and read the levels table
-      // TWICE (iter k-1 for sources, iter k for candidates); fusing
-      // the two level reads on the driver-side key union removes 3-4
-      // jobs per round from the epoch's job-count constant
-      val candKeys = graft.sources.KeyedReads.collectKeys(cand, "id", MaxInlineKeys)
       def pruned(dir: String, keyCol: String, ks: Array[Any]) =
-        graft.sources.KeyedReads.prunedRead(spark, dir, keyCol, ks)
+        graft.sources.KeyedReads.prunedRead(spark, dir, keyCol, ks,
+          materialize = false)
+      val (cand: DataFrame, candKeys: Option[Array[Any]]) =
+        if (k == 1) (seeds, seedKeys)
+        else {
+          val chKeys = graft.sources.KeyedReads
+            .collectKeys(changed, "id", MaxInlineKeys)
+          val inlined = (seedKeys, chKeys) match {
+            case (Some(sk), Some(ck)) =>
+              val dsts = pruned(outDir(root), "src", ck)
+                .select(col("dst")).distinct()
+                .limit(MaxInlineKeys + 1).collect()
+              if (dsts.length > MaxInlineKeys) None
+              else {
+                val ks = (sk ++ dsts.map(_.get(0))).distinct
+                if (ks.length > MaxInlineKeys) None else Some(ks)
+              }
+            case _ => None
+          }
+          inlined match {
+            case Some(ks) => (localIds(ks), Some(ks))
+            case None => // past the inline cap: the original frame path
+              val c = graft.Checkpoints.materialize(
+                seeds.unionAll(
+                    readByKeys(spark, outDir(root), "src",
+                        changed.select(col("id")), "id")
+                      .select(col("dst").as("id")))
+                  .distinct())
+              (c, graft.sources.KeyedReads.collectKeys(c, "id", MaxInlineKeys))
+          }
+        }
+      // the pruned reads below are NOT separately materialized: each is
+      // a footer-pruned point scan of a few files, so letting a dual
+      // consumer re-run it inside the round's one real job is cheaper
+      // than a dedicated driver job per read (guide §1: the job count,
+      // not the bytes, is what a maintenance loop pays for)
       val inE = (candKeys match {
         case Some(ks) => pruned(inDir(root), "dst", ks)
         case None => spark.read.parquet(inDir(root)).join(
@@ -449,10 +511,19 @@ object LinkGraph {
           .select(col("id"), (col("__seed") * meta.scale).as("rank"))
         else {
           // stored level k-1 overridden by the previous round's changed
-          // set (new vertices are always in it, by induction)
-          val stored = resolveLevels(lvls.filter(col("iter") === (k - 1)))
+          // set (new vertices are always in it, by induction). The
+          // override is FUSED into the resolveLevels max_by that the
+          // stored read pays anyway: changed rows ride the union at
+          // seq = MaxValue so they win every (id, iter) group — same
+          // rows as the former anti-join + union, one join fewer in
+          // the round's plan (the lvls slice here is point-read-
+          // bounded, so the aggregate stays candidate-sized)
+          resolveLevels(
+            lvls.filter(col("iter") === (k - 1))
+              .select(col("id"), col("iter"), col("rank"), col("seq"))
+              .unionByName(changed.select(col("id"), lit(k - 1).as("iter"),
+                col("rank"), lit(Long.MaxValue).as("seq"))))
             .select(col("id"), col("rank"))
-          stored.join(changed, Seq("id"), "left_anti").unionByName(changed)
         }
       val contribs = inE
         .join(prev.select(col("id").as("src"), col("rank")), Seq("src"))
@@ -671,8 +742,10 @@ object LinkGraph {
       .select(col("id"), col("rep"), lit(0L).as("seq"))
       .transform(graft.Checkpoints.materialize)
     val g = readMeta(spark, root).rowsPerFile
-    writeClustered(labels, labIdDir(root), "id", g)
-    writeClustered(labels, labRepDir(root), "rep", g)
+    graft.Par.run(spark)(
+      () => writeClustered(labels, labIdDir(root), "id", g),
+      () => writeClustered(labels, labRepDir(root), "rep", g))
+    ()
   }
 
   /** Current component labels `(id, rep)` — latest override per id;
@@ -714,7 +787,7 @@ object LinkGraph {
     val changed = merged.filter(col("rep") =!= col("__new"))
     val members = resolveLabels(
       readByKeys(spark, labRepDir(root), "rep",
-        changed.select(col("rep").as("id")), "id"))
+        changed.select(col("rep").as("id")), "id", materialize = false))
     val overridden = members.join(changed, Seq("rep"))
       .select(col("id"), col("__new").as("rep"))
     // new vertices get their merged rep outright (self where unmerged)
@@ -724,10 +797,13 @@ object LinkGraph {
     val overrides = overridden.unionByName(fresh).distinct()
       .withColumn("seq", lit(seq))
       .transform(graft.Checkpoints.materialize)
-    publishClustered(spark, overrides, root, "labid", labIdDir(root), "id", tag,
-      parts, rowsPerFile)
-    publishClustered(spark, overrides, root, "labrep", labRepDir(root), "rep", tag,
-      parts, rowsPerFile)
+    // disjoint label tables — publish both clusterings concurrently
+    graft.Par.run(spark)(
+      () => publishClustered(spark, overrides, root, "labid", labIdDir(root),
+        "id", tag, parts, rowsPerFile),
+      () => publishClustered(spark, overrides, root, "labrep", labRepDir(root),
+        "rep", tag, parts, rowsPerFile))
+    ()
   }
 
   /** One-column probe frame typed to the store's key type (guessing

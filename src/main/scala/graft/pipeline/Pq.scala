@@ -213,15 +213,35 @@ object Pq {
     // it implies) would blow the 8 GB broadcast limit or the driver
     // heap before the join even plans. Materialize the candidates
     // (they feed two joins anyway — without a barrier the ADC search
-    // that produced them would re-run per consumer) and count them:
+    // that produced them would re-run per consumer) and size them:
     // under the cap, broadcast as before; past it, fall back to plain
     // shuffle joins — same rows, corpus-side exchange accepted as the
     // price of an oversized batch.
-    val qvAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val cand = graft.Checkpoints.materialize(
       candidates.select(col("query_id"), col("neighbor_id")))
-    val small = cand.limit(
-      (math.min(maxBroadcastRows, Int.MaxValue - 1L) + 1L).toInt).count() <= maxBroadcastRows
+    // both broadcast verdicts from ONE aggregation job over the
+    // materialized pairs (the former limit-count + distinct-count pair
+    // of driver jobs): total row count gates the cand broadcast,
+    // distinct query count gates the qv broadcast
+    val sized = cand.agg(count(lit(1)).as("n"),
+      count_distinct(col("query_id")).as("nq")).head()
+    rerankExactSized(cand, sized.getLong(0), sized.getLong(1),
+      queries, corpusVecs, idCol, vecCol, k, maxBroadcastRows)
+  }
+
+  /** [[rerankExact]] core with the candidate frame already materialized
+    * and sized (`n` total pairs, `nq` distinct query ids) — callers
+    * that counted the candidates for their own purposes (e.g.
+    * [[graft.pipeline.AnnIndex.searchRerank]]'s no-op-window check)
+    * reuse the numbers instead of paying a second counting job.
+    */
+  private[pipeline] def rerankExactSized(cand: DataFrame, n: Long, nq: Long,
+                                         queries: DataFrame, corpusVecs: DataFrame,
+                                         idCol: String, vecCol: String, k: Int,
+                                         maxBroadcastRows: Long,
+                                         knownVecWidth: Option[Long] = None): DataFrame = {
+    val qvAll = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val small = n <= maxBroadcastRows
     def hint(df: DataFrame) = if (small) broadcast(df) else df
     // The qv side earns its OWN broadcast verdict: `small` bounds the
     // candidate PAIR frame (two scalar ids), but the queries frame
@@ -232,13 +252,19 @@ object Pq {
     // under any join strategy), then broadcast only when the surviving
     // id count fits a width-scaled element budget: maxBroadcastRows is
     // a row cap for the 2-column cand frame, so the vector frame's cap
-    // divides it by the per-row element width.
+    // divides it by the per-row element width. Callers that know the
+    // vector width from a model (dim = m·dsub) pass it and skip the
+    // probe job; otherwise it runs only while the verdict is live
+    // (`small`).
     val qids = cand.select("query_id").distinct()
     val qv = qvAll.join(hint(qids), Seq("query_id"), "left_semi")
-    val vecWidth = math.max(1L, queries.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).cast("long"))
-      .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(1L))
-    val qvSmall = small && qids.count() <= math.max(1L, maxBroadcastRows / vecWidth)
+    val vecWidth =
+      if (!small) 1L
+      else knownVecWidth.getOrElse(
+        math.max(1L, queries.filter(col(vecCol).isNotNull)
+          .select(size(col(vecCol)).cast("long"))
+          .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(1L)))
+    val qvSmall = small && nq <= math.max(1L, maxBroadcastRows / vecWidth)
     def qhint(df: DataFrame) = if (qvSmall) broadcast(df) else df
     val fetched = corpusVecs
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
@@ -283,6 +309,27 @@ object Pq {
   def ivfAdcTopK(queries: DataFrame, indexedCodes: DataFrame, idCol: String,
                  vecCol: String, codesCol: String, bucketCol: String,
                  ivfModel: Ivf.Model, pqModel: Model, k: Int, nProbe: Int): DataFrame = {
+    val scored = ivfAdcScored(queries, indexedCodes, idCol, vecCol, codesCol,
+      bucketCol, ivfModel, pqModel, nProbe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
+  /** [[ivfAdcTopK]]'s scored candidate frame BEFORE the per-query
+    * ranking window: every probed-bucket row with its ADC distance,
+    * `(query_id, neighbor_id, adc_dist)`. The admission set of a
+    * two-stage rerank is exactly this frame capped at kCand per query
+    * — [[graft.pipeline.AnnIndex.searchRerank]] reads it directly and
+    * skips the ranking window entirely when no query's admitted count
+    * exceeds kCand (the window is a no-op there by construction).
+    */
+  private[pipeline] def ivfAdcScored(queries: DataFrame, indexedCodes: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     codesCol: String, bucketCol: String,
+                                     ivfModel: Ivf.Model, pqModel: Model,
+                                     nProbe: Int): DataFrame = {
     // one LUT per query (not per probe row); both the probe pairs and
     // the LUTs broadcast EXPLICITLY — probeBuckets ends in a window +
     // filter whose size Catalyst can't always estimate under the
@@ -292,7 +339,7 @@ object Pq {
       graft.functions.PqExpressions.lut(col(vecCol), pqModel.codebooks).as("__lut"))
     val probes = Ivf.probeBuckets(queries, idCol, vecCol, ivfModel, nProbe)
       .select(col("query_id"), col("bucket").as(bucketCol))
-    val scored = indexedCodes
+    indexedCodes
       .select(col(idCol).as("neighbor_id"), col(bucketCol), col(codesCol).as("__codes"))
       .join(broadcast(probes), bucketCol)
       .join(broadcast(luts), "query_id")
@@ -302,9 +349,5 @@ object Pq {
           zip_with(col("__codes"), col("__lut"),
             (c, l) => element_at(l, c + 1)),
           lit(0.0), (acc, v) => acc + v).as("adc_dist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
 }

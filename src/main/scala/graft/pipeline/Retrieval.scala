@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hybrid-retrieval composition ops — fusing a lexical ranking
@@ -82,36 +82,53 @@ object Retrieval {
     require(lambdaPct >= 0 && lambdaPct <= 100,
       s"lambdaPct must be in [0, 100], got $lambdaPct")
     val cand = candidates.select(col(queryIdCol), col(idCol),
-        col(scoreCol).cast("double").as("__rel"), col(vecCol).as("__v"))
-      .transform(graft.Checkpoints.materialize)
-    def mmr(ms: org.apache.spark.sql.Column) =
-      (lit(lambdaPct) * col("__rel") / lit(100)) -
-        (lit(100 - lambdaPct) * ms / lit(100))
-    def pick(scored: DataFrame, rank: Int): DataFrame =
-      graft.operators.Sampling.capPerGroup(scored,
-          groupCols = Seq(queryIdCol),
-          rankBy = Seq(-col("__mmr"), col(idCol)),
-          k = 1, rankName = "__pick")
-        .select(col(queryIdCol), col(idCol), col("__v"),
-          col("__mmr"), lit(rank).as("rank"))
-    var selected = pick(cand.withColumn("__mmr", mmr(lit(0.0))), 1)
-      .transform(graft.Checkpoints.materialize)
-    for (j <- 2 to k) {
-      val remaining = cand.join(
-        selected.select(col(queryIdCol), col(idCol)),
-        Seq(queryIdCol, idCol), "left_anti")
-      val sims = remaining
-        .join(selected.select(col(queryIdCol), col("__v").as("__sv")),
-          Seq(queryIdCol))
-        .groupBy(col(queryIdCol), col(idCol))
-        .agg(max(Similarity.cosine(col("__v"), col("__sv"))).as("__ms"))
-      val scored = remaining.join(sims, Seq(queryIdCol, idCol))
-        .withColumn("__mmr", mmr(col("__ms")))
-      selected = selected.unionByName(pick(scored, j))
-        .transform(graft.Checkpoints.materialize)
-    }
-    selected.select(col(queryIdCol), col("rank"), col(idCol),
-      col("__mmr").as("mmr_score"))
+      col(scoreCol).cast("double").as("__rel"), col(vecCol).as("__v"))
+    // ONE shuffle, zero driver-paced rounds: candidates are a RANKING
+    // (bounded per query by construction — the scale-shape note above),
+    // so the whole k-round greedy selection folds into a per-query
+    // higher-order expression over the collected candidate list instead
+    // of k materialized join+window rounds (which cost 4-5 driver jobs
+    // a round — guide §1: the loop's cost was its job chain, not data).
+    // Every comparison below runs under Spark's OWN expression
+    // semantics (struct-lexicographic `<`, array_max, IEEE double ops
+    // in the identical literal/cast shape), so scores and pick order
+    // are bit-identical to the former join+window rounds — RetrievalSpec
+    // pins the arithmetic and the gates pin it against the oracle.
+    val grouped = cand.groupBy(col(queryIdCol))
+      .agg(collect_list(struct(col(idCol).as("__id"), col("__rel"),
+        col("__v"))).as("__cs"))
+    def mmr(rel: Column, ms: Column): Column =
+      (lit(lambdaPct) * rel / lit(100)) - (lit(100 - lambdaPct) * ms / lit(100))
+    // capPerGroup(rankBy = (-mmr, id), k = 1) picked the row MINIMIZING
+    // (-mmr, id) under Spark's sort order — replicated as an argmin fold
+    // with a struct-lexicographic compare (same NaN-largest / -0.0==0.0
+    // / nulls-first semantics by construction)
+    def keyOf(x: Column): Column =
+      struct((-x("__mmr")).as("__o"), x("__id").as("__i"))
+    val emptySel: Column = slice(
+      transform(col("__cs"), c => struct(lit(1).as("__rank"),
+        c("__id").as("__id"), lit(0.0).as("__mmr"), c("__v").as("__v"))),
+      1, 0)
+    val sel = aggregate(sequence(lit(1), lit(k)), emptySel, (s, j) => {
+      val remaining = filter(col("__cs"),
+        c => !exists(s, x => x("__id") === c("__id")))
+      val scored = transform(remaining, c =>
+        struct(j.cast("int").as("__rank"), c("__id").as("__id"),
+          mmr(c("__rel"),
+            when(size(s) === 0, lit(0.0)).otherwise(
+              array_max(transform(s,
+                x => Similarity.cosine(c("__v"), x("__v"))))))
+            .as("__mmr"),
+          c("__v").as("__v")))
+      val pick = aggregate(
+        slice(scored, lit(2), greatest(size(scored) - 1, lit(0))),
+        get(scored, lit(0)),
+        (b, c) => when(keyOf(c) < keyOf(b), c).otherwise(b))
+      when(size(scored) === 0, s).otherwise(concat(s, array(pick)))
+    })
+    grouped.select(col(queryIdCol), explode(sel).as("__p"))
+      .select(col(queryIdCol), col("__p")("__rank").as("rank"),
+        col("__p")("__id").as(idCol), col("__p")("__mmr").as("mmr_score"))
   }
 
   /** Ranking-quality evaluation against a relevance ground truth — the

@@ -61,7 +61,8 @@ object KeyedReads {
     * columns, as in any mergeSchema read.
     */
   def prunedRead(spark: SparkSession, path: String, keyCol: String,
-                 keys: Array[Any], mergeSchema: Boolean = false): DataFrame = {
+                 keys: Array[Any], mergeSchema: Boolean = false,
+                 materialize: Boolean = true): DataFrame = {
     def reader = spark.read.option("mergeSchema", mergeSchema.toString)
     if (keys.isEmpty) return reader.parquet(path).limit(0)
     // sort before chunking so each chunk covers a CONTIGUOUS key
@@ -80,18 +81,45 @@ object KeyedReads {
       case Some(fs) => reader.parquet(fs: _*)
       case None     => reader.parquet(path)
     }
-    val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, PruneChunk.toString)
-    try graft.Checkpoints.materialize(
-      sorted.grouped(PruneChunk)
-        .map(chunk => read().filter(col(keyCol).isInCollection(chunk)))
-        .reduce(_.unionByName(_)))
-    finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None    => spark.conf.unset(confKey)
-    }
+    val df = sorted.grouped(PruneChunk)
+      .map(chunk => read().filter(col(keyCol).isInCollection(chunk)))
+      .reduce(_.unionByName(_))
+    // `materialize = false` skips the eager checkpoint JOB for callers
+    // that consume the read exactly once (or whose consumers all live
+    // inside one downstream action): the pruned scan then runs lazily
+    // inside that action instead of paying its own driver job. The
+    // exact-IN pushdown threshold is raised refcounted (parallel
+    // maintenance reads share the session conf) and, for lazy frames,
+    // session-wide by [[graft.Tables.session]].
+    if (!materialize) return df
+    val prev = raiseInThreshold(spark)
+    try graft.Checkpoints.materialize(df)
+    finally restoreInThreshold(spark, prev)
   }
+
+  // refcounted raise of the exact-IN pushdown threshold: concurrent
+  // pruned reads (Par-fanned maintenance) must not restore the conf
+  // while a sibling is still planning under it
+  private val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+  private val raisers = new java.util.concurrent.atomic.AtomicInteger
+  @volatile private var savedThreshold: Option[String] = None
+
+  private def raiseInThreshold(spark: SparkSession): Option[String] =
+    raisers.synchronized {
+      if (raisers.getAndIncrement() == 0) {
+        savedThreshold = spark.conf.getOption(confKey)
+        spark.conf.set(confKey, PruneChunk.toString)
+      }
+      savedThreshold
+    }
+
+  private def restoreInThreshold(spark: SparkSession, prev: Option[String]): Unit =
+    raisers.synchronized {
+      if (raisers.decrementAndGet() == 0) prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
 
   /** Session-scoped cache of collected stats-artifact rows, keyed by
     * `<table path>#<keyCol>` and validated against the artifact's
