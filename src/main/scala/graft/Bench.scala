@@ -72,9 +72,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // lazy keyed point reads keep exact OR-of-eq parquet pushdown for
-      // their sorted 512-key IN chunks (see KeyedReads/Tables.session)
+      // their sorted 512-key IN chunks, and their explicit leaf-file
+      // lists stat serially instead of paying a listing job per read
+      // (see KeyedReads/Tables.session)
       .config("spark.sql.parquet.pushdown.inFilterThreshold",
         sources.KeyedReads.PruneChunk.toString)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sources.KeyedReads.ListSerialThreshold.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -14,12 +14,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Fixture schema per (path, file signature): a schema-less
+    * `spark.read.parquet` runs a footer-inference Spark JOB per call
+    * (~one scheduling quantum), and a bench sweep loads each fixture
+    * table hundreds of times — the schema is a pure function of the
+    * immutable file, so infer once per signature and pass it
+    * explicitly thereafter.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Spark has no nanosecond TimestampType; read TIMESTAMP(NANOS) parquet
     // columns as Long and truncate to microseconds (integer `div`, not
     // floating division — epoch nanos exceed double's 2^53 exact range).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val st = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path))
+    val sig = s"${st.getLen}:${st.getModificationTime}"
+    val schema = schemaCache.get(path) match {
+      case Some((s, sc)) if s == sig => sc
+      case _ =>
+        val sc = spark.read.parquet(path).schema
+        schemaCache(path) = (sig, sc)
+        sc
+    }
+    val df = spark.read.schema(schema).parquet(path)
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) => df.withColumn("ts",
         // NTZ to match how Spark infers the other parquet timestamp
@@ -98,6 +120,11 @@ object Tables {
       // frames (planned after the read call returns) keep it too.
       .config("spark.sql.parquet.pushdown.inFilterThreshold",
         graft.sources.KeyedReads.PruneChunk.toString)
+      // pruned point reads pass explicit leaf-file lists; stat-ing a
+      // batch-bounded list serially on the driver beats launching a
+      // listing JOB per read (Spark's default threshold is 32 paths)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        graft.sources.KeyedReads.ListSerialThreshold.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -563,7 +563,10 @@ object AnnIndex {
              k: Int, nProbe: Int): DataFrame = {
     // the frame persists ids under the fixed name "neighbor_id";
     // ivfAdcTopK resolves both sides by the caller's idCol
-    val idx = queries.sparkSession.read.parquet(handle.indexPath)
+    val spark = queries.sparkSession
+    val idx = spark.read
+      .schema(graft.sources.KeyedReads.schemaFor(spark, handle.indexPath))
+      .parquet(handle.indexPath)
       .withColumnRenamed("neighbor_id", idCol)
     Pq.ivfAdcTopK(queries, idx, idCol, vecCol, "codes", "bucket",
       handle.ivf, handle.pq, k, nProbe)
@@ -628,7 +631,9 @@ object AnnIndex {
     // batch pays the ranking pass, and the size numbers feed the exact
     // stage's broadcast verdicts so nothing is counted twice.
     val spark = queries.sparkSession
-    val idx = spark.read.parquet(handle.indexPath)
+    val idx = spark.read
+      .schema(graft.sources.KeyedReads.schemaFor(spark, handle.indexPath))
+      .parquet(handle.indexPath)
       .withColumnRenamed("neighbor_id", idCol)
     val scored = graft.Checkpoints.materialize(
       Pq.ivfAdcScored(queries, idx, idCol, vecCol, "codes", "bucket",
@@ -737,7 +742,9 @@ object AnnIndex {
   def searchWhere(handle: Handle, queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, nProbe: Int,
                   allowed: DataFrame, allowedIdCol: String): DataFrame = {
-    val idx = queries.sparkSession.read.parquet(handle.indexPath)
+    val idx = queries.sparkSession.read
+      .schema(graft.sources.KeyedReads.schemaFor(queries.sparkSession, handle.indexPath))
+      .parquet(handle.indexPath)
       .join(allowed.select(col(allowedIdCol).as("neighbor_id")),
         Seq("neighbor_id"), "left_semi")
       .withColumnRenamed("neighbor_id", idCol)

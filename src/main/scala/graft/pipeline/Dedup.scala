@@ -506,12 +506,17 @@ object Dedup {
         if (prune) graft.Checkpoints.materialize(
           capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize))
         else capped(df, idCol, signatureCol, bands, rowsPerBand, maxBucketSize)
+      // whole-dir reads carry the signature-cached schema — a probe
+      // rereads the same store table per batch, and a schema-less read
+      // pays a footer-inference job each call
+      def full() = spark.read
+        .schema(graft.sources.KeyedReads.schemaFor(spark, rows)).parquet(rows)
       val ix =
         if (prune) collectKeys(batch, "bucket", maxPruneKeys) match {
           case Some(buckets) => prunedRead(spark, rows, "bucket", buckets)
-          case None          => spark.read.parquet(rows)
+          case None          => full()
         }
-        else spark.read.parquet(rows)
+        else full()
       batch
         .join(ix.select(col("id").as("__ix_id"), col("band"), col("bucket")),
           Seq("band", "bucket"))
@@ -641,13 +646,18 @@ object Dedup {
       // collect + scan-branch overhead outruns a small full scan.
       def pruned(table: String, ids: => Option[Array[Any]]): DataFrame = {
         val dir = sub(path, table)
-        if (dirBytes(spark, dir) < minPruneBytes) spark.read.parquet(dir)
+        // whole-dir fallbacks use the signature-cached schema (the
+        // probe rereads the same tables per batch; schema-less reads
+        // pay an inference job per call)
+        def full() = spark.read
+          .schema(graft.sources.KeyedReads.schemaFor(spark, dir)).parquet(dir)
+        if (dirBytes(spark, dir) < minPruneBytes) full()
         else ids match {
           // lazy: each pruned table feeds exactly one downstream tier's
           // materialization — the point scan folds into that job
           // instead of paying its own
           case Some(ks) => prunedRead(spark, dir, "id", ks, materialize = false)
-          case None     => spark.read.parquet(dir)
+          case None     => full()
         }
       }
       val cands = graft.Checkpoints.materialize(

@@ -102,7 +102,9 @@ object Ivf {
     * directory, rejected loudly).
     */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path)
+    // signature-cached schema (see Pq.load)
+    val rows = spark.read
+      .schema(graft.sources.KeyedReads.schemaFor(spark, path)).parquet(path)
       .select(col("centroid_id"), col("centroid"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     require(rows.nonEmpty, s"no IVF centroids at $path")

@@ -558,7 +558,9 @@ object LexIndex {
     if (inline.length <= maxInlineTerms)
       graft.sources.KeyedReads.prunedRead(spark, postingsDir(root), "term",
         inline.map(x => x: Any), materialize = materialize)
-    else spark.read.parquet(postingsDir(root))
+    else spark.read
+      .schema(graft.sources.KeyedReads.schemaFor(spark, postingsDir(root)))
+      .parquet(postingsDir(root))
       .join(broadcast(terms), Seq("term"), "left_semi")
   }
 

@@ -192,8 +192,10 @@ object LinkGraph {
     // stats advance over EXACTLY the published files — one small job
     // per table (the write-pass discipline), never an artifact re-read
     // + rewrite per publish (the old per-epoch cost that grew with the
-    // STORE's file count instead of the epoch's)
-    graft.sources.FileStatsIndex.appendFor(spark, dir, Seq(keyCol), published)
+    // STORE's file count instead of the epoch's); the writer's schema
+    // rides along so the stats read skips footer inference
+    graft.sources.FileStatsIndex.appendFor(spark, dir, Seq(keyCol), published,
+      schema = Some(df.schema))
     ()
   }
 
@@ -205,6 +207,14 @@ object LinkGraph {
     * reads: past it, point reads fall back to semi-join scans.
     */
   private val MaxInlineKeys = 2000000
+
+  /** Whole-table read with the signature-cached schema
+    * ([[graft.sources.KeyedReads.schemaFor]]) — serve paths re-read the
+    * same store dirs every call, and a schema-less parquet read pays a
+    * footer-inference JOB each time.
+    */
+  private def readTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(graft.sources.KeyedReads.schemaFor(spark, dir)).parquet(dir)
 
   private def readByKeys(spark: SparkSession, dir: String, keyCol: String,
                          probe: DataFrame, probeCol: String,
@@ -567,14 +577,14 @@ object LinkGraph {
 
   /** Current canonical edge set. */
   def edges(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(outDir(root)).select(col("src"), col("dst"))
+    readTable(spark, outDir(root)).select(col("src"), col("dst"))
 
   /** The maintained level state, latest override per (id, iter) —
     * row-identical to `pageRankLevels(edges)` by the maintenance
     * contract (the gate pins it).
     */
   def levels(spark: SparkSession, root: String): DataFrame =
-    resolveLevels(spark.read.parquet(levelsDir(root)))
+    resolveLevels(readTable(spark, levelsDir(root)))
 
   /** Store-served HITS `(id, auth_units, hub_units)` — the honest
     * refresh-cadence arm: [[graft.operators.Graphs.hits]] recomputed
@@ -690,7 +700,7 @@ object LinkGraph {
 
   /** Maintained seed-conditional level state of a registered set. */
   def trustLevels(spark: SparkSession, root: String, digest: String): DataFrame =
-    resolveLevels(spark.read.parquet(trustLevelsDir(root, digest)))
+    resolveLevels(readTable(spark, trustLevelsDir(root, digest)))
 
   /** Served maintained TrustRank `(id, rank_units)` of a registered
     * set — level `iters`, row-identical to [[trustRank]] recomputed
@@ -734,7 +744,7 @@ object LinkGraph {
     * per-tag label file names).
     */
   def createComponents(spark: SparkSession, root: String): Unit = {
-    val e = spark.read.parquet(outDir(root)).select(col("src"), col("dst"))
+    val e = readTable(spark, outDir(root)).select(col("src"), col("dst"))
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
     val labels = graft.operators.Graphs
@@ -753,7 +763,7 @@ object LinkGraph {
     * `Graphs.connectedComponents` over [[edges]] (the gate pins it).
     */
   def components(spark: SparkSession, root: String): DataFrame =
-    resolveLabels(spark.read.parquet(labIdDir(root)))
+    resolveLabels(readTable(spark, labIdDir(root)))
 
   /** Exact label absorption for one epoch's delta edges — called by
     * [[appendEpoch]] when the label tables exist. Bounded work: the
@@ -811,7 +821,7 @@ object LinkGraph {
     * numeric).
     */
   private def keysFrame(spark: SparkSession, root: String, ids: Seq[Any]): DataFrame = {
-    val dt = spark.read.parquet(outDir(root)).schema("src").dataType
+    val dt = graft.sources.KeyedReads.schemaFor(spark, outDir(root))("src").dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", dt, nullable = false)))
     spark.createDataFrame(

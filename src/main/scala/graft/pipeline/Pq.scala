@@ -130,7 +130,10 @@ object Pq {
     * directory, rejected loudly.
     */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(path)
+    // signature-cached schema: a serve path reloads the same model dir
+    // per call, and schema-less parquet reads pay an inference JOB each
+    val rows = spark.read
+      .schema(graft.sources.KeyedReads.schemaFor(spark, path)).parquet(path)
       .select(col("subspace"), col("centroid_id"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
     require(rows.nonEmpty, s"no PQ codebooks at $path")

@@ -228,7 +228,8 @@ object FileStatsIndex {
     * A missing artifact falls back to a full [[buildAndSave]].
     */
   def appendFor(spark: SparkSession, dir: String, columns: Seq[String],
-                newFiles: Seq[String]): String = {
+                newFiles: Seq[String],
+                schema: Option[org.apache.spark.sql.types.StructType] = None): String = {
     val statsPath = new org.apache.hadoop.fs.Path(dir, "_stats").toString
     val fs = new org.apache.hadoop.fs.Path(statsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -239,7 +240,11 @@ object FileStatsIndex {
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
     }
-    spark.read.parquet(newFiles: _*)
+    // writers that KNOW the written frame's schema pass it (a schema-
+    // less read pays a footer-inference job per publish); others fall
+    // back to the signature-cached table schema
+    spark.read.schema(schema.getOrElse(KeyedReads.schemaFor(spark, dir)))
+      .parquet(newFiles: _*)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
       .coalesce(1)

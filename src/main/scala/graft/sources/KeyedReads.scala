@@ -63,7 +63,15 @@ object KeyedReads {
   def prunedRead(spark: SparkSession, path: String, keyCol: String,
                  keys: Array[Any], mergeSchema: Boolean = false,
                  materialize: Boolean = true): DataFrame = {
-    def reader = spark.read.option("mergeSchema", mergeSchema.toString)
+    // schema passed EXPLICITLY on the non-merge path: a schema-less
+    // `spark.read.parquet` launches a footer-inference Spark JOB per
+    // call (measured: 53 of q_cfg_graphrank's 156 jobs), so the table
+    // schema is inferred once per file-name signature and served from
+    // a cache thereafter. mergeSchema reads keep live inference — the
+    // union schema must see every footer by definition.
+    def reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read.schema(schemaFor(spark, path))
     if (keys.isEmpty) return reader.parquet(path).limit(0)
     // sort before chunking so each chunk covers a CONTIGUOUS key
     // interval: against a range-sharded layout a chunk then touches
@@ -77,47 +85,97 @@ object KeyedReads {
     }
     val files = survivingFiles(spark, path, keyCol, sorted)
     if (files.exists(_.isEmpty)) return reader.parquet(path).limit(0)
-    def read(): DataFrame = files match {
-      case Some(fs) => reader.parquet(fs: _*)
-      case None     => reader.parquet(path)
-    }
-    val df = sorted.grouped(PruneChunk)
-      .map(chunk => read().filter(col(keyCol).isInCollection(chunk)))
-      .reduce(_.unionByName(_))
     // `materialize = false` skips the eager checkpoint JOB for callers
     // that consume the read exactly once (or whose consumers all live
     // inside one downstream action): the pruned scan then runs lazily
-    // inside that action instead of paying its own driver job. The
-    // exact-IN pushdown threshold is raised refcounted (parallel
-    // maintenance reads share the session conf) and, for lazy frames,
-    // session-wide by [[graft.Tables.session]].
-    if (!materialize) return df
-    val prev = raiseInThreshold(spark)
-    try graft.Checkpoints.materialize(df)
-    finally restoreInThreshold(spark, prev)
+    // inside that action instead of paying its own driver job. Both
+    // read-shaping confs are raised refcounted (parallel maintenance
+    // reads share the session conf) and pinned session-wide by
+    // [[graft.Tables.session]] for frames planned after this returns:
+    //  - exact-IN pushdown threshold (row-group pruning);
+    //  - parallel-listing threshold: `reader.parquet(files…)` with more
+    //    explicit paths than the default 32 launches a whole Spark JOB
+    //    just to stat the files — but a pruned point read's file list
+    //    is BATCH-BOUNDED by construction (the artifact already named
+    //    the exact leaf files, no directory recursion), so driver-side
+    //    serial listing is strictly cheaper than a cluster job at any
+    //    scale the inline path admits (measured: 53 of q_cfg_graphrank's
+    //    156 jobs were these listing jobs).
+    val prev = raiseReadConfs(spark)
+    try {
+      def read(): DataFrame = files match {
+        case Some(fs) => reader.parquet(fs: _*)
+        case None     => reader.parquet(path)
+      }
+      val df = sorted.grouped(PruneChunk)
+        .map(chunk => read().filter(col(keyCol).isInCollection(chunk)))
+        .reduce(_.unionByName(_))
+      if (materialize) graft.Checkpoints.materialize(df) else df
+    } finally restoreReadConfs(spark, prev)
   }
 
-  // refcounted raise of the exact-IN pushdown threshold: concurrent
-  // pruned reads (Par-fanned maintenance) must not restore the conf
-  // while a sibling is still planning under it
-  private val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-  private val raisers = new java.util.concurrent.atomic.AtomicInteger
-  @volatile private var savedThreshold: Option[String] = None
+  /** Explicit-path listing budget for pruned reads: below this many
+    * leaf files the driver lists serially instead of launching a
+    * listing JOB (Spark's default threshold is 32 — every multi-granule
+    * point read paid a cluster job to stat a handful of files).
+    */
+  val ListSerialThreshold = 4096
 
-  private def raiseInThreshold(spark: SparkSession): Option[String] =
+  /** Table schema per (path, sorted-file-name signature): every store
+    * mutation publishes/retires part files under FRESH names (UUID part
+    * files, tag-named epochs), so the name set identifies a table
+    * version exactly; the one inference job runs per version instead of
+    * per read. Bounded like [[statsCache]].
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** The parquet table's schema under `path`, cached by file-name
+    * signature — ONE inference job per table version.
+    */
+  def schemaFor(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val names = ParquetSource
+      .listParquetFiles(path, spark.sparkContext.hadoopConfiguration)
+      .map(pathOf).sorted.mkString("|")
+    schemaCache.get(path) match {
+      case Some((sig, s)) if sig == names => s
+      case _ =>
+        val s = spark.read.parquet(path).schema
+        if (schemaCache.size > 256) schemaCache.clear()
+        schemaCache(path) = (names, s)
+        s
+    }
+  }
+
+  // refcounted raise of the read-shaping confs (exact-IN pushdown +
+  // serial-listing threshold): concurrent pruned reads (Par-fanned
+  // maintenance) must not restore the confs while a sibling is still
+  // planning under them
+  private val confKeys = Seq(
+    "spark.sql.parquet.pushdown.inFilterThreshold" -> PruneChunk.toString,
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" ->
+      ListSerialThreshold.toString)
+  private val raisers = new java.util.concurrent.atomic.AtomicInteger
+  @volatile private var savedConfs: Seq[(String, Option[String])] = Nil
+
+  private def raiseReadConfs(spark: SparkSession): Seq[(String, Option[String])] =
     raisers.synchronized {
       if (raisers.getAndIncrement() == 0) {
-        savedThreshold = spark.conf.getOption(confKey)
-        spark.conf.set(confKey, PruneChunk.toString)
+        savedConfs = confKeys.map { case (k, v) =>
+          val prev = spark.conf.getOption(k)
+          spark.conf.set(k, v)
+          k -> prev
+        }
       }
-      savedThreshold
+      savedConfs
     }
 
-  private def restoreInThreshold(spark: SparkSession, prev: Option[String]): Unit =
+  private def restoreReadConfs(spark: SparkSession,
+                               prev: Seq[(String, Option[String])]): Unit =
     raisers.synchronized {
-      if (raisers.decrementAndGet() == 0) prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None    => spark.conf.unset(confKey)
+      if (raisers.decrementAndGet() == 0) prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
     }
 

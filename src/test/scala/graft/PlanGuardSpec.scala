@@ -63,7 +63,14 @@ class PlanGuardSpec extends AnyFunSuite {
                          // q_sim_topk); the eval itself joins rankings —
                          // queries × k rows — on keys. q_cfg_evalrank reads
                          // results/truth from written parquet, no loop join
-    "q_eval_graded")     // identical shape to q_eval_ranking (graded truth)
+    "q_eval_graded",     // identical shape to q_eval_ranking (graded truth)
+    "q_mmr_rerank")      // the embedded bruteForceTopK CANDIDATE tier:
+                         // quadratic side is the 3-row broadcast query set
+                         // (q_sim_topk's shape). It became plan-visible when
+                         // mmrRerank stopped materializing its input — the
+                         // greedy selection itself is now one per-query
+                         // higher-order expression over the collected
+                         // (queries × kCand, bounded) ranking, no loop join
     // q_lex_bm25 left the list in round 13: its (N, Σdl) stats are now
     // PINNED in the index's _corpus/ artifacts and injected as
     // literals, so the plan has no scalar-row cross join at all
