@@ -114,7 +114,33 @@ object Pipeline {
   }
 
   def transform(df: DataFrame, cfg: PipelineConfig): DataFrame =
-    cfg.transforms.foldLeft(Relational.applyRenames(df, cfg.renames))(applyStage)
+    cfg.transforms.foldLeft(
+      Relational.applyRenames(fanOutForTransforms(df, cfg), cfg.renames))(applyStage)
+
+  /** Compute fan-out for declarative transform chains (guide §2 —
+    * partitioning derived from the input): a parquet source whose file
+    * layout offers fewer row groups than the session has cores pins
+    * every per-row transform (tokenize, hash, extract) to row-group
+    * width. When a chain has transforms to feed AND the source is big
+    * enough for the exchange to pay (≥1 MiB — query-batch-sized inputs
+    * skip it), repartition to core width first. No-op on any layout
+    * that already feeds every core — at warehouse scale sources carry
+    * thousands of row groups and this never fires. Plain copies
+    * (no transforms) never reshape: their output layout is the user's.
+    */
+  private def fanOutForTransforms(df: DataFrame, cfg: PipelineConfig): DataFrame =
+    cfg.source match {
+      case p: SourceConfig.Parquet
+          if cfg.transforms.nonEmpty && !p.versioned =>
+        val spark = df.sparkSession
+        val cores = spark.sparkContext.defaultParallelism
+        val (units, bytes) =
+          try Tables.scanLayout(spark, p.path)
+          catch { case scala.util.control.NonFatal(_) => (cores, 0L) }
+        if (units >= cores || bytes < (1L << 20)) df
+        else df.repartition(cores)
+      case _ => df
+    }
 
   /** [[transform]] with per-row drop attribution — curation forensics:
     * alongside the surviving frame, returns an audit frame

@@ -327,7 +327,7 @@ object SparkEntry {
     * the count of distinct leaked grams.
     */
   private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = tf(s, d, "documents", "doc_id")
     Dedup.decontaminate(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
         "doc_id", "text", 5)
@@ -701,7 +701,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   private def qDedupExact(s: SparkSession, d: String): DataFrame =
-    Dedup.exactGroups(t(s, d, "documents"), col("text"), "doc_id")
+    Dedup.exactGroups(tf(s, d, "documents", "doc_id"), col("text"), "doc_id")
       .orderBy(col("keep_id"))
 
   /** Incremental dedup: the full corpus arrives as the "new shard"
@@ -1083,7 +1083,7 @@ object SparkEntry {
 
   /** Gopher rule flags: per-rule pass/fail census, all-integer. */
   private def qGopher(s: SparkSession, d: String): DataFrame =
-    Text.gopherFlags(t(s, d, "documents"), "text", "doc_id",
+    Text.gopherFlags(tf(s, d, "documents", "doc_id"), "text", "doc_id",
         Text.GopherRules(minWords = 30L, maxTopTokenPct = 10L))
       .orderBy(col("doc_id"))
 
@@ -1116,7 +1116,7 @@ object SparkEntry {
     * integer ceiling flags (paper-default percentages).
     */
   private def qGopherRep(s: SparkSession, d: String): DataFrame =
-    Text.repetitionFlags(t(s, d, "documents"), "text", "doc_id")
+    Text.repetitionFlags(tf(s, d, "documents", "doc_id"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
   /** Cross-source shared-6-gram census incl. per-source diagonal. */
@@ -1127,7 +1127,7 @@ object SparkEntry {
 
   /** Zipf coverage checkpoints: occurrences covered by top-k vocab. */
   private def qVocabCoverage(s: SparkSession, d: String): DataFrame =
-    Text.vocabCoverage(t(s, d, "documents"), "text", Seq(4, 16, 64))
+    Text.vocabCoverage(tf(s, d, "documents", "doc_id"), "text", Seq(4, 16, 64))
       .orderBy(col("k"))
 
   private def qCosNearDup(s: SparkSession, d: String): DataFrame =
@@ -1945,7 +1945,7 @@ object SparkEntry {
     * units; the synthetic corpus has no newlines).
     */
   private def qSpanDedup(s: SparkSession, d: String): DataFrame =
-    Dedup.spanDedup(t(s, d, "documents"), "doc_id", "text",
+    Dedup.spanDedup(tf(s, d, "documents", "doc_id"), "doc_id", "text",
         spanTokens = 3, minDocs = 5)
       .orderBy(col("doc_id"))
 
@@ -1953,7 +1953,7 @@ object SparkEntry {
     * the smallest (doc, position) survives, later copies are dropped.
     */
   private def qSpanDedupFirst(s: SparkSession, d: String): DataFrame =
-    Dedup.spanDedup(t(s, d, "documents"), "doc_id", "text",
+    Dedup.spanDedup(tf(s, d, "documents", "doc_id"), "doc_id", "text",
         spanTokens = 3, minDocs = 5, keepFirst = true)
       .orderBy(col("doc_id"))
 
@@ -1968,7 +1968,7 @@ object SparkEntry {
     // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
     // top-50 then a driver merge — no global window over the corpus);
     // the rank window runs over the 50 surviving rows only
-    val top = Text.bm25(t(s, d, "documents"), "text", "doc_id",
+    val top = Text.bm25(tf(s, d, "documents", "doc_id"), "text", "doc_id",
         queryTerms = Seq("spark", "window", "shuffle"))
       .filter(col("n_matched") > 0)
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -1987,7 +1987,7 @@ object SparkEntry {
     * run-deterministic), see Text.unigramStats.
     */
   private def qUnigramLm(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = tf(s, d, "documents", "doc_id")
     Text.unigramStats(docs, "text", "doc_id",
         model = Text.termStats(docs, "text", "doc_id"), minCount = 100L)
       .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("sum_tf"))
@@ -2619,7 +2619,7 @@ object SparkEntry {
     * exact distinct-content counts — all-integer, engine-exact.
     */
   private def qDataCard(s: SparkSession, d: String): DataFrame =
-    Text.dataCard(t(s, d, "documents"), "text", Seq("source", "lang"))
+    Text.dataCard(tf(s, d, "documents", "doc_id"), "text", Seq("source", "lang"))
       .orderBy(col("source"), col("lang"))
 
   /** Per-language token budget (n_chars as the token unit): keep docs
@@ -2639,7 +2639,7 @@ object SparkEntry {
     * oracle-pinnable), ntile(3) within each language.
     */
   private def qPplBuckets(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = tf(s, d, "documents", "doc_id")
     Text.pplBuckets(docs, "text", "doc_id", "lang",
         model = Text.termStats(docs, "text", "doc_id"), buckets = 3)
       .orderBy(col("doc_id"))
@@ -2650,7 +2650,7 @@ object SparkEntry {
     * all-integer per-mille math, engine-exact.
     */
   private def qQualityFilter(s: SparkSession, d: String): DataFrame =
-    Text.qualityFilter(t(s, d, "documents"), "text", minScore = 4750L)
+    Text.qualityFilter(tf(s, d, "documents", "doc_id"), "text", minScore = 4750L)
       .orderBy(col("doc_id"))
 
   /** Banded interval-overlap self-join: shipping windows
@@ -3216,7 +3216,7 @@ object SparkEntry {
     * (doc_id, line_no)-first survives; sub-2-char lines exempt).
     */
   private def qLineDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = tf(s, d, "documents", "doc_id")
       .withColumn("text8", graft.pipeline.Web.segmentLines(col("text"), 8))
       .select(col("doc_id"), col("text8"))
     graft.pipeline.Web.lineDedup(docs, "doc_id", "text8",
@@ -4025,7 +4025,7 @@ object SparkEntry {
     val srcA = base.resolve("lex").toString
     val srcB = base.resolve("dense").toString
     val out = base.resolve("out").toString
-    Text.retrievalTopK(t(s, d, "documents"), "text", "doc_id",
+    Text.retrievalTopK(tf(s, d, "documents", "doc_id"), "text", "doc_id",
         lexQueries(s), "query_id", "term", k = 10)
       .select(col("query_id"), col("rank"), col("doc_id").as("id"))
       .write.parquet(srcA)

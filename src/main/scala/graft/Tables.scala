@@ -61,7 +61,14 @@ object Tables {
     */
   private val unitsCache = scala.collection.concurrent.TrieMap[String, (String, Int)]()
 
-  def scanUnits(spark: SparkSession, path: String): Int = {
+  def scanUnits(spark: SparkSession, path: String): Int =
+    scanLayout(spark, path)._1
+
+  /** (splittable units, total bytes) of a parquet file/dir — the pair
+    * the fan-out decisions read (units bound parallelism; bytes gate
+    * out query-batch-sized inputs where an exchange buys nothing).
+    */
+  def scanLayout(spark: SparkSession, path: String): (Int, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -70,8 +77,9 @@ object Tables {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val sig = files.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString("|")
+    val bytes = files.map(_.getLen).sum
     unitsCache.get(path) match {
-      case Some((s, n)) if s == sig => n
+      case Some((s, n)) if s == sig => (n, bytes)
       case _ =>
         val n = files.map { st =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
@@ -79,7 +87,7 @@ object Tables {
           try r.getRowGroups.size finally r.close()
         }.sum
         unitsCache(path) = (sig, n)
-        n
+        (n, bytes)
     }
   }
 
