@@ -295,10 +295,17 @@ object Bench {
     val calSparkPost = minOf3(() => sparkCalibration(spark))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver reads this line from a 2000-char stdout tail and parses
-    // it as JSON: keep it short (3-decimal secs) and, if the per-query map
-    // would overflow the buffer, keep only the slowest entries — "value"
-    // always covers every query.
+    // it as JSON: keep it short and, if the per-query map would overflow
+    // the buffer, keep only the slowest entries — "value" always covers
+    // every query. Per-query values print at 2 decimals with trailing
+    // zeros trimmed (10 ms granularity — far under this host's co-tenant
+    // noise floor) so the line carries ~60+ entries instead of ~50 and
+    // round-over-round comparisons keep their common-query coverage.
     def fmt(v: Double) = f"$v%.3f"
+    def fmtQ(v: Double) = {
+      val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (s.isEmpty) "0" else s
+    }
     val ranked = results.toSeq.sortBy(-_._2)
     val errJson =
       if (errors.isEmpty) ""
@@ -319,15 +326,18 @@ object Bench {
     val retimedMap = retimed.toMap
     val retimedTotal = results.map { case (k, v) =>
       math.min(v, retimedMap.getOrElse(k, v)) }.sum
-    val retimedJson = retimed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val retimedJson = retimed.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
       .mkString("\"retimed\":{", ",", s"},\"retimed_total\":${fmt(retimedTotal)},")
     def line(entries: Seq[(String, Double)]): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,$retimedJson$calJson,"sf":"$sfDir"}"""
     }
+    // 1950: the driver's tail is 2000 chars and the line is stdout's
+    // last — leave slack for the trailing newline only (1800 dropped 13
+    // material queries from the r15 record)
     val out = (ranked.size to 1 by -1).iterator
-      .map(k => line(ranked.take(k))).find(_.length <= 1800)
+      .map(k => line(ranked.take(k))).find(_.length <= 1950)
       .getOrElse(line(Seq.empty))
     try spark.stop() catch { case NonFatal(e) =>
       System.err.println(s"[bench] spark.stop failed: $e")

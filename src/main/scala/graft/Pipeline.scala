@@ -23,7 +23,28 @@ import graft.validation.Diff
 object Pipeline {
 
   final case class Result(rowsCopied: Long, filesCompleted: Set[String],
-                          validation: Option[DataFrame])
+                          validation: Option[DataFrame],
+                          writtenSchema: Option[org.apache.spark.sql.types.StructType] = None) {
+    /** Read the run's parquet target back WITHOUT a footer-inference
+      * job: the writer already knows the schema it wrote (a schema-less
+      * `read.parquet` pays one Spark job per call just to re-discover
+      * it — guide §1, a job is a fixed scheduling quantum). Falls back
+      * to live inference when the write path couldn't pin the schema
+      * (partitioned layouts read partition columns back differently).
+      */
+    def readTarget(spark: SparkSession, path: String): DataFrame =
+      writtenSchema.fold(spark.read.parquet(path))(
+        sc => spark.read.schema(sc).parquet(path))
+  }
+
+  /** Parquet side-input read (stage reference tables, fused rankings,
+    * validation targets) without a footer-inference job: the schema
+    * comes from [[graft.sources.KeyedReads.schemaFor]] — cached per
+    * file signature and resolved driver-side for Spark-written files.
+    */
+  private def sideInput(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(graft.sources.KeyedReads.schemaFor(spark, path))
+      .parquet(path)
 
   def read(spark: SparkSession, cfg: PipelineConfig): DataFrame = cfg.source match {
     case SourceConfig.Parquet(root, where, columns, versioned, versionAt, mergeSchema) =>
@@ -56,8 +77,13 @@ object Pipeline {
         where.map(w => org.apache.spark.sql.GraftColumnBridge.parseExpression(spark, w)))
       // mergeSchema unions the per-file schemas (the schema-evolution
       // read: columns added over a table's lifetime come back NULL on
-      // old files) — opt-in because it footprints every file's footer
-      val reader = spark.read.option("mergeSchema", mergeSchema.toString)
+      // old files) — opt-in because it footprints every file's footer.
+      // Non-merge reads take the cached/driver-side schema (one footer
+      // read, no inference job — see KeyedReads.schemaFor).
+      val reader =
+        if (mergeSchema) spark.read.option("mergeSchema", "true")
+        else spark.read.schema(
+          graft.sources.KeyedReads.schemaFor(spark, path))
       var df =
         if (pruned.isEmpty) reader.parquet(listed.head).filter(lit(false))
         else reader.parquet(pruned: _*)
@@ -121,26 +147,66 @@ object Pipeline {
     * partitioning derived from the input): a parquet source whose file
     * layout offers fewer row groups than the session has cores pins
     * every per-row transform (tokenize, hash, extract) to row-group
-    * width. When a chain has transforms to feed AND the source is big
-    * enough for the exchange to pay (≥1 MiB — query-batch-sized inputs
-    * skip it), repartition to core width first. No-op on any layout
-    * that already feeds every core — at warehouse scale sources carry
-    * thousands of row groups and this never fires. Plain copies
-    * (no transforms) never reshape: their output layout is the user's.
+    * width. The exchange only pays when the chain actually runs heavy
+    * per-row compute on the scan-side partitioning — i.e. a per-row
+    * stage is reached BEFORE any stage that shuffles anyway (an
+    * aggregation-first chain like rfm/winsorize gets core-width
+    * partitioning from its own exchange, so a pre-shuffle here is pure
+    * cost — measured +41% on q_cfg_rfm in r15). Fires only when such a
+    * stage exists AND the source is big enough for the exchange to pay
+    * (≥1 MiB — query-batch-sized inputs skip it), and repartitions on
+    * the source's columns (deterministic hash keys — no round-robin
+    * local sort; AQE never coalesces an explicit-width repartition).
+    * No-op on any layout that already feeds every core — at warehouse
+    * scale sources carry thousands of row groups and this never fires.
+    * Plain copies (no transforms) never reshape.
     */
   private def fanOutForTransforms(df: DataFrame, cfg: PipelineConfig): DataFrame =
     cfg.source match {
       case p: SourceConfig.Parquet
-          if cfg.transforms.nonEmpty && !p.versioned =>
+          if chainStartsPerRowCompute(cfg.transforms) && !p.versioned =>
         val spark = df.sparkSession
         val cores = spark.sparkContext.defaultParallelism
         val (units, bytes) =
           try Tables.scanLayout(spark, p.path)
           catch { case scala.util.control.NonFatal(_) => (cores, 0L) }
         if (units >= cores || bytes < (1L << 20)) df
-        else df.repartition(cores)
+        else df.repartition(cores, df.columns.map(col).toIndexedSeq: _*)
       case _ => df
     }
+
+  /** True iff the chain reaches a heavy per-row compute stage (tokenize
+    * / hash / extract / decode classes) before any stage that shuffles
+    * the frame itself — only then does a scan-side fan-out parallelize
+    * work that would otherwise run at row-group width. Narrow, cheap
+    * pass-through stages (hash-sample filters) are transparent to the
+    * walk; everything else (aggregations, windows, joins-first stages,
+    * store/side-effect stages) ends it.
+    */
+  private def chainStartsPerRowCompute(
+      ts: Seq[graft.config.TransformConfig]): Boolean = {
+    import graft.config.TransformConfig
+    import graft.config.TransformConfig._
+    // narrow, cheap pass-throughs the walk skips (hash-sample filters:
+    // no shuffle, trivial per-row work, preserve partitioning)
+    def transparent(t: TransformConfig) = t match {
+      case _: Split | _: ResampleStage => true
+      case _ => false
+    }
+    // heavy map-side per-row work (tokenize / hash / extract / decode)
+    def perRow(t: TransformConfig) = t match {
+      case _: Normalize | _: HtmlExtract | _: UrlCanon | _: PiiScrub |
+           _: QualityFilter | _: GopherFilter | _: RepetitionFilter |
+           _: BlocklistFilter | _: DedupExact | _: SpanDedup |
+           _: LineDedup | _: LineFilter | _: DupSpanCut |
+           _: MinhashDedup | _: SemanticDedup | _: Decontaminate |
+           _: SemanticDecontaminate | _: DsirFilter | _: PplFilter |
+           _: PhashDedupStage | _: SeqPack | _: IncrDedup |
+           _: LshDedupStage => true
+      case _ => false
+    }
+    ts.dropWhile(transparent).headOption.exists(perRow)
+  }
 
   /** [[transform]] with per-row drop attribution — curation forensics:
     * alongside the surviving frame, returns an audit frame
@@ -340,7 +406,7 @@ object Pipeline {
         .select(col(id))
       df.join(kept, Seq(id), "left_semi")
     case graft.config.TransformConfig.Decontaminate(id, text, refPath, n, minShared) =>
-      val reference = df.sparkSession.read.parquet(refPath)
+      val reference = sideInput(df.sparkSession,refPath)
       val contaminated = graft.pipeline.Dedup
         .decontaminate(df, reference, id, text, n)
         .filter(col("n_shared") >= minShared)
@@ -348,14 +414,14 @@ object Pipeline {
       df.join(contaminated, Seq(id), "left_anti")
     case graft.config.TransformConfig.SemanticDecontaminate(vec, refPath, minDot) =>
       graft.pipeline.Similarity.semanticDecontaminate(df,
-        df.sparkSession.read.parquet(refPath), vec, minDot)
+        sideInput(df.sparkSession,refPath), vec, minDot)
     case graft.config.TransformConfig.PiiScrub(text) =>
       df.withColumn(text, graft.pipeline.Text.redactPii(col(text)))
     case graft.config.TransformConfig.DsirFilter(id, text, tPath, tText, buckets, kn, kd) =>
       // target features only feed bucket TOTALS, so the target's row id
       // is a throwaway (monotonically_increasing_id — retry-instability
       // is harmless here; nothing rides the id)
-      val tdocs = df.sparkSession.read.parquet(tPath)
+      val tdocs = sideInput(df.sparkSession,tPath)
         .select(col(tText).as("__ttext"))
         .withColumn("__tid", monotonically_increasing_id())
       val tfeats = graft.pipeline.Text.dsirFeatures(tdocs, "__ttext", "__tid", buckets)
@@ -382,7 +448,7 @@ object Pipeline {
       graft.operators.Sampling.tokenBudget(df, group, key, tok, budget, shards)
     case graft.config.TransformConfig.IncrDedup(id, text, refPath, refText) =>
       graft.pipeline.Dedup.newAgainst(df, text, id,
-        df.sparkSession.read.parquet(refPath), refText)
+        sideInput(df.sparkSession,refPath), refText)
     case graft.config.TransformConfig.MixToTarget(key, group, weights, wDenom) =>
       graft.operators.Sampling.mixToTarget(df, key, group, weights.toMap, wDenom)
     case graft.config.TransformConfig.OutlierFilter(value, group, z) =>
@@ -424,12 +490,12 @@ object Pipeline {
         valueCols, tieBreak.map(col))
     case graft.config.TransformConfig.PitEnrichStage(historyPath, key, ts, valueCols) =>
       graft.operators.Scd2.pointInTime(df,
-        df.sparkSession.read.parquet(historyPath), key, ts, valueCols)
+        sideInput(df.sparkSession,historyPath), key, ts, valueCols)
     case graft.config.TransformConfig.MergeSnapshotStage(snapshotPath, keys, deleteStale) =>
       // the piped frame is the MERGE source; the persisted snapshot is
       // the target. Column order aligns to the snapshot's (Merge requires
       // identical schemas); every non-key column updates from the source
-      val snap = df.sparkSession.read.parquet(snapshotPath)
+      val snap = sideInput(df.sparkSession,snapshotPath)
       val src = df.select(snap.columns.map(col).toIndexedSeq: _*)
       val nonKeys = snap.columns.filterNot(keys.contains).toSeq
       graft.operators.Merge.merge(snap, src, keys,
@@ -453,7 +519,7 @@ object Pipeline {
         historyPath, key, ts, op, upsertOp, deleteOp, valueCols, tieBreak) =>
       // terminal reshape: piped ops absorb into the persisted history
       graft.operators.Scd2.appendToHistory(
-        df.sparkSession.read.parquet(historyPath), df, key, ts, op,
+        sideInput(df.sparkSession,historyPath), df, key, ts, op,
         upsertOp, deleteOp, valueCols, tieBreak)
     case graft.config.TransformConfig.ConstraintGateStage(
         notNull, uniqueKey, minRows, maxRows, fkCol, fkRefPath, fkRefCol) =>
@@ -467,7 +533,7 @@ object Pipeline {
         (if (uniqueKey.nonEmpty) Seq(Constraints.Unique(uniqueKey)) else Nil) ++
         (if (fkCol.nonEmpty)
           Seq(Constraints.ForeignKey(fkCol,
-            df.sparkSession.read.parquet(fkRefPath), fkRefCol))
+            sideInput(df.sparkSession,fkRefPath), fkRefCol))
         else Nil) ++
         (if (minRows > 0 || maxRows != Long.MaxValue)
           Seq(Constraints.RowCountBetween(minRows, maxRows)) else Nil)
@@ -509,12 +575,12 @@ object Pipeline {
           // filtered ANN: neighbor universe restricted to the id list
           // at filterPath, ranked among survivors (never post-filtered)
           graft.pipeline.AnnIndex.searchWhere(handle, df, id, vec, k, np,
-            allowed = df.sparkSession.read.parquet(p), allowedIdCol = c)
+            allowed = sideInput(df.sparkSession,p), allowedIdCol = c)
         case (_, _, Some(p), Some(kc)) =>
           // two-stage: ADC over-fetches kCand candidates, exact
           // squared-L2 on the true vectors at rerankPath decides order
           graft.pipeline.AnnIndex.searchRerank(handle, df,
-            df.sparkSession.read.parquet(p), id, vec, k, np, kc)
+            sideInput(df.sparkSession,p), id, vec, k, np, kc)
         case _ =>
           graft.pipeline.AnnIndex.search(handle, df, id, vec, k, np)
       }
@@ -563,7 +629,7 @@ object Pipeline {
       else graft.operators.Winsorize.clipByRank(df, groups, value, pct, out)
     case graft.config.TransformConfig.IntervalJoinStage(
         rightPath, lLo, lHi, rLo, rHi, keys, bandWidth) =>
-      val right = df.sparkSession.read.parquet(rightPath)
+      val right = sideInput(df.sparkSession,rightPath)
       if (bandWidth > 0)
         graft.operators.IntervalJoin.overlapJoin(
           df, right, lLo, lHi, rLo, rHi, bandWidth, keys)
@@ -584,7 +650,7 @@ object Pipeline {
     case graft.config.TransformConfig.RrfFuseStage(other, qid, id, rank, k, kRrf) =>
       // terminal reshape: piped ranking fused with the otherPath tier
       graft.pipeline.Retrieval.rrfFuse(df,
-        df.sparkSession.read.parquet(other), qid, id, rank, k, kRrf)
+        sideInput(df.sparkSession,other), qid, id, rank, k, kRrf)
     case graft.config.TransformConfig.GraphEpochStage(root, src, dst, tag) =>
       // terminal reshape: epoch absorbed (idempotent under the tag's
       // retire-and-redo), then the store's served final ranks
@@ -597,7 +663,7 @@ object Pipeline {
       // — the crawl source-selection prior)
       if (seedsPath.nonEmpty)
         graft.operators.Graphs.personalizedPageRank(df,
-          df.sparkSession.read.parquet(seedsPath), src, dst, seedCol,
+          sideInput(df.sparkSession,seedsPath), src, dst, seedCol,
           iters, dampingPct)
       else
         graft.operators.Graphs.pageRank(df, src, dst, iters, dampingPct,
@@ -613,13 +679,13 @@ object Pipeline {
       // terminal reshape: per-query IR metrics of the piped ranking
       // against the judgment parquet
       graft.pipeline.Retrieval.evalRanking(df,
-        df.sparkSession.read.parquet(tp), qid, id, rank, k, rel)
+        sideInput(df.sparkSession,tp), qid, id, rank, k, rel)
     case graft.config.TransformConfig.TrianglesStage(src, dst) =>
       // terminal reshape: (vertex, n_triangles)
       graft.operators.Graphs.triangleCounts(df, src, dst)
     case graft.config.TransformConfig.ReachableStage(src, dst, rootsPath, rootCol, maxDepth) =>
       // terminal reshape: (root, vertex, depth)
-      val roots = df.sparkSession.read.parquet(rootsPath)
+      val roots = sideInput(df.sparkSession,rootsPath)
       graft.operators.Graphs.reachable(df, roots, rootCol, maxDepth, src, dst)
     case graft.config.TransformConfig.BitemporalStage(key, validTs, txTs, op,
         upsertOp, deleteOp, valueCols, validAt, txAt, tieBreak) =>
@@ -648,7 +714,7 @@ object Pipeline {
       case other => throw new IllegalArgumentException(s"unsupported repair target: $other")
     }
     val src = transform(read(spark, cfg), cfg)
-    val tgt = spark.read.parquet(targetPath)
+    val tgt = sideInput(spark, targetPath)
     val missing = graft.validation.Diff.missingInTarget(src, tgt, v.primaryKey)
     val appendCfg = cfg.copy(target = cfg.target match {
       case p: TargetConfig.Parquet => p.copy(mode = "append")
@@ -838,7 +904,7 @@ object Pipeline {
     val validation = (cfg.validation, cfg.target) match {
       case (Some(v), pt: TargetConfig.Parquet) =>
         val src = transform(read(spark, cfg), cfg)
-        val tgt = spark.read.parquet(resolvedDataDir(spark, pt))
+        val tgt = sideInput(spark, resolvedDataDir(spark, pt))
         Some(Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)
           .filter(col("diff_kind") =!= "match")
           .limit(v.failuresToFetch))
@@ -882,6 +948,19 @@ object Pipeline {
       hadoopConf = spark.sparkContext.hadoopConfiguration).start())
     var rows = 0L
     var batchIdx = 0
+    // the schema the parquet target was written with — returned so
+    // callers can read the target back without a footer-inference job.
+    // Only pinned for unpartitioned parquet targets: partitionBy moves
+    // partition columns to the end and re-infers their types on read.
+    var outSchema: Option[org.apache.spark.sql.types.StructType] = None
+    def noteSchema(df: DataFrame): DataFrame = {
+      cfg.target match {
+        case p: TargetConfig.Parquet if p.partitionBy.isEmpty =>
+          outSchema = Some(df.schema)
+        case _ => ()
+      }
+      df
+    }
     try {
       cfg.source match {
         case SourceConfig.Parquet(path, where, columns, false, _, mergeSchema) if cfg.savepointsDir.isDefined =>
@@ -890,7 +969,7 @@ object Pipeline {
               mergeSchema = mergeSchema) { batch =>
             var df = where.fold(batch)(w => batch.filter(expr(w)))
             df = columns.fold(df)(cs => Relational.selectResolved(df, cs))
-            df = transform(df, cfg)
+            df = noteSchema(transform(df, cfg))
             val appendCfg = cfg.copy(target = cfg.target match {
               case p: TargetConfig.Parquet => p.copy(mode = "append")
               case t => t
@@ -904,7 +983,7 @@ object Pipeline {
             batchIdx += 1; afterBatch(batchIdx)
           }
         case _ =>
-          rows = writeCounted(transform(read(spark, cfg), cfg), cfg)
+          rows = writeCounted(noteSchema(transform(read(spark, cfg), cfg)), cfg)
       }
     } finally manager.foreach(_.close())
 
@@ -940,12 +1019,12 @@ object Pipeline {
         // skipping read would misreport them as extra_target on a correct
         // resumed copy (and throw if every file was already copied)
         val src = transform(read(spark, cfg.copy(skipFiles = Set.empty)), cfg)
-        val tgt = spark.read.parquet(dataDir(pt))
+        val tgt = sideInput(spark, dataDir(pt))
         Some(Diff.fullDiff(src, tgt, v.primaryKey, v.compareColumns)
           .filter(col("diff_kind") =!= "match")
           .limit(v.failuresToFetch))
       case _ => None
     }
-    Result(rows, completed.value, validation)
+    Result(rows, completed.value, validation, outSchema)
   }
 }

@@ -28,6 +28,13 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Engine-written parquet read without a footer-inference job (the
+    * schema resolves driver-side from the first footer's embedded
+    * StructType — see [[graft.sources.KeyedReads.schemaFor]]).
+    */
+  private def pread(s: SparkSession, path: String): DataFrame =
+    s.read.schema(graft.sources.KeyedReads.schemaFor(s, path)).parquet(path)
+
   /** [[t]] with compute fan-out ([[Tables.loadFanOut]]) for queries
     * whose dominant cost is per-row expression work directly above the
     * scan (token hashing, signature folds, vector arithmetic): when the
@@ -895,8 +902,7 @@ object SparkEntry {
          |transform.lshDedup.textColumn: text
          |transform.lshDedup.advance: true
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out).select(col("doc_id")).orderBy(col("doc_id"))
+    graft.Pipeline.run(s, cfg).readTarget(s, out).select(col("doc_id")).orderBy(col("doc_id"))
   }
 
   /** Right-to-be-forgotten in the NEAR-DUP store, decision-gated: the
@@ -1205,8 +1211,7 @@ object SparkEntry {
     */
   private def qSimIvf(s: SparkSession, d: String): DataFrame = {
     val emb = tf(s, d, "embeddings", "vec_id")
-    val model = ivfModels.computeIfAbsent(d, _ =>
-      Ivf.train(emb, "vec_id", "embedding", k = 10, iters = 3))
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 10, iters = 3)
     val indexed = Ivf.index(emb, "vec_id", "embedding", model)
     val queries = emb.filter(col("vec_id") < 10)
     val approx = Ivf.topK(queries, indexed, "vec_id", "embedding",
@@ -1510,8 +1515,7 @@ object SparkEntry {
          |transform.attribution.touchTypes: view, click, signup
          |transform.attribution.tieBreak: event_id
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out).orderBy(col("touch_type"))
+    graft.Pipeline.run(s, cfg).readTarget(s, out).orderBy(col("touch_type"))
   }
 
   /** Config-driven RFM scoring, END TO END (q_cfg_attribution
@@ -1540,8 +1544,7 @@ object SparkEntry {
          |transform.rfm.asOf: 2024-07-01
          |transform.rfm.buckets: 5
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out).orderBy(col("user_id"))
+    graft.Pipeline.run(s, cfg).readTarget(s, out).orderBy(col("user_id"))
   }
 
   /** Config-driven transition matrix, END TO END: the
@@ -1564,8 +1567,7 @@ object SparkEntry {
          |transform.transitionMatrix.typeColumn: event_type
          |transform.transitionMatrix.tieBreak: event_id
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out).orderBy(col("from_type"), col("to_type"))
+    graft.Pipeline.run(s, cfg).readTarget(s, out).orderBy(col("from_type"), col("to_type"))
   }
 
   /** Weekly cohort retention triangle in exact integer calendar math
@@ -1713,27 +1715,18 @@ object SparkEntry {
     * files the index rules out (require() asserts real skipping).
     * Result must equal the unpruned filter bit-for-bit.
     */
-  /** Clustered table + stats artifact memoized per dataset dir (the
-    * incrLshIx discipline): both are DERIVED ARTIFACTS — deterministic
-    * functions of the input — and the gate prices the stats-PRUNED
-    * READ, not the one-time layout build; Bench's min-of-N reads the
-    * pruned-scan cost from runs 2+. Reads are read-only, sharing safe.
-    */
-  private val statsPruneTbl =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-
   private def qStatsPrune(s: SparkSession, d: String): DataFrame = {
     import graft.sources.{FileStatsIndex, ParquetSource}
-    val (tmp, statsPath) = statsPruneTbl.computeIfAbsent(d, _ => {
-      val w = java.nio.file.Files.createTempDirectory("graft-stats-prune")
-        .resolve("li").toString
-      t(s, d, "lineitem")
-        .repartitionByRange(8, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey")
-        .write.parquet(w)
-      (w, FileStatsIndex.buildAndSave(s, w, Seq("l_orderkey")))
-    })
-    val stats = s.read.parquet(statsPath)
+    // The declared query pays the full copy → index build → pruned read
+    // every invocation (the layout build is part of what the gate times).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stats-prune")
+      .resolve("li").toString
+    t(s, d, "lineitem")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(tmp)
+    val statsPath = FileStatsIndex.buildAndSave(s, tmp, Seq("l_orderkey"))
+    val stats = pread(s, statsPath)
     val preds = Seq(FileStatsIndex.Between("l_orderkey", 100L, 1200L))
     val total = ParquetSource
       .listParquetFiles(tmp, s.sparkContext.hadoopConfiguration)
@@ -2100,19 +2093,9 @@ object SparkEntry {
     * is off by one. Constant-TRUE oracle, like q_sim_ivf; PqSpec holds
     * the tight bounds (determinism, MSE vs variance, ADC recall).
     */
-  /** Trained models memoized per dataset dir (the incrLshIx/annStore
-    * discipline): k-means/PQ training is a DETERMINISTIC derived
-    * artifact of the fixture (fixed seeds, fixed iteration count), and
-    * the gates price the encode/ADC/search contract, not the one-time
-    * build; Bench's min-of-N reads the serve cost from runs 2+.
-    */
-  private val pqModels = new java.util.concurrent.ConcurrentHashMap[String, Pq.Model]()
-  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
-
   private def qPqCodes(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val model = pqModels.computeIfAbsent(d, _ =>
-      Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2))
+    val model = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
     def err(recon: org.apache.spark.sql.Column) =
       aggregate(zip_with(col("embedding"), recon,
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
@@ -2140,8 +2123,7 @@ object SparkEntry {
     */
   private def qPqAdc(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val model = pqModels.computeIfAbsent(d, _ =>
-      Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2))
+    val model = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
     val codes = emb.select(col("vec_id"),
       Pq.encode(col("embedding"), model).as("codes"))
     val queries = emb.filter(col("vec_id") < 5)
@@ -2262,13 +2244,13 @@ object SparkEntry {
          |transform.annSearch.k: 10
          |transform.annSearch.nProbe: 4
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
+    val res = graft.Pipeline.run(s, cfg)
     val direct = graft.pipeline.AnnIndex.search(h,
         t(s, d, "embeddings").filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, nProbe = 4)
       .select(col("query_id"), col("rank"),
         col("neighbor_id").as("__n2"), col("adc_dist").as("__d2"))
-    s.read.parquet(out)
+    res.readTarget(s, out)
       .join(direct, Seq("query_id", "rank"))
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         (col("neighbor_id") === col("__n2") &&
@@ -2314,8 +2296,7 @@ object SparkEntry {
          |transform.annSearch.rerankPath: $corpusDir
          |transform.annSearch.rerankKCand: 1048576
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -2360,7 +2341,7 @@ object SparkEntry {
       built
     })
     s.catalog.refreshByPath(h.indexPath)
-    s.read.parquet(h.indexPath)
+    pread(s, h.indexPath)
       .groupBy(col("neighbor_id"))
       .agg((count(lit(1)) === 1).as("indexed_once"))
       .orderBy(col("neighbor_id"))
@@ -2402,7 +2383,7 @@ object SparkEntry {
       r
     })
     s.catalog.refreshByPath(s"$root/index")
-    s.read.parquet(s"$root/index")
+    pread(s, s"$root/index")
       .groupBy(col("neighbor_id"))
       .agg((count(lit(1)) === 1).as("indexed_once"))
       .orderBy(col("neighbor_id"))
@@ -2423,7 +2404,7 @@ object SparkEntry {
     val evens = emb.select(col("vec_id").as("id")).filter(col("id") % 2 === 0)
     val a = graft.pipeline.AnnIndex.searchWhere(h, queries, "vec_id", "embedding",
       k = 10, nProbe = 4, allowed = evens, allowedIdCol = "id")
-    val prunedIdx = s.read.parquet(h.indexPath)
+    val prunedIdx = pread(s, h.indexPath)
       .filter(col("neighbor_id") % 2 === 0)
       .withColumnRenamed("neighbor_id", "vec_id")
     val b = Pq.ivfAdcTopK(queries, prunedIdx, "vec_id", "embedding",
@@ -2460,7 +2441,7 @@ object SparkEntry {
       r
     })
     def members(h: graft.pipeline.AnnIndex.Handle, name: String) =
-      s.read.parquet(h.indexPath)
+      pread(s, h.indexPath)
         .select(col("neighbor_id").as("vec_id")).withColumn(name, lit(true))
     emb.select(col("vec_id"))
       .join(members(graft.pipeline.AnnIndex.openLatest(s, root), "__lat"),
@@ -2496,7 +2477,7 @@ object SparkEntry {
       built
     })
     s.catalog.refreshByPath(h.indexPath)
-    val indexed = s.read.parquet(h.indexPath)
+    val indexed = pread(s, h.indexPath)
       .select(col("neighbor_id").as("vec_id")).withColumn("__in", lit(true))
     emb.select(col("vec_id"))
       .join(indexed, Seq("vec_id"), "left")
@@ -2536,13 +2517,13 @@ object SparkEntry {
            |transform.forget.root: $root
            |transform.forget.idColumn: vec_id
            |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-      graft.Pipeline.run(s, cfg)
+      val res = graft.Pipeline.run(s, cfg)
       // the audit target must carry the batch through unchanged
-      require(s.read.parquet(out).count() == 50L, "forget stage must pass rows through")
+      require(res.readTarget(s, out).count() == 50L, "forget stage must pass rows through")
       built
     })
     s.catalog.refreshByPath(h.indexPath)
-    val indexed = s.read.parquet(h.indexPath)
+    val indexed = pread(s, h.indexPath)
       .select(col("neighbor_id").as("vec_id")).withColumn("__in", lit(true))
     emb.select(col("vec_id"))
       .join(indexed, Seq("vec_id"), "left")
@@ -2811,8 +2792,7 @@ object SparkEntry {
          |target.mode: append
          |savepoints.dir: ${base.resolve("sp")}
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg, fileBatchSize = 1)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg, fileBatchSize = 1).readTarget(s, out)
       .select(col("n_nationkey"), col("n_name"), col("gen"), col("n_regionkey"))
       .orderBy(col("gen"), col("n_nationkey"))
   }
@@ -3128,9 +3108,9 @@ object SparkEntry {
          |transform.winsorize.pct: 5
          |transform.winsorize.outColumn: w_price
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
+    val res = graft.Pipeline.run(s, cfg)
     val cents = (col("w_price").cast(DecimalType(18, 2)) * 100).cast("long")
-    s.read.parquet(out)
+    res.readTarget(s, out)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         sum(cents).cast("long").as("sum_clipped_cents"),
@@ -3721,8 +3701,7 @@ object SparkEntry {
          |transform.urlCanon.hostColumn: host
          |transform.urlCanon.domainColumn: domain
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("doc_id"), col("link"), col("host"), col("domain"))
       .orderBy(col("doc_id"), col("link"))
   }
@@ -3750,8 +3729,7 @@ object SparkEntry {
          |transform.lexSearch.termColumn: term
          |transform.lexSearch.k: 10
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("query_id"), col("rank"), col("id").as("doc_id"),
         col("n_matched"), col("sum_tf"), col("dl"))
       .orderBy(col("query_id"), col("rank"))
@@ -3848,8 +3826,7 @@ object SparkEntry {
          |transform.pageRank.dstColumn: dst
          |transform.pageRank.iters: 3
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("id").as("node_id"), col("rank_units"))
       .orderBy(col("node_id"))
   }
@@ -3940,8 +3917,7 @@ object SparkEntry {
          |transform.hits.dstColumn: dst
          |transform.hits.iters: 2
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("id").as("node_id"), col("auth_units"), col("hub_units"))
       .orderBy(col("node_id"))
   }
@@ -3975,8 +3951,7 @@ object SparkEntry {
          |transform.mmrRerank.k: 5
          |transform.mmrRerank.lambdaPct: 70
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
@@ -4023,8 +3998,7 @@ object SparkEntry {
          |transform.evalRanking.rankColumn: rank
          |transform.evalRanking.k: 10
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out).orderBy(col("query_id"))
+    graft.Pipeline.run(s, cfg).readTarget(s, out).orderBy(col("query_id"))
   }
 
   /** The declarative rrfFuse stage pinned to the q_hybrid_rrf oracle:
@@ -4059,8 +4033,7 @@ object SparkEntry {
          |transform.rrfFuse.idColumn: id
          |transform.rrfFuse.k: 10
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("query_id"), col("rank"), col("id").as("doc_id"),
         col("rank_a"), col("rank_b"), col("rrf_score"))
       .orderBy(col("query_id"), col("rank"))
@@ -4118,7 +4091,7 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), sq.as("__d"))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
       .select(col("query_id"), col("neighbor_id").as("id")).write.parquet(truthP)
-    def run(conf: String): Unit = graft.Pipeline.run(s,
+    def run(conf: String): graft.Pipeline.Result = graft.Pipeline.run(s,
       graft.config.PipelineConfig.parse(conf)
         .fold(e => throw new IllegalArgumentException(e), identity))
     run(s"""source.type: parquet
@@ -4161,8 +4134,7 @@ object SparkEntry {
            |transform.evalRanking.idColumn: id
            |transform.evalRanking.rankColumn: rank
            |transform.evalRanking.k: 10
-           |""".stripMargin)
-    s.read.parquet(out)
+           |""".stripMargin).readTarget(s, out)
       .select(col("query_id").cast("long").as("query_id"), col("n_rel"),
         col("n_hits"), col("recall"), col("mrr"), col("ap"), col("ndcg"))
       .orderBy(col("query_id"))
@@ -4206,8 +4178,7 @@ object SparkEntry {
          |transform.graphEpoch.dstColumn: dst
          |transform.graphEpoch.tag: e1
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("id").as("node_id"), col("rank_units"))
       .orderBy(col("node_id"))
   }
@@ -4242,8 +4213,7 @@ object SparkEntry {
          |transform.pageRank.seedsPath: $seedsP
          |transform.pageRank.seedColumn: id
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("id").as("node_id"), col("rank_units"))
       .orderBy(col("node_id"))
   }
@@ -4272,8 +4242,7 @@ object SparkEntry {
          |transform.lineFilter.minTokens: 4
          |transform.lineFilter.anchorWords: a, the
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -4304,8 +4273,7 @@ object SparkEntry {
          |transform.urlCanon.hostColumn: host
          |transform.urlCanon.domainColumn: domain
          |""".stripMargin).fold(e => throw new IllegalArgumentException(e), identity)
-    graft.Pipeline.run(s, cfg)
-    s.read.parquet(out)
+    graft.Pipeline.run(s, cfg).readTarget(s, out)
       .select(col("doc_id"), col("html").as("clean_text"),
         col("url").as("canon_url"), col("host"), col("domain"))
       .orderBy(col("doc_id"))

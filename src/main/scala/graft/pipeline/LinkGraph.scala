@@ -223,7 +223,7 @@ object LinkGraph {
     graft.sources.KeyedReads.collectKeys(probe, probeCol, maxInline) match {
       case Some(ks) => graft.sources.KeyedReads.prunedRead(spark, dir, keyCol, ks,
         materialize = materialize)
-      case None => spark.read.parquet(dir).join(
+      case None => readTable(spark,dir).join(
         probe.select(col(probeCol).as(keyCol)).distinct(), Seq(keyCol), "left_semi")
     }
 
@@ -319,7 +319,7 @@ object LinkGraph {
       deltaSrcKeys match {
         case Some(ks) => graft.sources.KeyedReads.prunedRead(spark, dir, keyCol,
           ks, materialize = false)
-        case None => spark.read.parquet(dir).join(
+        case None => readTable(spark,dir).join(
           delta.select(col("src").as(keyCol)).distinct(), Seq(keyCol), "left_semi")
       }
 
@@ -381,7 +381,7 @@ object LinkGraph {
       trustDigests.map(dg => () => {
         val rows = frontierRounds(spark, root, meta, seeds, seq,
           trustLevelsDir(root, dg),
-          Some(spark.read.parquet(trustSeedsDir(root, dg))))
+          Some(readTable(spark, trustSeedsDir(root, dg))))
         publishClustered(spark, rows, root, s"trust_$dg",
           trustLevelsDir(root, dg), "id", tag, parts, meta.rowsPerFile)
       }): _*)
@@ -430,6 +430,14 @@ object LinkGraph {
       case None => df => df.withColumn("__seed", lit(1L))
     }
     var changed: DataFrame = null // (id, rank) differing at level k-1
+    // driver-side twin of `changed` on the inline path: the rows are
+    // cand-bounded (one rank per candidate id, |cand| ≤ MaxInlineKeys
+    // — the SAME bound that admits the inline keys), so ONE bounded
+    // collect per round replaces the round's checkpoint job AND the
+    // next round's key-collect job, and every downstream consumer
+    // (the level-(k-1) overlay, the changed-levels publish) sees a
+    // LocalRelation instead of a checkpoint scan stage
+    var changedRows: Option[Array[org.apache.spark.sql.Row]] = None
     val changedLevels = scala.collection.mutable.Buffer.empty[DataFrame]
     // the seed keys collect ONCE for the whole loop; every round's
     // candidate set is then assembled DRIVER-SIDE (seed keys ∪ one
@@ -445,6 +453,13 @@ object LinkGraph {
         java.util.Arrays.asList(ks.map(org.apache.spark.sql.Row(_)): _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id", idType))))
+    def localRanks(rs: Array[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rs: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType))))
     for (k <- 1 to meta.iters) {
       def pruned(dir: String, keyCol: String, ks: Array[Any]) =
         graft.sources.KeyedReads.prunedRead(spark, dir, keyCol, ks,
@@ -452,13 +467,17 @@ object LinkGraph {
       val (cand: DataFrame, candKeys: Option[Array[Any]]) =
         if (k == 1) (seeds, seedKeys)
         else {
-          val chKeys = graft.sources.KeyedReads
-            .collectKeys(changed, "id", MaxInlineKeys)
+          val chKeys: Option[Array[Any]] = changedRows match {
+            case Some(rs) => Some(rs.map(_.get(0)))
+            case None => graft.sources.KeyedReads
+              .collectKeys(changed, "id", MaxInlineKeys)
+          }
           val inlined = (seedKeys, chKeys) match {
             case (Some(sk), Some(ck)) =>
-              val dsts = pruned(outDir(root), "src", ck)
-                .select(col("dst")).distinct()
-                .limit(MaxInlineKeys + 1).collect()
+              val dsts = graft.sources.BoundedExec.run(spark)(
+                pruned(outDir(root), "src", ck)
+                  .select(col("dst")).distinct()
+                  .limit(MaxInlineKeys + 1).collect())
               if (dsts.length > MaxInlineKeys) None
               else {
                 val ks = (sk ++ dsts.map(_.get(0))).distinct
@@ -485,14 +504,14 @@ object LinkGraph {
       // not the bytes, is what a maintenance loop pays for)
       val inE = (candKeys match {
         case Some(ks) => pruned(inDir(root), "dst", ks)
-        case None => spark.read.parquet(inDir(root)).join(
+        case None => readTable(spark,inDir(root)).join(
           cand.select(col("id").as("dst")).distinct(), Seq("dst"), "left_semi")
       }).select(col("src"), col("dst"))
       val srcs = inE.select(col("src")).distinct()
       val srcKeys = graft.sources.KeyedReads.collectKeys(srcs, "src", MaxInlineKeys)
       val degS = resolveDeg(srcKeys match {
         case Some(ks) => pruned(degDir(root), "src", ks)
-        case None => spark.read.parquet(degDir(root))
+        case None => readTable(spark,degDir(root))
           .join(srcs, Seq("src"), "left_semi")
       })
       // fused levels read: iter k-1 rows (the sources' previous level)
@@ -509,7 +528,7 @@ object LinkGraph {
             .filter(if (k == 1) col("iter") === k
                     else col("iter") === (k - 1) || col("iter") === k)
         case _ =>
-          spark.read.parquet(levelsPath)
+          readTable(spark,levelsPath)
             .filter(if (k == 1) col("iter") === k
                     else col("iter") === (k - 1) || col("iter") === k)
             .join(srcs.select(col("src").as("id"))
@@ -546,10 +565,21 @@ object LinkGraph {
             "coalesce(s, CAST(0 AS BIGINT))) div 100").as("rank"))
       val storedK = resolveLevels(lvls.filter(col("iter") === k))
         .select(col("id"), col("rank").as("old_rank"))
-      changed = graft.Checkpoints.materialize(
-        fresh.join(storedK, Seq("id"), "left")
-          .filter(col("old_rank").isNull || col("old_rank") =!= col("rank"))
-          .select(col("id"), col("rank")))
+      val freshChanged = fresh.join(storedK, Seq("id"), "left")
+        .filter(col("old_rank").isNull || col("old_rank") =!= col("rank"))
+        .select(col("id"), col("rank"))
+      candKeys match {
+        case Some(_) =>
+          // inline round: the whole round runs as ONE job (no AQE
+          // stage fan-out — the inputs are bounded point reads) and
+          // `changed` comes back driver-side, cand-bounded
+          val rows = graft.sources.BoundedExec.run(spark)(freshChanged.collect())
+          changedRows = Some(rows)
+          changed = localRanks(rows)
+        case None =>
+          changedRows = None
+          changed = graft.Checkpoints.materialize(freshChanged)
+      }
       changedLevels += changed.select(col("id"), lit(k).as("iter"), col("rank"))
     }
     changedLevels.reduce(_.unionByName(_)).withColumn("seq", lit(seq))
@@ -908,7 +938,7 @@ object LinkGraph {
       val out = fs.create(marker, true)
       try out.write("1".getBytes("UTF-8")) finally out.close()
     }
-    val removed = spark.read.parquet(snap + "/removed")
+    val removed = readTable(spark,snap + "/removed")
     if (removed.isEmpty) {
       // edgeless ids: drop any stray level rows, nothing to maintain
       graft.sources.TargetedDelete.deleteAuto(spark, levelsDir(root), "id", ids)
@@ -921,7 +951,7 @@ object LinkGraph {
       fs.delete(new org.apache.hadoop.fs.Path(snap), true)
       return
     }
-    val corrected = spark.read.parquet(snap + "/deg")
+    val corrected = readTable(spark,snap + "/deg")
 
     // physical deletes, all idempotent. The keyed halves are
     // stats-pruned; the cross-column halves used to pay an honest
@@ -935,7 +965,7 @@ object LinkGraph {
     // driver-bounded cap fall back to the scan path.
     def statsOf(dir: String) = {
       val p = new org.apache.hadoop.fs.Path(dir, "_stats")
-      if (hadoopFs(spark, dir).exists(p)) Some(spark.read.parquet(p.toString))
+      if (hadoopFs(spark, dir).exists(p)) Some(readTable(spark,p.toString))
       else None
     }
     val cap = math.min(inlineCap, graft.sources.TargetedDelete.InlineKeyCap)
@@ -1044,7 +1074,7 @@ object LinkGraph {
       graft.sources.FileStatsIndex.update(spark, tl, Seq("id"))
       graft.sources.EpochFiles.retire(spark, tl, tag)
       val rows = frontierRounds(spark, root, meta, seeds, seq, tl,
-        Some(spark.read.parquet(trustSeedsDir(root, dg))))
+        Some(readTable(spark,trustSeedsDir(root, dg))))
       publishClustered(spark, rows, root, s"trust_$dg", tl, "id", tag,
         parts, meta.rowsPerFile)
     }
@@ -1186,23 +1216,23 @@ object LinkGraph {
       graft.sources.FileStatsIndex.buildAndSave(spark, dir, Seq(keyCol))
       spark.catalog.refreshByPath(dir)
     }
-    swapClustered(outDir(root), spark.read.parquet(outDir(root)), "src")
-    swapClustered(inDir(root), spark.read.parquet(inDir(root)), "dst")
+    swapClustered(outDir(root), readTable(spark,outDir(root)), "src")
+    swapClustered(inDir(root), readTable(spark,inDir(root)), "dst")
     swapClustered(degDir(root),
-      spark.read.parquet(degDir(root))
+      readTable(spark,degDir(root))
         .groupBy(col("src"))
         .agg(max_by(struct(col("deg"), col("seq")), col("seq")).as("v"))
         .select(col("src"), col("v.deg").as("deg"), col("v.seq").as("seq")),
       "src")
     swapClustered(levelsDir(root),
-      spark.read.parquet(levelsDir(root))
+      readTable(spark,levelsDir(root))
         .groupBy(col("id"), col("iter"))
         .agg(max_by(struct(col("rank"), col("seq")), col("seq")).as("v"))
         .select(col("id"), col("iter"), col("v.rank").as("rank"),
           col("v.seq").as("seq")),
       "id")
     if (labelsExist(spark, root)) {
-      def folded = spark.read.parquet(labIdDir(root))
+      def folded = readTable(spark,labIdDir(root))
         .groupBy(col("id"))
         .agg(max_by(struct(col("rep"), col("seq")), col("seq")).as("v"))
         .select(col("id"), col("v.rep").as("rep"), col("v.seq").as("seq"))
@@ -1213,7 +1243,7 @@ object LinkGraph {
     for (dg <- trustSets(spark, root)) {
       val tl = trustLevelsDir(root, dg)
       swapClustered(tl,
-        spark.read.parquet(tl)
+        readTable(spark,tl)
           .groupBy(col("id"), col("iter"))
           .agg(max_by(struct(col("rank"), col("seq")), col("seq")).as("v"))
           .select(col("id"), col("iter"), col("v.rank").as("rank"),

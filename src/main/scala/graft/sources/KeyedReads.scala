@@ -131,21 +131,56 @@ object KeyedReads {
     String, (String, org.apache.spark.sql.types.StructType)]()
 
   /** The parquet table's schema under `path`, cached by file-name
-    * signature — ONE inference job per table version.
+    * signature — and resolved DRIVER-SIDE when the files are
+    * Spark-written: every Spark parquet writer embeds the exact
+    * StructType JSON in the footer's key-value metadata
+    * (`org.apache.spark.sql.parquet.row.metadata`), and Spark's own
+    * inference prefers that schema when present — so reading ONE footer
+    * on the driver returns the identical schema with ZERO Spark jobs,
+    * where a schema-less `read.parquet` pays a footer-inference job per
+    * new path (fresh store epochs and per-gate temp tables defeat the
+    * signature cache by design — the cache only ever amortized
+    * re-reads of one version). Foreign files (no embedded schema, e.g.
+    * the driver fixtures) fall back to live inference, once per
+    * version.
     */
   def schemaFor(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
-    val names = ParquetSource
+    val files = ParquetSource
       .listParquetFiles(path, spark.sparkContext.hadoopConfiguration)
-      .map(pathOf).sorted.mkString("|")
+    val names = files.map(pathOf).sorted.mkString("|")
     schemaCache.get(path) match {
       case Some((sig, s)) if sig == names => s
       case _ =>
-        val s = spark.read.parquet(path).schema
+        val s = embeddedSchema(spark, files)
+          .getOrElse(spark.read.parquet(path).schema)
         if (schemaCache.size > 256) schemaCache.clear()
         schemaCache(path) = (names, s)
         s
     }
   }
+
+  /** The Spark StructType embedded in the first file's footer metadata,
+    * read driver-side (one footer, ~ms, no job) — None when the file
+    * was not written by Spark. All files of one engine-published table
+    * share a writer and therefore a schema, so one footer suffices;
+    * mixed-schema stores go through mergeSchema reads, which never call
+    * this.
+    */
+  private def embeddedSchema(spark: SparkSession, files: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    files.headOption.flatMap { f =>
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try Option(r.getFooter.getFileMetaData.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata"))
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   // refcounted raise of the read-shaping confs (exact-IN pushdown +
   // serial-listing threshold): concurrent pruned reads (Par-fanned
