@@ -79,6 +79,9 @@ object Bench {
         sources.KeyedReads.PruneChunk.toString)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sources.KeyedReads.ListSerialThreshold.toString)
+      // one wave per first take/limit attempt — kills the 4-job
+      // executeTake ramp under bounded key collects (see Tables.session)
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -133,6 +133,14 @@ object Tables {
       // listing JOB per read (Spark's default threshold is 32 paths)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         graft.sources.KeyedReads.ListSerialThreshold.toString)
+      // first take/limit attempt covers one full wave of the session's
+      // cores instead of Spark's 1-partition default: a bounded
+      // key-collect (`distinct.limit(cap).collect`) otherwise pays an
+      // executeTake ramp of up to 4 Spark JOBS (1 → 4 → 16 → all
+      // partitions) per collect — pure scheduling cost, since the
+      // distinct's exchange already materialized the full input. Scales
+      // with the session width, not a local constant.
+      .config("spark.sql.limit.initialNumPartitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

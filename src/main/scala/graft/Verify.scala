@@ -23,6 +23,9 @@ object Verify {
         sources.KeyedReads.PruneChunk.toString)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sources.KeyedReads.ListSerialThreshold.toString)
+      // one wave per first take/limit attempt — kills the 4-job
+      // executeTake ramp under bounded key collects (see Tables.session)
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -28,6 +28,36 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Inline cap for the bounded-graph fast path of [[hits]]: when the
+    * node set provably fits the cap, a half-round's score vector —
+    * exactly |V| rows, the left join from `nodes` pins it — collects
+    * as ONE Spark job, the max-normalization denominator resolves
+    * driver-side (no separate aggregate job), and the vector re-enters
+    * the next half-round as a LocalRelation (guide §1: on a loop of
+    * bounded frames the job count IS the cost; measured ~70-100 ms of
+    * pure scheduling per job on the bench host — q_hits 37 → 13 jobs,
+    * retimed 1.63 → 1.06 s). Past the cap nothing changes: the frame
+    * path with per-round lineage truncation is the scale shape. Same
+    * discipline (and same bound) as the link-graph store's inline
+    * frontier rounds. The OTHER round loops deliberately stay on the
+    * frame path even under the cap — measured on the bench host,
+    * collecting pageRank/trustRank whole-graph rounds (or
+    * appendToPageRank's frontier rounds, whose per-round plan joins
+    * the full union edge frame twice) into single-partition jobs lost
+    * more to serialized compute than the saved jobs bought (pagerank
+    * family +10-80%, q_pagerank_incr +16%, under earlier bounded
+    * variants of both).
+    */
+  private val MaxInlineGraph = 2000000
+
+  private def localFrame(spark: org.apache.spark.sql.SparkSession,
+                         rows: Array[org.apache.spark.sql.Row],
+                         fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
+
   /** Distinct undirected co-occurrence edges (src < dst) between items
     * sharing a group; groups larger than `maxGroupSize` (and singleton
     * groups) are dropped before pairing.
@@ -498,15 +528,32 @@ object Graphs {
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
       .transform(graft.Checkpoints.materialize)
+    // bounded-graph fast path (see MaxInlineGraph): a half-round is
+    // exactly |V| rows (left join from `nodes`), so under the cap ONE
+    // collect replaces the checkpoint job + the max-aggregate job and
+    // the max resolves driver-side
+    val spark = e.sparkSession
+    val boundedV = nodes.count() <= MaxInlineGraph
+    val idType = nodes.schema("id").dataType
     def rescaled(raw0: DataFrame, out: String): DataFrame = {
       // raw: (id, s) with s >= 0; normalize so the max lands on scale.
       // Materialize the half-round ONCE, read the max off the
-      // checkpoint, and keep the rescale a lazy projection — the old
-      // shape ran the join+sum twice per half-round (once under the
-      // max collect, once under the rescale's own materialize)
-      val raw = graft.Checkpoints.materialize(raw0)
-      val mRow = raw.agg(max(col("s"))).collect()(0)
-      val m = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
+      // checkpoint (driver-side on the bounded path), and keep the
+      // rescale a lazy projection — the old shape ran the join+sum
+      // twice per half-round (once under the max collect, once under
+      // the rescale's own materialize)
+      val (raw, m) =
+        if (boundedV) {
+          val rows = graft.sources.BoundedExec.run(spark)(raw0.collect())
+          val mx = rows.foldLeft(0L)((acc, r) =>
+            if (r.isNullAt(1)) acc else math.max(acc, r.getLong(1)))
+          (localFrame(spark, rows,
+            "id" -> idType, "s" -> org.apache.spark.sql.types.LongType), mx)
+        } else {
+          val rw = graft.Checkpoints.materialize(raw0)
+          val mRow = rw.agg(max(col("s"))).collect()(0)
+          (rw, if (mRow.isNullAt(0)) 0L else mRow.getLong(0))
+        }
       raw.select(col("id"),
         (if (m <= 0L) lit(0L)
          else expr(s"(s * CAST($scale AS BIGINT)) div CAST($m AS BIGINT)"))

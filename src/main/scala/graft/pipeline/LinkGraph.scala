@@ -315,6 +315,16 @@ object LinkGraph {
     // identical driver collects fused to one)
     val deltaSrcKeys = graft.sources.KeyedReads
       .collectKeys(delta, "src", MaxInlineKeys)
+    // inline-bounded epoch: every remaining action of this absorb works
+    // on the delta's reach through point reads — run each as ONE job
+    // (no AQE per-exchange fan-out, no broadcast jobs; the same
+    // boundedness evidence that admits inline keys gates entry, and the
+    // scale fallback below never comes through here). An epoch past the
+    // inline cap keeps the adaptive path: its publishes shuffle real
+    // volume.
+    def boundedRun[A](body: => A): A =
+      if (deltaSrcKeys.isDefined) graft.sources.BoundedExec.run(spark)(body)
+      else body
     def readByDeltaSrcs(dir: String, keyCol: String): DataFrame =
       deltaSrcKeys match {
         case Some(ks) => graft.sources.KeyedReads.prunedRead(spark, dir, keyCol,
@@ -337,20 +347,21 @@ object LinkGraph {
     // labels absorb BEFORE the edge publishes (they need the PRE-epoch
     // endpoint labels; a replay's retire restored them above)
     if (labelsExist(spark, root))
-      absorbLabels(spark, root, delta, seq, tag, parts, meta.rowsPerFile)
+      boundedRun(
+        absorbLabels(spark, root, delta, seq, tag, parts, meta.rowsPerFile))
 
     // edges + degrees publish FIRST: the frontier rounds below read
     // the union graph through the store's own tables. The three
     // publishes touch disjoint tables — fan them out (guide §1: the
     // epoch's cost is its job CHAIN; independent publishes overlap
     // their range-sample + write + stats jobs)
-    graft.Par.run(spark)(
+    boundedRun(graft.Par.run(spark)(
       () => publishClustered(spark, delta, root, "out", outDir(root), "src",
         tag, parts, meta.rowsPerFile),
       () => publishClustered(spark, delta, root, "in", inDir(root), "dst",
         tag, parts, meta.rowsPerFile),
       () => publishClustered(spark, newDeg, root, "deg", degDir(root), "src",
-        tag, parts, meta.rowsPerFile))
+        tag, parts, meta.rowsPerFile)))
 
     // perturbation seeds: out-neighbors of every changed-degree source
     // (all delta sources — appends only increase degree) + new vertices.
@@ -364,8 +375,8 @@ object LinkGraph {
     val newNodes = touchedNodes.join(knownIds, Seq("id"), "left_anti")
     val outOfDeltaSrcs = readByDeltaSrcs(outDir(root), "src")
       .select(col("dst").as("id"))
-    val seeds = graft.Checkpoints.materialize(
-      outOfDeltaSrcs.unionAll(newNodes).distinct())
+    val seeds = boundedRun(graft.Checkpoints.materialize(
+      outOfDeltaSrcs.unionAll(newNodes).distinct()))
 
     val levelRows = frontierRounds(spark, root, meta, seeds, seq)
     // level overrides are reach-bounded (≈ seeds × iters) — the delta-
@@ -375,7 +386,7 @@ object LinkGraph {
     // edge/degree tables and their own seed-conditional levels), so
     // they fan out together.
     val trustDigests = trustSets(spark, root)
-    graft.Par.run(spark)(
+    boundedRun(graft.Par.run(spark)(
       (() => publishClustered(spark, levelRows, root, "levels",
         levelsDir(root), "id", tag, parts, meta.rowsPerFile)) +:
       trustDigests.map(dg => () => {
@@ -384,7 +395,7 @@ object LinkGraph {
           Some(readTable(spark, trustSeedsDir(root, dg))))
         publishClustered(spark, rows, root, s"trust_$dg",
           trustLevelsDir(root, dg), "id", tag, parts, meta.rowsPerFile)
-      }): _*)
+      }): _*))
     // the epoch is SETTLED here (every table published under the tag's
     // recorded seq) — the one point the auto-compact policy may fold
     // accumulated overrides without violating the per-tag-name caveat

@@ -22,7 +22,18 @@ import org.apache.spark.sql.SparkSession
 object BoundedExec {
   private val confKeys = Seq(
     "spark.sql.adaptive.enabled" -> "false",
-    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    // a bounded round's `limit(cap).collect` must be ONE job — the
+    // executeTake ramp (1 → 4 → 16 → … partitions) is pure scheduling
+    // cost when the inputs are bounded point reads
+    "spark.sql.limit.initialNumPartitions" -> Int.MaxValue.toString,
+    // ONE shuffle partition: without AQE's coalescing, every exchange
+    // would run at the session's full shuffle width — 32 near-empty
+    // tasks per stage for cap-bounded rows (measured: the 85→36-job
+    // cut on q_pagerank_incr arrived with 100→1117 tasks and a SLOWER
+    // wall until this pin). Bounded frames fit one partition by the
+    // same evidence that admitted them here.
+    "spark.sql.shuffle.partitions" -> "1")
   private val users = new java.util.concurrent.atomic.AtomicInteger
   @volatile private var saved: Seq[(String, Option[String])] = Nil
 

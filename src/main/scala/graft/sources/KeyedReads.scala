@@ -250,10 +250,20 @@ object KeyedReads {
     val cached = statsCache.get(cacheKey) match {
       case Some((s, rows)) if s == sig => rows
       case _ =>
-        val stats = spark.read.parquet(statsPath.toString)
-        val rows =
-          if (!stats.columns.contains(lo) || !stats.columns.contains(hi)) None
-          else Some(stats.select(col("file"), col(lo), col(hi)).collect())
+        // the artifact is driver-sized (one row per data file — the
+        // FileIndex scaling argument), so decode it ON the driver: a
+        // Spark read here pays an inference job + a collect job per
+        // store mutation, pure scheduling cost in every point-read loop
+        val rows = ParquetSource.localRows(
+            spark.sparkContext.hadoopConfiguration, statsPath.toString,
+            Seq("file", lo, hi)) match {
+          case ParquetSource.LocalRead.Rows(rs) => Some(rs)
+          case ParquetSource.LocalRead.ColumnsMissing => None
+          case ParquetSource.LocalRead.Unsupported =>
+            val stats = spark.read.parquet(statsPath.toString)
+            if (!stats.columns.contains(lo) || !stats.columns.contains(hi)) None
+            else Some(stats.select(col("file"), col(lo), col(hi)).collect())
+        }
         if (statsCache.size > 256) statsCache.clear()
         statsCache(cacheKey) = (sig, rows)
         rows

@@ -38,6 +38,95 @@ object ParquetSource {
     walk(path, isRoot = true).sorted
   }
 
+  /** Result of a driver-side small-parquet read ([[localRows]]). */
+  sealed trait LocalRead
+  object LocalRead {
+    /** Decoded rows, one per record, columns in request order. */
+    final case class Rows(rows: Array[org.apache.spark.sql.Row]) extends LocalRead
+    /** The files exist but lack one of the requested columns. */
+    case object ColumnsMissing extends LocalRead
+    /** Unsupported type / IO trouble — caller should fall back to a
+      * Spark read.
+      */
+    case object Unsupported extends LocalRead
+  }
+
+  /** Decode a SMALL parquet directory's rows on the DRIVER — zero Spark
+    * jobs, where even a cached-schema `read.parquet(...).collect()`
+    * pays a collect job (and an inference job without the schema). For
+    * driver-resident metadata artifacts (the `_stats` index: one row
+    * per data file) the artifact is driver-sized by construction — the
+    * same scaling argument as any FileIndex — so a local decode is
+    * strictly cheaper than a cluster round trip at any admissible size.
+    *
+    * Only flat primitive columns decode: INT64/INT32/DOUBLE/FLOAT/
+    * BOOLEAN with no logical annotation, and UTF8-annotated BINARY as
+    * String — exactly the shapes the stats artifact writes for the
+    * orderable key types. Anything else (decimal, timestamp, nested)
+    * returns [[LocalRead.Unsupported]] so the caller keeps Spark's
+    * decoding semantics.
+    */
+  def localRows(conf: Configuration, dir: String,
+                columns: Seq[String]): LocalRead = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    try {
+      val files = listParquetFiles(dir, conf)
+      if (files.isEmpty) return LocalRead.Rows(Array.empty)
+      val out = Array.newBuilder[org.apache.spark.sql.Row]
+      var missing = false
+      files.foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new Path(f))
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null && !missing) {
+            val schema = g.getType
+            val vals = columns.map { c =>
+              if (!schema.containsField(c)) { missing = true; null }
+              else {
+                val idx = schema.getFieldIndex(c)
+                val ft = schema.getType(idx)
+                if (!ft.isPrimitive)
+                  throw new UnsupportedOperationException(s"nested $c")
+                if (g.getFieldRepetitionCount(idx) == 0) null
+                else {
+                  val pt = ft.asPrimitiveType()
+                  val ann = pt.getLogicalTypeAnnotation
+                  def intAnn(width: Int) = ann match {
+                    case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      i.isSigned && i.getBitWidth == width
+                    case _ => false
+                  }
+                  pt.getPrimitiveTypeName match {
+                    case INT64 if ann == null || intAnn(64) => g.getLong(idx, 0)
+                    case INT32 if ann == null || intAnn(32) => g.getInteger(idx, 0)
+                    case DOUBLE if ann == null => g.getDouble(idx, 0)
+                    case FLOAT if ann == null => g.getFloat(idx, 0)
+                    case BOOLEAN if ann == null => g.getBoolean(idx, 0)
+                    case BINARY if ann != null &&
+                        ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                      g.getString(idx, 0)
+                    case other =>
+                      throw new UnsupportedOperationException(s"$c: $other/$ann")
+                  }
+                }
+              }
+            }
+            if (!missing) out += org.apache.spark.sql.Row(vals: _*)
+            g = reader.read()
+          }
+        } finally reader.close()
+        if (missing) return LocalRead.ColumnsMissing
+      }
+      LocalRead.Rows(out.result())
+    } catch {
+      case scala.util.control.NonFatal(_) => LocalRead.Unsupported
+    }
+  }
+
   /** Read all files except the skip-set (resume semantics: a file in the
     * skip-set was fully written to the target in a previous run).
     */
