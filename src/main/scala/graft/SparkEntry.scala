@@ -778,7 +778,7 @@ object SparkEntry {
     * removed by the exact verify.
     */
   private def verifiedNearDupPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val docs = tf(s, d, "documents", "doc_id").filter(col("doc_id") < 1000)
+    val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
     // shingle+signature projection is referenced three times (banding,
     // estimate, exact verify) — materialize it once
     val sh = docs.select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
@@ -818,7 +818,7 @@ object SparkEntry {
   private val incrLshIx = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def qIncrLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = tf(s, d, "documents", "doc_id").filter(col("doc_id") < 500)
+    val docs = t(s, d, "documents").filter(col("doc_id") < 500)
     val sh = docs.select(col("doc_id"), Dedup.shingles("text", 1).as("sh"))
       .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
       .localCheckpoint()
@@ -1721,11 +1721,12 @@ object SparkEntry {
     // every invocation (the layout build is part of what the gate times).
     val tmp = java.nio.file.Files.createTempDirectory("graft-stats-prune")
       .resolve("li").toString
-    t(s, d, "lineitem")
-      .repartitionByRange(8, col("l_orderkey"))
+    val li = t(s, d, "lineitem")
+    li.repartitionByRange(8, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
       .write.parquet(tmp)
-    val statsPath = FileStatsIndex.buildAndSave(s, tmp, Seq("l_orderkey"))
+    val statsPath = FileStatsIndex.buildAndSave(s, tmp, Seq("l_orderkey"),
+      schema = Some(li.schema))
     val stats = pread(s, statsPath)
     val preds = Seq(FileStatsIndex.Between("l_orderkey", 100L, 1200L))
     val total = ParquetSource

@@ -42,8 +42,6 @@ object Ivf {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int = 3): Model = {
-    val spark = corpus.sparkSession
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     // deterministic seeds: smallest hash(id)
     // numeric read, NOT toString.toDouble: the string round-trip yields
     // shortest-decimal doubles that differ from the exact float->double

@@ -166,7 +166,8 @@ object LinkGraph {
     df.repartitionByRange(col(keyCol)).sortWithinPartitions(col(keyCol))
       .write.option("maxRecordsPerFile", rowsPerFile)
       .mode("overwrite").parquet(dir)
-    graft.sources.FileStatsIndex.buildAndSave(df.sparkSession, dir, Seq(keyCol))
+    graft.sources.FileStatsIndex.buildAndSave(df.sparkSession, dir, Seq(keyCol),
+      schema = Some(df.schema))
     df.sparkSession.catalog.refreshByPath(dir)
   }
 

@@ -64,11 +64,6 @@ object Pq {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, ksub: Int = 16, iters: Int = 3): Model = {
-    val dimProbe = corpus.select(size(col(vecCol))).limit(1).collect()
-    require(dimProbe.nonEmpty, "PQ training corpus is empty; cannot train codebooks")
-    val dim = dimProbe.head.getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
     // deterministic seeds: the ksub corpus vectors with the smallest
     // (hash(id), id) — the id itself breaks hash ties (duplicate ids,
     // 64-bit collisions) so the seed set cannot drift across retries or
@@ -82,9 +77,15 @@ object Pq {
         col(idCol).cast("string").as("__id"))
       .orderBy(col("__h"), col("__id")).limit(ksub)
       .collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.nonEmpty, "PQ training corpus is empty; cannot train codebooks")
     require(seedVecs.length == ksub,
       s"PQ training corpus has only ${seedVecs.length} rows but ksub=$ksub centroids " +
         "were requested; supply a larger corpus or lower ksub")
+    // vector width read off the collected seeds — the former standalone
+    // dimension-probe job bought nothing the seed collect doesn't know
+    val dim = seedVecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
     var codebooks = Array.tabulate(m)(j =>
       seedVecs.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     (1 to iters).foreach { _ =>

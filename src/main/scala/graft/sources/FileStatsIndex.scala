@@ -52,9 +52,15 @@ object FileStatsIndex {
   /** Build the stats artifact for `columns` over every parquet file
     * under `dir`: one distributed pass, |files| output rows.
     */
-  def build(spark: SparkSession, dir: String, columns: Seq[String]): DataFrame = {
+  def build(spark: SparkSession, dir: String, columns: Seq[String],
+            schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     require(columns.nonEmpty, "index at least one column")
-    val df = spark.read.parquet(dir)
+    // builders that just wrote the table pass its schema (a schema-less
+    // read pays a footer-inference job); others resolve through the
+    // signature cache / embedded-footer path — also zero jobs for
+    // Spark-written dirs
+    val df = spark.read
+      .schema(schema.getOrElse(KeyedReads.schemaFor(spark, dir))).parquet(dir)
     val aggs = columns.flatMap { c =>
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
@@ -66,14 +72,15 @@ object FileStatsIndex {
   /** Build and persist next to the data (`<dir>/_stats`) — underscore
     * prefix keeps every parquet reader from picking it up as data.
     */
-  def buildAndSave(spark: SparkSession, dir: String, columns: Seq[String]): String = {
+  def buildAndSave(spark: SparkSession, dir: String, columns: Seq[String],
+                   schema: Option[org.apache.spark.sql.types.StructType] = None): String = {
     val path = new org.apache.hadoop.fs.Path(dir, "_stats").toString
     // ONE artifact file: the frame is |files| rows (driver-sized by the
     // same argument as any FileIndex), but the groupBy's 32 shuffle
     // partitions would otherwise scatter it across 32 tiny parts — and
     // every stats-pruned point read re-opens the artifact, so its own
     // footer count is a per-probe metadata tax paid store-wide
-    build(spark, dir, columns).coalesce(1).write.mode("overwrite").parquet(path)
+    build(spark, dir, columns, schema).coalesce(1).write.mode("overwrite").parquet(path)
     path
   }
 
@@ -138,9 +145,12 @@ object FileStatsIndex {
   def readPruned(spark: SparkSession, dir: String, stats: DataFrame,
                  predicates: Seq[StatsPredicate], residual: Column): DataFrame = {
     val files = survivingFiles(spark, dir, stats, predicates)
+    // signature-cached / embedded-footer schema: an explicit file list
+    // would otherwise pay a footer-inference job per read
+    val reader = spark.read.schema(KeyedReads.schemaFor(spark, dir))
     val base =
-      if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
-      else spark.read.parquet(files: _*)
+      if (files.isEmpty) reader.parquet(dir).filter(lit(false))
+      else reader.parquet(files: _*)
     base.filter(residual)
   }
 
